@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as a full action (count of the materialized result) after
+a shared-session warmup, so JVM startup is excluded but plan+execute is
+included — the same thing a cluster job would pay per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lakefs_iceberg_catalog_spark import registry
+from lakefs_iceberg_catalog_spark.session import get_spark
+
+# Headline set: one representative per operator family (joins, aggs, windows,
+# scalars, dedup/similarity/text once those rings land).
+HEADLINE = [
+    "flagship_top_unshipped",
+    "q1_pricing_summary",
+    "agg_hash_group",
+    "agg_distinct",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_asof",
+    "window_rank",
+    "window_analytic",
+    "limit_topk",
+    "scalar_json",
+    "scalar_array_map",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "similarity_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all()
+    spark = get_spark("lakefs-iceberg-catalog-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: spin the JVM/codegen paths once on a trivial action.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

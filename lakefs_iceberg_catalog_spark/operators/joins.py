@@ -1,0 +1,305 @@
+"""Ring A — join family: inner/outer/semi/anti/cross equi-joins, theta/range
+join, as-of join.
+
+The reference exposes joins through stock Spark SQL (SURVEY.md §2.2); here
+each join shape is declared so Catalyst can pick broadcast vs shuffle sides,
+with explicit `F.broadcast` hints where the dimension side is provably small.
+
+Scale notes (100 TB):
+- Dimension tables (region/nation/customer-filtered) are broadcast — no
+  shuffle of the fact side on those joins.
+- Fact↔fact joins (lineitem↔orders) hash-shuffle both sides on the key; at
+  1000 executors that's the intended co-partitioning (bucketing both tables
+  on orderkey would remove even that — see catalog layer notes).
+- The as-of join avoids a per-row subquery by union-tagging both streams and
+  running one window pass — O(n log n) within each user partition, no
+  cross-product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import register
+from ..tables import table
+from .util import dround
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+SELECT n_name,
+       count(*)                        AS n_orders,
+       round(sum(o_totalprice), 2)     AS sum_total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join chain (fact→dim→dim) + aggregate."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey,
+       count(o_orderkey)                         AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2)  AS sum_total
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (count of the
+    null-extended column = 0, sum coalesced)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("sum_total"),
+        )
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+SELECT c_custkey,
+       count(o_orderkey)                        AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS sum_total
+FROM orders
+RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+""",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("sum_total"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH big_cust AS (
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000
+),
+cust_orders AS (
+    SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(b.c_custkey, co.o_custkey) AS custkey,
+       coalesce(round(b.c_acctbal, 2), -1) AS acctbal,
+       coalesce(co.n_orders, 0)            AS n_orders
+FROM big_cust b
+FULL OUTER JOIN cust_orders co ON b.c_custkey = co.o_custkey
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join where both sides have unmatched keys (high-balance
+    customers vs per-customer order counts)."""
+    big = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_acctbal")
+    )
+    co = table(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        big.join(co, big.c_custkey == co.o_custkey, "full_outer")
+        .select(
+            F.coalesce(big.c_custkey, co.o_custkey).alias("custkey"),
+            F.coalesce(dround("c_acctbal", 2), F.lit(-1.0)).alias("acctbal"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_nationkey, count(*) AS n_with_orders
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): emits each left row at most once; the right
+    side is reduced to its join keys before the shuffle."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_nationkey, count(*) AS n_without_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r_name, n_name
+FROM region
+CROSS JOIN nation
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever between bounded dimension tables
+    (5 × 25 rows); a cross join with a fact side would be rejected at review."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+WITH tiers(tier, lo, hi) AS (
+    VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1000000.0)
+)
+SELECT t.tier,
+       count(*)               AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: events banded into value tiers.
+
+    Scale: the range side is a constant-size tier table → broadcast
+    nested-loop join, which is O(n × tiers) with no shuffle of the fact
+    table. Never range-join two fact tables directly — bucketize first.
+    """
+    e = table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1000000.0)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        e.join(F.broadcast(tiers), (e.value >= tiers.lo) & (e.value < tiers.hi))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+WITH purchases AS (
+    SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+),
+signups AS (
+    SELECT user_id, ts, max(event_id) AS signup_event
+    FROM events WHERE event_type = 'signup'
+    GROUP BY user_id, ts
+)
+SELECT p.event_id,
+       p.user_id,
+       round(p.value, 2) AS value,
+       s.ts              AS signup_ts
+FROM purchases p
+ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest signup at-or-before it
+    (per user). Spark lacks a native ASOF — composed as union-tag + one
+    ordered window pass per user (`last(..., ignorenulls)`), which is a single
+    shuffle on user_id and never materializes a cross product.
+
+    Scale: partition by user_id (high cardinality → even distribution);
+    window sort is per-user, bounded by events-per-user, AQE re-splits skewed
+    users. The DuckDB oracle uses its native ASOF JOIN as the semantic spec.
+    """
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # Collapse same-(user, ts) signups deterministically before the as-of so
+    # ties cannot produce an ambiguous match (both engines agree).
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event"))
+    )
+
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.lit(None).cast("timestamp").alias("sig_ts"),
+        F.lit(1).alias("is_purchase"),
+    ).unionByName(
+        signups.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.col("ts").alias("sig_ts"),
+            F.lit(0).alias("is_purchase"),
+        )
+    )
+    # Order signups before purchases at identical ts so "at-or-before" is
+    # inclusive, matching ASOF's p.ts >= s.ts.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.withColumn("signup_ts", F.last("sig_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", dround("value", 2).alias("value"), "signup_ts")
+    )

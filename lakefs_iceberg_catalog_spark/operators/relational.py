@@ -1,0 +1,505 @@
+"""Ring A — core relational operators (scan / project / filter / aggregate /
+sort / limit / set ops / subqueries / pivot).
+
+The reference exposes this surface through stock Spark SQL (SURVEY.md §2.2 —
+`pom.xml:90-95` pins spark-sql, `tests/conftest.py:63-78` builds an
+unrestricted session); we re-declare each capability with the public DataFrame
+API so Catalyst owns the physical plan.
+
+Scale notes (100 TB):
+- Aggregations here group on low-cardinality keys → partial (map-side)
+  aggregation collapses each partition to a handful of rows before the
+  shuffle; the shuffle moves O(groups × partitions), not O(rows).
+- Filters/projections are expressed on base columns so they reach the parquet
+  scan (PushedFilters / ReadSchema — audited in tests/test_plans.py).
+- Oracle determinism: double aggregates are rounded (sums → 2dp, avgs/ratios
+  → 4-6dp) in BOTH dialects; LIMIT queries always carry a total order with a
+  unique tiebreak key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import register
+from ..tables import table
+from .util import dround
+
+
+# --------------------------------------------------------------------------
+# flagship: TPC-H Q3-shaped pricing/revenue ranking
+# (scan_table + filter_predicate + join_inner_equi + agg_hash_group +
+#  sort_order_by + limit — SURVEY.md §7 Phase 0)
+# --------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate  > TIMESTAMP '1999-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("flagship_top_unshipped", oracle=_FLAGSHIP_ORACLE)
+def flagship_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 highest-revenue not-yet-shipped orders for one market segment.
+
+    Scale: customer is the small side → Catalyst broadcast-joins it against
+    orders (verified in plan audit); lineitem↔orders is a shuffle join on the
+    join key with partial aggregation on l_orderkey before the final sort;
+    top-10 is a TakeOrderedAndProject (no global sort materialization).
+    """
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# scan / project / filter
+# --------------------------------------------------------------------------
+
+@register(
+    "scan_table",
+    oracle="""
+SELECT r_regionkey, r_name FROM region
+""",
+)
+def scan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain catalog-table scan (reference: `spark.read.table(...)`,
+    tests/test_iceberg.py:15-16). Here: parquet scan, full schema."""
+    return table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register(
+    "project_select",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged,
+       l_returnflag || '/' || l_linestatus AS flag_status
+FROM lineitem
+WHERE l_linenumber = 1
+""",
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with column arithmetic + aliasing; only 7 of 11 lineitem
+    columns are referenced → ReadSchema prunes the scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2).alias("charged"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+    )
+
+
+@register(
+    "filter_predicate",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS total
+FROM orders
+WHERE o_orderstatus IN ('F', 'P')
+  AND o_totalprice BETWEEN 1000 AND 50000
+  AND o_orderpriority LIKE '%URGENT'
+  AND o_custkey IS NOT NULL
+""",
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates: IN, BETWEEN, LIKE, null test — all pushable to
+    the parquet row-group level except LIKE (evaluated post-scan)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus").isin("F", "P"))
+        .filter(F.col("o_totalprice").between(1000, 50000))
+        .filter(F.col("o_orderpriority").like("%URGENT"))
+        .filter(F.col("o_custkey").isNotNull())
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", dround("o_totalprice", 2).alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregation family
+# --------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: 2-key group, 8 aggregates.
+
+    Scale: ~6 groups → partial aggregation reduces each of N scan partitions
+    to ≤6 rows; the exchange is negligible at any SF.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(F.sum(disc), 2).alias("sum_disc_price"),
+            dround(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            dround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_hash_group",
+    oracle="""
+SELECT l_suppkey,
+       count(*)                         AS n_items,
+       round(sum(l_quantity), 2)        AS sum_qty,
+       round(min(l_extendedprice), 2)   AS min_price,
+       round(max(l_extendedprice), 2)   AS max_price
+FROM lineitem
+GROUP BY l_suppkey
+""",
+)
+def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation on a mid-cardinality key (suppkey).
+
+    Scale: hash-partitioned shuffle on l_suppkey; skewed suppliers are
+    re-split by AQE skew handling; count/sum/min/max all have partial forms.
+    """
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.min("l_extendedprice"), 2).alias("min_price"),
+            dround(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*)                  AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) — Catalyst expands to a two-phase aggregate (distinct
+    keys first, then counts) so the distinct shuffle is on (group, value)
+    pairs, never a driver-side set."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register("agg_approx_distinct")  # approximate → no exact oracle (rows-only check)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (`approx_count_distinct`).
+
+    Scale: constant-size sketch per group per partition, merged on the
+    reduce side — the canonical 100 TB replacement for exact distinct.
+    Accuracy (vs exact) is asserted in tests/test_relational.py.
+    """
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)                  AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (subtotals + grand total). Catalyst expands to a single Expand +
+    aggregate — one pass over the data regardless of grouping-set count."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+       round(var_samp(l_quantity), 4)         AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(median(l_quantity), 2)           AS med_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/corr/median).
+
+    Scale: stddev/var/corr use single-pass merge-able moments; exact median
+    requires a sort-based aggregate — at 100 TB prefer percentile_approx
+    (see agg_approx_distinct for the sketch pattern).
+    """
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            dround(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            dround(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            dround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            dround(F.median("l_quantity"), 2).alias("med_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sort / limit / top-k
+# --------------------------------------------------------------------------
+
+@register(
+    "sort_order_by",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS total, o_orderpriority
+FROM orders
+ORDER BY total DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def sort_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort + limit. Catalyst turns sort+limit into
+    TakeOrderedAndProject: per-partition top-100 then a single merge — no
+    full range-shuffle sort at any scale."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", dround("o_totalprice", 2).alias("total"), "o_orderpriority")
+        .orderBy(F.col("total").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "limit_topk",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 5
+""",
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (unique tiebreak on o_orderkey).
+
+    Scale: one shuffle on the partition key; Spark inserts a per-partition
+    WindowGroupLimit (rank pushdown) so each task keeps only K rows per group
+    before the exchange.
+    """
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey", dround("o_totalprice", 2).alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# set operations
+# --------------------------------------------------------------------------
+
+@register(
+    "set_union",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+""",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics) = unionByName + distinct."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select(F.col("o_custkey").alias("custkey"))
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders via EXCEPT (set difference)."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# --------------------------------------------------------------------------
+# subqueries
+# --------------------------------------------------------------------------
+
+@register(
+    "subquery_scalar",
+    oracle="""
+SELECT o_orderstatus,
+       count(*)                    AS n_big,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+""",
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate — Catalyst plans the inner aggregate
+    once and broadcasts the scalar into the filter (no per-row re-execution)."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*)                    AS n_big,
+               round(sum(o_totalprice), 2) AS sum_total
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+SELECT c_nationkey, count(*) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+""",
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — decorrelated by Catalyst into a left-semi join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("customer")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS n_customers
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# pivot
+# --------------------------------------------------------------------------
+
+@register(
+    "pivot_wide",
+    oracle="""
+SELECT l_returnflag,
+       round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_f,
+       round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide with an explicit value list (explicit list keeps the
+    plan a single pass; omitting it would trigger a distinct-values pre-query)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            dround(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_f"),
+            dround(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_o"),
+        )
+    )

@@ -1,0 +1,87 @@
+"""Ring A — window functions: ranking (row_number/rank/dense_rank/ntile) and
+analytic (lag/lead/running frames).
+
+Scale notes (100 TB): a window = one hash shuffle on the partition key + a
+per-partition sort. Partition keys here (nation, user) are high-cardinality
+relative to cluster size, so work spreads evenly; a window with NO partition
+key (global row_number) would serialize on one task and is deliberately
+absent — global ordering needs are served by sort+limit instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import register
+from ..tables import table
+from .util import dround
+
+
+@register(
+    "window_rank",
+    oracle="""
+SELECT c_nationkey,
+       c_custkey,
+       round(c_acctbal, 2) AS acctbal,
+       row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+       rank()       OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2) DESC)  AS rnk,
+       dense_rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2) DESC)  AS drnk,
+       ntile(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+FROM customer
+""",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family per nation. row_number/ntile carry a unique tiebreak
+    (c_custkey); rank/dense_rank rank on the rounded value so ties are
+    engine-independent."""
+    c = table(spark, sf_dir, "customer")
+    w_unique = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    w_ties = W.partitionBy("c_nationkey").orderBy(dround("c_acctbal", 2).desc())
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        dround("c_acctbal", 2).alias("acctbal"),
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.ntile(4).over(w_unique).alias("quartile"),
+    )
+
+
+@register(
+    "window_analytic",
+    oracle="""
+SELECT event_id,
+       user_id,
+       ts,
+       round(value, 2) AS value,
+       round(lag(value)  OVER w, 2)                    AS prev_value,
+       round(lead(value) OVER w, 2)                    AS next_value,
+       round(sum(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+       round(avg(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + running sum + 3-row moving average per user timeline.
+
+    The total order (ts, event_id) is unique per user, so the sequential
+    floating-point accumulation order is identical in both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        dround("value", 2).alias("value"),
+        dround(F.lag("value").over(w), 2).alias("prev_value"),
+        dround(F.lead("value").over(w), 2).alias("next_value"),
+        dround(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2).alias("running_sum"),
+        dround(F.avg("value").over(w.rowsBetween(-2, W.currentRow)), 4).alias("moving_avg_3"),
+    )

@@ -1,0 +1,51 @@
+"""Replay of the driver's correctness gate: every registered query with an
+oracle runs on Spark AND DuckDB at SF_DIR; results must match exactly
+(order-insensitive, column-name-sorted — see conftest.assert_frames_match).
+
+Queries without an oracle (approx/LSH/stateful) get a rows-run smoke check
+here; their semantic assertions live in their dedicated test modules.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakefs_iceberg_catalog_spark import registry
+
+from .conftest import SF_DIR, assert_frames_match
+
+registry.load_all()
+
+ORACLE_KEYS = sorted(k for k in registry.QUERIES if k in registry.ORACLES)
+ROWS_ONLY_KEYS = sorted(k for k in registry.QUERIES if k not in registry.ORACLES)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_match(spark, duck, name):
+    spark_pdf = registry.QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = duck.sql(registry.ORACLES[name]).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_runs(spark, name):
+    df = registry.QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    out = e.entry(spark)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert "revenue" in out.columns
+
+
+def test_registry_contract():
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 10
