@@ -1,0 +1,27 @@
+from .errors import (
+    CommitConflictError,
+    CommitStateError,
+    MergeConflictError,
+    NamespaceAlreadyExistsError,
+    NamespaceNotEmptyError,
+    NoSuchNamespaceError,
+    NoSuchTableError,
+    PathSandboxError,
+    TableAlreadyExistsError,
+    UnsupportedOperationError,
+)
+from .catalog import VersionedCatalog
+
+__all__ = [
+    "VersionedCatalog",
+    "CommitConflictError",
+    "CommitStateError",
+    "MergeConflictError",
+    "NamespaceAlreadyExistsError",
+    "NamespaceNotEmptyError",
+    "NoSuchNamespaceError",
+    "NoSuchTableError",
+    "PathSandboxError",
+    "TableAlreadyExistsError",
+    "UnsupportedOperationError",
+]

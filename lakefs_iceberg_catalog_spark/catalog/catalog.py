@@ -1,0 +1,447 @@
+"""VersionedCatalog — branch-versioned tables over Parquet, Spark-native.
+
+The Ring B layer (SURVEY.md §2 / §7 Phase 2): the reference's own semantics
+re-expressed as a small driver-side Python library around DataFrame
+reads/writes, exactly as the reference is driver-side JVM code around Iceberg
+reads/writes.
+
+Layout (branch = path prefix, mirroring ``lakefs://repo/ref/db/table``):
+
+    {root}/{repo}/{branch}/{db}[/{db2}...]/{table}/
+        metadata/v{N}.manifest.json   # version chain + hint (manifest.py)
+        data/*.parquet                # data files of snapshots written HERE
+
+Identifiers are ``repo.branch.db[...].table`` — ≥2 namespace levels
+(repository + branch) required, exactly like LakeFSCatalog
+(LakeFSCatalog.java:256-259, 166-168).
+
+Zero-copy branching: manifests record **repo-relative** data paths, so a
+branch's manifest may reference parquet files that physically live under the
+branch it was forked from; only the small metadata JSON is copied at branch
+create (lakeFS shares object versions the same way).
+
+Scale note (100 TB): every operation here is O(metadata) on the driver —
+listing/copying manifest JSON — while data stays put; scans hand Spark a
+pruned file list, appends write only new part files, deletes rewrite only via
+a distributed job. Nothing ever funnels row data through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .errors import (
+    MergeConflictError,
+    NamespaceAlreadyExistsError,
+    NamespaceNotEmptyError,
+    NoSuchNamespaceError,
+    NoSuchTableError,
+    PathSandboxError,
+    TableAlreadyExistsError,
+    UnsupportedOperationError,
+)
+from .manifest import METADATA_DIR, TableManifest, TableOperations, new_manifest
+
+NS_METADATA = "ns_metadata.json"   # namespace marker (LakeFSCatalog.java:50)
+BRANCHES_FILE = ".branches.json"   # per-repo branch bases + commit log
+
+
+def _split(identifier: str | list[str]) -> list[str]:
+    return identifier if isinstance(identifier, list) else identifier.split(".")
+
+
+class VersionedCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    # ---------------------------------------------------------------- paths
+
+    def _repo_dir(self, repo: str) -> str:
+        return os.path.join(self.root, repo)
+
+    def _verify_path(self, repo: str, path: str) -> str:
+        """Sandbox: any resolved path must stay under the repo root
+        (LakeFSFileIO.verifyPath — escape attempts rejected)."""
+        repo_dir = os.path.realpath(self._repo_dir(repo))
+        resolved = os.path.realpath(path)
+        if not (resolved == repo_dir or resolved.startswith(repo_dir + os.sep)):
+            raise PathSandboxError(f"path {path!r} escapes repo {repo!r}")
+        return resolved
+
+    def _ns_dir(self, levels: list[str]) -> str:
+        if len(levels) < 2:
+            raise NoSuchNamespaceError(
+                "Namespace must contain at least repository and branch levels"
+            )
+        return self._verify_path(levels[0], os.path.join(self.root, *levels))
+
+    def _rel(self, repo: str, path: str) -> str:
+        return os.path.relpath(path, self._repo_dir(repo))
+
+    # ----------------------------------------------------------- namespaces
+
+    def create_namespace(self, identifier: str | list[str], properties: dict | None = None) -> None:
+        """mkdir-by-writing the ns marker JSON; fail if it already exists
+        (LakeFSCatalog.java:222-248)."""
+        levels = _split(identifier)
+        d = self._ns_dir(levels)
+        marker = os.path.join(d, NS_METADATA)
+        if os.path.exists(marker):
+            raise NamespaceAlreadyExistsError(".".join(levels))
+        os.makedirs(d, exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump(properties or {}, f)
+
+    def load_namespace_metadata(self, identifier: str | list[str]) -> dict:
+        """Read marker JSON + inject synthesized ``location``
+        (LakeFSCatalog.java:333-357)."""
+        levels = _split(identifier)
+        d = self._ns_dir(levels)
+        marker = os.path.join(d, NS_METADATA)
+        if not os.path.isdir(d):
+            raise NoSuchNamespaceError(".".join(levels))
+        props: dict = {}
+        if os.path.exists(marker):
+            with open(marker) as f:
+                props = json.load(f)
+        props["location"] = d
+        return props
+
+    def list_namespaces(self, identifier: str | list[str] | None = None) -> list[list[str]]:
+        """Children of a ≥2-level namespace that are namespaces (not tables).
+        Top-level listing is unsupported (LakeFSCatalog.java:250-253)."""
+        if identifier is None:
+            raise UnsupportedOperationError(
+                "top-level namespace listing requires repository and branch"
+            )
+        levels = _split(identifier)
+        d = self._ns_dir(levels)
+        if not os.path.isdir(d):
+            raise NoSuchNamespaceError(".".join(levels))
+        out = []
+        for name in sorted(os.listdir(d)):
+            child = os.path.join(d, name)
+            if os.path.isdir(child) and not TableOperations(child).is_table_dir():
+                out.append(levels + [name])
+        return out
+
+    def drop_namespace(self, identifier: str | list[str]) -> None:
+        """Refuse when non-empty — only the marker file may remain
+        (LakeFSCatalog.java:296-319)."""
+        levels = _split(identifier)
+        d = self._ns_dir(levels)
+        if not os.path.isdir(d):
+            raise NoSuchNamespaceError(".".join(levels))
+        leftovers = [n for n in os.listdir(d) if n != NS_METADATA]
+        if leftovers:
+            raise NamespaceNotEmptyError(f"{'.'.join(levels)} still contains {leftovers[:5]}")
+        shutil.rmtree(d)
+
+    def set_namespace_properties(self, identifier, properties) -> None:
+        raise UnsupportedOperationError("namespace property mutation is unsupported")
+
+    def remove_namespace_properties(self, identifier, keys) -> None:
+        raise UnsupportedOperationError("namespace property mutation is unsupported")
+
+    # --------------------------------------------------------------- tables
+
+    def _ops(self, identifier: str | list[str]) -> tuple[TableOperations, list[str]]:
+        levels = _split(identifier)
+        if len(levels) < 4:
+            raise NoSuchTableError(
+                f"table identifier needs repo.branch.db.table, got {'.'.join(levels)}"
+            )
+        return TableOperations(os.path.join(self.root, *levels)), levels
+
+    def list_tables(self, identifier: str | list[str]) -> list[str]:
+        levels = _split(identifier)
+        d = self._ns_dir(levels)
+        if not os.path.isdir(d):
+            raise NoSuchNamespaceError(".".join(levels))
+        out = []
+        for name in sorted(os.listdir(d)):
+            child = os.path.join(d, name)
+            if os.path.isdir(child) and TableOperations(child).is_table_dir():
+                out.append(name)
+        return out
+
+    def table_exists(self, identifier: str | list[str]) -> bool:
+        ops, _ = self._ops(identifier)
+        return ops.is_table_dir()
+
+    def create_table(
+        self,
+        identifier: str | list[str],
+        schema: T.StructType | str,
+        properties: dict | None = None,
+        location: str | None = None,
+    ) -> None:
+        """Create an empty table; the location is always derived from the
+        identifier — a custom location is rejected (LakeFSCatalog.java:400-409)."""
+        if location is not None:
+            raise UnsupportedOperationError("custom table location is not supported")
+        ops, levels = self._ops(identifier)
+        if ops.is_table_dir():
+            raise TableAlreadyExistsError(".".join(levels))
+        st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+        ops.commit(None, new_manifest(st.json(), [], properties))
+
+    def create_table_as(self, identifier: str | list[str], df: DataFrame, properties: dict | None = None) -> None:
+        """CTAS (reference: df.write.saveAsTable — conftest.py:50)."""
+        ops, levels = self._ops(identifier)
+        if ops.is_table_dir():
+            raise TableAlreadyExistsError(".".join(levels))
+        files = self._write_data(levels, df)
+        ops.commit(None, new_manifest(df.schema.json(), files, properties))
+
+    def rename_table(self, src, dst) -> None:
+        raise UnsupportedOperationError("rename is not supported (identity = path)")
+
+    def drop_table(self, identifier: str | list[str], purge: bool = False) -> None:
+        """Remove the table directory; `purge` additionally deletes data files
+        this table owns under other-branch prefixes is NOT done — shared files
+        are left alone, matching zero-copy sharing (LakeFSCatalog.java:185-215)."""
+        ops, levels = self._ops(identifier)
+        if not ops.is_table_dir():
+            raise NoSuchTableError(".".join(levels))
+        shutil.rmtree(ops.table_dir)
+
+    # --------------------------------------------------------------- data IO
+
+    def _write_data(self, levels: list[str], df: DataFrame) -> list[str]:
+        """Write df as parquet part files under the table's data/ dir on THIS
+        branch; return repo-relative paths. The write is a distributed Spark
+        job; only the file rename/move is driver-side."""
+        repo = levels[0]
+        table_dir = os.path.join(self.root, *levels)
+        data_dir = os.path.join(table_dir, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        staging = os.path.join(table_dir, f".staging-{_uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        out = []
+        stamp = _uuid.uuid4().hex[:12]
+        i = 0
+        for name in sorted(os.listdir(staging)):
+            if name.endswith(".parquet"):
+                dst = os.path.join(data_dir, f"{stamp}-{i:05d}.parquet")
+                os.replace(os.path.join(staging, name), dst)
+                out.append(self._rel(repo, dst))
+                i += 1
+        shutil.rmtree(staging)
+        return out
+
+    def _read_files(self, repo: str, manifest: TableManifest) -> DataFrame:
+        schema = T.StructType.fromJson(json.loads(manifest.schema_json))
+        if not manifest.files:
+            return self.spark.createDataFrame([], schema)
+        paths = [self._verify_path(repo, os.path.join(self._repo_dir(repo), f)) for f in manifest.files]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def scan(self, identifier: str | list[str]) -> DataFrame:
+        """Read the table at its current version on the given branch.
+
+        Re-resolves the manifest on every call — no stale caches, the policy
+        the reference pins with ``cache-enabled=false`` (conftest.py:65)."""
+        ops, levels = self._ops(identifier)
+        m = ops.current()
+        if m is None:
+            raise NoSuchTableError(".".join(levels))
+        return self._read_files(levels[0], m)
+
+    def append(self, identifier: str | list[str], df: DataFrame) -> None:
+        """Append snapshot: new data files + manifest listing old∪new
+        (reference: df.writeTo(...).append(), TestLakeFSCatalogSpark.java:76)."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        if df.schema != schema:
+            # positional coercion to the declared schema, the same semantics
+            # as createDataFrame(rows, schema) in the reference fixture
+            aligned = df.select(
+                [F.col(c).cast(f.dataType).alias(f.name) for c, f in zip(df.columns, schema.fields)]
+            )
+        else:
+            aligned = df
+        files = self._write_data(levels, aligned)
+        ops.commit(base, base.next(base.files + files))
+
+    def insert_values(self, identifier: str | list[str], rows: list[tuple]) -> None:
+        """INSERT INTO ... VALUES (test_iceberg.py:48,50) — row coercion to the
+        declared schema matches createDataFrame semantics (conftest.py:27-40)."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        self.append(identifier, self.spark.createDataFrame(rows, schema))
+
+    def delete_where(self, identifier: str | list[str], predicate: str) -> None:
+        """Row-level DELETE via copy-on-write rewrite: keep rows where the
+        predicate is not TRUE (SQL DELETE keeps NULL-predicate rows), write
+        survivors as a fresh snapshot (SURVEY.md §3.3)."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        survivors = self._read_files(levels[0], base).filter(
+            ~F.coalesce(F.expr(f"({predicate})"), F.lit(False))
+        )
+        files = self._write_data(levels, survivors)
+        ops.commit(base, base.next(files))
+
+    # ------------------------------------------------------------- branches
+
+    def _branches_path(self, repo: str) -> str:
+        return os.path.join(self._repo_dir(repo), BRANCHES_FILE)
+
+    def _load_branches(self, repo: str) -> dict:
+        try:
+            with open(self._branches_path(repo)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"branches": {}, "commits": []}
+
+    def _save_branches(self, repo: str, state: dict) -> None:
+        tmp = self._branches_path(repo) + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._branches_path(repo))
+
+    def create_repository(self, repo: str, default_branch: str = "main") -> None:
+        os.makedirs(os.path.join(self._repo_dir(repo), default_branch), exist_ok=True)
+        state = self._load_branches(repo)
+        state["branches"].setdefault(default_branch, {"parent": None, "base": {}})
+        self._save_branches(repo, state)
+
+    def _branch_tables(self, repo: str, branch: str) -> dict[str, int]:
+        """{table path relative to branch dir: current version} for every
+        table under the branch."""
+        branch_dir = os.path.join(self._repo_dir(repo), branch)
+        out: dict[str, int] = {}
+        for dirpath, dirnames, _ in os.walk(branch_dir):
+            ops = TableOperations(dirpath)
+            if ops.is_table_dir():
+                m = ops.current()
+                if m:
+                    out[os.path.relpath(dirpath, branch_dir)] = m.version
+                dirnames.clear()  # don't descend into table internals
+        return out
+
+    def create_branch(self, repo: str, branch: str, from_branch: str) -> None:
+        """Zero-copy branch: replicate the namespace/metadata tree (small
+        JSON only — ns markers + manifest chains); data files stay where they
+        are and remain referenced by repo-relative path
+        (test_iceberg.py:14 repo.branch(...).create(main))."""
+        src_dir = os.path.join(self._repo_dir(repo), from_branch)
+        dst_dir = os.path.join(self._repo_dir(repo), branch)
+        if not os.path.isdir(src_dir):
+            raise NoSuchNamespaceError(f"{repo}.{from_branch}")
+        if os.path.isdir(dst_dir):
+            raise NamespaceAlreadyExistsError(f"{repo}.{branch}")
+        for dirpath, dirnames, filenames in os.walk(src_dir):
+            rel = os.path.relpath(dirpath, src_dir)
+            tgt = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+            os.makedirs(tgt, exist_ok=True)
+            if NS_METADATA in filenames:
+                shutil.copy2(os.path.join(dirpath, NS_METADATA), os.path.join(tgt, NS_METADATA))
+            ops = TableOperations(dirpath)
+            if ops.is_table_dir():
+                shutil.copytree(
+                    os.path.join(dirpath, METADATA_DIR),
+                    os.path.join(tgt, METADATA_DIR),
+                )
+                os.makedirs(os.path.join(tgt, "data"), exist_ok=True)
+                dirnames.clear()
+        state = self._load_branches(repo)
+        state["branches"][branch] = {
+            "parent": from_branch,
+            "base": self._branch_tables(repo, from_branch),
+        }
+        self._save_branches(repo, state)
+
+    def commit_branch(self, repo: str, branch: str, message: str) -> str:
+        """Record the branch's current table versions as a commit (the
+        reference delegates this to the lakeFS client — test_iceberg.py:31)."""
+        state = self._load_branches(repo)
+        cid = _uuid.uuid4().hex[:16]
+        state["commits"].append(
+            {"id": cid, "branch": branch, "message": message,
+             "tables": self._branch_tables(repo, branch)}
+        )
+        self._save_branches(repo, state)
+        return cid
+
+    def _last_commit(self, state: dict, branch: str) -> dict[str, int] | None:
+        for c in reversed(state["commits"]):
+            if c["branch"] == branch:
+                return c["tables"]
+        return None
+
+    def merge(self, repo: str, src_branch: str, dst_branch: str) -> None:
+        """Three-way merge of committed state, per table path:
+
+        - src unchanged since its base → skip
+        - dst still at the base       → fast-forward: copy src's missing
+          manifest versions into dst (metadata only, zero data movement)
+        - both changed                → MergeConflictError (lakeFS semantics)
+
+        Requires src's changes to be committed first (merge moves *committed*
+        state — test_iceberg.py:31-32 commits then merges).
+        """
+        state = self._load_branches(repo)
+        if src_branch not in state["branches"]:
+            raise NoSuchNamespaceError(f"{repo}.{src_branch}")
+        current = self._branch_tables(repo, src_branch)
+        committed = self._last_commit(state, src_branch)
+        if committed is None or committed != current:
+            raise MergeConflictError(
+                f"branch {src_branch!r} has uncommitted changes — commit before merging"
+            )
+        base = state["branches"][src_branch].get("base", {})
+        dst_tables = self._branch_tables(repo, dst_branch)
+        src_dir = os.path.join(self._repo_dir(repo), src_branch)
+        dst_dir = os.path.join(self._repo_dir(repo), dst_branch)
+
+        for tbl, src_v in sorted(current.items()):
+            base_v = base.get(tbl, 0)
+            dst_v = dst_tables.get(tbl, base_v)
+            if src_v == base_v:
+                continue
+            if dst_v != base_v:
+                raise MergeConflictError(
+                    f"{tbl}: changed on both {src_branch} (v{src_v}) and "
+                    f"{dst_branch} (v{dst_v}) since base v{base_v}"
+                )
+            src_meta = os.path.join(src_dir, tbl, METADATA_DIR)
+            dst_meta = os.path.join(dst_dir, tbl, METADATA_DIR)
+            os.makedirs(dst_meta, exist_ok=True)
+            os.makedirs(os.path.join(dst_dir, tbl, "data"), exist_ok=True)
+            for v in range(1, src_v + 1):
+                name = f"v{v}.manifest.json"
+                s, d = os.path.join(src_meta, name), os.path.join(dst_meta, name)
+                if os.path.exists(s) and not os.path.exists(d):
+                    shutil.copy2(s, d)
+            TableOperations(os.path.join(dst_dir, tbl))._write_version_hint(src_v)
+        # advance src's merge base to what both sides now agree on
+        state["branches"][src_branch]["base"] = self._branch_tables(repo, src_branch)
+        self._save_branches(repo, state)
+
+    def diff_equal(self, id_a: str | list[str], id_b: str | list[str]) -> bool:
+        """Branch diff oracle: schema equality + order-insensitive row-set
+        equality via two-sided exceptAll (the reference's own oracle is
+        set(collect()) equality — test_iceberg.py:17-18)."""
+        a, b = self.scan(id_a), self.scan(id_b)
+        if [f.simpleString() for f in a.schema.fields] != [f.simpleString() for f in b.schema.fields]:
+            return False
+        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

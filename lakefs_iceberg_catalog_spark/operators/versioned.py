@@ -1,0 +1,229 @@
+"""Ring B exposed as driver-checkable queries — each `[exercised]` key from
+SURVEY.md §2.2 (DDL/DML/branch semantics) runs its scenario end-to-end in a
+throwaway warehouse and returns the resulting table state; the DuckDB oracle
+is the expected literal state (VALUES) or an equivalent query over the shared
+testdata.
+
+The scenarios replay the reference's own E2E workload (workers fixture,
+tests/conftest.py:27-52 + tests/test_iceberg.py) through VersionedCatalog.
+Results are materialized before the warehouse is deleted (tiny fixture
+tables; the driver collects them anyway).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..catalog import VersionedCatalog
+from ..registry import register
+from ..tables import table
+
+WORKERS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), True),
+        T.StructField("firstname", T.StringType(), True),
+        T.StructField("lastname", T.StringType(), True),
+        T.StructField("age", T.IntegerType(), True),
+        T.StructField("gender", T.StringType(), True),
+    ]
+)
+WORKERS_ROWS = [
+    ("1", "James", "Smith", 32, "M"),
+    ("2", "Michael", "Rose", 35, "M"),
+    ("3", "Robert", "Williams", 41, "M"),
+    ("4", "Maria", "Jones", 36, "F"),
+    ("5", "Jen", "Brown", 44, "F"),
+    ("6", "Monika", "Geller", 31, "F"),
+]
+
+_WORKERS_VALUES = """
+(VALUES
+  ('1', 'James',   'Smith',    32, 'M'),
+  ('2', 'Michael', 'Rose',     35, 'M'),
+  ('3', 'Robert',  'Williams', 41, 'M'),
+  ('4', 'Maria',   'Jones',    36, 'F'),
+  ('5', 'Jen',     'Brown',    44, 'F'),
+  ('6', 'Monika',  'Geller',   31, 'F')
+) AS t(id, firstname, lastname, age, gender)
+"""
+
+
+def _seeded(spark: SparkSession):
+    """Fresh warehouse + repo with the workers table committed on main."""
+    root = tempfile.mkdtemp(prefix="vcat-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.company")
+    cat.create_table_as(
+        "repo.main.company.workers", spark.createDataFrame(WORKERS_ROWS, WORKERS_SCHEMA)
+    )
+    cat.commit_branch("repo", "main", "seed")
+    return cat, root
+
+
+def _materialize(spark: SparkSession, df: DataFrame, root: str) -> DataFrame:
+    rows, schema = df.collect(), df.schema
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "source_rows",
+    oracle=f"SELECT * FROM {_WORKERS_VALUES}",
+)
+def source_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory rows → DataFrame with declared schema, including the
+    reference's int→string id coercion (conftest.py:27-41)."""
+    raw = [
+        (1, "James", "Smith", 32, "M"), (2, "Michael", "Rose", 35, "M"),
+        (3, "Robert", "Williams", 41, "M"), (4, "Maria", "Jones", 36, "F"),
+        (5, "Jen", "Brown", 44, "F"), (6, "Monika", "Geller", 31, "F"),
+    ]
+    return spark.createDataFrame([(str(i), fn, ln, a, g) for i, fn, ln, a, g in raw], WORKERS_SCHEMA)
+
+
+@register(
+    "sink_create_table_as",
+    oracle="SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0",
+)
+def sink_create_table_as(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS (conftest.py:50 saveAsTable): write a filtered read of testdata
+    into the versioned catalog, read it back from the catalog."""
+    root = tempfile.mkdtemp(prefix="vcat-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    src = table(spark, sf_dir, "nation").filter("n_regionkey = 0").select("n_nationkey", "n_name")
+    cat.create_table_as("repo.main.db.nations_r0", src)
+    return _materialize(spark, cat.scan("repo.main.db.nations_r0"), root)
+
+
+@register(
+    "ddl_create_table",
+    oracle="SELECT CAST(10 AS INT) AS val",
+)
+def ddl_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-schema CREATE TABLE + append of one row (the Java E2E table:
+    `val int`, appended (10) — TestLakeFSCatalogSpark.java:67-76)."""
+    root = tempfile.mkdtemp(prefix="vcat-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    cat.create_table("repo.main.db.mytable", "val int")
+    cat.insert_values("repo.main.db.mytable", [(10,)])
+    return _materialize(spark, cat.scan("repo.main.db.mytable"), root)
+
+
+@register(
+    "sink_append",
+    oracle=f"""
+SELECT * FROM {_WORKERS_VALUES}
+UNION ALL
+SELECT '7', 'Jhon', 'Smith', 33, 'M'
+""",
+)
+def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append snapshot (df.writeTo(...).append() semantics)."""
+    cat, root = _seeded(spark)
+    cat.append(
+        "repo.main.company.workers",
+        spark.createDataFrame([("7", "Jhon", "Smith", 33, "M")], WORKERS_SCHEMA),
+    )
+    return _materialize(spark, cat.scan("repo.main.company.workers"), root)
+
+
+@register(
+    "dml_insert_values",
+    oracle=f"""
+SELECT * FROM {_WORKERS_VALUES}
+UNION ALL SELECT '7', 'Jhon', 'Smith', 33, 'M'
+UNION ALL SELECT '8', 'Marta', 'Green', 31, 'F'
+""",
+)
+def dml_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO ... VALUES (test_iceberg.py:48,50)."""
+    cat, root = _seeded(spark)
+    cat.insert_values("repo.main.company.workers", [("7", "Jhon", "Smith", 33, "M")])
+    cat.insert_values("repo.main.company.workers", [("8", "Marta", "Green", 31, "F")])
+    return _materialize(spark, cat.scan("repo.main.company.workers"), root)
+
+
+@register(
+    "dml_delete_where",
+    oracle=f"SELECT * FROM {_WORKERS_VALUES} WHERE NOT (age > 35)",
+)
+def dml_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE WHERE via copy-on-write snapshot rewrite
+    (test_iceberg.py:30; SURVEY.md §3.3)."""
+    cat, root = _seeded(spark)
+    cat.delete_where("repo.main.company.workers", "age > 35")
+    return _materialize(spark, cat.scan("repo.main.company.workers"), root)
+
+
+@register(
+    "branch_diff_equal",
+    oracle="SELECT 6 AS main_rows, 6 AS branch_rows, CAST(1 AS BOOLEAN) AS in_sync",
+)
+def branch_diff_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy branch create + two-sided diff equality
+    (test_iceberg.py:9-21)."""
+    cat, root = _seeded(spark)
+    cat.create_branch("repo", "b1", "main")
+    a = cat.scan("repo.main.company.workers")
+    b = cat.scan("repo.b1.company.workers")
+    eq = cat.diff_equal("repo.main.company.workers", "repo.b1.company.workers")
+    out = spark.createDataFrame(
+        [(a.count(), b.count(), eq)],
+        "main_rows long, branch_rows long, in_sync boolean",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "branch_merge",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1', 'James',   'Smith',    32, 'M'),
+  ('2', 'Michael', 'Rose',     35, 'M'),
+  ('3', 'Robert',  'Williams', 41, 'M'),
+  ('7', 'Jhon',    'Smith',    33, 'M'),
+  ('8', 'Marta',   'Green',    31, 'F')
+) AS t(id, firstname, lastname, age, gender)
+""",
+)
+def branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference workload (test_iceberg.py:39-57): branch, mixed
+    delete+inserts, commit, merge back, read merged parent state."""
+    cat, root = _seeded(spark)
+    cat.create_branch("repo", "dev", "main")
+    cat.delete_where("repo.dev.company.workers", "id IN ('4', '5', '6')")
+    cat.insert_values("repo.dev.company.workers", [("7", "Jhon", "Smith", 33, "M")])
+    cat.insert_values("repo.dev.company.workers", [("8", "Marta", "Green", 31, "F")])
+    cat.commit_branch("repo", "dev", "reshape")
+    cat.merge("repo", "dev", "main")
+    return _materialize(spark, cat.scan("repo.main.company.workers"), root)
+
+
+@register(
+    "ddl_schema_crud",
+    oracle="""
+SELECT * FROM (VALUES ('company'), ('hr')) AS t(namespace)
+""",
+)
+def ddl_schema_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE/LIST/DESCRIBE/DROP SCHEMA lifecycle
+    (TestLakeFSCatalogSpark.java:60-96): create two, drop a third, list."""
+    cat, root = _seeded(spark)
+    cat.create_namespace("repo.main.hr", {"owner": "people-team"})
+    cat.create_namespace("repo.main.scratch")
+    cat.drop_namespace("repo.main.scratch")
+    assert cat.load_namespace_metadata("repo.main.hr")["owner"] == "people-team"
+    names = [lv[-1] for lv in cat.list_namespaces("repo.main")]
+    out = spark.createDataFrame([(n,) for n in names], "namespace string")
+    shutil.rmtree(root, ignore_errors=True)
+    return out
