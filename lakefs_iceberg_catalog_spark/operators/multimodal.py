@@ -1,0 +1,141 @@
+"""Ring C — multimodal column plumbing (BASELINE.json north-star).
+
+Images/audio/video are carried as opaque `binary` columns with a typed
+metadata struct; decode / feature-extract runs as Arrow-batched
+`mapInPandas`. The real media codecs are NOT in this container, so the
+decode step is a deterministic fake wired exactly like the real one
+(same schema, same batch shape, same partitioning) — swap `_fake_decode`
+for a PIL/ffmpeg call and nothing else changes. See
+`multimodal_decode_real` for the guarded real-codec entry point.
+
+Scale notes (100 TB):
+- Binary payloads ride the columnar scan; the decode stage is per-partition
+  streaming (mapInPandas iterator — never materializes a partition), which
+  is the standard shape for TB-scale media featurization.
+- Frame sampling emits offsets, not frames: the expensive explode only
+  happens after the sampling decision, on a bounded list.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+_DECODE_SCHEMA = (
+    "doc_id long, media_format string, n_bytes long, width int, height int, "
+    "n_frames int, frame_offsets array<long>"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Deterministic stand-in for a media decoder: dimensions/frames derived
+    from the byte length only (so the DuckDB oracle can reproduce them).
+    A real decoder replaces this function body alone."""
+    n = len(payload)
+    width = n % 640 + 1
+    height = (n * 7) % 480 + 1
+    n_frames = n % 10 + 1
+    offsets = [i * (n // n_frames) for i in range(n_frames)]
+    return width, height, n_frames, offsets
+
+
+def _decode_batches(batches):
+    for pdf in batches:
+        cols = {"doc_id": pdf["doc_id"], "media_format": pdf["media_format"]}
+        decoded = [_fake_decode(b) for b in pdf["payload"]]
+        cols["n_bytes"] = [len(b) for b in pdf["payload"]]
+        cols["width"] = [d[0] for d in decoded]
+        cols["height"] = [d[1] for d in decoded]
+        cols["n_frames"] = [d[2] for d in decoded]
+        cols["frame_offsets"] = [d[3] for d in decoded]
+        yield pd.DataFrame(cols)
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+WITH m AS (
+    SELECT doc_id,
+           'fake/txt' AS media_format,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+)
+SELECT doc_id, media_format, n_bytes,
+       CAST(n_bytes % 640 + 1 AS INT)       AS width,
+       CAST((n_bytes * 7) % 480 + 1 AS INT) AS height,
+       CAST(n_bytes % 10 + 1 AS INT)        AS n_frames
+FROM m
+""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline: pack text bytes as the opaque payload
+    (documents stand in for media blobs), attach typed metadata, decode via
+    Arrow-batched mapInPandas, return scalar features.
+
+    The oracle replays the deterministic fake on byte length — it validates
+    that the payload bytes survive the binary column round-trip and that the
+    UDF batch plumbing computes on the real payload."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit("fake/txt").alias("media_format"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    decoded = d.mapInPandas(_decode_batches, _DECODE_SCHEMA)
+    # frame_offsets is exercised by multimodal_frame_sample; scalars here
+    return decoded.select("doc_id", "media_format", "n_bytes", "width", "height", "n_frames")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH m AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(n_bytes % 10 + 1 AS INT) AS n_frames
+    FROM documents
+    WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(unnest(range(0, n_frames)) AS INT)            AS frame_idx,
+       unnest(list_transform(range(0, n_frames),
+              i -> i * (n_bytes // n_frames)))            AS byte_offset
+FROM m
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: decode yields a bounded offsets list per blob; explode
+    only that list into (doc_id, frame_idx, byte_offset) rows — the sampled
+    frames a downstream vision featurizer would fetch."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.lit("fake/txt").alias("media_format"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    decoded = d.mapInPandas(_decode_batches, _DECODE_SCHEMA)
+    return decoded.select(
+        "doc_id", F.posexplode("frame_offsets").alias("frame_idx", "byte_offset")
+    )
+
+
+def decode_image_real(payload: bytes):  # pragma: no cover - codec not in container
+    """Real-codec decode, gated on library availability (the container has no
+    media libs). The Spark-side wiring (schema, batch shape, partitioning)
+    is identical to `multimodal_decode` — only this function changes."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "multimodal_decode uses the deterministic fake instead"
+        ) from e
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    return img.width, img.height, 1, [0]

@@ -1,0 +1,205 @@
+"""Ring C — similarity search over `embeddings.embedding` (array<float>):
+brute-force cosine top-k as the exact baseline, and a hyperplane-LSH
+bucketed variant as the scale path.
+
+Scale notes (100 TB):
+- Brute force is O(queries × corpus): correct as the small-query-set oracle
+  (queries broadcast, corpus streamed, per-partition top-k then merge via
+  the rank window). At cluster scale the corpus side never shuffles.
+- LSH ANN: each vector is sign-hashed against h shared random hyperplanes →
+  bucket key; query joins only its bucket (equi-join on the key — the same
+  output-sized-join property as the MinHash band join). Recall measured in
+  tests against the brute-force baseline; multi-probe (flip one bit) would
+  raise recall at 2× candidate cost.
+- Dot products run as JVM higher-order folds over the arrays (no Python, no
+  explode). A Pandas-UDF BLAS path only wins once vectors are ≥~1k dims.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import register
+from ..tables import table
+from .util import dround
+
+_N_QUERIES = 8     # query set: vec_id < 8
+_TOP_K = 5
+_N_TABLES = 3      # OR-amplification: union of candidates over tables
+_PLANES_PER_TABLE = 4
+_PLANE_SEED = 42
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sqnorm(a):
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+
+
+_COSINE_ORACLE_EXPR = """
+list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+/ (sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+ * sqrt(list_aggregate(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+"""
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+WITH sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+           {_COSINE_ORACLE_EXPR} AS cos
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, neighbor_label, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM sims
+)
+SELECT query_id, neighbor_id, neighbor_label, rnk, round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= {_TOP_K}
+""",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for a query set: broadcast the queries,
+    stream the corpus, rank per query with a deterministic tiebreak.
+
+    Dot product and norms are sequential double folds — the same arithmetic
+    order as the DuckDB oracle's list_aggregate sums, so cosines agree
+    bitwise before rounding."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            (_dot(F.col("q_emb"), F.col("c_emb"))
+             / (F.sqrt(_sqnorm(F.col("q_emb"))) * F.sqrt(_sqnorm(F.col("c_emb"))))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "rnk", dround("cos", 6).alias("cosine"))
+    )
+
+
+def _planes() -> list[list[list[float]]]:
+    rng = np.random.default_rng(_PLANE_SEED)
+    return rng.standard_normal((_N_TABLES, _PLANES_PER_TABLE, 64)).tolist()
+
+
+@register("similarity_ann_lsh")  # approximate — recall asserted in tests, no SQL oracle
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH: 3 hash
+    tables × 4 seeded planes; each vector gets one sign-bit bucket key per
+    table, a query meets the union of its buckets' members (equi-join on
+    (table, key) — OR-amplification lifts recall the way MinHash bands do),
+    then exact cosine + rank inside the candidate set.
+
+    Planes are generated from a fixed seed on the driver and embedded as
+    literal array columns — every executor hashes identically, and reruns
+    are deterministic. Recall vs the brute-force baseline and the candidate
+    cost reduction are asserted in tests/test_ringc.py."""
+    e = table(spark, sf_dir, "embeddings")
+    bucketed = None
+    for ti, tbl_planes in enumerate(_planes()):
+        planes = F.array(*[F.array(*[F.lit(float(v)) for v in p]) for p in tbl_planes])
+        part = e.select(
+            "vec_id",
+            "embedding",
+            F.lit(ti).alias("tbl"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    planes, lambda p: F.when(_dot(p, F.col("embedding")) >= 0, "1").otherwise("0")
+                ),
+            ).alias("bucket"),
+        )
+        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "tbl", "bucket"
+    )
+    cands = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "tbl", "bucket"
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(cands, ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union over tables
+    )
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("q_emb"), F.col("c_emb"))
+         / (F.sqrt(_sqnorm(F.col("q_emb"))) * F.sqrt(_sqnorm(F.col("c_emb"))))).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rnk", dround("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "similarity_pairs_blocked",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       round(
+         list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+          * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+      / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) >= 0.35
+""",
+)
+def similarity_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within a blocking key (label): the
+    embedding-cosine dedup pattern. Block equi-join bounds the pair count;
+    at 100 TB the block key comes from coarse quantization (IVF centroid),
+    not a label column."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("emb_b"))
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = (
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / (F.sqrt(_sqnorm(F.col("emb_a"))) * F.sqrt(_sqnorm(F.col("emb_b"))))
+    )
+    return (
+        pairs.select("vec_a", "vec_b", "label", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.35)
+        .select("vec_a", "vec_b", "label", dround("cos", 6).alias("cosine"))
+    )

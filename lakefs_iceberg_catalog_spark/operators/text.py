@@ -1,0 +1,170 @@
+"""Ring C — text analysis over the `documents` table (BASELINE.json
+north-star: language-ID, quality scoring, token counting, fingerprinting).
+
+All operators are pure built-in expression pipelines (split / higher-order
+array functions / windows) — no Python in the hot path.
+
+Scale notes (100 TB):
+- Everything here is embarrassingly parallel per document until the final
+  small aggregate; no operator shuffles row data except the per-doc→per-lang
+  rollups (low-cardinality keys, partial agg).
+- The fingerprint operator does explode to one row per token; at 100 TB that
+  is the standard winnowing trade-off — the output (distinct window-minima
+  per doc) collapses right back in the same stage via partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import register
+from ..tables import table
+from .util import dround
+
+def _words():
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "text_stats",
+    oracle="""
+WITH d AS (
+    SELECT lang, n_chars,
+           len(string_split(text, ' ')) AS n_words
+    FROM documents
+)
+SELECT lang,
+       count(*)                                   AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)               AS total_chars,
+       round(avg(n_words), 4)                     AS avg_words,
+       max(n_words)                               AS max_words,
+       round(avg(CAST(n_chars AS DOUBLE) / n_words), 4) AS avg_word_len
+FROM d
+GROUP BY lang
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality/shape stats: doc counts, char volume, word
+    counts, average word length — the building blocks of quality filters."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang", "n_chars", F.size(_words()).alias("n_words")
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        dround(F.avg("n_words"), 4).alias("avg_words"),
+        F.max("n_words").alias("max_words"),
+        dround(F.avg(F.col("n_chars").cast("double") / F.col("n_words")), 4).alias("avg_word_len"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, lang,
+           len(list_filter(string_split(text,' '), x -> x IN ('the','data','row')))   AS s_en,
+           len(list_filter(string_split(text,' '), x -> x IN ('scan','query','hash')))AS s_es,
+           len(list_filter(string_split(text,' '), x -> x IN ('join','group','sort')))AS s_de
+    FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+            WHEN s_es >= s_de THEN 'es'
+            ELSE 'de' END AS pred_lang,
+       s_en, s_es, s_de
+FROM scored
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword-score language-ID heuristic: count marker tokens per
+    candidate language, argmax with a deterministic tie order.
+
+    (The marker lists are tuned to the synthetic vocabulary; the *shape* —
+    token-set scoring, no model, argmax with fixed tie-break — is the real
+    operator, identical to fastText-free langid at ingest scale.)
+    """
+    d = table(spark, sf_dir, "documents")
+    def score(words):  # tokens matching a marker set, counted with dups
+        return F.size(F.filter(_words(), lambda x: x.isin(*words)))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        score(["the", "data", "row"]).alias("s_en"),
+        score(["scan", "query", "hash"]).alias("s_es"),
+        score(["join", "group", "sort"]).alias("s_de"),
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        F.when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")), "en")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+        .alias("pred_lang"),
+        "s_en",
+        "s_es",
+        "s_de",
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' '))                       AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+       CAST(ceil(n_chars / 4.0) AS BIGINT)                AS est_tokens_len4
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex segments
+    (letter runs / digit runs / single punctuation), and the chars/4
+    rule-of-thumb — the standard trio for corpus budgeting."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_words()).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias("bpe_ish_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).alias("est_tokens_len4"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+pos AS (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS p FROM d),
+tok AS (SELECT doc_id, p, md5(w[p]) AS h FROM pos),
+win AS (SELECT doc_id, p,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin
+        FROM tok)
+SELECT doc_id,
+       count(DISTINCT wmin) AS fp_size,
+       min(wmin)            AS fp_min
+FROM win
+WHERE p >= 5
+GROUP BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint: rolling window (w=5) over token
+    hashes, keep each window's minimum — the classic local fingerprinting
+    scheme (Schleimer et al., SIGMOD'03). Output: fingerprint cardinality +
+    lexicographic min hash per doc.
+
+    md5 is the cross-engine-deterministic token hash (a rolling Rabin hash
+    would be cheaper but has no DuckDB twin for the oracle)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(_words()).alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), F.md5(F.encode("word", "UTF-8")).alias("h"))
+    w = W.partitionBy("doc_id").orderBy("p").rowsBetween(-4, W.currentRow)
+    win = tok.withColumn("wmin", F.min("h").over(w)).filter(F.col("p") >= 5)
+    return win.groupBy("doc_id").agg(
+        F.countDistinct("wmin").alias("fp_size"),
+        F.min("wmin").alias("fp_min"),
+    )

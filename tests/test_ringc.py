@@ -1,0 +1,78 @@
+"""Semantic assertions for Ring C operators beyond the oracle hash-match:
+LSH recall vs brute force, simhash determinism + near-dup property, minhash
+finding the known near-duplicate, approx-distinct accuracy."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakefs_iceberg_catalog_spark import registry
+
+from .conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_minhash_finds_known_neardup(spark):
+    """sf0.01 documents contain at least one true near-dup pair (J≈0.97);
+    the LSH pipeline must surface it."""
+    out = registry.QUERIES["dedup_near_minhash"](spark, SF_DIR).collect()
+    assert len(out) >= 1
+    assert all(r.jaccard >= 0.5 for r in out)
+    assert max(r.jaccard for r in out) > 0.9
+
+
+def test_simhash_deterministic_and_neardup_close(spark):
+    q = registry.QUERIES["dedup_simhash"]
+    a = {r.doc_id: r.simhash for r in q(spark, SF_DIR).collect()}
+    b = {r.doc_id: r.simhash for r in q(spark, SF_DIR).collect()}
+    assert a == b  # bit-for-bit deterministic across runs
+    # the known near-dup pair should be close in Hamming distance, and much
+    # closer than a random pair
+    pairs = registry.QUERIES["dedup_near_minhash"](spark, SF_DIR).collect()
+    da, db = pairs[0].doc_a, pairs[0].doc_b
+    ham_dup = bin(a[da] ^ a[db]).count("1")
+    ids = sorted(a)
+    ham_rand = bin(a[ids[0]] ^ a[ids[len(ids) // 2]]).count("1")
+    assert ham_dup <= 16
+    assert ham_dup < ham_rand
+
+
+def test_ann_lsh_recall(spark):
+    """Bucketed ANN must recover a reasonable fraction of the brute-force
+    top-5 (12 hyperplanes on 64-dim random data — recall is modest by
+    design; the assert is a floor, not a target)."""
+    exact = registry.QUERIES["similarity_topk"](spark, SF_DIR).collect()
+    approx = registry.QUERIES["similarity_ann_lsh"](spark, SF_DIR).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(got) > 0
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.05, f"recall collapsed: {recall}"
+    # every approx hit must be a genuine corpus vector with correct cosine
+    # ordering per query (rank monotone in cosine)
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.cosine))
+    for q, rows in by_q.items():
+        rows.sort()
+        cos = [c for _, c in rows]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_approx_distinct_accuracy(spark):
+    rows = registry.QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
+    exact = {
+        r.l_returnflag: r.n_parts
+        for r in registry.QUERIES["agg_distinct"](spark, SF_DIR).collect()
+    }
+    for r in rows:
+        err = abs(r.approx_parts - exact[r.l_returnflag]) / exact[r.l_returnflag]
+        assert err < 0.1, f"{r.l_returnflag}: {err}"
+
+
+def test_multimodal_real_codec_gated():
+    from lakefs_iceberg_catalog_spark.operators.multimodal import decode_image_real
+
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG fake")
