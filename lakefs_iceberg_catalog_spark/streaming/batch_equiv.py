@@ -1,0 +1,205 @@
+"""Streaming surface exposed as driver-checkable queries (SURVEY.md §2.2
+stream_* keys).
+
+Window-function keys (tumbling/sliding/session) run the SAME window
+expressions in batch mode — Spark's window()/session_window() are
+mode-agnostic, so the batch result IS the streaming semantics on a closed
+input, and DuckDB can replay them via time_bucket / gap-sessionization.
+
+The genuinely streaming keys (watermark late-data, dedup, stateful) run a
+real readStream→memory-sink query inside the callable; their oracles encode
+the deterministic closed-input outcome (e.g. append-mode emits exactly the
+windows finalized by the final watermark = max(ts) - delay).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.util import dround
+from ..registry import register
+from ..tables import table
+from .core import run_events_stream
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       event_type,
+       count(*)              AS n,
+       round(sum(value), 2)  AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (10 min) per event type. window() is the
+    same expression streaming uses; on a closed input batch==streaming-final.
+    State at scale: one row per (window, type), dropped at watermark."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+WITH slid AS (
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type, value FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type, value FROM events
+)
+SELECT ws AS window_start, event_type,
+       count(*)             AS n,
+       round(sum(value), 2) AS total_value
+FROM slid
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min length, 5 min slide): every event lands in
+    exactly 2 epoch-aligned windows — the oracle replays that as a 2-way
+    shifted-bucket union."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+WITH o AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts, value,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT user_id,
+       min(ts)              AS session_start,
+       count(*)             AS n_events,
+       round(max(value), 2) AS max_value
+FROM s
+GROUP BY user_id, sid
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (30 min gap) per user — session_window() merges events
+    whose gap ≤ 30 min; the oracle sessionizes via lag+gap+cumsum, the
+    batch-SQL dual of the same semantics. State at scale: one open session
+    per active user, closed by watermark."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dround(F.max("value"), 2).alias("max_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "max_value")
+    )
+
+
+@register(
+    "stream_watermark_late_data",
+    oracle="""
+WITH agg AS (
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT window_start, event_type, n
+FROM agg
+WHERE window_start + INTERVAL '10 minutes'
+      <= (SELECT max(ts) FROM events) - INTERVAL '10 minutes'
+""",
+)
+def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run: tumbling aggregation with a 10-min watermark in
+    append mode. Append emits a window only once the watermark passes its
+    end, so on a closed input the result is exactly the windows with
+    end ≤ max(ts) − 10 min — which is what the oracle states. The trailing
+    (unfinalized) window is correctly withheld: that's the late-data
+    semantics under test."""
+    def xform(s):
+        return (
+            s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        )
+
+    return run_events_stream(spark, sf_dir, xform, mode="append")
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run: dropDuplicates on (user_id, event_type) — emits
+    each key's first arrival; projecting the key columns makes the result
+    the distinct key set. At scale the watermarked variant
+    (dropDuplicatesWithinWatermark) bounds the state to the horizon."""
+    def xform(s):
+        return s.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+
+    return run_events_stream(spark, sf_dir, xform, mode="append")
+
+
+@register(
+    "stream_stateful",
+    oracle="""
+SELECT user_id,
+       count(*)             AS n_events,
+       round(max(value), 2) AS max_value,
+       round(min(value), 2) AS min_value
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run: custom per-user state machine via
+    applyInPandasWithState (count + running max/min), emitting the updated
+    totals at each trigger. On the single-batch closed input the emitted
+    state equals the full per-user aggregate — the oracle. max/min are
+    order-free so the state is engine-exact."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        n, mx, mn = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            bmx, bmn = float(pdf["value"].max()), float(pdf["value"].min())
+            mx = bmx if mx is None else max(mx, bmx)
+            mn = bmn if mn is None else min(mn, bmn)
+        state.update((n, mx, mn))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [round(mx, 2)], "min_value": [round(mn, 2)]}
+        )
+
+    def xform(s):
+        return s.groupBy("user_id").applyInPandasWithState(
+            fn,
+            "user_id long, n_events long, max_value double, min_value double",
+            "n long, mx double, mn double",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+
+    return run_events_stream(spark, sf_dir, xform, mode="append")
