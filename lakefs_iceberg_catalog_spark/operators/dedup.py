@@ -38,27 +38,56 @@ _MINHASH_THETA = 0.5
 _SAME_SOURCE_THETA = 0.3
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, source, sh: distinct word-3-gram shingle set per doc."""
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, shingle) distinct word-3-gram rows.
+
+    Exploded-row form rather than per-doc arrays: Spark's higher-order array
+    lambdas (transform/aggregate) are interpreted, not codegen'd — building
+    shingles via posexplode + lead windows keeps the whole pipeline inside
+    WholeStageCodegen, and at 100 TB rows shuffle/spill incrementally where
+    giant array cells do not."""
     d = table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - _SHINGLE_N),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + k + 1) for k in range(_SHINGLE_N)]
-            ),
+    # local testdata is one parquet file → one input partition; spread the
+    # work. On a real corpus the scan yields many splits already.
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tok = d.select("doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w0"))
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        tok.withColumn("w1", F.lead("w0", 1).over(w))
+        .withColumn("w2", F.lead("w0", 2).over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "source", F.concat_ws(" ", "w0", "w1", "w2").alias("shingle"))
+        .distinct()
+    )
+
+
+def _pair_jaccard(cand: DataFrame, rows: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via a shingle-level
+    join: |A∩B| = matched shingle rows per pair, sizes from per-doc counts.
+    Pairs with empty intersection drop out of the join — they have J=0 and
+    are below any threshold by construction."""
+    cnt = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ra = rows.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    rb = rows.select(F.col("doc_id").alias("doc_b_r"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(ra, "doc_a")
+        .join(rb, (F.col("doc_b") == F.col("doc_b_r")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias("j"),
         )
     )
-    return (
-        d.filter(F.size(words) >= _SHINGLE_N)
-        .select("doc_id", "source", sh.alias("sh"))
-    )
-
-
-def _jaccard(sh_a, sh_b):
-    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
-    return inter / (F.size(sh_a) + F.size(sh_b) - F.size(F.array_intersect(sh_a, sh_b)))
 
 
 _ORACLE_SHINGLES = f"""
@@ -125,44 +154,56 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation-min, is engine-independent, and needs no fitted model
     (unlike MLlib's MinHashLSH whose random coefficients the oracle could
     not replay)."""
-    s = _shingled(spark, sf_dir)
-    m = s.select(
-        "doc_id",
-        "sh",
+    # The shingle rows feed the signature aggregation AND both sides of the
+    # verify join — persist once or Spark recomputes the tokenize+distinct
+    # pipeline per branch. At cluster scale this is persist(MEMORY_AND_DISK)
+    # of a shingles table.
+    rows = _shingle_rows(spark, sf_dir).persist()
+    # signatures: one codegen'd pass over the rows (md5 × seeds), partial
+    # min-agg before the per-doc shuffle
+    m = rows.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform("sh", lambda x, s_=seed: F.md5(F.concat(F.lit(f"{s_}|"), x)))
-            ).alias(f"h{seed}")
+            F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))).alias(f"h{seed}")
             for seed in _SEEDS
-        ],
+        ]
     )
-    bands = None
-    for bi, (a, b) in enumerate(_BANDS):
-        part = m.select(
-            "doc_id", F.lit(bi).alias("band"), F.concat(f"h{a}", f"h{b}").alias("key")
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    left = bands.alias("l")
-    right = bands.alias("r")
+    # one pass: explode the band structs instead of a 4-way union (which
+    # would re-derive the signatures per branch)
+    bands = m.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"), F.concat(f"h{a}", f"h{b}").alias("key")
+                    )
+                    for bi, (a, b) in enumerate(_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).persist()
+    # Self-join with RENAMED right side: alias-only self-joins can resolve
+    # both sides to the same attribute ids, silently dropping the equality
+    # conjuncts and degenerating to a nested-loop cross join (measured 213s
+    # vs <1s at sf0.1). Disjoint column names force the hash join on
+    # (band, key).
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_r"), F.col("key").alias("key_r")
+    )
     cand = (
-        left.join(
+        bands.join(
             right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            (F.col("band") == F.col("band_r"))
+            & (F.col("key") == F.col("key_r"))
+            & (F.col("doc_id") < F.col("doc_b")),
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
-    )
-    return verified.filter(F.col("j") >= _MINHASH_THETA).select(
-        "doc_a", "doc_b", dround("j", 6).alias("jaccard")
+    return (
+        _pair_jaccard(cand, rows)
+        .filter(F.col("j") >= _MINHASH_THETA)
+        .select("doc_a", "doc_b", dround("j", 6).alias("jaccard"))
     )
 
 
@@ -183,12 +224,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked-all-pairs pattern. The block join is an equi-join on source (one
     shuffle); pair count is Σ C(block,2), which is why at 100 TB the block
     must stay bounded (or be replaced by LSH candidates — previous op)."""
-    s = _shingled(spark, sf_dir)
-    a = s.select(F.col("doc_id").alias("doc_a"), F.col("source"), F.col("sh").alias("sh_a"))
-    b = s.select(F.col("doc_id").alias("doc_b"), F.col("source"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, "source").filter(F.col("doc_a") < F.col("doc_b"))
+    rows = _shingle_rows(spark, sf_dir).persist()
+    # One join does both candidate generation AND |A∩B|: docs sharing ≥1
+    # shingle within the source block meet on (source, shingle), and the
+    # per-pair row count IS the intersection size. Zero-overlap pairs have
+    # J=0 < θ and are correctly absent; the all-pairs cross product never
+    # materializes.
+    ra = rows.select(F.col("doc_id").alias("doc_a"), "source", F.col("shingle").alias("sh_a"))
+    rb = rows.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_r"), F.col("shingle").alias("sh_b")
+    )
+    inter = (
+        ra.join(
+            rb,
+            (F.col("source") == F.col("source_r"))
+            & (F.col("sh_a") == F.col("sh_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b", "source")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    cnt = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        pairs.select("doc_a", "doc_b", "source", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "source",
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias("j"),
+        )
         .filter(F.col("j") >= _SAME_SOURCE_THETA)
         .select("doc_a", "doc_b", "source", dround("j", 6).alias("jaccard"))
     )
