@@ -80,13 +80,20 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     order as the DuckDB oracle's list_aggregate sums, so cosines agree
     bitwise before rounding."""
     e = table(spark, sf_dir, "embeddings")
+    # Precompute each vector's norm ONCE (array folds are interpreted, not
+    # codegen'd — per-pair norm recomputation tripled the fold work); the
+    # per-pair arithmetic stays dot / (q_norm * c_norm), bitwise identical
+    # to the oracle's expression.
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("q_norm"),
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("c_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("c_norm"),
     )
     sims = (
         F.broadcast(q)
@@ -96,8 +103,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            (_dot(F.col("q_emb"), F.col("c_emb"))
-             / (F.sqrt(_sqnorm(F.col("q_emb"))) * F.sqrt(_sqnorm(F.col("c_emb"))))).alias("cos"),
+            (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -142,23 +148,30 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bucketed = part if bucketed is None else bucketed.unionByName(part)
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "tbl", "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("q_norm"),
+        "tbl",
+        "bucket",
     )
     cands = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "tbl", "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("c_norm"),
+        "tbl",
+        "bucket",
     )
     pairs = (
         F.broadcast(q)
         .join(cands, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .select("query_id", "neighbor_id", "q_emb", "c_emb", "q_norm", "c_norm")
         .dropDuplicates(["query_id", "neighbor_id"])  # union over tables
     )
     sims = pairs.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("q_emb"), F.col("c_emb"))
-         / (F.sqrt(_sqnorm(F.col("q_emb"))) * F.sqrt(_sqnorm(F.col("c_emb"))))).alias("cos"),
+        (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -191,13 +204,16 @@ def similarity_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the block key comes from coarse quantization (IVF centroid),
     not a label column."""
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("emb_b"))
-    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = (
-        _dot(F.col("emb_a"), F.col("emb_b"))
-        / (F.sqrt(_sqnorm(F.col("emb_a"))) * F.sqrt(_sqnorm(F.col("emb_b"))))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("norm_a"),
     )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("emb_b"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("norm_b"),
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         pairs.select("vec_a", "vec_b", "label", cos.alias("cos"))
         .filter(F.col("cos") >= 0.35)

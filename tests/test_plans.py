@@ -1,0 +1,112 @@
+"""Physical-plan audits: assert the plans Catalyst picks are the plans we
+designed for 100 TB — filters/projections reach the parquet scan, small dims
+broadcast, aggregates have partial (map-side) phases, top-k avoids global
+sorts, rank pushdown limits window rows. A regression here is a performance
+bug even while results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakefs_iceberg_catalog_spark import registry
+
+from .conftest import SF_DIR
+
+registry.load_all()
+
+
+def plan(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def q(spark, name):
+    return registry.QUERIES[name](spark, SF_DIR)
+
+
+def test_projection_prunes_scan(spark):
+    p = plan(q(spark, "project_select"))
+    # only the referenced lineitem columns reach the parquet reader
+    assert "ReadSchema" in p
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read and "l_extendedprice" in read
+    assert "l_suppkey" not in read and "l_shipdate" not in read
+
+
+def test_filter_pushdown(spark):
+    p = plan(q(spark, "filter_predicate"))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    assert "In(o_orderstatus" in pushed
+    assert "GreaterThanOrEqual(o_totalprice" in pushed
+
+
+def test_flagship_broadcasts_dim_and_partial_aggs(spark):
+    p = plan(q(spark, "flagship_top_unshipped"))
+    assert "BroadcastHashJoin" in p          # customer side broadcast
+    assert p.count("HashAggregate") >= 2     # partial + final
+    # top-10 must not be a global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_join_inner_broadcasts_nation(spark):
+    p = plan(q(spark, "join_inner_equi"))
+    assert "BroadcastHashJoin" in p
+
+
+def test_theta_range_is_broadcast_nested_loop(spark):
+    p = plan(q(spark, "join_theta_range"))
+    assert "BroadcastNestedLoopJoin" in p
+    # the fact side is never shuffled for the join itself
+    assert "SortMergeJoin" not in p
+
+
+def test_sort_limit_is_take_ordered(spark):
+    p = plan(q(spark, "sort_order_by"))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_topk_uses_window_group_limit(spark):
+    p = plan(q(spark, "limit_topk"))
+    assert "WindowGroupLimit" in p
+
+
+def test_q1_whole_stage_codegen_and_partial_agg(spark):
+    df = q(spark, "q1_pricing_summary")
+    p = plan(df, mode="simple")
+    assert "partial_sum" in p                # map-side combine before the exchange
+    assert p.count("HashAggregate") >= 2
+    # AQE hides codegen until execution: run it, then read the final plan —
+    # '*(n)' prefixes mark WholeStageCodegen stages
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in final
+
+
+def test_semi_join_present(spark):
+    p = plan(q(spark, "join_semi"))
+    assert "LeftSemi" in p
+
+
+def test_minhash_band_join_is_hash_join(spark):
+    """Regression guard for the self-join trap: the band join must be a hash
+    join on the band/key equality, never a nested-loop cross join."""
+    p = plan(q(spark, "dedup_near_minhash"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_similarity_topk_broadcasts_queries(spark):
+    p = plan(q(spark, "similarity_topk"))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # corpus side must not be globally sorted; ranking is per-query window
+    assert "TakeOrderedAndProject" not in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["agg_hash_group", "agg_distinct", "scalar_json", "text_stats"],
+)
+def test_no_cartesian_anywhere(spark, name):
+    p = plan(q(spark, name))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
