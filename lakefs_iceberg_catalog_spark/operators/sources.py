@@ -1,0 +1,127 @@
+"""Sources & sinks beyond parquet (SURVEY.md §2.2 sources table: the pinned
+engine reads/writes csv/json/orc and partitioned layouts; jdbc and the
+Delta/Iceberg runtime jars are absent from this container and stay gated).
+
+Each round-trip key materializes testdata through the format and reads it
+back — the oracle is the same relation off the original parquet, so the
+comparison proves lossless (schema-preserving) transport.
+
+Scale notes (100 TB):
+- CSV/JSON are ingest formats: schema is always declared explicitly (no
+  inferSchema scan-twice), compression is splittable-friendly, and the first
+  job in any pipeline rewrites them to parquet — exactly what the round-trip
+  here does.
+- The partitioned sink demonstrates hive-style partition layout; the read
+  back through a partition filter must prune directories, asserted in
+  tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+from .util import dround
+
+
+def _materialize(spark: SparkSession, df: DataFrame, tmp: str) -> DataFrame:
+    rows, schema = df.collect(), df.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → csv (header) → declared-schema csv read. Explicit schema on
+    read: inferSchema double-scans and guesses types — never in a pipeline."""
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="csv-rt-")
+    n.write.mode("overwrite").option("header", True).csv(tmp)
+    back = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", True)
+        .csv(tmp)
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+SELECT r_regionkey, r_name FROM region
+""",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → json-lines → declared-schema json read."""
+    r = table(spark, sf_dir, "region")
+    tmp = tempfile.mkdtemp(prefix="json-rt-")
+    r.write.mode("overwrite").json(tmp)
+    back = spark.read.schema("r_regionkey int, r_name string").json(tmp)
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS acctbal FROM supplier
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → ORC → read back (columnar alternative; same pushdown/pruning
+    properties as parquet)."""
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", dround("s_acctbal", 2).alias("acctbal")
+    )
+    tmp = tempfile.mkdtemp(prefix="orc-rt-")
+    s.write.mode("overwrite").orc(tmp)
+    back = spark.read.orc(tmp)
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       o_orderstatus,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE year(o_orderdate) = 1997
+GROUP BY 1, 2
+""",
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned read: write orders
+    partitioned by year, read back ONLY yr=1997 (the filter prunes to one
+    directory — at 100 TB this is the difference between scanning one
+    partition and the whole table; pruning asserted in test_plans)."""
+    o = table(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    tmp = tempfile.mkdtemp(prefix="part-sink-")
+    o.write.mode("overwrite").partitionBy("yr").parquet(tmp)
+    back = (
+        spark.read.parquet(tmp)
+        .filter(F.col("yr") == 1997)
+        .groupBy("yr", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.sum("o_totalprice"), 2).alias("total"))
+        .select("yr", "o_orderstatus", "n", "total")
+    )
+    return _materialize(spark, back, tmp)
+
+
+def read_jdbc_gated(spark: SparkSession, url: str, dbtable: str) -> DataFrame:
+    """JDBC source — requires a driver jar absent from this container; the
+    call shape is the production path, gated like the media codecs."""
+    try:
+        return spark.read.format("jdbc").options(url=url, dbtable=dbtable).load()
+    except Exception as e:  # no jdbc driver in the image
+        raise NotImplementedError(f"jdbc driver unavailable: {e}") from e

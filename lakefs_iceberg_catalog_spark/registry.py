@@ -24,6 +24,8 @@ _OPERATOR_MODULES = [
     "lakefs_iceberg_catalog_spark.operators.joins",
     "lakefs_iceberg_catalog_spark.operators.windows",
     "lakefs_iceberg_catalog_spark.operators.scalars",
+    "lakefs_iceberg_catalog_spark.operators.advanced",
+    "lakefs_iceberg_catalog_spark.operators.sources",
     "lakefs_iceberg_catalog_spark.operators.dedup",
     "lakefs_iceberg_catalog_spark.operators.similarity",
     "lakefs_iceberg_catalog_spark.operators.text",

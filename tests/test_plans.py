@@ -110,3 +110,50 @@ def test_no_cartesian_anywhere(spark, name):
     p = plan(q(spark, name))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    """Reading a hive-partitioned layout with a partition filter must prune
+    at the directory level (PartitionFilters), not scan+filter."""
+    from pyspark.sql import functions as F
+    from lakefs_iceberg_catalog_spark.tables import table
+
+    out = str(tmp_path / "orders_by_year")
+    o = table(spark, SF_DIR, "orders").withColumn("yr", F.year("o_orderdate"))
+    o.write.mode("overwrite").partitionBy("yr").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("yr") == 1997)
+    p = plan(back)
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln][0]
+    assert "yr" in pf and "1997" in pf
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Bucketing both sides on the join key removes the shuffle entirely —
+    the co-location strategy the catalog layer recommends for repeated
+    fact-fact joins (100 TB: this is the difference between re-shuffling
+    600 GB per join and zero)."""
+    from pyspark.sql import functions as F
+    from lakefs_iceberg_catalog_spark.tables import table
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the issue
+    try:
+        o = table(spark, SF_DIR, "orders")
+        li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+        (o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+           .option("path", str(tmp_path / "o_b")).saveAsTable("o_bucketed"))
+        (li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+           .option("path", str(tmp_path / "l_b")).saveAsTable("l_bucketed"))
+        j = spark.table("o_bucketed").join(
+            spark.table("l_bucketed"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        p = plan(j)
+        assert "Exchange" not in p.replace("ExchangeReuse", "")
+        assert "SortMergeJoin" in p
+        # sanity: the join actually returns the right cardinality
+        assert j.count() == table(spark, SF_DIR, "lineitem").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+        spark.sql("DROP TABLE IF EXISTS l_bucketed")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
