@@ -246,13 +246,24 @@ class VersionedCatalog:
         paths = [self._verify_path(repo, os.path.join(self._repo_dir(repo), f)) for f in manifest.files]
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def scan(self, identifier: str | list[str]) -> DataFrame:
-        """Read the table at its current version on the given branch.
+    def scan(self, identifier: str | list[str], version: int | None = None) -> DataFrame:
+        """Read the table at its current — or, with ``version``, a historic —
+        snapshot on the given branch (time travel: the manifest chain keeps
+        every version, the same metadata model that backs Iceberg's
+        ``VERSION AS OF``).
 
         Re-resolves the manifest on every call — no stale caches, the policy
         the reference pins with ``cache-enabled=false`` (conftest.py:65)."""
         ops, levels = self._ops(identifier)
-        m = ops.current()
+        if version is None:
+            m = ops.current()
+        else:
+            path = ops._version_path(version)
+            try:
+                with open(path) as f:
+                    m = TableManifest.from_json(f.read())
+            except FileNotFoundError:
+                raise NoSuchTableError(f"{'.'.join(levels)} has no version {version}")
         if m is None:
             raise NoSuchTableError(".".join(levels))
         return self._read_files(levels[0], m)
@@ -299,6 +310,63 @@ class VersionedCatalog:
         )
         files = self._write_data(levels, survivors)
         ops.commit(base, base.next(files))
+
+    def update_where(
+        self, identifier: str | list[str], predicate: str, assignments: dict[str, str]
+    ) -> None:
+        """Row-level UPDATE ... SET ... WHERE via copy-on-write rewrite (the
+        Iceberg-extension UPDATE surface, same rewrite family as
+        delete_where): rows matching the predicate get each assignment
+        expression, others pass through unchanged."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        df = self._read_files(levels[0], base)
+        pred = F.coalesce(F.expr(f"({predicate})"), F.lit(False))
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        cols = []
+        for f in schema.fields:
+            if f.name in assignments:
+                cols.append(
+                    F.when(pred, F.expr(assignments[f.name]).cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        files = self._write_data(levels, df.select(cols))
+        ops.commit(base, base.next(files))
+
+    def merge_upsert(
+        self, identifier: str | list[str], source: DataFrame, key_cols: list[str]
+    ) -> None:
+        """MERGE INTO (upsert) emulation without the Iceberg runtime jar:
+        target rows whose key appears in the source are replaced by the
+        source row, unmatched source rows are inserted — target-anti-join ∪
+        source, committed as one copy-on-write snapshot. At 100 TB both
+        sides hash-shuffle once on the key (or zero times if the table is
+        bucketed on it)."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        aligned_src = source.select(
+            [F.col(c).cast(f.dataType).alias(f.name) for c, f in zip(source.columns, schema.fields)]
+        )
+        target = self._read_files(levels[0], base)
+        kept = target.join(aligned_src.select(*key_cols), on=key_cols, how="left_anti")
+        files = self._write_data(levels, kept.unionByName(aligned_src))
+        ops.commit(base, base.next(files))
+
+    def table_history(self, identifier: str | list[str]) -> list[int]:
+        """All committed versions, oldest first (metadata-only listing)."""
+        ops, levels = self._ops(identifier)
+        m = ops.current()
+        if m is None:
+            raise NoSuchTableError(".".join(levels))
+        return list(range(1, m.version + 1))
 
     # ------------------------------------------------------------- branches
 

@@ -1,0 +1,79 @@
+"""Ring B extensions exposed as driver-checkable scenario queries:
+time travel, UPDATE WHERE, MERGE upsert — the remainder of the row-level
+surface the reference's pinned Iceberg extensions enable (SURVEY.md §2.2
+dml_delete_where's siblings; `conftest.py:67` wires
+IcebergSparkSessionExtensions which carry UPDATE/MERGE rewrites)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from .versioned import WORKERS_SCHEMA, _WORKERS_VALUES, _materialize, _seeded
+
+
+@register(
+    "dml_update_where",
+    oracle=f"""
+SELECT id, firstname, lastname,
+       CASE WHEN gender = 'F' THEN age + 1 ELSE age END AS age,
+       gender
+FROM {_WORKERS_VALUES}
+""",
+)
+def dml_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE workers SET age = age + 1 WHERE gender = 'F' via copy-on-write
+    rewrite (Iceberg UPDATE surface)."""
+    cat, root = _seeded(spark)
+    cat.update_where("repo.main.company.workers", "gender = 'F'", {"age": "age + 1"})
+    return _materialize(spark, cat.scan("repo.main.company.workers"), root)
+
+
+@register(
+    "dml_merge_upsert",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1', 'James',   'Smith',    32, 'M'),
+  ('2', 'Mike',    'Rose',     36, 'M'),
+  ('3', 'Robert',  'Williams', 41, 'M'),
+  ('4', 'Maria',   'Jones',    36, 'F'),
+  ('5', 'Jen',     'Brown',    44, 'F'),
+  ('6', 'Monika',  'Geller',   31, 'F'),
+  ('9', 'Noor',    'Khan',     29, 'F')
+) AS t(id, firstname, lastname, age, gender)
+""",
+)
+def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation: source updates worker 2 and inserts worker 9 —
+    matched keys replaced, unmatched inserted, one snapshot commit."""
+    cat, root = _seeded(spark)
+    src = spark.createDataFrame(
+        [("2", "Mike", "Rose", 36, "M"), ("9", "Noor", "Khan", 29, "F")], WORKERS_SCHEMA
+    )
+    cat.merge_upsert("repo.main.company.workers", src, ["id"])
+    return _materialize(spark, cat.scan("repo.main.company.workers"), root)
+
+
+@register(
+    "time_travel_scan",
+    oracle="""
+SELECT 6 AS rows_v1, 2 AS rows_v2, 2 AS rows_current
+""",
+)
+def time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the manifest chain (Iceberg `VERSION AS OF`): after
+    a destructive delete, version 1 still reads the full pre-delete
+    snapshot."""
+    cat, root = _seeded(spark)
+    cat.delete_where("repo.main.company.workers", "age >= 35")
+    v1 = cat.scan("repo.main.company.workers", version=1).count()
+    v2 = cat.scan("repo.main.company.workers", version=2).count()
+    cur = cat.scan("repo.main.company.workers").count()
+    assert cat.table_history("repo.main.company.workers") == [1, 2]
+    out = spark.createDataFrame(
+        [(v1, v2, cur)], "rows_v1 int, rows_v2 int, rows_current int"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -226,3 +226,53 @@ def test_append_coercion(cat, spark):
     df = cat.scan("repo.main.company.workers")
     assert df.filter("id = '9'").count() == 1
     assert df.schema["id"].dataType == T.StringType()
+
+
+def test_concurrent_commit_race(tmp_path):
+    """Many writers race create-if-absent for the same next version from the
+    same base: exactly ONE wins, the rest get a conflict/stale error and
+    must refresh-retry — the lock-free protocol under real concurrency
+    (threads share the filesystem arbiter like separate drivers would)."""
+    import threading
+
+    ops = TableOperations(str(tmp_path / "t"))
+    base = ops.commit(None, new_manifest('{"type":"struct","fields":[]}', []))
+    wins, losses = [], []
+
+    def attempt(i):
+        try:
+            ops.commit(base, base.next([f"writer-{i}.parquet"]))
+            wins.append(i)
+        except (CommitConflictError, CommitStateError):
+            losses.append(i)
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(wins) == 1 and len(losses) == 15
+    # retry path: losers refresh and land as the NEXT version
+    cur = ops.current()
+    assert cur.version == 2
+    ops.commit(cur, cur.next(cur.files + ["retry.parquet"]))
+    assert ops.current().version == 3
+
+
+def test_time_travel_and_update(cat):
+    cat.update_where("repo.main.company.workers", "id = '1'", {"age": "99"})
+    assert cat.scan("repo.main.company.workers").filter("id='1'").collect()[0].age == 99
+    # version 1 still shows the original age
+    assert (
+        cat.scan("repo.main.company.workers", version=1).filter("id='1'").collect()[0].age == 32
+    )
+    assert cat.table_history("repo.main.company.workers") == [1, 2]
+
+
+def test_merge_upsert(cat, spark):
+    src = spark.createDataFrame([("1", "J", "S", 40, "M"), ("99", "New", "Person", 20, "F")], WORKERS_SCHEMA)
+    cat.merge_upsert("repo.main.company.workers", src, ["id"])
+    df = cat.scan("repo.main.company.workers")
+    assert df.count() == 7
+    assert df.filter("id='1'").collect()[0].age == 40
+    assert df.filter("id='99'").count() == 1
