@@ -57,6 +57,69 @@ def _split(identifier: str | list[str]) -> list[str]:
     return identifier if isinstance(identifier, list) else identifier.split(".")
 
 
+def _parquet_num_rows(path: str) -> int:
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return -1  # unknown → keep the file
+
+
+def _footer_stats(path: str) -> dict:
+    """Per-column [min, max] from the parquet footer (JSON-safe types only:
+    int/float/str). Missing/odd columns are simply absent — scans then never
+    skip on them."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    agg: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if not isinstance(mn, (int, float, str)) or not isinstance(mx, (int, float, str)):
+                continue
+            name = col.path_in_schema
+            if name in agg:
+                agg[name] = [min(agg[name][0], mn), max(agg[name][1], mx)]
+            else:
+                agg[name] = [mn, mx]
+    return agg
+
+
+def _file_survives(stats: dict | None, col: str, op: str, value) -> bool:
+    """Conservative file-skip test: keep the file unless its [min,max] range
+    for `col` provably excludes every row matching `col op value`."""
+    if not stats or col not in stats:
+        return True
+    mn, mx = stats[col]
+    try:
+        if op == "=":
+            return mn <= value <= mx
+        if op in ("<",):
+            return mn < value
+        if op == "<=":
+            return mn <= value
+        if op == ">":
+            return mx > value
+        if op == ">=":
+            return mx >= value
+        if op == "between":
+            lo, hi = value
+            return not (hi < mn or lo > mx)
+    except TypeError:
+        return True
+    return True
+
+
 class VersionedCatalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -200,8 +263,8 @@ class VersionedCatalog:
         ops, levels = self._ops(identifier)
         if ops.is_table_dir():
             raise TableAlreadyExistsError(".".join(levels))
-        files = self._write_data(levels, df)
-        ops.commit(None, new_manifest(df.schema.json(), files, properties))
+        files, stats = self._write_data(levels, df)
+        ops.commit(None, new_manifest(df.schema.json(), files, properties, file_stats=stats))
 
     def rename_table(self, src, dst) -> None:
         raise UnsupportedOperationError("rename is not supported (identity = path)")
@@ -217,27 +280,36 @@ class VersionedCatalog:
 
     # --------------------------------------------------------------- data IO
 
-    def _write_data(self, levels: list[str], df: DataFrame) -> list[str]:
+    def _write_data(self, levels: list[str], df: DataFrame) -> tuple[list[str], dict]:
         """Write df as parquet part files under the table's data/ dir on THIS
-        branch; return repo-relative paths. The write is a distributed Spark
-        job; only the file rename/move is driver-side."""
+        branch; return (repo-relative paths, per-file column min/max stats).
+        The write is a distributed Spark job; only the file rename/move and
+        footer-stat harvest are driver-side metadata work — the same division
+        of labor as Iceberg's manifest writer."""
         repo = levels[0]
         table_dir = os.path.join(self.root, *levels)
         data_dir = os.path.join(table_dir, "data")
         os.makedirs(data_dir, exist_ok=True)
         staging = os.path.join(table_dir, f".staging-{_uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
-        out = []
+        out, stats = [], {}
         stamp = _uuid.uuid4().hex[:12]
         i = 0
         for name in sorted(os.listdir(staging)):
             if name.endswith(".parquet"):
+                src = os.path.join(staging, name)
+                if _parquet_num_rows(src) == 0:
+                    continue  # empty part files carry no stats and no data
                 dst = os.path.join(data_dir, f"{stamp}-{i:05d}.parquet")
-                os.replace(os.path.join(staging, name), dst)
-                out.append(self._rel(repo, dst))
+                os.replace(src, dst)
+                rel = self._rel(repo, dst)
+                out.append(rel)
+                fs = _footer_stats(dst)
+                if fs:
+                    stats[rel] = fs
                 i += 1
         shutil.rmtree(staging)
-        return out
+        return out, stats
 
     def _read_files(self, repo: str, manifest: TableManifest) -> DataFrame:
         schema = T.StructType.fromJson(json.loads(manifest.schema_json))
@@ -284,8 +356,11 @@ class VersionedCatalog:
             )
         else:
             aligned = df
-        files = self._write_data(levels, aligned)
-        ops.commit(base, base.next(base.files + files))
+        files, stats = self._write_data(levels, aligned)
+        ops.commit(
+            base,
+            base.next(base.files + files, file_stats={**base.file_stats, **stats}),
+        )
 
     def insert_values(self, identifier: str | list[str], rows: list[tuple]) -> None:
         """INSERT INTO ... VALUES (test_iceberg.py:48,50) — row coercion to the
@@ -308,8 +383,8 @@ class VersionedCatalog:
         survivors = self._read_files(levels[0], base).filter(
             ~F.coalesce(F.expr(f"({predicate})"), F.lit(False))
         )
-        files = self._write_data(levels, survivors)
-        ops.commit(base, base.next(files))
+        files, stats = self._write_data(levels, survivors)
+        ops.commit(base, base.next(files, file_stats=stats))
 
     def update_where(
         self, identifier: str | list[str], predicate: str, assignments: dict[str, str]
@@ -335,8 +410,8 @@ class VersionedCatalog:
                 )
             else:
                 cols.append(F.col(f.name))
-        files = self._write_data(levels, df.select(cols))
-        ops.commit(base, base.next(files))
+        files, stats = self._write_data(levels, df.select(cols))
+        ops.commit(base, base.next(files, file_stats=stats))
 
     def merge_upsert(
         self, identifier: str | list[str], source: DataFrame, key_cols: list[str]
@@ -357,8 +432,8 @@ class VersionedCatalog:
         )
         target = self._read_files(levels[0], base)
         kept = target.join(aligned_src.select(*key_cols), on=key_cols, how="left_anti")
-        files = self._write_data(levels, kept.unionByName(aligned_src))
-        ops.commit(base, base.next(files))
+        files, stats = self._write_data(levels, kept.unionByName(aligned_src))
+        ops.commit(base, base.next(files, file_stats=stats))
 
     def table_history(self, identifier: str | list[str]) -> list[int]:
         """All committed versions, oldest first (metadata-only listing)."""
@@ -367,6 +442,80 @@ class VersionedCatalog:
         if m is None:
             raise NoSuchTableError(".".join(levels))
         return list(range(1, m.version + 1))
+
+    def select_files(
+        self, identifier: str | list[str], col: str, op: str, value
+    ) -> tuple[list[str], int]:
+        """File-skipping planner: (files surviving `col op value` by their
+        manifest min/max stats, total file count). The Iceberg manifest-stats
+        equivalent — at 100 TB this is what turns a selective scan from
+        'read the table' into 'read three files'."""
+        ops, levels = self._ops(identifier)
+        m = ops.current()
+        if m is None:
+            raise NoSuchTableError(".".join(levels))
+        keep = [f for f in m.files if _file_survives(m.file_stats.get(f), col, op, value)]
+        return keep, len(m.files)
+
+    def scan_pruned(
+        self, identifier: str | list[str], col: str, op: str, value
+    ) -> DataFrame:
+        """Scan with manifest-level file skipping + the residual filter
+        applied on top (so results are exact regardless of stats quality)."""
+        ops, levels = self._ops(identifier)
+        m = ops.current()
+        if m is None:
+            raise NoSuchTableError(".".join(levels))
+        keep, _ = self.select_files(identifier, col, op, value)
+        pruned = TableManifest(
+            table_uuid=m.table_uuid,
+            version=m.version,
+            schema_json=m.schema_json,
+            files=keep,
+            properties=m.properties,
+            file_stats=m.file_stats,
+        )
+        df = self._read_files(levels[0], pruned)
+        sql_op = {"=": "=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}.get(op)
+        if sql_op:
+            lit = f"'{value}'" if isinstance(value, str) else repr(value)
+            return df.filter(F.expr(f"`{col}` {sql_op} {lit}"))
+        if op == "between":
+            lo, hi = value
+            lo_l = f"'{lo}'" if isinstance(lo, str) else repr(lo)
+            hi_l = f"'{hi}'" if isinstance(hi, str) else repr(hi)
+            return df.filter(F.expr(f"`{col}` BETWEEN {lo_l} AND {hi_l}"))
+        return df
+
+    def add_column(
+        self, identifier: str | list[str], name: str, ddl_type: str
+    ) -> None:
+        """Schema evolution: append a nullable column — a metadata-only
+        commit (no data rewrite); existing files read back with NULLs for
+        the new column, exactly Iceberg's add-column semantics."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        if name in schema.fieldNames():
+            raise TableAlreadyExistsError(f"column {name!r} already exists")
+        new_field = T.StructType.fromDDL(f"`{name}` {ddl_type}").fields[0]
+        schema = T.StructType(list(schema.fields) + [new_field])
+        ops.commit(base, base.next(base.files, schema_json=schema.json()))
+
+    def compact(self, identifier: str | list[str], target_files: int = 1) -> None:
+        """Small-file compaction: rewrite the current snapshot into
+        `target_files` files (Iceberg rewrite_data_files). Metadata commit
+        like any other — history keeps the fragmented versions readable.
+        At 100 TB this runs per partition, not per table."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        df = self._read_files(levels[0], base).coalesce(target_files)
+        files, stats = self._write_data(levels, df)
+        ops.commit(base, base.next(files, file_stats=stats))
 
     # ------------------------------------------------------------- branches
 

@@ -43,6 +43,10 @@ class TableManifest:
     schema_json: str            # Spark StructType.json()
     files: list[str]            # repo-relative parquet paths
     properties: dict = field(default_factory=dict)
+    # per-file column min/max ranges for scan-time file skipping (Iceberg
+    # manifest stats equivalent): {path: {col: [min, max]}}; numeric and
+    # string columns only, absent entries mean "no stats — never skip".
+    file_stats: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -52,6 +56,7 @@ class TableManifest:
                 "schema_json": self.schema_json,
                 "files": self.files,
                 "properties": self.properties,
+                "file_stats": self.file_stats,
             },
             indent=1,
             sort_keys=True,
@@ -66,25 +71,39 @@ class TableManifest:
             schema_json=d["schema_json"],
             files=list(d["files"]),
             properties=dict(d.get("properties", {})),
+            file_stats=dict(d.get("file_stats", {})),
         )
 
-    def next(self, files: list[str], properties: dict | None = None) -> "TableManifest":
+    def next(
+        self,
+        files: list[str],
+        properties: dict | None = None,
+        schema_json: str | None = None,
+        file_stats: dict | None = None,
+    ) -> "TableManifest":
         return TableManifest(
             table_uuid=self.table_uuid,
             version=self.version + 1,
-            schema_json=self.schema_json,
+            schema_json=self.schema_json if schema_json is None else schema_json,
             files=files,
             properties=self.properties if properties is None else properties,
+            file_stats=self.file_stats if file_stats is None else file_stats,
         )
 
 
-def new_manifest(schema_json: str, files: list[str], properties: dict | None = None) -> TableManifest:
+def new_manifest(
+    schema_json: str,
+    files: list[str],
+    properties: dict | None = None,
+    file_stats: dict | None = None,
+) -> TableManifest:
     return TableManifest(
         table_uuid=str(_uuid.uuid4()),
         version=1,
         schema_json=schema_json,
         files=files,
         properties=properties or {},
+        file_stats=file_stats or {},
     )
 
 

@@ -1,0 +1,159 @@
+"""SQL facade over VersionedCatalog — the reference's user surface.
+
+The reference exposes everything through Spark SQL against a registered
+catalog: ``SELECT * FROM lakefs.`repo`.`main`.company.workers``,
+``CREATE SCHEMA``, ``SHOW TABLES``, ``INSERT INTO``, ``DELETE FROM``
+(TestLakeFSCatalogSpark.java:60-96, tests/test_iceberg.py). Without a JVM
+catalog-plugin jar, the equivalent Python surface is this facade:
+
+- DQL (SELECT ...): every ``lakefs.<repo>.<branch>.<ns...>.<table>``
+  identifier in the query is resolved through the catalog, registered as a
+  session view, and the rewritten query runs on stock Spark SQL — step 1/4/5
+  of the reference lifecycle unchanged, step 2/3 (catalog load + metadata
+  refresh) done by VersionedCatalog (SURVEY.md §3.1).
+- A small DDL/DML dispatcher maps the statement forms the reference's tests
+  exercise onto catalog methods (CREATE/DROP SCHEMA, SHOW TABLES,
+  CREATE/DROP TABLE, INSERT INTO ... VALUES, DELETE FROM ... WHERE,
+  UPDATE ... SET ... WHERE).
+
+Identifiers accept optional backticks on each part, like the reference's
+``lakefs.`repo`.`main`.company.workers``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from .errors import UnsupportedOperationError
+
+_PART = r"(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_$-]*)"
+_IDENT = rf"\blakefs(?:\.{_PART}){{3,}}"
+
+
+def _clean(ident: str) -> list[str]:
+    parts = re.findall(_PART, ident)
+    return [p.strip("`") for p in parts[1:]]  # drop the leading catalog name
+
+
+class SqlFacade:
+    def __init__(self, catalog):
+        self.catalog = catalog
+        self.spark = catalog.spark
+
+    # ---------------------------------------------------------------- DQL
+
+    def _resolve_views(self, query: str) -> str:
+        """Register every lakefs identifier as a view; rewrite the query to
+        use the view names. Re-resolves manifests per call (no stale caches)."""
+        def repl(m: re.Match) -> str:
+            levels = _clean(m.group(0))
+            view = "lakefs_" + "_".join(re.sub(r"[^A-Za-z0-9_]", "_", p) for p in levels)
+            self.catalog.scan(levels).createOrReplaceTempView(view)
+            return view
+
+        return re.sub(_IDENT, repl, query)
+
+    def sql(self, statement: str) -> DataFrame:
+        s = statement.strip().rstrip(";")
+        head = s.split(None, 1)[0].upper() if s else ""
+        if head in ("SELECT", "WITH"):
+            return self.spark.sql(self._resolve_views(s))
+        return self._dispatch_ddl_dml(s)
+
+    # ----------------------------------------------------------- DDL / DML
+
+    def _dispatch_ddl_dml(self, s: str) -> DataFrame:
+        mk = lambda rows, schema: self.spark.createDataFrame(rows, schema)  # noqa: E731
+
+        m = re.match(rf"(?is)^CREATE\s+(?:SCHEMA|NAMESPACE)\s+({_IDENT})\s*$", s)
+        if m:
+            self.catalog.create_namespace(_clean(m.group(1)))
+            return mk([], "result string")
+
+        m = re.match(rf"(?is)^DROP\s+(?:SCHEMA|NAMESPACE)\s+({_IDENT})\s*$", s)
+        if m:
+            self.catalog.drop_namespace(_clean(m.group(1)))
+            return mk([], "result string")
+
+        m = re.match(rf"(?is)^SHOW\s+TABLES\s+(?:IN|FROM)\s+({_IDENT})\s*$", s)
+        if m:
+            levels = _clean(m.group(1))
+            return mk(
+                [(".".join(levels), t) for t in self.catalog.list_tables(levels)],
+                "namespace string, tableName string",
+            )
+
+        m = re.match(rf"(?is)^DESCRIBE\s+(?:SCHEMA|NAMESPACE)\s+({_IDENT})\s*$", s)
+        if m:
+            meta = self.catalog.load_namespace_metadata(_clean(m.group(1)))
+            return mk(sorted(meta.items()), "info_name string, info_value string")
+
+        m = re.match(rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s*\((.*?)\)\s*$", s)
+        if m:
+            self.catalog.create_table(_clean(m.group(1)), m.group(2))
+            return mk([], "result string")
+
+        m = re.match(rf"(?is)^DROP\s+TABLE\s+({_IDENT})\s*$", s)
+        if m:
+            self.catalog.drop_table(_clean(m.group(1)))
+            return mk([], "result string")
+
+        m = re.match(rf"(?is)^INSERT\s+INTO\s+({_IDENT})\s+VALUES\s+(.+)$", s)
+        if m:
+            # Evaluate the VALUES with Spark itself (full literal syntax) and
+            # append — append casts positionally to the declared schema, so
+            # e.g. a DECIMAL literal lands in a double column.
+            vals = self.spark.sql(f"SELECT * FROM (VALUES {m.group(2)})")
+            self.catalog.append(_clean(m.group(1)), vals)
+            return mk([], "result string")
+
+        m = re.match(rf"(?is)^DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)$", s)
+        if m:
+            self.catalog.delete_where(_clean(m.group(1)), m.group(2))
+            return mk([], "result string")
+
+        m = re.match(rf"(?is)^UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s+WHERE\s+(.+)$", s)
+        if m:
+            assignments = {}
+            for part in self._split_top_level(m.group(2)):
+                col, expr = part.split("=", 1)
+                assignments[col.strip().strip("`")] = expr.strip()
+            self.catalog.update_where(_clean(m.group(1)), m.group(3), assignments)
+            return mk([], "result string")
+
+        m = re.match(rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\b", s)
+        if m:
+            # preserved non-capability (SURVEY.md §2.3)
+            self.catalog.rename_table(_clean(m.group(1)), None)
+
+        raise UnsupportedOperationError(f"unsupported statement: {s[:80]!r}")
+
+    @staticmethod
+    def _split_top_level(s: str) -> list[str]:
+        out, depth, cur, quote = [], 0, [], None
+        for ch in s:
+            if quote:
+                cur.append(ch)
+                if ch == quote:
+                    quote = None
+                continue
+            if ch in "'\"":
+                quote = ch
+                cur.append(ch)
+            elif ch == "(":
+                depth += 1
+                cur.append(ch)
+            elif ch == ")":
+                depth -= 1
+                cur.append(ch)
+            elif ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return out
+

@@ -276,3 +276,51 @@ def test_merge_upsert(cat, spark):
     assert df.count() == 7
     assert df.filter("id='1'").collect()[0].age == 40
     assert df.filter("id='99'").count() == 1
+
+
+def test_file_skipping_stats(cat, spark):
+    """Manifest min/max stats prune files: three appended batches with
+    disjoint age ranges → an age predicate selects a strict file subset,
+    and the pruned scan equals the full scan + filter."""
+    for lo in (100, 200, 300):
+        cat.insert_values(
+            "repo.main.company.workers",
+            [(str(lo + i), "B", "C", lo + i, "M") for i in range(3)],
+        )
+    keep, total = cat.select_files("repo.main.company.workers", "age", "between", (200, 205))
+    assert total >= 4 and len(keep) < total
+    pruned = cat.scan_pruned("repo.main.company.workers", "age", "between", (200, 205))
+    full = cat.scan("repo.main.company.workers").filter("age BETWEEN 200 AND 205")
+    assert rows_set(pruned) == rows_set(full)
+    # equality predicate on a value no file covers → zero files survive
+    keep2, _ = cat.select_files("repo.main.company.workers", "age", "=", 9999)
+    assert keep2 == []
+
+
+def test_schema_evolution_add_column(cat, spark):
+    cat.add_column("repo.main.company.workers", "email", "string")
+    df = cat.scan("repo.main.company.workers")
+    assert "email" in df.columns
+    assert df.filter("email IS NULL").count() == 6  # old files read as NULL
+    cat.insert_values(
+        "repo.main.company.workers", [("7", "A", "B", 20, "F", "a@b.c")]
+    )
+    assert cat.scan("repo.main.company.workers").filter("email = 'a@b.c'").count() == 1
+    # history: version 1 still reads with the OLD schema
+    assert "email" not in cat.scan("repo.main.company.workers", version=1).columns
+
+
+def test_compaction_reduces_files_keeps_history(cat):
+    for i in range(4):
+        cat.insert_values("repo.main.company.workers", [(str(10 + i), "X", "Y", 20 + i, "M")])
+    before = len(TableOperations(
+        cat._ops("repo.main.company.workers")[0].table_dir
+    ).current().files)
+    assert before >= 5
+    n_rows = cat.scan("repo.main.company.workers").count()
+    cat.compact("repo.main.company.workers", target_files=1)
+    ops = cat._ops("repo.main.company.workers")[0]
+    assert len(ops.current().files) == 1
+    assert cat.scan("repo.main.company.workers").count() == n_rows
+    # pre-compaction snapshot still readable via time travel
+    assert cat.scan("repo.main.company.workers", version=ops.current().version - 1).count() == n_rows

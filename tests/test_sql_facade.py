@@ -1,0 +1,83 @@
+"""SQL-facade replay of the reference's SQL surface
+(TestLakeFSCatalogSpark.java:60-96 + tests/test_iceberg.py DML forms)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakefs_iceberg_catalog_spark.catalog import (
+    NamespaceNotEmptyError,
+    UnsupportedOperationError,
+    VersionedCatalog,
+)
+from lakefs_iceberg_catalog_spark.catalog.sql_facade import SqlFacade
+
+from .test_catalog import WORKERS_ROWS, WORKERS_SCHEMA
+
+
+@pytest.fixture
+def facade(spark, tmp_path):
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.company")
+    df = spark.createDataFrame([(str(r[0]),) + r[1:] for r in WORKERS_ROWS], WORKERS_SCHEMA)
+    c.create_table_as("repo.main.company.workers", df)
+    return SqlFacade(c)
+
+
+def test_select_with_backticked_identifier(facade):
+    df = facade.sql(
+        "SELECT id, age FROM lakefs.`repo`.`main`.company.workers WHERE age > 35 ORDER BY id"
+    )
+    assert [(r.id, r.age) for r in df.collect()] == [("3", 41), ("4", 36), ("5", 44)]
+
+
+def test_join_two_branches_in_one_query(facade):
+    facade.catalog.commit_branch("repo", "main", "seed")
+    facade.catalog.create_branch("repo", "b1", "main")
+    facade.sql("DELETE FROM lakefs.repo.b1.company.workers WHERE id = '6'")
+    df = facade.sql(
+        """
+        SELECT m.id FROM lakefs.repo.main.company.workers m
+        LEFT ANTI JOIN lakefs.repo.b1.company.workers b ON m.id = b.id
+        """
+    )
+    assert [r.id for r in df.collect()] == ["6"]
+
+
+def test_full_ddl_dml_lifecycle(facade):
+    facade.sql("CREATE SCHEMA lakefs.repo.main.db")
+    facade.sql("CREATE TABLE lakefs.repo.main.db.mytable (val int)")
+    facade.sql("INSERT INTO lakefs.repo.main.db.mytable VALUES (10)")
+    out = facade.sql("SELECT * FROM lakefs.repo.main.db.mytable")
+    assert [r.val for r in out.collect()] == [10]
+    tables = facade.sql("SHOW TABLES IN lakefs.repo.main.db").collect()
+    assert [(t.namespace, t.tableName) for t in tables] == [("repo.main.db", "mytable")]
+    with pytest.raises(NamespaceNotEmptyError):
+        facade.sql("DROP SCHEMA lakefs.repo.main.db")  # non-empty guard
+    facade.sql("DROP TABLE lakefs.repo.main.db.mytable")
+    facade.sql("DROP SCHEMA lakefs.repo.main.db")
+
+
+def test_insert_delete_update_where(facade):
+    facade.sql(
+        "INSERT INTO lakefs.repo.main.company.workers VALUES ('7', 'Jhon', 'Smith', 33, 'M'), ('8', 'Marta', 'Green', 31, 'F')"
+    )
+    assert facade.sql("SELECT * FROM lakefs.repo.main.company.workers").count() == 8
+    facade.sql("DELETE FROM lakefs.repo.main.company.workers WHERE id IN ('4', '5')")
+    assert facade.sql("SELECT * FROM lakefs.repo.main.company.workers").count() == 6
+    facade.sql("UPDATE lakefs.repo.main.company.workers SET age = age + 1 WHERE gender = 'F'")
+    got = {
+        (r.id, r.age)
+        for r in facade.sql("SELECT id, age FROM lakefs.repo.main.company.workers").collect()
+    }
+    assert ("6", 32) in got and ("8", 32) in got and ("1", 32) in got
+
+
+def test_describe_schema_and_rename_refused(facade):
+    info = facade.sql("DESCRIBE SCHEMA lakefs.repo.main.company").collect()
+    assert any(r.info_name == "location" for r in info)
+    with pytest.raises(UnsupportedOperationError):
+        facade.sql("ALTER TABLE lakefs.repo.main.company.workers RENAME TO x")
+    with pytest.raises(UnsupportedOperationError):
+        facade.sql("VACUUM lakefs.repo.main.company.workers")
