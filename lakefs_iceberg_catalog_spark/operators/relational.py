@@ -503,3 +503,61 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_o"),
         )
     )
+
+
+@register(
+    "agg_string_collect",
+    oracle="""
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_custkey) AS names,
+       count(*) AS n
+FROM (SELECT * FROM customer WHERE c_custkey <= 200)
+GROUP BY c_nationkey
+""",
+)
+def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): collect (key, name) structs,
+    sort the array (deterministic merge order regardless of partitioning),
+    project names, join. The collect is bounded by the group size — at
+    100 TB this is only safe on bounded groups (here: ≤200 customers)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("c_custkey", "c_name"))),
+                    lambda s: s["c_name"],
+                ),
+                ",",
+            ).alias("names"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+SELECT c_custkey,
+       (SELECT round(max(o_totalprice), 2) FROM orders WHERE o_custkey = c_custkey) AS max_order,
+       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)  AS n_orders
+FROM customer
+WHERE c_custkey <= 500
+""",
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries — Catalyst decorrelates both into ONE
+    left outer aggregate join on o_custkey (verify with .explain: no
+    per-row re-execution, no nested loops)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT round(max(o_totalprice), 2) FROM orders WHERE o_custkey = c_custkey) AS max_order,
+               (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        FROM customer
+        WHERE c_custkey <= 500
+        """
+    )

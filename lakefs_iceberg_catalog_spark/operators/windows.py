@@ -85,3 +85,32 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2).alias("running_sum"),
         dround(F.avg("value").over(w.rowsBetween(-2, W.currentRow)), 4).alias("moving_avg_3"),
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+SELECT c_custkey,
+       c_nationkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()   OVER w, 6)  AS cume,
+       nth_value(c_custkey, 2) OVER w  AS second_key,
+       first_value(c_custkey) OVER w   AS top_key
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2) DESC, c_custkey)
+""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution family: percent_rank / cume_dist / nth_value /
+    first_value per nation, over a fully deterministic (value, key) order so
+    frames agree across engines."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(dround("c_acctbal", 2).desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        dround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        dround(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_custkey", 2).over(w).alias("second_key"),
+        F.first_value("c_custkey").over(w).alias("top_key"),
+    )

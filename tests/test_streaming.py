@@ -49,3 +49,78 @@ def test_stream_dedup_is_exact_key_set(spark):
         for r in table(spark, SF_DIR, "events").select("user_id", "event_type").distinct().collect()
     }
     assert got == want
+
+
+def test_multibatch_watermark_and_checkpoint_recovery(spark, tmp_path):
+    """Genuine incremental streaming: events split into 4 time-ordered files
+    processed one per microbatch (watermark advances per batch), with a
+    checkpointed query stopped mid-stream and restarted — append mode must
+    emit every finalized window exactly once ACROSS the restart, matching
+    the batch tumbling aggregate filtered to the final watermark."""
+    import time as _time
+
+    e = table(spark, SF_DIR, "events").select("ts", "event_type").orderBy("ts")
+    rows = e.collect()
+    quarters = [rows[i * len(rows) // 4 : (i + 1) * len(rows) // 4] for i in range(4)]
+    src = tmp_path / "in"
+    src.mkdir()
+    staged = []
+    for i, chunk in enumerate(quarters):
+        part = tmp_path / f"stage{i}"
+        spark.createDataFrame(chunk, e.schema).coalesce(1).write.mode("overwrite").parquet(str(part))
+        pq = next(p for p in part.iterdir() if p.name.endswith(".parquet"))
+        staged.append((pq, src / f"{i:02d}.parquet"))
+
+    ckpt = str(tmp_path / "ckpt")
+    sink: list[tuple] = []  # foreachBatch is the fault-tolerant sink path
+                            # (memory sink refuses checkpoint recovery)
+
+    def start(n_files_visible):
+        for pq, dst in staged[:n_files_visible]:
+            if not dst.exists():
+                pq.rename(dst)
+                _time.sleep(0.05)  # distinct mtimes → deterministic file order
+        s = (
+            spark.readStream.schema(e.schema).format("parquet")
+            .option("maxFilesPerTrigger", "1").load(str(src))
+        )
+        agg = (
+            s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+        return (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, epoch: sink.extend(tuple(r) for r in df.collect()))
+            .option("checkpointLocation", ckpt).start()
+        )
+
+    q1 = start(2)
+    q1.processAllAvailable()
+    q1.stop()
+
+    q2 = start(4)
+    q2.processAllAvailable()
+    q2.stop()
+
+    emitted = list(sink)
+    # at-least-once across the restart boundary, but a finalized window must
+    # never be emitted twice with different values
+    assert len({(ws, et) for ws, et, _ in emitted}) == len(set(emitted))
+
+    import datetime
+
+    mx = table(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    expected = {
+        tuple(r)
+        for r in (
+            table(spark, SF_DIR, "events")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("w.end") <= mx - datetime.timedelta(minutes=10))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+            .collect()
+        )
+    }
+    assert set(emitted) == expected
