@@ -517,6 +517,67 @@ class VersionedCatalog:
         files, stats = self._write_data(levels, df)
         ops.commit(base, base.next(files, file_stats=stats))
 
+    # -------------------------------------------------------- maintenance
+
+    def expire_versions(self, identifier: str | list[str], keep_last: int = 1) -> list[int]:
+        """Snapshot expiry (Iceberg expire_snapshots): drop manifest versions
+        older than the newest `keep_last`, returning the expired version
+        numbers. Data files are NOT touched here — files may be shared by
+        other branches; reclamation is garbage_collect's job (reachability
+        over every branch, like lakeFS GC)."""
+        ops, levels = self._ops(identifier)
+        m = ops.current()
+        if m is None:
+            raise NoSuchTableError(".".join(levels))
+        expired = [v for v in range(1, m.version - keep_last + 1)]
+        for v in expired:
+            try:
+                os.remove(ops._version_path(v))
+            except FileNotFoundError:
+                pass
+        return expired
+
+    def referenced_files(self, repo: str) -> set[str]:
+        """Every repo-relative data path reachable from ANY live manifest
+        version on ANY branch — the GC root set."""
+        refs: set[str] = set()
+        repo_dir = self._repo_dir(repo)
+        for branch in sorted(os.listdir(repo_dir)):
+            bdir = os.path.join(repo_dir, branch)
+            if not os.path.isdir(bdir):
+                continue
+            for dirpath, dirnames, _ in os.walk(bdir):
+                ops = TableOperations(dirpath)
+                if ops.is_table_dir():
+                    for name in os.listdir(ops.meta_dir):
+                        if name.endswith(".manifest.json"):
+                            with open(os.path.join(ops.meta_dir, name)) as f:
+                                refs.update(TableManifest.from_json(f.read()).files)
+                    dirnames.clear()
+        return refs
+
+    def garbage_collect(self, repo: str, dry_run: bool = False) -> list[str]:
+        """Remove data files no live manifest on any branch references
+        (orphans from expired snapshots and dropped branches). Zero-copy
+        sharing makes per-branch deletion unsafe — reachability must be
+        computed repo-wide, which is why drop_table/expire never delete
+        data inline."""
+        refs = self.referenced_files(repo)
+        repo_dir = self._repo_dir(repo)
+        orphans = []
+        for dirpath, _, filenames in os.walk(repo_dir):
+            if os.path.basename(dirpath) != "data":
+                continue
+            for name in filenames:
+                if not name.endswith(".parquet"):
+                    continue
+                rel = self._rel(repo, os.path.join(dirpath, name))
+                if rel not in refs:
+                    orphans.append(rel)
+                    if not dry_run:
+                        os.remove(os.path.join(repo_dir, rel))
+        return sorted(orphans)
+
     # ------------------------------------------------------------- branches
 
     def _branches_path(self, repo: str) -> str:

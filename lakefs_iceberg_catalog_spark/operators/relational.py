@@ -561,3 +561,35 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey <= 500
         """
     )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics (min multiplicity per side)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference (multiplicities subtract)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b)

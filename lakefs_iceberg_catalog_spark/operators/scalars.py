@@ -263,3 +263,64 @@ def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(range_udaf("value"), 4).alias("value_range"),
         )
     )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+SELECT l_orderkey,
+       l_partkey,
+       l_orderkey & l_partkey  AS b_and,
+       l_orderkey | l_partkey  AS b_or,
+       xor(l_orderkey, l_partkey) AS b_xor,
+       l_orderkey << 2         AS b_shl,
+       l_orderkey >> 1         AS b_shr
+FROM lineitem
+WHERE l_linenumber = 1 AND l_orderkey < 10000
+""",
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts on integer keys."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") < 10000))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.col("l_orderkey").bitwiseAND(F.col("l_partkey")).alias("b_and"),
+            F.col("l_orderkey").bitwiseOR(F.col("l_partkey")).alias("b_or"),
+            F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("b_xor"),
+            F.shiftleft(F.col("l_orderkey"), 2).alias("b_shl"),
+            F.shiftright(F.col("l_orderkey"), 1).alias("b_shr"),
+        )
+    )
+
+
+@register(
+    "scalar_null_safe",
+    oracle="""
+WITH d AS (
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'P') AS status_n
+    FROM orders
+)
+SELECT o_orderkey,
+       status_n,
+       status_n IS NOT DISTINCT FROM 'F'   AS eq_f_nullsafe,
+       status_n IS DISTINCT FROM 'O'       AS ne_o_nullsafe,
+       status_n IS NULL                    AS is_n
+FROM d
+""",
+)
+def scalar_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe comparison semantics (<=> / IS [NOT] DISTINCT FROM) over a
+    derived nullable column — three-valued logic made two-valued."""
+    o = table(spark, sf_dir, "orders")
+    d = o.select("o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_n"))
+    return d.select(
+        "o_orderkey",
+        "status_n",
+        F.col("status_n").eqNullSafe(F.lit("F")).alias("eq_f_nullsafe"),
+        (~F.col("status_n").eqNullSafe(F.lit("O"))).alias("ne_o_nullsafe"),
+        F.col("status_n").isNull().alias("is_n"),
+    )

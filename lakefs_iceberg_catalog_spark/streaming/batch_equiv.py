@@ -203,3 +203,50 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_events_stream(spark, sf_dir, xform, mode="append")
+
+
+@register("stream_stream_interval_join")  # emission horizon ties to both
+# watermarks — semantics asserted in tests (subset/consistency), rows-only here
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner join: purchases joined to the same user's
+    signups within the preceding hour, both sides watermarked (10 min) with
+    an event-time range condition — the constraint that lets Spark bound
+    join state and drop old rows.
+
+    On a closed input, append mode emits the joinable pairs whose event
+    times are fully covered by the final watermarks; tests assert the
+    result is a consistent subset of the batch interval join. At 100 TB
+    the join state is (watermark + interval) per user — bounded, unlike an
+    unconstrained stream-stream join which would buffer both streams
+    forever."""
+    def xform(s):
+        purchases = (
+            s.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("p_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        signups = (
+            s.filter(F.col("event_type") == "signup")
+            .select(
+                F.col("event_id").alias("s_id"),
+                F.col("user_id").alias("s_user"),
+                F.col("ts").alias("s_ts"),
+            )
+            .withWatermark("s_ts", "10 minutes")
+        )
+        return purchases.join(
+            signups,
+            F.expr(
+                """
+                p_user = s_user AND
+                s_ts <= p_ts AND
+                s_ts >= p_ts - INTERVAL 1 HOUR
+                """
+            ),
+        ).select("p_id", "p_user", "p_ts", "s_id", "s_ts")
+
+    return run_events_stream(spark, sf_dir, xform, mode="append")

@@ -324,3 +324,29 @@ def test_compaction_reduces_files_keeps_history(cat):
     assert cat.scan("repo.main.company.workers").count() == n_rows
     # pre-compaction snapshot still readable via time travel
     assert cat.scan("repo.main.company.workers", version=ops.current().version - 1).count() == n_rows
+
+
+def test_expire_and_garbage_collect(cat):
+    """Expire old snapshots on main, then GC: files still referenced by a
+    live branch manifest must survive; truly orphaned files are removed and
+    scans on every branch still work."""
+    cat.create_branch("repo", "keeper", "main")  # shares v1's data files
+    cat.delete_where("repo.main.company.workers", "id = '1'")  # main v2: new files
+    cat.delete_where("repo.main.company.workers", "id = '2'")  # main v3
+    expired = cat.expire_versions("repo.main.company.workers", keep_last=1)
+    assert expired == [1, 2]
+    # v1/v2 gone from main's chain; current still reads
+    assert cat.scan("repo.main.company.workers").count() == 4
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        cat.scan("repo.main.company.workers", version=1)
+    # GC: v1 files are still referenced by 'keeper' branch → must survive
+    orphans = cat.garbage_collect("repo", dry_run=True)
+    assert cat.scan("repo.keeper.company.workers").count() == 6
+    removed = cat.garbage_collect("repo")
+    assert removed == orphans
+    # v2's rewrite files (only referenced by expired main v2) are orphans
+    assert len(removed) >= 1
+    # both branches still scan clean after deletion
+    assert cat.scan("repo.main.company.workers").count() == 4
+    assert cat.scan("repo.keeper.company.workers").count() == 6

@@ -124,3 +124,41 @@ def test_multibatch_watermark_and_checkpoint_recovery(spark, tmp_path):
         )
     }
     assert set(emitted) == expected
+
+
+def test_stream_stream_interval_join_consistent_with_batch(spark):
+    streamed = {
+        (r.p_id, r.s_id)
+        for r in registry.QUERIES["stream_stream_interval_join"](spark, SF_DIR).collect()
+    }
+    e = table(spark, SF_DIR, "events")
+    p = e.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS p_id", "user_id AS p_user", "ts AS p_ts"
+    )
+    s = e.filter("event_type = 'signup'").selectExpr(
+        "event_id AS s_id", "user_id AS s_user", "ts AS s_ts"
+    )
+    batch = {
+        (r.p_id, r.s_id)
+        for r in p.join(
+            s,
+            F.expr("p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR"),
+        ).collect()
+    }
+    assert streamed, "stream-stream join emitted nothing"
+    assert streamed <= batch  # never invents pairs
+    # all pairs older than the watermark horizon must have been emitted
+    import datetime
+
+    mx = e.agg(F.max("ts")).collect()[0][0]
+    horizon = mx - datetime.timedelta(minutes=70)  # interval + watermark delay
+    old_batch = {
+        (r.p_id, r.s_id)
+        for r in p.join(
+            s,
+            F.expr("p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR"),
+        )
+        .filter(F.col("p_ts") < F.lit(horizon))
+        .collect()
+    }
+    assert old_batch <= streamed
