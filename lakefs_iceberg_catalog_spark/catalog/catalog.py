@@ -648,6 +648,43 @@ class VersionedCatalog:
         }
         self._save_branches(repo, state)
 
+    def delete_branch(self, repo: str, branch: str) -> None:
+        """Delete a branch: remove its directory tree and registration. Data
+        files under the branch may still be referenced by OTHER branches'
+        manifests (zero-copy sharing) — they are left in place; space comes
+        back via garbage_collect's repo-wide reachability pass. The default
+        branch cannot be deleted."""
+        state = self._load_branches(repo)
+        if branch not in state["branches"]:
+            raise NoSuchNamespaceError(f"{repo}.{branch}")
+        if state["branches"][branch].get("parent") is None:
+            raise UnsupportedOperationError(f"cannot delete default branch {branch!r}")
+        bdir = os.path.join(self._repo_dir(repo), branch)
+        # 1) drop this branch's manifests (its references disappear) ...
+        for dirpath, dirnames, _ in os.walk(bdir):
+            ops = TableOperations(dirpath)
+            if ops.is_table_dir():
+                shutil.rmtree(ops.meta_dir)
+                dirnames[:] = [d for d in dirnames if d != METADATA_DIR]
+        # 2) ... then delete only data files under this prefix that no OTHER
+        # branch's live manifest still reaches (zero-copy sharing).
+        still_needed = self.referenced_files(repo)
+        shared = False
+        for dirpath, _, filenames in os.walk(bdir):
+            for name in filenames:
+                if not name.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, name)
+                if self._rel(repo, p) in still_needed:
+                    shared = True
+                else:
+                    os.remove(p)
+        if not shared:
+            shutil.rmtree(bdir, ignore_errors=True)
+        del state["branches"][branch]
+        state["commits"] = [c for c in state["commits"] if c["branch"] != branch]
+        self._save_branches(repo, state)
+
     def commit_branch(self, repo: str, branch: str, message: str) -> str:
         """Record the branch's current table versions as a commit (the
         reference delegates this to the lakeFS client — test_iceberg.py:31)."""

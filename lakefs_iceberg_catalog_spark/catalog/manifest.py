@@ -185,14 +185,25 @@ class TableOperations:
 
         os.makedirs(self.meta_dir, exist_ok=True)
         path = self._version_path(manifest.version)
+        # Write the full manifest to a private temp file, then PUBLISH it
+        # atomically with a hard link — link() both fails-if-exists (the
+        # set-if-absent arbiter) and makes the file appear fully formed, so
+        # a concurrent reader can never observe a torn half-written
+        # manifest. (Object-store equivalent: conditional PUT, which is
+        # atomic by nature.)
+        tmp = os.path.join(
+            self.meta_dir, f".commit.{os.getpid()}.{_uuid.uuid4().hex}.tmp"
+        )
+        with open(tmp, "w") as f:
+            f.write(manifest.to_json())
         try:
-            # Exclusive create: the set-if-absent that makes this lock-free.
-            with open(path, "x") as f:
-                f.write(manifest.to_json())
+            os.link(tmp, path)
         except FileExistsError as e:
             raise CommitConflictError(
                 f"lost commit race for v{manifest.version} at {path}"
             ) from e
+        finally:
+            os.unlink(tmp)
         self._write_version_hint(manifest.version)
         return manifest
 

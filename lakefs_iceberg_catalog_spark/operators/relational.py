@@ -593,3 +593,48 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     b = o.filter(F.col("o_orderpriority") == "5-LOW").select(F.col("o_custkey").alias("custkey"))
     return a.exceptAll(b)
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^k grouping sets in a single Expand+aggregate pass
+    (rollup's sibling; same one-scan property at any scale)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "limit_offset",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+""",
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: total order (unique tiebreak) + offset + limit. Spark
+    plans offset+limit together (GlobalLimit with skip) — still a single
+    per-partition top-(offset+limit) then merge, no full sort."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", dround("o_totalprice", 2).alias("total"))
+        .orderBy(F.col("total").desc(), F.col("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )

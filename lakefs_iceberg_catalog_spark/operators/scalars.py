@@ -324,3 +324,28 @@ def scalar_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~F.col("status_n").eqNullSafe(F.lit("O"))).alias("ne_o_nullsafe"),
         F.col("status_n").isNull().alias("is_n"),
     )
+
+
+@register(
+    "scalar_hash",
+    oracle="""
+SELECT doc_id,
+       md5(text)    AS h_md5,
+       sha256(text) AS h_sha256,
+       md5(text || ':' || CAST(doc_id AS VARCHAR)) AS h_salted
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest family (content addressing / dedup keys):
+    md5, sha256, salted md5 — hex output identical across engines."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("h_md5"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("h_sha256"),
+        F.md5(
+            F.encode(F.concat_ws(":", "text", F.col("doc_id").cast("string")), "UTF-8")
+        ).alias("h_salted"),
+    )

@@ -350,3 +350,74 @@ def test_expire_and_garbage_collect(cat):
     # both branches still scan clean after deletion
     assert cat.scan("repo.main.company.workers").count() == 4
     assert cat.scan("repo.keeper.company.workers").count() == 6
+
+
+def test_delete_branch_preserves_shared_files(cat):
+    """Deleting a branch must not break siblings that share its data files;
+    the default branch is protected."""
+    # child branch writes NEW data, then a grandchild shares it
+    cat.create_branch("repo", "feat", "main")
+    cat.insert_values("repo.feat.company.workers", [("50", "F", "G", 21, "M")])
+    cat.commit_branch("repo", "feat", "add 50")
+    cat.create_branch("repo", "featchild", "feat")
+    # featchild reads rows whose files live under feat's prefix
+    assert cat.scan("repo.featchild.company.workers").count() == 7
+    cat.delete_branch("repo", "feat")
+    # shared file survived the branch delete; child still reads 7 rows
+    assert cat.scan("repo.featchild.company.workers").count() == 7
+    with pytest.raises(Exception):
+        cat.scan("repo.feat.company.workers")
+    with pytest.raises(UnsupportedOperationError):
+        cat.delete_branch("repo", "main")
+    # deleting the child too orphans feat's leftover shared file — branch
+    # delete only cleans its OWN prefix; cross-prefix orphans are GC's job
+    cat.delete_branch("repo", "featchild")
+    removed = cat.garbage_collect("repo")
+    assert len(removed) == 1 and removed[0].startswith("feat/")
+    assert cat.scan("repo.main.company.workers").count() == 6  # main untouched
+
+
+def test_readers_never_see_torn_manifests(tmp_path):
+    """Concurrent readers during a commit storm must always observe a fully
+    formed manifest (the atomic link publish), never a torn JSON."""
+    import threading
+
+    ops = TableOperations(str(tmp_path / "t"))
+    m = ops.commit(None, new_manifest('{"type":"struct","fields":[]}', []))
+    stop = threading.Event()
+    errors = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                cur = ops.current()
+                assert cur is not None and cur.version >= 1
+            except Exception as e:  # torn read would surface here
+                errors.append(repr(e))
+                return
+
+    readers = [threading.Thread(target=reader) for _ in range(4)]
+    for t in readers:
+        t.start()
+    cur = m
+    for i in range(30):  # 30 sequential commits with contending retries
+        winners = []
+
+        def attempt(j, base):
+            try:
+                winners.append(ops.commit(base, base.next([f"f{j}.parquet"])))
+            except (CommitConflictError, CommitStateError):
+                pass
+
+        ts = [threading.Thread(target=attempt, args=(j, cur)) for j in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(winners) == 1
+        cur = ops.current()
+    stop.set()
+    for t in readers:
+        t.join()
+    assert errors == []
+    assert ops.current().version == 31
