@@ -42,6 +42,7 @@ HEADLINE = [
     "text_stats",
     "text_fingerprint",
     "stream_tumbling_window",
+    "pipeline_training_corpus",
 ]
 
 

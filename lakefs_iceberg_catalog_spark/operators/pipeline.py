@@ -1,0 +1,136 @@
+"""The north-star showcase: an end-to-end training-data pipeline as ONE
+declarative DataFrame program — quality gate → exact dedup → near-dup
+removal (MinHash-LSH) → per-language corpus accounting — with the whole
+pipeline replayed in SQL as its oracle.
+
+Scale notes (100 TB): each stage is exactly the operator documented in its
+home module (text.py / dedup.py); composing them adds no new shuffles beyond
+the stages' own — Catalyst pipelines the quality filter into the scan, the
+dedup keys reuse one exchange, and the only join is the output-sized LSH
+band join. This file is the proof that the pieces compose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+from .dedup import _BANDS, _MINHASH_THETA, _SEEDS, _shingle_rows
+from .util import dround
+
+_ORACLE = f"""
+WITH quality AS (
+    SELECT doc_id, lang, text,
+           len(string_split(text, ' ')) AS n_words
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 20
+      AND CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 3 AND 12
+      AND n_chars >= 100
+),
+exact AS (  -- keep the smallest doc_id per identical text
+    SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+),
+q2 AS (SELECT q.* FROM quality q JOIN exact e ON q.doc_id = e.doc_id),
+d AS (SELECT doc_id, string_split(text,' ') AS w FROM q2),
+s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM d WHERE len(w) >= 3),
+m AS (SELECT doc_id, sh,
+   {",".join(f"list_min(list_transform(sh, x -> md5('{s}|' || x))) AS h{s}" for s in _SEEDS)}
+      FROM s),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band, h{a} || h{b} AS key FROM m" for bi, (a, b) in enumerate(_BANDS))}
+),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                                   AND a.doc_id < b.doc_id),
+dupes AS (  -- drop the higher doc_id of every verified near-dup pair
+    SELECT DISTINCT c.doc_b AS doc_id
+    FROM cand c
+    JOIN s sa ON sa.doc_id = c.doc_a
+    JOIN s sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {_MINHASH_THETA}
+),
+corpus AS (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT doc_id FROM dupes))
+SELECT lang,
+       count(*)                         AS n_docs,
+       CAST(sum(n_words) AS BIGINT)     AS total_words,
+       CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens
+FROM corpus
+GROUP BY lang
+"""
+
+
+@register("pipeline_training_corpus", oracle=_ORACLE)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → quality gate → exact dedup (content digest) → near-dup
+    removal (MinHash-LSH, drop the higher id of each verified pair) →
+    per-language corpus size/token accounting."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    quality = d.filter(
+        (n_words >= 20)
+        & (F.col("n_chars").cast("double") / n_words).between(3, 12)
+        & (F.col("n_chars") >= 100)
+    ).select("doc_id", "lang", "text", n_words.alias("n_words"))
+
+    # exact dedup: keep min doc_id per content digest
+    keep_exact = (
+        quality.groupBy(F.md5(F.encode("text", "UTF-8")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    q2 = quality.join(keep_exact, "doc_id")
+
+    # near-dup removal over the SURVIVING docs: reuse the LSH pipeline on a
+    # restricted shingle set (semi-join pushes the restriction into the scan)
+    rows = _shingle_rows(spark, sf_dir).join(q2.select("doc_id"), "doc_id", "left_semi").persist()
+    m = rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))).alias(f"h{seed}")
+            for seed in _SEEDS
+        ]
+    )
+    bands = m.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), F.concat(f"h{a}", f"h{b}").alias("key"))
+                    for bi, (a, b) in enumerate(_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).persist()
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_r"), F.col("key").alias("key_r")
+    )
+    cand = (
+        bands.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("key") == F.col("key_r"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    from .dedup import _pair_jaccard
+
+    dupes = (
+        _pair_jaccard(cand, rows)
+        .filter(F.col("j") >= _MINHASH_THETA)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    corpus = q2.join(dupes, "doc_id", "left_anti")
+
+    return corpus.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum(F.ceil(F.length("text") / 4.0)).alias("est_tokens"),
+    )

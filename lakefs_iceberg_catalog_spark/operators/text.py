@@ -168,3 +168,59 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("wmin").alias("fp_size"),
         F.min("wmin").alias("fp_min"),
     )
+
+
+@register(
+    "text_quality_filter",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, lang, n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS avg_wlen,
+           len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and')))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+    FROM documents
+)
+SELECT doc_id, lang, n_words,
+       round(avg_wlen, 4)   AS avg_wlen,
+       round(stop_ratio, 4) AS stop_ratio
+FROM scored
+WHERE n_words >= 20
+  AND avg_wlen BETWEEN 3 AND 12
+  AND n_chars >= 100
+""",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter — the canonical pretraining gate: length floor,
+    plausible average word length, char floor (stopword ratio computed and
+    reported; thresholds are corpus-dependent). Pure expression pipeline:
+    the filter runs inside the scan's codegen stage, nothing shuffles."""
+    d = table(spark, sf_dir, "documents")
+    w = _words()
+    n_words = F.size(w)
+    avg_wlen = F.col("n_chars").cast("double") / n_words
+    stop_ratio = F.size(F.filter(w, lambda x: x.isin("the", "a", "of", "and"))) / n_words.cast(
+        "double"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            n_words.alias("n_words"),
+            avg_wlen.alias("avg_wlen_raw"),
+            stop_ratio.alias("stop_ratio_raw"),
+        )
+        .filter(
+            (F.col("n_words") >= 20)
+            & F.col("avg_wlen_raw").between(3, 12)
+            & (F.col("n_chars") >= 100)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            dround("avg_wlen_raw", 4).alias("avg_wlen"),
+            dround("stop_ratio_raw", 4).alias("stop_ratio"),
+        )
+    )

@@ -30,6 +30,7 @@ _OPERATOR_MODULES = [
     "lakefs_iceberg_catalog_spark.operators.similarity",
     "lakefs_iceberg_catalog_spark.operators.text",
     "lakefs_iceberg_catalog_spark.operators.multimodal",
+    "lakefs_iceberg_catalog_spark.operators.pipeline",
     "lakefs_iceberg_catalog_spark.operators.versioned",
     "lakefs_iceberg_catalog_spark.operators.versioned_dml",
     "lakefs_iceberg_catalog_spark.streaming.batch_equiv",
