@@ -38,18 +38,20 @@ _MINHASH_THETA = 0.5
 _SAME_SOURCE_THETA = 0.3
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, shingle) distinct word-3-gram rows.
+def shingle_rows_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, shingle) distinct word-3-gram rows for an arbitrary
+    documents-shaped DataFrame (doc_id, source, text).
 
     Exploded-row form rather than per-doc arrays: Spark's higher-order array
     lambdas (transform/aggregate) are interpreted, not codegen'd — building
     shingles via posexplode + lead windows keeps the whole pipeline inside
     WholeStageCodegen, and at 100 TB rows shuffle/spill incrementally where
-    giant array cells do not."""
-    d = table(spark, sf_dir, "documents")
+    giant array cells do not. Callers that filter docs (quality gates)
+    should filter BEFORE this call so discarded docs are never tokenized."""
+    spark = docs.sparkSession
     # local testdata is one parquet file → one input partition; spread the
     # work. On a real corpus the scan yields many splits already.
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     tok = d.select("doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w0"))
     from pyspark.sql.window import Window as W
 
@@ -61,6 +63,10 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.concat_ws(" ", "w0", "w1", "w2").alias("shingle"))
         .distinct()
     )
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_rows_of(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
 
 
 def _pair_jaccard(cand: DataFrame, rows: DataFrame) -> DataFrame:

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import table
-from .dedup import _BANDS, _MINHASH_THETA, _SEEDS, _shingle_rows
+from .dedup import _BANDS, _MINHASH_THETA, _SEEDS, shingle_rows_of
 from .util import dround
 
 _ORACLE = f"""
@@ -86,9 +86,9 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q2 = quality.join(keep_exact, "doc_id")
 
-    # near-dup removal over the SURVIVING docs: reuse the LSH pipeline on a
-    # restricted shingle set (semi-join pushes the restriction into the scan)
-    rows = _shingle_rows(spark, sf_dir).join(q2.select("doc_id"), "doc_id", "left_semi").persist()
+    # near-dup removal over the SURVIVING docs only — discarded docs are
+    # never tokenized (quality gate runs before the explode)
+    rows = shingle_rows_of(q2.withColumn("source", F.lit("")).select("doc_id", "source", "text")).persist()
     m = rows.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))).alias(f"h{seed}")
