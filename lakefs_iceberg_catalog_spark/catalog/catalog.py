@@ -742,6 +742,14 @@ class VersionedCatalog:
             dst_meta = os.path.join(dst_dir, tbl, METADATA_DIR)
             os.makedirs(dst_meta, exist_ok=True)
             os.makedirs(os.path.join(dst_dir, tbl, "data"), exist_ok=True)
+            # carry namespace markers for path components created by this
+            # merge (an object-level merge would move them the same way)
+            parts = tbl.split(os.sep)[:-1]
+            for i in range(1, len(parts) + 1):
+                src_marker = os.path.join(src_dir, *parts[:i], NS_METADATA)
+                dst_marker = os.path.join(dst_dir, *parts[:i], NS_METADATA)
+                if os.path.exists(src_marker) and not os.path.exists(dst_marker):
+                    shutil.copy2(src_marker, dst_marker)
             for v in range(1, src_v + 1):
                 name = f"v{v}.manifest.json"
                 s, d = os.path.join(src_meta, name), os.path.join(dst_meta, name)

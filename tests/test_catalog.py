@@ -421,3 +421,29 @@ def test_readers_never_see_torn_manifests(tmp_path):
         t.join()
     assert errors == []
     assert ops.current().version == 31
+
+
+def test_merge_new_table_created_on_branch(cat, spark):
+    """A table that exists ONLY on the source branch (created after the
+    fork) merges into the destination as a new table (base version 0 →
+    fast-forward from nothing)."""
+    cat.create_branch("repo", "feature", "main")
+    cat.create_namespace("repo.feature.newdb")
+    cat.create_table_as(
+        "repo.feature.newdb.metrics",
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double"),
+    )
+    cat.commit_branch("repo", "feature", "new table")
+    cat.merge("repo", "feature", "main")
+    got = cat.scan("repo.main.newdb.metrics")
+    assert {(r.k, r.v) for r in got.collect()} == {(1, 10.0), (2, 20.0)}
+
+
+def test_merge_carries_namespace_marker(cat, spark):
+    cat.create_branch("repo", "f2", "main")
+    cat.create_namespace("repo.f2.db2", {"team": "metrics"})
+    cat.create_table_as("repo.f2.db2.t", spark.createDataFrame([(1,)], "a int"))
+    cat.commit_branch("repo", "f2", "x")
+    cat.merge("repo", "f2", "main")
+    assert cat.load_namespace_metadata("repo.main.db2")["team"] == "metrics"
+    assert cat.list_tables("repo.main.db2") == ["t"]
