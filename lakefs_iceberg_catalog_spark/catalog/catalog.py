@@ -121,10 +121,21 @@ def _file_survives(stats: dict | None, col: str, op: str, value) -> bool:
 
 
 class VersionedCatalog:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, suppress_permission_errors: bool = False
+    ):
+        """``suppress_permission_errors`` mirrors the reference's optional
+        treat-AccessDenied-as-skip behavior on listings
+        (LakeFSCatalog.java:53,71,79-86): when set, children a caller cannot
+        stat are silently omitted from list results instead of raising."""
         self.spark = spark
         self.root = os.path.abspath(root)
+        self.suppress_permission_errors = suppress_permission_errors
         os.makedirs(self.root, exist_ok=True)
+
+    def _maybe_suppress(self, e: PermissionError) -> None:
+        if not self.suppress_permission_errors:
+            raise e
 
     # ---------------------------------------------------------------- paths
 
@@ -193,8 +204,11 @@ class VersionedCatalog:
         out = []
         for name in sorted(os.listdir(d)):
             child = os.path.join(d, name)
-            if os.path.isdir(child) and not TableOperations(child).is_table_dir():
-                out.append(levels + [name])
+            try:
+                if os.path.isdir(child) and not TableOperations(child).is_table_dir():
+                    out.append(levels + [name])
+            except PermissionError as e:
+                self._maybe_suppress(e)
         return out
 
     def drop_namespace(self, identifier: str | list[str]) -> None:
@@ -233,8 +247,11 @@ class VersionedCatalog:
         out = []
         for name in sorted(os.listdir(d)):
             child = os.path.join(d, name)
-            if os.path.isdir(child) and TableOperations(child).is_table_dir():
-                out.append(name)
+            try:
+                if os.path.isdir(child) and TableOperations(child).is_table_dir():
+                    out.append(name)
+            except PermissionError as e:
+                self._maybe_suppress(e)
         return out
 
     def table_exists(self, identifier: str | list[str]) -> bool:

@@ -33,7 +33,25 @@ from .errors import CommitConflictError, CommitStateError
 
 METADATA_DIR = "metadata"
 VERSION_HINT = "version-hint.text"
-_VERSION_RE = re.compile(r"^v(\d+)\.manifest\.json$")
+_VERSION_RE = re.compile(r"^v(\d+)\.manifest\.json(?:\.gz)?$")
+
+
+def _read_manifest_file(path: str) -> str | None:
+    """Read a manifest probing codecs: plain JSON, then gzip — the
+    reference's getMetadataFile codec probe (LakeFSTableOperations.java:
+    149-166, incl. the legacy .gz naming)."""
+    import gzip
+
+    try:
+        with open(path) as f:
+            return f.read()
+    except FileNotFoundError:
+        pass
+    try:
+        with gzip.open(path + ".gz", "rt") as f:
+            return f.read()
+    except FileNotFoundError:
+        return None
 
 
 @dataclass
@@ -130,7 +148,7 @@ class TableOperations:
         try:
             with open(hint) as f:
                 v = int(f.read().strip())
-                if os.path.exists(self._version_path(v)):
+                if self._version_exists(v):
                     return v
         except (FileNotFoundError, ValueError):
             pass
@@ -151,10 +169,14 @@ class TableOperations:
         v = self.find_version()
         if v == 0:
             return None
-        while os.path.exists(self._version_path(v + 1)):
+        while self._version_exists(v + 1):
             v += 1
-        with open(self._version_path(v)) as f:
-            return TableManifest.from_json(f.read())
+        content = _read_manifest_file(self._version_path(v))
+        return TableManifest.from_json(content) if content is not None else None
+
+    def _version_exists(self, version: int) -> bool:
+        p = self._version_path(version)
+        return os.path.exists(p) or os.path.exists(p + ".gz")
 
     # -- commit (LakeFSTableOperations.java:114-147) -------------------------
 

@@ -447,3 +447,49 @@ def test_merge_carries_namespace_marker(cat, spark):
     cat.merge("repo", "f2", "main")
     assert cat.load_namespace_metadata("repo.main.db2")["team"] == "metrics"
     assert cat.list_tables("repo.main.db2") == ["t"]
+
+
+def test_gzip_manifest_codec(tmp_path):
+    """getMetadataFile codec-probe parity: a gzip-compressed manifest in the
+    chain is read transparently (LakeFSTableOperations.java:149-166)."""
+    import gzip
+
+    ops = TableOperations(str(tmp_path / "t"))
+    m1 = ops.commit(None, new_manifest('{"type":"struct","fields":[]}', []))
+    m2 = ops.commit(m1, m1.next(["a.parquet"]))
+    # re-compress v2 as .gz (as an external tool might)
+    p = ops._version_path(2)
+    with open(p) as f:
+        content = f.read()
+    os.remove(p)
+    with gzip.open(p + ".gz", "wt") as f:
+        f.write(content)
+    cur = ops.current()
+    assert cur.version == 2 and cur.files == ["a.parquet"]
+    # chain walk across mixed codecs: commit v3 plain on top
+    ops.commit(cur, cur.next(["a.parquet", "b.parquet"]))
+    assert ops.current().version == 3
+    assert m2.version == 2
+
+
+def test_suppress_permission_errors_flag(spark, tmp_path, monkeypatch):
+    c_strict = VersionedCatalog(spark, str(tmp_path / "w"))
+    c_lax = VersionedCatalog(spark, str(tmp_path / "w"), suppress_permission_errors=True)
+    c_strict.create_repository("repo", "main")
+    c_strict.create_namespace("repo.main.ok")
+    c_strict.create_namespace("repo.main.locked")
+
+    import lakefs_iceberg_catalog_spark.catalog.catalog as catmod
+
+    real_isdir = os.path.isdir
+
+    def deny_locked(p):
+        if p.endswith(os.sep + "locked"):
+            raise PermissionError(p)
+        return real_isdir(p)
+
+    monkeypatch.setattr(catmod.os.path, "isdir", deny_locked)
+    with pytest.raises(PermissionError):
+        c_strict.list_namespaces("repo.main")
+    names = [lv[-1] for lv in c_lax.list_namespaces("repo.main")]
+    assert "ok" in names and "locked" not in names
