@@ -166,14 +166,23 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_nationkey, count(*) AS n_without_orders
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate > DATE '1998-06-01'
+)
 GROUP BY c_nationkey
 """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS)."""
+    """Left-anti join (NOT EXISTS): customers with no *recent* orders.
+
+    The right side is filtered to late-1998 orders so the anti-join result is
+    non-empty at every scale factor — an empty result would make the oracle
+    comparison vacuous (two empty sets always hash-match).  The date filter is
+    pushed into the orders scan before the shuffle.
+    """
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") > F.lit("1998-06-01").cast("date"))
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")

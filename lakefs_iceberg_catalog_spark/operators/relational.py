@@ -408,13 +408,21 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey AS custkey FROM customer
 EXCEPT
-SELECT o_custkey FROM orders
+SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1998-01-01'
 """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders via EXCEPT (set difference)."""
+    """Customers minus customers with 1998 orders via EXCEPT (set difference).
+
+    The subtracted side is filtered so the difference is non-empty at every
+    scale factor; an empty difference would make the oracle row vacuous.
+    """
     c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return c.exceptAll(o).distinct()
 
 

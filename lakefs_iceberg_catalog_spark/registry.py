@@ -51,6 +51,56 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver's per-round correctness sweep checks the FIRST 50 keys in
+# ``queries()`` iteration order.  Registration order is a module-import
+# artifact, so we pin an explicit priority: keys that only the driver can
+# hard-verify (versioned catalog, DML, Ring C, streaming, source round-trips)
+# come first; the classic relational/join/window/scalar keys — all already
+# driver-green in round 1 and replayed by tests/test_oracle.py every run —
+# ride the later slots.  Keys absent from this list keep registration order
+# after the listed ones; listed-but-unregistered names are ignored.
+_SWEEP_PRIORITY = [
+    # Ring B: versioned catalog + DML (reference's own E2E surface)
+    "source_rows", "sink_create_table_as", "ddl_create_table", "sink_append",
+    "dml_insert_values", "dml_delete_where", "branch_diff_equal",
+    "branch_merge", "ddl_schema_crud",
+    "dml_update_where", "dml_merge_upsert", "time_travel_scan",
+    # Ring C: LLM-data-pipeline operators
+    "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "similarity_topk", "similarity_ann_lsh", "similarity_pairs_blocked",
+    "text_stats", "text_lang_id", "text_token_count", "text_fingerprint",
+    "text_quality_filter",
+    "multimodal_decode", "multimodal_frame_sample",
+    "pipeline_training_corpus",
+    # Streaming (batch-equivalent checks)
+    "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
+    "stream_watermark_late_data", "stream_dedup", "stream_stateful",
+    "stream_stream_interval_join",
+    # Source/sink format round-trips
+    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "sink_partitioned_parquet",
+    # Advanced keys past round 1's cutoff
+    "window_range_frame", "unpivot_stack",
+    # De-vacuated set-difference semantics (non-empty results this round)
+    "join_anti", "set_except",
+    # Headline + representative re-checks of the already-green core
+    "flagship_top_unshipped", "q1_pricing_summary", "join_asof",
+    "window_rank", "scalar_json", "udaf_pandas", "agg_grouping_sets",
+    "subquery_correlated",
+]
+
+
+def _apply_sweep_priority() -> None:
+    """Rebuild QUERIES/ORACLES in sweep-priority order (dicts keep insertion
+    order, and ``__spark_entry__.queries()`` returns QUERIES as-is)."""
+    ordered = [k for k in _SWEEP_PRIORITY if k in QUERIES]
+    ordered += [k for k in QUERIES if k not in set(ordered)]
+    for d in (QUERIES, ORACLES):
+        snapshot = {k: d[k] for k in ordered if k in d}
+        d.clear()
+        d.update(snapshot)
+
+
 def load_all() -> None:
     """Import every operator module (idempotent) so the registry is full."""
     for mod in _OPERATOR_MODULES:
@@ -61,3 +111,4 @@ def load_all() -> None:
             # simply not yet implemented.
             if e.name and not e.name.startswith("lakefs_iceberg_catalog_spark"):
                 raise
+    _apply_sweep_priority()
