@@ -47,14 +47,38 @@ from .errors import (
     TableAlreadyExistsError,
     UnsupportedOperationError,
 )
-from .manifest import METADATA_DIR, TableManifest, TableOperations, new_manifest
+from .manifest import (
+    METADATA_DIR,
+    TableManifest,
+    TableOperations,
+    _read_manifest_file,
+    _VERSION_RE,
+    new_manifest,
+)
 
 NS_METADATA = "ns_metadata.json"   # namespace marker (LakeFSCatalog.java:50)
 BRANCHES_FILE = ".branches.json"   # per-repo branch bases + commit log
 
 
 def _split(identifier: str | list[str]) -> list[str]:
-    return identifier if isinstance(identifier, list) else identifier.split(".")
+    """Split an identifier into levels, rejecting components that could
+    escape the repo sandbox when joined into a filesystem path ('..', '.',
+    empty, or separator-bearing parts).  List-form identifiers and
+    backtick-quoted SQL parts go through here too, so the check guards every
+    entry point (LakeFSFileIO.verifyPath applies the same rule per path)."""
+    levels = identifier if isinstance(identifier, list) else identifier.split(".")
+    for part in levels:
+        if (
+            not part
+            or part in (".", "..")
+            or "/" in part
+            or "\\" in part
+            or "\x00" in part
+        ):
+            raise PathSandboxError(
+                f"illegal identifier component {part!r} in {identifier!r}"
+            )
+    return levels
 
 
 def _parquet_num_rows(path: str) -> int:
@@ -237,7 +261,10 @@ class VersionedCatalog:
             raise NoSuchTableError(
                 f"table identifier needs repo.branch.db.table, got {'.'.join(levels)}"
             )
-        return TableOperations(os.path.join(self.root, *levels)), levels
+        # Same sandbox as _ns_dir/_read_files: the resolved table dir must
+        # stay under the repo root before any read/write/rmtree touches it.
+        table_dir = self._verify_path(levels[0], os.path.join(self.root, *levels))
+        return TableOperations(table_dir), levels
 
     def list_tables(self, identifier: str | list[str]) -> list[str]:
         levels = _split(identifier)
@@ -347,12 +374,12 @@ class VersionedCatalog:
         if version is None:
             m = ops.current()
         else:
-            path = ops._version_path(version)
-            try:
-                with open(path) as f:
-                    m = TableManifest.from_json(f.read())
-            except FileNotFoundError:
+            # codec-probing read: the historic version may be stored plain
+            # or as the legacy .gz variant
+            content = _read_manifest_file(ops._version_path(version))
+            if content is None:
                 raise NoSuchTableError(f"{'.'.join(levels)} has no version {version}")
+            m = TableManifest.from_json(content)
         if m is None:
             raise NoSuchTableError(".".join(levels))
         return self._read_files(levels[0], m)
@@ -493,16 +520,22 @@ class VersionedCatalog:
             file_stats=m.file_stats,
         )
         df = self._read_files(levels[0], pruned)
-        sql_op = {"=": "=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}.get(op)
-        if sql_op:
-            lit = f"'{value}'" if isinstance(value, str) else repr(value)
-            return df.filter(F.expr(f"`{col}` {sql_op} {lit}"))
+        # Residual predicate from Column/lit objects — never string-assembled
+        # SQL, so quote-bearing values can't break (or inject into) the
+        # expression, and the residual always agrees with the stats-based
+        # file pruning applied to the same value above.
+        c = F.col(col)
         if op == "between":
             lo, hi = value
-            lo_l = f"'{lo}'" if isinstance(lo, str) else repr(lo)
-            hi_l = f"'{hi}'" if isinstance(hi, str) else repr(hi)
-            return df.filter(F.expr(f"`{col}` BETWEEN {lo_l} AND {hi_l}"))
-        return df
+            return df.filter(c.between(F.lit(lo), F.lit(hi)))
+        preds = {
+            "=": c == F.lit(value),
+            "<": c < F.lit(value),
+            "<=": c <= F.lit(value),
+            ">": c > F.lit(value),
+            ">=": c >= F.lit(value),
+        }
+        return df.filter(preds[op]) if op in preds else df
 
     def add_column(
         self, identifier: str | list[str], name: str, ddl_type: str
@@ -548,10 +581,11 @@ class VersionedCatalog:
             raise NoSuchTableError(".".join(levels))
         expired = [v for v in range(1, m.version - keep_last + 1)]
         for v in expired:
-            try:
-                os.remove(ops._version_path(v))
-            except FileNotFoundError:
-                pass
+            for path in (ops._version_path(v), ops._version_path(v) + ".gz"):
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
         return expired
 
     def referenced_files(self, repo: str) -> set[str]:
@@ -567,9 +601,17 @@ class VersionedCatalog:
                 ops = TableOperations(dirpath)
                 if ops.is_table_dir():
                     for name in os.listdir(ops.meta_dir):
-                        if name.endswith(".manifest.json"):
-                            with open(os.path.join(ops.meta_dir, name)) as f:
-                                refs.update(TableManifest.from_json(f.read()).files)
+                        # Both codecs are live manifests (the gz probe in
+                        # _read_manifest_file makes v<N>.manifest.json.gz
+                        # fully readable) — missing either here would let GC
+                        # delete data a live snapshot still references.
+                        if _VERSION_RE.match(name):
+                            base = name[:-3] if name.endswith(".gz") else name
+                            content = _read_manifest_file(
+                                os.path.join(ops.meta_dir, base)
+                            )
+                            if content is not None:
+                                refs.update(TableManifest.from_json(content).files)
                     dirnames.clear()
         return refs
 
@@ -721,12 +763,18 @@ class VersionedCatalog:
         return None
 
     def merge(self, repo: str, src_branch: str, dst_branch: str) -> None:
-        """Three-way merge of committed state, per table path:
+        """Three-way merge of committed state, per table path over
+        base ∪ src-current (so src-side deletions are seen), with version 0
+        meaning "table absent":
 
-        - src unchanged since its base → skip
-        - dst still at the base       → fast-forward: copy src's missing
-          manifest versions into dst (metadata only, zero data movement)
-        - both changed                → MergeConflictError (lakeFS semantics)
+        - src unchanged since its base         → skip
+        - dst moved off the base (incl. absent when the base had the table,
+          i.e. deleted-at-dst, or independently created) → MergeConflictError
+          (lakeFS delete-vs-modify semantics — a dst deletion is a change,
+          never silently recreated)
+        - src deleted the table, dst at base   → propagate the deletion
+        - else fast-forward: copy src's missing manifest versions into dst
+          (metadata only, zero data movement)
 
         Requires src's changes to be committed first (merge moves *committed*
         state — test_iceberg.py:31-32 commits then merges).
@@ -745,16 +793,34 @@ class VersionedCatalog:
         src_dir = os.path.join(self._repo_dir(repo), src_branch)
         dst_dir = os.path.join(self._repo_dir(repo), dst_branch)
 
-        for tbl, src_v in sorted(current.items()):
+        for tbl in sorted(set(base) | set(current)):
             base_v = base.get(tbl, 0)
-            dst_v = dst_tables.get(tbl, base_v)
+            src_v = current.get(tbl, 0)   # 0 = deleted on src since base
+            dst_v = dst_tables.get(tbl, 0)  # 0 = absent on dst
             if src_v == base_v:
-                continue
+                continue  # unchanged on src — dst's state wins untouched
             if dst_v != base_v:
+                what_src = f"v{src_v}" if src_v else "deleted"
+                what_dst = f"v{dst_v}" if dst_v else "deleted"
                 raise MergeConflictError(
-                    f"{tbl}: changed on both {src_branch} (v{src_v}) and "
-                    f"{dst_branch} (v{dst_v}) since base v{base_v}"
+                    f"{tbl}: changed on both {src_branch} ({what_src}) and "
+                    f"{dst_branch} ({what_dst}) since base v{base_v}"
                 )
+            if src_v == 0:
+                # deleted on src, dst still at base → propagate the deletion:
+                # drop dst's manifests; shared data files stay for GC's
+                # repo-wide reachability pass (same policy as delete_branch)
+                dst_tbl_dir = os.path.join(dst_dir, tbl)
+                meta = os.path.join(dst_tbl_dir, METADATA_DIR)
+                if os.path.isdir(meta):
+                    shutil.rmtree(meta)
+                still_needed = self.referenced_files(repo)
+                for dirpath, _, filenames in os.walk(dst_tbl_dir):
+                    for name in filenames:
+                        p = os.path.join(dirpath, name)
+                        if name.endswith(".parquet") and self._rel(repo, p) not in still_needed:
+                            os.remove(p)
+                continue
             src_meta = os.path.join(src_dir, tbl, METADATA_DIR)
             dst_meta = os.path.join(dst_dir, tbl, METADATA_DIR)
             os.makedirs(dst_meta, exist_ok=True)
@@ -768,10 +834,11 @@ class VersionedCatalog:
                 if os.path.exists(src_marker) and not os.path.exists(dst_marker):
                     shutil.copy2(src_marker, dst_marker)
             for v in range(1, src_v + 1):
-                name = f"v{v}.manifest.json"
-                s, d = os.path.join(src_meta, name), os.path.join(dst_meta, name)
-                if os.path.exists(s) and not os.path.exists(d):
-                    shutil.copy2(s, d)
+                # copy whichever codec variant the source holds
+                for name in (f"v{v}.manifest.json", f"v{v}.manifest.json.gz"):
+                    s, d = os.path.join(src_meta, name), os.path.join(dst_meta, name)
+                    if os.path.exists(s) and not os.path.exists(d):
+                        shutil.copy2(s, d)
             TableOperations(os.path.join(dst_dir, tbl))._write_version_hint(src_v)
         # advance src's merge base to what both sides now agree on
         state["branches"][src_branch]["base"] = self._branch_tables(repo, src_branch)

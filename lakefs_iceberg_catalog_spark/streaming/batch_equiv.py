@@ -81,7 +81,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH o AS (
     SELECT user_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                 THEN 1 ELSE 0 END AS new_s
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)

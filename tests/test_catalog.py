@@ -493,3 +493,85 @@ def test_suppress_permission_errors_flag(spark, tmp_path, monkeypatch):
         c_strict.list_namespaces("repo.main")
     names = [lv[-1] for lv in c_lax.list_namespaces("repo.main")]
     assert "ok" in names and "locked" not in names
+
+
+def test_identifier_traversal_rejected(cat, tmp_path):
+    """'..'/empty/separator components in identifiers must be rejected before
+    any filesystem access — list-form identifiers and backtick-quoted SQL
+    parts both resolve through _split (LakeFSFileIO.verifyPath applies the
+    same rule to every path). A DROP through such an identifier would
+    otherwise rmtree outside the repo root."""
+    outside = tmp_path / "outside"
+    outside.mkdir()
+    (outside / "keep.txt").write_text("x")
+    for ident in (
+        ["repo", "..", "..", outside.name, "x"],
+        ["repo", "main", "db", ".."],
+        ["repo", "main", "", "t"],
+        ["repo", "main", "db", "evil/../../../x"],
+    ):
+        with pytest.raises(PathSandboxError):
+            cat.drop_table(ident)
+        with pytest.raises(PathSandboxError):
+            cat.scan(ident)
+    assert (outside / "keep.txt").exists()
+
+
+def test_gc_sees_gzip_manifests(cat):
+    """A data file referenced ONLY by a gz-compressed manifest is live, not
+    an orphan — GC and branch delete must honor the codec probe, and
+    time-travel scan must read the gz variant."""
+    import gzip
+
+    ops, _ = cat._ops("repo.main.company.workers")
+    v = ops.current().version
+    p = ops._version_path(v)
+    with open(p) as f:
+        content = f.read()
+    os.remove(p)
+    with gzip.open(p + ".gz", "wt") as f:
+        f.write(content)
+    assert cat.garbage_collect("repo", dry_run=True) == []
+    assert cat.scan("repo.main.company.workers").count() == 6
+    assert cat.scan("repo.main.company.workers", version=v).count() == 6
+    # expire_versions removes gz variants too
+    cat.insert_values("repo.main.company.workers", [("7", "Gz", "Probe", 20, "F")])
+    expired = cat.expire_versions("repo.main.company.workers", keep_last=1)
+    assert v in expired
+    assert not os.path.exists(p + ".gz")
+
+
+def test_merge_delete_vs_modify_conflict(cat):
+    """lakeFS semantics: a table deleted on the destination since the base is
+    a CHANGE — merging a source that modified it must raise, never silently
+    recreate the table."""
+    cat.create_branch("repo", "b1", "main")
+    cat.delete_where("repo.b1.company.workers", "id = '6'")
+    cat.commit_branch("repo", "b1", "modify on b1")
+    cat.drop_table("repo.main.company.workers")  # deleted on dst
+    with pytest.raises(MergeConflictError):
+        cat.merge("repo", "b1", "main")
+
+
+def test_merge_propagates_src_deletion(cat):
+    """A table dropped on the source branch (and committed) merges as a
+    deletion when the destination is still at the base."""
+    cat.create_branch("repo", "b1", "main")
+    cat.drop_table("repo.b1.company.workers")
+    cat.commit_branch("repo", "b1", "drop workers")
+    cat.merge("repo", "b1", "main")
+    assert not cat.table_exists("repo.main.company.workers")
+    # main's leftover data files are unreferenced → GC reclaims them
+    assert all(o.startswith("main/") for o in cat.garbage_collect("repo"))
+
+
+def test_scan_pruned_quote_safe(cat, spark):
+    """Residual predicates are built from Column/lit objects: a value holding
+    a single quote must filter correctly instead of breaking (or injecting
+    into) a string-assembled expression."""
+    cat.insert_values(
+        "repo.main.company.workers", [("8", "Miles", "O'Brien", 40, "M")]
+    )
+    df = cat.scan_pruned("repo.main.company.workers", "lastname", "=", "O'Brien")
+    got = [tuple(r) for r in df.select("id", "lastname").collect()]
+    assert got == [("8", "O'Brien")]
