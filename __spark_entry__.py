@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lakefs_iceberg_catalog_spark import registry
+from lakefs_iceberg_catalog_spark import registry, shipping
 from lakefs_iceberg_catalog_spark.operators import relational
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -27,13 +27,28 @@ def entry(spark: SparkSession) -> DataFrame:
     TPC-H-Q3-shaped: scan + filter + broadcast/shuffle joins + hash agg +
     top-k (SURVEY.md §7 Phase 0).
     """
+    shipping.ensure_workers_can_import(spark)
     return relational.flagship_top_unshipped(spark, SMOKE_SF_DIR)
+
+
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap an operator so the package source reaches the Python workers
+    before any cloudpickled executor function needs to import it — the
+    driver calls from an arbitrary cwd where only ITS sys.path knows us."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        shipping.ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     registry.load_all()
-    return dict(registry.QUERIES)
+    return {name: _shipped(fn) for name, fn in registry.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -71,6 +71,13 @@ def main() -> None:
             assert n >= 0
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
+    # Host-load context: this container shares a noisy host (single runs
+    # inflate 3-6× under ambient load); the 1-minute loadavg lets a reader
+    # tell a code regression from a busy-host artifact.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
     print(
         json.dumps(
             {
@@ -79,6 +86,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load1": load1,
             }
         )
     )

@@ -13,16 +13,14 @@ Scale notes (100 TB):
   Band keys are md5-uniform → no skew. k/b/r are constants; signature
   computation is per-row higher-order array ops, no shuffle.
 - n-gram Jaccard is the verify step and the same-source variant shows the
-  blocked-all-pairs pattern; at 100 TB you ONLY run it on LSH candidates.
-- SimHash: per-row Arrow-batched pandas computation + sort on the 64-bit
-  key; Hamming-neighbor lookup joins on rotated key prefixes (not included —
-  bucket join shown by the LSH operator).
+  blocked-all-pairs pattern with a document-frequency cap bounding hot-
+  shingle fanout; at 100 TB you ONLY run it on LSH candidates.
+- SimHash: pure codegen'd expression pipeline (md5 bits + majority vote via
+  partial aggregation); Hamming-neighbor lookup joins on rotated key
+  prefixes (not included — bucket join shown by the LSH operator).
 """
 
 from __future__ import annotations
-
-import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -213,34 +211,40 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-WITH {_ORACLE_SHINGLES},
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source AS source,
-             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
-      FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, source, round(j, 6) AS jaccard
-FROM p WHERE j >= {_SAME_SOURCE_THETA}
-""",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard within a blocking key (same `source`): the
-    blocked-all-pairs pattern. The block join is an equi-join on source (one
-    shuffle); pair count is Σ C(block,2), which is why at 100 TB the block
-    must stay bounded (or be replaced by LSH candidates — previous op)."""
-    rows = _shingle_rows(spark, sf_dir).persist()
-    # One join does both candidate generation AND |A∩B|: docs sharing ≥1
-    # shingle within the source block meet on (source, shingle), and the
-    # per-pair row count IS the intersection size. Zero-overlap pairs have
-    # J=0 < θ and are correctly absent; the all-pairs cross product never
-    # materializes.
-    ra = rows.select(F.col("doc_id").alias("doc_a"), "source", F.col("shingle").alias("sh_a"))
-    rb = rows.select(
+_NGRAM_DF_CAP = 16
+
+
+def ngram_kept_rows(rows: DataFrame, df_cap: int | None) -> DataFrame:
+    """Drop shingles whose document frequency within a `source` block exceeds
+    df_cap — the standard df-cut that keeps blocked n-gram Jaccard safe at
+    scale: a shingle shared by k docs of one block yields C(k,2) join rows,
+    so one hot boilerplate shingle in a big block is quadratic. The df count
+    is a window over (source, shingle) — the SAME hash partitioning the pair
+    join shuffles on, so Catalyst reuses the exchange instead of adding one."""
+    if df_cap is None:
+        return rows
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("source", "shingle")
+    return (
+        rows.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
+    )
+
+
+def ngram_pairs(kept: DataFrame) -> DataFrame:
+    """Candidate pairs + intersection sizes from the (source, shingle) join.
+    One join does both candidate generation AND |A∩B|: docs sharing ≥1 kept
+    shingle within the source block meet on (source, shingle), and the
+    per-pair row count IS the intersection size. Zero-overlap pairs have
+    J=0 < θ and are correctly absent; the all-pairs cross product never
+    materializes."""
+    ra = kept.select(F.col("doc_id").alias("doc_a"), "source", F.col("shingle").alias("sh_a"))
+    rb = kept.select(
         F.col("doc_id").alias("doc_b"), F.col("source").alias("source_r"), F.col("shingle").alias("sh_b")
     )
-    inter = (
+    return (
         ra.join(
             rb,
             (F.col("source") == F.col("source_r"))
@@ -250,7 +254,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b", "source")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    cnt = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+
+def ngram_jaccard_of(docs: DataFrame, theta: float, df_cap: int | None) -> DataFrame:
+    """Blocked exact n-gram Jaccard over a documents-shaped DataFrame; the
+    Jaccard universe is the df-capped shingle set (denominators count kept
+    shingles only, mirrored exactly by the DuckDB oracle)."""
+    rows = shingle_rows_of(docs).persist()
+    kept = ngram_kept_rows(rows, df_cap).persist()
+    inter = ngram_pairs(kept)
+    cnt = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
@@ -262,40 +275,105 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias("j"),
         )
-        .filter(F.col("j") >= _SAME_SOURCE_THETA)
+        .filter(F.col("j") >= theta)
         .select("doc_a", "doc_b", "source", dround("j", 6).alias("jaccard"))
     )
 
 
-@register("dedup_simhash")  # bit-level hash construction — no SQL oracle (rows-only)
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_ORACLE_SHINGLES},
+r AS (SELECT doc_id, source, unnest(sh) AS shingle FROM s),
+kept AS (SELECT doc_id, source, shingle FROM r
+         QUALIFY count(*) OVER (PARTITION BY source, shingle) <= {_NGRAM_DF_CAP}),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source AS source, count(*) AS i
+      FROM kept a JOIN kept b ON a.source = b.source AND a.shingle = b.shingle
+                              AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3),
+p AS (SELECT i.doc_a, i.doc_b, i.source,
+             CAST(i.i AS DOUBLE) / (ca.n_sh + cb.n_sh - i.i) AS j
+      FROM i JOIN cnt ca ON ca.doc_id = i.doc_a
+             JOIN cnt cb ON cb.doc_id = i.doc_b)
+SELECT doc_a, doc_b, source, round(j, 6) AS jaccard
+FROM p WHERE j >= {_SAME_SOURCE_THETA}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard within a blocking key (same `source`): the
+    blocked-all-pairs pattern, made scale-safe by a document-frequency cap —
+    shingles appearing in more than {_NGRAM_DF_CAP} docs of a block are
+    boilerplate and are dropped BEFORE the pair join, bounding the per-
+    shingle fanout at C(cap,2). The block join is an equi-join on
+    (source, shingle); at 100 TB the remaining knob is block size (or route
+    through LSH candidates — previous op). The hot-shingle quadratic
+    blow-up this prevents is regression-tested in tests/test_ringc.py."""
+    return ngram_jaccard_of(
+        table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        _SAME_SOURCE_THETA,
+        _NGRAM_DF_CAP,
+    )
+
+
+# Per-(token, bit) vote: hex digit (bit div 4) of the token hash, bit
+# (3 - bit%4) within the nibble — i.e. bit index counted MSB-first over the
+# first 8 md5 bytes, exactly the layout of numpy unpackbits on digest[:8].
+# Bit 0 (the sign bit of a 64-bit value) is dropped to stay in signed-long
+# range; positions 1..63 contribute 2^(63-bit).
+_SIMHASH_VOTE = (
+    "2 * (shiftright(instr('0123456789abcdef', substring(hx, cast(bit div 4 as int) + 1, 1)) - 1,"
+    " cast(3 - bit % 4 as int)) & 1) - 1"
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM t),
+b AS (SELECT doc_id, hx, bit FROM h CROSS JOIN (SELECT unnest(range(1, 64)) AS bit) bits),
+v AS (SELECT doc_id, bit,
+         SUM(2 * (((instr('0123456789abcdef', substr(hx, CAST(bit // 4 AS INTEGER) + 1, 1)) - 1)
+                   >> CAST(3 - bit % 4 AS INTEGER)) & 1) - 1) AS votes
+      FROM b GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN votes > 0
+                     THEN CAST(1 AS BIGINT) << CAST(63 - bit AS INTEGER)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM v GROUP BY doc_id
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document: per-token md5-derived 64-bit hashes,
-    bitwise majority vote over tokens. Near-dups = small Hamming distance.
+    bitwise majority vote over token occurrences. Near-dups = small Hamming
+    distance; pairing/bucketing at scale reuses the LSH band-join shown in
+    dedup_near_minhash.
 
-    Implemented in mapInPandas (Arrow batches): the bit-matrix majority is a
-    numpy popcount-style operation with no built-in Spark form. Deterministic
-    (md5 → fixed bits), asserted in tests/test_ringc.py; pairing/bucketing at
-    scale reuses the LSH band-join shown in dedup_near_minhash.
-    """
-    import hashlib
-
+    Fully JVM-side (no Python in the hot path): posexplode tokens → built-in
+    md5 → per-bit extraction from the hex digits via integer shifts → votes
+    summed by (doc, bit) with map-side partial aggregation → the final
+    per-doc fold packs majority bits back into one long. Every expression is
+    whole-stage-codegen'd; the 63× bit fanout collapses in the partial agg
+    before any shuffle, so the exchange carries ≤ 63 rows per document.
+    DuckDB replays the identical arithmetic, so the key is hash-matched
+    (it was rows-only while the hashing lived in a Python loop)."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def simhash_batches(batches):
-        for pdf in batches:
-            out = []
-            for text in pdf["text"]:
-                toks = text.split(" ") if text else []
-                if not toks:
-                    out.append(0)
-                    continue
-                # (n_tokens, 64) bit matrix from the first 8 md5 bytes per
-                # token, unpacked vectorized; majority vote per bit position.
-                raw = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks)
-                bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8), axis=1)
-                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-                sh = int.from_bytes(np.packbits(votes > 0).tobytes(), "big")
-                out.append(sh & 0x7FFFFFFFFFFFFFFF)  # keep in signed-long range
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
-
-    return d.mapInPandas(simhash_batches, "doc_id long, simhash long")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hx = toks.select("doc_id", F.substring(F.md5(F.col("tok").cast("binary")), 1, 16).alias("hx"))
+    bits = hx.select(
+        "doc_id", "hx", F.explode(F.sequence(F.lit(1), F.lit(63))).alias("bit")
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(F.expr(_SIMHASH_VOTE)).alias("votes")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("votes") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(63 - bit as int))"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )

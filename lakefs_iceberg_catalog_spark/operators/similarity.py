@@ -130,23 +130,38 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Planes are generated from a fixed seed on the driver and embedded as
     literal array columns — every executor hashes identically, and reruns
     are deterministic. Recall vs the brute-force baseline and the candidate
-    cost reduction are asserted in tests/test_ringc.py."""
+    cost reduction are asserted in tests/test_ringc.py.
+
+    Single corpus scan: all 3 tables' bucket keys are computed in ONE pass
+    as an exploded array of (tbl, bucket) structs — a per-table union would
+    re-read the corpus once per hash table (3× IO at 100 TB; the same
+    one-scan-explode shape as the MinHash band keys). The plan is audited
+    in tests/test_plans.py to hold at exactly two embedding scans: the
+    streamed corpus side plus the pushed-filter query side."""
     e = table(spark, sf_dir, "embeddings")
-    bucketed = None
-    for ti, tbl_planes in enumerate(_planes()):
-        planes = F.array(*[F.array(*[F.lit(float(v)) for v in p]) for p in tbl_planes])
-        part = e.select(
-            "vec_id",
-            "embedding",
-            F.lit(ti).alias("tbl"),
-            F.concat_ws(
-                "",
-                F.transform(
-                    planes, lambda p: F.when(_dot(p, F.col("embedding")) >= 0, "1").otherwise("0")
-                ),
-            ).alias("bucket"),
-        )
-        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    table_structs = F.array(
+        *[
+            F.struct(
+                F.lit(ti).alias("tbl"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array(*[F.array(*[F.lit(float(v)) for v in p]) for p in tbl_planes]),
+                        lambda p: F.when(_dot(p, F.col("embedding")) >= 0, "1").otherwise("0"),
+                    ),
+                ).alias("bucket"),
+            )
+            for ti, tbl_planes in enumerate(_planes())
+        ]
+    )
+    bucketed = e.select(
+        "vec_id", "embedding", F.explode(table_structs).alias("tb")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
+    )
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -1,0 +1,37 @@
+"""The grading driver imports __spark_entry__ via sys.path from an arbitrary
+working directory, with a SparkSession the engine does not own. Python
+workers do NOT inherit the driver process's sys.path, so any cloudpickled
+executor function that references a module-level name (the multimodal
+mapInPandas codecs) dies with ModuleNotFoundError unless the package source
+is shipped to workers (shipping.ensure_workers_can_import via addPyFile).
+This replays that exact environment in a fresh interpreter."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+_SCRIPT = """
+import sys; sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4")
+         .getOrCreate())
+import __spark_entry__ as e
+q = e.queries()
+assert q["multimodal_decode"](spark, "/root/testdata/sf0.001").count() > 0
+assert q["multimodal_frame_sample"](spark, "/root/testdata/sf0.001").count() > 0
+print("HOSTILE_CWD_OK")
+"""
+
+
+def test_worker_import_from_hostile_cwd():
+    r = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "HOSTILE_CWD_OK" in r.stdout, (r.stdout + r.stderr)[-3000:]

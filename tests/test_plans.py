@@ -95,6 +95,24 @@ def test_minhash_band_join_is_hash_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_ann_lsh_single_corpus_scan(spark):
+    """The 3 LSH hash tables must come from ONE exploded pass over the
+    corpus, not a per-table union (which re-reads embeddings once per
+    table — 3× IO at 100 TB). Exactly two FileScans are allowed: the
+    streamed corpus side and the pushed-filter query side."""
+    p = plan(q(spark, "similarity_ann_lsh"), mode="simple")
+    assert p.count("FileScan") == 2, p
+
+
+def test_simhash_is_jvm_side(spark):
+    """SimHash must stay inside whole-stage codegen: no Python evaluation
+    (mapInPandas/ArrowEval) anywhere in the plan, and the 63× bit fanout
+    must collapse in a partial aggregation before the exchange."""
+    p = plan(q(spark, "dedup_simhash"), mode="simple")
+    assert "InPandas" not in p and "ArrowEval" not in p and "BatchEval" not in p
+    assert "partial_sum" in p
+
+
 def test_similarity_topk_broadcasts_queries(spark):
     p = plan(q(spark, "similarity_topk"))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

@@ -60,6 +60,28 @@ def test_ann_lsh_recall(spark):
         assert cos == sorted(cos, reverse=True)
 
 
+def test_ngram_df_cap_bounds_hot_shingle_pairs(spark):
+    """A boilerplate shingle shared by k docs of one block yields C(k,2)
+    candidate pairs; the document-frequency cap must drop it BEFORE the pair
+    join so the blow-up never materializes (the scale guard for 100 TB)."""
+    from lakefs_iceberg_catalog_spark.operators.dedup import (
+        ngram_kept_rows,
+        ngram_pairs,
+        shingle_rows_of,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "src", f"HOT HOT HOT u{i}a u{i}b u{i}c u{i}d") for i in range(80)],
+        "doc_id long, source string, text string",
+    )
+    rows = shingle_rows_of(docs).persist()
+    try:
+        assert ngram_pairs(ngram_kept_rows(rows, None)).count() == 80 * 79 // 2
+        assert ngram_pairs(ngram_kept_rows(rows, 16)).count() == 0
+    finally:
+        rows.unpersist()
+
+
 def test_approx_distinct_accuracy(spark):
     rows = registry.QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
     exact = {
