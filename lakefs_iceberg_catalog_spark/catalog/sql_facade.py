@@ -14,7 +14,11 @@ catalog-plugin jar, the equivalent Python surface is this facade:
 - A small DDL/DML dispatcher maps the statement forms the reference's tests
   exercise onto catalog methods (CREATE/DROP SCHEMA, SHOW TABLES,
   CREATE/DROP TABLE, INSERT INTO ... VALUES, DELETE FROM ... WHERE,
-  UPDATE ... SET ... WHERE).
+  UPDATE ... SET ... WHERE, MERGE INTO ... WHEN MATCHED/NOT MATCHED).
+- Session namespace state: ``USE lakefs.<repo>.<branch>[.<ns>...]`` pins a
+  current namespace so the bare ``SHOW TABLES`` / ``SHOW CURRENT
+  NAMESPACE`` forms the reference E2E runs work
+  (TestLakeFSCatalogSpark.java:79-80, 88).
 
 Identifiers accept optional backticks on each part, like the reference's
 ``lakefs.`repo`.`main`.company.workers``.
@@ -30,6 +34,10 @@ from .errors import UnsupportedOperationError
 
 _PART = r"(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_$-]*)"
 _IDENT = rf"\blakefs(?:\.{_PART}){{3,}}"
+# Namespace-level statements accept repo.branch (2 levels) and deeper —
+# the reference runs DESCRIBE SCHEMA / USE at both depths
+# (TestLakeFSCatalogSpark.java:64, 79).
+_NS_IDENT = rf"\blakefs(?:\.{_PART}){{2,}}"
 
 
 def _clean(ident: str) -> list[str]:
@@ -41,6 +49,9 @@ class SqlFacade:
     def __init__(self, catalog):
         self.catalog = catalog
         self.spark = catalog.spark
+        # session-scoped current namespace, set by USE (reference:
+        # TestLakeFSCatalogSpark.java:79 `USE lakefs.repo.main.db`)
+        self.current_namespace: list[str] | None = None
 
     # ---------------------------------------------------------------- DQL
 
@@ -77,15 +88,37 @@ class SqlFacade:
             self.catalog.drop_namespace(_clean(m.group(1)))
             return mk([], "result string")
 
-        m = re.match(rf"(?is)^SHOW\s+TABLES\s+(?:IN|FROM)\s+({_IDENT})\s*$", s)
+        m = re.match(rf"(?is)^SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+({_NS_IDENT}))?\s*$", s)
         if m:
-            levels = _clean(m.group(1))
+            if m.group(1) is not None:
+                levels = _clean(m.group(1))
+            elif self.current_namespace is not None:
+                levels = self.current_namespace
+            else:
+                raise UnsupportedOperationError(
+                    "SHOW TABLES needs an IN <namespace> clause or a prior USE"
+                )
             return mk(
                 [(".".join(levels), t) for t in self.catalog.list_tables(levels)],
                 "namespace string, tableName string",
             )
 
-        m = re.match(rf"(?is)^DESCRIBE\s+(?:SCHEMA|NAMESPACE)\s+({_IDENT})\s*$", s)
+        m = re.match(rf"(?is)^USE\s+({_NS_IDENT})\s*$", s)
+        if m:
+            levels = _clean(m.group(1))
+            # validate existence the way Spark's USE does (errors on a
+            # missing namespace) — load_namespace_metadata raises
+            # NoSuchNamespaceError for us
+            self.catalog.load_namespace_metadata(levels)
+            self.current_namespace = levels
+            return mk([], "result string")
+
+        m = re.match(r"(?is)^SHOW\s+CURRENT\s+NAMESPACE\s*$", s)
+        if m:
+            ns = ".".join(self.current_namespace) if self.current_namespace else ""
+            return mk([("lakefs", ns)], "catalog string, namespace string")
+
+        m = re.match(rf"(?is)^DESCRIBE\s+(?:SCHEMA|NAMESPACE)\s+({_NS_IDENT})\s*$", s)
         if m:
             meta = self.catalog.load_namespace_metadata(_clean(m.group(1)))
             return mk(sorted(meta.items()), "info_name string, info_value string")
@@ -123,12 +156,71 @@ class SqlFacade:
             self.catalog.update_where(_clean(m.group(1)), m.group(3), assignments)
             return mk([], "result string")
 
+        m = re.match(
+            rf"(?is)^MERGE\s+INTO\s+({_IDENT})(?:\s+(?:AS\s+)?(\w+))?"
+            rf"\s+USING\s+(.+?)\s+ON\s+(.+?)\s+WHEN\s+(.+)$",
+            s,
+        )
+        if m:
+            target, t_alias, using, on, when = m.groups()
+            return self._merge_into(target, t_alias, using, on, when, mk)
+
         m = re.match(rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\b", s)
         if m:
             # preserved non-capability (SURVEY.md §2.3)
             self.catalog.rename_table(_clean(m.group(1)), None)
 
         raise UnsupportedOperationError(f"unsupported statement: {s[:80]!r}")
+
+    def _merge_into(self, target, t_alias, using, on, when, mk) -> DataFrame:
+        """MERGE INTO <target> USING <source> ON <equi-keys> WHEN MATCHED
+        THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the whole-row
+        upsert form the reference's pinned Iceberg SQL extensions expose;
+        dispatched onto catalog.merge_upsert (target-anti-join ∪ source in
+        one copy-on-write commit). Sources: a lakefs table identifier or a
+        parenthesized subquery with an alias (+ optional column list).
+        Clause variants beyond SET * / INSERT * are refused explicitly."""
+        if not re.match(
+            r"(?is)^MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$",
+            when.strip(),
+        ):
+            raise UnsupportedOperationError(
+                "MERGE supports exactly: WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        using = using.strip()
+        sm = re.match(rf"(?is)^({_IDENT})(?:\s+(?:AS\s+)?(\w+))?$", using)
+        if sm:
+            source = self.catalog.scan(_clean(sm.group(1)))
+            s_alias = sm.group(2)
+        else:
+            sm = re.match(r"(?is)^\((.+)\)\s+(?:AS\s+)?(\w+)\s*(?:\(([^)]*)\))?$", using)
+            if not sm:
+                raise UnsupportedOperationError(f"unsupported MERGE source: {using[:60]!r}")
+            source = self.spark.sql(self._resolve_views(sm.group(1)))
+            s_alias = sm.group(2)
+            if sm.group(3):
+                source = source.toDF(*[c.strip().strip("`") for c in sm.group(3).split(",")])
+        key_cols = []
+        aliases = {a for a in (t_alias, s_alias) if a}
+        for conj in re.split(r"(?i)\s+AND\s+", on.strip()):
+            em = re.match(rf"(?s)^\s*({_PART}(?:\.{_PART})?)\s*=\s*({_PART}(?:\.{_PART})?)\s*$", conj)
+            if not em:
+                raise UnsupportedOperationError(f"MERGE ON must be equi-conjuncts: {conj!r}")
+            cols = set()
+            for side in em.groups():
+                parts = [p.strip("`") for p in re.findall(_PART, side)]
+                if len(parts) == 2 and aliases and parts[0] not in aliases:
+                    raise UnsupportedOperationError(f"unknown alias in MERGE ON: {parts[0]!r}")
+                cols.add(parts[-1])
+            if len(cols) != 1:
+                raise UnsupportedOperationError(
+                    f"MERGE ON must compare the same column on both sides: {conj!r}"
+                )
+            key_cols.append(cols.pop())
+        self.catalog.merge_upsert(_clean(target), source, key_cols)
+        return mk([], "result string")
 
     @staticmethod
     def _split_top_level(s: str) -> list[str]:

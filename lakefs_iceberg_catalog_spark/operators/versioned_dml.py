@@ -57,6 +57,65 @@ def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_merge_into",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1', 'James',   'Smith',    32, 'M'),
+  ('2', 'Mike',    'Rose',     36, 'M'),
+  ('3', 'Robert',  'Williams', 41, 'M'),
+  ('4', 'Maria',   'Jones',    36, 'F'),
+  ('5', 'Jen',     'Brown',    44, 'F'),
+  ('6', 'Monika',  'Geller',   31, 'F'),
+  ('9', 'Noor',    'Khan',     29, 'F')
+) AS t(id, firstname, lastname, age, gender)
+""",
+)
+def sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dml_merge_upsert scenario driven through the SQL facade's
+    MERGE INTO form (the statement the reference's pinned Iceberg SQL
+    extensions expose): whole-row UPDATE SET * / INSERT * on the id key."""
+    from ..catalog.sql_facade import SqlFacade
+
+    cat, root = _seeded(spark)
+    SqlFacade(cat).sql(
+        """
+        MERGE INTO lakefs.repo.main.company.workers AS t
+        USING (SELECT * FROM (VALUES ('2', 'Mike', 'Rose', 36, 'M'),
+                                     ('9', 'Noor', 'Khan', 29, 'F'))) AS s(id, firstname, lastname, age, gender)
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    return _materialize(spark, cat.scan("repo.main.company.workers"), root)
+
+
+@register(
+    "sql_use_namespace",
+    oracle="""
+SELECT 'lakefs' AS catalog, 'repo.main.company' AS namespace, 'workers' AS "tableName"
+""",
+)
+def sql_use_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-namespace statements from the reference E2E
+    (TestLakeFSCatalogSpark.java:79-80, 88): USE pins the namespace, the
+    bare SHOW TABLES lists within it, SHOW CURRENT NAMESPACE reports it."""
+    from ..catalog.sql_facade import SqlFacade
+
+    cat, root = _seeded(spark)
+    f = SqlFacade(cat)
+    f.sql("USE lakefs.`repo`.`main`.company")
+    cur = f.sql("SHOW CURRENT NAMESPACE").collect()[0]
+    tbl = f.sql("SHOW TABLES").collect()[0]
+    out = spark.createDataFrame(
+        [(cur.catalog, cur.namespace, tbl.tableName)],
+        "catalog string, namespace string, tableName string",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
     "time_travel_scan",
     oracle="""
 SELECT 6 AS rows_v1, 2 AS rows_v2, 2 AS rows_current

@@ -64,7 +64,8 @@ _SWEEP_PRIORITY = [
     "source_rows", "sink_create_table_as", "ddl_create_table", "sink_append",
     "dml_insert_values", "dml_delete_where", "branch_diff_equal",
     "branch_merge", "ddl_schema_crud",
-    "dml_update_where", "dml_merge_upsert", "time_travel_scan",
+    "dml_update_where", "dml_merge_upsert", "sql_merge_into",
+    "sql_use_namespace", "time_travel_scan",
     # Ring C: LLM-data-pipeline operators
     "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "similarity_topk", "similarity_ann_lsh", "similarity_pairs_blocked",

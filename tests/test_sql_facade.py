@@ -74,6 +74,84 @@ def test_insert_delete_update_where(facade):
     assert ("6", 32) in got and ("8", 32) in got and ("1", 32) in got
 
 
+def test_use_show_tables_current_namespace(facade):
+    """Replays the reference E2E's session-namespace sequence
+    (TestLakeFSCatalogSpark.java:60-88): CREATE SCHEMA, CREATE TABLE,
+    INSERT, USE <ns>, bare SHOW TABLES, SHOW CURRENT NAMESPACE."""
+    facade.sql("CREATE SCHEMA lakefs.repo.main.db")
+    facade.sql("CREATE TABLE lakefs.repo.main.db.tbl (val int)")
+    facade.sql("INSERT INTO lakefs.repo.main.db.tbl VALUES (10)")
+    facade.sql("USE lakefs.`repo`.`main`.db")
+    tables = facade.sql("SHOW TABLES").collect()
+    assert [(t.namespace, t.tableName) for t in tables] == [("repo.main.db", "tbl")]
+    cur = facade.sql("SHOW CURRENT NAMESPACE").collect()
+    assert [(r.catalog, r.namespace) for r in cur] == [("lakefs", "repo.main.db")]
+    # branch-level USE works too (DESCRIBE SCHEMA repo.main depth)
+    facade.sql("USE lakefs.repo.main")
+    assert facade.sql("SHOW CURRENT NAMESPACE").collect()[0].namespace == "repo.main"
+
+
+def test_use_missing_namespace_raises(facade):
+    from lakefs_iceberg_catalog_spark.catalog import NoSuchNamespaceError
+
+    with pytest.raises(NoSuchNamespaceError):
+        facade.sql("USE lakefs.repo.main.nope")
+    with pytest.raises(UnsupportedOperationError):
+        facade.sql("SHOW TABLES")  # no USE yet in this facade session
+
+
+def test_merge_into_values_source(facade):
+    """MERGE INTO with a VALUES source: updates worker 2, inserts worker 9 —
+    the dml_merge_upsert scenario expressed through the SQL form the
+    reference's pinned Iceberg extensions expose."""
+    facade.sql(
+        """
+        MERGE INTO lakefs.repo.main.company.workers AS t
+        USING (SELECT * FROM (VALUES ('2', 'Mike', 'Rose', 36, 'M'),
+                                     ('9', 'Noor', 'Khan', 29, 'F'))) AS s(id, firstname, lastname, age, gender)
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    got = {
+        (r.id, r.firstname, r.lastname, r.age, r.gender)
+        for r in facade.sql("SELECT * FROM lakefs.repo.main.company.workers").collect()
+    }
+    assert ("2", "Mike", "Rose", 36, "M") in got
+    assert ("9", "Noor", "Khan", 29, "F") in got
+    assert len(got) == 7
+
+
+def test_merge_into_table_source_and_refusals(facade):
+    facade.catalog.commit_branch("repo", "main", "seed")
+    facade.catalog.create_branch("repo", "b2", "main")
+    facade.sql("UPDATE lakefs.repo.b2.company.workers SET age = 99 WHERE id = '1'")
+    facade.sql(
+        """
+        MERGE INTO lakefs.repo.main.company.workers t
+        USING lakefs.repo.b2.company.workers s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    got = {
+        (r.id, r.age)
+        for r in facade.sql("SELECT id, age FROM lakefs.repo.main.company.workers").collect()
+    }
+    assert ("1", 99) in got and len(got) == 6
+    with pytest.raises(UnsupportedOperationError):
+        facade.sql(
+            "MERGE INTO lakefs.repo.main.company.workers t USING lakefs.repo.b2.company.workers s "
+            "ON t.id = s.id WHEN MATCHED THEN UPDATE SET age = 1 WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(UnsupportedOperationError):
+        facade.sql(
+            "MERGE INTO lakefs.repo.main.company.workers t USING lakefs.repo.b2.company.workers s "
+            "ON t.id < s.id WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
 def test_describe_schema_and_rename_refused(facade):
     info = facade.sql("DESCRIBE SCHEMA lakefs.repo.main.company").collect()
     assert any(r.info_name == "location" for r in info)
