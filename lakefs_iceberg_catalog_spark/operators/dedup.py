@@ -327,39 +327,26 @@ _SIMHASH_VOTE = (
 )
 
 
-@register(
-    "dedup_simhash",
-    oracle="""
-WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+_SIMHASH_ORACLE_CTES = """
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM t),
 b AS (SELECT doc_id, hx, bit FROM h CROSS JOIN (SELECT unnest(range(1, 64)) AS bit) bits),
 v AS (SELECT doc_id, bit,
          SUM(2 * (((instr('0123456789abcdef', substr(hx, CAST(bit // 4 AS INTEGER) + 1, 1)) - 1)
                    >> CAST(3 - bit % 4 AS INTEGER)) & 1) - 1) AS votes
-      FROM b GROUP BY doc_id, bit)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN votes > 0
-                     THEN CAST(1 AS BIGINT) << CAST(63 - bit AS INTEGER)
-                     ELSE 0 END) AS BIGINT) AS simhash
-FROM v GROUP BY doc_id
-""",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: per-token md5-derived 64-bit hashes,
-    bitwise majority vote over token occurrences. Near-dups = small Hamming
-    distance; pairing/bucketing at scale reuses the LSH band-join shown in
-    dedup_near_minhash.
+      FROM b GROUP BY doc_id, bit),
+sim AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN votes > 0
+                             THEN CAST(1 AS BIGINT) << CAST(63 - bit AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM v GROUP BY doc_id)
+"""
 
-    Fully JVM-side (no Python in the hot path): posexplode tokens → built-in
-    md5 → per-bit extraction from the hex digits via integer shifts → votes
-    summed by (doc, bit) with map-side partial aggregation → the final
-    per-doc fold packs majority bits back into one long. Every expression is
-    whole-stage-codegen'd; the 63× bit fanout collapses in the partial agg
-    before any shuffle, so the exchange carries ≤ 63 rows per document.
-    DuckDB replays the identical arithmetic, so the key is hash-matched
-    (it was rows-only while the hashing lived in a Python loop)."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+
+def simhash_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) for a (doc_id, text) DataFrame — the JVM pipeline
+    shared by the per-doc key and the Hamming-pair operator."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     hx = toks.select("doc_id", F.substring(F.md5(F.col("tok").cast("binary")), 1, 16).alias("hx"))
     bits = hx.select(
         "doc_id", "hx", F.explode(F.sequence(F.lit(1), F.lit(63))).alias("bit")
@@ -376,4 +363,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("simhash")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_SIMHASH_ORACLE_CTES}
+SELECT doc_id, simhash FROM sim
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: per-token md5-derived 64-bit hashes,
+    bitwise majority vote over token occurrences. Near-dups = small Hamming
+    distance; pairing rides dedup_simhash_pairs (next op).
+
+    Fully JVM-side (no Python in the hot path): posexplode tokens → built-in
+    md5 → per-bit extraction from the hex digits via integer shifts → votes
+    summed by (doc, bit) with map-side partial aggregation → the final
+    per-doc fold packs majority bits back into one long. Every expression is
+    whole-stage-codegen'd; the 63× bit fanout collapses in the partial agg
+    before any shuffle, so the exchange carries ≤ 63 rows per document.
+    DuckDB replays the identical arithmetic, so the key is hash-matched
+    (it was rows-only while the hashing lived in a Python loop)."""
+    return simhash_of(table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+_HAM_T = 3
+_SIMHASH_BANDS = 4  # 4 × 16-bit chunks: pigeonhole-complete for hamming <= 3
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH {_SIMHASH_ORACLE_CTES},
+bands AS (SELECT doc_id, simhash, band, (simhash >> CAST(band * 16 AS INTEGER)) & 65535 AS key
+          FROM sim CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BANDS})) AS band) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                         b.doc_id AS doc_b, b.simhash AS sh_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                                   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {_HAM_T}
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: band each 64-bit signature into 4 × 16-bit
+    chunks; two signatures within Hamming distance {_HAM_T} must agree on at
+    least one whole chunk (pigeonhole: 3 differing bits cannot touch all 4
+    chunks), so the chunk equi-join finds every such pair with NO all-pairs
+    product — the same output-sized-join property as the MinHash band join.
+    Verification is one codegen'd xor + bit_count on the candidates.
+
+    At 100 TB the join is a hash join on (band, key); band keys inherit
+    md5 uniformity from the signature bits, so no skew. Raising the radius
+    means more/narrower bands (b bands guarantee hamming < b), not a wider
+    scan."""
+    sim = simhash_of(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn("key", F.expr("shiftright(simhash, cast(band * 16 as int)) & 65535"))
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        F.col("band").alias("band_r"),
+        F.col("key").alias("key_r"),
+    )
+    cand = (
+        bands.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("key") == F.col("key_r"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "doc_b", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("cast(bit_count(sh_a ^ sh_b) as int)"))
+        .filter(F.col("hamming") <= _HAM_T)
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -196,6 +196,125 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CENTROID_IDS = (8, 15)   # vec_id range seeding the coarse centroids
+_IVF_NPROBE = 2
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+               WHERE vec_id BETWEEN {_IVF_CENTROID_IDS[0]} AND {_IVF_CENTROID_IDS[1]}),
+scored AS (
+    SELECT e.vec_id, ct.cid,
+           list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(ct.cemb[i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform(ct.cemb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS ccos
+    FROM embeddings e CROSS JOIN cents ct
+),
+rankedc AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r
+            FROM scored),
+assigned AS (SELECT vec_id, cid FROM rankedc WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM rankedc
+           WHERE vec_id < {_N_QUERIES} AND r <= {_IVF_NPROBE}),
+cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         FROM probes p JOIN assigned a ON a.cid = p.cid
+         WHERE a.vec_id <> p.query_id),
+sims AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           {_COSINE_ORACLE_EXPR} AS cos
+    FROM cand cd
+    JOIN embeddings q ON q.vec_id = cd.query_id
+    JOIN embeddings c ON c.vec_id = cd.neighbor_id
+),
+ranked AS (SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM sims)
+SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= {_TOP_K}
+""",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization: 8
+    corpus vectors serve as deterministic centroid seeds (at 100 TB these
+    come from a k-means fit — the assignment/probe machinery is identical),
+    every vector is assigned to its nearest centroid's list in ONE corpus
+    pass, and each query probes its {_IVF_NPROBE} nearest lists only.
+
+    The centroids are collected once on the driver (8 rows, bounded by
+    construction — the same pattern as the LSH literal planes) and embedded
+    as literal arrays, so list assignment is a pure per-row expression:
+    the corpus is never shuffled for assignment, and the candidate join is
+    an equi-join on the list id (output-sized, like the LSH bucket join).
+    DuckDB replays assignment + probe + rank exactly, so this scale path is
+    hash-matched, not rows-only."""
+    e = table(spark, sf_dir, "embeddings")
+    lo, hi = _IVF_CENTROID_IDS
+    cents = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") <= hi)).collect()
+    )
+    # driver-side norms, sequential sum — same fold order as the oracle
+    import math
+
+    cnorm = {cid: math.sqrt(sum(x * x for x in emb)) for cid, emb in cents}
+    v = e.select(
+        "vec_id", "embedding", F.sqrt(_sqnorm(F.col("embedding"))).alias("vnorm")
+    )
+    # per-row argmax over literal centroids: array_max on (ccos, -cid)
+    # structs — max cosine, ties to the smaller centroid id
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(F.array(*[F.lit(x) for x in emb]), F.col("embedding"))
+                    / (F.col("vnorm") * F.lit(cnorm[cid]))
+                ).alias("ccos"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, emb in cents
+        ]
+    )
+    tagged = v.withColumn("best", F.array_max(scored)).withColumn(
+        "probe2", F.slice(F.reverse(F.array_sort(scored)), 1, _IVF_NPROBE)
+    )
+    assigned = tagged.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("vnorm").alias("c_norm"),
+        (-F.col("best.ncid")).alias("cid"),
+    )
+    probes = (
+        tagged.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("vnorm").alias("q_norm"),
+            F.explode(F.col("probe2")).alias("p"),
+        )
+        .select("query_id", "q_emb", "q_norm", (-F.col("p.ncid")).alias("cid"))
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_emb", "c_emb", "q_norm", "c_norm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rnk", dround("cos", 6).alias("cosine"))
+    )
+
+
 @register(
     "similarity_pairs_blocked",
     oracle=f"""

@@ -68,7 +68,9 @@ _SWEEP_PRIORITY = [
     "sql_use_namespace", "time_travel_scan",
     # Ring C: LLM-data-pipeline operators
     "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "similarity_topk", "similarity_ann_lsh", "similarity_pairs_blocked",
+    "dedup_simhash_pairs",
+    "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
+    "similarity_pairs_blocked",
     "text_stats", "text_lang_id", "text_token_count", "text_fingerprint",
     "text_quality_filter",
     "multimodal_decode", "multimodal_frame_sample",

@@ -113,6 +113,23 @@ def test_simhash_is_jvm_side(spark):
     assert "partial_sum" in p
 
 
+def test_ann_ivf_no_assignment_shuffle(spark):
+    """IVF list assignment is a per-row expression over literal centroids —
+    the corpus must reach the candidate join without a Cartesian product or
+    an assignment shuffle; probes broadcast."""
+    p = plan(q(spark, "similarity_ann_ivf"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    sp = plan(q(spark, "similarity_ann_ivf"), mode="simple")
+    assert sp.count("FileScan") <= 2
+
+
+def test_simhash_pairs_band_join_is_hash_join(spark):
+    p = plan(q(spark, "dedup_simhash_pairs"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_similarity_topk_broadcasts_queries(spark):
     p = plan(q(spark, "similarity_topk"))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

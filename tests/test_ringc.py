@@ -60,6 +60,44 @@ def test_ann_lsh_recall(spark):
         assert cos == sorted(cos, reverse=True)
 
 
+def test_simhash_pairs_complete_within_radius(spark):
+    """The 4×16-bit banding must find EVERY pair within Hamming distance 3
+    (pigeonhole guarantee) — brute force over the collected signatures is
+    the ground truth at sf0.01."""
+    sims = {r.doc_id: r.simhash for r in registry.QUERIES["dedup_simhash"](spark, SF_DIR).collect()}
+    ids = sorted(sims)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_simhash_pairs"](spark, SF_DIR).collect()
+    }
+    assert got == truth
+    assert len(truth) > 0  # non-vacuous at sf0.01
+
+
+def test_ann_ivf_recall_and_ordering(spark):
+    """IVF with nprobe=2 over 8 coarse lists must recover a reasonable
+    fraction of the brute-force top-5 and keep rank monotone in cosine."""
+    exact = registry.QUERIES["similarity_topk"](spark, SF_DIR).collect()
+    approx = registry.QUERIES["similarity_ann_ivf"](spark, SF_DIR).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(got) > 0
+    assert len(truth & got) / len(truth) >= 0.2
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.cosine))
+    for rows in by_q.values():
+        rows.sort()
+        cos = [c for _, c in rows]
+        assert cos == sorted(cos, reverse=True)
+
+
 def test_ngram_df_cap_bounds_hot_shingle_pairs(spark):
     """A boilerplate shingle shared by k docs of one block yields C(k,2)
     candidate pairs; the document-frequency cap must drop it BEFORE the pair
