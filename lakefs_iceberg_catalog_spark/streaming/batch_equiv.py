@@ -205,20 +205,34 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_events_stream(spark, sf_dir, xform, mode="append")
 
 
-@register("stream_stream_interval_join")  # emission horizon ties to both
-# watermarks — semantics asserted in tests (subset/consistency), rows-only here
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+s AS (SELECT event_id AS s_id, user_id AS s_user, ts AS s_ts
+      FROM events WHERE event_type = 'signup')
+SELECT p_id, p_user, p_ts, s_id, s_ts
+FROM p JOIN s ON p_user = s_user
+             AND s_ts <= p_ts
+             AND s_ts >= p_ts - INTERVAL 1 HOUR
+""",
+)
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-stream inner join: purchases joined to the same user's
     signups within the preceding hour, both sides watermarked (10 min) with
     an event-time range condition — the constraint that lets Spark bound
     join state and drop old rows.
 
-    On a closed input, append mode emits the joinable pairs whose event
-    times are fully covered by the final watermarks; tests assert the
-    result is a consistent subset of the batch interval join. At 100 TB
-    the join state is (watermark + interval) per user — bounded, unlike an
-    unconstrained stream-stream join which would buffer both streams
-    forever."""
+    The harness stages the closed input as a single source file (one
+    trigger), so no state is evicted before its matches arrive and the
+    append-mode emission equals the batch interval join exactly — which is
+    the DuckDB oracle (the key was rows-only before this equivalence was
+    pinned). Multi-trigger incremental behavior — consistency across
+    restarts, watermark-bounded state — is asserted separately in
+    tests/test_streaming.py. At 100 TB the join state is
+    (watermark + interval) per user — bounded, unlike an unconstrained
+    stream-stream join which would buffer both streams forever."""
     def xform(s):
         purchases = (
             s.filter(F.col("event_type") == "purchase")
