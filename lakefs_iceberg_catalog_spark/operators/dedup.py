@@ -125,10 +125,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_near_minhash",
-    oracle=f"""
-WITH {_ORACLE_SHINGLES},
+_MINHASH_ORACLE_CTES = f"""{_ORACLE_SHINGLES},
 m AS (SELECT doc_id, sh,
    {",".join(f"list_min(list_transform(sh, x -> md5('{s}|' || x))) AS h{s}" for s in _SEEDS)}
       FROM s),
@@ -143,7 +140,13 @@ v AS (SELECT c.doc_a, c.doc_b,
                / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
       FROM cand c
       JOIN s sa ON sa.doc_id = c.doc_a
-      JOIN s sb ON sb.doc_id = c.doc_b)
+      JOIN s sb ON sb.doc_id = c.doc_b)"""
+
+
+@register(
+    "dedup_near_minhash",
+    oracle=f"""
+WITH {_MINHASH_ORACLE_CTES}
 SELECT doc_a, doc_b, round(j, 6) AS jaccard
 FROM v WHERE j >= {_MINHASH_THETA}
 """,
@@ -158,6 +161,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation-min, is engine-independent, and needs no fitted model
     (unlike MLlib's MinHashLSH whose random coefficients the oracle could
     not replay)."""
+    return minhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", dround("j", 6).alias("jaccard")
+    )
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (doc_a, doc_b, j ≥ θ) — the LSH pipeline
+    shared by the pair key and the connected-components canonicalizer."""
     # The shingle rows feed the signature aggregation AND both sides of the
     # verify join — persist once or Spark recomputes the tokenize+distinct
     # pipeline per branch. At cluster scale this is persist(MEMORY_AND_DISK)
@@ -204,11 +215,69 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-    return (
-        _pair_jaccard(cand, rows)
-        .filter(F.col("j") >= _MINHASH_THETA)
-        .select("doc_a", "doc_b", dround("j", 6).alias("jaccard"))
-    )
+    return _pair_jaccard(cand, rows).filter(F.col("j") >= _MINHASH_THETA)
+
+
+@register(
+    "dedup_cc_canonical",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_ORACLE_CTES},
+pairs AS (SELECT doc_a, doc_b FROM v WHERE j >= {_MINHASH_THETA}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+reach(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(label) AS canonical_id
+FROM reach GROUP BY node
+""",
+)
+def dedup_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup endgame: collapse the near-dup PAIR graph into clusters and
+    elect one canonical document per cluster (the smallest doc_id in each
+    connected component; singletons are their own canonical). Pairs come
+    from the LSH pipeline (dedup_near_minhash); a training-corpus build
+    keeps exactly the rows where doc_id = canonical_id.
+
+    Distributed min-label propagation: every doc starts labeled with its
+    own id; each round, labels flow across edges and every node keeps the
+    minimum seen. Rounds needed = graph diameter (near-dup clusters are
+    tiny, so 2-3 in practice; hard cap asserts convergence). Each round is
+    one hash-join + one partial-agg groupBy — the same alternating pattern
+    GraphFrames' connectedComponents runs at cluster scale; the driver only
+    sees a per-round convergence counter, never row data. The DuckDB oracle
+    replays the components with a recursive CTE, so the iterative operator
+    is still hash-checked."""
+    pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    for _ in range(20):
+        nbr = edges.join(
+            labels.select(F.col("doc_id").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(nbr).groupBy("doc_id").agg(F.min("label").alias("label")).persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("doc_id", F.col("label").alias("old")), "doc_id"
+            )
+            .filter(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("connected components did not converge in 20 rounds")
+    return labels.select("doc_id", F.col("label").alias("canonical_id"))
 
 
 _NGRAM_DF_CAP = 16

@@ -68,7 +68,7 @@ _SWEEP_PRIORITY = [
     "sql_use_namespace", "time_travel_scan",
     # Ring C: LLM-data-pipeline operators
     "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_pairs",
+    "dedup_simhash_pairs", "dedup_cc_canonical",
     "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
     "similarity_pairs_blocked",
     "text_stats", "text_lang_id", "text_token_count", "text_fingerprint",

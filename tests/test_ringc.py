@@ -60,6 +60,30 @@ def test_ann_lsh_recall(spark):
         assert cos == sorted(cos, reverse=True)
 
 
+def test_cc_canonical_is_consistent_fixpoint(spark):
+    """Connected-components invariants over the real near-dup graph: both
+    ends of every pair share a canonical, the canonical is the component
+    minimum (<= every member, itself a fixed point), and non-paired docs
+    are their own canonical."""
+    canon = {
+        r.doc_id: r.canonical_id
+        for r in registry.QUERIES["dedup_cc_canonical"](spark, SF_DIR).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_near_minhash"](spark, SF_DIR).collect()
+    ]
+    assert len(pairs) > 0
+    in_pairs = {d for p in pairs for d in p}
+    for a, b in pairs:
+        assert canon[a] == canon[b]
+    for d, c in canon.items():
+        assert c <= d
+        assert canon[c] == c
+        if d not in in_pairs:
+            assert c == d
+
+
 def test_simhash_pairs_complete_within_radius(spark):
     """The 4×16-bit banding must find EVERY pair within Hamming distance 3
     (pigeonhole guarantee) — brute force over the collected signatures is
