@@ -134,3 +134,42 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").alias("total_words"),
         F.sum(F.ceil(F.length("text") / 4.0)).alias("est_tokens"),
     )
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+WITH b AS (
+    SELECT doc_id, source,
+           (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|' || source), 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|' || source), 2, 1)) - 1) AS bucket,
+           CASE WHEN source LIKE 'src1%' THEN 192 ELSE 64 END AS thresh
+    FROM documents
+)
+SELECT doc_id, source, CAST(bucket AS INTEGER) AS bucket
+FROM b WHERE bucket < thresh
+""",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the corpus-balancing primitive:
+    each document hashes to one of 256 uniform buckets via md5(doc_id|source)
+    and survives iff its bucket falls under the stratum's quota (here 192/256
+    for the src1* family, 64/256 otherwise — at deployment the quota map
+    comes from the mixture spec). Hash-gated sampling is reproducible across
+    runs/engines and needs no RNG state, unlike df.sample; the filter is a
+    pure expression inside the scan's codegen stage — nothing shuffles, and
+    the same row set survives at any parallelism. The DuckDB oracle replays
+    the bucket arithmetic exactly."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.concat_ws("|", F.col("doc_id").cast("string"), "source"), "UTF-8"))
+    bucket = F.expr(
+        "(instr('0123456789abcdef', substring(_h, 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(_h, 2, 1)) - 1)"
+    )
+    thresh = F.when(F.col("source").startswith("src1"), F.lit(192)).otherwise(F.lit(64))
+    return (
+        d.withColumn("_h", h)
+        .withColumn("bucket", bucket.cast("int"))
+        .filter(F.col("bucket") < thresh)
+        .select("doc_id", "source", "bucket")
+    )

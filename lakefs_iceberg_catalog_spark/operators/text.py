@@ -224,3 +224,52 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround("stop_ratio_raw", 4).alias("stop_ratio"),
         )
     )
+
+
+_EMAIL_RE = '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'
+_PHONE_RE = '\\b[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]\\b'
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+WITH contact AS (
+    SELECT doc_id,
+           'reach user' || CAST(doc_id AS VARCHAR) || ' at user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or 555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') AS raw
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+           '\\b[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]\\b', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '\\b[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]\\b')) AS INTEGER) AS n_phones
+FROM contact
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the pretraining scrub pass: emails and phone-shaped
+    tokens replaced with typed placeholders, per-doc redaction counts kept
+    for audit. The testdata corpus carries no real PII, so the operator
+    synthesizes a deterministic contact string per document (both engines
+    build the identical string) and scrubs THAT — the regex semantics, not
+    the fixture, are what the oracle locks down (Java regex and RE2 agree
+    on this character-class subset; patterns avoid constructs the engines
+    treat differently). Pure expression pipeline: scrub runs inside the
+    scan's codegen stage at any scale."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("reach user"), F.col("doc_id").cast("string"),
+        F.lit(" at user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-0"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+    )
+    return d.withColumn("_raw", raw).select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("_raw"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("_raw", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("_raw", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+    )

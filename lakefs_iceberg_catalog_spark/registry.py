@@ -72,9 +72,9 @@ _SWEEP_PRIORITY = [
     "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
     "similarity_pairs_blocked",
     "text_stats", "text_lang_id", "text_token_count", "text_fingerprint",
-    "text_quality_filter",
+    "text_quality_filter", "text_pii_scrub",
     "multimodal_decode", "multimodal_frame_sample",
-    "pipeline_training_corpus",
+    "pipeline_training_corpus", "sample_stratified_hash",
     # Streaming (batch-equivalent checks)
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
     "stream_watermark_late_data", "stream_dedup", "stream_stateful",
