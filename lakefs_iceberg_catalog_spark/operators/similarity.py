@@ -46,12 +46,19 @@ def _sqnorm(a):
     return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
 
 
-_COSINE_ORACLE_EXPR = """
-list_aggregate(list_transform(range(1, len(q.embedding) + 1),
-    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
-/ (sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
- * sqrt(list_aggregate(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between `a`.embedding and `b`.embedding with the same
+    sequential-sum fold order as the Spark-side `_dot`/`_sqnorm` folds, so
+    both engines agree bitwise before rounding."""
+    return f"""
+list_aggregate(list_transform(range(1, len({a}.embedding) + 1),
+    i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)), 'sum')
+/ (sqrt(list_aggregate(list_transform({a}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+ * sqrt(list_aggregate(list_transform({b}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
 """
+
+
+_COSINE_ORACLE_EXPR = _cos_sql("q", "c")
 
 
 @register(
@@ -199,11 +206,11 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENTROID_IDS = (8, 15)   # vec_id range seeding the coarse centroids
 _IVF_NPROBE = 2
 
-
-@register(
-    "similarity_ann_ivf",
-    oracle=f"""
-WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+# Shared oracle CTEs: nearest-centroid assignment of every vector (ties to
+# the smaller centroid id) — reused by similarity_ann_ivf (probe lists) and
+# dedup_embedding_cosine (blocking key).
+_IVF_ASSIGN_CTES = f"""
+cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
                WHERE vec_id BETWEEN {_IVF_CENTROID_IDS[0]} AND {_IVF_CENTROID_IDS[1]}),
 scored AS (
     SELECT e.vec_id, ct.cid,
@@ -215,7 +222,53 @@ scored AS (
 ),
 rankedc AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r
             FROM scored),
-assigned AS (SELECT vec_id, cid FROM rankedc WHERE r = 1),
+assigned AS (SELECT vec_id, cid FROM rankedc WHERE r = 1)
+"""
+
+
+def _ivf_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector tagged with its IVF coarse assignment in ONE corpus pass:
+    (vec_id, embedding, vnorm, best = argmax-(ccos, -cid) struct, probe2 =
+    top-{_IVF_NPROBE} centroid structs). The centroid seeds are collected
+    once on the driver (8 rows, bounded by construction) and embedded as
+    literal arrays, so assignment is a pure per-row expression — the corpus
+    never shuffles for it."""
+    e = table(spark, sf_dir, "embeddings")
+    lo, hi = _IVF_CENTROID_IDS
+    cents = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") <= hi)).collect()
+    )
+    # driver-side norms, sequential sum — same fold order as the oracle
+    import math
+
+    cnorm = {cid: math.sqrt(sum(x * x for x in emb)) for cid, emb in cents}
+    v = e.select(
+        "vec_id", "embedding", F.sqrt(_sqnorm(F.col("embedding"))).alias("vnorm")
+    )
+    # per-row argmax over literal centroids: array_max on (ccos, -cid)
+    # structs — max cosine, ties to the smaller centroid id
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(F.array(*[F.lit(x) for x in emb]), F.col("embedding"))
+                    / (F.col("vnorm") * F.lit(cnorm[cid]))
+                ).alias("ccos"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, emb in cents
+        ]
+    )
+    return v.withColumn("best", F.array_max(scored)).withColumn(
+        "probe2", F.slice(F.reverse(F.array_sort(scored)), 1, _IVF_NPROBE)
+    )
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=f"""
+WITH {_IVF_ASSIGN_CTES},
 probes AS (SELECT vec_id AS query_id, cid FROM rankedc
            WHERE vec_id < {_N_QUERIES} AND r <= {_IVF_NPROBE}),
 cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
@@ -249,36 +302,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on the list id (output-sized, like the LSH bucket join).
     DuckDB replays assignment + probe + rank exactly, so this scale path is
     hash-matched, not rows-only."""
-    e = table(spark, sf_dir, "embeddings")
-    lo, hi = _IVF_CENTROID_IDS
-    cents = sorted(
-        (r.vec_id, [float(x) for x in r.embedding])
-        for r in e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") <= hi)).collect()
-    )
-    # driver-side norms, sequential sum — same fold order as the oracle
-    import math
-
-    cnorm = {cid: math.sqrt(sum(x * x for x in emb)) for cid, emb in cents}
-    v = e.select(
-        "vec_id", "embedding", F.sqrt(_sqnorm(F.col("embedding"))).alias("vnorm")
-    )
-    # per-row argmax over literal centroids: array_max on (ccos, -cid)
-    # structs — max cosine, ties to the smaller centroid id
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    _dot(F.array(*[F.lit(x) for x in emb]), F.col("embedding"))
-                    / (F.col("vnorm") * F.lit(cnorm[cid]))
-                ).alias("ccos"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, emb in cents
-        ]
-    )
-    tagged = v.withColumn("best", F.array_max(scored)).withColumn(
-        "probe2", F.slice(F.reverse(F.array_sort(scored)), 1, _IVF_NPROBE)
-    )
+    tagged = _ivf_tagged(spark, sf_dir)
     assigned = tagged.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
@@ -352,4 +376,74 @@ def similarity_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("vec_a", "vec_b", "label", cos.alias("cos"))
         .filter(F.col("cos") >= 0.35)
         .select("vec_a", "vec_b", "label", dround("cos", 6).alias("cosine"))
+    )
+
+
+_EMB_DEDUP_THETA = 0.4
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH {_IVF_ASSIGN_CTES},
+pairs AS (
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           {_cos_sql("a", "b")} AS cos
+    FROM assigned x JOIN assigned y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    JOIN embeddings a ON a.vec_id = x.vec_id
+    JOIN embeddings b ON b.vec_id = y.vec_id
+),
+dups AS (SELECT vec_a, vec_b FROM pairs WHERE cos >= {_EMB_DEDUP_THETA}),
+edges AS (SELECT vec_a AS v, vec_b AS nbr FROM dups
+          UNION ALL
+          SELECT vec_b, vec_a FROM dups)
+SELECT e.vec_id,
+       least(e.vec_id, coalesce(min(ed.nbr), e.vec_id)) AS canonical_id,
+       least(e.vec_id, coalesce(min(ed.nbr), e.vec_id)) <> e.vec_id AS is_dup
+FROM embeddings e LEFT JOIN edges ed ON ed.v = e.vec_id
+GROUP BY e.vec_id
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup, end to end: IVF coarse assignment
+    (one corpus pass, literal centroids) supplies the blocking key, candidate
+    pairs form only within a centroid list (equi-join on cid — output-sized,
+    never all-pairs), cosine >= {_EMB_DEDUP_THETA} marks a duplicate pair,
+    and every vector gets a one-hop verdict: canonical_id = min(self, dup
+    neighbors), is_dup when that differs from itself. Transitive closure of
+    larger clusters is dedup_cc_canonical's job over these pairs.
+
+    At 100 TB the centroids come from a k-means fit and the cid join is the
+    same bounded shape; the verdict is one partial-agg groupBy on vec_id.
+    Completes the dedup family (exact / minhash / simhash / ngram /
+    embedding-cosine) from the training-data-pipeline spec."""
+    tagged = _ivf_tagged(spark, sf_dir)
+    a = tagged.select(
+        F.col("vec_id").alias("vec_a"),
+        (-F.col("best.ncid")).alias("cid"),
+        F.col("embedding").alias("emb_a"),
+        F.col("vnorm").alias("norm_a"),
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("vec_b"),
+        (-F.col("best.ncid")).alias("cid"),
+        F.col("embedding").alias("emb_b"),
+        F.col("vnorm").alias("norm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= _EMB_DEDUP_THETA)
+    )
+    edges = dups.select(F.col("vec_a").alias("v"), F.col("vec_b").alias("nbr")).unionByName(
+        dups.select(F.col("vec_b").alias("v"), F.col("vec_a").alias("nbr"))
+    )
+    canon = F.least(F.col("vec_id"), F.coalesce(F.min("nbr"), F.col("vec_id")))
+    return (
+        tagged.select("vec_id")
+        .join(edges, tagged["vec_id"] == edges["v"], "left")
+        .groupBy("vec_id")
+        .agg(canon.alias("canonical_id"), (canon != F.col("vec_id")).alias("is_dup"))
     )

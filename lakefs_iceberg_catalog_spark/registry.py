@@ -68,7 +68,7 @@ _SWEEP_PRIORITY = [
     "sql_use_namespace", "time_travel_scan",
     # Ring C: LLM-data-pipeline operators
     "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_cc_canonical",
+    "dedup_simhash_pairs", "dedup_cc_canonical", "dedup_embedding_cosine",
     "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
     "similarity_pairs_blocked",
     "text_stats", "text_lang_id", "text_token_count", "text_fingerprint",
@@ -78,7 +78,7 @@ _SWEEP_PRIORITY = [
     # Streaming (batch-equivalent checks)
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
     "stream_watermark_late_data", "stream_dedup", "stream_stateful",
-    "stream_stream_interval_join",
+    "stream_stream_interval_join", "stream_sink_versioned",
     # Source/sink format round-trips
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "sink_partitioned_parquet",

