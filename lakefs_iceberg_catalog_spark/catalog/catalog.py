@@ -406,6 +406,37 @@ class VersionedCatalog:
             base.next(base.files + files, file_stats={**base.file_stats, **stats}),
         )
 
+    def append_stream_batch(
+        self, identifier: str | list[str], df: DataFrame, batch_id: int
+    ) -> bool:
+        """Idempotent micro-batch append for streaming foreachBatch sinks:
+        the batch's data files AND the `stream.last_batch_id` stamp land in
+        the SAME atomic manifest commit, so a replayed batch (id <= stamp —
+        Structured Streaming re-runs the last epoch after a crash) is a
+        no-op and the table never double-counts. This is the exactly-once
+        recipe Iceberg's streaming writes use (commit the epoch id with the
+        snapshot); returns True iff the batch was committed."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        if batch_id <= int(base.properties.get("stream.last_batch_id", -1)):
+            return False
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        aligned = df.select(
+            [F.col(c).cast(f.dataType).alias(f.name) for c, f in zip(df.columns, schema.fields)]
+        )
+        files, stats = self._write_data(levels, aligned)
+        ops.commit(
+            base,
+            base.next(
+                base.files + files,
+                properties={**base.properties, "stream.last_batch_id": str(batch_id)},
+                file_stats={**base.file_stats, **stats},
+            ),
+        )
+        return True
+
     def insert_values(self, identifier: str | list[str], rows: list[tuple]) -> None:
         """INSERT INTO ... VALUES (test_iceberg.py:48,50) — row coercion to the
         declared schema matches createDataFrame semantics (conftest.py:27-40)."""

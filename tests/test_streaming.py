@@ -162,3 +162,24 @@ def test_stream_stream_interval_join_consistent_with_batch(spark):
         .collect()
     }
     assert old_batch <= streamed
+
+
+def test_stream_sink_versioned_epochs_and_idempotence(spark, tmp_path):
+    """The versioned streaming sink commits one snapshot per epoch (create +
+    3 micro-batches = 4 versions), stamps the last epoch id, and refuses a
+    replayed or older epoch without changing table state."""
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+
+    cat = VersionedCatalog(spark, str(tmp_path))
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.s")
+    cat.create_table("repo.main.s.t", "k int, v string")
+    for epoch in range(3):
+        df = spark.createDataFrame([(epoch, f"e{epoch}")], "k int, v string")
+        assert cat.append_stream_batch("repo.main.s.t", df, epoch)
+    assert cat.table_history("repo.main.s.t") == [1, 2, 3, 4]
+    stale = spark.createDataFrame([(99, "dup")], "k int, v string")
+    assert not cat.append_stream_batch("repo.main.s.t", stale, 2)  # replay
+    assert not cat.append_stream_batch("repo.main.s.t", stale, 0)  # older
+    assert cat.table_history("repo.main.s.t") == [1, 2, 3, 4]
+    assert cat.scan("repo.main.s.t").count() == 3
