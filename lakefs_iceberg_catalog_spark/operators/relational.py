@@ -627,6 +627,38 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_rollup",
+    oracle="""
+SELECT r_name, n_name,
+       count(*) AS n_rows,
+       round(sum(s_acctbal), 2) AS sum_bal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — the hierarchical subset of CUBE's grouping sets
+    ((r, n), (r), ()) in one Expand+aggregate pass over a dim-broadcast
+    join: region and nation are broadcast (tiny dims), supplier streams,
+    and the rollup adds k+1 expanded rows per input row before the partial
+    agg — no extra scan or shuffle beyond the single agg exchange."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dround(F.sum("s_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@register(
     "limit_offset",
     oracle="""
 SELECT o_orderkey, round(o_totalprice, 2) AS total

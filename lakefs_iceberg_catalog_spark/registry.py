@@ -83,7 +83,7 @@ _SWEEP_PRIORITY = [
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "sink_partitioned_parquet",
     # Advanced keys past round 1's cutoff
-    "window_range_frame", "unpivot_stack",
+    "window_range_frame", "unpivot_stack", "agg_rollup",
     # De-vacuated set-difference semantics (non-empty results this round)
     "join_anti", "set_except",
     # Headline + representative re-checks of the already-green core
