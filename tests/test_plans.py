@@ -130,6 +130,50 @@ def test_simhash_pairs_band_join_is_hash_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_embedding_dedup_is_blocked_equi_join(spark):
+    """Candidate pairs must form through the cid equi-join (output-sized),
+    never an all-pairs product; the verdict groupBy keeps a partial phase."""
+    p = plan(q(spark, "dedup_embedding_cosine"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final verdict agg
+
+
+def test_stratified_sample_is_scan_stage_filter(spark):
+    """Hash-gated sampling is a pure per-row predicate: no exchange, no
+    join, no Python — the filter must run inside the scan's codegen stage
+    (at 100 TB this is a map-only pass)."""
+    p = plan(q(spark, "sample_stratified_hash"), mode="simple")
+    assert "Exchange" not in p, p
+    assert "InPandas" not in p and "BatchEval" not in p
+
+
+def test_pii_scrub_is_scan_stage_expression(spark):
+    """The scrub is regexp expressions only: no Python eval, no exchange."""
+    p = plan(q(spark, "text_pii_scrub"), mode="simple")
+    assert "Exchange" not in p, p
+    assert "InPandas" not in p and "BatchEval" not in p
+
+
+def test_rollup_expands_once_with_partial_agg(spark):
+    """ROLLUP = one Expand + one aggregate over broadcast dim joins: both
+    dims broadcast, partial agg before the single exchange, one fact scan."""
+    p = plan(q(spark, "agg_rollup"), mode="simple")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "Expand" in p
+    assert "partial_" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cc_canonical_rounds_stay_hash_joins(spark):
+    """Each label-propagation round is edges⋈labels + a min-agg; the final
+    returned frame (and thus every round, same shape) must be free of
+    nested-loop joins."""
+    p = plan(q(spark, "dedup_cc_canonical"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_similarity_topk_broadcasts_queries(spark):
     p = plan(q(spark, "similarity_topk"))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
