@@ -79,13 +79,14 @@ _SWEEP_PRIORITY = [
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
     "stream_watermark_late_data", "stream_dedup", "stream_stateful",
     "stream_stream_interval_join", "stream_sink_versioned",
+    # De-vacuated set-difference semantics (non-empty results this round —
+    # ahead of the advanced keys so they stay inside the 50-key window)
+    "join_anti", "set_except",
     # Source/sink format round-trips
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "sink_partitioned_parquet",
     # Advanced keys past round 1's cutoff
     "window_range_frame", "unpivot_stack", "agg_rollup",
-    # De-vacuated set-difference semantics (non-empty results this round)
-    "join_anti", "set_except",
     # Headline + representative re-checks of the already-green core
     "flagship_top_unshipped", "q1_pricing_summary", "join_asof",
     "window_rank", "scalar_json", "udaf_pandas", "agg_grouping_sets",
