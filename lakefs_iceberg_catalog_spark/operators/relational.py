@@ -78,6 +78,111 @@ def flagship_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q5_local_supplier",
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by supplier nation where customer and
+    supplier share a nation, one region, one order year — the classic
+    6-way join.
+
+    Scale: nation/region broadcast explicitly (constant-size dims); the
+    lineitem↔orders spine is the one big shuffle join; supplier and
+    customer ride hash joins on their keys (AQE picks broadcast while they
+    fit, shuffle-hash beyond); the c_nationkey = s_nationkey equality is a
+    post-join conjunct on already-joined rows, not an extra shuffle; the
+    5-nation aggregate collapses map-side."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "q18_large_volume",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS total,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 180
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (total quantity over the
+    threshold) with their customers, top-100 by order value.
+
+    Scale: the qualifying-keys aggregate is a partial-agg groupBy on
+    l_orderkey — the SAME key the lineitem↔orders join shuffles on, so at
+    cluster scale the shuffle partitioning carries over (locally the small
+    sides collapse to broadcasts instead); the IN becomes a semi-join of
+    orders against the qualifying keys; customer rides a hash join; top-100
+    is TakeOrderedAndProject, never a global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 180)
+        .select("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    cust = table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dround(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            dround("o_totalprice", 2).alias("total"), "sum_qty",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # scan / project / filter
 # --------------------------------------------------------------------------

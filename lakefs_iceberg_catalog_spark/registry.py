@@ -88,7 +88,8 @@ _SWEEP_PRIORITY = [
     # Advanced keys past round 1's cutoff
     "window_range_frame", "unpivot_stack", "agg_rollup",
     # Headline + representative re-checks of the already-green core
-    "flagship_top_unshipped", "q1_pricing_summary", "join_asof",
+    "flagship_top_unshipped", "q1_pricing_summary",
+    "q5_local_supplier", "q18_large_volume", "join_asof",
     "window_rank", "scalar_json", "udaf_pandas", "agg_grouping_sets",
     "subquery_correlated",
 ]

@@ -130,6 +130,25 @@ def test_simhash_pairs_band_join_is_hash_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_q5_all_hash_joins_with_partial_agg(spark):
+    """The 6-way join must resolve to hash joins (dims broadcast), one
+    partial-agg phase, and zero cartesian products."""
+    p = plan(q(spark, "q5_local_supplier"), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # nation+region at minimum
+    assert "partial_sum" in p
+
+
+def test_q18_semi_join_and_topk(spark):
+    """The HAVING subquery becomes a semi-join (no distinct-aggregate
+    detour) and the top-100 plans as TakeOrderedAndProject."""
+    p = plan(q(spark, "q18_large_volume"))
+    assert "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
 def test_embedding_dedup_is_blocked_equi_join(spark):
     """Candidate pairs must form through the cid equi-join (output-sized),
     never an all-pairs product; the verdict groupBy keeps a partial phase."""
