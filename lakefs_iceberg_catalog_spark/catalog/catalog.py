@@ -49,6 +49,8 @@ from .errors import (
 )
 from .manifest import (
     METADATA_DIR,
+    CommitConflictError,
+    CommitStateError,
     TableManifest,
     TableOperations,
     _read_manifest_file,
@@ -415,27 +417,38 @@ class VersionedCatalog:
         Structured Streaming re-runs the last epoch after a crash) is a
         no-op and the table never double-counts. This is the exactly-once
         recipe Iceberg's streaming writes use (commit the epoch id with the
-        snapshot); returns True iff the batch was committed."""
+        snapshot); returns True iff the batch was committed.
+
+        Zombie-writer safe: if a concurrent driver lands a commit between
+        our stamp read and our publish, the lost race surfaces as a
+        conflict — we refresh and re-check the stamp. If the other writer
+        committed THIS epoch we refuse (False); if it was an unrelated
+        commit we retry against the new base. Exactly one commit per epoch
+        survives no matter how many drivers race it."""
         ops, levels = self._ops(identifier)
-        base = ops.current()
-        if base is None:
-            raise NoSuchTableError(".".join(levels))
-        if batch_id <= int(base.properties.get("stream.last_batch_id", -1)):
-            return False
-        schema = T.StructType.fromJson(json.loads(base.schema_json))
-        aligned = df.select(
-            [F.col(c).cast(f.dataType).alias(f.name) for c, f in zip(df.columns, schema.fields)]
-        )
-        files, stats = self._write_data(levels, aligned)
-        ops.commit(
-            base,
-            base.next(
-                base.files + files,
-                properties={**base.properties, "stream.last_batch_id": str(batch_id)},
-                file_stats={**base.file_stats, **stats},
-            ),
-        )
-        return True
+        while True:
+            base = ops.current()
+            if base is None:
+                raise NoSuchTableError(".".join(levels))
+            if batch_id <= int(base.properties.get("stream.last_batch_id", -1)):
+                return False
+            schema = T.StructType.fromJson(json.loads(base.schema_json))
+            aligned = df.select(
+                [F.col(c).cast(f.dataType).alias(f.name) for c, f in zip(df.columns, schema.fields)]
+            )
+            files, stats = self._write_data(levels, aligned)
+            try:
+                ops.commit(
+                    base,
+                    base.next(
+                        base.files + files,
+                        properties={**base.properties, "stream.last_batch_id": str(batch_id)},
+                        file_stats={**base.file_stats, **stats},
+                    ),
+                )
+                return True
+            except (CommitConflictError, CommitStateError):
+                continue  # refresh; the stamp check decides refuse vs retry
 
     def insert_values(self, identifier: str | list[str], rows: list[tuple]) -> None:
         """INSERT INTO ... VALUES (test_iceberg.py:48,50) — row coercion to the

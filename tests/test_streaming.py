@@ -183,3 +183,31 @@ def test_stream_sink_versioned_epochs_and_idempotence(spark, tmp_path):
     assert not cat.append_stream_batch("repo.main.s.t", stale, 0)  # older
     assert cat.table_history("repo.main.s.t") == [1, 2, 3, 4]
     assert cat.scan("repo.main.s.t").count() == 3
+
+
+def test_stream_sink_epoch_race_single_winner(spark, tmp_path):
+    """Zombie-writer scenario: N drivers race the SAME epoch concurrently.
+    Exactly one append commits; every loser refuses after refreshing (the
+    epoch stamp it re-reads covers the batch), and the table holds exactly
+    one copy of the batch."""
+    import threading
+
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+
+    cat = VersionedCatalog(spark, str(tmp_path))
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.s")
+    cat.create_table("repo.main.s.t", "k int, v string")
+    df = spark.createDataFrame([(1, "once")], "k int, v string")
+    results = []
+
+    def attempt():
+        results.append(cat.append_stream_batch("repo.main.s.t", df, 0))
+
+    threads = [threading.Thread(target=attempt) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == [False, False, False, True]
+    assert cat.scan("repo.main.s.t").count() == 1
