@@ -103,6 +103,21 @@ class SqlFacade:
                 "namespace string, tableName string",
             )
 
+        m = re.match(rf"(?is)^SHOW\s+(?:NAMESPACES|SCHEMAS)(?:\s+(?:IN|FROM)\s+({_NS_IDENT}))?\s*$", s)
+        if m:
+            if m.group(1) is not None:
+                levels = _clean(m.group(1))
+            elif self.current_namespace is not None:
+                levels = self.current_namespace
+            else:
+                # preserved non-capability: top-level listing is refused by
+                # the catalog (LakeFSCatalog.java:250-253)
+                levels = None
+            return mk(
+                [(".".join(ns),) for ns in self.catalog.list_namespaces(levels)],
+                "namespace string",
+            )
+
         m = re.match(rf"(?is)^USE\s+({_NS_IDENT})\s*$", s)
         if m:
             levels = _clean(m.group(1))
@@ -126,6 +141,14 @@ class SqlFacade:
         m = re.match(rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s*\((.*?)\)\s*$", s)
         if m:
             self.catalog.create_table(_clean(m.group(1)), m.group(2))
+            return mk([], "result string")
+
+        m = re.match(rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s+AS\s+(SELECT\b.+|WITH\b.+)$", s)
+        if m:
+            # CTAS: the reference's saveAsTable path in SQL form — resolve
+            # lakefs identifiers in the query, run it, commit as v1.
+            result = self.spark.sql(self._resolve_views(m.group(2)))
+            self.catalog.create_table_as(_clean(m.group(1)), result)
             return mk([], "result string")
 
         m = re.match(rf"(?is)^DROP\s+TABLE\s+({_IDENT})\s*$", s)

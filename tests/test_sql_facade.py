@@ -159,3 +159,25 @@ def test_describe_schema_and_rename_refused(facade):
         facade.sql("ALTER TABLE lakefs.repo.main.company.workers RENAME TO x")
     with pytest.raises(UnsupportedOperationError):
         facade.sql("VACUUM lakefs.repo.main.company.workers")
+
+
+def test_show_namespaces_and_ctas(facade):
+    facade.sql("CREATE SCHEMA lakefs.repo.main.db2")
+    ns = facade.sql("SHOW NAMESPACES IN lakefs.repo.main").collect()
+    assert [r.namespace for r in ns] == ["repo.main.company", "repo.main.db2"]
+    # bare form follows USE; SCHEMAS is an accepted synonym
+    facade.sql("USE lakefs.repo.main")
+    assert [r.namespace for r in facade.sql("SHOW SCHEMAS").collect()] == [
+        "repo.main.company", "repo.main.db2",
+    ]
+    # top-level listing stays a preserved non-capability
+    fresh = SqlFacade(facade.catalog)
+    with pytest.raises(UnsupportedOperationError):
+        fresh.sql("SHOW NAMESPACES")
+    # CTAS from a lakefs source table
+    facade.sql(
+        "CREATE TABLE lakefs.repo.main.db2.seniors AS "
+        "SELECT id, age FROM lakefs.repo.main.company.workers WHERE age > 40"
+    )
+    out = facade.sql("SELECT id, age FROM lakefs.repo.main.db2.seniors ORDER BY id")
+    assert [(r.id, r.age) for r in out.collect()] == [("3", 41), ("5", 44)]
