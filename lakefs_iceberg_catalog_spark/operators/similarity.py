@@ -126,7 +126,63 @@ def _planes() -> list[list[list[float]]]:
     return rng.standard_normal((_N_TABLES, _PLANES_PER_TABLE, 64)).tolist()
 
 
-@register("similarity_ann_lsh")  # approximate — recall asserted in tests, no SQL oracle
+def _lsh_bucket_sql(tbl_planes: list[list[float]], emb: str) -> str:
+    """Sign-bit bucket key of `emb` against one table's literal planes —
+    the same plane·vector fold order as the Spark `_dot` (plane is the
+    first zip side), so signs agree bitwise. Python float repr round-trips
+    to the identical double in DuckDB."""
+    bits = []
+    for plane in tbl_planes:
+        lits = ", ".join(repr(v) for v in plane)
+        bits.append(
+            f"CASE WHEN list_aggregate(list_transform(range(1, 65),"
+            f" i -> [{lits}][i] * CAST({emb}[i] AS DOUBLE)), 'sum') >= 0"
+            f" THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB replay of the full LSH pipeline: per-table bucket keys from
+    the SAME seeded literal planes, candidate union over tables, exact
+    cosine + rank inside the candidate set. The planes are deterministic
+    driver-side literals, so the 'approximate' operator is still an exact,
+    hash-checkable function of its inputs."""
+    buckets = ",\n       ".join(
+        f"{_lsh_bucket_sql(tp, 'embedding')} AS b{ti}"
+        for ti, tp in enumerate(_planes())
+    )
+    cand_union = "\n    UNION\n    ".join(
+        f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id"
+        f" FROM buckets q JOIN buckets c ON q.b{t} = c.b{t}"
+        f" WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id"
+        for t in range(_N_TABLES)
+    )
+    return f"""
+WITH buckets AS (
+SELECT vec_id, embedding,
+       {buckets}
+FROM embeddings
+),
+cand AS (
+    {cand_union}
+),
+sims AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           {_COSINE_ORACLE_EXPR} AS cos
+    FROM cand cd
+    JOIN embeddings q ON q.vec_id = cd.query_id
+    JOIN embeddings c ON c.vec_id = cd.neighbor_id
+),
+ranked AS (SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM sims)
+SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= {_TOP_K}
+"""
+
+
+@register("similarity_ann_lsh", oracle=_ann_lsh_oracle())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH: 3 hash
     tables × 4 seeded planes; each vector gets one sign-bit bucket key per
@@ -136,8 +192,12 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Planes are generated from a fixed seed on the driver and embedded as
     literal array columns — every executor hashes identically, and reruns
-    are deterministic. Recall vs the brute-force baseline and the candidate
-    cost reduction are asserted in tests/test_ringc.py.
+    are deterministic. That determinism makes even this "approximate"
+    operator an exact function of its inputs: the DuckDB oracle replays the
+    identical plane literals, bucket keys, candidate union, and rank, so
+    the key is hash-matched, not rows-only. Recall vs the brute-force
+    baseline and the candidate cost reduction are asserted in
+    tests/test_ringc.py.
 
     Single corpus scan: all 3 tables' bucket keys are computed in ONE pass
     as an exploded array of (tbl, bucket) structs — a per-table union would
