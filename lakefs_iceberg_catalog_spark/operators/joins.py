@@ -312,3 +312,45 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_purchase") == 1)
         .select("event_id", "user_id", dround("value", 2).alias("value"), "signup_ts")
     )
+
+
+_SALT_BUCKETS = 8
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit two-phase salted JOIN — the deterministic fallback for
+    hot keys that overflow even AQE's skew-join splitting: the fact side
+    gets a salt from a column it already carries (l_linenumber mod 8 —
+    deterministic, no RNG state), the dim side is replicated once per salt
+    bucket via a literal-array explode, and the join runs on
+    (key, salt) — a hot orderkey's rows now spread over 8 tasks instead
+    of one. Salting MUST be result-invariant, which is exactly what the
+    oracle checks: the plain unsalted join is the DuckDB side.
+
+    At 100 TB the replicate factor trades dim-side volume (8× orders rows
+    through the shuffle) for worst-task size; the same shape with the dim
+    side broadcast drops the replication cost entirely when it fits."""
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.col("l_linenumber"), F.lit(_SALT_BUCKETS))
+    )
+    o = table(spark, sf_dir, "orders").withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)]))
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li._salt == o._salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )

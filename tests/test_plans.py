@@ -193,6 +193,21 @@ def test_cc_canonical_rounds_stay_hash_joins(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_salted_join_spreads_keys_without_nested_loop(spark):
+    """With broadcast off (the regime where salting matters), the salted
+    join must stay a shuffled equi-join on (key, salt) — never a nested
+    loop — and the dim replication must ride an Expand/Generate, not a
+    re-scan per salt."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(q(spark, "join_salted_skew"), mode="simple")
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        assert p.count("FileScan") == 2  # one lineitem scan + ONE orders scan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_similarity_topk_broadcasts_queries(spark):
     p = plan(q(spark, "similarity_topk"))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
