@@ -227,3 +227,61 @@ def ddl_schema_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame([(n,) for n in names], "namespace string")
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "branch_wap_publish",
+    oracle="""
+SELECT source, count(*) AS n_docs, min(length(text)) AS min_len
+FROM documents
+WHERE doc_id < 250 OR length(text) >= 80
+GROUP BY source
+""",
+)
+def branch_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish — the branch workflow the reference stack exists
+    for (lakeFS docs' headline pattern): the ingest batch lands on a
+    STAGING branch (zero-copy create), an audit query runs against staging
+    while main stays untouched, failing rows are repaired ON the branch
+    (copy-on-write delete), and only then does the merge publish the batch
+    atomically to main. Readers of main never observe the unaudited state —
+    asserted mid-flow here.
+
+    At 100 TB every step is O(metadata) on the driver except the repair
+    delete (a distributed rewrite of the affected files only); the audit is
+    an ordinary query against the branch's manifest."""
+    root = tempfile.mkdtemp(prefix="vcat-wap-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.etl")
+    docs = table(spark, sf_dir, "documents")
+    cat.create_table_as("repo.main.etl.docs", docs.filter("doc_id < 250"))
+    cat.commit_branch("repo", "main", "baseline corpus")
+
+    # WRITE: the new batch (10 of its rows are under the length floor)
+    cat.create_branch("repo", "staging", "main")
+    cat.append("repo.staging.etl.docs", docs.filter("doc_id >= 250"))
+
+    # AUDIT: runs on staging; main is still the baseline. The length floor
+    # applies to the INCOMING batch (grandfathered baseline rows stay).
+    bad_pred = "doc_id >= 250 AND length(text) < 80"
+    n_bad = cat.scan("repo.staging.etl.docs").filter(bad_pred).count()
+    assert n_bad > 0  # the audit genuinely catches the batch
+    assert cat.scan("repo.main.etl.docs").count() == 250  # main untouched
+
+    # REPAIR on the branch, then PUBLISH atomically
+    cat.delete_where("repo.staging.etl.docs", bad_pred)
+    cat.commit_branch("repo", "staging", "ingest batch, audited")
+    cat.merge("repo", "staging", "main")
+
+    from pyspark.sql import functions as F
+
+    out = (
+        cat.scan("repo.main.etl.docs")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.length("text")).alias("min_len"),
+        )
+    )
+    return _materialize(spark, out, root)

@@ -63,7 +63,7 @@ _SWEEP_PRIORITY = [
     # Ring B: versioned catalog + DML (reference's own E2E surface)
     "source_rows", "sink_create_table_as", "ddl_create_table", "sink_append",
     "dml_insert_values", "dml_delete_where", "branch_diff_equal",
-    "branch_merge", "ddl_schema_crud",
+    "branch_merge", "branch_wap_publish", "ddl_schema_crud",
     "dml_update_where", "dml_merge_upsert", "sql_merge_into",
     "sql_use_namespace", "time_travel_scan",
     # Ring C: LLM-data-pipeline operators
