@@ -188,6 +188,19 @@ class SqlFacade:
             target, t_alias, using, on, when = m.groups()
             return self._merge_into(target, t_alias, using, on, when, mk)
 
+        m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*"
+            rf"\(?\s*({_PART})\s+([A-Za-z]+(?:\([^)]*\))?)\s*\)?\s*$",
+            s,
+        )
+        if m:
+            # metadata-only schema evolution (Iceberg add-column semantics):
+            # existing files read back with NULLs for the new column
+            self.catalog.add_column(
+                _clean(m.group(1)), m.group(2).strip("`"), m.group(3)
+            )
+            return mk([], "result string")
+
         m = re.match(rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\b", s)
         if m:
             # preserved non-capability (SURVEY.md §2.3)

@@ -181,3 +181,15 @@ def test_show_namespaces_and_ctas(facade):
     )
     out = facade.sql("SELECT id, age FROM lakefs.repo.main.db2.seniors ORDER BY id")
     assert [(r.id, r.age) for r in out.collect()] == [("3", 41), ("5", 44)]
+
+
+def test_alter_table_add_column(facade):
+    facade.sql("ALTER TABLE lakefs.repo.main.company.workers ADD COLUMN team string")
+    out = facade.sql(
+        "SELECT id, team FROM lakefs.repo.main.company.workers WHERE id = '1'"
+    ).collect()
+    assert [(r.id, r.team) for r in out] == [("1", None)]  # old files read NULL
+    # parenthesized multi-word type form
+    facade.sql("ALTER TABLE lakefs.repo.main.company.workers ADD COLUMNS (bonus decimal(10,2))")
+    schema = facade.sql("SELECT * FROM lakefs.repo.main.company.workers").schema
+    assert schema.fieldNames()[-2:] == ["team", "bonus"]
