@@ -139,3 +139,108 @@ def decode_image_real(payload: bytes):  # pragma: no cover - codec not in contai
 
     img = Image.open(io.BytesIO(payload))
     return img.width, img.height, 1, [0]
+
+
+_RESIZE_TARGET = 224
+
+
+def _resize_batches(batches):
+    """Fit each decoded image into a 224x224 box preserving aspect ratio —
+    integer arithmetic only, so the oracle replays it exactly. A real
+    implementation calls PIL.Image.resize on the decoded pixels; the dims
+    math is identical."""
+    for pdf in batches:
+        w, h = pdf["width"], pdf["height"]
+        m = w.combine(h, max)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": w,
+                "height": h,
+                "out_w": (w * _RESIZE_TARGET // m).clip(lower=1).astype("int32"),
+                "out_h": (h * _RESIZE_TARGET // m).clip(lower=1).astype("int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+),
+dims AS (
+    SELECT doc_id,
+           CAST(n_bytes % 640 + 1 AS INT)       AS width,
+           CAST((n_bytes * 7) % 480 + 1 AS INT) AS height
+    FROM m
+)
+SELECT doc_id, width, height,
+       CAST(greatest(width  * {_RESIZE_TARGET} // greatest(width, height), 1) AS INT) AS out_w,
+       CAST(greatest(height * {_RESIZE_TARGET} // greatest(width, height), 1) AS INT) AS out_h
+FROM dims
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: decode → aspect-preserving fit into the model's input
+    box ({_RESIZE_TARGET}px), Arrow-batched mapInPandas over the decoded
+    dims. The dims arithmetic is integer-exact, so the oracle replays the
+    whole decode→resize chain; a real resizer changes only the pixel work,
+    not the plumbing, schema, or partitioning (per-partition streaming —
+    at 100 TB no partition of frames is ever materialized)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit("fake/txt").alias("media_format"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    decoded = d.mapInPandas(_decode_batches, _DECODE_SCHEMA)
+    return decoded.mapInPandas(
+        _resize_batches, "doc_id long, width int, height int, out_w int, out_h int"
+    )
+
+
+def _feature_batches(batches):
+    """Deterministic stand-in features (byte-length moments) with the real
+    extractor's exact shape: one array<double> per blob, Arrow-batched. A
+    real model replaces this function body (BLAS/torch on the decoded
+    pixels); schema and batching stay."""
+    for pdf in batches:
+        n = pdf["n_bytes"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "features": [
+                    [float(v), float(v % 7), float(v % 13), float((v * 31) % 97)]
+                    for v in n
+                ],
+            }
+        )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+WITH m AS (
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+)
+SELECT doc_id,
+       [CAST(n_bytes AS DOUBLE), CAST(n_bytes % 7 AS DOUBLE),
+        CAST(n_bytes % 13 AS DOUBLE), CAST((n_bytes * 31) % 97 AS DOUBLE)] AS features
+FROM m
+""",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary media columns: decode → per-blob
+    feature vector (array<double>) via Arrow-batched mapInPandas — the
+    embedding-generation stage of a multimodal training pipeline. Features
+    here are deterministic byte-length moments so the oracle can replay
+    them; the Spark-side contract (binary column in, fixed-width double
+    array out, per-partition streaming) is exactly what a real vision/audio
+    encoder plugs into."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit("fake/txt").alias("media_format"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    decoded = d.mapInPandas(_decode_batches, _DECODE_SCHEMA)
+    return decoded.mapInPandas(_feature_batches, "doc_id long, features array<double>")
