@@ -22,6 +22,9 @@ from lakefs_iceberg_catalog_spark.session import get_spark
 
 # Headline set: one representative per operator family (joins, aggs, windows,
 # scalars, dedup/similarity/text once those rings land).
+# FROZEN for comparability: BASELINE.md's measured table is this exact set,
+# so `value` stays apples-to-apples across rounds. Round-2+ operators are
+# timed separately under `extra_queries` / `extra_total`.
 HEADLINE = [
     "flagship_top_unshipped",
     "q1_pricing_summary",
@@ -45,19 +48,21 @@ HEADLINE = [
     "pipeline_training_corpus",
 ]
 
+# Round-2 additions, timed but kept OUT of the baseline-comparable total.
+EXTRA = [
+    "q5_local_supplier",
+    "q18_large_volume",
+    "join_salted_skew",
+    "dedup_embedding_cosine",
+    "similarity_ann_ivf",
+    "text_pii_scrub",
+    "sample_stratified_hash",
+]
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    registry.load_all()
-    spark = get_spark("lakefs-iceberg-catalog-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: spin the JVM/codegen paths once on a trivial action.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-
+def _time_queries(spark, names, sf_dir) -> dict[str, float]:
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
@@ -70,7 +75,22 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
             assert n >= 0
         timings[name] = round(best, 4)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all()
+    spark = get_spark("lakefs-iceberg-catalog-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: spin the JVM/codegen paths once on a trivial action.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings = _time_queries(spark, HEADLINE, sf_dir)
     total = round(sum(timings.values()), 4)
+    extra = _time_queries(spark, EXTRA, sf_dir)
     # Host-load context: this container shares a noisy host (single runs
     # inflate 3-6× under ambient load); the 1-minute loadavg lets a reader
     # tell a code regression from a busy-host artifact.
@@ -85,6 +105,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
+                "extra_total": round(sum(extra.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load1": load1,
             }
