@@ -173,3 +173,52 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < thresh)
         .select("doc_id", "source", "bucket")
     )
+
+
+@register(
+    "pipeline_corpus_mixture",
+    oracle="""
+WITH quality AS (
+    SELECT doc_id, source, text
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 20 AND n_chars >= 100
+),
+sampled AS (
+    SELECT doc_id, source, text,
+           (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|' || source), 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|' || source), 2, 1)) - 1) AS bucket,
+           CASE WHEN source LIKE 'src1%' THEN 192 ELSE 64 END AS thresh
+    FROM quality
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens
+FROM sampled WHERE bucket < thresh
+GROUP BY source
+""",
+)
+def pipeline_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture building — the OTHER half of corpus construction: quality
+    gate → hash-gated stratified sampling (per-source quotas from the
+    mixture spec) → per-source document/token accounting. Both stages are
+    pure scan-stage expressions, so the whole pipeline is ONE map-only pass
+    plus the final small aggregate: at 100 TB this is a single read of the
+    corpus, no joins, no wide shuffles."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    quality = d.filter((F.size(words) >= 20) & (F.col("n_chars") >= 100))
+    h = F.md5(F.encode(F.concat_ws("|", F.col("doc_id").cast("string"), "source"), "UTF-8"))
+    bucket = F.expr(
+        "(instr('0123456789abcdef', substring(_h, 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(_h, 2, 1)) - 1)"
+    )
+    thresh = F.when(F.col("source").startswith("src1"), F.lit(192)).otherwise(F.lit(64))
+    return (
+        quality.withColumn("_h", h)
+        .filter(bucket < thresh)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.ceil(F.length("text") / 4.0)).alias("est_tokens"),
+        )
+    )
