@@ -60,6 +60,15 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
                 df[c] = df[c].astype("int64")
         elif pd.api.types.is_bool_dtype(dt):
             df[c] = df[c].astype("bool") if not df[c].isna().any() else df[c].astype("object")
+        elif dt == object:
+            # array-valued cells (Spark/DuckDB both hand back ndarrays or
+            # lists): stringify via tolist so elementwise == stays scalar —
+            # the same ndarray→list normalization driver_sim.norm applies
+            df[c] = df[c].map(
+                lambda v: str(v.tolist())
+                if isinstance(v, np.ndarray)
+                else (str(v) if isinstance(v, list) else v)
+            )
     key = df.apply(lambda r: tuple(str(v) for v in r), axis=1) if len(df) else None
     if key is not None:
         df = df.iloc[key.argsort(kind="mergesort").to_numpy()].reset_index(drop=True)
