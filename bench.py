@@ -51,6 +51,7 @@ HEADLINE = [
 # Round-2 additions, timed but kept OUT of the baseline-comparable total.
 EXTRA = [
     "q5_local_supplier",
+    "q10_returned_items",
     "q18_large_volume",
     "join_salted_skew",
     "dedup_embedding_cosine",

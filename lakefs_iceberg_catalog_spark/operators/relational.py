@@ -183,6 +183,56 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(c_acctbal, 2) AS acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue from returned
+    items in one quarter.
+
+    Scale: both selective filters (order quarter, return flag) push into
+    their scans; lineitem↔orders shuffles once on the order key; customer
+    joins on its key and nation broadcasts; the per-customer aggregate is
+    partial-then-final, and top-20 on the rounded revenue (identical
+    rounding both engines, unique custkey tiebreak) plans as
+    TakeOrderedAndProject."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue",
+            dround("c_acctbal", 2).alias("acctbal"), "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # scan / project / filter
 # --------------------------------------------------------------------------

@@ -89,7 +89,7 @@ _SWEEP_PRIORITY = [
     "window_range_frame", "unpivot_stack", "agg_rollup",
     # Headline + representative re-checks of the already-green core
     "flagship_top_unshipped", "q1_pricing_summary",
-    "q5_local_supplier", "q18_large_volume", "join_asof",
+    "q5_local_supplier", "q18_large_volume", "q10_returned_items", "join_asof",
     "window_rank", "scalar_json", "udaf_pandas", "agg_grouping_sets",
     "subquery_correlated",
 ]

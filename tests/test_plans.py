@@ -140,6 +140,16 @@ def test_q5_all_hash_joins_with_partial_agg(spark):
     assert "partial_sum" in p
 
 
+def test_q10_filters_push_and_topk(spark):
+    """Both selective filters reach their scans and top-20 avoids a global
+    sort."""
+    p = plan(q(spark, "q10_returned_items"))
+    pushed = "\n".join(ln for ln in p.splitlines() if "PushedFilters" in ln)
+    assert "l_returnflag" in pushed and "o_orderdate" in pushed
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
 def test_q18_semi_join_and_topk(spark):
     """The HAVING subquery becomes a semi-join (no distinct-aggregate
     detour) and the top-100 plans as TakeOrderedAndProject."""
