@@ -52,6 +52,7 @@ HEADLINE = [
 EXTRA = [
     "q5_local_supplier",
     "q10_returned_items",
+    "q14_promo_share",
     "q18_large_volume",
     "join_salted_skew",
     "dedup_embedding_cosine",

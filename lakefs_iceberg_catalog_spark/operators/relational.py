@@ -233,6 +233,47 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q14_promo_share",
+    oracle="""
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo parts' share of monthly revenue — the
+    fact↔mid-dimension join with conditional aggregation.
+
+    Scale: part is the broadcast side (explicitly hinted — at 100 TB part
+    is GBs against lineitem's TBs, still broadcastable or a shuffle-hash
+    join, never sort-merge on the fact); the ship-date filter pushes into
+    the lineitem scan; both sums fold map-side per month before the single
+    12-group exchange."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            dround(100.0 * F.sum(promo_rev) / F.sum(rev), 4).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # scan / project / filter
 # --------------------------------------------------------------------------
