@@ -598,6 +598,28 @@ class VersionedCatalog:
         schema = T.StructType(list(schema.fields) + [new_field])
         ops.commit(base, base.next(base.files, schema_json=schema.json()))
 
+    def table_properties(self, identifier: str | list[str]) -> dict:
+        """Current table properties (metadata-only read)."""
+        ops, levels = self._ops(identifier)
+        m = ops.current()
+        if m is None:
+            raise NoSuchTableError(".".join(levels))
+        return dict(m.properties)
+
+    def set_table_properties(
+        self, identifier: str | list[str], props: dict, remove: list[str] | None = None
+    ) -> None:
+        """Set/unset table properties in one metadata-only commit (Iceberg
+        ALTER TABLE SET/UNSET TBLPROPERTIES semantics); files untouched."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        merged = {**base.properties, **{str(k): str(v) for k, v in props.items()}}
+        for k in remove or []:
+            merged.pop(k, None)
+        ops.commit(base, base.next(base.files, properties=merged))
+
     def compact(self, identifier: str | list[str], target_files: int = 1) -> None:
         """Small-file compaction: rewrite the current snapshot into
         `target_files` files (Iceberg rewrite_data_files). Metadata commit

@@ -201,6 +201,23 @@ class SqlFacade:
             )
             return mk([], "result string")
 
+        m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+(SET|UNSET)\s+TBLPROPERTIES\s*\((.*)\)\s*$",
+            s,
+        )
+        if m:
+            ident, verb, body = _clean(m.group(1)), m.group(2).upper(), m.group(3)
+            if verb == "SET":
+                props = {}
+                for part in self._split_top_level(body):
+                    k, v = part.split("=", 1)
+                    props[k.strip().strip("'\"` ")] = v.strip().strip("'\" ")
+                self.catalog.set_table_properties(ident, props)
+            else:
+                keys = [p.strip().strip("'\"` ") for p in self._split_top_level(body)]
+                self.catalog.set_table_properties(ident, {}, remove=keys)
+            return mk([], "result string")
+
         m = re.match(rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\b", s)
         if m:
             # preserved non-capability (SURVEY.md §2.3)

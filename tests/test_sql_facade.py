@@ -193,3 +193,19 @@ def test_alter_table_add_column(facade):
     facade.sql("ALTER TABLE lakefs.repo.main.company.workers ADD COLUMNS (bonus decimal(10,2))")
     schema = facade.sql("SELECT * FROM lakefs.repo.main.company.workers").schema
     assert schema.fieldNames()[-2:] == ["team", "bonus"]
+
+
+def test_set_unset_tblproperties(facade):
+    facade.sql(
+        "ALTER TABLE lakefs.repo.main.company.workers "
+        "SET TBLPROPERTIES ('owner' = 'data-eng', 'retention.days' = '30')"
+    )
+    props = facade.catalog.table_properties("repo.main.company.workers")
+    assert props["owner"] == "data-eng" and props["retention.days"] == "30"
+    facade.sql(
+        "ALTER TABLE lakefs.repo.main.company.workers UNSET TBLPROPERTIES ('owner')"
+    )
+    props = facade.catalog.table_properties("repo.main.company.workers")
+    assert "owner" not in props and props["retention.days"] == "30"
+    # property commits are metadata-only: data still reads back intact
+    assert facade.sql("SELECT * FROM lakefs.repo.main.company.workers").count() == 6
