@@ -7,6 +7,7 @@ from .errors import (
     NoSuchNamespaceError,
     NoSuchTableError,
     PathSandboxError,
+    SchemaMismatchError,
     TableAlreadyExistsError,
     UnsupportedOperationError,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "NoSuchNamespaceError",
     "NoSuchTableError",
     "PathSandboxError",
+    "SchemaMismatchError",
     "TableAlreadyExistsError",
     "UnsupportedOperationError",
 ]

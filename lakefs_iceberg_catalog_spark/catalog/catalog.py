@@ -44,6 +44,7 @@ from .errors import (
     NoSuchNamespaceError,
     NoSuchTableError,
     PathSandboxError,
+    SchemaMismatchError,
     TableAlreadyExistsError,
     UnsupportedOperationError,
 )
@@ -81,6 +82,32 @@ def _split(identifier: str | list[str]) -> list[str]:
                 f"illegal identifier component {part!r} in {identifier!r}"
             )
     return levels
+
+
+def _align_to_schema(
+    df: DataFrame, schema: T.StructType, *, strict: bool = False
+) -> DataFrame:
+    """Align an incoming DataFrame to the table schema.
+
+    By-name whenever the column-name sets match (order-insensitive — a
+    reordered batch casts into the RIGHT fields, never positionally into the
+    wrong ones).  When names differ: ``strict=True`` raises
+    SchemaMismatchError (the streaming-sink contract — a misnamed batch must
+    never be silently committed), ``strict=False`` falls back to positional
+    coercion (createDataFrame(rows, schema) semantics for batch appends) but
+    only when the column COUNT matches — zip truncation on extra/missing
+    columns is always an error."""
+    names = {f.name for f in schema.fields}
+    if set(df.columns) == names:
+        return df.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
+    if strict or len(df.columns) != len(schema.fields):
+        raise SchemaMismatchError(
+            f"cannot align columns {df.columns} to table schema "
+            f"{[f.name for f in schema.fields]}"
+        )
+    return df.select(
+        [F.col(c).cast(f.dataType).alias(f.name) for c, f in zip(df.columns, schema.fields)]
+    )
 
 
 def _parquet_num_rows(path: str) -> int:
@@ -394,14 +421,7 @@ class VersionedCatalog:
         if base is None:
             raise NoSuchTableError(".".join(levels))
         schema = T.StructType.fromJson(json.loads(base.schema_json))
-        if df.schema != schema:
-            # positional coercion to the declared schema, the same semantics
-            # as createDataFrame(rows, schema) in the reference fixture
-            aligned = df.select(
-                [F.col(c).cast(f.dataType).alias(f.name) for c, f in zip(df.columns, schema.fields)]
-            )
-        else:
-            aligned = df
+        aligned = df if df.schema == schema else _align_to_schema(df, schema)
         files, stats = self._write_data(levels, aligned)
         ops.commit(
             base,
@@ -433,9 +453,9 @@ class VersionedCatalog:
             if batch_id <= int(base.properties.get("stream.last_batch_id", -1)):
                 return False
             schema = T.StructType.fromJson(json.loads(base.schema_json))
-            aligned = df.select(
-                [F.col(c).cast(f.dataType).alias(f.name) for c, f in zip(df.columns, schema.fields)]
-            )
+            # strict by-name: a reordered or misnamed streaming batch must
+            # raise, never cast positionally into the wrong fields
+            aligned = _align_to_schema(df, schema, strict=True)
             files, stats = self._write_data(levels, aligned)
             try:
                 ops.commit(
@@ -515,9 +535,7 @@ class VersionedCatalog:
         if base is None:
             raise NoSuchTableError(".".join(levels))
         schema = T.StructType.fromJson(json.loads(base.schema_json))
-        aligned_src = source.select(
-            [F.col(c).cast(f.dataType).alias(f.name) for c, f in zip(source.columns, schema.fields)]
-        )
+        aligned_src = _align_to_schema(source, schema)
         target = self._read_files(levels[0], base)
         kept = target.join(aligned_src.select(*key_cols), on=key_cols, how="left_anti")
         files, stats = self._write_data(levels, kept.unionByName(aligned_src))

@@ -49,6 +49,11 @@ class PathSandboxError(CatalogError):
     (LakeFSFileIO.verifyPath, LakeFSFileIO.java:26-33)."""
 
 
+class SchemaMismatchError(CatalogError):
+    """Incoming DataFrame columns cannot be aligned to the table schema
+    (missing/extra/misnamed columns on a by-name write path)."""
+
+
 class UnsupportedOperationError(CatalogError):
     """Operations the reference deliberately refuses (SURVEY.md §2.3):
     rename, custom location, top-level namespace listing, ns property

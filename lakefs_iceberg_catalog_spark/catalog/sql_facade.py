@@ -181,12 +181,24 @@ class SqlFacade:
 
         m = re.match(
             rf"(?is)^MERGE\s+INTO\s+({_IDENT})(?:\s+(?:AS\s+)?(\w+))?"
-            rf"\s+USING\s+(.+?)\s+ON\s+(.+?)\s+WHEN\s+(.+)$",
+            rf"\s+USING\s+(.+)$",
             s,
         )
         if m:
-            target, t_alias, using, on, when = m.groups()
-            return self._merge_into(target, t_alias, using, on, when, mk)
+            target, t_alias, rest = m.groups()
+            # locate the TOP-LEVEL ON / WHEN with paren-depth awareness: a
+            # source subquery may itself contain JOIN ... ON — a non-greedy
+            # regex split at the first ' ON ' would mis-split it
+            on_at = self._find_top_level_kw(rest, "ON")
+            if on_at is None:
+                raise UnsupportedOperationError("MERGE INTO is missing a top-level ON clause")
+            using = rest[:on_at]
+            tail = rest[on_at + len("ON"):].lstrip()
+            when_at = self._find_top_level_kw(tail, "WHEN")
+            if when_at is None:
+                raise UnsupportedOperationError("MERGE INTO is missing a WHEN clause")
+            on, when = tail[:when_at], tail[when_at + len("WHEN"):].lstrip()
+            return self._merge_into(target, t_alias, using.strip(), on.strip(), when, mk)
 
         m = re.match(
             rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*"
@@ -210,6 +222,10 @@ class SqlFacade:
             if verb == "SET":
                 props = {}
                 for part in self._split_top_level(body):
+                    if "=" not in part:
+                        raise UnsupportedOperationError(
+                            f"malformed TBLPROPERTIES entry (expected k=v): {part.strip()!r}"
+                        )
                     k, v = part.split("=", 1)
                     props[k.strip().strip("'\"` ")] = v.strip().strip("'\" ")
                 self.catalog.set_table_properties(ident, props)
@@ -274,6 +290,34 @@ class SqlFacade:
             key_cols.append(cols.pop())
         self.catalog.merge_upsert(_clean(target), source, key_cols)
         return mk([], "result string")
+
+    @staticmethod
+    def _find_top_level_kw(s: str, kw: str) -> int | None:
+        """Index of the first whitespace-delimited occurrence of ``kw``
+        (case-insensitive) at paren depth 0 outside string quotes, or None.
+        Same scanning model as _split_top_level."""
+        depth, quote, i, n = 0, None, 0, len(s)
+        klen = len(kw)
+        while i < n:
+            ch = s[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and s[i:i + klen].upper() == kw.upper()
+                and (i == 0 or s[i - 1].isspace())
+                and (i + klen == n or s[i + klen].isspace())
+            ):
+                return i
+            i += 1
+        return None
 
     @staticmethod
     def _split_top_level(s: str) -> list[str]:

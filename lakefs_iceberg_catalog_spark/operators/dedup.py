@@ -215,7 +215,14 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-    return _pair_jaccard(cand, rows).filter(F.col("j") >= _MINHASH_THETA)
+    # verified pairs are output-sized: pin them eagerly, then drop the big
+    # shingle/band caches so a multi-key sweep doesn't accumulate storage
+    out = _pair_jaccard(cand, rows).filter(F.col("j") >= _MINHASH_THETA).localCheckpoint(
+        eager=True
+    )
+    bands.unpersist()
+    rows.unpersist()
+    return out
 
 
 @register(
@@ -277,7 +284,18 @@ def dedup_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:
         raise RuntimeError("connected components did not converge in 20 rounds")
-    return labels.select("doc_id", F.col("label").alias("canonical_id"))
+    # Release every cached intermediate before returning: the final labels
+    # are pinned via an eager localCheckpoint (output-sized, lineage cut),
+    # then pairs/edges/labels caches are dropped — a multi-key correctness
+    # sweep on one SparkSession must not accumulate cached partitions.
+    # (On a real cluster use checkpoint() with a reliable dir instead —
+    # localCheckpoint does not survive executor loss.)
+    final = labels.select("doc_id", F.col("label").alias("canonical_id")).localCheckpoint(
+        eager=True
+    )
+    for cached in (labels, edges, pairs):
+        cached.unpersist()
+    return final
 
 
 _NGRAM_DF_CAP = 16
@@ -335,7 +353,7 @@ def ngram_jaccard_of(docs: DataFrame, theta: float, df_cap: int | None) -> DataF
     cnt = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
+    out = (
         inter.join(ca, "doc_a")
         .join(cb, "doc_b")
         .select(
@@ -346,7 +364,13 @@ def ngram_jaccard_of(docs: DataFrame, theta: float, df_cap: int | None) -> DataF
         )
         .filter(F.col("j") >= theta)
         .select("doc_a", "doc_b", "source", dround("j", 6).alias("jaccard"))
+        # pin the output-sized result, then drop the big shingle caches —
+        # one sweep SparkSession must not accumulate cached partitions
+        .localCheckpoint(eager=True)
     )
+    kept.unpersist()
+    rows.unpersist()
+    return out
 
 
 @register(

@@ -31,15 +31,29 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     if app in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # One immutable artifact PER APPLICATION (zip name keyed by appId, not
+    # pid): a second SparkSession in the same process must never rewrite the
+    # zip a prior application registered via addPyFile — workers fetch it
+    # lazily and would race the rewrite. Write-then-rename keeps the final
+    # path atomic even if two sessions of the same app race this function.
+    safe_app = "".join(c if c.isalnum() or c in "-_." else "_" for c in app) or "noapp"
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"lakefs_iceberg_catalog_spark_pyfiles_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"lakefs_iceberg_catalog_spark_pyfiles_{safe_app}.zip"
     )
-    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, dirs, files in os.walk(pkg_dir):
-            dirs[:] = [d for d in dirs if d != "__pycache__"]
-            for fn in sorted(files):
-                if fn.endswith(".py"):
-                    full = os.path.join(root, fn)
-                    zf.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    if not os.path.exists(zip_path):
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+        os.close(fd)
+        try:
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+                for root, dirs, files in os.walk(pkg_dir):
+                    dirs[:] = [d for d in dirs if d != "__pycache__"]
+                    for fn in sorted(files):
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            zf.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+            os.replace(tmp, zip_path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     sc.addPyFile(zip_path)
     _SHIPPED.add(app)

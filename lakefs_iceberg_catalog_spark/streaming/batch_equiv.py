@@ -317,9 +317,14 @@ def stream_sink_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def sink(batch_df, batch_id):
-            assert cat.append_stream_batch("repo.main.stream.clicks", batch_df, batch_id)
+            # side-effects must NOT live in assert statements (stripped under
+            # python -O — the sink would silently commit nothing); call
+            # unconditionally and raise explicitly on a broken guarantee
+            if not cat.append_stream_batch("repo.main.stream.clicks", batch_df, batch_id):
+                raise RuntimeError(f"epoch {batch_id} refused on first apply")
             # crash-replay of the same epoch: must be refused, not re-applied
-            assert not cat.append_stream_batch("repo.main.stream.clicks", batch_df, batch_id)
+            if cat.append_stream_batch("repo.main.stream.clicks", batch_df, batch_id):
+                raise RuntimeError(f"epoch {batch_id} replay was re-applied")
 
         q = out.writeStream.foreachBatch(sink).outputMode("append").start()
         try:

@@ -152,6 +152,36 @@ def test_merge_into_table_source_and_refusals(facade):
         )
 
 
+def test_merge_into_subquery_source_with_inner_join_on(facade):
+    """A MERGE source subquery may itself contain JOIN ... ON — the facade
+    must split the statement at the TOP-LEVEL ON, not the first ' ON '
+    inside the parens (round-2 ADVICE regression)."""
+    facade.sql(
+        """
+        MERGE INTO lakefs.repo.main.company.workers AS t
+        USING (SELECT a.c0 AS id, a.c1 AS firstname, a.c2 AS lastname,
+                      b.c1 AS age, a.c4 AS gender
+               FROM (VALUES ('2', 'Mia', 'Rose', 0, 'F')) a(c0, c1, c2, c3, c4)
+               JOIN (VALUES ('2', 77)) b(c0, c1) ON a.c0 = b.c0) AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    got = {
+        (r.id, r.firstname, r.age)
+        for r in facade.sql("SELECT id, firstname, age FROM lakefs.repo.main.company.workers").collect()
+    }
+    assert ("2", "Mia", 77) in got and len(got) == 6
+
+
+def test_malformed_tblproperties_raises_unsupported(facade):
+    with pytest.raises(UnsupportedOperationError):
+        facade.sql(
+            "ALTER TABLE lakefs.repo.main.company.workers SET TBLPROPERTIES ('owner')"
+        )
+
+
 def test_describe_schema_and_rename_refused(facade):
     info = facade.sql("DESCRIBE SCHEMA lakefs.repo.main.company").collect()
     assert any(r.info_name == "location" for r in info)

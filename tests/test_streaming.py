@@ -3,6 +3,8 @@ trailing window, sessions never overlap, streaming dedup state behaves."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lakefs_iceberg_catalog_spark import registry
@@ -183,6 +185,31 @@ def test_stream_sink_versioned_epochs_and_idempotence(spark, tmp_path):
     assert not cat.append_stream_batch("repo.main.s.t", stale, 0)  # older
     assert cat.table_history("repo.main.s.t") == [1, 2, 3, 4]
     assert cat.scan("repo.main.s.t").count() == 3
+
+
+def test_stream_batch_alignment_by_name_and_strictness(spark, tmp_path):
+    """append_stream_batch aligns batches BY NAME: a reordered batch casts
+    into the right fields, and a misnamed/short batch raises instead of being
+    positionally committed into the wrong columns (round-2 ADVICE)."""
+    from lakefs_iceberg_catalog_spark.catalog import SchemaMismatchError, VersionedCatalog
+
+    cat = VersionedCatalog(spark, str(tmp_path))
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.s")
+    cat.create_table("repo.main.s.t", "k int, v string")
+    # reordered columns, same names → by-name alignment
+    reordered = spark.createDataFrame([("a", 1)], "v string, k int")
+    assert cat.append_stream_batch("repo.main.s.t", reordered, 0)
+    assert [(r.k, r.v) for r in cat.scan("repo.main.s.t").collect()] == [(1, "a")]
+    # misnamed column → refused, no commit
+    misnamed = spark.createDataFrame([(2, "b")], "k int, wrong string")
+    with pytest.raises(SchemaMismatchError):
+        cat.append_stream_batch("repo.main.s.t", misnamed, 1)
+    # missing column → refused (zip truncation would have silently dropped it)
+    short = spark.createDataFrame([(3,)], "k int")
+    with pytest.raises(SchemaMismatchError):
+        cat.append_stream_batch("repo.main.s.t", short, 1)
+    assert cat.scan("repo.main.s.t").count() == 1
 
 
 def test_stream_sink_epoch_race_single_winner(spark, tmp_path):
