@@ -62,21 +62,42 @@ EXTRA = [
 ]
 
 
-def _time_queries(spark, names, sf_dir) -> dict[str, float]:
+def _load1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
+def _time_queries(spark, names, sf_dir, loads: dict[str, float] | None = None) -> dict[str, float]:
+    """Best-of-N minima per query. Sub-second queries are the most exposed to
+    ambient load on this shared host (a 0.3 s scheduler hiccup is 'noise' on
+    a 5 s query but a 2.5× 'regression' on a 0.5 s one), so they get extra
+    repetitions: everyone runs twice, and any query whose best is still
+    under ~1 s gets bumped to best-of-4. Per-query load1 is recorded so a
+    reader can tell a code regression from a busy-host artifact."""
     timings: dict[str, float] = {}
     for name in names:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
         best = None
-        for _ in range(2):  # best-of-2: steady-state, robust to ambient load
+        runs = 0
+        while runs < 4:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             assert n >= 0
+            runs += 1
+            if runs >= 2 and best >= 1.0:
+                break  # long queries: best-of-2 is already stable enough
         timings[name] = round(best, 4)
+        if loads is not None:
+            l1 = _load1()
+            if l1 is not None:
+                loads[name] = l1
     return timings
 
 
@@ -90,16 +111,10 @@ def main() -> None:
     # Warmup: spin the JVM/codegen paths once on a trivial action.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings = _time_queries(spark, HEADLINE, sf_dir)
+    loads: dict[str, float] = {}
+    timings = _time_queries(spark, HEADLINE, sf_dir, loads)
     total = round(sum(timings.values()), 4)
-    extra = _time_queries(spark, EXTRA, sf_dir)
-    # Host-load context: this container shares a noisy host (single runs
-    # inflate 3-6× under ambient load); the 1-minute loadavg lets a reader
-    # tell a code regression from a busy-host artifact.
-    try:
-        load1 = round(os.getloadavg()[0], 2)
-    except OSError:
-        load1 = None
+    extra = _time_queries(spark, EXTRA, sf_dir, loads)
     print(
         json.dumps(
             {
@@ -110,7 +125,8 @@ def main() -> None:
                 "extra_queries": extra,
                 "extra_total": round(sum(extra.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "load1": load1,
+                "load1": _load1(),
+                "load1_per_query": loads,
             }
         )
     )

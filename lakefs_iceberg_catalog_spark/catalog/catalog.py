@@ -385,11 +385,52 @@ class VersionedCatalog:
         return out, stats
 
     def _read_files(self, repo: str, manifest: TableManifest) -> DataFrame:
+        """Scan the manifest's files, projecting each file's WRITTEN column
+        names onto the CURRENT schema via stable field ids (Iceberg's
+        read-time projection): renamed columns read by their old on-file
+        name, dropped columns are simply not selected, added columns
+        backfill NULL for pre-add files. Files are grouped by their write
+        mapping, one Spark scan per distinct mapping (metadata-only driver
+        work; the common no-evolution case stays a single scan)."""
         schema = T.StructType.fromJson(json.loads(manifest.schema_json))
         if not manifest.files:
             return self.spark.createDataFrame([], schema)
-        paths = [self._verify_path(repo, os.path.join(self._repo_dir(repo), f)) for f in manifest.files]
-        return self.spark.read.schema(schema).parquet(*paths)
+        cols = manifest.columns or [
+            {"id": i, "name": f.name} for i, f in enumerate(schema.fields)
+        ]
+        current = {str(c["id"]): c["name"] for c in cols}
+        dtypes = {c["name"]: schema[c["name"]].dataType for c in cols}
+        groups: dict[tuple, list[str]] = {}
+        for f in manifest.files:
+            fm = manifest.file_columns.get(f, current)
+            sig = tuple(fm.get(str(c["id"])) for c in cols)
+            groups.setdefault(sig, []).append(f)
+        parts = []
+        for sig, files in groups.items():
+            paths = [
+                self._verify_path(repo, os.path.join(self._repo_dir(repo), f))
+                for f in files
+            ]
+            read_fields = [
+                T.StructField(written, dtypes[c["name"]], True)
+                for written, c in zip(sig, cols)
+                if written is not None
+            ]
+            df = self.spark.read.schema(T.StructType(read_fields)).parquet(*paths)
+            parts.append(
+                df.select(
+                    [
+                        F.col(written).alias(c["name"])
+                        if written is not None
+                        else F.lit(None).cast(dtypes[c["name"]]).alias(c["name"])
+                        for written, c in zip(sig, cols)
+                    ]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def scan(self, identifier: str | list[str], version: int | None = None) -> DataFrame:
         """Read the table at its current — or, with ``version``, a historic —
@@ -405,7 +446,7 @@ class VersionedCatalog:
         else:
             # codec-probing read: the historic version may be stored plain
             # or as the legacy .gz variant
-            content = _read_manifest_file(ops._version_path(version))
+            content = ops.read_version(version)
             if content is None:
                 raise NoSuchTableError(f"{'.'.join(levels)} has no version {version}")
             m = TableManifest.from_json(content)
@@ -580,6 +621,8 @@ class VersionedCatalog:
             files=keep,
             properties=m.properties,
             file_stats=m.file_stats,
+            columns=m.columns,
+            file_columns=m.file_columns,
         )
         df = self._read_files(levels[0], pruned)
         # Residual predicate from Column/lit objects — never string-assembled
@@ -604,7 +647,9 @@ class VersionedCatalog:
     ) -> None:
         """Schema evolution: append a nullable column — a metadata-only
         commit (no data rewrite); existing files read back with NULLs for
-        the new column, exactly Iceberg's add-column semantics."""
+        the new column, exactly Iceberg's add-column semantics. The new
+        field gets a fresh never-reused id (max+1), so a later rename/drop
+        can never confuse it with a historic column."""
         ops, levels = self._ops(identifier)
         base = ops.current()
         if base is None:
@@ -614,7 +659,63 @@ class VersionedCatalog:
             raise TableAlreadyExistsError(f"column {name!r} already exists")
         new_field = T.StructType.fromDDL(f"`{name}` {ddl_type}").fields[0]
         schema = T.StructType(list(schema.fields) + [new_field])
-        ops.commit(base, base.next(base.files, schema_json=schema.json()))
+        next_id = max((int(c["id"]) for c in base.columns), default=-1) + 1
+        columns = list(base.columns) + [{"id": next_id, "name": name}]
+        ops.commit(
+            base, base.next(base.files, schema_json=schema.json(), columns=columns)
+        )
+
+    def rename_column(self, identifier: str | list[str], old: str, new: str) -> None:
+        """Schema evolution: rename a column — metadata-only (Iceberg
+        ALTER TABLE ... RENAME COLUMN; the reference inherits it via the
+        pinned extensions, tests/conftest.py:67 + pom.xml:77-88). The field
+        keeps its id; existing data files keep the old on-file name and the
+        scan projects them through the id mapping, so no data is rewritten
+        and historic snapshots still read under their own names."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        if old not in schema.fieldNames():
+            raise NoSuchTableError(f"column {old!r} does not exist")
+        if new in schema.fieldNames():
+            raise TableAlreadyExistsError(f"column {new!r} already exists")
+        fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        columns = [
+            {**c, "name": new} if c["name"] == old else c for c in base.columns
+        ]
+        ops.commit(
+            base,
+            base.next(
+                base.files, schema_json=T.StructType(fields).json(), columns=columns
+            ),
+        )
+
+    def drop_column(self, identifier: str | list[str], name: str) -> None:
+        """Schema evolution: drop a column — metadata-only; data files are
+        untouched (the scan just stops selecting the field), historic
+        snapshots still expose it, and the id is never reused."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        if name not in schema.fieldNames():
+            raise NoSuchTableError(f"column {name!r} does not exist")
+        if len(schema.fields) == 1:
+            raise UnsupportedOperationError("cannot drop the only column")
+        fields = [f for f in schema.fields if f.name != name]
+        columns = [c for c in base.columns if c["name"] != name]
+        ops.commit(
+            base,
+            base.next(
+                base.files, schema_json=T.StructType(fields).json(), columns=columns
+            ),
+        )
 
     def table_properties(self, identifier: str | list[str]) -> dict:
         """Current table properties (metadata-only read)."""

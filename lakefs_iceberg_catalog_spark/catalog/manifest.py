@@ -30,28 +30,27 @@ import uuid as _uuid
 from dataclasses import dataclass, field
 
 from .errors import CommitConflictError, CommitStateError
+from .store import LocalManifestStore, ManifestStore
 
 METADATA_DIR = "metadata"
 VERSION_HINT = "version-hint.text"
 _VERSION_RE = re.compile(r"^v(\d+)\.manifest\.json(?:\.gz)?$")
+
+_LOCAL_STORE = LocalManifestStore()
 
 
 def _read_manifest_file(path: str) -> str | None:
     """Read a manifest probing codecs: plain JSON, then gzip — the
     reference's getMetadataFile codec probe (LakeFSTableOperations.java:
     149-166, incl. the legacy .gz naming)."""
-    import gzip
+    return _LOCAL_STORE.read(path)
 
-    try:
-        with open(path) as f:
-            return f.read()
-    except FileNotFoundError:
-        pass
-    try:
-        with gzip.open(path + ".gz", "rt") as f:
-            return f.read()
-    except FileNotFoundError:
-        return None
+
+def _columns_from_schema(schema_json: str) -> list[dict]:
+    """Initial field-id assignment: position-ordered ids, Iceberg-style
+    (every field gets a stable id at table create; ids never get reused)."""
+    fields = json.loads(schema_json).get("fields", [])
+    return [{"id": i, "name": f["name"]} for i, f in enumerate(fields)]
 
 
 @dataclass
@@ -65,6 +64,14 @@ class TableManifest:
     # manifest stats equivalent): {path: {col: [min, max]}}; numeric and
     # string columns only, absent entries mean "no stats — never skip".
     file_stats: dict = field(default_factory=dict)
+    # Schema-evolution bookkeeping (Iceberg's field-id model): `columns` is
+    # the CURRENT schema as ordered {id, name} pairs — ids are stable across
+    # rename and never reused after drop; `file_columns` records, per data
+    # file, the {id: name} mapping the file was WRITTEN with, so a scan can
+    # read old files by their old column names and project them to the
+    # current schema (read-time projection, no data rewrite).
+    columns: list = field(default_factory=list)
+    file_columns: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -75,6 +82,8 @@ class TableManifest:
                 "files": self.files,
                 "properties": self.properties,
                 "file_stats": self.file_stats,
+                "columns": self.columns,
+                "file_columns": self.file_columns,
             },
             indent=1,
             sort_keys=True,
@@ -90,6 +99,10 @@ class TableManifest:
             files=list(d["files"]),
             properties=dict(d.get("properties", {})),
             file_stats=dict(d.get("file_stats", {})),
+            # legacy manifests (pre-evolution): derive ids positionally —
+            # their files were all written with the then-current names
+            columns=list(d.get("columns") or _columns_from_schema(d["schema_json"])),
+            file_columns=dict(d.get("file_columns", {})),
         )
 
     def next(
@@ -98,7 +111,19 @@ class TableManifest:
         properties: dict | None = None,
         schema_json: str | None = None,
         file_stats: dict | None = None,
+        columns: list | None = None,
     ) -> "TableManifest":
+        new_cols = list(self.columns if columns is None else columns)
+        # Any file the base doesn't know was just written with the CURRENT
+        # column names — stamp its {id: name} mapping here so every commit
+        # path (append/CoW rewrite/merge/stream sink) records provenance
+        # without each call site threading it through. Entries for files no
+        # longer listed are dropped (rewritten/compacted away).
+        write_mapping = {str(c["id"]): c["name"] for c in (self.columns or new_cols)}
+        fcols = {
+            f: self.file_columns.get(f, write_mapping)
+            for f in files
+        }
         return TableManifest(
             table_uuid=self.table_uuid,
             version=self.version + 1,
@@ -106,6 +131,8 @@ class TableManifest:
             files=files,
             properties=self.properties if properties is None else properties,
             file_stats=self.file_stats if file_stats is None else file_stats,
+            columns=new_cols,
+            file_columns=fcols,
         )
 
 
@@ -115,6 +142,8 @@ def new_manifest(
     properties: dict | None = None,
     file_stats: dict | None = None,
 ) -> TableManifest:
+    columns = _columns_from_schema(schema_json)
+    mapping = {str(c["id"]): c["name"] for c in columns}
     return TableManifest(
         table_uuid=str(_uuid.uuid4()),
         version=1,
@@ -122,6 +151,8 @@ def new_manifest(
         files=files,
         properties=properties or {},
         file_stats=file_stats or {},
+        columns=columns,
+        file_columns={f: mapping for f in files},
     )
 
 
@@ -130,11 +161,17 @@ class TableOperations:
 
     The equivalent of LakeFSTableOperations: refresh/current walk the chain,
     commit races via exclusive-create.
+
+    Every storage touch goes through a ManifestStore (store.py): the default
+    LocalManifestStore keeps today's POSIX behavior byte-identical, while an
+    object-store implementation needs only put-if-absent/read/list to run
+    the same lock-free protocol (conditional PUT as the race arbiter).
     """
 
-    def __init__(self, table_dir: str):
+    def __init__(self, table_dir: str, store: ManifestStore | None = None):
         self.table_dir = table_dir
         self.meta_dir = os.path.join(table_dir, METADATA_DIR)
+        self.store = store if store is not None else _LOCAL_STORE
 
     # -- version resolution (LakeFSTableOperations.java:87-112, 233-265) ----
 
@@ -146,20 +183,18 @@ class TableOperations:
         else 0 (= table has no committed metadata)."""
         hint = os.path.join(self.meta_dir, VERSION_HINT)
         try:
-            with open(hint) as f:
-                v = int(f.read().strip())
+            content = self.store.read(hint)
+            if content is not None:
+                v = int(content.strip())
                 if self._version_exists(v):
                     return v
-        except (FileNotFoundError, ValueError):
+        except ValueError:
             pass
         best = 0
-        try:
-            for name in os.listdir(self.meta_dir):
-                m = _VERSION_RE.match(name)
-                if m:
-                    best = max(best, int(m.group(1)))
-        except FileNotFoundError:
-            return 0
+        for name in self.store.list_dir(self.meta_dir):
+            m = _VERSION_RE.match(name)
+            if m:
+                best = max(best, int(m.group(1)))
         return best
 
     def current(self) -> TableManifest | None:
@@ -171,12 +206,16 @@ class TableOperations:
             return None
         while self._version_exists(v + 1):
             v += 1
-        content = _read_manifest_file(self._version_path(v))
+        content = self.read_version(v)
         return TableManifest.from_json(content) if content is not None else None
+
+    def read_version(self, version: int) -> str | None:
+        """Raw manifest content for a version (codec-probing), or None."""
+        return self.store.read(self._version_path(version))
 
     def _version_exists(self, version: int) -> bool:
         p = self._version_path(version)
-        return os.path.exists(p) or os.path.exists(p + ".gz")
+        return self.store.exists(p) or self.store.exists(p + ".gz")
 
     # -- commit (LakeFSTableOperations.java:114-147) -------------------------
 
@@ -205,45 +244,30 @@ class TableOperations:
             if manifest.version != base.version + 1:
                 raise CommitStateError("commit must advance the version by exactly 1")
 
-        os.makedirs(self.meta_dir, exist_ok=True)
         path = self._version_path(manifest.version)
-        # Write the full manifest to a private temp file, then PUBLISH it
-        # atomically with a hard link — link() both fails-if-exists (the
-        # set-if-absent arbiter) and makes the file appear fully formed, so
-        # a concurrent reader can never observe a torn half-written
-        # manifest. (Object-store equivalent: conditional PUT, which is
-        # atomic by nature.)
-        tmp = os.path.join(
-            self.meta_dir, f".commit.{os.getpid()}.{_uuid.uuid4().hex}.tmp"
-        )
-        with open(tmp, "w") as f:
-            f.write(manifest.to_json())
+        # PUBLISH via the store's put-if-absent — the set-if-absent arbiter
+        # of the race. Local store: private temp file + os.link (fails-if-
+        # exists and appears fully formed, so a concurrent reader can never
+        # observe a torn half-written manifest). Object store: conditional
+        # PUT, atomic by nature.
         try:
-            os.link(tmp, path)
+            self.store.put_if_absent(path, manifest.to_json())
         except FileExistsError as e:
             raise CommitConflictError(
                 f"lost commit race for v{manifest.version} at {path}"
             ) from e
-        finally:
-            os.unlink(tmp)
         self._write_version_hint(manifest.version)
         return manifest
 
     def _write_version_hint(self, version: int) -> None:
-        """Best-effort pointer update: temp write + atomic rename; failures
-        are swallowed (the chain walk recovers without it)."""
+        """Best-effort pointer update (atomic overwrite); failures are
+        swallowed (the chain walk recovers without it)."""
         try:
-            tmp = os.path.join(self.meta_dir, f".hint.{os.getpid()}.{_uuid.uuid4().hex}.tmp")
-            with open(tmp, "w") as f:
-                f.write(str(version))
-            os.replace(tmp, os.path.join(self.meta_dir, VERSION_HINT))
+            self.store.put(os.path.join(self.meta_dir, VERSION_HINT), str(version))
         except OSError:
             pass
 
     def is_table_dir(self) -> bool:
         """A directory is a table iff metadata/ holds manifest files
         (LakeFSCatalog.java:88-104 isTableDir)."""
-        try:
-            return any(_VERSION_RE.match(n) for n in os.listdir(self.meta_dir))
-        except FileNotFoundError:
-            return False
+        return any(_VERSION_RE.match(n) for n in self.store.list_dir(self.meta_dir))

@@ -234,9 +234,28 @@ class SqlFacade:
                 self.catalog.set_table_properties(ident, {}, remove=keys)
             return mk([], "result string")
 
+        m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_PART})\s+TO\s+({_PART})\s*$",
+            s,
+        )
+        if m:
+            # metadata-only column rename (Iceberg extension surface)
+            self.catalog.rename_column(
+                _clean(m.group(1)), m.group(2).strip("`"), m.group(3).strip("`")
+            )
+            return mk([], "result string")
+
+        m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s*\(?\s*({_PART})\s*\)?\s*$",
+            s,
+        )
+        if m:
+            self.catalog.drop_column(_clean(m.group(1)), m.group(2).strip("`"))
+            return mk([], "result string")
+
         m = re.match(rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\b", s)
         if m:
-            # preserved non-capability (SURVEY.md §2.3)
+            # preserved non-capability (SURVEY.md §2.3): TABLE rename
             self.catalog.rename_table(_clean(m.group(1)), None)
 
         raise UnsupportedOperationError(f"unsupported statement: {s[:80]!r}")

@@ -26,11 +26,13 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import table
-from .util import dround
+from .util import bounded_rows, dround
 
 
 def _materialize(spark: SparkSession, df: DataFrame, tmp: str) -> DataFrame:
-    rows, schema = df.collect(), df.schema
+    """Pin a fixture-scale round-trip result past its temp-dir cleanup.
+    Guarded by the shared row ceiling (operators/util.py:bounded_rows)."""
+    rows, schema = bounded_rows(df), df.schema
     shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
 

@@ -2,8 +2,41 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Ceiling for any driver-side result materialization. The collect-and-
+# recreate pattern exists ONLY so fixture-scale results survive temp-dir
+# cleanup (versioned-catalog scenarios, source round-trips, streaming
+# sinks); it must never silently become a way to funnel an unbounded
+# distributed result through the driver. Fixture results are 6-20k rows;
+# anything above this ceiling is a misuse, not a bigger fixture.
+MATERIALIZE_ROW_CEILING = 100_000
+
+
+class MaterializeCeilingError(RuntimeError):
+    """A driver-side materialization exceeded MATERIALIZE_ROW_CEILING."""
+
+
+def bounded_rows(df: DataFrame, ceiling: int = MATERIALIZE_ROW_CEILING) -> list:
+    """Collect at most ``ceiling`` rows; raise if the result is larger.
+    The probe collects ceiling+1 rows (never the full oversized result), so
+    the driver's exposure is bounded even in the failure path."""
+    rows = df.limit(ceiling + 1).collect()
+    if len(rows) > ceiling:
+        raise MaterializeCeilingError(
+            f"driver-side materialization exceeds {ceiling} rows; "
+            "this pattern is for bounded fixture results only — write the "
+            "result to storage and read it back instead"
+        )
+    return rows
+
+
+def materialize_bounded(
+    spark: SparkSession, df: DataFrame, ceiling: int = MATERIALIZE_ROW_CEILING
+) -> DataFrame:
+    """Driver-side collect-and-recreate with an explicit row ceiling."""
+    return spark.createDataFrame(bounded_rows(df, ceiling), df.schema)
 
 
 def dround(col: Column | str, scale: int = 2) -> Column:

@@ -66,7 +66,12 @@ def _seeded(spark: SparkSession):
 
 
 def _materialize(spark: SparkSession, df: DataFrame, root: str) -> DataFrame:
-    rows, schema = df.collect(), df.schema
+    """Pin a fixture-scale result so it survives the temp-warehouse cleanup.
+    Guarded by the shared row ceiling — never reusable on an unbounded
+    result (operators/util.py:bounded_rows)."""
+    from .util import bounded_rows
+
+    rows, schema = bounded_rows(df), df.schema
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
 
@@ -227,6 +232,46 @@ def ddl_schema_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame([(n,) for n in names], "namespace string")
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "ddl_schema_evolution",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1', 'James',   32, 'M', CAST(NULL AS VARCHAR)),
+  ('2', 'Michael', 35, 'M', CAST(NULL AS VARCHAR)),
+  ('3', 'Robert',  41, 'M', CAST(NULL AS VARCHAR)),
+  ('4', 'Maria',   36, 'F', CAST(NULL AS VARCHAR)),
+  ('5', 'Jen',     44, 'F', CAST(NULL AS VARCHAR)),
+  ('6', 'Monika',  31, 'F', CAST(NULL AS VARCHAR)),
+  ('7', 'Jhon',    33, 'M', 'eng'),
+  ('8', 'Marta',   31, 'F', 'ops')
+) AS t(id, given_name, age, gender, dept)
+""",
+)
+def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full metadata-only schema evolution — ADD, RENAME, DROP COLUMN (the
+    Iceberg evolution surface the reference inherits via its pinned
+    extensions, tests/conftest.py:67 + pom.xml:77-88), with zero data
+    rewrite: add `dept` (old rows read NULL), insert a row, rename
+    `firstname`→`given_name` (old files keep the old on-file name; the scan
+    projects via stable field ids), insert another row under the new name,
+    drop `lastname` (files untouched, field no longer selected). Historic
+    snapshots still read under THEIR schema — asserted mid-flow via time
+    travel to v1."""
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    cat.add_column(t, "dept", "string")
+    cat.insert_values(t, [("7", "Jhon", "Smith", 33, "M", "eng")])
+    cat.rename_column(t, "firstname", "given_name")
+    cat.insert_values(t, [("8", "Marta", "Green", 31, "F", "ops")])
+    cat.drop_column(t, "lastname")
+    # time travel: v1 (the CTAS) still exposes the ORIGINAL schema and rows
+    v1 = cat.scan(t, version=1)
+    assert set(v1.columns) == {"id", "firstname", "lastname", "age", "gender"}
+    assert v1.count() == 6
+    out = cat.scan(t).select("id", "given_name", "age", "gender", "dept")
+    return _materialize(spark, out, root)
 
 
 @register(

@@ -334,7 +334,9 @@ def stream_sink_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = cat.scan("repo.main.stream.clicks").select(
             "event_id", "user_id", "ts", _dr("value", 2).alias("value_r")
         )
-        rows, schema = res.collect(), res.schema
+        from ..operators.util import bounded_rows
+
+        rows, schema = bounded_rows(res), res.schema
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)

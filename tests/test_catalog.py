@@ -21,6 +21,7 @@ from lakefs_iceberg_catalog_spark.catalog import (
     MergeConflictError,
     NamespaceAlreadyExistsError,
     NamespaceNotEmptyError,
+    NoSuchTableError,
     PathSandboxError,
     TableAlreadyExistsError,
     UnsupportedOperationError,
@@ -178,6 +179,43 @@ def test_uuid_guard(tmp_path):
         ops.commit(m, evil)
 
 
+def test_commit_protocol_on_object_store():
+    """The same lock-free protocol runs unchanged against an object-store
+    style backend: put-if-absent (conditional PUT) is the race arbiter, the
+    hint is a plain PUT, recovery scans a listing. No POSIX rename/link."""
+    import threading
+
+    from lakefs_iceberg_catalog_spark.catalog.store import InMemoryManifestStore
+
+    store = InMemoryManifestStore()
+    ops = TableOperations("/bucket/t", store=store)
+    m1 = ops.commit(None, new_manifest('{"type":"struct","fields":[]}', []))
+    m2 = ops.commit(m1, m1.next(["a.parquet"]))
+    assert ops.current().version == 2 and ops.is_table_dir()
+    # hint loss + stale hint recovery, same as the local-store test
+    store.put(os.path.join(ops.meta_dir, "version-hint.text"), "1")
+    assert ops.current().version == 2
+
+    # the commit race: 16 writers, exactly one winner
+    wins, losses = [], []
+
+    def attempt(i):
+        try:
+            ops.commit(m2, m2.next([f"w{i}.parquet"]))
+            wins.append(i)
+        except (CommitConflictError, CommitStateError):
+            losses.append(i)
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(wins) == 1 and len(losses) == 15
+    assert ops.current().version == 3
+    assert ops.current().files == [f"w{wins[0]}.parquet"]
+
+
 # ------------------------------------------------------------------- guards
 
 
@@ -226,6 +264,41 @@ def test_append_coercion(cat, spark):
     df = cat.scan("repo.main.company.workers")
     assert df.filter("id = '9'").count() == 1
     assert df.schema["id"].dataType == T.StringType()
+
+
+def test_schema_evolution_rename_drop(cat, spark):
+    """Metadata-only ADD/RENAME/DROP column: no data rewrite (file list
+    unchanged across evolution commits), old files project through field
+    ids, historic versions keep their own schema, guards fire."""
+    t = "repo.main.company.workers"
+    files_before = cat._ops(t)[0].current().files
+    cat.add_column(t, "dept", "string")
+    cat.rename_column(t, "firstname", "given_name")
+    cat.drop_column(t, "lastname")
+    ops, _ = cat._ops(t)
+    assert ops.current().files == files_before  # zero data rewrite
+    df = cat.scan(t)
+    assert set(df.columns) == {"id", "given_name", "age", "gender", "dept"}
+    got = {(r.id, r.given_name, r.dept) for r in df.collect()}
+    assert ("1", "James", None) in got and len(got) == 6
+    # append AFTER evolution writes files under the NEW names; both
+    # generations of files coexist in one scan
+    cat.insert_values(t, [("9", "Ann", 28, "F", "eng")])
+    got2 = {(r.id, r.given_name, r.dept) for r in cat.scan(t).collect()}
+    assert ("9", "Ann", "eng") in got2 and len(got2) == 7
+    # historic version: original schema, original rows
+    v1 = cat.scan(t, version=1)
+    assert set(v1.columns) == {"id", "firstname", "lastname", "age", "gender"}
+    assert v1.count() == 6
+    # guards
+    with pytest.raises(TableAlreadyExistsError):
+        cat.rename_column(t, "age", "gender")
+    with pytest.raises(NoSuchTableError):
+        cat.drop_column(t, "no_such")
+    for c in ("given_name", "age", "gender", "dept"):
+        cat.drop_column(t, c)
+    with pytest.raises(UnsupportedOperationError):
+        cat.drop_column(t, "id")  # cannot drop the only column
 
 
 def test_concurrent_commit_race(tmp_path):

@@ -26,6 +26,26 @@ print("HOSTILE_CWD_OK")
 """
 
 
+def test_materialize_ceiling_guard(spark):
+    """The driver-side collect-and-recreate pattern is hard-capped: an
+    oversized result raises instead of funneling through the driver, and
+    the failure path itself collects only ceiling+1 rows."""
+    import pytest
+
+    from lakefs_iceberg_catalog_spark.operators.util import (
+        MaterializeCeilingError,
+        bounded_rows,
+        materialize_bounded,
+    )
+
+    small = spark.range(10)
+    assert len(bounded_rows(small, ceiling=100)) == 10
+    assert materialize_bounded(spark, small, ceiling=100).count() == 10
+    big = spark.range(1000)
+    with pytest.raises(MaterializeCeilingError):
+        bounded_rows(big, ceiling=999)
+
+
 def test_worker_import_from_hostile_cwd():
     r = subprocess.run(
         [sys.executable, "-c", _SCRIPT],

@@ -175,6 +175,20 @@ def test_merge_into_subquery_source_with_inner_join_on(facade):
     assert ("2", "Mia", 77) in got and len(got) == 6
 
 
+def test_alter_table_rename_drop_column_sql_forms(facade):
+    """ALTER TABLE ... RENAME COLUMN / DROP COLUMN dispatch to the
+    metadata-only evolution ops; bare table RENAME stays refused."""
+    facade.sql(
+        "ALTER TABLE lakefs.repo.main.company.workers RENAME COLUMN firstname TO given_name"
+    )
+    facade.sql("ALTER TABLE lakefs.repo.main.company.workers DROP COLUMN lastname")
+    df = facade.sql("SELECT * FROM lakefs.repo.main.company.workers")
+    assert set(df.columns) == {"id", "given_name", "age", "gender"}
+    assert df.count() == 6
+    with pytest.raises(UnsupportedOperationError):
+        facade.sql("ALTER TABLE lakefs.repo.main.company.workers RENAME TO x")
+
+
 def test_malformed_tblproperties_raises_unsupported(facade):
     with pytest.raises(UnsupportedOperationError):
         facade.sql(
