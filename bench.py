@@ -48,7 +48,7 @@ HEADLINE = [
     "pipeline_training_corpus",
 ]
 
-# Round-2 additions, timed but kept OUT of the baseline-comparable total.
+# Round-2+ additions, timed but kept OUT of the baseline-comparable total.
 EXTRA = [
     "q5_local_supplier",
     "q10_returned_items",
@@ -59,6 +59,7 @@ EXTRA = [
     "similarity_ann_ivf",
     "text_pii_scrub",
     "sample_stratified_hash",
+    "similarity_ann_lsh_multiprobe",
 ]
 
 

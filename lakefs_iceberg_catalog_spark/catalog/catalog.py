@@ -403,30 +403,38 @@ class VersionedCatalog:
         groups: dict[tuple, list[str]] = {}
         for f in manifest.files:
             fm = manifest.file_columns.get(f, current)
-            sig = tuple(fm.get(str(c["id"])) for c in cols)
-            groups.setdefault(sig, []).append(f)
+            name_sig = tuple(fm.get(str(c["id"])) for c in cols)
+            # merge-on-read deletes ride the group signature too: files
+            # sharing the same pending predicates scan together, and the
+            # common cases (no deletes / one table-wide delete) stay a
+            # single scan + one codegen'd filter
+            pred_sig = tuple(manifest.delete_preds.get(f, ()))
+            groups.setdefault((name_sig, pred_sig), []).append(f)
         parts = []
-        for sig, files in groups.items():
+        for (name_sig, pred_sig), files in groups.items():
             paths = [
                 self._verify_path(repo, os.path.join(self._repo_dir(repo), f))
                 for f in files
             ]
             read_fields = [
                 T.StructField(written, dtypes[c["name"]], True)
-                for written, c in zip(sig, cols)
+                for written, c in zip(name_sig, cols)
                 if written is not None
             ]
             df = self.spark.read.schema(T.StructType(read_fields)).parquet(*paths)
-            parts.append(
-                df.select(
-                    [
-                        F.col(written).alias(c["name"])
-                        if written is not None
-                        else F.lit(None).cast(dtypes[c["name"]]).alias(c["name"])
-                        for written, c in zip(sig, cols)
-                    ]
-                )
+            df = df.select(
+                [
+                    F.col(written).alias(c["name"])
+                    if written is not None
+                    else F.lit(None).cast(dtypes[c["name"]]).alias(c["name"])
+                    for written, c in zip(name_sig, cols)
+                ]
             )
+            for pred in pred_sig:
+                # DELETE keeps NULL-predicate rows, so the anti-filter is
+                # NOT coalesce(pred, false) — same semantics as the CoW path
+                df = df.filter(~F.coalesce(F.expr(f"({pred})"), F.lit(False)))
+            parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -521,19 +529,45 @@ class VersionedCatalog:
         schema = T.StructType.fromJson(json.loads(base.schema_json))
         self.append(identifier, self.spark.createDataFrame(rows, schema))
 
-    def delete_where(self, identifier: str | list[str], predicate: str) -> None:
-        """Row-level DELETE via copy-on-write rewrite: keep rows where the
-        predicate is not TRUE (SQL DELETE keeps NULL-predicate rows), write
-        survivors as a fresh snapshot (SURVEY.md §3.3)."""
+    def delete_where(
+        self, identifier: str | list[str], predicate: str, mode: str | None = None
+    ) -> None:
+        """Row-level DELETE. Two modes, mirroring Iceberg format-version 2
+        (TestLakeFSCatalogSpark.java:67 'format-version'=2):
+
+        - ``copy-on-write`` (default): keep rows where the predicate is not
+          TRUE (SQL DELETE keeps NULL-predicate rows), write survivors as a
+          fresh snapshot (SURVEY.md §3.3).
+        - ``merge-on-read``: metadata-only commit — the predicate is
+          recorded against the CURRENT data files and applied at scan time;
+          no data file is rewritten (a one-row delete on a 100 TB table is
+          one manifest swap). Later appends are unaffected (new files carry
+          no entry). ``compact()`` folds pending deletes into fresh files.
+
+        Mode comes from the argument, else the table property
+        ``write.delete.mode``, else copy-on-write."""
         ops, levels = self._ops(identifier)
         base = ops.current()
         if base is None:
             raise NoSuchTableError(".".join(levels))
+        eff = mode or base.properties.get("write.delete.mode", "copy-on-write")
+        if eff in ("merge-on-read", "mor"):
+            # validate the predicate against the current schema BEFORE
+            # committing it into metadata (a typo'd column must fail now,
+            # not on every future scan)
+            self._read_files(levels[0], base).filter(F.expr(f"({predicate})"))
+            dp = {
+                f: base.delete_preds.get(f, []) + [predicate] for f in base.files
+            }
+            ops.commit(base, base.next(base.files, delete_preds=dp))
+            return
+        if eff != "copy-on-write":
+            raise UnsupportedOperationError(f"unknown delete mode {eff!r}")
         survivors = self._read_files(levels[0], base).filter(
             ~F.coalesce(F.expr(f"({predicate})"), F.lit(False))
         )
         files, stats = self._write_data(levels, survivors)
-        ops.commit(base, base.next(files, file_stats=stats))
+        ops.commit(base, base.next(files, file_stats=stats, delete_preds={}))
 
     def update_where(
         self, identifier: str | list[str], predicate: str, assignments: dict[str, str]
@@ -623,6 +657,7 @@ class VersionedCatalog:
             file_stats=m.file_stats,
             columns=m.columns,
             file_columns=m.file_columns,
+            delete_preds=m.delete_preds,
         )
         df = self._read_files(levels[0], pruned)
         # Residual predicate from Column/lit objects — never string-assembled
@@ -676,6 +711,12 @@ class VersionedCatalog:
         base = ops.current()
         if base is None:
             raise NoSuchTableError(".".join(levels))
+        if base.delete_preds:
+            # pending MoR predicates are SQL strings in delete-time column
+            # names; renaming underneath them would corrupt their meaning
+            raise UnsupportedOperationError(
+                "compact() pending merge-on-read deletes before renaming columns"
+            )
         schema = T.StructType.fromJson(json.loads(base.schema_json))
         if old not in schema.fieldNames():
             raise NoSuchTableError(f"column {old!r} does not exist")
@@ -703,6 +744,10 @@ class VersionedCatalog:
         base = ops.current()
         if base is None:
             raise NoSuchTableError(".".join(levels))
+        if base.delete_preds:
+            raise UnsupportedOperationError(
+                "compact() pending merge-on-read deletes before dropping columns"
+            )
         schema = T.StructType.fromJson(json.loads(base.schema_json))
         if name not in schema.fieldNames():
             raise NoSuchTableError(f"column {name!r} does not exist")

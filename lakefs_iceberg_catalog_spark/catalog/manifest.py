@@ -72,6 +72,13 @@ class TableManifest:
     # current schema (read-time projection, no data rewrite).
     columns: list = field(default_factory=list)
     file_columns: dict = field(default_factory=dict)
+    # Merge-on-read deletes (Iceberg format-version 2 delete files,
+    # TestLakeFSCatalogSpark.java:67 'format-version'=2): per-file list of
+    # delete predicates, applied at scan time AFTER projection. A one-row
+    # delete is then a metadata-only commit; compact() folds predicates into
+    # rewritten files. Files appended after a delete carry no entry and are
+    # unaffected (the sequence-number scoping equality deletes need).
+    delete_preds: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -84,6 +91,7 @@ class TableManifest:
                 "file_stats": self.file_stats,
                 "columns": self.columns,
                 "file_columns": self.file_columns,
+                "delete_preds": self.delete_preds,
             },
             indent=1,
             sort_keys=True,
@@ -103,6 +111,7 @@ class TableManifest:
             # their files were all written with the then-current names
             columns=list(d.get("columns") or _columns_from_schema(d["schema_json"])),
             file_columns=dict(d.get("file_columns", {})),
+            delete_preds=dict(d.get("delete_preds", {})),
         )
 
     def next(
@@ -112,6 +121,7 @@ class TableManifest:
         schema_json: str | None = None,
         file_stats: dict | None = None,
         columns: list | None = None,
+        delete_preds: dict | None = None,
     ) -> "TableManifest":
         new_cols = list(self.columns if columns is None else columns)
         # Any file the base doesn't know was just written with the CURRENT
@@ -124,6 +134,10 @@ class TableManifest:
             f: self.file_columns.get(f, write_mapping)
             for f in files
         }
+        # delete predicates follow their file: inherited for retained files,
+        # gone with rewritten/compacted ones, never attached to new files
+        src_preds = self.delete_preds if delete_preds is None else delete_preds
+        dpreds = {f: src_preds[f] for f in files if src_preds.get(f)}
         return TableManifest(
             table_uuid=self.table_uuid,
             version=self.version + 1,
@@ -133,6 +147,7 @@ class TableManifest:
             file_stats=self.file_stats if file_stats is None else file_stats,
             columns=new_cols,
             file_columns=fcols,
+            delete_preds=dpreds,
         )
 
 

@@ -182,6 +182,35 @@ FROM ranked WHERE rnk <= {_TOP_K}
 """
 
 
+def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, tbl, bucket) — all hash tables' sign-bit bucket
+    keys in ONE corpus pass (explode of per-table structs)."""
+    e = table(spark, sf_dir, "embeddings")
+    table_structs = F.array(
+        *[
+            F.struct(
+                F.lit(ti).alias("tbl"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array(*[F.array(*[F.lit(float(v)) for v in p]) for p in tbl_planes]),
+                        lambda p: F.when(_dot(p, F.col("embedding")) >= 0, "1").otherwise("0"),
+                    ),
+                ).alias("bucket"),
+            )
+            for ti, tbl_planes in enumerate(_planes())
+        ]
+    )
+    return e.select(
+        "vec_id", "embedding", F.explode(table_structs).alias("tb")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
 @register("similarity_ann_lsh", oracle=_ann_lsh_oracle())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH: 3 hash
@@ -205,30 +234,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-scan-explode shape as the MinHash band keys). The plan is audited
     in tests/test_plans.py to hold at exactly two embedding scans: the
     streamed corpus side plus the pushed-filter query side."""
-    e = table(spark, sf_dir, "embeddings")
-    table_structs = F.array(
-        *[
-            F.struct(
-                F.lit(ti).alias("tbl"),
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.array(*[F.array(*[F.lit(float(v)) for v in p]) for p in tbl_planes]),
-                        lambda p: F.when(_dot(p, F.col("embedding")) >= 0, "1").otherwise("0"),
-                    ),
-                ).alias("bucket"),
-            )
-            for ti, tbl_planes in enumerate(_planes())
-        ]
-    )
-    bucketed = e.select(
-        "vec_id", "embedding", F.explode(table_structs).alias("tb")
-    ).select(
-        "vec_id",
-        "embedding",
-        F.col("tb.tbl").alias("tbl"),
-        F.col("tb.bucket").alias("bucket"),
-    )
+    bucketed = _lsh_bucketed(spark, sf_dir)
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -263,15 +269,174 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_CENTROID_IDS = (8, 15)   # vec_id range seeding the coarse centroids
+def _flip_bit_sql(col: str, i: int) -> str:
+    """SQL for `col` (a '0'/'1' bucket string) with 1-based bit ``i``
+    flipped — identical text works in Spark SQL and DuckDB (substr with
+    no length runs to the end; past-the-end yields '')."""
+    return (
+        f"substr({col}, 1, {i - 1}) || "
+        f"(CASE WHEN substr({col}, {i}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr({col}, {i + 1})"
+    )
+
+
+def _ann_lsh_multiprobe_oracle() -> str:
+    """DuckDB replay of multi-probe LSH: per table, a query probes its exact
+    bucket PLUS every one-bit flip of it (the 1-neighborhood — the buckets a
+    near-miss vector most likely fell into)."""
+    buckets = ",\n       ".join(
+        f"{_lsh_bucket_sql(tp, 'embedding')} AS b{ti}"
+        for ti, tp in enumerate(_planes())
+    )
+
+    def probes(t: int) -> str:
+        return ", ".join(
+            [f"q.b{t}"]
+            + [_flip_bit_sql(f"q.b{t}", i) for i in range(1, _PLANES_PER_TABLE + 1)]
+        )
+
+    cand_union = "\n    UNION\n    ".join(
+        f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id"
+        f" FROM buckets q JOIN buckets c ON c.b{t} IN ({probes(t)})"
+        f" WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id"
+        for t in range(_N_TABLES)
+    )
+    return f"""
+WITH buckets AS (
+SELECT vec_id, embedding,
+       {buckets}
+FROM embeddings
+),
+cand AS (
+    {cand_union}
+),
+sims AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           {_COSINE_ORACLE_EXPR} AS cos
+    FROM cand cd
+    JOIN embeddings q ON q.vec_id = cd.query_id
+    JOIN embeddings c ON c.vec_id = cd.neighbor_id
+),
+ranked AS (SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM sims)
+SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= {_TOP_K}
+"""
+
+
+@register("similarity_ann_lsh_multiprobe", oracle=_ann_lsh_multiprobe_oracle())
+def similarity_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: each query probes its exact bucket PLUS every
+    one-bit flip of it in every hash table — the recall knob the plain LSH
+    key documents. The near-misses LSH loses are vectors that landed one
+    sign bit away; probing the 1-neighborhood recovers most of them at a
+    bounded candidate cost: the CORPUS side is untouched and never
+    re-hashed, only the tiny query side fans out ×(1 + bits), and the
+    candidate join stays an equi-join on (tbl, bucket).
+
+    Recall ≥ single-probe by construction (probe sets are supersets);
+    measured with the candidate-count cost in tests/test_ringc.py.
+    Deterministic seeded planes → the DuckDB oracle replays the exact probe
+    sets, so the key is hash-matched like the single-probe one."""
+    bucketed = _lsh_bucketed(spark, sf_dir)
+    probe_exprs = [F.col("bucket")] + [
+        F.expr(_flip_bit_sql("bucket", i)) for i in range(1, _PLANES_PER_TABLE + 1)
+    ]
+    q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("q_norm"),
+        "tbl",
+        F.explode(F.array(*probe_exprs)).alias("bucket"),
+    )
+    cands = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("c_norm"),
+        "tbl",
+        "bucket",
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(cands, ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_emb", "c_emb", "q_norm", "c_norm")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union over tables+probes
+    )
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rnk", dround("cos", 6).alias("cosine"))
+    )
+
+
+_IVF_CENTROID_IDS = (8, 15)   # vec_id range seeding the k-means INIT
 _IVF_NPROBE = 2
+_IVF_SAMPLE_N = 64            # k-means fit sample: vec_id < 64 (bounded)
+_IVF_ROUNDS = 2               # fixed Lloyd's iterations (deterministic)
+_DIM = 64
+
+
+def _kmeans_round_sql(prev: str, rnd: int) -> str:
+    """One unrolled Lloyd's round as DuckDB CTEs: assign the sample to its
+    nearest ``prev`` centroid (cosine, sequential folds, ties to the smaller
+    cid), then recompute each centroid as the element-wise mean of its
+    members IN vec_id ORDER with a sequential list_reduce fold — the exact
+    arithmetic order the Python fit uses, so both engines produce bitwise-
+    identical centroids. Empty clusters keep their previous centroid."""
+    cos = (
+        f"list_aggregate(list_transform(range(1, {_DIM + 1}),"
+        f" i -> CAST(s.embedding[i] AS DOUBLE) * c.cemb[i]), 'sum')"
+        f" / (sqrt(list_aggregate(list_transform(s.embedding,"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+        f" * sqrt(list_aggregate(list_transform(c.cemb, x -> x * x), 'sum')))"
+    )
+    return f"""
+s{rnd} AS (SELECT s.vec_id, c.cid, {cos} AS ccos FROM samp s CROSS JOIN {prev} c),
+r{rnd} AS (SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rr
+           FROM s{rnd}),
+g{rnd} AS (SELECT r.cid,
+                  list(list_transform(s.embedding, x -> CAST(x AS DOUBLE)) ORDER BY s.vec_id) AS embs,
+                  count(*) AS n
+           FROM r{rnd} r JOIN samp s USING (vec_id) WHERE r.rr = 1 GROUP BY r.cid),
+c{rnd} AS (SELECT p.cid,
+                  COALESCE(
+                    (SELECT list_transform(
+                        list_reduce(g.embs,
+                            (x, y) -> list_transform(range(1, {_DIM + 1}), i -> x[i] + y[i])),
+                        v -> v / g.n)
+                     FROM g{rnd} g WHERE g.cid = p.cid),
+                    p.cemb) AS cemb
+           FROM {prev} p)"""
+
+
+# k-means fit CTEs: seeded init (vec_id 8-15), bounded sample (vec_id < 64),
+# _IVF_ROUNDS unrolled Lloyd's iterations. The fitted `cents` feed the same
+# assignment CTEs as before — the "approximate" index stays an exact,
+# hash-checkable function of its inputs because the fit itself is replayed.
+_IVF_FIT_CTES = (
+    f"""
+samp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_IVF_SAMPLE_N}),
+c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+       FROM embeddings WHERE vec_id BETWEEN {_IVF_CENTROID_IDS[0]} AND {_IVF_CENTROID_IDS[1]}),"""
+    + ",".join(_kmeans_round_sql(f"c{r - 1}" if r > 1 else "c0", r) for r in range(1, _IVF_ROUNDS + 1))
+    + f""",
+cents AS (SELECT cid, cemb FROM c{_IVF_ROUNDS})"""
+)
 
 # Shared oracle CTEs: nearest-centroid assignment of every vector (ties to
 # the smaller centroid id) — reused by similarity_ann_ivf (probe lists) and
 # dedup_embedding_cosine (blocking key).
 _IVF_ASSIGN_CTES = f"""
-cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-               WHERE vec_id BETWEEN {_IVF_CENTROID_IDS[0]} AND {_IVF_CENTROID_IDS[1]}),
+{_IVF_FIT_CTES},
 scored AS (
     SELECT e.vec_id, ct.cid,
            list_aggregate(list_transform(range(1, len(e.embedding) + 1),
@@ -286,19 +451,77 @@ assigned AS (SELECT vec_id, cid FROM rankedc WHERE r = 1)
 """
 
 
+def _cosine_py(a: list[float], b_double: list[float]) -> float:
+    """Driver-side cosine with the SAME sequential fold order as the SQL
+    folds (dot i=1..dim, then each squared norm), so the Python k-means and
+    the DuckDB-replayed k-means agree bitwise."""
+    import math
+
+    dot = 0.0
+    for i in range(len(a)):
+        dot += a[i] * b_double[i]
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for x in b_double:
+        nb += x * x
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _fit_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means (Lloyd's) on the driver: seeded init (vec_id
+    {_IVF_CENTROID_IDS}), bounded sample (vec_id < {_IVF_SAMPLE_N} — a
+    driver collect bounded by construction, the same pattern as the LSH
+    literal planes), fixed {_IVF_ROUNDS} rounds. All float arithmetic is
+    sequential in vec_id/element order so the DuckDB oracle's unrolled-CTE
+    replay (_IVF_FIT_CTES) reproduces the centroids bitwise. At 100 TB the
+    sample is a bigger bounded draw and the fit is still driver-side — the
+    cluster-scale cost lives in assignment, which stays a per-row
+    expression over literal centroids."""
+    e = table(spark, sf_dir, "embeddings")
+    lo, hi = _IVF_CENTROID_IDS
+    sample = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < _IVF_SAMPLE_N).collect()
+    }
+    cents = [(cid, list(sample[cid])) for cid in range(lo, hi + 1)]
+    order = sorted(sample)
+    for _ in range(_IVF_ROUNDS):
+        members: dict[int, list[list[float]]] = {cid: [] for cid, _ in cents}
+        for vid in order:
+            emb = sample[vid]
+            best_cid, best_cos = None, None
+            for cid, cemb in cents:  # ascending cid → ties keep the smaller
+                cos = _cosine_py(emb, cemb)
+                if best_cos is None or cos > best_cos:
+                    best_cid, best_cos = cid, cos
+            members[best_cid].append(emb)
+        new_cents = []
+        for cid, old in cents:
+            mem = members[cid]
+            if not mem:
+                new_cents.append((cid, old))  # empty cluster keeps centroid
+                continue
+            acc = list(mem[0])  # left fold from the first member, like
+            for m in mem[1:]:   # DuckDB's list_reduce
+                for i in range(len(acc)):
+                    acc[i] = acc[i] + m[i]
+            n = len(mem)
+            new_cents.append((cid, [v / n for v in acc]))
+        cents = new_cents
+    return cents
+
+
 def _ivf_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every vector tagged with its IVF coarse assignment in ONE corpus pass:
     (vec_id, embedding, vnorm, best = argmax-(ccos, -cid) struct, probe2 =
-    top-{_IVF_NPROBE} centroid structs). The centroid seeds are collected
-    once on the driver (8 rows, bounded by construction) and embedded as
-    literal arrays, so assignment is a pure per-row expression — the corpus
-    never shuffles for it."""
+    top-{_IVF_NPROBE} centroid structs). The centroids come from the
+    deterministic k-means fit (_fit_centroids) and are embedded as literal
+    arrays, so assignment is a pure per-row expression — the corpus never
+    shuffles for it."""
     e = table(spark, sf_dir, "embeddings")
-    lo, hi = _IVF_CENTROID_IDS
-    cents = sorted(
-        (r.vec_id, [float(x) for x in r.embedding])
-        for r in e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") <= hi)).collect()
-    )
+    cents = _fit_centroids(spark, sf_dir)
     # driver-side norms, sequential sum — same fold order as the oracle
     import math
 

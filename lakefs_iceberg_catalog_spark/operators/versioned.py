@@ -170,6 +170,43 @@ def dml_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_delete_where_mor",
+    oracle=f"""
+SELECT * FROM {_WORKERS_VALUES}
+WHERE NOT (age > 35) AND NOT (gender = 'F' AND age < 32)
+""",
+)
+def dml_delete_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (Iceberg format-version 2 delete files,
+    TestLakeFSCatalogSpark.java:67): two deletes commit as metadata only —
+    the data files on disk are asserted IDENTICAL before/after — then a
+    scan applies the pending predicates, an appended row lands unaffected
+    by the earlier deletes, and compact() folds the predicates into fresh
+    files with the same visible rows. At 100 TB this is the difference
+    between a one-row delete costing one manifest swap and rewriting a
+    whole partition."""
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    ops = cat._ops(t)[0]
+    files_before = ops.current().files
+    cat.delete_where(t, "age > 35", mode="merge-on-read")
+    cat.delete_where(t, "gender = 'F' AND age < 32", mode="merge-on-read")
+    m = ops.current()
+    assert m.files == files_before and m.delete_preds  # no data rewrite
+    assert {(r.id) for r in cat.scan(t).select("id").collect()} == {"1", "2"}
+    # a row appended AFTER the deletes is not retro-deleted even though it
+    # matches a pending predicate (sequence scoping)
+    cat.insert_values(t, [("7", "Olga", "Brine", 99, "F")])
+    assert cat.scan(t).count() == 3
+    # compaction folds the predicates in: preds gone, rows unchanged
+    cat.compact(t)
+    m2 = ops.current()
+    assert not m2.delete_preds and m2.files != files_before
+    out = cat.scan(t).filter("id <> '7'")  # oracle covers the seeded rows
+    return _materialize(spark, out, root)
+
+
+@register(
     "branch_diff_equal",
     oracle="SELECT 6 AS main_rows, 6 AS branch_rows, CAST(1 AS BOOLEAN) AS in_sync",
 )

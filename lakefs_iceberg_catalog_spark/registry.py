@@ -60,36 +60,45 @@ def register(name: str, oracle: str | None = None):
 # ride the later slots.  Keys absent from this list keep registration order
 # after the listed ones; listed-but-unregistered names are ignored.
 _SWEEP_PRIORITY = [
+    # Round-3 rotation (VERDICT r2 "Next round" #1): the 11 keys that had
+    # never produced a driver CORRECTNESS row ride slots 0-10 ...
+    "q5_local_supplier", "q10_returned_items", "q14_promo_share",
+    "q18_large_volume", "agg_rollup", "window_range_frame", "unpivot_stack",
+    "join_salted_skew", "multimodal_resize", "multimodal_feature_extract",
+    "pipeline_corpus_mixture",
+    # ... followed by the keys NEW in round 3 ...
+    "ddl_schema_evolution", "dml_delete_where_mor",
+    "similarity_ann_lsh_multiprobe",
+    # ... and the two whose OUTPUT changed in round 3 (k-means-fitted IVF
+    # centroids replaced the seed vectors) — they need fresh driver rows
+    "similarity_ann_ivf", "dedup_embedding_cosine",
     # Ring B: versioned catalog + DML (reference's own E2E surface)
     "source_rows", "sink_create_table_as", "ddl_create_table", "sink_append",
     "dml_insert_values", "dml_delete_where", "branch_diff_equal",
     "branch_merge", "branch_wap_publish", "ddl_schema_crud",
     "dml_update_where", "dml_merge_upsert", "sql_merge_into",
     "sql_use_namespace", "time_travel_scan",
-    # Ring C: LLM-data-pipeline operators
-    "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_cc_canonical", "dedup_embedding_cosine",
-    "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
-    "similarity_pairs_blocked",
-    "text_stats", "text_lang_id", "text_token_count", "text_fingerprint",
-    "text_quality_filter", "text_pii_scrub",
+    # Ring C representatives (every family stays driver-covered)
+    "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "dedup_cc_canonical",
+    "similarity_topk", "similarity_ann_lsh", "similarity_pairs_blocked",
+    "text_pii_scrub",
     "multimodal_decode", "multimodal_frame_sample",
     "pipeline_training_corpus", "sample_stratified_hash",
-    # Streaming (batch-equivalent checks)
-    "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
-    "stream_watermark_late_data", "stream_dedup", "stream_stateful",
-    "stream_stream_interval_join", "stream_sink_versioned",
-    # De-vacuated set-difference semantics (non-empty results this round —
-    # ahead of the advanced keys so they stay inside the 50-key window)
-    "join_anti", "set_except",
-    # Source/sink format round-trips
-    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
-    "sink_partitioned_parquet",
-    # Advanced keys past round 1's cutoff
-    "window_range_frame", "unpivot_stack", "agg_rollup",
-    # Headline + representative re-checks of the already-green core
-    "flagship_top_unshipped", "q1_pricing_summary",
-    "q5_local_supplier", "q18_large_volume", "q10_returned_items", "join_asof",
+    # Streaming representatives (all eight were driver-green in r2; the
+    # displaced ones are replayed by tests/test_oracle.py every run)
+    "stream_sink_versioned", "stream_stateful", "stream_watermark_late_data",
+    "stream_tumbling_window",
+    # Source/sink round-trip representatives
+    "source_csv_roundtrip", "sink_partitioned_parquet",
+    # Displaced but still prioritized ahead of registration order: keys with
+    # exactly one prior driver-green round, then the twice-green remainder.
+    "stream_sliding_window", "stream_session_window", "stream_dedup",
+    "stream_stream_interval_join", "join_anti", "set_except",
+    "source_json_roundtrip", "source_orc_roundtrip", "dedup_simhash",
+    "text_stats", "text_lang_id", "text_token_count", "text_fingerprint",
+    "text_quality_filter",
+    "flagship_top_unshipped", "q1_pricing_summary", "join_asof",
     "window_rank", "scalar_json", "udaf_pandas", "agg_grouping_sets",
     "subquery_correlated",
 ]

@@ -301,6 +301,36 @@ def test_schema_evolution_rename_drop(cat, spark):
         cat.drop_column(t, "id")  # cannot drop the only column
 
 
+def test_merge_on_read_delete(cat, spark):
+    """MoR delete: metadata-only (files untouched), scan-time application,
+    time travel sees pre-delete state, table property selects the mode,
+    evolution is guarded while predicates are pending."""
+    t = "repo.main.company.workers"
+    ops = cat._ops(t)[0]
+    files_before = ops.current().files
+    v_before = ops.current().version
+    cat.delete_where(t, "id = '3'", mode="mor")
+    m = ops.current()
+    assert m.files == files_before  # one-row delete rewrote nothing
+    assert cat.scan(t).count() == 5
+    assert cat.scan(t, version=v_before).count() == 6  # time travel intact
+    # property-driven mode: DELETE FROM via the default path goes MoR too
+    cat.set_table_properties(t, {"write.delete.mode": "merge-on-read"})
+    cat.delete_where(t, "id = '4'")
+    m2 = ops.current()
+    assert m2.files == files_before and cat.scan(t).count() == 4
+    # pending predicates block rename/drop until compacted
+    with pytest.raises(UnsupportedOperationError):
+        cat.rename_column(t, "age", "years")
+    cat.compact(t)
+    assert not ops.current().delete_preds
+    assert cat.scan(t).count() == 4
+    cat.rename_column(t, "age", "years")  # now allowed
+    # a bad predicate is rejected at delete time, not at scan time
+    with pytest.raises(Exception):
+        cat.delete_where(t, "no_such_col = 1", mode="mor")
+
+
 def test_concurrent_commit_race(tmp_path):
     """Many writers race create-if-absent for the same next version from the
     same base: exactly ONE wins, the rest get a conflict/stale error and

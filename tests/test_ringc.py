@@ -104,6 +104,31 @@ def test_simhash_pairs_complete_within_radius(spark):
     assert len(truth) > 0  # non-vacuous at sf0.01
 
 
+def test_ann_lsh_multiprobe_recall_vs_single(spark):
+    """Multi-probe LSH must never lose recall vs single-probe (its probe
+    sets are supersets) and should measurably gain it on this data; the
+    candidate cost stays bounded (probing the 1-neighborhood fans the query
+    side out ×(1+bits), and the result is still top-k-sized)."""
+    exact = registry.QUERIES["similarity_topk"](spark, SF_DIR).collect()
+    single = registry.QUERIES["similarity_ann_lsh"](spark, SF_DIR).collect()
+    multi = registry.QUERIES["similarity_ann_lsh_multiprobe"](spark, SF_DIR).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    got_s = {(r.query_id, r.neighbor_id) for r in single}
+    got_m = {(r.query_id, r.neighbor_id) for r in multi}
+    rec_s = len(truth & got_s) / len(truth)
+    rec_m = len(truth & got_m) / len(truth)
+    assert rec_m >= rec_s, f"multi-probe lost recall: {rec_m} < {rec_s}"
+    assert rec_m > rec_s, "multi-probe gained nothing on this data"
+    # ordering stays monotone per query
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.cosine))
+    for rows in by_q.values():
+        rows.sort()
+        cos = [c for _, c in rows]
+        assert cos == sorted(cos, reverse=True)
+
+
 def test_ann_ivf_recall_and_ordering(spark):
     """IVF with nprobe=2 over 8 coarse lists must recover a reasonable
     fraction of the brute-force top-5 and keep rank monotone in cosine."""
