@@ -331,12 +331,25 @@ class VersionedCatalog:
         st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
         ops.commit(None, new_manifest(st.json(), [], properties))
 
-    def create_table_as(self, identifier: str | list[str], df: DataFrame, properties: dict | None = None) -> None:
-        """CTAS (reference: df.write.saveAsTable — conftest.py:50)."""
+    def create_table_as(
+        self,
+        identifier: str | list[str],
+        df: DataFrame,
+        properties: dict | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> None:
+        """CTAS (reference: df.write.saveAsTable — conftest.py:50).
+
+        ``cluster_by`` co-locates rows by the given columns before writing
+        (repartition + sortWithinPartitions — Iceberg's write-distribution /
+        sort-order spec): each data file then covers a narrow range of the
+        cluster key, so the footer min/max stats make ``scan_pruned`` skip
+        most files for selective predicates on it. At 100 TB this is the
+        difference between 'read the table' and 'read three files'."""
         ops, levels = self._ops(identifier)
         if ops.is_table_dir():
             raise TableAlreadyExistsError(".".join(levels))
-        files, stats = self._write_data(levels, df)
+        files, stats = self._write_data(levels, df, cluster_by=cluster_by)
         ops.commit(None, new_manifest(df.schema.json(), files, properties, file_stats=stats))
 
     def rename_table(self, src, dst) -> None:
@@ -353,12 +366,29 @@ class VersionedCatalog:
 
     # --------------------------------------------------------------- data IO
 
-    def _write_data(self, levels: list[str], df: DataFrame) -> tuple[list[str], dict]:
+    def _write_data(
+        self,
+        levels: list[str],
+        df: DataFrame,
+        cluster_by: list[str] | None = None,
+        cluster_files: int = 8,
+    ) -> tuple[list[str], dict]:
         """Write df as parquet part files under the table's data/ dir on THIS
         branch; return (repo-relative paths, per-file column min/max stats).
         The write is a distributed Spark job; only the file rename/move and
         footer-stat harvest are driver-side metadata work — the same division
-        of labor as Iceberg's manifest writer."""
+        of labor as Iceberg's manifest writer.
+
+        ``cluster_by`` hash-partitions rows on the given columns into an
+        EXPLICIT ``cluster_files`` partitions (explicit so AQE can't
+        coalesce the small fixture write into one file and erase the
+        file-level stat locality; at real scale this count comes from the
+        target file size) and sorts within each, giving every file a narrow
+        key range for stats-based scan pruning."""
+        if cluster_by:
+            df = df.repartition(
+                cluster_files, *[F.col(c) for c in cluster_by]
+            ).sortWithinPartitions(*cluster_by)
         repo = levels[0]
         table_dir = os.path.join(self.root, *levels)
         data_dir = os.path.join(table_dir, "data")
@@ -570,12 +600,26 @@ class VersionedCatalog:
         ops.commit(base, base.next(files, file_stats=stats, delete_preds={}))
 
     def update_where(
-        self, identifier: str | list[str], predicate: str, assignments: dict[str, str]
+        self,
+        identifier: str | list[str],
+        predicate: str,
+        assignments: dict[str, str],
+        mode: str | None = None,
     ) -> None:
-        """Row-level UPDATE ... SET ... WHERE via copy-on-write rewrite (the
-        Iceberg-extension UPDATE surface, same rewrite family as
-        delete_where): rows matching the predicate get each assignment
-        expression, others pass through unchanged."""
+        """Row-level UPDATE ... SET ... WHERE (the Iceberg-extension UPDATE
+        surface, same rewrite family as delete_where). Two modes:
+
+        - ``copy-on-write`` (default): full rewrite — matching rows get each
+          assignment expression, others pass through unchanged.
+        - ``merge-on-read``: ONE atomic commit that (a) writes only the
+          UPDATED rows as new files and (b) records the predicate as a
+          scan-time delete against the pre-existing files — the MoR
+          delete+reinsert decomposition Iceberg's v2 UPDATE performs. A
+          10-row update on a 100 TB table writes a 10-row file plus one
+          manifest swap instead of rewriting partitions.
+
+        Mode comes from the argument, else the ``write.update.mode`` table
+        property, else copy-on-write."""
         ops, levels = self._ops(identifier)
         base = ops.current()
         if base is None:
@@ -583,6 +627,31 @@ class VersionedCatalog:
         df = self._read_files(levels[0], base)
         pred = F.coalesce(F.expr(f"({predicate})"), F.lit(False))
         schema = T.StructType.fromJson(json.loads(base.schema_json))
+        eff = mode or base.properties.get("write.update.mode", "copy-on-write")
+        if eff in ("merge-on-read", "mor"):
+            updated = df.filter(pred).select(
+                [
+                    F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+            files, stats = self._write_data(levels, updated)
+            dp = {
+                f: base.delete_preds.get(f, []) + [predicate] for f in base.files
+            }
+            ops.commit(
+                base,
+                base.next(
+                    base.files + files,
+                    file_stats={**base.file_stats, **stats},
+                    delete_preds=dp,
+                ),
+            )
+            return
+        if eff != "copy-on-write":
+            raise UnsupportedOperationError(f"unknown update mode {eff!r}")
         cols = []
         for f in schema.fields:
             if f.name in assignments:
@@ -594,7 +663,7 @@ class VersionedCatalog:
             else:
                 cols.append(F.col(f.name))
         files, stats = self._write_data(levels, df.select(cols))
-        ops.commit(base, base.next(files, file_stats=stats))
+        ops.commit(base, base.next(files, file_stats=stats, delete_preds={}))
 
     def merge_upsert(
         self, identifier: str | list[str], source: DataFrame, key_cols: list[str]

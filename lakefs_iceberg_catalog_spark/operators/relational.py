@@ -274,6 +274,40 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast-revenue-change — the canonical selective
+    single-scan aggregate.
+
+    Scale: all three predicates push into the parquet scan (shipdate +
+    discount + quantity ranges land in PushedFilters, so row groups outside
+    the year skip on footer stats); the aggregate is a map-side partial sum
+    with a single 1-row exchange — the whole query is one WholeStageCodegen
+    pass over the surviving rows."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 # --------------------------------------------------------------------------
 # scan / project / filter
 # --------------------------------------------------------------------------

@@ -272,6 +272,46 @@ def ddl_schema_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_clustered_pruning",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def sink_clustered_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered CTAS + manifest-stats file pruning — the partition-pruning
+    story end to end: orders is written clustered by o_orderpriority
+    (repartition + sortWithinPartitions, Iceberg's write-distribution
+    spec), so each data file covers few priority values and the footer
+    min/max stats in the manifest let an equality scan SKIP most files.
+    Asserted mid-flow: the pruned file list is strictly smaller than the
+    table's, and the pruned scan still returns exactly the right rows
+    (stats pruning is an optimization, the residual filter keeps it exact).
+    At 100 TB this metadata-only skip decides whether a selective query
+    reads terabytes or gigabytes."""
+    root = tempfile.mkdtemp(prefix="vcat-cluster-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    cat.create_table_as(
+        "repo.main.db.orders_c", orders, cluster_by=["o_orderpriority"]
+    )
+    keep, total = cat.select_files(
+        "repo.main.db.orders_c", "o_orderpriority", "=", "1-URGENT"
+    )
+    assert total > 1 and len(keep) < total, (len(keep), total)  # real skip
+    from .util import dround
+
+    out = cat.scan_pruned(
+        "repo.main.db.orders_c", "o_orderpriority", "=", "1-URGENT"
+    ).select("o_orderkey", dround("o_totalprice", 2).alias("total"))
+    return _materialize(spark, out, root)
+
+
+@register(
     "ddl_schema_evolution",
     oracle="""
 SELECT * FROM (VALUES

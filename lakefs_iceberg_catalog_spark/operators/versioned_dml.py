@@ -32,6 +32,35 @@ def dml_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_update_where_mor",
+    oracle=f"""
+SELECT id, firstname, lastname,
+       CASE WHEN gender = 'F' THEN age + 1 ELSE age END AS age,
+       gender
+FROM {_WORKERS_VALUES}
+""",
+)
+def dml_update_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dml_update_where scenario in merge-on-read mode (Iceberg v2's
+    delete+reinsert decomposition): ONE commit writes only the updated rows
+    as new files and records the predicate as a scan-time delete on the
+    pre-existing files — asserted no pre-existing file is rewritten — then
+    compact() folds everything and the visible rows are unchanged."""
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    ops = cat._ops(t)[0]
+    before = ops.current().files
+    cat.update_where(t, "gender = 'F'", {"age": "age + 1"}, mode="merge-on-read")
+    m = ops.current()
+    assert set(before) <= set(m.files) and m.delete_preds  # old files kept
+    rows_mor = {tuple(r) for r in cat.scan(t).collect()}
+    cat.compact(t)
+    assert not ops.current().delete_preds
+    assert {tuple(r) for r in cat.scan(t).collect()} == rows_mor
+    return _materialize(spark, cat.scan(t), root)
+
+
+@register(
     "dml_merge_upsert",
     oracle="""
 SELECT * FROM (VALUES

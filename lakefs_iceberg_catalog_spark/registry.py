@@ -67,8 +67,9 @@ _SWEEP_PRIORITY = [
     "join_salted_skew", "multimodal_resize", "multimodal_feature_extract",
     "pipeline_corpus_mixture",
     # ... followed by the keys NEW in round 3 ...
-    "ddl_schema_evolution", "dml_delete_where_mor",
-    "similarity_ann_lsh_multiprobe",
+    "ddl_schema_evolution", "dml_delete_where_mor", "dml_update_where_mor",
+    "similarity_ann_lsh_multiprobe", "q6_forecast_revenue",
+    "sink_clustered_pruning",
     # ... and the two whose OUTPUT changed in round 3 (k-means-fitted IVF
     # centroids replaced the seed vectors) — they need fresh driver rows
     "similarity_ann_ivf", "dedup_embedding_cosine",
