@@ -21,6 +21,7 @@ ORACLES: dict[str, str] = {}
 
 _OPERATOR_MODULES = [
     "lakefs_iceberg_catalog_spark.operators.relational",
+    "lakefs_iceberg_catalog_spark.operators.tpch_extra",
     "lakefs_iceberg_catalog_spark.operators.joins",
     "lakefs_iceberg_catalog_spark.operators.windows",
     "lakefs_iceberg_catalog_spark.operators.scalars",

@@ -50,8 +50,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     staged = stage_events_dir(spark, sf_dir)
     s = spark.readStream.schema(raw_schema).format("parquet").load(staged)
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+    raw_ts = dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts")
+    if raw_ts == "bigint":
         s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif raw_ts == "timestamp_ntz":
+        # Same NTZ→TZ normalization as tables.table (session tz pinned UTC);
+        # event-time watermarks require TIMESTAMP, not TIMESTAMP_NTZ.
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
     assert s.schema == schema
     return s, staged
 

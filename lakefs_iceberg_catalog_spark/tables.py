@@ -33,13 +33,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}")
     prep(spark)  # pin UTC etc. even when the caller owns the session (driver)
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as raw int64 nanos and truncate to micros —
-        # the identical truncation DuckDB applies when it loads NANOS.
+        # events.ts encoding varies by testdata generation: TIMESTAMP(NANOS)
+        # (Spark's vectorized reader rejects it → read as raw int64 nanos and
+        # truncate to micros, the identical truncation DuckDB applies) or
+        # TIMESTAMP(MICROS) without UTC adjustment (Spark 4 infers
+        # TIMESTAMP_NTZ, which watermarks/windows reject). Normalize both to
+        # TIMESTAMP; the session timezone is pinned UTC by prep(), so the
+        # NTZ→TZ cast is value-identical.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
