@@ -224,8 +224,10 @@ WITH m AS (
     SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
 )
 SELECT doc_id,
-       [CAST(n_bytes AS DOUBLE), CAST(n_bytes % 7 AS DOUBLE),
-        CAST(n_bytes % 13 AS DOUBLE), CAST((n_bytes * 31) % 97 AS DOUBLE)] AS features
+       CAST(unnest(range(0, 4)) AS INT) AS feature_idx,
+       unnest([CAST(n_bytes AS DOUBLE), CAST(n_bytes % 7 AS DOUBLE),
+               CAST(n_bytes % 13 AS DOUBLE),
+               CAST((n_bytes * 31) % 97 AS DOUBLE)]) AS feature
 FROM m
 """,
 )
@@ -236,11 +238,19 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     here are deterministic byte-length moments so the oracle can replay
     them; the Spark-side contract (binary column in, fixed-width double
     array out, per-partition streaming) is exactly what a real vision/audio
-    encoder plugs into."""
+    encoder plugs into.
+
+    The REGISTERED result projects the vector to exploded
+    (doc_id, feature_idx, feature) rows: the driver's order-insensitive
+    canonicalizer hashes scalar cells only (an array<double> cell broke it
+    in round 3 — CORRECTNESS_r03), and the exploded form is also the shape
+    a feature store ingests. The mapInPandas stage still produces the real
+    array<double> contract underneath."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.lit("fake/txt").alias("media_format"),
         F.encode("text", "UTF-8").alias("payload"),
     )
     decoded = d.mapInPandas(_decode_batches, _DECODE_SCHEMA)
-    return decoded.mapInPandas(_feature_batches, "doc_id long, features array<double>")
+    vecs = decoded.mapInPandas(_feature_batches, "doc_id long, features array<double>")
+    return vecs.select("doc_id", F.posexplode("features").alias("feature_idx", "feature"))

@@ -334,7 +334,7 @@ def q19_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_dormant_customers",
     oracle="""
-WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
+WITH avg_bal AS (SELECT round(avg(c_acctbal), 6) AS ab FROM customer WHERE c_acctbal > 0.0)
 SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
 FROM customer, avg_bal
 WHERE c_acctbal > ab
@@ -356,9 +356,13 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anti side is a fraction of the table; the 5-group aggregate
     collapses map-side."""
     cust = table(spark, sf_dir, "customer")
+    # The threshold is rounded to a fixed scale on BOTH sides (dround here,
+    # round() in the oracle): Spark and DuckDB sum doubles in different
+    # orders, so a balance within an ULP of the raw mean could flip
+    # membership across engines — same guard q15 uses for its max-equality.
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.avg("c_acctbal").alias("ab"))
+        .agg(dround(F.avg("c_acctbal"), 6).alias("ab"))
     )
     recent = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")

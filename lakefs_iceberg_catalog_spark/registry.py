@@ -61,48 +61,58 @@ def register(name: str, oracle: str | None = None):
 # ride the later slots.  Keys absent from this list keep registration order
 # after the listed ones; listed-but-unregistered names are ignored.
 _SWEEP_PRIORITY = [
-    # Round-3 rotation (VERDICT r2 "Next round" #1): the 11 keys that had
-    # never produced a driver CORRECTNESS row ride slots 0-10 ...
+    # Round-4 rotation (VERDICT r3 "Next round" #1): the 8 TPC-H keys that
+    # landed after round 3's sweep window froze — never driver-checked ...
+    "q4_order_priority", "q7_volume_shipping", "q12_priority_lines",
+    "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
+    "q19_disjunctive_parts", "q22_dormant_customers",
+    # ... the one red row of r3, re-registered with a driver-canonicalizable
+    # (exploded) output shape ...
+    "multimodal_feature_extract",
+    # ... keys NEW or behavior-extended in round 4 (type widening, partition
+    # spec, stats-scoped MoR predicates) ...
+    "ddl_type_widening", "sink_partition_spec",
+    "dml_delete_where_mor", "dml_update_where_mor",
+    # ... then the keys whose only driver row is round 1 (two rounds stale;
+    # replayed green by tests/test_oracle.py every run, but the driver row
+    # is the hard signal) ...
+    "scan_table", "project_select", "filter_predicate",
+    "join_inner_equi", "join_left_outer", "join_right_outer",
+    "join_full_outer", "join_semi", "join_cross", "join_theta_range",
+    "join_asof", "agg_hash_group", "agg_distinct", "agg_approx_distinct",
+    "agg_grouping_sets", "window_rank", "window_analytic", "sort_order_by",
+    "limit_topk", "set_union", "set_intersect", "scalar_string",
+    "scalar_datetime", "scalar_math", "scalar_conditional",
+    "scalar_array_map", "scalar_json", "udf_python", "udaf_pandas",
+    "subquery_scalar", "subquery_in", "flagship_top_unshipped",
+    "q1_pricing_summary",
+    # ... and once-green round-2 stragglers filling out the 50-key window
+    "join_anti", "set_except", "stream_sliding_window",
+    "stream_session_window", "stream_dedup", "stream_stream_interval_join",
+    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "sink_partitioned_parquet", "dedup_simhash", "text_stats",
+    "text_lang_id", "text_token_count", "text_fingerprint",
+    "text_quality_filter", "agg_quantile_approx", "subquery_correlated",
+    # Displaced (driver-green in r3, replayed by tests/test_oracle.py every
+    # run): round-3 rotation keys, Ring B, Ring C reps, streaming.
     "q5_local_supplier", "q10_returned_items", "q14_promo_share",
     "q18_large_volume", "agg_rollup", "window_range_frame", "unpivot_stack",
-    "join_salted_skew", "multimodal_resize", "multimodal_feature_extract",
-    "pipeline_corpus_mixture",
-    # ... followed by the keys NEW in round 3 ...
-    "ddl_schema_evolution", "dml_delete_where_mor", "dml_update_where_mor",
-    "similarity_ann_lsh_multiprobe", "q6_forecast_revenue",
-    "sink_clustered_pruning",
-    # ... and the two whose OUTPUT changed in round 3 (k-means-fitted IVF
-    # centroids replaced the seed vectors) — they need fresh driver rows
-    "similarity_ann_ivf", "dedup_embedding_cosine",
-    # Ring B: versioned catalog + DML (reference's own E2E surface)
+    "join_salted_skew", "multimodal_resize", "pipeline_corpus_mixture",
+    "ddl_schema_evolution", "similarity_ann_lsh_multiprobe",
+    "q6_forecast_revenue", "sink_clustered_pruning", "similarity_ann_ivf",
+    "dedup_embedding_cosine",
     "source_rows", "sink_create_table_as", "ddl_create_table", "sink_append",
     "dml_insert_values", "dml_delete_where", "branch_diff_equal",
     "branch_merge", "branch_wap_publish", "ddl_schema_crud",
     "dml_update_where", "dml_merge_upsert", "sql_merge_into",
     "sql_use_namespace", "time_travel_scan",
-    # Ring C representatives (every family stays driver-covered)
     "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard",
     "dedup_simhash_pairs", "dedup_cc_canonical",
     "similarity_topk", "similarity_ann_lsh", "similarity_pairs_blocked",
-    "text_pii_scrub",
-    "multimodal_decode", "multimodal_frame_sample",
+    "text_pii_scrub", "multimodal_decode", "multimodal_frame_sample",
     "pipeline_training_corpus", "sample_stratified_hash",
-    # Streaming representatives (all eight were driver-green in r2; the
-    # displaced ones are replayed by tests/test_oracle.py every run)
     "stream_sink_versioned", "stream_stateful", "stream_watermark_late_data",
     "stream_tumbling_window",
-    # Source/sink round-trip representatives
-    "source_csv_roundtrip", "sink_partitioned_parquet",
-    # Displaced but still prioritized ahead of registration order: keys with
-    # exactly one prior driver-green round, then the twice-green remainder.
-    "stream_sliding_window", "stream_session_window", "stream_dedup",
-    "stream_stream_interval_join", "join_anti", "set_except",
-    "source_json_roundtrip", "source_orc_roundtrip", "dedup_simhash",
-    "text_stats", "text_lang_id", "text_token_count", "text_fingerprint",
-    "text_quality_filter",
-    "flagship_top_unshipped", "q1_pricing_summary", "join_asof",
-    "window_rank", "scalar_json", "udaf_pandas", "agg_grouping_sets",
-    "subquery_correlated",
 ]
 
 

@@ -42,6 +42,24 @@ def duck():
     con.close()
 
 
+def assert_driver_canonicalizable(schema, name: str = "") -> None:
+    """Registration-time output lint: the driver's order-insensitive value
+    hash sorts result cells with pandas, which cannot factorize container
+    cells — a bare array/map/struct column fails the harness even when the
+    values are right (multimodal_feature_extract, CORRECTNESS_r03). Every
+    registered query must emit scalar-only columns (stringify or explode
+    containers before returning)."""
+    from pyspark.sql import types as T
+
+    for f in schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), (
+            f"{name}: column {f.name!r} has driver-uncanonicalizable type "
+            f"{f.dataType.simpleString()}; explode it to rows or stringify it"
+        )
+
+
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, normalize dtypes, sort rows — makes two result
     sets comparable the way the driver's order-insensitive value-hash is."""

@@ -12,7 +12,7 @@ import pytest
 
 from lakefs_iceberg_catalog_spark import registry
 
-from .conftest import SF_DIR, assert_frames_match
+from .conftest import SF_DIR, assert_driver_canonicalizable, assert_frames_match
 
 registry.load_all()
 
@@ -22,7 +22,9 @@ ROWS_ONLY_KEYS = sorted(k for k in registry.QUERIES if k not in registry.ORACLES
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_oracle_match(spark, duck, name):
-    spark_pdf = registry.QUERIES[name](spark, SF_DIR).toPandas()
+    df = registry.QUERIES[name](spark, SF_DIR)
+    assert_driver_canonicalizable(df.schema, name)
+    spark_pdf = df.toPandas()
     duck_pdf = duck.sql(registry.ORACLES[name]).df()
     assert_frames_match(spark_pdf, duck_pdf, name)
 
@@ -30,6 +32,7 @@ def test_oracle_match(spark, duck, name):
 @pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
 def test_rows_only_runs(spark, name):
     df = registry.QUERIES[name](spark, SF_DIR)
+    assert_driver_canonicalizable(df.schema, name)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
 
