@@ -32,11 +32,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
-    """Wrap an operator so the package source reaches the Python workers
+    """Wrap an operator so (a) the package source reaches the Python workers
     before any cloudpickled executor function needs to import it — the
-    driver calls from an arbitrary cwd where only ITS sys.path knows us."""
+    driver calls from an arbitrary cwd where only ITS sys.path knows us —
+    and (b) the PREVIOUS query's query-scoped caches are released first
+    (operators/util.py:scoped_persist), so the driver's 50-key sweep holds
+    at most one query's cached partitions at any time."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lakefs_iceberg_catalog_spark.operators.util import release_scoped
+
+        release_scoped()
         shipping.ensure_workers_can_import(spark)
         return fn(spark, sf_dir)
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import table
-from .util import dround
+from .util import defer_release, dround, pin, scoped_persist
 
 _SHINGLE_N = 3
 _SEEDS = list(range(8))       # 8 minhash permutations
@@ -168,12 +168,16 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs (doc_a, doc_b, j ≥ θ) — the LSH pipeline
-    shared by the pair key and the connected-components canonicalizer."""
-    # The shingle rows feed the signature aggregation AND both sides of the
-    # verify join — persist once or Spark recomputes the tokenize+distinct
-    # pipeline per branch. At cluster scale this is persist(MEMORY_AND_DISK)
-    # of a shingles table.
-    rows = _shingle_rows(spark, sf_dir).persist()
+    shared by the pair key and the connected-components canonicalizer.
+
+    The shingle rows feed the signature aggregation AND both sides of the
+    verify join — a diamond Catalyst cannot share (column pruning
+    specializes each branch's copy, so ReuseExchange never fires; see
+    util.scoped_persist). They are persisted with QUERY-SCOPED lifetime:
+    the returned plan is lazy and reads the hot cache, and the next query
+    through any harness entry point releases it — bounded sweep storage
+    without round 3's materialize-on-every-call checkpoint tax."""
+    rows = scoped_persist(_shingle_rows(spark, sf_dir))
     # signatures: one codegen'd pass over the rows (md5 × seeds), partial
     # min-agg before the per-doc shuffle
     m = rows.groupBy("doc_id").agg(
@@ -196,7 +200,8 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).persist()
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = scoped_persist(bands)
     # Self-join with RENAMED right side: alias-only self-joins can resolve
     # both sides to the same attribute ids, silently dropping the equality
     # conjuncts and degenerating to a nested-loop cross join (measured 213s
@@ -215,14 +220,7 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-    # verified pairs are output-sized: pin them eagerly, then drop the big
-    # shingle/band caches so a multi-key sweep doesn't accumulate storage
-    out = _pair_jaccard(cand, rows).filter(F.col("j") >= _MINHASH_THETA).localCheckpoint(
-        eager=True
-    )
-    bands.unpersist()
-    rows.unpersist()
-    return out
+    return _pair_jaccard(cand, rows).filter(F.col("j") >= _MINHASH_THETA)
 
 
 @register(
@@ -258,7 +256,12 @@ def dedup_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees a per-round convergence counter, never row data. The DuckDB oracle
     replays the components with a recursive CTE, so the iterative operator
     is still hash-checked."""
-    pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    # The pair set is re-read every propagation round, so this is the one
+    # dedup entry point where cutting lineage pays: pin it ONCE (reliable
+    # checkpoint when SPARK_GRAFT_CHECKPOINT_DIR points at shared storage —
+    # the cluster-mode path — else localCheckpoint) instead of re-running
+    # the whole LSH pipeline per round.
+    pairs = pin(minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"))
     docs = table(spark, sf_dir, "documents").select("doc_id")
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -285,17 +288,17 @@ def dedup_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         raise RuntimeError("connected components did not converge in 20 rounds")
     # Release every cached intermediate before returning: the final labels
-    # are pinned via an eager localCheckpoint (output-sized, lineage cut),
-    # then pairs/edges/labels caches are dropped — a multi-key correctness
-    # sweep on one SparkSession must not accumulate cached partitions.
-    # (On a real cluster use checkpoint() with a reliable dir instead —
-    # localCheckpoint does not survive executor loss.)
-    final = labels.select("doc_id", F.col("label").alias("canonical_id")).localCheckpoint(
-        eager=True
-    )
-    for cached in (labels, edges, pairs):
-        cached.unpersist()
-    return final
+    # are pinned (output-sized, lineage cut — 20 rounds of join lineage
+    # would otherwise ride along), then the edges/labels caches are
+    # dropped — a multi-key correctness sweep on one SparkSession must not
+    # accumulate cached partitions.
+    final = pin(labels.select("doc_id", F.col("label").alias("canonical_id")))
+    labels.unpersist()
+    edges.unpersist()
+    pairs.unpersist()  # checkpoint storage freed; pairs is never read again
+    # final's checkpoint storage must outlive this call (the caller reads
+    # it) but not the sweep — the next harness query releases it
+    return defer_release(final)
 
 
 _NGRAM_DF_CAP = 16
@@ -346,9 +349,13 @@ def ngram_pairs(kept: DataFrame) -> DataFrame:
 def ngram_jaccard_of(docs: DataFrame, theta: float, df_cap: int | None) -> DataFrame:
     """Blocked exact n-gram Jaccard over a documents-shaped DataFrame; the
     Jaccard universe is the df-capped shingle set (denominators count kept
-    shingles only, mirrored exactly by the DuckDB oracle)."""
-    rows = shingle_rows_of(docs).persist()
-    kept = ngram_kept_rows(rows, df_cap).persist()
+    shingles only, mirrored exactly by the DuckDB oracle).
+
+    The kept-shingle subtree feeds the pair join (both sides) and the
+    per-doc counts — the same unshareable diamond as minhash_pairs, so it
+    gets the same query-scoped persist (see util.scoped_persist); the
+    returned plan stays lazy."""
+    kept = scoped_persist(ngram_kept_rows(shingle_rows_of(docs), df_cap))
     inter = ngram_pairs(kept)
     cnt = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
@@ -364,12 +371,7 @@ def ngram_jaccard_of(docs: DataFrame, theta: float, df_cap: int | None) -> DataF
         )
         .filter(F.col("j") >= theta)
         .select("doc_a", "doc_b", "source", dround("j", 6).alias("jaccard"))
-        # pin the output-sized result, then drop the big shingle caches —
-        # one sweep SparkSession must not accumulate cached partitions
-        .localCheckpoint(eager=True)
     )
-    kept.unpersist()
-    rows.unpersist()
     return out
 
 

@@ -87,8 +87,15 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     q2 = quality.join(keep_exact, "doc_id")
 
     # near-dup removal over the SURVIVING docs only — discarded docs are
-    # never tokenized (quality gate runs before the explode)
-    rows = shingle_rows_of(q2.withColumn("source", F.lit("")).select("doc_id", "source", "text")).persist()
+    # never tokenized (quality gate runs before the explode). The shingle
+    # rows feed the signature agg and both verify-join sides — a diamond
+    # Catalyst can't share (util.scoped_persist) — so they carry a
+    # query-scoped persist, released by the next harness query.
+    from .util import scoped_persist
+
+    rows = scoped_persist(
+        shingle_rows_of(q2.withColumn("source", F.lit("")).select("doc_id", "source", "text"))
+    )
     m = rows.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))).alias(f"h{seed}")
@@ -105,7 +112,8 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).persist()
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = scoped_persist(bands)
     right = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("band").alias("band_r"), F.col("key").alias("key_r")
     )

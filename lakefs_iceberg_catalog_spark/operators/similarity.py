@@ -703,18 +703,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the slim assignment ONCE: the scoring expression over the
     # literal centroids is large (8 × 64-dim literal arrays), and a raw
     # self-join would compile and evaluate it on BOTH join branches —
-    # measured 7× slower. Persisting (vec_id, cid, emb, norm) makes the two
-    # sides cache reads; at cluster scale this is the materialized
-    # assignment table an IVF index maintains anyway.
-    slim = (
-        _ivf_tagged(spark, sf_dir)
-        .select(
+    # measured 7× slower. The persist is QUERY-SCOPED (util.scoped_persist:
+    # released by the next harness query, so a sweep never accumulates it);
+    # at cluster scale this is the materialized assignment table an IVF
+    # index maintains anyway.
+    from .util import scoped_persist
+
+    slim = scoped_persist(
+        _ivf_tagged(spark, sf_dir).select(
             "vec_id",
             (-F.col("best.ncid")).alias("cid"),
             "embedding",
             "vnorm",
         )
-        .persist()
     )
     a = slim.select(
         F.col("vec_id").alias("vec_a"),

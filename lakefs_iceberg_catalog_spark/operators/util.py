@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,6 +39,74 @@ def materialize_bounded(
 ) -> DataFrame:
     """Driver-side collect-and-recreate with an explicit row ceiling."""
     return spark.createDataFrame(bounded_rows(df, ceiling), df.schema)
+
+
+# Query-scoped cache registry: operators with diamond-shaped plans (one
+# expensive intermediate consumed by several branches) persist through
+# scoped_persist; harness entry points (__spark_entry__.queries() wrapper,
+# bench.py's per-query loop, the pytest replay fixture) call release_scoped
+# BEFORE running the next query. Net: at most one query's caches are ever
+# held, so a 50-key sweep accumulates nothing, while the returned plan stays
+# lazy and its consumer reads the hot cache.
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """Persist a diamond-shaped intermediate with query-scoped lifetime.
+
+    Why not let Catalyst share the subtree instead: column pruning
+    specializes each consumer's copy (every branch reads different columns),
+    so the exchanges are not plan-identical and ReuseExchange does NOT fire
+    — measured 12 parquet scans per action and a 14× slowdown on
+    pipeline_training_corpus with these persists removed. Why not an eager
+    localCheckpoint per call (round 3): it forces a full materialization on
+    every invocation (bench measured 6.8× of baseline on
+    dedup_near_minhash), severs pushdown for downstream consumers, and is
+    not durable on a real cluster anyway. At cluster scale this pattern is
+    persist(MEMORY_AND_DISK) of a hot intermediate table with an explicit
+    release once the consuming job finishes."""
+    _SCOPED_CACHES.append(df.persist())
+    return df
+
+
+def defer_release(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-materialized DataFrame (a pinned/checkpointed
+    result) for release at the next harness query. Used for outputs whose
+    storage must outlive their operator call — the consumer still has to
+    read them — but not the sweep."""
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def release_scoped() -> None:
+    """Release every query-scoped cache (harness entry points call this
+    before each new query; idempotent)."""
+    while _SCOPED_CACHES:
+        _SCOPED_CACHES.pop().unpersist()
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Materialize a DataFrame for ITERATIVE consumers (label propagation
+    re-reads its input every round, so recompute-per-action would be
+    quadratic in rounds).
+
+    Cluster mode: set ``SPARK_GRAFT_CHECKPOINT_DIR`` to a shared filesystem
+    path and this becomes a RELIABLE ``checkpoint()`` — lineage cut, files
+    survive executor loss. Unset (local mode), it is an eager persist: the
+    cache is CacheManager-registered, so a later ``unpersist()`` (via
+    defer_release/release_scoped) actually frees the storage —
+    ``localCheckpoint`` storage is NOT registered there and its unpersist
+    is a silent no-op, which is how round 3 leaked pinned partitions.
+
+    One-shot operators must NOT pin — they use scoped_persist and return
+    the lazy plan."""
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        df.sparkSession.sparkContext.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=True)
+    df.persist()
+    df.count()
+    return df
 
 
 def dround(col: Column | str, scale: int = 2) -> Column:

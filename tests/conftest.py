@@ -31,6 +31,17 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(autouse=True)
+def _release_query_scoped_caches():
+    """Mirror the harness entry points: every test starts with the previous
+    query's scoped caches released, so the suite's shared SparkSession never
+    accumulates cached partitions (operators/util.py:scoped_persist)."""
+    from lakefs_iceberg_catalog_spark.operators.util import release_scoped
+
+    release_scoped()
+    yield
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
