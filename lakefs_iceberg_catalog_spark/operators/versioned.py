@@ -184,8 +184,34 @@ def dml_delete_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the earlier deletes, and compact() folds the predicates into fresh
     files with the same visible rows. At 100 TB this is the difference
     between a one-row delete costing one manifest swap and rewriting a
-    whole partition."""
+    whole partition.
+
+    Round 4 adds STATS SCOPING (Iceberg scopes delete files by partition/
+    sequence; here by manifest min/max): on a clustered table a selective
+    MoR delete stamps its predicate onto a strict SUBSET of files — files
+    whose footer range provably excludes the predicate carry no entry, so
+    manifests stay O(matching files), not O(files × deletes) — asserted
+    mid-flow, with the scan still exact."""
     cat, root = _seeded(spark)
+
+    # -- phase A: stats-scoped predicate on a clustered table ------------
+    cat.create_namespace("repo.main.db")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    cat.create_table_as("repo.main.db.orders_c", orders, cluster_by=["o_orderkey"])
+    ops_c = cat._ops("repo.main.db.orders_c")[0]
+    n_before = cat.scan("repo.main.db.orders_c").count()
+    n_match = cat.scan("repo.main.db.orders_c").filter("o_orderkey <= 64").count()
+    cat.delete_where("repo.main.db.orders_c", "o_orderkey <= 64", mode="merge-on-read")
+    mc = ops_c.current()
+    stamped = set(mc.delete_preds)
+    # strict subset: the clustered layout confines low keys to few files
+    assert 0 < len(stamped) < len(mc.files), (len(stamped), len(mc.files))
+    assert cat.scan("repo.main.db.orders_c").count() == n_before - n_match
+
+    # -- phase B: the original workers flow (metadata-only commits, ------
+    # sequence scoping of later appends, compaction folding)
     t = "repo.main.company.workers"
     ops = cat._ops(t)[0]
     files_before = ops.current().files

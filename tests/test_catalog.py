@@ -331,6 +331,48 @@ def test_merge_on_read_delete(cat, spark):
         cat.delete_where(t, "no_such_col = 1", mode="mor")
 
 
+def test_mor_delete_stats_scoping(cat, spark):
+    """Round-4 MoR scoping: a simple range/equality predicate is stamped
+    only onto files whose footer min/max can match it (manifest stays
+    O(matching files)); complex predicates conservatively stamp all files;
+    scans stay exact either way, and existing entries on other files are
+    preserved across commits."""
+    t = "repo.main.company.nums"
+    df = spark.range(0, 1024).selectExpr("id AS k", "id * 2 AS v")
+    cat.create_table_as(t, df, cluster_by=["k"])
+    ops = cat._ops(t)[0]
+    n_files = len(ops.current().files)
+    assert n_files > 1
+
+    # selective range delete → strict subset of files carries the predicate
+    cat.delete_where(t, "k <= 100", mode="mor")
+    m = ops.current()
+    assert 0 < len(m.delete_preds) < n_files, (len(m.delete_preds), n_files)
+    assert cat.scan(t).count() == 1024 - 101
+
+    # complex predicate (unparsable) → falls back to every file, still exact
+    cat.delete_where(t, "k % 2 = 1 AND v > 1000", mode="mor")
+    m2 = ops.current()
+    assert len(m2.delete_preds) == n_files
+    expect = sum(1 for k in range(101, 1024) if not (k % 2 == 1 and 2 * k > 1000))
+    assert cat.scan(t).count() == expect
+    # the scoped entry from the first delete is still there, un-duplicated
+    scoped_files = [f for f, ps in m2.delete_preds.items() if "k <= 100" in ps]
+    assert scoped_files and len(scoped_files) < n_files
+
+    # equality on a string column scopes too (clustered CTAS over strings)
+    t2 = "repo.main.company.words"
+    wdf = spark.createDataFrame(
+        [(chr(97 + i % 26) * 3, i) for i in range(256)], "w string, n int"
+    )
+    cat.create_table_as(t2, wdf, cluster_by=["w"])
+    ops2 = cat._ops(t2)[0]
+    cat.delete_where(t2, "w = 'aaa'", mode="mor")
+    m3 = ops2.current()
+    assert 0 < len(m3.delete_preds) < len(m3.files)
+    assert cat.scan(t2).filter("w = 'aaa'").count() == 0
+
+
 def test_concurrent_commit_race(tmp_path):
     """Many writers race create-if-absent for the same next version from the
     same base: exactly ONE wins, the rest get a conflict/stale error and
