@@ -136,9 +136,12 @@ def _footer_stats(path: str) -> dict:
         for ci in range(g.num_columns):
             col = g.column(ci)
             st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
-            mn, mx = st.min, st.max
+            try:
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+            except Exception:
+                continue  # e.g. pyarrow can't extract decimal stats
             if not isinstance(mn, (int, float, str)) or not isinstance(mx, (int, float, str)):
                 continue
             name = col.path_in_schema
@@ -204,6 +207,50 @@ def _file_survives(stats: dict | None, col: str, op: str, value) -> bool:
     except TypeError:
         return True
     return True
+
+
+def _effective_stats(m: TableManifest, f: str) -> dict:
+    """A file's column ranges for planning: footer min/max merged with its
+    identity partition values as degenerate [v, v] ranges — one code path
+    then prunes on stats and partition boundaries alike."""
+    stats = m.file_stats.get(f) or {}
+    pv = m.file_partitions.get(f) or {}
+    if pv:
+        stats = {**stats, **{c: [v, v] for c, v in pv.items() if v is not None}}
+    return stats
+
+
+def _decode_partition_value(raw: str, dtype: T.DataType | None):
+    """Decode a hive-encoded partition dir value (``col=value``) to the
+    column's Python value: %XX-unescaped, typed by the declared schema
+    (JSON-safe — int for integral types, float for fractional, str
+    otherwise); the hive NULL sentinel maps to None."""
+    from urllib.parse import unquote
+
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    s = unquote(raw)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(s)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(s)
+    return s
+
+
+_INT_WIDTH = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+
+
+def _is_safe_widening(src: T.DataType, dst: T.DataType) -> bool:
+    """True iff src→dst is a lossless type promotion (Iceberg's safe set):
+    integer widening, float→double, decimal precision growth at the same
+    scale. Same-type is NOT a widening (the call would be a no-op commit)."""
+    if type(src) in _INT_WIDTH and type(dst) in _INT_WIDTH:
+        return _INT_WIDTH[type(dst)] > _INT_WIDTH[type(src)]
+    if isinstance(src, T.FloatType) and isinstance(dst, T.DoubleType):
+        return True
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        return dst.scale == src.scale and dst.precision > src.precision
+    return False
 
 
 class VersionedCatalog:
@@ -353,16 +400,29 @@ class VersionedCatalog:
         schema: T.StructType | str,
         properties: dict | None = None,
         location: str | None = None,
+        partition_by: list[str] | None = None,
     ) -> None:
         """Create an empty table; the location is always derived from the
-        identifier — a custom location is rejected (LakeFSCatalog.java:400-409)."""
+        identifier — a custom location is rejected (LakeFSCatalog.java:400-409).
+
+        ``partition_by`` declares an identity partition spec (Iceberg's
+        PartitionSpec; the reference exercises the unpartitioned case at
+        TestLakeFSTableOperations.java:59-61), fixed for the table's
+        lifetime: every write routes rows into hive-layout partition dirs
+        and every maintenance op (compact, MoR delete scoping) can work
+        per-partition."""
         if location is not None:
             raise UnsupportedOperationError("custom table location is not supported")
         ops, levels = self._ops(identifier)
         if ops.is_table_dir():
             raise TableAlreadyExistsError(".".join(levels))
         st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
-        ops.commit(None, new_manifest(st.json(), [], properties))
+        for c in partition_by or []:
+            if c not in st.fieldNames():
+                raise NoSuchTableError(f"partition column {c!r} not in schema")
+        ops.commit(
+            None, new_manifest(st.json(), [], properties, partition_spec=partition_by)
+        )
 
     def create_table_as(
         self,
@@ -370,6 +430,7 @@ class VersionedCatalog:
         df: DataFrame,
         properties: dict | None = None,
         cluster_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> None:
         """CTAS (reference: df.write.saveAsTable — conftest.py:50).
 
@@ -378,12 +439,29 @@ class VersionedCatalog:
         sort-order spec): each data file then covers a narrow range of the
         cluster key, so the footer min/max stats make ``scan_pruned`` skip
         most files for selective predicates on it. At 100 TB this is the
-        difference between 'read the table' and 'read three files'."""
+        difference between 'read the table' and 'read three files'.
+
+        ``partition_by`` declares an identity partition spec instead: files
+        land under hive-layout partition dirs, one partition per file."""
         ops, levels = self._ops(identifier)
         if ops.is_table_dir():
             raise TableAlreadyExistsError(".".join(levels))
-        files, stats = self._write_data(levels, df, cluster_by=cluster_by)
-        ops.commit(None, new_manifest(df.schema.json(), files, properties, file_stats=stats))
+        if cluster_by and partition_by:
+            raise UnsupportedOperationError("cluster_by and partition_by are exclusive")
+        files, stats, fparts = self._write_data(
+            levels, df, cluster_by=cluster_by, partition_by=partition_by
+        )
+        ops.commit(
+            None,
+            new_manifest(
+                df.schema.json(),
+                files,
+                properties,
+                file_stats=stats,
+                partition_spec=partition_by,
+                file_partitions=fparts,
+            ),
+        )
 
     def rename_table(self, src, dst) -> None:
         raise UnsupportedOperationError("rename is not supported (identity = path)")
@@ -405,7 +483,8 @@ class VersionedCatalog:
         df: DataFrame,
         cluster_by: list[str] | None = None,
         cluster_files: int = 8,
-    ) -> tuple[list[str], dict]:
+        partition_by: list[str] | None = None,
+    ) -> tuple[list[str], dict, dict]:
         """Write df as parquet part files under the table's data/ dir on THIS
         branch; return (repo-relative paths, per-file column min/max stats).
         The write is a distributed Spark job; only the file rename/move and
@@ -421,7 +500,14 @@ class VersionedCatalog:
         CONTIGUOUS, non-overlapping key range, so footer min/max stats
         prune both equality AND range predicates; hash distribution would
         scatter the key range across every file and leave min/max spanning
-        the whole domain (measured: zero files skippable)."""
+        the whole domain (measured: zero files skippable).
+
+        ``partition_by`` (identity partition spec, mutually exclusive with
+        cluster_by) writes hive-layout dirs (``data/col=value/...``) via
+        Spark's distributed partitioned write, so every data file belongs to
+        exactly ONE partition; returns their {col: value} tuples as the
+        third element. The partition column's values live in metadata, not
+        pages — scans re-inject them as per-file constants."""
         if cluster_by:
             df = df.repartitionByRange(
                 cluster_files, *[F.col(c) for c in cluster_by]
@@ -431,25 +517,51 @@ class VersionedCatalog:
         data_dir = os.path.join(table_dir, "data")
         os.makedirs(data_dir, exist_ok=True)
         staging = os.path.join(table_dir, f".staging-{_uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
-        out, stats = [], {}
+        if partition_by:
+            # one shuffle co-locates each partition's rows (few output files
+            # per partition; at real scale the count per partition follows
+            # the target file size instead)
+            df = df.repartition(*[F.col(c) for c in partition_by])
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
+        else:
+            df.write.mode("overwrite").parquet(staging)
+        schema_types = {f.name: f.dataType for f in df.schema.fields}
+        out, stats, fparts = [], {}, {}
         stamp = _uuid.uuid4().hex[:12]
         i = 0
-        for name in sorted(os.listdir(staging)):
-            if name.endswith(".parquet"):
-                src = os.path.join(staging, name)
+        for dirpath, _, filenames in sorted(os.walk(staging)):
+            rel_dir = os.path.relpath(dirpath, staging)
+            pvals = {}
+            if rel_dir != ".":
+                for comp in rel_dir.split(os.sep):
+                    if "=" not in comp:
+                        continue
+                    col, raw = comp.split("=", 1)
+                    pvals[col] = _decode_partition_value(
+                        raw, schema_types.get(col)
+                    )
+            for name in sorted(filenames):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, name)
                 if _parquet_num_rows(src) == 0:
                     continue  # empty part files carry no stats and no data
-                dst = os.path.join(data_dir, f"{stamp}-{i:05d}.parquet")
+                tgt_dir = (
+                    os.path.join(data_dir, rel_dir) if rel_dir != "." else data_dir
+                )
+                os.makedirs(tgt_dir, exist_ok=True)
+                dst = os.path.join(tgt_dir, f"{stamp}-{i:05d}.parquet")
                 os.replace(src, dst)
                 rel = self._rel(repo, dst)
                 out.append(rel)
                 fs = _footer_stats(dst)
                 if fs:
                     stats[rel] = fs
+                if pvals:
+                    fparts[rel] = pvals
                 i += 1
         shutil.rmtree(staging)
-        return out, stats
+        return out, stats, fparts
 
     def _read_files(self, repo: str, manifest: TableManifest) -> DataFrame:
         """Scan the manifest's files, projecting each file's WRITTEN column
@@ -467,33 +579,64 @@ class VersionedCatalog:
         ]
         current = {str(c["id"]): c["name"] for c in cols}
         dtypes = {c["name"]: schema[c["name"]].dataType for c in cols}
+        current_types = {
+            str(c["id"]): schema[c["name"]].dataType.jsonValue() for c in cols
+        }
         groups: dict[tuple, list[str]] = {}
         for f in manifest.files:
             fm = manifest.file_columns.get(f, current)
             name_sig = tuple(fm.get(str(c["id"])) for c in cols)
+            # written physical types (column widening): absent entries mean
+            # "written with the current schema types" — the no-widening case
+            ft = manifest.file_types.get(f, current_types)
+            type_sig = tuple(
+                json.dumps(ft.get(str(c["id"]), current_types[str(c["id"])]))
+                for c in cols
+            )
+            # identity partition values are per-file constants living in
+            # metadata, not pages (Iceberg reads them the same way) — they
+            # join the group signature and are injected as literals below
+            pv = manifest.file_partitions.get(f, {})
+            part_sig = tuple(sorted((k, json.dumps(v)) for k, v in pv.items()))
             # merge-on-read deletes ride the group signature too: files
             # sharing the same pending predicates scan together, and the
             # common cases (no deletes / one table-wide delete) stay a
             # single scan + one codegen'd filter
             pred_sig = tuple(manifest.delete_preds.get(f, ()))
-            groups.setdefault((name_sig, pred_sig), []).append(f)
+            groups.setdefault((name_sig, type_sig, part_sig, pred_sig), []).append(f)
         parts = []
-        for (name_sig, pred_sig), files in groups.items():
+        for (name_sig, type_sig, part_sig, pred_sig), files in groups.items():
             paths = [
                 self._verify_path(repo, os.path.join(self._repo_dir(repo), f))
                 for f in files
             ]
+            pvals = {k: json.loads(v) for k, v in part_sig}
+            # read each file group with its WRITTEN types, then cast up to
+            # the current schema in the projection (Iceberg's safe-promotion
+            # read path: the file keeps int32 pages, the scan yields long);
+            # partition columns are NOT read from pages at all
             read_fields = [
-                T.StructField(written, dtypes[c["name"]], True)
-                for written, c in zip(name_sig, cols)
-                if written is not None
+                {"name": written, "type": json.loads(tj), "nullable": True, "metadata": {}}
+                for written, tj, c in zip(name_sig, type_sig, cols)
+                if written is not None and written not in pvals
             ]
-            df = self.spark.read.schema(T.StructType(read_fields)).parquet(*paths)
+            read_schema = T.StructType.fromJson(
+                {"type": "struct", "fields": read_fields}
+            )
+            df = self.spark.read.schema(read_schema).parquet(*paths)
             df = df.select(
                 [
-                    F.col(written).alias(c["name"])
-                    if written is not None
-                    else F.lit(None).cast(dtypes[c["name"]]).alias(c["name"])
+                    (
+                        F.lit(pvals[written]).cast(dtypes[c["name"]]).alias(c["name"])
+                        if written is not None and written in pvals
+                        else (
+                            F.col(written).alias(c["name"])
+                            if read_schema[written].dataType == dtypes[c["name"]]
+                            else F.col(written).cast(dtypes[c["name"]]).alias(c["name"])
+                        )
+                        if written is not None
+                        else F.lit(None).cast(dtypes[c["name"]]).alias(c["name"])
+                    )
                     for written, c in zip(name_sig, cols)
                 ]
             )
@@ -538,10 +681,16 @@ class VersionedCatalog:
             raise NoSuchTableError(".".join(levels))
         schema = T.StructType.fromJson(json.loads(base.schema_json))
         aligned = df if df.schema == schema else _align_to_schema(df, schema)
-        files, stats = self._write_data(levels, aligned)
+        files, stats, fparts = self._write_data(
+            levels, aligned, partition_by=base.partition_spec or None
+        )
         ops.commit(
             base,
-            base.next(base.files + files, file_stats={**base.file_stats, **stats}),
+            base.next(
+                base.files + files,
+                file_stats={**base.file_stats, **stats},
+                file_partitions=fparts,
+            ),
         )
 
     def append_stream_batch(
@@ -572,7 +721,9 @@ class VersionedCatalog:
             # strict by-name: a reordered or misnamed streaming batch must
             # raise, never cast positionally into the wrong fields
             aligned = _align_to_schema(df, schema, strict=True)
-            files, stats = self._write_data(levels, aligned)
+            files, stats, fparts = self._write_data(
+                levels, aligned, partition_by=base.partition_spec or None
+            )
             try:
                 ops.commit(
                     base,
@@ -580,6 +731,7 @@ class VersionedCatalog:
                         base.files + files,
                         properties={**base.properties, "stream.last_batch_id": str(batch_id)},
                         file_stats={**base.file_stats, **stats},
+                        file_partitions=fparts,
                     ),
                 )
                 return True
@@ -615,7 +767,7 @@ class VersionedCatalog:
             f
             for f in base.files
             if parsed is None
-            or _file_survives(base.file_stats.get(f), parsed[0], parsed[1], parsed[2])
+            or _file_survives(_effective_stats(base, f), parsed[0], parsed[1], parsed[2])
         ]
         dp = {f: list(base.delete_preds.get(f, [])) for f in base.files}
         for f in matching:
@@ -657,8 +809,15 @@ class VersionedCatalog:
         survivors = self._read_files(levels[0], base).filter(
             ~F.coalesce(F.expr(f"({predicate})"), F.lit(False))
         )
-        files, stats = self._write_data(levels, survivors)
-        ops.commit(base, base.next(files, file_stats=stats, delete_preds={}))
+        files, stats, fparts = self._write_data(
+            levels, survivors, partition_by=base.partition_spec or None
+        )
+        ops.commit(
+            base,
+            base.next(
+                files, file_stats=stats, delete_preds={}, file_partitions=fparts
+            ),
+        )
 
     def update_where(
         self,
@@ -698,7 +857,9 @@ class VersionedCatalog:
                     for f in schema.fields
                 ]
             )
-            files, stats = self._write_data(levels, updated)
+            files, stats, fparts = self._write_data(
+                levels, updated, partition_by=base.partition_spec or None
+            )
             dp = self._scope_mor_predicate(base, predicate)
             ops.commit(
                 base,
@@ -706,6 +867,7 @@ class VersionedCatalog:
                     base.files + files,
                     file_stats={**base.file_stats, **stats},
                     delete_preds=dp,
+                    file_partitions=fparts,
                 ),
             )
             return
@@ -721,8 +883,15 @@ class VersionedCatalog:
                 )
             else:
                 cols.append(F.col(f.name))
-        files, stats = self._write_data(levels, df.select(cols))
-        ops.commit(base, base.next(files, file_stats=stats, delete_preds={}))
+        files, stats, fparts = self._write_data(
+            levels, df.select(cols), partition_by=base.partition_spec or None
+        )
+        ops.commit(
+            base,
+            base.next(
+                files, file_stats=stats, delete_preds={}, file_partitions=fparts
+            ),
+        )
 
     def merge_upsert(
         self, identifier: str | list[str], source: DataFrame, key_cols: list[str]
@@ -741,8 +910,12 @@ class VersionedCatalog:
         aligned_src = _align_to_schema(source, schema)
         target = self._read_files(levels[0], base)
         kept = target.join(aligned_src.select(*key_cols), on=key_cols, how="left_anti")
-        files, stats = self._write_data(levels, kept.unionByName(aligned_src))
-        ops.commit(base, base.next(files, file_stats=stats))
+        files, stats, fparts = self._write_data(
+            levels,
+            kept.unionByName(aligned_src),
+            partition_by=base.partition_spec or None,
+        )
+        ops.commit(base, base.next(files, file_stats=stats, file_partitions=fparts))
 
     def table_history(self, identifier: str | list[str]) -> list[int]:
         """All committed versions, oldest first (metadata-only listing)."""
@@ -763,7 +936,7 @@ class VersionedCatalog:
         m = ops.current()
         if m is None:
             raise NoSuchTableError(".".join(levels))
-        keep = [f for f in m.files if _file_survives(m.file_stats.get(f), col, op, value)]
+        keep = [f for f in m.files if _file_survives(_effective_stats(m, f), col, op, value)]
         return keep, len(m.files)
 
     def scan_pruned(
@@ -785,6 +958,9 @@ class VersionedCatalog:
             file_stats=m.file_stats,
             columns=m.columns,
             file_columns=m.file_columns,
+            file_types=m.file_types,
+            partition_spec=m.partition_spec,
+            file_partitions=m.file_partitions,
             delete_preds=m.delete_preds,
         )
         df = self._read_files(levels[0], pruned)
@@ -848,6 +1024,12 @@ class VersionedCatalog:
         schema = T.StructType.fromJson(json.loads(base.schema_json))
         if old not in schema.fieldNames():
             raise NoSuchTableError(f"column {old!r} does not exist")
+        if old in base.partition_spec:
+            # the partition spec and the hive dir layout are name-keyed;
+            # renaming underneath them would orphan every partition value
+            raise UnsupportedOperationError(
+                f"column {old!r} is a partition column and cannot be renamed"
+            )
         if new in schema.fieldNames():
             raise TableAlreadyExistsError(f"column {new!r} already exists")
         fields = [
@@ -862,6 +1044,43 @@ class VersionedCatalog:
             base.next(
                 base.files, schema_json=T.StructType(fields).json(), columns=columns
             ),
+        )
+
+    def alter_column_type(
+        self, identifier: str | list[str], name: str, ddl_type: str
+    ) -> None:
+        """Schema evolution: widen a column's type — metadata-only (Iceberg's
+        safe type promotion, inherited by the reference via the pinned
+        extensions, tests/conftest.py:67 + pom.xml:77-88). Only promotions
+        that can never lose information are allowed: integer widening
+        (tinyint→smallint→int→bigint), float→double, and decimal precision
+        growth at the same scale. Data files keep their written physical
+        type (recorded in the manifest's per-file type map); scans read each
+        file with the type it holds and cast up to the current schema, so no
+        data is rewritten and historic snapshots still read under their own
+        types. Anything lossy (narrowing, scale change, cross-family) is
+        rejected up front."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        if name not in schema.fieldNames():
+            raise NoSuchTableError(f"column {name!r} does not exist")
+        new_type = T.StructType.fromDDL(f"`{name}` {ddl_type}").fields[0].dataType
+        old_type = schema[name].dataType
+        if not _is_safe_widening(old_type, new_type):
+            raise UnsupportedOperationError(
+                f"cannot alter column {name!r} from {old_type.simpleString()} to "
+                f"{new_type.simpleString()}: only widening promotions are allowed "
+                "(tinyint→smallint→int→bigint, float→double, decimal precision growth)"
+            )
+        fields = [
+            T.StructField(f.name, new_type if f.name == name else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        ops.commit(
+            base, base.next(base.files, schema_json=T.StructType(fields).json())
         )
 
     def drop_column(self, identifier: str | list[str], name: str) -> None:
@@ -879,6 +1098,10 @@ class VersionedCatalog:
         schema = T.StructType.fromJson(json.loads(base.schema_json))
         if name not in schema.fieldNames():
             raise NoSuchTableError(f"column {name!r} does not exist")
+        if name in base.partition_spec:
+            raise UnsupportedOperationError(
+                f"column {name!r} is a partition column and cannot be dropped"
+            )
         if len(schema.fields) == 1:
             raise UnsupportedOperationError("cannot drop the only column")
         fields = [f for f in schema.fields if f.name != name]
@@ -912,18 +1135,81 @@ class VersionedCatalog:
             merged.pop(k, None)
         ops.commit(base, base.next(base.files, properties=merged))
 
-    def compact(self, identifier: str | list[str], target_files: int = 1) -> None:
-        """Small-file compaction: rewrite the current snapshot into
-        `target_files` files (Iceberg rewrite_data_files). Metadata commit
-        like any other — history keeps the fragmented versions readable.
-        At 100 TB this runs per partition, not per table."""
+    def compact(
+        self,
+        identifier: str | list[str],
+        target_files: int = 1,
+        partition: dict | None = None,
+    ) -> None:
+        """Small-file compaction: rewrite data files into `target_files`
+        files (Iceberg rewrite_data_files). Metadata commit like any other —
+        history keeps the fragmented versions readable.
+
+        ``partition`` ({col: value}, identity-partitioned tables only)
+        scopes the rewrite to ONE partition: only that partition's files are
+        read and replaced; every other partition's files — and their pending
+        MoR delete predicates — ride into the new manifest untouched. At
+        100 TB compaction is always per-partition: the job reads one
+        partition's worth of data, never the table."""
         ops, levels = self._ops(identifier)
         base = ops.current()
         if base is None:
             raise NoSuchTableError(".".join(levels))
+        if partition:
+            unknown = set(partition) - set(base.partition_spec)
+            if unknown:
+                raise UnsupportedOperationError(
+                    f"not partition columns: {sorted(unknown)}"
+                )
+            in_part = [
+                f
+                for f in base.files
+                if all(
+                    base.file_partitions.get(f, {}).get(c) == v
+                    for c, v in partition.items()
+                )
+            ]
+            keep = [f for f in base.files if f not in set(in_part)]
+            if not in_part:
+                return  # nothing in this partition to rewrite
+            sub = TableManifest(
+                table_uuid=base.table_uuid,
+                version=base.version,
+                schema_json=base.schema_json,
+                files=in_part,
+                properties=base.properties,
+                file_stats=base.file_stats,
+                columns=base.columns,
+                file_columns=base.file_columns,
+                file_types=base.file_types,
+                partition_spec=base.partition_spec,
+                file_partitions=base.file_partitions,
+                delete_preds=base.delete_preds,
+            )
+            df = self._read_files(levels[0], sub).coalesce(target_files)
+            files, stats, fparts = self._write_data(
+                levels, df, partition_by=base.partition_spec or None
+            )
+            ops.commit(
+                base,
+                base.next(
+                    keep + files,
+                    file_stats={
+                        **{f: s for f, s in base.file_stats.items() if f in set(keep)},
+                        **stats,
+                    },
+                    file_partitions=fparts,
+                ),
+            )
+            return
         df = self._read_files(levels[0], base).coalesce(target_files)
-        files, stats = self._write_data(levels, df)
-        ops.commit(base, base.next(files, file_stats=stats))
+        files, stats, fparts = self._write_data(
+            levels, df, partition_by=base.partition_spec or None
+        )
+        ops.commit(
+            base,
+            base.next(files, file_stats=stats, file_partitions=fparts),
+        )
 
     # -------------------------------------------------------- maintenance
 

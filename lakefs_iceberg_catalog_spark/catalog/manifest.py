@@ -53,6 +53,14 @@ def _columns_from_schema(schema_json: str) -> list[dict]:
     return [{"id": i, "name": f["name"]} for i, f in enumerate(fields)]
 
 
+def _types_by_id(schema_json: str, columns: list[dict]) -> dict[str, object]:
+    """{field id: Spark type jsonValue} for the given schema — the written
+    physical type stamped onto new files so later column widening can read
+    them back with the type they actually hold."""
+    fields = {f["name"]: f["type"] for f in json.loads(schema_json).get("fields", [])}
+    return {str(c["id"]): fields[c["name"]] for c in columns if c["name"] in fields}
+
+
 @dataclass
 class TableManifest:
     table_uuid: str
@@ -72,6 +80,25 @@ class TableManifest:
     # current schema (read-time projection, no data rewrite).
     columns: list = field(default_factory=list)
     file_columns: dict = field(default_factory=dict)
+    # Column type widening (Iceberg's safe type promotion: int→long,
+    # float→double, decimal precision growth): per data file, the {id: type
+    # jsonValue} mapping the file was WRITTEN with. Scans read each file
+    # with its written physical type and cast to the current schema type —
+    # metadata-only evolution, no data rewrite. Files absent here were
+    # written with the then-current schema types (the common no-widening
+    # case stays an empty map).
+    file_types: dict = field(default_factory=dict)
+    # Identity partition spec (Iceberg's PartitionSpec, exercised as
+    # unpartitioned by the reference at TestLakeFSTableOperations.java:59-61):
+    # ordered partition column names, fixed at table create. Data files of a
+    # partitioned table live under hive-style dirs (data/col=value/...) and
+    # each file belongs to EXACTLY one partition; `file_partitions` records
+    # the {col: value} tuple per file. The partition column is NOT stored in
+    # the file's pages — scans inject it as a per-file constant (Iceberg
+    # reads identity partition values from metadata the same way), and
+    # planning treats the value as a [v, v] stat for pruning.
+    partition_spec: list = field(default_factory=list)
+    file_partitions: dict = field(default_factory=dict)
     # Merge-on-read deletes (Iceberg format-version 2 delete files,
     # TestLakeFSCatalogSpark.java:67 'format-version'=2): per-file list of
     # delete predicates, applied at scan time AFTER projection. A one-row
@@ -91,6 +118,9 @@ class TableManifest:
                 "file_stats": self.file_stats,
                 "columns": self.columns,
                 "file_columns": self.file_columns,
+                "file_types": self.file_types,
+                "partition_spec": self.partition_spec,
+                "file_partitions": self.file_partitions,
                 "delete_preds": self.delete_preds,
             },
             indent=1,
@@ -111,6 +141,9 @@ class TableManifest:
             # their files were all written with the then-current names
             columns=list(d.get("columns") or _columns_from_schema(d["schema_json"])),
             file_columns=dict(d.get("file_columns", {})),
+            file_types=dict(d.get("file_types", {})),
+            partition_spec=list(d.get("partition_spec", [])),
+            file_partitions=dict(d.get("file_partitions", {})),
             delete_preds=dict(d.get("delete_preds", {})),
         )
 
@@ -122,6 +155,7 @@ class TableManifest:
         file_stats: dict | None = None,
         columns: list | None = None,
         delete_preds: dict | None = None,
+        file_partitions: dict | None = None,
     ) -> "TableManifest":
         new_cols = list(self.columns if columns is None else columns)
         # Any file the base doesn't know was just written with the CURRENT
@@ -134,10 +168,18 @@ class TableManifest:
             f: self.file_columns.get(f, write_mapping)
             for f in files
         }
+        # written physical types follow the same provenance rule: files the
+        # base doesn't know were written with the base's CURRENT types
+        write_types = _types_by_id(self.schema_json, self.columns or new_cols)
+        ftypes = {f: self.file_types.get(f, write_types) for f in files}
         # delete predicates follow their file: inherited for retained files,
         # gone with rewritten/compacted ones, never attached to new files
         src_preds = self.delete_preds if delete_preds is None else delete_preds
         dpreds = {f: src_preds[f] for f in files if src_preds.get(f)}
+        # partition values: retained files inherit, new files bring their own
+        # (stamped by the partitioned writer), removed files drop out
+        all_parts = {**self.file_partitions, **(file_partitions or {})}
+        fparts = {f: all_parts[f] for f in files if f in all_parts}
         return TableManifest(
             table_uuid=self.table_uuid,
             version=self.version + 1,
@@ -147,6 +189,9 @@ class TableManifest:
             file_stats=self.file_stats if file_stats is None else file_stats,
             columns=new_cols,
             file_columns=fcols,
+            file_types=ftypes,
+            partition_spec=list(self.partition_spec),
+            file_partitions=fparts,
             delete_preds=dpreds,
         )
 
@@ -156,6 +201,8 @@ def new_manifest(
     files: list[str],
     properties: dict | None = None,
     file_stats: dict | None = None,
+    partition_spec: list[str] | None = None,
+    file_partitions: dict | None = None,
 ) -> TableManifest:
     columns = _columns_from_schema(schema_json)
     mapping = {str(c["id"]): c["name"] for c in columns}
@@ -168,6 +215,9 @@ def new_manifest(
         file_stats=file_stats or {},
         columns=columns,
         file_columns={f: mapping for f in files},
+        file_types={f: _types_by_id(schema_json, columns) for f in files},
+        partition_spec=list(partition_spec or []),
+        file_partitions=file_partitions or {},
     )
 
 

@@ -246,6 +246,18 @@ class SqlFacade:
             return mk([], "result string")
 
         m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_PART})"
+            rf"\s+TYPE\s+([A-Za-z]+(?:\([^)]*\))?)\s*$",
+            s,
+        )
+        if m:
+            # metadata-only column widening (Iceberg safe type promotion)
+            self.catalog.alter_column_type(
+                _clean(m.group(1)), m.group(2).strip("`"), m.group(3)
+            )
+            return mk([], "result string")
+
+        m = re.match(
             rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s*\(?\s*({_PART})\s*\)?\s*$",
             s,
         )

@@ -16,6 +16,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import VersionedCatalog
@@ -338,30 +339,103 @@ def sink_clustered_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_partition_spec",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def sink_partition_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity partition spec end to end (Iceberg's PartitionSpec — the
+    reference exercises the unpartitioned case at
+    TestLakeFSTableOperations.java:59-61): orders lands in a table
+    partitioned by o_orderpriority, so every data file lives under a
+    hive-layout dir and belongs to exactly one partition, with the value in
+    metadata rather than pages. Asserted mid-flow: (a) an equality scan
+    prunes to ONLY the covering partition's files, (b) a per-partition
+    compact consolidates that partition and leaves every other partition's
+    files byte-untouched, (c) the pruned scan stays exact. At 100 TB this
+    is the difference between compacting one partition's files and
+    rewriting the table."""
+    root = tempfile.mkdtemp(prefix="vcat-part-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    t = "repo.main.db.orders_p"
+    cat.create_table(
+        t,
+        orders.schema,
+        partition_by=["o_orderpriority"],
+    )
+    # two appends fragment every partition into ≥2 files
+    cat.append(t, orders.filter("o_orderkey % 2 = 0"))
+    cat.append(t, orders.filter("o_orderkey % 2 = 1"))
+    ops = cat._ops(t)[0]
+    m = ops.current()
+    keep, total = cat.select_files(t, "o_orderpriority", "=", "1-URGENT")
+    assert 0 < len(keep) < total, (len(keep), total)  # partition-pruned
+    assert all(
+        m.file_partitions[f]["o_orderpriority"] == "1-URGENT" for f in keep
+    )
+    others_before = sorted(
+        f for f in m.files if m.file_partitions[f]["o_orderpriority"] != "1-URGENT"
+    )
+    assert len(keep) >= 2
+    cat.compact(t, partition={"o_orderpriority": "1-URGENT"})
+    m2 = ops.current()
+    assert sorted(
+        f
+        for f in m2.files
+        if m2.file_partitions[f]["o_orderpriority"] != "1-URGENT"
+    ) == others_before  # other partitions byte-untouched
+    assert (
+        sum(
+            1
+            for f in m2.files
+            if m2.file_partitions[f]["o_orderpriority"] == "1-URGENT"
+        )
+        == 1
+    )
+    from .util import dround
+
+    out = cat.scan_pruned(t, "o_orderpriority", "=", "1-URGENT").select(
+        "o_orderkey", dround("o_totalprice", 2).alias("total")
+    )
+    return _materialize(spark, out, root)
+
+
+@register(
     "ddl_schema_evolution",
     oracle="""
 SELECT * FROM (VALUES
-  ('1', 'James',   32, 'M', CAST(NULL AS VARCHAR)),
-  ('2', 'Michael', 35, 'M', CAST(NULL AS VARCHAR)),
-  ('3', 'Robert',  41, 'M', CAST(NULL AS VARCHAR)),
-  ('4', 'Maria',   36, 'F', CAST(NULL AS VARCHAR)),
-  ('5', 'Jen',     44, 'F', CAST(NULL AS VARCHAR)),
-  ('6', 'Monika',  31, 'F', CAST(NULL AS VARCHAR)),
-  ('7', 'Jhon',    33, 'M', 'eng'),
-  ('8', 'Marta',   31, 'F', 'ops')
+  ('1', 'James',   CAST(32 AS BIGINT),         'M', CAST(NULL AS VARCHAR)),
+  ('2', 'Michael', CAST(35 AS BIGINT),         'M', CAST(NULL AS VARCHAR)),
+  ('3', 'Robert',  CAST(41 AS BIGINT),         'M', CAST(NULL AS VARCHAR)),
+  ('4', 'Maria',   CAST(36 AS BIGINT),         'F', CAST(NULL AS VARCHAR)),
+  ('5', 'Jen',     CAST(44 AS BIGINT),         'F', CAST(NULL AS VARCHAR)),
+  ('6', 'Monika',  CAST(31 AS BIGINT),         'F', CAST(NULL AS VARCHAR)),
+  ('7', 'Jhon',    CAST(33 AS BIGINT),         'M', 'eng'),
+  ('8', 'Marta',   CAST(31 AS BIGINT),         'F', 'ops'),
+  ('9', 'Ada',     CAST(5000000000 AS BIGINT), 'F', 'research')
 ) AS t(id, given_name, age, gender, dept)
 """,
 )
 def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full metadata-only schema evolution — ADD, RENAME, DROP COLUMN (the
-    Iceberg evolution surface the reference inherits via its pinned
-    extensions, tests/conftest.py:67 + pom.xml:77-88), with zero data
-    rewrite: add `dept` (old rows read NULL), insert a row, rename
-    `firstname`→`given_name` (old files keep the old on-file name; the scan
-    projects via stable field ids), insert another row under the new name,
-    drop `lastname` (files untouched, field no longer selected). Historic
-    snapshots still read under THEIR schema — asserted mid-flow via time
-    travel to v1."""
+    """Full metadata-only schema evolution — ADD, RENAME, DROP COLUMN, and
+    ALTER COLUMN TYPE widening (the Iceberg evolution surface the reference
+    inherits via its pinned extensions, tests/conftest.py:67 + pom.xml:77-88),
+    with zero data rewrite: add `dept` (old rows read NULL), insert a row,
+    rename `firstname`→`given_name` (old files keep the old on-file name;
+    the scan projects via stable field ids), insert another row under the
+    new name, drop `lastname` (files untouched, field no longer selected),
+    then widen `age` int→bigint (files keep their int32 pages — asserted:
+    the widen commit lists the same data files — and a post-widen insert
+    holds a value beyond int range, proving the scan casts per file).
+    Historic snapshots still read under THEIR schema AND types — asserted
+    mid-flow via time travel to v1."""
     cat, root = _seeded(spark)
     t = "repo.main.company.workers"
     cat.add_column(t, "dept", "string")
@@ -369,11 +443,97 @@ def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.rename_column(t, "firstname", "given_name")
     cat.insert_values(t, [("8", "Marta", "Green", 31, "F", "ops")])
     cat.drop_column(t, "lastname")
-    # time travel: v1 (the CTAS) still exposes the ORIGINAL schema and rows
+    ops = cat._ops(t)[0]
+    files_before = ops.current().files
+    cat.alter_column_type(t, "age", "bigint")
+    assert ops.current().files == files_before  # widen is metadata-only
+    cat.insert_values(t, [("9", "Ada", 5_000_000_000, "F", "research")])
+    # time travel: v1 (the CTAS) still exposes the ORIGINAL schema and types
     v1 = cat.scan(t, version=1)
     assert set(v1.columns) == {"id", "firstname", "lastname", "age", "gender"}
+    assert dict(v1.dtypes)["age"] == "int"
     assert v1.count() == 6
-    out = cat.scan(t).select("id", "given_name", "age", "gender", "dept")
+    cur = cat.scan(t)
+    assert dict(cur.dtypes)["age"] == "bigint"
+    out = cur.select("id", "given_name", "age", "gender", "dept")
+    return _materialize(spark, out, root)
+
+
+@register(
+    "ddl_type_widening",
+    oracle="""
+SELECT id, n, f, CAST(CAST(d AS DECIMAL(12,2)) AS VARCHAR) AS d_str
+FROM (VALUES
+  ('1', CAST(32 AS BIGINT),         CAST(0.5  AS DOUBLE), '10.25'),
+  ('2', CAST(35 AS BIGINT),         CAST(1.25 AS DOUBLE), '20.50'),
+  ('3', CAST(9000000000 AS BIGINT), CAST(2.75 AS DOUBLE), '1234567890.75')
+) AS t(id, n, f, d)
+""",
+)
+def ddl_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER COLUMN TYPE — Iceberg's safe type promotions (int→bigint,
+    float→double, decimal precision growth; the evolution surface the
+    reference inherits via pom.xml:77-88 + tests/conftest.py:67), all
+    metadata-only: the widen commits are asserted to list the SAME data
+    files, old files keep their written physical pages and are cast at scan
+    time, and a post-widen insert holds values representable only under the
+    widened types (a >int64-range long, a >decimal(5,2) decimal). Time
+    travel to v1 still reads the ORIGINAL narrow types. Lossy changes
+    (narrowing, scale change, cross-family) are refused."""
+    from ..catalog import UnsupportedOperationError
+
+    root = tempfile.mkdtemp(prefix="vcat-widen-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    t = "repo.main.db.measures"
+    narrow = T.StructType(
+        [
+            T.StructField("id", T.StringType(), True),
+            T.StructField("n", T.IntegerType(), True),
+            T.StructField("f", T.FloatType(), True),
+            T.StructField("d", T.DecimalType(5, 2), True),
+        ]
+    )
+    from decimal import Decimal
+
+    cat.create_table_as(
+        t,
+        spark.createDataFrame(
+            [("1", 32, 0.5, Decimal("10.25")), ("2", 35, 1.25, Decimal("20.50"))],
+            narrow,
+        ),
+    )
+    ops = cat._ops(t)[0]
+    files_before = ops.current().files
+    cat.alter_column_type(t, "n", "bigint")
+    cat.alter_column_type(t, "f", "double")
+    cat.alter_column_type(t, "d", "decimal(12,2)")
+    assert ops.current().files == files_before  # all three metadata-only
+    cat.insert_values(
+        t, [("3", 9_000_000_000, 2.75, Decimal("1234567890.75"))]
+    )
+    # lossy promotions refused
+    for col, bad in [("n", "int"), ("f", "float"), ("d", "decimal(12,4)"), ("id", "int")]:
+        try:
+            cat.alter_column_type(t, col, bad)
+            raise AssertionError(f"lossy {col}→{bad} was not refused")
+        except UnsupportedOperationError:
+            pass
+    # time travel: v1 still reads the original narrow types
+    v1_types = dict(cat.scan(t, version=1).dtypes)
+    assert v1_types == {"id": "string", "n": "int", "f": "float", "d": "decimal(5,2)"}
+    cur = cat.scan(t)
+    assert dict(cur.dtypes) == {
+        "id": "string", "n": "bigint", "f": "double", "d": "decimal(12,2)"
+    }
+    # the decimal column rides out as its exact string rendering: DuckDB's
+    # pandas bridge lowers DECIMAL to float while Spark keeps Decimal
+    # objects, so a raw decimal column can never hash-compare — the
+    # stringified fixed-scale value compares exactly on both engines
+    out = cur.select(
+        "id", "n", "f", F.col("d").cast("string").alias("d_str")
+    )
     return _materialize(spark, out, root)
 
 

@@ -720,3 +720,146 @@ def test_scan_pruned_quote_safe(cat, spark):
     df = cat.scan_pruned("repo.main.company.workers", "lastname", "=", "O'Brien")
     got = [tuple(r) for r in df.select("id", "lastname").collect()]
     assert got == [("8", "O'Brien")]
+
+
+def test_alter_column_type_widening(cat, spark):
+    """Safe type promotion (Iceberg widening surface): int→bigint is
+    metadata-only — old files keep int32 pages and are cast at scan time;
+    new appends write the widened type; mixed files read back exact,
+    including a value beyond int range."""
+    t = "repo.main.company.workers"
+    ops = cat._ops(t)[0]
+    files_before = ops.current().files
+    cat.alter_column_type(t, "age", "bigint")
+    m = ops.current()
+    assert m.files == files_before  # no data rewrite
+    df = cat.scan(t)
+    assert dict(df.dtypes)["age"] == "bigint"
+    assert df.count() == 6 and df.filter("age = 32").count() == 1
+    cat.insert_values(t, [("7", "Big", "Int", 9_000_000_000, "M")])
+    got = {r["id"]: r["age"] for r in cat.scan(t).collect()}
+    assert got["7"] == 9_000_000_000 and got["1"] == 32
+    # time travel: v1 still reads int
+    assert dict(cat.scan(t, version=1).dtypes)["age"] == "int"
+
+
+def test_alter_column_type_rejects_lossy(cat):
+    t = "repo.main.company.workers"
+    for bad in [("age", "smallint"), ("age", "string"), ("firstname", "int"),
+                ("age", "int")]:  # narrowing / cross-family / same-type no-op
+        with pytest.raises(UnsupportedOperationError):
+            cat.alter_column_type(t, *bad)
+    with pytest.raises(NoSuchTableError):
+        cat.alter_column_type(t, "nope", "bigint")
+
+
+def test_alter_column_type_float_decimal(cat, spark):
+    """float→double and decimal precision growth both widen; decimal scale
+    change is rejected."""
+    ns = "repo.main.company"
+    df = spark.createDataFrame(
+        [(1, 1.5, None), (2, 2.25, None)],
+        T.StructType([
+            T.StructField("k", T.IntegerType()),
+            T.StructField("f", T.FloatType()),
+            T.StructField("d", T.DecimalType(5, 2)),
+        ]),
+    )
+    cat.create_table_as(f"{ns}.m", df)
+    cat.alter_column_type(f"{ns}.m", "f", "double")
+    cat.alter_column_type(f"{ns}.m", "d", "decimal(12,2)")
+    out = cat.scan(f"{ns}.m")
+    assert dict(out.dtypes)["f"] == "double" and dict(out.dtypes)["d"] == "decimal(12,2)"
+    assert out.filter("abs(f - 2.25) < 1e-9").count() == 1
+    with pytest.raises(UnsupportedOperationError):
+        cat.alter_column_type(f"{ns}.m", "d", "decimal(14,4)")  # scale change
+
+
+def test_widen_then_rename_then_prune(cat, spark):
+    """Widening composes with rename (field ids carry both) and with
+    manifest-stats file skipping: stats recorded as int still prune a
+    bigint-typed scan."""
+    t = "repo.main.company.workers"
+    cat.alter_column_type(t, "age", "bigint")
+    cat.rename_column(t, "age", "years")
+    df = cat.scan(t)
+    assert dict(df.dtypes)["years"] == "bigint"
+    assert df.filter("years >= 40").count() == 2
+    keep, total = cat.select_files(t, "years", ">", 100)
+    assert total >= 1
+    out = cat.scan_pruned(t, "years", ">=", 40)
+    assert out.count() == 2
+
+
+def _workers_df(spark, rows):
+    return spark.createDataFrame(rows, WORKERS_SCHEMA)
+
+
+def test_partitioned_table_lifecycle(cat, spark):
+    """Identity partition spec end to end: appends route rows into hive
+    partition dirs (one partition per file), scans re-inject the partition
+    value as a per-file constant, partition pruning opens only covering
+    dirs, per-partition compact leaves other partitions' files byte-
+    untouched, and MoR deletes are stamped only onto the covering
+    partition's files."""
+    t = "repo.main.company.workers_p"
+    cat.create_table(t, WORKERS_SCHEMA, partition_by=["gender"])
+    rows = [(str(a), b, c2, d, e) for a, b, c2, d, e in WORKERS_ROWS]
+    cat.append(t, _workers_df(spark, rows[::2]))   # M,M,F
+    cat.append(t, _workers_df(spark, rows[1::2]))  # M,F,F — both partitions fragment
+    ops = cat._ops(t)[0]
+    m = ops.current()
+    assert m.partition_spec == ["gender"]
+    assert all("gender=" in f for f in m.files)
+    assert all(set(m.file_partitions[f]) == {"gender"} for f in m.files)
+    # scan injects the partition value (not stored in pages) exactly
+    df = cat.scan(t)
+    assert df.count() == 6
+    assert {r["gender"] for r in df.collect()} == {"M", "F"}
+    assert df.filter("gender = 'F'").count() == 3
+    # partition pruning: equality scan opens only the covering partition
+    keep, total = cat.select_files(t, "gender", "=", "F")
+    assert 0 < len(keep) < total
+    assert all(m.file_partitions[f]["gender"] == "F" for f in keep)
+    assert cat.scan_pruned(t, "gender", "=", "F").count() == 3
+    # per-partition compact: M files byte-identical, F files consolidated
+    m_files_before = sorted(f for f in m.files if m.file_partitions[f]["gender"] == "M")
+    f_count_before = sum(1 for f in m.files if m.file_partitions[f]["gender"] == "F")
+    assert f_count_before >= 2
+    cat.compact(t, partition={"gender": "F"})
+    m2 = ops.current()
+    assert sorted(
+        f for f in m2.files if m2.file_partitions[f]["gender"] == "M"
+    ) == m_files_before
+    assert sum(1 for f in m2.files if m2.file_partitions[f]["gender"] == "F") == 1
+    assert cat.scan(t).count() == 6
+    # MoR delete on the partition column: only covering files stamped
+    cat.delete_where(t, "gender = 'M'", mode="merge-on-read")
+    m3 = ops.current()
+    assert m3.files == m2.files  # metadata only
+    stamped = set(m3.delete_preds)
+    assert stamped and all(m3.file_partitions[f]["gender"] == "M" for f in stamped)
+    assert cat.scan(t).count() == 3
+    # spec is name-keyed: renaming/dropping a partition column is refused
+    with pytest.raises(UnsupportedOperationError):
+        cat.rename_column(t, "gender", "sex")
+    with pytest.raises(UnsupportedOperationError):
+        cat.drop_column(t, "gender")
+
+
+def test_partitioned_int_column_and_cow(cat, spark):
+    """Integer partition values decode back typed from the hive dir name;
+    copy-on-write delete rewrites stay partition-routed."""
+    t = "repo.main.company.by_age"
+    df = _workers_df(spark, [(str(a), b, c2, d, e) for a, b, c2, d, e in WORKERS_ROWS])
+    cat.create_table_as(t, df.selectExpr("id", "age % 2 AS parity", "age"),
+                        partition_by=["parity"])
+    m = cat._ops(t)[0].current()
+    assert {m.file_partitions[f]["parity"] for f in m.files} == {0, 1}
+    assert cat.scan(t).filter("parity = 1").count() == 3
+    cat.delete_where(t, "age > 40")  # CoW rewrite
+    m2 = cat._ops(t)[0].current()
+    assert all("parity=" in f for f in m2.files)
+    assert cat.scan(t).count() == 4
+    got = cat.scan_pruned(t, "parity", "=", 0).collect()
+    assert {r["id"] for r in got} == {"1", "4"}  # 32, 36 even; 44 deleted

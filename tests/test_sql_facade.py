@@ -189,6 +189,19 @@ def test_alter_table_rename_drop_column_sql_forms(facade):
         facade.sql("ALTER TABLE lakefs.repo.main.company.workers RENAME TO x")
 
 
+def test_alter_table_alter_column_type(facade):
+    """ALTER TABLE ... ALTER COLUMN ... TYPE dispatches to the metadata-only
+    widening op; lossy promotions are refused with the same statement form."""
+    facade.sql("ALTER TABLE lakefs.repo.main.company.workers ALTER COLUMN age TYPE bigint")
+    df = facade.sql("SELECT * FROM lakefs.repo.main.company.workers")
+    assert dict(df.dtypes)["age"] == "bigint"
+    assert df.count() == 6
+    with pytest.raises(UnsupportedOperationError):
+        facade.sql(
+            "ALTER TABLE lakefs.repo.main.company.workers ALTER COLUMN age TYPE int"
+        )
+
+
 def test_malformed_tblproperties_raises_unsupported(facade):
     with pytest.raises(UnsupportedOperationError):
         facade.sql(
