@@ -60,6 +60,23 @@ EXTRA = [
     "text_pii_scrub",
     "sample_stratified_hash",
     "similarity_ann_lsh_multiprobe",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_disjunctive_parts",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_count",
+    "q20_potential_promotion",
+    "q21_suppliers_who_kept_waiting",
 ]
 
 

@@ -22,6 +22,7 @@ ORACLES: dict[str, str] = {}
 _OPERATOR_MODULES = [
     "lakefs_iceberg_catalog_spark.operators.relational",
     "lakefs_iceberg_catalog_spark.operators.tpch_extra",
+    "lakefs_iceberg_catalog_spark.operators.tpch_extra2",
     "lakefs_iceberg_catalog_spark.operators.joins",
     "lakefs_iceberg_catalog_spark.operators.windows",
     "lakefs_iceberg_catalog_spark.operators.scalars",
@@ -70,9 +71,13 @@ _SWEEP_PRIORITY = [
     # (exploded) output shape ...
     "multimodal_feature_extract",
     # ... keys NEW or behavior-extended in round 4 (type widening, partition
-    # spec, stats-scoped MoR predicates) ...
+    # spec, stats-scoped MoR predicates, the 8 suite-completing TPC-H
+    # shapes) ...
     "ddl_type_widening", "sink_partition_spec",
     "dml_delete_where_mor", "dml_update_where_mor",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q8_market_share",
+    "q9_product_profit", "q11_important_stock", "q16_parts_supplier_count",
+    "q20_potential_promotion", "q21_suppliers_who_kept_waiting",
     # ... then the keys whose only driver row is round 1 (two rounds stale;
     # replayed green by tests/test_oracle.py every run, but the driver row
     # is the hard signal) ...

@@ -316,3 +316,42 @@ def test_pin_uses_reliable_checkpoint_dir(spark, tmp_path, monkeypatch):
     df = pin(spark.range(100).toDF("id"))
     assert df.count() == 100
     assert any(os.scandir(ckpt))  # checkpoint files actually landed there
+
+
+def test_q3_topk_and_pushdown(spark):
+    p = plan(q(spark, "q3_shipping_priority"))
+    assert "TakeOrderedAndProject" in p       # top-10, never a global sort
+    pushed = " ".join(ln for ln in p.splitlines() if "PushedFilters" in ln)
+    assert "GreaterThan(l_shipdate" in pushed  # date filters reach the scans
+    assert "LessThan(o_orderdate" in pushed
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed
+
+
+def test_q2_correlated_min_is_one_window_no_reagg(spark):
+    # the correlated min subquery must plan as a single window over the
+    # joined relation — one scan of the bridge, no per-part re-aggregation
+    p = plan(q(spark, "q2_min_cost_supplier"))
+    assert p.count(") Window") == 1  # exactly one Window node in the details
+    assert "BroadcastHashJoin" in p
+
+
+def test_q16_not_in_is_anti_join_not_nested_loop(spark):
+    p = plan(q(spark, "q16_parts_supplier_count"))
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p  # the NOT IN trap
+
+
+def test_q21_exists_pair_is_semi_plus_anti(spark):
+    p = plan(q(spark, "q21_suppliers_who_kept_waiting"))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    pushed = " ".join(ln for ln in p.splitlines() if "PushedFilters" in ln)
+    assert "EqualTo(o_orderstatus,F)" in pushed
+
+
+def test_q11_threshold_is_broadcast_scalar_not_rescan_per_group(spark):
+    # grand total joins back as a 1-row broadcast; both relations scan
+    # lineitem, but there is no per-group subquery execution
+    p = plan(q(spark, "q11_important_stock"))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 4  # partial+final for group AND total
