@@ -138,17 +138,38 @@ class SqlFacade:
             meta = self.catalog.load_namespace_metadata(_clean(m.group(1)))
             return mk(sorted(meta.items()), "info_name string, info_value string")
 
-        m = re.match(rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s*\((.*?)\)\s*$", s)
+        m = re.match(
+            rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s*\((.*?)\)"
+            rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*$",
+            s,
+        )
         if m:
-            self.catalog.create_table(_clean(m.group(1)), m.group(2))
+            pcols = (
+                [p.strip().strip("`") for p in m.group(3).split(",")]
+                if m.group(3)
+                else None
+            )
+            self.catalog.create_table(_clean(m.group(1)), m.group(2), partition_by=pcols)
             return mk([], "result string")
 
-        m = re.match(rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s+AS\s+(SELECT\b.+|WITH\b.+)$", s)
+        m = re.match(
+            rf"(?is)^CREATE\s+TABLE\s+({_IDENT})"
+            rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s+AS\s+(SELECT\b.+|WITH\b.+)$",
+            s,
+        )
         if m:
             # CTAS: the reference's saveAsTable path in SQL form — resolve
-            # lakefs identifiers in the query, run it, commit as v1.
-            result = self.spark.sql(self._resolve_views(m.group(2)))
-            self.catalog.create_table_as(_clean(m.group(1)), result)
+            # lakefs identifiers in the query, run it, commit as v1
+            # (optionally into an identity partition spec).
+            pcols = (
+                [p.strip().strip("`") for p in m.group(2).split(",")]
+                if m.group(2)
+                else None
+            )
+            result = self.spark.sql(self._resolve_views(m.group(3)))
+            self.catalog.create_table_as(
+                _clean(m.group(1)), result, partition_by=pcols
+            )
             return mk([], "result string")
 
         m = re.match(rf"(?is)^DROP\s+TABLE\s+({_IDENT})\s*$", s)

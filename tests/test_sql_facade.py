@@ -266,3 +266,33 @@ def test_set_unset_tblproperties(facade):
     assert "owner" not in props and props["retention.days"] == "30"
     # property commits are metadata-only: data still reads back intact
     assert facade.sql("SELECT * FROM lakefs.repo.main.company.workers").count() == 6
+
+
+def test_create_table_partitioned_by_sql_forms(facade):
+    """CREATE TABLE ... PARTITIONED BY and partitioned CTAS declare an
+    identity partition spec; writes land one-partition-per-file and the
+    planner prunes on the partition value."""
+    facade.sql(
+        "CREATE TABLE lakefs.repo.main.company.events_p "
+        "(ev_id int, kind string) PARTITIONED BY (kind)"
+    )
+    facade.sql(
+        "INSERT INTO lakefs.repo.main.company.events_p VALUES "
+        "(1, 'click'), (2, 'view'), (3, 'click')"
+    )
+    df = facade.sql(
+        "SELECT * FROM lakefs.repo.main.company.events_p WHERE kind = 'click'"
+    )
+    assert {r["ev_id"] for r in df.collect()} == {1, 3}
+    keep, total = facade.catalog.select_files(
+        "repo.main.company.events_p", "kind", "=", "click"
+    )
+    assert 0 < len(keep) < total
+    facade.sql(
+        "CREATE TABLE lakefs.repo.main.company.workers_by_gender "
+        "PARTITIONED BY (gender) AS "
+        "SELECT gender, age FROM lakefs.repo.main.company.workers"
+    )
+    m = facade.catalog._ops("repo.main.company.workers_by_gender")[0].current()
+    assert m.partition_spec == ["gender"]
+    assert all("gender=" in f for f in m.files)
