@@ -84,15 +84,18 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    q2 = quality.join(keep_exact, "doc_id")
+    # q2 is itself a diamond: it feeds the shingle pipeline AND the final
+    # corpus anti-join — without the persist the quality gate + digest
+    # dedup (a full-text shuffle) runs twice per action
+    from .util import scoped_persist
+
+    q2 = scoped_persist(quality.join(keep_exact, "doc_id"))
 
     # near-dup removal over the SURVIVING docs only — discarded docs are
     # never tokenized (quality gate runs before the explode). The shingle
     # rows feed the signature agg and both verify-join sides — a diamond
     # Catalyst can't share (util.scoped_persist) — so they carry a
     # query-scoped persist, released by the next harness query.
-    from .util import scoped_persist
-
     rows = scoped_persist(
         shingle_rows_of(q2.withColumn("source", F.lit("")).select("doc_id", "source", "text"))
     )
