@@ -77,6 +77,7 @@ EXTRA = [
     "q16_parts_supplier_count",
     "q20_potential_promotion",
     "q21_suppliers_who_kept_waiting",
+    "pipeline_pack_sequences",
 ]
 
 

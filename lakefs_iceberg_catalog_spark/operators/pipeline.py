@@ -233,3 +233,74 @@ def pipeline_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.ceil(F.length("text") / 4.0)).alias("est_tokens"),
         )
     )
+
+
+_PACK_CAP = 2048  # tokens per packed training sequence
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, lang, est_tokens,
+           COALESCE(sum(est_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM t
+)
+SELECT doc_id, lang, est_tokens,
+       CAST(cum_before // {_PACK_CAP} AS BIGINT)  AS seq_id,
+       CAST(cum_before % {_PACK_CAP} AS BIGINT)   AS seq_offset,
+       (cum_before % {_PACK_CAP}) + est_tokens > {_PACK_CAP} AS spans_boundary
+FROM c
+""",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-then-chunk placement every LLM training
+    pipeline runs after dedup/mixing: documents are concatenated in a
+    deterministic order within each language stream and chunked into
+    fixed-capacity token windows; each doc gets its (sequence id, offset)
+    placement plus a flag for docs that straddle a window boundary (the
+    rows an attention-mask builder must split).
+
+    The whole operator is ONE window cumsum: partition by the stream key,
+    order by doc id, running token total before the current row — all
+    integer arithmetic, so placements are bitwise-reproducible on any
+    engine (the DuckDB oracle replays them exactly).
+
+    Scale (100 TB): one shuffle on the stream key, then a sort within each
+    partition — the same cost as any windowed aggregation; no per-row
+    Python, no driver involvement. At deployment the partition key becomes
+    (stream, shard) with `shard = hash(doc_id) % K` and sequence ids offset
+    by shard base, bounding any one partition's sort to 1/K of the stream
+    while keeping placements deterministic; skewed language mixes get K
+    proportional to stream size."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    est = F.ceil(F.length("text") / 4.0).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("est_tokens").over(w), F.lit(0))
+    return (
+        d.select("doc_id", "lang", est.alias("est_tokens"))
+        .withColumn("cum_before", cum_before)
+        .select(
+            "doc_id",
+            "lang",
+            "est_tokens",
+            (F.col("cum_before") / _PACK_CAP).cast("bigint").alias("seq_id"),
+            (F.col("cum_before") % _PACK_CAP).alias("seq_offset"),
+            (
+                (F.col("cum_before") % _PACK_CAP) + F.col("est_tokens") > _PACK_CAP
+            ).alias("spans_boundary"),
+        )
+    )
