@@ -1269,7 +1269,11 @@ class VersionedCatalog:
         repo_dir = self._repo_dir(repo)
         orphans = []
         for dirpath, _, filenames in os.walk(repo_dir):
-            if os.path.basename(dirpath) != "data":
+            # any directory under a table's data/ tree counts — identity-
+            # partitioned tables nest hive dirs (data/col=value/...) whose
+            # orphans must be collectable too
+            rel_parts = os.path.relpath(dirpath, repo_dir).split(os.sep)
+            if "data" not in rel_parts:
                 continue
             for name in filenames:
                 if not name.endswith(".parquet"):

@@ -863,3 +863,23 @@ def test_partitioned_int_column_and_cow(cat, spark):
     assert cat.scan(t).count() == 4
     got = cat.scan_pruned(t, "parity", "=", 0).collect()
     assert {r["id"] for r in got} == {"1", "4"}  # 32, 36 even; 44 deleted
+
+
+def test_gc_collects_partition_subdir_orphans(cat, spark):
+    """GC must reach orphans inside hive partition dirs (data/col=value/...),
+    not only files directly under data/."""
+    t = "repo.main.company.workers_gc"
+    df = _workers_df(spark, [(str(a), b, c2, d, e) for a, b, c2, d, e in WORKERS_ROWS])
+    cat.create_table_as(t, df, partition_by=["gender"])
+    m1_files = set(cat._ops(t)[0].current().files)
+    assert all("gender=" in f for f in m1_files)
+    # CoW delete rewrites every file; v1's files become unreferenced once
+    # v1 expires
+    cat.delete_where(t, "age > 99")  # matches nothing but still rewrites
+    cat.expire_versions(t, keep_last=1)
+    orphans = cat.garbage_collect("repo", dry_run=True)
+    assert m1_files <= set(orphans)
+    removed = cat.garbage_collect("repo")
+    assert m1_files <= set(removed)
+    # live data intact
+    assert cat.scan(t).count() == 6
