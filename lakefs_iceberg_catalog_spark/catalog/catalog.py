@@ -674,7 +674,16 @@ class VersionedCatalog:
 
     def append(self, identifier: str | list[str], df: DataFrame) -> None:
         """Append snapshot: new data files + manifest listing old∪new
-        (reference: df.writeTo(...).append(), TestLakeFSCatalogSpark.java:76)."""
+        (reference: df.writeTo(...).append(), TestLakeFSCatalogSpark.java:76).
+
+        Concurrency: a lost commit race is REBASED, not failed — the new
+        data files are independent of any concurrent commit, so the append
+        refreshes the base and re-commits its files on top (Iceberg's
+        fast-append retry). The expensive distributed write runs exactly
+        once; only the metadata commit loops. Rebase is refused (raising
+        the original conflict) if the concurrent commit changed the schema
+        or partition spec — the already-written files may no longer
+        conform — or after a bounded number of rounds."""
         ops, levels = self._ops(identifier)
         base = ops.current()
         if base is None:
@@ -684,14 +693,29 @@ class VersionedCatalog:
         files, stats, fparts = self._write_data(
             levels, aligned, partition_by=base.partition_spec or None
         )
-        ops.commit(
-            base,
-            base.next(
-                base.files + files,
-                file_stats={**base.file_stats, **stats},
-                file_partitions=fparts,
-            ),
-        )
+        for _ in range(10):
+            try:
+                ops.commit(
+                    base,
+                    base.next(
+                        base.files + files,
+                        file_stats={**base.file_stats, **stats},
+                        file_partitions=fparts,
+                    ),
+                )
+                return
+            except (CommitConflictError, CommitStateError) as e:
+                fresh = ops.current()
+                if (
+                    fresh is None
+                    or fresh.table_uuid != base.table_uuid
+                    or fresh.schema_json != base.schema_json
+                    or fresh.partition_spec != base.partition_spec
+                ):
+                    raise
+                base = fresh
+                err = e
+        raise err
 
     def append_stream_batch(
         self, identifier: str | list[str], df: DataFrame, batch_id: int

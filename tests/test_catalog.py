@@ -883,3 +883,61 @@ def test_gc_collects_partition_subdir_orphans(cat, spark):
     assert m1_files <= set(removed)
     # live data intact
     assert cat.scan(t).count() == 6
+
+
+def test_concurrent_appends_both_land(cat, spark):
+    """Two appends racing on the same base must BOTH commit: the loser
+    rebases its already-written files onto the winner's manifest (Iceberg's
+    fast-append retry) instead of failing. Simulated deterministically: a
+    commit lands between the racer's base read and its publish."""
+    t = "repo.main.company.workers"
+    ops = cat._ops(t)[0]
+    base = ops.current()
+    schema = T.StructType.fromJson(__import__("json").loads(base.schema_json))
+    # racer writes its files against `base` ...
+    files, stats, fparts = cat._write_data(
+        ["repo", "main", "company", "workers"],
+        spark.createDataFrame([("7", "A", "B", 20, "M")], schema),
+    )
+    # ... meanwhile another writer commits v2
+    cat.insert_values(t, [("8", "C", "D", 21, "F")])
+    # racer's stale-base commit loses; append-level retry logic is what we
+    # exercise end-to-end here with a THIRD append (its base also moves
+    # underneath via the mid-write hook being unavailable — so assert the
+    # rebase path directly instead):
+    with pytest.raises((CommitConflictError, CommitStateError)):
+        ops.commit(base, base.next(base.files + files, file_stats={**base.file_stats, **stats}))
+    # the append() path rebases the same situation instead of raising
+    import threading
+
+    errs = []
+    def do_append(tag):
+        try:
+            cat.append(t, spark.createDataFrame([(tag, "X", "Y", 30, "M")], schema))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+    threads = [threading.Thread(target=do_append, args=(str(10 + i),)) for i in range(4)]
+    for th in threads: th.start()
+    for th in threads: th.join()
+    assert errs == []
+    ids = {r["id"] for r in cat.scan(t).collect()}
+    assert {"10", "11", "12", "13", "8"} <= ids  # every racer landed
+
+
+def test_append_rebase_refused_on_schema_change(cat, spark, monkeypatch):
+    """A concurrent schema change invalidates already-written files — the
+    rebase must refuse and surface the conflict."""
+    t = "repo.main.company.workers"
+    ops = cat._ops(t)[0]
+    real_commit = ops.__class__.commit
+    state = {"fired": False}
+    def sabotage(self, base, manifest):
+        # on the first commit attempt, sneak in a schema change underneath
+        if not state["fired"] and manifest.files != (base.files if base else []):
+            state["fired"] = True
+            cat.add_column(t, "sneak", "string")
+        return real_commit(self, base, manifest)
+    monkeypatch.setattr(ops.__class__, "commit", sabotage)
+    schema = T.StructType.fromJson(__import__("json").loads(ops.current().schema_json))
+    with pytest.raises((CommitConflictError, CommitStateError)):
+        cat.append(t, spark.createDataFrame([("9", "E", "F", 22, "M")], schema))
