@@ -650,15 +650,45 @@ class VersionedCatalog:
             out = out.unionByName(p)
         return out
 
-    def scan(self, identifier: str | list[str], version: int | None = None) -> DataFrame:
-        """Read the table at its current — or, with ``version``, a historic —
-        snapshot on the given branch (time travel: the manifest chain keeps
-        every version, the same metadata model that backs Iceberg's
-        ``VERSION AS OF``).
+    def version_as_of(self, identifier: str | list[str], ts: float) -> int:
+        """Newest version committed at or before epoch ``ts`` (Iceberg's
+        ``TIMESTAMP AS OF`` resolution over snapshot timestamps) — a
+        metadata-only walk of the manifest chain."""
+        ops, levels = self._ops(identifier)
+        cur = ops.current()
+        if cur is None:
+            raise NoSuchTableError(".".join(levels))
+        best = None
+        for v in range(1, cur.version + 1):
+            content = ops.read_version(v)
+            if content is None:
+                continue  # expired snapshot
+            if TableManifest.from_json(content).committed_at <= ts:
+                best = v
+        if best is None:
+            raise NoSuchTableError(
+                f"{'.'.join(levels)} has no snapshot at or before ts={ts}"
+            )
+        return best
+
+    def scan(
+        self,
+        identifier: str | list[str],
+        version: int | None = None,
+        as_of: float | None = None,
+    ) -> DataFrame:
+        """Read the table at its current — or a historic — snapshot on the
+        given branch: ``version`` pins an exact manifest version (Iceberg's
+        ``VERSION AS OF``), ``as_of`` (epoch seconds) resolves the newest
+        snapshot committed at or before that instant (``TIMESTAMP AS OF``).
 
         Re-resolves the manifest on every call — no stale caches, the policy
         the reference pins with ``cache-enabled=false`` (conftest.py:65)."""
         ops, levels = self._ops(identifier)
+        if as_of is not None:
+            if version is not None:
+                raise UnsupportedOperationError("pass version OR as_of, not both")
+            version = self.version_as_of(identifier, as_of)
         if version is None:
             m = ops.current()
         else:

@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time as _time
 import uuid as _uuid
 from dataclasses import dataclass, field
 
@@ -68,6 +69,11 @@ class TableManifest:
     schema_json: str            # Spark StructType.json()
     files: list[str]            # repo-relative parquet paths
     properties: dict = field(default_factory=dict)
+    # wall-clock commit time (epoch seconds), stamped by TableOperations
+    # .commit at publish — the Iceberg snapshot-timestamp analog backing
+    # `TIMESTAMP AS OF` time travel. 0.0 on legacy manifests (always
+    # eligible for any as-of bound).
+    committed_at: float = 0.0
     # per-file column min/max ranges for scan-time file skipping (Iceberg
     # manifest stats equivalent): {path: {col: [min, max]}}; numeric and
     # string columns only, absent entries mean "no stats — never skip".
@@ -115,6 +121,7 @@ class TableManifest:
                 "schema_json": self.schema_json,
                 "files": self.files,
                 "properties": self.properties,
+                "committed_at": self.committed_at,
                 "file_stats": self.file_stats,
                 "columns": self.columns,
                 "file_columns": self.file_columns,
@@ -136,6 +143,7 @@ class TableManifest:
             schema_json=d["schema_json"],
             files=list(d["files"]),
             properties=dict(d.get("properties", {})),
+            committed_at=float(d.get("committed_at", 0.0)),
             file_stats=dict(d.get("file_stats", {})),
             # legacy manifests (pre-evolution): derive ids positionally —
             # their files were all written with the then-current names
@@ -309,6 +317,7 @@ class TableOperations:
             if manifest.version != base.version + 1:
                 raise CommitStateError("commit must advance the version by exactly 1")
 
+        manifest.committed_at = _time.time()
         path = self._version_path(manifest.version)
         # PUBLISH via the store's put-if-absent — the set-if-absent arbiter
         # of the race. Local store: private temp file + os.link (fails-if-

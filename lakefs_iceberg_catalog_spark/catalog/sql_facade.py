@@ -57,14 +57,37 @@ class SqlFacade:
 
     def _resolve_views(self, query: str) -> str:
         """Register every lakefs identifier as a view; rewrite the query to
-        use the view names. Re-resolves manifests per call (no stale caches)."""
+        use the view names. Re-resolves manifests per call (no stale
+        caches). An identifier may carry a time-travel suffix — ``FOR
+        VERSION AS OF <n>`` or ``FOR TIMESTAMP AS OF '<iso8601>'`` (UTC
+        assumed when the literal is zone-naive), the Spark SQL time-travel
+        forms — which pins that occurrence to the historic snapshot."""
+        tt = (
+            rf"({_IDENT})"
+            r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)"
+            r"|\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?"
+        )
+
         def repl(m: re.Match) -> str:
-            levels = _clean(m.group(0))
+            levels = _clean(m.group(1))
+            version = int(m.group(2)) if m.group(2) else None
+            as_of = None
+            if m.group(3):
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(m.group(3))
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                as_of = dt.timestamp()
             view = "lakefs_" + "_".join(re.sub(r"[^A-Za-z0-9_]", "_", p) for p in levels)
-            self.catalog.scan(levels).createOrReplaceTempView(view)
+            if version is not None:
+                view += f"_v{version}"
+            elif as_of is not None:
+                view += f"_ts{int(as_of * 1e6)}"
+            self.catalog.scan(levels, version=version, as_of=as_of).createOrReplaceTempView(view)
             return view
 
-        return re.sub(_IDENT, repl, query)
+        return re.sub(tt, repl, query, flags=re.IGNORECASE)
 
     def sql(self, statement: str) -> DataFrame:
         s = statement.strip().rstrip(";")

@@ -165,3 +165,34 @@ def time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "time_travel_as_of_timestamp",
+    oracle="""
+SELECT 6 AS rows_before_delete, 2 AS rows_after_delete, 1 AS v_resolved
+""",
+)
+def time_travel_as_of_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel (Iceberg snapshot-timestamp resolution):
+    every commit stamps its wall-clock instant into the manifest; a scan
+    with an as-of bound resolves the newest snapshot committed at or
+    before it — metadata-only, like VERSION AS OF. The instant captured
+    between v1 and the delete deterministically resolves to v1 regardless
+    of clock speed (it is strictly after v1's stamp and strictly before
+    v2's)."""
+    import time as _t
+
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    ts_after_v1 = _t.time()
+    cat.delete_where(t, "age >= 35")
+    n_before = cat.scan(t, as_of=ts_after_v1).count()
+    n_after = cat.scan(t, as_of=_t.time()).count()
+    v = cat.version_as_of(t, ts_after_v1)
+    out = spark.createDataFrame(
+        [(n_before, n_after, v)],
+        "rows_before_delete int, rows_after_delete int, v_resolved int",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

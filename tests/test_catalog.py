@@ -941,3 +941,23 @@ def test_append_rebase_refused_on_schema_change(cat, spark, monkeypatch):
     schema = T.StructType.fromJson(__import__("json").loads(ops.current().schema_json))
     with pytest.raises((CommitConflictError, CommitStateError)):
         cat.append(t, spark.createDataFrame([("9", "E", "F", 22, "M")], schema))
+
+
+def test_timestamp_as_of_time_travel(cat, spark):
+    """TIMESTAMP AS OF: scans resolve the newest snapshot committed at or
+    before the given instant; an instant before the first commit raises."""
+    import time as _t
+
+    t = "repo.main.company.workers"
+    ops = cat._ops(t)[0]
+    t1 = ops.current().committed_at
+    assert t1 > 0
+    ts_after_v1 = _t.time()
+    cat.delete_where(t, "age >= 35")
+    assert cat.scan(t, as_of=ts_after_v1).count() == 6     # sees v1
+    assert cat.scan(t, as_of=_t.time()).count() == 2       # sees v2
+    assert cat.version_as_of(t, ts_after_v1) == 1
+    with pytest.raises(NoSuchTableError):
+        cat.version_as_of(t, t1 - 1.0)  # before the first commit
+    with pytest.raises(UnsupportedOperationError):
+        cat.scan(t, version=1, as_of=ts_after_v1)

@@ -296,3 +296,32 @@ def test_create_table_partitioned_by_sql_forms(facade):
     m = facade.catalog._ops("repo.main.company.workers_by_gender")[0].current()
     assert m.partition_spec == ["gender"]
     assert all("gender=" in f for f in m.files)
+
+
+def test_select_time_travel_sql_forms(facade):
+    """FOR VERSION AS OF / FOR TIMESTAMP AS OF suffixes on lakefs
+    identifiers pin historic snapshots inside stock SELECT queries."""
+    import time as _t
+    from datetime import datetime, timezone
+
+    ts_after_v1 = _t.time()
+    facade.sql("DELETE FROM lakefs.repo.main.company.workers WHERE age >= 35")
+    cur = facade.sql("SELECT * FROM lakefs.repo.main.company.workers")
+    assert cur.count() == 2
+    v1 = facade.sql(
+        "SELECT * FROM lakefs.repo.main.company.workers FOR VERSION AS OF 1"
+    )
+    assert v1.count() == 6
+    iso = datetime.fromtimestamp(ts_after_v1, tz=timezone.utc).isoformat()
+    tt = facade.sql(
+        f"SELECT count(*) AS n FROM lakefs.repo.main.company.workers "
+        f"FOR TIMESTAMP AS OF '{iso}'"
+    )
+    assert tt.collect()[0]["n"] == 6
+    # both snapshots joinable in ONE query (distinct view per pin)
+    both = facade.sql(
+        "SELECT count(*) AS gone FROM "
+        "lakefs.repo.main.company.workers FOR VERSION AS OF 1 a "
+        "LEFT ANTI JOIN lakefs.repo.main.company.workers b ON a.id = b.id"
+    )
+    assert both.collect()[0]["gone"] == 4
