@@ -979,6 +979,40 @@ class VersionedCatalog:
             raise NoSuchTableError(".".join(levels))
         return list(range(1, m.version + 1))
 
+    def snapshots(self, identifier: str | list[str]) -> DataFrame:
+        """Snapshot metadata table (Iceberg's ``<table>.snapshots`` /
+        ``history``): one row per live manifest version with its commit
+        instant, file count, count of DISTINCT pending MoR delete
+        predicates, and schema field count — all from manifest JSON, no
+        data IO. Expired versions are simply absent. (Distinct predicates,
+        not per-file stamp entries: stamp fanout varies with how many
+        files the writer's parallelism produced.)"""
+        ops, levels = self._ops(identifier)
+        cur = ops.current()
+        if cur is None:
+            raise NoSuchTableError(".".join(levels))
+        rows = []
+        for v in range(1, cur.version + 1):
+            content = ops.read_version(v)
+            if content is None:
+                continue
+            m = TableManifest.from_json(content)
+            n_fields = len(json.loads(m.schema_json).get("fields", []))
+            rows.append(
+                (
+                    v,
+                    float(m.committed_at),
+                    len(m.files),
+                    len({p for preds in m.delete_preds.values() for p in preds}),
+                    n_fields,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, committed_at double, n_files int, "
+            "n_pending_deletes int, n_fields int",
+        )
+
     def select_files(
         self, identifier: str | list[str], col: str, op: str, value
     ) -> tuple[list[str], int]:

@@ -196,3 +196,42 @@ def time_travel_as_of_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "meta_snapshots",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 0, 5),
+  (2, 1, 5),
+  (3, 2, 5),
+  (4, 2, 6)
+) AS t(version, n_pending_deletes, n_fields)
+""",
+)
+def meta_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot metadata table (Iceberg `<table>.snapshots`): one row per
+    live version straight from manifest JSON — no data IO. The scenario
+    leaves four versions with distinct shapes: the seed CTAS, two
+    merge-on-read deletes (1 then 2 distinct pending predicates), and an
+    add-column (6 fields). Commit instants are asserted monotonic
+    internally but kept out of the compared output (wall-clock is not
+    oracle-replayable); n_files likewise varies with write parallelism."""
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    cat.delete_where(t, "age > 40", mode="merge-on-read")
+    cat.delete_where(t, "age < 32", mode="merge-on-read")
+    cat.add_column(t, "dept", "string")
+    snaps = cat.snapshots(t)
+    rows = snaps.orderBy("version").collect()
+    ts = [r["committed_at"] for r in rows]
+    assert ts == sorted(ts) and ts[0] > 0  # monotonic wall-clock stamps
+    assert all(r["n_files"] >= 1 for r in rows)
+    out = snaps.select("version", "n_pending_deletes", "n_fields")
+    return _materialize_meta(spark, out, root)
+
+
+def _materialize_meta(spark, df, root):
+    rows, schema = df.collect(), df.schema
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
