@@ -254,3 +254,77 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = d.mapInPandas(_decode_batches, _DECODE_SCHEMA)
     vecs = decoded.mapInPandas(_feature_batches, "doc_id long, features array<double>")
     return vecs.select("doc_id", F.posexplode("features").alias("feature_idx", "feature"))
+
+
+_AUDIO_SCHEMA = (
+    "doc_id long, src_rate int, n_samples long, out_samples long, checksum long"
+)
+_AUDIO_TARGET_RATE = 16_000
+_AUDIO_RATES = [8_000, 16_000, 44_100]
+
+
+def _fake_audio_meta(n: int) -> tuple[int, int]:
+    """(source sample rate, decimation stride) for an n-byte fake PCM blob —
+    derived from the byte length only, so the DuckDB oracle reproduces it."""
+    src_rate = _AUDIO_RATES[n % 3]
+    stride = max(1, src_rate // _AUDIO_TARGET_RATE)
+    return src_rate, stride
+
+
+def _audio_resample_batches(batches):
+    for pdf in batches:
+        rows = {"doc_id": pdf["doc_id"], "src_rate": [], "n_samples": [],
+                "out_samples": [], "checksum": []}
+        for payload in pdf["payload"]:
+            n = len(payload)
+            src_rate, stride = _fake_audio_meta(n)
+            sampled = payload[::stride]
+            rows["src_rate"].append(src_rate)
+            rows["n_samples"].append(n)
+            rows["out_samples"].append(len(sampled))
+            rows["checksum"].append(int(sum(sampled)))
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id, text, length(text) AS n
+    FROM documents WHERE doc_id < 300
+),
+p AS (
+    SELECT doc_id, text, n,
+           ([8000, 16000, 44100])[n % 3 + 1] AS src_rate
+    FROM m
+),
+k AS (
+    SELECT doc_id, text, n, src_rate,
+           greatest(1, src_rate // {_AUDIO_TARGET_RATE}) AS stride
+    FROM p
+)
+SELECT doc_id,
+       CAST(src_rate AS INT)                           AS src_rate,
+       CAST(n AS BIGINT)                               AS n_samples,
+       CAST((n + stride - 1) // stride AS BIGINT)      AS out_samples,
+       CAST(list_sum(list_transform(range(1, n + 1, stride),
+                     i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum
+FROM k
+""",
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling plumbing: opaque PCM payloads (text bytes stand in
+    for samples — the fixture corpus is pure ASCII, so DuckDB can replay
+    the byte math on characters) are decimated to a 16 kHz target rate via
+    an integer stride inside an Arrow-batched mapInPandas iterator. The
+    checksum over the RESAMPLED samples proves the UDF computed on the
+    actual payload bytes, not just metadata — swap the stride loop for a
+    librosa/soxr call and nothing else changes (same schema, same batch
+    shape, same partitioning). Scale: identical contract to
+    multimodal_decode — per-partition streaming, payloads never leave the
+    executor, output is fixed-width scalars."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return d.mapInPandas(_audio_resample_batches, _AUDIO_SCHEMA)
