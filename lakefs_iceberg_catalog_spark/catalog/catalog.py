@@ -209,6 +209,29 @@ def _file_survives(stats: dict | None, col: str, op: str, value) -> bool:
     return True
 
 
+def _bucket_of(value, n: int) -> int:
+    """Bucket number for a key value: top byte of md5(str(value)) mod n —
+    replayable bit-for-bit in Spark SQL (_bucket_col) and DuckDB (the
+    2-nibble instr pattern), so layout, pruning, and oracles all agree.
+    Keys are compared through str(): restrict bucket columns to int/string
+    (fractional formatting differs across engines)."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    return int(h[:2], 16) % n
+
+
+def _bucket_col(col: str, n: int) -> F.Column:
+    """The Spark expression computing _bucket_of for a column — pure
+    scan-stage codegen (md5 + instr nibble arithmetic, the
+    sample_stratified_hash pattern), no UDF."""
+    h = f"md5(encode(cast(`{col}` as string), 'UTF-8'))"
+    return F.expr(
+        f"CAST((((instr('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substring({h}, 2, 1)) - 1)) % {n}) AS INT)"
+    )
+
+
 def _effective_stats(m: TableManifest, f: str) -> dict:
     """A file's column ranges for planning: footer min/max merged with its
     identity partition values as degenerate [v, v] ranges — one code path
@@ -218,6 +241,18 @@ def _effective_stats(m: TableManifest, f: str) -> dict:
     if pv:
         stats = {**stats, **{c: [v, v] for c, v in pv.items() if v is not None}}
     return stats
+
+
+def _bucket_excludes(m: TableManifest, f: str, col: str, op: str, value) -> bool:
+    """True iff the bucket transform PROVES file `f` cannot hold a row with
+    `col op value`: equality on the bucketed column only matches the one
+    bucket the value hashes to. Conservative everywhere else."""
+    if op != "=" or not m.bucket_spec or m.bucket_spec.get("col") != col:
+        return False
+    fb = (m.file_partitions.get(f) or {}).get("_bucket")
+    if fb is None:
+        return False
+    return int(fb) != _bucket_of(value, int(m.bucket_spec["n"]))
 
 
 def _decode_partition_value(raw: str, dtype: T.DataType | None):
@@ -431,6 +466,7 @@ class VersionedCatalog:
         properties: dict | None = None,
         cluster_by: list[str] | None = None,
         partition_by: list[str] | None = None,
+        bucket_by: tuple[str, int] | None = None,
     ) -> None:
         """CTAS (reference: df.write.saveAsTable — conftest.py:50).
 
@@ -442,14 +478,25 @@ class VersionedCatalog:
         difference between 'read the table' and 'read three files'.
 
         ``partition_by`` declares an identity partition spec instead: files
-        land under hive-layout partition dirs, one partition per file."""
+        land under hive-layout partition dirs, one partition per file.
+
+        ``bucket_by=(col, n)`` declares Iceberg's bucket[N] transform: rows
+        hash-route into n bucket dirs by a cross-engine digest of the key
+        (int/string columns), so an equality lookup on the key reads 1/n of
+        the files while the key column itself stays in the pages."""
         ops, levels = self._ops(identifier)
         if ops.is_table_dir():
             raise TableAlreadyExistsError(".".join(levels))
-        if cluster_by and partition_by:
-            raise UnsupportedOperationError("cluster_by and partition_by are exclusive")
+        if sum(bool(x) for x in (cluster_by, partition_by, bucket_by)) > 1:
+            raise UnsupportedOperationError(
+                "cluster_by, partition_by, and bucket_by are mutually exclusive"
+            )
+        bspec = {"col": bucket_by[0], "n": int(bucket_by[1])} if bucket_by else None
+        if bspec and bspec["col"] not in df.columns:
+            raise NoSuchTableError(f"bucket column {bspec['col']!r} not in schema")
         files, stats, fparts = self._write_data(
-            levels, df, cluster_by=cluster_by, partition_by=partition_by
+            levels, df, cluster_by=cluster_by, partition_by=partition_by,
+            bucket_spec=bspec,
         )
         ops.commit(
             None,
@@ -460,6 +507,7 @@ class VersionedCatalog:
                 file_stats=stats,
                 partition_spec=partition_by,
                 file_partitions=fparts,
+                bucket_spec=bspec,
             ),
         )
 
@@ -484,6 +532,7 @@ class VersionedCatalog:
         cluster_by: list[str] | None = None,
         cluster_files: int = 8,
         partition_by: list[str] | None = None,
+        bucket_spec: dict | None = None,
     ) -> tuple[list[str], dict, dict]:
         """Write df as parquet part files under the table's data/ dir on THIS
         branch; return (repo-relative paths, per-file column min/max stats).
@@ -523,6 +572,13 @@ class VersionedCatalog:
             # the target file size instead)
             df = df.repartition(*[F.col(c) for c in partition_by])
             df.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
+        elif bucket_spec:
+            # bucket transform: hash-route rows into N bucket dirs; the
+            # synthetic _bucket column exists only in the dir name (hive
+            # write drops it) — the key column itself stays in the pages
+            bcol = _bucket_col(bucket_spec["col"], int(bucket_spec["n"]))
+            df = df.withColumn("_bucket", bcol).repartition(F.col("_bucket"))
+            df.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
         else:
             df.write.mode("overwrite").parquet(staging)
         schema_types = {f.name: f.dataType for f in df.schema.fields}
@@ -595,9 +651,16 @@ class VersionedCatalog:
             )
             # identity partition values are per-file constants living in
             # metadata, not pages (Iceberg reads them the same way) — they
-            # join the group signature and are injected as literals below
+            # join the group signature and are injected as literals below.
+            # Synthetic layout keys (the bucket transform's _bucket) are NOT
+            # schema columns: they never affect the projection, so they stay
+            # OUT of the signature — a bucketed table scans as one group,
+            # not one scan per bucket.
             pv = manifest.file_partitions.get(f, {})
-            part_sig = tuple(sorted((k, json.dumps(v)) for k, v in pv.items()))
+            schema_names = {c["name"] for c in cols}
+            part_sig = tuple(
+                sorted((k, json.dumps(v)) for k, v in pv.items() if k in schema_names)
+            )
             # merge-on-read deletes ride the group signature too: files
             # sharing the same pending predicates scan together, and the
             # common cases (no deletes / one table-wide delete) stay a
@@ -721,7 +784,8 @@ class VersionedCatalog:
         schema = T.StructType.fromJson(json.loads(base.schema_json))
         aligned = df if df.schema == schema else _align_to_schema(df, schema)
         files, stats, fparts = self._write_data(
-            levels, aligned, partition_by=base.partition_spec or None
+            levels, aligned, partition_by=base.partition_spec or None,
+            bucket_spec=base.bucket_spec or None
         )
         for _ in range(10):
             try:
@@ -741,6 +805,7 @@ class VersionedCatalog:
                     or fresh.table_uuid != base.table_uuid
                     or fresh.schema_json != base.schema_json
                     or fresh.partition_spec != base.partition_spec
+                    or fresh.bucket_spec != base.bucket_spec
                 ):
                     raise
                 base = fresh
@@ -776,7 +841,8 @@ class VersionedCatalog:
             # raise, never cast positionally into the wrong fields
             aligned = _align_to_schema(df, schema, strict=True)
             files, stats, fparts = self._write_data(
-                levels, aligned, partition_by=base.partition_spec or None
+                levels, aligned, partition_by=base.partition_spec or None,
+            bucket_spec=base.bucket_spec or None
             )
             try:
                 ops.commit(
@@ -821,7 +887,10 @@ class VersionedCatalog:
             f
             for f in base.files
             if parsed is None
-            or _file_survives(_effective_stats(base, f), parsed[0], parsed[1], parsed[2])
+            or (
+                _file_survives(_effective_stats(base, f), parsed[0], parsed[1], parsed[2])
+                and not _bucket_excludes(base, f, parsed[0], parsed[1], parsed[2])
+            )
         ]
         dp = {f: list(base.delete_preds.get(f, [])) for f in base.files}
         for f in matching:
@@ -864,7 +933,8 @@ class VersionedCatalog:
             ~F.coalesce(F.expr(f"({predicate})"), F.lit(False))
         )
         files, stats, fparts = self._write_data(
-            levels, survivors, partition_by=base.partition_spec or None
+            levels, survivors, partition_by=base.partition_spec or None,
+            bucket_spec=base.bucket_spec or None
         )
         ops.commit(
             base,
@@ -912,7 +982,8 @@ class VersionedCatalog:
                 ]
             )
             files, stats, fparts = self._write_data(
-                levels, updated, partition_by=base.partition_spec or None
+                levels, updated, partition_by=base.partition_spec or None,
+            bucket_spec=base.bucket_spec or None
             )
             dp = self._scope_mor_predicate(base, predicate)
             ops.commit(
@@ -938,7 +1009,8 @@ class VersionedCatalog:
             else:
                 cols.append(F.col(f.name))
         files, stats, fparts = self._write_data(
-            levels, df.select(cols), partition_by=base.partition_spec or None
+            levels, df.select(cols), partition_by=base.partition_spec or None,
+            bucket_spec=base.bucket_spec or None
         )
         ops.commit(
             base,
@@ -968,6 +1040,7 @@ class VersionedCatalog:
             levels,
             kept.unionByName(aligned_src),
             partition_by=base.partition_spec or None,
+            bucket_spec=base.bucket_spec or None,
         )
         ops.commit(base, base.next(files, file_stats=stats, file_partitions=fparts))
 
@@ -1024,7 +1097,12 @@ class VersionedCatalog:
         m = ops.current()
         if m is None:
             raise NoSuchTableError(".".join(levels))
-        keep = [f for f in m.files if _file_survives(_effective_stats(m, f), col, op, value)]
+        keep = [
+            f
+            for f in m.files
+            if _file_survives(_effective_stats(m, f), col, op, value)
+            and not _bucket_excludes(m, f, col, op, value)
+        ]
         return keep, len(m.files)
 
     def scan_pruned(
@@ -1049,6 +1127,7 @@ class VersionedCatalog:
             file_types=m.file_types,
             partition_spec=m.partition_spec,
             file_partitions=m.file_partitions,
+            bucket_spec=m.bucket_spec,
             delete_preds=m.delete_preds,
         )
         df = self._read_files(levels[0], pruned)
@@ -1117,6 +1196,10 @@ class VersionedCatalog:
             # renaming underneath them would orphan every partition value
             raise UnsupportedOperationError(
                 f"column {old!r} is a partition column and cannot be renamed"
+            )
+        if base.bucket_spec.get("col") == old:
+            raise UnsupportedOperationError(
+                f"column {old!r} is the bucket column and cannot be renamed"
             )
         if new in schema.fieldNames():
             raise TableAlreadyExistsError(f"column {new!r} already exists")
@@ -1189,6 +1272,10 @@ class VersionedCatalog:
         if name in base.partition_spec:
             raise UnsupportedOperationError(
                 f"column {name!r} is a partition column and cannot be dropped"
+            )
+        if base.bucket_spec.get("col") == name:
+            raise UnsupportedOperationError(
+                f"column {name!r} is the bucket column and cannot be dropped"
             )
         if len(schema.fields) == 1:
             raise UnsupportedOperationError("cannot drop the only column")
@@ -1272,11 +1359,13 @@ class VersionedCatalog:
                 file_types=base.file_types,
                 partition_spec=base.partition_spec,
                 file_partitions=base.file_partitions,
+                bucket_spec=base.bucket_spec,
                 delete_preds=base.delete_preds,
             )
             df = self._read_files(levels[0], sub).coalesce(target_files)
             files, stats, fparts = self._write_data(
-                levels, df, partition_by=base.partition_spec or None
+                levels, df, partition_by=base.partition_spec or None,
+            bucket_spec=base.bucket_spec or None
             )
             ops.commit(
                 base,
@@ -1292,7 +1381,8 @@ class VersionedCatalog:
             return
         df = self._read_files(levels[0], base).coalesce(target_files)
         files, stats, fparts = self._write_data(
-            levels, df, partition_by=base.partition_spec or None
+            levels, df, partition_by=base.partition_spec or None,
+            bucket_spec=base.bucket_spec or None
         )
         ops.commit(
             base,

@@ -105,6 +105,13 @@ class TableManifest:
     # planning treats the value as a [v, v] stat for pruning.
     partition_spec: list = field(default_factory=list)
     file_partitions: dict = field(default_factory=dict)
+    # Bucket transform (Iceberg's bucket[N] partition transform): {"col":
+    # name, "n": buckets}. Rows are hash-routed into N bucket dirs
+    # (data/_bucket=i/...) by a cross-engine-replayable digest of the key;
+    # unlike identity partitions the key column STAYS in the data pages
+    # (a bucket number is not invertible), so scans read it normally and
+    # equality point-lookups prune to the one covering bucket's files.
+    bucket_spec: dict = field(default_factory=dict)
     # Merge-on-read deletes (Iceberg format-version 2 delete files,
     # TestLakeFSCatalogSpark.java:67 'format-version'=2): per-file list of
     # delete predicates, applied at scan time AFTER projection. A one-row
@@ -128,6 +135,7 @@ class TableManifest:
                 "file_types": self.file_types,
                 "partition_spec": self.partition_spec,
                 "file_partitions": self.file_partitions,
+                "bucket_spec": self.bucket_spec,
                 "delete_preds": self.delete_preds,
             },
             indent=1,
@@ -152,6 +160,7 @@ class TableManifest:
             file_types=dict(d.get("file_types", {})),
             partition_spec=list(d.get("partition_spec", [])),
             file_partitions=dict(d.get("file_partitions", {})),
+            bucket_spec=dict(d.get("bucket_spec", {})),
             delete_preds=dict(d.get("delete_preds", {})),
         )
 
@@ -200,6 +209,7 @@ class TableManifest:
             file_types=ftypes,
             partition_spec=list(self.partition_spec),
             file_partitions=fparts,
+            bucket_spec=dict(self.bucket_spec),
             delete_preds=dpreds,
         )
 
@@ -211,6 +221,7 @@ def new_manifest(
     file_stats: dict | None = None,
     partition_spec: list[str] | None = None,
     file_partitions: dict | None = None,
+    bucket_spec: dict | None = None,
 ) -> TableManifest:
     columns = _columns_from_schema(schema_json)
     mapping = {str(c["id"]): c["name"] for c in columns}
@@ -226,6 +237,7 @@ def new_manifest(
         file_types={f: _types_by_id(schema_json, columns) for f in files},
         partition_spec=list(partition_spec or []),
         file_partitions=file_partitions or {},
+        bucket_spec=bucket_spec or {},
     )
 
 

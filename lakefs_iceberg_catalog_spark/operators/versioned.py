@@ -408,6 +408,46 @@ def sink_partition_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_bucketed_pruning",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders WHERE o_custkey = 42
+""",
+)
+def sink_bucketed_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket transform end to end (Iceberg's bucket[N]): orders lands in a
+    table bucketed 8 ways on o_custkey via a cross-engine md5 digest, so an
+    equality lookup on the key reads ONE bucket's files while the key
+    column stays in the pages. Asserted mid-flow: every kept file belongs
+    to the value's bucket and the kept set is a strict subset; the pruned
+    scan stays exact (the residual filter runs on the real column). At
+    100 TB this is the point-lookup path: 1/N of the files, no shuffle, no
+    index."""
+    from ..catalog.catalog import _bucket_of
+
+    root = tempfile.mkdtemp(prefix="vcat-bucket-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = "repo.main.db.orders_b"
+    cat.create_table_as(t, orders, bucket_by=("o_custkey", 8))
+    m = cat._ops(t)[0].current()
+    keep, total = cat.select_files(t, "o_custkey", "=", 42)
+    b = _bucket_of(42, 8)
+    assert 0 < len(keep) < total, (len(keep), total)
+    assert all(m.file_partitions[f]["_bucket"] == b for f in keep)
+    from .util import dround
+
+    out = cat.scan_pruned(t, "o_custkey", "=", 42).select(
+        "o_orderkey", "o_custkey", dround("o_totalprice", 2).alias("total")
+    )
+    return _materialize(spark, out, root)
+
+
+@register(
     "ddl_schema_evolution",
     oracle="""
 SELECT * FROM (VALUES

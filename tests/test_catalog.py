@@ -961,3 +961,55 @@ def test_timestamp_as_of_time_travel(cat, spark):
         cat.version_as_of(t, t1 - 1.0)  # before the first commit
     with pytest.raises(UnsupportedOperationError):
         cat.scan(t, version=1, as_of=ts_after_v1)
+
+
+def test_bucketed_table_lifecycle(cat, spark):
+    """bucket[N] transform: rows hash-route into bucket dirs, the key stays
+    in the pages, equality lookups prune to one bucket's files, appends
+    keep routing, and the whole table still scans as ONE group."""
+    from lakefs_iceberg_catalog_spark.catalog.catalog import _bucket_of
+
+    t = "repo.main.company.workers_b"
+    df = _workers_df(spark, [(str(a), b, c2, d, e) for a, b, c2, d, e in WORKERS_ROWS])
+    cat.create_table_as(t, df, bucket_by=("id", 4))
+    cat.append(t, _workers_df(spark, [("7", "Nia", "Cole", 28, "F")]))
+    ops = cat._ops(t)[0]
+    m = ops.current()
+    assert m.bucket_spec == {"col": "id", "n": 4}
+    assert all("_bucket=" in f for f in m.files)
+    # the key column is IN the pages (unlike identity partitions)
+    full = cat.scan(t)
+    assert full.count() == 7 and {r["id"] for r in full.collect()} == set("1234567")
+    # equality lookup prunes to exactly the covering bucket's files
+    for key in ["1", "5", "7"]:
+        keep, total = cat.select_files(t, "id", "=", key)
+        b = _bucket_of(key, 4)
+        assert all(m.file_partitions[f]["_bucket"] == b for f in keep)
+        assert len(keep) < total
+        got = cat.scan_pruned(t, "id", "=", key)
+        assert [r["id"] for r in got.collect()] == [key]
+    # non-equality predicates fall back to stats (conservative, still exact)
+    assert cat.scan_pruned(t, "age", ">=", 40).count() == 2
+    # bucket column is pinned: rename/drop refused
+    with pytest.raises(UnsupportedOperationError):
+        cat.rename_column(t, "id", "worker_id")
+    with pytest.raises(UnsupportedOperationError):
+        cat.drop_column(t, "id")
+
+
+def test_bucketed_mor_delete_scoped(cat, spark):
+    """A merge-on-read equality delete on the bucket column stamps only the
+    covering bucket's files."""
+    from lakefs_iceberg_catalog_spark.catalog.catalog import _bucket_of
+
+    t = "repo.main.company.workers_bm"
+    df = _workers_df(spark, [(str(a), b, c2, d, e) for a, b, c2, d, e in WORKERS_ROWS])
+    cat.create_table_as(t, df, bucket_by=("id", 4))
+    ops = cat._ops(t)[0]
+    cat.delete_where(t, "id = '3'", mode="merge-on-read")
+    m = ops.current()
+    b = _bucket_of("3", 4)
+    stamped = set(m.delete_preds)
+    assert stamped
+    assert all(m.file_partitions[f]["_bucket"] == b for f in stamped)
+    assert cat.scan(t).count() == 5
