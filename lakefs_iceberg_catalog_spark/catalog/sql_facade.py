@@ -70,6 +70,13 @@ class SqlFacade:
 
         def repl(m: re.Match) -> str:
             levels = _clean(m.group(1))
+            if levels[-1] == "snapshots" and len(levels) >= 5:
+                # metadata table suffix (Iceberg `<table>.snapshots`)
+                view = "lakefs_meta_" + "_".join(
+                    re.sub(r"[^A-Za-z0-9_]", "_", p) for p in levels[:-1]
+                )
+                self.catalog.snapshots(levels[:-1]).createOrReplaceTempView(view)
+                return view
             version = int(m.group(2)) if m.group(2) else None
             as_of = None
             if m.group(3):
@@ -308,6 +315,33 @@ class SqlFacade:
         if m:
             self.catalog.drop_column(_clean(m.group(1)), m.group(2).strip("`"))
             return mk([], "result string")
+
+        m = re.match(
+            rf"(?is)^OPTIMIZE\s+({_IDENT})(?:\s+TO\s+(\d+)\s+FILES?)?\s*$", s
+        )
+        if m:
+            # small-file compaction (Delta/Iceberg OPTIMIZE form) — the
+            # metadata-commit rewrite, optionally to a target file count
+            self.catalog.compact(
+                _clean(m.group(1)),
+                target_files=int(m.group(2)) if m.group(2) else 1,
+            )
+            return mk([], "result string")
+
+        m = re.match(
+            rf"(?is)^VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*$", s
+        )
+        if m:
+            # snapshot expiry + repo-wide-reachability GC (expire_snapshots
+            # + remove_orphan_files); RETAIN n VERSIONS keeps the newest n
+            levels = _clean(m.group(1))
+            keep = int(m.group(2)) if m.group(2) else 1
+            expired = self.catalog.expire_versions(levels, keep_last=keep)
+            removed = self.catalog.garbage_collect(levels[0])
+            return mk(
+                [(len(expired), len(removed))],
+                "expired_versions int, removed_files int",
+            )
 
         m = re.match(rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\b", s)
         if m:

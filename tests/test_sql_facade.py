@@ -215,7 +215,7 @@ def test_describe_schema_and_rename_refused(facade):
     with pytest.raises(UnsupportedOperationError):
         facade.sql("ALTER TABLE lakefs.repo.main.company.workers RENAME TO x")
     with pytest.raises(UnsupportedOperationError):
-        facade.sql("VACUUM lakefs.repo.main.company.workers")
+        facade.sql("TRUNCATE TABLE lakefs.repo.main.company.workers")
 
 
 def test_show_namespaces_and_ctas(facade):
@@ -325,3 +325,29 @@ def test_select_time_travel_sql_forms(facade):
         "LEFT ANTI JOIN lakefs.repo.main.company.workers b ON a.id = b.id"
     )
     assert both.collect()[0]["gone"] == 4
+
+
+def test_snapshots_metadata_table_and_maintenance_sql(facade):
+    """`<table>.snapshots` metadata suffix, OPTIMIZE, and VACUUM SQL forms:
+    the lakehouse maintenance surface over the versioned catalog."""
+    facade.sql("DELETE FROM lakefs.repo.main.company.workers WHERE age >= 35")
+    snaps = facade.sql(
+        "SELECT version, n_files FROM lakefs.repo.main.company.workers.snapshots"
+    )
+    assert [r["version"] for r in snaps.orderBy("version").collect()] == [1, 2]
+    # fragment, then OPTIMIZE back to one file
+    facade.sql(
+        "INSERT INTO lakefs.repo.main.company.workers VALUES ('7', 'A', 'B', 20, 'M')"
+    )
+    facade.sql("OPTIMIZE lakefs.repo.main.company.workers TO 1 FILE")
+    m = facade.catalog._ops("repo.main.company.workers")[0].current()
+    assert len(m.files) == 1
+    # VACUUM: expire old versions, GC their orphans; current state intact
+    out = facade.sql("VACUUM lakefs.repo.main.company.workers RETAIN 1 VERSIONS")
+    row = out.collect()[0]
+    assert row["expired_versions"] >= 3 and row["removed_files"] >= 1
+    assert facade.sql("SELECT * FROM lakefs.repo.main.company.workers").count() == 3
+    snaps2 = facade.sql(
+        "SELECT version FROM lakefs.repo.main.company.workers.snapshots"
+    )
+    assert [r["version"] for r in snaps2.collect()] == [4]
