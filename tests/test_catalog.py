@@ -1013,3 +1013,40 @@ def test_bucketed_mor_delete_scoped(cat, spark):
     assert stamped
     assert all(m.file_partitions[f]["_bucket"] == b for f in stamped)
     assert cat.scan(t).count() == 5
+
+
+def test_stream_batch_append_into_partitioned_table(cat, spark):
+    """Micro-batch appends route through the identity partition spec, and
+    epoch idempotency holds on partitioned tables too."""
+    t = "repo.main.company.workers_sp"
+    cat.create_table(t, WORKERS_SCHEMA, partition_by=["gender"])
+    rows = [(str(a), b, c2, d, e) for a, b, c2, d, e in WORKERS_ROWS]
+    assert cat.append_stream_batch(t, _workers_df(spark, rows[:4]), batch_id=0)
+    assert not cat.append_stream_batch(t, _workers_df(spark, rows[:4]), batch_id=0)  # replay
+    assert cat.append_stream_batch(t, _workers_df(spark, rows[4:]), batch_id=1)
+    m = cat._ops(t)[0].current()
+    assert all("gender=" in f for f in m.files)
+    assert cat.scan(t).count() == 6
+    assert cat.scan_pruned(t, "gender", "=", "F").count() == 3
+
+
+def test_branch_zero_copy_with_layout_dirs(cat, spark):
+    """Zero-copy branching over partitioned AND bucketed tables: the branch
+    scan resolves repo-relative paths into the source branch's layout dirs
+    without copying a byte of data."""
+    df = _workers_df(spark, [(str(a), b, c2, d, e) for a, b, c2, d, e in WORKERS_ROWS])
+    cat.create_table_as("repo.main.company.wp", df, partition_by=["gender"])
+    cat.create_table_as("repo.main.company.wb", df, bucket_by=("id", 4))
+    cat.commit_branch("repo", "main", "layout tables")
+    cat.create_branch("repo", "feat", "main")
+    for tbl in ("wp", "wb"):
+        b = cat.scan(f"repo.feat.company.{tbl}")
+        assert b.count() == 6
+        # no data under the branch prefix — all reads hit main's files
+        import os as _os
+        ddir = _os.path.join(cat.root, "repo", "feat", "company", tbl, "data")
+        assert all(not fn.endswith(".parquet") for _, _, fns in _os.walk(ddir) for fn in fns)
+    # pruning still works through the branch (metadata travelled with it)
+    assert cat.scan_pruned("repo.feat.company.wp", "gender", "=", "M").count() == 3
+    keep, total = cat.select_files("repo.feat.company.wb", "id", "=", "2")
+    assert 0 < len(keep) < total
