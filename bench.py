@@ -78,6 +78,8 @@ EXTRA = [
     "q20_potential_promotion",
     "q21_suppliers_who_kept_waiting",
     "pipeline_pack_sequences",
+    "multimodal_audio_resample",
+    "sink_bucketed_pruning",
 ]
 
 
