@@ -80,6 +80,7 @@ EXTRA = [
     "pipeline_pack_sequences",
     "multimodal_audio_resample",
     "sink_bucketed_pruning",
+    "rollup_hypertable_incremental",
 ]
 
 

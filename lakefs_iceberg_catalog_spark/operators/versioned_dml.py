@@ -235,3 +235,91 @@ def _materialize_meta(spark, df, root):
     rows, schema = df.collect(), df.schema
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "rollup_hypertable_incremental",
+    oracle="""
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+""",
+)
+def rollup_hypertable_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup with INCREMENTAL refresh — the continuous-aggregate
+    pattern (TimescaleDB's rollup, Iceberg+MERGE refresh): a per-(day,
+    type) aggregate table is built from the first raw batch, then a late
+    batch lands in raw and the refresh recomputes ONLY the affected days —
+    from the FULL raw table, so a day straddling both batches (the split
+    is mid-day on Jan 20) is re-aggregated correctly, not double-counted —
+    and MERGE-upserts them into the rollup. Asserted mid-flow: the refresh
+    touches a strict subset of days. The oracle is the full recompute over
+    all raw events — incremental refresh must be indistinguishable from
+    it.
+
+    Scale (100 TB): the refresh scan carries a pushed-down time-range
+    filter (raw is range-clustered on ts, so manifest stats skip the cold
+    files), the re-aggregate shuffles only the affected days' rows, and
+    the MERGE is a key-equi upsert on the rollup — refresh cost tracks the
+    late-data window, never the table."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import VersionedCatalog
+    from ..tables import table
+    from .util import dround
+
+    root = tempfile.mkdtemp(prefix="vcat-rollup-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.ts")
+    events = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    split = "2024-01-20 12:00:00"
+    batch1 = events.filter(F.col("ts") < F.lit(split).cast("timestamp"))
+    batch2 = events.filter(F.col("ts") >= F.lit(split).cast("timestamp"))
+
+    def rollup_of(df):
+        # day rides as its ISO string: pandas date-vs-datetime dtypes would
+        # never hash-compare across engines, the string always does
+        return (
+            df.groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dround(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+
+    raw, agg = "repo.main.ts.events_raw", "repo.main.ts.events_rollup"
+    cat.create_table_as(raw, batch1, cluster_by=["ts"])
+    cat.create_table_as(agg, rollup_of(cat.scan(raw)))
+    n_groups_v1 = cat.scan(agg).count()
+    # late batch lands in raw
+    cat.append(raw, batch2)
+    # refresh: recompute ONLY days the late batch touched, from FULL raw
+    affected = [
+        r["day"] for r in batch2.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        ).distinct().collect()
+    ]
+    lo = min(affected)  # ISO strings order chronologically
+    recomputed = rollup_of(
+        cat.scan(raw).filter(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") >= F.lit(lo)
+        )
+    )
+    n_recomputed = recomputed.count()
+    cat.merge_upsert(agg, recomputed, key_cols=["day", "event_type"])
+    out = cat.scan(agg)
+    n_total = out.count()
+    assert n_recomputed < n_total, (n_recomputed, n_total)  # strict subset
+    assert n_total >= n_groups_v1
+    out = out.orderBy("day", "event_type")
+    return _materialize(spark, out, root)
