@@ -924,9 +924,26 @@ class VersionedCatalog:
             # committing it into metadata (a typo'd column must fail now,
             # not on every future scan)
             self._read_files(levels[0], base).filter(F.expr(f"({predicate})"))
-            dp = self._scope_mor_predicate(base, predicate)
-            ops.commit(base, base.next(base.files, delete_preds=dp))
-            return
+            # metadata-only commit → a lost race rebases for free: re-scope
+            # the predicate onto the fresh base's files and retry (same
+            # schema guard as append's fast-append retry — a concurrent
+            # schema change could alter the predicate's meaning)
+            for _ in range(10):
+                dp = self._scope_mor_predicate(base, predicate)
+                try:
+                    ops.commit(base, base.next(base.files, delete_preds=dp))
+                    return
+                except (CommitConflictError, CommitStateError) as e:
+                    fresh = ops.current()
+                    if (
+                        fresh is None
+                        or fresh.table_uuid != base.table_uuid
+                        or fresh.schema_json != base.schema_json
+                    ):
+                        raise
+                    base = fresh
+                    err = e
+            raise err
         if eff != "copy-on-write":
             raise UnsupportedOperationError(f"unknown delete mode {eff!r}")
         survivors = self._read_files(levels[0], base).filter(

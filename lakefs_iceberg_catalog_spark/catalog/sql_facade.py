@@ -101,6 +101,10 @@ class SqlFacade:
         head = s.split(None, 1)[0].upper() if s else ""
         if head in ("SELECT", "WITH"):
             return self.spark.sql(self._resolve_views(s))
+        if head == "EXPLAIN":
+            # EXPLAIN [EXTENDED|FORMATTED|...] <query>: resolve the lakefs
+            # identifiers, let Spark's own EXPLAIN render the plan
+            return self.spark.sql("EXPLAIN " + self._resolve_views(s.split(None, 1)[1]))
         return self._dispatch_ddl_dml(s)
 
     # ----------------------------------------------------------- DDL / DML

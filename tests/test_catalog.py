@@ -1050,3 +1050,26 @@ def test_branch_zero_copy_with_layout_dirs(cat, spark):
     assert cat.scan_pruned("repo.feat.company.wp", "gender", "=", "M").count() == 3
     keep, total = cat.select_files("repo.feat.company.wb", "id", "=", "2")
     assert 0 < len(keep) < total
+
+
+def test_concurrent_mor_deletes_both_land(cat, spark):
+    """Racing merge-on-read deletes both commit: the loser re-scopes its
+    predicate onto the fresh base (metadata-only rebase)."""
+    import threading
+
+    t = "repo.main.company.workers"
+    errs = []
+    def do_delete(pred):
+        try:
+            cat.delete_where(t, pred, mode="merge-on-read")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+    preds = ["id = '1'", "id = '3'", "id = '5'", "age = 31"]
+    threads = [threading.Thread(target=do_delete, args=(p,)) for p in preds]
+    for th in threads: th.start()
+    for th in threads: th.join()
+    assert errs == []
+    m = cat._ops(t)[0].current()
+    all_preds = {p for ps in m.delete_preds.values() for p in ps}
+    assert all_preds == set(preds)  # every racer's predicate recorded
+    assert {r["id"] for r in cat.scan(t).collect()} == {"2", "4"}

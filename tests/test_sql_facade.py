@@ -351,3 +351,13 @@ def test_snapshots_metadata_table_and_maintenance_sql(facade):
         "SELECT version FROM lakefs.repo.main.company.workers.snapshots"
     )
     assert [r["version"] for r in snaps2.collect()] == [4]
+
+
+def test_explain_passthrough(facade):
+    """EXPLAIN over lakefs identifiers resolves views and returns Spark's
+    plan text — filter pushdown visible for a selective predicate."""
+    out = facade.sql(
+        "EXPLAIN FORMATTED SELECT id FROM lakefs.repo.main.company.workers WHERE age > 40"
+    ).collect()
+    plan = out[0][0]
+    assert "PushedFilters" in plan and "GreaterThan(age,40)" in plan
