@@ -243,16 +243,48 @@ def _effective_stats(m: TableManifest, f: str) -> dict:
     return stats
 
 
-def _bucket_excludes(m: TableManifest, f: str, col: str, op: str, value) -> bool:
-    """True iff the bucket transform PROVES file `f` cannot hold a row with
-    `col op value`: equality on the bucketed column only matches the one
-    bucket the value hashes to. Conservative everywhere else."""
+_INT_TYPE_NAMES = {"byte", "short", "integer", "long"}
+
+
+def _bucket_target(m: TableManifest, col: str, op: str, value) -> int | None:
+    """The single bucket an equality probe on the bucketed column can live
+    in, or None when bucket pruning must not apply. The probe value is
+    normalized to the COLUMN's write-side string rendering before hashing:
+    an int column probed with 42.0 hashes '42' (what the writer hashed),
+    and any probe whose rendering is ambiguous (non-integral float on an
+    int column, non-string on a string column, boolean) disables pruning —
+    conservative, the residual filter stays exact."""
     if op != "=" or not m.bucket_spec or m.bucket_spec.get("col") != col:
+        return None
+    ftype = next(
+        (
+            fld["type"]
+            for fld in json.loads(m.schema_json).get("fields", [])
+            if fld["name"] == col
+        ),
+        None,
+    )
+    if ftype in _INT_TYPE_NAMES:
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return None
+        if isinstance(value, float):
+            if not value.is_integer():
+                return None
+            value = int(value)
+    elif ftype == "string":
+        if not isinstance(value, str):
+            return None
+    else:
+        return None  # unexpected bucket column type — never prune
+    return _bucket_of(value, int(m.bucket_spec["n"]))
+
+
+def _bucket_excludes(m: TableManifest, f: str, target: int | None) -> bool:
+    """True iff file `f` provably cannot hold the probed bucket value."""
+    if target is None:
         return False
     fb = (m.file_partitions.get(f) or {}).get("_bucket")
-    if fb is None:
-        return False
-    return int(fb) != _bucket_of(value, int(m.bucket_spec["n"]))
+    return fb is not None and int(fb) != target
 
 
 def _decode_partition_value(raw: str, dtype: T.DataType | None):
@@ -454,7 +486,7 @@ class VersionedCatalog:
         st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
         for c in partition_by or []:
             if c not in st.fieldNames():
-                raise NoSuchTableError(f"partition column {c!r} not in schema")
+                raise SchemaMismatchError(f"partition column {c!r} not in schema")
         ops.commit(
             None, new_manifest(st.json(), [], properties, partition_spec=partition_by)
         )
@@ -491,9 +523,22 @@ class VersionedCatalog:
             raise UnsupportedOperationError(
                 "cluster_by, partition_by, and bucket_by are mutually exclusive"
             )
+        for c in partition_by or []:
+            if c not in df.columns:
+                raise SchemaMismatchError(f"partition column {c!r} not in schema")
         bspec = {"col": bucket_by[0], "n": int(bucket_by[1])} if bucket_by else None
-        if bspec and bspec["col"] not in df.columns:
-            raise NoSuchTableError(f"bucket column {bspec['col']!r} not in schema")
+        if bspec:
+            if bspec["col"] not in df.columns:
+                raise SchemaMismatchError(
+                    f"bucket column {bspec['col']!r} not in schema"
+                )
+            btype = df.schema[bspec["col"]].dataType.typeName()
+            if btype not in _INT_TYPE_NAMES and btype != "string":
+                # str(value) renderings diverge across engines for other
+                # types, which would silently break bucket pruning
+                raise UnsupportedOperationError(
+                    f"bucket column must be an integer or string type, got {btype}"
+                )
         files, stats, fparts = self._write_data(
             levels, df, cluster_by=cluster_by, partition_by=partition_by,
             bucket_spec=bspec,
@@ -638,6 +683,7 @@ class VersionedCatalog:
         current_types = {
             str(c["id"]): schema[c["name"]].dataType.jsonValue() for c in cols
         }
+        schema_names = {c["name"] for c in cols}
         groups: dict[tuple, list[str]] = {}
         for f in manifest.files:
             fm = manifest.file_columns.get(f, current)
@@ -657,7 +703,6 @@ class VersionedCatalog:
             # OUT of the signature — a bucketed table scans as one group,
             # not one scan per bucket.
             pv = manifest.file_partitions.get(f, {})
-            schema_names = {c["name"] for c in cols}
             part_sig = tuple(
                 sorted((k, json.dumps(v)) for k, v in pv.items() if k in schema_names)
             )
@@ -883,13 +928,16 @@ class VersionedCatalog:
         clustered table then touches a handful of manifest entries, not
         millions."""
         parsed = _parse_simple_predicate(predicate)
+        target = (
+            _bucket_target(base, parsed[0], parsed[1], parsed[2]) if parsed else None
+        )
         matching = [
             f
             for f in base.files
             if parsed is None
             or (
                 _file_survives(_effective_stats(base, f), parsed[0], parsed[1], parsed[2])
-                and not _bucket_excludes(base, f, parsed[0], parsed[1], parsed[2])
+                and not _bucket_excludes(base, f, target)
             )
         ]
         dp = {f: list(base.delete_preds.get(f, [])) for f in base.files}
@@ -1000,19 +1048,38 @@ class VersionedCatalog:
             )
             files, stats, fparts = self._write_data(
                 levels, updated, partition_by=base.partition_spec or None,
-            bucket_spec=base.bucket_spec or None
+                bucket_spec=base.bucket_spec or None,
             )
-            dp = self._scope_mor_predicate(base, predicate)
-            ops.commit(
-                base,
-                base.next(
-                    base.files + files,
-                    file_stats={**base.file_stats, **stats},
-                    delete_preds=dp,
-                    file_partitions=fparts,
-                ),
-            )
-            return
+            # same rebase-on-race contract as append and MoR delete: the
+            # updated-row files are already written; a lost race re-scopes
+            # the delete predicate onto the fresh base and retries, refusing
+            # if the schema or layout changed underneath
+            for _ in range(10):
+                dp = self._scope_mor_predicate(base, predicate)
+                try:
+                    ops.commit(
+                        base,
+                        base.next(
+                            base.files + files,
+                            file_stats={**base.file_stats, **stats},
+                            delete_preds=dp,
+                            file_partitions=fparts,
+                        ),
+                    )
+                    return
+                except (CommitConflictError, CommitStateError) as e:
+                    fresh = ops.current()
+                    if (
+                        fresh is None
+                        or fresh.table_uuid != base.table_uuid
+                        or fresh.schema_json != base.schema_json
+                        or fresh.partition_spec != base.partition_spec
+                        or fresh.bucket_spec != base.bucket_spec
+                    ):
+                        raise
+                    base = fresh
+                    err = e
+            raise err
         if eff != "copy-on-write":
             raise UnsupportedOperationError(f"unknown update mode {eff!r}")
         cols = []
@@ -1114,11 +1181,12 @@ class VersionedCatalog:
         m = ops.current()
         if m is None:
             raise NoSuchTableError(".".join(levels))
+        target = _bucket_target(m, col, op, value)
         keep = [
             f
             for f in m.files
             if _file_survives(_effective_stats(m, f), col, op, value)
-            and not _bucket_excludes(m, f, col, op, value)
+            and not _bucket_excludes(m, f, target)
         ]
         return keep, len(m.files)
 
@@ -1347,6 +1415,14 @@ class VersionedCatalog:
         base = ops.current()
         if base is None:
             raise NoSuchTableError(".".join(levels))
+        if target_files != 1 and (base.partition_spec or base.bucket_spec):
+            # layout-routed writes re-distribute on the layout key, so the
+            # compacted state is one file per partition/bucket — a different
+            # target would be silently ignored; refuse instead
+            raise UnsupportedOperationError(
+                "partitioned/bucketed tables compact to one file per "
+                "partition; target_files must be 1"
+            )
         if partition:
             unknown = set(partition) - set(base.partition_spec)
             if unknown:
@@ -1361,7 +1437,9 @@ class VersionedCatalog:
                     for c, v in partition.items()
                 )
             ]
-            keep = [f for f in base.files if f not in set(in_part)]
+            in_part_set = set(in_part)
+            keep = [f for f in base.files if f not in in_part_set]
+            keep_set = set(keep)
             if not in_part:
                 return  # nothing in this partition to rewrite
             sub = TableManifest(
@@ -1389,7 +1467,7 @@ class VersionedCatalog:
                 base.next(
                     keep + files,
                     file_stats={
-                        **{f: s for f, s in base.file_stats.items() if f in set(keep)},
+                        **{f: s for f, s in base.file_stats.items() if f in keep_set},
                         **stats,
                     },
                     file_partitions=fparts,

@@ -70,8 +70,17 @@ class SqlFacade:
 
         def repl(m: re.Match) -> str:
             levels = _clean(m.group(1))
-            if levels[-1] == "snapshots" and len(levels) >= 5:
-                # metadata table suffix (Iceberg `<table>.snapshots`)
+            if (
+                levels[-1] == "snapshots"
+                and len(levels) >= 5
+                and not self.catalog.table_exists(levels)
+            ):
+                # metadata table suffix (Iceberg `<table>.snapshots`); a
+                # REAL table literally named snapshots wins the ambiguity
+                if m.group(2) or m.group(3):
+                    raise UnsupportedOperationError(
+                        "time travel on a snapshots metadata table is not supported"
+                    )
                 view = "lakefs_meta_" + "_".join(
                     re.sub(r"[^A-Za-z0-9_]", "_", p) for p in levels[:-1]
                 )
@@ -104,7 +113,10 @@ class SqlFacade:
         if head == "EXPLAIN":
             # EXPLAIN [EXTENDED|FORMATTED|...] <query>: resolve the lakefs
             # identifiers, let Spark's own EXPLAIN render the plan
-            return self.spark.sql("EXPLAIN " + self._resolve_views(s.split(None, 1)[1]))
+            parts = s.split(None, 1)
+            if len(parts) < 2:
+                raise UnsupportedOperationError("EXPLAIN requires a query")
+            return self.spark.sql("EXPLAIN " + self._resolve_views(parts[1]))
         return self._dispatch_ddl_dml(s)
 
     # ----------------------------------------------------------- DDL / DML

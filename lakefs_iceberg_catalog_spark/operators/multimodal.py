@@ -307,8 +307,8 @@ SELECT doc_id,
        CAST(src_rate AS INT)                           AS src_rate,
        CAST(n AS BIGINT)                               AS n_samples,
        CAST((n + stride - 1) // stride AS BIGINT)      AS out_samples,
-       CAST(list_sum(list_transform(range(1, n + 1, stride),
-                     i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum
+       CAST(COALESCE(list_sum(list_transform(range(1, n + 1, stride),
+                     i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS checksum
 FROM k
 """,
 )

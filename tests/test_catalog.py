@@ -1073,3 +1073,42 @@ def test_concurrent_mor_deletes_both_land(cat, spark):
     all_preds = {p for ps in m.delete_preds.values() for p in ps}
     assert all_preds == set(preds)  # every racer's predicate recorded
     assert {r["id"] for r in cat.scan(t).collect()} == {"2", "4"}
+
+
+def test_bucket_pruning_typed_probe_safety(cat, spark):
+    """A numerically-equal but differently-typed probe value must not prune
+    the wrong bucket: float probes on an int column normalize to the int
+    rendering the writer hashed; ambiguous probes disable pruning but stay
+    exact via the residual filter."""
+    t = "repo.main.company.nums_b"
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(20)], "k int, v string")
+    cat.create_table_as(t, df, bucket_by=("k", 4))
+    # float probe equal to an int key: prunes to the SAME bucket as int 7
+    keep_f, total = cat.select_files(t, "k", "=", 7.0)
+    keep_i, _ = cat.select_files(t, "k", "=", 7)
+    assert keep_f == keep_i and 0 < len(keep_i) < total
+    assert [r["v"] for r in cat.scan_pruned(t, "k", "=", 7.0).collect()] == ["r7"]
+    # non-integral float matches nothing but must not mis-prune either
+    assert cat.scan_pruned(t, "k", "=", 7.5).count() == 0
+    # boolean probe: ANSI Spark rejects int = boolean at analysis, so the
+    # ambiguous rendering can never silently mis-prune; bucket targeting
+    # also refuses it (None → no pruning)
+    from lakefs_iceberg_catalog_spark.catalog.catalog import _bucket_target
+
+    m = cat._ops(t)[0].current()
+    assert _bucket_target(m, "k", "=", True) is None
+    assert _bucket_target(m, "k", "=", 7.5) is None
+    assert _bucket_target(m, "k", "=", 7.0) == _bucket_target(m, "k", "=", 7)
+    # unsupported bucket column type refused at create
+    dfd = spark.createDataFrame([(1.5, "x")], "k double, v string")
+    with pytest.raises(UnsupportedOperationError):
+        cat.create_table_as("repo.main.company.bad_b", dfd, bucket_by=("k", 4))
+
+
+def test_compact_target_files_refused_on_layout_tables(cat, spark):
+    df = _workers_df(spark, [(str(a), b, c2, d, e) for a, b, c2, d, e in WORKERS_ROWS])
+    cat.create_table_as("repo.main.company.wp2", df, partition_by=["gender"])
+    with pytest.raises(UnsupportedOperationError):
+        cat.compact("repo.main.company.wp2", target_files=4)
+    cat.compact("repo.main.company.wp2")  # one file per partition is fine
+    assert cat.scan("repo.main.company.wp2").count() == 6
