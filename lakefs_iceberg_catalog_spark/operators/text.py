@@ -273,3 +273,74 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("_raw", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
         F.size(F.regexp_extract_all("_raw", F.lit(_PHONE_RE), 0)).alias("n_phones"),
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+    FROM documents
+),
+tf AS (SELECT source, word, count(*) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT word, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY 1),
+n AS (SELECT count(*) AS n_total FROM documents),
+scored AS (
+    SELECT tf.source, tf.word, tf.tf, df.n_docs,
+           round(tf.tf * ln((n.n_total + 1.0) / (df.n_docs + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY tfidf DESC, word) AS rnk
+    FROM scored
+)
+SELECT source, word, CAST(tf AS BIGINT) AS tf,
+       CAST(n_docs AS BIGINT) AS n_docs, tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY source, rnk
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF vocabulary analysis: the 5 most DISTINCTIVE terms
+    per source stream — corpus term frequency weighted by smoothed inverse
+    document frequency. This is the signal a mixture builder uses to spot a
+    stream's domain skew (and a contamination checker uses in reverse).
+
+    Scale (100 TB): one explode + two aggregations that share the word
+    shuffle key, the grand doc count broadcast as a 1-row frame, and a
+    per-source top-5 window over the (sources × vocabulary) aggregate —
+    orders of magnitude smaller than the corpus. Ranking orders by the
+    ROUNDED score with the term as tiebreak, so the cross-engine top-5 set
+    is deterministic even when ln() differs in the last ulp."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", "source", F.explode(_words()).alias("word"))
+    tf = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = w.groupBy("word").agg(F.countDistinct("doc_id").alias("n_docs"))
+    n = d.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            dround(
+                F.col("tf")
+                * F.log((F.col("n_total") + 1.0) / (F.col("n_docs") + 1.0)),
+                6,
+            ),
+        )
+    )
+    win = W.partitionBy("source").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "source",
+            "word",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "tfidf",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("source", "rnk")
+    )
