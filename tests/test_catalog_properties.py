@@ -146,3 +146,23 @@ def test_widening_matrix_pins_iceberg_set():
     assert not _is_safe_widening(T.DecimalType(12, 2), T.DecimalType(12, 4))
     assert not _is_safe_widening(T.IntegerType(), T.StringType())
     assert not _is_safe_widening(T.IntegerType(), T.DoubleType())
+
+
+def test_bucket_expr_matches_python(spark):
+    """The Spark-side bucket expression and the planner's Python _bucket_of
+    must agree on every key, or files would be routed to one bucket and
+    pruned by another. Checked over int and string keys including
+    negatives, empties, and hive-hostile characters."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.catalog import _bucket_col, _bucket_of
+
+    ints = [0, 1, -1, 7, 42, 10**12, -(10**12), 255, 256]
+    strs = ["", "a", "Brand#42", "x y", "naïve", "0", "-1", "=", "%2F"]
+    for n in (4, 8, 251):
+        di = spark.createDataFrame([(v,) for v in ints], "k long")
+        got = {r["k"]: r["b"] for r in di.select("k", _bucket_col("k", n).alias("b")).collect()}
+        assert got == {v: _bucket_of(v, n) for v in ints}, f"int n={n}"
+        ds = spark.createDataFrame([(v,) for v in strs], "k string")
+        got = {r["k"]: r["b"] for r in ds.select("k", _bucket_col("k", n).alias("b")).collect()}
+        assert got == {v: _bucket_of(v, n) for v in strs}, f"str n={n}"
