@@ -1112,3 +1112,36 @@ def test_compact_target_files_refused_on_layout_tables(cat, spark):
         cat.compact("repo.main.company.wp2", target_files=4)
     cat.compact("repo.main.company.wp2")  # one file per partition is fine
     assert cat.scan("repo.main.company.wp2").count() == 6
+
+
+def test_two_level_partition_spec(cat, spark):
+    """Nested identity partitions (partition_by=[a, b]): files land under
+    two-level hive dirs, both values inject as constants, and pruning
+    composes across levels."""
+    t = "repo.main.company.workers_p2"
+    df = _workers_df(spark, [(str(a), b, c2, d, e) for a, b, c2, d, e in WORKERS_ROWS])
+    two = df.selectExpr("id", "gender", "age % 2 AS parity", "age")
+    cat.create_table_as(t, two, partition_by=["gender", "parity"])
+    m = cat._ops(t)[0].current()
+    assert m.partition_spec == ["gender", "parity"]
+    assert all("gender=" in f and "parity=" in f for f in m.files)
+    assert all(
+        set(m.file_partitions[f]) == {"gender", "parity"} for f in m.files
+    )
+    got = cat.scan(t)
+    assert got.count() == 6
+    assert got.filter("gender = 'F' AND parity = 0").count() == 2  # 36, 44
+    keep, total = cat.select_files(t, "parity", "=", 1)
+    assert 0 < len(keep) < total
+    assert cat.scan_pruned(t, "parity", "=", 1).count() == 3
+    # per-partition compact on the composite key
+    cat.append(t, two.filter("gender = 'F' AND parity = 0"))
+    cat.compact(t, partition={"gender": "F", "parity": 0})
+    m2 = cat._ops(t)[0].current()
+    n_fp0 = sum(
+        1
+        for f in m2.files
+        if m2.file_partitions[f] == {"gender": "F", "parity": 0}
+    )
+    assert n_fp0 == 1
+    assert got.count() == 6 or cat.scan(t).count() == 8  # appended 2 rows
