@@ -81,6 +81,7 @@ EXTRA = [
     "multimodal_audio_resample",
     "sink_bucketed_pruning",
     "rollup_hypertable_incremental",
+    "pipeline_contamination_check",
 ]
 
 

@@ -304,3 +304,73 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spans_boundary"),
         )
     )
+
+
+@register(
+    "pipeline_contamination_check",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM d WHERE len(w) >= 3),
+r AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+eval_g  AS (SELECT doc_id, shingle FROM r WHERE doc_id < 50),
+train_g AS (SELECT DISTINCT shingle FROM r WHERE doc_id >= 50),
+hits AS (
+    SELECT e.doc_id, count(*) AS n_overlap
+    FROM eval_g e JOIN train_g t USING (shingle)
+    GROUP BY e.doc_id
+),
+tot AS (SELECT doc_id, len(sh) AS n_grams FROM s WHERE doc_id < 50)
+SELECT tot.doc_id,
+       CAST(tot.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(CAST(COALESCE(hits.n_overlap, 0) AS DOUBLE) / tot.n_grams, 6)
+           AS contamination
+FROM tot LEFT JOIN hits USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the overlap audit every training corpus
+    needs before a benchmark is trusted: for each EVAL document (doc_id <
+    50 stands in for the held-out set), the fraction of its word 3-grams
+    that also occur anywhere in the TRAINING split. A contaminated eval
+    doc scores near 1; documents sharing only stock vocabulary score low.
+
+    Scale (100 TB): both splits shingle through the same codegen'd
+    explode+window path (dedup.shingle_rows_of), the train side collapses
+    to DISTINCT grams (one hash aggregate), and the containment test is a
+    single equi-join on the gram — output bounded by eval grams, never
+    train × eval. The eval side is tiny by construction, so at deployment
+    it broadcasts and the train scan never shuffles."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    rows = shingle_rows_of(d)
+    eval_g = rows.filter(F.col("doc_id") < 50).select("doc_id", "shingle")
+    train_g = (
+        rows.filter(F.col("doc_id") >= 50).select("shingle").distinct()
+    )
+    hits = (
+        eval_g.join(train_g, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    totals = (
+        rows.filter(F.col("doc_id") < 50)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            dround(
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / F.col("n_grams"),
+                6,
+            ).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
