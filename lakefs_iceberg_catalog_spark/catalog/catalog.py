@@ -903,6 +903,67 @@ class VersionedCatalog:
             except (CommitConflictError, CommitStateError):
                 continue  # refresh; the stamp check decides refuse vs retry
 
+    def apply_cdc_batch(
+        self,
+        identifier: str | list[str],
+        changes: DataFrame,
+        key_cols: list[str],
+        batch_id: int,
+        op_col: str = "op",
+    ) -> bool:
+        """Exactly-once CDC apply for streaming foreachBatch sinks: one
+        micro-batch of change rows (an ``op`` column holding I/U/D plus the
+        full payload) folds into the table as ONE atomic commit — every
+        touched key's old row is dropped, non-delete payloads are inserted,
+        and the epoch stamp rides the same manifest swap, so a replayed
+        epoch (Structured Streaming re-runs the last epoch after a crash)
+        is refused exactly like append_stream_batch. Returns True iff the
+        batch was applied.
+
+        Scale (100 TB): this is the copy-on-write apply — both sides
+        hash-shuffle once on the key (zero times if the table is bucketed
+        on it) and only the rewritten state's files land; a merge-on-read
+        variant would stamp an IN-list delete predicate plus the upsert
+        files, trading scan-time filtering for write amplification — the
+        same trade as delete_where's two modes."""
+        ops, levels = self._ops(identifier)
+        while True:
+            base = ops.current()
+            if base is None:
+                raise NoSuchTableError(".".join(levels))
+            if batch_id <= int(base.properties.get("stream.last_batch_id", -1)):
+                return False
+            schema = T.StructType.fromJson(json.loads(base.schema_json))
+            touched = changes.select(*key_cols).distinct()
+            upserts = _align_to_schema(
+                changes.filter(F.col(op_col) != "D").drop(op_col), schema
+            )
+            target = self._read_files(levels[0], base)
+            new_state = target.join(touched, on=key_cols, how="left_anti").unionByName(
+                upserts
+            )
+            files, stats, fparts = self._write_data(
+                levels, new_state, partition_by=base.partition_spec or None,
+                bucket_spec=base.bucket_spec or None,
+            )
+            try:
+                ops.commit(
+                    base,
+                    base.next(
+                        files,
+                        properties={
+                            **base.properties,
+                            "stream.last_batch_id": str(batch_id),
+                        },
+                        file_stats=stats,
+                        delete_preds={},
+                        file_partitions=fparts,
+                    ),
+                )
+                return True
+            except (CommitConflictError, CommitStateError):
+                continue  # refresh; the stamp check decides refuse vs retry
+
     def insert_values(self, identifier: str | list[str], rows: list[tuple]) -> None:
         """INSERT INTO ... VALUES (test_iceberg.py:48,50) — row coercion to the
         declared schema matches createDataFrame semantics (conftest.py:27-40)."""

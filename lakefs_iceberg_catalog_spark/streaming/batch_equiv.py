@@ -341,3 +341,107 @@ def stream_sink_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+SELECT * FROM (VALUES
+  ('2', 'Michael', 'Rose',     99, 'M'),
+  ('3', 'Robert',  'Williams', 41, 'M'),
+  ('4', 'Maria',   'Jones',    36, 'F'),
+  ('6', 'Monika',  'Geller',   31, 'F'),
+  ('7', 'Jhon',    'Smith',    50, 'M')
+) AS t(id, firstname, lastname, age, gender)
+""",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply stream → versioned table: a change log (op I/U/D + full
+    payload) staged as 3 epoch files streams through readStream with
+    maxFilesPerTrigger=1, and foreachBatch folds each epoch into the table
+    via apply_cdc_batch — every touched key's old row dropped, non-delete
+    payloads inserted, and the epoch stamp committed in the SAME manifest
+    swap. Inside the sink every epoch is immediately replayed and must be
+    refused (exactly-once), and epoch ORDER matters: a key updated then
+    deleted across epochs must end deleted. The oracle is the final state
+    after the whole log.
+
+    This is the lakehouse CDC-merge pattern (Debezium → MERGE per epoch)
+    on this engine's manifest protocol."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..catalog import VersionedCatalog
+
+    cdc_schema = T.StructType.fromDDL(
+        "epoch int, op string, id string, firstname string, lastname string, "
+        "age int, gender string"
+    )
+    log = [
+        # epoch 0: initial snapshot inserts
+        (0, "I", "1", "James", "Smith", 32, "M"),
+        (0, "I", "2", "Michael", "Rose", 35, "M"),
+        (0, "I", "3", "Robert", "Williams", 41, "M"),
+        (0, "I", "4", "Maria", "Jones", 36, "F"),
+        (0, "I", "5", "Jen", "Brown", 44, "F"),
+        (0, "I", "6", "Monika", "Geller", 31, "F"),
+        # epoch 1: update 2, delete 5, insert 7
+        (1, "U", "2", "Michael", "Rose", 99, "M"),
+        (1, "D", "5", "Jen", "Brown", 44, "F"),
+        (1, "I", "7", "Jhon", "Smith", 33, "M"),
+        # epoch 2: update 7, delete 1
+        (2, "U", "7", "Jhon", "Smith", 50, "M"),
+        (2, "D", "1", "James", "Smith", 32, "M"),
+    ]
+    staged = tempfile.mkdtemp(prefix="cdc-epochs-")
+    root = tempfile.mkdtemp(prefix="vcat-cdc-")
+    try:
+        full = spark.createDataFrame(log, cdc_schema)
+        for ep in (0, 1, 2):
+            # one file per epoch, written in order so the file stream
+            # replays the log deterministically (lexicographic pickup)
+            full.filter(F.col("epoch") == ep).drop("epoch").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{staged}/ep{ep}")
+        cat = VersionedCatalog(spark, root)
+        cat.create_repository("repo", "main")
+        cat.create_namespace("repo.main.cdc")
+        t = "repo.main.cdc.workers"
+        cat.create_table(
+            t,
+            "id string, firstname string, lastname string, age int, gender string",
+        )
+        change_schema = T.StructType.fromDDL(
+            "op string, id string, firstname string, lastname string, "
+            "age int, gender string"
+        )
+        s = (
+            spark.readStream.schema(change_schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(staged + "/ep*")
+        )
+
+        def sink(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            if not cat.apply_cdc_batch(t, batch_df, ["id"], batch_id):
+                raise RuntimeError(f"epoch {batch_id} refused on first apply")
+            if cat.apply_cdc_batch(t, batch_df, ["id"], batch_id):
+                raise RuntimeError(f"epoch {batch_id} replay was re-applied")
+
+        q = s.writeStream.foreachBatch(sink).outputMode("append").start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        res = cat.scan(t)
+        from ..operators.util import bounded_rows
+
+        rows, schema = bounded_rows(res), res.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
