@@ -114,3 +114,78 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("c_custkey", 2).over(w).alias("second_key"),
         F.first_value("c_custkey").over(w).alias("top_key"),
     )
+
+
+@register(
+    "window_sessionize",
+    oracle="""
+WITH o AS (
+    SELECT user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+           event_id
+    FROM events WHERE user_id < 10
+),
+m AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN prev_ts IS NULL
+                  OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+    FROM o
+),
+s AS (
+    SELECT user_id, ts, value, event_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM m
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       round(sum(value), 2) AS session_value
+FROM s
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gap-based session assignment every
+    clickstream pipeline runs: a new session starts when a user's
+    inter-event gap exceeds 30 minutes; session ids are the running count
+    of session starts (lag + conditional cumsum), then sessions aggregate
+    to (count, start, value). The streaming twin is
+    stream_session_window — this is the REPROCESSING form over history.
+
+    Scale (100 TB): one shuffle on user_id shared by the lag window, the
+    cumsum window, and the final aggregate (same partitioning — Catalyst
+    reuses the exchange); the event-id tiebreak makes session ids
+    deterministic under equal timestamps on any engine."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.select(
+        "user_id", "ts", "value", "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            dround(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("bigint").alias("session_id"),
+            "n_events",
+            "session_start",
+            "session_value",
+        )
+        .orderBy("user_id", "session_id")
+    )

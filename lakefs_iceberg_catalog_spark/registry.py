@@ -81,7 +81,7 @@ _SWEEP_PRIORITY = [
     "pipeline_pack_sequences", "time_travel_as_of_timestamp",
     "meta_snapshots", "multimodal_audio_resample", "sink_bucketed_pruning",
     "rollup_hypertable_incremental", "text_tfidf_top_terms",
-    "pipeline_contamination_check", "stream_cdc_apply",
+    "pipeline_contamination_check", "stream_cdc_apply", "window_sessionize",
     # ... then the keys whose only driver row is round 1 (two rounds stale;
     # replayed green by tests/test_oracle.py every run, but the driver row
     # is the hard signal) ...

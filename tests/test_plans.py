@@ -355,3 +355,13 @@ def test_q11_threshold_is_broadcast_scalar_not_rescan_per_group(spark):
     p = plan(q(spark, "q11_important_stock"))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert p.count("HashAggregate") >= 4  # partial+final for group AND total
+
+
+def test_sessionize_windows_share_one_exchange(spark):
+    # the lag window and the session-id cumsum share the user_id
+    # partitioning — one exchange feeds both; only the final aggregate
+    # (keyed by user_id + session_id) adds a second
+    p = plan(q(spark, "window_sessionize"))
+    n_exchanges = p.count(") Exchange")
+    assert n_exchanges <= 2, p
+    assert p.count(") Window") == 2  # lag + cumsum, no extra sorts between
