@@ -82,6 +82,7 @@ EXTRA = [
     "sink_bucketed_pruning",
     "rollup_hypertable_incremental",
     "pipeline_contamination_check",
+    "window_sessionize",
 ]
 
 
