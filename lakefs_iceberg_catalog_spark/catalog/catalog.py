@@ -910,6 +910,7 @@ class VersionedCatalog:
         key_cols: list[str],
         batch_id: int,
         op_col: str = "op",
+        mode: str = "copy-on-write",
     ) -> bool:
         """Exactly-once CDC apply for streaming foreachBatch sinks: one
         micro-batch of change rows (an ``op`` column holding I/U/D plus the
@@ -920,13 +921,98 @@ class VersionedCatalog:
         is refused exactly like append_stream_batch. Returns True iff the
         batch was applied.
 
-        Scale (100 TB): this is the copy-on-write apply — both sides
-        hash-shuffle once on the key (zero times if the table is bucketed
-        on it) and only the rewritten state's files land; a merge-on-read
-        variant would stamp an IN-list delete predicate plus the upsert
-        files, trading scan-time filtering for write amplification — the
-        same trade as delete_where's two modes."""
+        Two modes, the delete_where trade at streaming cadence:
+
+        - ``copy-on-write`` (default): both sides hash-shuffle once on the
+          key (zero times if the table is bucketed on it) and the rewritten
+          state's files land — scan-clean, write-heavy.
+        - ``merge-on-read``: writes ONLY the upsert rows and stamps an
+          IN-list delete predicate for the touched keys onto the existing
+          files (stats/partition-scoped like any MoR predicate) — a 10-row
+          CDC epoch on a 100 TB table is a 10-row file plus one manifest
+          swap; ``compact()`` folds the predicates later. Single-column
+          int/string keys only (the predicate is a SQL literal list), and
+          the key set is collected driver-side, so it is capped at 10k keys
+          per epoch — beyond that the right plan IS the CoW shuffle."""
         ops, levels = self._ops(identifier)
+        if mode not in ("copy-on-write", "merge-on-read", "mor"):
+            raise UnsupportedOperationError(f"unknown CDC apply mode {mode!r}")
+        mor = mode in ("merge-on-read", "mor")
+        if mor and len(key_cols) != 1:
+            raise UnsupportedOperationError(
+                "merge-on-read CDC apply supports a single key column"
+            )
+        if mor:
+            base = ops.current()
+            if base is None:
+                raise NoSuchTableError(".".join(levels))
+            if batch_id <= int(base.properties.get("stream.last_batch_id", -1)):
+                return False
+            schema = T.StructType.fromJson(json.loads(base.schema_json))
+            key = key_cols[0]
+            ktype = schema[key].dataType
+            if not (type(ktype) in _INT_WIDTH or isinstance(ktype, T.StringType)):
+                raise UnsupportedOperationError(
+                    "merge-on-read CDC apply needs an int or string key"
+                )
+            key_rows = changes.select(key).distinct().limit(10_001).collect()
+            if len(key_rows) > 10_000:
+                raise UnsupportedOperationError(
+                    "merge-on-read CDC apply is capped at 10k keys per "
+                    "epoch — use copy-on-write for bulk batches"
+                )
+            if isinstance(ktype, T.StringType):
+                lits = ", ".join(
+                    "'" + str(r[key]).replace("'", "''") + "'" for r in key_rows
+                )
+            else:
+                lits = ", ".join(str(int(r[key])) for r in key_rows)
+            predicate = f"`{key}` IN ({lits})" if key_rows else None
+            upserts = _align_to_schema(
+                changes.filter(F.col(op_col) != "D").drop(op_col), schema
+            )
+            # the upsert files are independent of the base (like an append):
+            # write ONCE, then only the metadata commit loops on conflict
+            files, stats, fparts = self._write_data(
+                levels, upserts, partition_by=base.partition_spec or None,
+                bucket_spec=base.bucket_spec or None,
+            )
+            while True:
+                dp = (
+                    self._scope_mor_predicate(base, predicate)
+                    if predicate
+                    else base.delete_preds
+                )
+                try:
+                    ops.commit(
+                        base,
+                        base.next(
+                            base.files + files,
+                            properties={
+                                **base.properties,
+                                "stream.last_batch_id": str(batch_id),
+                            },
+                            file_stats={**base.file_stats, **stats},
+                            delete_preds=dp,
+                            file_partitions=fparts,
+                        ),
+                    )
+                    return True
+                except (CommitConflictError, CommitStateError):
+                    fresh = ops.current()
+                    if (
+                        fresh is None
+                        or fresh.table_uuid != base.table_uuid
+                        or fresh.schema_json != base.schema_json
+                        or fresh.partition_spec != base.partition_spec
+                        or fresh.bucket_spec != base.bucket_spec
+                    ):
+                        raise
+                    if batch_id <= int(
+                        fresh.properties.get("stream.last_batch_id", -1)
+                    ):
+                        return False  # another driver landed this epoch
+                    base = fresh
         while True:
             base = ops.current()
             if base is None:
@@ -934,10 +1020,10 @@ class VersionedCatalog:
             if batch_id <= int(base.properties.get("stream.last_batch_id", -1)):
                 return False
             schema = T.StructType.fromJson(json.loads(base.schema_json))
-            touched = changes.select(*key_cols).distinct()
             upserts = _align_to_schema(
                 changes.filter(F.col(op_col) != "D").drop(op_col), schema
             )
+            touched = changes.select(*key_cols).distinct()
             target = self._read_files(levels[0], base)
             new_state = target.join(touched, on=key_cols, how="left_anti").unionByName(
                 upserts

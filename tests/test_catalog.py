@@ -1145,3 +1145,47 @@ def test_two_level_partition_spec(cat, spark):
     )
     assert n_fp0 == 1
     assert got.count() == 6 or cat.scan(t).count() == 8  # appended 2 rows
+
+
+def test_cdc_apply_merge_on_read(cat, spark):
+    """Merge-on-read CDC apply: an epoch writes only the upsert rows and
+    stamps an IN-list delete predicate for the touched keys — no
+    pre-existing file rewritten — with epoch replay refused and compact()
+    folding the predicates away."""
+    t = "repo.main.company.workers"
+    ops = cat._ops(t)[0]
+    files_before = set(ops.current().files)
+    ch_schema = (
+        "op string, id string, firstname string, lastname string, "
+        "age int, gender string"
+    )
+    epoch0 = spark.createDataFrame(
+        [
+            ("U", "2", "Michael", "Rose", 99, "M"),
+            ("D", "5", "Jen", "Brown", 44, "F"),
+            ("I", "7", "Jhon", "Smith", 33, "M"),
+        ],
+        ch_schema,
+    )
+    assert cat.apply_cdc_batch(t, epoch0, ["id"], 0, mode="merge-on-read")
+    assert not cat.apply_cdc_batch(t, epoch0, ["id"], 0, mode="merge-on-read")
+    m = ops.current()
+    assert files_before <= set(m.files)  # old files kept (MoR)
+    assert m.delete_preds
+    got = {r["id"]: r["age"] for r in cat.scan(t).collect()}
+    assert got == {"1": 32, "2": 99, "3": 41, "4": 36, "6": 31, "7": 33}
+    # quote-bearing string keys can't break the predicate
+    epoch1 = spark.createDataFrame(
+        [("I", "o'brien", "O", "Brien", 20, "M")], ch_schema
+    )
+    assert cat.apply_cdc_batch(t, epoch1, ["id"], 1, mode="merge-on-read")
+    assert cat.scan(t).filter("id = \"o'brien\"").count() == 1
+    assert cat.scan(t).count() == 7
+    cat.compact(t)
+    assert not ops.current().delete_preds
+    assert cat.scan(t).count() == 7
+    # unsupported shapes are refused up front
+    with pytest.raises(UnsupportedOperationError):
+        cat.apply_cdc_batch(t, epoch1, ["id", "gender"], 9, mode="merge-on-read")
+    with pytest.raises(UnsupportedOperationError):
+        cat.apply_cdc_batch(t, epoch1, ["id"], 9, mode="nope")
