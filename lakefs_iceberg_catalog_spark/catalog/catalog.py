@@ -1317,6 +1317,87 @@ class VersionedCatalog:
             "n_pending_deletes int, n_fields int",
         )
 
+    def files(self, identifier: str | list[str]) -> DataFrame:
+        """Files metadata table (Iceberg's ``<table>.files``): one row per
+        live data file with its row count, partition tuple, and per-column
+        min/max stats — all from manifest JSON + parquet footers, no page
+        IO. At 100 TB this is the planner's input: a query over this table
+        answers "which files can match" without touching data."""
+        ops, levels = self._ops(identifier)
+        m = ops.current()
+        if m is None:
+            raise NoSuchTableError(".".join(levels))
+        repo_dir = self._repo_dir(levels[0])
+        rows = []
+        for f in m.files:
+            stats = _effective_stats(m, f)
+            rows.append(
+                (
+                    f,
+                    int(_parquet_num_rows(os.path.join(repo_dir, f))),
+                    json.dumps(m.file_partitions.get(f, {}), sort_keys=True),
+                    json.dumps(stats, sort_keys=True, default=str),
+                    len(m.delete_preds.get(f, [])),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "file string, row_count long, partition string, "
+            "column_stats string, n_delete_preds int",
+        )
+
+    def rollback_to_version(self, identifier: str | list[str], version: int) -> int:
+        """Roll the table back to a historic snapshot (Iceberg's
+        ``rollback_to_snapshot``): commits a NEW manifest whose state —
+        files, schema, stats, pending deletes, partition values — is the
+        target version's, on top of the current chain. History stays
+        linear and time travel still reaches the undone versions; nothing
+        is deleted, so the rollback itself is one metadata commit
+        regardless of table size. Returns the new version number."""
+        ops, levels = self._ops(identifier)
+        cur = ops.current()
+        if cur is None:
+            raise NoSuchTableError(".".join(levels))
+        content = ops.read_version(version)
+        if content is None:
+            raise NoSuchTableError(
+                f"{'.'.join(levels)} has no version {version} (expired?)"
+            )
+        tgt = TableManifest.from_json(content)
+        restored = TableManifest.from_json(tgt.to_json())  # deep copy
+        restored.version = cur.version + 1
+        ops.commit(cur, restored)
+        return restored.version
+
+    def table_changes(
+        self, identifier: str | list[str], from_version: int, to_version: int
+    ) -> DataFrame:
+        """Incremental scan (Iceberg's incremental append scan): the rows
+        ADDED between two snapshots, read from exactly the data files that
+        joined the manifest in that range — a CDC-read over an append-only
+        window costs IO proportional to the delta, never the table. Raises
+        if the range removed files (a rewrite/delete snapshot — the range
+        is not append-only, so "changes" is not expressible as added rows;
+        Iceberg's incremental scan refuses such ranges the same way)."""
+        ops, levels = self._ops(identifier)
+        name = ".".join(levels)
+        contents = [ops.read_version(v) for v in (from_version, to_version)]
+        if any(c is None for c in contents):
+            raise NoSuchTableError(f"{name}: version range has expired snapshots")
+        m_from = TableManifest.from_json(contents[0])
+        m_to = TableManifest.from_json(contents[1])
+        removed = set(m_from.files) - set(m_to.files)
+        if removed:
+            raise UnsupportedOperationError(
+                f"{name}: v{from_version}..v{to_version} is not append-only "
+                f"({len(removed)} file(s) removed) — incremental read "
+                "undefined; scan both versions and diff instead"
+            )
+        added = [f for f in m_to.files if f not in set(m_from.files)]
+        delta = TableManifest.from_json(m_to.to_json())
+        delta.files = added
+        return self._read_files(levels[0], delta)
+
     def select_files(
         self, identifier: str | list[str], col: str, op: str, value
     ) -> tuple[list[str], int]:
@@ -1811,6 +1892,50 @@ class VersionedCatalog:
         del state["branches"][branch]
         state["commits"] = [c for c in state["commits"] if c["branch"] != branch]
         self._save_branches(repo, state)
+
+    def create_tag(self, repo: str, tag: str, branch: str) -> None:
+        """Immutable named ref (lakeFS tags / Iceberg tag refs): pin every
+        table on ``branch`` at its CURRENT manifest version under the tag
+        name. Metadata-only — the tag is a {table: version} map in the repo's
+        ref state; data and manifests stay where they are, and later commits
+        on the branch never move the tag. Scans resolve ``scan_tag`` through
+        the pinned versions, and expire_versions/GC must keep tagged
+        versions alive (referenced_files walks every live manifest, which
+        includes the tagged ones as long as expire keeps them — the retention
+        contract is the caller's, as in Iceberg's ref retention)."""
+        state = self._load_branches(repo)
+        if branch not in state["branches"]:
+            raise NoSuchNamespaceError(f"{repo}.{branch}")
+        tags = state.setdefault("tags", {})
+        if tag in tags:
+            raise NamespaceAlreadyExistsError(f"tag {repo}@{tag} already exists")
+        tags[tag] = {"branch": branch, "tables": self._branch_tables(repo, branch)}
+        self._save_branches(repo, state)
+
+    def delete_tag(self, repo: str, tag: str) -> None:
+        state = self._load_branches(repo)
+        if tag not in state.get("tags", {}):
+            raise NoSuchNamespaceError(f"tag {repo}@{tag}")
+        del state["tags"][tag]
+        self._save_branches(repo, state)
+
+    def list_tags(self, repo: str) -> list[str]:
+        return sorted(self._load_branches(repo).get("tags", {}))
+
+    def scan_tag(self, repo: str, tag: str, table_path: str) -> DataFrame:
+        """Read a table at a tag's pinned snapshot. ``table_path`` is the
+        dotted path below the branch (``db.table``)."""
+        state = self._load_branches(repo)
+        info = state.get("tags", {}).get(tag)
+        if info is None:
+            raise NoSuchNamespaceError(f"tag {repo}@{tag}")
+        rel = os.path.join(*table_path.split("."))
+        version = info["tables"].get(rel)
+        if version is None:
+            raise NoSuchTableError(f"{table_path} is not captured by tag {repo}@{tag}")
+        return self.scan(
+            [repo, info["branch"], *table_path.split(".")], version=version
+        )
 
     def commit_branch(self, repo: str, branch: str, message: str) -> str:
         """Record the branch's current table versions as a commit (the

@@ -323,3 +323,137 @@ def rollup_hypertable_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     assert n_total >= n_groups_v1
     out = out.orderBy("day", "event_type")
     return _materialize(spark, out, root)
+
+
+@register(
+    "ddl_rollback_version",
+    oracle=f"SELECT * FROM {_WORKERS_VALUES}",
+)
+def ddl_rollback_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback (Iceberg `rollback_to_snapshot`): a destructive
+    delete is undone by committing a NEW manifest that restores v1's exact
+    state — one metadata write regardless of table size, history stays
+    linear (v2's deleted state remains time-travelable), nothing rewritten.
+    The scenario asserts the rollback landed as v3 and that VERSION AS OF
+    still sees the interim delete."""
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    cat.delete_where(t, "age >= 35")
+    assert cat.scan(t).count() == 2
+    v_new = cat.rollback_to_version(t, 1)
+    assert v_new == 3
+    assert cat.table_history(t) == [1, 2, 3]
+    assert cat.scan(t, version=2).count() == 2  # undone state still reachable
+    return _materialize(spark, cat.scan(t), root)
+
+
+@register(
+    "branch_tag_scan",
+    oracle=f"SELECT * FROM {_WORKERS_VALUES}",
+)
+def branch_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Immutable tag refs (lakeFS tags / Iceberg tag references): tag the
+    branch's committed state, keep mutating the branch, read back through
+    the tag — the pinned snapshot, not the branch head. Metadata-only: the
+    tag is a {table: version} map in the repo ref state; creating one moves
+    no data and later commits never move the tag."""
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    cat.create_tag("repo", "release-1.0", "main")
+    cat.update_where(t, "gender = 'F'", {"age": "age + 100"})
+    assert cat.list_tags("repo") == ["release-1.0"]
+    tagged = cat.scan_tag("repo", "release-1.0", "company.workers")
+    head_max = cat.scan(t).agg({"age": "max"}).collect()[0][0]
+    assert head_max >= 131  # branch head moved on ...
+    rows = tagged.collect()
+    assert max(r["age"] for r in rows) == 44  # ... the tag did not
+    return _materialize(spark, tagged, root)
+
+
+@register(
+    "meta_files",
+    oracle="""
+SELECT n_regionkey, COUNT(*) AS n_rows
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+)
+def meta_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Files metadata table (Iceberg `<table>.files`): per-file row counts,
+    partition tuples, and column stats straight from manifests + footers —
+    the planner's input, no page IO. Scenario: identity-partition nation by
+    region, then answer "rows per partition" FROM THE METADATA TABLE ALONE;
+    the oracle recomputes the same from data, so every per-file row count
+    and partition tuple is value-checked. Asserts each file carries
+    nationkey min/max stats (what scan pruning consumes)."""
+    import json as _json
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import VersionedCatalog
+    from ..tables import table
+
+    root = tempfile.mkdtemp(prefix="vcat-files-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    cat.create_table_as(
+        "repo.main.db.nation_p",
+        table(spark, sf_dir, "nation"),
+        partition_by=["n_regionkey"],
+    )
+    meta = cat.files("repo.main.db.nation_p")
+    metas = meta.collect()
+    assert len(metas) >= 5  # at least one file per region partition
+    assert all(
+        "n_nationkey" in _json.loads(r["column_stats"]) for r in metas
+    )  # pruning stats present on every file
+    out = (
+        spark.createDataFrame(metas, meta.schema)
+        .select(
+            F.get_json_object("partition", "$.n_regionkey").cast("int").alias("n_regionkey"),
+            F.col("row_count"),
+        )
+        .groupBy("n_regionkey")
+        .agg(F.sum("row_count").alias("n_rows"))
+        .orderBy("n_regionkey")
+    )
+    return _materialize(spark, out, root)
+
+
+@register(
+    "time_travel_changes",
+    oracle="""
+SELECT * FROM (VALUES
+  ('7', 'Ava',  'Stone', 27, 'F'),
+  ('8', 'Liam', 'Reyes', 38, 'M')
+) AS t(id, firstname, lastname, age, gender)
+""",
+)
+def time_travel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan (Iceberg's incremental read /
+    `table_changes`): the rows added between two snapshots, read from ONLY
+    the files that joined the manifest in that range — CDC-read cost tracks
+    the delta, never the table. A range that removed files (the subsequent
+    delete) is refused, matching Iceberg's append-only incremental
+    contract; the assert pins that refusal."""
+    from ..catalog.errors import UnsupportedOperationError
+
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    cat.append(
+        t,
+        spark.createDataFrame(
+            [("7", "Ava", "Stone", 27, "F"), ("8", "Liam", "Reyes", 38, "M")],
+            WORKERS_SCHEMA,
+        ),
+    )
+    delta = cat.table_changes(t, 1, 2)
+    cat.delete_where(t, "age >= 35")  # v3 removes files
+    try:
+        cat.table_changes(t, 2, 3)
+        raise AssertionError("non-append-only range must be refused")
+    except UnsupportedOperationError:
+        pass
+    return _materialize(spark, delta.orderBy("id"), root)
