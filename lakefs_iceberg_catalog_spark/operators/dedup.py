@@ -35,6 +35,71 @@ _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands × 2 rows
 _MINHASH_THETA = 0.5
 _SAME_SOURCE_THETA = 0.3
 
+# Universal-hash minhash permutations: h_s(x) = (a_s·x + b_s) mod p over a
+# 32-bit digest prefix x, p the smallest prime > 2³². ONE md5 per shingle
+# (the digest prefix), then 8 integer maps — versus 8 md5s of seed-prefixed
+# strings: measured ~13× less whole-stage-codegen JIT on the signature
+# aggregate (7.7 s → well under 1 s first-run at sf0.1) and cheaper
+# steady-state (long-min beats 32-char-string-min). a_s < 2³⁰ keeps
+# a_s·x < 2⁶² — no int64 overflow, so DuckDB BIGINT arithmetic replays the
+# signatures bit-for-bit (`CAST('0x…' AS BIGINT)` parses the same prefix).
+_MH_P = 4294967311
+_MH_COEF = [
+    (541, 7), (1223, 131), (2741, 1031), (5077, 8191),
+    (7919, 65537), (104729, 524287), (224737, 6700417),
+    (350377, 2147483647),
+]
+
+
+def minhash_bands(rows: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band rows from distinct shingle rows: digest
+    each shingle ONCE, min-aggregate the 8 integer permutations per doc,
+    explode band structs (never a per-band union re-deriving signatures).
+    Shared by the dedup keys and the training-corpus pipeline."""
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    with_x = rows.select("doc_id", x.alias("x"))
+    m = with_x.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MH_P)).alias(f"h{s}")
+            for s, (a, b) in zip(_SEEDS, _MH_COEF)
+        ]
+    )
+    return m.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws("_", f"h{a}", f"h{b}").alias("key"),
+                    )
+                    for bi, (a, b) in enumerate(_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _mh_hash_sql(var: str, seed: int) -> str:
+    """DuckDB replay of permutation `seed` applied to shingle expr `var`."""
+    a, b = _MH_COEF[seed]
+    return (
+        f"({a} * CAST(('0x' || substr(md5({var}), 1, 8)) AS BIGINT) + {b})"
+        f" % {_MH_P}"
+    )
+
+
+# m/bands CTE bodies shared by every minhash oracle (dedup + pipeline)
+_MH_SIG_SQL = ",\n   ".join(
+    f"list_min(list_transform(sh, t -> {_mh_hash_sql('t', s)})) AS h{s}"
+    for s in _SEEDS
+)
+_MH_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band, "
+    f"CAST(h{a} AS VARCHAR) || '_' || CAST(h{b} AS VARCHAR) AS key FROM m"
+    for bi, (a, b) in enumerate(_BANDS)
+)
+
 
 def shingle_rows_of(docs: DataFrame) -> DataFrame:
     """(doc_id, source, shingle) distinct word-3-gram rows for an arbitrary
@@ -71,7 +136,17 @@ def _pair_jaccard(cand: DataFrame, rows: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (doc_a, doc_b) pairs via a shingle-level
     join: |A∩B| = matched shingle rows per pair, sizes from per-doc counts.
     Pairs with empty intersection drop out of the join — they have J=0 and
-    are below any threshold by construction."""
+    are below any threshold by construction.
+
+    The candidate side is BROADCAST into both shingle joins: cand is the
+    output-sized product of LSH blocking (pairs that share a band — bounded
+    by the near-dup rate, never O(n²)), while the probe side is corpus-sized
+    shingle rows. Left to AQE the joins planned as sort-merge, shuffling
+    260k shingle rows twice (measured 5.9× slower at sf0.1). If a corpus's
+    candidate set ever outgrows broadcast (≫10⁷ pairs), drop the hint and
+    pre-restrict `rows` with a semi-join on the candidate doc ids instead —
+    the pair join then shuffles only candidate docs' shingles."""
+    cand = F.broadcast(cand)
     cnt = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ra = rows.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     rb = rows.select(F.col("doc_id").alias("doc_b_r"), F.col("shingle").alias("sh_b"))
@@ -127,10 +202,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_ORACLE_CTES = f"""{_ORACLE_SHINGLES},
 m AS (SELECT doc_id, sh,
-   {",".join(f"list_min(list_transform(sh, x -> md5('{s}|' || x))) AS h{s}" for s in _SEEDS)}
+   {_MH_SIG_SQL}
       FROM s),
 bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band, h{a} || h{b} AS key FROM m" for bi, (a, b) in enumerate(_BANDS))}
+  {_MH_BANDS_SQL}
 ),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
@@ -156,11 +231,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded LSH (4 bands × 2 rows) → candidate pairs from band-key collisions
     → exact Jaccard verification ≥ θ.
 
-    Deterministic permutations: minhash_s = min over shingles of
-    md5("s|" + shingle) — lexicographic min of a uniform hash is a valid
-    permutation-min, is engine-independent, and needs no fitted model
-    (unlike MLlib's MinHashLSH whose random coefficients the oracle could
-    not replay)."""
+    Deterministic permutations: universal hashes (a_s·x + b_s) mod p over a
+    32-bit md5 prefix of each shingle (_MH_COEF literals) — engine-
+    independent integer arithmetic both engines replay bit-for-bit, no
+    fitted model (unlike MLlib's MinHashLSH whose random coefficients the
+    oracle could not replay), and one digest per shingle instead of one per
+    (shingle, seed)."""
     return minhash_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", dround("j", 6).alias("jaccard")
     )
@@ -178,30 +254,9 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     through any harness entry point releases it — bounded sweep storage
     without round 3's materialize-on-every-call checkpoint tax."""
     rows = scoped_persist(_shingle_rows(spark, sf_dir))
-    # signatures: one codegen'd pass over the rows (md5 × seeds), partial
-    # min-agg before the per-doc shuffle
-    m = rows.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))).alias(f"h{seed}")
-            for seed in _SEEDS
-        ]
-    )
-    # one pass: explode the band structs instead of a 4-way union (which
-    # would re-derive the signatures per branch)
-    bands = m.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"), F.concat(f"h{a}", f"h{b}").alias("key")
-                    )
-                    for bi, (a, b) in enumerate(_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    bands = scoped_persist(bands)
+    # signatures + band rows: one digest per shingle, integer permutation
+    # mins, band-struct explode (minhash_bands)
+    bands = scoped_persist(minhash_bands(rows))
     # Self-join with RENAMED right side: alias-only self-joins can resolve
     # both sides to the same attribute ids, silently dropping the equality
     # conjuncts and degenerating to a nested-loop cross join (measured 213s

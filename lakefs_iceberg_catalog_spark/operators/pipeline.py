@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import table
-from .dedup import _BANDS, _MINHASH_THETA, _SEEDS, shingle_rows_of
+from .dedup import (
+    _MH_BANDS_SQL,
+    _MH_SIG_SQL,
+    _MINHASH_THETA,
+    minhash_bands,
+    shingle_rows_of,
+)
 from .util import dround
 
 _ORACLE = f"""
@@ -38,10 +44,10 @@ s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       FROM d WHERE len(w) >= 3),
 m AS (SELECT doc_id, sh,
-   {",".join(f"list_min(list_transform(sh, x -> md5('{s}|' || x))) AS h{s}" for s in _SEEDS)}
+   {_MH_SIG_SQL}
       FROM s),
 bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band, h{a} || h{b} AS key FROM m" for bi, (a, b) in enumerate(_BANDS))}
+  {_MH_BANDS_SQL}
 ),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
@@ -99,24 +105,7 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = scoped_persist(
         shingle_rows_of(q2.withColumn("source", F.lit("")).select("doc_id", "source", "text"))
     )
-    m = rows.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))).alias(f"h{seed}")
-            for seed in _SEEDS
-        ]
-    )
-    bands = m.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(bi).alias("band"), F.concat(f"h{a}", f"h{b}").alias("key"))
-                    for bi, (a, b) in enumerate(_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    bands = scoped_persist(bands)
+    bands = scoped_persist(minhash_bands(rows))
     right = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("band").alias("band_r"), F.col("key").alias("key_r")
     )
