@@ -83,6 +83,7 @@ EXTRA = [
     "rollup_hypertable_incremental",
     "pipeline_contamination_check",
     "window_sessionize",
+    "sink_zorder_pruning",
 ]
 
 

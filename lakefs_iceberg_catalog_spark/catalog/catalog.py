@@ -499,6 +499,7 @@ class VersionedCatalog:
         cluster_by: list[str] | None = None,
         partition_by: list[str] | None = None,
         bucket_by: tuple[str, int] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> None:
         """CTAS (reference: df.write.saveAsTable — conftest.py:50).
 
@@ -519,9 +520,10 @@ class VersionedCatalog:
         ops, levels = self._ops(identifier)
         if ops.is_table_dir():
             raise TableAlreadyExistsError(".".join(levels))
-        if sum(bool(x) for x in (cluster_by, partition_by, bucket_by)) > 1:
+        if sum(bool(x) for x in (cluster_by, partition_by, bucket_by, zorder_by)) > 1:
             raise UnsupportedOperationError(
-                "cluster_by, partition_by, and bucket_by are mutually exclusive"
+                "cluster_by, partition_by, bucket_by, and zorder_by are "
+                "mutually exclusive"
             )
         for c in partition_by or []:
             if c not in df.columns:
@@ -541,7 +543,7 @@ class VersionedCatalog:
                 )
         files, stats, fparts = self._write_data(
             levels, df, cluster_by=cluster_by, partition_by=partition_by,
-            bucket_spec=bspec,
+            bucket_spec=bspec, zorder_by=zorder_by,
         )
         ops.commit(
             None,
@@ -578,6 +580,7 @@ class VersionedCatalog:
         cluster_files: int = 8,
         partition_by: list[str] | None = None,
         bucket_spec: dict | None = None,
+        zorder_by: list[str] | None = None,
     ) -> tuple[list[str], dict, dict]:
         """Write df as parquet part files under the table's data/ dir on THIS
         branch; return (repo-relative paths, per-file column min/max stats).
@@ -606,6 +609,46 @@ class VersionedCatalog:
             df = df.repartitionByRange(
                 cluster_files, *[F.col(c) for c in cluster_by]
             ).sortWithinPartitions(*cluster_by)
+        elif zorder_by:
+            # Z-ORDER clustering (Iceberg's rewrite_data_files zorder / the
+            # Delta OPTIMIZE ZORDER BY analog): quantize each dimension to
+            # 8-bit bins over its global min/max, bit-interleave the bins
+            # into one Morton key, then range-distribute + sort on that key.
+            # Every file then covers a compact HYPER-RECTANGLE of the key
+            # space, so footer min/max stats on EACH zorder column stay
+            # narrow and selective predicates on ANY of the dimensions skip
+            # files — linear cluster_by can only do that for its leading
+            # column. The min/max pre-pass is one parallel aggregate
+            # (Iceberg's zorder rewrite samples the same bounds); the
+            # interleave is pure integer codegen, and the Morton key is
+            # dropped before the write so it never reaches the pages.
+            bounds = df.agg(
+                *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
+            ).collect()[0]
+            nbits = 8
+            bins = []
+            for c in zorder_by:
+                mn = float(bounds[f"mn_{c}"])
+                span = float(bounds[f"mx_{c}"]) - mn
+                scaled = (
+                    (F.col(c).cast("double") - F.lit(mn))
+                    * F.lit((2 ** nbits - 1) / span if span > 0 else 0.0)
+                )
+                bins.append(F.floor(scaled).cast("long"))
+            zkey = F.lit(0).cast("long")
+            for bit in range(nbits):
+                for ci, b in enumerate(bins):
+                    pos = bit * len(bins) + ci
+                    zkey = zkey + F.shiftleft(
+                        F.shiftright(b, bit).bitwiseAND(F.lit(1)), pos
+                    )
+            df = (
+                df.withColumn("_zkey", zkey)
+                .repartitionByRange(cluster_files, F.col("_zkey"))
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
         repo = levels[0]
         table_dir = os.path.join(self.root, *levels)
         data_dir = os.path.join(table_dir, "data")

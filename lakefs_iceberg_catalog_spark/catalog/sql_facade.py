@@ -71,20 +71,22 @@ class SqlFacade:
         def repl(m: re.Match) -> str:
             levels = _clean(m.group(1))
             if (
-                levels[-1] == "snapshots"
+                levels[-1] in ("snapshots", "files")
                 and len(levels) >= 5
                 and not self.catalog.table_exists(levels)
             ):
-                # metadata table suffix (Iceberg `<table>.snapshots`); a
-                # REAL table literally named snapshots wins the ambiguity
+                # metadata table suffix (Iceberg `<table>.snapshots` /
+                # `<table>.files`); a REAL table by that name wins the
+                # ambiguity
                 if m.group(2) or m.group(3):
                     raise UnsupportedOperationError(
-                        "time travel on a snapshots metadata table is not supported"
+                        "time travel on a metadata table is not supported"
                     )
-                view = "lakefs_meta_" + "_".join(
+                view = f"lakefs_meta_{levels[-1]}_" + "_".join(
                     re.sub(r"[^A-Za-z0-9_]", "_", p) for p in levels[:-1]
                 )
-                self.catalog.snapshots(levels[:-1]).createOrReplaceTempView(view)
+                meta_fn = getattr(self.catalog, levels[-1])
+                meta_fn(levels[:-1]).createOrReplaceTempView(view)
                 return view
             version = int(m.group(2)) if m.group(2) else None
             as_of = None
@@ -358,6 +360,17 @@ class SqlFacade:
                 [(len(expired), len(removed))],
                 "expired_versions int, removed_files int",
             )
+
+        m = re.match(
+            rf"(?is)^RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
+            s,
+        )
+        if m:
+            # snapshot rollback (Delta RESTORE form / Iceberg
+            # rollback_to_snapshot): one metadata commit restoring the
+            # historic state; history stays linear
+            v = self.catalog.rollback_to_version(_clean(m.group(1)), int(m.group(2)))
+            return mk([(v,)], "restored_as_version int")
 
         m = re.match(rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\b", s)
         if m:

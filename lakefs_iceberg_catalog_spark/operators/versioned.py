@@ -633,3 +633,49 @@ def branch_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _materialize(spark, out, root)
+
+
+@register(
+    "sink_zorder_pruning",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders WHERE o_custkey <= 150
+""",
+)
+def sink_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering end to end (Iceberg `rewrite_data_files` zorder
+    strategy / Delta OPTIMIZE ZORDER BY): orders is written range-
+    distributed on a Morton interleave of (o_custkey, o_totalprice), so
+    each data file covers a compact hyper-rectangle of the 2-D key space
+    and footer min/max stats stay narrow on BOTH dimensions. Asserted
+    mid-flow: selective predicates on o_custkey AND (independently) on
+    o_totalprice each skip files — a linear cluster_by on o_custkey could
+    only prune the first. The pruned scan stays exact (residual filter on
+    top of the skip). At 100 TB multi-dimension locality is what lets one
+    layout serve several query families without duplicate sort orders."""
+    root = tempfile.mkdtemp(prefix="vcat-zorder-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = "repo.main.db.orders_z"
+    cat.create_table_as(t, orders, zorder_by=["o_custkey", "o_totalprice"])
+    # sf-independent selective thresholds (~10% of each dimension's span),
+    # used only for the pruning asserts; the returned rows use a fixed
+    # literal the oracle replays
+    lo_ck, lo_tp = orders.selectExpr(
+        "min(o_custkey) + 0.1 * (max(o_custkey) - min(o_custkey))",
+        "min(o_totalprice) + 0.1 * (max(o_totalprice) - min(o_totalprice))",
+    ).collect()[0]
+    keep_ck, total = cat.select_files(t, "o_custkey", "<=", int(lo_ck))
+    keep_tp, _ = cat.select_files(t, "o_totalprice", "<=", float(lo_tp))
+    assert total > 1 and len(keep_ck) < total, (len(keep_ck), total)
+    assert len(keep_tp) < total, (len(keep_tp), total)  # 2nd dim prunes too
+    from .util import dround
+
+    out = cat.scan_pruned(t, "o_custkey", "<=", 150).select(
+        "o_orderkey", "o_custkey", dround("o_totalprice", 2).alias("total")
+    )
+    return _materialize(spark, out, root)

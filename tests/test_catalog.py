@@ -1189,3 +1189,71 @@ def test_cdc_apply_merge_on_read(cat, spark):
         cat.apply_cdc_batch(t, epoch1, ["id", "gender"], 9, mode="merge-on-read")
     with pytest.raises(UnsupportedOperationError):
         cat.apply_cdc_batch(t, epoch1, ["id"], 9, mode="nope")
+
+
+def test_tags_pin_state_and_are_immutable(spark, tmp_path):
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+    from lakefs_iceberg_catalog_spark.catalog.errors import (
+        NamespaceAlreadyExistsError,
+        NoSuchNamespaceError,
+    )
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    c.create_table_as(
+        "repo.main.db.t", spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    )
+    c.create_tag("repo", "v1", "main")
+    c.append("repo.main.db.t", spark.createDataFrame([(3, "c")], "id int, v string"))
+    assert c.scan("repo.main.db.t").count() == 3
+    assert c.scan_tag("repo", "v1", "db.t").count() == 2  # pinned
+    assert c.list_tags("repo") == ["v1"]
+    import pytest as _pt
+
+    with _pt.raises(NamespaceAlreadyExistsError):
+        c.create_tag("repo", "v1", "main")
+    c.delete_tag("repo", "v1")
+    with _pt.raises(NoSuchNamespaceError):
+        c.scan_tag("repo", "v1", "db.t")
+
+
+def test_table_changes_incremental_and_refusal(spark, tmp_path):
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+    from lakefs_iceberg_catalog_spark.catalog.errors import UnsupportedOperationError
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    c.create_table_as(
+        "repo.main.db.t", spark.createDataFrame([(1, "a")], "id int, v string")
+    )
+    c.append("repo.main.db.t", spark.createDataFrame([(2, "b")], "id int, v string"))
+    c.append("repo.main.db.t", spark.createDataFrame([(3, "c")], "id int, v string"))
+    delta = c.table_changes("repo.main.db.t", 1, 3)
+    assert sorted(r["id"] for r in delta.collect()) == [2, 3]
+    c.delete_where("repo.main.db.t", "id = 1")
+    import pytest as _pt
+
+    with _pt.raises(UnsupportedOperationError):
+        c.table_changes("repo.main.db.t", 3, 4)
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    rows = [(i, (i * 37) % 1000, float((i * 91) % 5000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id int, x int, y double")
+    c.create_table_as("repo.main.db.z", df, zorder_by=["x", "y"])
+    keep_x, total = c.select_files("repo.main.db.z", "x", "<=", 100)
+    keep_y, _ = c.select_files("repo.main.db.z", "y", "<=", 500.0)
+    assert total > 1
+    assert len(keep_x) < total, (len(keep_x), total)
+    assert len(keep_y) < total, (len(keep_y), total)
+    got = sorted(
+        r["id"] for r in c.scan_pruned("repo.main.db.z", "x", "<=", 100).collect()
+    )
+    assert got == sorted(i for i, x, y in rows if x <= 100)

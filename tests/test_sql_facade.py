@@ -361,3 +361,20 @@ def test_explain_passthrough(facade):
     ).collect()
     plan = out[0][0]
     assert "PushedFilters" in plan and "GreaterThan(age,40)" in plan
+
+
+def test_restore_table_and_files_metadata_sql(facade):
+    """RESTORE TABLE ... TO VERSION AS OF rolls back via one metadata
+    commit; `<table>.files` exposes per-file row counts and stats."""
+    facade.sql("DELETE FROM lakefs.repo.main.company.workers WHERE age >= 35")
+    assert facade.sql("SELECT * FROM lakefs.repo.main.company.workers").count() == 2
+    out = facade.sql(
+        "RESTORE TABLE lakefs.repo.main.company.workers TO VERSION AS OF 1"
+    ).collect()
+    assert out[0]["restored_as_version"] == 3
+    assert facade.sql("SELECT * FROM lakefs.repo.main.company.workers").count() == 6
+    files = facade.sql(
+        "SELECT file, row_count, column_stats FROM lakefs.repo.main.company.workers.files"
+    ).collect()
+    assert sum(r["row_count"] for r in files) == 6
+    assert all("age" in r["column_stats"] for r in files)
