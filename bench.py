@@ -84,6 +84,9 @@ EXTRA = [
     "pipeline_contamination_check",
     "window_sessionize",
     "sink_zorder_pruning",
+    "text_repetition_signals",
+    "text_unigram_logprob_score",
+    "similarity_ann_sq8",
 ]
 
 

@@ -746,3 +746,163 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(canon.alias("canonical_id"), (canon != F.col("vec_id")).alias("is_dup"))
     )
+
+
+_SQ_RERANK = 2 * _TOP_K  # exact-rerank candidate depth
+
+
+def _sq_bounds(spark: SparkSession, sf_dir: str):
+    """Per-dimension corpus min/max (the SQ8 codebook): ONE parallel
+    aggregate over the corpus, 2×64 doubles to the driver. mins/maxes are
+    exact float→double widenings in both engines, and scale/step are single
+    IEEE divisions of those — so the Spark literals and the oracle's
+    recomputed values are the same doubles bit-for-bit."""
+    e = table(spark, sf_dir, "embeddings")
+    row = e.agg(
+        *[F.min(F.element_at("embedding", i).cast("double")).alias(f"mn{i}") for i in range(1, _DIM + 1)],
+        *[F.max(F.element_at("embedding", i).cast("double")).alias(f"mx{i}") for i in range(1, _DIM + 1)],
+    ).collect()[0]
+    mns = [float(row[f"mn{i}"]) for i in range(1, _DIM + 1)]
+    mxs = [float(row[f"mx{i}"]) for i in range(1, _DIM + 1)]
+    scales = [255.0 / (mx - mn) if mx > mn else 0.0 for mn, mx in zip(mns, mxs)]
+    steps = [(mx - mn) / 255.0 for mn, mx in zip(mns, mxs)]
+    return mns, scales, steps
+
+
+@register(
+    "similarity_ann_sq8",
+    oracle=f"""
+WITH b AS (
+    SELECT CAST(t.i AS INT) AS i,
+           min(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)) AS mn,
+           max(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)) AS mx
+    FROM embeddings e CROSS JOIN range(1, {_DIM + 1}) t(i)
+    GROUP BY t.i
+),
+bounds AS (
+    SELECT list(mn ORDER BY i)                                            AS mns,
+           list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END ORDER BY i) AS scales,
+           list((mx - mn) / 255.0 ORDER BY i)                             AS steps
+    FROM b
+),
+deq AS (
+    SELECT e.vec_id,
+           list_transform(range(1, {_DIM + 1}),
+             i -> bounds.mns[i]
+                  + least(255, greatest(0, CAST(floor(
+                        (CAST(e.embedding[i] AS DOUBLE) - bounds.mns[i])
+                        * bounds.scales[i] + 0.5) AS BIGINT)))
+                    * bounds.steps[i]) AS demb
+    FROM embeddings e CROSS JOIN bounds
+),
+q AS (SELECT vec_id AS query_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS qn
+      FROM embeddings WHERE vec_id < {_N_QUERIES}),
+dn AS (SELECT vec_id, demb,
+             sqrt(list_aggregate(list_transform(demb, x -> x * x), 'sum')) AS cn
+      FROM deq),
+approx AS (
+    SELECT q.query_id, d.vec_id AS neighbor_id,
+           list_aggregate(list_transform(range(1, {_DIM + 1}),
+               i -> CAST(q.embedding[i] AS DOUBLE) * d.demb[i]), 'sum')
+             / (q.qn * d.cn) AS acos_
+    FROM q JOIN dn d ON d.vec_id <> q.query_id
+),
+ar AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY acos_ DESC, neighbor_id) AS arnk
+       FROM approx),
+cand AS (SELECT query_id, neighbor_id FROM ar WHERE arnk <= {_SQ_RERANK}),
+sims AS (
+    SELECT c.query_id, c.neighbor_id, {_cos_sql("q", "e")} AS cos
+    FROM cand c
+    JOIN embeddings q ON q.vec_id = c.query_id
+    JOIN embeddings e ON e.vec_id = c.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM sims
+)
+SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= {_TOP_K}
+""",
+)
+def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN (FAISS SQ8): each corpus vector is compressed to
+    64 uint8 codes via per-dimension linear quantization over global
+    min/max; the scan ranks candidates by ASYMMETRIC distance (exact query
+    × dequantized corpus — ADC), then the top 2k are reranked with exact
+    cosine on the raw vectors and top-k emitted.
+
+    100 TB story: the approx scan touches 1 byte/dim instead of 4 — the
+    memory-bandwidth-bound phase shrinks 4× and the full-precision vectors
+    are only fetched for the output-sized rerank set. The codebook
+    (per-dim min/max) is one parallel aggregate; quantize/dequantize are
+    per-row literal-array zips — the corpus never shuffles. Every float op
+    (scale, dequant, sequential fold dots) mirrors the oracle's arithmetic
+    order, so even the 'approximate' ranks are hash-checked exactly."""
+    mns, scales, steps = _sq_bounds(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    lit_mn = F.array(*[F.lit(v) for v in mns])
+    lit_scale = F.array(*[F.lit(v) for v in scales])
+    lit_step = F.array(*[F.lit(v) for v in steps])
+    centered = F.zip_with(F.col("embedding"), lit_mn, lambda x, m: x.cast("double") - m)
+    code = F.zip_with(
+        centered, lit_scale,
+        lambda d, s: F.least(F.lit(255), F.greatest(F.lit(0), F.floor(d * s + F.lit(0.5)))),
+    )
+    scaled = F.zip_with(code, lit_step, lambda c, s: c * s)
+    demb = F.zip_with(scaled, lit_mn, lambda d, m: m + d)
+    dn = e.select(
+        "vec_id", demb.alias("demb")
+    ).select("vec_id", "demb", F.sqrt(_sqnorm(F.col("demb"))).alias("cn"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("qn"),
+    )
+    approx = (
+        F.broadcast(q)
+        .crossJoin(dn)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("demb")) / (F.col("qn") * F.col("cn"))).alias("acos_"),
+        )
+    )
+    wa = W.partitionBy("query_id").orderBy(F.col("acos_").desc(), F.col("neighbor_id"))
+    cand = (
+        approx.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") <= _SQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank on the raw vectors — output-sized (queries × 2k rows)
+    qraw = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("qn"),
+    )
+    craw = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("cn2"),
+    )
+    sims = (
+        F.broadcast(cand)
+        .join(qraw, "query_id")
+        .join(craw, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("qn") * F.col("cn2"))).alias("cos"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rnk", dround("cos", 6).alias("cosine"))
+    )

@@ -344,3 +344,125 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rnk")
     )
+
+
+@register(
+    "text_repetition_signals",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+words AS (SELECT doc_id, unnest(ws) AS w FROM d),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+agg1 AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           max(c)                 AS top_w,
+           count(*)               AS n_distinct
+    FROM wc GROUP BY doc_id
+),
+bgr AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i+1])) AS b
+    FROM d WHERE len(ws) >= 2
+),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bgr GROUP BY doc_id, b),
+agg2 AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bg
+    FROM bc GROUP BY doc_id
+)
+SELECT a.doc_id,
+       n_words,
+       round(CAST(top_w AS DOUBLE) / n_words, 6)          AS top_word_frac,
+       round(1 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+       round(CAST(top_bg AS DOUBLE) / n_bigrams, 6)       AS top_bigram_frac
+FROM agg1 a JOIN agg2 b ON a.doc_id = b.doc_id
+""",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals — the MassiveText/Gopher quality
+    heuristics (Rae et al. 2021 §A1.1): fraction of words taken by the most
+    frequent word, duplicate-word fraction, and top-bigram fraction.
+    Training pipelines gate boilerplate/spam on exactly these knobs.
+
+    Shape: one explode to word rows, count per (doc, word), re-aggregate per
+    doc; bigrams via a lead window over the exploded rows (codegen, no
+    interpreted array lambdas). Both rollups shuffle on doc_id only —
+    embarrassingly parallel at 100 TB, and the per-doc key is the same for
+    both aggregations so the exchange is reused."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(_words()).alias("pos", "w")
+    )
+    wc = d.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    agg1 = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_w"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        d.withColumn("w1", F.lead("w", 1).over(w))
+        .filter(F.col("w1").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1").alias("b"))
+    )
+    bc = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    agg2 = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg")
+    )
+    return agg1.join(agg2, "doc_id").select(
+        "doc_id",
+        "n_words",
+        dround(F.col("top_w").cast("double") / F.col("n_words"), 6).alias("top_word_frac"),
+        dround(F.lit(1) - F.col("n_distinct").cast("double") / F.col("n_words"), 6).alias("dup_word_frac"),
+        dround(F.col("top_bg").cast("double") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "text_unigram_logprob_score",
+    oracle="""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (
+    SELECT w,
+           CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM words) AS p
+    FROM words GROUP BY w
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)     AS n_words,
+       round(avg(-ln(f.p)), 6)      AS mean_neg_logprob
+FROM words x JOIN freq f ON x.w = f.w
+GROUP BY doc_id
+""",
+)
+def text_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal unigram LM scoring — the CCNet-style quality proxy
+    (Wenzek et al. 2020): per-doc mean negative log-probability of its words
+    under the corpus's own unigram distribution. Low = stereotypical text,
+    high = rare-word soup; pipelines keep the middle band.
+
+    Shape: one explode to word rows feeding BOTH the corpus frequency table
+    and the per-doc score (diamond — the word rows are tiny relative to
+    text, recomputing beats persisting here); the frequency table
+    (vocabulary-sized, ≪ corpus) broadcasts back onto the word rows, so the
+    only per-row shuffle is the final doc_id rollup. At 100 TB the
+    vocabulary is still ~10⁷ rows — broadcastable — while the word rows
+    never shuffle except per-doc."""
+    words = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_words()).alias("w")
+    )
+    total = words.count()
+    freq = words.groupBy("w").agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(total)).alias("p")
+    )
+    return (
+        words.join(F.broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            dround(F.avg(-F.log("p")), 6).alias("mean_neg_logprob"),
+        )
+    )

@@ -445,3 +445,39 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, round(e.value, 2) AS value_r
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static enrichment join: the events stream joined to the
+    static customer dimension — the canonical streaming-ETL shape (enrich
+    each event with its dimension row on arrival). The static side needs no
+    watermark and holds no state: Spark broadcasts it to every micro-batch,
+    so at 100 TB of stream the per-trigger cost is the batch's rows × a
+    hash-map probe, never a stateful shuffle. Closed-input append-mode
+    emission equals the batch join — the DuckDB oracle."""
+    dim = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+    def xform(s):
+        return (
+            s.filter(F.col("event_type") == "purchase")
+            .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+            .select(
+                "event_id",
+                "user_id",
+                "c_name",
+                "c_mktsegment",
+                dround("value", 2).alias("value_r"),
+            )
+        )
+
+    return run_events_stream(spark, sf_dir, xform, mode="append")

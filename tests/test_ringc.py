@@ -199,3 +199,22 @@ def test_multimodal_real_codec_gated():
 
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG fake")
+
+
+def test_ann_sq8_recall_vs_exact(spark):
+    """SQ8 + exact rerank should recover nearly all of the brute-force
+    top-5: 8-bit quantization error is tiny relative to cosine gaps on
+    random 64-dim data, and the 2k rerank window absorbs approx-rank
+    inversions. Floor set conservatively."""
+    exact = registry.QUERIES["similarity_topk"](spark, SF_DIR).collect()
+    approx = registry.QUERIES["similarity_ann_sq8"](spark, SF_DIR).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"sq8 recall too low: {recall}"
+    # reranked cosines are EXACT — any overlapping (q, n) pair must carry
+    # the same rounded cosine as brute force
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in ex:
+            assert abs(r.cosine - ex[(r.query_id, r.neighbor_id)]) < 1e-9
