@@ -354,3 +354,45 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+t AS (SELECT p_name, string_split(p_name, ' ')[-1] AS noun FROM names)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM t a JOIN t b ON a.noun = b.noun AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching with token blocking — the entity-resolution
+    join: distinct part names pair up within a blocking key (their noun
+    token) and survive if edit distance ≤ 3. The blocking equi-join is the
+    scale mechanism: candidates = pairs sharing a block, never all-pairs,
+    the same output-sized-join discipline as the LSH band join — and
+    levenshtein (quadratic per pair) runs only on blocked candidates.
+    Both engines implement the same Wagner-Fischer distance, so the pair
+    set hash-matches exactly."""
+    names = (
+        table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("noun", F.element_at(F.split("p_name", " "), -1))
+    )
+    right = names.select(
+        F.col("p_name").alias("name_b"), F.col("noun").alias("noun_r")
+    )
+    return (
+        names.select(F.col("p_name").alias("name_a"), "noun")
+        .join(
+            right,
+            (F.col("noun") == F.col("noun_r")) & (F.col("name_a") < F.col("name_b")),
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 3)
+        .select(
+            "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
+        )
+    )

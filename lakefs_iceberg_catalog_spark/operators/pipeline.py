@@ -363,3 +363,57 @@ def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "pipeline_doc_shard",
+    oracle=f"""
+WITH sharded AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % {_N_SHARDS} AS shard,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+    FROM documents
+)
+SELECT CAST(shard AS INT)             AS shard,
+       count(*)                       AS n_docs,
+       CAST(sum(est_tokens) AS BIGINT) AS total_tokens
+FROM sharded GROUP BY shard ORDER BY shard
+""",
+)
+def pipeline_doc_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus sharding — the reproducible train-data split:
+    each document routes to shard = md5-prefix(doc_id) mod {_N_SHARDS}, so
+    any worker on any engine re-derives the same assignment with no shared
+    state (the property that makes distributed tokenization jobs and
+    restart-safe dataloaders possible). The digest is uniform, so shard
+    token budgets self-balance — the spread shrinks as 1/√(docs per
+    shard); at the fixture's ~31 docs/shard the assert bounds it at 3×,
+    at production scale it converges to ~1×. One map-only projection +
+    one {_N_SHARDS}-group aggregate — nothing shuffles but the final
+    tiny rollup."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % F.lit(_N_SHARDS)
+        ).cast("int").alias("shard"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("est_tokens"),
+    )
+    out = (
+        d.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("est_tokens").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
+    toks = [r["total_tokens"] for r in out.collect()]
+    assert len(toks) == _N_SHARDS and max(toks) < 3 * min(toks), (
+        "shard balance collapsed",
+        toks,
+    )
+    return out

@@ -388,9 +388,10 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one explode to word rows, count per (doc, word), re-aggregate per
     doc; bigrams via a lead window over the exploded rows (codegen, no
-    interpreted array lambdas). Both rollups shuffle on doc_id only —
-    embarrassingly parallel at 100 TB, and the per-doc key is the same for
-    both aggregations so the exchange is reused."""
+    interpreted array lambdas). Every shuffle key contains doc_id, partial
+    aggregation collapses per-partition duplicates before each exchange,
+    and the final per-doc join broadcasts — embarrassingly parallel at
+    100 TB."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.posexplode(_words()).alias("pos", "w")
     )

@@ -78,6 +78,7 @@ _SWEEP_PRIORITY = [
     "time_travel_changes", "sink_zorder_pruning",
     "text_repetition_signals", "text_unigram_logprob_score",
     "stream_static_join", "similarity_ann_sq8",
+    "join_fuzzy_levenshtein", "pipeline_doc_shard",
     "dml_delete_where_mor", "dml_update_where_mor",
     "q2_min_cost_supplier", "q3_shipping_priority", "q8_market_share",
     "q9_product_profit", "q11_important_stock", "q16_parts_supplier_count",

@@ -365,3 +365,39 @@ def test_sessionize_windows_share_one_exchange(spark):
     n_exchanges = p.count(") Exchange")
     assert n_exchanges <= 2, p
     assert p.count(") Window") == 2  # lag + cumsum, no extra sorts between
+
+
+def test_fuzzy_join_is_blocked_hash_join(spark):
+    """The fuzzy-match join must hash-join on the blocking token —
+    levenshtein runs only on blocked candidates, never all-pairs."""
+    p = plan(q(spark, "join_fuzzy_levenshtein"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "levenshtein" in p.lower()
+
+
+def test_sq8_rerank_joins_broadcast(spark):
+    """SQ8's approx scan is the intended broadcast(queries)×corpus pass;
+    the rerank joins must broadcast the output-sized candidate set, never
+    shuffle the corpus for it."""
+    p = plan(q(spark, "similarity_ann_sq8"))
+    assert p.count("SortMergeJoin") == 0
+    assert p.count("CartesianProduct") == 0
+    assert "BroadcastHashJoin" in p
+
+
+def test_repetition_signals_partial_aggs(spark):
+    """Both word and bigram rollups must carry map-side partial aggregation
+    and end in a broadcast join of the two per-doc aggregates."""
+    p = plan(q(spark, "text_repetition_signals"))
+    assert "partial_count" in p or "HashAggregate" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_unigram_logprob_broadcasts_vocabulary(spark):
+    """The vocabulary-frequency table must broadcast back onto the word
+    rows — the corpus-sized side never shuffles for the join."""
+    p = plan(q(spark, "text_unigram_logprob_score"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
