@@ -87,6 +87,8 @@ EXTRA = [
     "text_repetition_signals",
     "text_unigram_logprob_score",
     "similarity_ann_sq8",
+    "join_range_bucketized",
+    "join_fuzzy_levenshtein",
 ]
 
 

@@ -558,17 +558,78 @@ class VersionedCatalog:
             ),
         )
 
+    def clone_table(self, src: str | list[str], dst: str | list[str]) -> None:
+        """Shallow clone (Delta CLONE / Iceberg snapshot-ref pattern): the
+        destination gets a NEW table identity (fresh uuid, version 1) whose
+        manifest references the SOURCE's current data files by repo-relative
+        path — zero data movement, one metadata write, any table size. The
+        clone then diverges independently: its rewrites produce its own
+        files, and the shared originals stay safe because deletion is only
+        ever decided by repo-wide reachability (garbage_collect), the same
+        invariant zero-copy branching relies on. Clones must stay within
+        the source's repository (the reachability walk is per-repo)."""
+        ops_src, src_levels = self._ops(src)
+        m = ops_src.current()
+        if m is None:
+            raise NoSuchTableError(".".join(src_levels))
+        ops_dst, dst_levels = self._ops(dst)
+        if src_levels[0] != dst_levels[0]:
+            raise UnsupportedOperationError(
+                "shallow clone must stay within one repository "
+                "(cross-repo file sharing would break GC reachability)"
+            )
+        if ops_dst.is_table_dir():
+            raise TableAlreadyExistsError(".".join(dst_levels))
+        os.makedirs(os.path.join(self.root, *dst_levels, "data"), exist_ok=True)
+        clone = new_manifest(
+            m.schema_json,
+            list(m.files),
+            properties=dict(m.properties),
+            file_stats={f: m.file_stats[f] for f in m.files if f in m.file_stats},
+            partition_spec=list(m.partition_spec),
+            file_partitions={
+                f: m.file_partitions[f] for f in m.files if f in m.file_partitions
+            },
+            bucket_spec=dict(m.bucket_spec),
+        )
+        # the clone inherits the source's field-id history for its files
+        # (they were written under the source's mappings), and any pending
+        # MoR delete predicates — a clone must read exactly what the source
+        # reads at clone time
+        clone.columns = [dict(c) for c in m.columns]
+        clone.file_columns = {f: dict(v) for f, v in m.file_columns.items() if f in set(m.files)}
+        clone.file_types = {f: dict(v) for f, v in m.file_types.items() if f in set(m.files)}
+        clone.delete_preds = {f: list(v) for f, v in m.delete_preds.items() if f in set(m.files)}
+        ops_dst.commit(None, clone)
+
     def rename_table(self, src, dst) -> None:
         raise UnsupportedOperationError("rename is not supported (identity = path)")
 
     def drop_table(self, identifier: str | list[str], purge: bool = False) -> None:
-        """Remove the table directory; `purge` additionally deletes data files
-        this table owns under other-branch prefixes is NOT done — shared files
-        are left alone, matching zero-copy sharing (LakeFSCatalog.java:185-215)."""
+        """Remove the table: drop its manifests (its references disappear),
+        then delete only data files under its directory that no OTHER live
+        manifest still reaches — zero-copy sharing means another branch's
+        table or a shallow clone may reference files physically homed here
+        (LakeFSCatalog.java:185-215 leaves shared objects alone the same
+        way). If shared files remain, the data directory stays until
+        repo-wide GC reclaims it."""
         ops, levels = self._ops(identifier)
         if not ops.is_table_dir():
             raise NoSuchTableError(".".join(levels))
-        shutil.rmtree(ops.table_dir)
+        shutil.rmtree(ops.meta_dir)
+        still_needed = self.referenced_files(levels[0])
+        shared = False
+        for dirpath, _, filenames in os.walk(ops.table_dir):
+            for name in filenames:
+                if not name.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, name)
+                if self._rel(levels[0], p) in still_needed:
+                    shared = True
+                else:
+                    os.remove(p)
+        if not shared:
+            shutil.rmtree(ops.table_dir, ignore_errors=True)
 
     # --------------------------------------------------------------- data IO
 
@@ -1294,21 +1355,50 @@ class VersionedCatalog:
         )
 
     def merge_upsert(
-        self, identifier: str | list[str], source: DataFrame, key_cols: list[str]
+        self,
+        identifier: str | list[str],
+        source: DataFrame,
+        key_cols: list[str],
+        evolve_schema: bool = False,
     ) -> None:
         """MERGE INTO (upsert) emulation without the Iceberg runtime jar:
         target rows whose key appears in the source are replaced by the
         source row, unmatched source rows are inserted — target-anti-join ∪
         source, committed as one copy-on-write snapshot. At 100 TB both
         sides hash-shuffle once on the key (or zero times if the table is
-        bucketed on it)."""
+        bucketed on it).
+
+        ``evolve_schema=True`` is Iceberg/Delta's merge-with-schema-
+        evolution (``spark.databricks.delta.schema.autoMerge`` /
+        mergeSchema): source columns absent from the target are auto-added
+        as nullable fields WITH fresh never-reused field ids, in the SAME
+        commit as the row merge — existing rows read NULL for them. Without
+        the flag, extra source columns raise (the strict ANSI behavior)."""
         ops, levels = self._ops(identifier)
         base = ops.current()
         if base is None:
             raise NoSuchTableError(".".join(levels))
         schema = T.StructType.fromJson(json.loads(base.schema_json))
+        columns = None
+        extra = [f for f in source.schema.fields if f.name not in schema.fieldNames()]
+        if extra and evolve_schema:
+            next_id = max((int(c["id"]) for c in base.columns), default=-1) + 1
+            columns = list(base.columns) + [
+                {"id": next_id + i, "name": f.name} for i, f in enumerate(extra)
+            ]
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(f.name, f.dataType, True) for f in extra]
+            )
+        elif extra:
+            raise SchemaMismatchError(
+                f"source has columns {[f.name for f in extra]} not in the "
+                "target schema; pass evolve_schema=True to auto-add them"
+            )
         aligned_src = _align_to_schema(source, schema)
         target = self._read_files(levels[0], base)
+        for f in extra:
+            target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
         kept = target.join(aligned_src.select(*key_cols), on=key_cols, how="left_anti")
         files, stats, fparts = self._write_data(
             levels,
@@ -1316,7 +1406,16 @@ class VersionedCatalog:
             partition_by=base.partition_spec or None,
             bucket_spec=base.bucket_spec or None,
         )
-        ops.commit(base, base.next(files, file_stats=stats, file_partitions=fparts))
+        ops.commit(
+            base,
+            base.next(
+                files,
+                file_stats=stats,
+                file_partitions=fparts,
+                schema_json=schema.json() if extra else None,
+                columns=columns,
+            ),
+        )
 
     def table_history(self, identifier: str | list[str]) -> list[int]:
         """All committed versions, oldest first (metadata-only listing)."""

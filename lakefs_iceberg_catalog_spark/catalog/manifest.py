@@ -175,19 +175,25 @@ class TableManifest:
         file_partitions: dict | None = None,
     ) -> "TableManifest":
         new_cols = list(self.columns if columns is None else columns)
-        # Any file the base doesn't know was just written with the CURRENT
+        # Any file the base doesn't know was just written with the COMMIT's
         # column names — stamp its {id: name} mapping here so every commit
         # path (append/CoW rewrite/merge/stream sink) records provenance
-        # without each call site threading it through. Entries for files no
+        # without each call site threading it through. When the commit
+        # itself evolves the schema (columns/schema_json passed — e.g.
+        # merge with schema evolution), the new files were written with the
+        # NEW shape, so provenance uses it; pure-metadata evolutions write
+        # no files, making the two cases coincide for retained files
+        # (which always keep their recorded mapping). Entries for files no
         # longer listed are dropped (rewritten/compacted away).
-        write_mapping = {str(c["id"]): c["name"] for c in (self.columns or new_cols)}
+        src_cols = new_cols if columns is not None else (self.columns or new_cols)
+        write_mapping = {str(c["id"]): c["name"] for c in src_cols}
         fcols = {
             f: self.file_columns.get(f, write_mapping)
             for f in files
         }
-        # written physical types follow the same provenance rule: files the
-        # base doesn't know were written with the base's CURRENT types
-        write_types = _types_by_id(self.schema_json, self.columns or new_cols)
+        # written physical types follow the same provenance rule
+        eff_schema = self.schema_json if schema_json is None else schema_json
+        write_types = _types_by_id(eff_schema, src_cols)
         ftypes = {f: self.file_types.get(f, write_types) for f in files}
         # delete predicates follow their file: inherited for retained files,
         # gone with rewritten/compacted ones, never attached to new files

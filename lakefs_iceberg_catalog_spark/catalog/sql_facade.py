@@ -187,6 +187,16 @@ class SqlFacade:
             return mk(sorted(meta.items()), "info_name string, info_value string")
 
         m = re.match(
+            rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+({_IDENT})\s*$",
+            s,
+        )
+        if m:
+            # zero-copy table clone (Delta CLONE form): one metadata write,
+            # data files shared until the clone diverges
+            self.catalog.clone_table(_clean(m.group(2)), _clean(m.group(1)))
+            return mk([], "result string")
+
+        m = re.match(
             rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s*\((.*?)\)"
             rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*$",
             s,

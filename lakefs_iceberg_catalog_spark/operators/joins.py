@@ -396,3 +396,71 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
         )
     )
+
+
+_RANGE_WINDOW_US = 120_000_000  # 2-minute co-occurrence window
+
+
+@register(
+    "join_range_bucketized",
+    oracle=f"""
+WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs
+FROM e a JOIN e b
+  ON (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+ AND b.us - a.us <= {_RANGE_WINDOW_US}
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACT-FACT range join via bucketization — the pattern SCALE.md
+    mandates where neither side is broadcastable: ordered event pairs
+    within a 2-minute window, counted per type pair (co-occurrence /
+    session-stitching shape).
+
+    Naively this is an O(n²) theta join (Spark would plan a cartesian).
+    Instead both sides bucket time into window-sized cells; the LATER side
+    expands to {{its bucket, its bucket − 1}} and the join becomes an
+    EQUI-join on the bucket id — with the ordering constraint (earlier.us <
+    later.us), a qualifying pair's buckets differ by at most one, and the
+    two-cell expansion matches each pair EXACTLY once (same-bucket pairs
+    via the identity cell, cross-boundary pairs via the −1 cell), so no
+    dedup pass is needed. The residual range predicate filters inside the
+    hash join. Cost: 2× one side through one shuffle, candidates bounded
+    by pairs-per-bucket — never all-pairs. The same shape handles any
+    band/interval join (as-of enrichment, sensor alignment) at 100 TB."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    a = e.select(
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("us").alias("us_a"),
+        F.floor(F.col("us") / _RANGE_WINDOW_US).alias("bk"),
+    )
+    b = e.select(
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("us").alias("us_b"),
+        F.explode(
+            F.array(
+                F.floor(F.col("us") / _RANGE_WINDOW_US) - 1,
+                F.floor(F.col("us") / _RANGE_WINDOW_US),
+            )
+        ).alias("bk"),
+    )
+    pairs = a.join(b, "bk").filter(
+        (
+            (F.col("us_a") < F.col("us_b"))
+            | ((F.col("us_a") == F.col("us_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        & (F.col("us_b") - F.col("us_a") <= _RANGE_WINDOW_US)
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )

@@ -457,3 +457,84 @@ def time_travel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     except UnsupportedOperationError:
         pass
     return _materialize(spark, delta.orderBy("id"), root)
+
+
+@register(
+    "dml_merge_schema_evolution",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1', 'James',   'Smith',    32, 'M', CAST(NULL AS VARCHAR)),
+  ('2', 'Mike',    'Rose',     36, 'M', 'eng'),
+  ('3', 'Robert',  'Williams', 41, 'M', NULL),
+  ('4', 'Maria',   'Jones',    36, 'F', NULL),
+  ('5', 'Jen',     'Brown',    44, 'F', NULL),
+  ('6', 'Monika',  'Geller',   31, 'F', NULL),
+  ('9', 'Noor',    'Khan',     29, 'F', 'ops')
+) AS t(id, firstname, lastname, age, gender, dept)
+""",
+)
+def dml_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with schema evolution (Delta autoMerge / Iceberg mergeSchema):
+    the source carries a `dept` column the target lacks — with
+    evolve_schema=True the column is auto-added (fresh field id, nullable)
+    in the SAME commit as the upsert; pre-existing rows read NULL for it,
+    and time travel to v1 still shows the 5-column schema. Strict mode
+    (the default) refuses the same source — asserted mid-flow."""
+    from ..catalog.errors import SchemaMismatchError
+    from pyspark.sql import types as T
+
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    src_schema = T.StructType(
+        list(WORKERS_SCHEMA.fields) + [T.StructField("dept", T.StringType(), True)]
+    )
+    src = spark.createDataFrame(
+        [("2", "Mike", "Rose", 36, "M", "eng"), ("9", "Noor", "Khan", 29, "F", "ops")],
+        src_schema,
+    )
+    try:
+        cat.merge_upsert(t, src, ["id"])
+        raise AssertionError("strict merge must refuse unknown source columns")
+    except SchemaMismatchError:
+        pass
+    cat.merge_upsert(t, src, ["id"], evolve_schema=True)
+    assert len(cat.scan(t, version=1).columns) == 5  # history keeps old shape
+    assert cat.scan(t).schema["dept"].dataType.typeName() == "string"
+    return _materialize(spark, cat.scan(t), root)
+
+
+@register(
+    "sink_shallow_clone",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <> 0",
+)
+def sink_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone (Delta CLONE): the clone's v1 manifest references the
+    source's data files by path — zero data movement at any table size —
+    then diverges independently (a delete on the clone rewrites only clone
+    files; the source is untouched). Dropping the SOURCE must not break the
+    clone: drop_table deletes only unreachable files (repo-wide
+    reachability, the zero-copy-sharing invariant), asserted by scanning
+    the clone after the drop."""
+    import tempfile
+
+    from ..catalog import VersionedCatalog
+    from ..tables import table as _tbl
+
+    root = tempfile.mkdtemp(prefix="vcat-clone-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    src, dst = "repo.main.db.nation_src", "repo.main.db.nation_clone"
+    cat.create_table_as(
+        src, _tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    )
+    cat.clone_table(src, dst)
+    m_src = cat._ops(src)[0].current()
+    m_dst = cat._ops(dst)[0].current()
+    assert m_dst.files == m_src.files and m_dst.version == 1  # zero-copy
+    assert m_dst.table_uuid != m_src.table_uuid               # own identity
+    cat.delete_where(dst, "n_regionkey = 0")  # clone diverges (CoW rewrite)
+    assert cat.scan(src).count() == 25        # source untouched
+    cat.drop_table(src)                       # must preserve shared files
+    assert not cat.table_exists(src)
+    return _materialize(spark, cat.scan(dst), root)

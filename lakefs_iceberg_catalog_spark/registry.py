@@ -79,6 +79,8 @@ _SWEEP_PRIORITY = [
     "text_repetition_signals", "text_unigram_logprob_score",
     "stream_static_join", "similarity_ann_sq8",
     "join_fuzzy_levenshtein", "pipeline_doc_shard",
+    "join_range_bucketized", "dml_merge_schema_evolution",
+    "sink_shallow_clone",
     "dml_delete_where_mor", "dml_update_where_mor",
     "q2_min_cost_supplier", "q3_shipping_priority", "q8_market_share",
     "q9_product_profit", "q11_important_stock", "q16_parts_supplier_count",

@@ -1257,3 +1257,23 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
         r["id"] for r in c.scan_pruned("repo.main.db.z", "x", "<=", 100).collect()
     )
     assert got == sorted(i for i, x, y in rows if x <= 100)
+
+
+def test_clone_survives_source_drop_and_gc(spark, tmp_path):
+    """Shallow clone + drop source: shared files survive (reachability), and
+    a subsequent repo GC removes nothing the clone still needs."""
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    c.create_table_as(
+        "repo.main.db.src",
+        spark.createDataFrame([(i, f"v{i}") for i in range(50)], "id int, v string"),
+    )
+    c.clone_table("repo.main.db.src", "repo.main.db.dup")
+    c.drop_table("repo.main.db.src")
+    assert c.scan("repo.main.db.dup").count() == 50
+    removed = c.garbage_collect("repo")
+    assert removed == []  # everything left is reachable through the clone
+    assert c.scan("repo.main.db.dup").count() == 50

@@ -401,3 +401,12 @@ def test_unigram_logprob_broadcasts_vocabulary(spark):
     p = plan(q(spark, "text_unigram_logprob_score"))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_range_bucketized_is_equi_join(spark):
+    """The fact-fact range join must plan as a hash equi-join on the bucket
+    id — never the cartesian/nested-loop a raw theta join would get."""
+    p = plan(q(spark, "join_range_bucketized"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p

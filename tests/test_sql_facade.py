@@ -378,3 +378,16 @@ def test_restore_table_and_files_metadata_sql(facade):
     ).collect()
     assert sum(r["row_count"] for r in files) == 6
     assert all("age" in r["column_stats"] for r in files)
+
+
+def test_shallow_clone_sql(facade):
+    """CREATE TABLE ... SHALLOW CLONE: zero-copy metadata clone that then
+    diverges independently of its source."""
+    facade.sql(
+        "CREATE TABLE lakefs.repo.main.company.workers2 "
+        "SHALLOW CLONE lakefs.repo.main.company.workers"
+    )
+    assert facade.sql("SELECT * FROM lakefs.repo.main.company.workers2").count() == 6
+    facade.sql("DELETE FROM lakefs.repo.main.company.workers2 WHERE age >= 35")
+    assert facade.sql("SELECT * FROM lakefs.repo.main.company.workers2").count() == 2
+    assert facade.sql("SELECT * FROM lakefs.repo.main.company.workers").count() == 6
