@@ -155,3 +155,89 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot("l_returnflag", ["qty", "price", "disc"], "metric", "val_raw")
         .select("l_returnflag", "metric", dround("val_raw", 2).alias("val"))
     )
+
+
+_FUNNEL_WINDOW_H = 24
+
+
+@register(
+    "agg_funnel_steps",
+    oracle=f"""
+WITH s1 AS (SELECT user_id, min(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS click_ts
+       FROM events e JOIN s1 ON s1.user_id = e.user_id
+        AND e.ts > s1.signup_ts
+        AND e.ts <= s1.signup_ts + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+       FROM events e JOIN s2 ON s2.user_id = e.user_id
+        AND e.ts > s2.click_ts
+        AND e.ts <= s2.click_ts + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT s1.user_id, s1.signup_ts, s2.click_ts, s3.purchase_ts,
+       1 + (CASE WHEN s2.click_ts IS NULL THEN 0 ELSE 1 END)
+         + (CASE WHEN s3.purchase_ts IS NULL THEN 0 ELSE 1 END) AS depth,
+       round(CASE WHEN s3.purchase_ts IS NULL THEN NULL
+             ELSE (epoch_us(s3.purchase_ts) - epoch_us(s1.signup_ts)) / 3600000000.0
+             END, 6) AS hours_to_convert
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+""",
+)
+def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel (signup → click → purchase, each step
+    within {_FUNNEL_WINDOW_H} h of the previous) — the MATCH_RECOGNIZE /
+    windowFunnel analytics shape, built from per-step conditional
+    aggregations.
+
+    Scale shape: step 1 is one user_id rollup of the signup slice; each
+    later step joins the PREVIOUS step's user-cardinality table (≪ events —
+    broadcastable in practice) onto the event slice for its type, pushed
+    filters keeping the probe side to one event type. Per-step cost is one
+    filtered scan + one hash join + one partial-agg rollup — never a
+    per-user subquery, never a whole-history sort. Depth and
+    time-to-convert come out per user for cohort rollups downstream."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    win = F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter((F.col("ts") > F.col("signup_ts")) & (F.col("ts") <= F.col("signup_ts") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter((F.col("ts") > F.col("click_ts")) & (F.col("ts") <= F.col("click_ts") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.lit(1)
+                + F.when(F.col("click_ts").isNull(), 0).otherwise(1)
+                + F.when(F.col("purchase_ts").isNull(), 0).otherwise(1)
+            ).alias("depth"),
+            dround(
+                (
+                    F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")
+                ).cast("double")
+                / 3600000000.0,
+                6,
+            ).alias("hours_to_convert"),
+        )
+    )

