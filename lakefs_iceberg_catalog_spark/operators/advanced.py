@@ -241,3 +241,72 @@ def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hours_to_convert"),
         )
     )
+
+
+@register(
+    "rollup_gapfill_locf",
+    oracle="""
+WITH bounds AS (
+  SELECT time_bucket(INTERVAL '6 hours', min(ts)) AS lo,
+         time_bucket(INTERVAL '6 hours', max(ts)) AS hi
+  FROM events WHERE event_type = 'purchase'
+),
+grid AS (SELECT u.user_id, unnest(generate_series(b.lo, b.hi, INTERVAL 6 HOUR)) AS bucket
+         FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') u, bounds b),
+actual AS (SELECT user_id, time_bucket(INTERVAL '6 hours', ts) AS bucket,
+                  round(sum(value), 2) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT g.user_id, g.bucket, a.v AS observed,
+       last_value(a.v IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.bucket) AS filled
+FROM grid g LEFT JOIN actual a ON a.user_id = g.user_id AND a.bucket = g.bucket
+""",
+)
+def rollup_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with last-observation-carried-forward — the
+    TimescaleDB `time_bucket_gapfill` + `locf` shape: a dense (user ×
+    6-hour bucket) grid is generated, per-bucket purchase sums land on it,
+    and missing cells inherit the user's previous observation via an
+    IGNORE NULLS running last (cells before a user's first observation stay
+    NULL, the locf contract).
+
+    Scale shape: the grid is users × generate_series — built by exploding a
+    per-user literal sequence, no shuffle; the observation join shuffles
+    only actual observations (sparse ≪ grid); the fill is ONE window pass
+    per user partition. At 100 TB the grid never materializes outside its
+    partition and the bucket bounds come from one min/max aggregate."""
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    lo, hi = e.agg(
+        F.min(F.window("ts", "6 hours").start),
+        F.max(F.window("ts", "6 hours").start),
+    ).collect()[0]
+    grid = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit(lo).cast("timestamp"),
+                    F.lit(hi).cast("timestamp"),
+                    F.expr("INTERVAL 6 HOURS"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    actual = (
+        e.groupBy("user_id", F.window("ts", "6 hours").start.alias("bucket"))
+        .agg(dround(F.sum("value"), 2).alias("v"))
+    )
+    w = W.partitionBy("user_id").orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        grid.join(actual, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.col("v").alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("filled"),
+        )
+    )

@@ -349,3 +349,35 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode(F.concat_ws(":", "text", F.col("doc_id").cast("string")), "UTF-8")
         ).alias("h_salted"),
     )
+
+
+@register(
+    "scalar_regex",
+    oracle=r"""
+SELECT doc_id,
+       source,
+       CAST(regexp_extract(source, '([a-z]+)(\d+)', 2) AS INT)   AS src_num,
+       regexp_extract(source, '([a-z]+)(\d+)', 1)                AS src_family,
+       regexp_replace(text, '\d+', '#', 'g')                     AS masked,
+       regexp_matches(text, '\d')                                AS has_digit
+FROM documents
+WHERE doc_id < 200
+""",
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: group extraction (regexp_extract), global
+    substitution (regexp_replace), and containment (rlike) — the text-
+    wrangling primitives every ingestion pipeline leans on. Patterns stay
+    in the POSIX-compatible subset where Java regex (Spark) and RE2
+    (DuckDB) agree, which is also the subset that stays portable at
+    deployment. Pure scan-stage codegen expressions — no shuffle, no
+    Python."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        "source",
+        F.regexp_extract("source", r"([a-z]+)(\d+)", 2).cast("int").alias("src_num"),
+        F.regexp_extract("source", r"([a-z]+)(\d+)", 1).alias("src_family"),
+        F.regexp_replace("text", r"\d+", "#").alias("masked"),
+        F.col("text").rlike(r"\d").alias("has_digit"),
+    )
