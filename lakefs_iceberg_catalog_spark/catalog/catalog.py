@@ -1488,6 +1488,28 @@ class VersionedCatalog:
             "column_stats string, n_delete_preds int",
         )
 
+    def partitions(self, identifier: str | list[str]) -> DataFrame:
+        """Partitions metadata table (Iceberg's ``<table>.partitions``): one
+        row per live partition tuple with file and row counts — a rollup of
+        the files metadata, no page IO beyond footer row counts. For an
+        unpartitioned table this is one row with an empty partition."""
+        ops, levels = self._ops(identifier)
+        m = ops.current()
+        if m is None:
+            raise NoSuchTableError(".".join(levels))
+        repo_dir = self._repo_dir(levels[0])
+        agg: dict[str, list[int]] = {}
+        for f in m.files:
+            key = json.dumps(m.file_partitions.get(f, {}), sort_keys=True)
+            n = int(_parquet_num_rows(os.path.join(repo_dir, f)))
+            cur = agg.setdefault(key, [0, 0])
+            cur[0] += 1
+            cur[1] += n
+        rows = [(k, v[0], v[1]) for k, v in sorted(agg.items())]
+        return self.spark.createDataFrame(
+            rows, "partition string, n_files int, row_count long"
+        )
+
     def rollback_to_version(self, identifier: str | list[str], version: int) -> int:
         """Roll the table back to a historic snapshot (Iceberg's
         ``rollback_to_snapshot``): commits a NEW manifest whose state —

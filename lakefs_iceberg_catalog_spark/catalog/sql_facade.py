@@ -71,7 +71,7 @@ class SqlFacade:
         def repl(m: re.Match) -> str:
             levels = _clean(m.group(1))
             if (
-                levels[-1] in ("snapshots", "files")
+                levels[-1] in ("snapshots", "files", "partitions")
                 and len(levels) >= 5
                 and not self.catalog.table_exists(levels)
             ):
@@ -370,6 +370,10 @@ class SqlFacade:
                 [(len(expired), len(removed))],
                 "expired_versions int, removed_files int",
             )
+
+        m = re.match(rf"(?is)^SHOW\s+PARTITIONS\s+({_IDENT})\s*$", s)
+        if m:
+            return self.catalog.partitions(_clean(m.group(1)))
 
         m = re.match(
             rf"(?is)^RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",

@@ -310,3 +310,74 @@ def rollup_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("filled"),
         )
     )
+
+
+@register(
+    "window_retention_cohorts",
+    oracle="""
+WITH first_seen AS (
+    SELECT user_id, time_bucket(INTERVAL '7 days', min(ts)) AS cohort
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+cohort_size AS (SELECT cohort, count(*) AS n_users FROM first_seen GROUP BY cohort),
+act AS (SELECT DISTINCT user_id, time_bucket(INTERVAL '7 days', ts) AS wk
+        FROM events WHERE event_type = 'purchase'),
+ret AS (
+    SELECT f.cohort, CAST(date_diff('day', f.cohort, a.wk) / 7 AS INT) AS week_offset,
+           count(*) AS n_active
+    FROM first_seen f JOIN act a ON a.user_id = f.user_id AND a.wk >= f.cohort
+    GROUP BY 1, 2
+)
+SELECT r.cohort, r.week_offset, r.n_active,
+       round(CAST(r.n_active AS DOUBLE) / c.n_users, 6) AS retention
+FROM ret r JOIN cohort_size c ON c.cohort = r.cohort
+ORDER BY r.cohort, r.week_offset
+""",
+)
+def window_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics rollup:
+    users grouped by their first-signup week, retention = the fraction of
+    each cohort with purchase activity k weeks later.
+
+    Week buckets must agree across engines: DuckDB's time_bucket anchors
+    7-day buckets on Monday (origin 2000-01-03), Spark's window() on the
+    epoch (a Thursday) — the 4-day startTime offset re-anchors Spark to
+    Monday so both engines bucket identically. Scale shape: first-seen and
+    activity are per-user partial-agg rollups; the retention join is
+    cohort-week-cardinality (tiny) against a per-user table; nothing is
+    ever per-event after the first aggregations."""
+    from pyspark.sql.window import Window as W  # noqa: F401  (module pattern)
+
+    e = table(spark, sf_dir, "events")
+    wk7 = lambda c: F.window(c, "7 days", "7 days", "4 days").start  # noqa: E731
+    first_seen = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", wk7("first_ts").alias("cohort"))
+    )
+    cohort_size = first_seen.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    act = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", wk7("ts").alias("wk"))
+        .distinct()
+    )
+    ret = (
+        first_seen.join(act, "user_id")
+        .filter(F.col("wk") >= F.col("cohort"))
+        .groupBy(
+            "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        ret.join(F.broadcast(cohort_size), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "n_active",
+            dround(F.col("n_active").cast("double") / F.col("n_users"), 6).alias("retention"),
+        )
+        .orderBy("cohort", "week_offset")
+    )

@@ -464,3 +464,74 @@ def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+WITH purchases AS (
+    SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+),
+signups AS (
+    SELECT user_id, ts, max(event_id) AS signup_event
+    FROM events WHERE event_type = 'signup'
+    GROUP BY user_id, ts
+)
+SELECT p.event_id,
+       p.user_id,
+       round(p.value, 2) AS value,
+       CASE WHEN s.ts >= p.ts - INTERVAL 24 HOUR THEN s.ts END AS signup_ts
+FROM purchases p
+ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof(tolerance=...)):
+    each purchase matches its latest at-or-before signup only if it falls
+    within the last 24 hours — staler matches become NULL, the semantics
+    feature stores use so stale features never leak into training rows.
+
+    Same single-shuffle union-tag + per-user window pass as join_asof (the
+    tolerance is a post-window null-out, not a second join); the DuckDB
+    oracle is native ASOF JOIN + the same bound. At 100 TB: one hash
+    shuffle on user_id, per-user bounded sort, zero cross products."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event"))
+    )
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.lit(None).cast("timestamp").alias("sig_ts"),
+        F.lit(1).alias("is_purchase"),
+    ).unionByName(
+        signups.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.col("ts").alias("sig_ts"),
+            F.lit(0).alias("is_purchase"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = F.last("sig_ts", ignorenulls=True).over(w)
+    return (
+        tagged.withColumn(
+            "signup_ts",
+            F.when(matched >= F.col("ts") - F.expr("INTERVAL 24 HOURS"), matched),
+        )
+        .filter(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", dround("value", 2).alias("value"), "signup_ts")
+    )

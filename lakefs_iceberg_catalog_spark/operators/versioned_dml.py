@@ -538,3 +538,47 @@ def sink_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.drop_table(src)                       # must preserve shared files
     assert not cat.table_exists(src)
     return _materialize(spark, cat.scan(dst), root)
+
+
+@register(
+    "meta_partitions",
+    oracle="""
+SELECT CAST(n_regionkey AS INT) AS n_regionkey, COUNT(*) AS row_count
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+)
+def meta_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitions metadata table (Iceberg `<table>.partitions` / SHOW
+    PARTITIONS): per-partition file and row counts rolled up from manifest
+    metadata — the table a maintenance planner reads to pick compaction
+    targets. Row counts per partition are value-checked against a data
+    recompute; per-partition file counts (≥1, write-parallelism-dependent)
+    are asserted internally."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import VersionedCatalog
+    from ..tables import table
+
+    root = tempfile.mkdtemp(prefix="vcat-parts-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    cat.create_table_as(
+        "repo.main.db.nation_p",
+        table(spark, sf_dir, "nation"),
+        partition_by=["n_regionkey"],
+    )
+    parts = cat.partitions("repo.main.db.nation_p")
+    rows = parts.collect()
+    assert len(rows) == 5 and all(r["n_files"] >= 1 for r in rows)
+    out = (
+        spark.createDataFrame(rows, parts.schema)
+        .select(
+            F.get_json_object("partition", "$.n_regionkey").cast("int").alias("n_regionkey"),
+            "row_count",
+        )
+        .orderBy("n_regionkey")
+    )
+    return _materialize(spark, out, root)

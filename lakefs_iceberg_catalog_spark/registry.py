@@ -81,7 +81,8 @@ _SWEEP_PRIORITY = [
     "join_fuzzy_levenshtein", "pipeline_doc_shard",
     "join_range_bucketized", "dml_merge_schema_evolution",
     "sink_shallow_clone", "agg_funnel_steps", "stream_stream_outer_join",
-    "rollup_gapfill_locf", "scalar_regex",
+    "rollup_gapfill_locf", "scalar_regex", "window_retention_cohorts",
+    "meta_partitions", "join_asof_tolerance",
     "dml_delete_where_mor", "dml_update_where_mor",
     "q2_min_cost_supplier", "q3_shipping_priority", "q8_market_share",
     "q9_product_profit", "q11_important_stock", "q16_parts_supplier_count",

@@ -391,3 +391,14 @@ def test_shallow_clone_sql(facade):
     facade.sql("DELETE FROM lakefs.repo.main.company.workers2 WHERE age >= 35")
     assert facade.sql("SELECT * FROM lakefs.repo.main.company.workers2").count() == 2
     assert facade.sql("SELECT * FROM lakefs.repo.main.company.workers").count() == 6
+
+
+def test_show_partitions_and_partitions_metadata_sql(facade):
+    """SHOW PARTITIONS + `<table>.partitions` over an unpartitioned table:
+    one row, empty partition tuple, full row count."""
+    out = facade.sql("SHOW PARTITIONS lakefs.repo.main.company.workers").collect()
+    assert len(out) == 1 and out[0]["partition"] == "{}" and out[0]["row_count"] == 6
+    via_view = facade.sql(
+        "SELECT row_count FROM lakefs.repo.main.company.workers.partitions"
+    ).collect()
+    assert via_view[0]["row_count"] == 6
