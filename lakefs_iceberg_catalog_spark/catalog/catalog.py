@@ -1792,6 +1792,7 @@ class VersionedCatalog:
         identifier: str | list[str],
         target_files: int = 1,
         partition: dict | None = None,
+        zorder_by: list[str] | None = None,
     ) -> None:
         """Small-file compaction: rewrite data files into `target_files`
         files (Iceberg rewrite_data_files). Metadata commit like any other —
@@ -1802,11 +1803,29 @@ class VersionedCatalog:
         read and replaced; every other partition's files — and their pending
         MoR delete predicates — ride into the new manifest untouched. At
         100 TB compaction is always per-partition: the job reads one
-        partition's worth of data, never the table."""
+        partition's worth of data, never the table.
+
+        ``zorder_by`` re-clusters the rewritten rows on a Morton interleave
+        of the given columns (Iceberg rewrite_data_files zorder strategy /
+        Delta OPTIMIZE ZORDER BY) — the maintenance path that retrofits
+        multi-dimension file-skipping locality onto data that was appended
+        in arrival order. Unpartitioned tables only (a partitioned table's
+        layout is its partition spec)."""
         ops, levels = self._ops(identifier)
         base = ops.current()
         if base is None:
             raise NoSuchTableError(".".join(levels))
+        if zorder_by:
+            if base.partition_spec or base.bucket_spec or partition:
+                raise UnsupportedOperationError(
+                    "zorder compaction applies to unpartitioned tables"
+                )
+            df = self._read_files(levels[0], base)
+            files, stats, fparts = self._write_data(levels, df, zorder_by=zorder_by)
+            ops.commit(
+                base, base.next(files, file_stats=stats, file_partitions=fparts)
+            )
+            return
         if target_files != 1 and (base.partition_spec or base.bucket_spec):
             # layout-routed writes re-distribute on the layout key, so the
             # compacted state is one file per partition/bucket — a different

@@ -345,6 +345,16 @@ class SqlFacade:
             return mk([], "result string")
 
         m = re.match(
+            rf"(?is)^OPTIMIZE\s+({_IDENT})\s+ZORDER\s+BY\s*\(([^)]*)\)\s*$", s
+        )
+        if m:
+            # re-cluster on a Morton interleave (Delta OPTIMIZE ZORDER BY /
+            # Iceberg zorder rewrite strategy)
+            cols = [c.strip().strip("`") for c in m.group(2).split(",")]
+            self.catalog.compact(_clean(m.group(1)), zorder_by=cols)
+            return mk([], "result string")
+
+        m = re.match(
             rf"(?is)^OPTIMIZE\s+({_IDENT})(?:\s+TO\s+(\d+)\s+FILES?)?\s*$", s
         )
         if m:

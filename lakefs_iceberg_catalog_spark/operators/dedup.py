@@ -596,3 +596,58 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _HAM_T)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, len(w) AS n_words, i AS pos, w[i] || ' ' || w[i+1] AS gram
+      FROM d, unnest(range(1, len(w))) t(i) WHERE len(w) >= 2),
+r AS (SELECT doc_id, n_words, pos, gram,
+             row_number() OVER (PARTITION BY doc_id, gram ORDER BY pos) AS rn
+      FROM g)
+SELECT doc_id,
+       CAST(max(n_words) AS BIGINT)                        AS n_words,
+       count(*)                                            AS n_grams,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+       round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6)                                AS repeat_frac
+FROM r GROUP BY doc_id
+""",
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-span detection — the repetition-REMOVAL stage
+    of a training pipeline (cut re-pasted boilerplate inside one document,
+    as opposed to text_repetition_signals which only scores it): every
+    bigram occurrence after a gram's first is a span duplicate; the per-doc
+    report (gram count, duplicate count, duplicate fraction) is what the
+    cleaner acts on — dropping position rn>1 spans reconstructs the
+    deduplicated text.
+
+    Shape: explode to word rows, lead-window bigrams, rank occurrences per
+    (doc, gram) by position, one per-doc rollup. Both windows and the
+    rollup key on doc_id — per-document parallel at 100 TB, no cross-doc
+    shuffle at all."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w0")
+    )
+    from pyspark.sql.window import Window as W
+
+    worder = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        d.withColumn("n_words", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+        .withColumn("w1", F.lead("w0", 1).over(worder))
+        .filter(F.col("w1").isNotNull())
+        .select("doc_id", "n_words", "pos", F.concat_ws(" ", "w0", "w1").alias("gram"))
+    )
+    ranked = grams.withColumn(
+        "rn", F.row_number().over(W.partitionBy("doc_id", "gram").orderBy("pos"))
+    )
+    rep = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+    return ranked.groupBy("doc_id").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).alias("n_grams"),
+        rep.cast("bigint").alias("n_repeated"),
+        dround(rep.cast("double") / F.count(F.lit(1)), 6).alias("repeat_frac"),
+    )

@@ -127,3 +127,31 @@ def read_jdbc_gated(spark: SparkSession, url: str, dbtable: str) -> DataFrame:
         return spark.read.format("jdbc").options(url=url, dbtable=dbtable).load()
     except Exception as e:  # no jdbc driver in the image
         raise NotImplementedError(f"jdbc driver unavailable: {e}") from e
+
+
+@register(
+    "source_merge_schema_read",
+    oracle="""
+SELECT r_regionkey, r_name, NULL AS r_tag FROM region WHERE r_regionkey < 3
+UNION ALL
+SELECT r_regionkey, r_name, 'new' AS r_tag FROM region WHERE r_regionkey >= 3
+""",
+)
+def source_merge_schema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-merging parquet read (``mergeSchema=true``): a directory whose
+    older files lack a column that newer files carry reads back as the
+    UNION schema, old rows NULL-filled — the raw-ingest reality before data
+    lands in a managed table (where the catalog's field-id projection does
+    this properly). mergeSchema pays a footer read per file at planning
+    time, which is why it is an explicit opt-in and why 100 TB lakes
+    promote files into the catalog instead of re-merging on every scan."""
+    r = table(spark, sf_dir, "region")
+    tmp = tempfile.mkdtemp(prefix="merge-rt-")
+    r.filter("r_regionkey < 3").select("r_regionkey", "r_name").write.mode(
+        "overwrite"
+    ).parquet(tmp + "/old")
+    r.filter("r_regionkey >= 3").select(
+        "r_regionkey", "r_name", F.lit("new").alias("r_tag")
+    ).write.mode("overwrite").parquet(tmp + "/new")
+    back = spark.read.option("mergeSchema", True).parquet(tmp + "/old", tmp + "/new")
+    return _materialize(spark, back.select("r_regionkey", "r_name", "r_tag"), tmp)

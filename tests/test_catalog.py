@@ -1277,3 +1277,24 @@ def test_clone_survives_source_drop_and_gc(spark, tmp_path):
     removed = c.garbage_collect("repo")
     assert removed == []  # everything left is reachable through the clone
     assert c.scan("repo.main.db.dup").count() == 50
+
+
+def test_optimize_zorder_retrofits_pruning(spark, tmp_path):
+    """Append-ordered data has no locality; OPTIMIZE ZORDER BY retrofits it:
+    after the rewrite, selective predicates on BOTH zorder columns skip
+    files, and the table content is unchanged."""
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+    from lakefs_iceberg_catalog_spark.catalog.sql_facade import SqlFacade
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    rows = [(i, (i * 37) % 1000, float((i * 91) % 5000)) for i in range(4000)]
+    # arrival-ordered write: id-ordered, x/y scattered → no locality
+    c.create_table_as("repo.main.db.t", spark.createDataFrame(rows, "id int, x int, y double"))
+    before = {tuple(r) for r in c.scan("repo.main.db.t").collect()}
+    SqlFacade(c).sql("OPTIMIZE lakefs.repo.main.db.t ZORDER BY (x, y)")
+    keep_x, total = c.select_files("repo.main.db.t", "x", "<=", 100)
+    keep_y, _ = c.select_files("repo.main.db.t", "y", "<=", 500.0)
+    assert total > 1 and len(keep_x) < total and len(keep_y) < total
+    assert {tuple(r) for r in c.scan("repo.main.db.t").collect()} == before

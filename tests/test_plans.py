@@ -410,3 +410,20 @@ def test_range_bucketized_is_equi_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Join" in p
+
+
+def test_q9_profit_all_hash_joins(spark):
+    """Q9 (5-way join): every join must be hash-based with the small dims
+    broadcast — the canonical star-join plan, no cartesian anywhere."""
+    p = plan(q(spark, "q9_product_profit"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "HashAggregate" in p
+
+
+def test_q21_waiting_suppliers_semi_anti(spark):
+    """Q21's EXISTS/NOT EXISTS pair must plan as semi/anti hash joins, never
+    correlated per-row subqueries or cartesians."""
+    p = plan(q(spark, "q21_suppliers_who_kept_waiting"))
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p or "ExistenceJoin" in p or "LeftAnti" in p
