@@ -961,6 +961,27 @@ class VersionedCatalog:
                 err = e
         raise err
 
+    def overwrite(self, identifier: str | list[str], df: DataFrame) -> None:
+        """Full-table overwrite (Spark's INSERT OVERWRITE / Iceberg
+        replace): write the new rows, commit a manifest listing ONLY them —
+        the old snapshot's files drop out of the current version but stay
+        readable via time travel until expiry+GC. One distributed write +
+        one metadata swap; pending MoR delete predicates die with the files
+        they applied to."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        aligned = df if df.schema == schema else _align_to_schema(df, schema)
+        files, stats, fparts = self._write_data(
+            levels, aligned, partition_by=base.partition_spec or None,
+            bucket_spec=base.bucket_spec or None,
+        )
+        ops.commit(
+            base, base.next(files, file_stats=stats, file_partitions=fparts)
+        )
+
     def append_stream_batch(
         self, identifier: str | list[str], df: DataFrame, batch_id: int
     ) -> bool:

@@ -235,6 +235,19 @@ class SqlFacade:
             self.catalog.drop_table(_clean(m.group(1)))
             return mk([], "result string")
 
+        m = re.match(
+            rf"(?is)^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?({_IDENT})\s+(SELECT\b.+|WITH\b.+|VALUES\s+.+)$",
+            s,
+        )
+        if m:
+            body = m.group(2)
+            if re.match(r"(?is)^VALUES\b", body):
+                src = self.spark.sql(f"SELECT * FROM ({body})")
+            else:
+                src = self.spark.sql(self._resolve_views(body))
+            self.catalog.overwrite(_clean(m.group(1)), src)
+            return mk([], "result string")
+
         m = re.match(rf"(?is)^INSERT\s+INTO\s+({_IDENT})\s+VALUES\s+(.+)$", s)
         if m:
             # Evaluate the VALUES with Spark itself (full literal syntax) and

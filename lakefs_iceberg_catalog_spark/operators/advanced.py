@@ -381,3 +381,65 @@ def window_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "week_offset")
     )
+
+
+@register(
+    "window_anomaly_zscore",
+    oracle="""
+WITH w AS (
+  SELECT user_id, event_id, ts, round(value, 2) AS v,
+         round(avg(value) OVER f, 6)         AS mu,
+         round(stddev_samp(value) OVER f, 6) AS sd,
+         count(*) OVER f                     AS n_hist
+  FROM events WHERE event_type = 'purchase'
+  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, ts, v, mu, sd,
+       round(CASE WHEN n_hist >= 5 AND sd > 0 THEN (v - mu) / sd END, 6) AS z,
+       (n_hist >= 5 AND sd > 0 AND abs((v - mu) / sd) > 3) AS is_anomaly
+FROM w
+""",
+)
+def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection — the streaming-metrics shape: each
+    purchase scored against ITS OWN trailing window (last ≤20 purchases by
+    the same user, current row excluded), flagged when it sits more than 3
+    trailing standard deviations out; rows with under 5 history points
+    abstain (cold start).
+
+    Determinism note: the trailing mean/std are rounded to 6 places BEFORE
+    the z computation on BOTH engines — Spark folds the frame sequentially
+    while DuckDB uses segment-tree accumulation, so the raw doubles differ
+    in the last ulps and a knife-edge |z|>3 could otherwise flip. Scale
+    shape: one shuffle on user_id, per-user frame scan — the batch twin of
+    what applyInPandasWithState runs incrementally on the live stream."""
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    f = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        dround("value", 2).alias("v"),
+        dround(F.avg("value").over(f), 6).alias("mu"),
+        dround(F.stddev_samp("value").over(f), 6).alias("sd"),
+        F.count(F.lit(1)).over(f).alias("n_hist"),
+    )
+    ok = (F.col("n_hist") >= 5) & (F.col("sd") > 0)
+    z = (F.col("v") - F.col("mu")) / F.col("sd")
+    return w.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "v",
+        "mu",
+        "sd",
+        dround(F.when(ok, z), 6).alias("z"),
+        (ok & (F.abs(z) > 3)).alias("is_anomaly"),
+    )

@@ -906,3 +906,75 @@ def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "rnk", dround("cos", 6).alias("cosine"))
     )
+
+
+_MAXSIM_QUERY_LABELS = (0, 1)
+
+
+@register(
+    "similarity_maxsim_late_interaction",
+    oracle=f"""
+WITH q AS (SELECT vec_id, label, embedding,
+                  sqrt(list_aggregate(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS qn
+           FROM embeddings WHERE label IN {_MAXSIM_QUERY_LABELS}),
+c AS (SELECT vec_id, label, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS cn
+      FROM embeddings),
+best AS (
+    SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS d_label,
+           round(max(
+             list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+             / (q.qn * c.cn)), 6) AS best_cos
+    FROM q JOIN c ON c.vec_id <> q.vec_id
+    GROUP BY q.vec_id, q.label, c.label
+)
+SELECT q_label, d_label,
+       round(avg(best_cos), 6) AS maxsim
+FROM best GROUP BY q_label, d_label
+""",
+)
+def similarity_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT MaxSim) scoring between vector GROUPS: for
+    every query vector, its best cosine within each document group (max
+    over the group's vectors, self excluded), then the group-level score is
+    the mean of those per-vector maxima — sum-of-max, the late-interaction
+    aggregation that single-vector similarity cannot express.
+
+    Shape: queries (two label groups) broadcast against the streamed
+    corpus; the max collapses per (query vector, doc group) inside the
+    same shuffle that the final mean rides — two partial-agg rollups,
+    corpus never shuffles. At scale MaxSim is the RERANK stage: it runs on
+    an ANN candidate set (similarity_ann_*), never the whole corpus. The
+    per-pair max is rounded before the mean on both engines, so the
+    'approximate' interaction scores still hash-match exactly."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("label").isin(*_MAXSIM_QUERY_LABELS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("d_id"),
+        F.col("label").alias("d_label"),
+        F.col("embedding").alias("c_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("cn"),
+    )
+    best = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("d_id") != F.col("q_id"))
+        .groupBy("q_id", "q_label", "d_label")
+        .agg(
+            dround(
+                F.max(_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("qn") * F.col("cn"))),
+                6,
+            ).alias("best_cos")
+        )
+    )
+    return best.groupBy("q_label", "d_label").agg(
+        dround(F.avg("best_cos"), 6).alias("maxsim")
+    )

@@ -582,3 +582,29 @@ def meta_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("n_regionkey")
     )
     return _materialize(spark, out, root)
+
+
+@register(
+    "dml_insert_overwrite",
+    oracle="""
+SELECT * FROM (VALUES
+  ('7', 'Ana', 'Cruz', 25, 'F'),
+  ('8', 'Bo',  'Lee',  52, 'M')
+) AS t(id, firstname, lastname, age, gender)
+""",
+)
+def dml_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE through the SQL facade: the table's current snapshot
+    is wholly replaced in one commit; the pre-overwrite state stays
+    time-travelable (asserted: v1 still reads 6 rows) until expiry+GC."""
+    from ..catalog.sql_facade import SqlFacade
+
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    SqlFacade(cat).sql(
+        "INSERT OVERWRITE lakefs.repo.main.company.workers "
+        "VALUES ('7', 'Ana', 'Cruz', 25, 'F'), ('8', 'Bo', 'Lee', 52, 'M')"
+    )
+    assert cat.scan(t, version=1).count() == 6  # history intact
+    assert cat.scan(t).count() == 2
+    return _materialize(spark, cat.scan(t), root)

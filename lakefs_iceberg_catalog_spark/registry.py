@@ -83,7 +83,8 @@ _SWEEP_PRIORITY = [
     "sink_shallow_clone", "agg_funnel_steps", "stream_stream_outer_join",
     "rollup_gapfill_locf", "scalar_regex", "window_retention_cohorts",
     "meta_partitions", "join_asof_tolerance", "dedup_repeated_spans",
-    "source_merge_schema_read",
+    "source_merge_schema_read", "dml_insert_overwrite",
+    "window_anomaly_zscore", "similarity_maxsim_late_interaction",
     "dml_delete_where_mor", "dml_update_where_mor",
     "q2_min_cost_supplier", "q3_shipping_priority", "q8_market_share",
     "q9_product_profit", "q11_important_stock", "q16_parts_supplier_count",
