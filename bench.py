@@ -89,6 +89,12 @@ EXTRA = [
     "similarity_ann_sq8",
     "join_range_bucketized",
     "join_fuzzy_levenshtein",
+    "agg_funnel_steps",
+    "window_retention_cohorts",
+    "rollup_gapfill_locf",
+    "dedup_repeated_spans",
+    "window_anomaly_zscore",
+    "similarity_maxsim_late_interaction",
 ]
 
 
