@@ -909,6 +909,7 @@ def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MAXSIM_QUERY_LABELS = (0, 1)
+_MAXSIM_QUERY_CAP = 32  # bounded query set: MaxSim is a RERANK stage
 
 
 @register(
@@ -917,7 +918,9 @@ _MAXSIM_QUERY_LABELS = (0, 1)
 WITH q AS (SELECT vec_id, label, embedding,
                   sqrt(list_aggregate(list_transform(embedding,
                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS qn
-           FROM embeddings WHERE label IN {_MAXSIM_QUERY_LABELS}),
+           FROM embeddings
+           WHERE label IN {_MAXSIM_QUERY_LABELS}
+             AND vec_id < {_MAXSIM_QUERY_CAP}),
 c AS (SELECT vec_id, label, embedding,
              sqrt(list_aggregate(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS cn
@@ -943,15 +946,20 @@ def similarity_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> Data
     the mean of those per-vector maxima — sum-of-max, the late-interaction
     aggregation that single-vector similarity cannot express.
 
-    Shape: queries (two label groups) broadcast against the streamed
-    corpus; the max collapses per (query vector, doc group) inside the
-    same shuffle that the final mean rides — two partial-agg rollups,
-    corpus never shuffles. At scale MaxSim is the RERANK stage: it runs on
-    an ANN candidate set (similarity_ann_*), never the whole corpus. The
-    per-pair max is rounded before the mean on both engines, so the
-    'approximate' interaction scores still hash-match exactly."""
+    Shape: a BOUNDED query set (two label groups, vec_id-capped — MaxSim is
+    a rerank stage, so its query side is a candidate set by construction,
+    never corpus-sized) broadcast against the streamed corpus; the max
+    collapses per (query vector, doc group) inside the same shuffle that
+    the final mean rides — two partial-agg rollups, corpus never shuffles.
+    At scale the corpus side too is an ANN candidate set
+    (similarity_ann_*), not the whole table. The per-pair max is rounded
+    before the mean on both engines, so the 'approximate' interaction
+    scores still hash-match exactly."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("label").isin(*_MAXSIM_QUERY_LABELS)).select(
+    q = e.filter(
+        F.col("label").isin(*_MAXSIM_QUERY_LABELS)
+        & (F.col("vec_id") < _MAXSIM_QUERY_CAP)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
