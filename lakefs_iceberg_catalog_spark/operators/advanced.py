@@ -443,3 +443,51 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.when(ok, z), 6).alias("z"),
         (ok & (F.abs(z) > 3)).alias("is_anomaly"),
     )
+
+
+@register(
+    "window_first_touch_attribution",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+m AS (SELECT p.event_id, min(c.ts) AS first_click_ts
+      FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+      GROUP BY p.event_id)
+SELECT p.event_id, p.user_id, p.ts,
+       m.first_click_ts,
+       m.first_click_ts IS NOT NULL AS attributed
+FROM p LEFT JOIN m ON m.event_id = p.event_id
+""",
+)
+def window_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credited to the EARLIEST click
+    in its trailing 7-day window (vs join_asof's latest-before = last
+    touch). Implemented as an event-time RANGE frame over the per-user
+    merged stream — `min(click ts) OVER (ORDER BY ts RANGE INTERVAL 7 DAYS
+    PRECEDING)` — so the cost is ONE shuffle on user_id and one ordered
+    pass, with no click×purchase fanout at all; the oracle is the
+    equivalent (fanout-paying) range join. At 100 TB the window form wins
+    precisely because heavy users multiply the join's per-user fanout but
+    not the frame scan."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select("event_id", "user_id", "event_type", "ts")
+    tagged = e.withColumn(
+        "click_ts", F.when(F.col("event_type") == "click", F.col("ts"))
+    )
+    first_click = F.expr(
+        "min(click_ts) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        tagged.withColumn("first_click_ts", first_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "first_click_ts",
+            F.col("first_click_ts").isNotNull().alias("attributed"),
+        )
+    )

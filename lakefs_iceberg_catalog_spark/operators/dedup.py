@@ -651,3 +651,35 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.cast("bigint").alias("n_repeated"),
         dround(rep.cast("double") / F.count(F.lit(1)), 6).alias("repeat_frac"),
     )
+
+
+@register(
+    "dedup_cross_source",
+    oracle=f"""
+WITH {_MINHASH_ORACLE_CTES}
+SELECT v.doc_a, v.doc_b, sa.source AS source_a, sb.source AS source_b,
+       round(v.j, 6) AS jaccard
+FROM v
+JOIN s sa ON sa.doc_id = v.doc_a
+JOIN s sb ON sb.doc_id = v.doc_b
+WHERE v.j >= {_MINHASH_THETA} AND sa.source <> sb.source
+""",
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup detection — the crawl-merge question: which
+    near-duplicate pairs span DIFFERENT sources (the ones a multi-crawl
+    union must arbitrate, vs within-source dups a single crawl's own dedup
+    already handles). Reuses the full MinHash-LSH pipeline; the source
+    attribution is a broadcast join of the tiny (doc_id, source) map onto
+    the output-sized verified pairs — at 100 TB the attribution costs
+    nothing on top of the dedup itself."""
+    pairs = minhash_pairs(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .select("doc_a", "doc_b", "source_a", "source_b", dround("j", 6).alias("jaccard"))
+    )

@@ -467,3 +467,43 @@ def text_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg(-F.log("p")), 6).alias("mean_neg_logprob"),
         )
     )
+
+
+_HH_FRACTION = 200  # heavy hitter = frequency > corpus_words / 200
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+t AS (SELECT count(*) AS n FROM w)
+SELECT word, count(*) AS freq,
+       round(CAST(count(*) AS DOUBLE) / any_value(t.n), 6) AS share
+FROM w, t
+GROUP BY word
+HAVING count(*) > any_value(t.n) / {_HH_FRACTION}
+""",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters — words whose corpus frequency exceeds n/{_HH_FRACTION}
+    (the frequent-items query behind stopword induction and boilerplate
+    detection). Exact form: one word-count shuffle with map-side partials +
+    a 1-row total broadcast for the threshold. The sketch twin at 100 TB is
+    Misra-Gries/space-saving with the SAME output contract (any word over
+    the 1/k threshold is guaranteed caught — the sketch can only add
+    sub-threshold false candidates, which one exact re-count pass over the
+    candidate set removes)."""
+    words = table(spark, sf_dir, "documents").select(
+        F.explode(_words()).alias("word")
+    )
+    total = words.count()
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") > F.lit(total) / _HH_FRACTION)
+        .select(
+            "word",
+            "freq",
+            dround(F.col("freq").cast("double") / F.lit(total), 6).alias("share"),
+        )
+    )
