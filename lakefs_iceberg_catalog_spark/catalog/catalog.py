@@ -1918,6 +1918,141 @@ class VersionedCatalog:
 
     # -------------------------------------------------------- maintenance
 
+    def purge_rows_from_history(
+        self, identifier: str | list[str], predicate: str
+    ) -> dict:
+        """Compliance purge (GDPR right-to-erasure): physically remove every
+        row matching ``predicate`` from EVERY live snapshot of the table —
+        the one operation where time travel must lose data by design.
+        Ordinary DELETE only advances the head; the deleted rows stay
+        readable at historic versions until expiry, which erasure law does
+        not accept.
+
+        Mechanism: each data file that may hold matching rows (manifest
+        stats pre-filter) is rewritten without them; every live manifest
+        version is then rewritten in place to reference the cleaned file,
+        preserving version numbers, commit instants, and table identity —
+        history keeps its SHAPE (counts of snapshots, schema evolution),
+        only the purged rows vanish from all of it. Files fully emptied by
+        the purge drop out of the manifests. Old physical files are removed
+        only if no other branch still references them (repo-wide
+        reachability, the zero-copy invariant) — a multi-branch erasure
+        runs this per branch.
+
+        Scale: per-file rewrite is a distributed filter-write; manifest
+        rewrites are O(metadata). Refused if affected files were written
+        under renamed columns (the predicate would silently miss them) —
+        compact first to normalize.
+
+        Returns {files_rewritten, rows_purged, versions_rewritten}."""
+        ops, levels = self._ops(identifier)
+        cur = ops.current()
+        if cur is None:
+            raise NoSuchTableError(".".join(levels))
+        repo = levels[0]
+        repo_dir = self._repo_dir(repo)
+        versions: dict[int, TableManifest] = {}
+        all_files: set[str] = set()
+        for v in range(1, cur.version + 1):
+            content = ops.read_version(v)
+            if content is None:
+                continue
+            m = TableManifest.from_json(content)
+            versions[v] = m
+            all_files.update(m.files)
+        parsed = _parse_simple_predicate(predicate)
+        current_mapping = {str(c["id"]): c["name"] for c in cur.columns}
+        rewritten: dict[str, str | None] = {}  # old rel -> new rel | None (emptied)
+        new_stats: dict[str, dict] = {}
+        rows_purged = 0
+        for f in sorted(all_files):
+            for m in versions.values():
+                fmap = m.file_columns.get(f)
+                if fmap is not None and any(
+                    current_mapping.get(i) not in (None, n) for i, n in fmap.items()
+                ):
+                    raise UnsupportedOperationError(
+                        f"{f} was written under renamed columns; compact "
+                        "before purging so the predicate cannot miss rows"
+                    )
+            if parsed is not None:
+                col, op, value = parsed
+                stats = next(
+                    (m.file_stats[f] for m in versions.values() if f in m.file_stats),
+                    None,
+                )
+                if not _file_survives(stats, col, op, value):
+                    continue  # provably match-free
+            abs_path = os.path.join(repo_dir, f)
+            raw = self.spark.read.parquet(abs_path)
+            total = raw.count()
+            kept = raw.filter(f"NOT ({predicate})")
+            n_kept = kept.count()
+            if n_kept == total:
+                continue
+            rows_purged += total - n_kept
+            if n_kept == 0:
+                rewritten[f] = None
+                continue
+            staging = os.path.join(repo_dir, f".purge-{_uuid.uuid4().hex}")
+            kept.coalesce(1).write.mode("overwrite").parquet(staging)
+            part = next(
+                p for p in sorted(os.listdir(staging)) if p.endswith(".parquet")
+            )
+            dst = os.path.join(
+                os.path.dirname(abs_path), f"purged-{_uuid.uuid4().hex[:12]}.parquet"
+            )
+            os.replace(os.path.join(staging, part), dst)
+            shutil.rmtree(staging, ignore_errors=True)
+            rel = self._rel(repo, dst)
+            rewritten[f] = rel
+            fs = _footer_stats(dst)
+            if fs:
+                new_stats[rel] = fs
+        if not rewritten:
+            return {"files_rewritten": 0, "rows_purged": 0, "versions_rewritten": 0}
+        n_versions = 0
+        for v, m in sorted(versions.items()):
+            if not any(f in rewritten for f in m.files):
+                continue
+            files = []
+            for f in m.files:
+                if f not in rewritten:
+                    files.append(f)
+                    continue
+                new = rewritten[f]
+                if new is None:
+                    continue  # file fully purged away
+                files.append(new)
+                for attr in ("file_stats", "file_columns", "file_types",
+                             "file_partitions", "delete_preds"):
+                    d = getattr(m, attr)
+                    if f in d:
+                        d[new] = d.pop(f)
+                if new in new_stats:
+                    m.file_stats[new] = new_stats[new]
+            m.files = files
+            path = ops._version_path(v)
+            ops.store.put(path, m.to_json())
+            try:  # retire the legacy gz twin so the rewrite is authoritative
+                os.remove(path + ".gz")
+            except FileNotFoundError:
+                pass
+            n_versions += 1
+        # old files: delete only what no live manifest anywhere still needs
+        still_needed = self.referenced_files(repo)
+        for f in rewritten:
+            if f not in still_needed:
+                try:
+                    os.remove(os.path.join(repo_dir, f))
+                except FileNotFoundError:
+                    pass
+        return {
+            "files_rewritten": sum(1 for v in rewritten.values() if v),
+            "rows_purged": int(rows_purged),
+            "versions_rewritten": n_versions,
+        }
+
     def expire_versions(self, identifier: str | list[str], keep_last: int = 1) -> list[int]:
         """Snapshot expiry (Iceberg expire_snapshots): drop manifest versions
         older than the newest `keep_last`, returning the expired version

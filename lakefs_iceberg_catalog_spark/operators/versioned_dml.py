@@ -608,3 +608,30 @@ def dml_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert cat.scan(t, version=1).count() == 6  # history intact
     assert cat.scan(t).count() == 2
     return _materialize(spark, cat.scan(t), root)
+
+
+@register(
+    "dml_purge_history",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1', 'James', 'Smith', 32, 'M')
+) AS t(id, firstname, lastname, age, gender)
+""",
+)
+def dml_purge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance purge (GDPR erasure): worker 6 is physically removed from
+    EVERY snapshot — after the purge, time travel to v1 no longer shows the
+    row (ordinary DELETE would leave it readable there until expiry), while
+    history keeps its shape (both versions, same instants) and all other
+    rows survive untouched."""
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    cat.delete_where(t, "age >= 35")          # v2: ids 1, 6 remain
+    assert cat.scan(t, version=1).count() == 6
+    summary = cat.purge_rows_from_history(t, "id = '6'")
+    assert summary["rows_purged"] == 2, summary   # once per snapshot's copy
+    assert summary["versions_rewritten"] == 2, summary
+    v1 = cat.scan(t, version=1)
+    assert v1.count() == 5 and v1.filter("id = '6'").count() == 0
+    assert cat.table_history(t) == [1, 2]         # history shape intact
+    return _materialize(spark, cat.scan(t), root)

@@ -85,6 +85,7 @@ _SWEEP_PRIORITY = [
     "meta_partitions", "dedup_repeated_spans",
     "similarity_maxsim_late_interaction", "agg_heavy_hitters",
     "window_first_touch_attribution", "dedup_cross_source",
+    "dml_purge_history",
     "q2_min_cost_supplier", "q3_shipping_priority", "q8_market_share",
     "q9_product_profit", "q11_important_stock", "q16_parts_supplier_count",
     "q20_potential_promotion", "q21_suppliers_who_kept_waiting",

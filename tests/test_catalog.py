@@ -1298,3 +1298,38 @@ def test_optimize_zorder_retrofits_pruning(spark, tmp_path):
     keep_y, _ = c.select_files("repo.main.db.t", "y", "<=", 500.0)
     assert total > 1 and len(keep_x) < total and len(keep_y) < total
     assert {tuple(r) for r in c.scan("repo.main.db.t").collect()} == before
+
+
+def test_purge_refuses_renamed_files_and_spares_shared(spark, tmp_path):
+    """Purge must refuse when affected files were written under renamed
+    columns (predicate could miss rows), and must not delete old physical
+    files another branch still references."""
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+    from lakefs_iceberg_catalog_spark.catalog.errors import UnsupportedOperationError
+    import pytest as _pt
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    c.create_table_as(
+        "repo.main.db.t",
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+    )
+    c.rename_column("repo.main.db.t", "v", "val")
+    with _pt.raises(UnsupportedOperationError):
+        c.purge_rows_from_history("repo.main.db.t", "id = 1")
+    # shared-file preservation: branch the repo, purge on main only — the
+    # dev branch must still read the original rows from the old files
+    c2 = VersionedCatalog(spark, str(tmp_path / "wh2"))
+    c2.create_repository("repo", "main")
+    c2.create_namespace("repo.main.db")
+    c2.create_table_as(
+        "repo.main.db.u",
+        spark.createDataFrame([(i, f"u{i}") for i in range(10)], "id int, v string"),
+    )
+    c2.commit_branch("repo", "main", "seed")
+    c2.create_branch("repo", "dev", "main")
+    summary = c2.purge_rows_from_history("repo.main.db.u", "id = 3")
+    assert summary["rows_purged"] == 1
+    assert c2.scan("repo.main.db.u").filter("id = 3").count() == 0
+    assert c2.scan("repo.dev.db.u").filter("id = 3").count() == 1  # untouched
