@@ -78,14 +78,13 @@ _SWEEP_PRIORITY = [
     "time_travel_changes", "sink_zorder_pruning",
     "text_repetition_signals", "text_unigram_logprob_score",
     "stream_static_join", "similarity_ann_sq8",
-    "join_fuzzy_levenshtein", "pipeline_doc_shard",
+    "join_fuzzy_levenshtein",
     "join_range_bucketized", "dml_merge_schema_evolution",
     "sink_shallow_clone", "agg_funnel_steps", "stream_stream_outer_join",
     "window_retention_cohorts",
     "meta_partitions", "dedup_repeated_spans",
-    "similarity_maxsim_late_interaction", "agg_heavy_hitters",
-    "window_first_touch_attribution", "dedup_cross_source",
-    "dml_purge_history",
+    "similarity_maxsim_late_interaction",
+    "window_first_touch_attribution", "dml_purge_history",
     "q2_min_cost_supplier", "q3_shipping_priority", "q8_market_share",
     "q9_product_profit", "q11_important_stock", "q16_parts_supplier_count",
     "q20_potential_promotion", "q21_suppliers_who_kept_waiting",
@@ -100,7 +99,8 @@ _SWEEP_PRIORITY = [
     # driver row this round or had none before.
     "join_asof_tolerance", "source_merge_schema_read",
     "dml_insert_overwrite", "window_anomaly_zscore", "scalar_regex",
-    "rollup_gapfill_locf",
+    "rollup_gapfill_locf", "agg_heavy_hitters", "dedup_cross_source",
+    "pipeline_doc_shard",
     "dml_delete_where_mor", "dml_update_where_mor",
     # ... then the keys whose only driver row is round 1 (two rounds stale;
     # replayed green by tests/test_oracle.py every run, but the driver row
