@@ -2056,14 +2056,27 @@ class VersionedCatalog:
     def expire_versions(self, identifier: str | list[str], keep_last: int = 1) -> list[int]:
         """Snapshot expiry (Iceberg expire_snapshots): drop manifest versions
         older than the newest `keep_last`, returning the expired version
-        numbers. Data files are NOT touched here — files may be shared by
+        numbers. Versions PINNED BY A TAG are exempt — a tag is a promise
+        that its snapshot stays readable, so expiry skips it (Iceberg's ref
+        retention contract); deleting the tag releases the pin for the next
+        expiry. Data files are NOT touched here — files may be shared by
         other branches; reclamation is garbage_collect's job (reachability
         over every branch, like lakeFS GC)."""
         ops, levels = self._ops(identifier)
         m = ops.current()
         if m is None:
             raise NoSuchTableError(".".join(levels))
-        expired = [v for v in range(1, m.version - keep_last + 1)]
+        state = self._load_branches(levels[0])
+        branch = levels[1]
+        rel = os.path.join(*levels[2:])
+        pinned = {
+            info["tables"][rel]
+            for info in state.get("tags", {}).values()
+            if info.get("branch") == branch and rel in info.get("tables", {})
+        }
+        expired = [
+            v for v in range(1, m.version - keep_last + 1) if v not in pinned
+        ]
         for v in expired:
             for path in (ops._version_path(v), ops._version_path(v) + ".gz"):
                 try:

@@ -1333,3 +1333,24 @@ def test_purge_refuses_renamed_files_and_spares_shared(spark, tmp_path):
     assert summary["rows_purged"] == 1
     assert c2.scan("repo.main.db.u").filter("id = 3").count() == 0
     assert c2.scan("repo.dev.db.u").filter("id = 3").count() == 1  # untouched
+
+
+def test_expire_spares_tagged_versions(spark, tmp_path):
+    """A tag pins its snapshot through expiry: expire_versions skips pinned
+    versions; deleting the tag releases them for the next expiry."""
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    t = "repo.main.db.t"
+    c.create_table_as(t, spark.createDataFrame([(1, "a")], "id int, v string"))
+    c.create_tag("repo", "pin-v1", "main")
+    c.append(t, spark.createDataFrame([(2, "b")], "id int, v string"))
+    c.append(t, spark.createDataFrame([(3, "c")], "id int, v string"))
+    expired = c.expire_versions(t, keep_last=1)
+    assert expired == [2]                      # v1 pinned by the tag
+    assert c.scan_tag("repo", "pin-v1", "db.t").count() == 1
+    c.delete_tag("repo", "pin-v1")
+    assert 1 in c.expire_versions(t, keep_last=1)  # pin released
+    assert c._ops(t)[0].read_version(1) is None
