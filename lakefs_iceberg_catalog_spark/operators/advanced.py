@@ -491,3 +491,85 @@ def window_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("first_click_ts").isNotNull().alias("attributed"),
         )
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+WITH c AS (
+    SELECT l_returnflag, CAST(l_quantity AS INT) AS qty, count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+),
+r AS (
+    SELECT l_returnflag, qty, n,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY n DESC, qty) AS rk
+    FROM c
+)
+SELECT l_returnflag, qty AS mode_quantity, n AS mode_count
+FROM r WHERE rk = 1
+""",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent order quantity per
+    return flag, ties broken by the smaller value — built as count-rollup + rank
+    rather than the engine's mode() (whose tie behavior is unspecified and
+    engine-dependent, so it could never hash-match). Two partial-agg
+    shuffles on low-cardinality keys; the rank window runs over
+    group-cardinality rows, not input rows."""
+    from pyspark.sql.window import Window as W
+
+    c = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.col("l_quantity").cast("int").alias("qty"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "qty")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_quantity"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "window_user_gap_stats",
+    oracle="""
+WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)) AS gap_us
+    FROM events
+)
+SELECT user_id,
+       count(*) + 1                                        AS n_events,
+       round(avg(gap_us) / 1000000.0, 6)                   AS avg_gap_s,
+       max(gap_us) // 1000000                              AS max_gap_s
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""",
+)
+def window_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user — the engagement-cadence rollup
+    (and the input to choosing a sessionization timeout): lag() over the
+    per-user time order yields each gap, one rollup summarizes it. One
+    shuffle on user_id shared by the window and the aggregate; integer
+    microsecond gaps keep the arithmetic engine-exact, only the final
+    average is float (rounded)."""
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        dround(F.avg("gap_us") / 1000000.0, 6).alias("avg_gap_s"),
+        F.floor(F.max("gap_us") / 1000000).cast("bigint").alias("max_gap_s"),
+    )
