@@ -398,6 +398,11 @@ class SqlFacade:
         if m:
             return self.catalog.partitions(_clean(m.group(1)))
 
+        m = re.match(rf"(?is)^DESCRIBE\s+HISTORY\s+({_IDENT})\s*$", s)
+        if m:
+            # Delta's DESCRIBE HISTORY form over the snapshots metadata
+            return self.catalog.snapshots(_clean(m.group(1)))
+
         m = re.match(
             rf"(?is)^RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
             s,

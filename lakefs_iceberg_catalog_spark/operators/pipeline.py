@@ -417,3 +417,83 @@ def pipeline_doc_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks,
     )
     return out
+
+
+_BATCH_SIZE = 16
+
+
+@register(
+    "pipeline_batch_padding",
+    oracle=f"""
+WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+arrival AS (
+    SELECT 'arrival' AS strategy, CAST(doc_id // {_BATCH_SIZE} AS INT) AS batch, n_tok FROM d
+),
+srt AS (
+    SELECT 'length_sorted' AS strategy,
+           CAST((row_number() OVER (ORDER BY n_tok, doc_id) - 1) // {_BATCH_SIZE} AS INT) AS batch,
+           n_tok
+    FROM d
+),
+u AS (SELECT * FROM arrival UNION ALL SELECT * FROM srt),
+b AS (SELECT strategy, batch,
+             count(*) AS n_docs, sum(n_tok) AS toks, max(n_tok) AS mx
+      FROM u GROUP BY strategy, batch)
+SELECT strategy,
+       count(*)                                        AS n_batches,
+       CAST(sum(toks) AS BIGINT)                       AS total_tokens,
+       CAST(sum(n_docs * mx - toks) AS BIGINT)         AS padding_tokens,
+       round(CAST(sum(n_docs * mx - toks) AS DOUBLE)
+             / sum(n_docs * mx), 6)                    AS waste_frac
+FROM b GROUP BY strategy
+""",
+)
+def pipeline_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-padding economics — the dynamic-batching question every
+    training/inference pipeline answers: how much compute is padding under
+    arrival-order batching vs length-sorted batching (batch={_BATCH_SIZE},
+    pad-to-longest). Length bucketing is asserted strictly better mid-flow
+    — the measured justification for the sort.
+
+    Shape: token counts are a scan-stage expression; arrival batches need
+    no shuffle at all (doc_id div); the sorted strategy is ONE rank window
+    (at 100 TB: approximate bucketing by length quantiles — computed from a
+    sample — replaces the global rank with a scan-stage bucket expression,
+    same accounting)."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    arrival = d.select(
+        F.lit("arrival").alias("strategy"),
+        (F.col("doc_id") / _BATCH_SIZE).cast("int").alias("batch"),
+        "n_tok",
+    )
+    rn = F.row_number().over(W.orderBy("n_tok", "doc_id"))
+    srt = d.select(
+        F.lit("length_sorted").alias("strategy"),
+        ((rn - 1) / _BATCH_SIZE).cast("int").alias("batch"),
+        "n_tok",
+    )
+    b = (
+        arrival.unionByName(srt)
+        .groupBy("strategy", "batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("toks"),
+            F.max("n_tok").alias("mx"),
+        )
+    )
+    pad = F.sum(F.col("n_docs") * F.col("mx") - F.col("toks"))
+    out = b.groupBy("strategy").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        pad.cast("bigint").alias("padding_tokens"),
+        dround(pad.cast("double") / F.sum(F.col("n_docs") * F.col("mx")), 6).alias(
+            "waste_frac"
+        ),
+    )
+    waste = {r["strategy"]: r["waste_frac"] for r in out.collect()}
+    assert waste["length_sorted"] < waste["arrival"], waste
+    return out

@@ -402,3 +402,9 @@ def test_show_partitions_and_partitions_metadata_sql(facade):
         "SELECT row_count FROM lakefs.repo.main.company.workers.partitions"
     ).collect()
     assert via_view[0]["row_count"] == 6
+
+
+def test_describe_history_sql(facade):
+    facade.sql("DELETE FROM lakefs.repo.main.company.workers WHERE age >= 35")
+    hist = facade.sql("DESCRIBE HISTORY lakefs.repo.main.company.workers").collect()
+    assert [r["version"] for r in sorted(hist, key=lambda r: r["version"])] == [1, 2]
