@@ -2323,6 +2323,13 @@ class VersionedCatalog:
 
         Requires src's changes to be committed first (merge moves *committed*
         state — test_iceberg.py:31-32 commits then merges).
+
+        The merge is TWO-PHASE for multi-table atomicity: every table is
+        conflict-checked against the merge base FIRST, and only if all pass
+        does any table move — a conflict on the last table can no longer
+        leave earlier tables already published (the cross-table consistency
+        a multi-table transaction needs; single-table commits stay governed
+        by the conditional-PUT protocol).
         """
         state = self._load_branches(repo)
         if src_branch not in state["branches"]:
@@ -2338,12 +2345,13 @@ class VersionedCatalog:
         src_dir = os.path.join(self._repo_dir(repo), src_branch)
         dst_dir = os.path.join(self._repo_dir(repo), dst_branch)
 
+        # Phase 1: validate EVERY table before anything moves.
         for tbl in sorted(set(base) | set(current)):
             base_v = base.get(tbl, 0)
-            src_v = current.get(tbl, 0)   # 0 = deleted on src since base
-            dst_v = dst_tables.get(tbl, 0)  # 0 = absent on dst
+            src_v = current.get(tbl, 0)
+            dst_v = dst_tables.get(tbl, 0)
             if src_v == base_v:
-                continue  # unchanged on src — dst's state wins untouched
+                continue
             if dst_v != base_v:
                 what_src = f"v{src_v}" if src_v else "deleted"
                 what_dst = f"v{dst_v}" if dst_v else "deleted"
@@ -2351,6 +2359,14 @@ class VersionedCatalog:
                     f"{tbl}: changed on both {src_branch} ({what_src}) and "
                     f"{dst_branch} ({what_dst}) since base v{base_v}"
                 )
+
+        # Phase 2: apply (pure fast-forwards / deletions — conflict-free).
+        for tbl in sorted(set(base) | set(current)):
+            base_v = base.get(tbl, 0)
+            src_v = current.get(tbl, 0)   # 0 = deleted on src since base
+            dst_v = dst_tables.get(tbl, 0)  # 0 = absent on dst
+            if src_v == base_v:
+                continue  # unchanged on src — dst's state wins untouched
             if src_v == 0:
                 # deleted on src, dst still at base → propagate the deletion:
                 # drop dst's manifests; shared data files stay for GC's

@@ -1354,3 +1354,32 @@ def test_expire_spares_tagged_versions(spark, tmp_path):
     c.delete_tag("repo", "pin-v1")
     assert 1 in c.expire_versions(t, keep_last=1)  # pin released
     assert c._ops(t)[0].read_version(1) is None
+
+
+def test_merge_is_all_or_nothing_across_tables(spark, tmp_path):
+    """Two-phase merge: a conflict on ONE table must leave every other
+    table unpublished — no partial multi-table merges."""
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+    from lakefs_iceberg_catalog_spark.catalog.errors import MergeConflictError
+    import pytest as _pt
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    for t in ("a", "b"):
+        c.create_table_as(
+            f"repo.main.db.{t}", spark.createDataFrame([(1, t)], "id int, v string")
+        )
+    c.commit_branch("repo", "main", "seed")
+    c.create_branch("repo", "dev", "main")
+    # dev changes BOTH tables; main concurrently changes table b → conflict
+    c.append("repo.dev.db.a", spark.createDataFrame([(2, "a2")], "id int, v string"))
+    c.append("repo.dev.db.b", spark.createDataFrame([(2, "b2")], "id int, v string"))
+    c.commit_branch("repo", "dev", "both tables")
+    c.append("repo.main.db.b", spark.createDataFrame([(9, "x")], "id int, v string"))
+    with _pt.raises(MergeConflictError):
+        c.merge("repo", "dev", "main")
+    # table a (alphabetically BEFORE the conflicting b) must be untouched
+    assert c.scan("repo.main.db.a").count() == 1
+    # resolving the conflict (rollback main's b? simplest: fresh dst branch)
+    c.create_branch("repo", "release", "main")
