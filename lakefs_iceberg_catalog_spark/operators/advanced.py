@@ -573,3 +573,57 @@ def window_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.avg("gap_us") / 1000000.0, 6).alias("avg_gap_s"),
         F.floor(F.max("gap_us") / 1000000).cast("bigint").alias("max_gap_s"),
     )
+
+
+@register(
+    "dml_scd2_intervals",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+chg AS (
+  SELECT user_id, ts AS valid_from, event_type AS status
+  FROM s WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, status, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current
+FROM chg
+""",
+)
+def dml_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 construction: a per-key change
+    stream collapses into validity intervals — consecutive equal statuses
+    merge, each surviving change opens a row [valid_from, valid_to) closed
+    by the next change, the last row is current. The history-table shape
+    every warehouse keeps for point-in-time joins (which then run as as-of
+    joins — join_asof — against these intervals).
+
+    Shape: TWO window passes over the same per-key ordering (change
+    detection via lag, interval close via lead) — one shuffle on user_id
+    total, the second window reuses the first's partitioning and sort. No
+    joins, no state beyond the frame row."""
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("event_type").alias("status"),
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    return chg.select(
+        "user_id",
+        "status",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
