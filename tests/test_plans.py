@@ -427,3 +427,31 @@ def test_q21_waiting_suppliers_semi_anti(spark):
     p = plan(q(spark, "q21_suppliers_who_kept_waiting"))
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p or "ExistenceJoin" in p or "LeftAnti" in p
+
+
+def _exec_plan(df) -> str:
+    """Physical plan as a single tree string (formatted mode repeats every
+    node in its detail section, which double-counts operator names)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scd2_single_exchange(spark):
+    """SCD2 interval construction must run both window passes on ONE
+    user_id exchange — the second window reuses the first's partitioning."""
+    p = _exec_plan(q(spark, "dml_scd2_intervals"))
+    assert p.count("Exchange") - p.count("ReusedExchange") <= 1
+    assert "Join" not in p
+
+
+def test_first_touch_is_joinless(spark):
+    """First-touch attribution must be the RANGE-frame form: one exchange,
+    zero joins — the whole point over the fanout-paying range join."""
+    p = _exec_plan(q(spark, "window_first_touch_attribution"))
+    assert "Join" not in p
+    assert p.count("Exchange") - p.count("ReusedExchange") <= 1
+
+
+def test_gap_stats_single_exchange(spark):
+    p = _exec_plan(q(spark, "window_user_gap_stats"))
+    assert p.count("Exchange") - p.count("ReusedExchange") <= 1
+    assert "Join" not in p
