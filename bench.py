@@ -95,6 +95,8 @@ EXTRA = [
     "dedup_repeated_spans",
     "window_anomaly_zscore",
     "similarity_maxsim_late_interaction",
+    "dml_scd2_intervals",
+    "pipeline_batch_padding",
 ]
 
 

@@ -497,3 +497,63 @@ def pipeline_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     waste = {r["strategy"]: r["waste_frac"] for r in out.collect()}
     assert waste["length_sorted"] < waste["arrival"], waste
     return out
+
+
+_INTERLEAVE_N = 200
+
+
+@register(
+    "pipeline_interleave_mixture",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN source LIKE 'src1%' THEN 3.0 ELSE 1.0 END AS wt,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents
+),
+pos AS (SELECT doc_id, source, (rk - 0.5) / wt AS p FROM w),
+take AS (SELECT doc_id, source,
+                row_number() OVER (ORDER BY p, source, doc_id) AS gpos
+         FROM pos)
+SELECT source, count(*) AS n_taken,
+       round(CAST(count(*) AS DOUBLE) / {_INTERLEAVE_N}, 6) AS share
+FROM take WHERE gpos <= {_INTERLEAVE_N}
+GROUP BY source
+""",
+)
+def pipeline_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture interleave — stride scheduling, the dataloader
+    algorithm that serves sources proportionally to their weights WITHOUT
+    randomness: each source's k-th document sits at virtual position
+    (k − ½)/weight, and the global training order is positions ascending
+    (deterministic tiebreak). The first {_INTERLEAVE_N} positions then hold
+    each source in proportion to its weight (src1* at 3×) — asserted
+    mid-flow — and any worker can recompute the exact same order.
+
+    Scale: per-source ranks are per-key windows (one shuffle on source);
+    the global take-first-N here is a rank window, which at 100 TB becomes
+    per-source QUOTAS (n_i = N·w_i/Σw, a driver-side computation) gating
+    the per-source ranks — same order, no global sort."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("source").startswith("src1"), 3.0).otherwise(1.0).alias("wt"),
+    )
+    rk = F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
+    pos = d.select("doc_id", "source", ((rk - 0.5) / F.col("wt")).alias("p"))
+    gpos = F.row_number().over(W.orderBy("p", "source", "doc_id"))
+    out = (
+        pos.withColumn("gpos", gpos)
+        .filter(F.col("gpos") <= _INTERLEAVE_N)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_taken"),
+            dround(F.count(F.lit(1)).cast("double") / _INTERLEAVE_N, 6).alias("share"),
+        )
+    )
+    shares = {r["source"]: r["n_taken"] for r in out.collect()}
+    heavy = sum(v for s, v in shares.items() if s.startswith("src1"))
+    assert heavy > _INTERLEAVE_N // 2, shares  # 3x sources dominate the mix
+    return out

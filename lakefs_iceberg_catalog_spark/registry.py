@@ -102,6 +102,7 @@ _SWEEP_PRIORITY = [
     "rollup_gapfill_locf", "agg_heavy_hitters", "dedup_cross_source",
     "pipeline_doc_shard", "agg_mode_deterministic", "window_user_gap_stats",
     "pipeline_batch_padding", "dml_scd2_intervals",
+    "pipeline_interleave_mixture",
     "dml_delete_where_mor", "dml_update_where_mor",
     # ... then the keys whose only driver row is round 1 (two rounds stale;
     # replayed green by tests/test_oracle.py every run, but the driver row
