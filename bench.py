@@ -97,6 +97,7 @@ EXTRA = [
     "similarity_maxsim_late_interaction",
     "dml_scd2_intervals",
     "pipeline_batch_padding",
+    "pipeline_global_shuffle",
 ]
 
 

@@ -24,7 +24,7 @@ from .dedup import (
     minhash_bands,
     shingle_rows_of,
 )
-from .util import dround
+from .util import dround, scoped_persist
 
 _ORACLE = f"""
 WITH quality AS (
@@ -557,3 +557,63 @@ def pipeline_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = sum(v for s, v in shares.items() if s.startswith("src1"))
     assert heavy > _INTERLEAVE_N // 2, shares  # 3x sources dominate the mix
     return out
+
+
+_SHUFFLE_SEED = "42"
+
+
+@register(
+    "pipeline_global_shuffle",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS skey
+    FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS position,
+       doc_id
+FROM keyed
+""",
+)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle — the reproducible training-order
+    primitive: every epoch's example order is ORDER BY md5(seed:doc_id), so
+    any worker (or any engine — the digest is cross-engine) re-derives the
+    identical permutation with no shared RNG state, and changing the seed
+    string re-shuffles the whole corpus.
+
+    Scale (100 TB): the naive plan is a global-window row_number — a
+    single-partition sort that dies at scale. This implements the two-phase
+    global-index pattern instead: range-exchange on the shuffle key (the
+    only full-data shuffle, and it is the sort Spark would need anyway),
+    per-partition local row_number, then add per-partition offsets computed
+    from an O(partitions)-row driver-side count — position = offset +
+    local rank. The plan's widest window is partitioned by partition id,
+    never ONE global partition."""
+    from pyspark.sql.window import Window as W
+
+    n_parts = 8
+    keyed = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit(_SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))).alias("skey"),
+    )
+    ranged = keyed.repartitionByRange(n_parts, "skey", "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = scoped_persist(ranged)
+    # O(partitions) rows to the driver: cumulative offsets per range slice
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]),
+        F.col("_pid"),
+    )
+    local = F.row_number().over(W.partitionBy("_pid").orderBy("skey", "doc_id"))
+    return ranged.select(
+        (off_expr + local).cast("bigint").alias("position"), "doc_id"
+    )
