@@ -98,6 +98,7 @@ EXTRA = [
     "dml_scd2_intervals",
     "pipeline_batch_padding",
     "pipeline_global_shuffle",
+    "sink_partition_transforms",
 ]
 
 

@@ -28,6 +28,7 @@ a distributed job. Nothing ever funnels row data through the driver.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import re
@@ -287,6 +288,120 @@ def _bucket_excludes(m: TableManifest, f: str, target: int | None) -> bool:
     return fb is not None and int(fb) != target
 
 
+def _layout_col(spec: dict) -> F.Column:
+    """The Spark expression deriving the synthetic layout key (`_bucket`)
+    from the source column, per transform — all pure scan-stage codegen:
+
+    - ``bucket``     : md5-nibble hash mod n (_bucket_col)
+    - ``days``       : whole days since 1970-01-01 (Iceberg days(ts))
+    - ``truncate``   : width-W floor for ints, W-char prefix for strings
+      (Iceberg truncate[W]); the int form uses the sign-safe
+      ``v - (((v % W) + W) % W)`` so negatives floor like Python/Iceberg.
+    """
+    col, transform = spec["col"], spec.get("transform", "bucket")
+    if transform == "bucket":
+        return _bucket_col(col, int(spec["n"]))
+    if transform == "days":
+        return F.datediff(F.col(col).cast("date"), F.lit("1970-01-01").cast("date"))
+    if transform == "truncate":
+        w = int(spec["param"])
+        if spec.get("ctype") == "string":
+            return F.substring(F.col(col), 1, w)
+        return F.expr(f"CAST(`{col}` - (((`{col}` % {w}) + {w}) % {w}) AS BIGINT)")
+    raise UnsupportedOperationError(f"unknown partition transform {transform!r}")
+
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+def _day_number(value) -> int | None:
+    """Iceberg's days(ts) transform of a probe value: whole days since
+    1970-01-01 (the same floor the write side applies). Accepts date,
+    datetime, or an ISO string; anything else disables pruning."""
+    if isinstance(value, _dt.datetime):
+        return (value.date() - _EPOCH_DATE).days
+    if isinstance(value, _dt.date):
+        return (value - _EPOCH_DATE).days
+    if isinstance(value, str):
+        try:
+            return (_dt.date.fromisoformat(value[:10]) - _EPOCH_DATE).days
+        except ValueError:
+            return None
+    return None
+
+
+def _layout_interval(m: TableManifest, col: str, op: str, value):
+    """Bounds (lo, hi), inclusive, None-open, on the synthetic layout key
+    (`_bucket` dir value) that rows matching ``col op value`` can occupy —
+    or None when layout pruning must not apply. This is Iceberg's
+    hidden-partitioning predicate projection: `days` and `truncate` are
+    MONOTONE transforms, so range predicates on the SOURCE column project
+    to ranges on the partition value; `bucket` is a hash, so only equality
+    projects (a single bucket)."""
+    spec = m.bucket_spec
+    if not spec or spec.get("col") != col:
+        return None
+    transform = spec.get("transform", "bucket")
+    if transform == "bucket":
+        b = _bucket_target(m, col, op, value)
+        return None if b is None else (b, b)
+    if op == "between":
+        lo, hi = value
+        a = _layout_interval(m, col, ">=", lo)
+        b = _layout_interval(m, col, "<=", hi)
+        if a is None or b is None:
+            return None
+        return (a[0], b[1])
+    if transform == "days":
+        k = _day_number(value)
+    elif transform == "truncate":
+        w = int(spec.get("param", 0))
+        if w <= 0:
+            return None
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, int):
+            k = (value // w) * w
+        elif isinstance(value, str):
+            k = value[:w]
+        else:
+            return None
+    else:
+        return None  # unknown transform — never prune
+    if k is None:
+        return None
+    if op == "=":
+        return (k, k)
+    if op in ("<", "<="):
+        return (None, k)
+    if op in (">", ">="):
+        return (k, None)
+    return None
+
+
+def _layout_excludes(m: TableManifest, f: str, interval) -> bool:
+    """True iff file `f`'s layout key provably falls outside ``interval``.
+    The stored dir value is a string; integer transforms (bucket/days/
+    truncate-int) compare numerically, truncate-string lexicographically —
+    the same order the transform preserves."""
+    if interval is None:
+        return False
+    fb = (m.file_partitions.get(f) or {}).get("_bucket")
+    if fb is None:
+        return False
+    lo, hi = interval
+    if isinstance(lo, int) or isinstance(hi, int):
+        try:
+            fb = int(fb)
+        except ValueError:
+            return False
+    if lo is not None and fb < lo:
+        return True
+    if hi is not None and fb > hi:
+        return True
+    return False
+
+
 def _decode_partition_value(raw: str, dtype: T.DataType | None):
     """Decode a hive-encoded partition dir value (``col=value``) to the
     column's Python value: %XX-unescaped, typed by the declared schema
@@ -500,6 +615,7 @@ class VersionedCatalog:
         partition_by: list[str] | None = None,
         bucket_by: tuple[str, int] | None = None,
         zorder_by: list[str] | None = None,
+        transform_by: tuple | None = None,
     ) -> None:
         """CTAS (reference: df.write.saveAsTable — conftest.py:50).
 
@@ -516,14 +632,23 @@ class VersionedCatalog:
         ``bucket_by=(col, n)`` declares Iceberg's bucket[N] transform: rows
         hash-route into n bucket dirs by a cross-engine digest of the key
         (int/string columns), so an equality lookup on the key reads 1/n of
-        the files while the key column itself stays in the pages."""
+        the files while the key column itself stays in the pages.
+
+        ``transform_by`` declares Iceberg's other HIDDEN partition
+        transforms — ``("days", ts_col)`` or ``("truncate", col, width)``:
+        files route into dirs keyed by the DERIVED value, queries keep
+        filtering on the source column, and because these transforms are
+        monotone, range predicates on the column prune partitions
+        (predicate projection) — the hidden-partitioning contract that
+        saves users from the classic Hive bug of forgetting the
+        partition-column predicate."""
         ops, levels = self._ops(identifier)
         if ops.is_table_dir():
             raise TableAlreadyExistsError(".".join(levels))
-        if sum(bool(x) for x in (cluster_by, partition_by, bucket_by, zorder_by)) > 1:
+        if sum(bool(x) for x in (cluster_by, partition_by, bucket_by, zorder_by, transform_by)) > 1:
             raise UnsupportedOperationError(
-                "cluster_by, partition_by, bucket_by, and zorder_by are "
-                "mutually exclusive"
+                "cluster_by, partition_by, bucket_by, zorder_by, and "
+                "transform_by are mutually exclusive"
             )
         for c in partition_by or []:
             if c not in df.columns:
@@ -540,6 +665,34 @@ class VersionedCatalog:
                 # types, which would silently break bucket pruning
                 raise UnsupportedOperationError(
                     f"bucket column must be an integer or string type, got {btype}"
+                )
+        if transform_by:
+            transform, tcol = transform_by[0], transform_by[1]
+            if tcol not in df.columns:
+                raise SchemaMismatchError(f"transform column {tcol!r} not in schema")
+            ttype = df.schema[tcol].dataType.typeName()
+            if transform == "days":
+                if ttype not in ("timestamp", "timestamp_ntz", "date"):
+                    raise UnsupportedOperationError(
+                        f"days transform needs a timestamp/date column, got {ttype}"
+                    )
+                bspec = {"col": tcol, "transform": "days"}
+            elif transform == "truncate":
+                w = int(transform_by[2])
+                if w <= 0:
+                    raise UnsupportedOperationError("truncate width must be positive")
+                if ttype in _INT_TYPE_NAMES:
+                    ctype = "int"
+                elif ttype == "string":
+                    ctype = "string"
+                else:
+                    raise UnsupportedOperationError(
+                        f"truncate transform needs an integer or string column, got {ttype}"
+                    )
+                bspec = {"col": tcol, "transform": "truncate", "param": w, "ctype": ctype}
+            else:
+                raise UnsupportedOperationError(
+                    f"unknown partition transform {transform!r}"
                 )
         files, stats, fparts = self._write_data(
             levels, df, cluster_by=cluster_by, partition_by=partition_by,
@@ -722,10 +875,13 @@ class VersionedCatalog:
             df = df.repartition(*[F.col(c) for c in partition_by])
             df.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
         elif bucket_spec:
-            # bucket transform: hash-route rows into N bucket dirs; the
-            # synthetic _bucket column exists only in the dir name (hive
-            # write drops it) — the key column itself stays in the pages
-            bcol = _bucket_col(bucket_spec["col"], int(bucket_spec["n"]))
+            # hidden-partition transform (Iceberg's bucket[N] / days /
+            # truncate[W]): rows route into dirs keyed by a DERIVED value;
+            # the synthetic _bucket column exists only in the dir name (hive
+            # write drops it) — the source column itself stays in the pages,
+            # so queries filter on the column and pruning happens on the
+            # transform (predicate projection in _layout_interval)
+            bcol = _layout_col(bucket_spec)
             df = df.withColumn("_bucket", bcol).repartition(F.col("_bucket"))
             df.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
         else:
@@ -1594,12 +1750,12 @@ class VersionedCatalog:
         m = ops.current()
         if m is None:
             raise NoSuchTableError(".".join(levels))
-        target = _bucket_target(m, col, op, value)
+        interval = _layout_interval(m, col, op, value)
         keep = [
             f
             for f in m.files
             if _file_survives(_effective_stats(m, f), col, op, value)
-            and not _bucket_excludes(m, f, target)
+            and not _layout_excludes(m, f, interval)
         ]
         return keep, len(m.files)
 

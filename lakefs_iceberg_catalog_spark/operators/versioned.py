@@ -679,3 +679,83 @@ def sink_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", dround("o_totalprice", 2).alias("total")
     )
     return _materialize(spark, out, root)
+
+
+@register(
+    "sink_partition_transforms",
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+       count(*)               AS n_events,
+       round(sum(value), 2)   AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+GROUP BY CAST(ts AS DATE)
+ORDER BY d
+""",
+)
+def sink_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partition transforms end to end (Iceberg's days(ts) and
+    truncate[W] — PartitionSpec transforms beyond identity/bucket). Two
+    tables exercise the two monotone transforms:
+
+    - events partitioned by ``days(ts)``: every file lives in a
+      day-numbered dir, the ts column itself stays in the pages, and a
+      RANGE predicate on ts — not on any partition column — prunes to only
+      the covering days (predicate projection). This is the
+      hidden-partitioning contract: users never write the
+      partition-column predicate Hive layouts require.
+    - orders partitioned by ``truncate(o_custkey, 100)``: an equality (and
+      any range) probe on the key prunes to the one width-100 slab.
+
+    Both pruning claims are asserted mid-flow on the manifest file lists;
+    the returned scan is the pruned days table aggregated per day, exact
+    against the raw-events oracle (the residual filter keeps pruning an
+    optimization, never a correctness dependency).
+
+    Scale: transform evaluation is scan-stage codegen at write, pruning is
+    driver-side metadata-only — at 100 TB a 3-day window over years of
+    events opens 3 directories."""
+    import datetime as dt
+
+    root = tempfile.mkdtemp(prefix="vcat-transform-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    td = "repo.main.db.events_days"
+    cat.create_table_as(td, ev.filter("event_id % 2 = 0"), transform_by=("days", "ts"))
+    cat.append(td, ev.filter("event_id % 2 = 1"))  # appends follow the spec
+
+    lo = dt.datetime(2024, 1, 10)
+    hi = dt.datetime(2024, 1, 12, 23, 59, 59, 999999)
+    keep, total = cat.select_files(td, "ts", "between", (lo, hi))
+    assert total > 10 and 0 < len(keep) < total, (len(keep), total)
+    m = cat._ops(td)[0].current()
+    lo_day = (lo.date() - dt.date(1970, 1, 1)).days
+    assert all(
+        lo_day <= int(m.file_partitions[f]["_bucket"]) <= lo_day + 2 for f in keep
+    ), "kept files outside the probed day range"
+
+    # truncate[100] on an int key: equality probe opens one slab
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tt = "repo.main.db.orders_trunc"
+    cat.create_table_as(tt, orders, transform_by=("truncate", "o_custkey", 100))
+    keep_t, total_t = cat.select_files(tt, "o_custkey", "=", 42)
+    assert total_t > 1 and 0 < len(keep_t) < total_t, (len(keep_t), total_t)
+    mt = cat._ops(tt)[0].current()
+    assert all(int(mt.file_partitions[f]["_bucket"]) == 0 for f in keep_t)
+
+    from .util import dround
+
+    out = (
+        cat.scan_pruned(td, "ts", "between", (lo, hi))
+        .filter(F.col("ts") < F.lit(dt.datetime(2024, 1, 13)))
+        .groupBy(F.col("ts").cast("date").cast("string").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("d")
+    )
+    return _materialize(spark, out, root)

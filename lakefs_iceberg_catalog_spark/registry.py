@@ -73,7 +73,7 @@ _SWEEP_PRIORITY = [
     # ... keys NEW or behavior-extended in round 4 (type widening, partition
     # spec, stats-scoped MoR predicates, the 8 suite-completing TPC-H
     # shapes) ...
-    "ddl_type_widening", "sink_partition_spec",
+    "ddl_type_widening", "sink_partition_spec", "sink_partition_transforms",
     "ddl_rollback_version", "branch_tag_scan", "meta_files",
     "time_travel_changes", "sink_zorder_pruning",
     "text_repetition_signals", "text_unigram_logprob_score",

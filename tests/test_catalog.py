@@ -1383,3 +1383,87 @@ def test_merge_is_all_or_nothing_across_tables(spark, tmp_path):
     assert c.scan("repo.main.db.a").count() == 1
     # resolving the conflict (rollback main's b? simplest: fresh dst branch)
     c.create_branch("repo", "release", "main")
+
+
+def test_partition_transform_days_prunes(cat, spark):
+    """days(ts) hidden partitioning: a ts RANGE predicate prunes to only
+    the covering day dirs, and the pruned scan stays exact."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i % 10), 12, 0, 0), float(i)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    cat.create_table_as("repo.main.company.ev_days", df, transform_by=("days", "ts"))
+    t = "repo.main.company.ev_days"
+    keep, total = cat.select_files(
+        t, "ts", "between", (dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 4, 23, 59))
+    )
+    assert total >= 10 and 0 < len(keep) < total
+    m = cat._ops(t)[0].current()
+    d0 = (dt.date(2024, 1, 3) - dt.date(1970, 1, 1)).days
+    assert {int(m.file_partitions[f]["_bucket"]) for f in keep} <= {d0, d0 + 1}
+    got = cat.scan_pruned(
+        t, "ts", "between", (dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 4, 23, 59))
+    )
+    assert got.count() == 40  # 2 of 10 days x 20 rows/day
+    # open-ended range prunes too
+    keep_ge, _ = cat.select_files(t, "ts", ">=", dt.datetime(2024, 1, 9))
+    assert 0 < len(keep_ge) < total
+
+
+def test_partition_transform_truncate_negative_floor(cat, spark):
+    """truncate[W] floors toward -inf (Iceberg semantics), so negative keys
+    land in the right slab and equality probes prune to one slab."""
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate([-150, -50, -1, 0, 1, 99, 100, 250])],
+        "id long, k long",
+    )
+    t = "repo.main.company.trunc_neg"
+    cat.create_table_as(t, df, transform_by=("truncate", "k", 100))
+    m = cat._ops(t)[0].current()
+    slabs = {int(m.file_partitions[f]["_bucket"]) for f in m.files}
+    assert slabs == {-200, -100, 0, 100, 200}  # -150 -> -200, -1 -> -100
+    keep, total = cat.select_files(t, "k", "=", -1)
+    assert all(int(m.file_partitions[f]["_bucket"]) == -100 for f in keep)
+    assert 0 < len(keep) < total
+    assert {r["k"] for r in cat.scan_pruned(t, "k", "=", -1).collect()} == {-1}
+
+
+def test_partition_transform_truncate_string_prefix(cat, spark):
+    """truncate[W] on strings is a W-char prefix; equality and range probes
+    on the source column prune lexicographically."""
+    df = spark.createDataFrame(
+        [(1, "apple"), (2, "apron"), (3, "banjo"), (4, "cider"), (5, "apex")],
+        "id long, s string",
+    )
+    t = "repo.main.company.trunc_str"
+    cat.create_table_as(t, df, transform_by=("truncate", "s", 2))
+    keep, total = cat.select_files(t, "s", "=", "apple")
+    m = cat._ops(t)[0].current()
+    assert total >= 3 and all(m.file_partitions[f]["_bucket"] == "ap" for f in keep)
+    keep_lt, _ = cat.select_files(t, "s", "<", "b")
+    assert all(m.file_partitions[f]["_bucket"] <= "b" for f in keep_lt)
+    got = {r["s"] for r in cat.scan_pruned(t, "s", "=", "apple").collect()}
+    assert got == {"apple"}
+
+
+def test_partition_transform_guards(cat, spark):
+    """days needs a temporal column; truncate needs int/string; transforms
+    are mutually exclusive with the other layout specs."""
+    import pytest as _pt
+
+    from lakefs_iceberg_catalog_spark.catalog.errors import (
+        UnsupportedOperationError,
+    )
+
+    df = spark.createDataFrame([(1, "x", 1.5)], "id long, s string, f double")
+    with _pt.raises(UnsupportedOperationError):
+        cat.create_table_as("repo.main.company.g1", df, transform_by=("days", "s"))
+    with _pt.raises(UnsupportedOperationError):
+        cat.create_table_as("repo.main.company.g2", df, transform_by=("truncate", "f", 10))
+    with _pt.raises(UnsupportedOperationError):
+        cat.create_table_as(
+            "repo.main.company.g3", df,
+            transform_by=("truncate", "id", 10), cluster_by=["id"],
+        )
