@@ -99,6 +99,7 @@ EXTRA = [
     "pipeline_batch_padding",
     "pipeline_global_shuffle",
     "sink_partition_transforms",
+    "dml_delete_positions",
 ]
 
 

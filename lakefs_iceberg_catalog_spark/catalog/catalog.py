@@ -753,6 +753,9 @@ class VersionedCatalog:
         clone.file_columns = {f: dict(v) for f, v in m.file_columns.items() if f in set(m.files)}
         clone.file_types = {f: dict(v) for f, v in m.file_types.items() if f in set(m.files)}
         clone.delete_preds = {f: list(v) for f, v in m.delete_preds.items() if f in set(m.files)}
+        clone.position_deletes = {
+            f: list(v) for f, v in m.position_deletes.items() if f in set(m.files)
+        }
         ops_dst.commit(None, clone)
 
     def rename_table(self, src, dst) -> None:
@@ -924,7 +927,9 @@ class VersionedCatalog:
         shutil.rmtree(staging)
         return out, stats, fparts
 
-    def _read_files(self, repo: str, manifest: TableManifest) -> DataFrame:
+    def _read_files(
+        self, repo: str, manifest: TableManifest, with_positions: bool = False
+    ) -> DataFrame:
         """Scan the manifest's files, projecting each file's WRITTEN column
         names onto the CURRENT schema via stable field ids (Iceberg's
         read-time projection): renamed columns read by their old on-file
@@ -971,9 +976,17 @@ class VersionedCatalog:
             # common cases (no deletes / one table-wide delete) stay a
             # single scan + one codegen'd filter
             pred_sig = tuple(manifest.delete_preds.get(f, ()))
-            groups.setdefault((name_sig, type_sig, part_sig, pred_sig), []).append(f)
+            # ... as do pending POSITION delete files: files covered by the
+            # same delete set scan together and share one anti-join
+            pos_sig = tuple(sorted(manifest.position_deletes.get(f, ())))
+            groups.setdefault(
+                (name_sig, type_sig, part_sig, pred_sig, pos_sig), []
+            ).append(f)
         parts = []
-        for (name_sig, type_sig, part_sig, pred_sig), files in groups.items():
+        # repo-relative data-file path of each row, derived from the parquet
+        # reader's _metadata: the join key position deletes are scoped by
+        uri_prefix = "file:" + self._repo_dir(repo) + "/"
+        for (name_sig, type_sig, part_sig, pred_sig, pos_sig), files in groups.items():
             paths = [
                 self._verify_path(repo, os.path.join(self._repo_dir(repo), f))
                 for f in files
@@ -992,26 +1005,59 @@ class VersionedCatalog:
                 {"type": "struct", "fields": read_fields}
             )
             df = self.spark.read.schema(read_schema).parquet(*paths)
-            df = df.select(
-                [
-                    (
-                        F.lit(pvals[written]).cast(dtypes[c["name"]]).alias(c["name"])
-                        if written is not None and written in pvals
-                        else (
-                            F.col(written).alias(c["name"])
-                            if read_schema[written].dataType == dtypes[c["name"]]
-                            else F.col(written).cast(dtypes[c["name"]]).alias(c["name"])
-                        )
-                        if written is not None
-                        else F.lit(None).cast(dtypes[c["name"]]).alias(c["name"])
+            sel = [
+                (
+                    F.lit(pvals[written]).cast(dtypes[c["name"]]).alias(c["name"])
+                    if written is not None and written in pvals
+                    else (
+                        F.col(written).alias(c["name"])
+                        if read_schema[written].dataType == dtypes[c["name"]]
+                        else F.col(written).cast(dtypes[c["name"]]).alias(c["name"])
                     )
-                    for written, c in zip(name_sig, cols)
+                    if written is not None
+                    else F.lit(None).cast(dtypes[c["name"]]).alias(c["name"])
+                )
+                for written, c in zip(name_sig, cols)
+            ]
+            if pos_sig or with_positions:
+                sel += [
+                    F.expr(
+                        f"substring(_metadata.file_path, {len(uri_prefix) + 1})"
+                    ).alias("_file"),
+                    F.col("_metadata.row_index").alias("_pos"),
                 ]
-            )
+            df = df.select(sel)
             for pred in pred_sig:
                 # DELETE keeps NULL-predicate rows, so the anti-filter is
                 # NOT coalesce(pred, false) — same semantics as the CoW path
                 df = df.filter(~F.coalesce(F.expr(f"({pred})"), F.lit(False)))
+            if pos_sig:
+                # apply pending position deletes: one anti-join on
+                # (data file, row ordinal) against the group's delete files
+                # — deleted-row-proportional work, usually a broadcast
+                dels = (
+                    self.spark.read.schema("file_path string, pos long")
+                    .parquet(
+                        *[
+                            self._verify_path(
+                                repo, os.path.join(self._repo_dir(repo), d)
+                            )
+                            for d in pos_sig
+                        ]
+                    )
+                    .select(
+                        F.col("file_path").alias("_dfile"),
+                        F.col("pos").alias("_dpos"),
+                    )
+                )
+                df = df.join(
+                    dels,
+                    (F.col("_file") == F.col("_dfile"))
+                    & (F.col("_pos") == F.col("_dpos")),
+                    "left_anti",
+                )
+                if not with_positions:
+                    df = df.drop("_file", "_pos")
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -1420,6 +1466,83 @@ class VersionedCatalog:
                     base = fresh
                     err = e
             raise err
+        if eff in ("position", "position-deletes"):
+            # Iceberg v2 POSITION deletes: materialize the matching rows'
+            # (data file, row ordinal) pairs into a small parquet delete
+            # file and commit it against the covered data files — work
+            # proportional to the DELETED rows (scans anti-join, never
+            # re-evaluate the predicate), where the predicate form above
+            # re-evaluates its predicate on every scan of every covered
+            # file. The natural choice when the matching row set is small
+            # or the predicate is expensive.
+            if not base.files:
+                return
+            matches = (
+                self._read_files(levels[0], base, with_positions=True)
+                .filter(F.coalesce(F.expr(f"({predicate})"), F.lit(False)))
+                .select(
+                    F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
+                )
+            )
+            table_dir = os.path.join(self.root, *levels)
+            ddir = os.path.join(table_dir, "data", "deletes")
+            os.makedirs(ddir, exist_ok=True)
+            staging = os.path.join(table_dir, f".staging-del-{_uuid.uuid4().hex}")
+            matches.write.mode("overwrite").parquet(staging)
+            stamp = _uuid.uuid4().hex[:12]
+            new_rel, i = [], 0
+            for dirpath, _, filenames in sorted(os.walk(staging)):
+                for name in sorted(filenames):
+                    if not name.endswith(".parquet"):
+                        continue
+                    src = os.path.join(dirpath, name)
+                    if _parquet_num_rows(src) == 0:
+                        continue
+                    dst = os.path.join(ddir, f"del-{stamp}-{i:05d}.parquet")
+                    os.replace(src, dst)
+                    new_rel.append(self._rel(levels[0], dst))
+                    i += 1
+            shutil.rmtree(staging)
+            if not new_rel:
+                return  # predicate matched nothing — no commit needed
+            abs_new = [os.path.join(self._repo_dir(levels[0]), r) for r in new_rel]
+            # covered data files: O(files) driver-side metadata, not O(rows)
+            covered = [
+                r["file_path"]
+                for r in self.spark.read.parquet(*abs_new)
+                .select("file_path")
+                .distinct()
+                .collect()
+            ]
+            for _ in range(10):
+                pos_map = {f: list(v) for f, v in base.position_deletes.items()}
+                stale = [f for f in covered if f not in base.files]
+                if stale:
+                    # a concurrent rewrite replaced a covered file; our
+                    # ordinals no longer address its rows — abort rather
+                    # than silently dropping part of the delete
+                    raise CommitConflictError(
+                        f"position delete lost its base files: {stale[:3]}"
+                    )
+                for f in covered:
+                    pos_map.setdefault(f, [])
+                    pos_map[f] = pos_map[f] + new_rel
+                try:
+                    ops.commit(
+                        base, base.next(base.files, position_deletes=pos_map)
+                    )
+                    return
+                except (CommitConflictError, CommitStateError) as e:
+                    fresh = ops.current()
+                    if (
+                        fresh is None
+                        or fresh.table_uuid != base.table_uuid
+                        or fresh.schema_json != base.schema_json
+                    ):
+                        raise
+                    base = fresh
+                    err = e
+            raise err
         if eff != "copy-on-write":
             raise UnsupportedOperationError(f"unknown delete mode {eff!r}")
         survivors = self._read_files(levels[0], base).filter(
@@ -1783,6 +1906,7 @@ class VersionedCatalog:
             file_partitions=m.file_partitions,
             bucket_spec=m.bucket_spec,
             delete_preds=m.delete_preds,
+            position_deletes=m.position_deletes,
         )
         df = self._read_files(levels[0], pruned)
         # Residual predicate from Column/lit objects — never string-assembled
@@ -2264,7 +2388,13 @@ class VersionedCatalog:
                                 os.path.join(ops.meta_dir, base)
                             )
                             if content is not None:
-                                refs.update(TableManifest.from_json(content).files)
+                                m = TableManifest.from_json(content)
+                                refs.update(m.files)
+                                # position-delete files are data too: a live
+                                # snapshot's scan reads them, so GC must not
+                                # reclaim them while any version lists them
+                                for dfs in m.position_deletes.values():
+                                    refs.update(dfs)
                     dirnames.clear()
         return refs
 

@@ -119,6 +119,17 @@ class TableManifest:
     # rewritten files. Files appended after a delete carry no entry and are
     # unaffected (the sequence-number scoping equality deletes need).
     delete_preds: dict = field(default_factory=dict)
+    # Position deletes (Iceberg format-version 2 POSITION delete files —
+    # the other half of the v2 row-level contract next to the predicate/
+    # equality deletes above): {data_file: [delete_file, ...]} where each
+    # delete file is a parquet of (_file, _pos) rows naming exact rows by
+    # their ordinal within the data file. A delete of N scattered rows is
+    # one small parquet write + a manifest swap; scans anti-join on
+    # (file, position) — never re-evaluate a predicate — so the cost is
+    # proportional to the DELETED rows, not the table. compact()/CoW
+    # rewrites fold them in and drop the entries (next() keeps entries
+    # only for retained files, same lifecycle as delete_preds).
+    position_deletes: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -137,6 +148,7 @@ class TableManifest:
                 "file_partitions": self.file_partitions,
                 "bucket_spec": self.bucket_spec,
                 "delete_preds": self.delete_preds,
+                "position_deletes": self.position_deletes,
             },
             indent=1,
             sort_keys=True,
@@ -162,6 +174,7 @@ class TableManifest:
             file_partitions=dict(d.get("file_partitions", {})),
             bucket_spec=dict(d.get("bucket_spec", {})),
             delete_preds=dict(d.get("delete_preds", {})),
+            position_deletes=dict(d.get("position_deletes", {})),
         )
 
     def next(
@@ -173,6 +186,7 @@ class TableManifest:
         columns: list | None = None,
         delete_preds: dict | None = None,
         file_partitions: dict | None = None,
+        position_deletes: dict | None = None,
     ) -> "TableManifest":
         new_cols = list(self.columns if columns is None else columns)
         # Any file the base doesn't know was just written with the COMMIT's
@@ -199,6 +213,10 @@ class TableManifest:
         # gone with rewritten/compacted ones, never attached to new files
         src_preds = self.delete_preds if delete_preds is None else delete_preds
         dpreds = {f: src_preds[f] for f in files if src_preds.get(f)}
+        # position-delete files follow the same lifecycle: retained data
+        # files keep their delete files, rewritten ones drop them
+        src_pos = self.position_deletes if position_deletes is None else position_deletes
+        dpos = {f: src_pos[f] for f in files if src_pos.get(f)}
         # partition values: retained files inherit, new files bring their own
         # (stamped by the partitioned writer), removed files drop out
         all_parts = {**self.file_partitions, **(file_partitions or {})}
@@ -217,6 +235,7 @@ class TableManifest:
             file_partitions=fparts,
             bucket_spec=dict(self.bucket_spec),
             delete_preds=dpreds,
+            position_deletes=dpos,
         )
 
 

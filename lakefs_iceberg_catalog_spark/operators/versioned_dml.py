@@ -635,3 +635,67 @@ def dml_purge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert v1.count() == 5 and v1.filter("id = '6'").count() == 0
     assert cat.table_history(t) == [1, 2]         # history shape intact
     return _materialize(spark, cat.scan(t), root)
+
+
+@register(
+    "dml_delete_positions",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+FROM orders
+WHERE NOT (o_orderkey % 10 = 3 AND o_orderkey <= 7000)
+  AND NOT (o_orderstatus = 'P')
+""",
+)
+def dml_delete_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 POSITION deletes end to end — the other half of the
+    format-version-2 row-level contract next to the predicate form
+    (dml_delete_where_mor): DELETE materializes the matching rows'
+    (data file, row ordinal) pairs into a small parquet delete file and
+    commits it against only the COVERED data files; scans anti-join on
+    (file, pos) instead of re-evaluating the predicate. Asserted mid-flow:
+    (a) no data file is rewritten by either delete, (b) the delete files
+    scope to a strict subset of the table's files (the clustered layout
+    keeps high-key files untouched by the key-ranged predicate),
+    (c) a second delete stacks, (d) compact() folds everything in and
+    clears the map. Scale: a 100-row delete on a 100 TB table writes a
+    100-row parquet + one manifest swap, and every later scan pays one
+    deleted-rows-sized broadcast anti-join — not a predicate evaluation
+    per row per scan."""
+    import tempfile
+
+    from ..catalog import VersionedCatalog
+    from ..tables import table
+    from .util import dround
+
+    root = tempfile.mkdtemp(prefix="vcat-posdel-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = "repo.main.db.orders_pd"
+    cat.create_table_as(t, orders, cluster_by=["o_orderkey"])
+    ops = cat._ops(t)[0]
+    files_before = sorted(ops.current().files)
+
+    cat.delete_where(t, "o_orderkey % 10 = 3 AND o_orderkey <= 7000", mode="position")
+    m1 = ops.current()
+    assert sorted(m1.files) == files_before  # (a) metadata-only
+    assert 0 < len(m1.position_deletes) < len(m1.files), (
+        len(m1.position_deletes),
+        len(m1.files),
+    )  # (b) scoped to covering files only
+
+    cat.delete_where(t, "o_orderstatus = 'P'", mode="position")
+    m2 = ops.current()
+    assert sorted(m2.files) == files_before  # (c) still no rewrite
+    visible = {tuple(r) for r in cat.scan(t).collect()}
+    cat.compact(t)
+    assert not ops.current().position_deletes  # (d) folded away
+    assert {tuple(r) for r in cat.scan(t).collect()} == visible
+
+    out = cat.scan(t).select(
+        "o_orderkey", "o_orderstatus", dround("o_totalprice", 2).alias("total")
+    )
+    return _materialize(spark, out, root)

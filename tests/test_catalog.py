@@ -1467,3 +1467,37 @@ def test_partition_transform_guards(cat, spark):
             "repo.main.company.g3", df,
             transform_by=("truncate", "id", 10), cluster_by=["id"],
         )
+
+
+def test_position_deletes_lifecycle(cat, spark):
+    """Position deletes: metadata-only commit, scan anti-join exactness,
+    stacking, time travel, compact fold, and GC reachability of the
+    delete files themselves."""
+    df = spark.range(0, 400).selectExpr("id", "id % 5 AS grp")
+    t = "repo.main.company.pos"
+    cat.create_table_as(t, df, cluster_by=["id"])
+    ops = cat._ops(t)[0]
+    before = sorted(ops.current().files)
+
+    cat.delete_where(t, "grp = 2 AND id < 100", mode="position")
+    m = ops.current()
+    assert sorted(m.files) == before  # no rewrite
+    assert m.position_deletes and len(m.position_deletes) < len(m.files)
+    assert cat.scan(t).filter("grp = 2 AND id < 100").count() == 0
+    assert cat.scan(t).count() == 400 - 20
+    # delete files are GC roots while any snapshot lists them
+    assert cat.garbage_collect("repo", dry_run=True) == []
+    # stacking a second delete composes
+    cat.delete_where(t, "id >= 390", mode="position")
+    assert cat.scan(t).count() == 400 - 20 - 10
+    # the pre-delete snapshot still reads in full
+    assert cat.scan(t, version=1).count() == 400
+    # matching nothing commits nothing
+    v = ops.current().version
+    cat.delete_where(t, "id < 0", mode="position")
+    assert ops.current().version == v
+    # compact folds the deletes into fresh files and clears the map
+    cat.compact(t)
+    m2 = ops.current()
+    assert not m2.position_deletes
+    assert cat.scan(t).count() == 400 - 30
