@@ -100,6 +100,7 @@ EXTRA = [
     "pipeline_global_shuffle",
     "sink_partition_transforms",
     "dml_delete_positions",
+    "similarity_ann_pq",
 ]
 
 

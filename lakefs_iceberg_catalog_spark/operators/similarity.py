@@ -986,3 +986,258 @@ def similarity_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> Data
     return best.groupBy("q_label", "d_label").agg(
         dround(F.avg("best_cos"), 6).alias("maxsim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (FAISS PQ): the third classic ANN compression next to
+# scalar quantization (similarity_ann_sq8) and coarse inverted lists
+# (similarity_ann_ivf). 64 dims split into M subspaces; each subspace gets a
+# K-codeword codebook fitted by deterministic L2 k-means on the same bounded
+# sample the IVF fit uses; a vector's code is M small integers (M*log2(K)
+# bits vs 64*32 bits raw).
+_PQ_M = 4
+_PQ_SUBDIM = _DIM // _PQ_M
+_PQ_K = 4
+_PQ_ROUNDS = 2
+_PQ_INIT_LO = 8  # codebook init: subvectors of vec_id 8..8+K-1 (seeded)
+
+
+def _pq_fit_ctes() -> str:
+    """Unrolled per-subspace Lloyd's (L2) as DuckDB CTEs — the PQ analog of
+    _IVF_FIT_CTES: same bounded sample, same sequential fold orders, so the
+    Python fit (_fit_pq) is replayed bitwise."""
+    parts = []
+    for m in range(_PQ_M):
+        off = m * _PQ_SUBDIM
+        parts.append(f"""
+ps{m} AS (SELECT vec_id, list_transform(range({off + 1}, {off + _PQ_SUBDIM + 1}),
+              i -> CAST(embedding[i] AS DOUBLE)) AS sub
+          FROM embeddings WHERE vec_id < {_IVF_SAMPLE_N}),
+p{m}c0 AS (SELECT vec_id - {_PQ_INIT_LO} AS k, sub AS cw FROM ps{m}
+           WHERE vec_id BETWEEN {_PQ_INIT_LO} AND {_PQ_INIT_LO + _PQ_K - 1})""")
+        for r in range(1, _PQ_ROUNDS + 1):
+            prev = f"p{m}c{r - 1}"
+            dist = (
+                f"list_aggregate(list_transform(range(1, {_PQ_SUBDIM + 1}),"
+                f" i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i])), 'sum')"
+            )
+            parts.append(f"""
+p{m}s{r} AS (SELECT s.vec_id, c.k, {dist} AS dist FROM ps{m} s CROSS JOIN {prev} c),
+p{m}r{r} AS (SELECT vec_id, k,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rr
+             FROM p{m}s{r}),
+p{m}g{r} AS (SELECT r.k, list(s.sub ORDER BY s.vec_id) AS subs, count(*) AS n
+             FROM p{m}r{r} r JOIN ps{m} s USING (vec_id) WHERE r.rr = 1 GROUP BY r.k),
+p{m}c{r} AS (SELECT p.k,
+                    COALESCE(
+                      (SELECT list_transform(
+                          list_reduce(g.subs,
+                              (x, y) -> list_transform(range(1, {_PQ_SUBDIM + 1}), i -> x[i] + y[i])),
+                          v -> v / g.n)
+                       FROM p{m}g{r} g WHERE g.k = p.k),
+                      p.cw) AS cw
+             FROM {prev} p)""")
+    return ",".join(parts)
+
+
+def _pq_encode_ctes() -> str:
+    """Encode EVERY corpus vector against the fitted codebooks (argmin L2,
+    ties to the smaller code) and reconstruct its PQ approximation as the
+    concatenation of its chosen codewords."""
+    parts = []
+    for m in range(_PQ_M):
+        off = m * _PQ_SUBDIM
+        final = f"p{m}c{_PQ_ROUNDS}"
+        dist = (
+            f"list_aggregate(list_transform(range(1, {_PQ_SUBDIM + 1}),"
+            f" i -> (es.sub[i] - c.cw[i]) * (es.sub[i] - c.cw[i])), 'sum')"
+        )
+        parts.append(f"""
+es{m} AS (SELECT vec_id, list_transform(range({off + 1}, {off + _PQ_SUBDIM + 1}),
+              i -> CAST(embedding[i] AS DOUBLE)) AS sub
+          FROM embeddings),
+ed{m} AS (SELECT es.vec_id, c.cw,
+                 row_number() OVER (PARTITION BY es.vec_id ORDER BY {dist}, c.k) AS rr
+          FROM es{m} es CROSS JOIN {final} c),
+ec{m} AS (SELECT vec_id, cw FROM ed{m} WHERE rr = 1)""")
+    concat = " || ".join(f"ec{m}.cw" for m in range(_PQ_M))
+    joins = " ".join(f"JOIN ec{m} ON ec{m}.vec_id = e.vec_id" for m in range(_PQ_M))
+    parts.append(f"""
+recon AS (SELECT e.vec_id, {concat} AS demb FROM embeddings e {joins})""")
+    return ",".join(parts)
+
+
+def _fit_pq(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Deterministic per-subspace L2 k-means on the driver (the PQ codebook
+    fit): bounded sample (vec_id < {_IVF_SAMPLE_N}), seeded init, fixed
+    rounds, sequential arithmetic — replayed bitwise by _pq_fit_ctes().
+    Returns books[m][k] = 16-dim codeword. At 100 TB the sample is a bigger
+    bounded draw; encoding stays a per-row expression over M*K literal
+    codewords, so the corpus never shuffles for the index build."""
+    e = table(spark, sf_dir, "embeddings")
+    sample = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < _IVF_SAMPLE_N).collect()
+    }
+    order = sorted(sample)
+    books = []
+    for m in range(_PQ_M):
+        off = m * _PQ_SUBDIM
+        subs = {vid: sample[vid][off:off + _PQ_SUBDIM] for vid in order}
+        cents = [(k, list(subs[_PQ_INIT_LO + k])) for k in range(_PQ_K)]
+        for _ in range(_PQ_ROUNDS):
+            members: dict[int, list[list[float]]] = {k: [] for k, _ in cents}
+            for vid in order:
+                s = subs[vid]
+                best_k, best_d = None, None
+                for k, cw in cents:  # ascending k → ties keep the smaller
+                    d = 0.0
+                    for i in range(_PQ_SUBDIM):
+                        d += (s[i] - cw[i]) * (s[i] - cw[i])
+                    if best_d is None or d < best_d:
+                        best_k, best_d = k, d
+                members[best_k].append(s)
+            new_cents = []
+            for k, old in cents:
+                mem = members[k]
+                if not mem:
+                    new_cents.append((k, old))
+                    continue
+                acc = list(mem[0])  # left fold in vec_id order, like
+                for mm in mem[1:]:  # DuckDB's list_reduce
+                    for i in range(len(acc)):
+                        acc[i] = acc[i] + mm[i]
+                new_cents.append((k, [v / len(mem) for v in acc]))
+            cents = new_cents
+        books.append([cw for _, cw in cents])
+    return books
+
+
+@register(
+    "similarity_ann_pq",
+    oracle=f"""
+WITH {_pq_fit_ctes()},
+{_pq_encode_ctes()},
+q AS (SELECT vec_id AS query_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS qn
+      FROM embeddings WHERE vec_id < {_N_QUERIES}),
+dn AS (SELECT vec_id, demb,
+              sqrt(list_aggregate(list_transform(demb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS cn
+       FROM recon),
+approx AS (
+    SELECT q.query_id, d.vec_id AS neighbor_id,
+           list_aggregate(list_transform(range(1, {_DIM + 1}),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(d.demb[i] AS DOUBLE)), 'sum')
+             / (q.qn * d.cn) AS acos_
+    FROM q JOIN dn d ON d.vec_id <> q.query_id
+),
+ar AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY acos_ DESC, neighbor_id) AS arnk
+       FROM approx),
+cand AS (SELECT query_id, neighbor_id FROM ar WHERE arnk <= {_SQ_RERANK}),
+sims AS (
+    SELECT c.query_id, c.neighbor_id, {_cos_sql("q", "e")} AS cos
+    FROM cand c
+    JOIN embeddings q ON q.vec_id = c.query_id
+    JOIN embeddings e ON e.vec_id = c.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM sims
+)
+SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= {_TOP_K}
+""",
+)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (FAISS PQ): each corpus vector compresses to
+    {_PQ_M} sub-codes ({_PQ_M}×log2({_PQ_K}) bits vs {_DIM}×32 raw) against
+    per-subspace codebooks fitted by deterministic L2 k-means
+    (_fit_pq/_pq_fit_ctes — same bounded-sample/seeded/sequential contract
+    as the IVF fit, so the 'approximate' index is hash-checked exactly).
+    The scan ranks by asymmetric distance (exact query × PQ-reconstructed
+    corpus), redeems the top {_SQ_RERANK} with exact cosine, emits top-k.
+
+    100 TB story: codebooks are M×K literal arrays in the plan — encoding
+    and reconstruction are per-row codegen expressions, the corpus never
+    shuffles for the index build, and the approx phase reads
+    {_PQ_M * 2}B/vector instead of {_DIM * 4}B (a {(_DIM * 4) // (_PQ_M * 2)}×
+    bandwidth cut — the reason PQ is the standard billion-vector format).
+    Exact vectors are fetched only for the output-sized rerank."""
+    books = _fit_pq(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    demb_parts = []
+    for m in range(_PQ_M):
+        off = m * _PQ_SUBDIM
+        sub = F.slice(F.col("embedding"), off + 1, _PQ_SUBDIM)
+        structs = []
+        for k in range(_PQ_K):
+            cw = F.array(*[F.lit(v) for v in books[m][k]])
+            d = F.aggregate(
+                F.zip_with(
+                    sub, cw,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(d.alias("d"), F.lit(k).alias("k")))
+        best = F.array_min(F.array(*structs))  # min (dist, k): ties → smaller k
+        cw_arrays = F.array(
+            *[F.array(*[F.lit(v) for v in books[m][k]]) for k in range(_PQ_K)]
+        )
+        demb_parts.append(F.element_at(cw_arrays, best["k"] + 1))
+    demb = F.concat(*demb_parts)
+    dn = e.select("vec_id", demb.alias("demb")).select(
+        "vec_id", "demb", F.sqrt(_sqnorm(F.col("demb"))).alias("cn")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("qn"),
+    )
+    approx = (
+        F.broadcast(q)
+        .crossJoin(dn)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("demb")) / (F.col("qn") * F.col("cn"))).alias("acos_"),
+        )
+    )
+    wa = W.partitionBy("query_id").orderBy(F.col("acos_").desc(), F.col("neighbor_id"))
+    cand = (
+        approx.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") <= _SQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    qraw = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("qn"),
+    )
+    craw = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("cn2"),
+    )
+    sims = (
+        F.broadcast(cand)
+        .join(qraw, "query_id")
+        .join(craw, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("qn") * F.col("cn2"))).alias("cos"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rnk", dround("cos", 6).alias("cosine"))
+    )

@@ -78,7 +78,7 @@ _SWEEP_PRIORITY = [
     "ddl_rollback_version", "branch_tag_scan", "meta_files",
     "time_travel_changes", "sink_zorder_pruning",
     "text_repetition_signals", "text_unigram_logprob_score",
-    "stream_static_join", "similarity_ann_sq8",
+    "stream_static_join", "similarity_ann_sq8", "similarity_ann_pq",
     "join_fuzzy_levenshtein", "pipeline_global_shuffle",
     "join_range_bucketized", "dml_merge_schema_evolution",
     "sink_shallow_clone", "agg_funnel_steps", "stream_stream_outer_join",

@@ -455,3 +455,15 @@ def test_gap_stats_single_exchange(spark):
     p = _exec_plan(q(spark, "window_user_gap_stats"))
     assert p.count("Exchange") - p.count("ReusedExchange") <= 1
     assert "Join" not in p
+
+
+def test_pq_encode_is_map_only(spark):
+    """PQ's codebooks are literal arrays in the plan: corpus encoding and
+    reconstruction must be per-row expressions (no shuffle, no join against
+    a codebook table), the approx pass a broadcast(queries)×corpus scan,
+    and the rerank joins broadcast — same discipline as SQ8/IVF."""
+    p = plan(q(spark, "similarity_ann_pq"))
+    assert p.count("SortMergeJoin") == 0
+    assert p.count("CartesianProduct") == 0
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p  # broadcast(q) x corpus
