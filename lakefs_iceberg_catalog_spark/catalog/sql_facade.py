@@ -211,22 +211,21 @@ class SqlFacade:
             return mk([], "result string")
 
         m = re.match(
+            # the clause body allows ONE paren nesting level so transform
+            # calls — PARTITIONED BY (bucket(4, id)) — parse
             rf"(?is)^CREATE\s+TABLE\s+({_IDENT})"
-            rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s+AS\s+(SELECT\b.+|WITH\b.+)$",
+            rf"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?\s+AS\s+(SELECT\b.+|WITH\b.+)$",
             s,
         )
         if m:
             # CTAS: the reference's saveAsTable path in SQL form — resolve
-            # lakefs identifiers in the query, run it, commit as v1
-            # (optionally into an identity partition spec).
-            pcols = (
-                [p.strip().strip("`") for p in m.group(2).split(",")]
-                if m.group(2)
-                else None
-            )
+            # lakefs identifiers in the query, run it, commit as v1.
+            # PARTITIONED BY accepts identity columns OR one Iceberg
+            # transform — bucket(N, col) / truncate(W, col) / days(col) —
+            # in Iceberg's own SQL argument order.
             result = self.spark.sql(self._resolve_views(m.group(3)))
             self.catalog.create_table_as(
-                _clean(m.group(1)), result, partition_by=pcols
+                _clean(m.group(1)), result, **self._partition_kwargs(m.group(2))
             )
             return mk([], "result string")
 
@@ -470,6 +469,36 @@ class SqlFacade:
             key_cols.append(cols.pop())
         self.catalog.merge_upsert(_clean(target), source, key_cols)
         return mk([], "result string")
+
+    @staticmethod
+    def _partition_kwargs(clause: str | None) -> dict:
+        """Parse a PARTITIONED BY item list into create_table_as kwargs.
+        Plain identifiers → identity partition spec; a single Iceberg
+        transform call — ``bucket(N, col)``, ``truncate(W, col)`` (both in
+        Iceberg's numeric-first SQL order) or ``days(col)`` — maps to the
+        corresponding layout spec. Mixing transforms with identity columns
+        is refused, matching the catalog's one-layout-spec rule."""
+        if not clause:
+            return {}
+        items = [p.strip() for p in clause.split(",")]
+        fm = re.match(r"(?is)^(bucket|truncate|days)\s*\(", items[0])
+        if fm is None:
+            return {"partition_by": [p.strip("`") for p in items]}
+        fn = fm.group(1).lower()
+        if fn == "bucket":
+            m = re.match(r"(?is)^bucket\s*\(\s*(\d+)\s*,\s*`?(\w+)`?\s*\)$", ",".join(items))
+            if not m:
+                raise UnsupportedOperationError(f"cannot parse bucket transform: {clause!r}")
+            return {"bucket_by": (m.group(2), int(m.group(1)))}
+        if fn == "truncate":
+            m = re.match(r"(?is)^truncate\s*\(\s*(\d+)\s*,\s*`?(\w+)`?\s*\)$", ",".join(items))
+            if not m:
+                raise UnsupportedOperationError(f"cannot parse truncate transform: {clause!r}")
+            return {"transform_by": ("truncate", m.group(2), int(m.group(1)))}
+        m = re.match(r"(?is)^days\s*\(\s*`?(\w+)`?\s*\)$", ",".join(items))
+        if not m:
+            raise UnsupportedOperationError(f"cannot parse days transform: {clause!r}")
+        return {"transform_by": ("days", m.group(1))}
 
     @staticmethod
     def _find_top_level_kw(s: str, kw: str) -> int | None:

@@ -408,3 +408,41 @@ def test_describe_history_sql(facade):
     facade.sql("DELETE FROM lakefs.repo.main.company.workers WHERE age >= 35")
     hist = facade.sql("DESCRIBE HISTORY lakefs.repo.main.company.workers").collect()
     assert [r["version"] for r in sorted(hist, key=lambda r: r["version"])] == [1, 2]
+
+
+def test_ctas_partitioned_by_transforms(facade, spark):
+    """CTAS accepts Iceberg transform syntax in PARTITIONED BY: bucket(N,
+    col), truncate(W, col), days(col) — each routes to the matching layout
+    spec and prunes via the catalog's predicate projection."""
+    f, cat = facade, facade.catalog
+    spark.createDataFrame(
+        [(i, f"u{i % 7}", float(i)) for i in range(300)], "id long, u string, v double"
+    ).createOrReplaceTempView("src_rows")
+    f.sql("CREATE TABLE lakefs.repo.main.company.t_bucket PARTITIONED BY (bucket(4, id)) AS SELECT * FROM src_rows")
+    m = cat._ops("repo.main.company.t_bucket")[0].current()
+    assert m.bucket_spec == {"col": "id", "n": 4}
+    keep, total = cat.select_files("repo.main.company.t_bucket", "id", "=", 42)
+    assert 0 < len(keep) < total
+
+    f.sql("CREATE TABLE lakefs.repo.main.company.t_trunc PARTITIONED BY (truncate(100, id)) AS SELECT * FROM src_rows")
+    mt = cat._ops("repo.main.company.t_trunc")[0].current()
+    assert mt.bucket_spec.get("transform") == "truncate"
+    keep_t, total_t = cat.select_files("repo.main.company.t_trunc", "id", "=", 250)
+    assert 0 < len(keep_t) < total_t
+
+    spark.sql(
+        "SELECT id, TIMESTAMP '2024-03-01 06:00:00' + make_interval(0, 0, 0, CAST(id % 5 AS INT), 0, 0, 0) AS ts FROM range(200)"
+    ).createOrReplaceTempView("src_ts")
+    f.sql("CREATE TABLE lakefs.repo.main.company.t_days PARTITIONED BY (days(ts)) AS SELECT * FROM src_ts")
+    md = cat._ops("repo.main.company.t_days")[0].current()
+    assert md.bucket_spec.get("transform") == "days"
+    import datetime as dt
+
+    keep_d, total_d = cat.select_files(
+        "repo.main.company.t_days", "ts", ">=", dt.datetime(2024, 3, 4)
+    )
+    assert 0 < len(keep_d) < total_d
+
+    # identity form still parses
+    f.sql("CREATE TABLE lakefs.repo.main.company.t_ident PARTITIONED BY (u) AS SELECT * FROM src_rows")
+    assert cat._ops("repo.main.company.t_ident")[0].current().partition_spec == ["u"]
