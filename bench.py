@@ -101,6 +101,7 @@ EXTRA = [
     "sink_partition_transforms",
     "dml_delete_positions",
     "similarity_ann_pq",
+    "stream_source_versioned",
 ]
 
 

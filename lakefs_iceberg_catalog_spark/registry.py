@@ -79,6 +79,7 @@ _SWEEP_PRIORITY = [
     "time_travel_changes", "sink_zorder_pruning",
     "text_repetition_signals", "text_unigram_logprob_score",
     "stream_static_join", "similarity_ann_sq8", "similarity_ann_pq",
+    "stream_source_versioned",
     "join_fuzzy_levenshtein", "pipeline_global_shuffle",
     "join_range_bucketized", "dml_merge_schema_evolution",
     "sink_shallow_clone", "agg_funnel_steps", "stream_stream_outer_join",

@@ -549,3 +549,95 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("p_id", "p_user", "p_ts", "s_id", "s_ts")
 
     return run_events_stream(spark, sf_dir, xform, mode="append")
+
+
+@register(
+    "stream_source_versioned",
+    oracle="""
+SELECT user_id, count(*) AS n_clicks, round(sum(value), 2) AS total_value
+FROM events WHERE event_type = 'click'
+GROUP BY user_id
+""",
+)
+def stream_source_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned table as a STREAMING SOURCE (Iceberg's streaming read /
+    Delta's readStream on a table): three committed append snapshots replay
+    in commit order as micro-batches. Each epoch's rows come from
+    ``table_changes(v-1, v)`` — the incremental append scan, reading ONLY
+    the files that snapshot added — spooled in snapshot order and consumed
+    by a real Structured Streaming query (maxFilesPerTrigger=1 → one epoch
+    per snapshot, asserted), which accumulates rows exactly-once into the
+    result. The aggregation runs on the accumulated rows afterwards, so the
+    check is row-for-row against the raw-events oracle.
+
+    Scale: per-epoch IO is the snapshot delta (table_changes raises on
+    non-append ranges rather than silently rescanning); the spool is the
+    checkpointed offset log's analog — at deployment the source tracks the
+    last-read snapshot id in the stream checkpoint and resumes from there,
+    the exact Iceberg streaming-read contract."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import VersionedCatalog
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    root = tempfile.mkdtemp(prefix="vcat-streamsrc-")
+    spool = tempfile.mkdtemp(prefix="vcat-spool-")
+    sink_dir = tempfile.mkdtemp(prefix="vcat-sink-")
+    try:
+        cat = VersionedCatalog(spark, root)
+        cat.create_repository("repo", "main")
+        cat.create_namespace("repo.main.stream")
+        t = "repo.main.stream.clicks"
+        cat.create_table(t, "event_id bigint, user_id bigint, ts timestamp, value double")
+        for i in range(3):  # three append snapshots: v2, v3, v4
+            cat.append(t, e.filter(F.col("event_id") % 3 == i))
+        # replay each snapshot's delta, in commit order, as ONE spool file
+        for v in range(2, 5):
+            delta = cat.table_changes(t, v - 1, v)
+            stage = os.path.join(spool, f".stage-{v}")
+            delta.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = [f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")]
+            assert len(part) == 1
+            os.replace(
+                os.path.join(stage, part[0]), os.path.join(spool, f"epoch-{v}.parquet")
+            )
+            shutil.rmtree(stage)
+        s = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool)
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", os.path.join(sink_dir, "data"))
+            .option("checkpointLocation", os.path.join(sink_dir, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_epochs = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        finally:
+            q.stop()
+        assert n_epochs == 3, f"expected one micro-batch per snapshot, got {n_epochs}"
+        acc = spark.read.schema(
+            "event_id bigint, user_id bigint, ts timestamp, value double"
+        ).parquet(os.path.join(sink_dir, "data"))
+        out = acc.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        from ..operators.util import bounded_rows
+
+        rows, schema = bounded_rows(out), out.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(spool, ignore_errors=True)
+        shutil.rmtree(sink_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
