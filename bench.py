@@ -102,6 +102,7 @@ EXTRA = [
     "dml_delete_positions",
     "similarity_ann_pq",
     "stream_source_versioned",
+    "sql_merge_full_sync",
 ]
 
 

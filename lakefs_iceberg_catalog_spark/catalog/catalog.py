@@ -1717,6 +1717,57 @@ class VersionedCatalog:
             ),
         )
 
+    def merge_sync(
+        self,
+        identifier: str | list[str],
+        source: DataFrame,
+        key_cols: list[str],
+        insert_unmatched: bool = True,
+    ) -> None:
+        """MERGE with ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` (the
+        Delta/Iceberg full-sync form): matched target rows are replaced,
+        target-only rows are DELETED, and unmatched source rows insert when
+        ``insert_unmatched``.
+
+        The clause algebra collapses nicely — and the engine exploits it:
+
+        - with INSERT, the post-state is exactly the SOURCE, so the commit
+          is one distributed write of the source with NO target scan at all
+          (a statically-planned optimization of the three-way merge; the
+          table keeps its history and layout spec, unlike an overwrite-by-
+          drop). A 100 TB target costs nothing to "merge" into beyond
+          writing the source.
+        - without INSERT, the post-state is the source rows whose key
+          exists in the target: one semi-join of the SOURCE against the
+          target's keys — the target contributes only its key column to
+          the shuffle."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        extra = [f for f in source.schema.fields if f.name not in schema.fieldNames()]
+        if extra:
+            raise SchemaMismatchError(
+                f"source has columns {[f.name for f in extra]} not in the target schema"
+            )
+        aligned_src = _align_to_schema(source, schema)
+        if insert_unmatched:
+            result = aligned_src
+        else:
+            target_keys = self._read_files(levels[0], base).select(*key_cols)
+            result = aligned_src.join(target_keys, on=key_cols, how="left_semi")
+        files, stats, fparts = self._write_data(
+            levels,
+            result,
+            partition_by=base.partition_spec or None,
+            bucket_spec=base.bucket_spec or None,
+        )
+        ops.commit(
+            base,
+            base.next(files, file_stats=stats, delete_preds={}, file_partitions=fparts),
+        )
+
     def table_history(self, identifier: str | list[str]) -> list[int]:
         """All committed versions, oldest first (metadata-only listing)."""
         ops, levels = self._ops(identifier)

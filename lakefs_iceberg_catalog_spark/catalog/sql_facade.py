@@ -428,15 +428,29 @@ class SqlFacade:
         one copy-on-write commit). Sources: a lakefs table identifier or a
         parenthesized subquery with an alias (+ optional column list).
         Clause variants beyond SET * / INSERT * are refused explicitly."""
-        if not re.match(
+        # Three accepted clause shapes (whole-row forms, Iceberg/Delta SQL):
+        #   MATCHED UPDATE SET * + NOT MATCHED INSERT *              → upsert
+        #   ... + NOT MATCHED BY SOURCE DELETE                       → full sync
+        #   MATCHED UPDATE SET * + NOT MATCHED BY SOURCE DELETE      → sync, no insert
+        w = when.strip()
+        upsert = re.match(
             r"(?is)^MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$",
-            when.strip(),
-        ):
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*"
+            r"(\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE)?$",
+            w,
+        )
+        sync_no_insert = re.match(
+            r"(?is)^MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+            r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE$",
+            w,
+        )
+        if not (upsert or sync_no_insert):
             raise UnsupportedOperationError(
-                "MERGE supports exactly: WHEN MATCHED THEN UPDATE SET * "
-                "WHEN NOT MATCHED THEN INSERT *"
+                "MERGE supports: WHEN MATCHED THEN UPDATE SET * "
+                "[WHEN NOT MATCHED THEN INSERT *] "
+                "[WHEN NOT MATCHED BY SOURCE THEN DELETE]"
             )
+        by_source_delete = bool(sync_no_insert or (upsert and upsert.group(1)))
         using = using.strip()
         sm = re.match(rf"(?is)^({_IDENT})(?:\s+(?:AS\s+)?(\w+))?$", using)
         if sm:
@@ -467,7 +481,13 @@ class SqlFacade:
                     f"MERGE ON must compare the same column on both sides: {conj!r}"
                 )
             key_cols.append(cols.pop())
-        self.catalog.merge_upsert(_clean(target), source, key_cols)
+        if by_source_delete:
+            self.catalog.merge_sync(
+                _clean(target), source, key_cols,
+                insert_unmatched=bool(upsert),
+            )
+        else:
+            self.catalog.merge_upsert(_clean(target), source, key_cols)
         return mk([], "result string")
 
     @staticmethod

@@ -699,3 +699,61 @@ def dml_delete_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", dround("o_totalprice", 2).alias("total")
     )
     return _materialize(spark, out, root)
+
+
+@register(
+    "sql_merge_full_sync",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1', 'James',   'Smith',    33, 'M'),
+  ('4', 'Maria',   'Jones',    37, 'F'),
+  ('9', 'Noor',    'Khan',     29, 'F')
+) AS t(id, firstname, lastname, age, gender)
+""",
+)
+def sql_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with WHEN NOT MATCHED BY SOURCE THEN DELETE — the snapshot-sync
+    statement (Delta/Iceberg SQL): matched rows replaced, target-only rows
+    deleted, source-only rows inserted. The clause algebra makes the
+    post-state exactly the source, and the engine plans it that way: one
+    distributed write of the source, ZERO target scan (catalog.merge_sync)
+    — on a 100 TB target the merge costs only the source write. Asserted
+    mid-flow: the pre-merge snapshot is still readable (history kept, unlike
+    drop-and-recreate), and the no-insert variant (UPDATE + BY SOURCE
+    DELETE, no INSERT clause) keeps only source rows whose key existed —
+    one semi-join against the target's key column."""
+    from ..catalog.sql_facade import SqlFacade
+
+    cat, root = _seeded(spark)
+    f = SqlFacade(cat)
+    t = "repo.main.company.workers"
+    f.sql(
+        """
+        MERGE INTO lakefs.repo.main.company.workers AS t
+        USING (SELECT * FROM (VALUES ('1', 'James', 'Smith', 33, 'M'),
+                                     ('4', 'Maria', 'Jones', 37, 'F'),
+                                     ('9', 'Noor',  'Khan',  29, 'F'))) AS s(id, firstname, lastname, age, gender)
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """
+    )
+    assert {r["id"] for r in cat.scan(t).collect()} == {"1", "4", "9"}
+    # history survives the sync: the pre-merge snapshot still reads
+    assert cat.scan(t, version=1).count() == 6
+    # no-insert variant: '9' matches now, '77' has no target key → dropped
+    f.sql(
+        """
+        MERGE INTO lakefs.repo.main.company.workers AS t
+        USING (SELECT * FROM (VALUES ('9',  'Noor', 'Khan', 29, 'F'),
+                                     ('77', 'Ghost', 'Row', 99, 'M'))) AS s(id, firstname, lastname, age, gender)
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """
+    )
+    assert {r["id"] for r in cat.scan(t).collect()} == {"9"}
+    # restore the full-sync state for the returned result
+    cat.rollback_to_version(t, 2)
+    return _materialize(spark, cat.scan(t), root)
