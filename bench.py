@@ -103,6 +103,7 @@ EXTRA = [
     "similarity_ann_pq",
     "stream_source_versioned",
     "sql_merge_full_sync",
+    "ddl_partition_evolution",
 ]
 
 

@@ -2020,11 +2020,15 @@ class VersionedCatalog:
         schema = T.StructType.fromJson(json.loads(base.schema_json))
         if old not in schema.fieldNames():
             raise NoSuchTableError(f"column {old!r} does not exist")
-        if old in base.partition_spec:
-            # the partition spec and the hive dir layout are name-keyed;
-            # renaming underneath them would orphan every partition value
+        if old in base.partition_spec or any(
+            old in pv for pv in base.file_partitions.values()
+        ):
+            # the partition spec and the hive dir layout are name-keyed —
+            # and after spec EVOLUTION, files written under an old spec
+            # still carry their values under the old column name; renaming
+            # underneath either would orphan every partition value
             raise UnsupportedOperationError(
-                f"column {old!r} is a partition column and cannot be renamed"
+                f"column {old!r} carries partition metadata and cannot be renamed"
             )
         if base.bucket_spec.get("col") == old:
             raise UnsupportedOperationError(
@@ -2098,9 +2102,13 @@ class VersionedCatalog:
         schema = T.StructType.fromJson(json.loads(base.schema_json))
         if name not in schema.fieldNames():
             raise NoSuchTableError(f"column {name!r} does not exist")
-        if name in base.partition_spec:
+        if name in base.partition_spec or any(
+            name in pv for pv in base.file_partitions.values()
+        ):
+            # same evolution-aware guard as rename: files written under an
+            # older spec read this column from partition METADATA, not pages
             raise UnsupportedOperationError(
-                f"column {name!r} is a partition column and cannot be dropped"
+                f"column {name!r} carries partition metadata and cannot be dropped"
             )
         if base.bucket_spec.get("col") == name:
             raise UnsupportedOperationError(
@@ -2115,6 +2123,41 @@ class VersionedCatalog:
             base.next(
                 base.files, schema_json=T.StructType(fields).json(), columns=columns
             ),
+        )
+
+    def set_partition_spec(
+        self, identifier: str | list[str], partition_by: list[str] | None
+    ) -> None:
+        """Partition spec EVOLUTION (Iceberg ALTER TABLE ... partition field
+        surface): change the identity partition spec for FUTURE writes in a
+        metadata-only commit. Existing data files are untouched — they keep
+        their recorded partition values (or none, if written unpartitioned)
+        and planning keeps pruning them by whatever metadata they have:
+        per-file partition values act as [v, v] stats, pre-evolution files
+        fall back to footer min/max. This is Iceberg's core spec-evolution
+        property: old files under the old layout, new files under the new,
+        one table, no rewrite.
+
+        ``partition_by=None``/[] drops partitioning for future writes.
+        Refused on tables with a transform layout (bucket/days/truncate) —
+        their synthetic dir keys are not identity values, so evolving over
+        them would silently disable their pruning."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        if base.bucket_spec:
+            raise UnsupportedOperationError(
+                "cannot evolve the partition spec of a transform-partitioned "
+                "table (bucket/days/truncate)"
+            )
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        for c in partition_by or []:
+            if c not in schema.fieldNames():
+                raise SchemaMismatchError(f"partition column {c!r} not in schema")
+        ops.commit(
+            base,
+            base.next(base.files, partition_spec=list(partition_by or [])),
         )
 
     def table_properties(self, identifier: str | list[str]) -> dict:
@@ -2219,6 +2262,9 @@ class VersionedCatalog:
                 file_partitions=base.file_partitions,
                 bucket_spec=base.bucket_spec,
                 delete_preds=base.delete_preds,
+                # pending position deletes MUST ride along: rewriting their
+                # data files without applying them would resurrect the rows
+                position_deletes=base.position_deletes,
             )
             df = self._read_files(levels[0], sub).coalesce(target_files)
             files, stats, fparts = self._write_data(

@@ -187,6 +187,7 @@ class TableManifest:
         delete_preds: dict | None = None,
         file_partitions: dict | None = None,
         position_deletes: dict | None = None,
+        partition_spec: list | None = None,
     ) -> "TableManifest":
         new_cols = list(self.columns if columns is None else columns)
         # Any file the base doesn't know was just written with the COMMIT's
@@ -231,7 +232,9 @@ class TableManifest:
             columns=new_cols,
             file_columns=fcols,
             file_types=ftypes,
-            partition_spec=list(self.partition_spec),
+            partition_spec=list(
+                self.partition_spec if partition_spec is None else partition_spec
+            ),
             file_partitions=fparts,
             bucket_spec=dict(self.bucket_spec),
             delete_preds=dpreds,

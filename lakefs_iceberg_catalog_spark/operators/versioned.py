@@ -759,3 +759,60 @@ def sink_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
     )
     return _materialize(spark, out, root)
+
+
+@register(
+    "ddl_partition_evolution",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS total
+FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def ddl_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition spec EVOLUTION (Iceberg's signature layout feature): a
+    table starts unpartitioned, evolves to PARTITIONED BY o_orderpriority
+    in a metadata-only commit, and keeps appending — old files stay under
+    the old layout (pruned by footer stats only), new files land in hive
+    partition dirs (pruned by partition value), one table, zero rewrite.
+    Asserted mid-flow: (a) the evolution commit moves no data files,
+    (b) post-evolution appends carry partition metadata while pre-evolution
+    files carry none, (c) an equality probe prunes every non-covering
+    POST-evolution file while conservatively keeping the unpartitioned
+    pre-evolution files, (d) the mixed scan is exact. At 100 TB this is how
+    a table adopts a better layout without a table-sized migration."""
+    root = tempfile.mkdtemp(prefix="vcat-specevo-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    t = "repo.main.db.orders_evo"
+    cat.create_table(t, orders.schema)  # unpartitioned v1
+    cat.append(t, orders.filter("o_orderkey % 2 = 0"))
+    ops = cat._ops(t)[0]
+    files_before = sorted(ops.current().files)
+    cat.set_partition_spec(t, ["o_orderpriority"])  # metadata-only
+    m = ops.current()
+    assert sorted(m.files) == files_before  # (a) no data movement
+    assert m.partition_spec == ["o_orderpriority"]
+    cat.append(t, orders.filter("o_orderkey % 2 = 1"))  # new spec applies
+    m2 = ops.current()
+    old_files = set(files_before)
+    new_files = [f for f in m2.files if f not in old_files]
+    assert new_files and all(
+        m2.file_partitions[f].get("o_orderpriority") for f in new_files
+    )  # (b) new files partitioned...
+    assert all(f not in m2.file_partitions for f in old_files)  # ...old not
+    keep, total = cat.select_files(t, "o_orderpriority", "=", "1-URGENT")
+    kept_new = [f for f in keep if f not in old_files]
+    assert all(
+        m2.file_partitions[f]["o_orderpriority"] == "1-URGENT" for f in kept_new
+    )  # (c) every kept new file covers the probe
+    assert len(kept_new) < len(new_files)  # non-covering new files pruned
+    from .util import dround
+
+    out = cat.scan_pruned(t, "o_orderpriority", "=", "1-URGENT").select(
+        "o_orderkey", "o_orderpriority", dround("o_totalprice", 2).alias("total")
+    )
+    return _materialize(spark, out, root)

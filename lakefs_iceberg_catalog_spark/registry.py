@@ -74,7 +74,7 @@ _SWEEP_PRIORITY = [
     # spec, stats-scoped MoR predicates, the 8 suite-completing TPC-H
     # shapes) ...
     "ddl_type_widening", "sink_partition_spec", "sink_partition_transforms",
-    "dml_delete_positions", "sql_merge_full_sync",
+    "dml_delete_positions", "sql_merge_full_sync", "ddl_partition_evolution",
     "ddl_rollback_version", "branch_tag_scan", "meta_files",
     "time_travel_changes", "sink_zorder_pruning",
     "text_repetition_signals", "text_unigram_logprob_score",

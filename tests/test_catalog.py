@@ -1501,3 +1501,55 @@ def test_position_deletes_lifecycle(cat, spark):
     m2 = ops.current()
     assert not m2.position_deletes
     assert cat.scan(t).count() == 400 - 30
+
+
+def test_position_deletes_survive_partition_compact(cat, spark):
+    """Per-partition compact must apply pending position deletes while
+    rewriting — otherwise the rewrite would resurrect the deleted rows."""
+    df = spark.createDataFrame(
+        [(i, "A" if i < 50 else "B") for i in range(100)], "id long, p string"
+    )
+    t = "repo.main.company.pos_part"
+    cat.create_table(t, df.schema, partition_by=["p"])
+    cat.append(t, df.filter("id % 2 = 0"))
+    cat.append(t, df.filter("id % 2 = 1"))
+    cat.delete_where(t, "p = 'A' AND id < 10", mode="position")
+    assert cat.scan(t).count() == 90
+    cat.compact(t, partition={"p": "A"})
+    m = cat._ops(t)[0].current()
+    assert not any(
+        m.file_partitions.get(f, {}).get("p") == "A" and m.position_deletes.get(f)
+        for f in m.files
+    )
+    assert cat.scan(t).count() == 90  # deleted rows stay deleted
+    assert cat.scan(t).filter("p = 'A' AND id < 10").count() == 0
+
+
+def test_partition_evolution_guards(cat, spark):
+    """Spec evolution: metadata-only, old files keep old layout; rename/
+    drop of a column carrying historic partition metadata is refused even
+    after it leaves the current spec."""
+    df = spark.createDataFrame([(i, "p" + str(i % 3), float(i)) for i in range(60)],
+                               "id long, cat string, v double")
+    t = "repo.main.company.evo"
+    cat.create_table(t, df.schema, partition_by=["cat"])
+    cat.append(t, df)
+    cat.set_partition_spec(t, [])  # drop partitioning for future writes
+    cat.append(t, df.selectExpr("id + 100 AS id", "cat", "v"))
+    assert cat.scan(t).count() == 120
+    import pytest as _pt
+
+    from lakefs_iceberg_catalog_spark.catalog.errors import (
+        UnsupportedOperationError,
+    )
+
+    # old files still carry cat=... metadata → rename/drop must refuse
+    with _pt.raises(UnsupportedOperationError):
+        cat.rename_column(t, "cat", "category")
+    with _pt.raises(UnsupportedOperationError):
+        cat.drop_column(t, "cat")
+    # transform-partitioned tables cannot evolve over their synthetic key
+    t2 = "repo.main.company.evo_b"
+    cat.create_table_as(t2, df, bucket_by=("id", 4))
+    with _pt.raises(UnsupportedOperationError):
+        cat.set_partition_spec(t2, ["cat"])
