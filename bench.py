@@ -104,6 +104,7 @@ EXTRA = [
     "stream_source_versioned",
     "sql_merge_full_sync",
     "ddl_partition_evolution",
+    "sample_tokens_systematic",
 ]
 
 

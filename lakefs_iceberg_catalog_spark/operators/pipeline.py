@@ -617,3 +617,86 @@ def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranged.select(
         (off_expr + local).cast("bigint").alias("position"), "doc_id"
     )
+
+
+_SYS_SAMPLE_N = 64  # target draws per epoch
+
+
+@register(
+    "sample_tokens_systematic",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, est_tokens,
+           CAST(sum(est_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM w
+),
+tot AS (SELECT CAST(sum(est_tokens) AS BIGINT) // {_SYS_SAMPLE_N} AS stride FROM c)
+SELECT c.doc_id, c.est_tokens, c.cum
+FROM c CROSS JOIN tot
+WHERE ((c.cum - 1 - stride // 2 + stride) // stride)
+    > ((c.cum - c.est_tokens - 1 - stride // 2 + stride) // stride)
+ORDER BY c.doc_id
+""",
+)
+def sample_tokens_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-proportional systematic sampling — the deterministic
+    probability-proportional-to-size draw a mixture builder uses to pick
+    ~{_SYS_SAMPLE_N} documents with selection probability proportional to
+    their token count, with NO RNG state and exact integer arithmetic (so
+    any engine re-derives the same draw): lay documents on a token number
+    line (cumulative token sums in doc_id order), drop equally-spaced
+    pointers stride = total/{_SYS_SAMPLE_N} apart, select the document each
+    pointer lands in. Long docs can win multiple pointers but appear once.
+
+    Scale (100 TB): the cumulative sum is the global_shuffle two-phase
+    pattern — range-exchange on doc_id, per-partition integer cumsum, an
+    O(partitions)-row offset map added back — never a single-partition
+    window; integer sums are exact under any partitioning, which is WHY the
+    weight is token count, not a float score. The pointer test is a pure
+    per-row expression."""
+    from pyspark.sql.window import Window as W
+
+    n_parts = 8
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("est_tokens")
+    )
+    ranged = w.repartitionByRange(n_parts, "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = scoped_persist(ranged)
+    sums = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum("est_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    total, stride = acc, acc // _SYS_SAMPLE_N
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]),
+        F.col("_pid"),
+    )
+    local_cum = F.sum("est_tokens").over(
+        W.partitionBy("_pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = ranged.select(
+        "doc_id", "est_tokens", (off_expr + local_cum).alias("cum")
+    )
+    # non-negative numerators (cum >= 0 ⇒ cum-1-half+stride > 0), so
+    # truncating integer DIV equals floor division on BOTH engines — the
+    # pointer test never touches float arithmetic
+    half = stride // 2
+    hit = F.expr(
+        f"(cum - 1 - {half} + {stride}) DIV {stride}"
+        f" > (cum - est_tokens - 1 - {half} + {stride}) DIV {stride}"
+    )
+    out = c.filter(hit).orderBy("doc_id")
+    n = out.count()
+    assert abs(n - _SYS_SAMPLE_N) <= 2, n  # systematic draw lands on target
+    return out

@@ -81,6 +81,7 @@ _SWEEP_PRIORITY = [
     "stream_static_join", "similarity_ann_sq8", "similarity_ann_pq",
     "stream_source_versioned",
     "join_fuzzy_levenshtein", "pipeline_global_shuffle",
+    "sample_tokens_systematic",
     "join_range_bucketized", "dml_merge_schema_evolution",
     "sink_shallow_clone", "agg_funnel_steps", "stream_stream_outer_join",
     "window_retention_cohorts",
