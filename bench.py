@@ -105,6 +105,7 @@ EXTRA = [
     "sql_merge_full_sync",
     "ddl_partition_evolution",
     "sample_tokens_systematic",
+    "text_bpe_merge_rounds",
 ]
 
 

@@ -507,3 +507,142 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("freq").cast("double") / F.lit(total), 6).alias("share"),
         )
     )
+
+
+_BPE_VOCAB_CAP = 200  # word types entering the fit (freq-ranked, bounded)
+_BPE_ROUNDS = 2
+
+
+_BPE_BASE_CTES = f"""
+wf AS (
+    SELECT word, count(*) AS freq
+    FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+          FROM documents)
+    WHERE len(word) >= 2
+    GROUP BY word
+),
+vocab AS (
+    SELECT word, freq,
+           row_number() OVER (ORDER BY freq DESC, word) AS rk
+    FROM wf QUALIFY rk <= {_BPE_VOCAB_CAP}
+),
+seq0 AS (
+    SELECT word, freq,
+           ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+               i -> word[i]), ' ') || ' ' AS seq
+    FROM vocab
+)"""
+
+
+def _bpe_pair_cte(rnd: int) -> str:
+    """Count adjacent symbol pairs of seq{rnd-1} (weighted by word freq) and
+    pick the round's merge: max freq, ties to the lexicographically smaller
+    pair — then rewrite every occurrence into the fused symbol."""
+    prev = f"seq{rnd - 1}"
+    return f"""
+toks{rnd} AS (
+    SELECT word, freq, string_split(trim(seq), ' ') AS ts FROM {prev}
+),
+pairs{rnd} AS (
+    SELECT ts[i] || ' ' || ts[i + 1] AS pair, sum(freq) AS pfreq
+    FROM toks{rnd}, unnest(range(1, len(ts))) AS t(i)
+    GROUP BY 1
+),
+top{rnd} AS (
+    SELECT pair, CAST(pfreq AS BIGINT) AS pfreq,
+           row_number() OVER (ORDER BY pfreq DESC, pair) AS rr
+    FROM pairs{rnd} QUALIFY rr = 1
+),
+seq{rnd} AS (
+    SELECT s.word, s.freq,
+           replace(s.seq, ' ' || t.pair || ' ',
+                   ' ' || replace(t.pair, ' ', '') || ' ') AS seq
+    FROM {prev} s CROSS JOIN top{rnd} t
+)"""
+
+
+@register(
+    "text_bpe_merge_rounds",
+    oracle="WITH "
+    + _BPE_BASE_CTES
+    + ","
+    + ",".join(_bpe_pair_cte(r) for r in range(1, _BPE_ROUNDS + 1))
+    + """
+SELECT * FROM (
+    SELECT 1 AS round, pair, pfreq FROM top1
+    UNION ALL
+    SELECT 2 AS round, pair, pfreq FROM top2
+) ORDER BY round
+""",
+)
+def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the first {_BPE_ROUNDS} merge rounds — the
+    exact algorithm HF/SentencePiece trainers run: count word frequencies
+    once, represent each word as a space-joined symbol sequence, then per
+    round (a) count adjacent symbol pairs weighted by word frequency,
+    (b) fuse the most frequent pair (ties to the lexicographically smaller —
+    a pinned, engine-replayable tiebreak), (c) rewrite the sequences.
+    Returns the merge table: (round, winning pair, weighted frequency).
+
+    Scale (100 TB): real BPE trainers run on the WORD-FREQUENCY table, not
+    the corpus — the corpus-sized work is the one word-count shuffle; the
+    fit loops over a freq-ranked bounded vocabulary ({_BPE_VOCAB_CAP} types
+    here, ~10⁶ in production — still tiny), each round one explode+groupBy
+    over sequences plus a 1-row argmax collected to the driver (the merge
+    table IS driver-side state in every real trainer). Rounds are
+    data-dependent sequential by nature; what matters is that no round
+    touches the corpus again."""
+    d = table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # top-N by (freq, word): TakeOrderedAndProject — per-partition top-N +
+    # one merge, never a single-partition rank window over the vocab table
+    vocab = wf.orderBy(F.col("freq").desc(), "word").limit(_BPE_VOCAB_CAP)
+    seq = vocab.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+                " ",
+            ),
+            F.lit(" "),
+        ).alias("seq"),
+    )
+    from .util import scoped_persist
+
+    out_rows = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        seq = scoped_persist(seq)  # each round reads it twice (count + rewrite)
+        toks = seq.select(
+            "freq", F.split(F.trim(F.col("seq")), " ").alias("ts")
+        )
+        pairs = (
+            toks.select(
+                "freq",
+                F.explode(
+                    F.expr("transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))")
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pfreq"))
+        )
+        top = pairs.orderBy(F.col("pfreq").desc(), "pair").limit(1).collect()[0]
+        out_rows.append((rnd, top["pair"], int(top["pfreq"])))
+        fused = top["pair"].replace(" ", "")
+        seq = seq.select(
+            "word",
+            "freq",
+            # symbols are strictly [a-z]: no regex metachars to escape,
+            # and replace/regexp_replace share left-to-right non-overlap
+            # semantics with DuckDB's replace()
+            F.regexp_replace(
+                "seq", " " + top["pair"] + " ", " " + fused + " "
+            ).alias("seq"),
+        )
+    return spark.createDataFrame(out_rows, "round int, pair string, pfreq bigint")

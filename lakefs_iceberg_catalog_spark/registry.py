@@ -78,6 +78,7 @@ _SWEEP_PRIORITY = [
     "ddl_rollback_version", "branch_tag_scan", "meta_files",
     "time_travel_changes", "sink_zorder_pruning",
     "text_repetition_signals", "text_unigram_logprob_score",
+    "text_bpe_merge_rounds",
     "stream_static_join", "similarity_ann_sq8", "similarity_ann_pq",
     "stream_source_versioned",
     "join_fuzzy_levenshtein", "pipeline_global_shuffle",
