@@ -106,6 +106,7 @@ EXTRA = [
     "ddl_partition_evolution",
     "sample_tokens_systematic",
     "text_bpe_merge_rounds",
+    "multimodal_clip_filter",
 ]
 
 

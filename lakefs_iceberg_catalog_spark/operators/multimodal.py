@@ -328,3 +328,80 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     return d.mapInPandas(_audio_resample_batches, _AUDIO_SCHEMA)
+
+
+@register(
+    "multimodal_clip_filter",
+    oracle="""
+WITH img AS (
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+),
+imgf AS (
+    SELECT doc_id, n_bytes,
+           [CAST(n_bytes AS DOUBLE), CAST(n_bytes % 7 AS DOUBLE),
+            CAST(n_bytes % 13 AS DOUBLE), CAST((n_bytes * 31) % 97 AS DOUBLE)] AS f
+    FROM img
+),
+txt AS (
+    SELECT vec_id AS doc_id,
+           list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS t
+    FROM embeddings
+),
+scored AS (
+    SELECT i.doc_id, i.n_bytes,
+           list_aggregate(list_transform(range(1, 5), k -> i.f[k] * t.t[k]), 'sum')
+           / (sqrt(list_aggregate(list_transform(i.f, x -> x * x), 'sum'))
+            * sqrt(list_aggregate(list_transform(t.t, x -> x * x), 'sum'))) AS align
+    FROM imgf i JOIN txt t USING (doc_id)
+)
+SELECT doc_id, n_bytes, round(align, 6) AS align
+FROM scored WHERE align >= 0.5
+""",
+)
+def multimodal_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style alignment filtering — the multimodal data-curation gate
+    (LAION's recipe): embed the image side (binary payload → feature vector
+    via the real Arrow-batched mapInPandas chain), embed the text side (the
+    embeddings table's vectors), join the modalities per document, keep
+    pairs whose cross-modal cosine clears the alignment threshold. The
+    deterministic fake image encoder lets the oracle replay every float;
+    a real CLIP tower replaces one function body, the pipeline shape —
+    binary in, fixed-width vectors, modality equi-join, threshold gate —
+    is exactly the production one.
+
+    Scale: each encoder is map-only over its modality; the only shuffle is
+    the doc-keyed 1:1 equi-join; the gate is a scan-stage expression. At
+    100 TB you shard both modality tables by doc_id (bucketing removes
+    even the join exchange) and the filter's selectivity prunes the
+    training set before any expensive downstream tokenization."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit("fake/txt").alias("media_format"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    decoded = d.mapInPandas(_decode_batches, _DECODE_SCHEMA)
+    imgf = decoded.mapInPandas(
+        _feature_batches, "doc_id long, features array<double>"
+    ).join(decoded.select("doc_id", "n_bytes"), "doc_id")
+    txt = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))").alias("t"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("features"), F.col("t"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    scored = imgf.join(txt, "doc_id").select(
+        "doc_id",
+        "n_bytes",
+        (dot / (nrm(F.col("features")) * nrm(F.col("t")))).alias("align"),
+    )
+    from .util import dround
+
+    return scored.filter(F.col("align") >= 0.5).select(
+        "doc_id", "n_bytes", dround("align", 6).alias("align")
+    )

@@ -69,7 +69,7 @@ _SWEEP_PRIORITY = [
     "q19_disjunctive_parts", "q22_dormant_customers",
     # ... the one red row of r3, re-registered with a driver-canonicalizable
     # (exploded) output shape ...
-    "multimodal_feature_extract",
+    "multimodal_feature_extract", "multimodal_clip_filter",
     # ... keys NEW or behavior-extended in round 4 (type widening, partition
     # spec, stats-scoped MoR predicates, the 8 suite-completing TPC-H
     # shapes) ...
