@@ -2160,6 +2160,45 @@ class VersionedCatalog:
             base.next(base.files, partition_spec=list(partition_by or [])),
         )
 
+    def partition_spec(self, identifier: str | list[str]) -> list[str]:
+        """Current identity partition spec (metadata-only read)."""
+        ops, levels = self._ops(identifier)
+        m = ops.current()
+        if m is None:
+            raise NoSuchTableError(".".join(levels))
+        return list(m.partition_spec)
+
+    def describe_table(
+        self, identifier: str | list[str], extended: bool = False
+    ) -> list[tuple[str, str, str]]:
+        """DESCRIBE [EXTENDED] rows: (col_name, data_type, comment) per
+        schema field; EXTENDED appends the layout + versioning metadata
+        section Spark's own DESCRIBE EXTENDED renders — all from the
+        manifest, no data IO."""
+        ops, levels = self._ops(identifier)
+        m = ops.current()
+        if m is None:
+            raise NoSuchTableError(".".join(levels))
+        schema = T.StructType.fromJson(json.loads(m.schema_json))
+        rows = [(f.name, f.dataType.simpleString(), "") for f in schema.fields]
+        if extended:
+            rows.append(("", "", ""))
+            rows.append(("# Detailed Table Information", "", ""))
+            rows.append(("Name", ".".join(levels), ""))
+            rows.append(("Table UUID", m.table_uuid, ""))
+            rows.append(("Version", str(m.version), ""))
+            rows.append(("Data Files", str(len(m.files)), ""))
+            if m.partition_spec:
+                rows.append(("Partition Spec", ", ".join(m.partition_spec), ""))
+            if m.bucket_spec:
+                t = m.bucket_spec.get("transform", "bucket")
+                arg = m.bucket_spec.get("n") or m.bucket_spec.get("param")
+                detail = f"{t}({arg}, {m.bucket_spec['col']})" if arg else f"{t}({m.bucket_spec['col']})"
+                rows.append(("Partition Transform", detail, ""))
+            for k in sorted(m.properties):
+                rows.append((f"Property: {k}", str(m.properties[k]), ""))
+        return rows
+
     def table_properties(self, identifier: str | list[str]) -> dict:
         """Current table properties (metadata-only read)."""
         ops, levels = self._ops(identifier)

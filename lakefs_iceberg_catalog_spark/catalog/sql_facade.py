@@ -357,6 +357,33 @@ class SqlFacade:
             return mk([], "result string")
 
         m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+({_PART})\s*$",
+            s,
+        )
+        if m:
+            # Iceberg's partition-spec evolution statements: future writes
+            # follow the updated identity spec, existing files keep theirs
+            levels, verb, col = _clean(m.group(1)), m.group(2).upper(), m.group(3).strip("`")
+            current = self.catalog.partition_spec(levels)
+            if verb == "ADD":
+                if col not in current:
+                    current = current + [col]
+            else:
+                current = [c for c in current if c != col]
+            self.catalog.set_partition_spec(levels, current)
+            return mk([], "result string")
+
+        m = re.match(
+            rf"(?is)^DESCRIBE\s+(EXTENDED\s+)?(?:TABLE\s+)?({_IDENT})\s*$", s
+        )
+        if m:
+            # DESCRIBE TABLE: column name/type/comment rows, plus the
+            # layout + property metadata section under EXTENDED
+            levels = _clean(m.group(2))
+            mf = self.catalog.describe_table(levels, extended=bool(m.group(1)))
+            return mk(mf, "col_name string, data_type string, comment string")
+
+        m = re.match(
             rf"(?is)^OPTIMIZE\s+({_IDENT})\s+ZORDER\s+BY\s*\(([^)]*)\)\s*$", s
         )
         if m:

@@ -467,3 +467,32 @@ def test_pq_encode_is_map_only(spark):
     assert p.count("CartesianProduct") == 0
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" in p  # broadcast(q) x corpus
+
+
+def test_global_shuffle_no_single_partition_window(spark):
+    """pipeline_global_shuffle's position must come from a window
+    partitioned by partition id — never one global window partition
+    (the naive plan that serializes the whole corpus through one task)."""
+    p = plan(q(spark, "pipeline_global_shuffle"))
+    win_lines = [ln for ln in p.splitlines() if "Window" in ln and "partition" in ln.lower()]
+    # the Window spec carries a partition key (_pid), so no empty
+    # PartitionSpec — Spark logs single-partition windows without keys
+    assert "_pid" in p
+    assert "RangePartitioning" in p or "rangepartitioning" in p.lower()
+
+
+def test_systematic_sample_no_single_partition_window(spark):
+    """sample_tokens_systematic's cumulative sum is per-partition plus a
+    driver offset map — same two-phase discipline as global_shuffle."""
+    p = plan(q(spark, "sample_tokens_systematic"))
+    assert "_pid" in p
+    assert "RangePartitioning" in p or "rangepartitioning" in p.lower()
+
+
+def test_clip_filter_single_modality_join(spark):
+    """multimodal_clip_filter: two map-only encoder stages feeding one
+    doc-keyed equi-join; never a cartesian, alignment gate is a
+    scan-stage expression."""
+    p = plan(q(spark, "multimodal_clip_filter"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

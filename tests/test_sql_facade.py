@@ -446,3 +446,28 @@ def test_ctas_partitioned_by_transforms(facade, spark):
     # identity form still parses
     f.sql("CREATE TABLE lakefs.repo.main.company.t_ident PARTITIONED BY (u) AS SELECT * FROM src_rows")
     assert cat._ops("repo.main.company.t_ident")[0].current().partition_spec == ["u"]
+
+
+def test_alter_partition_field_and_describe(facade, spark):
+    """ALTER TABLE ADD/DROP PARTITION FIELD evolves the identity spec;
+    DESCRIBE [EXTENDED] renders columns + layout metadata."""
+    f = facade
+    cat = f.catalog
+    t = "repo.main.company.workers"
+    f.sql("ALTER TABLE lakefs.repo.main.company.workers ADD PARTITION FIELD gender")
+    assert cat.partition_spec(t) == ["gender"]
+    # future writes follow the new spec
+    import pyspark.sql.functions as SF
+
+    cat.append(t, cat.scan(t).withColumn("id", SF.concat(SF.lit("n"), "id")))
+    m = cat._ops(t)[0].current()
+    assert any(v.get("gender") for v in m.file_partitions.values())
+    f.sql("ALTER TABLE lakefs.repo.main.company.workers DROP PARTITION FIELD gender")
+    assert cat.partition_spec(t) == []
+    rows = f.sql("DESCRIBE lakefs.repo.main.company.workers").collect()
+    assert [(r.col_name, r.data_type) for r in rows[:2]] == [
+        ("id", "string"), ("firstname", "string")
+    ]
+    ext = f.sql("DESCRIBE EXTENDED lakefs.repo.main.company.workers").collect()
+    names = [r.col_name for r in ext]
+    assert "# Detailed Table Information" in names and "Table UUID" in names
