@@ -107,6 +107,7 @@ EXTRA = [
     "sample_tokens_systematic",
     "text_bpe_merge_rounds",
     "multimodal_clip_filter",
+    "dedup_shared_spans_cross",
 ]
 
 

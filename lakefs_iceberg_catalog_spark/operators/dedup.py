@@ -683,3 +683,76 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("source_a") != F.col("source_b"))
         .select("doc_a", "doc_b", "source_a", "source_b", dround("j", 6).alias("jaccard"))
     )
+
+
+_SPAN_WORDS = 8   # span width (words)
+_SPAN_STRIDE = 4  # stride between span starts
+
+
+@register(
+    "dedup_shared_spans_cross",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+    SELECT doc_id,
+           array_to_string(w[p:p + {_SPAN_WORDS - 1}], ' ') AS span
+    FROM d, unnest(range(1, len(w) - {_SPAN_WORDS - 2}, {_SPAN_STRIDE})) t(p)
+    WHERE len(w) >= {_SPAN_WORDS}
+),
+df AS (SELECT span, count(DISTINCT doc_id) AS ndocs FROM s GROUP BY span)
+SELECT s.doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS shared_frac
+FROM s JOIN df USING (span)
+GROUP BY s.doc_id
+""",
+)
+def dedup_shared_spans_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document exact-span duplication — the fixed-window
+    approximation of suffix-array substring dedup (the 'Deduplicating
+    Training Data Makes Language Models Better' recipe): strided
+    {_SPAN_WORDS}-word spans per document, a span is 'shared' when it
+    appears verbatim in ≥2 documents, and each document reports its shared
+    fraction — the signal the cleaner cuts spans (or whole documents) on.
+    Complements dedup_repeated_spans (intra-doc) and dedup_near_minhash
+    (whole-doc near-dup).
+
+    Scale: there is NO pair join anywhere — span sharing needs only a
+    per-span distinct-doc count (one shuffle on the span key, partial
+    aggs) joined back to the span rows on the same key (same
+    partitioning, no second exchange), then a per-doc rollup. Hot
+    boilerplate spans cost their row count, never a C(n,2) fanout — the
+    trap the pairwise formulations hit."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    spans = (
+        d.filter(F.size("w") >= _SPAN_WORDS)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {_SPAN_WORDS}, {_SPAN_STRIDE}),"
+                    f" p -> array_join(slice(w, p + 1, {_SPAN_WORDS}), ' '))"
+                )
+            ).alias("span"),
+        )
+    )
+    from .util import scoped_persist
+
+    spans = scoped_persist(spans)  # feeds the doc-frequency agg AND the join
+    span_df = spans.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    shared = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    return (
+        spans.join(span_df, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            shared.cast("bigint").alias("n_shared"),
+            dround(shared.cast("double") / F.count(F.lit(1)), 6).alias("shared_frac"),
+        )
+    )
