@@ -108,6 +108,7 @@ EXTRA = [
     "text_bpe_merge_rounds",
     "multimodal_clip_filter",
     "dedup_shared_spans_cross",
+    "window_activity_streaks",
 ]
 
 

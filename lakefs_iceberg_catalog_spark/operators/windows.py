@@ -189,3 +189,61 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "window_activity_streaks",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+grp AS (
+    SELECT user_id, d,
+           d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS island
+    FROM days
+),
+streaks AS (
+    SELECT user_id, count(*) AS streak_len, min(d) AS streak_start
+    FROM grp GROUP BY user_id, island
+)
+SELECT user_id,
+       count(*)                                   AS n_streaks,
+       CAST(max(streak_len) AS BIGINT)            AS longest_streak,
+       CAST(min(CAST(streak_start AS VARCHAR)) AS VARCHAR) AS first_streak_start
+FROM streaks
+GROUP BY user_id
+HAVING max(streak_len) >= 3
+""",
+)
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks — the gaps-and-islands pattern
+    (retention/engagement's workhorse): one distinct (user, day) pass, the
+    classic date-minus-row_number island key (consecutive days share it,
+    any gap starts a new island), then per-island and per-user rollups.
+    Emits users with a 3-day-or-longer streak: streak count, longest run,
+    first streak's start date.
+
+    Scale: every window and rollup partitions on user_id — fully parallel
+    across users, state per task is one user's day list, no cross-user
+    shuffle beyond the initial distinct. The island trick keeps it to ONE
+    window pass where a self-join formulation would pair every day with
+    every other."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    grp = e.select(
+        "user_id", "d", F.date_sub(F.col("d"), rn).alias("island")
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("d").alias("streak_start")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("streak_len").cast("bigint").alias("longest_streak"),
+            F.min(F.col("streak_start").cast("string")).alias("first_streak_start"),
+        )
+        .filter(F.col("longest_streak") >= 3)
+    )
