@@ -109,6 +109,8 @@ EXTRA = [
     "multimodal_clip_filter",
     "dedup_shared_spans_cross",
     "window_activity_streaks",
+    "rollup_ohlc_bars",
+    "window_twap",
 ]
 
 

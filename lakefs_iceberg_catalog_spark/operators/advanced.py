@@ -627,3 +627,101 @@ def dml_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "rollup_ohlc_bars",
+    oracle="""
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL 15 MINUTE, ts) AS bar_start,
+         value, ts, event_id
+  FROM events),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bar_start
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bar_start
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b)
+SELECT event_type, bar_start,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_events
+FROM r GROUP BY event_type, bar_start
+""",
+)
+def rollup_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars — the time-series downsampling workhorse
+    (TimescaleDB `candlestick_agg`, kdb `xbar`): 15-minute buckets per
+    event_type with open/high/low/close/volume. Open and close are exact
+    selections via ``min_by``/``max_by`` over a (ts, event_id) struct key —
+    deterministic under timestamp ties, and no float arithmetic touches the
+    carried value, so the oracle comparison is bitwise.
+
+    Scale shape: ONE hash shuffle on (event_type, bar); min_by/max_by/max/
+    min/count all have partial (map-side) implementations, so 100 TB of
+    events reduces to |types × bars| rows before the exchange. The oracle's
+    two-window formulation would be a second sort — min_by folds it into
+    the same aggregate. Bucketing is epoch-aligned `window()`, identical to
+    DuckDB's time_bucket."""
+    e = table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            "event_type",
+            F.window("ts", "15 minutes").start.alias("bar_start"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "window_twap",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, value, ts,
+         lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type,
+       round(sum(value * (epoch(nxt) - epoch(ts)))
+             / sum(epoch(nxt) - epoch(ts)), 6) AS twap,
+       round(avg(value), 6) AS naive_avg,
+       count(*) AS n_intervals
+FROM seq WHERE nxt IS NOT NULL
+GROUP BY event_type
+""",
+)
+def window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per event_type: each observation
+    is weighted by how long it remained the latest one (lead(ts) - ts), the
+    standard correction when sampling is irregular — a value that held for
+    an hour should not count the same as one replaced in a second. The
+    naive unweighted mean is emitted beside it so the bias is visible.
+
+    Scale shape: one window pass partitioned by event_type (sort within
+    partition, no cross-type traffic) feeding a partial-aggregable
+    sum/sum division — the same single-exchange shape as the OHLC rollup.
+    Ordering ties break on event_id so the lead() is deterministic; the
+    final doubles are dround-ed because Spark and DuckDB sum the products
+    in different orders."""
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    dt = F.unix_micros(F.lead("ts").over(w)) / 1e6 - F.unix_micros(F.col("ts")) / 1e6
+    seq = e.select("event_type", "value", dt.alias("dt")).filter(
+        F.col("dt").isNotNull()
+    )
+    return seq.groupBy("event_type").agg(
+        dround(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias("twap"),
+        dround(F.avg("value"), 6).alias("naive_avg"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
