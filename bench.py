@@ -111,6 +111,7 @@ EXTRA = [
     "window_activity_streaks",
     "rollup_ohlc_bars",
     "window_twap",
+    "branch_cherry_pick",
 ]
 
 

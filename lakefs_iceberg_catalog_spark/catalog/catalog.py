@@ -2729,6 +2729,94 @@ class VersionedCatalog:
                 return c["tables"]
         return None
 
+    def cherry_pick(self, repo: str, commit_id: str, dst_branch: str) -> str:
+        """Apply ONE commit's table delta onto another branch (the lakeFS
+        ``cherry-pick`` command: replay a single commit's changes on a
+        different ref, not the whole branch history like ``merge``).
+
+        The commit's delta is computed against its parent — the previous
+        commit on the same branch, or the branch's recorded base for a
+        first commit. For every table the commit changed, ``dst_branch``
+        must still sit at the pre-image version (0 = absent); any
+        divergence is a MergeConflictError BEFORE anything moves (same
+        two-phase all-or-nothing contract as merge). Application is the
+        merge machinery's metadata fast-forward: copy the missing manifest
+        versions, zero data movement. A new commit recording the result is
+        appended to dst's history and its id returned."""
+        state = self._load_branches(repo)
+        commit = next((c for c in state["commits"] if c["id"] == commit_id), None)
+        if commit is None:
+            raise NoSuchNamespaceError(f"no commit {commit_id!r} in {repo}")
+        if dst_branch not in state["branches"]:
+            raise NoSuchNamespaceError(f"{repo}.{dst_branch}")
+        src_branch = commit["branch"]
+        # parent snapshot = previous commit on the commit's own branch,
+        # falling back to the branch's base captured at creation
+        parent: dict[str, int] | None = None
+        for c in state["commits"]:
+            if c["id"] == commit_id:
+                break
+            if c["branch"] == src_branch:
+                parent = c["tables"]
+        if parent is None:
+            parent = state["branches"][src_branch].get("base", {})
+        post = commit["tables"]
+        delta = {
+            tbl: (parent.get(tbl, 0), post.get(tbl, 0))
+            for tbl in set(parent) | set(post)
+            if parent.get(tbl, 0) != post.get(tbl, 0)
+        }
+        dst_tables = self._branch_tables(repo, dst_branch)
+        # Phase 1: every changed table must be at the commit's pre-image.
+        for tbl, (pre_v, post_v) in sorted(delta.items()):
+            dst_v = dst_tables.get(tbl, 0)
+            if dst_v != pre_v:
+                what = f"v{dst_v}" if dst_v else "absent"
+                raise MergeConflictError(
+                    f"{tbl}: {dst_branch} is at {what}, but commit "
+                    f"{commit_id} expects its pre-image v{pre_v}"
+                )
+        # Phase 2: apply (fast-forward manifests / propagate deletions).
+        src_dir = os.path.join(self._repo_dir(repo), src_branch)
+        dst_dir = os.path.join(self._repo_dir(repo), dst_branch)
+        for tbl, (pre_v, post_v) in sorted(delta.items()):
+            if post_v == 0:
+                dst_tbl_dir = os.path.join(dst_dir, tbl)
+                meta = os.path.join(dst_tbl_dir, METADATA_DIR)
+                if os.path.isdir(meta):
+                    shutil.rmtree(meta)
+                still_needed = self.referenced_files(repo)
+                for dirpath, _, filenames in os.walk(dst_tbl_dir):
+                    for name in filenames:
+                        p = os.path.join(dirpath, name)
+                        if name.endswith(".parquet") and self._rel(repo, p) not in still_needed:
+                            os.remove(p)
+                continue
+            src_meta = os.path.join(src_dir, tbl, METADATA_DIR)
+            dst_meta = os.path.join(dst_dir, tbl, METADATA_DIR)
+            os.makedirs(dst_meta, exist_ok=True)
+            os.makedirs(os.path.join(dst_dir, tbl, "data"), exist_ok=True)
+            parts = tbl.split(os.sep)[:-1]
+            for i in range(1, len(parts) + 1):
+                src_marker = os.path.join(src_dir, *parts[:i], NS_METADATA)
+                dst_marker = os.path.join(dst_dir, *parts[:i], NS_METADATA)
+                if os.path.exists(src_marker) and not os.path.exists(dst_marker):
+                    shutil.copy2(src_marker, dst_marker)
+            for v in range(1, post_v + 1):
+                for name in (f"v{v}.manifest.json", f"v{v}.manifest.json.gz"):
+                    s, d = os.path.join(src_meta, name), os.path.join(dst_meta, name)
+                    if os.path.exists(s) and not os.path.exists(d):
+                        shutil.copy2(s, d)
+            TableOperations(os.path.join(dst_dir, tbl))._write_version_hint(post_v)
+        cid = _uuid.uuid4().hex[:16]
+        state["commits"].append(
+            {"id": cid, "branch": dst_branch,
+             "message": f"cherry-pick {commit_id} from {src_branch}",
+             "tables": self._branch_tables(repo, dst_branch)}
+        )
+        self._save_branches(repo, state)
+        return cid
+
     def merge(self, repo: str, src_branch: str, dst_branch: str) -> None:
         """Three-way merge of committed state, per table path over
         base ∪ src-current (so src-side deletions are seen), with version 0

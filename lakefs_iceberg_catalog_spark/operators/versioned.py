@@ -816,3 +816,57 @@ def ddl_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", dround("o_totalprice", 2).alias("total")
     )
     return _materialize(spark, out, root)
+
+
+@register(
+    "branch_cherry_pick",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1', 'James',   'Smith',    32, 'M'),
+  ('2', 'Michael', 'Rose',     35, 'M'),
+  ('3', 'Robert',  'Williams', 41, 'M'),
+  ('4', 'Maria',   'Jones',    36, 'F'),
+  ('5', 'Jen',     'Brown',    44, 'F'),
+  ('6', 'Monika',  'Geller',   31, 'F'),
+  ('9', 'Nora',    'Hale',     29, 'F')
+) AS t(id, firstname, lastname, age, gender)
+""",
+)
+def branch_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-commit cherry-pick (the lakeFS ``cherry-pick`` command —
+    replay ONE commit onto another ref, not the whole branch like merge):
+    dev makes two commits, A touching workers and B creating teams;
+    cherry-picking B onto main brings ONLY the teams table over — main's
+    workers never sees commit A's row. Then main moves its own workers
+    forward, and cherry-picking A must refuse (two-phase pre-image check,
+    all-or-nothing, same contract as merge). Metadata fast-forward only —
+    zero data file movement, exactly like merge's apply path.
+
+    Returns main's workers: the seed six plus main's own '9' — commit A's
+    '7' must be absent (selectivity is the whole point)."""
+    from ..catalog import MergeConflictError
+
+    cat, root = _seeded(spark)
+    cat.create_branch("repo", "dev", "main")
+    # commit A: dev modifies workers
+    cat.insert_values("repo.dev.company.workers", [("7", "Jhon", "Smith", 33, "M")])
+    cid_a = cat.commit_branch("repo", "dev", "A: add worker 7")
+    # commit B: dev creates a brand-new table
+    teams = spark.createDataFrame(
+        [("t1", "search"), ("t2", "infra")], "team_id string, name string"
+    )
+    cat.create_table_as("repo.dev.company.teams", teams)
+    cid_b = cat.commit_branch("repo", "dev", "B: add teams")
+    # cherry-pick ONLY B onto main: teams appears, workers untouched
+    cat.cherry_pick("repo", cid_b, "main")
+    got = {tuple(r) for r in cat.scan("repo.main.company.teams").collect()}
+    assert got == {("t1", "search"), ("t2", "infra")}, got
+    # main now advances workers on its own ...
+    cat.insert_values("repo.main.company.workers", [("9", "Nora", "Hale", 29, "F")])
+    # ... so commit A's pre-image no longer holds: cherry-pick must refuse
+    try:
+        cat.cherry_pick("repo", cid_a, "main")
+        raise AssertionError("cherry-pick of A should conflict")
+    except MergeConflictError:
+        pass
+    return _materialize(spark, cat.scan("repo.main.company.workers"), root)

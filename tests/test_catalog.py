@@ -1553,3 +1553,38 @@ def test_partition_evolution_guards(cat, spark):
     cat.create_table_as(t2, df, bucket_by=("id", 4))
     with _pt.raises(UnsupportedOperationError):
         cat.set_partition_spec(t2, ["cat"])
+
+
+def test_cherry_pick_deletion_commit(cat):
+    """Cherry-picking a commit that DROPPED a table propagates the deletion
+    (and only that deletion) to the target branch."""
+    cat.create_branch("repo", "b1", "main")
+    # commit 1 on b1: an unrelated new table (must NOT be carried over)
+    extra = cat.spark.createDataFrame([(1, "x")], "k int, v string")
+    cat.create_table_as("repo.b1.company.extra", extra)
+    cat.commit_branch("repo", "b1", "add extra")
+    # commit 2 on b1: drop workers
+    cat.drop_table("repo.b1.company.workers")
+    cid = cat.commit_branch("repo", "b1", "drop workers")
+    cat.cherry_pick("repo", cid, "main")
+    assert not cat.table_exists("repo.main.company.workers")
+    assert not cat.table_exists("repo.main.company.extra")
+
+
+def test_cherry_pick_first_commit_uses_branch_base(cat):
+    """A branch's FIRST commit diffs against the base captured at branch
+    creation, not against an empty snapshot — cherry-picking it must carry
+    only what the commit itself changed."""
+    cat.create_branch("repo", "b1", "main")
+    cat.insert_values("repo.b1.company.workers", [("7", "Jhon", "Smith", 33, "M")])
+    cid = cat.commit_branch("repo", "b1", "add 7")
+    cat.cherry_pick("repo", cid, "main")
+    got = {r.id for r in cat.scan("repo.main.company.workers").collect()}
+    assert got == {"1", "2", "3", "4", "5", "6", "7"}
+
+
+def test_cherry_pick_unknown_commit_raises(cat):
+    from lakefs_iceberg_catalog_spark.catalog import NoSuchNamespaceError
+
+    with pytest.raises(NoSuchNamespaceError):
+        cat.cherry_pick("repo", "deadbeef", "main")
