@@ -112,6 +112,7 @@ EXTRA = [
     "rollup_ohlc_bars",
     "window_twap",
     "branch_cherry_pick",
+    "dedup_containment",
 ]
 
 

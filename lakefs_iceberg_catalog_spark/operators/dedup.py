@@ -756,3 +756,69 @@ def dedup_shared_spans_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(shared.cast("double") / F.count(F.lit(1)), 6).alias("shared_frac"),
         )
     )
+
+
+_CONTAINMENT_THETA = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH {_ORACLE_SHINGLES},
+r AS (SELECT doc_id, source, unnest(sh) AS shingle FROM s),
+kept AS (SELECT doc_id, source, shingle FROM r
+         QUALIFY count(*) OVER (PARTITION BY source, shingle) <= {_NGRAM_DF_CAP}),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source AS source, count(*) AS i
+      FROM kept a JOIN kept b ON a.source = b.source AND a.shingle = b.shingle
+                              AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3),
+dirs AS (
+  SELECT i.doc_a AS doc_sub, i.doc_b AS doc_super, i.source,
+         CAST(i.i AS DOUBLE) / ca.n_sh AS c
+  FROM i JOIN cnt ca ON ca.doc_id = i.doc_a
+  UNION ALL
+  SELECT i.doc_b, i.doc_a, i.source, CAST(i.i AS DOUBLE) / cb.n_sh
+  FROM i JOIN cnt cb ON cb.doc_id = i.doc_b)
+SELECT doc_sub, doc_super, source, round(c, 6) AS containment
+FROM dirs WHERE c >= {_CONTAINMENT_THETA}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram CONTAINMENT within a source block: C(A→B) =
+    |sh(A) ∩ sh(B)| / |sh(A)| — the asymmetric companion to Jaccard that
+    catches a short document swallowed whole by a longer one (quote
+    aggregation, boilerplate wrapping, prompt-in-completion leaks), where
+    Jaccard stays low because the union is dominated by the big doc. The
+    standard training-data decontamination measure (Broder's containment,
+    the basis of "13-gram overlap" eval-leak checks).
+
+    Scale shape: identical to dedup_ngram_jaccard — ONE (source, shingle)
+    equi-join under the df-cap bound produces intersections; both directed
+    containments come from the same intersection row joined to the two
+    per-doc counts, so asymmetry costs a union of two projections, not a
+    second pair join."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kept = scoped_persist(ngram_kept_rows(shingle_rows_of(docs), _NGRAM_DF_CAP))
+    inter = ngram_pairs(kept)
+    cnt = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    joined = scoped_persist(inter.join(ca, "doc_a").join(cb, "doc_b"))
+    fwd = joined.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        "source",
+        (F.col("i").cast("double") / F.col("na")).alias("c"),
+    )
+    bwd = joined.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_super"),
+        "source",
+        (F.col("i").cast("double") / F.col("nb")).alias("c"),
+    )
+    return (
+        fwd.unionAll(bwd)
+        .filter(F.col("c") >= _CONTAINMENT_THETA)
+        .select("doc_sub", "doc_super", "source", dround("c", 6).alias("containment"))
+    )
