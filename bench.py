@@ -113,6 +113,7 @@ EXTRA = [
     "window_twap",
     "branch_cherry_pick",
     "dedup_containment",
+    "similarity_range_search",
 ]
 
 

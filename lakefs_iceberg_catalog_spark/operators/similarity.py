@@ -1241,3 +1241,55 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "rnk", dround("cos", 6).alias("cosine"))
     )
+
+
+_RANGE_TAU = 0.3
+
+
+@register(
+    "similarity_range_search",
+    oracle=f"""
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+       round({_COSINE_ORACLE_EXPR}, 6) AS cosine
+FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+WHERE q.vec_id < {_N_QUERIES} AND {_COSINE_ORACLE_EXPR} >= {_RANGE_TAU}
+""",
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search (radius query): every corpus vector within
+    similarity >= tau of each query — the other fundamental ANN query shape
+    beside top-k (fixed-quality retrieval: "all near-duplicates", "all
+    candidates above the rerank floor"), where the result size is
+    data-driven, not k-capped.
+
+    Exact baseline plan, same as similarity_topk: broadcast the bounded
+    query set, stream the corpus once, norms hoisted to one fold per side.
+    No window/rank at all — range search needs no per-query sort, so the
+    plan is a pure map-side filter after the broadcast join: ZERO shuffles
+    over the corpus. At 100 TB the LSH/IVF bucket routes (previous ops)
+    bound the scanned fraction; the threshold comparison itself is
+    bitwise-stable because both engines fold the dot product in the same
+    sequential order."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("q_norm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("c_norm"),
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+        .filter(F.col("cos") >= _RANGE_TAU)
+        .select("query_id", "neighbor_id", "neighbor_label", dround("cos", 6).alias("cosine"))
+    )

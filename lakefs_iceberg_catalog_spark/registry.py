@@ -87,7 +87,7 @@ _SWEEP_PRIORITY = [
     "sink_shallow_clone", "agg_funnel_steps", "stream_stream_outer_join",
     "window_retention_cohorts", "window_activity_streaks",
     "rollup_ohlc_bars", "window_twap", "branch_cherry_pick",
-    "dedup_containment",
+    "dedup_containment", "similarity_range_search",
     "meta_partitions", "dedup_repeated_spans", "dedup_shared_spans_cross",
     "similarity_maxsim_late_interaction",
     "window_first_touch_attribution", "dml_purge_history",
