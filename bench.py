@@ -114,6 +114,7 @@ EXTRA = [
     "branch_cherry_pick",
     "dedup_containment",
     "similarity_range_search",
+    "maint_compact_expire_gc",
 ]
 
 

@@ -870,3 +870,59 @@ def branch_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     except MergeConflictError:
         pass
     return _materialize(spark, cat.scan("repo.main.company.workers"), root)
+
+
+@register(
+    "maint_compact_expire_gc",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1',  'James',   'Smith',    32, 'M'),
+  ('2',  'Michael', 'Rose',     35, 'M'),
+  ('3',  'Robert',  'Williams', 41, 'M'),
+  ('4',  'Maria',   'Jones',    36, 'F'),
+  ('5',  'Jen',     'Brown',    44, 'F'),
+  ('6',  'Monika',  'Geller',   31, 'F'),
+  ('7',  'w7',      'n7',       27, 'M'),
+  ('8',  'w8',      'n8',       28, 'F'),
+  ('9',  'w9',      'n9',       29, 'M'),
+  ('10', 'w10',     'n10',      30, 'F'),
+  ('11', 'w11',     'n11',      31, 'M')
+) AS t(id, firstname, lastname, age, gender)
+""",
+)
+def maint_compact_expire_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full table-maintenance cycle Iceberg ships as three procedures —
+    rewrite_data_files + expire_snapshots + remove_orphan_files — run end to
+    end: five single-row appends fragment the table into 6+ small files,
+    compact() rewrites them into one (a normal metadata commit — history
+    still reads the fragmented versions), expire_versions() drops the old
+    manifests, and garbage_collect() reclaims exactly the data files no
+    live snapshot references. Asserted mid-flow: fragmentation really
+    happened, the compacted manifest lists ONE file, GC removes only
+    unreferenced files (dry-run first — the read-back after real GC proves
+    no live file was touched).
+
+    At 100 TB this cycle IS the storage-cost story: streaming ingestion
+    fragments relentlessly; compaction restores scan efficiency; expiry
+    bounds metadata; reachability-based GC (repo-wide, branch-aware —
+    zero-copy branches share files, so per-branch deletion is unsafe) is
+    the only safe reclamation."""
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    for i in range(7, 12):
+        cat.insert_values(t, [(str(i), f"w{i}", f"n{i}", 20 + i, "M" if i % 2 else "F")])
+    ops = cat._ops(t)[0]
+    frag = ops.current()
+    assert frag.version == 6 and len(frag.files) >= 6, (frag.version, len(frag.files))
+    cat.compact(t, target_files=1)
+    m = ops.current()
+    assert len(m.files) == 1, m.files
+    expired = cat.expire_versions(t, keep_last=1)
+    assert expired == [1, 2, 3, 4, 5, 6], expired
+    orphans = cat.garbage_collect("repo", dry_run=True)
+    assert len(orphans) >= 6 and not any(f in orphans for f in m.files), orphans
+    removed = cat.garbage_collect("repo")
+    assert removed == orphans, (removed, orphans)
+    out = cat.scan(t)
+    assert out.count() == 11  # live snapshot untouched by GC
+    return _materialize(spark, out, root)
