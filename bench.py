@@ -115,6 +115,7 @@ EXTRA = [
     "dedup_containment",
     "similarity_range_search",
     "maint_compact_expire_gc",
+    "window_ewma",
 ]
 
 

@@ -247,3 +247,67 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("longest_streak") >= 3)
     )
+
+
+_EWMA_DECAY = 0.8   # weight ratio between consecutive observations
+_EWMA_SPAN = 20     # trailing frame length
+
+
+@register(
+    "window_ewma",
+    oracle=f"""
+WITH w AS (
+  SELECT event_id, event_type, value,
+         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM events)
+SELECT event_id, event_type, value,
+       round(list_aggregate(list_transform(range(1, len(vals)+1),
+                 i -> vals[i] * pow({_EWMA_DECAY}, len(vals)-i)), 'sum')
+             / list_aggregate(list_transform(range(1, len(vals)+1),
+                 i -> pow({_EWMA_DECAY}, len(vals)-i)), 'sum'), 6) AS ewma
+FROM w
+""",
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over a trailing {_EWMA_SPAN}-row
+    frame per event_type — the smoothing every monitoring/trading stack
+    leans on, and a shape Spark has NO built-in for (there is no ewm()
+    window aggregate). Composed instead of UDF'd: collect the frame with a
+    windowed collect_list (frame order = ORDER BY order, ties broken on
+    event_id), then an indexed transform+aggregate fold computes
+    sum(x_j * d^(n-1-j)) / sum(d^(n-1-j)) entirely JVM-side.
+
+    Bounding the frame is what makes this scale-honest: the textbook
+    recursive EWMA (ewma_k = a*x_k + (1-a)*ewma_{{k-1}}) is an unbounded
+    sequential dependency — on a cluster that means single-task-per-key
+    state; the {_EWMA_SPAN}-row window truncates weights below d^{_EWMA_SPAN}
+    (~1%% mass) and stays an embarrassingly parallel window pass. Both
+    engines fold the identical weight list sequentially, so the doubles
+    agree bitwise before rounding."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), W.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    n = F.size(F.col("vals"))
+    d = F.lit(_EWMA_DECAY)
+    num = F.aggregate(
+        F.transform(F.col("vals"), lambda x, i: x * F.pow(d, (n - 1 - i).cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(F.col("vals"), lambda x, i: F.pow(d, (n - 1 - i).cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("event_id", "event_type", "value", vals.alias("vals"))
+        .select(
+            "event_id", "event_type", "value",
+            dround(num / den, 6).alias("ewma"),
+        )
+    )
