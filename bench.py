@@ -116,6 +116,7 @@ EXTRA = [
     "similarity_range_search",
     "maint_compact_expire_gc",
     "window_ewma",
+    "ddl_add_files",
 ]
 
 

@@ -1163,6 +1163,78 @@ class VersionedCatalog:
                 err = e
         raise err
 
+    def add_files(self, identifier: str | list[str], source_dir: str) -> int:
+        """Bulk file import (Iceberg's ``add_files`` procedure): register
+        EXISTING parquet files into the table snapshot WITHOUT a rewrite —
+        the migration path that turns a directory of legacy parquet into
+        table data at metadata cost. No Spark job touches the rows: the
+        import is file copies + footer reads + ONE metadata commit, so
+        importing 100 TB costs object-store copies (or nothing, where the
+        store supports server-side copy/rename), never a cluster rewrite.
+
+        The files are copied under the table's ``data/`` dir because the
+        path sandbox (PathSandboxError contract) requires every referenced
+        file to live inside the repo/ref scope — the analog of Iceberg
+        add_files' requirement that imported paths be reachable by the
+        table's FileIO. Footer min/max stats are harvested per file, so
+        imported files prune exactly like written ones.
+
+        Schema gate: the files' parquet schema must match the table schema
+        by name and type (Iceberg add_files demands the same) — imported
+        files carry no field-id provenance, so a later column rename must
+        not silently orphan their columns; the commit stamps the CURRENT
+        mapping as their provenance, same as any fresh write.
+
+        Unpartitioned tables only (the identity/hidden-partition layouts
+        derive partition values from the write path, which an import
+        bypasses). Returns the number of files imported."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        if base.partition_spec or base.bucket_spec:
+            raise UnsupportedOperationError(
+                "add_files imports into unpartitioned tables only"
+            )
+        src = os.path.abspath(source_dir)
+        names = sorted(
+            n for n in os.listdir(src)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+        if not names:
+            raise NoSuchTableError(f"no parquet files under {source_dir}")
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        incoming = self.spark.read.parquet(
+            *(os.path.join(src, n) for n in names)
+        ).schema
+        if {f.name: f.dataType.simpleString() for f in incoming} != {
+            f.name: f.dataType.simpleString() for f in schema
+        }:
+            raise SchemaMismatchError(
+                f"imported files' schema {incoming.simpleString()} does not "
+                f"match table schema {schema.simpleString()}"
+            )
+        repo = levels[0]
+        data_dir = os.path.join(self.root, *levels, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        new_files, new_stats = [], {}
+        for i, name in enumerate(names):
+            dst = os.path.join(
+                data_dir, f"import-{_uuid.uuid4().hex[:12]}-{i:05d}.parquet"
+            )
+            shutil.copy2(os.path.join(src, name), dst)
+            rel = self._rel(repo, dst)
+            new_files.append(rel)
+            new_stats[rel] = _footer_stats(dst)
+        ops.commit(
+            base,
+            base.next(
+                base.files + new_files,
+                file_stats={**base.file_stats, **new_stats},
+            ),
+        )
+        return len(new_files)
+
     def overwrite(self, identifier: str | list[str], df: DataFrame) -> None:
         """Full-table overwrite (Spark's INSERT OVERWRITE / Iceberg
         replace): write the new rows, commit a manifest listing ONLY them —

@@ -926,3 +926,61 @@ def maint_compact_expire_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cat.scan(t)
     assert out.count() == 11  # live snapshot untouched by GC
     return _materialize(spark, out, root)
+
+
+@register(
+    "ddl_add_files",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1',  'James',   'Smith',    32, 'M'),
+  ('2',  'Michael', 'Rose',     35, 'M'),
+  ('3',  'Robert',  'Williams', 41, 'M'),
+  ('4',  'Maria',   'Jones',    36, 'F'),
+  ('5',  'Jen',     'Brown',    44, 'F'),
+  ('6',  'Monika',  'Geller',   31, 'F'),
+  ('20', 'ext20',   'legacy',   50, 'M'),
+  ('21', 'ext21',   'legacy',   51, 'F'),
+  ('22', 'ext22',   'legacy',   52, 'M'),
+  ('23', 'ext23',   'legacy',   53, 'F')
+) AS t(id, firstname, lastname, age, gender)
+""",
+)
+def ddl_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``add_files`` import: a directory of pre-existing parquet
+    (two files, written outside the catalog) is registered into the table
+    with ONE metadata commit — no row rewrite, no Spark job over the data.
+    Asserted mid-flow: exactly one version bump, the base snapshot's files
+    all survive untouched, exactly two files joined the manifest with
+    footer stats harvested, and a schema-mismatched import refuses with
+    SchemaMismatchError before anything commits. Time travel to the
+    pre-import version still reads the original six rows."""
+    from ..catalog import SchemaMismatchError
+
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    ext_dir = tempfile.mkdtemp(prefix="legacy-parquet-")
+    ext_rows = [(str(i), f"ext{i}", "legacy", 30 + i, "M" if i % 2 == 0 else "F")
+                for i in range(20, 24)]
+    spark.createDataFrame(ext_rows, WORKERS_SCHEMA).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(ext_dir)
+    ops = cat._ops(t)[0]
+    before = ops.current()
+    n = cat.add_files(t, ext_dir)
+    m = ops.current()
+    assert n == 2 and m.version == before.version + 1, (n, m.version)
+    assert set(before.files) <= set(m.files), "import must not drop base files"
+    added = sorted(set(m.files) - set(before.files))
+    assert len(added) == 2 and all(m.file_stats.get(f) for f in added), added
+    assert cat.scan(t, version=before.version).count() == 6  # time travel intact
+    bad = spark.createDataFrame([(1, "x")], "k int, v string")
+    bad_dir = tempfile.mkdtemp(prefix="bad-parquet-")
+    bad.write.mode("overwrite").parquet(bad_dir)
+    try:
+        cat.add_files(t, bad_dir)
+        raise AssertionError("schema-mismatched import must refuse")
+    except SchemaMismatchError:
+        pass
+    shutil.rmtree(ext_dir, ignore_errors=True)
+    shutil.rmtree(bad_dir, ignore_errors=True)
+    return _materialize(spark, cat.scan(t), root)
