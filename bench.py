@@ -117,6 +117,7 @@ EXTRA = [
     "maint_compact_expire_gc",
     "window_ewma",
     "ddl_add_files",
+    "sql_call_procedures",
 ]
 
 

@@ -445,6 +445,40 @@ class SqlFacade:
             # preserved non-capability (SURVEY.md §2.3): TABLE rename
             self.catalog.rename_table(_clean(m.group(1)), None)
 
+        m = re.match(r"(?is)^CALL\s+(?:system\.)?(\w+)\s*\((.*)\)\s*$", s)
+        if m:
+            # Iceberg stored-procedure surface (CALL catalog.system.<proc>):
+            # the procedures whose verbs have no dedicated SQL statement.
+            # OPTIMIZE / VACUUM / RESTORE cover rewrite_data_files /
+            # remove_orphan_files+expire / rollback; these four round out
+            # the set. Args are positional: 'quoted strings' or integers.
+            proc, raw = m.group(1).lower(), m.group(2).strip()
+            args = []
+            for part in re.findall(r"'(?:[^']*)'|[^,\s][^,]*", raw):
+                part = part.strip()
+                if part.startswith("'"):
+                    args.append(part[1:-1])
+                elif re.fullmatch(r"-?\d+", part):
+                    args.append(int(part))
+                else:
+                    args.append(part)
+            if proc == "cherrypick_snapshot" and len(args) == 3:
+                cid = self.catalog.cherry_pick(str(args[0]), str(args[1]), str(args[2]))
+                return mk([(cid,)], "commit_id string")
+            if proc == "add_files" and len(args) == 2:
+                n = self.catalog.add_files(str(args[0]), str(args[1]))
+                return mk([(n,)], "added_files_count int")
+            if proc == "expire_snapshots" and len(args) in (1, 2):
+                keep = int(args[1]) if len(args) == 2 else 1
+                expired = self.catalog.expire_versions(str(args[0]), keep_last=keep)
+                return mk([(v,) for v in expired], "expired_version int")
+            if proc == "remove_orphan_files" and len(args) == 1:
+                removed = self.catalog.garbage_collect(str(args[0]))
+                return mk([(p,) for p in removed], "orphan_file_location string")
+            raise UnsupportedOperationError(
+                f"unknown procedure or arity: {proc}({raw})"
+            )
+
         raise UnsupportedOperationError(f"unsupported statement: {s[:80]!r}")
 
     def _merge_into(self, target, t_alias, using, on, when, mk) -> DataFrame:

@@ -984,3 +984,51 @@ def ddl_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ext_dir, ignore_errors=True)
     shutil.rmtree(bad_dir, ignore_errors=True)
     return _materialize(spark, cat.scan(t), root)
+
+
+@register(
+    "sql_call_procedures",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1', 'James',   'Smith',    32, 'M'),
+  ('2', 'Michael', 'Rose',     35, 'M'),
+  ('3', 'Robert',  'Williams', 41, 'M'),
+  ('4', 'Maria',   'Jones',    36, 'F'),
+  ('5', 'Jen',     'Brown',    44, 'F'),
+  ('6', 'Monika',  'Geller',   31, 'F'),
+  ('7', 'Jhon',    'Smith',    33, 'M')
+) AS t(id, firstname, lastname, age, gender)
+""",
+)
+def sql_call_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's CALL system.<proc>() surface, driven entirely through the
+    SQL facade: a dev-branch commit is cherry-picked onto main by
+    ``CALL system.cherrypick_snapshot(...)``, then
+    ``CALL system.expire_snapshots(...)`` + ``CALL
+    system.remove_orphan_files(...)`` run the retention pair and their
+    result sets (expired versions, reclaimed paths) come back as
+    DataFrames, exactly like Iceberg procedure output rows. The dedicated
+    OPTIMIZE/VACUUM/RESTORE statements stay the spelling for the rewrite/
+    vacuum/rollback verbs; CALL covers the rest of the procedure
+    namespace."""
+    from ..catalog.sql_facade import SqlFacade
+
+    cat, root = _seeded(spark)
+    f = SqlFacade(cat)
+    cat.create_branch("repo", "dev", "main")
+    cat.insert_values("repo.dev.company.workers", [("7", "Jhon", "Smith", 33, "M")])
+    cid = cat.commit_branch("repo", "dev", "add 7")
+    out = f.sql(f"CALL system.cherrypick_snapshot('repo', '{cid}', 'main')")
+    assert out.collect()[0][0]  # new commit id on main
+    # workers on main is now at v2; expire v1 and reclaim its orphans
+    expired = f.sql(
+        "CALL system.expire_snapshots('repo.main.company.workers', 1)"
+    ).collect()
+    assert [r[0] for r in expired] == [1], expired
+    removed = f.sql("CALL system.remove_orphan_files('repo')").collect()
+    # v1's file is shared with dev's live chain, so nothing is reclaimable
+    # until dev drops too — reachability is repo-wide by design
+    assert removed == [], removed
+    cat.delete_branch("repo", "dev")
+    assert f.sql("CALL system.remove_orphan_files('repo')").count() == 0
+    return _materialize(spark, cat.scan("repo.main.company.workers"), root)

@@ -88,7 +88,7 @@ _SWEEP_PRIORITY = [
     "window_retention_cohorts", "window_activity_streaks",
     "rollup_ohlc_bars", "window_twap", "branch_cherry_pick",
     "dedup_containment", "similarity_range_search",
-    "maint_compact_expire_gc", "window_ewma", "ddl_add_files",
+    "maint_compact_expire_gc", "window_ewma", "ddl_add_files", "sql_call_procedures",
     "meta_partitions", "dedup_repeated_spans", "dedup_shared_spans_cross",
     "similarity_maxsim_late_interaction",
     "window_first_touch_attribution", "dml_purge_history",
