@@ -496,3 +496,52 @@ def test_clip_filter_single_modality_join(spark):
     p = plan(q(spark, "multimodal_clip_filter"))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ohlc_single_exchange_partial_aggs(spark):
+    """OHLC bars: min_by/max_by/max/min/count all fold in ONE hash
+    aggregate pair (partial + final) over ONE exchange — the oracle's
+    two-window formulation would pay a sort; the min_by form must not."""
+    p = _exec_plan(q(spark, "rollup_ohlc_bars"))
+    assert p.count("Exchange") - p.count("ReusedExchange") <= 1
+    # struct-keyed min_by/max_by aggregate via SortAggregate, but the
+    # map-side partial phase must still be there (partial_min_by markers)
+    assert "partial_min_by" in p and "partial_max_by" in p
+    assert "Window" not in p and "Join" not in p
+
+
+def test_twap_single_exchange(spark):
+    """TWAP: the lead() window and the per-type aggregate share the
+    event_type partitioning — one exchange, no join."""
+    p = _exec_plan(q(spark, "window_twap"))
+    assert p.count("Exchange") - p.count("ReusedExchange") <= 1
+    assert "Join" not in p
+
+
+def test_ewma_single_exchange_no_python(spark):
+    """EWMA is a JVM-side indexed array fold over a windowed collect_list:
+    one exchange for the event_type window, and NO Python evaluation —
+    the no-UDF contract is the operator's point."""
+    p = _exec_plan(q(spark, "window_ewma"))
+    assert p.count("Exchange") - p.count("ReusedExchange") <= 1
+    assert "Python" not in p and "Join" not in p
+
+
+def test_range_search_zero_corpus_shuffle(spark):
+    """Cosine range search streams the corpus ONCE through a broadcast
+    nested-loop against the bounded query set: no corpus exchange, no
+    sort, no window — a pure map-side filter."""
+    p = _exec_plan(q(spark, "similarity_range_search"))
+    assert "Broadcast" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Window" not in p and "Sort" not in p.replace("SortMergeJoin", "")
+
+
+def test_activity_streaks_partitions_on_user(spark):
+    """Gaps-and-islands: every window and rollup partitions on user_id —
+    the island window, both groupBys, nothing cross-user except the
+    initial distinct."""
+    p = _exec_plan(q(spark, "window_activity_streaks"))
+    assert "Join" not in p
+    # distinct + (window/groupBys sharing user_id partitioning)
+    assert p.count("Exchange") - p.count("ReusedExchange") <= 3
