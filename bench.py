@@ -118,6 +118,7 @@ EXTRA = [
     "window_ewma",
     "ddl_add_files",
     "sql_call_procedures",
+    "window_rolling_corr",
 ]
 
 

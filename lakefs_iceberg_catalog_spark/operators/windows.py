@@ -311,3 +311,64 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(num / den, 6).alias("ewma"),
         )
     )
+
+
+_CORR_FRAME = 24   # trailing window length (hours)
+
+
+@register(
+    "window_rolling_corr",
+    oracle=f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS y
+  FROM events GROUP BY 1),
+w AS (
+  SELECT bucket, x, y,
+         count(*) OVER fr AS n,
+         sum(x) OVER fr AS sx, sum(y) OVER fr AS sy,
+         sum(x*x) OVER fr AS sxx, sum(y*y) OVER fr AS syy,
+         sum(x*y) OVER fr AS sxy
+  FROM b WINDOW fr AS (ORDER BY bucket
+                       ROWS BETWEEN {_CORR_FRAME - 1} PRECEDING AND CURRENT ROW))
+SELECT bucket,
+       round((n*sxy - sx*sy)
+             / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS rolling_corr
+FROM w WHERE n = {_CORR_FRAME}
+""",
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between two event streams (hourly
+    purchase value vs click value over a trailing {_CORR_FRAME}-hour
+    window) — the co-movement monitor behind pair trading, metric
+    cross-correlation, and cannibalization dashboards. Computed from raw
+    moment sums over the frame (n·Σxy − ΣxΣy over the √ of the variance
+    products) rather than a corr() window aggregate, because the two
+    engines' streaming-corr implementations accumulate in different
+    orders — the explicit-moments form gives both the same frame-ordered
+    sums.
+
+    Scale shape: ALL the data reduction happens in the distributed
+    conditional-sum groupBy (one hash exchange over the events); the
+    rolling window then runs over the pre-aggregated hourly series, whose
+    cardinality is O(hours) — a few thousand rows per YEAR even at 100 TB
+    of events — so the unpartitioned window is a deliberately tiny tail
+    stage, not the single-task trap it would be over raw events."""
+    e = table(spark, sf_dir, "events")
+    b = e.groupBy(F.window("ts", "1 hour").start.alias("bucket")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)).alias("y"),
+    )
+    fr = W.orderBy("bucket").rowsBetween(-(_CORR_FRAME - 1), W.currentRow)
+    n = F.count(F.lit(1)).over(fr)
+    sx, sy = F.sum("x").over(fr), F.sum("y").over(fr)
+    sxx = F.sum(F.col("x") * F.col("x")).over(fr)
+    syy = F.sum(F.col("y") * F.col("y")).over(fr)
+    sxy = F.sum(F.col("x") * F.col("y")).over(fr)
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return (
+        b.select("bucket", corr.alias("c"), n.alias("n"))
+        .filter(F.col("n") == _CORR_FRAME)
+        .select("bucket", dround("c", 6).alias("rolling_corr"))
+    )
