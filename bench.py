@@ -119,6 +119,7 @@ EXTRA = [
     "ddl_add_files",
     "sql_call_procedures",
     "window_rolling_corr",
+    "multimodal_phash_dedup",
 ]
 
 

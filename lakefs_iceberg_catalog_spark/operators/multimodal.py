@@ -405,3 +405,129 @@ def multimodal_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("align") >= 0.5).select(
         "doc_id", "n_bytes", dround("align", 6).alias("align")
     )
+
+
+_PHASH_SLICES = 63   # one bit per slice; bit 0 stays clear (signed long)
+_PHASH_HAM_T = 3
+_PHASH_BANDS = 4     # 4 x 16-bit chunks: pigeonhole-complete for hamming <= 3
+
+_PHASH_ORACLE_CTES = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  -- same-length localized corruption: the re-encode/bitrot scenario
+  -- perceptual hashing exists to catch (length preserved, so slice
+  -- boundaries hold and only the touched slice's bit can flip)
+  SELECT doc_id + 1000000 AS doc_id,
+         substring(text, 1, length(text) - 1) || 'X' AS text
+  FROM documents WHERE doc_id < 50 AND length(text) > 1),
+ph AS (
+  SELECT doc_id,
+         CAST(list_aggregate(list_transform(range(1, {_PHASH_SLICES + 1}),
+             i -> CASE WHEN (instr('0123456789abcdef',
+                        substr(md5(substring(text,
+                                   CAST((i-1) * length(text) // {_PHASH_SLICES} + 1 AS BIGINT),
+                                   CAST(i * length(text) // {_PHASH_SLICES}
+                                        - (i-1) * length(text) // {_PHASH_SLICES} AS BIGINT))),
+                               1, 1)) - 1) % 2 = 1
+                  THEN CAST(1 AS BIGINT) << CAST({_PHASH_SLICES} - i AS INTEGER)
+                  ELSE 0 END), 'sum') AS BIGINT) AS phash
+  FROM corpus)
+"""
+
+
+def _phash_batches(batches):
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for text in pdf["payload"]:
+            n = len(text)
+            h = 0
+            for i in range(1, _PHASH_SLICES + 1):
+                s, e = (i - 1) * n // _PHASH_SLICES, i * n // _PHASH_SLICES
+                hx = hashlib.md5(text[s:e].encode("utf-8")).hexdigest()
+                if int(hx[0], 16) & 1:
+                    h |= 1 << (_PHASH_SLICES - i)
+            out.append(h)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": out})
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+WITH {_PHASH_ORACLE_CTES},
+bands AS (SELECT doc_id, phash, band,
+                 (phash >> CAST(band * 16 AS INTEGER)) & 65535 AS key
+          FROM ph CROSS JOIN (SELECT unnest(range(0, {_PHASH_BANDS})) AS band) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ph_a,
+                         b.doc_id AS doc_b, b.phash AS ph_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                                   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {_PHASH_HAM_T}
+""",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over BINARY media payloads —
+    the image-dedup shape (blockhash/pHash): the decode stage normalizes
+    each blob and emits a 64-bit locality-sensitive fingerprint (here a
+    blockhash stand-in: one parity bit per 1/{_PHASH_SLICES} content
+    slice, so same-length payloads sharing most content land within a few
+    bits — swap the slice-parity for DCT-of-pixels and nothing downstream
+    changes), computed in the SAME Arrow-batched mapInPandas stage a real
+    decoder runs in. Pairing then leaves Python entirely: the 4×16-bit
+    pigeonhole band join from the SimHash path (any two hashes within
+    Hamming {_PHASH_HAM_T} agree on a whole chunk) finds every close pair
+    with an output-sized equi-join, verified by one codegen'd
+    xor+bit_count.
+
+    At 100 TB of images this is the canonical split: per-blob featurize in
+    the decode pass (embarrassingly parallel, payload never leaves its
+    partition), dedup on the 8-byte fingerprints — the shuffle carries
+    hashes, not media."""
+    docs = table(spark, sf_dir, "documents")
+    # Same-length localized corruption (the re-encode/bitrot case pHash
+    # exists to catch): a copy of the first 50 docs with only the final
+    # character replaced — slice boundaries hold, so only the touched
+    # slice's bit can differ and the pair lands at Hamming <= 1.
+    mutated = docs.filter((F.col("doc_id") < 50) & (F.length("text") > 1)).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, length(text) - 1)"), F.lit("X")
+        ).alias("text"),
+    )
+    d = docs.select("doc_id", "text").unionAll(mutated).select(
+        "doc_id", F.col("text").alias("payload")
+    )
+    ph = d.mapInPandas(_phash_batches, "doc_id long, phash long")
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1))).alias("band"),
+    ).withColumn("key", F.expr("shiftright(phash, cast(band * 16 as int)) & 65535"))
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        F.col("band").alias("band_r"),
+        F.col("key").alias("key_r"),
+    )
+    cand = (
+        bands.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("key") == F.col("key_r"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("phash").alias("ph_a"),
+            "doc_b",
+            "ph_b",
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.withColumn("hamming", ham.cast("int")).filter(
+        F.col("hamming") <= _PHASH_HAM_T
+    ).select("doc_a", "doc_b", "hamming")

@@ -93,7 +93,7 @@ _SWEEP_PRIORITY = [
     "branch_cherry_pick", "dedup_containment", "similarity_range_search",
     "maint_compact_expire_gc", "window_ewma", "ddl_add_files",
     "sql_call_procedures",
-    "window_rolling_corr",
+    "window_rolling_corr", "multimodal_phash_dedup",
     "dedup_repeated_spans", "similarity_maxsim_late_interaction",
     "window_first_touch_attribution", "dml_purge_history",
     # Deferred just past the 50-slot window to the round-5 rotation (84
