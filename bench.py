@@ -120,6 +120,7 @@ EXTRA = [
     "sql_call_procedures",
     "window_rolling_corr",
     "multimodal_phash_dedup",
+    "agg_histogram",
 ]
 
 

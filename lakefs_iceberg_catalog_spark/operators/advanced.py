@@ -725,3 +725,57 @@ def window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.avg("value"), 6).alias("naive_avg"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+_HIST_BINS = 20
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+WITH bounds AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events),
+binned AS (
+  SELECT e.event_type,
+         CAST(least(floor((e.value - b.lo) * {_HIST_BINS} / (b.hi - b.lo)),
+                    {_HIST_BINS - 1}) AS INT) AS bin,
+         b.lo, b.hi
+  FROM events e CROSS JOIN bounds b)
+SELECT event_type, bin,
+       round(lo + bin * (hi - lo) / {_HIST_BINS}, 6) AS bin_lo,
+       count(*) AS n
+FROM binned GROUP BY event_type, bin, lo, hi
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per event_type over the global value range —
+    the profiling/data-quality staple (numpy.histogram / DuckDB's
+    histogram()): one min/max pre-pass fixes {_HIST_BINS} bins, each row
+    maps to its bin with pure arithmetic, counts roll up per (type, bin).
+    The top bin is closed (least(..., bins-1)) so the maximum lands inside
+    the range, numpy's convention.
+
+    Scale shape: the bounds aggregate is one partial-agg pass collapsing
+    to a single broadcast-sized row; binning is a scan-stage expression
+    (no shuffle); the count groupBy is the only exchange and carries at
+    most |types| x {_HIST_BINS} groups out of the partials. Two passes over
+    the data, zero sorts — the same plan a 100 TB profile run wants."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) * _HIST_BINS / (F.col("hi") - F.col("lo"))),
+            F.lit(_HIST_BINS - 1),
+        ).cast("int").alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("event_type", "bin", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "event_type",
+        "bin",
+        dround(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / _HIST_BINS, 6).alias("bin_lo"),
+        "n",
+    )

@@ -91,9 +91,8 @@ _SWEEP_PRIORITY = [
     "q20_potential_promotion", "q21_suppliers_who_kept_waiting",
     # ... and the late-round-4 additions ...
     "branch_cherry_pick", "dedup_containment", "similarity_range_search",
-    "maint_compact_expire_gc", "window_ewma", "ddl_add_files",
-    "sql_call_procedures",
-    "window_rolling_corr", "multimodal_phash_dedup",
+    "maint_compact_expire_gc", "ddl_add_files",
+    "sql_call_procedures", "multimodal_phash_dedup",
     "dedup_repeated_spans", "similarity_maxsim_late_interaction",
     "window_first_touch_attribution", "dml_purge_history",
     # Deferred just past the 50-slot window to the round-5 rotation (84
@@ -101,6 +100,7 @@ _SWEEP_PRIORITY = [
     # deferred key is a narrow variant of an already-driver-green family
     # and is replayed by tests/test_oracle.py every run):
     "window_activity_streaks", "rollup_ohlc_bars", "window_twap",
+    "window_ewma", "window_rolling_corr", "agg_histogram",
     "stream_static_join", "sample_tokens_systematic",
     "join_range_bucketized", "meta_partitions", "dedup_shared_spans_cross",
     "pipeline_pack_sequences", "time_travel_as_of_timestamp",
