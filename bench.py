@@ -121,6 +121,7 @@ EXTRA = [
     "window_rolling_corr",
     "multimodal_phash_dedup",
     "agg_histogram",
+    "dedup_novelty_score",
 ]
 
 

@@ -822,3 +822,56 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= _CONTAINMENT_THETA)
         .select("doc_sub", "doc_super", "source", dround("c", 6).alias("containment"))
     )
+
+
+@register(
+    "dedup_novelty_score",
+    oracle=f"""
+WITH {_ORACLE_SHINGLES},
+r AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM r GROUP BY shingle)
+SELECT r.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = r.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = r.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty
+FROM r JOIN firsts f ON f.shingle = r.shingle
+GROUP BY r.doc_id
+""",
+)
+def dedup_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle NOVELTY in corpus order: the fraction of a
+    doc's 3-gram shingles whose FIRST corpus occurrence (min doc_id) is the
+    doc itself — the streaming-ingestion dedup measure ("how much of this
+    crawl snapshot is new text?") and the memorization-risk score training
+    curricula sort by (a 0.0-novelty doc is pure re-crawl; dedup_exact
+    can't see it unless it's byte-identical, Jaccard only pairs it with ONE
+    other doc — novelty charges it against the whole corpus at once).
+
+    Scale shape: the first-occurrence table is ONE partial-aggregable
+    min() groupBy on shingle; the ownership check joins the shingle rows
+    back on the SAME shingle key, so the exchange is shared/co-partitioned,
+    then one doc-keyed rollup. Nothing is pairwise — cost is linear in
+    total shingles regardless of how duplicated the corpus is. In a true
+    streaming setting min(doc_id) becomes min(ingest_seq) and the firsts
+    table is the persistent state."""
+    rows = shingle_rows_of(
+        table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ).select("doc_id", "shingle")
+    firsts = rows.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    owned = rows.join(firsts, "shingle")
+    return (
+        owned.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            dround(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )
