@@ -122,6 +122,7 @@ EXTRA = [
     "multimodal_phash_dedup",
     "agg_histogram",
     "dedup_novelty_score",
+    "join_asof_nearest",
 ]
 
 

@@ -535,3 +535,92 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_purchase") == 1)
         .select("event_id", "user_id", dround("value", 2).alias("value"), "signup_ts")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH purchases AS (
+    SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+),
+signups AS (
+    SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup'
+)
+SELECT event_id, user_id, value, nearest_signup_ts
+FROM (
+  SELECT p.event_id, p.user_id, round(p.value, 2) AS value,
+         s.ts AS nearest_signup_ts,
+         row_number() OVER (
+             PARTITION BY p.event_id
+             ORDER BY abs(epoch(p.ts) - epoch(s.ts)), s.ts) AS rn
+  FROM purchases p LEFT JOIN signups s ON p.user_id = s.user_id)
+WHERE rn = 1
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each purchase matched to the closest signup in
+    EITHER direction (ties at equal distance break to the earlier signup) —
+    the sensor-fusion / quote-matching variant where "latest before" is
+    wrong when the next reading is closer. Spark has no native ASOF at
+    all; pandas' merge_asof(direction='nearest') is the semantic spec.
+
+    Composed, like join_asof, without any pair join: union-tag the two
+    streams, then TWO frame-bounded window passes over the SAME user_id
+    exchange (Catalyst sorts twice but shuffles once) — a backward
+    last-non-null and a forward first-non-null — and a scalar least-delta
+    pick between the two candidates. The oracle pays the per-user pair
+    join + rank; this plan never builds it: cost is one shuffle of
+    |events|, state one user's rows. Equal-timestamp rows order
+    signup-first in BOTH directions, so a same-instant signup matches at
+    distance zero, matching the oracle's abs()=0 rank."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    signups = (
+        e.filter(F.col("event_type") == "signup").select("user_id", "ts").distinct()
+    )
+    tagged = purchases.select(
+        "user_id", "ts", "event_id", "value",
+        F.lit(None).cast("timestamp").alias("sig_ts"),
+        F.lit(1).alias("is_purchase"),
+    ).unionByName(
+        signups.select(
+            "user_id", "ts",
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.col("ts").alias("sig_ts"),
+            F.lit(0).alias("is_purchase"),
+        )
+    )
+    w_bwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_purchase").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_purchase").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cand = (
+        tagged.withColumn("bwd_ts", F.last("sig_ts", ignorenulls=True).over(w_bwd))
+        .withColumn("fwd_ts", F.last("sig_ts", ignorenulls=True).over(w_fwd))
+        .filter(F.col("is_purchase") == 1)
+    )
+    d_bwd = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("bwd_ts"))
+    d_fwd = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))
+    nearest = (
+        F.when(F.col("bwd_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("bwd_ts"))
+        # tie (equal distance) → earlier signup = the backward candidate
+        .when(d_bwd <= d_fwd, F.col("bwd_ts"))
+        .otherwise(F.col("fwd_ts"))
+    )
+    from .util import dround
+
+    return cand.select(
+        "event_id", "user_id",
+        dround("value", 2).alias("value"),
+        nearest.alias("nearest_signup_ts"),
+    )

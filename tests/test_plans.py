@@ -545,3 +545,16 @@ def test_activity_streaks_partitions_on_user(spark):
     assert "Join" not in p
     # distinct + (window/groupBys sharing user_id partitioning)
     assert p.count("Exchange") - p.count("ReusedExchange") <= 3
+
+
+def test_asof_nearest_single_exchange_no_join(spark):
+    """Nearest as-of: both direction windows ride ONE user_id exchange
+    (two sorts, one shuffle) and there is no pair join anywhere — the
+    oracle's per-user join+rank plan is exactly what this must avoid."""
+    p = _exec_plan(q(spark, "join_asof_nearest"))
+    assert "Join" not in p  # no pair join anywhere — streams meet via Union
+    # exactly two exchanges: the signup-dedup (user_id, ts) and the single
+    # user_id partitioning BOTH direction windows ride (two Sorts, one
+    # shuffle — the second Window sits directly on the first's exchange)
+    assert p.count("Exchange hashpartitioning") - p.count("ReusedExchange") <= 2
+    assert p.count("Window") == 2
