@@ -123,6 +123,8 @@ EXTRA = [
     "agg_histogram",
     "dedup_novelty_score",
     "join_asof_nearest",
+    "agg_entropy",
+    "ddl_analyze_stats",
 ]
 
 

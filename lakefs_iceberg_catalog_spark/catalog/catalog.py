@@ -2293,6 +2293,36 @@ class VersionedCatalog:
             merged.pop(k, None)
         ops.commit(base, base.next(base.files, properties=merged))
 
+    def analyze_table(self, identifier: str | list[str]) -> dict:
+        """ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS: ONE
+        distributed aggregate pass computes the table row count plus
+        per-column distinct and null counts, and stamps them into table
+        properties in a metadata-only commit — the stats-in-metadata
+        pattern Spark/Iceberg use to feed the optimizer's cardinality
+        estimates (join reordering, broadcast decisions) without touching
+        data at plan time.
+
+        Exact countDistinct here (fixture scale); the 100 TB swap-in is
+        approx_count_distinct — a mergeable HLL sketch with the same
+        single-pass partial-agg shape, which is why the property names
+        don't encode exactness. All counts fold map-side before one
+        exchange carrying a single row."""
+        ops, levels = self._ops(identifier)
+        df = self.scan(levels)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for f in df.schema.fields:
+            aggs.append(F.countDistinct(f.name).alias(f"ndv__{f.name}"))
+            aggs.append(
+                F.sum(F.col(f.name).isNull().cast("long")).alias(f"nulls__{f.name}")
+            )
+        row = df.agg(*aggs).collect()[0]
+        props: dict[str, str] = {"stats.row_count": str(row["__rows"])}
+        for f in df.schema.fields:
+            props[f"stats.{f.name}.ndv"] = str(row[f"ndv__{f.name}"])
+            props[f"stats.{f.name}.null_count"] = str(row[f"nulls__{f.name}"])
+        self.set_table_properties(levels, props)
+        return props
+
     def compact(
         self,
         identifier: str | list[str],

@@ -445,6 +445,17 @@ class SqlFacade:
             # preserved non-capability (SURVEY.md §2.3): TABLE rename
             self.catalog.rename_table(_clean(m.group(1)), None)
 
+        m = re.match(
+            rf"(?is)^ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS"
+            r"(?:\s+FOR\s+ALL\s+COLUMNS)?\s*$",
+            s,
+        )
+        if m:
+            # Spark's ANALYZE TABLE form: stats land in table properties
+            # (one metadata commit) and come back as the result set
+            stats = self.catalog.analyze_table(_clean(m.group(1)))
+            return mk(sorted(stats.items()), "stat_key string, stat_value string")
+
         m = re.match(r"(?is)^CALL\s+(?:system\.)?(\w+)\s*\((.*)\)\s*$", s)
         if m:
             # Iceberg stored-procedure surface (CALL catalog.system.<proc>):

@@ -779,3 +779,49 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / _HIST_BINS, 6).alias("bin_lo"),
         "n",
     )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type),
+t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
+SELECT c.user_id,
+       CAST(t.tot AS BIGINT) AS n_events,
+       round(-sum((CAST(n AS DOUBLE)/tot) * ln(CAST(n AS DOUBLE)/tot)), 6)
+           AS type_entropy
+FROM c JOIN t ON t.user_id = c.user_id
+GROUP BY c.user_id, t.tot
+HAVING CAST(t.tot AS BIGINT) >= 20
+""",
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity / bot-detection profiling measure (a user whose
+    entropy is ~0 does one thing; a scripted crawler's distribution is
+    often suspiciously uniform ≈ ln(k)). Restricted to users with ≥20
+    events so the estimate isn't dominated by tiny-sample noise.
+
+    Scale shape: textbook two-level aggregation — the (user, type) count
+    collapses in a partial agg before its exchange; the per-user total and
+    the entropy fold both ride the SAME user_id grouping (one more
+    exchange at most, carrying |users × types| rows, not events). No
+    window, no sort. The -Σ p·ln p fold sums ≤ |event types| doubles per
+    user, so cross-engine ordering noise is far below the 1e-6 round."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "tot")
+        .agg(dround(-F.sum(p * F.log(p)), 6).alias("type_entropy"))
+        .filter(F.col("tot") >= 20)
+        .select(
+            "user_id",
+            F.col("tot").cast("bigint").alias("n_events"),
+            "type_entropy",
+        )
+    )

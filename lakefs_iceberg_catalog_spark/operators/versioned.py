@@ -1032,3 +1032,44 @@ def sql_call_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.delete_branch("repo", "dev")
     assert f.sql("CALL system.remove_orphan_files('repo')").count() == 0
     return _materialize(spark, cat.scan("repo.main.company.workers"), root)
+
+
+@register(
+    "ddl_analyze_stats",
+    oracle="""
+SELECT * FROM (VALUES
+  ('stats.row_count',            '6'),
+  ('stats.id.ndv',               '6'),
+  ('stats.id.null_count',        '0'),
+  ('stats.firstname.ndv',        '6'),
+  ('stats.firstname.null_count', '0'),
+  ('stats.lastname.ndv',         '6'),
+  ('stats.lastname.null_count',  '0'),
+  ('stats.age.ndv',              '6'),
+  ('stats.age.null_count',       '0'),
+  ('stats.gender.ndv',           '2'),
+  ('stats.gender.null_count',    '0')
+) AS t(stat_key, stat_value)
+""",
+)
+def ddl_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS through the SQL
+    facade: one distributed pass computes row count + per-column NDV/null
+    counts, commits them as table properties (metadata-only — asserted: the
+    file list is untouched and exactly one version was added), and the
+    statement returns the stats as rows. A second read via
+    table_properties() proves they persisted to the manifest, where a
+    cost-based planner (or DESCRIBE EXTENDED) reads them for free."""
+    from ..catalog.sql_facade import SqlFacade
+
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    ops = cat._ops(t)[0]
+    before = ops.current()
+    f = SqlFacade(cat)
+    out = f.sql(f"ANALYZE TABLE lakefs.{t} COMPUTE STATISTICS FOR ALL COLUMNS")
+    m = ops.current()
+    assert m.version == before.version + 1 and m.files == before.files
+    props = cat.table_properties(t)
+    assert props.get("stats.row_count") == "6", props
+    return _materialize(spark, out, root)

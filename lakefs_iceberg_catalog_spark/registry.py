@@ -101,7 +101,8 @@ _SWEEP_PRIORITY = [
     # and is replayed by tests/test_oracle.py every run):
     "window_activity_streaks", "rollup_ohlc_bars", "window_twap",
     "window_ewma", "window_rolling_corr", "agg_histogram",
-    "dedup_novelty_score", "join_asof_nearest",
+    "dedup_novelty_score", "join_asof_nearest", "agg_entropy",
+    "ddl_analyze_stats",
     "stream_static_join", "sample_tokens_systematic",
     "join_range_bucketized", "meta_partitions", "dedup_shared_spans_cross",
     "pipeline_pack_sequences", "time_travel_as_of_timestamp",
