@@ -125,6 +125,7 @@ EXTRA = [
     "join_asof_nearest",
     "agg_entropy",
     "ddl_analyze_stats",
+    "branch_diff_rows",
 ]
 
 

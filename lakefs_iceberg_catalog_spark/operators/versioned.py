@@ -1073,3 +1073,40 @@ def ddl_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     props = cat.table_properties(t)
     assert props.get("stats.row_count") == "6", props
     return _materialize(spark, out, root)
+
+
+@register(
+    "branch_diff_rows",
+    oracle="""
+SELECT * FROM (VALUES
+  ('added',   '7', 'Jhon',  'Smith',  33, 'M'),
+  ('added',   '8', 'Marta', 'Green',  31, 'F'),
+  ('removed', '5', 'Jen',   'Brown',  44, 'F'),
+  ('removed', '6', 'Monika','Geller', 31, 'F')
+) AS t(change_type, id, firstname, lastname, age, gender)
+""",
+)
+def branch_diff_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level branch diff (the ``lakectl diff`` result set, not just
+    diff_equal's boolean): rows on dev but not main tagged 'added', rows on
+    main but not dev tagged 'removed' — computed as two exceptAll passes
+    over the SAME pair of scans. Multiset semantics: a row duplicated N
+    times on one side and N-1 on the other diffs as ONE change, which
+    set-based EXCEPT would miss.
+
+    Scale shape: exceptAll is one hash exchange per side on the full row;
+    at 100 TB you narrow it with the manifest first — only tables whose
+    version moved (the branch state's {table: version} map) are scanned at
+    all, and file-level diffs (meta_files) bound which files can contain
+    changes. The row diff is the last, smallest step of that funnel."""
+    cat, root = _seeded(spark)
+    cat.create_branch("repo", "dev", "main")
+    cat.delete_where("repo.dev.company.workers", "id IN ('5', '6')")
+    cat.insert_values("repo.dev.company.workers", [("7", "Jhon", "Smith", 33, "M")])
+    cat.insert_values("repo.dev.company.workers", [("8", "Marta", "Green", 31, "F")])
+    a = cat.scan("repo.dev.company.workers")
+    b = cat.scan("repo.main.company.workers")
+    diff = a.exceptAll(b).select(F.lit("added").alias("change_type"), "*").unionByName(
+        b.exceptAll(a).select(F.lit("removed").alias("change_type"), "*")
+    )
+    return _materialize(spark, diff, root)
