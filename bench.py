@@ -126,6 +126,7 @@ EXTRA = [
     "agg_entropy",
     "ddl_analyze_stats",
     "branch_diff_rows",
+    "window_pareto_abc",
 ]
 
 

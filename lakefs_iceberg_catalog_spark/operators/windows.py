@@ -372,3 +372,62 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") == _CORR_FRAME)
         .select("bucket", dround("c", 6).alias("rolling_corr"))
     )
+
+
+@register(
+    "window_pareto_abc",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_mktsegment, o.o_custkey, round(sum(o.o_totalprice), 2) AS revenue
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey),
+ranked AS (
+  SELECT c_mktsegment, o_custkey, revenue,
+         sum(revenue) OVER (PARTITION BY c_mktsegment
+                            ORDER BY revenue DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         sum(revenue) OVER (PARTITION BY c_mktsegment) AS seg_rev
+  FROM rev)
+SELECT c_mktsegment, o_custkey, revenue,
+       round(cum_rev / seg_rev, 6) AS cum_share,
+       CASE WHEN round(cum_rev / seg_rev, 6) <= 0.5 THEN 'A'
+            WHEN round(cum_rev / seg_rev, 6) <= 0.8 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+""",
+)
+def window_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: customers ranked by revenue within their
+    market segment, with cumulative revenue share and the classic A/B/C
+    classification (top customers covering 50% of segment revenue are 'A',
+    the next 30% 'B', the tail 'C') — the inventory/account-management
+    workhorse built on a running-total window.
+
+    Scale shape: the revenue rollup is one partial-aggregable groupBy; the
+    running share and the segment total are BOTH windows over the same
+    c_mktsegment partitioning, so Catalyst plans them on ONE exchange (two
+    sorts at most). Per-customer revenue is rounded to cents BEFORE the
+    cumulative sum, and the running frame accumulates in ORDER BY order in
+    both engines, so the share — and therefore the knife-edge class
+    boundaries — compare on identical doubles."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(dround(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_run = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("c_mktsegment")
+    share = dround(F.sum("revenue").over(w_run) / F.sum("revenue").over(w_all), 6)
+    return rev.select(
+        "c_mktsegment",
+        "o_custkey",
+        "revenue",
+        share.alias("cum_share"),
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias("abc_class"),
+    )
