@@ -682,10 +682,25 @@ def dml_delete_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.delete_where(t, "o_orderkey % 10 = 3 AND o_orderkey <= 7000", mode="position")
     m1 = ops.current()
     assert sorted(m1.files) == files_before  # (a) metadata-only
-    assert 0 < len(m1.position_deletes) < len(m1.files), (
+    # (b) scoped to covering files only. Strict-subset is only provable when
+    # some file's key range lies wholly above the predicate cutoff — true at
+    # sf0.01+ where orderkeys exceed 7000, vacuous at sf0.001 where the
+    # whole key domain is covered; derive it from the footer stats instead
+    # of assuming the scale.
+    assert 0 < len(m1.position_deletes) <= len(m1.files), (
         len(m1.position_deletes),
         len(m1.files),
-    )  # (b) scoped to covering files only
+    )
+    uncoverable = {
+        f
+        for f in m1.files
+        if (mn := m1.file_stats.get(f, {}).get("o_orderkey", [None, None])[0])
+        is not None
+        and mn > 7000
+    }
+    if uncoverable:
+        assert len(m1.position_deletes) < len(m1.files)
+        assert not (set(m1.position_deletes) & uncoverable)
 
     cat.delete_where(t, "o_orderstatus = 'P'", mode="position")
     m2 = ops.current()
