@@ -127,6 +127,7 @@ EXTRA = [
     "ddl_analyze_stats",
     "branch_diff_rows",
     "window_pareto_abc",
+    "scalar_try_safe",
 ]
 
 

@@ -381,3 +381,42 @@ def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", r"\d+", "#").alias("masked"),
         F.col("text").rlike(r"\d").alias("has_digit"),
     )
+
+
+@register(
+    "scalar_try_safe",
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(CASE CAST(o_orderkey % 3 AS INTEGER)
+                WHEN 0 THEN CAST(o_orderkey AS VARCHAR)
+                WHEN 1 THEN 'n/a' ELSE '' END AS INTEGER) AS parsed,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+            ELSE round(o_totalprice / CAST(o_orderkey % 5 AS DOUBLE), 6)
+       END AS safe_ratio
+FROM orders
+""",
+)
+def scalar_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface (ANSI-mode's escape hatches): TRY_CAST
+    turns unparseable strings into NULL instead of failing the job, and
+    try_divide absorbs division by zero the same way — the difference
+    between a 100 TB pipeline that quarantines a handful of bad records
+    and one that dies at 99% on the first malformed row. A third of the
+    synthetic inputs parse, a third are junk ('n/a'), a third empty; every
+    fifth divisor is zero — all three failure shapes exercised.
+
+    Pure scan-stage codegen (no shuffle, no Python); the DuckDB oracle
+    uses its own TRY_CAST and a CASE-guarded division as the semantic
+    spec."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "try_cast(CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN CAST(o_orderkey AS STRING) "
+            "WHEN 1 THEN 'n/a' ELSE '' END AS INT)"
+        ).alias("parsed"),
+        dround(
+            F.try_divide(F.col("o_totalprice"), (F.col("o_orderkey") % 5).cast("double")),
+            6,
+        ).alias("safe_ratio"),
+    )

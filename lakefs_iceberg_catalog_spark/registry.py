@@ -103,6 +103,7 @@ _SWEEP_PRIORITY = [
     "window_ewma", "window_rolling_corr", "agg_histogram",
     "dedup_novelty_score", "join_asof_nearest", "agg_entropy",
     "ddl_analyze_stats", "branch_diff_rows", "window_pareto_abc",
+    "scalar_try_safe",
     "stream_static_join", "sample_tokens_systematic",
     "join_range_bucketized", "meta_partitions", "dedup_shared_spans_cross",
     "pipeline_pack_sequences", "time_travel_as_of_timestamp",
