@@ -984,8 +984,11 @@ class VersionedCatalog:
             ).append(f)
         parts = []
         # repo-relative data-file path of each row, derived from the parquet
-        # reader's _metadata: the join key position deletes are scoped by
-        uri_prefix = "file:" + self._repo_dir(repo) + "/"
+        # reader's _metadata: the join key position deletes are scoped by.
+        # realpath, because _verify_path realpaths the paths the scan reads —
+        # a symlinked catalog root (macOS /var tmp) would otherwise misalign
+        # the substring offset and yield garbage _file values.
+        uri_prefix = "file:" + os.path.realpath(self._repo_dir(repo)) + "/"
         for (name_sig, type_sig, part_sig, pred_sig, pos_sig), files in groups.items():
             paths = [
                 self._verify_path(repo, os.path.join(self._repo_dir(repo), f))
@@ -1818,6 +1821,19 @@ class VersionedCatalog:
         if base is None:
             raise NoSuchTableError(".".join(levels))
         schema = T.StructType.fromJson(json.loads(base.schema_json))
+        # key columns must exist on BOTH sides up front — the INSERT branch
+        # below never touches them (post-state == source), so a typo'd ON
+        # column would otherwise silently replace the whole table
+        bad_keys = [
+            k
+            for k in key_cols
+            if k not in schema.fieldNames() or k not in source.columns
+        ]
+        if bad_keys:
+            raise SchemaMismatchError(
+                f"MERGE key columns {bad_keys} missing from "
+                "the target schema and/or the source"
+            )
         extra = [f for f in source.schema.fields if f.name not in schema.fieldNames()]
         if extra:
             raise SchemaMismatchError(
@@ -2501,13 +2517,62 @@ class VersionedCatalog:
                 )
                 if not _file_survives(stats, col, op, value):
                     continue  # provably match-free
-            abs_path = os.path.join(repo_dir, f)
+            # pending POSITION deletes on this file: a rewritten file is
+            # shared by every live version, but row ordinals change on
+            # rewrite, so the delete files' (path, pos) pairs would silently
+            # stop matching and the deleted rows would resurrect.  If every
+            # referencing version applies the SAME delete set, fold it into
+            # the rewrite (the rewritten file simply no longer contains
+            # those rows) and drop the linkage below; if versions diverge
+            # (one snapshot sees the row live, a later one deleted), no
+            # single rewritten file can serve both — refuse, like the
+            # renamed-columns guard.
+            pos_sets = {
+                tuple(sorted(m.position_deletes.get(f, ())))
+                for m in versions.values()
+                if f in m.files
+            }
+            if len(pos_sets) > 1:
+                raise UnsupportedOperationError(
+                    f"{f} carries divergent position deletes across live "
+                    "versions; compact + expire history before purging"
+                )
+            pos_files = next(iter(pos_sets), ())
+            abs_path = self._verify_path(repo, os.path.join(repo_dir, f))
             raw = self.spark.read.parquet(abs_path)
-            total = raw.count()
-            kept = raw.filter(f"NOT ({predicate})")
+            if pos_files:
+                prefix = "file:" + os.path.realpath(repo_dir) + "/"
+                raw = (
+                    raw.withColumn(
+                        "_file",
+                        F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})"),
+                    )
+                    .withColumn("_pos", F.col("_metadata.row_index"))
+                    .join(
+                        self.spark.read.schema("file_path string, pos long")
+                        .parquet(
+                            *[
+                                self._verify_path(
+                                    repo, os.path.join(repo_dir, d)
+                                )
+                                for d in pos_files
+                            ]
+                        )
+                        .select(
+                            F.col("file_path").alias("_dfile"),
+                            F.col("pos").alias("_dpos"),
+                        ),
+                        (F.col("_file") == F.col("_dfile"))
+                        & (F.col("_pos") == F.col("_dpos")),
+                        "left_anti",
+                    )
+                    .drop("_file", "_pos")
+                )
+            total = raw.count()  # live rows only: position-deleted rows are
+            kept = raw.filter(f"NOT ({predicate})")  # not "purged", just gone
             n_kept = kept.count()
             if n_kept == total:
-                continue
+                continue  # no matching rows; file (and its linkage) untouched
             rows_purged += total - n_kept
             if n_kept == 0:
                 rewritten[f] = None
@@ -2540,6 +2605,7 @@ class VersionedCatalog:
                     continue
                 new = rewritten[f]
                 if new is None:
+                    m.position_deletes.pop(f, None)
                     continue  # file fully purged away
                 files.append(new)
                 for attr in ("file_stats", "file_columns", "file_types",
@@ -2547,6 +2613,10 @@ class VersionedCatalog:
                     d = getattr(m, attr)
                     if f in d:
                         d[new] = d.pop(f)
+                # position deletes were FOLDED INTO the rewrite (uniform-set
+                # guard above), so the linkage is dropped, not remapped —
+                # remapped ordinals would be stale against the new file
+                m.position_deletes.pop(f, None)
                 if new in new_stats:
                     m.file_stats[new] = new_stats[new]
             m.files = files

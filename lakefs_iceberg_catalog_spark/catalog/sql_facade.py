@@ -573,9 +573,20 @@ class SqlFacade:
         if not clause:
             return {}
         items = [p.strip() for p in clause.split(",")]
-        fm = re.match(r"(?is)^(bucket|truncate|days)\s*\(", items[0])
-        if fm is None:
+        # a transform call anywhere in the clause (not just the first item —
+        # PARTITIONED BY (u, bucket(4, id)) must hit the mixing refusal, not
+        # comma-split the call into bogus identity column names)
+        calls = [
+            i for i, p in enumerate(items) if re.match(r"(?is)^\w+\s*\(", p)
+        ]
+        if not calls:
             return {"partition_by": [p.strip("`") for p in items]}
+        fm = re.match(r"(?is)^(bucket|truncate|days)\s*\(", items[calls[0]])
+        if fm is None or calls[0] != 0:
+            raise UnsupportedOperationError(
+                "partition transforms cannot mix with identity partition "
+                f"columns, and only bucket/truncate/days are supported: {clause!r}"
+            )
         fn = fm.group(1).lower()
         if fn == "bucket":
             m = re.match(r"(?is)^bucket\s*\(\s*(\d+)\s*,\s*`?(\w+)`?\s*\)$", ",".join(items))

@@ -1335,6 +1335,59 @@ def test_purge_refuses_renamed_files_and_spares_shared(spark, tmp_path):
     assert c2.scan("repo.dev.db.u").filter("id = 3").count() == 1  # untouched
 
 
+def test_purge_folds_position_deletes(spark, tmp_path):
+    """Purge after a position delete must NOT resurrect the position-deleted
+    rows (r4 ADVICE): while live versions diverge on a file's delete set the
+    purge refuses; once history is expired to a uniform set, the rewrite
+    folds the deletes in and drops the stale linkage."""
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+    from lakefs_iceberg_catalog_spark.catalog.errors import UnsupportedOperationError
+    import pytest as _pt
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    t = "repo.main.db.t"
+    c.create_table_as(
+        t,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id int, v string"
+        ).coalesce(1),  # one file: the purged and position-deleted rows share it
+    )
+    c.delete_where(t, "id = 5", mode="position")
+    assert c.scan(t).filter("id = 5").count() == 0
+    # v1 (no deletes) and v2 (position delete) both live → divergent → refuse
+    with _pt.raises(UnsupportedOperationError, match="divergent position deletes"):
+        c.purge_rows_from_history(t, "id = 3")
+    c.expire_versions(t, keep_last=1)  # only the deleted view remains live
+    summary = c.purge_rows_from_history(t, "id = 3")
+    assert summary["rows_purged"] == 1
+    got = {r["id"] for r in c.scan(t).collect()}
+    assert got == set(range(10)) - {3, 5}  # 5 stays deleted, 3 purged
+    # the rewritten file no longer carries (stale) position-delete linkage
+    m = c._ops(t)[0].current()
+    assert m.position_deletes == {}
+
+
+def test_merge_sync_validates_key_cols(spark, tmp_path):
+    """A typo'd MERGE ON column must error up front on the full-sync path —
+    not silently replace the whole table with the source (r4 ADVICE)."""
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+    from lakefs_iceberg_catalog_spark.catalog.errors import SchemaMismatchError
+    import pytest as _pt
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    t = "repo.main.db.t"
+    c.create_table_as(t, spark.createDataFrame([(1, "a")], "id int, v string"))
+    src = spark.createDataFrame([(2, "b")], "id int, v string")
+    for insert in (True, False):
+        with _pt.raises(SchemaMismatchError):
+            c.merge_sync(t, src, ["id_typo"], insert_unmatched=insert)
+    assert c.scan(t).count() == 1  # target untouched by the failed merges
+
+
 def test_expire_spares_tagged_versions(spark, tmp_path):
     """A tag pins its snapshot through expiry: expire_versions skips pinned
     versions; deleting the tag releases them for the next expiry."""

@@ -474,10 +474,14 @@ def test_global_shuffle_no_single_partition_window(spark):
     partitioned by partition id — never one global window partition
     (the naive plan that serializes the whole corpus through one task)."""
     p = plan(q(spark, "pipeline_global_shuffle"))
-    win_lines = [ln for ln in p.splitlines() if "Window" in ln and "partition" in ln.lower()]
-    # the Window spec carries a partition key (_pid), so no empty
-    # PartitionSpec — Spark logs single-partition windows without keys
-    assert "_pid" in p
+    # every window spec in the plan must carry the _pid partition key — a
+    # single-partition window prints windowspecdefinition() with no key
+    win_lines = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert win_lines, f"no window spec found in plan:\n{p}"
+    for ln in win_lines:
+        assert "windowspecdefinition(_pid" in ln, (
+            f"Window without _pid partition key: {ln}"
+        )
     assert "RangePartitioning" in p or "rangepartitioning" in p.lower()
 
 

@@ -448,6 +448,23 @@ def test_ctas_partitioned_by_transforms(facade, spark):
     assert cat._ops("repo.main.company.t_ident")[0].current().partition_spec == ["u"]
 
 
+def test_ctas_partitioned_by_mixed_transform_refused(facade, spark):
+    """Mixing a transform call with identity columns in PARTITIONED BY must
+    hit the documented refusal — regardless of item order — never comma-split
+    the transform into bogus column names (r4 ADVICE)."""
+    from lakefs_iceberg_catalog_spark.catalog.errors import UnsupportedOperationError
+
+    spark.createDataFrame(
+        [(1, "a", 1.0)], "id long, u string, v double"
+    ).createOrReplaceTempView("src_rows")
+    for clause in ("u, bucket(4, id)", "u, days(ts)", "unknown_fn(id), u"):
+        with pytest.raises(UnsupportedOperationError):
+            facade.sql(
+                "CREATE TABLE lakefs.repo.main.company.t_mixed "
+                f"PARTITIONED BY ({clause}) AS SELECT * FROM src_rows"
+            )
+
+
 def test_alter_partition_field_and_describe(facade, spark):
     """ALTER TABLE ADD/DROP PARTITION FIELD evolves the identity spec;
     DESCRIBE [EXTENDED] renders columns + layout metadata."""
