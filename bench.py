@@ -200,6 +200,7 @@ def main() -> None:
     timings = _time_queries(spark, HEADLINE, sf_dir, loads)
     total = round(sum(timings.values()), 4)
     extra = _time_queries(spark, EXTRA, sf_dir, loads)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -209,9 +210,27 @@ def main() -> None:
                 "queries": timings,
                 "extra_queries": extra,
                 "extra_total": round(sum(extra.values()), 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "load1": _load1(),
                 "load1_per_query": loads,
+            }
+        )
+    )
+    # Compact summary LAST: the driver records only a 2 KB stdout tail, and
+    # the full line above (170+ per-query entries) outgrew it in round 4 —
+    # the headline totals sat at the FRONT and were truncated away. This
+    # second line repeats the gate numbers (plus the 20 frozen headline
+    # per-query timings, ~1 KB) so the tail is always parseable on its own.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "extra_total": round(sum(extra.values()), 4),
+                "sf": sf_val,
+                "load1": _load1(),
             }
         )
     )

@@ -47,14 +47,51 @@ def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_quantile_approx")  # sketch-based — no exact oracle (accuracy tested)
+@register(
+    "agg_quantile_approx",
+    # Sketch values are engine-specific, so the driver-checked contract is
+    # the RANK-ERROR CLAIM of the sketch (Greenwald-Khanna / KLL): the
+    # returned value v must be an exact φ-quantile for some φ within
+    # p ± ε — i.e. the rank interval [#rows<v, #rows≤v]/n must intersect
+    # [p−ε, p+ε]. The oracle states that a correct sketch yields TRUE per
+    # group. Tie-safe (l_quantity is heavily tied) because the check uses
+    # the full rank interval of v, not a single rank.
+    oracle="""
+SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p99_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (KLL-style mergeable sketch): constant memory per
-    group per partition — the 100 TB replacement for agg_quantile."""
+    group per partition — the 100 TB replacement for agg_quantile. The
+    verification pass (one broadcast join of the 3-row sketch output back
+    onto the fact, one re-aggregate) asserts the sketch's rank-error bound
+    and is output as the driver-compared result."""
+    eps = 0.005  # accuracy=10000 → rank error 1e-4; 50× slack stays strict
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_qty"),
-        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99_price"),
+    appx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50q"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99p"),
+    )
+    joined = li.join(F.broadcast(appx), "l_returnflag")
+    chk = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_quantity") < F.col("p50q")).cast("long")).alias("lt50"),
+        F.sum((F.col("l_quantity") <= F.col("p50q")).cast("long")).alias("le50"),
+        F.sum((F.col("l_extendedprice") < F.col("p99p")).cast("long")).alias("lt99"),
+        F.sum((F.col("l_extendedprice") <= F.col("p99p")).cast("long")).alias("le99"),
+    )
+    return chk.select(
+        "l_returnflag",
+        (
+            (F.col("lt50") / F.col("n") <= 0.5 + eps)
+            & (F.col("le50") / F.col("n") >= 0.5 - eps)
+        ).alias("p50_ok"),
+        (
+            (F.col("lt99") / F.col("n") <= 0.99 + eps)
+            & (F.col("le99") / F.col("n") >= 0.99 - eps)
+        ).alias("p99_ok"),
     )
 
 

@@ -473,20 +473,49 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # approximate → no exact oracle (rows-only check)
+@register(
+    "agg_approx_distinct",
+    # The sketch value itself is engine-specific, so the driver-checked
+    # contract is the ACCURACY CLAIM: the HLL++ estimate must land within
+    # 3×rsd of the exact count. The oracle states what a correct sketch
+    # must produce — TRUE per group, plus the exact counts both engines
+    # can compute. A broken sketch (or a broken bound) hash-mismatches.
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+       CAST(count(*) AS BIGINT)                  AS n_rows,
+       TRUE                                      AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (`approx_count_distinct`).
+    """HyperLogLog++ approximate distinct (`approx_count_distinct`) with its
+    accuracy check folded into the result.
 
     Scale: constant-size sketch per group per partition, merged on the
-    reduce side — the canonical 100 TB replacement for exact distinct.
-    Accuracy (vs exact) is asserted in tests/test_relational.py.
+    reduce side — the canonical 100 TB replacement for exact distinct. The
+    exact count rides the same single aggregate (Catalyst plans distinct +
+    sketch in one two-phase agg), and the output asserts
+    |approx − exact| ≤ 3·rsd·exact, the standard HLL++ 3σ envelope.
     """
+    rsd = 0.02
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("n_exact"),
+            F.approx_count_distinct("l_partkey", rsd).alias("n_approx"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_exact",
+            "n_rows",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= 3 * rsd * F.col("n_exact")
+            ).alias("within_bound"),
         )
     )
 
