@@ -59,9 +59,13 @@ from .manifest import (
     _read_manifest_file,
     _VERSION_RE,
     new_manifest,
+    struct_mapping_of,
 )
 
 NS_METADATA = "ns_metadata.json"   # namespace marker (LakeFSCatalog.java:50)
+# Reserved table property holding the declared sort order ({"kind":
+# "cluster"|"zorder", "cols": [...]}) — the Iceberg SortOrder analog.
+SORT_ORDER_PROP = "sort.order"
 BRANCHES_FILE = ".branches.json"   # per-repo branch bases + commit log
 
 
@@ -698,12 +702,22 @@ class VersionedCatalog:
             levels, df, cluster_by=cluster_by, partition_by=partition_by,
             bucket_spec=bspec, zorder_by=zorder_by,
         )
+        # A clustered/z-ordered CTAS declares a PERSISTED sort order (the
+        # Iceberg SortOrder analog — the reference's tables each carry one,
+        # TestLakeFSTableOperations.java:59-61): compact() re-applies it so
+        # the clustering (and the file skipping it feeds) survives
+        # maintenance instead of silently degrading to arrival order.
+        props = dict(properties or {})
+        if cluster_by:
+            props[SORT_ORDER_PROP] = {"kind": "cluster", "cols": list(cluster_by)}
+        elif zorder_by:
+            props[SORT_ORDER_PROP] = {"kind": "zorder", "cols": list(zorder_by)}
         ops.commit(
             None,
             new_manifest(
                 df.schema.json(),
                 files,
-                properties,
+                props,
                 file_stats=stats,
                 partition_spec=partition_by,
                 file_partitions=fparts,
@@ -949,6 +963,9 @@ class VersionedCatalog:
             str(c["id"]): schema[c["name"]].dataType.jsonValue() for c in cols
         }
         schema_names = {c["name"] for c in cols}
+        # current struct-member layout: {top id: {member id: name}}
+        cur_struct = struct_mapping_of(cols)
+        struct_fields = {str(c["id"]): c.get("fields") or [] for c in cols}
         groups: dict[tuple, list[str]] = {}
         for f in manifest.files:
             fm = manifest.file_columns.get(f, current)
@@ -979,8 +996,15 @@ class VersionedCatalog:
             # ... as do pending POSITION delete files: files covered by the
             # same delete set scan together and share one anti-join
             pos_sig = tuple(sorted(manifest.position_deletes.get(f, ())))
+            # ... and the struct-member write layout (nested field-id
+            # evolution): files sharing member names/ids project together.
+            # Absent entries mean "written with the current member layout"
+            # (legacy manifests predating nested ids).
+            struct_sig = json.dumps(
+                manifest.file_struct_columns.get(f) or cur_struct, sort_keys=True
+            )
             groups.setdefault(
-                (name_sig, type_sig, part_sig, pred_sig, pos_sig), []
+                (name_sig, type_sig, part_sig, pred_sig, pos_sig, struct_sig), []
             ).append(f)
         parts = []
         # repo-relative data-file path of each row, derived from the parquet
@@ -989,12 +1013,13 @@ class VersionedCatalog:
         # a symlinked catalog root (macOS /var tmp) would otherwise misalign
         # the substring offset and yield garbage _file values.
         uri_prefix = "file:" + os.path.realpath(self._repo_dir(repo)) + "/"
-        for (name_sig, type_sig, part_sig, pred_sig, pos_sig), files in groups.items():
+        for (name_sig, type_sig, part_sig, pred_sig, pos_sig, struct_sig), files in groups.items():
             paths = [
                 self._verify_path(repo, os.path.join(self._repo_dir(repo), f))
                 for f in files
             ]
             pvals = {k: json.loads(v) for k, v in part_sig}
+            fsmap = json.loads(struct_sig)
             # read each file group with its WRITTEN types, then cast up to
             # the current schema in the projection (Iceberg's safe-promotion
             # read path: the file keeps int32 pages, the scan yields long);
@@ -1008,20 +1033,53 @@ class VersionedCatalog:
                 {"type": "struct", "fields": read_fields}
             )
             df = self.spark.read.schema(read_schema).parquet(*paths)
-            sel = [
-                (
-                    F.lit(pvals[written]).cast(dtypes[c["name"]]).alias(c["name"])
-                    if written is not None and written in pvals
-                    else (
-                        F.col(written).alias(c["name"])
-                        if read_schema[written].dataType == dtypes[c["name"]]
-                        else F.col(written).cast(dtypes[c["name"]]).alias(c["name"])
-                    )
-                    if written is not None
-                    else F.lit(None).cast(dtypes[c["name"]]).alias(c["name"])
-                )
-                for written, c in zip(name_sig, cols)
-            ]
+
+            def _project(written: str | None, c: dict) -> F.Column:
+                name = c["name"]
+                cur_type = dtypes[name]
+                if written is None:
+                    return F.lit(None).cast(cur_type).alias(name)
+                if written in pvals:
+                    return F.lit(pvals[written]).cast(cur_type).alias(name)
+                members = struct_fields[str(c["id"])]
+                if members and isinstance(cur_type, T.StructType):
+                    wmap = fsmap.get(str(c["id"]), {})
+                    cur_map = cur_struct.get(str(c["id"]), {})
+                    written_type = read_schema[written].dataType
+                    if wmap != cur_map or written_type != cur_type:
+                        # nested evolution: rebuild the struct MEMBER-WISE
+                        # through stable member ids — renamed members read
+                        # by their on-file name, added members backfill
+                        # NULL, widened members cast up. A whole-NULL
+                        # struct value stays NULL (the when-guard), never
+                        # a struct of NULLs.
+                        wtypes = {
+                            mf.name: mf.dataType for mf in written_type.fields
+                        } if isinstance(written_type, T.StructType) else {}
+                        exprs = []
+                        for m in members:
+                            mname, mid = m["name"], str(m["id"])
+                            mtype = cur_type[mname].dataType
+                            w = wmap.get(mid)
+                            if w is not None and w in wtypes:
+                                e = F.col(written).getField(w)
+                                if wtypes[w] != mtype:
+                                    e = e.cast(mtype)
+                                exprs.append(e.alias(mname))
+                            else:
+                                exprs.append(F.lit(None).cast(mtype).alias(mname))
+                        return (
+                            F.when(
+                                F.col(written).isNull(), F.lit(None).cast(cur_type)
+                            )
+                            .otherwise(F.struct(*exprs))
+                            .alias(name)
+                        )
+                if read_schema[written].dataType == cur_type:
+                    return F.col(written).alias(name)
+                return F.col(written).cast(cur_type).alias(name)
+
+            sel = [_project(written, c) for written, c in zip(name_sig, cols)]
             if pos_sig or with_positions:
                 sel += [
                     F.expr(
@@ -2175,6 +2233,187 @@ class VersionedCatalog:
             base, base.next(base.files, schema_json=T.StructType(fields).json())
         )
 
+    def _struct_member_base(self, identifier: str | list[str], column: str):
+        """Shared preamble of the nested (struct-member) evolution ops:
+        resolve the table, require ``column`` to be a struct, ensure its
+        members carry stable ids (synthesizing position-ordered ids for
+        tables created before nested tracking — safe, because no nested
+        evolution can predate the ids), and stamp every existing file's
+        written member layout so the upcoming evolution cannot re-label
+        history. Returns (ops, levels, base, schema, columns, entry)."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        if column not in schema.fieldNames():
+            raise NoSuchTableError(f"column {column!r} does not exist")
+        if not isinstance(schema[column].dataType, T.StructType):
+            raise UnsupportedOperationError(
+                f"column {column!r} is not a struct; nested evolution only "
+                "applies to struct columns"
+            )
+        if base.delete_preds:
+            # pending MoR predicates may reference `col.member` by name
+            raise UnsupportedOperationError(
+                "compact() pending merge-on-read deletes before evolving "
+                "struct members"
+            )
+        columns = [dict(c) for c in base.columns]
+        entry = next(c for c in columns if c["name"] == column)
+        if not entry.get("fields"):
+            entry["fields"] = [
+                {"id": j, "name": mf.name}
+                for j, mf in enumerate(schema[column].dataType.fields)
+            ]
+        # provenance backfill: files without a recorded member layout were
+        # written with the PRE-evolution layout (ids just synthesized)
+        pre_struct = struct_mapping_of(columns)
+        for f in base.files:
+            base.file_struct_columns.setdefault(f, pre_struct)
+        return ops, levels, base, schema, columns, entry
+
+    def add_struct_field(
+        self, identifier: str | list[str], column: str, member: str, ddl_type: str
+    ) -> None:
+        """Nested schema evolution: append a nullable MEMBER to a struct
+        column — metadata-only, like top-level add_column (Iceberg assigns
+        field ids at every nesting level; the reference inherits this via
+        its pinned Iceberg, tests/conftest.py:67 + pom.xml:77-88). Existing
+        files read the new member as NULL through the member-id projection;
+        no data rewrite. The member id is fresh within the struct and never
+        reused."""
+        ops, levels, base, schema, columns, entry = self._struct_member_base(
+            identifier, column
+        )
+        st: T.StructType = schema[column].dataType
+        if member in st.fieldNames():
+            raise TableAlreadyExistsError(
+                f"member {member!r} already exists in {column!r}"
+            )
+        new_field = T.StructType.fromDDL(f"`{member}` {ddl_type}").fields[0]
+        next_id = max((int(m["id"]) for m in entry["fields"]), default=-1) + 1
+        entry["fields"] = list(entry["fields"]) + [{"id": next_id, "name": member}]
+        new_st = T.StructType(list(st.fields) + [new_field])
+        fields = [
+            T.StructField(f.name, new_st if f.name == column else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        ops.commit(
+            base,
+            base.next(
+                base.files, schema_json=T.StructType(fields).json(), columns=columns
+            ),
+        )
+
+    def rename_struct_field(
+        self, identifier: str | list[str], column: str, old: str, new: str
+    ) -> None:
+        """Nested schema evolution: rename a struct MEMBER — metadata-only.
+        The member keeps its id; files written under the old name are
+        projected member-wise through the id mapping at scan time, so no
+        data is rewritten and historic snapshots read under their own
+        member names."""
+        ops, levels, base, schema, columns, entry = self._struct_member_base(
+            identifier, column
+        )
+        st: T.StructType = schema[column].dataType
+        if old not in st.fieldNames():
+            raise NoSuchTableError(f"member {old!r} does not exist in {column!r}")
+        if new in st.fieldNames():
+            raise TableAlreadyExistsError(
+                f"member {new!r} already exists in {column!r}"
+            )
+        entry["fields"] = [
+            {**m, "name": new} if m["name"] == old else m for m in entry["fields"]
+        ]
+        new_st = T.StructType(
+            [
+                T.StructField(new if mf.name == old else mf.name, mf.dataType, mf.nullable)
+                for mf in st.fields
+            ]
+        )
+        fields = [
+            T.StructField(f.name, new_st if f.name == column else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        ops.commit(
+            base,
+            base.next(
+                base.files, schema_json=T.StructType(fields).json(), columns=columns
+            ),
+        )
+
+    def alter_struct_field_type(
+        self, identifier: str | list[str], column: str, member: str, ddl_type: str
+    ) -> None:
+        """Nested schema evolution: widen a struct MEMBER's type — the same
+        safe-promotion set as top-level alter_column_type (int widening,
+        float→double, decimal precision growth). Files keep their written
+        member pages (recorded per file via file_types); the member-wise
+        projection casts up at scan time."""
+        ops, levels, base, schema, columns, entry = self._struct_member_base(
+            identifier, column
+        )
+        st: T.StructType = schema[column].dataType
+        if member not in st.fieldNames():
+            raise NoSuchTableError(f"member {member!r} does not exist in {column!r}")
+        new_type = T.StructType.fromDDL(f"`{member}` {ddl_type}").fields[0].dataType
+        old_type = st[member].dataType
+        if not _is_safe_widening(old_type, new_type):
+            raise UnsupportedOperationError(
+                f"cannot alter member {column}.{member} from "
+                f"{old_type.simpleString()} to {new_type.simpleString()}: only "
+                "widening promotions are allowed"
+            )
+        new_st = T.StructType(
+            [
+                T.StructField(
+                    mf.name, new_type if mf.name == member else mf.dataType, mf.nullable
+                )
+                for mf in st.fields
+            ]
+        )
+        fields = [
+            T.StructField(f.name, new_st if f.name == column else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        ops.commit(
+            base,
+            base.next(
+                base.files, schema_json=T.StructType(fields).json(), columns=columns
+            ),
+        )
+
+    def drop_struct_field(
+        self, identifier: str | list[str], column: str, member: str
+    ) -> None:
+        """Nested schema evolution: drop a struct MEMBER — metadata-only;
+        files keep the member in their pages, the projection just stops
+        selecting it, and the member id is never reused."""
+        ops, levels, base, schema, columns, entry = self._struct_member_base(
+            identifier, column
+        )
+        st: T.StructType = schema[column].dataType
+        if member not in st.fieldNames():
+            raise NoSuchTableError(f"member {member!r} does not exist in {column!r}")
+        if len(st.fields) == 1:
+            raise UnsupportedOperationError(
+                f"cannot drop the only member of struct {column!r}"
+            )
+        entry["fields"] = [m for m in entry["fields"] if m["name"] != member]
+        new_st = T.StructType([mf for mf in st.fields if mf.name != member])
+        fields = [
+            T.StructField(f.name, new_st if f.name == column else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        ops.commit(
+            base,
+            base.next(
+                base.files, schema_json=T.StructType(fields).json(), columns=columns
+            ),
+        )
+
     def drop_column(self, identifier: str | list[str], name: str) -> None:
         """Schema evolution: drop a column — metadata-only; data files are
         untouched (the scan just stops selecting the field), historic
@@ -2362,11 +2601,29 @@ class VersionedCatalog:
         Delta OPTIMIZE ZORDER BY) — the maintenance path that retrofits
         multi-dimension file-skipping locality onto data that was appended
         in arrival order. Unpartitioned tables only (a partitioned table's
-        layout is its partition spec)."""
+        layout is its partition spec). An explicit ``zorder_by`` also
+        UPDATES the table's persisted sort order; without it, compact
+        re-applies the declared sort order (cluster or zorder) so
+        maintenance preserves clustering instead of degrading it."""
         ops, levels = self._ops(identifier)
         base = ops.current()
         if base is None:
             raise NoSuchTableError(".".join(levels))
+        declared = base.properties.get(SORT_ORDER_PROP) or {}
+        if not zorder_by and not partition and declared.get("cols"):
+            # re-apply the persisted sort order (Iceberg SortOrder contract:
+            # rewrite_data_files sorts by the table's declared order)
+            if declared.get("kind") == "zorder":
+                zorder_by = list(declared["cols"])
+            elif not (base.partition_spec or base.bucket_spec):
+                df = self._read_files(levels[0], base)
+                files, stats, fparts = self._write_data(
+                    levels, df, cluster_by=list(declared["cols"])
+                )
+                ops.commit(
+                    base, base.next(files, file_stats=stats, file_partitions=fparts)
+                )
+                return
         if zorder_by:
             if base.partition_spec or base.bucket_spec or partition:
                 raise UnsupportedOperationError(
@@ -2375,7 +2632,16 @@ class VersionedCatalog:
             df = self._read_files(levels[0], base)
             files, stats, fparts = self._write_data(levels, df, zorder_by=zorder_by)
             ops.commit(
-                base, base.next(files, file_stats=stats, file_partitions=fparts)
+                base,
+                base.next(
+                    files,
+                    file_stats=stats,
+                    file_partitions=fparts,
+                    properties={
+                        **base.properties,
+                        SORT_ORDER_PROP: {"kind": "zorder", "cols": list(zorder_by)},
+                    },
+                ),
             )
             return
         if target_files != 1 and (base.partition_spec or base.bucket_spec):
@@ -2449,6 +2715,42 @@ class VersionedCatalog:
             base,
             base.next(files, file_stats=stats, file_partitions=fparts),
         )
+
+    def set_sort_order(
+        self,
+        identifier: str | list[str],
+        kind: str | None,
+        cols: list[str] | None = None,
+    ) -> None:
+        """Declare (or clear, kind=None) the table's persisted sort order —
+        the Iceberg ``ALTER TABLE ... WRITE ORDERED BY`` analog. The order
+        is metadata: it takes effect at the next compact(), which re-sorts
+        per the declaration; existing files are untouched."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        props = dict(base.properties)
+        if kind is None:
+            props.pop(SORT_ORDER_PROP, None)
+        else:
+            if kind not in ("cluster", "zorder"):
+                raise UnsupportedOperationError(
+                    f"sort order kind must be 'cluster' or 'zorder', got {kind!r}"
+                )
+            if base.partition_spec or base.bucket_spec:
+                raise UnsupportedOperationError(
+                    "sort order applies to unpartitioned tables; a "
+                    "partitioned table's layout is its partition spec"
+                )
+            schema = T.StructType.fromJson(json.loads(base.schema_json))
+            missing = [c for c in (cols or []) if c not in schema.fieldNames()]
+            if not cols or missing:
+                raise SchemaMismatchError(
+                    f"sort order columns missing from schema: {missing or cols}"
+                )
+            props[SORT_ORDER_PROP] = {"kind": kind, "cols": list(cols)}
+        ops.commit(base, base.next(base.files, properties=props))
 
     # -------------------------------------------------------- maintenance
 

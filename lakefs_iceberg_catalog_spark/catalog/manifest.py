@@ -49,9 +49,33 @@ def _read_manifest_file(path: str) -> str | None:
 
 def _columns_from_schema(schema_json: str) -> list[dict]:
     """Initial field-id assignment: position-ordered ids, Iceberg-style
-    (every field gets a stable id at table create; ids never get reused)."""
+    (every field gets a stable id at table create; ids never get reused).
+    Struct columns additionally carry a ``fields`` list assigning ids to
+    every MEMBER (Iceberg tracks ids at every nesting level, so add/rename/
+    widen inside a struct is metadata-only too). One nesting level — the
+    id space of members is per-struct and never reused within it."""
     fields = json.loads(schema_json).get("fields", [])
-    return [{"id": i, "name": f["name"]} for i, f in enumerate(fields)]
+    cols = []
+    for i, f in enumerate(fields):
+        entry = {"id": i, "name": f["name"]}
+        t = f.get("type")
+        if isinstance(t, dict) and t.get("type") == "struct":
+            entry["fields"] = [
+                {"id": j, "name": mf["name"]}
+                for j, mf in enumerate(t.get("fields", []))
+            ]
+        cols.append(entry)
+    return cols
+
+
+def struct_mapping_of(columns: list[dict]) -> dict[str, dict[str, str]]:
+    """{top id: {member id: member name}} for the struct columns of a
+    ``columns`` list — the nested analog of the flat {id: name} mapping."""
+    return {
+        str(c["id"]): {str(m["id"]): m["name"] for m in c["fields"]}
+        for c in columns
+        if c.get("fields")
+    }
 
 
 def _types_by_id(schema_json: str, columns: list[dict]) -> dict[str, object]:
@@ -130,6 +154,13 @@ class TableManifest:
     # rewrites fold them in and drop the entries (next() keeps entries
     # only for retained files, same lifecycle as delete_preds).
     position_deletes: dict = field(default_factory=dict)
+    # Nested field-id provenance (the struct-member analog of file_columns):
+    # {data_file: {top id: {member id: written member name}}} — the member
+    # mapping each file's struct columns were WRITTEN with, so scans can
+    # project renamed/added/widened struct members through stable member
+    # ids without rewriting data. Files absent here (or struct columns
+    # absent inside) were written with the then-current member layout.
+    file_struct_columns: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -149,6 +180,7 @@ class TableManifest:
                 "bucket_spec": self.bucket_spec,
                 "delete_preds": self.delete_preds,
                 "position_deletes": self.position_deletes,
+                "file_struct_columns": self.file_struct_columns,
             },
             indent=1,
             sort_keys=True,
@@ -175,6 +207,7 @@ class TableManifest:
             bucket_spec=dict(d.get("bucket_spec", {})),
             delete_preds=dict(d.get("delete_preds", {})),
             position_deletes=dict(d.get("position_deletes", {})),
+            file_struct_columns=dict(d.get("file_struct_columns", {})),
         )
 
     def next(
@@ -206,6 +239,13 @@ class TableManifest:
             f: self.file_columns.get(f, write_mapping)
             for f in files
         }
+        # struct-member provenance follows the same rule: new files were
+        # written with the commit's member layout, retained files keep theirs
+        write_struct = struct_mapping_of(src_cols)
+        fstruct = {
+            f: self.file_struct_columns.get(f, write_struct) for f in files
+        }
+        fstruct = {f: m for f, m in fstruct.items() if m}
         # written physical types follow the same provenance rule
         eff_schema = self.schema_json if schema_json is None else schema_json
         write_types = _types_by_id(eff_schema, src_cols)
@@ -239,6 +279,7 @@ class TableManifest:
             bucket_spec=dict(self.bucket_spec),
             delete_preds=dpreds,
             position_deletes=dpos,
+            file_struct_columns=fstruct,
         )
 
 
@@ -253,6 +294,7 @@ def new_manifest(
 ) -> TableManifest:
     columns = _columns_from_schema(schema_json)
     mapping = {str(c["id"]): c["name"] for c in columns}
+    smap = struct_mapping_of(columns)
     return TableManifest(
         table_uuid=str(_uuid.uuid4()),
         version=1,
@@ -266,6 +308,7 @@ def new_manifest(
         partition_spec=list(partition_spec or []),
         file_partitions=file_partitions or {},
         bucket_spec=bucket_spec or {},
+        file_struct_columns={f: smap for f in files} if smap else {},
     )
 
 

@@ -339,6 +339,64 @@ def sink_clustered_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maint_sort_order_compact",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def maint_sort_order_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED sort order surviving maintenance — the Iceberg SortOrder
+    analog (every reference table carries a SortOrder,
+    TestLakeFSTableOperations.java:59-61; here a real one): a clustered
+    CTAS declares `sort.order` in table metadata; arrival-ordered appends
+    then fragment the clustering (appended files span the whole key
+    domain, so stats pruning degrades — asserted); a bare compact() —
+    no re-specified order — re-applies the DECLARED order, and the
+    post-compact file stats prune as tightly as the original clustered
+    write (asserted: pruned-file fraction strictly better than the
+    fragmented state and no worse than the pre-append table). Without the
+    persisted spec, every compaction would silently cost the table its
+    file-skipping locality — at 100 TB, the difference between reading
+    terabytes and gigabytes per selective query."""
+    root = tempfile.mkdtemp(prefix="vcat-sortorder-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    t = "repo.main.db.orders_s"
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = orders.filter("o_orderkey % 2 = 0")
+    rest = orders.filter("o_orderkey % 2 = 1")
+    cat.create_table_as(t, base, cluster_by=["o_orderpriority"])
+    ops = cat._ops(t)[0]
+    from ..catalog.catalog import SORT_ORDER_PROP
+
+    assert ops.current().properties[SORT_ORDER_PROP] == {
+        "kind": "cluster", "cols": ["o_orderpriority"],
+    }
+    keep0, total0 = cat.select_files(t, "o_orderpriority", "=", "1-URGENT")
+    frac0 = len(keep0) / total0
+    cat.append(t, rest)  # arrival order: appended files span all priorities
+    keep1, total1 = cat.select_files(t, "o_orderpriority", "=", "1-URGENT")
+    frac1 = len(keep1) / total1
+    assert frac1 > frac0, (frac1, frac0)  # clustering measurably degraded
+    cat.compact(t)  # NO order passed — must re-apply the declared one
+    keep2, total2 = cat.select_files(t, "o_orderpriority", "=", "1-URGENT")
+    frac2 = len(keep2) / total2
+    assert total2 > 1 and frac2 < frac1, (frac2, frac1)
+    assert frac2 <= frac0 + 1e-9, (frac2, frac0)  # as tight as pre-append
+    assert ops.current().properties[SORT_ORDER_PROP]["kind"] == "cluster"
+    from .util import dround
+
+    out = cat.scan_pruned(t, "o_orderpriority", "=", "1-URGENT").select(
+        "o_orderkey", dround("o_totalprice", 2).alias("total")
+    )
+    return _materialize(spark, out, root)
+
+
+@register(
     "sink_partition_spec",
     oracle="""
 SELECT o_orderkey, round(o_totalprice, 2) AS total
@@ -496,6 +554,86 @@ def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = cat.scan(t)
     assert dict(cur.dtypes)["age"] == "bigint"
     out = cur.select("id", "given_name", "age", "gender", "dept")
+    return _materialize(spark, out, root)
+
+
+@register(
+    "ddl_schema_evolution_nested",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, CAST(640  AS BIGINT), CAST(480        AS BIGINT), CAST(NULL AS VARCHAR), FALSE),
+  (2, CAST(1280 AS BIGINT), CAST(720        AS BIGINT), CAST(NULL AS VARCHAR), FALSE),
+  (3, CAST(NULL AS BIGINT), CAST(NULL       AS BIGINT), CAST(NULL AS VARCHAR), TRUE),
+  (4, CAST(3840 AS BIGINT), CAST(5000000000 AS BIGINT), 'av1',                 FALSE)
+) AS t(id, width, h, codec, meta_is_null)
+""",
+)
+def ddl_schema_evolution_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED schema evolution — field ids tracked inside struct columns
+    (Iceberg assigns ids at every nesting level; the reference inherits the
+    full nested model via its pinned Iceberg runtime, tests/conftest.py:67 +
+    pom.xml:77-88): rename member w→width, add member codec, widen member
+    h int→bigint — all metadata-only (asserted: same data files across the
+    three commits). Old files project MEMBER-WISE through stable member ids
+    (renamed members read by their on-file name, added members NULL-backfill,
+    widened members cast up from their written pages), a whole-NULL struct
+    value stays NULL, and time travel to v1 reads the original member
+    layout. Output is flattened to scalars for the driver's canonicalizer;
+    meta_is_null pins the NULL-struct-preservation claim."""
+    import tempfile as _tf
+
+    from pyspark.sql import Row
+
+    root = _tf.mkdtemp(prefix="vcat-nested-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    t = "repo.main.db.media"
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("w", T.IntegerType(), True),
+                        T.StructField("h", T.IntegerType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    cat.create_table_as(
+        t,
+        spark.createDataFrame(
+            [(1, Row(w=640, h=480)), (2, Row(w=1280, h=720)), (3, None)], schema
+        ).coalesce(1),
+    )
+    ops = cat._ops(t)[0]
+    files_v1 = ops.current().files
+    cat.rename_struct_field(t, "meta", "w", "width")
+    cat.add_struct_field(t, "meta", "codec", "string")
+    cat.alter_struct_field_type(t, "meta", "h", "bigint")
+    assert ops.current().files == files_v1  # metadata-only evolution
+    cat.append(
+        t,
+        spark.createDataFrame(
+            [(4, Row(width=3840, h=5_000_000_000, codec="av1"))], cat.scan(t).schema
+        ),
+    )
+    # time travel: v1 still exposes the ORIGINAL member layout and types
+    v1 = cat.scan(t, version=1)
+    v1_members = {f.name: f.dataType for f in v1.schema["meta"].dataType.fields}
+    assert v1_members == {"w": T.IntegerType(), "h": T.IntegerType()}
+    assert v1.count() == 3
+    out = cat.scan(t).select(
+        "id",
+        F.col("meta.width").cast("bigint").alias("width"),
+        F.col("meta.h").cast("bigint").alias("h"),
+        F.col("meta.codec").alias("codec"),
+        F.col("meta").isNull().alias("meta_is_null"),
+    )
     return _materialize(spark, out, root)
 
 

@@ -1641,3 +1641,125 @@ def test_cherry_pick_unknown_commit_raises(cat):
 
     with pytest.raises(NoSuchNamespaceError):
         cat.cherry_pick("repo", "deadbeef", "main")
+
+
+def test_nested_struct_field_evolution(spark, tmp_path):
+    """Struct-member schema evolution through stable member ids (Iceberg
+    tracks field ids at every nesting level; the reference inherits this via
+    tests/conftest.py:67 + pom.xml:77-88): add / rename / widen / drop inside
+    a struct column are metadata-only, old files project member-wise through
+    the id mapping, NULL struct values stay NULL, and time travel reads old
+    snapshots under their own member layout."""
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+    from lakefs_iceberg_catalog_spark.catalog.errors import UnsupportedOperationError
+    import pytest as _pt
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    t = "repo.main.db.media"
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("w", T.IntegerType(), True),
+                        T.StructField("h", T.IntegerType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    c.create_table_as(
+        t,
+        spark.createDataFrame(
+            [(1, Row(w=640, h=480)), (2, Row(w=1280, h=720)), (3, None)], schema
+        ).coalesce(1),
+    )
+    ops = c._ops(t)[0]
+    files_v1 = ops.current().files
+
+    c.rename_struct_field(t, "meta", "w", "width")      # v2
+    c.add_struct_field(t, "meta", "codec", "string")    # v3
+    c.alter_struct_field_type(t, "meta", "h", "bigint")  # v4
+    assert ops.current().files == files_v1  # all three metadata-only
+
+    # post-evolution append uses the new member layout (and a >int32 h)
+    new_schema = c.scan(t).schema
+    c.append(
+        t,
+        spark.createDataFrame(
+            [(4, Row(width=3840, h=5_000_000_000, codec="av1"))], new_schema
+        ),
+    )
+    cur = c.scan(t)
+    mt = dict((f.name, f.dataType) for f in cur.schema["meta"].dataType.fields)
+    assert set(mt) == {"width", "h", "codec"} and mt["h"] == T.LongType()
+    rows = {r["id"]: r["meta"] for r in cur.collect()}
+    assert rows[1] == Row(width=640, h=480, codec=None)   # old file, renamed+widened+NULL-backfilled
+    assert rows[3] is None                                # whole-NULL struct stays NULL
+    assert rows[4] == Row(width=3840, h=5_000_000_000, codec="av1")
+
+    # time travel: v1 reads the ORIGINAL member layout and types
+    v1 = c.scan(t, version=1)
+    v1_members = {f.name: f.dataType for f in v1.schema["meta"].dataType.fields}
+    assert v1_members == {"w": T.IntegerType(), "h": T.IntegerType()}
+    assert {r["meta"] for r in v1.collect()} == {Row(w=640, h=480), Row(w=1280, h=720), None}
+
+    # drop + guards
+    c.drop_struct_field(t, "meta", "codec")
+    assert set(f.name for f in c.scan(t).schema["meta"].dataType.fields) == {"width", "h"}
+    with _pt.raises(UnsupportedOperationError):
+        c.alter_struct_field_type(t, "meta", "h", "int")  # narrowing refused
+    with _pt.raises(UnsupportedOperationError):
+        c.rename_struct_field(t, "id", "x", "y")          # not a struct
+
+
+def test_sort_order_persists_and_survives_compact(spark, tmp_path):
+    """OPTIMIZE ZORDER persists the order as table metadata; a later bare
+    compact() re-applies it (Iceberg SortOrder contract), and set_sort_order
+    declares/clears it with validation."""
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+    from lakefs_iceberg_catalog_spark.catalog.catalog import SORT_ORDER_PROP
+    from lakefs_iceberg_catalog_spark.catalog.errors import (
+        SchemaMismatchError,
+        UnsupportedOperationError,
+    )
+    import pytest as _pt
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    t = "repo.main.db.pts"
+    rows = [(i, (i * 37) % 1000, float((i * 91) % 5000)) for i in range(4000)]
+    c.create_table_as(t, spark.createDataFrame(rows, "id int, x int, y double"))
+    ops = c._ops(t)[0]
+    assert SORT_ORDER_PROP not in ops.current().properties
+    c.compact(t, zorder_by=["x", "y"])  # explicit order → persisted
+    assert ops.current().properties[SORT_ORDER_PROP] == {
+        "kind": "zorder", "cols": ["x", "y"],
+    }
+    # fragment with an arrival-ordered append, then bare-compact
+    c.append(t, spark.createDataFrame(
+        [(i + 4000, (i * 53) % 1000, float((i * 17) % 5000)) for i in range(4000)],
+        "id int, x int, y double",
+    ))
+    c.compact(t)
+    keep_x, total = c.select_files(t, "x", "<=", 100)
+    keep_y, _ = c.select_files(t, "y", "<=", 500.0)
+    assert total > 1 and len(keep_x) < total and len(keep_y) < total
+    assert ops.current().properties[SORT_ORDER_PROP]["kind"] == "zorder"
+    # set_sort_order: switch, validate, clear
+    c.set_sort_order(t, "cluster", ["x"])
+    assert ops.current().properties[SORT_ORDER_PROP] == {"kind": "cluster", "cols": ["x"]}
+    with _pt.raises(SchemaMismatchError):
+        c.set_sort_order(t, "cluster", ["nope"])
+    with _pt.raises(UnsupportedOperationError):
+        c.set_sort_order(t, "lexicographic", ["x"])
+    c.set_sort_order(t, None)
+    assert SORT_ORDER_PROP not in ops.current().properties
