@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import table
-from .util import dround
+from .util import dround, gated_broadcast
 
 _SALT_BUCKETS = 16
 
@@ -244,14 +244,14 @@ def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = (
         e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s1), "user_id")
+        .join(gated_broadcast(s1), "user_id")
         .filter((F.col("ts") > F.col("signup_ts")) & (F.col("ts") <= F.col("signup_ts") + win))
         .groupBy("user_id")
         .agg(F.min("ts").alias("click_ts"))
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
+        .join(gated_broadcast(s2), "user_id")
         .filter((F.col("ts") > F.col("click_ts")) & (F.col("ts") <= F.col("click_ts") + win))
         .groupBy("user_id")
         .agg(F.min("ts").alias("purchase_ts"))

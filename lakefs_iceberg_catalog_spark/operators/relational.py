@@ -25,7 +25,7 @@ from pyspark.sql.window import Window as W
 
 from ..registry import register
 from ..tables import table
-from .util import dround
+from .util import dround, gated_broadcast
 
 
 # --------------------------------------------------------------------------
@@ -69,7 +69,7 @@ def flagship_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(gated_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -265,7 +265,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(gated_broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
             dround(100.0 * F.sum(promo_rev) / F.sum(rev), 4).alias("promo_pct"),

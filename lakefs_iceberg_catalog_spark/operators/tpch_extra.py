@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import table
-from .util import dround
+from .util import dround, gated_broadcast
 
 
 @register(
@@ -275,7 +275,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     key. Final single-row aggregate is a partial-agg collapse."""
     part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     li = table(spark, sf_dir, "lineitem").join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        gated_broadcast(part), F.col("l_partkey") == F.col("p_partkey")
     )
     thresh = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
@@ -308,7 +308,7 @@ def q19_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the part key, never a cartesian."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(gated_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
     d1 = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import table
-from .util import dround
+from .util import dround, gated_broadcast
 
 
 def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,7 +204,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(gated_broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
@@ -260,7 +260,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity") * F.lit(0.1)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(gated_broadcast(part), li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
@@ -363,8 +363,8 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(flagged), ps.sk == flagged.s_suppkey, "left_anti")
-        .join(F.broadcast(part), F.col("pk") == part.p_partkey)
+        ps.join(gated_broadcast(flagged), ps.sk == flagged.s_suppkey, "left_anti")
+        .join(gated_broadcast(part), F.col("pk") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("sk").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -404,7 +404,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
     movers = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(gated_broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50)

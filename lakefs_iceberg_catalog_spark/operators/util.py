@@ -124,3 +124,34 @@ def dround(col: Column | str, scale: int = 2) -> Column:
     f = F.lit(float(10 ** scale))
     x = c * f
     return (F.when(x >= 0, F.floor(x + F.lit(0.5))).otherwise(-F.floor(-x + F.lit(0.5)))) / f
+
+
+# Gate for broadcast hints on plan inputs whose size grows with the data
+# (dimension tables like customer/part scale linearly with SF — forcing a
+# broadcast that is 10 MB at sf0.1 would be gigabytes at 100 TB). 128 MB:
+# comfortably above every test-scale dimension, comfortably below what a
+# 1000-executor cluster should ship to every task.
+GATED_BROADCAST_LIMIT_BYTES = 128 << 20
+
+
+def gated_broadcast(
+    df: DataFrame, limit_bytes: int = GATED_BROADCAST_LIMIT_BYTES
+) -> DataFrame:
+    """Broadcast hint, applied only while the optimizer's size estimate for
+    ``df`` stays under ``limit_bytes`` — metadata-only (file-size based for
+    scans; filters don't shrink the estimate without CBO, which errs on the
+    safe side). Over the limit — or if the estimate is unavailable — the
+    frame is returned UN-hinted and the planner/AQE picks the join strategy
+    from runtime sizes: failing closed, because a forced multi-GB broadcast
+    is the failure mode this gate exists to prevent. Use for SF-proportional
+    inputs; constant-size frames (literal codebooks, LIMITed query sets,
+    nation/region) can keep a plain F.broadcast."""
+    try:
+        # py4j converts the scala BigInt to a Python int; str() also covers
+        # a JavaObject passthrough on older bridges
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # estimation unavailable (non-JVM-backed plan, API drift)
+        return df
+    return F.broadcast(df) if size <= limit_bytes else df

@@ -16,7 +16,7 @@ from pyspark.sql.window import Window as W
 
 from ..registry import register
 from ..tables import table
-from .util import dround
+from .util import dround, gated_broadcast
 
 
 @register(
@@ -413,7 +413,7 @@ def window_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(gated_broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_custkey")
         .agg(dround(F.sum("o_totalprice"), 2).alias("revenue"))
     )

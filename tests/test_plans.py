@@ -562,3 +562,33 @@ def test_asof_nearest_single_exchange_no_join(spark):
     # shuffle — the second Window sits directly on the first's exchange)
     assert p.count("Exchange hashpartitioning") - p.count("ReusedExchange") <= 2
     assert p.count("Window") == 2
+
+
+def test_gated_broadcast_sites_still_broadcast_at_test_scale(spark):
+    """SF-proportional dimension broadcasts are size-gated (operators/util.py
+    gated_broadcast): under the limit the hint applies — these plans must
+    keep their BroadcastHashJoin at test scale — while past the limit the
+    hint vanishes and the planner/AQE decides (asserted directly below)."""
+    for key in ("window_pareto_abc", "q17_small_quantity", "q19_disjunctive_parts",
+                "flagship_top_unshipped"):
+        p = plan(q(spark, key))
+        assert "BroadcastHashJoin" in p, f"{key} lost its broadcast:\n{p}"
+
+
+def test_gated_broadcast_gates_off_over_limit(spark):
+    """Over the byte limit, gated_broadcast returns the frame UN-hinted —
+    no forced broadcast survives into the physical plan."""
+    from pyspark.sql import functions as F
+    from lakefs_iceberg_catalog_spark.operators.util import gated_broadcast
+    from lakefs_iceberg_catalog_spark.tables import table as _t
+
+    c = _t(spark, SF_DIR, "customer")
+    o = _t(spark, SF_DIR, "orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = o.join(gated_broadcast(c), o.o_custkey == c.c_custkey)
+        assert "BroadcastHashJoin" in hinted._jdf.queryExecution().executedPlan().toString()
+        gated = o.join(gated_broadcast(c, limit_bytes=10), o.o_custkey == c.c_custkey)
+        assert "BroadcastHashJoin" not in gated._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
