@@ -128,6 +128,8 @@ EXTRA = [
     "branch_diff_rows",
     "window_pareto_abc",
     "scalar_try_safe",
+    "ddl_schema_evolution_nested",
+    "maint_sort_order_compact",
 ]
 
 

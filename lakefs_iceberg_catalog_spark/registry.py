@@ -53,110 +53,94 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# The driver's per-round correctness sweep checks the FIRST 50 keys in
-# ``queries()`` iteration order.  Registration order is a module-import
-# artifact, so we pin an explicit priority: keys that only the driver can
-# hard-verify (versioned catalog, DML, Ring C, streaming, source round-trips)
-# come first; the classic relational/join/window/scalar keys — all already
-# driver-green in round 1 and replayed by tests/test_oracle.py every run —
-# ride the later slots.  Keys absent from this list keep registration order
-# after the listed ones; listed-but-unregistered names are ignored.
+
 _SWEEP_PRIORITY = [
-    # Round-4 rotation (VERDICT r3 "Next round" #1): the 8 TPC-H keys that
-    # landed after round 3's sweep window froze — never driver-checked ...
-    "q4_order_priority", "q7_volume_shipping", "q12_priority_lines",
-    "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
-    "q19_disjunctive_parts", "q22_dormant_customers",
-    # ... the one red row of r3, re-registered with a driver-canonicalizable
-    # (exploded) output shape ...
-    "multimodal_feature_extract", "multimodal_clip_filter",
-    # ... keys NEW or behavior-extended in round 4 (type widening, partition
-    # spec, stats-scoped MoR predicates, the 8 suite-completing TPC-H
-    # shapes) ...
-    "ddl_type_widening", "sink_partition_spec", "sink_partition_transforms",
-    "dml_delete_positions", "sql_merge_full_sync", "ddl_partition_evolution",
-    "ddl_rollback_version", "branch_tag_scan", "meta_files",
-    "time_travel_changes", "sink_zorder_pruning",
-    "text_repetition_signals", "text_unigram_logprob_score",
-    "text_bpe_merge_rounds",
-    "similarity_ann_sq8", "similarity_ann_pq",
-    "stream_source_versioned",
-    "join_fuzzy_levenshtein", "pipeline_global_shuffle",
-    "dml_merge_schema_evolution",
-    "sink_shallow_clone", "agg_funnel_steps", "stream_stream_outer_join",
-    "window_retention_cohorts",
-    # ... the 8 suite-completing TPC-H shapes (the full 22 now registered) ...
-    "q2_min_cost_supplier", "q3_shipping_priority", "q8_market_share",
-    "q9_product_profit", "q11_important_stock", "q16_parts_supplier_count",
-    "q20_potential_promotion", "q21_suppliers_who_kept_waiting",
-    # ... and the late-round-4 additions ...
-    "branch_cherry_pick", "dedup_containment", "similarity_range_search",
-    "maint_compact_expire_gc", "ddl_add_files",
-    "sql_call_procedures", "multimodal_phash_dedup",
-    "dedup_repeated_spans", "similarity_maxsim_late_interaction",
-    "window_first_touch_attribution", "dml_purge_history",
-    # Deferred just past the 50-slot window to the round-5 rotation (84
-    # never-driver-checked keys compete for 50 slots this round; every
-    # deferred key is a narrow variant of an already-driver-green family
-    # and is replayed by tests/test_oracle.py every run):
-    "window_activity_streaks", "rollup_ohlc_bars", "window_twap",
-    "window_ewma", "window_rolling_corr", "agg_histogram",
-    "dedup_novelty_score", "join_asof_nearest", "agg_entropy",
-    "ddl_analyze_stats", "branch_diff_rows", "window_pareto_abc",
-    "scalar_try_safe",
-    "stream_static_join", "sample_tokens_systematic",
-    "join_range_bucketized", "meta_partitions", "dedup_shared_spans_cross",
-    "pipeline_pack_sequences", "time_travel_as_of_timestamp",
-    "meta_snapshots", "multimodal_audio_resample", "sink_bucketed_pruning",
-    "rollup_hypertable_incremental", "text_tfidf_top_terms",
-    "pipeline_contamination_check", "stream_cdc_apply", "window_sessionize",
-    "join_asof_tolerance", "source_merge_schema_read",
-    "dml_insert_overwrite", "window_anomaly_zscore", "scalar_regex",
-    "rollup_gapfill_locf", "agg_heavy_hitters", "dedup_cross_source",
-    "pipeline_doc_shard", "agg_mode_deterministic", "window_user_gap_stats",
-    "pipeline_batch_padding", "dml_scd2_intervals",
-    "pipeline_interleave_mixture",
-    "dml_delete_where_mor", "dml_update_where_mor",
-    # ... then the keys whose only driver row is round 1 (two rounds stale;
-    # replayed green by tests/test_oracle.py every run, but the driver row
-    # is the hard signal) ...
-    "scan_table", "project_select", "filter_predicate",
-    "join_inner_equi", "join_left_outer", "join_right_outer",
-    "join_full_outer", "join_semi", "join_cross", "join_theta_range",
-    "join_asof", "agg_hash_group", "agg_distinct", "agg_approx_distinct",
-    "agg_grouping_sets", "window_rank", "window_analytic", "sort_order_by",
-    "limit_topk", "set_union", "set_intersect", "scalar_string",
-    "scalar_datetime", "scalar_math", "scalar_conditional",
-    "scalar_array_map", "scalar_json", "udf_python", "udaf_pandas",
-    "subquery_scalar", "subquery_in", "flagship_top_unshipped",
-    "q1_pricing_summary",
-    # ... and once-green round-2 stragglers filling out the 50-key window
-    "join_anti", "set_except", "stream_sliding_window",
-    "stream_session_window", "stream_dedup", "stream_stream_interval_join",
-    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
-    "sink_partitioned_parquet", "dedup_simhash", "text_stats",
-    "text_lang_id", "text_token_count", "text_fingerprint",
-    "text_quality_filter", "agg_quantile_approx", "subquery_correlated",
-    # Displaced (driver-green in r3, replayed by tests/test_oracle.py every
-    # run): round-3 rotation keys, Ring B, Ring C reps, streaming.
-    "q5_local_supplier", "q10_returned_items", "q14_promo_share",
-    "q18_large_volume", "agg_rollup", "window_range_frame", "unpivot_stack",
-    "join_salted_skew", "multimodal_resize", "pipeline_corpus_mixture",
-    "ddl_schema_evolution", "similarity_ann_lsh_multiprobe",
-    "q6_forecast_revenue", "sink_clustered_pruning", "similarity_ann_ivf",
-    "dedup_embedding_cosine",
-    "source_rows", "sink_create_table_as", "ddl_create_table", "sink_append",
-    "dml_insert_values", "dml_delete_where", "branch_diff_equal",
-    "branch_merge", "branch_wap_publish", "ddl_schema_crud",
-    "dml_update_where", "dml_merge_upsert", "sql_merge_into",
-    "sql_use_namespace", "time_travel_scan",
+    # ---- Round-5 window (slots 0-49; the driver checks the FIRST 50) ----
+    # VERDICT r4 "Next round" #1: drain the verification backlog — the 45
+    # keys registered late in round 4 that never received a driver row,
+    # plus this round's 2 new keys (nested struct evolution, persisted
+    # sort order), in one alphabetical block ...
+    "agg_entropy", "agg_heavy_hitters", "agg_histogram",
+    "agg_mode_deterministic", "branch_diff_rows", "ddl_analyze_stats",
+    "ddl_schema_evolution_nested", "dedup_cross_source",
+    "dedup_novelty_score", "dedup_shared_spans_cross", "dml_insert_overwrite",
+    "dml_purge_history", "dml_scd2_intervals", "join_asof_nearest",
+    "join_asof_tolerance", "join_range_bucketized",
+    "maint_sort_order_compact", "meta_partitions", "meta_snapshots",
+    "multimodal_audio_resample", "pipeline_batch_padding",
+    "pipeline_contamination_check", "pipeline_doc_shard",
+    "pipeline_interleave_mixture", "pipeline_pack_sequences",
+    "rollup_gapfill_locf", "rollup_hypertable_incremental",
+    "rollup_ohlc_bars", "sample_tokens_systematic", "scalar_regex",
+    "scalar_try_safe", "similarity_maxsim_late_interaction",
+    "sink_bucketed_pruning", "source_merge_schema_read", "stream_cdc_apply",
+    "stream_static_join", "text_tfidf_top_terms",
+    "time_travel_as_of_timestamp", "window_activity_streaks",
+    "window_anomaly_zscore", "window_ewma", "window_first_touch_attribution",
+    "window_pareto_abc", "window_rolling_corr", "window_sessionize",
+    "window_twap", "window_user_gap_stats",
+    # ... the two sketch aggregates, re-registered this round with exact
+    # accuracy-contract oracles (VERDICT #3) so their rows turn green ...
+    "agg_approx_distinct", "agg_quantile_approx",
+    # ... and slot 49: the headline query's hash, un-driver-checked since
+    # r1 (entry() smoke-runs it every round, but rows/schema only).
+    "flagship_top_unshipped",
+    # ---- Past the window: every remaining key ordered by STALENESS ----
+    # (rounds since its newest driver row: r1-only first, then r2, r3, r4 —
+    # VERDICT #7's rotation policy; next round promotes from the top here)
+    "agg_cube", "agg_distinct", "agg_grouping_sets", "agg_hash_group",
+    "agg_quantile", "agg_salted_twophase", "agg_stats", "agg_string_collect",
+    "filter_predicate", "join_asof", "join_cross", "join_full_outer",
+    "join_inner_equi", "join_left_outer", "join_right_outer", "join_semi",
+    "join_theta_range", "limit_offset", "limit_topk", "pivot_wide",
+    "project_select", "q1_pricing_summary", "scalar_array_map",
+    "scalar_bitwise", "scalar_conditional", "scalar_datetime", "scalar_hash",
+    "scalar_json", "scalar_math", "scalar_null_safe", "scalar_string",
+    "scan_table", "set_except_all", "set_intersect", "set_intersect_all",
+    "set_union", "sort_order_by", "subquery_correlated", "subquery_in",
+    "subquery_scalar", "udaf_pandas", "udf_python", "window_analytic",
+    "window_distribution", "window_rank", "dedup_simhash", "join_anti",
+    "set_except", "sink_partitioned_parquet", "source_csv_roundtrip",
+    "source_json_roundtrip", "source_orc_roundtrip", "stream_dedup",
+    "stream_session_window", "stream_sliding_window",
+    "stream_stream_interval_join", "stream_tumbling_window",
+    "text_fingerprint", "text_lang_id", "text_quality_filter", "text_stats",
+    "text_token_count", "agg_rollup", "branch_diff_equal", "branch_merge",
+    "branch_wap_publish", "ddl_create_table", "ddl_schema_crud",
+    "ddl_schema_evolution", "dedup_cc_canonical", "dedup_embedding_cosine",
     "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard",
-    "dedup_simhash_pairs", "dedup_cc_canonical",
-    "similarity_topk", "similarity_ann_lsh", "similarity_pairs_blocked",
-    "text_pii_scrub", "multimodal_decode", "multimodal_frame_sample",
-    "pipeline_training_corpus", "sample_stratified_hash",
-    "stream_sink_versioned", "stream_stateful", "stream_watermark_late_data",
-    "stream_tumbling_window",
+    "dedup_simhash_pairs", "dml_delete_where", "dml_delete_where_mor",
+    "dml_insert_values", "dml_merge_upsert", "dml_update_where",
+    "dml_update_where_mor", "join_salted_skew", "multimodal_decode",
+    "multimodal_frame_sample", "multimodal_resize", "pipeline_corpus_mixture",
+    "pipeline_training_corpus", "q10_returned_items", "q14_promo_share",
+    "q18_large_volume", "q5_local_supplier", "q6_forecast_revenue",
+    "sample_stratified_hash", "similarity_ann_ivf", "similarity_ann_lsh",
+    "similarity_ann_lsh_multiprobe", "similarity_pairs_blocked",
+    "similarity_topk", "sink_append", "sink_clustered_pruning",
+    "sink_create_table_as", "source_rows", "sql_merge_into",
+    "sql_use_namespace", "stream_sink_versioned", "stream_stateful",
+    "stream_watermark_late_data", "text_pii_scrub", "time_travel_scan",
+    "unpivot_stack", "window_range_frame", "agg_funnel_steps",
+    "branch_cherry_pick", "branch_tag_scan", "ddl_add_files",
+    "ddl_partition_evolution", "ddl_rollback_version", "ddl_type_widening",
+    "dedup_containment", "dedup_repeated_spans", "dml_delete_positions",
+    "dml_merge_schema_evolution", "join_fuzzy_levenshtein",
+    "maint_compact_expire_gc", "meta_files", "multimodal_clip_filter",
+    "multimodal_feature_extract", "multimodal_phash_dedup",
+    "pipeline_global_shuffle", "q11_important_stock", "q12_priority_lines",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_parts_supplier_count", "q17_small_quantity", "q19_disjunctive_parts",
+    "q20_potential_promotion", "q21_suppliers_who_kept_waiting",
+    "q22_dormant_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "similarity_ann_pq", "similarity_ann_sq8",
+    "similarity_range_search", "sink_partition_spec",
+    "sink_partition_transforms", "sink_shallow_clone", "sink_zorder_pruning",
+    "sql_call_procedures", "sql_merge_full_sync", "stream_source_versioned",
+    "stream_stream_outer_join", "text_bpe_merge_rounds",
+    "text_repetition_signals", "text_unigram_logprob_score",
+    "time_travel_changes", "window_retention_cohorts",
 ]
 
 

@@ -52,3 +52,22 @@ def test_registry_contract():
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 10
+
+
+def test_readme_inventory_counts_match_registry():
+    """README's operator-inventory heading must state the REAL registry
+    counts — doc drift here misreports coverage to every reader."""
+    import os
+    import re
+
+    readme = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    m = re.search(r"\((\d+) keys, (\d+) DuckDB-oracle-checked\)", readme)
+    assert m, "README inventory heading missing its (N keys, M ...) counts"
+    assert int(m.group(1)) == len(registry.QUERIES), (
+        f"README says {m.group(1)} keys, registry has {len(registry.QUERIES)}"
+    )
+    assert int(m.group(2)) == len(registry.ORACLES), (
+        f"README says {m.group(2)} oracle-checked, registry has {len(registry.ORACLES)}"
+    )
