@@ -130,6 +130,8 @@ EXTRA = [
     "scalar_try_safe",
     "ddl_schema_evolution_nested",
     "maint_sort_order_compact",
+    "dml_update_struct_member",
+    "dedup_scrub_repeated_chunks",
 ]
 
 

@@ -439,6 +439,63 @@ def _is_safe_widening(src: T.DataType, dst: T.DataType) -> bool:
     return False
 
 
+def _compile_assignments(
+    schema: T.StructType, assignments: dict[str, str]
+) -> dict[str, "F.Column"]:
+    """UPDATE ... SET assignment compiler: {target: sql_expr} → one Column
+    per affected TOP-LEVEL field. Targets may be plain columns (``age``) or
+    struct members (``meta.w`` — Iceberg's nested UPDATE surface, composing
+    with the nested field-id model): member assignments rebuild only the
+    named members via withField, so unassigned members pass through and a
+    whole-NULL struct stays NULL (withField on NULL yields NULL). Unknown
+    columns/members, non-struct dotting, and assigning both a struct and
+    its member in one statement are refused up front."""
+    top: dict[str, dict[str, str] | str] = {}
+    for target, expr in assignments.items():
+        if "." in target:
+            col, member = target.split(".", 1)
+            if col not in schema.fieldNames():
+                raise SchemaMismatchError(f"UPDATE target column {col!r} does not exist")
+            dt = schema[col].dataType
+            if not isinstance(dt, T.StructType):
+                raise UnsupportedOperationError(
+                    f"UPDATE target {target!r}: {col!r} is not a struct"
+                )
+            if "." in member or member not in dt.fieldNames():
+                raise SchemaMismatchError(
+                    f"UPDATE target {target!r}: no such struct member"
+                )
+            slot = top.setdefault(col, {})
+            if isinstance(slot, str):
+                raise UnsupportedOperationError(
+                    f"cannot assign both {col!r} and {target!r} in one UPDATE"
+                )
+            slot[member] = expr
+        else:
+            if target not in schema.fieldNames():
+                raise SchemaMismatchError(
+                    f"UPDATE target column {target!r} does not exist"
+                )
+            if isinstance(top.get(target), dict):
+                raise UnsupportedOperationError(
+                    f"cannot assign both {target!r} and its members in one UPDATE"
+                )
+            top[target] = expr
+    out: dict[str, F.Column] = {}
+    for col, spec in top.items():
+        dt = schema[col].dataType
+        if isinstance(spec, str):
+            out[col] = F.expr(spec).cast(dt)
+        else:
+            c = F.col(col)
+            for member, expr in spec.items():
+                c = c.withField(
+                    member, F.expr(expr).cast(dt[member].dataType)
+                )
+            out[col] = c
+    return out
+
+
 class VersionedCatalog:
     def __init__(
         self, spark: SparkSession, root: str, suppress_permission_errors: bool = False
@@ -1712,7 +1769,11 @@ class VersionedCatalog:
           manifest swap instead of rewriting partitions.
 
         Mode comes from the argument, else the ``write.update.mode`` table
-        property, else copy-on-write."""
+        property, else copy-on-write.
+
+        Assignment targets may be struct members (``{"meta.w": "meta.w*2"}``)
+        — compiled by _compile_assignments into a withField rebuild of only
+        the named members."""
         ops, levels = self._ops(identifier)
         base = ops.current()
         if base is None:
@@ -1720,12 +1781,13 @@ class VersionedCatalog:
         df = self._read_files(levels[0], base)
         pred = F.coalesce(F.expr(f"({predicate})"), F.lit(False))
         schema = T.StructType.fromJson(json.loads(base.schema_json))
+        assigned = _compile_assignments(schema, assignments)
         eff = mode or base.properties.get("write.update.mode", "copy-on-write")
         if eff in ("merge-on-read", "mor"):
             updated = df.filter(pred).select(
                 [
-                    F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
-                    if f.name in assignments
+                    assigned[f.name].alias(f.name)
+                    if f.name in assigned
                     else F.col(f.name)
                     for f in schema.fields
                 ]
@@ -1768,9 +1830,9 @@ class VersionedCatalog:
             raise UnsupportedOperationError(f"unknown update mode {eff!r}")
         cols = []
         for f in schema.fields:
-            if f.name in assignments:
+            if f.name in assigned:
                 cols.append(
-                    F.when(pred, F.expr(assignments[f.name]).cast(f.dataType))
+                    F.when(pred, assigned[f.name])
                     .otherwise(F.col(f.name))
                     .alias(f.name)
                 )

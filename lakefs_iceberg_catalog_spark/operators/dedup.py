@@ -875,3 +875,90 @@ def dedup_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias("novelty"),
         )
     )
+
+
+@register(
+    "dedup_scrub_repeated_chunks",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, i AS cid,
+         array_to_string(w[(i*3)+1:(i*3)+3], ' ') AS chunk
+  FROM d, unnest(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT))) t(i)
+),
+f AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY chunk)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT)                                   AS n_chunks,
+       CAST(sum(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN f.df < 3 THEN c.chunk END,
+                               ' ' ORDER BY c.cid), ''))          AS cleaned_md5,
+       CAST(length(coalesce(string_agg(CASE WHEN f.df < 3 THEN c.chunk END,
+                                       ' ' ORDER BY c.cid), '')) AS BIGINT)
+                                                                  AS cleaned_len
+FROM c JOIN f USING (chunk)
+GROUP BY c.doc_id
+""",
+)
+def dedup_scrub_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-chunk SCRUB with document reassembly — the
+    CCNet/FineWeb 'line-level dedup' stage: split every document into
+    consecutive 3-word chunks, count each chunk's document frequency across
+    the corpus, drop chunks appearing in ≥3 distinct documents (boilerplate
+    by definition), and REBUILD each document from its surviving chunks in
+    order. Unlike dedup_repeated_spans (intra-doc repetition report), this
+    is the cross-doc removal op: the output is the cleaned corpus (here
+    md5+length of the rebuilt text, driver-canonicalizable).
+
+    Shape (100 TB): chunking is a map-side explode (≤1 chunk row per 3
+    words); document frequency is ONE shuffle keyed on the chunk; the
+    frequency join returns on the same chunk-hash partitioning (no extra
+    exchange); reassembly is one per-doc shuffle whose state is bounded by
+    document length. No pair joins, nothing driver-side, and every stage
+    keys on either the chunk or the doc — both well-distributed."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n_chunks = F.greatest(
+        F.ceil(F.size("w") / F.lit(3.0)).cast("int"), F.lit(1)
+    )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice("w", i * 3 + 1, 3), " "),
+            )
+        ).alias("cid", "chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    j = chunks.join(freq, "chunk")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("df") >= 3).cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("df") < 3, F.struct("cid", "chunk"))
+                        )
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ).alias("_cleaned"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dropped",
+            F.md5("_cleaned").alias("cleaned_md5"),
+            F.length("_cleaned").cast("long").alias("cleaned_len"),
+        )
+    )

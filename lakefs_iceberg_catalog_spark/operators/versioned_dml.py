@@ -32,6 +32,82 @@ def dml_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_update_struct_member",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, CAST(1280 AS INT), CAST(480  AS INT), FALSE),
+  (2, CAST(2560 AS INT), CAST(720  AS INT), FALSE),
+  (3, CAST(NULL AS INT), CAST(NULL AS INT), TRUE),
+  (4, CAST(100  AS INT), CAST(50   AS INT), FALSE)
+) AS t(id, w, h, meta_is_null)
+""",
+)
+def dml_update_struct_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET on a struct MEMBER (`meta.w`) — the nested-DML
+    counterpart of the nested field-id evolution (Iceberg's UPDATE rewrite
+    handles nested targets the same way; the reference inherits it via
+    conftest.py:67's IcebergSparkSessionExtensions). The assignment
+    compiles to a withField rebuild of ONLY the named member: unassigned
+    members ride through untouched, rows outside the predicate are
+    unchanged, a whole-NULL struct stays NULL (withField propagates NULL),
+    and both write modes agree — run here in merge-on-read, so the 2-row
+    update writes a 2-row file + one manifest swap, never a table rewrite.
+    Output flattens to scalars for the driver canonicalizer."""
+    import tempfile as _tf
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..catalog import VersionedCatalog
+
+    root = _tf.mkdtemp(prefix="vcat-nupd-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    t = "repo.main.db.media"
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("w", T.IntegerType(), True),
+                        T.StructField("h", T.IntegerType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    cat.create_table_as(
+        t,
+        spark.createDataFrame(
+            [
+                (1, Row(w=640, h=480)),
+                (2, Row(w=1280, h=720)),
+                (3, None),
+                (4, Row(w=100, h=50)),
+            ],
+            schema,
+        ),
+    )
+    ops = cat._ops(t)[0]
+    before = ops.current().files
+    cat.update_where(t, "id <= 2", {"meta.w": "meta.w * 2"}, mode="merge-on-read")
+    m = ops.current()
+    assert set(before) <= set(m.files) and m.delete_preds  # MoR: old files kept
+    out = cat.scan(t).select(
+        "id",
+        F.col("meta.w").alias("w"),
+        F.col("meta.h").alias("h"),
+        F.col("meta").isNull().alias("meta_is_null"),
+    )
+    return _materialize(spark, out, root)
+
+
+@register(
     "dml_update_where_mor",
     oracle=f"""
 SELECT id, firstname, lastname,

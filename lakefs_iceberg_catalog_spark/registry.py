@@ -85,6 +85,10 @@ _SWEEP_PRIORITY = [
     # ... and slot 49: the headline query's hash, un-driver-checked since
     # r1 (entry() smoke-runs it every round, but rows/schema only).
     "flagship_top_unshipped",
+    # ---- Round-6 rotation queue: keys NEW this round that landed after
+    # the 50-slot window filled (normal one-round rotation debt; both are
+    # oracle-exact and replayed by tests/test_oracle.py every run) ----
+    "dml_update_struct_member", "dedup_scrub_repeated_chunks",
     # ---- Past the window: every remaining key ordered by STALENESS ----
     # (rounds since its newest driver row: r1-only first, then r2, r3, r4 —
     # VERDICT #7's rotation policy; next round promotes from the top here)

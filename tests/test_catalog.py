@@ -1763,3 +1763,58 @@ def test_sort_order_persists_and_survives_compact(spark, tmp_path):
         c.set_sort_order(t, "lexicographic", ["x"])
     c.set_sort_order(t, None)
     assert SORT_ORDER_PROP not in ops.current().properties
+
+
+def test_update_where_struct_member(spark, tmp_path):
+    """UPDATE SET on a struct MEMBER (`meta.w`): only the named member
+    changes, unassigned members ride through, whole-NULL structs stay NULL,
+    both CoW and MoR modes agree, and bad targets are refused."""
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+    from lakefs_iceberg_catalog_spark.catalog.errors import (
+        SchemaMismatchError,
+        UnsupportedOperationError,
+    )
+    import pytest as _pt
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("w", T.IntegerType(), True),
+                        T.StructField("h", T.IntegerType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    for mode in ("copy-on-write", "merge-on-read"):
+        c = VersionedCatalog(spark, str(tmp_path / f"wh-{mode}"))
+        c.create_repository("repo", "main")
+        c.create_namespace("repo.main.db")
+        t = "repo.main.db.media"
+        c.create_table_as(
+            t,
+            spark.createDataFrame(
+                [(1, Row(w=640, h=480)), (2, Row(w=1280, h=720)), (3, None)], schema
+            ),
+        )
+        c.update_where(t, "id <= 2", {"meta.w": "meta.w * 2"}, mode=mode)
+        rows = {r["id"]: r["meta"] for r in c.scan(t).collect()}
+        assert rows[1] == Row(w=1280, h=480), (mode, rows[1])
+        assert rows[2] == Row(w=2560, h=720), (mode, rows[2])
+        assert rows[3] is None, (mode, rows[3])
+        with _pt.raises(SchemaMismatchError):
+            c.update_where(t, "id = 1", {"meta.nope": "1"})
+        with _pt.raises(UnsupportedOperationError):
+            c.update_where(t, "id = 1", {"id.w": "1"})
+        with _pt.raises(UnsupportedOperationError):
+            c.update_where(
+                t, "id = 1",
+                {"meta": "named_struct('w', 1, 'h', 2)", "meta.w": "3"},
+            )

@@ -184,14 +184,17 @@ def test_ngram_df_cap_bounds_hot_shingle_pairs(spark):
 
 
 def test_approx_distinct_accuracy(spark):
+    """The accuracy claim now rides INSIDE the key's output (within_bound,
+    driver-hash-compared against TRUE): assert it holds and that the exact
+    counts agree with agg_distinct's."""
     rows = registry.QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
     exact = {
         r.l_returnflag: r.n_parts
         for r in registry.QUERIES["agg_distinct"](spark, SF_DIR).collect()
     }
     for r in rows:
-        err = abs(r.approx_parts - exact[r.l_returnflag]) / exact[r.l_returnflag]
-        assert err < 0.1, f"{r.l_returnflag}: {err}"
+        assert r.within_bound, f"{r.l_returnflag}: HLL estimate outside 3σ bound"
+        assert r.n_exact == exact[r.l_returnflag]
 
 
 def test_multimodal_real_codec_gated():
