@@ -45,6 +45,13 @@ def _clean(ident: str) -> list[str]:
     return [p.strip("`") for p in parts[1:]]  # drop the leading catalog name
 
 
+def _col_target(raw: str) -> tuple[str, str | None]:
+    """ALTER-column target: plain `col` → (col, None); dotted `col.member`
+    → (col, member) for the nested (struct-member) evolution forms."""
+    parts = [p.strip("`") for p in re.findall(_PART, raw)]
+    return parts[0], (parts[1] if len(parts) > 1 else None)
+
+
 class SqlFacade:
     def __init__(self, catalog):
         self.catalog = catalog
@@ -293,15 +300,21 @@ class SqlFacade:
 
         m = re.match(
             rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*"
-            rf"\(?\s*({_PART})\s+([A-Za-z]+(?:\([^)]*\))?)\s*\)?\s*$",
+            rf"\(?\s*({_PART}(?:\.{_PART})?)\s+([A-Za-z]+(?:\([^)]*\))?)\s*\)?\s*$",
             s,
         )
         if m:
             # metadata-only schema evolution (Iceberg add-column semantics):
-            # existing files read back with NULLs for the new column
-            self.catalog.add_column(
-                _clean(m.group(1)), m.group(2).strip("`"), m.group(3)
-            )
+            # existing files read back with NULLs for the new column. A
+            # dotted target (meta.codec) adds a STRUCT MEMBER via the
+            # nested field-id model, exactly Iceberg's nested ALTER form.
+            top, member = _col_target(m.group(2))
+            if member is not None:
+                self.catalog.add_struct_field(
+                    _clean(m.group(1)), top, member, m.group(3)
+                )
+            else:
+                self.catalog.add_column(_clean(m.group(1)), top, m.group(3))
             return mk([], "result string")
 
         m = re.match(
@@ -326,34 +339,53 @@ class SqlFacade:
             return mk([], "result string")
 
         m = re.match(
-            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_PART})\s+TO\s+({_PART})\s*$",
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+"
+            rf"({_PART}(?:\.{_PART})?)\s+TO\s+({_PART})\s*$",
             s,
         )
         if m:
-            # metadata-only column rename (Iceberg extension surface)
-            self.catalog.rename_column(
-                _clean(m.group(1)), m.group(2).strip("`"), m.group(3).strip("`")
-            )
+            # metadata-only column rename (Iceberg extension surface);
+            # dotted source renames a struct member (keeps its member id)
+            top, member = _col_target(m.group(2))
+            if member is not None:
+                self.catalog.rename_struct_field(
+                    _clean(m.group(1)), top, member, m.group(3).strip("`")
+                )
+            else:
+                self.catalog.rename_column(
+                    _clean(m.group(1)), top, m.group(3).strip("`")
+                )
             return mk([], "result string")
 
         m = re.match(
-            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_PART})"
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"({_PART}(?:\.{_PART})?)"
             rf"\s+TYPE\s+([A-Za-z]+(?:\([^)]*\))?)\s*$",
             s,
         )
         if m:
-            # metadata-only column widening (Iceberg safe type promotion)
-            self.catalog.alter_column_type(
-                _clean(m.group(1)), m.group(2).strip("`"), m.group(3)
-            )
+            # metadata-only column widening (Iceberg safe type promotion);
+            # dotted target widens a struct member
+            top, member = _col_target(m.group(2))
+            if member is not None:
+                self.catalog.alter_struct_field_type(
+                    _clean(m.group(1)), top, member, m.group(3)
+                )
+            else:
+                self.catalog.alter_column_type(_clean(m.group(1)), top, m.group(3))
             return mk([], "result string")
 
         m = re.match(
-            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s*\(?\s*({_PART})\s*\)?\s*$",
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s*"
+            rf"\(?\s*({_PART}(?:\.{_PART})?)\s*\)?\s*$",
             s,
         )
         if m:
-            self.catalog.drop_column(_clean(m.group(1)), m.group(2).strip("`"))
+            top, member = _col_target(m.group(2))
+            if member is not None:
+                self.catalog.drop_struct_field(_clean(m.group(1)), top, member)
+            else:
+                self.catalog.drop_column(_clean(m.group(1)), top)
             return mk([], "result string")
 
         m = re.match(

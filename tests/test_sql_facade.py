@@ -488,3 +488,47 @@ def test_alter_partition_field_and_describe(facade, spark):
     ext = f.sql("DESCRIBE EXTENDED lakefs.repo.main.company.workers").collect()
     names = [r.col_name for r in ext]
     assert "# Detailed Table Information" in names and "Table UUID" in names
+
+
+def test_alter_table_nested_struct_member_forms(facade, spark):
+    """ALTER TABLE ... on DOTTED targets routes to the nested field-id
+    evolution: ADD COLUMN meta.codec, RENAME COLUMN meta.w TO width,
+    ALTER COLUMN meta.h TYPE bigint, DROP COLUMN meta.codec — Iceberg's
+    nested ALTER surface (inherited by the reference via conftest.py:67)."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    f, cat = facade, facade.catalog
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("w", T.IntegerType(), True),
+                        T.StructField("h", T.IntegerType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    cat.create_table_as(
+        "repo.main.company.media",
+        spark.createDataFrame([(1, Row(w=640, h=480))], schema),
+    )
+    t = "lakefs.repo.main.company.media"
+    f.sql(f"ALTER TABLE {t} ADD COLUMN meta.codec string")
+    f.sql(f"ALTER TABLE {t} RENAME COLUMN meta.w TO width")
+    f.sql(f"ALTER TABLE {t} ALTER COLUMN meta.h TYPE bigint")
+    cur = cat.scan("repo.main.company.media")
+    members = {x.name: x.dataType for x in cur.schema["meta"].dataType.fields}
+    assert members == {
+        "width": T.IntegerType(), "h": T.LongType(), "codec": T.StringType(),
+    }
+    assert cur.collect()[0]["meta"] == Row(width=640, h=480, codec=None)
+    f.sql(f"ALTER TABLE {t} DROP COLUMN meta.codec")
+    assert set(
+        x.name for x in cat.scan("repo.main.company.media").schema["meta"].dataType.fields
+    ) == {"width", "h"}
