@@ -3005,9 +3005,17 @@ class VersionedCatalog:
             "versions_rewritten": n_versions,
         }
 
-    def expire_versions(self, identifier: str | list[str], keep_last: int = 1) -> list[int]:
+    def expire_versions(
+        self,
+        identifier: str | list[str],
+        keep_last: int = 1,
+        older_than: float | None = None,
+    ) -> list[int]:
         """Snapshot expiry (Iceberg expire_snapshots): drop manifest versions
-        older than the newest `keep_last`, returning the expired version
+        older than the newest `keep_last` — or, with ``older_than`` (epoch
+        seconds, the Iceberg ``older_than => TIMESTAMP`` form), versions
+        whose commit instant is at or before the cutoff (the head version
+        never expires regardless of age). Returns the expired version
         numbers. Versions PINNED BY A TAG are exempt — a tag is a promise
         that its snapshot stays readable, so expiry skips it (Iceberg's ref
         retention contract); deleting the tag releases the pin for the next
@@ -3026,9 +3034,19 @@ class VersionedCatalog:
             for info in state.get("tags", {}).values()
             if info.get("branch") == branch and rel in info.get("tables", {})
         }
-        expired = [
-            v for v in range(1, m.version - keep_last + 1) if v not in pinned
-        ]
+        if older_than is not None:
+            candidates = []
+            for v in range(1, m.version):  # the head never expires by age
+                content = ops.read_version(v)
+                if content is None:
+                    continue  # already expired
+                if TableManifest.from_json(content).committed_at <= older_than:
+                    candidates.append(v)
+            expired = [v for v in candidates if v not in pinned]
+        else:
+            expired = [
+                v for v in range(1, m.version - keep_last + 1) if v not in pinned
+            ]
         for v in expired:
             for path in (ops._version_path(v), ops._version_path(v) + ".gz"):
                 try:

@@ -512,8 +512,23 @@ class SqlFacade:
                 n = self.catalog.add_files(str(args[0]), str(args[1]))
                 return mk([(n,)], "added_files_count int")
             if proc == "expire_snapshots" and len(args) in (1, 2):
-                keep = int(args[1]) if len(args) == 2 else 1
-                expired = self.catalog.expire_versions(str(args[0]), keep_last=keep)
+                # second arg: an int = retain-last count; a timestamp
+                # string = Iceberg's older_than => TIMESTAMP cutoff
+                # (naive timestamps read as UTC, like the engine's scans)
+                if len(args) == 2 and isinstance(args[1], str):
+                    import datetime as _dt
+
+                    ts = _dt.datetime.fromisoformat(args[1])
+                    if ts.tzinfo is None:
+                        ts = ts.replace(tzinfo=_dt.timezone.utc)
+                    expired = self.catalog.expire_versions(
+                        str(args[0]), older_than=ts.timestamp()
+                    )
+                else:
+                    keep = int(args[1]) if len(args) == 2 else 1
+                    expired = self.catalog.expire_versions(
+                        str(args[0]), keep_last=keep
+                    )
                 return mk([(v,) for v in expired], "expired_version int")
             if proc == "remove_orphan_files" and len(args) == 1:
                 removed = self.catalog.garbage_collect(str(args[0]))

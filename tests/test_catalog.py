@@ -1818,3 +1818,39 @@ def test_update_where_struct_member(spark, tmp_path):
                 t, "id = 1",
                 {"meta": "named_struct('w', 1, 'h', 2)", "meta.w": "3"},
             )
+
+
+def test_expire_versions_older_than(spark, tmp_path):
+    """Age-based expiry (Iceberg expire_snapshots older_than): versions at
+    or before the cutoff expire, the head never does, tag pins still hold;
+    the SQL CALL form accepts a timestamp string."""
+    import datetime as dt
+
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+    from lakefs_iceberg_catalog_spark.catalog.manifest import TableManifest
+    from lakefs_iceberg_catalog_spark.catalog.sql_facade import SqlFacade
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    t = "repo.main.db.t"
+    c.create_table_as(t, spark.createDataFrame([(1,)], "id int"))
+    c.create_tag("repo", "pin-v1", "main")
+    c.append(t, spark.createDataFrame([(2,)], "id int"))
+    c.append(t, spark.createDataFrame([(3,)], "id int"))
+    ops = c._ops(t)[0]
+    cut = TableManifest.from_json(ops.read_version(2)).committed_at
+    # cutoff at v2's instant: v1 is pinned, v2 expires, v3 (head) survives
+    assert c.expire_versions(t, older_than=cut) == [2]
+    assert ops.read_version(2) is None and ops.read_version(3) is not None
+    c.delete_tag("repo", "pin-v1")
+    # SQL form with a timestamp string far in the future: v1 now expires,
+    # head still never does
+    f = SqlFacade(c)
+    future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(days=1)
+    rows = f.sql(
+        "CALL system.expire_snapshots('repo.main.db.t', "
+        f"'{future.strftime('%Y-%m-%dT%H:%M:%S')}')"
+    ).collect()
+    assert [r.expired_version for r in rows] == [1]
+    assert ops.read_version(3) is not None
