@@ -132,6 +132,7 @@ EXTRA = [
     "maint_sort_order_compact",
     "dml_update_struct_member",
     "dedup_scrub_repeated_chunks",
+    "dml_delete_equality",
 ]
 
 

@@ -827,6 +827,19 @@ class VersionedCatalog:
         clone.position_deletes = {
             f: list(v) for f, v in m.position_deletes.items() if f in set(m.files)
         }
+        clone.equality_deletes = {
+            f: [[d, list(k)] for d, k in v]
+            for f, v in m.equality_deletes.items()
+            if f in set(m.files)
+        }
+        # nested (struct-member) write layouts follow their files too —
+        # without them, a clone of a member-evolved table would misread
+        # pre-evolution files under the current member names
+        clone.file_struct_columns = {
+            f: {k: dict(v) for k, v in sm.items()}
+            for f, sm in m.file_struct_columns.items()
+            if f in set(m.files)
+        }
         ops_dst.commit(None, clone)
 
     def rename_table(self, src, dst) -> None:
@@ -1053,6 +1066,15 @@ class VersionedCatalog:
             # ... as do pending POSITION delete files: files covered by the
             # same delete set scan together and share one anti-join
             pos_sig = tuple(sorted(manifest.position_deletes.get(f, ())))
+            # ... and pending EQUALITY delete files (delete-by-key-values):
+            # files covered by the same (delete file, key cols) set share
+            # one null-safe anti-join per entry
+            eq_sig = tuple(
+                sorted(
+                    (d, tuple(k))
+                    for d, k in manifest.equality_deletes.get(f, ())
+                )
+            )
             # ... and the struct-member write layout (nested field-id
             # evolution): files sharing member names/ids project together.
             # Absent entries mean "written with the current member layout"
@@ -1061,7 +1083,7 @@ class VersionedCatalog:
                 manifest.file_struct_columns.get(f) or cur_struct, sort_keys=True
             )
             groups.setdefault(
-                (name_sig, type_sig, part_sig, pred_sig, pos_sig, struct_sig), []
+                (name_sig, type_sig, part_sig, pred_sig, pos_sig, eq_sig, struct_sig), []
             ).append(f)
         parts = []
         # repo-relative data-file path of each row, derived from the parquet
@@ -1070,7 +1092,7 @@ class VersionedCatalog:
         # a symlinked catalog root (macOS /var tmp) would otherwise misalign
         # the substring offset and yield garbage _file values.
         uri_prefix = "file:" + os.path.realpath(self._repo_dir(repo)) + "/"
-        for (name_sig, type_sig, part_sig, pred_sig, pos_sig, struct_sig), files in groups.items():
+        for (name_sig, type_sig, part_sig, pred_sig, pos_sig, eq_sig, struct_sig), files in groups.items():
             paths = [
                 self._verify_path(repo, os.path.join(self._repo_dir(repo), f))
                 for f in files
@@ -1176,6 +1198,24 @@ class VersionedCatalog:
                 )
                 if not with_positions:
                     df = df.drop("_file", "_pos")
+            for del_file, key_cols in eq_sig:
+                # equality deletes: one null-safe anti-join per delete file
+                # on its key columns — value-based, so it stays valid
+                # across any rewrite of the covered file (the property
+                # position deletes lack). Delete files are small (the
+                # deleted keys), so the planner broadcasts them.
+                keys = self.spark.read.parquet(
+                    self._verify_path(
+                        repo, os.path.join(self._repo_dir(repo), del_file)
+                    )
+                ).select(
+                    *[F.col(k).alias(f"_ek_{k}") for k in key_cols]
+                ).dropDuplicates()
+                cond = None
+                for k in key_cols:
+                    c = F.col(k).eqNullSafe(F.col(f"_ek_{k}"))
+                    cond = c if cond is None else (cond & c)
+                df = df.join(keys, cond, "left_anti")
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -1748,6 +1788,126 @@ class VersionedCatalog:
                 files, file_stats=stats, delete_preds={}, file_partitions=fparts
             ),
         )
+
+    def delete_keys(self, identifier: str | list[str], keys: DataFrame) -> None:
+        """EQUALITY deletes (Iceberg format-version 2's third delete flavor,
+        completing the v2 triad next to the predicate and position forms):
+        delete every row whose key-column tuple appears in ``keys`` — the
+        keys DataFrame's columns ARE the key columns. The keys materialize
+        into a small parquet delete file and ONE metadata commit stamps it
+        against the covered data files; scans apply a null-safe anti-join
+        on the key columns. Cost is proportional to the DELETED keys: a
+        10-key delete on a 100 TB table writes a 10-row file + a manifest
+        swap. Value-based matching means the entries stay semantically
+        valid across rewrites (no ordinal staleness — the failure mode
+        position deletes must guard against); compact() folds them into
+        rewritten files and drops the linkage.
+
+        Covered-file scoping: stats-pruned for a single key column (files
+        whose [min,max] provably exclude every key are not stamped — the
+        same manifest-stats machinery predicate deletes use), all current
+        files otherwise. Files appended AFTER this commit carry no entry
+        and are unaffected — Iceberg's sequence-number scoping, expressed
+        through the per-file stamp."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        key_cols = list(keys.columns)
+        missing = [k for k in key_cols if k not in schema.fieldNames()]
+        if not key_cols or missing:
+            raise SchemaMismatchError(
+                f"equality-delete key columns missing from schema: {missing or key_cols}"
+            )
+        if not base.files:
+            return
+        # write the key tuples as one small delete file
+        table_dir = os.path.join(self.root, *levels)
+        ddir = os.path.join(table_dir, "data", "deletes")
+        os.makedirs(ddir, exist_ok=True)
+        staging = os.path.join(table_dir, f".staging-eq-{_uuid.uuid4().hex}")
+        keys.dropDuplicates().coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            (
+                os.path.join(dp, n)
+                for dp, _, ns in sorted(os.walk(staging))
+                for n in sorted(ns)
+                if n.endswith(".parquet") and _parquet_num_rows(os.path.join(dp, n)) > 0
+            ),
+            None,
+        )
+        if part is None:
+            shutil.rmtree(staging, ignore_errors=True)
+            return  # empty key set — nothing to delete, no commit
+        dst = os.path.join(ddir, f"eqdel-{_uuid.uuid4().hex[:12]}.parquet")
+        os.replace(part, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        del_rel = self._rel(levels[0], dst)
+        # stats scoping for single-column keys: skip files whose range
+        # provably excludes every key (bounded: reads the delete file's
+        # own footer, not the key rows). DISABLED when any key is NULL —
+        # min/max ranges never witness NULLs, so a file excluded by range
+        # could still hold the NULL-keyed rows the delete must remove.
+        key_range = None
+        if len(key_cols) == 1:
+            try:
+                import pyarrow.parquet as _pq
+
+                md = _pq.ParquetFile(dst).metadata
+                nulls = sum(
+                    md.row_group(rg).column(0).statistics.null_count or 0
+                    for rg in range(md.num_row_groups)
+                )
+            except Exception:
+                nulls = 1  # unknown → assume NULLs, keep scoping off
+            if nulls == 0:
+                fs = _footer_stats(dst)
+                if fs and key_cols[0] in fs:
+                    key_range = fs[key_cols[0]]
+        err = None
+        for _ in range(10):
+            covered = []
+            for f in base.files:
+                if key_range is not None:
+                    st = base.file_stats.get(f, {}).get(key_cols[0])
+                    if st is not None and (
+                        st[0] > key_range[1] or st[1] < key_range[0]
+                    ):
+                        continue  # provably key-free
+                covered.append(f)
+            if not covered:
+                return  # every file provably key-free — no commit needed
+            eq_map = {
+                f: [list(e) for e in base.equality_deletes.get(f, [])]
+                for f in base.files
+                if base.equality_deletes.get(f)
+            }
+            for f in covered:
+                eq_map.setdefault(f, [])
+                eq_map[f] = eq_map[f] + [[del_rel, key_cols]]
+            try:
+                ops.commit(
+                    base, base.next(base.files, equality_deletes=eq_map)
+                )
+                return
+            except (CommitConflictError, CommitStateError) as e:
+                fresh = ops.current()
+                if (
+                    fresh is None
+                    or fresh.table_uuid != base.table_uuid
+                    or fresh.schema_json != base.schema_json
+                ):
+                    raise
+                # value-based deletes re-scope cleanly onto the fresh base:
+                # files that survived keep their stamp-eligibility, files
+                # rewritten concurrently get stamped fresh (the values
+                # still name the same rows), appended files get stamped
+                # too — which matches the predicate-delete rebase
+                # semantics this engine already uses
+                base = fresh
+                err = e
+        raise err
 
     def update_where(
         self,
@@ -2747,9 +2907,13 @@ class VersionedCatalog:
                 file_partitions=base.file_partitions,
                 bucket_spec=base.bucket_spec,
                 delete_preds=base.delete_preds,
-                # pending position deletes MUST ride along: rewriting their
-                # data files without applying them would resurrect the rows
+                # pending position/equality deletes MUST ride along:
+                # rewriting their data files without applying them would
+                # resurrect the rows — and the struct-member write layouts
+                # must too, or evolved structs would misproject
                 position_deletes=base.position_deletes,
+                equality_deletes=base.equality_deletes,
+                file_struct_columns=base.file_struct_columns,
             )
             df = self._read_files(levels[0], sub).coalesce(target_files)
             files, stats, fparts = self._write_data(
@@ -2972,8 +3136,14 @@ class VersionedCatalog:
                     m.position_deletes.pop(f, None)
                     continue  # file fully purged away
                 files.append(new)
+                # equality_deletes REMAP (not drop): value-based matching
+                # stays valid against the rewritten file's rows, unlike the
+                # ordinal-based position deletes folded in above. The
+                # struct-member write layout also follows the file — the
+                # raw rewrite preserves on-disk member names.
                 for attr in ("file_stats", "file_columns", "file_types",
-                             "file_partitions", "delete_preds"):
+                             "file_partitions", "delete_preds",
+                             "equality_deletes", "file_struct_columns"):
                     d = getattr(m, attr)
                     if f in d:
                         d[new] = d.pop(f)
@@ -3085,6 +3255,8 @@ class VersionedCatalog:
                                 # reclaim them while any version lists them
                                 for dfs in m.position_deletes.values():
                                     refs.update(dfs)
+                                for entries in m.equality_deletes.values():
+                                    refs.update(d for d, _k in entries)
                     dirnames.clear()
         return refs
 

@@ -154,6 +154,16 @@ class TableManifest:
     # rewrites fold them in and drop the entries (next() keeps entries
     # only for retained files, same lifecycle as delete_preds).
     position_deletes: dict = field(default_factory=dict)
+    # Equality deletes (Iceberg format-version 2's third delete flavor,
+    # completing the triad next to the predicate and POSITION forms):
+    # {data_file: [[delete_file, [key_col, ...]], ...]} where each delete
+    # file is a parquet of key VALUE tuples. Scans anti-join covered files
+    # on the key columns (null-safe), so a delete of N keys is one small
+    # parquet write + a manifest swap, cost proportional to the DELETED
+    # keys — and unlike position deletes the match is by VALUE, so ordinal
+    # staleness cannot exist. Rewritten files drop their entries (the
+    # rewrite folds the deletes in), same lifecycle as the other flavors.
+    equality_deletes: dict = field(default_factory=dict)
     # Nested field-id provenance (the struct-member analog of file_columns):
     # {data_file: {top id: {member id: written member name}}} — the member
     # mapping each file's struct columns were WRITTEN with, so scans can
@@ -180,6 +190,7 @@ class TableManifest:
                 "bucket_spec": self.bucket_spec,
                 "delete_preds": self.delete_preds,
                 "position_deletes": self.position_deletes,
+                "equality_deletes": self.equality_deletes,
                 "file_struct_columns": self.file_struct_columns,
             },
             indent=1,
@@ -207,6 +218,7 @@ class TableManifest:
             bucket_spec=dict(d.get("bucket_spec", {})),
             delete_preds=dict(d.get("delete_preds", {})),
             position_deletes=dict(d.get("position_deletes", {})),
+            equality_deletes=dict(d.get("equality_deletes", {})),
             file_struct_columns=dict(d.get("file_struct_columns", {})),
         )
 
@@ -221,6 +233,7 @@ class TableManifest:
         file_partitions: dict | None = None,
         position_deletes: dict | None = None,
         partition_spec: list | None = None,
+        equality_deletes: dict | None = None,
     ) -> "TableManifest":
         new_cols = list(self.columns if columns is None else columns)
         # Any file the base doesn't know was just written with the COMMIT's
@@ -258,6 +271,9 @@ class TableManifest:
         # files keep their delete files, rewritten ones drop them
         src_pos = self.position_deletes if position_deletes is None else position_deletes
         dpos = {f: src_pos[f] for f in files if src_pos.get(f)}
+        # equality-delete files follow the same retained/rewritten lifecycle
+        src_eq = self.equality_deletes if equality_deletes is None else equality_deletes
+        deq = {f: src_eq[f] for f in files if src_eq.get(f)}
         # partition values: retained files inherit, new files bring their own
         # (stamped by the partitioned writer), removed files drop out
         all_parts = {**self.file_partitions, **(file_partitions or {})}
@@ -279,6 +295,7 @@ class TableManifest:
             bucket_spec=dict(self.bucket_spec),
             delete_preds=dpreds,
             position_deletes=dpos,
+            equality_deletes=deq,
             file_struct_columns=fstruct,
         )
 

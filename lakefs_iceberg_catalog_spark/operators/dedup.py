@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import table
-from .util import defer_release, dround, pin, scoped_persist
+from .util import defer_release, dround, gated_broadcast, pin, scoped_persist
 
 _SHINGLE_N = 3
 _SEEDS = list(range(8))       # 8 minhash permutations
@@ -670,16 +670,18 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate pairs span DIFFERENT sources (the ones a multi-crawl
     union must arbitrate, vs within-source dups a single crawl's own dedup
     already handles). Reuses the full MinHash-LSH pipeline; the source
-    attribution is a broadcast join of the tiny (doc_id, source) map onto
-    the output-sized verified pairs — at 100 TB the attribution costs
-    nothing on top of the dedup itself."""
+    attribution joins the (doc_id, source) map onto the output-sized
+    verified pairs — broadcast while the map's size estimate stays under
+    gated_broadcast's limit (it is doc-cardinality, so at 100 TB the gate
+    drops the hint and the planner instead broadcasts the SMALL pairs
+    side at runtime via AQE)."""
     pairs = minhash_pairs(spark, sf_dir)
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(gated_broadcast(sa), "doc_a")
+        .join(gated_broadcast(sb), "doc_b")
         .filter(F.col("source_a") != F.col("source_b"))
         .select("doc_a", "doc_b", "source_a", "source_b", dround("j", 6).alias("jaccard"))
     )

@@ -32,6 +32,69 @@ def dml_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_delete_equality",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+  AND o_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders
+                        WHERE o_orderpriority = '5-LOW')
+""",
+)
+def dml_delete_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes — the third delete flavor, completing
+    the v2 triad next to the predicate and position forms the engine
+    already carries (format-version 2 requested by the reference at
+    TestLakeFSCatalogSpark.java:67): delete every row whose KEY VALUE
+    appears in a key set, as one small parquet delete file + one metadata
+    commit (asserted: the commit lists the SAME data files). Scans apply a
+    null-safe anti-join on the key columns; being value-based, the
+    linkage stays valid across rewrites — no ordinal staleness — and
+    compact() folds it in (asserted: post-compact rows identical, linkage
+    dropped). The key set here is itself data-derived (customers who
+    placed any 5-LOW order), the realistic erase-these-keys shape."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import VersionedCatalog
+    from ..tables import table
+    from .util import dround
+
+    root = _tf.mkdtemp(prefix="vcat-eqdel-")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    t = "repo.main.db.urgent"
+    orders = table(spark, sf_dir, "orders")
+    cat.create_table_as(
+        t,
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+    )
+    keys = (
+        orders.filter(F.col("o_orderpriority") == "5-LOW")
+        .select("o_custkey")
+        .distinct()
+    )
+    ops = cat._ops(t)[0]
+    files_before = ops.current().files
+    cat.delete_keys(t, keys)
+    m = ops.current()
+    assert m.files == files_before and m.equality_deletes  # metadata-only
+    before_rows = {tuple(r) for r in cat.scan(t).collect()}
+    cat.compact(t)
+    assert not ops.current().equality_deletes  # folded by the rewrite
+    after = cat.scan(t)
+    assert {tuple(r) for r in after.collect()} == before_rows
+    out = after.select(
+        "o_orderkey", "o_custkey", dround("o_totalprice", 2).alias("total")
+    )
+    return _materialize(spark, out, root)
+
+
+@register(
     "dml_update_struct_member",
     oracle="""
 SELECT * FROM (VALUES

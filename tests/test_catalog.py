@@ -1711,6 +1711,12 @@ def test_nested_struct_field_evolution(spark, tmp_path):
     assert v1_members == {"w": T.IntegerType(), "h": T.IntegerType()}
     assert {r["meta"] for r in v1.collect()} == {Row(w=640, h=480), Row(w=1280, h=720), None}
 
+    # a shallow clone of the member-evolved table must read identically
+    # (clone carries the per-file member layouts — catalog.py clone_table)
+    c.clone_table(t, "repo.main.db.media_clone")
+    got_clone = {r["id"]: r["meta"] for r in c.scan("repo.main.db.media_clone").collect()}
+    assert got_clone == rows
+
     # drop + guards
     c.drop_struct_field(t, "meta", "codec")
     assert set(f.name for f in c.scan(t).schema["meta"].dataType.fields) == {"width", "h"}
@@ -1854,3 +1860,48 @@ def test_expire_versions_older_than(spark, tmp_path):
     ).collect()
     assert [r.expired_version for r in rows] == [1]
     assert ops.read_version(3) is not None
+
+
+def test_equality_deletes(spark, tmp_path):
+    """Iceberg v2 EQUALITY deletes: delete-by-key-values is one small
+    parquet write + a metadata commit; scans anti-join null-safely on the
+    key columns; appended-after files are unaffected; compact folds the
+    deletes in and drops the linkage; GC keeps delete files reachable."""
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+    from lakefs_iceberg_catalog_spark.catalog.errors import SchemaMismatchError
+    import pytest as _pt
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    t = "repo.main.db.t"
+    c.create_table_as(
+        t,
+        spark.createDataFrame(
+            [(i, f"v{i}" if i != 7 else None) for i in range(10)], "id int, v string"
+        ).coalesce(1),
+    )
+    ops = c._ops(t)[0]
+    files_before = ops.current().files
+    c.delete_keys(t, spark.createDataFrame([(3,)], "id int"))
+    m = ops.current()
+    assert m.files == files_before            # metadata-only: same data files
+    assert m.equality_deletes                 # linkage recorded
+    assert {r["id"] for r in c.scan(t).collect()} == set(range(10)) - {3}
+    # appended-after rows with a deleted key are NOT affected
+    c.append(t, spark.createDataFrame([(3, "back")], "id int, v string"))
+    got = {(r["id"], r["v"]) for r in c.scan(t).collect()}
+    assert (3, "back") in got and len(got) == 10
+    # null-safe match: the NULL-valued key tuple deletes the NULL-v row
+    c.delete_keys(t, spark.createDataFrame([("v5",), (None,)], "v string"))
+    assert {r["id"] for r in c.scan(t).collect()} == {0, 1, 2, 3, 4, 6, 8, 9}
+    # GC must not reclaim live delete files
+    removed = c.garbage_collect("repo")
+    assert not any("eqdel-" in p for p in removed)
+    before_rows = {tuple(r) for r in c.scan(t).collect()}
+    c.compact(t)
+    m2 = ops.current()
+    assert not m2.equality_deletes            # folded into the rewrite
+    assert {tuple(r) for r in c.scan(t).collect()} == before_rows
+    with _pt.raises(SchemaMismatchError):
+        c.delete_keys(t, spark.createDataFrame([(1,)], "nope int"))
