@@ -133,6 +133,7 @@ EXTRA = [
     "dml_update_struct_member",
     "dedup_scrub_repeated_chunks",
     "dml_delete_equality",
+    "meta_refs",
 ]
 
 

@@ -3437,6 +3437,35 @@ class VersionedCatalog:
             [repo, info["branch"], *table_path.split(".")], version=version
         )
 
+    def refs(self, repo: str) -> DataFrame:
+        """Refs metadata table (Iceberg's ``<table>.refs`` / ``lakectl
+        branch list`` + ``tag list`` in one result): one row per branch and
+        per tag of the repo with its kind, the tag's source branch, the
+        number of tables visible at the ref, and (branches only) the number
+        of recorded commits. Metadata-only — one read of the repo ref
+        state + per-branch directory listings; no data IO at any scale."""
+        state = self._load_branches(repo)
+        rows = []
+        for b in sorted(state.get("branches", {})):
+            rows.append(
+                (
+                    "branch",
+                    b,
+                    None,
+                    len(self._branch_tables(repo, b)),
+                    sum(1 for c in state.get("commits", []) if c.get("branch") == b),
+                )
+            )
+        for tname in sorted(state.get("tags", {})):
+            info = state["tags"][tname]
+            rows.append(
+                ("tag", tname, info.get("branch"), len(info.get("tables", {})), None)
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "kind string, name string, target string, n_tables int, n_commits int",
+        )
+
     def commit_branch(self, repo: str, branch: str, message: str) -> str:
         """Record the branch's current table versions as a commit (the
         reference delegates this to the lakeFS client — test_iceberg.py:31)."""

@@ -370,6 +370,35 @@ def meta_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_meta(spark, out, root)
 
 
+@register(
+    "meta_refs",
+    oracle="""
+SELECT * FROM (VALUES
+  ('branch', 'dev',    CAST(NULL AS VARCHAR), 1, 0),
+  ('branch', 'main',   CAST(NULL AS VARCHAR), 1, 2),
+  ('tag',    'v1.0',   'main',                1, CAST(NULL AS INT))
+) AS t(kind, name, target, n_tables, n_commits)
+""",
+)
+def meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refs metadata table (Iceberg `<table>.refs` / `lakectl branch list`
+    + `tag list`): one row per branch and tag with kind, the tag's source
+    branch, tables visible at the ref, and commit counts — all from the
+    repo's ref state, zero data IO. Scenario: seeded main (1 commit), a
+    zero-copy dev branch, a tag pinned on main, a second commit on main
+    (which must NOT move the tag or dev — asserted via the counts)."""
+    cat, root = _seeded(spark)
+    cat.create_branch("repo", "dev", "main")
+    cat.create_tag("repo", "v1.0", "main")
+    cat.append(
+        "repo.main.company.workers",
+        spark.createDataFrame([("7", "Jhon", "Smith", 33, "M")], WORKERS_SCHEMA),
+    )
+    cat.commit_branch("repo", "main", "second")
+    out = cat.refs("repo").orderBy("kind", "name")
+    return _materialize_meta(spark, out, root)
+
+
 def _materialize_meta(spark, df, root):
     rows, schema = df.collect(), df.schema
     shutil.rmtree(root, ignore_errors=True)
