@@ -134,6 +134,7 @@ EXTRA = [
     "dedup_scrub_repeated_chunks",
     "dml_delete_equality",
     "meta_refs",
+    "text_bigram_logprob_score",
 ]
 
 

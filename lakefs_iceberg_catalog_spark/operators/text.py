@@ -646,3 +646,77 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
         )
     return spark.createDataFrame(out_rows, "round int, pair string, pfreq bigint")
+
+
+@register(
+    "text_bigram_logprob_score",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       unnest(range(1, len(ws) + 1)) t(i)
+),
+b AS (
+  SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w
+  FROM w
+  QUALIFY prev IS NOT NULL
+),
+c12 AS (SELECT prev, w, count(*) AS n12 FROM b GROUP BY prev, w),
+c1  AS (SELECT prev, count(*) AS n1 FROM b GROUP BY prev),
+v   AS (SELECT count(DISTINCT w) AS vocab FROM w)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((c12.n12 + 0.5) / (c1.n1 + 0.5 * v.vocab))), 6)
+         AS mean_neg_logprob
+FROM b JOIN c12 USING (prev, w) JOIN c1 USING (prev), v
+GROUP BY b.doc_id
+""",
+)
+def text_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal BIGRAM LM scoring with add-k smoothing (k=0.5) — the
+    context-aware step up from text_unigram_logprob_score (CCNet/KenLM-style
+    quality proxy, Wenzek et al. 2020): per-doc mean negative log-prob of
+    each word GIVEN its predecessor, p(w|prev) = (c(prev,w)+k)/(c(prev)+kV).
+    Word-salad with common words scores badly here even though the unigram
+    model loves it — exactly the failure mode that motivates the bigram.
+
+    Shape: one posexplode to word rows; bigrams from a per-doc lag window
+    (doc-partitioned — no cross-doc shuffle); the c(prev,w) and c(prev)
+    count tables are vocabulary²-bounded-but-corpus-sparse aggregates that
+    join back onto the bigram rows on their own keys (broadcast while small,
+    shuffle-hash beyond — no hint forced); V is a 1-row broadcast. The only
+    corpus-sized shuffles are the two count aggregates and the final doc
+    rollup, all with map-side partials."""
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(_words()).alias("pos", "w")
+    )
+    k = 0.5
+    b = (
+        w.withColumn(
+            "prev",
+            F.lag("w").over(W.partitionBy("doc_id").orderBy("pos")),
+        )
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "w")
+    )
+    c12 = b.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = b.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = w.agg(F.countDistinct("w").alias("vocab"))
+    return (
+        b.join(c12, ["prev", "w"])
+        .join(c1, ["prev"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            dround(
+                F.avg(
+                    -F.log(
+                        (F.col("n12") + F.lit(k))
+                        / (F.col("n1") + F.lit(k) * F.col("vocab"))
+                    )
+                ),
+                6,
+            ).alias("mean_neg_logprob"),
+        )
+    )
