@@ -2385,6 +2385,16 @@ class VersionedCatalog:
             raise UnsupportedOperationError(
                 "compact() pending merge-on-read deletes before renaming columns"
             )
+        if any(
+            old in k
+            for entries in base.equality_deletes.values()
+            for _d, k in entries
+        ):
+            # equality-delete linkage stores key COLUMN NAMES; renaming a
+            # keyed column would silently detach the pending deletes
+            raise UnsupportedOperationError(
+                f"column {old!r} keys pending equality deletes; compact() first"
+            )
         schema = T.StructType.fromJson(json.loads(base.schema_json))
         if old not in schema.fieldNames():
             raise NoSuchTableError(f"column {old!r} does not exist")
@@ -2647,6 +2657,14 @@ class VersionedCatalog:
         if base.delete_preds:
             raise UnsupportedOperationError(
                 "compact() pending merge-on-read deletes before dropping columns"
+            )
+        if any(
+            name in k
+            for entries in base.equality_deletes.values()
+            for _d, k in entries
+        ):
+            raise UnsupportedOperationError(
+                f"column {name!r} keys pending equality deletes; compact() first"
             )
         schema = T.StructType.fromJson(json.loads(base.schema_json))
         if name not in schema.fieldNames():

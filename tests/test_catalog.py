@@ -1905,3 +1905,14 @@ def test_equality_deletes(spark, tmp_path):
     assert {tuple(r) for r in c.scan(t).collect()} == before_rows
     with _pt.raises(SchemaMismatchError):
         c.delete_keys(t, spark.createDataFrame([(1,)], "nope int"))
+    # rename/drop of a column that keys PENDING equality deletes is refused
+    # (the linkage stores key column NAMES); after compact it proceeds
+    from lakefs_iceberg_catalog_spark.catalog.errors import UnsupportedOperationError
+    c.delete_keys(t, spark.createDataFrame([(2,)], "id int"))
+    with _pt.raises(UnsupportedOperationError):
+        c.rename_column(t, "id", "uid")
+    with _pt.raises(UnsupportedOperationError):
+        c.drop_column(t, "id")
+    c.compact(t)
+    c.rename_column(t, "id", "uid")
+    assert "uid" in c.scan(t).columns
