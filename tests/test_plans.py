@@ -592,3 +592,22 @@ def test_gated_broadcast_gates_off_over_limit(spark):
         assert "BroadcastHashJoin" not in gated._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_scrub_chunks_is_blocked_equi_join(spark):
+    """Corpus chunk-scrub: chunk frequency joins back on the chunk key —
+    equi-joins only, map-side partials on both aggregates."""
+    p = plan(q(spark, "dedup_scrub_repeated_chunks"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    sp = plan(q(spark, "dedup_scrub_repeated_chunks"), mode="simple")
+    assert "partial_count" in sp or "partial_" in sp
+
+
+def test_bigram_lm_windows_stay_per_doc(spark):
+    """Bigram formation must be a doc-partitioned lag window (no cross-doc
+    shuffle for the window itself) and the count joins equi-joins."""
+    p = plan(q(spark, "text_bigram_logprob_score"))
+    win = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert win and all("doc_id" in ln for ln in win)
+    assert "CartesianProduct" not in p
