@@ -2762,6 +2762,11 @@ class VersionedCatalog:
                 arg = m.bucket_spec.get("n") or m.bucket_spec.get("param")
                 detail = f"{t}({arg}, {m.bucket_spec['col']})" if arg else f"{t}({m.bucket_spec['col']})"
                 rows.append(("Partition Transform", detail, ""))
+            so = m.properties.get(SORT_ORDER_PROP)
+            if isinstance(so, dict) and so.get("cols"):
+                rows.append(
+                    ("Sort Order", f"{so['kind']}({', '.join(so['cols'])})", "")
+                )
             for k in sorted(m.properties):
                 rows.append((f"Property: {k}", str(m.properties[k]), ""))
         return rows

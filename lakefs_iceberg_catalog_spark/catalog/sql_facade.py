@@ -389,6 +389,23 @@ class SqlFacade:
             return mk([], "result string")
 
         m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+WRITE\s+"
+            rf"(?:(UNORDERED)|(?:(ORDERED|ZORDERED)\s+BY\s*\(?\s*([^)]+?)\s*\)?))\s*$",
+            s,
+        )
+        if m:
+            # Iceberg's ALTER TABLE ... WRITE ORDERED BY / WRITE UNORDERED
+            # (+ a ZORDERED BY extension matching OPTIMIZE ZORDER BY):
+            # declares the persisted sort order compact() re-applies
+            if m.group(2):
+                self.catalog.set_sort_order(_clean(m.group(1)), None)
+            else:
+                kind = "cluster" if m.group(3).upper() == "ORDERED" else "zorder"
+                cols = [c.strip().strip("`") for c in m.group(4).split(",")]
+                self.catalog.set_sort_order(_clean(m.group(1)), kind, cols)
+            return mk([], "result string")
+
+        m = re.match(
             rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+({_PART})\s*$",
             s,
         )

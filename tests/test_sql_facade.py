@@ -532,3 +532,23 @@ def test_alter_table_nested_struct_member_forms(facade, spark):
     assert set(
         x.name for x in cat.scan("repo.main.company.media").schema["meta"].dataType.fields
     ) == {"width", "h"}
+
+
+def test_write_ordered_by_sql_forms(facade):
+    """ALTER TABLE ... WRITE ORDERED BY / ZORDERED BY / UNORDERED declare
+    (or clear) the persisted sort order, and DESCRIBE EXTENDED renders it."""
+    from lakefs_iceberg_catalog_spark.catalog.catalog import SORT_ORDER_PROP
+
+    f, cat = facade, facade.catalog
+    t = "lakefs.repo.main.company.workers"
+    f.sql(f"ALTER TABLE {t} WRITE ORDERED BY (age)")
+    props = cat.table_properties("repo.main.company.workers")
+    assert props[SORT_ORDER_PROP] == {"kind": "cluster", "cols": ["age"]}
+    desc = {r[0]: r[1] for r in f.sql(f"DESCRIBE EXTENDED {t}").collect()}
+    assert desc.get("Sort Order") == "cluster(age)"
+    f.sql(f"ALTER TABLE {t} WRITE ZORDERED BY (age, id)")
+    assert cat.table_properties("repo.main.company.workers")[SORT_ORDER_PROP] == {
+        "kind": "zorder", "cols": ["age", "id"],
+    }
+    f.sql(f"ALTER TABLE {t} WRITE UNORDERED")
+    assert SORT_ORDER_PROP not in cat.table_properties("repo.main.company.workers")
