@@ -2144,37 +2144,82 @@ class VersionedCatalog:
             raise NoSuchTableError(".".join(levels))
         return list(range(1, m.version + 1))
 
+    @staticmethod
+    def _classify_commit(prev: TableManifest | None, m: TableManifest) -> str:
+        """Iceberg snapshot-summary ``operation`` label, DERIVED by diffing
+        consecutive manifests (zero writer bookkeeping, works for all
+        historical versions): create → append/overwrite/delete by the file
+        delta → row-delete (MoR stamp growth) → schema-evolution →
+        set-properties → commit (no observable change)."""
+        if prev is None:
+            return "create"
+        pf, cf = set(prev.files), set(m.files)
+        added, removed = cf - pf, pf - cf
+        if added and removed:
+            return "overwrite"
+        if added:
+            return "append"
+        if removed:
+            return "delete"
+
+        def _stamps(x: TableManifest) -> tuple:
+            return (
+                {f: tuple(v) for f, v in x.delete_preds.items()},
+                {f: tuple(v) for f, v in x.position_deletes.items()},
+                {
+                    f: tuple((d, tuple(k)) for d, k in v)
+                    for f, v in x.equality_deletes.items()
+                },
+            )
+
+        if _stamps(prev) != _stamps(m):
+            return "row-delete"
+        if prev.schema_json != m.schema_json or prev.columns != m.columns:
+            return "schema-evolution"
+        if prev.properties != m.properties:
+            return "set-properties"
+        return "commit"
+
     def snapshots(self, identifier: str | list[str]) -> DataFrame:
         """Snapshot metadata table (Iceberg's ``<table>.snapshots`` /
         ``history``): one row per live manifest version with its commit
-        instant, file count, count of DISTINCT pending MoR delete
-        predicates, and schema field count — all from manifest JSON, no
-        data IO. Expired versions are simply absent. (Distinct predicates,
-        not per-file stamp entries: stamp fanout varies with how many
-        files the writer's parallelism produced.)"""
+        instant, the DERIVED operation label (Iceberg's snapshot-summary
+        ``operation``), file count and delta counts, count of DISTINCT
+        pending MoR delete predicates, and schema field count — all from
+        manifest JSON, no data IO. Expired versions are simply absent.
+        (Distinct predicates, not per-file stamp entries: stamp fanout
+        varies with how many files the writer's parallelism produced.)"""
         ops, levels = self._ops(identifier)
         cur = ops.current()
         if cur is None:
             raise NoSuchTableError(".".join(levels))
         rows = []
+        prev: TableManifest | None = None
         for v in range(1, cur.version + 1):
             content = ops.read_version(v)
             if content is None:
                 continue
             m = TableManifest.from_json(content)
             n_fields = len(json.loads(m.schema_json).get("fields", []))
+            pf = set(prev.files) if prev is not None else set()
+            cf = set(m.files)
             rows.append(
                 (
                     v,
                     float(m.committed_at),
+                    self._classify_commit(prev, m),
                     len(m.files),
+                    len(cf - pf),
+                    len(pf - cf),
                     len({p for preds in m.delete_preds.values() for p in preds}),
                     n_fields,
                 )
             )
+            prev = m
         return self.spark.createDataFrame(
             rows,
-            "version int, committed_at double, n_files int, "
+            "version int, committed_at double, operation string, n_files int, "
+            "added_files int, removed_files int, "
             "n_pending_deletes int, n_fields int",
         )
 

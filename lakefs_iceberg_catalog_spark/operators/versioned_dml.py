@@ -341,16 +341,17 @@ def time_travel_as_of_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "meta_snapshots",
     oracle="""
 SELECT * FROM (VALUES
-  (1, 0, 5),
-  (2, 1, 5),
-  (3, 2, 5),
-  (4, 2, 6)
-) AS t(version, n_pending_deletes, n_fields)
+  (1, 'create',           0, 5),
+  (2, 'row-delete',       1, 5),
+  (3, 'row-delete',       2, 5),
+  (4, 'schema-evolution', 2, 6)
+) AS t(version, operation, n_pending_deletes, n_fields)
 """,
 )
 def meta_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot metadata table (Iceberg `<table>.snapshots`): one row per
-    live version straight from manifest JSON — no data IO. The scenario
+    live version straight from manifest JSON — no data IO, including the
+    DERIVED Iceberg snapshot-summary operation label. The scenario
     leaves four versions with distinct shapes: the seed CTAS, two
     merge-on-read deletes (1 then 2 distinct pending predicates), and an
     add-column (6 fields). Commit instants are asserted monotonic
@@ -366,7 +367,7 @@ def meta_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = [r["committed_at"] for r in rows]
     assert ts == sorted(ts) and ts[0] > 0  # monotonic wall-clock stamps
     assert all(r["n_files"] >= 1 for r in rows)
-    out = snaps.select("version", "n_pending_deletes", "n_fields")
+    out = snaps.select("version", "operation", "n_pending_deletes", "n_fields")
     return _materialize_meta(spark, out, root)
 
 

@@ -1916,3 +1916,30 @@ def test_equality_deletes(spark, tmp_path):
     c.compact(t)
     c.rename_column(t, "id", "uid")
     assert "uid" in c.scan(t).columns
+
+
+def test_snapshot_operation_classification(spark, tmp_path):
+    """snapshots() derives the Iceberg snapshot-summary operation label by
+    diffing consecutive manifests — create/append/overwrite/delete/
+    row-delete/schema-evolution/set-properties, with file delta counts."""
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    t = "repo.main.db.t"
+    c.create_table_as(
+        t, spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string")
+    )
+    c.append(t, spark.createDataFrame([(4, "d")], "id int, v string"))
+    c.delete_where(t, "id = 1")                          # CoW → overwrite
+    c.delete_where(t, "id = 2", mode="merge-on-read")    # row-delete
+    c.add_column(t, "extra", "string")                   # schema-evolution
+    c.set_table_properties(t, {"owner": "me"})           # set-properties
+    c.compact(t)                                         # overwrite (rewrite)
+    ops = ("create", "append", "overwrite", "row-delete",
+           "schema-evolution", "set-properties", "overwrite")
+    snaps = c.snapshots(t).orderBy("version").collect()
+    assert tuple(r["operation"] for r in snaps) == ops
+    assert snaps[1]["added_files"] >= 1 and snaps[1]["removed_files"] == 0
+    assert snaps[2]["removed_files"] >= 1
