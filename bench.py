@@ -135,6 +135,7 @@ EXTRA = [
     "dml_delete_equality",
     "meta_refs",
     "text_bigram_logprob_score",
+    "window_holt_trend",
 ]
 
 

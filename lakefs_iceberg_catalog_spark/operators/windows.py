@@ -431,3 +431,96 @@ def window_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("cum_share"),
         F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias("abc_class"),
     )
+
+
+_HOLT_ALPHA = 0.5   # level smoothing
+_HOLT_BETA = 0.3    # trend smoothing
+_HOLT_SPAN = 20     # trailing frame length (same bounding rationale as EWMA)
+# The trend update is pre-expanded to literal coefficients so BOTH engines
+# run the identical FP op sequence:
+#   nt = b*(nl - l) + (1-b)*t  ==  (a*b)*(x - l) + (b*(1-a) + (1-b))*t
+_HOLT_C1 = 0.15     # a*b
+_HOLT_C2 = 0.85     # b*(1-a) + (1-b)
+
+
+@register(
+    "window_holt_trend",
+    # The fold state rides a 2-element LIST [level, trend], not a struct:
+    # DuckDB 1.0 evaluates struct-literal lambda fields sequentially AGAINST
+    # THE MUTATING ACCUMULATOR (a later field sees the earlier field's new
+    # value), which silently corrupts any cross-referencing recursion —
+    # found by this key's oracle mismatching; the list form folds correctly.
+    oracle=f"""
+WITH w AS (
+  SELECT event_id, event_type, value,
+         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN {_HOLT_SPAN - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM events),
+f AS (
+  SELECT event_id, event_type, value,
+         list_reduce(
+           list_transform(vals, v -> [CAST(v AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+           (acc, x) -> [
+             CAST({_HOLT_ALPHA} AS DOUBLE) * x[1]
+               + CAST({1 - _HOLT_ALPHA} AS DOUBLE) * (acc[1] + acc[2]),
+             CAST({_HOLT_C1} AS DOUBLE) * (x[1] - acc[1])
+               + CAST({_HOLT_C2} AS DOUBLE) * acc[2]]) AS st
+  FROM w)
+SELECT event_id, event_type, value,
+       round(st[1], 6)         AS level,
+       round(st[2], 6)         AS trend,
+       round(st[1] + st[2], 6) AS forecast_1
+FROM f
+""",
+)
+def window_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) over a trailing
+    20-row frame per event_type — the trend-aware upgrade of window_ewma,
+    with a one-step-ahead forecast (level + trend), the monitoring/
+    capacity-planning primitive plain EWMA cannot give (it lags any
+    trending series). No Spark built-in exists; composed as a windowed
+    collect_list + ONE sequential fold over the frame carrying
+    [level, trend], entirely JVM-side.
+
+    Scale: same argument as window_ewma — the textbook unbounded recursion
+    is a single-task-per-key sequential dependency, while the bounded frame
+    is an embarrassingly parallel window pass whose truncation error decays
+    geometrically. Both engines fold the identical list with the identical
+    literal-coefficient update, so the doubles agree bitwise before
+    rounding."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_HOLT_SPAN - 1), W.currentRow)
+    )
+    a = F.lit(float(_HOLT_ALPHA))
+    one_a = F.lit(float(1 - _HOLT_ALPHA))
+    c1, c2 = F.lit(float(_HOLT_C1)), F.lit(float(_HOLT_C2))
+    vals = F.collect_list("value").over(w).alias("vals")
+
+    def step(acc, x):
+        return F.struct(
+            (a * x + one_a * (acc["level"] + acc["trend"])).alias("level"),
+            (c1 * (x - acc["level"]) + c2 * acc["trend"]).alias("trend"),
+        )
+
+    st = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.struct(
+            F.element_at(F.col("vals"), 1).alias("level"),
+            F.lit(0.0).alias("trend"),
+        ),
+        step,
+    )
+    return (
+        e.select("event_id", "event_type", "value", vals)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            dround(st["level"], 6).alias("level"),
+            dround(st["trend"], 6).alias("trend"),
+            dround(st["level"] + st["trend"], 6).alias("forecast_1"),
+        )
+    )
