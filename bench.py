@@ -136,6 +136,7 @@ EXTRA = [
     "meta_refs",
     "text_bigram_logprob_score",
     "window_holt_trend",
+    "window_cusum_drift",
 ]
 
 

@@ -524,3 +524,99 @@ def window_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(st["level"] + st["trend"], 6).alias("forecast_1"),
         )
     )
+
+
+_CUSUM_SPAN = 20    # trailing frame (same bounding rationale as EWMA/Holt)
+_CUSUM_SLACK = 0.5  # k: deviations under k·σ-ish slack don't accumulate
+_CUSUM_H = 5.0      # alarm threshold on the accumulated drift
+
+
+@register(
+    "window_cusum_drift",
+    # list-state fold (NOT struct state — see window_holt_trend's DuckDB
+    # struct-lambda mutation note); literal coefficients shared by both
+    # engines so the FP op sequences are identical.
+    oracle=f"""
+WITH m AS (
+  SELECT event_type,
+         round(avg(value), 6) AS mu
+  FROM events GROUP BY event_type),
+w AS (
+  SELECT e.event_id, e.event_type, e.value, m.mu,
+         list(round(e.value, 6)) OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                           ROWS BETWEEN {_CUSUM_SPAN - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM events e JOIN m USING (event_type)),
+f AS (
+  SELECT event_id, event_type, value, mu,
+         list_reduce(
+           list_transform(vals, v -> [
+             greatest(CAST(0.0 AS DOUBLE), v - mu - CAST({_CUSUM_SLACK} AS DOUBLE)),
+             greatest(CAST(0.0 AS DOUBLE), mu - v - CAST({_CUSUM_SLACK} AS DOUBLE))]),
+           (acc, x) -> [
+             greatest(CAST(0.0 AS DOUBLE), acc[1] + x[1]),
+             greatest(CAST(0.0 AS DOUBLE), acc[2] + x[2])]) AS st
+  FROM w)
+SELECT event_id, event_type,
+       round(st[1], 6) AS cusum_up,
+       round(st[2], 6) AS cusum_down,
+       (st[1] > {_CUSUM_H} OR st[2] > {_CUSUM_H}) AS drift_alarm
+FROM f
+""",
+)
+def window_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection per event_type — the changepoint
+    alarm a data-quality monitor runs over every pipeline metric (corpus
+    drift, score distribution shift): accumulate deviations beyond a slack
+    band around the per-key mean, clamped at zero, alarm when either side's
+    accumulation crosses the threshold. Page's classic sequential test,
+    over a bounded trailing frame (the unbounded textbook recursion is a
+    single-task-per-key sequential dependency; the {span}-row frame keeps
+    it an embarrassingly parallel window pass and still catches any drift
+    that persists longer than the frame).
+
+    The zero-clamp makes the fold non-linear, so unlike EWMA it cannot
+    collapse to a weighted sum: the sequential list fold is the honest
+    expression, and both engines replay it bitwise (inputs pre-rounded so
+    the per-element deviations start from identical doubles).""".format(
+        span=_CUSUM_SPAN
+    )
+    e = table(spark, sf_dir, "events")
+    mu_tbl = e.groupBy("event_type").agg(dround(F.avg("value"), 6).alias("mu"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_CUSUM_SPAN - 1), W.currentRow)
+    )
+    slack = F.lit(float(_CUSUM_SLACK))
+    zero = F.lit(0.0)
+    joined = e.join(F.broadcast(mu_tbl), "event_type").select(
+        "event_id",
+        "event_type",
+        "mu",
+        F.collect_list(dround("value", 6)).over(w).alias("vals"),
+    )
+    devs = F.transform(
+        F.col("vals"),
+        lambda v: F.array(
+            F.greatest(zero, v - F.col("mu") - slack),
+            F.greatest(zero, F.col("mu") - v - slack),
+        ),
+    )
+    st = F.aggregate(
+        F.slice(devs, 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(devs, 1),
+        lambda acc, x: F.array(
+            F.greatest(zero, F.element_at(acc, 1) + F.element_at(x, 1)),
+            F.greatest(zero, F.element_at(acc, 2) + F.element_at(x, 2)),
+        ),
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        dround(F.element_at(st, 1), 6).alias("cusum_up"),
+        dround(F.element_at(st, 2), 6).alias("cusum_down"),
+        (
+            (F.element_at(st, 1) > F.lit(_CUSUM_H))
+            | (F.element_at(st, 2) > F.lit(_CUSUM_H))
+        ).alias("drift_alarm"),
+    )
