@@ -137,6 +137,8 @@ EXTRA = [
     "text_bigram_logprob_score",
     "window_holt_trend",
     "window_cusum_drift",
+    "branch_revert",
+    "meta_commit_log",
 ]
 
 

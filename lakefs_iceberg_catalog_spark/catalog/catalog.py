@@ -3640,6 +3640,93 @@ class VersionedCatalog:
         self._save_branches(repo, state)
         return cid
 
+    def revert(self, repo: str, commit_id: str) -> str:
+        """Apply the INVERSE of one commit on its own branch (the lakeFS
+        ``revert`` command — undo a specific commit while keeping history;
+        cherry-pick's mirror image). The commit's delta is computed against
+        its parent exactly as cherry_pick does; phase 1 requires every
+        changed table's head to still sit at the commit's POST-image (a
+        later change to the same table is a conflict, reported before
+        anything moves); phase 2 rolls each table back to the commit's
+        pre-image via rollback_to_version — one metadata commit per table,
+        history stays linear, time travel still reaches the undone state.
+        Reverting a commit that DELETED a table is refused (its manifest
+        chain is gone from this branch — restore it by cherry-picking from
+        a branch that still has it). Returns the new commit id."""
+        state = self._load_branches(repo)
+        commit = next((c for c in state["commits"] if c["id"] == commit_id), None)
+        if commit is None:
+            raise NoSuchNamespaceError(f"no commit {commit_id!r} in {repo}")
+        branch = commit["branch"]
+        parent: dict[str, int] | None = None
+        for c in state["commits"]:
+            if c["id"] == commit_id:
+                break
+            if c["branch"] == branch:
+                parent = c["tables"]
+        if parent is None:
+            parent = state["branches"][branch].get("base", {})
+        post = commit["tables"]
+        delta = {
+            tbl: (parent.get(tbl, 0), post.get(tbl, 0))
+            for tbl in set(parent) | set(post)
+            if parent.get(tbl, 0) != post.get(tbl, 0)
+        }
+        cur_tables = self._branch_tables(repo, branch)
+        # Phase 1: validate everything before anything moves.
+        for tbl, (pre_v, post_v) in sorted(delta.items()):
+            if post_v == 0:
+                raise UnsupportedOperationError(
+                    f"cannot revert commit {commit_id}: it deleted {tbl!r} "
+                    "and this branch no longer holds its manifests"
+                )
+            cur_v = cur_tables.get(tbl, 0)
+            if cur_v != post_v:
+                what = f"v{cur_v}" if cur_v else "absent"
+                raise MergeConflictError(
+                    f"{tbl}: {branch} is at {what}, but commit {commit_id} "
+                    f"left it at v{post_v} — a later change conflicts with "
+                    "the revert"
+                )
+        # Phase 2: inverse application.
+        for tbl, (pre_v, post_v) in sorted(delta.items()):
+            ident = [repo, branch] + tbl.split(os.sep)
+            if pre_v == 0:
+                # the commit CREATED the table → the inverse drops it
+                # (manifests only; data files stay until GC reachability
+                # clears them, like any drop on a branch)
+                meta = os.path.join(self._repo_dir(repo), branch, tbl, METADATA_DIR)
+                if os.path.isdir(meta):
+                    shutil.rmtree(meta)
+            else:
+                self.rollback_to_version(ident, pre_v)
+        cid = _uuid.uuid4().hex[:16]
+        state = self._load_branches(repo)  # reload: rollbacks changed nothing here
+        state["commits"].append(
+            {"id": cid, "branch": branch,
+             "message": f"revert {commit_id}",
+             "tables": self._branch_tables(repo, branch)}
+        )
+        self._save_branches(repo, state)
+        return cid
+
+    def commit_log(self, repo: str, branch: str | None = None) -> DataFrame:
+        """Commit log listing (``lakectl log``): one row per recorded commit,
+        oldest first, optionally filtered to one branch — sequence number,
+        branch, message, and the number of tables in the commit's snapshot.
+        Metadata-only (one read of the repo ref state); commit ids are
+        exposed through the raw state for tooling but kept out of this
+        result shape (they are random, so results stay replay-comparable)."""
+        state = self._load_branches(repo)
+        rows = [
+            (i + 1, c["branch"], c["message"], len(c.get("tables", {})))
+            for i, c in enumerate(state.get("commits", []))
+            if branch is None or c["branch"] == branch
+        ]
+        return self.spark.createDataFrame(
+            rows, "seq int, branch string, message string, n_tables int"
+        )
+
     def merge(self, repo: str, src_branch: str, dst_branch: str) -> None:
         """Three-way merge of committed state, per table path over
         base ∪ src-current (so src-side deletions are seen), with version 0

@@ -941,3 +941,74 @@ def sql_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     # restore the full-sync state for the returned result
     cat.rollback_to_version(t, 2)
     return _materialize(spark, cat.scan(t), root)
+
+
+@register(
+    "branch_revert",
+    oracle=f"""
+SELECT id, firstname, lastname, age, gender FROM {_WORKERS_VALUES}
+WHERE age < 40
+""",
+)
+def branch_revert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lakeFS ``revert`` — undo ONE commit on its own branch, keeping
+    history (cherry-pick's mirror image): the scenario commits a cleanup
+    (DELETE age >= 40), then an append of a new worker; reverting the
+    CLEANUP must conflict (the later append moved the table past the
+    commit's post-image — asserted), while reverting the APPEND succeeds
+    as a linear-history rollback commit: the new worker vanishes, the
+    cleanup's effect stays, and time travel still reaches the undone
+    state. Both phases are metadata-only at any table size."""
+    from ..catalog import MergeConflictError
+
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    cat.delete_where(t, "age >= 40")
+    cleanup_cid = cat.commit_branch("repo", "main", "cleanup")
+    cat.append(
+        t, spark.createDataFrame([("7", "Jhon", "Smith", 33, "M")], WORKERS_SCHEMA)
+    )
+    append_cid = cat.commit_branch("repo", "main", "add7")
+    try:
+        cat.revert("repo", cleanup_cid)
+        raise AssertionError("revert past a later change must conflict")
+    except MergeConflictError:
+        pass
+    cat.revert("repo", append_cid)
+    got = cat.scan(t)
+    assert got.filter("id = '7'").count() == 0  # append undone
+    # history stayed linear: the pre-revert state is still time-travelable
+    ops = cat._ops(t)[0]
+    assert cat.scan(t, version=ops.current().version - 1).filter("id = '7'").count() == 1
+    return _materialize(spark, got, root)
+
+
+@register(
+    "meta_commit_log",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 'main', 'seed',    1),
+  (2, 'main', 'cleanup', 1),
+  (3, 'dev',  'dev-add', 1)
+) AS t(seq, branch, message, n_tables)
+""",
+)
+def meta_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit log listing (``lakectl log``): ordered commit records with
+    branch, message, and snapshot table count — straight from the repo ref
+    state, zero data IO. The scenario shows the log is repo-wide and
+    branch-filterable (the dev commit appears; the filtered variant is
+    asserted mid-flow)."""
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    cat.delete_where(t, "age >= 40")
+    cat.commit_branch("repo", "main", "cleanup")
+    cat.create_branch("repo", "dev", "main")
+    cat.append(
+        "repo.dev.company.workers",
+        spark.createDataFrame([("8", "Marta", "Green", 31, "F")], WORKERS_SCHEMA),
+    )
+    cat.commit_branch("repo", "dev", "dev-add")
+    only_main = cat.commit_log("repo", branch="main").collect()
+    assert [r["message"] for r in only_main] == ["seed", "cleanup"]
+    return _materialize_meta(spark, cat.commit_log("repo"), root)
