@@ -525,6 +525,9 @@ class SqlFacade:
             if proc == "cherrypick_snapshot" and len(args) == 3:
                 cid = self.catalog.cherry_pick(str(args[0]), str(args[1]), str(args[2]))
                 return mk([(cid,)], "commit_id string")
+            if proc == "revert" and len(args) == 2:
+                cid = self.catalog.revert(str(args[0]), str(args[1]))
+                return mk([(cid,)], "commit_id string")
             if proc == "add_files" and len(args) == 2:
                 n = self.catalog.add_files(str(args[0]), str(args[1]))
                 return mk([(n,)], "added_files_count int")

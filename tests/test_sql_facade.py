@@ -552,3 +552,18 @@ def test_write_ordered_by_sql_forms(facade):
     }
     f.sql(f"ALTER TABLE {t} WRITE UNORDERED")
     assert SORT_ORDER_PROP not in cat.table_properties("repo.main.company.workers")
+
+
+def test_call_revert_procedure(facade, spark):
+    """CALL system.revert(repo, commit_id) applies the inverse of a commit
+    on its own branch and returns the new commit id."""
+    f, cat = facade, facade.catalog
+    cat.commit_branch("repo", "main", "seed")
+    cat.append(
+        "repo.main.company.workers",
+        spark.createDataFrame([("7", "Jhon", "Smith", 33, "M")], WORKERS_SCHEMA),
+    )
+    cid = cat.commit_branch("repo", "main", "add7")
+    out = f.sql(f"CALL system.revert('repo', '{cid}')").collect()
+    assert len(out) == 1 and out[0].commit_id
+    assert cat.scan("repo.main.company.workers").filter("id = '7'").count() == 0
