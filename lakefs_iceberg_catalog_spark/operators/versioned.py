@@ -616,10 +616,27 @@ def ddl_schema_evolution_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.add_struct_field(t, "meta", "codec", "string")
     cat.alter_struct_field_type(t, "meta", "h", "bigint")
     assert ops.current().files == files_v1  # metadata-only evolution
+    evolved = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType(), True),
+                        T.StructField("h", T.LongType(), True),
+                        T.StructField("codec", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    assert cat.scan(t).schema == evolved  # the evolution produced this shape
     cat.append(
         t,
         spark.createDataFrame(
-            [(4, Row(width=3840, h=5_000_000_000, codec="av1"))], cat.scan(t).schema
+            [(4, Row(width=3840, h=5_000_000_000, codec="av1"))], evolved
         ),
     )
     # time travel: v1 still exposes the ORIGINAL member layout and types
