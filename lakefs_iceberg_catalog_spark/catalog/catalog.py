@@ -2371,6 +2371,11 @@ class VersionedCatalog:
             bucket_spec=m.bucket_spec,
             delete_preds=m.delete_preds,
             position_deletes=m.position_deletes,
+            # every row-filtering/projection side table must ride along, or
+            # a pruned scan would resurrect deleted rows / misproject
+            # evolved structs (regression-tested)
+            equality_deletes=m.equality_deletes,
+            file_struct_columns=m.file_struct_columns,
         )
         df = self._read_files(levels[0], pruned)
         # Residual predicate from Column/lit objects — never string-assembled

@@ -1943,3 +1943,38 @@ def test_snapshot_operation_classification(spark, tmp_path):
     assert tuple(r["operation"] for r in snaps) == ops
     assert snaps[1]["added_files"] >= 1 and snaps[1]["removed_files"] == 0
     assert snaps[2]["removed_files"] >= 1
+
+
+def test_scan_pruned_applies_equality_deletes_and_struct_projection(spark, tmp_path):
+    """scan_pruned's sub-manifest must carry EVERY row-filtering/projection
+    side table: pending equality deletes apply (no resurrected rows) and
+    member-evolved structs project correctly on the pruned path."""
+    from lakefs_iceberg_catalog_spark.catalog import VersionedCatalog
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    c = VersionedCatalog(spark, str(tmp_path / "wh"))
+    c.create_repository("repo", "main")
+    c.create_namespace("repo.main.db")
+    t = "repo.main.db.t"
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField(
+                "meta",
+                T.StructType([T.StructField("w", T.IntegerType(), True)]),
+                True,
+            ),
+        ]
+    )
+    c.create_table_as(
+        t,
+        spark.createDataFrame(
+            [(i, Row(w=i * 10)) for i in range(10)], schema
+        ).coalesce(1),
+    )
+    c.rename_struct_field(t, "meta", "w", "width")
+    c.delete_keys(t, spark.createDataFrame([(4,)], "id int"))
+    pruned = c.scan_pruned(t, "id", "<=", 6)
+    rows = {r["id"]: r["meta"]["width"] for r in pruned.collect()}
+    assert rows == {0: 0, 1: 10, 2: 20, 3: 30, 5: 50, 6: 60}  # 4 stays deleted
