@@ -71,3 +71,16 @@ def test_readme_inventory_counts_match_registry():
     assert int(m.group(2)) == len(registry.ORACLES), (
         f"README says {m.group(2)} oracle-checked, registry has {len(registry.ORACLES)}"
     )
+
+
+def test_every_key_explicitly_sweep_prioritized():
+    """Every registered key must appear in _SWEEP_PRIORITY: a key left to
+    implicit registration order could silently displace the driver's
+    50-slot sweep window when module import order shifts."""
+    from lakefs_iceberg_catalog_spark.registry import _SWEEP_PRIORITY
+
+    listed = set(_SWEEP_PRIORITY)
+    missing = [k for k in registry.QUERIES if k not in listed]
+    assert not missing, f"keys not in _SWEEP_PRIORITY: {missing}"
+    stale = [k for k in listed if k not in registry.QUERIES]
+    assert not stale, f"_SWEEP_PRIORITY names unknown keys: {stale}"
