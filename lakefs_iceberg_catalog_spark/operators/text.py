@@ -21,7 +21,7 @@ from pyspark.sql.window import Window as W
 
 from ..registry import register
 from ..tables import table
-from .util import dround
+from .util import gated_broadcast, dround
 
 def _words():
     return F.split(F.col("text"), " ")
@@ -448,10 +448,12 @@ def text_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one explode to word rows feeding BOTH the corpus frequency table
     and the per-doc score (diamond — the word rows are tiny relative to
     text, recomputing beats persisting here); the frequency table
-    (vocabulary-sized, ≪ corpus) broadcasts back onto the word rows, so the
-    only per-row shuffle is the final doc_id rollup. At 100 TB the
-    vocabulary is still ~10⁷ rows — broadcastable — while the word rows
-    never shuffle except per-doc."""
+    (vocabulary-sized, ≪ corpus) joins back onto the word rows — broadcast
+    while its size estimate stays under gated_broadcast's limit, so the
+    only per-row shuffle is the final doc_id rollup; a web-scale vocabulary
+    (unique tokens grow past 10⁸ with typos/URLs) exceeds the gate and the
+    join falls back to a hash shuffle on the word, which is the correct
+    plan at that size."""
     words = table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(_words()).alias("w")
     )
@@ -460,7 +462,7 @@ def text_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)).cast("double") / F.lit(total)).alias("p")
     )
     return (
-        words.join(F.broadcast(freq), "w")
+        words.join(gated_broadcast(freq), "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
