@@ -209,12 +209,18 @@ class SqlFacade:
             s,
         )
         if m:
-            pcols = (
-                [p.strip().strip("`") for p in m.group(3).split(",")]
-                if m.group(3)
-                else None
+            # identity columns only on the explicit-schema form; transform
+            # calls route through the same guard as CTAS so they refuse
+            # cleanly instead of comma-splitting into bogus column names
+            kw = self._partition_kwargs(m.group(3))
+            if set(kw) - {"partition_by"}:
+                raise UnsupportedOperationError(
+                    "partition transforms are supported on CTAS only; "
+                    "explicit-schema CREATE TABLE takes identity columns"
+                )
+            self.catalog.create_table(
+                _clean(m.group(1)), m.group(2), partition_by=kw.get("partition_by")
             )
-            self.catalog.create_table(_clean(m.group(1)), m.group(2), partition_by=pcols)
             return mk([], "result string")
 
         m = re.match(
