@@ -2034,6 +2034,18 @@ class VersionedCatalog:
         if base is None:
             raise NoSuchTableError(".".join(levels))
         schema = T.StructType.fromJson(json.loads(base.schema_json))
+        bad_keys = [
+            k
+            for k in key_cols
+            if k not in schema.fieldNames() or k not in source.columns
+        ]
+        if not key_cols or bad_keys:
+            # same up-front contract as merge_sync: a typo'd ON column gets
+            # a clear schema error, not a deep AnalysisException
+            raise SchemaMismatchError(
+                f"MERGE key columns {bad_keys or key_cols} missing from "
+                "the target schema and/or the source"
+            )
         columns = None
         extra = [f for f in source.schema.fields if f.name not in schema.fieldNames()]
         if extra and evolve_schema:

@@ -1385,6 +1385,8 @@ def test_merge_sync_validates_key_cols(spark, tmp_path):
     for insert in (True, False):
         with _pt.raises(SchemaMismatchError):
             c.merge_sync(t, src, ["id_typo"], insert_unmatched=insert)
+    with _pt.raises(SchemaMismatchError):
+        c.merge_upsert(t, src, ["id_typo"])  # same up-front contract
     assert c.scan(t).count() == 1  # target untouched by the failed merges
 
 
