@@ -139,6 +139,7 @@ EXTRA = [
     "window_cusum_drift",
     "branch_revert",
     "meta_commit_log",
+    "source_binary_files",
 ]
 
 

@@ -155,3 +155,51 @@ def source_merge_schema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(tmp + "/new")
     back = spark.read.option("mergeSchema", True).parquet(tmp + "/old", tmp + "/new")
     return _materialize(spark, back.select("r_regionkey", "r_name", "r_tag"), tmp)
+
+
+@register(
+    "source_binary_files",
+    oracle="""
+SELECT concat(lpad(CAST(doc_id AS VARCHAR), 5, '0'), '.bin') AS name,
+       CAST(n_chars AS BIGINT)                               AS length,
+       md5(text)                                             AS content_md5
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — Spark's standard media-ingestion reader (a
+    directory of image/audio/blob files → one row per file with path,
+    length, raw bytes), the front door of every multimodal pipeline before
+    the decode stages (operators/multimodal.py). The fixture writes 100
+    documents' UTF-8 bytes as .bin files, reads them back through the
+    binaryFile DataSource, and compares name/length/md5(content) — the
+    content flows through Spark as real `binary`, hashed JVM-side.
+
+    Scale: binaryFile splits work per FILE (never inside one), partitions
+    sized by spark.sql.files.maxPartitionBytes, so a 100 TB media corpus
+    reads wide with no driver involvement; small-file pressure is the real
+    enemy at that scale — pack blobs into parquet binary columns (the
+    multimodal tables' layout) after ingestion, which is exactly the
+    pipeline these keys model."""
+    import os as _os
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="binsrc-")
+    for r in bounded_rows(docs):  # bounded fixture write (100 files)
+        with open(_os.path.join(tmp, f"{r['doc_id']:05d}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    back = (
+        spark.read.format("binaryFile")
+        .load(tmp)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("name"),
+            F.col("length"),
+            F.md5("content").alias("content_md5"),
+        )
+    )
+    return _materialize(spark, back, tmp)
