@@ -140,6 +140,8 @@ EXTRA = [
     "branch_revert",
     "meta_commit_log",
     "source_binary_files",
+    "agg_gini_concentration",
+    "text_zipf_fit",
 ]
 
 

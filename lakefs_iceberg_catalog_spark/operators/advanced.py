@@ -862,3 +862,65 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_entropy",
         )
     )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+         round(sum(o.o_totalprice), 2) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT seg, x,
+         row_number() OVER (PARTITION BY seg ORDER BY x, o_custkey) AS rnk,
+         count(*)     OVER (PARTITION BY seg)                        AS n
+  FROM rev
+)
+SELECT seg,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       round((2.0 * sum(rnk * x)) / (max(n) * sum(x))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM r GROUP BY seg
+""",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    concentration scalar behind every whale-risk/fairness dashboard (0 =
+    revenue spread evenly, →1 = one customer is the business), computed by
+    the exact rank formula G = 2·Σ(r·x)/(n·Σx) − (n+1)/n over a
+    deterministic (value, key) order. The classification twin is
+    window_pareto_abc; this is the single-number inequality measure.
+
+    Scale: one orders→customer join (customer side size-gated elsewhere;
+    here the per-customer rollup comes first so the window input is
+    customer-cardinality, not orders-cardinality), one rank window and one
+    aggregate per segment — all partitioned on the segment. Inputs are
+    rounded before the sums so both engines accumulate identical doubles."""
+    from pyspark.sql.window import Window as W
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.join(gated_broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(dround(F.sum("o_totalprice"), 2).alias("x"))
+    )
+    w = W.partitionBy("seg").orderBy("x", "o_custkey")
+    r = rev.select(
+        "seg",
+        "x",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy("seg")).alias("n"),
+    )
+    return r.groupBy("seg").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        dround(
+            (2.0 * F.sum(F.col("rnk") * F.col("x")))
+            / (F.max("n") * F.sum("x"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -722,3 +722,70 @@ def text_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_neg_logprob"),
         )
     )
+
+
+_ZIPF_TOP = 500  # fit over the top-N ranks (the power-law regime)
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+f AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word),
+r AS (SELECT word, freq,
+             row_number() OVER (ORDER BY freq DESC, word) AS rnk
+      FROM f),
+p AS (SELECT ln(CAST(rnk AS DOUBLE)) AS lx, ln(CAST(freq AS DOUBLE)) AS ly
+      FROM r WHERE rnk <= {_ZIPF_TOP})
+SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+       round((count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+             / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 6) AS zipf_slope,
+       round((sum(ly) - ((count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+             / (count(*) * sum(lx * lx) - sum(lx) * sum(lx))) * sum(lx))
+             / count(*), 6) AS intercept
+FROM p
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus word-frequency distribution — the
+    corpus-health diagnostic (natural language sits near slope −1; heavy
+    boilerplate/template contamination flattens it, spam/random text
+    steepens it): closed-form OLS of ln(freq) on ln(rank) over the top
+    {top} ranks. One number a pipeline tracks per crawl snapshot next to
+    window_cusum_drift's per-metric alarms.
+
+    Scale: ONE word-count shuffle with map-side partials; ranking the
+    top-{top} is a frequency sort of the vocabulary (≪ corpus); the OLS is
+    a single partial-aggregable pass over {top} rows. The global
+    row_number window runs over the vocabulary AFTER a freq-desc ordering
+    — bounded input, and ties break on the word so ranks are
+    engine-deterministic.""".format(top=_ZIPF_TOP)
+    words = table(spark, sf_dir, "documents").select(
+        F.explode(_words()).alias("word")
+    )
+    f = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # top-N first via sort+limit (TakeOrderedAndProject — distributed
+    # per-partition top-k + one merge), THEN the rank window over the
+    # already-bounded N rows: the one unpartitioned window in this plan
+    # runs over {top} rows by construction, the same discipline as
+    # window_rolling_corr's post-aggregation global frame.
+    top = f.orderBy(F.col("freq").desc(), F.col("word")).limit(_ZIPF_TOP)
+    r = top.select(
+        "freq",
+        F.row_number()
+        .over(W.orderBy(F.col("freq").desc(), F.col("word")))
+        .alias("rnk"),
+    )
+    p = r.select(
+        F.log(F.col("rnk").cast("double")).alias("lx"),
+        F.log(F.col("freq").cast("double")).alias("ly"),
+    )
+    n = F.count(F.lit(1))
+    slope = (n * F.sum(F.col("lx") * F.col("ly")) - F.sum("lx") * F.sum("ly")) / (
+        n * F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx")
+    )
+    return p.agg(
+        n.cast("bigint").alias("n_ranks"),
+        dround(slope, 6).alias("zipf_slope"),
+        dround((F.sum("ly") - slope * F.sum("lx")) / n, 6).alias("intercept"),
+    )

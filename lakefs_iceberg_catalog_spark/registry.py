@@ -91,7 +91,8 @@ _SWEEP_PRIORITY = [
     "dml_update_struct_member", "dedup_scrub_repeated_chunks",
     "dml_delete_equality", "meta_refs", "text_bigram_logprob_score",
     "window_holt_trend", "window_cusum_drift", "branch_revert",
-    "meta_commit_log", "source_binary_files",
+    "meta_commit_log", "source_binary_files", "agg_gini_concentration",
+    "text_zipf_fit",
     # ---- Past the window: every remaining key ordered by STALENESS ----
     # (rounds since its newest driver row: r1-only first, then r2, r3, r4 —
     # VERDICT #7's rotation policy; next round promotes from the top here)
