@@ -55,47 +55,17 @@ def register(name: str, oracle: str | None = None):
 
 
 _SWEEP_PRIORITY = [
-    # ---- Round-5 window (slots 0-49; the driver checks the FIRST 50) ----
-    # VERDICT r4 "Next round" #1: drain the verification backlog — the 45
-    # keys registered late in round 4 that never received a driver row,
-    # plus this round's 2 new keys (nested struct evolution, persisted
-    # sort order), in one alphabetical block ...
-    "agg_entropy", "agg_heavy_hitters", "agg_histogram",
-    "agg_mode_deterministic", "branch_diff_rows", "ddl_analyze_stats",
-    "ddl_schema_evolution_nested", "dedup_cross_source",
-    "dedup_novelty_score", "dedup_shared_spans_cross", "dml_insert_overwrite",
-    "dml_purge_history", "dml_scd2_intervals", "join_asof_nearest",
-    "join_asof_tolerance", "join_range_bucketized",
-    "maint_sort_order_compact", "meta_partitions", "meta_snapshots",
-    "multimodal_audio_resample", "pipeline_batch_padding",
-    "pipeline_contamination_check", "pipeline_doc_shard",
-    "pipeline_interleave_mixture", "pipeline_pack_sequences",
-    "rollup_gapfill_locf", "rollup_hypertable_incremental",
-    "rollup_ohlc_bars", "sample_tokens_systematic", "scalar_regex",
-    "scalar_try_safe", "similarity_maxsim_late_interaction",
-    "sink_bucketed_pruning", "source_merge_schema_read", "stream_cdc_apply",
-    "stream_static_join", "text_tfidf_top_terms",
-    "time_travel_as_of_timestamp", "window_activity_streaks",
-    "window_anomaly_zscore", "window_ewma", "window_first_touch_attribution",
-    "window_pareto_abc", "window_rolling_corr", "window_sessionize",
-    "window_twap", "window_user_gap_stats",
-    # ... the two sketch aggregates, re-registered this round with exact
-    # accuracy-contract oracles (VERDICT #3) so their rows turn green ...
-    "agg_approx_distinct", "agg_quantile_approx",
-    # ... and slot 49: the headline query's hash, un-driver-checked since
-    # r1 (entry() smoke-runs it every round, but rows/schema only).
-    "flagship_top_unshipped",
-    # ---- Round-6 rotation queue: keys NEW this round that landed after
-    # the 50-slot window filled (normal one-round rotation debt; both are
-    # oracle-exact and replayed by tests/test_oracle.py every run) ----
+    # ---- Round-6 window (slots 0-49; the driver checks the FIRST 50) ----
+    # VERDICT r5 "Next round" #1: slots 0-11 = the 12 keys registered late
+    # in round 5 that have never received a driver CORRECTNESS row ...
     "dml_update_struct_member", "dedup_scrub_repeated_chunks",
     "dml_delete_equality", "meta_refs", "text_bigram_logprob_score",
     "window_holt_trend", "window_cusum_drift", "branch_revert",
     "meta_commit_log", "source_binary_files", "agg_gini_concentration",
     "text_zipf_fit",
-    # ---- Past the window: every remaining key ordered by STALENESS ----
-    # (rounds since its newest driver row: r1-only first, then r2, r3, r4 —
-    # VERDICT #7's rotation policy; next round promotes from the top here)
+    # ... slots 12-49 = the 38 stalest keys whose newest driver row is
+    # round 1, refreshed against the since-refactored code (r1-stale
+    # count drops 45 -> 7; the remaining 7 head the post-window list).
     "agg_cube", "agg_distinct", "agg_grouping_sets", "agg_hash_group",
     "agg_quantile", "agg_salted_twophase", "agg_stats", "agg_string_collect",
     "filter_predicate", "join_asof", "join_cross", "join_full_outer",
@@ -105,15 +75,24 @@ _SWEEP_PRIORITY = [
     "scalar_bitwise", "scalar_conditional", "scalar_datetime", "scalar_hash",
     "scalar_json", "scalar_math", "scalar_null_safe", "scalar_string",
     "scan_table", "set_except_all", "set_intersect", "set_intersect_all",
-    "set_union", "sort_order_by", "subquery_correlated", "subquery_in",
-    "subquery_scalar", "udaf_pandas", "udf_python", "window_analytic",
-    "window_distribution", "window_rank", "dedup_simhash", "join_anti",
-    "set_except", "sink_partitioned_parquet", "source_csv_roundtrip",
-    "source_json_roundtrip", "source_orc_roundtrip", "stream_dedup",
-    "stream_session_window", "stream_sliding_window",
+    "set_union", "sort_order_by", "subquery_correlated",
+    # ---- Round-7 rotation queue: keys NEW in round 6 land HERE (slots
+    # 50+), explicitly queued for the next window per the rotation policy.
+    # (none yet this round)
+    # ---- Past the window: every remaining key ordered by STALENESS ----
+    # (rounds since its newest driver row: the 7 remaining r1-only keys
+    # first, then r2, r3, r4, and finally the 50 keys just swept in r5)
+    "subquery_in", "subquery_scalar", "udaf_pandas", "udf_python",
+    "window_analytic", "window_distribution", "window_rank",
+    # r2-stale
+    "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
+    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join", "stream_tumbling_window",
     "text_fingerprint", "text_lang_id", "text_quality_filter", "text_stats",
-    "text_token_count", "agg_rollup", "branch_diff_equal", "branch_merge",
+    "text_token_count",
+    # r3-stale
+    "agg_rollup", "branch_diff_equal", "branch_merge",
     "branch_wap_publish", "ddl_create_table", "ddl_schema_crud",
     "ddl_schema_evolution", "dedup_cc_canonical", "dedup_embedding_cosine",
     "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard",
@@ -129,7 +108,9 @@ _SWEEP_PRIORITY = [
     "sink_create_table_as", "source_rows", "sql_merge_into",
     "sql_use_namespace", "stream_sink_versioned", "stream_stateful",
     "stream_watermark_late_data", "text_pii_scrub", "time_travel_scan",
-    "unpivot_stack", "window_range_frame", "agg_funnel_steps",
+    "unpivot_stack", "window_range_frame",
+    # r4-stale
+    "agg_funnel_steps",
     "branch_cherry_pick", "branch_tag_scan", "ddl_add_files",
     "ddl_partition_evolution", "ddl_rollback_version", "ddl_type_widening",
     "dedup_containment", "dedup_repeated_spans", "dml_delete_positions",
@@ -149,6 +130,28 @@ _SWEEP_PRIORITY = [
     "stream_stream_outer_join", "text_bpe_merge_rounds",
     "text_repetition_signals", "text_unigram_logprob_score",
     "time_travel_changes", "window_retention_cohorts",
+    # r5-swept (freshest — the round-5 window, verified 50/50 green)
+    "agg_entropy", "agg_heavy_hitters", "agg_histogram",
+    "agg_mode_deterministic", "branch_diff_rows", "ddl_analyze_stats",
+    "ddl_schema_evolution_nested", "dedup_cross_source",
+    "dedup_novelty_score", "dedup_shared_spans_cross", "dml_insert_overwrite",
+    "dml_purge_history", "dml_scd2_intervals", "join_asof_nearest",
+    "join_asof_tolerance", "join_range_bucketized",
+    "maint_sort_order_compact", "meta_partitions", "meta_snapshots",
+    "multimodal_audio_resample", "pipeline_batch_padding",
+    "pipeline_contamination_check", "pipeline_doc_shard",
+    "pipeline_interleave_mixture", "pipeline_pack_sequences",
+    "rollup_gapfill_locf", "rollup_hypertable_incremental",
+    "rollup_ohlc_bars", "sample_tokens_systematic", "scalar_regex",
+    "scalar_try_safe", "similarity_maxsim_late_interaction",
+    "sink_bucketed_pruning", "source_merge_schema_read", "stream_cdc_apply",
+    "stream_static_join", "text_tfidf_top_terms",
+    "time_travel_as_of_timestamp", "window_activity_streaks",
+    "window_anomaly_zscore", "window_ewma", "window_first_touch_attribution",
+    "window_pareto_abc", "window_rolling_corr", "window_sessionize",
+    "window_twap", "window_user_gap_stats",
+    "agg_approx_distinct", "agg_quantile_approx",
+    "flagship_top_unshipped",
 ]
 
 

@@ -29,6 +29,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.util import materialize_bounded
 from ..session import prep
 from ..tables import table
 
@@ -71,7 +72,11 @@ def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> 
     finally:
         q.stop()
     result = spark.table(name)
-    materialized = spark.createDataFrame(result.collect(), result.schema)
+    # Memory-sink results are fixture-scale by construction, but route them
+    # through the same MATERIALIZE_ROW_CEILING guard as every other driver
+    # materialization so an unbounded stream can never silently funnel
+    # through the driver (VERDICT r5 #2).
+    materialized = materialize_bounded(spark, result)
     spark.catalog.dropTempView(name)
     return materialized
 
