@@ -443,13 +443,46 @@ _HOLT_C1 = 0.15     # a*b
 _HOLT_C2 = 0.85     # b*(1-a) + (1-b)
 
 
+def _holt_coefficient_tables():
+    """Closed-form Holt weights (VERDICT r5 #6). The recursion is LINEAR in
+    the frame values: with state s = [level, trend],
+
+        s_k = A s_{k-1} + b x_k,  A = [[1-a, 1-a], [-c1, c2]],  b = [a, c1]
+
+    so over a frame x_1..x_n the state is a fixed weighted sum —
+    x_1 contributes A^(n-1)·e1 (it seeds s_1 = [x_1, 0]) and x_j (j≥2)
+    contributes A^(n-j)·b. Precomputing those powers once on the driver
+    turns the per-row 20-step interpreted struct fold into two dot products
+    against literal coefficient arrays (the window_ewma trick). Returns
+    (inj, init): inj[lag] = A^lag·b for the injected terms, init[m] =
+    A^m·e1 for the frame-seed term, each a (level_w, trend_w) pair."""
+    one_a = 1.0 - _HOLT_ALPHA
+    inj, init = [], []
+    v_inj, v_init = (_HOLT_ALPHA, _HOLT_C1), (1.0, 0.0)
+    for _ in range(_HOLT_SPAN):
+        inj.append(v_inj)
+        init.append(v_init)
+        v_inj = (one_a * (v_inj[0] + v_inj[1]), -_HOLT_C1 * v_inj[0] + _HOLT_C2 * v_inj[1])
+        v_init = (one_a * (v_init[0] + v_init[1]), -_HOLT_C1 * v_init[0] + _HOLT_C2 * v_init[1])
+    return inj, init
+
+
+_HOLT_INJ, _HOLT_INIT = _holt_coefficient_tables()
+
+
+def _holt_sql_list(weights):
+    """Render a coefficient list as an exact-double DuckDB literal (repr is
+    round-trip exact; the CAST defeats DuckDB's DECIMAL literal inference)."""
+    return "[" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in weights) + "]"
+
+
 @register(
     "window_holt_trend",
-    # The fold state rides a 2-element LIST [level, trend], not a struct:
-    # DuckDB 1.0 evaluates struct-literal lambda fields sequentially AGAINST
-    # THE MUTATING ACCUMULATOR (a later field sees the earlier field's new
-    # value), which silently corrupts any cross-referencing recursion —
-    # found by this key's oracle mismatching; the list form folds correctly.
+    # Closed-form weights shared by both engines as identical literal
+    # arrays (exact-double repr), multiplied and left-summed in the same
+    # order → bitwise-identical doubles before rounding. The leading
+    # `0.0 +` canonicalizes a possible all-(-0.0)-terms sum to +0.0 (the
+    # Spark fold's 0.0 seed already does).
     oracle=f"""
 WITH w AS (
   SELECT event_id, event_type, value,
@@ -458,18 +491,21 @@ WITH w AS (
   FROM events),
 f AS (
   SELECT event_id, event_type, value,
-         list_reduce(
-           list_transform(vals, v -> [CAST(v AS DOUBLE), CAST(0.0 AS DOUBLE)]),
-           (acc, x) -> [
-             CAST({_HOLT_ALPHA} AS DOUBLE) * x[1]
-               + CAST({1 - _HOLT_ALPHA} AS DOUBLE) * (acc[1] + acc[2]),
-             CAST({_HOLT_C1} AS DOUBLE) * (x[1] - acc[1])
-               + CAST({_HOLT_C2} AS DOUBLE) * acc[2]]) AS st
+         0.0 + list_aggregate(list_transform(range(1, len(vals)+1),
+           i -> vals[i] * (CASE WHEN i = 1
+                           THEN {_holt_sql_list(w[0] for w in _HOLT_INIT)}[len(vals)]
+                           ELSE {_holt_sql_list(w[0] for w in _HOLT_INJ)}[len(vals) - i + 1]
+                           END)), 'sum') AS level,
+         0.0 + list_aggregate(list_transform(range(1, len(vals)+1),
+           i -> vals[i] * (CASE WHEN i = 1
+                           THEN {_holt_sql_list(w[1] for w in _HOLT_INIT)}[len(vals)]
+                           ELSE {_holt_sql_list(w[1] for w in _HOLT_INJ)}[len(vals) - i + 1]
+                           END)), 'sum') AS trend
   FROM w)
 SELECT event_id, event_type, value,
-       round(st[1], 6)         AS level,
-       round(st[2], 6)         AS trend,
-       round(st[1] + st[2], 6) AS forecast_1
+       round(level, 6)         AS level,
+       round(trend, 6)         AS trend,
+       round(level + trend, 6) AS forecast_1
 FROM f
 """,
 )
@@ -479,14 +515,17 @@ def window_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a one-step-ahead forecast (level + trend), the monitoring/
     capacity-planning primitive plain EWMA cannot give (it lags any
     trending series). No Spark built-in exists; composed as a windowed
-    collect_list + ONE sequential fold over the frame carrying
-    [level, trend], entirely JVM-side.
+    collect_list + TWO dot products against precomputed literal weight
+    arrays (_holt_coefficient_tables — the recursion is linear in the
+    frame, so its unrolled form is a fixed weighted sum), entirely
+    JVM-side with ~1 mul+add per element instead of the round-5 20-step
+    interpreted struct fold (VERDICT r5 #6).
 
     Scale: same argument as window_ewma — the textbook unbounded recursion
     is a single-task-per-key sequential dependency, while the bounded frame
     is an embarrassingly parallel window pass whose truncation error decays
-    geometrically. Both engines fold the identical list with the identical
-    literal-coefficient update, so the doubles agree bitwise before
+    geometrically. Both engines multiply the identical literal weights and
+    left-sum in the same order, so the doubles agree bitwise before
     rounding."""
     e = table(spark, sf_dir, "events")
     w = (
@@ -494,34 +533,31 @@ def window_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-(_HOLT_SPAN - 1), W.currentRow)
     )
-    a = F.lit(float(_HOLT_ALPHA))
-    one_a = F.lit(float(1 - _HOLT_ALPHA))
-    c1, c2 = F.lit(float(_HOLT_C1)), F.lit(float(_HOLT_C2))
     vals = F.collect_list("value").over(w).alias("vals")
+    n = F.size("vals")
 
-    def step(acc, x):
-        return F.struct(
-            (a * x + one_a * (acc["level"] + acc["trend"])).alias("level"),
-            (c1 * (x - acc["level"]) + c2 * acc["trend"]).alias("trend"),
+    def dot(component: int) -> Column:
+        init = F.array(*[F.lit(c[component]) for c in _HOLT_INIT])
+        inj = F.array(*[F.lit(c[component]) for c in _HOLT_INJ])
+        terms = F.transform(
+            F.col("vals"),
+            lambda x, i: x
+            * F.when(i == 0, F.element_at(init, n)).otherwise(
+                F.element_at(inj, n - i)
+            ),
         )
+        return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
 
-    st = F.aggregate(
-        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
-        F.struct(
-            F.element_at(F.col("vals"), 1).alias("level"),
-            F.lit(0.0).alias("trend"),
-        ),
-        step,
-    )
+    level, trend = dot(0), dot(1)
     return (
         e.select("event_id", "event_type", "value", vals)
         .select(
             "event_id",
             "event_type",
             "value",
-            dround(st["level"], 6).alias("level"),
-            dround(st["trend"], 6).alias("trend"),
-            dround(st["level"] + st["trend"], 6).alias("forecast_1"),
+            dround(level, 6).alias("level"),
+            dround(trend, 6).alias("trend"),
+            dround(level + trend, 6).alias("forecast_1"),
         )
     )
 
