@@ -35,6 +35,11 @@ from .store import LocalManifestStore, ManifestStore
 
 METADATA_DIR = "metadata"
 VERSION_HINT = "version-hint.text"
+# Table property selecting the metadata codec, spelled as the reference
+# spells it (write.metadata.compression-codec, LakeFSTableOperations.java:
+# 149-166): "gzip" makes commits publish v<N>.manifest.json.gz; anything
+# else (or absence) writes plain JSON. Reads always probe both.
+METADATA_COMPRESSION_PROP = "write.metadata.compression-codec"
 _VERSION_RE = re.compile(r"^v(\d+)\.manifest\.json(?:\.gz)?$")
 
 _LOCAL_STORE = LocalManifestStore()
@@ -424,6 +429,11 @@ class TableOperations:
 
         manifest.committed_at = _time.time()
         path = self._version_path(manifest.version)
+        # Property-driven codec: gzip commits publish the .gz twin the read
+        # probe (and _version_exists / GC / expire) already understands, so
+        # a chain may freely mix plain and compressed versions.
+        if manifest.properties.get(METADATA_COMPRESSION_PROP) == "gzip":
+            path += ".gz"
         # PUBLISH via the store's put-if-absent — the set-if-absent arbiter
         # of the race. Local store: private temp file + os.link (fails-if-
         # exists and appears fully formed, so a concurrent reader can never

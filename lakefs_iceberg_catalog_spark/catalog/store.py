@@ -59,8 +59,17 @@ class LocalManifestStore(ManifestStore):
         d = os.path.dirname(path)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".commit.{os.getpid()}.{_uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            f.write(content)
+        # A ``.gz`` target is written gzip-compressed (mtime=0 keeps the
+        # bytes deterministic) — the write-side analog of the read probe
+        # (write.metadata.compression-codec, LakeFSTableOperations.java:
+        # 149-166 probes both because either may have been written).
+        data = (
+            gzip.compress(content.encode(), mtime=0)
+            if path.endswith(".gz")
+            else content.encode()
+        )
+        with open(tmp, "wb") as f:
+            f.write(data)
         try:
             os.link(tmp, path)
         finally:

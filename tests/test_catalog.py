@@ -1980,3 +1980,41 @@ def test_scan_pruned_applies_equality_deletes_and_struct_projection(spark, tmp_p
     pruned = c.scan_pruned(t, "id", "<=", 6)
     rows = {r["id"]: r["meta"]["width"] for r in pruned.collect()}
     assert rows == {0: 0, 1: 10, 2: 20, 3: 30, 5: 50, 6: 60}  # 4 stays deleted
+
+
+def test_gzip_metadata_write_codec_roundtrip(cat, spark, tmp_path):
+    """write.metadata.compression-codec=gzip makes commits publish
+    v<N>.manifest.json.gz (LakeFSTableOperations.java:149-166 probes both
+    codecs on read because either may have been written); the chain may
+    mix codecs freely and every reader — scan, history, snapshots,
+    rollback — walks it transparently."""
+    import gzip as _gzip
+    import json as _json
+
+    t = "repo.main.company.workers"
+    meta = str(tmp_path / "warehouse" / "repo" / "main" / "company" / "workers" / "metadata")
+
+    before = cat.table_history(t)[-1]
+    cat.set_table_properties(t, {"write.metadata.compression-codec": "gzip"})
+    v_set = cat.table_history(t)[-1]
+    assert v_set == before + 1
+    # the property-setting commit itself is already compressed
+    gz = os.path.join(meta, f"v{v_set}.manifest.json.gz")
+    assert os.path.exists(gz)
+    assert not os.path.exists(os.path.join(meta, f"v{v_set}.manifest.json"))
+    with _gzip.open(gz, "rt") as f:
+        assert _json.load(f)["version"] == v_set
+
+    # data commits keep compressing; scans read through the codec
+    cat.append(t, spark.createDataFrame([("7", "Zoe", "Quinn", 28, "F")], WORKERS_SCHEMA))
+    v_app = cat.table_history(t)[-1]
+    assert os.path.exists(os.path.join(meta, f"v{v_app}.manifest.json.gz"))
+    assert cat.scan(t).count() == 7
+    assert cat.table_properties(t)["write.metadata.compression-codec"] == "gzip"
+
+    # unset -> back to plain JSON, mixed chain still walks end-to-end
+    cat.set_table_properties(t, {}, remove=["write.metadata.compression-codec"])
+    v_unset = cat.table_history(t)[-1]
+    assert os.path.exists(os.path.join(meta, f"v{v_unset}.manifest.json"))
+    assert cat.table_history(t) == list(range(1, v_unset + 1))
+    assert cat.scan(t).count() == 7
