@@ -142,6 +142,7 @@ EXTRA = [
     "source_binary_files",
     "agg_gini_concentration",
     "text_zipf_fit",
+    "source_iceberg_metadata",
 ]
 
 
@@ -152,13 +153,22 @@ def _load1() -> float | None:
         return None
 
 
-def _time_queries(spark, names, sf_dir, loads: dict[str, float] | None = None) -> dict[str, float]:
-    """Best-of-N minima per query. Sub-second queries are the most exposed to
-    ambient load on this shared host (a 0.3 s scheduler hiccup is 'noise' on
-    a 5 s query but a 2.5× 'regression' on a 0.5 s one), so they get extra
-    repetitions: everyone runs twice, and any query whose best is still
-    under ~1 s gets bumped to best-of-4. Per-query load1 is recorded so a
-    reader can tell a code regression from a busy-host artifact."""
+def _time_queries(
+    spark,
+    names,
+    sf_dir,
+    loads: dict[str, float] | None = None,
+    reps_out: dict[str, list[float]] | None = None,
+) -> dict[str, float]:
+    """Best-of-N minima per query — EVERY query (headline and extras alike)
+    is timed individually as its own full action; nothing is group-timed.
+    Sub-second queries are the most exposed to ambient load on this shared
+    host (a 0.3 s scheduler hiccup is 'noise' on a 5 s query but a 2.5×
+    'regression' on a 0.5 s one), so they get extra repetitions: any query
+    whose best-of-3 is still under ~1 s gets bumped to best-of-4.
+    Per-query load1 and the raw per-rep times are recorded so a reader can
+    tell a code regression from a busy-host artifact (a [12.2, 2.5, 1.4]
+    rep trace is codegen JIT warmup; [7.4, 7.5, 7.3] is the real cost)."""
     from lakefs_iceberg_catalog_spark.operators.util import release_scoped
 
     timings: dict[str, float] = {}
@@ -174,11 +184,13 @@ def _time_queries(spark, names, sf_dir, loads: dict[str, float] | None = None) -
         release_scoped()
         best = None
         runs = 0
+        reps: list[float] = []
         while runs < 4:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
+            reps.append(round(dt, 4))
             best = dt if best is None else min(best, dt)
             assert n >= 0
             runs += 1
@@ -193,6 +205,8 @@ def _time_queries(spark, names, sf_dir, loads: dict[str, float] | None = None) -
                 # dedup_near_minhash at sf0.1).
                 break
         timings[name] = round(best, 4)
+        if reps_out is not None:
+            reps_out[name] = reps
         if loads is not None:
             l1 = _load1()
             if l1 is not None:
@@ -211,10 +225,37 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     loads: dict[str, float] = {}
-    timings = _time_queries(spark, HEADLINE, sf_dir, loads)
+    reps: dict[str, list[float]] = {}
+    timings = _time_queries(spark, HEADLINE, sf_dir, loads, reps)
     total = round(sum(timings.values()), 4)
-    extra = _time_queries(spark, EXTRA, sf_dir, loads)
+    extra = _time_queries(spark, EXTRA, sf_dir, loads, reps)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full_payload = {
+        "metric": "headline_query_wall_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra_queries": extra,
+        "extra_total": round(sum(extra.values()), 4),
+        "sf": sf_val,
+        "load1": _load1(),
+        "load1_per_query": loads,
+        "reps_per_query": reps,
+    }
+    print(json.dumps(full_payload))
+    # The 115-query payload (with per-rep traces and per-query load1 — the
+    # audit trail for telling a regression from a busy-host artifact) also
+    # lands in a FILE next to this script: the driver records only a 2 KB
+    # stdout tail, which the full line outgrew back in round 4.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LOCAL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full_payload, f, indent=1)
+    except OSError:
+        full_path = None
+    # Compact summary LAST so the recorded tail is always parseable on its
+    # own: the gate numbers plus the 20 frozen headline per-query timings
+    # (~1 KB), pointing at the full per-extra artifact.
     print(
         json.dumps(
             {
@@ -222,29 +263,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "extra_queries": extra,
                 "extra_total": round(sum(extra.values()), 4),
                 "sf": sf_val,
                 "load1": _load1(),
-                "load1_per_query": loads,
-            }
-        )
-    )
-    # Compact summary LAST: the driver records only a 2 KB stdout tail, and
-    # the full line above (170+ per-query entries) outgrew it in round 4 —
-    # the headline totals sat at the FRONT and were truncated away. This
-    # second line repeats the gate numbers (plus the 20 frozen headline
-    # per-query timings, ~1 KB) so the tail is always parseable on its own.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_total": round(sum(extra.values()), 4),
-                "sf": sf_val,
-                "load1": _load1(),
+                "full_results_file": full_path,
             }
         )
     )

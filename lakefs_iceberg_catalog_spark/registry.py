@@ -63,9 +63,12 @@ _SWEEP_PRIORITY = [
     "window_holt_trend", "window_cusum_drift", "branch_revert",
     "meta_commit_log", "source_binary_files", "agg_gini_concentration",
     "text_zipf_fit",
-    # ... slots 12-49 = the 38 stalest keys whose newest driver row is
+    # ... slot 12 = round 6's Iceberg-interop key (VERDICT r5 #4 wants its
+    # driver row THIS round, so it takes a window slot immediately) ...
+    "source_iceberg_metadata",
+    # ... slots 13-49 = the 37 stalest keys whose newest driver row is
     # round 1, refreshed against the since-refactored code (r1-stale
-    # count drops 45 -> 7; the remaining 7 head the post-window list).
+    # count drops 45 -> 8; the remaining 8 head the post-window list).
     "agg_cube", "agg_distinct", "agg_grouping_sets", "agg_hash_group",
     "agg_quantile", "agg_salted_twophase", "agg_stats", "agg_string_collect",
     "filter_predicate", "join_asof", "join_cross", "join_full_outer",
@@ -75,15 +78,15 @@ _SWEEP_PRIORITY = [
     "scalar_bitwise", "scalar_conditional", "scalar_datetime", "scalar_hash",
     "scalar_json", "scalar_math", "scalar_null_safe", "scalar_string",
     "scan_table", "set_except_all", "set_intersect", "set_intersect_all",
-    "set_union", "sort_order_by", "subquery_correlated",
+    "set_union", "sort_order_by",
     # ---- Round-7 rotation queue: keys NEW in round 6 land HERE (slots
     # 50+), explicitly queued for the next window per the rotation policy.
     # (none yet this round)
     # ---- Past the window: every remaining key ordered by STALENESS ----
     # (rounds since its newest driver row: the 7 remaining r1-only keys
     # first, then r2, r3, r4, and finally the 50 keys just swept in r5)
-    "subquery_in", "subquery_scalar", "udaf_pandas", "udf_python",
-    "window_analytic", "window_distribution", "window_rank",
+    "subquery_correlated", "subquery_in", "subquery_scalar", "udaf_pandas",
+    "udf_python", "window_analytic", "window_distribution", "window_rank",
     # r2-stale
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",

@@ -1,0 +1,293 @@
+"""Iceberg v2 on-disk interop (catalog/avro_io.py + catalog/iceberg_format.py).
+
+The Avro tests are CROSS-IMPLEMENTATION: files are written by the real
+Apache Avro Java library (bundled in Spark's jars) and decoded by the
+from-scratch Python reader, so reader bugs cannot cancel against a sibling
+writer. The Iceberg tests walk genuine HadoopCatalog-layout chains
+(metadata.json + manifest list + Avro manifests), the reference's format
+(LakeFSTableOperations.java:139,176).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from lakefs_iceberg_catalog_spark.catalog.avro_io import (
+    AvroDecodeError,
+    JvmAvroWriter,
+    read_container,
+)
+from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+    MANIFEST_ENTRY_SCHEMA,
+    MANIFEST_LIST_SCHEMA,
+    STATUS_ADDED,
+    STATUS_DELETED,
+    IcebergTableWriter,
+    iceberg_data_files,
+    read_table_metadata,
+    scan_iceberg_table,
+)
+
+from .conftest import SF_DIR
+
+
+def _nation(spark):
+    from lakefs_iceberg_catalog_spark.tables import table
+
+    return table(spark, SF_DIR, "nation")
+
+
+# ----------------------------------------------------------- avro reader
+
+
+_KITCHEN_SINK = {
+    "type": "record",
+    "name": "sink",
+    "fields": [
+        {"name": "b", "type": "boolean"},
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "f", "type": "float"},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "by", "type": "bytes"},
+        {"name": "u", "type": ["null", "long"], "default": None},
+        {"name": "e", "type": {"type": "enum", "name": "col", "symbols": ["RED", "BLUE"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "f8", "size": 3}},
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {
+            "name": "nested",
+            "type": {
+                "type": "record",
+                "name": "inner",
+                "fields": [{"name": "x", "type": "long"}],
+            },
+        },
+        # named-type REFERENCE (Iceberg's r102-style reuse)
+        {"name": "nested2", "type": "inner"},
+    ],
+}
+
+_SINK_ROWS = [
+    {
+        "b": True,
+        "i": -42,
+        "l": 1 << 40,
+        "f": 1.5,
+        "d": -2.25,
+        "s": "héllo",
+        "by": b"\x00\xff",
+        "u": None,
+        "e": "BLUE",
+        "fx": b"abc",
+        "arr": [1, 2, 3],
+        "m": {"k1": "v1", "k2": "v2"},
+        "nested": {"x": 7},
+        "nested2": {"x": 8},
+    },
+    {
+        "b": False,
+        "i": 0,
+        "l": -(1 << 40),
+        "f": -0.5,
+        "d": 1e300,
+        "s": "",
+        "by": b"",
+        "u": 99,
+        "e": "RED",
+        "fx": b"xyz",
+        "arr": [],
+        "m": {},
+        "nested": {"x": -7},
+        "nested2": {"x": -8},
+    },
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_cross_implementation_roundtrip(spark, tmp_path, codec):
+    p = str(tmp_path / f"sink-{codec}.avro")
+    JvmAvroWriter(spark).write(p, _KITCHEN_SINK, _SINK_ROWS, meta={"who": "test"}, codec=codec)
+    info, back = read_container(p)
+    assert info["codec"] == codec
+    assert info["meta"]["who"] == b"test"
+    assert info["schema"]["name"] == "sink"
+    assert len(back) == 2
+    for want, got in zip(_SINK_ROWS, back):
+        for k, v in want.items():
+            if k == "f":  # float32 precision
+                assert abs(got[k] - v) < 1e-6
+            else:
+                assert got[k] == v, k
+
+
+def test_avro_rejects_non_avro(tmp_path):
+    p = str(tmp_path / "not.avro")
+    with open(p, "wb") as f:
+        f.write(b"PAR1 definitely not avro")
+    with pytest.raises(AvroDecodeError):
+        read_container(p)
+
+
+# ------------------------------------------------------- iceberg chain
+
+
+@pytest.fixture
+def ice(spark, tmp_path):
+    """Two-snapshot nation table in a genuine Iceberg v2 layout."""
+    d = str(tmp_path / "ice_table")
+    w = IcebergTableWriter(spark, d)
+    s1 = w.append(_nation(spark).filter("n_nationkey < 12"))
+    s2 = w.append(_nation(spark).filter("n_nationkey >= 12"))
+    return d, s1, s2
+
+
+def test_scan_current_snapshot(spark, ice):
+    d, _s1, _s2 = ice
+    df = scan_iceberg_table(spark, d)
+    assert df.count() == 25
+    assert set(df.columns) >= {"n_nationkey", "n_name", "n_regionkey"}
+
+
+def test_time_travel_by_snapshot_and_version(spark, ice):
+    d, s1, s2 = ice
+    assert scan_iceberg_table(spark, d, snapshot_id=s1).count() == 12
+    assert scan_iceberg_table(spark, d, snapshot_id=s2).count() == 25
+    assert scan_iceberg_table(spark, d, version=1).count() == 12
+
+
+def test_sequence_number_inheritance(ice):
+    d, _s1, _s2 = ice
+    # manifests leave ADDED entries' sequence_number null; readers must
+    # inherit the manifest-list number (Iceberg spec inheritance rule)
+    files = sorted(f["sequence_number"] for f in iceberg_data_files(d))
+    assert files == [1, 2]
+
+
+def test_version_hint_recovery_and_stale_hint(spark, ice):
+    d, _s1, _s2 = ice
+    hint = os.path.join(d, "metadata", "version-hint.text")
+    os.remove(hint)  # recovery scan over metadata/
+    assert read_table_metadata(d)["last-sequence-number"] == 2
+    with open(hint, "w") as f:
+        f.write("1")  # stale hint: walk forward to v2
+    assert read_table_metadata(d)["last-sequence-number"] == 2
+    assert scan_iceberg_table(spark, d).count() == 25
+
+
+def test_metadata_json_spec_shape(ice):
+    d, _s1, s2 = ice
+    m = read_table_metadata(d)
+    assert m["format-version"] == 2
+    assert m["current-snapshot-id"] == s2
+    assert m["schemas"][0]["fields"][0] == {
+        "id": 1,
+        "name": "n_nationkey",
+        "required": False,
+        "type": "int",
+    }
+    assert m["refs"]["main"]["snapshot-id"] == s2
+    snap = [s for s in m["snapshots"] if s["snapshot-id"] == s2][0]
+    assert snap["summary"]["operation"] == "append"
+    assert os.path.exists(snap["manifest-list"])
+
+
+def test_deleted_entries_are_skipped(spark, tmp_path, ice):
+    """A manifest whose entry is status=DELETED must drop out of the scan
+    (the spec's delete-by-rewrite path)."""
+    d, _s1, s2 = ice
+    meta_dir = os.path.join(d, "metadata")
+    m = read_table_metadata(d)
+    snap = [s for s in m["snapshots"] if s["snapshot-id"] == s2][0]
+    _, manifests = read_container(snap["manifest-list"])
+    # rewrite the OLDER manifest's entries as DELETED in a new manifest
+    old = min(manifests, key=lambda x: x["sequence_number"])
+    _, entries = read_container(old["manifest_path"])
+    deleted_path = os.path.join(meta_dir, "rewrite-m0.avro")
+    JvmAvroWriter(spark).write(
+        deleted_path,
+        MANIFEST_ENTRY_SCHEMA,
+        [
+            {**e, "status": STATUS_DELETED, "sequence_number": old["sequence_number"]}
+            for e in entries
+        ],
+        codec="deflate",
+    )
+    new_list = os.path.join(meta_dir, "snap-999-1-rewrite.avro")
+    keep = [mf for mf in manifests if mf is not old]
+    JvmAvroWriter(spark).write(
+        new_list,
+        MANIFEST_LIST_SCHEMA,
+        keep + [{**old, "manifest_path": deleted_path, "deleted_files_count": 1, "added_files_count": 0}],
+    )
+    # new snapshot pointing at the rewrite
+    v = 3
+    m["snapshots"].append(
+        {
+            "snapshot-id": 999,
+            "sequence-number": 3,
+            "timestamp-ms": m["last-updated-ms"] + 1,
+            "summary": {"operation": "delete"},
+            "manifest-list": new_list,
+            "schema-id": 0,
+        }
+    )
+    m["current-snapshot-id"] = 999
+    m["last-sequence-number"] = 3
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json"), "w") as f:
+        json.dump(m, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(v))
+    assert scan_iceberg_table(spark, d).count() == 13  # n_nationkey >= 12
+    # prior snapshots still read their original file sets
+    assert scan_iceberg_table(spark, d, snapshot_id=s2).count() == 25
+
+
+def test_delete_files_raise_not_implemented(spark, tmp_path, ice):
+    d, _s1, s2 = ice
+    meta_dir = os.path.join(d, "metadata")
+    m = read_table_metadata(d)
+    snap = [s for s in m["snapshots"] if s["snapshot-id"] == s2][0]
+    _, manifests = read_container(snap["manifest-list"])
+    bad_list = os.path.join(meta_dir, "snap-888-1-bad.avro")
+    JvmAvroWriter(spark).write(
+        bad_list,
+        MANIFEST_LIST_SCHEMA,
+        [{**manifests[0], "content": 1}],  # a DELETE manifest
+    )
+    m["snapshots"].append(
+        {
+            "snapshot-id": 888,
+            "sequence-number": 3,
+            "timestamp-ms": m["last-updated-ms"] + 1,
+            "summary": {"operation": "overwrite"},
+            "manifest-list": bad_list,
+            "schema-id": 0,
+        }
+    )
+    with open(os.path.join(meta_dir, "v3.metadata.json"), "w") as f:
+        json.dump(m, f)
+    with pytest.raises(NotImplementedError):
+        iceberg_data_files(d, snapshot_id=888)
+
+
+def test_gzip_metadata_json_probe(spark, ice):
+    """write.metadata.compression-codec tables store v<N>.metadata.json.gz;
+    the read probe must find them (same probing as the reference's
+    getMetadataFile, LakeFSTableOperations.java:149-166)."""
+    import gzip as _gzip
+
+    d, _s1, _s2 = ice
+    meta_dir = os.path.join(d, "metadata")
+    plain = os.path.join(meta_dir, "v2.metadata.json")
+    with open(plain) as f:
+        content = f.read()
+    os.remove(plain)
+    with _gzip.open(plain + ".gz", "wt") as f:
+        f.write(content)
+    assert read_table_metadata(d)["last-sequence-number"] == 2
+    assert scan_iceberg_table(spark, d).count() == 25
