@@ -73,6 +73,32 @@ def test_readme_inventory_counts_match_registry():
     )
 
 
+def test_readme_staleness_histogram_matches_artifacts():
+    """README's driver-sweep staleness histogram must be regenerated from
+    the CORRECTNESS_r*.json artifacts whenever keys or artifacts change —
+    a stale histogram misrepresents the verification state (VERDICT r5
+    #8)."""
+    import glob
+    import json
+    import os
+    import re
+    from collections import Counter
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r0*(\d+)\.json$", path).group(1))
+        for k in json.load(open(path)):
+            latest[k] = rnd
+    hist = Counter(latest.get(k) for k in registry.QUERIES)
+    readme = open(os.path.join(root, "README.md")).read()
+    for r in sorted([x for x in hist if x is not None]):
+        want = f"| round {r} | {hist[r]} |"
+        assert want in readme, f"README histogram row missing/stale: {want!r}"
+    never = hist.get(None, 0)
+    assert f"| never (queued for the next sweep window) | {never} |" in readme
+
+
 def test_collect_sites_are_ratcheted():
     """Driver-side `.collect(` is the unbounded-funnel anti-pattern; every
     allowed site is a bounded fit, a capped probe, or a fixture-scale
