@@ -143,6 +143,7 @@ EXTRA = [
     "agg_gini_concentration",
     "text_zipf_fit",
     "source_iceberg_metadata",
+    "sink_sharded_manifests",
 ]
 
 

@@ -384,13 +384,30 @@ def _layout_interval(m: TableManifest, col: str, op: str, value):
 
 
 def _layout_excludes(m: TableManifest, f: str, interval) -> bool:
-    """True iff file `f`'s layout key provably falls outside ``interval``.
-    The stored dir value is a string; integer transforms (bucket/days/
-    truncate-int) compare numerically, truncate-string lexicographically —
-    the same order the transform preserves."""
+    """True iff file `f`'s layout key provably falls outside ``interval``."""
+    return _pvals_exclude(m.file_partitions.get(f) or {}, interval)
+
+
+def _types_ns(**kw):
+    """Duck-typed manifest stand-in for the layout helpers (they only read
+    bucket_spec/schema_json) — lets shard pruning run off the LIST object
+    before any part is loaded."""
+    from types import SimpleNamespace
+
+    return SimpleNamespace(**kw)
+
+
+def _pvals_exclude(pvals: dict, interval) -> bool:
+    """True iff a partition-value dict's layout key (`_bucket`) provably
+    falls outside ``interval`` — shared by per-file pruning and SHARD-level
+    pruning (a manifest shard groups files of one partition value, so the
+    same proof skips the whole part object unread). The stored dir value is
+    a string; integer transforms (bucket/days/truncate-int) compare
+    numerically, truncate-string lexicographically — the same order the
+    transform preserves."""
     if interval is None:
         return False
-    fb = (m.file_partitions.get(f) or {}).get("_bucket")
+    fb = pvals.get("_bucket")
     if fb is None:
         return False
     lo, hi = interval
@@ -1232,10 +1249,10 @@ class VersionedCatalog:
             raise NoSuchTableError(".".join(levels))
         best = None
         for v in range(1, cur.version + 1):
-            content = ops.read_version(v)
-            if content is None:
+            d = ops.peek_version(v)
+            if d is None:
                 continue  # expired snapshot
-            if TableManifest.from_json(content).committed_at <= ts:
+            if d["committed_at"] <= ts:
                 best = v
         if best is None:
             raise NoSuchTableError(
@@ -1264,12 +1281,11 @@ class VersionedCatalog:
         if version is None:
             m = ops.current()
         else:
-            # codec-probing read: the historic version may be stored plain
-            # or as the legacy .gz variant
-            content = ops.read_version(version)
-            if content is None:
+            # codec-probing, shard-materializing read: the historic
+            # version may be plain, legacy .gz, or a sharded list object
+            m = ops.load_version(version)
+            if m is None:
                 raise NoSuchTableError(f"{'.'.join(levels)} has no version {version}")
-            m = TableManifest.from_json(content)
         if m is None:
             raise NoSuchTableError(".".join(levels))
         return self._read_files(levels[0], m)
@@ -2208,10 +2224,9 @@ class VersionedCatalog:
         rows = []
         prev: TableManifest | None = None
         for v in range(1, cur.version + 1):
-            content = ops.read_version(v)
-            if content is None:
+            m = ops.load_version(v)
+            if m is None:
                 continue
-            m = TableManifest.from_json(content)
             n_fields = len(json.loads(m.schema_json).get("fields", []))
             pf = set(prev.files) if prev is not None else set()
             cf = set(m.files)
@@ -2298,12 +2313,11 @@ class VersionedCatalog:
         cur = ops.current()
         if cur is None:
             raise NoSuchTableError(".".join(levels))
-        content = ops.read_version(version)
-        if content is None:
+        tgt = ops.load_version(version)
+        if tgt is None:
             raise NoSuchTableError(
                 f"{'.'.join(levels)} has no version {version} (expired?)"
             )
-        tgt = TableManifest.from_json(content)
         restored = TableManifest.from_json(tgt.to_json())  # deep copy
         restored.version = cur.version + 1
         ops.commit(cur, restored)
@@ -2321,11 +2335,10 @@ class VersionedCatalog:
         Iceberg's incremental scan refuses such ranges the same way)."""
         ops, levels = self._ops(identifier)
         name = ".".join(levels)
-        contents = [ops.read_version(v) for v in (from_version, to_version)]
-        if any(c is None for c in contents):
+        manifests = [ops.load_version(v) for v in (from_version, to_version)]
+        if any(m is None for m in manifests):
             raise NoSuchTableError(f"{name}: version range has expired snapshots")
-        m_from = TableManifest.from_json(contents[0])
-        m_to = TableManifest.from_json(contents[1])
+        m_from, m_to = manifests
         removed = set(m_from.files) - set(m_to.files)
         if removed:
             raise UnsupportedOperationError(
@@ -2338,17 +2351,75 @@ class VersionedCatalog:
         delta.files = added
         return self._read_files(levels[0], delta)
 
+    def _current_shard_pruned(
+        self, ops, levels: list[str], col: str, op: str, value
+    ) -> tuple[TableManifest, int]:
+        """(current manifest restricted to shards that MAY match
+        ``col op value``, total file count). On a sharded table this is the
+        lazy planning path: the shard index in the list object carries each
+        shard's partition values, so parts whose identity-partition value or
+        hidden-transform `_bucket` key provably fails the predicate are
+        NEVER READ from the store — at 100 TB that turns "load O(files)
+        manifest metadata" into "load the matching partitions' parts".
+        Exclusions are proofs; anything ambiguous keeps the shard and the
+        per-file stats + residual filter stay exact on top."""
+        v = ops.current_version()
+        if v == 0:
+            raise NoSuchTableError(".".join(levels))
+        d = ops.peek_version(v)
+        if d is None:
+            raise NoSuchTableError(".".join(levels))
+        if "shards" not in d:
+            m = TableManifest.from_dict(d)
+            return m, len(m.files)
+        total = sum(int(i.get("n_files", 0)) for i in d["shards"].values())
+        shim = _types_ns(
+            bucket_spec=d.get("bucket_spec", {}) or {}, schema_json=d["schema_json"]
+        )
+        interval = _layout_interval(shim, col, op, value)
+        dtype = None
+        if col in (d.get("partition_spec") or []):
+            st = T.StructType.fromJson(json.loads(d["schema_json"]))
+            dtype = {f.name: f.dataType for f in st.fields}.get(col)
+
+        def keep_shard(pvals: dict) -> bool:
+            if _pvals_exclude(pvals, interval):
+                return False
+            if dtype is not None and col in pvals:
+                pv = _decode_partition_value(pvals[col], dtype)
+                if pv is None:
+                    return True  # NULL partition: residual filter decides
+                try:
+                    if op == "=":
+                        return pv == value
+                    if op == "<":
+                        return pv < value
+                    if op == "<=":
+                        return pv <= value
+                    if op == ">":
+                        return pv > value
+                    if op == ">=":
+                        return pv >= value
+                    if op == "between":
+                        lo, hi = value
+                        return lo <= pv <= hi
+                except TypeError:
+                    return True  # incomparable probe: keep, stay exact
+            return True
+
+        m = ops.load_version(v, keep_shard=keep_shard)
+        return m, total
+
     def select_files(
         self, identifier: str | list[str], col: str, op: str, value
     ) -> tuple[list[str], int]:
         """File-skipping planner: (files surviving `col op value` by their
         manifest min/max stats, total file count). The Iceberg manifest-stats
         equivalent — at 100 TB this is what turns a selective scan from
-        'read the table' into 'read three files'."""
+        'read the table' into 'read three files'. Sharded manifests prune at
+        the SHARD level first (parts never loaded), then per-file stats."""
         ops, levels = self._ops(identifier)
-        m = ops.current()
-        if m is None:
-            raise NoSuchTableError(".".join(levels))
+        m, total = self._current_shard_pruned(ops, levels, col, op, value)
         interval = _layout_interval(m, col, op, value)
         keep = [
             f
@@ -2356,7 +2427,7 @@ class VersionedCatalog:
             if _file_survives(_effective_stats(m, f), col, op, value)
             and not _layout_excludes(m, f, interval)
         ]
-        return keep, len(m.files)
+        return keep, total
 
     def scan_pruned(
         self, identifier: str | list[str], col: str, op: str, value
@@ -2364,10 +2435,14 @@ class VersionedCatalog:
         """Scan with manifest-level file skipping + the residual filter
         applied on top (so results are exact regardless of stats quality)."""
         ops, levels = self._ops(identifier)
-        m = ops.current()
-        if m is None:
-            raise NoSuchTableError(".".join(levels))
-        keep, _ = self.select_files(identifier, col, op, value)
+        m, _total = self._current_shard_pruned(ops, levels, col, op, value)
+        interval = _layout_interval(m, col, op, value)
+        keep = [
+            f
+            for f in m.files
+            if _file_survives(_effective_stats(m, f), col, op, value)
+            and not _layout_excludes(m, f, interval)
+        ]
         pruned = TableManifest(
             table_uuid=m.table_uuid,
             version=m.version,
@@ -3101,10 +3176,9 @@ class VersionedCatalog:
         versions: dict[int, TableManifest] = {}
         all_files: set[str] = set()
         for v in range(1, cur.version + 1):
-            content = ops.read_version(v)
-            if content is None:
+            m = ops.load_version(v)
+            if m is None:
                 continue
-            m = TableManifest.from_json(content)
             versions[v] = m
             all_files.update(m.files)
         parsed = _parse_simple_predicate(predicate)
@@ -3240,11 +3314,14 @@ class VersionedCatalog:
                     m.file_stats[new] = new_stats[new]
             m.files = files
             path = ops._version_path(v)
+            # the rewrite is authoritative and UNSHARDED (purge touches the
+            # whole version anyway): publish plain, then retire the legacy
+            # gz twin and any now-stale shard parts of this version
             ops.store.put(path, m.to_json())
-            try:  # retire the legacy gz twin so the rewrite is authoritative
-                os.remove(path + ".gz")
-            except FileNotFoundError:
-                pass
+            ops.store.delete(path + ".gz")
+            for name in ops.store.list_dir(ops.meta_dir):
+                if name.startswith(f"v{v}-") and ".part" in name and name.endswith(".json"):
+                    ops.store.delete(os.path.join(ops.meta_dir, name))
             n_versions += 1
         # old files: delete only what no live manifest anywhere still needs
         still_needed = self.referenced_files(repo)
@@ -3292,10 +3369,10 @@ class VersionedCatalog:
         if older_than is not None:
             candidates = []
             for v in range(1, m.version):  # the head never expires by age
-                content = ops.read_version(v)
-                if content is None:
+                d = ops.peek_version(v)
+                if d is None:
                     continue  # already expired
-                if TableManifest.from_json(content).committed_at <= older_than:
+                if d["committed_at"] <= older_than:
                     candidates.append(v)
             expired = [v for v in candidates if v not in pinned]
         else:
@@ -3303,11 +3380,9 @@ class VersionedCatalog:
                 v for v in range(1, m.version - keep_last + 1) if v not in pinned
             ]
         for v in expired:
-            for path in (ops._version_path(v), ops._version_path(v) + ".gz"):
-                try:
-                    os.remove(path)
-                except FileNotFoundError:
-                    pass
+            # list object (both codecs) + the version's shard parts,
+            # including orphans from lost commit races of that version
+            ops.delete_version_artifacts(v)
         return expired
 
     def referenced_files(self, repo: str) -> set[str]:
@@ -3327,13 +3402,10 @@ class VersionedCatalog:
                         # _read_manifest_file makes v<N>.manifest.json.gz
                         # fully readable) — missing either here would let GC
                         # delete data a live snapshot still references.
-                        if _VERSION_RE.match(name):
-                            base = name[:-3] if name.endswith(".gz") else name
-                            content = _read_manifest_file(
-                                os.path.join(ops.meta_dir, base)
-                            )
-                            if content is not None:
-                                m = TableManifest.from_json(content)
+                        vm = _VERSION_RE.match(name)
+                        if vm:
+                            m = ops.load_version(int(vm.group(1)))
+                            if m is not None:
                                 refs.update(m.files)
                                 # position-delete files are data too: a live
                                 # snapshot's scan reads them, so GC must not

@@ -40,6 +40,26 @@ VERSION_HINT = "version-hint.text"
 # 149-166): "gzip" makes commits publish v<N>.manifest.json.gz; anything
 # else (or absence) writes plain JSON. Reads always probe both.
 METADATA_COMPRESSION_PROP = "write.metadata.compression-codec"
+# Table property enabling SHARDED manifests (SCALE.md "Manifest metadata at
+# scale"): commits write one small LIST object (v<N>.manifest.json holding
+# the table-level state + a shard index) plus per-partition PART objects
+# carrying the per-file maps — the Iceberg manifest-list design. The list
+# stays the single put-if-absent commit arbiter; parts are written first
+# under commit-unique names, so losers leave only unreferenced orphans
+# (cleaned by expire). Partition-pruned scans load only surviving shards.
+METADATA_SHARD_PROP = "write.metadata.shard-partitions"
+# The per-file maps a shard part carries (everything O(files) in the
+# manifest; table-level fields stay in the list object).
+_PER_FILE_MAPS = (
+    "file_stats",
+    "file_columns",
+    "file_types",
+    "file_partitions",
+    "delete_preds",
+    "position_deletes",
+    "equality_deletes",
+    "file_struct_columns",
+)
 _VERSION_RE = re.compile(r"^v(\d+)\.manifest\.json(?:\.gz)?$")
 
 _LOCAL_STORE = LocalManifestStore()
@@ -209,7 +229,21 @@ class TableManifest:
 
     @staticmethod
     def from_json(s: str) -> "TableManifest":
-        d = json.loads(s)
+        return TableManifest.from_dict(json.loads(s))
+
+    @staticmethod
+    def from_dict(d: dict) -> "TableManifest":
+        if "shards" in d:
+            # A sharded LIST object cannot be materialized without its
+            # parts — forcing every reader through the store-aware
+            # TableOperations.load_version keeps a naive parse from
+            # silently dropping per-file state (stats are merely
+            # conservative, but delete stamps and column provenance are
+            # CORRECTNESS: resurrected rows / mis-projected renames).
+            raise CommitStateError(
+                "sharded manifest: use TableOperations.load_version, "
+                "not TableManifest.from_json"
+            )
         return TableManifest(
             table_uuid=d["table_uuid"],
             version=int(d["version"]),
@@ -231,6 +265,42 @@ class TableManifest:
             equality_deletes=dict(d.get("equality_deletes", {})),
             file_struct_columns=dict(d.get("file_struct_columns", {})),
         )
+
+    def split_for_sharding(self, token: str) -> tuple[str, dict[str, str]]:
+        """Serialize as (list_json, {part_name: part_json}): files group
+        into shards by their partition-value dict (identity dirs, bucket/
+        transform `_bucket` keys, or the "" default shard for
+        unpartitioned files), and each part carries the per-file maps
+        scoped to its files. ``token`` is the committer's unique id — part
+        names are v<version>-<token>.part<i>.json so racing committers
+        never collide on parts; the LIST is the only contended object."""
+        d = json.loads(self.to_json())
+        shard_files: dict[str, list[str]] = {}
+        for f in d["files"]:
+            key = json.dumps(self.file_partitions.get(f) or {}, sort_keys=True)
+            shard_files.setdefault(key, []).append(f)
+        in_shards = set(d["files"])
+        shards: dict[str, dict] = {}
+        parts: dict[str, str] = {}
+        for i, (key, files) in enumerate(sorted(shard_files.items())):
+            name = f"v{self.version}-{token}.part{i}.json"
+            fset = set(files)
+            part = {"files": files}
+            for mname in _PER_FILE_MAPS:
+                part[mname] = {k: v for k, v in d[mname].items() if k in fset}
+            parts[name] = json.dumps(part, separators=(",", ":"), sort_keys=True)
+            shards[key] = {
+                "part": name,
+                "partition": json.loads(key),
+                "n_files": len(files),
+            }
+        # map entries keyed by something that is NOT a listed file (should
+        # not happen — next() scopes them — but never silently drop state)
+        for mname in _PER_FILE_MAPS:
+            d[mname] = {k: v for k, v in d[mname].items() if k not in in_shards}
+        d["files"] = []
+        d["shards"] = shards
+        return json.dumps(d, separators=(",", ":"), sort_keys=True), parts
 
     def next(
         self,
@@ -380,21 +450,77 @@ class TableOperations:
                 best = max(best, int(m.group(1)))
         return best
 
+    def current_version(self) -> int:
+        """Newest committed version number (0 = no metadata): hinted/
+        scanned start, then walk forward past a stale hint."""
+        v = self.find_version()
+        if v == 0:
+            return 0
+        while self._version_exists(v + 1):
+            v += 1
+        return v
+
     def current(self) -> TableManifest | None:
         """Newest manifest: start at the hinted/scanned version, walk forward
         until v(N+1) is absent — tolerates a stale hint the same way the
         reference does."""
-        v = self.find_version()
-        if v == 0:
-            return None
-        while self._version_exists(v + 1):
-            v += 1
-        content = self.read_version(v)
-        return TableManifest.from_json(content) if content is not None else None
+        v = self.current_version()
+        return self.load_version(v) if v else None
 
     def read_version(self, version: int) -> str | None:
         """Raw manifest content for a version (codec-probing), or None."""
         return self.store.read(self._version_path(version))
+
+    def peek_version(self, version: int) -> dict | None:
+        """Raw manifest dict for a version — sharded LIST objects come back
+        as-is (with their ``shards`` index, no part loads). The cheap probe
+        for committed_at checks and shard-pruning decisions."""
+        content = self.read_version(version)
+        return json.loads(content) if content is not None else None
+
+    def load_version(self, version: int, keep_shard=None) -> TableManifest | None:
+        """Materialize a version's manifest, loading shard parts when the
+        list object is sharded. ``keep_shard`` (fn(partition_dict) -> bool)
+        makes the load LAZY: shards it rejects are never read from the
+        store — the partition-pruned planning path. Correctness contract:
+        only pass a keep_shard whose False is a PROOF that every file in
+        the shard is excluded by the query's predicate."""
+        d = self.peek_version(version)
+        if d is None:
+            return None
+        if "shards" not in d:
+            return TableManifest.from_dict(d)
+        files = list(d.get("files", []))
+        maps = {m: dict(d.get(m, {})) for m in _PER_FILE_MAPS}
+        for info in d["shards"].values():
+            if keep_shard is not None and not keep_shard(info["partition"]):
+                continue
+            raw = self.store.read(os.path.join(self.meta_dir, info["part"]))
+            if raw is None:
+                raise CommitStateError(
+                    f"sharded manifest v{version} references missing part "
+                    f"{info['part']}"
+                )
+            part = json.loads(raw)
+            files.extend(part["files"])
+            for m in _PER_FILE_MAPS:
+                maps[m].update(part.get(m, {}))
+        d = {k: v for k, v in d.items() if k != "shards"}
+        d["files"] = files
+        d.update(maps)
+        return TableManifest.from_dict(d)
+
+    def delete_version_artifacts(self, version: int) -> None:
+        """Remove a version's list object (both codecs) and every part file
+        belonging to it — expire's storage-reclaim step. Part names embed
+        their version (v<N>-<token>.part<i>.json), so orphans from LOST
+        commit races of that version are swept too."""
+        for path in (self._version_path(version), self._version_path(version) + ".gz"):
+            self.store.delete(path)
+        prefix = f"v{version}-"
+        for name in self.store.list_dir(self.meta_dir):
+            if name.startswith(prefix) and ".part" in name and name.endswith(".json"):
+                self.store.delete(os.path.join(self.meta_dir, name))
 
     def _version_exists(self, version: int) -> bool:
         p = self._version_path(version)
@@ -434,14 +560,30 @@ class TableOperations:
         # a chain may freely mix plain and compressed versions.
         if manifest.properties.get(METADATA_COMPRESSION_PROP) == "gzip":
             path += ".gz"
+        # Sharded manifests: write the per-partition PART objects first
+        # under commit-unique names (no contention — each racer has its own
+        # token), then race on the LIST object alone. A loser's parts are
+        # unreferenced orphans, best-effort deleted here and swept by
+        # expire's version-prefixed cleanup otherwise.
+        part_paths: list[str] = []
+        if manifest.properties.get(METADATA_SHARD_PROP) == "true":
+            payload, parts = manifest.split_for_sharding(_uuid.uuid4().hex[:12])
+            for name, content in parts.items():
+                p = os.path.join(self.meta_dir, name)
+                self.store.put(p, content)
+                part_paths.append(p)
+        else:
+            payload = manifest.to_json()
         # PUBLISH via the store's put-if-absent — the set-if-absent arbiter
         # of the race. Local store: private temp file + os.link (fails-if-
         # exists and appears fully formed, so a concurrent reader can never
         # observe a torn half-written manifest). Object store: conditional
         # PUT, atomic by nature.
         try:
-            self.store.put_if_absent(path, manifest.to_json())
+            self.store.put_if_absent(path, payload)
         except FileExistsError as e:
+            for p in part_paths:
+                self.store.delete(p)
             raise CommitConflictError(
                 f"lost commit race for v{manifest.version} at {path}"
             ) from e

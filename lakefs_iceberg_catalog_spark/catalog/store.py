@@ -42,6 +42,11 @@ class ManifestStore:
     def exists(self, path: str) -> bool:
         raise NotImplementedError
 
+    def delete(self, path: str) -> None:
+        """Best-effort object delete (absent is fine) — orphan-part
+        cleanup and version expiry. Object store: plain DELETE."""
+        raise NotImplementedError
+
     def list_dir(self, path: str) -> list[str]:
         """Names (not full paths) under ``path``; [] when absent."""
         raise NotImplementedError
@@ -98,6 +103,12 @@ class LocalManifestStore(ManifestStore):
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
     def list_dir(self, path: str) -> list[str]:
         try:
             return os.listdir(path)
@@ -136,6 +147,10 @@ class InMemoryManifestStore(ManifestStore):
     def exists(self, path: str) -> bool:
         with self._lock:
             return path in self._objects
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._objects.pop(path, None)
 
     def list_dir(self, path: str) -> list[str]:
         prefix = path.rstrip("/") + "/"

@@ -81,7 +81,7 @@ _SWEEP_PRIORITY = [
     "set_union", "sort_order_by",
     # ---- Round-7 rotation queue: keys NEW in round 6 land HERE (slots
     # 50+), explicitly queued for the next window per the rotation policy.
-    # (none yet this round)
+    "sink_sharded_manifests",
     # ---- Past the window: every remaining key ordered by STALENESS ----
     # (rounds since its newest driver row: the 7 remaining r1-only keys
     # first, then r2, r3, r4, and finally the 50 keys just swept in r5)
