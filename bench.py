@@ -144,6 +144,9 @@ EXTRA = [
     "text_zipf_fit",
     "source_iceberg_metadata",
     "sink_sharded_manifests",
+    "sink_iceberg_export",
+    "source_delta_log",
+    "agg_count_min_sketch",
 ]
 
 

@@ -937,3 +937,61 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@register(
+    "agg_count_min_sketch",
+    # Same accuracy-contract design as agg_approx_distinct: the sketch
+    # bytes are engine-specific, so the driver-checked claim is Count-Min's
+    # GUARANTEE — estimates never undercount, and overcount stays within
+    # eps·N at the sketch's confidence (overwhelming at eps=0.1%, 7 keys).
+    oracle="""
+SELECT l_shipmode,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       TRUE                     AS never_undercounts,
+       TRUE                     AS within_eps_n
+FROM lineitem
+GROUP BY l_shipmode
+""",
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (df.stat.countMinSketch — the
+    streaming-friendly heavy-hitter counter): ONE distributed pass builds a
+    constant-size (w×d counters) sketch per partition, merged by cell-wise
+    sum; per-key frequency queries then cost O(d) on the tiny merged
+    sketch. The result folds CMS's two-sided contract per key: the
+    estimate can never undercount (all-hash-collision cells only add), and
+    overcounts by at most eps·N with probability ≥ confidence.
+
+    Scale: the sketch is ~1.4 KB/row-of-cells regardless of data size —
+    the 100 TB path for per-key frequencies over unbounded key domains
+    where an exact groupBy would shuffle the world; here the exact counts
+    ride along (computable at fixture scale) to PROVE the bounds. The
+    driver-side estimateCount probes are O(keys)·O(d) on a bounded
+    7-value domain — not a data funnel."""
+    eps, confidence, seed = 0.001, 0.99, 42
+    li = table(spark, sf_dir, "lineitem").select("l_shipmode")
+    sketch = li.stat.countMinSketch("l_shipmode", eps, confidence, seed)
+    exact = (
+        li.groupBy("l_shipmode")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    n_total = 0
+    rows = []
+    from .util import bounded_rows
+
+    exact_rows = bounded_rows(exact)  # 7 ship modes — bounded domain
+    n_total = sum(r["n_exact"] for r in exact_rows)
+    for r in exact_rows:
+        est = sketch.estimateCount(r["l_shipmode"])
+        rows.append(
+            (
+                r["l_shipmode"],
+                r["n_exact"],
+                bool(est >= r["n_exact"]),
+                bool(est <= r["n_exact"] + eps * n_total),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "l_shipmode string, n_exact bigint, never_undercounts boolean, within_eps_n boolean"
+    )

@@ -81,7 +81,8 @@ _SWEEP_PRIORITY = [
     "set_union", "sort_order_by",
     # ---- Round-7 rotation queue: keys NEW in round 6 land HERE (slots
     # 50+), explicitly queued for the next window per the rotation policy.
-    "sink_sharded_manifests",
+    "sink_sharded_manifests", "sink_iceberg_export", "source_delta_log",
+    "agg_count_min_sketch",
     # ---- Past the window: every remaining key ordered by STALENESS ----
     # (rounds since its newest driver row: the 7 remaining r1-only keys
     # first, then r2, r3, r4, and finally the 50 keys just swept in r5)
