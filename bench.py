@@ -147,6 +147,8 @@ EXTRA = [
     "sink_iceberg_export",
     "source_delta_log",
     "agg_count_min_sketch",
+    "source_iceberg_position_deletes",
+    "source_delta_checkpoint",
 ]
 
 
@@ -163,6 +165,7 @@ def _time_queries(
     sf_dir,
     loads: dict[str, float] | None = None,
     reps_out: dict[str, list[float]] | None = None,
+    errors: dict[str, str] | None = None,
 ) -> dict[str, float]:
     """Best-of-N minima per query — EVERY query (headline and extras alike)
     is timed individually as its own full action; nothing is group-timed.
@@ -172,7 +175,12 @@ def _time_queries(
     whose best-of-3 is still under ~1 s gets bumped to best-of-4.
     Per-query load1 and the raw per-rep times are recorded so a reader can
     tell a code regression from a busy-host artifact (a [12.2, 2.5, 1.4]
-    rep trace is codegen JIT warmup; [7.4, 7.5, 7.3] is the real cost)."""
+    rep trace is codegen JIT warmup; [7.4, 7.5, 7.3] is the real cost).
+
+    Crash-proof (VERDICT r6 #2): a query that RAISES records an entry in
+    ``errors`` and the run continues — one broken extra must never erase
+    the headline gate numbers again (round 6's agg_count_min_sketch
+    AnalysisException rc=1'd the whole artifact)."""
     from lakefs_iceberg_catalog_spark.operators.util import release_scoped
 
     timings: dict[str, float] = {}
@@ -191,8 +199,14 @@ def _time_queries(
         reps: list[float] = []
         while runs < 4:
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()
+            except Exception as exc:  # noqa: BLE001 — record, don't die
+                if errors is not None:
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                break
             dt = time.perf_counter() - t0
             reps.append(round(dt, 4))
             best = dt if best is None else min(best, dt)
@@ -208,6 +222,8 @@ def _time_queries(
                 # steady-state sample (measured 12.2 → 2.5 → 1.4 s on
                 # dedup_near_minhash at sf0.1).
                 break
+        if best is None:
+            continue  # query never completed a rep; recorded in errors
         timings[name] = round(best, 4)
         if reps_out is not None:
             reps_out[name] = reps
@@ -230,9 +246,10 @@ def main() -> None:
 
     loads: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
-    timings = _time_queries(spark, HEADLINE, sf_dir, loads, reps)
+    errors: dict[str, str] = {}
+    timings = _time_queries(spark, HEADLINE, sf_dir, loads, reps, errors)
     total = round(sum(timings.values()), 4)
-    extra = _time_queries(spark, EXTRA, sf_dir, loads, reps)
+    extra = _time_queries(spark, EXTRA, sf_dir, loads, reps, errors)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full_payload = {
         "metric": "headline_query_wall_total",
@@ -245,6 +262,7 @@ def main() -> None:
         "load1": _load1(),
         "load1_per_query": loads,
         "reps_per_query": reps,
+        "errors": errors,
     }
     print(json.dumps(full_payload))
     # The 115-query payload (with per-rep traces and per-query load1 — the
@@ -270,6 +288,7 @@ def main() -> None:
                 "extra_total": round(sum(extra.values()), 4),
                 "sf": sf_val,
                 "load1": _load1(),
+                "errors": errors,
                 "full_results_file": full_path,
             }
         )

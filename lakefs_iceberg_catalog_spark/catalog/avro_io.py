@@ -201,7 +201,17 @@ def _avro_json(schema, value, names):
             if "null" not in schema:
                 raise ValueError("None for a union without null")
             return None
-        branch = next(s for s in schema if s != "null")
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) > 1:
+            # A multi-branch union needs value-type dispatch to tag the
+            # right branch; every schema this writer emits is ["null", X],
+            # so refuse loudly instead of mis-tagging (the JVM JsonDecoder
+            # would reject or silently re-type the value).
+            raise ValueError(
+                f"union with {len(non_null)} non-null branches not supported "
+                "by the JSON encoder — add value-type branch dispatch first"
+            )
+        branch = non_null[0]
         return {_branch_tag(branch, names): _avro_json(branch, value, names)}
     t = schema if isinstance(schema, str) else schema["type"]
     if isinstance(schema, dict):

@@ -1252,7 +1252,9 @@ class VersionedCatalog:
             d = ops.peek_version(v)
             if d is None:
                 continue  # expired snapshot
-            if d["committed_at"] <= ts:
+            # .get with 0.0 default: legacy manifests may predate the
+            # committed_at field — parity with TableManifest.from_dict
+            if d.get("committed_at", 0.0) <= ts:
                 best = v
         if best is None:
             raise NoSuchTableError(
@@ -3372,7 +3374,8 @@ class VersionedCatalog:
                 d = ops.peek_version(v)
                 if d is None:
                     continue  # already expired
-                if d["committed_at"] <= older_than:
+                # same legacy-manifest default as TableManifest.from_dict
+                if d.get("committed_at", 0.0) <= older_than:
                     candidates.append(v)
             expired = [v for v in candidates if v not in pinned]
         else:

@@ -10,14 +10,19 @@ table), `remove` (file leaves), `protocol`, `commitInfo`. The current file
 set is the fold of all actions in version order; time travel stops the
 fold at a version.
 
-Scope: JSON commits only. Checkpoint parquet files are an optimization of
-the same fold (base state + later JSONs); a table with a `_last_checkpoint`
-whose JSON tail is incomplete raises rather than silently mis-reading.
+Checkpoints (`<version>.checkpoint.parquet` + `_last_checkpoint`, incl.
+multi-part `<v>.checkpoint.<i>.<n>.parquet`) are supported as the fold's
+BASE STATE: the reader takes the checkpoint's add/metaData/protocol rows as
+of its version and folds only the LATER JSON commits — the mechanism that
+bounds the log walk at scale (a 10M-commit table folds one parquet + the
+tail, not 10M JSONs), and the reason Delta can truncate old JSON commits.
+Time travel to a version BEFORE the checkpoint folds the early JSONs when
+they still exist and raises loudly when the log was truncated.
 
 Scale note: like the Iceberg walker, the log fold is driver-side planning —
-O(commits + files) small JSON reads (checkpoints bound the commit tail in
-production); executors read the data files through the distributed parquet
-source with pushdown intact.
+one O(files)-row checkpoint parquet + O(tail commits) small JSON reads;
+executors read the data files through the distributed parquet source with
+pushdown intact.
 """
 
 from __future__ import annotations
@@ -57,8 +62,7 @@ class DeltaTableWriter:
         """One commit: write each DataFrame as a parquet data file (`add`)
         and/or drop previously added files (`remove`). The first commit
         also stamps protocol + metaData."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        from .parquet_io import write_single_parquet
 
         actions: list[dict] = []
         now_ms = int(time.time() * 1000)
@@ -82,8 +86,7 @@ class DeltaTableWriter:
         for df in add_dfs or []:
             name = f"part-{self._version + 1:05d}-{uuid.uuid4()}.snappy.parquet"
             path = os.path.join(self.table_dir, name)
-            pdf = df.toPandas()
-            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+            n_rows = write_single_parquet(df, path)
             actions.append(
                 {
                     "add": {
@@ -92,7 +95,7 @@ class DeltaTableWriter:
                         "size": os.path.getsize(path),
                         "modificationTime": now_ms,
                         "dataChange": True,
-                        "stats": json.dumps({"numRecords": len(pdf)}),
+                        "stats": json.dumps({"numRecords": n_rows}),
                     }
                 }
             )
@@ -116,48 +119,176 @@ class DeltaTableWriter:
         )
         return self._write_commit(actions)
 
+    def checkpoint(self) -> int:
+        """Write a checkpoint of the CURRENT state: one
+        ``<version>.checkpoint.parquet`` holding protocol + metaData + one
+        row per live add action (typed struct columns, the spec's
+        checkpoint schema), plus ``_last_checkpoint``. After this, readers
+        fold from the checkpoint and older JSON commits become
+        truncatable."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        state = read_delta_log(self.table_dir)
+        v = state["version"]
+        protocol_t = pa.struct(
+            [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        )
+        meta_t = pa.struct(
+            [
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string())])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("createdTime", pa.int64()),
+            ]
+        )
+        add_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("stats", pa.string()),
+            ]
+        )
+        md = state["metadata"]
+        meta_row = {
+            "id": md.get("id"),
+            "format": {"provider": md.get("format", {}).get("provider", "parquet")},
+            "schemaString": md["schemaString"],
+            "partitionColumns": md.get("partitionColumns", []),
+            "createdTime": md.get("createdTime"),
+        }
+        proto_row = state.get(
+            "protocol", {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
+        adds = [
+            {
+                "path": a["path"],
+                "partitionValues": list((a.get("partitionValues") or {}).items()),
+                "size": a.get("size"),
+                "modificationTime": a.get("modificationTime"),
+                "dataChange": False,  # checkpoint rows are state, not change
+                "stats": a.get("stats"),
+            }
+            for a in state["files"].values()
+        ]
+        n = 2 + len(adds)
+        tbl = pa.table(
+            {
+                "protocol": pa.array([proto_row] + [None] * (n - 1), protocol_t),
+                "metaData": pa.array([None, meta_row] + [None] * (n - 2), meta_t),
+                "add": pa.array([None, None] + adds, add_t),
+            }
+        )
+        log_dir = os.path.join(self.table_dir, _LOG_DIR)
+        pq.write_table(tbl, os.path.join(log_dir, f"{v:020d}.checkpoint.parquet"))
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+            json.dump({"version": v, "size": n}, f)
+        return v
+
+
+def _apply_meta(md: dict, state: dict) -> None:
+    state["schema_json"] = md["schemaString"]
+    state["metadata"] = md
+    if md.get("partitionColumns"):
+        raise NotImplementedError("partitioned Delta tables are not supported")
+
+
+def _checkpoint_paths(log_dir: str, lc: dict) -> list[str]:
+    v = int(lc["version"])
+    parts = lc.get("parts")
+    if parts:
+        return [
+            os.path.join(
+                log_dir, f"{v:020d}.checkpoint.{i:010d}.{int(parts):010d}.parquet"
+            )
+            for i in range(1, int(parts) + 1)
+        ]
+    return [os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")]
+
+
+def _fold_checkpoint(log_dir: str, lc: dict, state: dict) -> None:
+    """Take a checkpoint's rows as the fold's base state. One parquet read
+    of O(live files) ACTION rows — metadata-scale, not data-scale."""
+    import pyarrow.parquet as pq
+
+    for path in _checkpoint_paths(log_dir, lc):
+        for row in pq.read_table(path).to_pylist():
+            if row.get("metaData") is not None:
+                _apply_meta(row["metaData"], state)
+            elif row.get("protocol") is not None:
+                state["protocol"] = row["protocol"]
+            elif row.get("add") is not None:
+                state["files"][row["add"]["path"]] = row["add"]
+            elif row.get("remove") is not None:
+                # tombstone of an already-removed file (kept for VACUUM):
+                # it is not in the live set; popping is a harmless no-op
+                state["files"].pop(row["remove"]["path"], None)
+
 
 def read_delta_log(table_dir: str, version: int | None = None) -> dict:
-    """Fold the commit log: returns {version, schema_json, files} where
-    files is the live relative-path set at that version (or head)."""
+    """Fold the commit log: returns {version, schema_json, files, metadata,
+    protocol} where files is the live relative-path → add-action map at
+    that version (or head). With a `_last_checkpoint`, the checkpoint is
+    the base state and only LATER JSON commits fold on top; versions
+    before a checkpoint remain reachable while their JSON commits exist
+    and raise loudly once truncated."""
     log_dir = os.path.join(table_dir, _LOG_DIR)
-    if os.path.exists(os.path.join(log_dir, "_last_checkpoint")):
-        raise NotImplementedError(
-            "checkpointed Delta logs are not supported by this reader"
-        )
+    lc: dict | None = None
+    try:
+        with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+            lc = json.load(f)
+    except FileNotFoundError:
+        pass
     versions = sorted(
         int(n.split(".")[0])
         for n in os.listdir(log_dir)
         if n.endswith(".json") and n.split(".")[0].isdigit()
     )
-    if not versions:
+    cp_v = int(lc["version"]) if lc else -1
+    head = max(versions[-1] if versions else -1, cp_v)
+    if head < 0:
         raise FileNotFoundError(f"no Delta commits under {log_dir}")
-    if versions[0] != 0 or versions != list(range(len(versions))):
-        raise ValueError(f"Delta log is not contiguous from 0: {versions}")
-    stop = versions[-1] if version is None else version
-    if stop not in versions:
-        raise ValueError(f"Delta version {stop} does not exist (have {versions})")
-    files: dict[str, dict] = {}
-    schema_json: str | None = None
-    for v in range(stop + 1):
+    stop = head if version is None else version
+    if stop > head or stop < 0:
+        raise ValueError(f"Delta version {stop} does not exist (head is {head})")
+
+    state: dict = {"version": stop, "schema_json": None, "files": {}}
+    if lc is not None and stop >= cp_v:
+        _fold_checkpoint(log_dir, lc, state)
+        need = list(range(cp_v + 1, stop + 1))
+    else:
+        need = list(range(0, stop + 1))
+    missing = sorted(set(need) - set(versions))
+    if missing:
+        detail = (
+            "truncated by checkpoint"
+            if lc is not None and missing[0] < cp_v
+            else "missing from the log"
+        )
+        raise ValueError(
+            f"Delta commits {missing} {detail} — cannot fold to version {stop}"
+        )
+    for v in need:
         with open(_commit_path(table_dir, v)) as f:
             for line in f.read().splitlines():
                 if not line.strip():
                     continue
                 action = json.loads(line)
                 if "metaData" in action:
-                    schema_json = action["metaData"]["schemaString"]
-                    if action["metaData"].get("partitionColumns"):
-                        raise NotImplementedError(
-                            "partitioned Delta tables are not supported"
-                        )
+                    _apply_meta(action["metaData"], state)
+                elif "protocol" in action:
+                    state["protocol"] = action["protocol"]
                 elif "add" in action:
-                    files[action["add"]["path"]] = action["add"]
+                    state["files"][action["add"]["path"]] = action["add"]
                 elif "remove" in action:
-                    files.pop(action["remove"]["path"], None)
-    if schema_json is None:
+                    state["files"].pop(action["remove"]["path"], None)
+    if state["schema_json"] is None:
         raise ValueError("Delta log has no metaData action")
-    return {"version": stop, "schema_json": schema_json, "files": files}
+    return state
 
 
 def scan_delta_table(

@@ -34,6 +34,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .avro_io import JvmAvroWriter, read_container
 
@@ -153,8 +154,6 @@ class IcebergTableWriter:
 
     def append(self, df: DataFrame) -> int:
         """Commit one append snapshot of ``df``; returns the snapshot id."""
-        import pyarrow.parquet as pq
-
         if self._schema_json is None:
             self._schema_json = _iceberg_schema(df)
         self._version += 1
@@ -162,15 +161,14 @@ class IcebergTableWriter:
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
 
         # -- data file (single parquet per append keeps the fixture
-        #    deterministic; a real writer fans out per task) --------------
-        pdf = df.toPandas()
+        #    deterministic; a real writer fans out per task). Written
+        #    executor-side via coalesce(1) — no driver materialization ----
+        from .parquet_io import write_single_parquet
+
         data_path = os.path.join(
             self.data_dir, f"00000-{self._version}-{self._uuid}-0-00001.parquet"
         )
-        import pyarrow as pa
-
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), data_path)
-        n_rows = len(pdf)
+        n_rows = write_single_parquet(df, data_path)
 
         # -- manifest: the new file as ADDED; sequence numbers are LEFT
         #    NULL to exercise the spec's inheritance rule (readers take the
@@ -221,7 +219,90 @@ class IcebergTableWriter:
                 "deleted_rows_count": 0,
             }
         )
+        return self._commit_snapshot(snapshot_id, "append")
 
+    def delete_positions(self, deletes: list[tuple[str, int]]) -> int:
+        """Commit one merge-on-read DELETE snapshot carrying a POSITION
+        delete file (spec: data_file.content=1 in a content=1 delete
+        manifest): a parquet file of (file_path, pos) rows marking data
+        rows dead without rewriting data files — the layout Iceberg's v2
+        row-level DELETE emits (the reference requests format-version 2,
+        TestLakeFSCatalogSpark.java:67). ``deletes`` is a bounded list of
+        (data file path, row ordinal) pairs — deleted-row-proportional
+        metadata, written driver-side like Iceberg's own delete writer."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self._schema_json is None:
+            raise ValueError("delete_positions before any append")
+        self._version += 1
+        self._sequence += 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+
+        # spec orders position delete rows by (file_path, pos)
+        rows = sorted(deletes)
+        del_path = os.path.join(
+            self.data_dir, f"00000-{self._version}-{self._uuid}-deletes-00001.parquet"
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array([r[0] for r in rows], pa.string()),
+                    "pos": pa.array([int(r[1]) for r in rows], pa.int64()),
+                }
+            ),
+            del_path,
+        )
+
+        manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
+        self._avro.write(
+            manifest_path,
+            MANIFEST_ENTRY_SCHEMA,
+            [
+                {
+                    "status": STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,  # inherited from manifest list
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": CONTENT_POSITION_DELETES,
+                        "file_path": del_path,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": len(rows),
+                        "file_size_in_bytes": os.path.getsize(del_path),
+                    },
+                }
+            ],
+            meta={
+                "schema": json.dumps(self._schema_json),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes",
+            },
+            codec="deflate",
+        )
+        self._manifests.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": self._sequence,
+                "min_sequence_number": self._sequence,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": len(rows),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+        return self._commit_snapshot(snapshot_id, "delete")
+
+    def _commit_snapshot(self, snapshot_id: int, operation: str) -> int:
         # -- manifest list: every live manifest, newest first --------------
         list_path = os.path.join(
             self.meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
@@ -241,7 +322,7 @@ class IcebergTableWriter:
                 "snapshot-id": snapshot_id,
                 "sequence-number": self._sequence,
                 "timestamp-ms": now_ms,
-                "summary": {"operation": "append"},
+                "summary": {"operation": operation},
                 "manifest-list": list_path,
                 "schema-id": 0,
             }
@@ -281,9 +362,17 @@ class IcebergTableWriter:
 
 
 def _read_metadata_file(path: str) -> dict | None:
-    for candidate, opener in ((path, open), (path + ".gz", None)):
+    # Three on-disk spellings: plain vN.metadata.json; vN.metadata.json.gz
+    # (this repo's catalog codec suffix); and stock Iceberg's gzip codec
+    # name vN.gz.metadata.json (TableMetadataParser.getFileExtension puts
+    # `.gz` BEFORE `.metadata.json` — the reference's getMetadataFile probes
+    # that spelling, so real gzip-compressed tables arrive with it).
+    candidates = [(path, False), (path + ".gz", True)]
+    if path.endswith(".metadata.json"):
+        candidates.append((path[: -len(".metadata.json")] + ".gz.metadata.json", True))
+    for candidate, gz in candidates:
         try:
-            if opener is open:
+            if not gz:
                 with open(candidate) as f:
                     return json.load(f)
             with gzip.open(candidate, "rt") as f:
@@ -327,13 +416,15 @@ def read_table_metadata(table_dir: str, version: int | None = None) -> dict:
     return m
 
 
-def iceberg_data_files(
+def iceberg_snapshot_files(
     table_dir: str, snapshot_id: int | None = None, version: int | None = None
-) -> list[dict]:
-    """Live data files of a snapshot: metadata.json → manifest list →
-    manifests, honoring entry status (DELETED entries drop out) and the
-    sequence-number inheritance rule. Returns data_file dicts augmented
-    with the resolved sequence_number."""
+) -> tuple[list[dict], list[dict]]:
+    """Walk one snapshot's manifests, BOTH contents: metadata.json →
+    manifest list → manifests, honoring entry status (DELETED entries drop
+    out) and the sequence-number inheritance rule. Returns
+    ``(data_files, delete_files)`` — each a list of data_file dicts
+    augmented with the resolved sequence_number; delete_files carries the
+    snapshot's live position/equality delete files (content=1/2)."""
     metadata = read_table_metadata(table_dir, version)
     snap_id = snapshot_id if snapshot_id is not None else metadata.get("current-snapshot-id")
     snap = next(
@@ -342,27 +433,50 @@ def iceberg_data_files(
     if snap is None:
         raise ValueError(f"snapshot {snap_id} not found in table metadata")
     _, manifest_files = read_container(snap["manifest-list"])
-    out: list[dict] = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for mf in manifest_files:
-        if mf.get("content", 0) != 0:
-            raise NotImplementedError(
-                "delete manifests (content=1) are not supported by this scan"
-            )
+        in_delete_manifest = mf.get("content", 0) != 0
         _, entries = read_container(mf["manifest_path"])
         for entry in entries:
             if entry["status"] == STATUS_DELETED:
                 continue
             data_file = entry["data_file"]
-            if data_file["content"] != CONTENT_DATA:
-                raise NotImplementedError(
-                    "delete files (content!=0) are not supported by this scan"
+            # spec: a data manifest (content=0) lists only data files, a
+            # delete manifest (content=1) only delete files — a mismatch is
+            # a corrupt layout, not something to guess through
+            if in_delete_manifest != (data_file["content"] != CONTENT_DATA):
+                raise ValueError(
+                    f"corrupt manifest {mf['manifest_path']}: manifest-list "
+                    f"content={mf.get('content', 0)} but entry content="
+                    f"{data_file['content']}"
                 )
             seq = entry.get("sequence_number")
             if seq is None:
                 # inheritance: ADDED entries take the manifest's number
                 seq = mf["sequence_number"]
-            out.append({**data_file, "sequence_number": seq})
-    return out
+            rec = {**data_file, "sequence_number": seq}
+            if data_file["content"] == CONTENT_DATA:
+                data.append(rec)
+            else:
+                deletes.append(rec)
+    return data, deletes
+
+
+def iceberg_data_files(
+    table_dir: str, snapshot_id: int | None = None, version: int | None = None
+) -> list[dict]:
+    """Strict data-only file listing: raises if the snapshot carries ANY
+    delete files — callers that cannot merge deletes must refuse loudly
+    rather than return rows that Iceberg itself would not return. Use
+    ``scan_iceberg_table`` for a scan that MERGES position deletes."""
+    data, deletes = iceberg_snapshot_files(table_dir, snapshot_id, version)
+    if deletes:
+        raise NotImplementedError(
+            "snapshot carries delete files — use scan_iceberg_table, which "
+            "merges position deletes"
+        )
+    return data
 
 
 def scan_iceberg_table(
@@ -373,11 +487,55 @@ def scan_iceberg_table(
 ) -> DataFrame:
     """Distributed scan of a real Iceberg table layout: driver-side
     metadata walk picks the file set; executors read them through the
-    normal parquet source (pushdown/pruning intact)."""
-    files = iceberg_data_files(table_dir, snapshot_id, version)
-    if not files:
+    normal parquet source (pushdown/pruning intact).
+
+    Merge-on-read POSITION deletes (content=1; the files Iceberg v2's
+    row-level DELETE may emit — the reference's tables are format-version
+    2, TestLakeFSCatalogSpark.java:67) are applied as one anti-join of
+    (data file path, row ordinal) — the `_metadata.file_path/row_index`
+    hidden columns on the data side vs the delete files' (file_path, pos)
+    rows — the SAME join the versioned catalog runs for its own MoR scans
+    (catalog.py _read_files). Deleted-row-proportional work, usually a
+    broadcast. Sequence-number scoping is unnecessary for position
+    deletes: file paths are unique per file, a position delete references
+    a path live when it was written, so data_seq <= delete_seq holds by
+    construction. Equality deletes (content=2) still refuse loudly —
+    those DO need sequence scoping and key semantics."""
+    data, deletes = iceberg_snapshot_files(table_dir, snapshot_id, version)
+    if not data:
         raise ValueError(f"snapshot has no data files under {table_dir}")
-    fmts = {f["file_format"].upper() for f in files}
+    eq = [f for f in deletes if f["content"] == CONTENT_EQUALITY_DELETES]
+    if eq:
+        raise NotImplementedError(
+            "equality delete files (content=2) are not supported by this scan"
+        )
+    fmts = {f["file_format"].upper() for f in data + deletes}
     if fmts != {"PARQUET"}:
         raise NotImplementedError(f"unsupported data file formats: {fmts}")
-    return spark.read.parquet(*[f["file_path"] for f in files])
+    df = spark.read.parquet(*[f["file_path"] for f in data])
+    pos = [f for f in deletes if f["content"] == CONTENT_POSITION_DELETES]
+    if not pos:
+        return df
+    # normalize both sides to a bare path: Spark's _metadata.file_path is a
+    # URI (file:///a/b); manifests/delete rows may carry either spelling
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    cols = df.columns
+    dels = (
+        spark.read.schema("file_path string, pos long")
+        .parquet(*[f["file_path"] for f in pos])
+        .select(norm(F.col("file_path")).alias("_dfile"), F.col("pos").alias("_dpos"))
+    )
+    return (
+        df.withColumns(
+            {
+                "_file": norm(F.col("_metadata.file_path")),
+                "_pos": F.col("_metadata.row_index"),
+            }
+        )
+        .join(
+            dels,
+            (F.col("_file") == F.col("_dfile")) & (F.col("_pos") == F.col("_dpos")),
+            "left_anti",
+        )
+        .select(*cols)
+    )

@@ -1,0 +1,40 @@
+"""Single-file parquet materialization for fixture/metadata writers.
+
+The Iceberg/Delta interop writers commit one deterministic parquet file per
+append (real writers fan out per task; the fixtures pin one file so layouts
+are reproducible). Writing that file must NOT funnel rows through the
+driver: converting the whole DataFrame to a driver-side pandas frame
+materializes every row in driver memory — at any real table size that is
+the funnel anti-pattern the repo's ratchet test freezes out. Instead the distributed writer runs with a single
+task (`coalesce(1)`) so rows stream executor-side straight to parquet, and
+the part file is renamed into place; the row count comes from the parquet
+FOOTER (metadata-only read), not a data pass.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+
+def write_single_parquet(df: DataFrame, dest_path: str) -> int:
+    """Write ``df`` as exactly one parquet file at ``dest_path``; returns
+    the row count (read from the footer, no data pass)."""
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(
+        prefix="single-pq-", dir=os.path.dirname(dest_path) or None
+    )
+    out_dir = os.path.join(tmp, "out")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        parts = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+        assert len(parts) == 1, f"coalesce(1) produced {len(parts)} part files"
+        shutil.move(parts[0], dest_path)
+        return int(pq.read_metadata(dest_path).num_rows)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

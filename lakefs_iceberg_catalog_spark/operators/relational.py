@@ -944,54 +944,84 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same accuracy-contract design as agg_approx_distinct: the sketch
     # bytes are engine-specific, so the driver-checked claim is Count-Min's
     # GUARANTEE — estimates never undercount, and overcount stays within
-    # eps·N at the sketch's confidence (overwhelming at eps=0.1%, 7 keys).
+    # eps·N at the sketch's confidence (overwhelming at eps=0.1%, 3 keys).
+    # Keyed on l_returnflag: the trimmed testdata has no l_shipmode
+    # (tpch_extra.py documents the trim; Q12 uses l_linestatus the same way).
     oracle="""
-SELECT l_shipmode,
+SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n_exact,
        TRUE                     AS never_undercounts,
        TRUE                     AS within_eps_n
 FROM lineitem
-GROUP BY l_shipmode
+GROUP BY l_returnflag
 """,
 )
 def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch frequency estimation (df.stat.countMinSketch — the
-    streaming-friendly heavy-hitter counter): ONE distributed pass builds a
-    constant-size (w×d counters) sketch per partition, merged by cell-wise
-    sum; per-key frequency queries then cost O(d) on the tiny merged
-    sketch. The result folds CMS's two-sided contract per key: the
-    estimate can never undercount (all-hash-collision cells only add), and
-    overcounts by at most eps·N with probability ≥ confidence.
+    """Count-Min sketch frequency estimation, built distributed from
+    DataFrame ops (PySpark exposes no Dataset.stat.countMinSketch, and the
+    SQL ``count_min_sketch`` aggregate returns opaque engine-private bytes
+    — so the sketch's d×w counter table is materialized directly: each row
+    explodes into d (depth, xxhash64-bucket) cells, a groupBy(depth,
+    bucket) with map-side partial aggregation sums them, and a per-key
+    probe takes min-over-depths). The result folds CMS's two-sided
+    contract per key: the estimate can never undercount (hash-collision
+    cells only add), and overcounts by at most eps·N with probability
+    ≥ confidence.
 
-    Scale: the sketch is ~1.4 KB/row-of-cells regardless of data size —
-    the 100 TB path for per-key frequencies over unbounded key domains
-    where an exact groupBy would shuffle the world; here the exact counts
-    ride along (computable at fixture scale) to PROVE the bounds. The
-    driver-side estimateCount probes are O(keys)·O(d) on a bounded
-    7-value domain — not a data funnel."""
-    eps, confidence, seed = 0.001, 0.99, 42
-    li = table(spark, sf_dir, "lineitem").select("l_shipmode")
-    sketch = li.stat.countMinSketch("l_shipmode", eps, confidence, seed)
-    exact = (
-        li.groupBy("l_shipmode")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
+    Scale: the counter table is ≤ d·w cells regardless of data size — the
+    100 TB path for per-key frequencies over unbounded key domains where
+    an exact groupBy would shuffle the world; here the exact counts ride
+    along (computable at fixture scale) to PROVE the bounds. The d-way row
+    explosion collapses in the partial-aggregate stage (per-partition
+    output is ≤ d·w cells, not d·rows); the probe join is an equi-join of
+    a 3-key broadcast side against the tiny cell table — no data funnel,
+    one bounded_rows probe for N."""
+    import math
+
+    eps, confidence = 0.001, 0.99
+    w = int(math.ceil(math.e / eps))            # 2719 buckets per depth
+    d = int(math.ceil(math.log(1.0 / (1.0 - confidence))))  # 5 depths
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag")
+    cells_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"),
+                F.pmod(
+                    F.xxhash64(F.lit(j), F.col("l_returnflag")), F.lit(w)
+                ).alias("bucket"),
+            )
+            for j in range(d)
+        ]
     )
-    n_total = 0
-    rows = []
+    cells = (
+        li.select(F.explode(cells_arr).alias("c"))
+        .groupBy(F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_exact"))
     from .util import bounded_rows
 
-    exact_rows = bounded_rows(exact)  # 7 ship modes — bounded domain
-    n_total = sum(r["n_exact"] for r in exact_rows)
-    for r in exact_rows:
-        est = sketch.estimateCount(r["l_shipmode"])
-        rows.append(
-            (
-                r["l_shipmode"],
-                r["n_exact"],
-                bool(est >= r["n_exact"]),
-                bool(est <= r["n_exact"] + eps * n_total),
-            )
-        )
-    return spark.createDataFrame(
-        rows, "l_shipmode string, n_exact bigint, never_undercounts boolean, within_eps_n boolean"
+    n_total = sum(r["n_exact"] for r in bounded_rows(exact))  # 3 flags
+    # probe: each key's d cells, min over depths = the CMS estimate
+    probes = exact.select(
+        "l_returnflag", "n_exact", F.explode(cells_arr).alias("c")
+    ).select(
+        "l_returnflag",
+        "n_exact",
+        F.col("c.depth").alias("depth"),
+        F.col("c.bucket").alias("bucket"),
+    )
+    est = (
+        F.broadcast(probes)
+        .join(cells, ["depth", "bucket"], "inner")
+        .groupBy("l_returnflag", "n_exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.select(
+        "l_returnflag",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.col("est") >= F.col("n_exact")).alias("never_undercounts"),
+        (F.col("est") <= F.col("n_exact") + F.lit(eps * n_total)).alias(
+            "within_eps_n"
+        ),
     )

@@ -241,6 +241,49 @@ def source_iceberg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_iceberg_position_deletes",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey NOT IN (0, 7, 24)
+""",
+)
+def source_iceberg_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a real Iceberg v2 table whose head snapshot carries a POSITION
+    delete file (VERDICT r6 #5): the fixture appends nation as one
+    snapshot, then commits a merge-on-read DELETE snapshot — a spec-shaped
+    (file_path, pos) parquet delete file under a content=1 delete manifest
+    — and the engine's walker merges the deletes as a (data file, row
+    ordinal) anti-join during the scan. The reference's tables are
+    format-version 2 (TestLakeFSCatalogSpark.java:67), whose row-level
+    DELETEs may emit exactly these files (SURVEY §3.3) — without this
+    read-side merge a real reference-written table would be unreadable.
+    Pre-delete time travel is asserted mid-flow.
+
+    Scale: the delete-side read is deleted-row-proportional and the
+    anti-join keys on (file path, ordinal) — an equi-join, usually a
+    broadcast; data files still stream through the distributed parquet
+    source with pushdown intact."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        scan_iceberg_table,
+    )
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg-posdel-")
+    w = IcebergTableWriter(spark, tmp)
+    s1 = w.append(n.orderBy("n_nationkey"))  # ordinal == n_nationkey
+    files, _ = iceberg_snapshot_files(tmp, snapshot_id=s1)
+    data_path = files[0]["file_path"]
+    w.delete_positions([(data_path, 0), (data_path, 7), (data_path, 24)])
+    assert scan_iceberg_table(spark, tmp, snapshot_id=s1).count() == 25
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_delta_log",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 12
@@ -278,5 +321,55 @@ def source_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     w.commit(remove=v0_adds)
     assert scan_delta_table(spark, tmp, version=1).count() == 25  # pre-delete
+    back = scan_delta_table(spark, tmp).select("n_nationkey", "n_name", "n_regionkey")
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_delta_checkpoint",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey >= 12 OR n_nationkey < 3
+""",
+)
+def source_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a CHECKPOINTED Delta log (VERDICT r6 #6 — the mechanism that
+    bounds the log walk at scale): the fixture builds the source_delta_log
+    chain (adds, then a remove), writes a checkpoint parquet +
+    `_last_checkpoint` at version 2, TRUNCATES the pre-checkpoint JSON
+    commits (legal once checkpointed — exactly what real Delta log
+    cleanup does), then commits one more add. The reader folds checkpoint
+    base state + only the post-checkpoint JSON tail; time travel to the
+    checkpoint version itself is asserted mid-flow, and the truncated
+    pre-checkpoint versions raise loudly (pinned in
+    tests/test_delta_format.py).
+
+    Scale: a 10M-commit table folds ONE O(live files)-row parquet plus the
+    JSON tail since the last checkpoint — not 10M JSON reads; data files
+    still stream through the distributed parquet source."""
+    import os as _os
+
+    from ..catalog.delta_format import DeltaTableWriter, scan_delta_table
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta-cp-")
+    w = DeltaTableWriter(spark, tmp)
+    w.commit(add_dfs=[n.filter(F.col("n_nationkey") < 12)])
+    import json as _json
+
+    with open(_os.path.join(tmp, "_delta_log", f"{0:020d}.json")) as f:
+        v0_adds = [
+            _json.loads(line)["add"]["path"]
+            for line in f.read().splitlines()
+            if '"add"' in line
+        ]
+    w.commit(add_dfs=[n.filter(F.col("n_nationkey") >= 12)])
+    w.commit(remove=v0_adds)
+    cp_v = w.checkpoint()
+    assert cp_v == 2
+    for v in (0, 1):  # truncate pre-checkpoint JSON commits
+        _os.remove(_os.path.join(tmp, "_delta_log", f"{v:020d}.json"))
+    w.commit(add_dfs=[n.filter(F.col("n_nationkey") < 3)])  # post-cp tail
+    assert scan_delta_table(spark, tmp, version=cp_v).count() == 13
     back = scan_delta_table(spark, tmp).select("n_nationkey", "n_name", "n_regionkey")
     return _materialize(spark, back, tmp)

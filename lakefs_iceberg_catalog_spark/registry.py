@@ -55,54 +55,41 @@ def register(name: str, oracle: str | None = None):
 
 
 _SWEEP_PRIORITY = [
-    # ---- Round-6 window (slots 0-49; the driver checks the FIRST 50) ----
-    # VERDICT r5 "Next round" #1: slots 0-11 = the 12 keys registered late
-    # in round 5 that have never received a driver CORRECTNESS row ...
-    "dml_update_struct_member", "dedup_scrub_repeated_chunks",
-    "dml_delete_equality", "meta_refs", "text_bigram_logprob_score",
-    "window_holt_trend", "window_cusum_drift", "branch_revert",
-    "meta_commit_log", "source_binary_files", "agg_gini_concentration",
-    "text_zipf_fit",
-    # ... slot 12 = round 6's Iceberg-interop key (VERDICT r5 #4 wants its
-    # driver row THIS round, so it takes a window slot immediately) ...
-    "source_iceberg_metadata",
-    # ... slots 13-49 = the 37 stalest keys whose newest driver row is
-    # round 1, refreshed against the since-refactored code (r1-stale
-    # count drops 45 -> 8; the remaining 8 head the post-window list).
-    "agg_cube", "agg_distinct", "agg_grouping_sets", "agg_hash_group",
-    "agg_quantile", "agg_salted_twophase", "agg_stats", "agg_string_collect",
-    "filter_predicate", "join_asof", "join_cross", "join_full_outer",
-    "join_inner_equi", "join_left_outer", "join_right_outer", "join_semi",
-    "join_theta_range", "limit_offset", "limit_topk", "pivot_wide",
-    "project_select", "q1_pricing_summary", "scalar_array_map",
-    "scalar_bitwise", "scalar_conditional", "scalar_datetime", "scalar_hash",
-    "scalar_json", "scalar_math", "scalar_null_safe", "scalar_string",
-    "scan_table", "set_except_all", "set_intersect", "set_intersect_all",
-    "set_union", "sort_order_by",
-    # ---- Round-7 rotation queue: keys NEW in round 6 land HERE (slots
-    # 50+), explicitly queued for the next window per the rotation policy.
+    # ---- Round-7 window (slots 0-49; the driver checks the FIRST 50) ----
+    # VERDICT r6 "Next round" #4: slots 0-3 = the 4 keys from the round-6
+    # end-of-round snapshot that have never received a driver row
+    # (agg_count_min_sketch additionally re-keyed to l_returnflag and
+    # rebuilt as a DataFrame-native CMS — VERDICT r6 #1) ...
     "sink_sharded_manifests", "sink_iceberg_export", "source_delta_log",
     "agg_count_min_sketch",
-    # ---- Past the window: every remaining key ordered by STALENESS ----
-    # (rounds since its newest driver row: the 7 remaining r1-only keys
-    # first, then r2, r3, r4, and finally the 50 keys just swept in r5)
+    # ... slots 4-5 = round 7's new keys (position-delete merge-on-read
+    # scan, VERDICT r6 #5; checkpointed-Delta fold, VERDICT r6 #6) —
+    # windowed immediately so they get driver rows THIS round ...
+    "source_iceberg_position_deletes", "source_delta_checkpoint",
+    # ... slots 6-13 = the 8 keys whose newest driver row is still ROUND 1
+    # (drains r1-stale to 0) ...
     "subquery_correlated", "subquery_in", "subquery_scalar", "udaf_pandas",
     "udf_python", "window_analytic", "window_distribution", "window_rank",
-    # r2-stale
+    # ... slots 14-30 = the 17 r2-stale keys (drains r2-stale to 0) ...
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join", "stream_tumbling_window",
     "text_fingerprint", "text_lang_id", "text_quality_filter", "text_stats",
     "text_token_count",
-    # r3-stale
+    # ... slots 31-49 = the 19 alphabetically-first r3-stale keys (the
+    # remaining 30 r3 keys head the post-window list for round 8).
     "agg_rollup", "branch_diff_equal", "branch_merge",
     "branch_wap_publish", "ddl_create_table", "ddl_schema_crud",
     "ddl_schema_evolution", "dedup_cc_canonical", "dedup_embedding_cosine",
     "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard",
     "dedup_simhash_pairs", "dml_delete_where", "dml_delete_where_mor",
     "dml_insert_values", "dml_merge_upsert", "dml_update_where",
-    "dml_update_where_mor", "join_salted_skew", "multimodal_decode",
+    "dml_update_where_mor",
+    # ---- Past the window: every remaining key ordered by STALENESS ----
+    # (rounds since its newest driver row: leftover r3 keys first, then
+    # r4, the r5 window, and finally the 50 keys just swept in r6)
+    "join_salted_skew", "multimodal_decode",
     "multimodal_frame_sample", "multimodal_resize", "pipeline_corpus_mixture",
     "pipeline_training_corpus", "q10_returned_items", "q14_promo_share",
     "q18_large_volume", "q5_local_supplier", "q6_forecast_revenue",
@@ -134,7 +121,7 @@ _SWEEP_PRIORITY = [
     "stream_stream_outer_join", "text_bpe_merge_rounds",
     "text_repetition_signals", "text_unigram_logprob_score",
     "time_travel_changes", "window_retention_cohorts",
-    # r5-swept (freshest — the round-5 window, verified 50/50 green)
+    # r5-swept (the round-5 window, verified 50/50 green)
     "agg_entropy", "agg_heavy_hitters", "agg_histogram",
     "agg_mode_deterministic", "branch_diff_rows", "ddl_analyze_stats",
     "ddl_schema_evolution_nested", "dedup_cross_source",
@@ -156,6 +143,22 @@ _SWEEP_PRIORITY = [
     "window_twap", "window_user_gap_stats",
     "agg_approx_distinct", "agg_quantile_approx",
     "flagship_top_unshipped",
+    # r6-swept (freshest — the round-6 window, verified 50/50 green)
+    "dml_update_struct_member", "dedup_scrub_repeated_chunks",
+    "dml_delete_equality", "meta_refs", "text_bigram_logprob_score",
+    "window_holt_trend", "window_cusum_drift", "branch_revert",
+    "meta_commit_log", "source_binary_files", "agg_gini_concentration",
+    "text_zipf_fit", "source_iceberg_metadata",
+    "agg_cube", "agg_distinct", "agg_grouping_sets", "agg_hash_group",
+    "agg_quantile", "agg_salted_twophase", "agg_stats", "agg_string_collect",
+    "filter_predicate", "join_asof", "join_cross", "join_full_outer",
+    "join_inner_equi", "join_left_outer", "join_right_outer", "join_semi",
+    "join_theta_range", "limit_offset", "limit_topk", "pivot_wide",
+    "project_select", "q1_pricing_summary", "scalar_array_map",
+    "scalar_bitwise", "scalar_conditional", "scalar_datetime", "scalar_hash",
+    "scalar_json", "scalar_math", "scalar_null_safe", "scalar_string",
+    "scan_table", "set_except_all", "set_intersect", "set_intersect_all",
+    "set_union", "sort_order_by",
 ]
 
 

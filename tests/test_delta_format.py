@@ -1,0 +1,166 @@
+"""Delta Lake transaction-log interop (catalog/delta_format.py), per the
+public Delta protocol (github.com/delta-io/delta PROTOCOL.md): JSON commit
+fold, version time travel, and CHECKPOINTS — parquet base state +
+`_last_checkpoint`, the mechanism that bounds the log walk at scale and
+lets old JSON commits be truncated."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+    DeltaTableWriter,
+    read_delta_log,
+    scan_delta_table,
+)
+
+from .conftest import SF_DIR
+
+
+def _nation(spark):
+    from lakefs_iceberg_catalog_spark.tables import table
+
+    return table(spark, SF_DIR, "nation")
+
+
+@pytest.fixture
+def delta(spark, tmp_path):
+    """3-commit fixture: v0 adds low nations, v1 adds the rest, v2 removes
+    v0's file. Live head = nations >= 12."""
+    d = str(tmp_path / "delta")
+    w = DeltaTableWriter(spark, d)
+    n = _nation(spark)
+    w.commit(add_dfs=[n.where("n_nationkey < 12")])
+    w.commit(add_dfs=[n.where("n_nationkey >= 12")])
+    with open(os.path.join(d, "_delta_log", f"{0:020d}.json")) as f:
+        v0_adds = [
+            json.loads(line)["add"]["path"]
+            for line in f.read().splitlines()
+            if '"add"' in line
+        ]
+    w.commit(remove=v0_adds)
+    return d, w
+
+
+def test_fold_and_time_travel(spark, delta):
+    d, _w = delta
+    assert scan_delta_table(spark, d).count() == 13
+    assert scan_delta_table(spark, d, version=1).count() == 25
+    assert scan_delta_table(spark, d, version=0).count() == 12
+
+
+def test_checkpoint_is_base_state(spark, delta):
+    """After checkpoint(), the fold starts from the parquet base; later
+    commits fold on top; results identical to the pure-JSON fold."""
+    d, w = delta
+    cp_v = w.checkpoint()
+    assert cp_v == 2
+    lc = json.load(open(os.path.join(d, "_delta_log", "_last_checkpoint")))
+    assert lc["version"] == 2
+    assert os.path.exists(
+        os.path.join(d, "_delta_log", f"{2:020d}.checkpoint.parquet")
+    )
+    # head fold through the checkpoint
+    assert scan_delta_table(spark, d).count() == 13
+    # a LATER commit folds on top of the checkpoint base
+    w.commit(add_dfs=[_nation(spark).where("n_nationkey < 3")])
+    keys = {r["n_nationkey"] for r in scan_delta_table(spark, d).collect()}
+    assert keys == {0, 1, 2} | set(range(12, 25))
+
+
+def test_checkpoint_time_travel_across_boundary(spark, delta):
+    """Versions BEFORE the checkpoint stay reachable while their JSON
+    commits exist (folded from 0, ignoring the checkpoint)."""
+    d, w = delta
+    w.checkpoint()
+    assert scan_delta_table(spark, d, version=1).count() == 25
+    assert scan_delta_table(spark, d, version=0).count() == 12
+
+
+def test_truncated_log_reads_head_but_refuses_old_versions(spark, delta):
+    """The point of checkpoints: JSON commits <= checkpoint version can be
+    deleted. Head (and versions >= cp) still read; earlier versions raise
+    loudly instead of mis-folding."""
+    d, w = delta
+    w.checkpoint()
+    for v in (0, 1):
+        os.remove(os.path.join(d, "_delta_log", f"{v:020d}.json"))
+    assert scan_delta_table(spark, d).count() == 13
+    assert scan_delta_table(spark, d, version=2).count() == 13
+    with pytest.raises(ValueError, match="truncated by checkpoint"):
+        read_delta_log(d, version=1)
+
+
+def test_multipart_checkpoint(spark, delta):
+    """_last_checkpoint with parts=N reads <v>.checkpoint.<i>.<N>.parquet
+    slices (real writers shard big checkpoints)."""
+    import pyarrow.parquet as pq
+
+    d, w = delta
+    w.checkpoint()
+    log_dir = os.path.join(d, "_delta_log")
+    single = os.path.join(log_dir, f"{2:020d}.checkpoint.parquet")
+    t = pq.read_table(single)
+    # split rows into two part files
+    pq.write_table(t.slice(0, 2), os.path.join(log_dir, f"{2:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    pq.write_table(t.slice(2), os.path.join(log_dir, f"{2:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    os.remove(single)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 2, "size": t.num_rows, "parts": 2}, f)
+    assert scan_delta_table(spark, d).count() == 13
+
+
+def test_checkpoint_remove_tombstones_tolerated(spark, delta):
+    """Checkpoints may carry remove tombstones (kept for VACUUM); they are
+    not live files and must not resurrect or break the fold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d, w = delta
+    w.checkpoint()
+    log_dir = os.path.join(d, "_delta_log")
+    single = os.path.join(log_dir, f"{2:020d}.checkpoint.parquet")
+    t = pq.read_table(single)
+    remove_t = pa.struct([("path", pa.string()), ("deletionTimestamp", pa.int64()), ("dataChange", pa.bool_())])
+    tomb = pa.array([None] * t.num_rows, remove_t)
+    t = t.append_column("remove", tomb)
+    # add one tombstone row
+    extra = pa.table(
+        {
+            "protocol": pa.array([None], t.column("protocol").type),
+            "metaData": pa.array([None], t.column("metaData").type),
+            "add": pa.array([None], t.column("add").type),
+            "remove": pa.array(
+                [{"path": "gone.parquet", "deletionTimestamp": 1, "dataChange": True}],
+                remove_t,
+            ),
+        }
+    )
+    pq.write_table(pa.concat_tables([t, extra]), single)
+    state = read_delta_log(d)
+    assert "gone.parquet" not in state["files"]
+    assert scan_delta_table(spark, d).count() == 13
+
+
+def test_partitioned_tables_still_refused(spark, tmp_path, delta):
+    d, w = delta
+    w.checkpoint()
+    # corrupt the checkpoint's metaData to claim partition columns
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(d, "_delta_log")
+    single = os.path.join(log_dir, f"{2:020d}.checkpoint.parquet")
+    t = pq.read_table(single).to_pylist()
+    t[1]["metaData"]["partitionColumns"] = ["n_regionkey"]
+    import pyarrow as pa
+
+    cols = {k: [row[k] for row in t] for k in ("protocol", "metaData", "add")}
+    orig = pq.read_table(single)
+    pq.write_table(
+        pa.table({k: pa.array(cols[k], orig.column(k).type) for k in cols}), single
+    )
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        read_delta_log(d)

@@ -27,6 +27,7 @@ from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
     STATUS_DELETED,
     IcebergTableWriter,
     iceberg_data_files,
+    iceberg_snapshot_files,
     read_table_metadata,
     scan_iceberg_table,
 )
@@ -247,7 +248,10 @@ def test_deleted_entries_are_skipped(spark, tmp_path, ice):
     assert scan_iceberg_table(spark, d, snapshot_id=s2).count() == 25
 
 
-def test_delete_files_raise_not_implemented(spark, tmp_path, ice):
+def test_corrupt_manifest_content_mismatch_raises(spark, tmp_path, ice):
+    """A manifest-list entry tagged content=1 (deletes) whose manifest
+    actually lists data files is a corrupt layout — refused loudly, not
+    guessed through."""
     d, _s1, s2 = ice
     meta_dir = os.path.join(d, "metadata")
     m = read_table_metadata(d)
@@ -257,7 +261,7 @@ def test_delete_files_raise_not_implemented(spark, tmp_path, ice):
     JvmAvroWriter(spark).write(
         bad_list,
         MANIFEST_LIST_SCHEMA,
-        [{**manifests[0], "content": 1}],  # a DELETE manifest
+        [{**manifests[0], "content": 1}],  # claims DELETE, entries are data
     )
     m["snapshots"].append(
         {
@@ -271,8 +275,73 @@ def test_delete_files_raise_not_implemented(spark, tmp_path, ice):
     )
     with open(os.path.join(meta_dir, "v3.metadata.json"), "w") as f:
         json.dump(m, f)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="corrupt manifest"):
         iceberg_data_files(d, snapshot_id=888)
+
+
+def test_position_deletes_merge_on_read(spark, tmp_path):
+    """A v2 snapshot carrying a POSITION delete file (content=1) scans with
+    the deleted rows merged out — the (file_path, pos) anti-join — while
+    time travel BEFORE the delete still sees them; the strict data-only
+    listing refuses the snapshot (VERDICT r6 #5)."""
+    d = str(tmp_path / "posdel")
+    w = IcebergTableWriter(spark, d)
+    nat = _nation(spark).orderBy("n_nationkey")
+    s1 = w.append(nat)
+    files, no_dels = iceberg_snapshot_files(d, snapshot_id=s1)
+    assert len(files) == 1 and no_dels == []
+    data_path = files[0]["file_path"]
+    # rows are written ordered by n_nationkey → ordinal == n_nationkey
+    s2 = w.delete_positions([(data_path, 0), (data_path, 7), (data_path, 24)])
+
+    cur = scan_iceberg_table(spark, d)
+    keys = {r["n_nationkey"] for r in cur.collect()}
+    assert len(keys) == 22 and keys.isdisjoint({0, 7, 24})
+    # time travel to the pre-delete snapshot sees all 25
+    assert scan_iceberg_table(spark, d, snapshot_id=s1).count() == 25
+    # the delete snapshot reports its delete file through the split walk
+    _data, dels = iceberg_snapshot_files(d, snapshot_id=s2)
+    assert [f["content"] for f in dels] == [1]
+    with pytest.raises(NotImplementedError):
+        iceberg_data_files(d, snapshot_id=s2)
+
+
+def test_position_deletes_across_appends(spark, tmp_path):
+    """Deletes only hit the referenced file: rows appended AFTER the delete
+    (new file, new path) are untouched, and a second delete stacks."""
+    d = str(tmp_path / "posdel2")
+    w = IcebergTableWriter(spark, d)
+    nat = _nation(spark).orderBy("n_nationkey")
+    w.append(nat.where("n_nationkey < 10"))  # ordinals 0..9
+    files, _ = iceberg_snapshot_files(d)
+    f1 = files[0]["file_path"]
+    w.delete_positions([(f1, 3)])  # kills n_nationkey=3
+    w.append(nat.where("n_nationkey >= 10"))  # new file, ordinals 0..14
+    keys = {r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()}
+    assert keys == set(range(25)) - {3}
+    # stack a second delete on the SECOND file (ordinal 2 → key 12)
+    files, _ = iceberg_snapshot_files(d)
+    f2 = next(f["file_path"] for f in files if f["file_path"] != f1)
+    w.delete_positions([(f2, 2)])
+    keys = {r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()}
+    assert keys == set(range(25)) - {3, 12}
+
+
+def test_position_delete_file_is_real_iceberg_shape(spark, tmp_path):
+    """The emitted delete file is spec-shaped parquet: (file_path, pos)
+    columns, rows sorted by (file_path, pos)."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "posdel3")
+    w = IcebergTableWriter(spark, d)
+    w.append(_nation(spark).orderBy("n_nationkey"))
+    files, _ = iceberg_snapshot_files(d)
+    fp = files[0]["file_path"]
+    w.delete_positions([(fp, 9), (fp, 1)])
+    _, dels = iceberg_snapshot_files(d)
+    t = pq.read_table(dels[0]["file_path"])
+    assert t.column_names == ["file_path", "pos"]
+    assert t.column("pos").to_pylist() == [1, 9]  # sorted per spec
 
 
 def test_gzip_metadata_json_probe(spark, ice):
@@ -288,6 +357,25 @@ def test_gzip_metadata_json_probe(spark, ice):
         content = f.read()
     os.remove(plain)
     with _gzip.open(plain + ".gz", "wt") as f:
+        f.write(content)
+    assert read_table_metadata(d)["last-sequence-number"] == 2
+    assert scan_iceberg_table(spark, d).count() == 25
+
+
+def test_gzip_metadata_stock_iceberg_name(spark, ice):
+    """Stock Iceberg's gzip codec writes v<N>.gz.metadata.json — `.gz`
+    BEFORE `.metadata.json` (TableMetadataParser.getFileExtension; the
+    reference's getMetadataFile probes this spelling FIRST). A real
+    gzip-compressed Iceberg table must be readable through this name."""
+    import gzip as _gzip
+
+    d, _s1, _s2 = ice
+    meta_dir = os.path.join(d, "metadata")
+    plain = os.path.join(meta_dir, "v2.metadata.json")
+    with open(plain) as f:
+        content = f.read()
+    os.remove(plain)
+    with _gzip.open(os.path.join(meta_dir, "v2.gz.metadata.json"), "wt") as f:
         f.write(content)
     assert read_table_metadata(d)["last-sequence-number"] == 2
     assert scan_iceberg_table(spark, d).count() == 25

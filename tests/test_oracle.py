@@ -100,12 +100,14 @@ def test_readme_staleness_histogram_matches_artifacts():
 
 
 def test_collect_sites_are_ratcheted():
-    """Driver-side `.collect(` is the unbounded-funnel anti-pattern; every
-    allowed site is a bounded fit, a capped probe, or a fixture-scale
-    assertion, audited when it landed. This ratchet freezes the per-file
-    counts so a NEW collect cannot appear without a deliberate review (and
-    an update here). streaming/ must stay at zero — its memory-sink results
-    flow through materialize_bounded (VERDICT r5 #2)."""
+    """Driver-side `.collect(` and `.toPandas(` are the unbounded-funnel
+    anti-patterns; every allowed site is a bounded fit, a capped probe, or
+    a fixture-scale assertion, audited when it landed. This ratchet freezes
+    the per-file counts so a NEW funnel cannot appear without a deliberate
+    review (and an update here). streaming/ must stay at zero — its
+    memory-sink results flow through materialize_bounded (VERDICT r5 #2);
+    toPandas is zero everywhere (VERDICT r6 #4 — the interop fixture
+    writers now stream through catalog/parquet_io.write_single_parquet)."""
     import os
 
     allowed = {
@@ -125,13 +127,14 @@ def test_collect_sites_are_ratcheted():
             if not fn.endswith(".py"):
                 continue
             path = os.path.join(root, fn)
-            n = open(path).read().count(".collect(")
+            src = open(path).read()
+            n = src.count(".collect(") + src.count(".toPandas(")
             if n:
                 found[os.path.relpath(path, pkg).replace(os.sep, "/")] = n
     assert found == allowed, (
-        f"collect() sites changed: {found} vs frozen {allowed} — bound new "
-        "sites via operators.util.bounded_rows/materialize_bounded or "
-        "justify and re-freeze"
+        f"collect()/toPandas() sites changed: {found} vs frozen {allowed} — "
+        "bound new sites via operators.util.bounded_rows/materialize_bounded "
+        "or justify and re-freeze"
     )
 
 
