@@ -148,7 +148,9 @@ EXTRA = [
     "source_delta_log",
     "agg_count_min_sketch",
     "source_iceberg_position_deletes",
+    "source_iceberg_equality_deletes",
     "source_delta_checkpoint",
+    "source_delta_partitioned",
 ]
 
 

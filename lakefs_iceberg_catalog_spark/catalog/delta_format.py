@@ -33,6 +33,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG_DIR = "_delta_log"
 
@@ -58,10 +59,23 @@ class DeltaTableWriter:
             f.write("\n".join(json.dumps(a, separators=(",", ":")) for a in actions))
         return self._version
 
-    def commit(self, add_dfs: list[DataFrame] | None = None, remove: list[str] | None = None) -> int:
+    def commit(
+        self,
+        add_dfs: list[DataFrame] | None = None,
+        remove: list[str] | None = None,
+        partition_cols: list[str] | None = None,
+    ) -> int:
         """One commit: write each DataFrame as a parquet data file (`add`)
         and/or drop previously added files (`remove`). The first commit
-        also stamps protocol + metaData."""
+        also stamps protocol + metaData (with ``partition_cols`` as the
+        spec's partitionColumns when given).
+
+        Partitioned adds follow the Delta protocol: each add action's
+        ``partitionValues`` records the string-encoded partition values,
+        and — unlike Iceberg — the partition columns are NOT stored in the
+        data file itself (the reader re-injects them from the log). Each
+        add DataFrame must be single-valued in the partition columns, as a
+        real partitioned writer's per-partition output files are."""
         from .parquet_io import write_single_parquet
 
         actions: list[dict] = []
@@ -70,6 +84,7 @@ class DeltaTableWriter:
             schema_df = (add_dfs or [None])[0]
             if schema_df is None:
                 raise ValueError("first commit must add data (schema source)")
+            self._partition_cols = list(partition_cols or [])
             actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
             actions.append(
                 {
@@ -77,13 +92,23 @@ class DeltaTableWriter:
                         "id": str(uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_df.schema.json(),
-                        "partitionColumns": [],
+                        "partitionColumns": self._partition_cols,
                         "configuration": {},
                         "createdTime": now_ms,
                     }
                 }
             )
+        pcols = getattr(self, "_partition_cols", [])
         for df in add_dfs or []:
+            pvals: dict[str, str | None] = {}
+            if pcols:
+                from .parquet_io import distinct_singleton_row
+
+                vals = distinct_singleton_row(df.select(*pcols))
+                pvals = {
+                    c: (None if v is None else str(v)) for c, v in zip(pcols, vals)
+                }
+                df = df.drop(*pcols)  # spec: partition cols live in the log
             name = f"part-{self._version + 1:05d}-{uuid.uuid4()}.snappy.parquet"
             path = os.path.join(self.table_dir, name)
             n_rows = write_single_parquet(df, path)
@@ -91,7 +116,7 @@ class DeltaTableWriter:
                 {
                     "add": {
                         "path": name,
-                        "partitionValues": {},
+                        "partitionValues": pvals,
                         "size": os.path.getsize(path),
                         "modificationTime": now_ms,
                         "dataChange": True,
@@ -193,8 +218,7 @@ class DeltaTableWriter:
 def _apply_meta(md: dict, state: dict) -> None:
     state["schema_json"] = md["schemaString"]
     state["metadata"] = md
-    if md.get("partitionColumns"):
-        raise NotImplementedError("partitioned Delta tables are not supported")
+    state["partition_cols"] = list(md.get("partitionColumns") or [])
 
 
 def _checkpoint_paths(log_dir: str, lc: dict) -> list[str]:
@@ -222,7 +246,11 @@ def _fold_checkpoint(log_dir: str, lc: dict, state: dict) -> None:
             elif row.get("protocol") is not None:
                 state["protocol"] = row["protocol"]
             elif row.get("add") is not None:
-                state["files"][row["add"]["path"]] = row["add"]
+                a = row["add"]
+                # pyarrow map columns round-trip as key/value tuple lists
+                if isinstance(a.get("partitionValues"), list):
+                    a["partitionValues"] = dict(a["partitionValues"])
+                state["files"][a["path"]] = a
             elif row.get("remove") is not None:
                 # tombstone of an already-removed file (kept for VACUUM):
                 # it is not in the live set; popping is a harmless no-op
@@ -292,12 +320,64 @@ def read_delta_log(table_dir: str, version: int | None = None) -> dict:
 
 
 def scan_delta_table(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    partition_filter: dict[str, str | None] | None = None,
 ) -> DataFrame:
     """Distributed scan of a Delta layout at head or a pinned version —
-    log fold on the driver, parquet reads on the executors."""
+    log fold on the driver, parquet reads on the executors.
+
+    Partitioned tables (metaData.partitionColumns non-empty): per the
+    protocol, partition columns are NOT in the data files — each add
+    action's string-encoded ``partitionValues`` are re-injected as typed
+    literal columns (cast via the schemaString types), one scan per
+    distinct partition tuple (the common case: each scan covers many
+    files of one partition). ``partition_filter`` ({col: string-encoded
+    value}) prunes FILES driver-side from the log's metadata before any
+    data IO — the log IS the partition index, so a selective scan reads
+    only matching partitions' files (the 100 TB reason partitioning
+    exists); the injected literals also let Catalyst constant-fold any
+    residual predicate on partition columns."""
+    from pyspark.sql import types as T
+
     state = read_delta_log(table_dir, version)
-    if not state["files"]:
-        raise ValueError(f"Delta version {state['version']} has no live files")
-    paths = [os.path.join(table_dir, rel) for rel in state["files"]]
-    return spark.read.parquet(*paths)
+    pcols = state.get("partition_cols") or []
+    files = state["files"]
+    if partition_filter:
+        unknown = set(partition_filter) - set(pcols)
+        if unknown:
+            raise ValueError(f"partition_filter on non-partition columns: {unknown}")
+        files = {
+            rel: a
+            for rel, a in files.items()
+            if all(
+                (a.get("partitionValues") or {}).get(c) == v
+                for c, v in partition_filter.items()
+            )
+        }
+    if not files:
+        raise ValueError(
+            f"Delta version {state['version']} has no live files"
+            + (" matching the partition filter" if partition_filter else "")
+        )
+    if not pcols:
+        return spark.read.parquet(*[os.path.join(table_dir, rel) for rel in files])
+    schema = T.StructType.fromJson(json.loads(state["schema_json"]))
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in files.items():
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in pcols)
+        groups.setdefault(key, []).append(os.path.join(table_dir, rel))
+    parts = []
+    for key, paths in groups.items():
+        df = spark.read.parquet(*paths)
+        for c, v in zip(pcols, key):
+            lit = F.lit(None) if v is None else F.lit(v)
+            df = df.withColumn(c, lit.cast(ptypes[c]))
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

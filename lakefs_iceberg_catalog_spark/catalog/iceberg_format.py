@@ -89,6 +89,12 @@ MANIFEST_ENTRY_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                        "field-id": 135,
+                    },
                 ],
             },
         },
@@ -190,6 +196,7 @@ class IcebergTableWriter:
                         "partition": {},
                         "record_count": n_rows,
                         "file_size_in_bytes": os.path.getsize(data_path),
+                        "equality_ids": None,
                     },
                 }
             ],
@@ -271,6 +278,7 @@ class IcebergTableWriter:
                         "partition": {},
                         "record_count": len(rows),
                         "file_size_in_bytes": os.path.getsize(del_path),
+                        "equality_ids": None,
                     },
                 }
             ],
@@ -296,6 +304,101 @@ class IcebergTableWriter:
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
                 "added_rows_count": len(rows),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+        return self._commit_snapshot(snapshot_id, "delete")
+
+    def delete_keys(self, key_cols: list[str], keys: list[tuple]) -> int:
+        """Commit one merge-on-read DELETE snapshot carrying an EQUALITY
+        delete file (spec: data_file.content=2, equality_ids = the key
+        columns' schema field ids): a parquet file of key-value rows whose
+        matches are dead in every data file with a STRICTLY OLDER sequence
+        number — the value-based delete Iceberg's UPSERT/CDC writers emit.
+        ``keys`` is a bounded list of key tuples aligned with
+        ``key_cols``."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self._schema_json is None:
+            raise ValueError("delete_keys before any append")
+        by_name = {f["name"]: f for f in self._schema_json["fields"]}
+        missing = [c for c in key_cols if c not in by_name]
+        if missing:
+            raise ValueError(f"equality-delete key columns not in schema: {missing}")
+        eq_ids = [by_name[c]["id"] for c in key_cols]
+        self._version += 1
+        self._sequence += 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+
+        _PA = {
+            "int": pa.int32(),
+            "long": pa.int64(),
+            "string": pa.string(),
+            "double": pa.float64(),
+            "float": pa.float32(),
+            "boolean": pa.bool_(),
+        }
+        del_path = os.path.join(
+            self.data_dir, f"00000-{self._version}-{self._uuid}-eqdel-00001.parquet"
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    c: pa.array(
+                        [k[i] for k in keys],
+                        _PA.get(by_name[c]["type"], pa.string()),
+                    )
+                    for i, c in enumerate(key_cols)
+                }
+            ),
+            del_path,
+        )
+
+        manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
+        self._avro.write(
+            manifest_path,
+            MANIFEST_ENTRY_SCHEMA,
+            [
+                {
+                    "status": STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,  # inherited from manifest list
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": CONTENT_EQUALITY_DELETES,
+                        "file_path": del_path,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": len(keys),
+                        "file_size_in_bytes": os.path.getsize(del_path),
+                        "equality_ids": eq_ids,
+                    },
+                }
+            ],
+            meta={
+                "schema": json.dumps(self._schema_json),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes",
+            },
+            codec="deflate",
+        )
+        self._manifests.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": self._sequence,
+                "min_sequence_number": self._sequence,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": len(keys),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }
@@ -499,43 +602,88 @@ def scan_iceberg_table(
     broadcast. Sequence-number scoping is unnecessary for position
     deletes: file paths are unique per file, a position delete references
     a path live when it was written, so data_seq <= delete_seq holds by
-    construction. Equality deletes (content=2) still refuse loudly —
-    those DO need sequence scoping and key semantics."""
+    construction.
+
+    EQUALITY deletes (content=2; Iceberg's value-based delete, emitted by
+    UPSERT/CDC writers) apply per the spec to data files with a STRICTLY
+    OLDER sequence number: each data row gets its file's sequence number
+    attached via a metadata-sized broadcast map on `_metadata.file_path`
+    (ONE data scan regardless of snapshot count — no per-sequence
+    re-scan), then each delete file contributes one null-safe anti-join on
+    its equality_ids key columns with the `data_seq < delete_seq` residual
+    — the same null-safe anti-join the versioned catalog runs for its own
+    equality-delete MoR scans (catalog.py _read_files). Delete key sets
+    are deleted-key-proportional and broadcast."""
     data, deletes = iceberg_snapshot_files(table_dir, snapshot_id, version)
     if not data:
         raise ValueError(f"snapshot has no data files under {table_dir}")
-    eq = [f for f in deletes if f["content"] == CONTENT_EQUALITY_DELETES]
-    if eq:
-        raise NotImplementedError(
-            "equality delete files (content=2) are not supported by this scan"
-        )
     fmts = {f["file_format"].upper() for f in data + deletes}
     if fmts != {"PARQUET"}:
         raise NotImplementedError(f"unsupported data file formats: {fmts}")
     df = spark.read.parquet(*[f["file_path"] for f in data])
     pos = [f for f in deletes if f["content"] == CONTENT_POSITION_DELETES]
-    if not pos:
+    eq = [f for f in deletes if f["content"] == CONTENT_EQUALITY_DELETES]
+    if not pos and not eq:
         return df
     # normalize both sides to a bare path: Spark's _metadata.file_path is a
     # URI (file:///a/b); manifests/delete rows may carry either spelling
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    pynorm = lambda p: re.sub(r"^file:/+", "/", p)  # noqa: E731
     cols = df.columns
-    dels = (
-        spark.read.schema("file_path string, pos long")
-        .parquet(*[f["file_path"] for f in pos])
-        .select(norm(F.col("file_path")).alias("_dfile"), F.col("pos").alias("_dpos"))
+    df = df.withColumns(
+        {
+            "_file": norm(F.col("_metadata.file_path")),
+            "_pos": F.col("_metadata.row_index"),
+        }
     )
-    return (
-        df.withColumns(
-            {
-                "_file": norm(F.col("_metadata.file_path")),
-                "_pos": F.col("_metadata.row_index"),
-            }
+    if pos:
+        dels = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(*[f["file_path"] for f in pos])
+            .select(
+                norm(F.col("file_path")).alias("_dfile"),
+                F.col("pos").alias("_dpos"),
+            )
         )
-        .join(
+        df = df.join(
             dels,
             (F.col("_file") == F.col("_dfile")) & (F.col("_pos") == F.col("_dpos")),
             "left_anti",
         )
-        .select(*cols)
-    )
+    if eq:
+        # attach each row's data-file sequence number: O(files) rows, broadcast
+        seq_map = spark.createDataFrame(
+            [(pynorm(f["file_path"]), int(f["sequence_number"])) for f in data],
+            "_sfile string, _dataseq long",
+        )
+        df = df.join(
+            F.broadcast(seq_map), F.col("_file") == F.col("_sfile"), "left"
+        ).drop("_sfile")
+        metadata = read_table_metadata(table_dir, version)
+        schemas = metadata.get("schemas") or [metadata["schema"]]
+        cur = next(
+            (
+                s
+                for s in schemas
+                if s.get("schema-id") == metadata.get("current-schema-id")
+            ),
+            schemas[-1],
+        )
+        id2name = {f["id"]: f["name"] for f in cur["fields"]}
+        for d in eq:
+            ids = d.get("equality_ids") or []
+            if not ids:
+                raise ValueError(
+                    f"equality delete file {d['file_path']} has no equality_ids"
+                )
+            key_cols = [id2name[i] for i in ids]
+            keys = (
+                spark.read.parquet(d["file_path"])
+                .select(*[F.col(k).alias(f"_ek_{k}") for k in key_cols])
+                .dropDuplicates()
+            )
+            cond = F.col("_dataseq") < F.lit(int(d["sequence_number"]))
+            for k in key_cols:
+                cond = cond & F.col(k).eqNullSafe(F.col(f"_ek_{k}"))
+            df = df.join(F.broadcast(keys), cond, "left_anti")
+    return df.select(*cols)

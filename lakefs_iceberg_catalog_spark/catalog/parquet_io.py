@@ -21,6 +21,20 @@ import tempfile
 from pyspark.sql import DataFrame
 
 
+def distinct_singleton_row(df: DataFrame) -> tuple:
+    """The single distinct row of ``df``, asserting there is exactly one —
+    a bounded limit(2) probe (the partitioned-write invariant check: one
+    output file carries one partition-value combination), never an
+    unbounded driver materialization."""
+    rows = df.distinct().limit(2).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"expected exactly one distinct partition-value row, got "
+            f"{'none' if not rows else 'several'}"
+        )
+    return tuple(rows[0])
+
+
 def write_single_parquet(df: DataFrame, dest_path: str) -> int:
     """Write ``df`` as exactly one parquet file at ``dest_path``; returns
     the row count (read from the footer, no data pass)."""

@@ -145,22 +145,65 @@ def test_checkpoint_remove_tombstones_tolerated(spark, delta):
     assert scan_delta_table(spark, d).count() == 13
 
 
-def test_partitioned_tables_still_refused(spark, tmp_path, delta):
-    d, w = delta
-    w.checkpoint()
-    # corrupt the checkpoint's metaData to claim partition columns
+@pytest.fixture
+def delta_partitioned(spark, tmp_path):
+    """nation partitioned by n_regionkey: one add per region per the
+    protocol (partition cols NOT in the data files, only in the log)."""
+    d = str(tmp_path / "deltapart")
+    w = DeltaTableWriter(spark, d)
+    n = _nation(spark)
+    regions = [r["n_regionkey"] for r in n.select("n_regionkey").distinct().collect()]
+    for i, rk in enumerate(sorted(regions)):
+        w.commit(
+            add_dfs=[n.where(f"n_regionkey = {rk}")],
+            partition_cols=["n_regionkey"] if i == 0 else None,
+        )
+    return d, w
+
+
+def test_partitioned_write_and_read(spark, delta_partitioned):
+    """Partition values re-inject as typed columns; data files themselves
+    do NOT contain the partition column (protocol parity)."""
     import pyarrow.parquet as pq
 
-    log_dir = os.path.join(d, "_delta_log")
-    single = os.path.join(log_dir, f"{2:020d}.checkpoint.parquet")
-    t = pq.read_table(single).to_pylist()
-    t[1]["metaData"]["partitionColumns"] = ["n_regionkey"]
-    import pyarrow as pa
+    d, _w = delta_partitioned
+    state = read_delta_log(d)
+    assert state["partition_cols"] == ["n_regionkey"]
+    some_add = next(iter(state["files"].values()))
+    assert some_add["partitionValues"].keys() == {"n_regionkey"}
+    cols = pq.read_schema(os.path.join(d, some_add["path"])).names
+    assert "n_regionkey" not in cols  # lives in the log, not the file
+    back = scan_delta_table(spark, d)
+    src = _nation(spark)
+    assert back.count() == 25
+    assert set(back.columns) == set(src.columns)
+    assert back.schema["n_regionkey"].dataType == src.schema["n_regionkey"].dataType
+    assert back.exceptAll(src.select(*back.columns)).count() == 0
+    assert src.select(*back.columns).exceptAll(back).count() == 0
 
-    cols = {k: [row[k] for row in t] for k in ("protocol", "metaData", "add")}
-    orig = pq.read_table(single)
-    pq.write_table(
-        pa.table({k: pa.array(cols[k], orig.column(k).type) for k in cols}), single
-    )
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        read_delta_log(d)
+
+def test_partition_filter_prunes_files(spark, delta_partitioned):
+    """partition_filter prunes at the LOG level: the scan's input files are
+    only the matching partition's — no data IO on pruned partitions."""
+    d, _w = delta_partitioned
+    out = scan_delta_table(spark, d, partition_filter={"n_regionkey": "2"})
+    assert len(out.inputFiles()) == 1  # 5 partitions, 1 file each
+    rows = out.collect()
+    assert {r["n_regionkey"] for r in rows} == {2}
+    assert len(rows) == _nation(spark).where("n_regionkey = 2").count()
+    with pytest.raises(ValueError, match="non-partition"):
+        scan_delta_table(spark, d, partition_filter={"n_name": "x"})
+
+
+def test_partitioned_checkpoint_roundtrip(spark, delta_partitioned):
+    """partitionValues survive the checkpoint's parquet map column and the
+    truncated-log fold."""
+    d, w = delta_partitioned
+    cp_v = w.checkpoint()
+    for v in range(cp_v):  # truncate all pre-checkpoint JSONs
+        os.remove(os.path.join(d, "_delta_log", f"{v:020d}.json"))
+    back = scan_delta_table(spark, d)
+    assert back.count() == 25
+    assert {r["n_regionkey"] for r in back.collect()} == set(range(5))
+    out = scan_delta_table(spark, d, partition_filter={"n_regionkey": "3"})
+    assert len(out.inputFiles()) == 1

@@ -327,6 +327,42 @@ def test_position_deletes_across_appends(spark, tmp_path):
     assert keys == set(range(25)) - {3, 12}
 
 
+def test_equality_deletes_merge_on_read(spark, tmp_path):
+    """A v2 snapshot carrying an EQUALITY delete file (content=2,
+    equality_ids naming the key columns) scans with matching rows merged
+    out of all STRICTLY OLDER data files — and rows re-appended AFTER the
+    delete survive (the spec's sequence-number scoping, the property that
+    makes equality deletes usable for UPSERT)."""
+    d = str(tmp_path / "eqdel")
+    w = IcebergTableWriter(spark, d)
+    nat = _nation(spark).orderBy("n_nationkey")
+    s1 = w.append(nat)                                   # seq 1
+    w.delete_keys(["n_nationkey"], [(4,), (9,)])         # seq 2
+    keys = {r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()}
+    assert keys == set(range(25)) - {4, 9}
+    # pre-delete snapshot unaffected
+    assert scan_iceberg_table(spark, d, snapshot_id=s1).count() == 25
+    # re-append key 4 AFTER the delete: newer sequence, must survive
+    w.append(nat.where("n_nationkey = 4"))               # seq 3
+    keys = {r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()}
+    assert keys == set(range(25)) - {9}
+
+
+def test_equality_and_position_deletes_compose(spark, tmp_path):
+    """Both delete kinds on one snapshot: position kills an ordinal,
+    equality kills keys in older files; both merge in one scan."""
+    d = str(tmp_path / "bothdel")
+    w = IcebergTableWriter(spark, d)
+    nat = _nation(spark).orderBy("n_nationkey")
+    w.append(nat)
+    files, _ = iceberg_snapshot_files(d)
+    fp = files[0]["file_path"]
+    w.delete_positions([(fp, 0)])              # kills key 0
+    w.delete_keys(["n_name"], [("NATION_3",)])  # kills key 3 by value
+    keys = {r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()}
+    assert keys == set(range(25)) - {0, 3}
+
+
 def test_position_delete_file_is_real_iceberg_shape(spark, tmp_path):
     """The emitted delete file is spec-shaped parquet: (file_path, pos)
     columns, rows sorted by (file_path, pos)."""
