@@ -149,8 +149,11 @@ EXTRA = [
     "agg_count_min_sketch",
     "source_iceberg_position_deletes",
     "source_iceberg_equality_deletes",
+    "source_iceberg_partitioned",
     "source_delta_checkpoint",
     "source_delta_partitioned",
+    "pipeline_epoch_resample",
+    "dedup_cluster_representative",
 ]
 
 

@@ -137,13 +137,47 @@ def _iceberg_schema(df: DataFrame) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
-class IcebergTableWriter:
-    """Append-only writer of a genuine unpartitioned Iceberg v2 table in
-    the HadoopCatalog layout (the reference's layout). Each ``append`` is
-    one snapshot: parquet data file + Avro manifest + Avro manifest list +
-    the next ``v<N>.metadata.json`` + hint."""
+_ICEBERG_TO_AVRO = {"int": "int", "long": "long", "string": "string"}
 
-    def __init__(self, spark: SparkSession, table_dir: str):
+
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    """MANIFEST_ENTRY_SCHEMA with the partition struct (r102) carrying the
+    spec's typed identity-partition fields (field-ids 1000+) instead of
+    the unpartitioned empty struct."""
+    import copy
+
+    schema = copy.deepcopy(MANIFEST_ENTRY_SCHEMA)
+    r102 = next(
+        f for f in schema["fields"][-1]["type"]["fields"] if f["name"] == "partition"
+    )
+    r102["type"]["fields"] = [
+        {
+            "name": pf["name"],
+            # spec: partition values are nullable (null partitions exist)
+            "type": ["null", _ICEBERG_TO_AVRO[pf["ice_type"]]],
+            "default": None,
+            "field-id": pf["field-id"],
+        }
+        for pf in partition_fields
+    ]
+    return schema
+
+
+class IcebergTableWriter:
+    """Append-only writer of a genuine Iceberg v2 table in the
+    HadoopCatalog layout (the reference's layout). Each ``append`` is one
+    snapshot: parquet data file + Avro manifest + Avro manifest list + the
+    next ``v<N>.metadata.json`` + hint. With ``partition_by``, the table
+    carries a real identity partition spec: partition values are recorded
+    TYPED in each manifest entry's partition struct (field-ids 1000+) and
+    in metadata's partition-specs — the metadata a reader prunes files by.
+    (Unlike Delta, Iceberg keeps partition columns in the data files too,
+    so appends stay one writer call per partition value, the shape a real
+    partitioned writer's per-partition output tasks produce.)"""
+
+    def __init__(
+        self, spark: SparkSession, table_dir: str, partition_by: list[str] | None = None
+    ):
         self.spark = spark
         self.table_dir = table_dir
         self.meta_dir = os.path.join(table_dir, "metadata")
@@ -157,11 +191,49 @@ class IcebergTableWriter:
         self._schema_json: dict | None = None
         self._snapshots: list[dict] = []
         self._manifests: list[dict] = []  # manifest_file entries carried forward
+        self._partition_by = list(partition_by or [])
+        self._partition_fields: list[dict] = []  # resolved on first append
+
+    def _resolve_partition_fields(self) -> None:
+        by_name = {f["name"]: f for f in self._schema_json["fields"]}
+        missing = [c for c in self._partition_by if c not in by_name]
+        if missing:
+            raise ValueError(f"partition columns not in schema: {missing}")
+        self._partition_fields = []
+        for i, c in enumerate(self._partition_by):
+            ice_t = by_name[c]["type"]
+            if ice_t not in _ICEBERG_TO_AVRO:
+                raise ValueError(
+                    f"identity partition on type {ice_t!r} not supported"
+                )
+            self._partition_fields.append(
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": by_name[c]["id"],
+                    "field-id": 1000 + i,
+                    "ice_type": ice_t,
+                }
+            )
+
+    @property
+    def _spec_json(self) -> str:
+        return json.dumps(
+            [
+                {k: pf[k] for k in ("name", "transform", "source-id", "field-id")}
+                for pf in self._partition_fields
+            ]
+        )
 
     def append(self, df: DataFrame) -> int:
-        """Commit one append snapshot of ``df``; returns the snapshot id."""
+        """Commit one append snapshot of ``df``; returns the snapshot id.
+        On a partitioned table each append must be single-valued in the
+        partition columns (one data file = one partition tuple, the shape
+        per-partition writer tasks produce); the values land TYPED in the
+        manifest entry's partition struct."""
         if self._schema_json is None:
             self._schema_json = _iceberg_schema(df)
+            self._resolve_partition_fields()
         self._version += 1
         self._sequence += 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
@@ -170,6 +242,13 @@ class IcebergTableWriter:
         #    deterministic; a real writer fans out per task). Written
         #    executor-side via coalesce(1) — no driver materialization ----
         from .parquet_io import write_single_parquet
+
+        pvals: dict = {}
+        if self._partition_fields:
+            from .parquet_io import distinct_singleton_row
+
+            vals = distinct_singleton_row(df.select(*self._partition_by))
+            pvals = dict(zip(self._partition_by, vals))
 
         data_path = os.path.join(
             self.data_dir, f"00000-{self._version}-{self._uuid}-0-00001.parquet"
@@ -182,7 +261,7 @@ class IcebergTableWriter:
         manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
         self._avro.write(
             manifest_path,
-            MANIFEST_ENTRY_SCHEMA,
+            _manifest_entry_schema(self._partition_fields),
             [
                 {
                     "status": STATUS_ADDED,
@@ -193,7 +272,7 @@ class IcebergTableWriter:
                         "content": CONTENT_DATA,
                         "file_path": data_path,
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": pvals,
                         "record_count": n_rows,
                         "file_size_in_bytes": os.path.getsize(data_path),
                         "equality_ids": None,
@@ -202,7 +281,7 @@ class IcebergTableWriter:
             ],
             meta={
                 "schema": json.dumps(self._schema_json),
-                "partition-spec": "[]",
+                "partition-spec": self._spec_json,
                 "partition-spec-id": "0",
                 "format-version": "2",
                 "content": "data",
@@ -242,6 +321,11 @@ class IcebergTableWriter:
 
         if self._schema_json is None:
             raise ValueError("delete_positions before any append")
+        if self._partition_fields:
+            raise NotImplementedError(
+                "delete files on partitioned tables need partition-scoped "
+                "delete manifests — not supported by this fixture writer"
+            )
         self._version += 1
         self._sequence += 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
@@ -323,6 +407,11 @@ class IcebergTableWriter:
 
         if self._schema_json is None:
             raise ValueError("delete_keys before any append")
+        if self._partition_fields:
+            raise NotImplementedError(
+                "delete files on partitioned tables need partition-scoped "
+                "delete manifests — not supported by this fixture writer"
+            )
         by_name = {f["name"]: f for f in self._schema_json["fields"]}
         missing = [c for c in key_cols if c not in by_name]
         if missing:
@@ -440,8 +529,10 @@ class IcebergTableWriter:
             "current-schema-id": 0,
             "schemas": [self._schema_json],
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "last-partition-id": 999,
+            "partition-specs": [
+                {"spec-id": 0, "fields": json.loads(self._spec_json)}
+            ],
+            "last-partition-id": 999 + len(self._partition_fields),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {},
@@ -587,10 +678,17 @@ def scan_iceberg_table(
     table_dir: str,
     snapshot_id: int | None = None,
     version: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Distributed scan of a real Iceberg table layout: driver-side
     metadata walk picks the file set; executors read them through the
     normal parquet source (pushdown/pruning intact).
+
+    ``partition_filter`` ({column: value}) prunes data FILES by the typed
+    identity-partition values each manifest entry carries (the exact
+    metadata Iceberg's own planner prunes by) — zero IO on non-matching
+    partitions; this is what the manifest partition struct exists for at
+    100 TB. Filter columns must belong to the table's partition spec.
 
     Merge-on-read POSITION deletes (content=1; the files Iceberg v2's
     row-level DELETE may emit — the reference's tables are format-version
@@ -617,6 +715,29 @@ def scan_iceberg_table(
     data, deletes = iceberg_snapshot_files(table_dir, snapshot_id, version)
     if not data:
         raise ValueError(f"snapshot has no data files under {table_dir}")
+    if partition_filter:
+        metadata = read_table_metadata(table_dir, version)
+        spec = next(
+            s
+            for s in metadata.get("partition-specs", [])
+            if s.get("spec-id") == metadata.get("default-spec-id", 0)
+        )
+        spec_cols = {f["name"] for f in spec.get("fields", [])}
+        unknown = set(partition_filter) - spec_cols
+        if unknown:
+            raise ValueError(
+                f"partition_filter on non-partition columns: {sorted(unknown)}"
+            )
+        data = [
+            f
+            for f in data
+            if all(
+                (f.get("partition") or {}).get(c) == v
+                for c, v in partition_filter.items()
+            )
+        ]
+        if not data:
+            raise ValueError("no data files match the partition filter")
     fmts = {f["file_format"].upper() for f in data + deletes}
     if fmts != {"PARQUET"}:
         raise NotImplementedError(f"unsupported data file formats: {fmts}")

@@ -964,3 +964,68 @@ def dedup_scrub_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("_cleaned").cast("long").alias("cleaned_len"),
         )
     )
+
+
+@register(
+    "dedup_cluster_representative",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_ORACLE_CTES},
+pairs AS (SELECT doc_a, doc_b FROM v WHERE j >= {_MINHASH_THETA}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+reach(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+j AS (
+    SELECT l.cluster_id, d.doc_id, d.n_chars
+    FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+),
+ranked AS (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM j
+),
+agg AS (
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_chars) AS BIGINT) AS rep_chars
+    FROM j GROUP BY cluster_id
+)
+SELECT a.cluster_id, r.doc_id AS rep_doc_id, a.n_docs, a.rep_chars
+FROM agg a JOIN ranked r ON r.cluster_id = a.cluster_id AND r.rn = 1
+""",
+)
+def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster REPRESENTATIVE election — the step after canonicalization a
+    corpus build actually keeps: within each near-dup connected component,
+    keep the doc with the MOST content (max n_chars, ties to the smallest
+    doc_id), not the arbitrary min-id canonical — near-dup clusters often
+    mix truncated and full versions of a page, and min-id keeps a random
+    one. Output is one row per cluster: (cluster_id, rep_doc_id, n_docs,
+    rep_chars); singletons elect themselves.
+
+    Scale: reuses dedup_cc_canonical's min-label propagation (hash joins +
+    partial-agg rounds, diameter-bounded) for the cluster ids, then ONE
+    groupBy with min_by over a (neg chars, id) struct — max-content
+    tie-broken election in a single shuffle, no window over a global sort.
+    (min_by plans as SortAggregate with a partial phase — same contract
+    as the other tie-broken first/last aggregates, see test_plans.)"""
+    labels = dedup_cc_canonical(spark, sf_dir)  # (doc_id, canonical_id)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = labels.join(docs, "doc_id")
+    return (
+        j.groupBy(F.col("canonical_id").alias("cluster_id"))
+        .agg(
+            F.min_by(
+                "doc_id", F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id"))
+            ).alias("rep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("n_chars").cast("bigint").alias("rep_chars"),
+        )
+        .select("cluster_id", "rep_doc_id", "n_docs", "rep_chars")
+    )

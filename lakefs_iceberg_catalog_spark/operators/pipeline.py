@@ -700,3 +700,66 @@ def sample_tokens_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = out.count()
     assert abs(n - _SYS_SAMPLE_N) <= 2, n  # systematic draw lands on target
     return out
+
+
+@register(
+    "pipeline_epoch_resample",
+    # factor per source in integer QUARTERS (src<i> → (2 + 3·(i%4))/4 =
+    # 0.5/1.25/2.0/2.75 epochs): full copies = q // 4, fractional copy
+    # gated on an md5 bucket < (q % 4)·64 of 256 — all-integer arithmetic
+    # both engines replay bit-for-bit (no RNG, no floats).
+    oracle="""
+WITH f AS (
+    SELECT doc_id, source,
+           2 + (CAST(substr(source, 4, 10) AS INTEGER) % 4) * 3 AS q,
+           (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|epoch'), 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|epoch'), 2, 1)) - 1) AS bucket
+    FROM documents
+),
+n AS (
+    SELECT doc_id, source,
+           q // 4 + CASE WHEN bucket < (q % 4) * 64 THEN 1 ELSE 0 END AS n_copies
+    FROM f
+)
+SELECT doc_id, source, CAST(u.copy_idx AS INTEGER) AS copy_idx
+FROM n, LATERAL unnest(generate_series(1, n_copies)) AS u(copy_idx)
+WHERE n_copies >= 1
+""",
+)
+def pipeline_epoch_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional epoch weighting — the training-mixture primitive that
+    repeats high-value sources >1 epoch and subsamples low-value ones <1
+    (e.g. books 2.75 epochs, raw web 0.5): every document expands to
+    ``floor(factor)`` full copies plus one more iff its deterministic md5
+    bucket falls under the fractional remainder — so a 2.75-epoch source
+    emits each doc 2 or 3 times, converging to exactly 2.75x in
+    expectation with zero RNG state, reproducible across engines, runs,
+    and partitionings (df.sample could guarantee none of these).
+
+    Scale: one map-only pass — the copy count is a pure integer
+    expression inside the scan's codegen stage and the expansion is an
+    explode of a <=4-element sequence; no shuffle, no skew (copies of a
+    doc stay in its input partition), output size = sum of factors. The
+    copy_idx column is what downstream global-shuffle keys on so epochs
+    interleave instead of repeating back-to-back."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = F.lit(2) + (F.substring("source", 4, 10).cast("int") % 4) * F.lit(3)
+    h = F.md5(F.encode(F.concat(F.col("doc_id").cast("string"), F.lit("|epoch")), "UTF-8"))
+    bucket = F.expr(
+        "(instr('0123456789abcdef', substring(_h, 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(_h, 2, 1)) - 1)"
+    )
+    n_copies = (q / F.lit(4)).cast("int") + F.when(
+        F.col("_bucket") < (q % 4) * F.lit(64), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        d.withColumn("_h", h)
+        .withColumn("_bucket", bucket)
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_idx"),
+        )
+    )

@@ -62,37 +62,41 @@ _SWEEP_PRIORITY = [
     # rebuilt as a DataFrame-native CMS — VERDICT r6 #1) ...
     "sink_sharded_manifests", "sink_iceberg_export", "source_delta_log",
     "agg_count_min_sketch",
-    # ... slots 4-7 = round 7's new keys (position-delete merge-on-read
+    # ... slots 4-8 = round 7's new keys (position-delete merge-on-read
     # scan, VERDICT r6 #5; equality-delete merge with sequence scoping;
-    # checkpointed-Delta fold, VERDICT r6 #6; partitioned-Delta read with
-    # log-level pruning) — windowed immediately so they get driver rows
-    # THIS round ...
+    # identity-partitioned Iceberg with manifest pruning; checkpointed-
+    # Delta fold, VERDICT r6 #6; partitioned-Delta read with log-level
+    # pruning) — windowed immediately so they get driver rows THIS round ...
     "source_iceberg_position_deletes", "source_iceberg_equality_deletes",
+    "source_iceberg_partitioned",
     "source_delta_checkpoint", "source_delta_partitioned",
-    # ... slots 8-15 = the 8 keys whose newest driver row is still ROUND 1
+    # ... slots 9-10 = round 7's new pipeline keys (fractional epoch
+    # weighting; near-dup cluster representative election) ...
+    "pipeline_epoch_resample", "dedup_cluster_representative",
+    # ... slots 11-18 = the 8 keys whose newest driver row is still ROUND 1
     # (drains r1-stale to 0) ...
     "subquery_correlated", "subquery_in", "subquery_scalar", "udaf_pandas",
     "udf_python", "window_analytic", "window_distribution", "window_rank",
-    # ... slots 16-32 = the 17 r2-stale keys (drains r2-stale to 0) ...
+    # ... slots 19-35 = the 17 r2-stale keys (drains r2-stale to 0) ...
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join", "stream_tumbling_window",
     "text_fingerprint", "text_lang_id", "text_quality_filter", "text_stats",
     "text_token_count",
-    # ... slots 33-49 = the 17 alphabetically-first r3-stale keys (the
-    # remaining 32 r3 keys head the post-window list for round 8).
+    # ... slots 36-49 = the 14 alphabetically-first r3-stale keys (the
+    # remaining 35 r3 keys head the post-window list for round 8).
     "agg_rollup", "branch_diff_equal", "branch_merge",
     "branch_wap_publish", "ddl_create_table", "ddl_schema_crud",
     "ddl_schema_evolution", "dedup_cc_canonical", "dedup_embedding_cosine",
     "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard",
-    "dedup_simhash_pairs", "dml_delete_where", "dml_delete_where_mor",
-    "dml_insert_values", "dml_merge_upsert",
+    "dedup_simhash_pairs", "dml_delete_where",
     # ---- Past the window: every remaining key ordered by STALENESS ----
     # (rounds since its newest driver row: leftover r3 keys first, then
     # r4, the r5 window, and finally the 50 keys just swept in r6)
-    "dml_update_where", "dml_update_where_mor", "join_salted_skew",
-    "multimodal_decode",
+    "dml_delete_where_mor", "dml_insert_values",
+    "dml_merge_upsert", "dml_update_where", "dml_update_where_mor",
+    "join_salted_skew", "multimodal_decode",
     "multimodal_frame_sample", "multimodal_resize", "pipeline_corpus_mixture",
     "pipeline_training_corpus", "q10_returned_items", "q14_promo_share",
     "q18_large_volume", "q5_local_supplier", "q6_forecast_revenue",

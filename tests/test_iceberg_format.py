@@ -363,6 +363,47 @@ def test_equality_and_position_deletes_compose(spark, tmp_path):
     assert keys == set(range(25)) - {0, 3}
 
 
+def test_partitioned_iceberg_write_and_prune(spark, tmp_path):
+    """Identity-partitioned v2 table: partition values land TYPED in each
+    manifest entry's partition struct + metadata partition-specs; the scan
+    prunes FILES by partition_filter with zero IO on other partitions."""
+    d = str(tmp_path / "icepart")
+    w = IcebergTableWriter(spark, d, partition_by=["n_regionkey"])
+    n = _nation(spark)
+    for rk in range(5):
+        w.append(n.where(f"n_regionkey = {rk}"))
+    m = read_table_metadata(d)
+    spec = m["partition-specs"][0]["fields"]
+    assert spec == [
+        {"name": "n_regionkey", "transform": "identity", "source-id": 3, "field-id": 1000}
+    ]
+    files, _ = iceberg_snapshot_files(d)
+    assert sorted(f["partition"]["n_regionkey"] for f in files) == [0, 1, 2, 3, 4]
+    full = scan_iceberg_table(spark, d)
+    assert full.count() == 25
+    pruned = scan_iceberg_table(spark, d, partition_filter={"n_regionkey": 2})
+    assert len(pruned.inputFiles()) == 1  # 1 of 5 files — metadata pruning
+    assert {r["n_nationkey"] for r in pruned.collect()} == {
+        r["n_nationkey"] for r in n.where("n_regionkey = 2").collect()
+    }
+    with pytest.raises(ValueError, match="non-partition"):
+        scan_iceberg_table(spark, d, partition_filter={"n_name": "x"})
+    # deletes on partitioned tables are a loud scope cut, not silence
+    with pytest.raises(NotImplementedError):
+        w.delete_positions([(files[0]["file_path"], 0)])
+    with pytest.raises(NotImplementedError):
+        w.delete_keys(["n_nationkey"], [(1,)])
+
+
+def test_partitioned_append_must_be_single_valued(spark, tmp_path):
+    """One data file = one partition tuple (per-partition writer-task
+    shape): a mixed-partition append is refused."""
+    d = str(tmp_path / "icepart2")
+    w = IcebergTableWriter(spark, d, partition_by=["n_regionkey"])
+    with pytest.raises(ValueError, match="one distinct partition-value"):
+        w.append(_nation(spark))
+
+
 def test_position_delete_file_is_real_iceberg_shape(spark, tmp_path):
     """The emitted delete file is spec-shaped parquet: (file_path, pos)
     columns, rows sorted by (file_path, pos)."""
