@@ -154,6 +154,7 @@ EXTRA = [
     "source_delta_partitioned",
     "pipeline_epoch_resample",
     "dedup_cluster_representative",
+    "similarity_knn_graph",
 ]
 
 

@@ -1293,3 +1293,100 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= _RANGE_TAU)
         .select("query_id", "neighbor_id", "neighbor_label", dround("cos", 6).alias("cosine"))
     )
+
+
+_KNN_K = 3
+
+
+def _knn_graph_oracle() -> str:
+    """DuckDB replay of the LSH-bucketed kNN graph: EVERY vector is a
+    query; candidates are bucket-mates in any of the hash tables."""
+    buckets = ",\n       ".join(
+        f"{_lsh_bucket_sql(tp, 'embedding')} AS b{ti}"
+        for ti, tp in enumerate(_planes())
+    )
+    cand_union = "\n    UNION\n    ".join(
+        f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id"
+        f" FROM buckets q JOIN buckets c ON q.b{t} = c.b{t}"
+        f" WHERE c.vec_id <> q.vec_id"
+        for t in range(_N_TABLES)
+    )
+    return f"""
+WITH buckets AS (
+SELECT vec_id, embedding,
+       {buckets}
+FROM embeddings
+),
+cand AS (
+    {cand_union}
+),
+sims AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           {_COSINE_ORACLE_EXPR} AS cos
+    FROM cand cd
+    JOIN embeddings q ON q.vec_id = cd.query_id
+    JOIN embeddings c ON c.vec_id = cd.neighbor_id
+),
+ranked AS (SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM sims)
+SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= {_KNN_K}
+"""
+
+
+@register("similarity_knn_graph", oracle=_knn_graph_oracle())
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH over the whole corpus (every vector is a query) — the
+    input structure for graph-based dedup clustering, semantic coverage
+    maps, and diversity-aware sampling. Candidates come from the same
+    3-table random-hyperplane LSH as similarity_ann_lsh: a bucket
+    SELF-join on (table, bucket) makes candidate count output-sized —
+    sum of squared bucket sizes, never corpus², and exact cosine + per-
+    node top-k runs on candidates only.
+
+    Scale: the bucketed corpus is computed once (query-scoped persist —
+    both join sides read the hot cache, not two corpus scans); the self-
+    join is a hash join on renamed keys (the alias-only self-join
+    degenerates to a nested loop — same trap minhash_pairs documents);
+    per-node top-k is a window over candidate groups, not a global sort.
+    Bucket width (planes/table) is THE skew lever at deployment: more
+    planes → smaller buckets → fewer candidate pairs per node."""
+    from .util import scoped_persist
+
+    b = scoped_persist(_lsh_bucketed(spark, sf_dir))
+    left = b.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "tbl",
+        "bucket",
+    )
+    right = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("tbl").alias("tbl_r"),
+        F.col("bucket").alias("bucket_r"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("tbl") == F.col("tbl_r")) & (F.col("bucket") == F.col("bucket_r")),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union over tables
+    )
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.sqrt(_sqnorm(F.col("q_emb"))) * F.sqrt(_sqnorm(F.col("c_emb"))))
+        ).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("query_id", "neighbor_id", "rnk", dround("cos", 6).alias("cosine"))
+    )
