@@ -611,3 +611,38 @@ def test_bigram_lm_windows_stay_per_doc(spark):
     win = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
     assert win and all("doc_id" in ln for ln in win)
     assert "CartesianProduct" not in p
+
+
+def test_knn_graph_self_join_is_hash_join(spark):
+    """The kNN-graph bucket SELF-join must hash on (tbl, bucket) — the
+    alias-only self-join degenerating to a nested loop is the documented
+    trap (minhash_pairs); renamed keys force the equi-join."""
+    p = plan(q(spark, "similarity_knn_graph"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_count_min_sketch_probe_is_broadcast_equi_join(spark):
+    """The CMS probe join keys on (depth, bucket) with the tiny probe side
+    broadcast — never a nested loop against the cell table."""
+    p = plan(q(spark, "agg_count_min_sketch"))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_epoch_resample_is_map_only(spark):
+    """Fractional epoch expansion is one scan + generate: no shuffle, no
+    join — the copy count is a pure expression in the scan stage."""
+    p = plan(q(spark, "pipeline_epoch_resample"))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "Generate" in p  # the explode
+
+
+def test_iceberg_mor_scan_joins_are_bounded(spark):
+    """The position-delete merge is an equi anti-join (file, ordinal); the
+    equality-delete merge is a broadcast null-safe anti-join plus the
+    broadcast seq map — never a nested loop over data rows."""
+    p = plan(q(spark, "source_iceberg_equality_deletes"))
+    assert "CartesianProduct" not in p
