@@ -221,3 +221,75 @@ def test_ann_sq8_recall_vs_exact(spark):
     for r in approx:
         if (r.query_id, r.neighbor_id) in ex:
             assert abs(r.cosine - ex[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_knn_graph_properties(spark):
+    """Corpus kNN graph: per-node degree <= k, cosine ordering monotone in
+    rank, no self-edges, and the candidate set is genuinely bucketed (a
+    node's neighbors share at least one LSH bucket with it — spot-checked
+    via symmetry of bucket membership: every edge endpoint exists)."""
+    from lakefs_iceberg_catalog_spark.operators.similarity import _KNN_K
+
+    rows = registry.QUERIES["similarity_knn_graph"](spark, SF_DIR).collect()
+    assert rows
+    by_q = {}
+    ids = set()
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.cosine))
+        ids.add(r.query_id)
+        ids.add(r.neighbor_id)
+    from lakefs_iceberg_catalog_spark.tables import table as _t
+
+    vec_ids = {r.vec_id for r in _t(spark, SF_DIR, "embeddings").select("vec_id").collect()}
+    assert ids <= vec_ids  # every endpoint is a real corpus vector
+    for q_id, es in by_q.items():
+        assert len(es) <= _KNN_K
+        es.sort()
+        assert [c for _, c in es] == sorted((c for _, c in es), reverse=True)
+    # graph covers most of the corpus (isolated-bucket nodes may drop out)
+    assert len(by_q) >= int(0.8 * len(vec_ids))
+
+
+def test_cluster_representative_properties(spark):
+    """Representative election: reps are cluster members, n_docs sums to
+    the corpus size, and every rep has the cluster's max n_chars."""
+    labels = {
+        r.doc_id: r.canonical_id
+        for r in registry.QUERIES["dedup_cc_canonical"](spark, SF_DIR).collect()
+    }
+    from lakefs_iceberg_catalog_spark.tables import table as _t
+
+    chars = {
+        r.doc_id: r.n_chars
+        for r in _t(spark, SF_DIR, "documents").select("doc_id", "n_chars").collect()
+    }
+    reps = registry.QUERIES["dedup_cluster_representative"](spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in reps) == len(labels)
+    for r in reps:
+        assert labels[r.rep_doc_id] == r.cluster_id  # rep is a member
+        members = [d for d, c in labels.items() if c == r.cluster_id]
+        assert chars[r.rep_doc_id] == max(chars[m] for m in members)
+        assert r.rep_chars == chars[r.rep_doc_id]
+
+
+def test_epoch_resample_expectation(spark):
+    """Per-source copy counts hit the integer part exactly and the
+    fractional part within binomial noise; copy_idx is dense 1..n."""
+    rows = registry.QUERIES["pipeline_epoch_resample"](spark, SF_DIR).collect()
+    from collections import Counter, defaultdict
+
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[(r.doc_id, r.source)].append(r.copy_idx)
+    src_counts = Counter()
+    for (doc, src), idxs in per_doc.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))  # dense copies
+        i = int(src[3:]) % 4
+        lo, hi = (2 + 3 * i) // 4, (2 + 3 * i) // 4 + (1 if (2 + 3 * i) % 4 else 0)
+        assert lo <= len(idxs) <= hi
+        src_counts[src] += len(idxs)
+    # factor 2.0 sources (i=2) must be EXACTLY 2 copies per doc
+    for (doc, src), idxs in per_doc.items():
+        if int(src[3:]) % 4 == 2:
+            assert len(idxs) == 2
