@@ -155,6 +155,8 @@ EXTRA = [
     "pipeline_epoch_resample",
     "dedup_cluster_representative",
     "similarity_knn_graph",
+    "source_delta_deletion_vectors",
+    "sink_delta_export",
 ]
 
 

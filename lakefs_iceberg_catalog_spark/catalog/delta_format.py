@@ -144,6 +144,81 @@ class DeltaTableWriter:
         )
         return self._write_commit(actions)
 
+    def delete_rows(
+        self, rel_path: str, positions: list[int], inline: bool = False
+    ) -> int:
+        """Commit a merge-on-read DELETE of row ordinals from one data
+        file via a DELETION VECTOR (PROTOCOL.md): serialize the row
+        indexes as a portable RoaringBitmapArray (roaring.py), store it
+        in a `deletion_vector_<uuid>.bin` sidecar (storageType "u",
+        path carried as the z85-encoded UUID) or inline in the log
+        itself (storageType "i", z85 payload), and re-add the data file
+        with the descriptor attached (the protocol models a DV update
+        as remove + add of the same path). An existing DV on the file
+        merges — positions union, never resurrect.
+
+        Requires minReaderVersion 3 / minWriterVersion 7 +
+        deletionVectors in reader/writerFeatures per the protocol; the
+        first DV commit upgrades the protocol action accordingly."""
+        import uuid as _uuid
+
+        from . import roaring
+
+        state = read_delta_log(self.table_dir)
+        add = state["files"].get(rel_path)
+        if add is None:
+            raise ValueError(f"{rel_path} is not a live file at head")
+        merged = sorted(set(positions))
+        old = add.get("deletionVector")
+        if old is not None:
+            merged = sorted(set(merged) | set(_dv_positions(self.table_dir, old)))
+        payload = roaring.serialize_bitmap_array(merged)
+        if inline:
+            dv = {
+                "storageType": "i",
+                "pathOrInlineDv": roaring.z85_encode(payload),
+                "sizeInBytes": len(payload),
+                "cardinality": len(merged),
+            }
+        else:
+            file_bytes, offsets = roaring.frame_dv_file([payload])
+            dv_uuid = _uuid.uuid4()
+            name = f"deletion_vector_{dv_uuid}.bin"
+            with open(os.path.join(self.table_dir, name), "wb") as f:
+                f.write(file_bytes)
+            dv = {
+                "storageType": "u",
+                "pathOrInlineDv": roaring.z85_encode(dv_uuid.bytes),
+                "offset": offsets[0],
+                "sizeInBytes": len(payload),
+                "cardinality": len(merged),
+            }
+        now_ms = int(time.time() * 1000)
+        new_add = dict(add)
+        new_add.update(
+            {"deletionVector": dv, "dataChange": True, "modificationTime": now_ms}
+        )
+        actions = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            {
+                "remove": {
+                    "path": rel_path,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            },
+            {"add": new_add},
+            {"commitInfo": {"timestamp": now_ms, "operation": "DELETE"}},
+        ]
+        return self._write_commit(actions)
+
     def checkpoint(self) -> int:
         """Write a checkpoint of the CURRENT state: one
         ``<version>.checkpoint.parquet`` holding protocol + metaData + one
@@ -168,6 +243,15 @@ class DeltaTableWriter:
                 ("createdTime", pa.int64()),
             ]
         )
+        dv_t = pa.struct(
+            [
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int32()),
+                ("sizeInBytes", pa.int32()),
+                ("cardinality", pa.int64()),
+            ]
+        )
         add_t = pa.struct(
             [
                 ("path", pa.string()),
@@ -176,6 +260,7 @@ class DeltaTableWriter:
                 ("modificationTime", pa.int64()),
                 ("dataChange", pa.bool_()),
                 ("stats", pa.string()),
+                ("deletionVector", dv_t),
             ]
         )
         md = state["metadata"]
@@ -197,6 +282,7 @@ class DeltaTableWriter:
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": False,  # checkpoint rows are state, not change
                 "stats": a.get("stats"),
+                "deletionVector": a.get("deletionVector"),
             }
             for a in state["files"].values()
         ]
@@ -213,6 +299,89 @@ class DeltaTableWriter:
         with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
             json.dump({"version": v, "size": n}, f)
         return v
+
+
+def _dv_abs_path(table_dir: str, dv: dict) -> str:
+    """Resolve a descriptor to its on-disk DV file per the protocol:
+    storageType "p" carries an absolute path; "u" carries
+    `<optional prefix><20-char z85 uuid>` naming
+    `<prefix>/deletion_vector_<uuid>.bin` under the table root."""
+    import uuid as _uuid
+
+    from . import roaring
+
+    if dv["storageType"] == "p":
+        return dv["pathOrInlineDv"]
+    s = dv["pathOrInlineDv"]
+    prefix, enc = s[:-20], s[-20:]
+    u = _uuid.UUID(bytes=roaring.z85_decode(enc))
+    return os.path.join(table_dir, prefix, f"deletion_vector_{u}.bin")
+
+
+def _dv_payload(table_dir: str, dv: dict) -> bytes:
+    """Load one descriptor's serialized bitmap: inline payloads decode
+    straight from the log, stored ones read the framed sidecar with
+    CRC verification. Descriptor-sized IO — metadata-scale."""
+    from . import roaring
+
+    if dv["storageType"] == "i":
+        return roaring.z85_decode(dv["pathOrInlineDv"])
+    if dv["storageType"] in ("u", "p"):
+        with open(_dv_abs_path(table_dir, dv), "rb") as f:
+            return roaring.read_dv_payload(
+                f.read(), int(dv["offset"]), int(dv["sizeInBytes"])
+            )
+    raise ValueError(f"unknown DV storageType {dv['storageType']!r}")
+
+
+def _dv_positions(table_dir: str, dv: dict) -> list[int]:
+    from . import roaring
+
+    return roaring.deserialize_bitmap_array(_dv_payload(table_dir, dv))
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, df: DataFrame, table_dir: str, dv_adds: dict[str, dict]
+) -> DataFrame:
+    """Drop DV-marked row ordinals from a scan: one (file, bitmap
+    payload) row per DV-bearing file — O(files) rows, payload bytes
+    bounded by the descriptor's sizeInBytes — decoded to row indexes on
+    the EXECUTORS (Arrow-batched pandas UDF over the binary column),
+    exploded, and anti-joined against the data side's hidden
+    `_metadata.file_path`/`row_index` — the same deleted-row-
+    proportional equi-join the Iceberg position-delete path runs
+    (iceberg_format.py scan_iceberg_table)."""
+    from . import roaring
+
+    rows = [
+        (
+            os.path.abspath(os.path.join(table_dir, rel)),
+            bytearray(_dv_payload(table_dir, a["deletionVector"])),
+        )
+        for rel, a in dv_adds.items()
+    ]
+    decode = F.pandas_udf(
+        lambda s: s.map(lambda b: roaring.deserialize_bitmap_array(bytes(b))),
+        "array<long>",
+    )
+    dels = spark.createDataFrame(rows, "_dfile string, _dv binary").select(
+        "_dfile", F.explode(decode("_dv")).alias("_dpos")
+    )
+    cols = df.columns
+    return (
+        df.withColumns(
+            {
+                "_file": F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+                "_pos": F.col("_metadata.row_index"),
+            }
+        )
+        .join(
+            dels,
+            (F.col("_file") == F.col("_dfile")) & (F.col("_pos") == F.col("_dpos")),
+            "left_anti",
+        )
+        .select(*cols)
+    )
 
 
 def _apply_meta(md: dict, state: dict) -> None:
@@ -361,8 +530,14 @@ def scan_delta_table(
             f"Delta version {state['version']} has no live files"
             + (" matching the partition filter" if partition_filter else "")
         )
+    dv_adds = {
+        rel: a for rel, a in files.items() if a.get("deletionVector") is not None
+    }
     if not pcols:
-        return spark.read.parquet(*[os.path.join(table_dir, rel) for rel in files])
+        df = spark.read.parquet(*[os.path.join(table_dir, rel) for rel in files])
+        return (
+            _apply_deletion_vectors(spark, df, table_dir, dv_adds) if dv_adds else df
+        )
     schema = T.StructType.fromJson(json.loads(state["schema_json"]))
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     groups: dict[tuple, list[str]] = {}
@@ -373,6 +548,13 @@ def scan_delta_table(
     parts = []
     for key, paths in groups.items():
         df = spark.read.parquet(*paths)
+        group_dvs = {
+            rel: a
+            for rel, a in dv_adds.items()
+            if os.path.join(table_dir, rel) in paths
+        }
+        if group_dvs:
+            df = _apply_deletion_vectors(spark, df, table_dir, group_dvs)
         for c, v in zip(pcols, key):
             lit = F.lit(None) if v is None else F.lit(v)
             df = df.withColumn(c, lit.cast(ptypes[c]))

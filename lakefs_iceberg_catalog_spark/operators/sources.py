@@ -490,3 +490,51 @@ def source_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert scan_delta_table(spark, tmp, version=cp_v).count() == 13
     back = scan_delta_table(spark, tmp).select("n_nationkey", "n_name", "n_regionkey")
     return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_delta_deletion_vectors",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey NOT IN (0, 1, 7, 24)
+""",
+)
+def source_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a Delta table carrying DELETION VECTORS — the protocol's
+    merge-on-read row deletes (PROTOCOL.md "Deletion Vectors"), the Delta
+    analog of Iceberg's position-delete files: the fixture appends nation,
+    commits a stored DV (z85-uuid-named `deletion_vector_*.bin` sidecar,
+    framed <size><RoaringBitmapArray><crc32>) deleting ordinals {0,7,24},
+    then an INLINE DV (storageType "i", z85 payload in the log itself)
+    deleting ordinal 1 — which must MERGE with the stored one, not replace
+    it — then a checkpoint, whose add rows must carry the descriptor
+    through. Pre-delete time travel is asserted mid-flow. The bitmap
+    codecs (catalog/roaring.py) are from-scratch implementations of the
+    public RoaringFormatSpec + ZeroMQ Z85 specs, checked against the
+    specs' own test vectors.
+
+    Scale: DV descriptors are log metadata (O(files) rows, payloads
+    bounded by sizeInBytes); bitmaps decode on the EXECUTORS (Arrow-
+    batched pandas UDF over the binary payload column) and apply as the
+    same deleted-row-proportional (file, row ordinal) anti-join the
+    Iceberg MoR path runs — data files still stream through the
+    distributed parquet source with pushdown intact."""
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta-dv-")
+    w = DeltaTableWriter(spark, tmp)
+    w.commit(add_dfs=[n.orderBy("n_nationkey")])  # ordinal == n_nationkey
+    rel = next(iter(read_delta_log(tmp)["files"]))
+    w.delete_rows(rel, [0, 7, 24])  # stored sidecar DV
+    assert scan_delta_table(spark, tmp, version=0).count() == 25  # pre-delete
+    w.delete_rows(rel, [1], inline=True)  # inline DV, merges with stored
+    w.checkpoint()  # descriptor must survive the checkpoint round-trip
+    back = scan_delta_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)

@@ -207,3 +207,104 @@ def test_partitioned_checkpoint_roundtrip(spark, delta_partitioned):
     assert {r["n_regionkey"] for r in back.collect()} == set(range(5))
     out = scan_delta_table(spark, d, partition_filter={"n_regionkey": "3"})
     assert len(out.inputFiles()) == 1
+
+
+# --- deletion vectors (PROTOCOL.md "Deletion Vectors") ----------------------
+
+
+@pytest.fixture
+def delta_dv(spark, tmp_path):
+    """One-file nation table (ordinal == n_nationkey) with a stored DV
+    deleting {0, 7, 24}, then an inline DV deleting {1} that must MERGE."""
+    d = str(tmp_path / "delta_dv")
+    w = DeltaTableWriter(spark, d)
+    w.commit(add_dfs=[_nation(spark).orderBy("n_nationkey")])
+    rel = next(iter(read_delta_log(d)["files"]))
+    w.delete_rows(rel, [0, 7, 24])
+    w.delete_rows(rel, [1], inline=True)
+    return d, w, rel
+
+
+def _keys(spark, d, **kw):
+    return sorted(
+        r["n_nationkey"] for r in scan_delta_table(spark, d, **kw).collect()
+    )
+
+
+def test_dv_scan_drops_marked_ordinals(spark, delta_dv):
+    d, _w, _rel = delta_dv
+    assert _keys(spark, d) == [k for k in range(25) if k not in (0, 1, 7, 24)]
+
+
+def test_dv_time_travel_pre_delete(spark, delta_dv):
+    d, _w, _rel = delta_dv
+    assert _keys(spark, d, version=0) == list(range(25))
+    # first DV commit visible, inline merge not yet
+    assert _keys(spark, d, version=1) == [
+        k for k in range(25) if k not in (0, 7, 24)
+    ]
+
+
+def test_dv_inline_merges_with_stored(spark, delta_dv):
+    """The second delete_rows must union positions — replacing the stored
+    DV with only {1} would resurrect rows 0/7/24."""
+    d, _w, rel = delta_dv
+    dv = read_delta_log(d)["files"][rel]["deletionVector"]
+    assert dv["storageType"] == "i" and dv["cardinality"] == 4
+
+
+def test_dv_protocol_upgrade(spark, delta_dv):
+    d, _w, _rel = delta_dv
+    proto = read_delta_log(d)["protocol"]
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+
+
+def test_dv_survives_checkpoint(spark, delta_dv):
+    """Checkpoint add rows must carry the descriptor — dropping it would
+    silently resurrect deleted rows once old JSONs truncate."""
+    d, w, _rel = delta_dv
+    cp_v = w.checkpoint()
+    for v in range(cp_v):  # truncate: checkpoint is now the only base
+        os.remove(os.path.join(d, "_delta_log", f"{v:020d}.json"))
+    assert _keys(spark, d) == [k for k in range(25) if k not in (0, 1, 7, 24)]
+
+
+def test_dv_on_partitioned_table(spark, tmp_path):
+    """DV anti-join composes with the log-only partition-value injection."""
+    d = str(tmp_path / "delta_dv_part")
+    w = DeltaTableWriter(spark, d)
+    n = _nation(spark)
+    import pyspark.sql.functions as F
+
+    for i, rk in enumerate(range(5)):
+        w.commit(
+            add_dfs=[n.filter(F.col("n_regionkey") == rk).orderBy("n_nationkey")],
+            partition_cols=["n_regionkey"] if i == 0 else None,
+        )
+    # region 2's file: delete its first two ordinals
+    state = read_delta_log(d)
+    rel2 = next(
+        rel
+        for rel, a in state["files"].items()
+        if a["partitionValues"].get("n_regionkey") == "2"
+    )
+    region2 = sorted(
+        r["n_nationkey"]
+        for r in n.filter("n_regionkey = 2").orderBy("n_nationkey").collect()
+    )
+    w.delete_rows(rel2, [0, 1])
+    got = sorted(
+        r["n_nationkey"]
+        for r in scan_delta_table(spark, d)
+        .filter("n_regionkey = 2")
+        .collect()
+    )
+    assert got == region2[2:]
+    assert scan_delta_table(spark, d).count() == 25 - 2
+
+
+def test_dv_delete_requires_live_file(spark, delta_dv):
+    d, w, _rel = delta_dv
+    with pytest.raises(ValueError, match="not a live file"):
+        w.delete_rows("nope.parquet", [0])
