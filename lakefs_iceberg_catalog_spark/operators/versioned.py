@@ -1334,6 +1334,34 @@ def sink_sharded_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize(spark, out, root)
 
 
+def export_history_appends(cat: "VersionedCatalog", t: str, commit_fn):
+    """Replay a versioned table's snapshot history as APPEND commits of an
+    external writer: snapshots() (metadata-only, O(versions) rows) says
+    which versions added files, table_changes reads exactly those rows
+    distributed, and ``commit_fn(delta_df)`` lands each version — no
+    snapshot ever materializes on the driver. Non-append histories
+    (remove or MoR-delete commits) refuse loudly: replaying only the adds
+    would silently resurrect deleted rows in the exported table. Returns
+    commit_fn's results in version order."""
+    from .util import bounded_rows
+
+    out = []
+    for s in bounded_rows(cat.snapshots(t)):
+        if s["removed_files"] or s["n_pending_deletes"]:
+            raise NotImplementedError(
+                f"export of non-append history (version {s['version']} "
+                f"{s['operation']}) is not supported"
+            )
+        if s["added_files"] == 0:
+            continue  # metadata-only commit: nothing to export
+        v = s["version"]
+        delta = (
+            cat.scan(t, version=1) if v == 1 else cat.table_changes(t, v - 1, v)
+        )
+        out.append(commit_fn(delta))
+    return out
+
+
 @register(
     "sink_iceberg_export",
     oracle="""
@@ -1389,19 +1417,7 @@ def sink_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed — no snapshot ever collects to the driver
     exp_dir = tempfile.mkdtemp(prefix="iceberg-export-")
     w = IcebergTableWriter(spark, exp_dir)
-    from .util import bounded_rows
-
-    snap_ids = []
-    for s in bounded_rows(cat.snapshots(t)):
-        if s["added_files"] == 0:
-            continue  # metadata-only commit: nothing to export
-        v = s["version"]
-        delta = (
-            cat.scan(t, version=1)
-            if v == 1
-            else cat.table_changes(t, v - 1, v)
-        )
-        snap_ids.append(w.append(delta))
+    snap_ids = export_history_appends(cat, t, w.append)
 
     back = scan_iceberg_table(spark, exp_dir)
     assert back.count() == 7
@@ -1444,7 +1460,6 @@ def sink_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever materializes on the driver; per-commit data files stream
     through the normal writer."""
     from ..catalog.delta_format import DeltaTableWriter, scan_delta_table
-    from .util import bounded_rows
 
     root = tempfile.mkdtemp(prefix="vcat-deltaexp-")
     cat = VersionedCatalog(spark, root)
@@ -1464,15 +1479,9 @@ def sink_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exp_dir = tempfile.mkdtemp(prefix="delta-export-")
     w = DeltaTableWriter(spark, exp_dir)
-    delta_versions = []
-    for s in bounded_rows(cat.snapshots(t)):
-        if s["added_files"] == 0:
-            continue  # metadata-only commit: nothing to export
-        v = s["version"]
-        delta = (
-            cat.scan(t, version=1) if v == 1 else cat.table_changes(t, v - 1, v)
-        )
-        delta_versions.append(w.commit(add_dfs=[delta]))
+    delta_versions = export_history_appends(
+        cat, t, lambda delta: w.commit(add_dfs=[delta])
+    )
     w.checkpoint()  # stock readers fold from here; old JSONs truncatable
 
     back = scan_delta_table(spark, exp_dir)

@@ -308,3 +308,27 @@ def test_dv_delete_requires_live_file(spark, delta_dv):
     d, w, _rel = delta_dv
     with pytest.raises(ValueError, match="not a live file"):
         w.delete_rows("nope.parquet", [0])
+
+
+
+def test_export_refuses_non_append_history(spark, tmp_path):
+    """Both interop exports replay snapshots as appends
+    (operators/versioned.py export_history_appends); a history containing
+    a remove/MoR-delete commit must refuse loudly — replaying only the
+    adds would silently resurrect deleted rows in the exported table."""
+    import pytest as _pytest
+
+    from lakefs_iceberg_catalog_spark.operators.versioned import (
+        VersionedCatalog,
+        export_history_appends,
+    )
+
+    root = str(tmp_path / "vcat")
+    cat = VersionedCatalog(spark, root)
+    cat.create_repository("repo", "main")
+    cat.create_namespace("repo.main.db")
+    t = "repo.main.db.t"
+    cat.create_table_as(t, spark.range(10).withColumnRenamed("id", "k"))
+    cat.delete_where(t, "k >= 8")
+    with _pytest.raises(NotImplementedError, match="non-append history"):
+        export_history_appends(cat, t, lambda df: df)
