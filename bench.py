@@ -157,6 +157,9 @@ EXTRA = [
     "similarity_knn_graph",
     "source_delta_deletion_vectors",
     "sink_delta_export",
+    "join_interval_overlap",
+    "pipeline_train_val_split",
+    "window_seasonal_decompose",
 ]
 
 

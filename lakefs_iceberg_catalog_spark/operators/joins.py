@@ -624,3 +624,121 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("value", 2).alias("value"),
         nearest.alias("nearest_signup_ts"),
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH o AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+m AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev_ts IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM o
+),
+s AS (
+    SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM m
+),
+iv AS (
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS s0,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS s1
+    FROM s GROUP BY user_id, session_id HAVING count(*) >= 2
+),
+p AS (
+    SELECT greatest(a.s0, b.s0) AS o0, least(a.s1, b.s1) AS o1
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id AND a.s0 <= b.s1 AND b.s0 <= a.s1
+)
+SELECT CAST(o0 // 86400 AS BIGINT)   AS epoch_day,
+       CAST(count(*) AS BIGINT)      AS n_pairs,
+       CAST(sum(o1 - o0) AS BIGINT)  AS total_overlap_s,
+       CAST(max(o1 - o0) AS BIGINT)  AS max_overlap_s
+FROM p GROUP BY 1 ORDER BY 1
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP SELF-JOIN — the "which intervals intersect" shape
+    (concurrent sessions, conflicting reservations, co-occurring incidents)
+    that Spark has no native operator for and a naive formulation computes
+    as an O(n²) theta join: here multi-event user sessions (30-min-gap
+    sessionization, ≥2 events) pair up when their [start, end] spans
+    intersect, aggregated to per-day concurrency stats.
+
+    The engine's plan is the standard BUCKETIZED interval join: each
+    interval explodes into the hour buckets it covers, candidates come
+    from a bucket EQUI-join (self-join with renamed keys — an alias-only
+    self-join degenerates to a nested loop), the overlap predicate
+    verifies exactly, and the count-once rule `bucket ==
+    floor(greatest(start_a, start_b)/3600)` deduplicates pairs that share
+    several buckets without a distinct. The DuckDB oracle runs the PLAIN
+    quadratic predicate join — proving the bucketed plan computes the
+    identical pair set.
+
+    Scale (100 TB): candidates are sum over buckets of (intervals in
+    bucket)², never corpus² — bounded by within-hour concurrency exactly
+    like the LSH band joins bound near-dup candidates; all integer
+    arithmetic (epoch seconds, `div`), so both engines replay bit-for-bit.
+    Skewed buckets (a thundering-herd hour) would salt the bucket key the
+    same way join_salted_skew does."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tsl = F.col("ts").cast("long")
+    gap = tsl - F.lag(tsl).over(w)
+    marked = e.select(
+        "user_id", "ts", "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
+    )
+    iv = (
+        marked.withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(tsl).alias("s0"),
+            F.max(tsl).alias("s1"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    left = iv.select(
+        F.col("user_id").alias("ua"), F.col("s0").alias("a0"),
+        F.col("s1").alias("a1"),
+        F.explode(F.sequence(F.expr("s0 div 3600"), F.expr("s1 div 3600"))).alias("bucket"),
+    )
+    right = iv.select(
+        F.col("user_id").alias("ub"), F.col("s0").alias("b0"),
+        F.col("s1").alias("b1"),
+        F.explode(F.sequence(F.expr("s0 div 3600"), F.expr("s1 div 3600"))).alias("bucket"),
+    )
+    pairs = left.join(right, "bucket").filter(
+        (F.col("ua") < F.col("ub"))
+        & (F.col("a0") <= F.col("b1"))
+        & (F.col("b0") <= F.col("a1"))
+        # count-once rule: only the bucket holding the later start emits
+        & (F.col("bucket") == F.expr("greatest(a0, b0) div 3600"))
+    )
+    o0, o1 = F.greatest("a0", "b0"), F.least("a1", "b1")
+    return (
+        pairs.select(
+            F.expr("greatest(a0, b0) div 86400").cast("bigint").alias("epoch_day"),
+            (o1 - o0).alias("ov"),
+        )
+        .groupBy("epoch_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("ov").cast("bigint").alias("total_overlap_s"),
+            F.max("ov").cast("bigint").alias("max_overlap_s"),
+        )
+        .orderBy("epoch_day")
+    )

@@ -763,3 +763,68 @@ def pipeline_epoch_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_idx"),
         )
     )
+
+
+@register(
+    "pipeline_train_val_split",
+    oracle="""
+WITH b AS (
+    SELECT text,
+           (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS bucket
+    FROM documents
+),
+sp AS (
+    SELECT text,
+           CASE WHEN bucket < 204 THEN 'train'
+                WHEN bucket < 230 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+)
+SELECT split,
+       CAST(count(*) AS BIGINT)                              AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT)             AS n_unique_texts,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT)     AS n_tokens
+FROM sp GROUP BY split ORDER BY split
+""",
+)
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CONTENT-KEYED train/val/test split — the assignment
+    every training pipeline needs before anything else: each document
+    hashes by md5(text) into 256 uniform buckets, buckets <204 train
+    (~80%), <230 val (~10%), rest test. Keying the split on CONTENT
+    rather than doc_id guarantees exact duplicates land in the same
+    split — the no-leakage property (a test pins it) that id-keyed or
+    RNG splits silently violate and that contaminates eval sets; it is
+    also reproducible across runs, engines, and repartitionings, unlike
+    df.randomSplit. Returns per-split document / unique-text / token
+    accounting.
+
+    Scale (100 TB): the bucket is a pure scan-stage expression (no RNG
+    state, no shuffle to assign); the accounting is one partial-agg
+    groupBy on a 3-value key. The same bucket arithmetic the stratified
+    sampler uses (sample_stratified_hash) — split + sample compose on
+    one hash pass."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.encode("text", "UTF-8"))
+    bucket = F.expr(
+        "(instr('0123456789abcdef', substring(_h, 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(_h, 2, 1)) - 1)"
+    )
+    split = (
+        F.when(F.col("_bucket") < 204, "train")
+        .when(F.col("_bucket") < 230, "val")
+        .otherwise("test")
+    )
+    return (
+        d.withColumn("_h", h)
+        .withColumn("_bucket", bucket)
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("_h").cast("bigint").alias("n_unique_texts"),
+            F.sum(F.size(F.split("text", " ", -1))).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )

@@ -656,3 +656,107 @@ def window_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.element_at(st, 2) > F.lit(_CUSUM_H))
         ).alias("drift_alarm"),
     )
+
+
+@register(
+    "window_seasonal_decompose",
+    oracle="""
+WITH e AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT)         AS vi,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400        AS d,
+           (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24  AS hour
+    FROM events
+),
+det AS (
+    SELECT event_type, hour,
+           vi - CAST(floor(
+                 CAST(sum(vi) OVER (PARTITION BY event_type, d) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY event_type, d)) AS BIGINT) AS det
+    FROM e
+),
+seas AS (
+    SELECT event_type, hour, det,
+           CAST(floor(
+             CAST(sum(det) OVER (PARTITION BY event_type, hour) AS DOUBLE)
+             / count(*) OVER (PARTITION BY event_type, hour)) AS BIGINT) AS sc
+    FROM det
+)
+SELECT event_type,
+       CAST(hour AS BIGINT)                                    AS hour,
+       CAST(count(*) AS BIGINT)                                AS n,
+       round(CAST(sum(det) AS DOUBLE) / count(*) / 100.0, 6)   AS seasonal,
+       round(CAST(sum(abs(det - sc)) AS DOUBLE) / count(*) / 100.0, 6)
+                                                               AS resid_mad
+FROM seas
+GROUP BY event_type, hour
+ORDER BY event_type, hour
+""",
+)
+def window_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive SEASONAL DECOMPOSITION of an event stream — the classic
+    trend/seasonal/residual split (STL's moving-average skeleton) that
+    metric pipelines run before anomaly thresholds: per event type, the
+    DAILY mean is the trend, the mean of the detrended values per
+    HOUR-OF-DAY is the seasonal profile, and what remains is residual —
+    reported as per-(type, hour) seasonal level + mean absolute residual,
+    the pair a monitoring system alarms on (big |seasonal| = strong
+    diurnal shape; big residual MAD = noisy hour).
+
+    Cross-engine FP discipline: averaging rounded doubles lands EXACTLY
+    on round-half boundaries (avg of 1e-6 multiples over n hits x.5e-6
+    whenever sum ≡ n/2 mod n), where engine sum-reorder flips the 6th
+    decimal — so the whole decomposition runs in INTEGER CENTS
+    (floor(value*100+0.5), then floor-divided window means), exact and
+    identical on both engines; doubles appear only in the final
+    division, an exact-integer-over-integer quotient both engines
+    compute bit-identically.
+
+    Scale (100 TB): two whole-partition window sums — one keyed
+    (type, day), one (type, hour) — then one partial-agg groupBy; no
+    self-joins, no collect, each window one hash exchange."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vi"),
+        F.expr("cast(ts as long) div 86400").alias("d"),
+        (F.expr("cast(ts as long) div 3600") % 24).alias("hour"),
+    )
+    w_day = W.partitionBy("event_type", "d")
+    det = base.select(
+        "event_type", "hour",
+        (
+            F.col("vi")
+            - F.floor(
+                F.sum("vi").over(w_day).cast("double")
+                / F.count(F.lit(1)).over(w_day)
+            ).cast("long")
+        ).alias("det"),
+    )
+    w_hr = W.partitionBy("event_type", "hour")
+    seas = det.withColumn(
+        "sc",
+        F.floor(
+            F.sum("det").over(w_hr).cast("double") / F.count(F.lit(1)).over(w_hr)
+        ).cast("long"),
+    )
+    return (
+        seas.groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(
+                F.sum("det").cast("double") / F.count(F.lit(1)) / 100.0, 6
+            ).alias("seasonal"),
+            dround(
+                F.sum(F.abs(F.col("det") - F.col("sc"))).cast("double")
+                / F.count(F.lit(1))
+                / 100.0,
+                6,
+            ).alias("resid_mad"),
+        )
+        .select(
+            "event_type", F.col("hour").cast("bigint").alias("hour"),
+            "n", "seasonal", "resid_mad",
+        )
+        .orderBy("event_type", "hour")
+    )

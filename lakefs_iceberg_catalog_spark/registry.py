@@ -81,26 +81,31 @@ _SWEEP_PRIORITY = [
     # open table format) — windowed immediately, displacing the last two
     # alphabetical r3-stale keys to the head of the post-window list ...
     "source_delta_deletion_vectors", "sink_delta_export",
-    # ... slots 14-21 = the 8 keys whose newest driver row is still ROUND 1
+    # ... slots 14-16 = round 7's analytics/pipeline additions (bucketized
+    # interval-overlap self-join; content-keyed train/val/test split;
+    # integer-cent seasonal decomposition) ...
+    "join_interval_overlap", "pipeline_train_val_split",
+    "window_seasonal_decompose",
+    # ... slots 17-24 = the 8 keys whose newest driver row is still ROUND 1
     # (drains r1-stale to 0) ...
     "subquery_correlated", "subquery_in", "subquery_scalar", "udaf_pandas",
     "udf_python", "window_analytic", "window_distribution", "window_rank",
-    # ... slots 22-38 = the 17 r2-stale keys (drains r2-stale to 0) ...
+    # ... slots 25-41 = the 17 r2-stale keys (drains r2-stale to 0) ...
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join", "stream_tumbling_window",
     "text_fingerprint", "text_lang_id", "text_quality_filter", "text_stats",
     "text_token_count",
-    # ... slots 39-49 = the 11 alphabetically-first r3-stale keys (the
-    # remaining 38 r3 keys head the post-window list for round 8).
+    # ... slots 42-49 = the 8 alphabetically-first r3-stale keys (the
+    # remaining 41 r3 keys head the post-window list for round 8).
     "agg_rollup", "branch_diff_equal", "branch_merge",
     "branch_wap_publish", "ddl_create_table", "ddl_schema_crud",
-    "ddl_schema_evolution", "dedup_cc_canonical", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_near_minhash",
+    "ddl_schema_evolution", "dedup_cc_canonical",
     # ---- Past the window: every remaining key ordered by STALENESS ----
     # (rounds since its newest driver row: leftover r3 keys first, then
     # r4, the r5 window, and finally the 50 keys just swept in r6)
+    "dedup_embedding_cosine", "dedup_exact", "dedup_near_minhash",
     "dedup_ngram_jaccard", "dedup_simhash_pairs",
     "dml_delete_where", "dml_delete_where_mor", "dml_insert_values",
     "dml_merge_upsert", "dml_update_where", "dml_update_where_mor",

@@ -646,3 +646,33 @@ def test_iceberg_mor_scan_joins_are_bounded(spark):
     broadcast seq map — never a nested loop over data rows."""
     p = plan(q(spark, "source_iceberg_equality_deletes"))
     assert "CartesianProduct" not in p
+
+
+def test_interval_overlap_is_bucketed_hash_join(spark):
+    """The interval-overlap candidates come from a bucket EQUI-join
+    (SortMerge/ShuffledHash on the hour bucket) — never the nested-loop
+    theta join the naive formulation produces; the windows/sessionization
+    stay partitioned on user_id."""
+    p = plan(q(spark, "join_interval_overlap"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    win = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert win and all("user_id" in ln for ln in win)
+
+
+def test_train_val_split_is_single_pass(spark):
+    """The split assignment is a scan-stage expression: no join anywhere,
+    the only exchanges are the aggregate's (incl. the distinct expand)."""
+    p = plan(q(spark, "pipeline_train_val_split"))
+    assert "Join" not in p
+    assert "partial_count" in plan(
+        q(spark, "pipeline_train_val_split"), mode="simple"
+    ) or "partial_" in plan(q(spark, "pipeline_train_val_split"), mode="simple")
+
+
+def test_seasonal_decompose_no_joins(spark):
+    """Trend and seasonal means are whole-partition windows — no self-join
+    back-patching; the final rollup has a map-side partial phase."""
+    p = plan(q(spark, "window_seasonal_decompose"))
+    assert "Join" not in p
+    assert "CartesianProduct" not in p

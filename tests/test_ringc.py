@@ -293,3 +293,117 @@ def test_epoch_resample_expectation(spark):
     for (doc, src), idxs in per_doc.items():
         if int(src[3:]) % 4 == 2:
             assert len(idxs) == 2
+
+
+def test_train_val_split_no_leakage(spark):
+    """The no-leakage property the content-keyed split exists for: every
+    distinct text lands in EXACTLY one split — an id-keyed or RNG split
+    would scatter exact duplicates across train and eval."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.tables import table as _t
+
+    d = _t(spark, SF_DIR, "documents")
+    h = F.md5(F.encode("text", "UTF-8"))
+    bucket = F.expr(
+        "(instr('0123456789abcdef', substring(_h, 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(_h, 2, 1)) - 1)"
+    )
+    split = (
+        F.when(F.col("_bucket") < 204, "train")
+        .when(F.col("_bucket") < 230, "val")
+        .otherwise("test")
+    )
+    # non-vacuous: inject exact duplicates under NEW doc_ids — an id-keyed
+    # split would scatter them; the content-keyed split must not
+    dupes = d.limit(50).withColumn("doc_id", F.concat("doc_id", F.lit("_copy")))
+    per_text = (
+        d.unionByName(dupes)
+        .withColumn("_h", h)
+        .withColumn("_bucket", bucket)
+        .withColumn("split", split)
+        .groupBy("_h")
+        .agg(F.countDistinct("split").alias("n_splits"), F.count(F.lit(1)).alias("n"))
+    )
+    assert per_text.filter("n_splits > 1").count() == 0
+    assert per_text.filter("n > 1").count() >= 50  # the dupes exist
+    # split shares roughly follow the 204/26/26 bucket allocation
+    shares = {
+        r["split"]: r["n"]
+        for r in d.withColumn("_h", h)
+        .withColumn("_bucket", bucket)
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(shares.values())
+    assert 0.70 <= shares["train"] / total <= 0.90
+    assert shares.keys() == {"train", "val", "test"}
+
+
+def test_interval_overlap_bucketing_equals_direct_join(spark):
+    """The bucketed candidate join + count-once dedup must compute the
+    IDENTICAL pair aggregate as the plain quadratic theta join (what the
+    DuckDB oracle runs) — replayed here engine-internally so the
+    equivalence is pinned even without the driver."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.tables import table as _t
+
+    e = _t(spark, SF_DIR, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tsl = F.col("ts").cast("long")
+    gap = tsl - F.lag(tsl).over(w)
+    iv = (
+        e.select(
+            "user_id", "ts", "event_id",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("ns"),
+        )
+        .withColumn("sid", F.sum("ns").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min(tsl).alias("s0"), F.max(tsl).alias("s1"), F.count(F.lit(1)).alias("n"))
+        .filter("n >= 2")
+    )
+    a = iv.select(F.col("user_id").alias("ua"), F.col("s0").alias("a0"), F.col("s1").alias("a1"))
+    b = iv.select(F.col("user_id").alias("ub"), F.col("s0").alias("b0"), F.col("s1").alias("b1"))
+    direct = (
+        a.join(
+            b,
+            (F.col("ua") < F.col("ub"))
+            & (F.col("a0") <= F.col("b1"))
+            & (F.col("b0") <= F.col("a1")),
+        )
+        .select(
+            F.expr("greatest(a0, b0) div 86400").alias("epoch_day"),
+            (F.least("a1", "b1") - F.greatest("a0", "b0")).alias("ov"),
+        )
+        .groupBy("epoch_day")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("ov").alias("total"))
+    )
+    got = {
+        r["epoch_day"]: (r["n_pairs"], r["total_overlap_s"])
+        for r in registry.QUERIES["join_interval_overlap"](spark, SF_DIR).collect()
+    }
+    want = {
+        r["epoch_day"]: (r["n_pairs"], r["total"]) for r in direct.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_seasonal_decompose_residual_centering(spark):
+    """Per (type, hour) the residual mean must be ~0 (|mean| < 1 cent by
+    the floor-divide construction) and resid_mad must be non-negative and
+    bounded by the raw value spread."""
+    rows = registry.QUERIES["window_seasonal_decompose"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["resid_mad"] >= 0.0
+        assert r["n"] > 0
+    # seasonal components per type should straddle zero (it's detrended)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["seasonal"])
+    for vals in by_type.values():
+        assert min(vals) <= 0.0 <= max(vals) or abs(sum(vals)) < 1.0
