@@ -160,6 +160,7 @@ EXTRA = [
     "join_interval_overlap",
     "pipeline_train_val_split",
     "window_seasonal_decompose",
+    "join_bloom_prefilter",
 ]
 
 

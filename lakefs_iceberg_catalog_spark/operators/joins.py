@@ -742,3 +742,86 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch_day")
     )
+
+
+_BLOOM_WORDS = 1024  # 64 Kibit filter — fixed-size plan metadata
+_BLOOM_SEEDS = (1, 2, 3)
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT)        AS n_lines,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-JOIN REDUCTION via an explicit BLOOM runtime filter — the
+    classic 100 TB move for a selective dim⋈fact join (Spark's own
+    runtime row-level filtering does this behind
+    spark.sql.optimizer.runtime.bloomFilter; here it is built as a
+    first-class operator so the technique is inspectable and testable):
+    the dim side's join keys fold into a fixed 64 Kibit Bloom filter
+    (k=3 xxhash64 probes, bit_or-aggregated into 1024 longs — METADATA
+    sized, independent of data scale), which embeds in the fact scan as
+    a pure literal-array expression — candidate rows that cannot match
+    never leave the scan stage, shrinking the semi-join's shuffle to
+    candidates only. The exact semi join then removes Bloom false
+    positives, so results are byte-identical to the plain semi join the
+    DuckDB oracle runs.
+
+    Scale (100 TB): the filter build is one partial-agg groupBy over
+    dim keys; the 8 KiB bit array rides the plan (driver materialization
+    bounded at 1024 rows via bounded_rows); the fact side reads with the
+    prefilter inside whole-stage codegen before the only shuffle. False
+    positive rate at |keys| ≈ m/16: ~2.5% extra candidates — the shuffle
+    shrinks by the dim's true selectivity."""
+    from .util import bounded_rows
+
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    keys = supp.select("s_suppkey").distinct()
+
+    # fold dim keys into the bit array: one row per populated word
+    nbits = _BLOOM_WORDS * 64
+    bits = None
+    for seed in _BLOOM_SEEDS:
+        one = keys.selectExpr(
+            f"cast(pmod(xxhash64(s_suppkey, {seed}), {nbits}) div 64 as int)"
+            " as word",
+            f"shiftleft(1L, cast(pmod(xxhash64(s_suppkey, {seed}), {nbits}) % 64"
+            " as int)) as mask",
+        )
+        bits = one if bits is None else bits.unionByName(one)
+    words = [0] * _BLOOM_WORDS
+    for r in bounded_rows(bits.groupBy("word").agg(F.bit_or("mask").alias("m"))):
+        words[r["word"]] = r["m"]
+    bloom = F.array(*[F.lit(w).cast("long") for w in words])
+
+    # fact-side prefilter: every probe bit must be set (scan-stage expr)
+    cond = F.lit(True)
+    for seed in _BLOOM_SEEDS:
+        idx = F.pmod(F.xxhash64("l_suppkey", F.lit(seed)), F.lit(nbits))
+        word = F.element_at(bloom, (idx / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(1L, cast(pmod(xxhash64(l_suppkey, {seed}), {nbits}) % 64"
+            " as int))"
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    candidates = li.filter(cond)
+
+    # exact semi join kills false positives — results == plain semi join
+    exact = candidates.join(keys, candidates.l_suppkey == keys.s_suppkey, "semi")
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

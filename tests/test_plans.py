@@ -676,3 +676,18 @@ def test_seasonal_decompose_no_joins(spark):
     p = plan(q(spark, "window_seasonal_decompose"))
     assert "Join" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bloom_prefilter_is_scan_stage_and_semi_join(spark):
+    """The Bloom probe must be a literal-array expression filtering the
+    fact side BEFORE the only join (candidates never shuffle), and the
+    exactness join must be a semi equi-join — no nested loop."""
+    p = plan(q(spark, "join_bloom_prefilter"))
+    assert "xxhash64" in p  # the probe expression is in the plan
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the bloom filter sits in the lineitem scan stage, upstream of the join
+    filt = p.index("xxhash64(l_suppkey")
+    join = p.index("LeftSemi")
+    assert filt != -1 and join != -1

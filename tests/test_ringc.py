@@ -407,3 +407,53 @@ def test_seasonal_decompose_residual_centering(spark):
         by_type.setdefault(r["event_type"], []).append(r["seasonal"])
     for vals in by_type.values():
         assert min(vals) <= 0.0 <= max(vals) or abs(sum(vals)) < 1.0
+
+
+def test_bloom_prefilter_prunes_but_never_drops(spark):
+    """The Bloom stage must remove a meaningful fraction of non-matching
+    fact rows (pruning is the operator's reason to exist) while keeping
+    every true match (no false negatives by construction)."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.operators.joins import (
+        _BLOOM_SEEDS,
+        _BLOOM_WORDS,
+    )
+    from lakefs_iceberg_catalog_spark.operators.util import bounded_rows
+    from lakefs_iceberg_catalog_spark.tables import table as _t
+
+    li = _t(spark, SF_DIR, "lineitem")
+    keys = (
+        _t(spark, SF_DIR, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select("s_suppkey")
+        .distinct()
+    )
+    nbits = _BLOOM_WORDS * 64
+    bits = None
+    for seed in _BLOOM_SEEDS:
+        one = keys.selectExpr(
+            f"cast(pmod(xxhash64(s_suppkey, {seed}), {nbits}) div 64 as int) as word",
+            f"shiftleft(1L, cast(pmod(xxhash64(s_suppkey, {seed}), {nbits}) % 64 as int)) as mask",
+        )
+        bits = one if bits is None else bits.unionByName(one)
+    words = [0] * _BLOOM_WORDS
+    for r in bounded_rows(bits.groupBy("word").agg(F.bit_or("mask").alias("m"))):
+        words[r["word"]] = r["m"]
+    bloom = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = F.lit(True)
+    for seed in _BLOOM_SEEDS:
+        idx = F.pmod(F.xxhash64("l_suppkey", F.lit(seed)), F.lit(nbits))
+        word = F.element_at(bloom, (idx / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(1L, cast(pmod(xxhash64(l_suppkey, {seed}), {nbits}) % 64 as int))"
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+
+    total = li.count()
+    candidates = li.filter(cond).count()
+    exact = li.join(keys, li.l_suppkey == keys.s_suppkey, "semi").count()
+    assert exact <= candidates  # no false negatives
+    assert candidates < total  # it actually prunes
+    # false-positive overhead stays small at this key cardinality
+    assert candidates - exact <= 0.05 * total
