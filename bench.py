@@ -161,6 +161,7 @@ EXTRA = [
     "pipeline_train_val_split",
     "window_seasonal_decompose",
     "join_bloom_prefilter",
+    "source_delta_column_mapping",
 ]
 
 

@@ -47,11 +47,15 @@ class DeltaTableWriter:
     version 0 carries protocol+metaData, each commit appends and/or removes
     data files with the spec's action shapes."""
 
-    def __init__(self, spark: SparkSession, table_dir: str):
+    def __init__(
+        self, spark: SparkSession, table_dir: str, column_mapping: bool = False
+    ):
         self.spark = spark
         self.table_dir = table_dir
         os.makedirs(os.path.join(table_dir, _LOG_DIR), exist_ok=True)
         self._version = -1
+        self._column_mapping = column_mapping
+        self._meta: dict | None = None  # current metaData action (for renames)
 
     def _write_commit(self, actions: list[dict]) -> int:
         self._version += 1
@@ -85,21 +89,49 @@ class DeltaTableWriter:
             if schema_df is None:
                 raise ValueError("first commit must add data (schema source)")
             self._partition_cols = list(partition_cols or [])
-            actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
-            actions.append(
-                {
-                    "metaData": {
-                        "id": str(uuid.uuid4()),
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": schema_df.schema.json(),
-                        "partitionColumns": self._partition_cols,
-                        "configuration": {},
-                        "createdTime": now_ms,
-                    }
+            schema = json.loads(schema_df.schema.json())
+            config: dict[str, str] = {}
+            proto: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+            if self._column_mapping:
+                # PROTOCOL.md "Column Mapping", mode=name: every field gets a
+                # stable id + a physical name the DATA FILES use; logical
+                # names live only in the log, so renames never rewrite data
+                if self._partition_cols:
+                    raise NotImplementedError(
+                        "column mapping + partitioned tables not supported"
+                    )
+                for i, f in enumerate(schema["fields"]):
+                    f.setdefault("metadata", {}).update(
+                        {
+                            "delta.columnMapping.id": i + 1,
+                            "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+                        }
+                    )
+                config = {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": str(len(schema["fields"])),
                 }
-            )
+                proto = {
+                    "minReaderVersion": 2,
+                    "minWriterVersion": 5,
+                }
+            self._meta = {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema, separators=(",", ":")),
+                "partitionColumns": self._partition_cols,
+                "configuration": config,
+                "createdTime": now_ms,
+            }
+            actions.append({"protocol": proto})
+            actions.append({"metaData": self._meta})
         pcols = getattr(self, "_partition_cols", [])
+        phys = _physical_renames(self._meta) if self._column_mapping else {}
         for df in add_dfs or []:
+            if phys:  # data files store columns under their PHYSICAL names
+                df = df.select(
+                    *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+                )
             pvals: dict[str, str | None] = {}
             if pcols:
                 from .parquet_io import distinct_singleton_row
@@ -143,6 +175,37 @@ class DeltaTableWriter:
             }
         )
         return self._write_commit(actions)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Logical column RENAME — the operation column mapping exists for:
+        only the metaData action changes (new logical name, SAME physical
+        name and id), zero data files rewritten. Readers at older versions
+        keep seeing the old name through the old metaData."""
+        if not self._column_mapping:
+            raise NotImplementedError(
+                "rename requires column mapping (physical names in data files)"
+            )
+        assert self._meta is not None
+        schema = json.loads(self._meta["schemaString"])
+        field = next((f for f in schema["fields"] if f["name"] == old), None)
+        if field is None:
+            raise ValueError(f"no column {old!r} to rename")
+        if any(f["name"] == new for f in schema["fields"]):
+            raise ValueError(f"column {new!r} already exists")
+        field["name"] = new
+        self._meta = dict(self._meta)
+        self._meta["schemaString"] = json.dumps(schema, separators=(",", ":"))
+        return self._write_commit(
+            [
+                {"metaData": self._meta},
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": "RENAME COLUMN",
+                    }
+                },
+            ]
+        )
 
     def delete_rows(
         self, rel_path: str, positions: list[int], inline: bool = False
@@ -240,6 +303,7 @@ class DeltaTableWriter:
                 ("format", pa.struct([("provider", pa.string())])),
                 ("schemaString", pa.string()),
                 ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string())),
                 ("createdTime", pa.int64()),
             ]
         )
@@ -269,6 +333,7 @@ class DeltaTableWriter:
             "format": {"provider": md.get("format", {}).get("provider", "parquet")},
             "schemaString": md["schemaString"],
             "partitionColumns": md.get("partitionColumns", []),
+            "configuration": list((md.get("configuration") or {}).items()),
             "createdTime": md.get("createdTime"),
         }
         proto_row = state.get(
@@ -299,6 +364,26 @@ class DeltaTableWriter:
         with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
             json.dump({"version": v, "size": n}, f)
         return v
+
+
+def _physical_renames(meta: dict | None) -> dict[str, str]:
+    """logical -> physical column names from the schema's column-mapping
+    metadata; empty when the table has no mapping."""
+    if meta is None:
+        return {}
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+    if not mode or mode == "none":
+        return {}
+    if mode == "id":
+        raise NotImplementedError(
+            "column mapping mode 'id' (parquet field-id resolution) not supported"
+        )
+    out = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        pn = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+        if pn:
+            out[f["name"]] = pn
+    return out
 
 
 def _dv_abs_path(table_dir: str, dv: dict) -> str:
@@ -411,7 +496,11 @@ def _fold_checkpoint(log_dir: str, lc: dict, state: dict) -> None:
     for path in _checkpoint_paths(log_dir, lc):
         for row in pq.read_table(path).to_pylist():
             if row.get("metaData") is not None:
-                _apply_meta(row["metaData"], state)
+                md = row["metaData"]
+                # pyarrow map columns round-trip as key/value tuple lists
+                if isinstance(md.get("configuration"), list):
+                    md["configuration"] = dict(md["configuration"])
+                _apply_meta(md, state)
             elif row.get("protocol") is not None:
                 state["protocol"] = row["protocol"]
             elif row.get("add") is not None:
@@ -533,11 +622,22 @@ def scan_delta_table(
     dv_adds = {
         rel: a for rel, a in files.items() if a.get("deletionVector") is not None
     }
+    renames = _physical_renames(state.get("metadata"))
+    if renames and pcols:
+        raise NotImplementedError(
+            "column mapping + partitioned tables not supported"
+        )
     if not pcols:
         df = spark.read.parquet(*[os.path.join(table_dir, rel) for rel in files])
-        return (
-            _apply_deletion_vectors(spark, df, table_dir, dv_adds) if dv_adds else df
-        )
+        if dv_adds:
+            df = _apply_deletion_vectors(spark, df, table_dir, dv_adds)
+        if renames:
+            # data files carry PHYSICAL names; project back to the logical
+            # schema of the version being read (renames are metadata-only)
+            df = df.select(
+                *[F.col(p).alias(lg) for lg, p in renames.items()]
+            )
+        return df
     schema = T.StructType.fromJson(json.loads(state["schema_json"]))
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     groups: dict[tuple, list[str]] = {}

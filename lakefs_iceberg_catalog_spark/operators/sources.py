@@ -538,3 +538,51 @@ def source_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_nationkey", "n_name", "n_regionkey"
     )
     return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_delta_column_mapping",
+    oracle="""
+SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation
+""",
+)
+def source_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a Delta table using COLUMN MAPPING (PROTOCOL.md, mode=name) —
+    the spec feature that makes column RENAMES metadata-only: data files
+    store columns under stable physical names (`col-<uuid>`, asserted on
+    the raw parquet footer mid-flow), logical names live in the log's
+    schemaString field metadata, and the reader projects physical →
+    logical for the version being read. The fixture writes nation mapped,
+    renames n_name → nation_name WITHOUT touching any data file (file
+    list asserted unchanged), and returns the head scan; time travel to
+    the pre-rename version still shows the old logical name. The
+    checkpoint metaData struct carries configuration + schemaString, so
+    the mapping survives log truncation (pinned in
+    tests/test_delta_format.py).
+
+    Scale: a rename on a 100 TB table is one metaData action — zero data
+    IO — which is the entire reason the mapping indirection exists; the
+    read-side projection is a zero-cost alias in the scan plan."""
+    import pyarrow.parquet as _pq
+
+    from ..catalog.delta_format import DeltaTableWriter, scan_delta_table
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta-cm-")
+    w = DeltaTableWriter(spark, tmp, column_mapping=True)
+    w.commit(add_dfs=[n])
+    import os as _os
+
+    data_files = sorted(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+    phys = [f.name for f in _pq.read_schema(_os.path.join(tmp, data_files[0]))]
+    assert all(c.startswith("col-") for c in phys)  # physical names on disk
+    w.rename_column("n_name", "nation_name")
+    assert (
+        sorted(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+        == data_files
+    )  # the rename rewrote NOTHING
+    assert "n_name" in scan_delta_table(spark, tmp, version=0).columns
+    back = scan_delta_table(spark, tmp).select(
+        "n_nationkey", "nation_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)

@@ -332,3 +332,90 @@ def test_export_refuses_non_append_history(spark, tmp_path):
     cat.delete_where(t, "k >= 8")
     with _pytest.raises(NotImplementedError, match="non-append history"):
         export_history_appends(cat, t, lambda df: df)
+
+
+# --- column mapping (PROTOCOL.md, mode=name) --------------------------------
+
+
+@pytest.fixture
+def delta_cm(spark, tmp_path):
+    d = str(tmp_path / "delta_cm")
+    w = DeltaTableWriter(spark, d, column_mapping=True)
+    w.commit(add_dfs=[_nation(spark)])
+    return d, w
+
+
+def test_cm_physical_names_on_disk_logical_on_scan(spark, delta_cm):
+    import pyarrow.parquet as pq
+
+    d, _w = delta_cm
+    data = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+    phys = [f.name for f in pq.read_schema(os.path.join(d, data))]
+    assert all(c.startswith("col-") for c in phys)
+    back = scan_delta_table(spark, d)
+    assert back.columns == _nation(spark).columns
+    assert back.count() == 25
+
+
+def test_cm_rename_is_metadata_only_with_time_travel(spark, delta_cm):
+    d, w = delta_cm
+    before = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    w.rename_column("n_name", "nation_name")
+    assert sorted(f for f in os.listdir(d) if f.endswith(".parquet")) == before
+    assert "nation_name" in scan_delta_table(spark, d).columns
+    assert "n_name" in scan_delta_table(spark, d, version=0).columns
+
+
+def test_cm_survives_checkpoint_truncation(spark, delta_cm):
+    """configuration + schemaString ride the checkpoint metaData struct —
+    losing them would surface raw physical column names after log
+    truncation."""
+    d, w = delta_cm
+    w.rename_column("n_name", "nation_name")
+    cp = w.checkpoint()
+    for v in range(cp):
+        os.remove(os.path.join(d, "_delta_log", f"{v:020d}.json"))
+    back = scan_delta_table(spark, d)
+    assert "nation_name" in back.columns and back.count() == 25
+
+
+def test_cm_composes_with_deletion_vectors(spark, delta_cm):
+    d, w = delta_cm
+    rel = next(iter(read_delta_log(d)["files"]))
+    w.delete_rows(rel, [0, 1, 2])
+    back = scan_delta_table(spark, d)
+    assert back.count() == 22
+    assert back.columns == _nation(spark).columns
+
+
+def test_cm_guards(spark, tmp_path, delta_cm):
+    d, w = delta_cm
+    with pytest.raises(ValueError, match="no column"):
+        w.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        w.rename_column("n_name", "n_regionkey")
+    w2 = DeltaTableWriter(spark, str(tmp_path / "plain"))
+    w2.commit(add_dfs=[_nation(spark)])
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        w2.rename_column("n_name", "x")
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        DeltaTableWriter(
+            spark, str(tmp_path / "cmpart"), column_mapping=True
+        ).commit(add_dfs=[_nation(spark)], partition_cols=["n_regionkey"])
+
+
+def test_cm_id_mode_read_refused(spark, delta_cm):
+    """Foreign tables in mode=id (parquet field-id resolution) refuse
+    loudly rather than returning physical names."""
+    d, _w = delta_cm
+    log = os.path.join(d, "_delta_log", f"{0:020d}.json")
+    lines = open(log).read().splitlines()
+    out = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+        out.append(json.dumps(a))
+    open(log, "w").write("\n".join(out))
+    with pytest.raises(NotImplementedError, match="'id'"):
+        scan_delta_table(spark, d)
