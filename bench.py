@@ -162,6 +162,7 @@ EXTRA = [
     "window_seasonal_decompose",
     "join_bloom_prefilter",
     "source_delta_column_mapping",
+    "source_iceberg_refs",
 ]
 
 

@@ -193,6 +193,7 @@ class IcebergTableWriter:
         self._manifests: list[dict] = []  # manifest_file entries carried forward
         self._partition_by = list(partition_by or [])
         self._partition_fields: list[dict] = []  # resolved on first append
+        self._refs: dict[str, dict] = {}  # named tags/branches beside main
 
     def _resolve_partition_fields(self) -> None:
         by_name = {f["name"]: f for f in self._schema_json["fields"]}
@@ -519,6 +520,33 @@ class IcebergTableWriter:
                 "schema-id": 0,
             }
         )
+        self._write_metadata(now_ms)
+        return snapshot_id
+
+    def set_ref(
+        self, name: str, snapshot_id: int | None = None, ref_type: str = "tag"
+    ) -> int:
+        """Named REF (tag or branch) pinned to a snapshot — the table-spec
+        `refs` map stock Iceberg serves `VERSION AS OF 'name'` from. A
+        metadata-ONLY commit: a new v<N>.metadata.json, no data or
+        manifest IO. Defaults to the current snapshot; `main` stays the
+        writer-managed current branch and cannot be reassigned here."""
+        if ref_type not in ("tag", "branch"):
+            raise ValueError(f"ref type must be tag or branch, got {ref_type!r}")
+        if name == "main":
+            raise ValueError("'main' is the writer-managed current branch")
+        if not self._snapshots:
+            raise ValueError("no snapshot to pin a ref to")
+        sid = self._snapshots[-1]["snapshot-id"] if snapshot_id is None else snapshot_id
+        if sid not in {s["snapshot-id"] for s in self._snapshots}:
+            raise ValueError(f"unknown snapshot id {sid}")
+        self._refs[name] = {"snapshot-id": sid, "type": ref_type}
+        self._version += 1
+        self._write_metadata(int(time.time() * 1000))
+        return sid
+
+    def _write_metadata(self, now_ms: int) -> None:
+        snapshot_id = self._snapshots[-1]["snapshot-id"]
         metadata = {
             "format-version": 2,
             "table-uuid": self._uuid,
@@ -537,7 +565,10 @@ class IcebergTableWriter:
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {},
             "current-snapshot-id": snapshot_id,
-            "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
+            "refs": {
+                **self._refs,
+                "main": {"snapshot-id": snapshot_id, "type": "branch"},
+            },
             "snapshots": self._snapshots,
             "snapshot-log": [
                 {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
@@ -549,7 +580,6 @@ class IcebergTableWriter:
             json.dump(metadata, f)
         with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as f:
             f.write(str(self._version))
-        return snapshot_id
 
 
 # --------------------------------------------------------------- read side
@@ -673,12 +703,25 @@ def iceberg_data_files(
     return data
 
 
+def resolve_ref(table_dir: str, ref: str, version: int | None = None) -> int:
+    """Resolve a named ref (tag/branch) from the metadata's `refs` map to
+    its snapshot id — what stock Iceberg's `VERSION AS OF 'name'` does."""
+    metadata = read_table_metadata(table_dir, version)
+    refs = metadata.get("refs") or {}
+    if ref not in refs:
+        raise ValueError(
+            f"unknown ref {ref!r}; table has {sorted(refs) or 'no refs'}"
+        )
+    return int(refs[ref]["snapshot-id"])
+
+
 def scan_iceberg_table(
     spark: SparkSession,
     table_dir: str,
     snapshot_id: int | None = None,
     version: int | None = None,
     partition_filter: dict | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Distributed scan of a real Iceberg table layout: driver-side
     metadata walk picks the file set; executors read them through the
@@ -712,6 +755,10 @@ def scan_iceberg_table(
     — the same null-safe anti-join the versioned catalog runs for its own
     equality-delete MoR scans (catalog.py _read_files). Delete key sets
     are deleted-key-proportional and broadcast."""
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass either ref or snapshot_id, not both")
+        snapshot_id = resolve_ref(table_dir, ref, version)
     data, deletes = iceberg_snapshot_files(table_dir, snapshot_id, version)
     if not data:
         raise ValueError(f"snapshot has no data files under {table_dir}")

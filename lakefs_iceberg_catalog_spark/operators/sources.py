@@ -586,3 +586,46 @@ def source_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "nation_name", "n_regionkey"
     )
     return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_refs",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 12
+""",
+)
+def source_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a real Iceberg v2 table BY NAMED REF — the table-spec `refs`
+    map (tags + branches beside the writer-managed `main`) that stock
+    Iceberg serves `VERSION AS OF 'name'` from: the fixture appends low
+    nations, TAGS that snapshot `v1.0` (a metadata-only commit — new
+    v<N>.metadata.json, zero data/manifest IO), appends the rest, then
+    pins an `audit` branch back at the first snapshot. The scan resolves
+    `ref → snapshot-id → manifest list` through the independent walker
+    and returns the tagged snapshot's rows; `main` tracking head and the
+    unknown-ref refusal are asserted mid-flow. This is the lakeFS-style
+    named-commit workflow (the reference's raison d'être) expressed in
+    Iceberg's own metadata.
+
+    Scale: ref resolution is one metadata.json read — the same O(1)
+    driver-side planning step as version pinning; data files stream
+    distributed as always."""
+    from ..catalog.iceberg_format import IcebergTableWriter, scan_iceberg_table
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg-refs-")
+    w = IcebergTableWriter(spark, tmp)
+    s1 = w.append(n.filter(F.col("n_nationkey") < 12))
+    w.set_ref("v1.0", ref_type="tag")
+    w.append(n.filter(F.col("n_nationkey") >= 12))
+    w.set_ref("audit", snapshot_id=s1, ref_type="branch")
+    assert scan_iceberg_table(spark, tmp, ref="main").count() == 25
+    try:
+        scan_iceberg_table(spark, tmp, ref="nope")
+        raise AssertionError("unknown ref must refuse")
+    except ValueError:
+        pass
+    back = scan_iceberg_table(spark, tmp, ref="v1.0").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)

@@ -456,3 +456,52 @@ def test_gzip_metadata_stock_iceberg_name(spark, ice):
         f.write(content)
     assert read_table_metadata(d)["last-sequence-number"] == 2
     assert scan_iceberg_table(spark, d).count() == 25
+
+
+def test_refs_tag_branch_resolution_and_guards(spark, tmp_path):
+    """Named refs: tags/branches pin snapshots via metadata-only commits,
+    `main` tracks head and is writer-managed, unknown refs refuse, and a
+    ref at an old metadata version resolves against THAT version's map."""
+    import pyspark.sql.functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        IcebergTableWriter,
+        read_table_metadata,
+        resolve_ref,
+        scan_iceberg_table,
+    )
+    from lakefs_iceberg_catalog_spark.tables import table as _t
+
+    from .conftest import SF_DIR
+
+    n = _t(spark, SF_DIR, "nation")
+    d = str(tmp_path / "refs")
+    w = IcebergTableWriter(spark, d)
+    s1 = w.append(n.where("n_nationkey < 12"))
+    files_before = sorted(
+        f for f in __import__("os").listdir(f"{d}/metadata") if f.endswith(".avro")
+    )
+    w.set_ref("v1.0", ref_type="tag")
+    # metadata-only: no new manifests/manifest lists were written
+    files_after = sorted(
+        f for f in __import__("os").listdir(f"{d}/metadata") if f.endswith(".avro")
+    )
+    assert files_after == files_before
+    s2 = w.append(n.where("n_nationkey >= 12"))
+    md = read_table_metadata(d)
+    assert md["refs"]["main"]["snapshot-id"] == s2
+    assert md["refs"]["v1.0"] == {"snapshot-id": s1, "type": "tag"}
+    assert scan_iceberg_table(spark, d, ref="v1.0").count() == 12
+    assert resolve_ref(d, "main") == s2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown ref"):
+        resolve_ref(d, "nope")
+    with _pytest.raises(ValueError, match="writer-managed"):
+        w.set_ref("main")
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        w.set_ref("bad", snapshot_id=123)
+    with _pytest.raises(ValueError, match="tag or branch"):
+        w.set_ref("x", ref_type="wat")
+    with _pytest.raises(ValueError, match="not both"):
+        scan_iceberg_table(spark, d, ref="v1.0", snapshot_id=s1)
