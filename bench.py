@@ -163,6 +163,7 @@ EXTRA = [
     "join_bloom_prefilter",
     "source_delta_column_mapping",
     "source_iceberg_refs",
+    "maint_delta_vacuum",
 ]
 
 

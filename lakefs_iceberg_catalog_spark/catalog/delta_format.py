@@ -515,6 +515,69 @@ def _fold_checkpoint(log_dir: str, lc: dict, state: dict) -> None:
                 state["files"].pop(row["remove"]["path"], None)
 
 
+def vacuum_delta_table(
+    table_dir: str, retention_ms: int, now_ms: int | None = None
+) -> list[str]:
+    """Physically delete TOMBSTONED data files older than the retention
+    window — Delta's VACUUM: a remove action only un-references a file
+    (time travel still needs it); vacuum is the separate, retention-gated
+    physical deletion that reclaims storage and is the reason remove
+    actions carry `deletionTimestamp`. Returns the deleted relative
+    paths.
+
+    Safety invariants (pinned in tests/test_delta_format.py): a file in
+    the CURRENT live set is never deleted, whatever its age (a path
+    re-added after a remove is live — the live check dominates the
+    tombstone); a tombstone younger than the retention window survives,
+    keeping time travel within the window intact; current-version query
+    results are identical before and after. Versions older than the
+    window may refuse with a missing-file error after vacuum — the same
+    trade Delta documents for its own VACUUM.
+
+    Scale: one driver-side log fold (metadata-sized, checkpoint-bounded)
+    + one unlink per expired tombstone — no data reads at all."""
+    if now_ms is None:
+        now_ms = int(time.time() * 1000)
+    state = read_delta_log(table_dir)
+    live = set(state["files"])
+    log_dir = os.path.join(table_dir, _LOG_DIR)
+    versions = sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    )
+    tombstones: dict[str, int] = {}
+    for v in versions:
+        with open(_commit_path(table_dir, v)) as f:
+            for line in f.read().splitlines():
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "remove" in action:
+                    r = action["remove"]
+                    tombstones[r["path"]] = max(
+                        tombstones.get(r["path"], 0),
+                        int(r.get("deletionTimestamp") or 0),
+                    )
+                elif "add" in action:
+                    # re-added after a remove: the newer add supersedes the
+                    # tombstone regardless of the final live set
+                    tombstones.pop(action["add"]["path"], None)
+    deleted = []
+    for rel, ts in sorted(tombstones.items()):
+        if rel in live:
+            continue  # live set dominates — never delete a referenced file
+        if now_ms - ts < retention_ms:
+            continue  # within the retention window: time travel keeps it
+        path = os.path.join(table_dir, rel)
+        try:
+            os.remove(path)
+            deleted.append(rel)
+        except FileNotFoundError:
+            deleted.append(rel)  # already gone: vacuum is idempotent
+    return deleted
+
+
 def read_delta_log(table_dir: str, version: int | None = None) -> dict:
     """Fold the commit log: returns {version, schema_json, files, metadata,
     protocol} where files is the live relative-path → add-action map at

@@ -629,3 +629,62 @@ def source_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     return _materialize(spark, back, tmp)
+
+
+@register(
+    "maint_delta_vacuum",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 12
+""",
+)
+def maint_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM a Delta layout — the retention-gated PHYSICAL deletion of
+    tombstoned data files (a `remove` action only un-references; vacuum
+    reclaims): the fixture builds the add/add/remove chain, vacuums with
+    an infinite window (nothing deleted — tombstones too young), then
+    with window 0 (exactly the removed files deleted from disk, asserted
+    by listing), and proves the head scan is IDENTICAL before and after —
+    vacuum must never change current-version results. The safety
+    invariants (live set dominates tombstones; re-added paths survive;
+    idempotence) are pinned in tests/test_delta_format.py.
+
+    Scale: one metadata-sized log fold + one unlink per expired
+    tombstone — zero data reads; on a 100 TB table vacuum cost tracks
+    churn, not table size."""
+    import os as _os
+
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        scan_delta_table,
+        vacuum_delta_table,
+    )
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta-vac-")
+    w = DeltaTableWriter(spark, tmp)
+    w.commit(add_dfs=[n.filter(F.col("n_nationkey") < 12)])
+    import json as _json
+
+    with open(_os.path.join(tmp, "_delta_log", f"{0:020d}.json")) as f:
+        v0_adds = sorted(
+            _json.loads(line)["add"]["path"]
+            for line in f.read().splitlines()
+            if '"add"' in line
+        )
+    w.commit(add_dfs=[n.filter(F.col("n_nationkey") >= 12)])
+    w.commit(remove=v0_adds)
+    from .util import bounded_rows
+
+    before = sorted(
+        r[0] for r in bounded_rows(scan_delta_table(spark, tmp).select("n_nationkey"))
+    )
+    assert vacuum_delta_table(tmp, retention_ms=10**12) == []  # too young
+    assert all(_os.path.exists(_os.path.join(tmp, p)) for p in v0_adds)
+    assert vacuum_delta_table(tmp, retention_ms=0) == v0_adds  # expired now
+    assert not any(_os.path.exists(_os.path.join(tmp, p)) for p in v0_adds)
+    back = scan_delta_table(spark, tmp)
+    after = sorted(r[0] for r in bounded_rows(back.select("n_nationkey")))
+    assert after == before  # vacuum never changes current results
+    return _materialize(
+        spark, back.select("n_nationkey", "n_name", "n_regionkey"), tmp
+    )

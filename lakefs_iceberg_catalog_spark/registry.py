@@ -89,27 +89,29 @@ _SWEEP_PRIORITY = [
     # ... slot 17 = round 7's Bloom semi-join-reduction runtime filter,
     # slot 18 = Delta column mapping (metadata-only renames) ...
     "join_bloom_prefilter", "source_delta_column_mapping",
-    # ... slot 19 = Iceberg named refs (tags/branches, metadata-only) ...
-    "source_iceberg_refs",
-    # ... slots 20-27 = the 8 keys whose newest driver row is still ROUND 1
+    # ... slot 19 = Iceberg named refs (tags/branches, metadata-only),
+    # slot 20 = Delta VACUUM (retention-gated physical deletion) ...
+    "source_iceberg_refs", "maint_delta_vacuum",
+    # ... slots 21-28 = the 8 keys whose newest driver row is still ROUND 1
     # (drains r1-stale to 0) ...
     "subquery_correlated", "subquery_in", "subquery_scalar", "udaf_pandas",
     "udf_python", "window_analytic", "window_distribution", "window_rank",
-    # ... slots 28-44 = the 17 r2-stale keys (drains r2-stale to 0) ...
+    # ... slots 29-45 = the 17 r2-stale keys (drains r2-stale to 0) ...
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join", "stream_tumbling_window",
     "text_fingerprint", "text_lang_id", "text_quality_filter", "text_stats",
     "text_token_count",
-    # ... slots 45-49 = the 5 alphabetically-first r3-stale keys (the
-    # remaining 44 r3 keys head the post-window list for round 8).
+    # ... slots 46-49 = the 4 alphabetically-first r3-stale keys (the
+    # remaining 45 r3 keys head the post-window list for round 8).
     "agg_rollup", "branch_diff_equal", "branch_merge",
-    "branch_wap_publish", "ddl_create_table",
+    "branch_wap_publish",
     # ---- Past the window: every remaining key ordered by STALENESS ----
     # (rounds since its newest driver row: leftover r3 keys first, then
     # r4, the r5 window, and finally the 50 keys just swept in r6)
-    "ddl_schema_crud", "ddl_schema_evolution", "dedup_cc_canonical",
+    "ddl_create_table", "ddl_schema_crud", "ddl_schema_evolution",
+    "dedup_cc_canonical",
     "dedup_embedding_cosine", "dedup_exact", "dedup_near_minhash",
     "dedup_ngram_jaccard", "dedup_simhash_pairs",
     "dml_delete_where", "dml_delete_where_mor", "dml_insert_values",

@@ -419,3 +419,56 @@ def test_cm_id_mode_read_refused(spark, delta_cm):
     open(log, "w").write("\n".join(out))
     with pytest.raises(NotImplementedError, match="'id'"):
         scan_delta_table(spark, d)
+
+
+# --- vacuum -------------------------------------------------------------------
+
+
+def test_vacuum_safety_invariants(spark, tmp_path):
+    """Live files are never deleted (even at retention 0, even with an old
+    tombstone superseded by a re-add); young tombstones survive; expired
+    tombstones go; vacuum is idempotent; current results are unchanged."""
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        vacuum_delta_table,
+    )
+
+    d = str(tmp_path / "vac")
+    w = DeltaTableWriter(spark, d)
+    n = _nation(spark)
+    w.commit(add_dfs=[n.where("n_nationkey < 12")])
+    with open(os.path.join(d, "_delta_log", f"{0:020d}.json")) as f:
+        v0 = sorted(
+            json.loads(ln)["add"]["path"]
+            for ln in f.read().splitlines()
+            if '"add"' in ln
+        )
+    w.commit(add_dfs=[n.where("n_nationkey >= 12")])
+    w.commit(remove=v0)
+    # RE-ADD the same physical path: tombstone superseded, file is live
+    readd = v0[0]
+    now = int(__import__("time").time() * 1000)
+    with open(os.path.join(d, "_delta_log", f"{3:020d}.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": readd,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(d, readd)),
+                        "modificationTime": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+            + json.dumps({"commitInfo": {"timestamp": now, "operation": "WRITE"}})
+        )
+    before = scan_delta_table(spark, d).count()
+    # young tombstones: nothing deleted
+    assert vacuum_delta_table(d, retention_ms=10**12) == []
+    # expired: only the still-tombstoned (non-re-added) files go
+    gone = vacuum_delta_table(d, retention_ms=0)
+    assert gone == [p for p in v0 if p != readd]
+    assert os.path.exists(os.path.join(d, readd))  # re-added file survives
+    assert vacuum_delta_table(d, retention_ms=0) == gone  # idempotent
+    assert scan_delta_table(spark, d).count() == before
