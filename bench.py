@@ -164,6 +164,7 @@ EXTRA = [
     "source_delta_column_mapping",
     "source_iceberg_refs",
     "maint_delta_vacuum",
+    "agg_hyperloglog_native",
 ]
 
 

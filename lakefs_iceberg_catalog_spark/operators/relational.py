@@ -1025,3 +1025,79 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_eps_n"
         ),
     )
+
+
+@register(
+    "agg_hyperloglog_native",
+    # The register values are engine-internal, so the driver-checked
+    # contract is the ACCURACY CLAIM (the agg_approx_distinct pattern):
+    # the from-scratch HLL estimate must land within the standard 3σ
+    # envelope (3·1.04/√m) of the exact distinct count — plus the exact
+    # counts both engines can compute. A broken hash split, rho, or
+    # small-range correction hash-mismatches.
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+       CAST(count(*) AS BIGINT)                  AS n_rows,
+       TRUE                                      AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_hyperloglog_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built FROM SCRATCH as DataFrame operations (the sketch
+    the built-in approx_count_distinct wraps, reconstructed so the
+    distributed mechanics are inspectable — the companion to the
+    DataFrame-native Count-Min sketch): xxhash64 splits into an 11-bit
+    register index + 53-bit suffix, rho = leading-zero count + 1 via the
+    EXACT integer bit length (`length(bin(w))` — no float log2, whose
+    boundary rounding could skew registers), registers are a
+    (group, bucket) MAX aggregate — the map-side-combinable, constant-
+    size-per-group state that makes HLL the 100 TB distinct — then the
+    harmonic estimate with the small-range linear-counting correction
+    (Flajolet et al. 2007). The estimate must sit inside the 3σ envelope
+    per group, asserted against the exact count in the same result.
+
+    Scale: two partial aggs (register max, then per-group fold over ≤2048
+    register rows) — the sketch state is 2048 rows per group regardless
+    of cardinality; the exact count rides a separate agg ONLY to state
+    the oracle contract (a production user runs just the sketch side)."""
+    p, m = 11, 2048
+    alpha = 0.7213 / (1 + 1.079 / m)
+    li = table(spark, sf_dir, "lineitem")
+    h = F.xxhash64("l_partkey")
+    w = F.expr("shiftrightunsigned(xxhash64(l_partkey), 11)")
+    rho = F.when(w == 0, F.lit(64 - p + 1)).otherwise(
+        F.lit(64 - p + 1) - F.length(F.expr("bin(shiftrightunsigned(xxhash64(l_partkey), 11))"))
+    )
+    regs = (
+        li.select(
+            "l_returnflag",
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    stats = regs.groupBy("l_returnflag").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    zeros = F.lit(m) - F.col("present")
+    raw = F.lit(alpha * m * m) / (F.col("s") + zeros)  # empty regs: 2^-0
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), F.lit(m) * F.log(F.lit(m) / zeros)
+    ).otherwise(raw)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    bound = 3 * 1.04 / (m ** 0.5)
+    return exact.join(stats.withColumn("est", est), "l_returnflag").select(
+        "l_returnflag",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        "n_rows",
+        (F.abs(F.col("est") - F.col("n_exact")) <= F.lit(bound) * F.col("n_exact")).alias(
+            "within_bound"
+        ),
+    )

