@@ -165,6 +165,7 @@ EXTRA = [
     "source_iceberg_refs",
     "maint_delta_vacuum",
     "agg_hyperloglog_native",
+    "source_iceberg_orc",
 ]
 
 

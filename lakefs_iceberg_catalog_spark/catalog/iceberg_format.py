@@ -176,8 +176,14 @@ class IcebergTableWriter:
     partitioned writer's per-partition output tasks produce.)"""
 
     def __init__(
-        self, spark: SparkSession, table_dir: str, partition_by: list[str] | None = None
+        self,
+        spark: SparkSession,
+        table_dir: str,
+        partition_by: list[str] | None = None,
+        file_format: str = "parquet",
     ):
+        if file_format not in ("parquet", "orc"):
+            raise ValueError(f"unsupported data file format {file_format!r}")
         self.spark = spark
         self.table_dir = table_dir
         self.meta_dir = os.path.join(table_dir, "metadata")
@@ -194,6 +200,7 @@ class IcebergTableWriter:
         self._partition_by = list(partition_by or [])
         self._partition_fields: list[dict] = []  # resolved on first append
         self._refs: dict[str, dict] = {}  # named tags/branches beside main
+        self._file_format = file_format
 
     def _resolve_partition_fields(self) -> None:
         by_name = {f["name"]: f for f in self._schema_json["fields"]}
@@ -226,12 +233,17 @@ class IcebergTableWriter:
             ]
         )
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, file_format: str | None = None) -> int:
         """Commit one append snapshot of ``df``; returns the snapshot id.
         On a partitioned table each append must be single-valued in the
         partition columns (one data file = one partition tuple, the shape
         per-partition writer tasks produce); the values land TYPED in the
-        manifest entry's partition struct."""
+        manifest entry's partition struct. ``file_format`` overrides the
+        table default per append — Iceberg's format is a per-data-file
+        property, so one table may mix parquet and ORC files."""
+        fmt = file_format or self._file_format
+        if fmt not in ("parquet", "orc"):
+            raise ValueError(f"unsupported data file format {fmt!r}")
         if self._schema_json is None:
             self._schema_json = _iceberg_schema(df)
             self._resolve_partition_fields()
@@ -252,9 +264,15 @@ class IcebergTableWriter:
             pvals = dict(zip(self._partition_by, vals))
 
         data_path = os.path.join(
-            self.data_dir, f"00000-{self._version}-{self._uuid}-0-00001.parquet"
+            self.data_dir,
+            f"00000-{self._version}-{self._uuid}-0-00001.{fmt}",
         )
-        n_rows = write_single_parquet(df, data_path)
+        if fmt == "orc":
+            from .parquet_io import write_single_orc
+
+            n_rows = write_single_orc(df, data_path)
+        else:
+            n_rows = write_single_parquet(df, data_path)
 
         # -- manifest: the new file as ADDED; sequence numbers are LEFT
         #    NULL to exercise the spec's inheritance rule (readers take the
@@ -272,7 +290,7 @@ class IcebergTableWriter:
                     "data_file": {
                         "content": CONTENT_DATA,
                         "file_path": data_path,
-                        "file_format": "PARQUET",
+                        "file_format": fmt.upper(),
                         "partition": pvals,
                         "record_count": n_rows,
                         "file_size_in_bytes": os.path.getsize(data_path),
@@ -786,9 +804,24 @@ def scan_iceberg_table(
         if not data:
             raise ValueError("no data files match the partition filter")
     fmts = {f["file_format"].upper() for f in data + deletes}
-    if fmts != {"PARQUET"}:
-        raise NotImplementedError(f"unsupported data file formats: {fmts}")
-    df = spark.read.parquet(*[f["file_path"] for f in data])
+    unsupported = fmts - {"PARQUET", "ORC"}
+    if unsupported:
+        raise NotImplementedError(f"unsupported data file formats: {unsupported}")
+    if "ORC" in fmts and deletes:
+        # Spark's `_metadata.row_index` (the delete merge's ordinal column)
+        # is parquet-only — MoR over ORC data would need a manual ordinal
+        raise NotImplementedError("merge-on-read deletes over ORC data files")
+    by_fmt: dict[str, list[str]] = {}
+    for f in data:
+        by_fmt.setdefault(f["file_format"].upper(), []).append(f["file_path"])
+    parts = []
+    if by_fmt.get("PARQUET"):
+        parts.append(spark.read.parquet(*by_fmt["PARQUET"]))
+    if by_fmt.get("ORC"):
+        parts.append(spark.read.orc(*by_fmt["ORC"]))
+    df = parts[0]
+    for extra_part in parts[1:]:
+        df = df.unionByName(extra_part)
     pos = [f for f in deletes if f["content"] == CONTENT_POSITION_DELETES]
     eq = [f for f in deletes if f["content"] == CONTENT_EQUALITY_DELETES]
     if not pos and not eq:

@@ -52,3 +52,23 @@ def write_single_parquet(df: DataFrame, dest_path: str) -> int:
         return int(pq.read_metadata(dest_path).num_rows)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_single_orc(df: DataFrame, dest_path: str) -> int:
+    """ORC twin of write_single_parquet (Iceberg's spec allows parquet,
+    ORC, and Avro data files): one executor-side task streams rows to a
+    single ORC file; the row count comes from the ORC footer."""
+    import pyarrow.orc as po
+
+    tmp = tempfile.mkdtemp(
+        prefix="single-orc-", dir=os.path.dirname(dest_path) or None
+    )
+    out_dir = os.path.join(tmp, "out")
+    try:
+        df.coalesce(1).write.mode("overwrite").orc(out_dir)
+        parts = sorted(glob.glob(os.path.join(out_dir, "part-*.orc")))
+        assert len(parts) == 1, f"coalesce(1) produced {len(parts)} part files"
+        shutil.move(parts[0], dest_path)
+        return int(po.ORCFile(dest_path).nrows)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

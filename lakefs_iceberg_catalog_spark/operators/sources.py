@@ -688,3 +688,39 @@ def maint_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize(
         spark, back.select("n_nationkey", "n_name", "n_regionkey"), tmp
     )
+
+
+@register(
+    "source_iceberg_orc",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def source_iceberg_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a real Iceberg v2 table whose data files are ORC — the spec's
+    second data format (manifest entries carry file_format=ORC; readers
+    must dispatch per entry, not assume parquet): the fixture writes low
+    nations as ORC appends and — in the SAME table — high nations as a
+    parquet append via a second writer handle, so the scan must group
+    files by format, read each through its own distributed source, and
+    union by name (mixed-format tables are exactly what a long-lived
+    table that switched formats mid-life looks like). Merge-on-read
+    deletes over ORC refuse loudly (`_metadata.row_index` is
+    parquet-only; pinned in tests).
+
+    Scale: per-format grouped reads keep pushdown/pruning intact in each
+    source; the union is plan-level, no shuffle."""
+    from ..catalog.iceberg_format import IcebergTableWriter, scan_iceberg_table
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg-orc-")
+    w = IcebergTableWriter(spark, tmp, file_format="orc")
+    w.append(n.filter(F.col("n_nationkey") < 12))
+    # the same table continues in parquet — format is per data file
+    w.append(n.filter(F.col("n_nationkey") >= 12), file_format="parquet")
+    back = scan_iceberg_table(spark, tmp)
+    fmts = {p.rsplit(".", 1)[-1] for p in back.inputFiles()}
+    assert fmts == {"orc", "parquet"}, fmts  # genuinely mixed-format scan
+    return _materialize(
+        spark, back.select("n_nationkey", "n_name", "n_regionkey"), tmp
+    )

@@ -505,3 +505,40 @@ def test_refs_tag_branch_resolution_and_guards(spark, tmp_path):
         w.set_ref("x", ref_type="wat")
     with _pytest.raises(ValueError, match="not both"):
         scan_iceberg_table(spark, d, ref="v1.0", snapshot_id=s1)
+
+
+def test_orc_data_files_mixed_format_scan_and_delete_refusal(spark, tmp_path):
+    """file_format is a per-data-file property: a table may mix ORC and
+    parquet files and the scan dispatches per manifest entry; MoR deletes
+    over ORC refuse loudly (`_metadata.row_index` is parquet-only)."""
+    import pytest as _pytest
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        IcebergTableWriter,
+        scan_iceberg_table,
+    )
+    from lakefs_iceberg_catalog_spark.tables import table as _t
+
+    from .conftest import SF_DIR
+
+    n = _t(spark, SF_DIR, "nation")
+    d = str(tmp_path / "orc")
+    w = IcebergTableWriter(spark, d, file_format="orc")
+    w.append(n.where("n_nationkey < 12"))
+    w.append(n.where("n_nationkey >= 12"), file_format="parquet")
+    back = scan_iceberg_table(spark, d)
+    assert back.count() == 25
+    exts = {p.rsplit(".", 1)[-1] for p in back.inputFiles()}
+    assert exts == {"orc", "parquet"}
+    with _pytest.raises(ValueError, match="unsupported data file format"):
+        IcebergTableWriter(spark, str(tmp_path / "bad"), file_format="avro")
+    # MoR over ORC: the delete file lands, the SCAN refuses
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        iceberg_snapshot_files,
+    )
+
+    files, _ = iceberg_snapshot_files(d)
+    orc_file = next(f for f in files if f["file_format"] == "ORC")
+    w.delete_positions([(orc_file["file_path"], 0)])
+    with _pytest.raises(NotImplementedError, match="ORC"):
+        scan_iceberg_table(spark, d)
