@@ -166,6 +166,7 @@ EXTRA = [
     "maint_delta_vacuum",
     "agg_hyperloglog_native",
     "source_iceberg_orc",
+    "pipeline_mixture_temperature",
 ]
 
 

@@ -828,3 +828,109 @@ def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "pipeline_mixture_temperature",
+    oracle="""
+WITH counts AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source
+),
+tot AS (
+    SELECT list_reduce(list_sort(list(sqrt(CAST(c AS DOUBLE)))),
+                       (a, b) -> a + b)      AS tot,
+           CAST(sum(c) AS DOUBLE)            AS n
+    FROM counts
+),
+thr AS (
+    SELECT source, c,
+           CAST(floor(256 * least(
+             1.0,
+             (sqrt(CAST(c AS DOUBLE)) / (SELECT tot FROM tot))
+               * ((SELECT n FROM tot) * 0.5) / c
+           )) AS INTEGER) AS thresh
+    FROM counts
+),
+gated AS (
+    SELECT d.source, t.c, t.thresh,
+           (instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || d.source), 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || d.source), 2, 1)) - 1) AS bucket
+    FROM documents d JOIN thr t USING (source)
+)
+SELECT source,
+       CAST(max(c) AS BIGINT)                               AS n_docs,
+       CAST(max(thresh) AS BIGINT)                          AS thresh,
+       CAST(sum(CASE WHEN bucket < thresh THEN 1 ELSE 0 END) AS BIGINT)
+                                                            AS n_kept
+FROM gated GROUP BY source ORDER BY source
+""",
+)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled mixture reweighting — the multilingual/multi-
+    source sampling rule (α-scaling, as in XLM-R / mC4: q_s ∝ c_s^α with
+    α=0.5) that up-samples small sources and down-samples dominant ones
+    when drawing a target-size corpus (here half the total): per-source
+    keep-probabilities become 256-bucket md5 thresholds, so the draw is
+    the same deterministic hash gate the stratified sampler uses — no RNG
+    state, identical survivors at any parallelism.
+
+    Cross-engine FP discipline: Σ√c over sources must be bit-identical on
+    both engines, and plain aggregate sums are NOT (reorder); the total is
+    a left fold over the SORTED array of √c values (collect_list →
+    array_sort → aggregate vs list → list_sort → list_reduce) — an
+    identical FP op sequence on both engines, with no single-partition
+    window — then every derived threshold is floor(256·q) of identical
+    doubles (sqrt is IEEE correctly-rounded).
+
+    Scale: counts are one partial agg; the sorted fold and the threshold
+    table are SOURCES-sized (the mixture spec, not the data) and
+    broadcast; the gate is a scan-stage expression."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt(F.col("c").cast("double")))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("tot"),
+        F.sum("c").cast("double").alias("n"),
+    )
+    thr = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "thresh",
+            F.floor(
+                256
+                * F.least(
+                    F.lit(1.0),
+                    (F.sqrt(F.col("c").cast("double")) / F.col("tot"))
+                    * (F.col("n") * 0.5)
+                    / F.col("c"),
+                )
+            ).cast("int"),
+        )
+        .select("source", "c", "thresh")
+    )
+    h = F.md5(
+        F.encode(F.concat_ws("|", F.col("doc_id").cast("string"), "source"), "UTF-8")
+    )
+    bucket = F.expr(
+        "(instr('0123456789abcdef', substring(_h, 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(_h, 2, 1)) - 1)"
+    )
+    gated = (
+        d.withColumn("_h", h)
+        .withColumn("bucket", bucket)
+        .join(F.broadcast(thr), "source")
+    )
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.max("c").cast("bigint").alias("n_docs"),
+            F.max("thresh").cast("bigint").alias("thresh"),
+            F.sum(F.when(F.col("bucket") < F.col("thresh"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
