@@ -167,6 +167,7 @@ EXTRA = [
     "agg_hyperloglog_native",
     "source_iceberg_orc",
     "pipeline_mixture_temperature",
+    "source_delta_cdf",
 ]
 
 

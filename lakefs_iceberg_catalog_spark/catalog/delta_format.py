@@ -237,9 +237,12 @@ class DeltaTableWriter:
             merged = sorted(set(merged) | set(_dv_positions(self.table_dir, old)))
         payload = roaring.serialize_bitmap_array(merged)
         if inline:
+            # Z85 needs a multiple-of-4 length: pad with zero bytes on
+            # encode; sizeInBytes records the TRUE length, decode truncates
+            padded = payload + b"\x00" * (-len(payload) % 4)
             dv = {
                 "storageType": "i",
-                "pathOrInlineDv": roaring.z85_encode(payload),
+                "pathOrInlineDv": roaring.z85_encode(padded),
                 "sizeInBytes": len(payload),
                 "cardinality": len(merged),
             }
@@ -410,7 +413,8 @@ def _dv_payload(table_dir: str, dv: dict) -> bytes:
     from . import roaring
 
     if dv["storageType"] == "i":
-        return roaring.z85_decode(dv["pathOrInlineDv"])
+        # encode pads to Z85's 4-byte granularity; truncate to the true size
+        return roaring.z85_decode(dv["pathOrInlineDv"])[: int(dv["sizeInBytes"])]
     if dv["storageType"] in ("u", "p"):
         with open(_dv_abs_path(table_dir, dv), "rb") as f:
             return roaring.read_dv_payload(
@@ -513,6 +517,96 @@ def _fold_checkpoint(log_dir: str, lc: dict, state: dict) -> None:
                 # tombstone of an already-removed file (kept for VACUUM):
                 # it is not in the live set; popping is a harmless no-op
                 state["files"].pop(row["remove"]["path"], None)
+
+
+def delta_table_changes(
+    spark: SparkSession, table_dir: str, from_version: int, to_version: int
+) -> DataFrame:
+    """CHANGE DATA FEED between two versions, computed from the LOG — the
+    reconstruction stock Delta falls back to when commits carry no
+    `_change_data` files: file-set and deletion-vector diffs classify
+    every changed row. Returns the table columns + `_change_type`
+    ('insert' | 'delete').
+
+    - a file present at `to` but not `from`: its live rows are inserts
+      (net of the `to` DV — rows already dead never surface);
+    - a file present at `from` but not `to`: its then-live rows are
+      deletes;
+    - a file in both whose DV GREW: exactly the new positions are deletes
+      (DVs are monotone per file between its add actions — a shrink means
+      a restore this reader does not model, and refuses loudly).
+
+    Scope guards (loud): partitioned and column-mapped tables are not
+    supported here — the versioned catalog's own table_changes covers the
+    repo-native path; this is the open-format interop twin.
+
+    Scale: the diff is metadata-only (two log folds); data IO touches
+    exactly the changed files, and DV-position deletes read one file
+    filtered by `_metadata.row_index` — change-proportional, the CDF
+    contract."""
+    if to_version <= from_version:
+        raise ValueError("to_version must be greater than from_version")
+    a = read_delta_log(table_dir, from_version)
+    b = read_delta_log(table_dir, to_version)
+    for st in (a, b):
+        if st.get("partition_cols"):
+            raise NotImplementedError("changes over partitioned tables")
+        if _physical_renames(st.get("metadata")):
+            raise NotImplementedError("changes over column-mapped tables")
+
+    def _positions(state: dict, rel: str) -> set[int]:
+        dv = state["files"][rel].get("deletionVector")
+        return set(_dv_positions(table_dir, dv)) if dv else set()
+
+    def _rows(rel: str, keep: set[int] | None, drop: set[int]) -> DataFrame:
+        """One file's rows, keeping `keep` ordinals (None = all) minus
+        `drop` — ordinal filters ride `_metadata.row_index`."""
+        df = spark.read.parquet(os.path.join(table_dir, rel))
+        cols = df.columns
+        idx = F.col("_metadata.row_index")
+        cond = F.lit(True)
+        if keep is not None:
+            cond = idx.isin([int(i) for i in keep])
+        if drop:
+            cond = cond & ~idx.isin([int(i) for i in drop])
+        return df.filter(cond).select(*cols)
+
+    parts: list[DataFrame] = []
+    for rel in b["files"]:
+        if rel not in a["files"]:
+            parts.append(
+                _rows(rel, None, _positions(b, rel)).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+    for rel in a["files"]:
+        if rel not in b["files"]:
+            parts.append(
+                _rows(rel, None, _positions(a, rel)).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+        else:
+            old, new = _positions(a, rel), _positions(b, rel)
+            if old - new:
+                raise NotImplementedError(
+                    f"deletion vector shrank for {rel} — restores not modeled"
+                )
+            grown = new - old
+            if grown:
+                parts.append(
+                    _rows(rel, grown, set()).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+    if not parts:
+        raise ValueError(
+            f"no changes between versions {from_version} and {to_version}"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def vacuum_delta_table(

@@ -724,3 +724,47 @@ def source_iceberg_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize(
         spark, back.select("n_nationkey", "n_name", "n_regionkey"), tmp
     )
+
+
+@register(
+    "source_delta_cdf",
+    oracle="""
+SELECT n_nationkey, n_name, 'insert' AS _change_type
+FROM nation WHERE n_nationkey >= 12
+UNION ALL
+SELECT n_nationkey, n_name, 'delete' AS _change_type
+FROM nation WHERE n_nationkey IN (0, 1)
+""",
+)
+def source_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over a Delta log — reconstruct per-row changes
+    between two versions from file-set + deletion-vector diffs (the
+    fallback stock Delta readers use when commits carry no _change_data
+    files): the fixture writes low nations (v0), appends high nations
+    (v1), then DV-deletes ordinals {0,1} from the v0 file (v2); changes
+    v0→v2 must be exactly the appended rows as 'insert' plus the two
+    DV'd rows as 'delete' — nothing else, in particular NOT the v0 rows
+    that never changed. A DV that shrinks (a restore) refuses loudly.
+
+    Scale: the version diff is two metadata-sized log folds; data IO
+    touches only changed files, and DV deletes read one file filtered by
+    `_metadata.row_index` — change-proportional, the CDF contract that
+    makes downstream incremental consumers (sync, CDC apply, audit)
+    cheaper than rescans."""
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        delta_table_changes,
+        read_delta_log,
+    )
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta-cdf-")
+    w = DeltaTableWriter(spark, tmp)
+    w.commit(add_dfs=[n.filter(F.col("n_nationkey") < 12).orderBy("n_nationkey")])
+    rel0 = next(iter(read_delta_log(tmp)["files"]))
+    w.commit(add_dfs=[n.filter(F.col("n_nationkey") >= 12)])
+    w.delete_rows(rel0, [0, 1])  # ordinals == n_nationkey 0 and 1
+    back = delta_table_changes(spark, tmp, 0, 2).select(
+        "n_nationkey", "n_name", "_change_type"
+    )
+    return _materialize(spark, back, tmp)

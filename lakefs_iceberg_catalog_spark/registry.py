@@ -95,26 +95,24 @@ _SWEEP_PRIORITY = [
     # ... slot 21 = the from-scratch DataFrame-native HyperLogLog,
     # slot 22 = mixed parquet/ORC Iceberg data files ...
     "agg_hyperloglog_native", "source_iceberg_orc",
-    # ... slot 23 = temperature-scaled mixture reweighting ...
-    "pipeline_mixture_temperature",
-    # ... slots 24-31 = the 8 keys whose newest driver row is still ROUND 1
+    # ... slot 23 = temperature-scaled mixture reweighting,
+    # slot 24 = Delta change-data-feed reconstruction ...
+    "pipeline_mixture_temperature", "source_delta_cdf",
+    # ... slots 25-32 = the 8 keys whose newest driver row is still ROUND 1
     # (drains r1-stale to 0) ...
     "subquery_correlated", "subquery_in", "subquery_scalar", "udaf_pandas",
     "udf_python", "window_analytic", "window_distribution", "window_rank",
-    # ... slots 32-48 = the 17 r2-stale keys (drains r2-stale to 0) ...
+    # ... slots 33-49 = the 17 r2-stale keys (drains r2-stale to 0) ...
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join", "stream_tumbling_window",
     "text_fingerprint", "text_lang_id", "text_quality_filter", "text_stats",
     "text_token_count",
-    # ... slot 49 = the alphabetically-first r3-stale key (the remaining
-    # 48 r3 keys head the post-window list for round 8).
-    "agg_rollup",
     # ---- Past the window: every remaining key ordered by STALENESS ----
     # (rounds since its newest driver row: leftover r3 keys first, then
     # r4, the r5 window, and finally the 50 keys just swept in r6)
-    "branch_diff_equal", "branch_merge", "branch_wap_publish",
+    "agg_rollup", "branch_diff_equal", "branch_merge", "branch_wap_publish",
     "ddl_create_table", "ddl_schema_crud", "ddl_schema_evolution",
     "dedup_cc_canonical",
     "dedup_embedding_cosine", "dedup_exact", "dedup_near_minhash",

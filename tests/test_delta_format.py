@@ -472,3 +472,64 @@ def test_vacuum_safety_invariants(spark, tmp_path):
     assert os.path.exists(os.path.join(d, readd))  # re-added file survives
     assert vacuum_delta_table(d, retention_ms=0) == gone  # idempotent
     assert scan_delta_table(spark, d).count() == before
+
+
+# --- change data feed ---------------------------------------------------------
+
+
+def test_cdf_classifies_inserts_deletes_and_dv_growth(spark, tmp_path):
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        delta_table_changes,
+    )
+
+    d = str(tmp_path / "cdf")
+    w = DeltaTableWriter(spark, d)
+    n = _nation(spark)
+    w.commit(add_dfs=[n.where("n_nationkey < 12").orderBy("n_nationkey")])
+    rel0 = next(iter(read_delta_log(d)["files"]))
+    w.commit(add_dfs=[n.where("n_nationkey >= 12")])
+    w.delete_rows(rel0, [0, 1])
+    w.delete_rows(rel0, [2], inline=True)  # DV grows again at v3
+    got = {
+        (r["n_nationkey"], r["_change_type"])
+        for r in delta_table_changes(spark, d, 0, 3).collect()
+    }
+    want = {(k, "insert") for k in range(12, 25)} | {
+        (k, "delete") for k in (0, 1, 2)
+    }
+    assert got == want
+    # narrower window: only the second DV growth
+    got2 = {
+        (r["n_nationkey"], r["_change_type"])
+        for r in delta_table_changes(spark, d, 2, 3).collect()
+    }
+    assert got2 == {(2, "delete")}
+    # full-file remove classifies as deletes of the then-live rows
+    w.commit(remove=[rel0])
+    got3 = {
+        (r["n_nationkey"], r["_change_type"])
+        for r in delta_table_changes(spark, d, 3, 4).collect()
+    }
+    assert got3 == {(k, "delete") for k in range(3, 12)}  # DV'd rows excluded
+
+
+def test_cdf_guards(spark, tmp_path, delta_dv):
+    import pytest as _pytest
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        delta_table_changes,
+    )
+
+    d, _w, _rel = delta_dv
+    with _pytest.raises(ValueError, match="greater than"):
+        delta_table_changes(spark, d, 2, 2)
+    # partitioned tables refuse loudly
+    dpart = str(tmp_path / "cdfpart")
+    wp = DeltaTableWriter(spark, dpart)
+    wp.commit(
+        add_dfs=[_nation(spark).where("n_regionkey = 0")],
+        partition_cols=["n_regionkey"],
+    )
+    wp.commit(add_dfs=[_nation(spark).where("n_regionkey = 1")])
+    with _pytest.raises(NotImplementedError, match="partitioned"):
+        delta_table_changes(spark, dpart, 0, 1)
