@@ -23,6 +23,14 @@ Scale note: like the Iceberg walker, the log fold is driver-side planning —
 one O(files)-row checkpoint parquet + O(tail commits) small JSON reads;
 executors read the data files through the distributed parquet source with
 pushdown intact.
+
+Beyond the base fold, this module covers the protocol's row-level and
+metadata-level features: DELETION VECTORS (merge-on-read row deletes —
+roaring.py codecs, stored + inline descriptors, executor-side decode,
+checkpoint carry-through), COLUMN MAPPING mode=name (physical col-uuid
+names in data files; renames are metadata-only commits), VACUUM
+(retention-gated physical deletion of tombstoned files), and CHANGE DATA
+FEED reconstruction (file-set + DV diffs between versions).
 """
 
 from __future__ import annotations
@@ -753,7 +761,14 @@ def scan_delta_table(
     data IO — the log IS the partition index, so a selective scan reads
     only matching partitions' files (the 100 TB reason partitioning
     exists); the injected literals also let Catalyst constant-fold any
-    residual predicate on partition columns."""
+    residual predicate on partition columns.
+
+    DELETION VECTORS (add.deletionVector non-null) apply as an executor-
+    decoded (file, row ordinal) anti-join (_apply_deletion_vectors);
+    COLUMN MAPPING (configuration delta.columnMapping.mode=name) projects
+    the data files' physical col-uuid names back to the logical schema of
+    the version being read (mode=id and mapping+partitioned refuse
+    loudly)."""
     from pyspark.sql import types as T
 
     state = read_delta_log(table_dir, version)
