@@ -321,38 +321,62 @@ def dedup_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    # Iterate ONLY over nodes that appear in at least one edge: a doc with
+    # no near-dup pair is a fixed point (its own canonical) and never
+    # changes, and near-dup graphs are sparse — at corpus scale the
+    # edge-touched set is a small fraction of the corpus, so every round's
+    # shuffle moves |touched| rows, not |corpus|. Singletons rejoin at the
+    # end via a left join + coalesce.
+    touched = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = touched.select("doc_id", F.col("doc_id").alias("label")).persist()
+    # Label generations stay cached until the harness releases the query's
+    # scope: unpersisting round r's labels while round r+1's cache entry
+    # depends on it can drop the dependent entry (Spark re-compiles
+    # dependent InMemoryRelations on uncache), forcing a rounds-deep
+    # recompute. Storage held is O(rounds × touched) label rows — tiny.
+    generations: list[DataFrame] = [labels]
     for _ in range(20):
+        # One shuffle per round: the node's OWN row carries its previous
+        # label in `old` (exactly one non-null per doc, so max() recovers
+        # it), neighbor rows carry null — the same min-label groupBy then
+        # yields BOTH the new label and the convergence signal, replacing
+        # the old new-vs-old equi-join (a second full shuffle of the label
+        # set per round) with a filter over the already-persisted result.
         nbr = edges.join(
             labels.select(F.col("doc_id").alias("src"), "label"), "src"
-        ).select(F.col("dst").alias("doc_id"), "label")
-        new_labels = (
-            labels.unionByName(nbr).groupBy("doc_id").agg(F.min("label").alias("label")).persist()
+        ).select(
+            F.col("dst").alias("doc_id"),
+            "label",
+            F.lit(None).cast("bigint").alias("old"),
         )
-        changed = (
-            new_labels.join(
-                labels.select("doc_id", F.col("label").alias("old")), "doc_id"
-            )
-            .filter(F.col("label") < F.col("old"))
-            .count()
+        cur = labels.select("doc_id", "label", F.col("label").alias("old"))
+        merged = (
+            cur.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+            .persist()
         )
-        labels.unpersist()
-        labels = new_labels
+        changed = merged.filter(F.col("label") < F.col("old")).count()
+        labels = merged
+        generations.append(merged)
         if changed == 0:
             break
     else:
         raise RuntimeError("connected components did not converge in 20 rounds")
-    # Release every cached intermediate before returning: the final labels
-    # are pinned (output-sized, lineage cut — 20 rounds of join lineage
-    # would otherwise ride along), then the edges/labels caches are
-    # dropped — a multi-key correctness sweep on one SparkSession must not
-    # accumulate cached partitions.
-    final = pin(labels.select("doc_id", F.col("label").alias("canonical_id")))
-    labels.unpersist()
-    edges.unpersist()
-    pairs.unpersist()  # checkpoint storage freed; pairs is never read again
-    # final's checkpoint storage must outlive this call (the caller reads
-    # it) but not the sweep — the next harness query releases it
+    final = pin(
+        docs.join(labels.select("doc_id", "label"), "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("canonical_id"),
+        )
+    )
+    # final is lineage-CUT (pin = checkpoint), so it no longer references
+    # any of the iteration's caches — every intermediate (label
+    # generations, edges, the pinned pair set) plus final itself is
+    # registered for release at the next harness query; release_scoped
+    # frees checkpoint block storage through the LogicalRDD (plain
+    # unpersist is a no-op on checkpointed frames).
+    for h in (*generations, edges, pairs):
+        defer_release(h)
     return defer_release(final)
 
 

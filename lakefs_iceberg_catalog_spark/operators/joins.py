@@ -801,7 +801,11 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = [0] * _BLOOM_WORDS
     for r in bounded_rows(bits.groupBy("word").agg(F.bit_or("mask").alias("m"))):
         words[r["word"]] = r["m"]
-    bloom = F.array(*[F.lit(w).cast("long") for w in words])
+    # ONE array Literal leaf (F.lit of the list), not CreateArray of 1024
+    # child literals: the probe references the array three times, and the
+    # 3×1024-node expression trees cost ~3 s of analysis+codegen per plan
+    # compile at ANY data size; as a single leaf the plan is constant-sized.
+    bloom = F.lit([int(w) for w in words])
 
     # fact-side prefilter: every probe bit must be set (scan-stage expr)
     cond = F.lit(True)

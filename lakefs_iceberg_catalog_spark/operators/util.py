@@ -78,25 +78,44 @@ def defer_release(df: DataFrame) -> DataFrame:
     return df
 
 
+def _release_one(df: DataFrame) -> None:
+    """Free one registered cache: CacheManager storage via unpersist, and —
+    for lineage-cut (localCheckpoint) frames, whose unpersist is a silent
+    no-op because their storage is plain RDD block cache — the underlying
+    LogicalRDD's blocks directly. Best-effort on the reflective path: if
+    the internals move, the ContextCleaner still frees the blocks when the
+    frame is garbage-collected."""
+    df.unpersist()
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def release_scoped() -> None:
     """Release every query-scoped cache (harness entry points call this
     before each new query; idempotent)."""
     while _SCOPED_CACHES:
-        _SCOPED_CACHES.pop().unpersist()
+        _release_one(_SCOPED_CACHES.pop())
 
 
 def pin(df: DataFrame) -> DataFrame:
-    """Materialize a DataFrame for ITERATIVE consumers (label propagation
-    re-reads its input every round, so recompute-per-action would be
-    quadratic in rounds).
+    """Materialize a DataFrame for ITERATIVE consumers AND CUT ITS LOGICAL
+    LINEAGE (label propagation re-reads its input every round and nests one
+    more join/agg layer per round, so without the cut both the recompute
+    AND the per-action Catalyst re-analysis grow with rounds — the analysis
+    alone measured ~2.8 s per downstream action on the converged label
+    frame vs 0.1 s lineage-cut, because every .count() on a persist-only
+    pin re-analyzes the full iterative plan before the cache lookup).
 
     Cluster mode: set ``SPARK_GRAFT_CHECKPOINT_DIR`` to a shared filesystem
-    path and this becomes a RELIABLE ``checkpoint()`` — lineage cut, files
-    survive executor loss. Unset (local mode), it is an eager persist: the
-    cache is CacheManager-registered, so a later ``unpersist()`` (via
-    defer_release/release_scoped) actually frees the storage —
-    ``localCheckpoint`` storage is NOT registered there and its unpersist
-    is a silent no-op, which is how round 3 leaked pinned partitions.
+    path and this becomes a RELIABLE ``checkpoint()`` — files survive
+    executor loss. Unset (local mode): ``localCheckpoint`` — executor block
+    cache, freed by release_scoped/_release_one through the LogicalRDD
+    (plain ``unpersist()`` on a checkpointed frame is a silent no-op, which
+    is how round 3 leaked pinned partitions).
 
     One-shot operators must NOT pin — they use scoped_persist and return
     the lazy plan."""
@@ -104,9 +123,7 @@ def pin(df: DataFrame) -> DataFrame:
     if ckpt_dir:
         df.sparkSession.sparkContext.setCheckpointDir(ckpt_dir)
         return df.checkpoint(eager=True)
-    df.persist()
-    df.count()
-    return df
+    return df.localCheckpoint(eager=True)
 
 
 def dround(col: Column | str, scale: int = 2) -> Column:

@@ -296,8 +296,15 @@ def test_scoped_caches_bounded_and_released(spark):
                  "pipeline_training_corpus", "dedup_cc_canonical"):
         release_scoped()  # what __spark_entry__/bench do between queries
         assert q(spark, name).count() >= 0
-        # bounded: this query's caches only (shingles+bands+pinned ≤ 4)
-        assert len(sc._jsc.sc().getRDDStorageInfo()) <= 4, name
+        # bounded: this query's caches only. The iterative CC operator
+        # holds its per-round label generations until release (freeing a
+        # generation mid-loop can drop the dependent round's cache entry),
+        # so its live set is shingles+bands (2) + pairs/final checkpoints
+        # (2) + edges (1) + rounds+1 label generations — near-dup graphs
+        # converge in 2-3 rounds, so 12 is comfortable headroom while
+        # still catching an unreleased-previous-query leak (which would
+        # DOUBLE the count across loop iterations).
+        assert len(sc._jsc.sc().getRDDStorageInfo()) <= 12, name
     release_scoped()
     assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
 

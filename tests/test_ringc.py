@@ -440,7 +440,7 @@ def test_bloom_prefilter_prunes_but_never_drops(spark):
     words = [0] * _BLOOM_WORDS
     for r in bounded_rows(bits.groupBy("word").agg(F.bit_or("mask").alias("m"))):
         words[r["word"]] = r["m"]
-    bloom = F.array(*[F.lit(w).cast("long") for w in words])
+    bloom = F.lit([int(w) for w in words])
     cond = F.lit(True)
     for seed in _BLOOM_SEEDS:
         idx = F.pmod(F.xxhash64("l_suppkey", F.lit(seed)), F.lit(nbits))
