@@ -168,6 +168,8 @@ EXTRA = [
     "source_iceberg_orc",
     "pipeline_mixture_temperature",
     "source_delta_cdf",
+    "source_iceberg_incremental",
+    "join_dynamic_partition_pruning",
 ]
 
 

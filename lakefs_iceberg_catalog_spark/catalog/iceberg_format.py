@@ -888,3 +888,91 @@ def scan_iceberg_table(
                 cond = cond & F.col(k).eqNullSafe(F.col(f"_ek_{k}"))
             df = df.join(F.broadcast(keys), cond, "left_anti")
     return df.select(*cols)
+
+
+def iceberg_incremental_append_files(
+    table_dir: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    version: int | None = None,
+) -> list[dict]:
+    """Data files APPENDED after ``from_snapshot_id`` (exclusive) up to
+    ``to_snapshot_id`` (inclusive; default the current snapshot) — the file
+    set behind Iceberg's IncrementalAppendScan, selected by the sequence-
+    number window (from_seq, to_seq]. Mirrors Iceberg's contract: every
+    snapshot inside the range must be a pure ``append`` — a delete/
+    overwrite in range means "rows added then changed", which an
+    append-only reader would double-process, so refuse loudly instead of
+    guessing. Deletes OLDER than the range cannot touch in-range files
+    (equality deletes hit strictly-older sequence numbers; position
+    deletes reference files live when written), so one manifest walk of
+    the ``to`` snapshot suffices — no per-snapshot re-walk."""
+    metadata = read_table_metadata(table_dir, version)
+    snaps = metadata.get("snapshots", [])
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if from_snapshot_id not in by_id:
+        raise ValueError(f"unknown from_snapshot_id {from_snapshot_id}")
+    to_id = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else metadata.get("current-snapshot-id")
+    )
+    if to_id not in by_id:
+        raise ValueError(f"unknown to_snapshot_id {to_id}")
+    from_seq = int(by_id[from_snapshot_id]["sequence-number"])
+    to_seq = int(by_id[to_id]["sequence-number"])
+    if to_seq < from_seq:
+        raise ValueError(
+            f"to snapshot (seq {to_seq}) is older than from snapshot (seq {from_seq})"
+        )
+    non_append = [
+        s["snapshot-id"]
+        for s in snaps
+        if from_seq < int(s["sequence-number"]) <= to_seq
+        and (s.get("summary") or {}).get("operation") != "append"
+    ]
+    if non_append:
+        raise ValueError(
+            f"incremental append scan range contains non-append snapshots "
+            f"{non_append} — rows in the range were deleted/overwritten; "
+            "read the full snapshot instead"
+        )
+    data, _ = iceberg_snapshot_files(table_dir, snapshot_id=to_id, version=version)
+    return [f for f in data if from_seq < int(f["sequence_number"]) <= to_seq]
+
+
+def scan_iceberg_incremental(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Distributed scan of ONLY the rows appended in
+    ``(from_snapshot_id, to_snapshot_id]`` — the incremental-processing
+    primitive (pair of ``source_delta_cdf`` on the Delta side): a pipeline
+    that checkpoints the last snapshot it consumed re-reads just the new
+    files each run, IO proportional to the delta, never the table. The
+    file selection is a driver-side metadata walk (where Iceberg itself
+    plans it); data streams through the normal distributed parquet/ORC
+    source with pushdown intact."""
+    files = iceberg_incremental_append_files(
+        table_dir, from_snapshot_id, to_snapshot_id, version
+    )
+    if not files:
+        raise ValueError("no files appended in the requested snapshot range")
+    by_fmt: dict[str, list[str]] = {}
+    for f in files:
+        by_fmt.setdefault(f["file_format"].upper(), []).append(f["file_path"])
+    unsupported = set(by_fmt) - {"PARQUET", "ORC"}
+    if unsupported:
+        raise NotImplementedError(f"unsupported data file formats: {unsupported}")
+    parts = []
+    if by_fmt.get("PARQUET"):
+        parts.append(spark.read.parquet(*by_fmt["PARQUET"]))
+    if by_fmt.get("ORC"):
+        parts.append(spark.read.orc(*by_fmt["ORC"]))
+    df = parts[0]
+    for extra_part in parts[1:]:
+        df = df.unionByName(extra_part)
+    return df

@@ -284,6 +284,47 @@ def source_iceberg_position_deletes(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "source_iceberg_incremental",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 8
+""",
+)
+def source_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL append scan over a real Iceberg v2 table — read only the
+    rows appended after a known snapshot (Iceberg's IncrementalAppendScan;
+    the pair of `source_delta_cdf` on the Delta side): the fixture writes
+    nation as three append snapshots, then scans `(s1, current]` and gets
+    exactly the last two appends' rows, having planned only their files.
+    The bounded form `(s1, s2]` is asserted mid-flow, as is the refusal
+    contract: a range containing a non-append snapshot raises (its rows
+    were deleted/overwritten — an append-only reader would double-process;
+    pinned in tests/test_iceberg_format.py).
+
+    Scale: THE incremental-pipeline primitive — a consumer checkpointing
+    the last snapshot it processed re-reads IO proportional to the delta,
+    never the table. File selection is one driver-side manifest walk of
+    the `to` snapshot filtered by the sequence-number window (no
+    per-snapshot re-walk); data files stream through the distributed
+    parquet source with pushdown intact."""
+    from ..catalog.iceberg_format import IcebergTableWriter, scan_iceberg_incremental
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg-incr-")
+    w = IcebergTableWriter(spark, tmp)
+    s1 = w.append(n.filter(F.col("n_nationkey") < 8))
+    s2 = w.append(
+        n.filter((F.col("n_nationkey") >= 8) & (F.col("n_nationkey") < 17))
+    )
+    w.append(n.filter(F.col("n_nationkey") >= 17))
+    # bounded range: only the middle append's rows
+    assert scan_iceberg_incremental(spark, tmp, s1, s2).count() == 9
+    back = scan_iceberg_incremental(spark, tmp, from_snapshot_id=s1).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_iceberg_partitioned",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey = 2

@@ -542,3 +542,45 @@ def test_orc_data_files_mixed_format_scan_and_delete_refusal(spark, tmp_path):
     w.delete_positions([(orc_file["file_path"], 0)])
     with _pytest.raises(NotImplementedError, match="ORC"):
         scan_iceberg_table(spark, d)
+
+
+def test_incremental_append_scan_windows_and_refusals(spark, tmp_path):
+    """IncrementalAppendScan contract: (from, to] file selection by the
+    sequence-number window, default to = current, and the append-only
+    range validation (a delete inside the range refuses loudly — an
+    append-only reader would double-process changed rows)."""
+    import pytest as _pytest
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        iceberg_incremental_append_files,
+        scan_iceberg_incremental,
+    )
+
+    n = _nation(spark)
+    d = str(tmp_path / "incr")
+    w = IcebergTableWriter(spark, d)
+    s1 = w.append(n.where("n_nationkey < 8"))
+    s2 = w.append(n.where("n_nationkey >= 8 and n_nationkey < 17"))
+    s3 = w.append(n.where("n_nationkey >= 17"))
+
+    # bounded window: exactly the middle append
+    mid = scan_iceberg_incremental(spark, d, s1, s2)
+    assert sorted(r["n_nationkey"] for r in mid.collect()) == list(range(8, 17))
+    # open window defaults to the current snapshot
+    assert scan_iceberg_incremental(spark, d, s1).count() == 17
+    # (s, s] is empty — refuse rather than return an empty scan silently
+    with _pytest.raises(ValueError, match="no files appended"):
+        scan_iceberg_incremental(spark, d, s3, s3)
+    # reversed window
+    with _pytest.raises(ValueError, match="older than"):
+        iceberg_incremental_append_files(d, s2, s1)
+    # unknown ids
+    with _pytest.raises(ValueError, match="unknown from_snapshot_id"):
+        iceberg_incremental_append_files(d, 12345)
+    # a delete snapshot inside the range poisons it...
+    files, _ = iceberg_snapshot_files(d, snapshot_id=s1)
+    w.delete_positions([(files[0]["file_path"], 0)])
+    with _pytest.raises(ValueError, match="non-append"):
+        iceberg_incremental_append_files(d, s1)
+    # ...but a range that ends BEFORE the delete stays readable
+    assert len(iceberg_incremental_append_files(d, s1, s3)) == 2
