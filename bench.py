@@ -170,6 +170,7 @@ EXTRA = [
     "source_delta_cdf",
     "source_iceberg_incremental",
     "join_dynamic_partition_pruning",
+    "maint_iceberg_expire_snapshots",
 ]
 
 

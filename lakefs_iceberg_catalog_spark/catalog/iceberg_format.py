@@ -541,6 +541,160 @@ class IcebergTableWriter:
         self._write_metadata(now_ms)
         return snapshot_id
 
+    def rewrite_data(self) -> int:
+        """COMPACTION (stock Iceberg's rewrite_data_files): materialize the
+        current scan — merge-on-read deletes applied — into ONE data file
+        and commit a `replace` snapshot whose manifest list carries only
+        the new manifest. The row set is unchanged (asserted by callers);
+        the old data files, delete files, and manifests stay on disk
+        referenced ONLY by older snapshots — `expire_snapshots` is what
+        reclaims them. This is the two-step space-reclamation story every
+        100 TB Iceberg deployment runs: compact (small files + delete
+        debt → one scan-efficient file), then expire (orphaned bytes →
+        reclaimed)."""
+        if self._schema_json is None:
+            raise ValueError("nothing to rewrite: table has no snapshots")
+        if self._partition_fields:
+            # the compacted file would span partitions; a partitioned
+            # rewrite needs one output file per partition tuple
+            raise NotImplementedError(
+                "rewrite_data over a partitioned table (needs per-partition "
+                "output files)"
+            )
+        from .parquet_io import write_single_parquet
+
+        current = scan_iceberg_table(self.spark, self.table_dir)
+        self._version += 1
+        self._sequence += 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        data_path = os.path.join(
+            self.data_dir,
+            f"00000-{self._version}-{self._uuid}-0-00001.parquet",
+        )
+        n_rows = write_single_parquet(current, data_path)
+        manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
+        self._avro.write(
+            manifest_path,
+            _manifest_entry_schema(self._partition_fields),
+            [
+                {
+                    "status": STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": CONTENT_DATA,
+                        "file_path": data_path,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(data_path),
+                        "equality_ids": None,
+                    },
+                }
+            ],
+            meta={
+                "schema": json.dumps(self._schema_json),
+                "partition-spec": self._spec_json,
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+            codec="deflate",
+        )
+        self._manifests = [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": self._sequence,
+                "min_sequence_number": self._sequence,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ]
+        return self._commit_snapshot(snapshot_id, "replace")
+
+    def expire_snapshots(self, retain_last: int = 1) -> dict:
+        """EXPIRE all but the newest ``retain_last`` snapshots and reclaim
+        every file no retained snapshot reaches — manifest lists,
+        manifests, and data/delete files (stock Iceberg's
+        expire_snapshots + the orphan sweep it implies). Refuses if a
+        named ref still pins a to-be-expired snapshot (stock Iceberg
+        protects ref'd snapshots; dropping data a tag points at silently
+        would corrupt the named-commit workflow — drop the ref first).
+
+        Scale: cost is O(retained manifests) metadata reads + one unlink
+        per reclaimed file — zero data reads; reclamation tracks churn
+        (what compaction orphaned), never table size. Expired time travel
+        refuses loudly; the current scan is provably unchanged (callers
+        assert)."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        if len(self._snapshots) <= retain_last:
+            return {"expired": 0, "removed_manifests": 0, "removed_data_files": 0}
+        retained = self._snapshots[-retain_last:]
+        expired = self._snapshots[:-retain_last]
+        expired_ids = {s["snapshot-id"] for s in expired}
+        pinned = {
+            name: ref["snapshot-id"]
+            for name, ref in self._refs.items()
+            if ref["snapshot-id"] in expired_ids
+        }
+        if pinned:
+            raise ValueError(
+                f"refs still pin snapshots being expired: {pinned} — drop the "
+                "refs first (stock Iceberg protects ref'd snapshots)"
+            )
+        # reachable set: every manifest (and its files) any retained
+        # snapshot's manifest list references
+        keep_manifest_lists = {s["manifest-list"] for s in retained}
+        keep_manifests: set[str] = set()
+        keep_files: set[str] = set()
+        for s in retained:
+            _, manifest_files = read_container(s["manifest-list"])
+            for mf in manifest_files:
+                keep_manifests.add(mf["manifest_path"])
+                _, entries = read_container(mf["manifest_path"])
+                for entry in entries:
+                    keep_files.add(entry["data_file"]["file_path"])
+        removed_manifests = removed_data = 0
+        # walk what the expired snapshots referenced and unlink orphans;
+        # a path may appear under several expired snapshots — dedup via seen
+        seen: set[str] = set()
+        for s in expired:
+            _, manifest_files = read_container(s["manifest-list"])
+            for mf in manifest_files:
+                mp = mf["manifest_path"]
+                if mp in keep_manifests or mp in seen:
+                    continue
+                seen.add(mp)
+                _, entries = read_container(mp)
+                for entry in entries:
+                    fp = entry["data_file"]["file_path"]
+                    if fp not in keep_files and fp not in seen and os.path.exists(fp):
+                        seen.add(fp)
+                        os.unlink(fp)
+                        removed_data += 1
+                os.unlink(mp)
+                removed_manifests += 1
+            if s["manifest-list"] not in keep_manifest_lists:
+                os.unlink(s["manifest-list"])
+        self._snapshots = retained
+        self._version += 1
+        self._write_metadata(int(time.time() * 1000))
+        return {
+            "expired": len(expired),
+            "removed_manifests": removed_manifests,
+            "removed_data_files": removed_data,
+        }
+
     def set_ref(
         self, name: str, snapshot_id: int | None = None, ref_type: str = "tag"
     ) -> int:
@@ -562,6 +716,16 @@ class IcebergTableWriter:
         self._version += 1
         self._write_metadata(int(time.time() * 1000))
         return sid
+
+    def drop_ref(self, name: str) -> None:
+        """Remove a named tag/branch (stock Iceberg's remove_tag /
+        remove_branch) — a metadata-only commit; the snapshot it pinned
+        becomes expirable."""
+        if name not in self._refs:
+            raise ValueError(f"unknown ref {name!r}")
+        del self._refs[name]
+        self._version += 1
+        self._write_metadata(int(time.time() * 1000))
 
     def _write_metadata(self, now_ms: int) -> None:
         snapshot_id = self._snapshots[-1]["snapshot-id"]

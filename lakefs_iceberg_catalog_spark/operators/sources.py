@@ -809,3 +809,60 @@ def source_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "_change_type"
     )
     return _materialize(spark, back, tmp)
+
+
+@register(
+    "maint_iceberg_expire_snapshots",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey <> 7
+""",
+)
+def maint_iceberg_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACT + EXPIRE on the real Iceberg v2 layout — the two-step space
+    reclamation every large Iceberg deployment runs (stock
+    rewrite_data_files + expire_snapshots; the Iceberg pair of
+    maint_delta_vacuum): the fixture builds three append snapshots plus a
+    merge-on-read position delete (4 data/delete-debt files), compacts
+    them into ONE data file via a `replace` snapshot (deletes applied,
+    row set provably unchanged), then expires all but the head snapshot —
+    reclaiming every file only expired snapshots reach (3 data files, the
+    delete file, their manifests and manifest lists; counts asserted
+    mid-flow, and the data/ dir physically shrinks to the single
+    compacted file). Ref-protection is pinned in tests: expiry refuses
+    while a tag still points at a to-be-expired snapshot.
+
+    Scale: compaction is one distributed scan+write sized by live rows;
+    expiry is O(retained manifests) metadata reads + one unlink per
+    orphaned file, ZERO data reads — reclamation cost tracks churn, not
+    table size. Expired time travel refuses loudly."""
+    import os as _os
+
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        scan_iceberg_table,
+    )
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg-expire-")
+    w = IcebergTableWriter(spark, tmp)
+    s1 = w.append(n.filter(F.col("n_nationkey") < 8))
+    w.append(n.filter((F.col("n_nationkey") >= 8) & (F.col("n_nationkey") < 17)))
+    w.append(n.filter(F.col("n_nationkey") >= 17))
+    files, _ = iceberg_snapshot_files(tmp, snapshot_id=s1)
+    w.delete_positions([(files[0]["file_path"], 7)])  # ordinal 7 == key 7
+    w.rewrite_data()  # compaction: 3 data files + 1 delete file -> 1 file
+    data_dir = _os.path.join(tmp, "data")
+    assert len(_os.listdir(data_dir)) == 5  # 4 originals + compacted, pre-GC
+    stats = w.expire_snapshots(retain_last=1)
+    assert stats["expired"] == 4 and stats["removed_data_files"] == 4
+    assert len(_os.listdir(data_dir)) == 1  # bytes actually reclaimed
+    try:
+        scan_iceberg_table(spark, tmp, snapshot_id=s1)
+        raise AssertionError("expired snapshot must refuse")
+    except ValueError:
+        pass
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)

@@ -584,3 +584,43 @@ def test_incremental_append_scan_windows_and_refusals(spark, tmp_path):
         iceberg_incremental_append_files(d, s1)
     # ...but a range that ends BEFORE the delete stays readable
     assert len(iceberg_incremental_append_files(d, s1, s3)) == 2
+
+
+def test_rewrite_and_expire_reclaims_orphans(spark, tmp_path):
+    """Compaction + expiry invariants: the replace snapshot preserves the
+    merge-on-read row set; expiry reclaims exactly the files only expired
+    snapshots reach; ref-pinned snapshots refuse expiry (stock Iceberg's
+    protection); expired time travel refuses; retain_last > history is a
+    no-op."""
+    import pytest as _pytest
+
+    n = _nation(spark)
+    d = str(tmp_path / "exp")
+    w = IcebergTableWriter(spark, d)
+    s1 = w.append(n.where("n_nationkey < 12"))
+    w.append(n.where("n_nationkey >= 12"))
+    files, _ = iceberg_snapshot_files(d, snapshot_id=s1)
+    w.delete_positions([(files[0]["file_path"], 3)])
+    w.set_ref("keepme", snapshot_id=s1, ref_type="tag")
+    w.rewrite_data()
+    assert scan_iceberg_table(spark, d).count() == 24  # MoR applied, 1 file
+    assert len(scan_iceberg_table(spark, d).inputFiles()) == 1
+    # no-op below history length
+    assert w.expire_snapshots(retain_last=99)["expired"] == 0
+    # the tag pins s1 — refuse
+    with _pytest.raises(ValueError, match="refs still pin"):
+        w.expire_snapshots(retain_last=1)
+    w.drop_ref("keepme")
+    with _pytest.raises(ValueError, match="unknown ref"):
+        w.drop_ref("keepme")
+    stats = w.expire_snapshots(retain_last=1)
+    assert stats["expired"] == 3  # s1, append#2, the MoR delete
+    assert stats["removed_data_files"] == 3  # 2 data + 1 position-delete file
+    assert scan_iceberg_table(spark, d).count() == 24
+    with _pytest.raises(ValueError, match="not found"):
+        scan_iceberg_table(spark, d, snapshot_id=s1)
+    # partitioned rewrite refuses (needs per-partition output files)
+    wp = IcebergTableWriter(spark, str(tmp_path / "p"), partition_by=["n_regionkey"])
+    wp.append(n.where("n_regionkey = 0"))
+    with _pytest.raises(NotImplementedError, match="partitioned"):
+        wp.rewrite_data()
