@@ -541,42 +541,65 @@ class IcebergTableWriter:
         self._write_metadata(now_ms)
         return snapshot_id
 
+    # Ceiling for the driver-side distinct-partition-tuple probe in
+    # rewrite_data: partition tuples are metadata-scale (Iceberg's own
+    # rewrite planner enumerates them to build per-partition file groups);
+    # a table with more live partitions than this needs a scoped rewrite,
+    # not a bigger driver list.
+    REWRITE_PARTITION_CEILING = 10_000
+
     def rewrite_data(self) -> int:
         """COMPACTION (stock Iceberg's rewrite_data_files): materialize the
-        current scan — merge-on-read deletes applied — into ONE data file
-        and commit a `replace` snapshot whose manifest list carries only
-        the new manifest. The row set is unchanged (asserted by callers);
-        the old data files, delete files, and manifests stay on disk
+        current scan — merge-on-read deletes applied — into one data file
+        per live partition tuple (one file total when unpartitioned) and
+        commit a `replace` snapshot whose manifest list carries only the
+        new manifest. The row set is unchanged (asserted by callers); the
+        old data files, delete files, and manifests stay on disk
         referenced ONLY by older snapshots — `expire_snapshots` is what
         reclaims them. This is the two-step space-reclamation story every
         100 TB Iceberg deployment runs: compact (small files + delete
-        debt → one scan-efficient file), then expire (orphaned bytes →
-        reclaimed)."""
+        debt → one scan-efficient file per partition), then expire
+        (orphaned bytes → reclaimed).
+
+        Scale: the partition-tuple enumeration is a bounded metadata-scale
+        distinct (stock Iceberg's rewrite planner enumerates partitions
+        the same way to form file groups); each partition's rewrite is a
+        partition-pruned distributed scan+write, so total data cost is one
+        pass over live rows regardless of partition count. A production
+        writer runs the per-partition writes as parallel tasks of one job;
+        the per-file manifest metadata committed here is identical."""
         if self._schema_json is None:
             raise ValueError("nothing to rewrite: table has no snapshots")
-        if self._partition_fields:
-            # the compacted file would span partitions; a partitioned
-            # rewrite needs one output file per partition tuple
-            raise NotImplementedError(
-                "rewrite_data over a partitioned table (needs per-partition "
-                "output files)"
-            )
         from .parquet_io import write_single_parquet
 
         current = scan_iceberg_table(self.spark, self.table_dir)
         self._version += 1
         self._sequence += 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        data_path = os.path.join(
-            self.data_dir,
-            f"00000-{self._version}-{self._uuid}-0-00001.parquet",
-        )
-        n_rows = write_single_parquet(current, data_path)
-        manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
-        self._avro.write(
-            manifest_path,
-            _manifest_entry_schema(self._partition_fields),
-            [
+
+        groups: list[dict] = [{}]
+        if self._partition_fields:
+            from ..operators.util import bounded_rows
+
+            tuples = bounded_rows(
+                current.select(*self._partition_by).distinct(),
+                self.REWRITE_PARTITION_CEILING,
+            )
+            groups = sorted(
+                (dict(zip(self._partition_by, tuple(r))) for r in tuples),
+                key=lambda d: tuple(str(v) for v in d.values()),
+            )
+        entries = []
+        for i, pvals in enumerate(groups):
+            part_df = current
+            for c, v in pvals.items():
+                part_df = part_df.filter(F.col(c) == F.lit(v))
+            data_path = os.path.join(
+                self.data_dir,
+                f"00000-{self._version}-{self._uuid}-0-{i + 1:05d}.parquet",
+            )
+            n_rows = write_single_parquet(part_df, data_path)
+            entries.append(
                 {
                     "status": STATUS_ADDED,
                     "snapshot_id": snapshot_id,
@@ -586,13 +609,18 @@ class IcebergTableWriter:
                         "content": CONTENT_DATA,
                         "file_path": data_path,
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": pvals,
                         "record_count": n_rows,
                         "file_size_in_bytes": os.path.getsize(data_path),
                         "equality_ids": None,
                     },
                 }
-            ],
+            )
+        manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
+        self._avro.write(
+            manifest_path,
+            _manifest_entry_schema(self._partition_fields),
+            entries,
             meta={
                 "schema": json.dumps(self._schema_json),
                 "partition-spec": self._spec_json,
@@ -602,6 +630,7 @@ class IcebergTableWriter:
             },
             codec="deflate",
         )
+        total_rows = sum(e["data_file"]["record_count"] for e in entries)
         self._manifests = [
             {
                 "manifest_path": manifest_path,
@@ -611,10 +640,10 @@ class IcebergTableWriter:
                 "sequence_number": self._sequence,
                 "min_sequence_number": self._sequence,
                 "added_snapshot_id": snapshot_id,
-                "added_files_count": 1,
+                "added_files_count": len(entries),
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": n_rows,
+                "added_rows_count": total_rows,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }

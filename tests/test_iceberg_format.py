@@ -619,8 +619,29 @@ def test_rewrite_and_expire_reclaims_orphans(spark, tmp_path):
     assert scan_iceberg_table(spark, d).count() == 24
     with _pytest.raises(ValueError, match="not found"):
         scan_iceberg_table(spark, d, snapshot_id=s1)
-    # partitioned rewrite refuses (needs per-partition output files)
-    wp = IcebergTableWriter(spark, str(tmp_path / "p"), partition_by=["n_regionkey"])
-    wp.append(n.where("n_regionkey = 0"))
-    with _pytest.raises(NotImplementedError, match="partitioned"):
-        wp.rewrite_data()
+
+
+def test_partitioned_rewrite_one_file_per_partition(spark, tmp_path):
+    """Partitioned compaction: many small files per partition collapse to
+    ONE data file per live partition tuple under a single replace
+    snapshot; the typed partition structs survive (partition_filter
+    pruning still reads only matching files), and expiry then reclaims
+    every pre-compaction file."""
+    n = _nation(spark)
+    d = str(tmp_path / "prw")
+    w = IcebergTableWriter(spark, d, partition_by=["n_regionkey"])
+    # two small appends per region: 10 data files pre-compaction
+    for region in range(5):
+        w.append(n.where(f"n_regionkey = {region} and n_nationkey < 12"))
+        w.append(n.where(f"n_regionkey = {region} and n_nationkey >= 12"))
+    assert len(scan_iceberg_table(spark, d).inputFiles()) == 10
+    w.rewrite_data()
+    full = scan_iceberg_table(spark, d)
+    assert full.count() == 25
+    assert len(full.inputFiles()) == 5  # one file per live region
+    pruned = scan_iceberg_table(spark, d, partition_filter={"n_regionkey": 2})
+    assert len(pruned.inputFiles()) == 1  # typed partition structs intact
+    assert pruned.count() == 5
+    stats = w.expire_snapshots(retain_last=1)
+    assert stats["expired"] == 10 and stats["removed_data_files"] == 10
+    assert scan_iceberg_table(spark, d).count() == 25
