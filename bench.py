@@ -171,6 +171,7 @@ EXTRA = [
     "source_iceberg_incremental",
     "join_dynamic_partition_pruning",
     "maint_iceberg_expire_snapshots",
+    "source_iceberg_schema_evolution",
 ]
 
 

@@ -139,6 +139,30 @@ def _iceberg_schema(df: DataFrame) -> dict:
 
 _ICEBERG_TO_AVRO = {"int": "int", "long": "long", "string": "string"}
 
+# Spark reader types for Iceberg primitive types (inverse of
+# _SPARK_TO_ICEBERG; decimal(p,s) spells identically in both).
+_ICEBERG_TO_SPARK = {
+    "int": "int",
+    "long": "bigint",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+    "binary": "binary",
+}
+
+
+def _spark_type_of(ice_t: str) -> str:
+    if ice_t.startswith("decimal"):
+        return ice_t
+    try:
+        return _ICEBERG_TO_SPARK[ice_t]
+    except KeyError:
+        raise ValueError(f"no Spark mapping for Iceberg type {ice_t!r}") from None
+
 
 def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
     """MANIFEST_ENTRY_SCHEMA with the partition struct (r102) carrying the
@@ -195,6 +219,8 @@ class IcebergTableWriter:
         self._version = 0
         self._sequence = 0
         self._schema_json: dict | None = None
+        self._schemas: list[dict] = []  # full schema history (spec `schemas`)
+        self._last_column_id = 0
         self._snapshots: list[dict] = []
         self._manifests: list[dict] = []  # manifest_file entries carried forward
         self._partition_by = list(partition_by or [])
@@ -246,6 +272,8 @@ class IcebergTableWriter:
             raise ValueError(f"unsupported data file format {fmt!r}")
         if self._schema_json is None:
             self._schema_json = _iceberg_schema(df)
+            self._schemas = [self._schema_json]
+            self._last_column_id = len(self._schema_json["fields"])
             self._resolve_partition_fields()
         self._version += 1
         self._sequence += 1
@@ -756,6 +784,84 @@ class IcebergTableWriter:
         self._version += 1
         self._write_metadata(int(time.time() * 1000))
 
+    # ---- schema evolution: metadata-ONLY commits (stock Iceberg's ALTER
+    # TABLE ... RENAME/ADD/DROP COLUMN). Field IDS are the identity —
+    # already-written data files are untouched; readers project every file
+    # to the current schema by matching ids against the manifest's
+    # embedded write-time schema (see scan_iceberg_table). ------------------
+
+    def _require_schema(self) -> dict:
+        if self._schema_json is None:
+            raise ValueError("no schema yet: append data first")
+        return self._schema_json
+
+    def _evolve_schema(self, fields: list[dict]) -> None:
+        new = {
+            "type": "struct",
+            "schema-id": self._schema_json["schema-id"] + 1,
+            "fields": fields,
+        }
+        self._schema_json = new
+        self._schemas.append(new)
+        self._version += 1
+        self._write_metadata(int(time.time() * 1000))
+
+    def _guard_not_partition_source(self, name: str, action: str) -> None:
+        if name in self._partition_by:
+            raise ValueError(
+                f"cannot {action} partition source column {name!r} (spec "
+                "fields keep their names; evolve the partition spec first)"
+            )
+
+    def rename_column(self, old: str, new: str) -> None:
+        """RENAME COLUMN: the field keeps its id (and therefore every
+        already-written data file); only the current schema's name changes.
+        Zero data IO."""
+        names = {f["name"] for f in self._require_schema()["fields"]}
+        if old not in names:
+            raise ValueError(f"unknown column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._guard_not_partition_source(old, "rename")
+        self._evolve_schema(
+            [
+                {**f, "name": new} if f["name"] == old else dict(f)
+                for f in self._schema_json["fields"]
+            ]
+        )
+
+    def add_column(self, name: str, ice_type: str) -> None:
+        """ADD COLUMN: assigns a FRESH field id (ids are never reused —
+        the spec rule that makes drop-then-re-add safe); files written
+        before the add read back as NULL for the new column."""
+        _spark_type_of(ice_type)  # validate
+        if name in {f["name"] for f in self._require_schema()["fields"]}:
+            raise ValueError(f"column {name!r} already exists")
+        self._last_column_id += 1
+        self._evolve_schema(
+            [dict(f) for f in self._schema_json["fields"]]
+            + [
+                {
+                    "id": self._last_column_id,
+                    "name": name,
+                    "required": False,
+                    "type": ice_type,
+                }
+            ]
+        )
+
+    def drop_column(self, name: str) -> None:
+        """DROP COLUMN: removes the field from the current schema only —
+        data files keep the bytes (readers stop projecting them), and the
+        id is never reused."""
+        fields = self._require_schema()["fields"]
+        if name not in {f["name"] for f in fields}:
+            raise ValueError(f"unknown column {name!r}")
+        if len(fields) == 1:
+            raise ValueError("cannot drop the last column")
+        self._guard_not_partition_source(name, "drop")
+        self._evolve_schema([dict(f) for f in fields if f["name"] != name])
+
     def _write_metadata(self, now_ms: int) -> None:
         snapshot_id = self._snapshots[-1]["snapshot-id"]
         metadata = {
@@ -764,9 +870,10 @@ class IcebergTableWriter:
             "location": self.table_dir,
             "last-sequence-number": self._sequence,
             "last-updated-ms": now_ms,
-            "last-column-id": len(self._schema_json["fields"]),
-            "current-schema-id": 0,
-            "schemas": [self._schema_json],
+            "last-column-id": self._last_column_id
+            or len(self._schema_json["fields"]),
+            "current-schema-id": self._schema_json["schema-id"],
+            "schemas": self._schemas or [self._schema_json],
             "default-spec-id": 0,
             "partition-specs": [
                 {"spec-id": 0, "fields": json.loads(self._spec_json)}
@@ -872,7 +979,12 @@ def iceberg_snapshot_files(
     deletes: list[dict] = []
     for mf in manifest_files:
         in_delete_manifest = mf.get("content", 0) != 0
-        _, entries = read_container(mf["manifest_path"])
+        mmeta, entries = read_container(mf["manifest_path"])
+        # write-time schema: every Iceberg writer embeds the table schema
+        # in the manifest's Avro metadata — it is the field-id source that
+        # lets readers project old files to the CURRENT schema
+        ws = (mmeta.get("meta") or {}).get("schema")
+        ws_str = ws.decode("utf-8") if isinstance(ws, (bytes, bytearray)) else ws
         for entry in entries:
             if entry["status"] == STATUS_DELETED:
                 continue
@@ -890,7 +1002,7 @@ def iceberg_snapshot_files(
             if seq is None:
                 # inheritance: ADDED entries take the manifest's number
                 seq = mf["sequence_number"]
-            rec = {**data_file, "sequence_number": seq}
+            rec = {**data_file, "sequence_number": seq, "_write_schema": ws_str}
             if data_file["content"] == CONTENT_DATA:
                 data.append(rec)
             else:
@@ -973,8 +1085,8 @@ def scan_iceberg_table(
     data, deletes = iceberg_snapshot_files(table_dir, snapshot_id, version)
     if not data:
         raise ValueError(f"snapshot has no data files under {table_dir}")
+    metadata = read_table_metadata(table_dir, version)
     if partition_filter:
-        metadata = read_table_metadata(table_dir, version)
         spec = next(
             s
             for s in metadata.get("partition-specs", [])
@@ -1004,32 +1116,81 @@ def scan_iceberg_table(
         # Spark's `_metadata.row_index` (the delete merge's ordinal column)
         # is parquet-only — MoR over ORC data would need a manual ordinal
         raise NotImplementedError("merge-on-read deletes over ORC data files")
-    by_fmt: dict[str, list[str]] = {}
-    for f in data:
-        by_fmt.setdefault(f["file_format"].upper(), []).append(f["file_path"])
-    parts = []
-    if by_fmt.get("PARQUET"):
-        parts.append(spark.read.parquet(*by_fmt["PARQUET"]))
-    if by_fmt.get("ORC"):
-        parts.append(spark.read.orc(*by_fmt["ORC"]))
-    df = parts[0]
-    for extra_part in parts[1:]:
-        df = df.unionByName(extra_part)
     pos = [f for f in deletes if f["content"] == CONTENT_POSITION_DELETES]
     eq = [f for f in deletes if f["content"] == CONTENT_EQUALITY_DELETES]
-    if not pos and not eq:
-        return df
+    need_meta = bool(pos or eq)
     # normalize both sides to a bare path: Spark's _metadata.file_path is a
     # URI (file:///a/b); manifests/delete rows may carry either spelling
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     pynorm = lambda p: re.sub(r"^file:/+", "/", p)  # noqa: E731
-    cols = df.columns
-    df = df.withColumns(
-        {
-            "_file": norm(F.col("_metadata.file_path")),
-            "_pos": F.col("_metadata.row_index"),
-        }
+    schemas = metadata.get("schemas") or [metadata["schema"]]
+    cur_schema = next(
+        (s for s in schemas if s.get("schema-id") == metadata.get("current-schema-id")),
+        schemas[-1],
     )
+
+    def _sig(s: dict) -> list[tuple]:
+        return [(f["id"], f["name"], f["type"]) for f in s["fields"]]
+
+    # SCHEMA EVOLUTION: group data files by their manifest's embedded
+    # write-time schema and project each group to the CURRENT schema by
+    # FIELD ID (the spec's column identity) — renamed columns re-alias,
+    # columns added later read as typed NULLs, dropped columns stop being
+    # projected, widened types cast. Pure per-file expressions, no shuffle;
+    # files written under the current schema pass through untouched.
+    groups: dict[tuple[str, str], list[str]] = {}
+    for f in data:
+        groups.setdefault(
+            (f["file_format"].upper(), f.get("_write_schema") or ""), []
+        ).append(f["file_path"])
+    parts = []
+    projected = False
+    for (fmt, ws_str), paths in sorted(groups.items()):
+        part = (
+            spark.read.parquet(*paths)
+            if fmt == "PARQUET"
+            else spark.read.orc(*paths)
+        )
+        if need_meta:
+            part = part.withColumns(
+                {
+                    "_file": norm(F.col("_metadata.file_path")),
+                    "_pos": F.col("_metadata.row_index"),
+                }
+            )
+        if ws_str:
+            ws = json.loads(ws_str)
+            if _sig(ws) != _sig(cur_schema):
+                by_id = {wf["id"]: wf for wf in ws["fields"]}
+                proj = []
+                for cf in cur_schema["fields"]:
+                    wf = by_id.get(cf["id"])
+                    if wf is None:  # column added after this file was written
+                        proj.append(
+                            F.lit(None)
+                            .cast(_spark_type_of(cf["type"]))
+                            .alias(cf["name"])
+                        )
+                    else:
+                        col = F.col(wf["name"])
+                        if wf["type"] != cf["type"]:  # widening promotion
+                            col = col.cast(_spark_type_of(cf["type"]))
+                        proj.append(col.alias(cf["name"]))
+                if need_meta:
+                    proj += [F.col("_file"), F.col("_pos")]
+                part = part.select(*proj)
+                projected = True
+        parts.append(part)
+    df = parts[0]
+    for extra_part in parts[1:]:
+        df = df.unionByName(extra_part)
+    cols = (
+        [cf["name"] for cf in cur_schema["fields"]]
+        if projected
+        else [c for c in df.columns if c not in ("_file", "_pos")]
+    )
+    if not need_meta:
+        return df.select(*cols)
     if pos:
         dels = (
             spark.read.schema("file_path string, pos long")
@@ -1053,17 +1214,7 @@ def scan_iceberg_table(
         df = df.join(
             F.broadcast(seq_map), F.col("_file") == F.col("_sfile"), "left"
         ).drop("_sfile")
-        metadata = read_table_metadata(table_dir, version)
-        schemas = metadata.get("schemas") or [metadata["schema"]]
-        cur = next(
-            (
-                s
-                for s in schemas
-                if s.get("schema-id") == metadata.get("current-schema-id")
-            ),
-            schemas[-1],
-        )
-        id2name = {f["id"]: f["name"] for f in cur["fields"]}
+        id2name = {f["id"]: f["name"] for f in cur_schema["fields"]}
         for d in eq:
             ids = d.get("equality_ids") or []
             if not ids:
@@ -1071,9 +1222,19 @@ def scan_iceberg_table(
                     f"equality delete file {d['file_path']} has no equality_ids"
                 )
             key_cols = [id2name[i] for i in ids]
+            # the delete FILE's columns carry its own write-time names —
+            # resolve each equality id through the delete manifest's schema
+            dws = json.loads(d["_write_schema"]) if d.get("_write_schema") else None
+            dname = {f["id"]: f["name"] for f in dws["fields"]} if dws else {}
+            src_cols = [dname.get(i, id2name[i]) for i in ids]
             keys = (
                 spark.read.parquet(d["file_path"])
-                .select(*[F.col(k).alias(f"_ek_{k}") for k in key_cols])
+                .select(
+                    *[
+                        F.col(s).alias(f"_ek_{k}")
+                        for s, k in zip(src_cols, key_cols)
+                    ]
+                )
                 .dropDuplicates()
             )
             cond = F.col("_dataseq") < F.lit(int(d["sequence_number"]))

@@ -866,3 +866,55 @@ def maint_iceberg_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFram
         "n_nationkey", "n_name", "n_regionkey"
     )
     return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_schema_evolution",
+    oracle="""
+SELECT n_nationkey,
+       n_name AS nation_name,
+       CASE WHEN n_nationkey >= 12 THEN 'new' END AS note
+FROM nation
+WHERE n_nationkey <> 3
+""",
+)
+def source_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on the real Iceberg v2 layout — rename/add/drop as
+    metadata-ONLY commits, read back through FIELD-ID projection (the
+    spec's column identity): the fixture appends under the original
+    schema, renames n_name→nation_name, adds a `note` string column,
+    appends a second file under the new schema, drops n_regionkey, and
+    applies a merge-on-read position delete across the evolution. The
+    scan projects EVERY data file to the CURRENT schema by matching field ids
+    against its manifest's embedded write-time schema — the old file's
+    renamed column re-aliases, its missing `note` reads as a typed NULL,
+    and the dropped column stops being projected with zero data IO.
+
+    Scale: evolution commits touch ONE metadata.json (no data rewrite at
+    any table size — the point of id-based columns); the read-side
+    projection is a per-file select, no shuffle, and files written under
+    the current schema pass through untouched."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        scan_iceberg_table,
+    )
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg-evo-")
+    w = IcebergTableWriter(spark, tmp)
+    s1 = w.append(n.filter(F.col("n_nationkey") < 12))
+    w.rename_column("n_name", "nation_name")  # metadata-only commit
+    w.add_column("note", "string")  # fresh field id, never reused
+    w.append(
+        n.filter(F.col("n_nationkey") >= 12)
+        .withColumnRenamed("n_name", "nation_name")
+        .withColumn("note", F.lit("new"))
+    )
+    w.drop_column("n_regionkey")  # bytes stay; projection stops
+    files, _ = iceberg_snapshot_files(tmp, snapshot_id=s1)
+    w.delete_positions([(files[0]["file_path"], 3)])  # ordinal 3 == key 3
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "nation_name", "note"
+    )
+    return _materialize(spark, back, tmp)
