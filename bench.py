@@ -172,6 +172,7 @@ EXTRA = [
     "join_dynamic_partition_pruning",
     "maint_iceberg_expire_snapshots",
     "source_iceberg_schema_evolution",
+    "maint_delta_optimize",
 ]
 
 

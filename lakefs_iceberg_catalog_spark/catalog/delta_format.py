@@ -76,6 +76,8 @@ class DeltaTableWriter:
         add_dfs: list[DataFrame] | None = None,
         remove: list[str] | None = None,
         partition_cols: list[str] | None = None,
+        data_change: bool = True,
+        operation: str | None = None,
     ) -> int:
         """One commit: write each DataFrame as a parquet data file (`add`)
         and/or drop previously added files (`remove`). The first commit
@@ -159,7 +161,7 @@ class DeltaTableWriter:
                         "partitionValues": pvals,
                         "size": os.path.getsize(path),
                         "modificationTime": now_ms,
-                        "dataChange": True,
+                        "dataChange": data_change,
                         "stats": json.dumps({"numRecords": n_rows}),
                     }
                 }
@@ -170,7 +172,7 @@ class DeltaTableWriter:
                     "remove": {
                         "path": rel,
                         "deletionTimestamp": now_ms,
-                        "dataChange": True,
+                        "dataChange": data_change,
                     }
                 }
             )
@@ -178,7 +180,8 @@ class DeltaTableWriter:
             {
                 "commitInfo": {
                     "timestamp": now_ms,
-                    "operation": "WRITE" if add_dfs else "DELETE",
+                    "operation": operation
+                    or ("WRITE" if add_dfs else "DELETE"),
                 }
             }
         )
@@ -292,6 +295,44 @@ class DeltaTableWriter:
             {"commitInfo": {"timestamp": now_ms, "operation": "DELETE"}},
         ]
         return self._write_commit(actions)
+
+    def optimize(self) -> int:
+        """OPTIMIZE (bin-packing compaction — the Delta pair of
+        iceberg_format's rewrite_data): rewrite the live row set into ONE
+        data file per partition tuple and commit the swap with
+        ``dataChange=false`` on every add/remove (the protocol's marker
+        that no logical rows changed — streaming/CDF consumers must skip
+        the commit). Deletion vectors are MATERIALIZED: the new files
+        carry no DVs, retiring the table's delete debt. The removed files
+        become tombstones; ``vacuum_delta_table`` is what physically
+        reclaims them after retention (orphaned DV sidecars stay until
+        then too). Time travel to pre-OPTIMIZE versions keeps working
+        while the tombstoned files exist.
+
+        Scale: one distributed scan+write sized by live rows; the
+        partition-tuple enumeration is a bounded metadata-scale distinct
+        (stock Delta's OPTIMIZE plans per-partition bins the same way)."""
+        from ..operators.util import bounded_rows
+
+        state = read_delta_log(self.table_dir)
+        live = sorted(state["files"])
+        current = scan_delta_table(self.spark, self.table_dir)
+        pcols = state.get("partition_cols") or []
+        if pcols:
+            tuples = bounded_rows(
+                current.select(*pcols).distinct(), 10_000
+            )
+            adds = []
+            for r in sorted(tuples, key=lambda r: tuple(str(v) for v in r)):
+                part = current
+                for c, v in zip(pcols, r):
+                    part = part.filter(F.col(c).eqNullSafe(F.lit(v)))
+                adds.append(part)
+        else:
+            adds = [current]
+        return self.commit(
+            add_dfs=adds, remove=live, data_change=False, operation="OPTIMIZE"
+        )
 
     def checkpoint(self) -> int:
         """Write a checkpoint of the CURRENT state: one
@@ -561,6 +602,27 @@ def delta_table_changes(
             raise NotImplementedError("changes over partitioned tables")
         if _physical_renames(st.get("metadata")):
             raise NotImplementedError("changes over column-mapped tables")
+    # dataChange=false commits (OPTIMIZE) swap files WITHOUT changing rows;
+    # an endpoint file-set diff would misreport every rewritten row as
+    # insert+delete, so refuse loudly — stock Delta CDF skips such commits
+    # action-by-action; here the caller splits the window around them
+    for v in range(from_version + 1, to_version + 1):
+        try:
+            with open(_commit_path(table_dir, v)) as f:
+                lines = f.read().splitlines()
+        except FileNotFoundError:
+            continue  # truncated by a checkpoint; fold above already vetted
+        for line in lines:
+            if not line.strip():
+                continue
+            act = json.loads(line)
+            body = act.get("add") or act.get("remove")
+            if body is not None and body.get("dataChange") is False:
+                raise NotImplementedError(
+                    f"version {v} is a dataChange=false maintenance commit "
+                    "(OPTIMIZE) — the endpoint file-set diff would misreport "
+                    "rewritten rows; split the change window around it"
+                )
 
     def _positions(state: dict, rel: str) -> set[int]:
         dv = state["files"][rel].get("deletionVector")

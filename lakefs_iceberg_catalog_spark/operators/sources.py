@@ -918,3 +918,54 @@ def source_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
         "n_nationkey", "nation_name", "note"
     )
     return _materialize(spark, back, tmp)
+
+
+@register(
+    "maint_delta_optimize",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey <> 3
+""",
+)
+def maint_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE + VACUUM on the real Delta layout — the two-step space
+    reclamation every large Delta deployment runs (the Delta pair of
+    maint_iceberg_expire_snapshots): the fixture builds two small data
+    files plus a deletion-vector delete (delete debt), bin-packs them
+    into ONE data file via a dataChange=false OPTIMIZE commit (DVs
+    materialized away, row set provably unchanged), then vacuums the
+    tombstoned files — the table physically shrinks to the compacted
+    file. CDF windows crossing the maintenance commit refuse loudly
+    (stock Delta CDF skips dataChange=false commits; the endpoint
+    file-set diff here would misreport rewritten rows), pinned with the
+    protocol invariants in tests/test_delta_format.py.
+
+    Scale: OPTIMIZE is one distributed scan+write sized by live rows
+    (per-partition bins on partitioned tables); vacuum is a metadata-
+    sized log fold + one unlink per expired tombstone, zero data reads —
+    reclamation cost tracks churn, not table size."""
+    import os as _os
+
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+        vacuum_delta_table,
+    )
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta-opt-")
+    w = DeltaTableWriter(spark, tmp)
+    w.commit(add_dfs=[n.filter(F.col("n_nationkey") < 8).orderBy("n_nationkey")])
+    w.commit(add_dfs=[n.filter(F.col("n_nationkey") >= 8)])
+    rel = sorted(read_delta_log(tmp)["files"])[0]
+    w.delete_rows(rel, [3])  # DV: ordinal 3 == key 3
+    w.optimize()
+    state = read_delta_log(tmp)
+    assert len(state["files"]) == 1  # bin-packed
+    assert all(a.get("deletionVector") is None for a in state["files"].values())
+    gone = vacuum_delta_table(tmp, retention_ms=0)
+    assert len(gone) == 2  # both pre-OPTIMIZE files reclaimed
+    back = scan_delta_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)

@@ -107,18 +107,19 @@ _SWEEP_PRIORITY = [
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join", "stream_tumbling_window",
-    "text_fingerprint",
-    # ... slots 46-49 = the session's four newest keys (Iceberg
+    # ... slots 45-49 = the session's five newest keys (Iceberg
     # incremental append scan; dynamic-partition-pruning star join;
     # Iceberg compact+expire reclamation; Iceberg schema-evolution
-    # field-id projection) — a never-checked key outranks an r2-stale
-    # one, so the last four r2 keys (text_lang_id, text_quality_filter,
-    # text_stats, text_token_count) slip to the post-window head for
-    # round 8 ...
+    # field-id projection; Delta OPTIMIZE bin-packing) — a never-checked
+    # key outranks an r2-stale one, so the last five r2 keys
+    # (text_fingerprint, text_lang_id, text_quality_filter, text_stats,
+    # text_token_count) slip to the post-window head for round 8 ...
     "source_iceberg_incremental", "join_dynamic_partition_pruning",
     "maint_iceberg_expire_snapshots", "source_iceberg_schema_evolution",
+    "maint_delta_optimize",
     # ---- Past the window: every remaining key ordered by STALENESS ----
-    "text_lang_id", "text_quality_filter", "text_stats", "text_token_count",
+    "text_fingerprint", "text_lang_id", "text_quality_filter",
+    "text_stats", "text_token_count",
     # (rounds since its newest driver row: leftover r3 keys first, then
     # r4, the r5 window, and finally the 50 keys just swept in r6)
     "agg_rollup", "branch_diff_equal", "branch_merge", "branch_wap_publish",

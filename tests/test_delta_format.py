@@ -533,3 +533,80 @@ def test_cdf_guards(spark, tmp_path, delta_dv):
     wp.commit(add_dfs=[_nation(spark).where("n_regionkey = 1")])
     with _pytest.raises(NotImplementedError, match="partitioned"):
         delta_table_changes(spark, dpart, 0, 1)
+
+
+# ------------------------------------------------------------- optimize
+
+
+def test_optimize_compacts_materializes_dvs_and_guards_cdf(spark, tmp_path):
+    """OPTIMIZE invariants: live files collapse to one, deletion vectors
+    materialize away, the row set is provably unchanged, the commit is
+    dataChange=false (CDF windows crossing it refuse loudly; windows
+    before it still work), vacuum then reclaims the tombstoned files, and
+    pre-OPTIMIZE time travel works while they exist."""
+    import pytest as _pytest
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        delta_table_changes,
+        vacuum_delta_table,
+    )
+
+    d = str(tmp_path / "opt")
+    w = DeltaTableWriter(spark, d)
+    n = _nation(spark)
+    w.commit(add_dfs=[n.where("n_nationkey < 8").orderBy("n_nationkey")])
+    w.commit(add_dfs=[n.where("n_nationkey >= 8")])
+    rel = sorted(read_delta_log(d)["files"])[0]
+    w.delete_rows(rel, [3])  # DV: ordinal 3 == key 3
+    assert _keys(spark, d) == [k for k in range(25) if k != 3]
+    v_opt = w.optimize()
+    state = read_delta_log(d)
+    assert len(state["files"]) == 1  # bin-packed
+    assert all(a.get("deletionVector") is None for a in state["files"].values())
+    assert _keys(spark, d) == [k for k in range(25) if k != 3]
+    # the OPTIMIZE commit's actions all carry dataChange=false
+    with open(os.path.join(d, "_delta_log", f"{v_opt:020d}.json")) as f:
+        acts = [json.loads(x) for x in f.read().splitlines() if x.strip()]
+    bodies = [a.get("add") or a.get("remove") for a in acts]
+    assert all(b["dataChange"] is False for b in bodies if b is not None)
+    assert [a["commitInfo"]["operation"] for a in acts if "commitInfo" in a] == [
+        "OPTIMIZE"
+    ]
+    # CDF: window crossing the OPTIMIZE refuses; window before it works
+    with _pytest.raises(NotImplementedError, match="dataChange=false"):
+        delta_table_changes(spark, d, 0, v_opt)
+    assert delta_table_changes(spark, d, 0, 1).count() == 17  # pre-window ok
+    # pre-OPTIMIZE time travel while tombstones exist
+    assert _keys(spark, d, version=1) == list(range(25))
+    # vacuum reclaims the 2 tombstoned data files; current scan unchanged
+    gone = vacuum_delta_table(d, retention_ms=0)
+    assert len(gone) == 2
+    assert _keys(spark, d) == [k for k in range(25) if k != 3]
+
+
+def test_optimize_partitioned_one_file_per_partition(spark, tmp_path):
+    """Partitioned OPTIMIZE: one output file per live partition tuple,
+    partitionValues preserved so log-level pruning still works."""
+    d = str(tmp_path / "optp")
+    w = DeltaTableWriter(spark, d)
+    n = _nation(spark)
+    w.commit(
+        add_dfs=[n.where("n_regionkey = 0 and n_nationkey < 12")],
+        partition_cols=["n_regionkey"],
+    )
+    w.commit(add_dfs=[n.where("n_regionkey = 0 and n_nationkey >= 12")])
+    for region in (1, 2):
+        w.commit(add_dfs=[n.where(f"n_regionkey = {region}")])
+    assert len(read_delta_log(d)["files"]) == 4
+    w.optimize()
+    state = read_delta_log(d)
+    assert len(state["files"]) == 3  # one per live region
+    pvals = sorted(
+        a["partitionValues"]["n_regionkey"] for a in state["files"].values()
+    )
+    assert pvals == ["0", "1", "2"]
+    assert scan_delta_table(spark, d).count() == 15
+    assert (
+        scan_delta_table(spark, d, partition_filter={"n_regionkey": "0"}).count()
+        == 5
+    )
