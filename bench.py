@@ -173,6 +173,7 @@ EXTRA = [
     "maint_iceberg_expire_snapshots",
     "source_iceberg_schema_evolution",
     "maint_delta_optimize",
+    "source_delta_add_column",
 ]
 
 

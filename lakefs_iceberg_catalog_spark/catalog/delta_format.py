@@ -218,6 +218,56 @@ class DeltaTableWriter:
             ]
         )
 
+    def add_column(self, name: str, spark_type: str) -> int:
+        """ADD COLUMN as a metadata-ONLY commit (stock Delta's ALTER TABLE
+        ADD COLUMNS — zero data IO at any table size): only the metaData
+        action's schemaString grows; readers scan every data file with the
+        log's schema, so pre-add files surface the new column as NULL
+        (plain tables need no mapping for ADD — unlike RENAME/DROP, which
+        the protocol gates behind column mapping). With column mapping on,
+        the new field also gets a fresh stable id + physical name and
+        maxColumnId advances (ids are never reused)."""
+        from pyspark.sql import types as T
+
+        if self._meta is None:
+            raise ValueError("no table yet: commit data first")
+        schema = json.loads(self._meta["schemaString"])
+        if name in {f["name"] for f in schema["fields"]}:
+            raise ValueError(f"column {name!r} already exists")
+        field: dict = {
+            "name": name,
+            "type": spark_type,
+            "nullable": True,
+            "metadata": {},
+        }
+        # validate the type string through Spark's own schema parser
+        T.StructType.fromJson({"type": "struct", "fields": [field]})
+        config = dict(self._meta["configuration"])
+        if self._column_mapping:
+            next_id = int(config["delta.columnMapping.maxColumnId"]) + 1
+            field["metadata"] = {
+                "delta.columnMapping.id": next_id,
+                "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+            }
+            config["delta.columnMapping.maxColumnId"] = str(next_id)
+        schema["fields"].append(field)
+        self._meta = {
+            **self._meta,
+            "schemaString": json.dumps(schema, separators=(",", ":")),
+            "configuration": config,
+        }
+        return self._write_commit(
+            [
+                {"metaData": self._meta},
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": "ADD COLUMNS",
+                    }
+                },
+            ]
+        )
+
     def delete_rows(
         self, rel_path: str, positions: list[int], inline: bool = False
     ) -> int:
@@ -861,8 +911,27 @@ def scan_delta_table(
         raise NotImplementedError(
             "column mapping + partitioned tables not supported"
         )
+    schema = T.StructType.fromJson(json.loads(state["schema_json"]))
     if not pcols:
-        df = spark.read.parquet(*[os.path.join(table_dir, rel) for rel in files])
+        # scan with the LOG's schema, not whatever one parquet footer has:
+        # files written before an ADD COLUMNS commit lack the new field and
+        # must surface it as NULL (Spark's parquet reader null-fills
+        # missing columns when given an explicit schema). Under column
+        # mapping the files carry PHYSICAL names, so the read schema does
+        # too, projected back to logical below.
+        read_schema = (
+            T.StructType(
+                [
+                    T.StructField(renames.get(f.name, f.name), f.dataType, True)
+                    for f in schema.fields
+                ]
+            )
+            if renames
+            else schema
+        )
+        df = spark.read.schema(read_schema).parquet(
+            *[os.path.join(table_dir, rel) for rel in files]
+        )
         if dv_adds:
             df = _apply_deletion_vectors(spark, df, table_dir, dv_adds)
         if renames:
@@ -872,16 +941,18 @@ def scan_delta_table(
                 *[F.col(p).alias(lg) for lg, p in renames.items()]
             )
         return df
-    schema = T.StructType.fromJson(json.loads(state["schema_json"]))
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     groups: dict[tuple, list[str]] = {}
     for rel, a in files.items():
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in pcols)
         groups.setdefault(key, []).append(os.path.join(table_dir, rel))
+    # partition columns live only in the log, so the FILE schema is the
+    # log schema minus them; explicit schema null-fills pre-ADD files
+    file_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
     parts = []
     for key, paths in groups.items():
-        df = spark.read.parquet(*paths)
+        df = spark.read.schema(file_schema).parquet(*paths)
         group_dvs = {
             rel: a
             for rel, a in dv_adds.items()

@@ -969,3 +969,46 @@ def maint_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_delta_add_column",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey,
+       CASE WHEN n_nationkey >= 12 THEN 'new' END AS note
+FROM nation
+""",
+)
+def source_delta_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ADD COLUMNS as a metadata-ONLY commit (the Delta pair of
+    source_iceberg_schema_evolution's add): only the log's schemaString
+    grows — zero data IO at any table size — and the scan reads every
+    data file with the LOG's schema, so files written before the commit
+    surface the new column as typed NULLs while post-commit files carry
+    real values. Time travel before the commit keeps the old shape
+    (schema is part of the versioned log fold). RENAME/DROP stay gated
+    behind column mapping per the protocol — source_delta_column_mapping
+    covers that path, including mapped ADD with fresh stable ids.
+
+    Scale: the evolution cost is one metadata.json-sized log commit; the
+    read-side null-fill is Spark's parquet reader given an explicit
+    schema — per-file, no shuffle, pushdown intact."""
+    from ..catalog.delta_format import DeltaTableWriter, scan_delta_table
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta-addcol-")
+    w = DeltaTableWriter(spark, tmp)
+    w.commit(add_dfs=[n.filter(F.col("n_nationkey") < 12)])
+    v_add = w.add_column("note", "string")
+    w.commit(
+        add_dfs=[
+            n.filter(F.col("n_nationkey") >= 12).withColumn("note", F.lit("new"))
+        ]
+    )
+    assert scan_delta_table(spark, tmp, version=v_add - 1).columns == [
+        "n_nationkey", "n_name", "n_regionkey",
+    ]
+    back = scan_delta_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey", "note"
+    )
+    return _materialize(spark, back, tmp)

@@ -106,20 +106,21 @@ _SWEEP_PRIORITY = [
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
-    "stream_stream_interval_join", "stream_tumbling_window",
-    # ... slots 45-49 = the session's five newest keys (Iceberg
+    "stream_stream_interval_join",
+    # ... slots 44-49 = the session's six newest keys (Iceberg
     # incremental append scan; dynamic-partition-pruning star join;
     # Iceberg compact+expire reclamation; Iceberg schema-evolution
-    # field-id projection; Delta OPTIMIZE bin-packing) — a never-checked
-    # key outranks an r2-stale one, so the last five r2 keys
-    # (text_fingerprint, text_lang_id, text_quality_filter, text_stats,
-    # text_token_count) slip to the post-window head for round 8 ...
+    # field-id projection; Delta OPTIMIZE bin-packing; Delta metadata-only
+    # ADD COLUMNS) — a never-checked key outranks an r2-stale one, so the
+    # last six r2 keys (stream_tumbling_window, text_fingerprint,
+    # text_lang_id, text_quality_filter, text_stats, text_token_count)
+    # slip to the post-window head for round 8 ...
     "source_iceberg_incremental", "join_dynamic_partition_pruning",
     "maint_iceberg_expire_snapshots", "source_iceberg_schema_evolution",
-    "maint_delta_optimize",
+    "maint_delta_optimize", "source_delta_add_column",
     # ---- Past the window: every remaining key ordered by STALENESS ----
-    "text_fingerprint", "text_lang_id", "text_quality_filter",
-    "text_stats", "text_token_count",
+    "stream_tumbling_window", "text_fingerprint", "text_lang_id",
+    "text_quality_filter", "text_stats", "text_token_count",
     # (rounds since its newest driver row: leftover r3 keys first, then
     # r4, the r5 window, and finally the 50 keys just swept in r6)
     "agg_rollup", "branch_diff_equal", "branch_merge", "branch_wap_publish",

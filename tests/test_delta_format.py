@@ -610,3 +610,82 @@ def test_optimize_partitioned_one_file_per_partition(spark, tmp_path):
         scan_delta_table(spark, d, partition_filter={"n_regionkey": "0"}).count()
         == 5
     )
+
+
+# ----------------------------------------------------------- add column
+
+
+def test_add_column_null_fills_old_files(spark, tmp_path):
+    """Plain ADD COLUMNS: metadata-only commit; files written before it
+    surface the new column as NULL because the scan reads with the LOG's
+    schema; time travel before the commit keeps the old shape."""
+    import pytest as _pytest
+
+    d = str(tmp_path / "addcol")
+    w = DeltaTableWriter(spark, d)
+    n = _nation(spark)
+    w.commit(add_dfs=[n.where("n_nationkey < 12")])
+    v_add = w.add_column("note", "string")
+    from pyspark.sql import functions as F
+
+    w.commit(add_dfs=[n.where("n_nationkey >= 12").withColumn("note", F.lit("new"))])
+    df = scan_delta_table(spark, d)
+    assert df.columns == ["n_nationkey", "n_name", "n_regionkey", "note"]
+    assert df.where("note IS NULL").count() == 12  # pre-add file null-fills
+    assert df.where("note = 'new'").count() == 13
+    assert scan_delta_table(spark, d, version=v_add - 1).columns == [
+        "n_nationkey", "n_name", "n_regionkey",
+    ]
+    with _pytest.raises(ValueError, match="already exists"):
+        w.add_column("note", "string")
+    with _pytest.raises(Exception):
+        w.add_column("bad", "not_a_type")
+
+
+def test_add_column_under_column_mapping(spark, tmp_path):
+    """Column-mapped ADD COLUMNS: the new field gets a fresh stable id +
+    physical name and maxColumnId advances; pre-add files still null-fill
+    through the physical-name read schema."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "addcm")
+    w = DeltaTableWriter(spark, d, column_mapping=True)
+    n = _nation(spark)
+    w.commit(add_dfs=[n.where("n_nationkey < 12")])
+    w.add_column("note", "string")
+    meta = read_delta_log(d)["metadata"]
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "4"
+    new_f = json.loads(meta["schemaString"])["fields"][-1]
+    assert new_f["metadata"]["delta.columnMapping.id"] == 4
+    assert new_f["metadata"]["delta.columnMapping.physicalName"].startswith("col-")
+    w.commit(add_dfs=[n.where("n_nationkey >= 12").withColumn("note", F.lit("x"))])
+    df = scan_delta_table(spark, d)
+    assert df.columns == ["n_nationkey", "n_name", "n_regionkey", "note"]
+    assert df.where("note IS NULL").count() == 12
+    assert df.where("note = 'x'").count() == 13
+
+
+def test_add_column_partitioned(spark, tmp_path):
+    """Partitioned ADD COLUMNS: the file-read schema is the log schema
+    minus partition columns, so pre-add files null-fill and partition
+    re-injection still works."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "addp")
+    w = DeltaTableWriter(spark, d)
+    n = _nation(spark)
+    w.commit(
+        add_dfs=[n.where("n_regionkey = 0")], partition_cols=["n_regionkey"]
+    )
+    w.add_column("note", "string")
+    w.commit(add_dfs=[n.where("n_regionkey = 1").withColumn("note", F.lit("p"))])
+    df = scan_delta_table(spark, d)
+    assert set(df.columns) == {"n_nationkey", "n_name", "n_regionkey", "note"}
+    assert df.count() == 10
+    assert df.where("note IS NULL").count() == 5
+    assert (
+        scan_delta_table(spark, d, partition_filter={"n_regionkey": "1"})
+        .where("note = 'p'")
+        .count()
+        == 5
+    )
