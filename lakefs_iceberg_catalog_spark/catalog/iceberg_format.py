@@ -95,6 +95,47 @@ MANIFEST_ENTRY_SCHEMA = {
                         "default": None,
                         "field-id": 135,
                     },
+                    # column bounds (spec fields 125/128): map<field-id,
+                    # single-value-serialized binary>, stored as the spec's
+                    # k/v-record arrays (Avro maps need string keys)
+                    {
+                        "name": "lower_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k126_v127",
+                                    "fields": [
+                                        {"name": "key", "type": "int", "field-id": 126},
+                                        {"name": "value", "type": "bytes", "field-id": 127},
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                        "field-id": 125,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k129_v130",
+                                    "fields": [
+                                        {"name": "key", "type": "int", "field-id": 129},
+                                        {"name": "value", "type": "bytes", "field-id": 130},
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                        "field-id": 128,
+                    },
                 ],
             },
         },
@@ -162,6 +203,60 @@ def _spark_type_of(ice_t: str) -> str:
         return _ICEBERG_TO_SPARK[ice_t]
     except KeyError:
         raise ValueError(f"no Spark mapping for Iceberg type {ice_t!r}") from None
+
+
+# ---- single-value binary serialization (spec Appendix D) for the manifest
+# bounds maps: little-endian fixed-width numerics, UTF-8 strings. Types
+# outside this set simply carry no bounds (the spec allows absent bounds).
+
+
+def _bound_bytes(ice_t: str, v) -> bytes | None:
+    import datetime
+    import struct
+
+    if v is None:
+        return None
+    if ice_t == "int":
+        return struct.pack("<i", int(v))
+    if ice_t == "date":
+        days = (v - datetime.date(1970, 1, 1)).days if isinstance(v, datetime.date) else int(v)
+        return struct.pack("<i", days)
+    if ice_t == "long":
+        return struct.pack("<q", int(v))
+    if ice_t == "float":
+        return struct.pack("<f", float(v))
+    if ice_t == "double":
+        return struct.pack("<d", float(v))
+    if ice_t == "string":
+        return v.encode("utf-8") if isinstance(v, str) else None
+    if ice_t == "boolean":
+        return b"\x01" if v else b"\x00"
+    return None
+
+
+def _bound_value(ice_t: str, b: bytes):
+    import datetime
+    import struct
+
+    if b is None:
+        return None
+    if ice_t == "int":
+        return struct.unpack("<i", b)[0]
+    if ice_t == "date":
+        return datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=struct.unpack("<i", b)[0]
+        )
+    if ice_t == "long":
+        return struct.unpack("<q", b)[0]
+    if ice_t == "float":
+        return struct.unpack("<f", b)[0]
+    if ice_t == "double":
+        return struct.unpack("<d", b)[0]
+    if ice_t == "string":
+        return b.decode("utf-8")
+    if ice_t == "boolean":
+        return b != b"\x00"
+    return None
 
 
 def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
@@ -259,6 +354,29 @@ class IcebergTableWriter:
             ]
         )
 
+    def _file_bounds(self, data_path: str, fmt: str):
+        """Per-column manifest bounds for one data file, from the parquet
+        FOOTER (zero data IO — the stats source stock Iceberg writers
+        use): returns (lower_bounds, upper_bounds) as the spec's
+        k/v-record lists keyed by field id, single-value serialized, or
+        (None, None) when no column has usable stats (e.g. ORC files)."""
+        if fmt != "parquet":
+            return None, None
+        from .parquet_io import parquet_column_bounds
+
+        name2field = {f["name"]: f for f in self._schema_json["fields"]}
+        lowers, uppers = [], []
+        for col, (lo, hi) in sorted(parquet_column_bounds(data_path).items()):
+            f = name2field.get(col)
+            if f is None:
+                continue
+            lb, ub = _bound_bytes(f["type"], lo), _bound_bytes(f["type"], hi)
+            if lb is None or ub is None:
+                continue
+            lowers.append({"key": f["id"], "value": lb})
+            uppers.append({"key": f["id"], "value": ub})
+        return (lowers or None), (uppers or None)
+
     def append(self, df: DataFrame, file_format: str | None = None) -> int:
         """Commit one append snapshot of ``df``; returns the snapshot id.
         On a partitioned table each append must be single-valued in the
@@ -323,6 +441,12 @@ class IcebergTableWriter:
                         "record_count": n_rows,
                         "file_size_in_bytes": os.path.getsize(data_path),
                         "equality_ids": None,
+                        **dict(
+                            zip(
+                                ("lower_bounds", "upper_bounds"),
+                                self._file_bounds(data_path, fmt),
+                            )
+                        ),
                     },
                 }
             ],
@@ -410,6 +534,8 @@ class IcebergTableWriter:
                         "record_count": len(rows),
                         "file_size_in_bytes": os.path.getsize(del_path),
                         "equality_ids": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
                     },
                 }
             ],
@@ -510,6 +636,8 @@ class IcebergTableWriter:
                         "record_count": len(keys),
                         "file_size_in_bytes": os.path.getsize(del_path),
                         "equality_ids": eq_ids,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
                     },
                 }
             ],
@@ -641,6 +769,12 @@ class IcebergTableWriter:
                         "record_count": n_rows,
                         "file_size_in_bytes": os.path.getsize(data_path),
                         "equality_ids": None,
+                        **dict(
+                            zip(
+                                ("lower_bounds", "upper_bounds"),
+                                self._file_bounds(data_path, "parquet"),
+                            )
+                        ),
                     },
                 }
             )
@@ -985,6 +1119,30 @@ def iceberg_snapshot_files(
         # lets readers project old files to the CURRENT schema
         ws = (mmeta.get("meta") or {}).get("schema")
         ws_str = ws.decode("utf-8") if isinstance(ws, (bytes, bytearray)) else ws
+        id2field = (
+            {f["id"]: f for f in json.loads(ws_str)["fields"]} if ws_str else {}
+        )
+
+        def _decode_bounds(df_rec: dict) -> dict[str, tuple]:
+            """Manifest column bounds (spec fields 125/128) decoded to
+            {column_name: (lower, upper)} via the write schema's field
+            ids — the per-file min/max the planner skips files by."""
+            lowers = {
+                kv["key"]: kv["value"] for kv in (df_rec.get("lower_bounds") or [])
+            }
+            uppers = {
+                kv["key"]: kv["value"] for kv in (df_rec.get("upper_bounds") or [])
+            }
+            out: dict[str, tuple] = {}
+            for fid in lowers.keys() & uppers.keys():
+                f = id2field.get(fid)
+                if f is None:
+                    continue
+                lo = _bound_value(f["type"], lowers[fid])
+                hi = _bound_value(f["type"], uppers[fid])
+                if lo is not None and hi is not None:
+                    out[f["name"]] = (lo, hi)
+            return out
         for entry in entries:
             if entry["status"] == STATUS_DELETED:
                 continue
@@ -1004,6 +1162,7 @@ def iceberg_snapshot_files(
                 seq = mf["sequence_number"]
             rec = {**data_file, "sequence_number": seq, "_write_schema": ws_str}
             if data_file["content"] == CONTENT_DATA:
+                rec["_bounds"] = _decode_bounds(data_file)
                 data.append(rec)
             else:
                 deletes.append(rec)
@@ -1045,6 +1204,7 @@ def scan_iceberg_table(
     version: int | None = None,
     partition_filter: dict | None = None,
     ref: str | None = None,
+    stats_filter: dict | None = None,
 ) -> DataFrame:
     """Distributed scan of a real Iceberg table layout: driver-side
     metadata walk picks the file set; executors read them through the
@@ -1055,6 +1215,18 @@ def scan_iceberg_table(
     metadata Iceberg's own planner prunes by) — zero IO on non-matching
     partitions; this is what the manifest partition struct exists for at
     100 TB. Filter columns must belong to the table's partition spec.
+
+    ``stats_filter`` ({column: (lo, hi)}, either end None for unbounded,
+    both ends inclusive) is Iceberg's min/max FILE SKIPPING: a data file
+    is read only when its manifest column bounds (spec fields 125/128,
+    written from the parquet footer) can overlap the query range — files
+    lacking bounds for a column are conservatively kept. The matching
+    row-level range predicate is ALSO applied, so the result is exactly
+    the filtered rows and the skip is purely an IO optimization — the
+    same plan stock Iceberg produces (planner prunes files, engine
+    applies the residual). At 100 TB on a sorted/clustered column this
+    is the difference between touching every file and touching the few
+    whose ranges straddle the predicate.
 
     Merge-on-read POSITION deletes (content=1; the files Iceberg v2's
     row-level DELETE may emit — the reference's tables are format-version
@@ -1086,6 +1258,11 @@ def scan_iceberg_table(
     if not data:
         raise ValueError(f"snapshot has no data files under {table_dir}")
     metadata = read_table_metadata(table_dir, version)
+    schemas = metadata.get("schemas") or [metadata["schema"]]
+    cur_schema = next(
+        (s for s in schemas if s.get("schema-id") == metadata.get("current-schema-id")),
+        schemas[-1],
+    )
     if partition_filter:
         spec = next(
             s
@@ -1108,6 +1285,30 @@ def scan_iceberg_table(
         ]
         if not data:
             raise ValueError("no data files match the partition filter")
+    if stats_filter:
+        known = {f["name"] for f in cur_schema["fields"]}
+        unknown = set(stats_filter) - known
+        if unknown:
+            raise ValueError(f"stats_filter on unknown columns: {sorted(unknown)}")
+
+        def _may_overlap(f: dict) -> bool:
+            b = f.get("_bounds") or {}
+            for c, (lo, hi) in stats_filter.items():
+                if c not in b:
+                    continue  # no stats for this column: must read the file
+                flo, fhi = b[c]
+                if (hi is not None and flo > hi) or (lo is not None and fhi < lo):
+                    return False
+            return True
+
+        data = [f for f in data if _may_overlap(f)]
+        if not data:
+            # every file's range misses the predicate: exact empty result
+            ddl = ", ".join(
+                f"`{f['name']}` {_spark_type_of(f['type'])}"
+                for f in cur_schema["fields"]
+            )
+            return spark.createDataFrame([], ddl)
     fmts = {f["file_format"].upper() for f in data + deletes}
     unsupported = fmts - {"PARQUET", "ORC"}
     if unsupported:
@@ -1123,11 +1324,16 @@ def scan_iceberg_table(
     # URI (file:///a/b); manifests/delete rows may carry either spelling
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     pynorm = lambda p: re.sub(r"^file:/+", "/", p)  # noqa: E731
-    schemas = metadata.get("schemas") or [metadata["schema"]]
-    cur_schema = next(
-        (s for s in schemas if s.get("schema-id") == metadata.get("current-schema-id")),
-        schemas[-1],
-    )
+
+    def _residual(d: DataFrame) -> DataFrame:
+        """Row-level predicate matching stats_filter — file skipping is a
+        superset guarantee, the residual makes the result exact."""
+        for c, (lo, hi) in (stats_filter or {}).items():
+            if lo is not None:
+                d = d.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                d = d.filter(F.col(c) <= F.lit(hi))
+        return d
 
     def _sig(s: dict) -> list[tuple]:
         return [(f["id"], f["name"], f["type"]) for f in s["fields"]]
@@ -1190,7 +1396,7 @@ def scan_iceberg_table(
         else [c for c in df.columns if c not in ("_file", "_pos")]
     )
     if not need_meta:
-        return df.select(*cols)
+        return _residual(df.select(*cols))
     if pos:
         dels = (
             spark.read.schema("file_path string, pos long")
@@ -1241,7 +1447,7 @@ def scan_iceberg_table(
             for k in key_cols:
                 cond = cond & F.col(k).eqNullSafe(F.col(f"_ek_{k}"))
             df = df.join(F.broadcast(keys), cond, "left_anti")
-    return df.select(*cols)
+    return _residual(df.select(*cols))
 
 
 def iceberg_incremental_append_files(

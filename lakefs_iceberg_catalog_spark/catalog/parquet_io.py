@@ -72,3 +72,34 @@ def write_single_orc(df: DataFrame, dest_path: str) -> int:
         return int(po.ORCFile(dest_path).nrows)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def parquet_column_bounds(path: str) -> dict[str, tuple]:
+    """Per-column (min, max) aggregated across ALL row groups, read from
+    the parquet FOOTER only — zero data IO (the same stats source Iceberg's
+    own writers use for manifest bounds). Columns lacking complete min/max
+    stats in any row group are omitted (the spec allows absent bounds)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    bounds: dict[str, tuple] = {}
+    incomplete: set[str] = set()
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            name = c.path_in_schema
+            if name in incomplete:
+                continue
+            s = c.statistics
+            if s is None or not s.has_min_max:
+                incomplete.add(name)
+                bounds.pop(name, None)
+                continue
+            cur = bounds.get(name)
+            bounds[name] = (
+                (s.min, s.max)
+                if cur is None
+                else (min(cur[0], s.min), max(cur[1], s.max))
+            )
+    return bounds

@@ -359,6 +359,42 @@ def source_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_iceberg_stats_pruning",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey BETWEEN 7 AND 12
+""",
+)
+def source_iceberg_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max FILE SKIPPING on a real Iceberg v2 layout: the writer
+    records per-column bounds in each manifest entry (spec fields
+    125/128, single-value serialized from the parquet footer — zero
+    extra data IO), and the scan's ``stats_filter`` prunes data files
+    whose [lower, upper] range cannot overlap the predicate, then applies
+    the exact row residual. The fixture writes nation as five key-ranged
+    appends; a BETWEEN 7 AND 12 scan must open only the two straddling
+    files (input-file count asserted mid-flow).
+
+    Scale: this is Iceberg's core selective-scan mechanism at 100 TB —
+    on a sorted/clustered column the planner touches only boundary
+    files; all skipping happens in the driver-side metadata walk before
+    any executor IO. Cites the spec's manifest bounds (Appendix D
+    single-value serialization), as stock Iceberg writers populate from
+    the same footer stats."""
+    from ..catalog.iceberg_format import IcebergTableWriter, scan_iceberg_table
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg-stats-")
+    w = IcebergTableWriter(spark, tmp)
+    for lo in range(0, 25, 5):
+        w.append(n.filter(F.col("n_nationkey").between(lo, lo + 4)))
+    pruned = scan_iceberg_table(spark, tmp, stats_filter={"n_nationkey": (7, 12)})
+    assert len(pruned.inputFiles()) == 2  # files [5-9] and [10-14] of 5
+    back = pruned.select("n_nationkey", "n_name", "n_regionkey")
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_delta_partitioned",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation

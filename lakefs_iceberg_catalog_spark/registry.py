@@ -102,11 +102,11 @@ _SWEEP_PRIORITY = [
     # (drains r1-stale to 0) ...
     "subquery_correlated", "subquery_in", "subquery_scalar", "udaf_pandas",
     "udf_python", "window_analytic", "window_distribution", "window_rank",
-    # ... slots 33-49 = the 17 r2-stale keys (drains r2-stale to 0) ...
+    # ... slots 33-42 = r2-stale keys (10 of the 17; the other 7 slip
+    # below as newer never-checked keys claimed their slots) ...
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
-    "stream_stream_interval_join",
     # ... slots 44-49 = the session's six newest keys (Iceberg
     # incremental append scan; dynamic-partition-pruning star join;
     # Iceberg compact+expire reclamation; Iceberg schema-evolution
@@ -118,7 +118,13 @@ _SWEEP_PRIORITY = [
     "source_iceberg_incremental", "join_dynamic_partition_pruning",
     "maint_iceberg_expire_snapshots", "source_iceberg_schema_evolution",
     "maint_delta_optimize", "source_delta_add_column",
+    # ... slot 50 would be manifest-bounds file skipping — but the window
+    # is full, so it displaces the last r2-stale key
+    # (stream_stream_interval_join) to the post-window head for round 8
+    # (a never-checked key outranks an r2-stale one) ...
+    "source_iceberg_stats_pruning",
     # ---- Past the window: every remaining key ordered by STALENESS ----
+    "stream_stream_interval_join",
     "stream_tumbling_window", "text_fingerprint", "text_lang_id",
     "text_quality_filter", "text_stats", "text_token_count",
     # (rounds since its newest driver row: leftover r3 keys first, then

@@ -701,3 +701,43 @@ def test_partitioned_rewrite_one_file_per_partition(spark, tmp_path):
     stats = w.expire_snapshots(retain_last=1)
     assert stats["expired"] == 10 and stats["removed_data_files"] == 10
     assert scan_iceberg_table(spark, d).count() == 25
+
+
+def test_manifest_column_bounds_written_and_decoded(spark, ice):
+    """The writer records per-column lower/upper bounds in each manifest
+    entry (spec fields 125/128, Appendix D single-value serialization,
+    sourced from the parquet footer), and the walker decodes them back to
+    typed Python values keyed by column name."""
+    d, _s1, _s2 = ice
+    data, _ = iceberg_snapshot_files(d)
+    assert len(data) == 2
+    by_lo = sorted(data, key=lambda f: f["_bounds"]["n_nationkey"][0])
+    assert by_lo[0]["_bounds"]["n_nationkey"] == (0, 11)
+    assert by_lo[1]["_bounds"]["n_nationkey"] == (12, 24)
+    # string bounds decode too (utf-8 single-value serialization)
+    lo, hi = by_lo[0]["_bounds"]["n_name"]
+    assert isinstance(lo, str) and lo <= hi
+
+
+def test_stats_filter_skips_files_and_applies_residual(spark, ice):
+    """stats_filter prunes data files by manifest bounds (driver-side,
+    before any executor IO) AND applies the exact row-level residual —
+    Iceberg's planner/engine split."""
+    d, _s1, _s2 = ice
+    # range living entirely in the second file: one file read, exact rows
+    df = scan_iceberg_table(spark, d, stats_filter={"n_nationkey": (15, None)})
+    assert len(df.inputFiles()) == 1
+    assert sorted(r["n_nationkey"] for r in df.collect()) == list(range(15, 25))
+    # straddling range: both files read, residual still exact
+    df2 = scan_iceberg_table(spark, d, stats_filter={"n_nationkey": (10, 13)})
+    assert len(df2.inputFiles()) == 2
+    assert df2.count() == 4
+    # disjoint range: zero files, exact empty result with the table schema
+    empty = scan_iceberg_table(spark, d, stats_filter={"n_nationkey": (99, None)})
+    assert empty.count() == 0
+    assert set(empty.columns) >= {"n_nationkey", "n_name", "n_regionkey"}
+    # unknown column refused loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        scan_iceberg_table(spark, d, stats_filter={"nope": (1, 2)})
