@@ -59,6 +59,49 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        # per-partition-field summaries (spec field 507): the metadata
+        # that lets a planner skip whole MANIFESTS — the level above the
+        # per-file bounds in the manifest entries
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                                "field-id": 509,
+                            },
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "default": None,
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+            "field-id": 507,
+        },
     ],
 }
 
@@ -354,6 +397,31 @@ class IcebergTableWriter:
             ]
         )
 
+    def _partition_summaries(self, tuples: list[dict]) -> list | None:
+        """Manifest-list ``field_summary`` records (spec field 507) over
+        the partition tuples this manifest's entries carry, in partition-
+        spec field order — the min/max/contains_null a planner prunes
+        whole manifests by before opening them."""
+        if not self._partition_fields or not tuples:
+            return None
+        out = []
+        for pf in self._partition_fields:
+            vals = [t.get(pf["name"]) for t in tuples]
+            nn = [v for v in vals if v is not None]
+            out.append(
+                {
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": None,
+                    "lower_bound": _bound_bytes(pf["ice_type"], min(nn))
+                    if nn
+                    else None,
+                    "upper_bound": _bound_bytes(pf["ice_type"], max(nn))
+                    if nn
+                    else None,
+                }
+            )
+        return out
+
     def _file_bounds(self, data_path: str, fmt: str):
         """Per-column manifest bounds for one data file, from the parquet
         FOOTER (zero data IO — the stats source stock Iceberg writers
@@ -474,6 +542,7 @@ class IcebergTableWriter:
                 "added_rows_count": n_rows,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
+                "partitions": self._partition_summaries([pvals]),
             }
         )
         return self._commit_snapshot(snapshot_id, "append")
@@ -563,6 +632,7 @@ class IcebergTableWriter:
                 "added_rows_count": len(rows),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
+                "partitions": None,
             }
         )
         return self._commit_snapshot(snapshot_id, "delete")
@@ -665,6 +735,7 @@ class IcebergTableWriter:
                 "added_rows_count": len(keys),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
+                "partitions": None,
             }
         )
         return self._commit_snapshot(snapshot_id, "delete")
@@ -808,6 +879,7 @@ class IcebergTableWriter:
                 "added_rows_count": total_rows,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
+                "partitions": self._partition_summaries(groups),
             }
         ]
         return self._commit_snapshot(snapshot_id, "replace")
@@ -1093,14 +1165,25 @@ def read_table_metadata(table_dir: str, version: int | None = None) -> dict:
 
 
 def iceberg_snapshot_files(
-    table_dir: str, snapshot_id: int | None = None, version: int | None = None
+    table_dir: str,
+    snapshot_id: int | None = None,
+    version: int | None = None,
+    partition_filter: dict | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Walk one snapshot's manifests, BOTH contents: metadata.json →
     manifest list → manifests, honoring entry status (DELETED entries drop
     out) and the sequence-number inheritance rule. Returns
     ``(data_files, delete_files)`` — each a list of data_file dicts
     augmented with the resolved sequence_number; delete_files carries the
-    snapshot's live position/equality delete files (content=1/2)."""
+    snapshot's live position/equality delete files (content=1/2).
+
+    ``partition_filter`` ({identity-partition column: value}) prunes at
+    the MANIFEST level using the manifest list's ``partitions`` field
+    summaries (spec field 507): a manifest whose per-field [lower, upper]
+    range provably excludes the wanted value is never opened — O(matching
+    manifests) metadata IO, the level above per-file pruning. Summaries
+    are advisory; manifests lacking them are read (callers re-filter
+    files exactly)."""
     metadata = read_table_metadata(table_dir, version)
     snap_id = snapshot_id if snapshot_id is not None else metadata.get("current-snapshot-id")
     snap = next(
@@ -1109,9 +1192,44 @@ def iceberg_snapshot_files(
     if snap is None:
         raise ValueError(f"snapshot {snap_id} not found in table metadata")
     _, manifest_files = read_container(snap["manifest-list"])
+    specs = {s.get("spec-id", 0): s for s in metadata.get("partition-specs", [])}
+    id2t: dict[int, str] = {}
+    for s in metadata.get("schemas") or (
+        [metadata["schema"]] if metadata.get("schema") else []
+    ):
+        for f in s["fields"]:
+            id2t.setdefault(f["id"], f["type"])
+
+    def _manifest_excluded(mf: dict) -> bool:
+        summaries = mf.get("partitions")
+        spec = specs.get(mf.get("partition_spec_id", 0))
+        if not partition_filter or not summaries or spec is None:
+            return False
+        for fld, summ in zip(spec.get("fields", []), summaries):
+            name = fld.get("name")
+            if name not in partition_filter or fld.get("transform") != "identity":
+                continue
+            want = partition_filter[name]
+            if want is None:
+                if not summ.get("contains_null"):
+                    return True
+                continue
+            ice_t = id2t.get(fld.get("source-id"))
+            lo_b, hi_b = summ.get("lower_bound"), summ.get("upper_bound")
+            if ice_t is None or lo_b is None or hi_b is None:
+                continue
+            lo, hi = _bound_value(ice_t, lo_b), _bound_value(ice_t, hi_b)
+            if lo is None or hi is None:
+                continue
+            if want < lo or want > hi:
+                return True
+        return False
+
     data: list[dict] = []
     deletes: list[dict] = []
     for mf in manifest_files:
+        if _manifest_excluded(mf):
+            continue
         in_delete_manifest = mf.get("content", 0) != 0
         mmeta, entries = read_container(mf["manifest_path"])
         # write-time schema: every Iceberg writer embeds the table schema
@@ -1254,9 +1372,6 @@ def scan_iceberg_table(
         if snapshot_id is not None:
             raise ValueError("pass either ref or snapshot_id, not both")
         snapshot_id = resolve_ref(table_dir, ref, version)
-    data, deletes = iceberg_snapshot_files(table_dir, snapshot_id, version)
-    if not data:
-        raise ValueError(f"snapshot has no data files under {table_dir}")
     metadata = read_table_metadata(table_dir, version)
     schemas = metadata.get("schemas") or [metadata["schema"]]
     cur_schema = next(
@@ -1275,6 +1390,14 @@ def scan_iceberg_table(
             raise ValueError(
                 f"partition_filter on non-partition columns: {sorted(unknown)}"
             )
+    # the walker prunes whole MANIFESTS by the manifest list's partition
+    # summaries (advisory); the exact per-file filter below still applies
+    data, deletes = iceberg_snapshot_files(
+        table_dir, snapshot_id, version, partition_filter=partition_filter
+    )
+    if not data and not partition_filter:
+        raise ValueError(f"snapshot has no data files under {table_dir}")
+    if partition_filter:
         data = [
             f
             for f in data

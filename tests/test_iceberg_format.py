@@ -741,3 +741,40 @@ def test_stats_filter_skips_files_and_applies_residual(spark, ice):
 
     with _pytest.raises(ValueError, match="unknown columns"):
         scan_iceberg_table(spark, d, stats_filter={"nope": (1, 2)})
+
+
+def test_manifest_list_partition_summaries_prune_manifests(
+    spark, tmp_path, monkeypatch
+):
+    """Two-level pruning: the manifest list's `partitions` field summaries
+    (spec field 507, written per manifest in spec-field order) let the
+    walker skip whole MANIFESTS — a partition-filtered scan opens ONE
+    manifest Avro file (plus the manifest list), not all five. This is the
+    metadata level above per-file partition structs: at 100 TB the planner
+    walk is O(matching manifests), not O(all manifests)."""
+    import lakefs_iceberg_catalog_spark.catalog.iceberg_format as icefmt
+
+    n = _nation(spark)
+    d = str(tmp_path / "mlp")
+    w = IcebergTableWriter(spark, d, partition_by=["n_regionkey"])
+    for rk in range(5):
+        w.append(n.filter(f"n_regionkey = {rk}"))
+
+    reads: list[str] = []
+    real = icefmt.read_container
+
+    def counting(path):
+        reads.append(path)
+        return real(path)
+
+    monkeypatch.setattr(icefmt, "read_container", counting)
+    df = scan_iceberg_table(spark, d, partition_filter={"n_regionkey": 2})
+    assert df.count() == 5
+    lists = [p for p in reads if "/snap-" in p]
+    manifests = [p for p in reads if "-m0.avro" in p]
+    assert len(lists) == 1
+    assert len(manifests) == 1  # 1 of 5 — four manifests never opened
+    # unfiltered scan still reads them all
+    reads.clear()
+    assert scan_iceberg_table(spark, d).count() == 25
+    assert len([p for p in reads if "-m0.avro" in p]) == 5
