@@ -755,16 +755,17 @@ class IcebergTableWriter:
 
         # -- table metadata + hint -----------------------------------------
         now_ms = int(time.time() * 1000)
-        self._snapshots.append(
-            {
-                "snapshot-id": snapshot_id,
-                "sequence-number": self._sequence,
-                "timestamp-ms": now_ms,
-                "summary": {"operation": operation},
-                "manifest-list": list_path,
-                "schema-id": 0,
-            }
-        )
+        snap = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": self._sequence,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": operation},
+            "manifest-list": list_path,
+            "schema-id": 0,
+        }
+        if self._snapshots:
+            snap["parent-snapshot-id"] = self._snapshots[-1]["snapshot-id"]
+        self._snapshots.append(snap)
         self._write_metadata(now_ms)
         return snapshot_id
 
@@ -1313,6 +1314,122 @@ def resolve_ref(table_dir: str, ref: str, version: int | None = None) -> int:
             f"unknown ref {ref!r}; table has {sorted(refs) or 'no refs'}"
         )
     return int(refs[ref]["snapshot-id"])
+
+
+def iceberg_metadata_table(
+    spark: SparkSession,
+    table_dir: str,
+    kind: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Stock Iceberg's METADATA TABLES (``SELECT * FROM t.snapshots`` /
+    ``t.history`` / ``t.manifests`` / ``t.files``) over the real v2
+    layout. Rows come from the metadata chain only — zero data-file IO,
+    exactly like Iceberg's own implementations (snapshots/history from
+    table metadata; manifests from the current snapshot's manifest list;
+    files from one manifest walk). Timestamps surface as epoch-millis
+    longs (committed_at_ms) so results are engine- and timezone-stable.
+
+    Scale: metadata tables are metadata-sized — O(snapshots),
+    O(manifests), or O(files) driver-built rows parallelized through
+    createDataFrame; the files table of a 100 TB table is file-count
+    rows, the same walk every scan already plans with."""
+    metadata = read_table_metadata(table_dir, version)
+    snaps = metadata.get("snapshots", [])
+    if kind == "snapshots":
+        return spark.createDataFrame(
+            [
+                (
+                    int(s["timestamp-ms"]),
+                    int(s["snapshot-id"]),
+                    int(s["parent-snapshot-id"])
+                    if s.get("parent-snapshot-id") is not None
+                    else None,
+                    int(s["sequence-number"]),
+                    (s.get("summary") or {}).get("operation"),
+                    s["manifest-list"],
+                )
+                for s in snaps
+            ],
+            "committed_at_ms long, snapshot_id long, parent_id long, "
+            "sequence_number long, operation string, manifest_list string",
+        )
+    if kind == "history":
+        ancestors: set[int] = set()
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        cur = metadata.get("current-snapshot-id")
+        while cur in by_id:
+            ancestors.add(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        return spark.createDataFrame(
+            [
+                (
+                    int(e["timestamp-ms"]),
+                    int(e["snapshot-id"]),
+                    int(by_id[e["snapshot-id"]].get("parent-snapshot-id"))
+                    if by_id.get(e["snapshot-id"], {}).get("parent-snapshot-id")
+                    is not None
+                    else None,
+                    e["snapshot-id"] in ancestors,
+                )
+                for e in metadata.get("snapshot-log", [])
+            ],
+            "made_current_at_ms long, snapshot_id long, parent_id long, "
+            "is_current_ancestor boolean",
+        )
+    if kind == "manifests":
+        snap = next(
+            s
+            for s in snaps
+            if s["snapshot-id"] == metadata.get("current-snapshot-id")
+        )
+        _, manifest_files = read_container(snap["manifest-list"])
+        return spark.createDataFrame(
+            [
+                (
+                    int(mf.get("content", 0)),
+                    mf["manifest_path"],
+                    int(mf["manifest_length"]),
+                    int(mf.get("partition_spec_id", 0)),
+                    int(mf["added_snapshot_id"]),
+                    int(mf["added_files_count"]),
+                    int(mf["existing_files_count"]),
+                    int(mf["deleted_files_count"]),
+                    int(mf["added_rows_count"]),
+                    int(mf["existing_rows_count"]),
+                    int(mf["deleted_rows_count"]),
+                )
+                for mf in manifest_files
+            ],
+            "content int, path string, length long, partition_spec_id int, "
+            "added_snapshot_id long, added_data_files_count int, "
+            "existing_data_files_count int, deleted_data_files_count int, "
+            "added_rows_count long, existing_rows_count long, "
+            "deleted_rows_count long",
+        )
+    if kind == "files":
+        data, deletes = iceberg_snapshot_files(table_dir, version=version)
+        return spark.createDataFrame(
+            [
+                (
+                    int(f["content"]),
+                    f["file_path"],
+                    f["file_format"].upper(),
+                    {str(k): str(v) for k, v in (f.get("partition") or {}).items()},
+                    int(f["record_count"]),
+                    int(f["file_size_in_bytes"]),
+                    int(f["sequence_number"]),
+                )
+                for f in data + deletes
+            ],
+            "content int, file_path string, file_format string, "
+            "partition map<string,string>, record_count long, "
+            "file_size_in_bytes long, sequence_number long",
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r}; "
+        "supported: snapshots, history, manifests, files"
+    )
 
 
 def scan_iceberg_table(

@@ -395,6 +395,85 @@ def source_iceberg_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_iceberg_files_table",
+    oracle="""
+SELECT CAST(0 AS INTEGER) AS content, 'PARQUET' AS file_format,
+       n_regionkey, CAST(count(*) AS BIGINT) AS record_count
+FROM nation GROUP BY n_regionkey
+""",
+)
+def source_iceberg_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock Iceberg's ``t.files`` METADATA TABLE over the real v2 layout:
+    content/path/format/partition/record_count/size/sequence_number rows
+    built from one manifest walk — zero data-file IO, like Iceberg's own
+    FilesTable. The fixture is a region-partitioned nation (five appends);
+    the key projects the deterministic columns (content, format, typed
+    partition value, per-file record count) and the oracle recomputes the
+    per-region counts relationally.
+
+    Scale: a 100 TB table's files table is O(files) metadata rows — the
+    same walk every scan plans with, parallelized via createDataFrame,
+    never touching data bytes."""
+    from ..catalog.iceberg_format import IcebergTableWriter, iceberg_metadata_table
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg-files-")
+    w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
+    for rk in range(5):
+        w.append(n.filter(F.col("n_regionkey") == rk))
+    mt = iceberg_metadata_table(spark, tmp, "files")
+    back = mt.select(
+        "content",
+        "file_format",
+        F.element_at("partition", "n_regionkey").cast("int").alias("n_regionkey"),
+        "record_count",
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_snapshots_table",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'append',  false),
+  (CAST(2 AS BIGINT), 'append',  true),
+  (CAST(3 AS BIGINT), 'replace', true)
+) AS t(sequence_number, operation, has_parent)
+""",
+)
+def source_iceberg_snapshots_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock Iceberg's ``t.snapshots`` / ``t.history`` metadata tables
+    over the real layout: the fixture commits append → append →
+    rewrite_data (a ``replace`` snapshot), and the key returns each
+    snapshot's sequence number, operation, and parent linkage
+    (parent-snapshot-id chains every snapshot to its predecessor — the
+    lineage ``t.history``'s is_current_ancestor walks). The history
+    table's full-ancestry invariant is asserted mid-flow; timestamps stay
+    out of the compared columns (engine-run-dependent).
+
+    Scale: O(snapshots) metadata rows from the already-loaded
+    metadata.json — no manifest or data IO at any table size."""
+    from ..catalog.iceberg_format import IcebergTableWriter, iceberg_metadata_table
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg-snaps-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"))
+    w.rewrite_data()
+    from .util import bounded_rows
+
+    hist = iceberg_metadata_table(spark, tmp, "history")
+    assert [bool(r["is_current_ancestor"]) for r in bounded_rows(hist)] == [True] * 3
+    back = iceberg_metadata_table(spark, tmp, "snapshots").select(
+        "sequence_number",
+        "operation",
+        F.col("parent_id").isNotNull().alias("has_parent"),
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_delta_partitioned",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation

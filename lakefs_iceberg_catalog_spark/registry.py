@@ -102,11 +102,11 @@ _SWEEP_PRIORITY = [
     # (drains r1-stale to 0) ...
     "subquery_correlated", "subquery_in", "subquery_scalar", "udaf_pandas",
     "udf_python", "window_analytic", "window_distribution", "window_rank",
-    # ... slots 33-42 = r2-stale keys (10 of the 17; the other 7 slip
+    # ... slots 33-40 = r2-stale keys (8 of the 17; the other 9 slip
     # below as newer never-checked keys claimed their slots) ...
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
-    "stream_dedup", "stream_session_window", "stream_sliding_window",
+    "stream_dedup",
     # ... slots 44-49 = the session's six newest keys (Iceberg
     # incremental append scan; dynamic-partition-pruning star join;
     # Iceberg compact+expire reclamation; Iceberg schema-evolution
@@ -123,7 +123,12 @@ _SWEEP_PRIORITY = [
     # (stream_stream_interval_join) to the post-window head for round 8
     # (a never-checked key outranks an r2-stale one) ...
     "source_iceberg_stats_pruning",
+    # ... slots 48-49 = the real-layout metadata tables (files /
+    # snapshots+history) — never-checked keys outrank r2-stale ones, so
+    # stream_session_window and stream_sliding_window also slip below ...
+    "source_iceberg_files_table", "source_iceberg_snapshots_table",
     # ---- Past the window: every remaining key ordered by STALENESS ----
+    "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join",
     "stream_tumbling_window", "text_fingerprint", "text_lang_id",
     "text_quality_filter", "text_stats", "text_token_count",

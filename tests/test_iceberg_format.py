@@ -778,3 +778,40 @@ def test_manifest_list_partition_summaries_prune_manifests(
     reads.clear()
     assert scan_iceberg_table(spark, d).count() == 25
     assert len([p for p in reads if "-m0.avro" in p]) == 5
+
+
+def test_metadata_tables_snapshots_history_manifests_files(spark, ice):
+    """t.snapshots/.history/.manifests/.files over the real layout: rows
+    from metadata only (no data IO), parent lineage chains, manifest
+    counts, per-file record counts — mirroring stock Iceberg's metadata
+    tables."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        iceberg_metadata_table,
+    )
+
+    d, s1, s2 = ice
+    snaps = iceberg_metadata_table(spark, d, "snapshots").collect()
+    assert [r["snapshot_id"] for r in snaps] == [s1, s2]
+    assert [r["operation"] for r in snaps] == ["append", "append"]
+    assert snaps[0]["parent_id"] is None and snaps[1]["parent_id"] == s1
+    assert snaps[0]["committed_at_ms"] <= snaps[1]["committed_at_ms"]
+
+    hist = iceberg_metadata_table(spark, d, "history").collect()
+    assert [r["snapshot_id"] for r in hist] == [s1, s2]
+    assert all(r["is_current_ancestor"] for r in hist)
+
+    mans = iceberg_metadata_table(spark, d, "manifests").collect()
+    assert len(mans) == 2  # current snapshot lists both live manifests
+    assert {r["added_snapshot_id"] for r in mans} == {s1, s2}
+    assert all(r["content"] == 0 for r in mans)
+    assert sum(r["added_rows_count"] for r in mans) == 25
+
+    files = iceberg_metadata_table(spark, d, "files").collect()
+    assert len(files) == 2
+    assert sum(r["record_count"] for r in files) == 25
+    assert all(r["file_format"] == "PARQUET" for r in files)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown metadata table"):
+        iceberg_metadata_table(spark, d, "partitions")
