@@ -102,33 +102,30 @@ _SWEEP_PRIORITY = [
     # (drains r1-stale to 0) ...
     "subquery_correlated", "subquery_in", "subquery_scalar", "udaf_pandas",
     "udf_python", "window_analytic", "window_distribution", "window_rank",
-    # ... slots 33-40 = r2-stale keys (8 of the 17; the other 9 slip
+    # ... slots 33-39 = r2-stale keys (7 of the 17; the other 10 slip
     # below as newer never-checked keys claimed their slots) ...
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
     "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
-    "stream_dedup",
-    # ... slots 44-49 = the session's six newest keys (Iceberg
+    # ... slots 40-45 = the session's six next keys (Iceberg
     # incremental append scan; dynamic-partition-pruning star join;
     # Iceberg compact+expire reclamation; Iceberg schema-evolution
     # field-id projection; Delta OPTIMIZE bin-packing; Delta metadata-only
     # ADD COLUMNS) — a never-checked key outranks an r2-stale one, so the
-    # last six r2 keys (stream_tumbling_window, text_fingerprint,
-    # text_lang_id, text_quality_filter, text_stats, text_token_count)
-    # slip to the post-window head for round 8 ...
+    # last ten r2 keys (stream_dedup, stream_session/sliding_window,
+    # stream_stream_interval_join, stream_tumbling_window,
+    # text_fingerprint, text_lang_id, text_quality_filter, text_stats,
+    # text_token_count) slip to the post-window head for round 8 ...
     "source_iceberg_incremental", "join_dynamic_partition_pruning",
     "maint_iceberg_expire_snapshots", "source_iceberg_schema_evolution",
     "maint_delta_optimize", "source_delta_add_column",
-    # ... slot 50 would be manifest-bounds file skipping — but the window
-    # is full, so it displaces the last r2-stale key
-    # (stream_stream_interval_join) to the post-window head for round 8
-    # (a never-checked key outranks an r2-stale one) ...
+    # ... slot 46 = manifest-bounds file skipping, slots 47-48 = the
+    # real-layout metadata tables (files / snapshots+history), slot 49 =
+    # the real-Delta-log streaming source ...
     "source_iceberg_stats_pruning",
-    # ... slots 48-49 = the real-layout metadata tables (files /
-    # snapshots+history) — never-checked keys outrank r2-stale ones, so
-    # stream_session_window and stream_sliding_window also slip below ...
     "source_iceberg_files_table", "source_iceberg_snapshots_table",
+    "stream_source_delta",
     # ---- Past the window: every remaining key ordered by STALENESS ----
-    "stream_session_window", "stream_sliding_window",
+    "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join",
     "stream_tumbling_window", "text_fingerprint", "text_lang_id",
     "text_quality_filter", "text_stats", "text_token_count",
