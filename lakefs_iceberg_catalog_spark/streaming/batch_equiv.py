@@ -737,3 +737,97 @@ def stream_source_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(spool, ignore_errors=True)
         shutil.rmtree(sink_dir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "stream_source_iceberg",
+    oracle="""
+SELECT user_id, count(*) AS n_clicks, round(sum(value), 2) AS total_value
+FROM events WHERE event_type = 'click'
+GROUP BY user_id
+""",
+)
+def stream_source_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Iceberg v2 layout as a STREAMING SOURCE (Iceberg's
+    SparkMicroBatchStream): the initial micro-batch is the stream-start
+    snapshot's full scan; every later snapshot replays as one micro-batch
+    of exactly its incremental appends (``scan_iceberg_incremental(prev,
+    snap)`` — one manifest walk selecting only the files that snapshot
+    added, append-only range validated). Epochs spool in snapshot order
+    into a real Structured Streaming query (maxFilesPerTrigger=1 → one
+    epoch per snapshot, asserted) with exactly-once accumulation; the
+    aggregation runs over the accumulated rows, row-for-row against the
+    raw-events oracle. Completes the streaming-ingest story for BOTH open
+    table formats (pair of stream_source_delta).
+
+    Scale: per-epoch IO is the snapshot's appended files only — the
+    manifest walk is metadata-sized; at deployment the stream checkpoint
+    records the last-consumed snapshot id, Iceberg's streaming-read
+    offset contract."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        scan_iceberg_incremental,
+        scan_iceberg_table,
+    )
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    root = tempfile.mkdtemp(prefix="iceberg-streamsrc-")
+    spool = tempfile.mkdtemp(prefix="iceberg-spool-")
+    sink_dir = tempfile.mkdtemp(prefix="iceberg-sink-")
+    try:
+        w = IcebergTableWriter(spark, root)
+        snaps = [w.append(e.filter(F.col("event_id") % 3 == i)) for i in range(3)]
+        for i, snap in enumerate(snaps):
+            if i == 0:
+                delta = scan_iceberg_table(spark, root, snapshot_id=snap)
+            else:
+                delta = scan_iceberg_incremental(spark, root, snaps[i - 1], snap)
+            stage = os.path.join(spool, f".stage-{i}")
+            delta.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = [f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")]
+            assert len(part) == 1
+            os.replace(
+                os.path.join(stage, part[0]), os.path.join(spool, f"epoch-{i}.parquet")
+            )
+            shutil.rmtree(stage)
+        s = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool)
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", os.path.join(sink_dir, "data"))
+            .option("checkpointLocation", os.path.join(sink_dir, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_epochs = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        finally:
+            q.stop()
+        assert n_epochs == 3, f"expected one micro-batch per snapshot, got {n_epochs}"
+        acc = spark.read.schema(
+            "event_id bigint, user_id bigint, ts timestamp, value double"
+        ).parquet(os.path.join(sink_dir, "data"))
+        out = acc.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        from ..operators.util import bounded_rows
+
+        rows, schema = bounded_rows(out), out.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(spool, ignore_errors=True)
+        shutil.rmtree(sink_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
