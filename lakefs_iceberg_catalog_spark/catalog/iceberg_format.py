@@ -302,6 +302,114 @@ def _bound_value(ice_t: str, b: bytes):
     return None
 
 
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3 x86 32-bit (public domain algorithm) — the hash Iceberg's
+    bucket transform specifies (table spec Appendix B). Returns the
+    UNSIGNED 32-bit result; bucket masks the sign bit, which is identical
+    for signed/unsigned interpretations."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n - n % 4 :]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def iceberg_bucket(value, n: int, source_ice_type: str) -> int | None:
+    """Iceberg's bucket[N] transform (spec Appendix B): murmur3_x86_32 of
+    the type's hash encoding (int/long/date hash as the 64-bit
+    little-endian long, string as UTF-8), sign bit masked, mod N."""
+    import datetime
+
+    if value is None:
+        return None
+    if source_ice_type in ("int", "long"):
+        data = int(value).to_bytes(8, "little", signed=True)
+    elif source_ice_type == "date":
+        days = (
+            (value - datetime.date(1970, 1, 1)).days
+            if isinstance(value, datetime.date)
+            else int(value)
+        )
+        data = days.to_bytes(8, "little", signed=True)
+    elif source_ice_type == "string":
+        data = str(value).encode("utf-8")
+    else:
+        raise ValueError(f"bucket transform unsupported for {source_ice_type!r}")
+    return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def apply_iceberg_transform(
+    transform: str, value, source_ice_type: str
+):
+    """Apply a partition transform to one SOURCE value, yielding the
+    partition value readers prune by — what makes Iceberg partitioning
+    'hidden': the engine derives partition predicates from source-column
+    predicates via exactly this projection (spec: partition transforms)."""
+    import datetime
+
+    if value is None:
+        return None
+    if transform == "identity":
+        return value
+    if transform == "day":
+        if isinstance(value, datetime.datetime):
+            value = value.date()
+        return (value - datetime.date(1970, 1, 1)).days
+    m = re.match(r"^truncate\[(\d+)\]$", transform)
+    if m:
+        w = int(m.group(1))
+        if source_ice_type == "string":
+            return str(value)[:w]
+        return int(value) - (int(value) % w)
+    m = re.match(r"^bucket\[(\d+)\]$", transform)
+    if m:
+        return iceberg_bucket(value, int(m.group(1)), source_ice_type)
+    raise ValueError(f"unsupported partition transform {transform!r}")
+
+
+_PARTITION_SPEC_RE = re.compile(
+    r"^(?:(?P<id>\w+)"
+    r"|days?\((?P<day>\w+)\)"
+    r"|truncate\((?P<tr>\w+)\s*,\s*(?P<w>\d+)\)"
+    r"|bucket\((?P<bk>\w+)\s*,\s*(?P<n>\d+)\))$"
+)
+
+
+def _parse_partition_spec(entry: str) -> tuple[str, str, int | None]:
+    """'col' | 'days(col)' | 'truncate(col, W)' | 'bucket(col, N)' →
+    (source column, transform kind, parameter)."""
+    m = _PARTITION_SPEC_RE.match(entry.strip())
+    if not m:
+        raise ValueError(f"unparseable partition spec entry {entry!r}")
+    if m.group("id"):
+        return m.group("id"), "identity", None
+    if m.group("day"):
+        return m.group("day"), "day", None
+    if m.group("tr"):
+        return m.group("tr"), "truncate", int(m.group("w"))
+    return m.group("bk"), "bucket", int(m.group("n"))
+
+
 def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
     """MANIFEST_ENTRY_SCHEMA with the partition struct (r102) carrying the
     spec's typed identity-partition fields (field-ids 1000+) instead of
@@ -367,26 +475,75 @@ class IcebergTableWriter:
         self._file_format = file_format
 
     def _resolve_partition_fields(self) -> None:
+        """Resolve ``partition_by`` entries — 'col' (identity),
+        'days(col)', 'truncate(col, W)', 'bucket(col, N)' — to spec
+        partition fields carrying the TRANSFORM and its RESULT type
+        (day → int days, truncate → source type, bucket → int), exactly
+        the hidden-partitioning spec stock Iceberg writes."""
         by_name = {f["name"]: f for f in self._schema_json["fields"]}
-        missing = [c for c in self._partition_by if c not in by_name]
-        if missing:
-            raise ValueError(f"partition columns not in schema: {missing}")
         self._partition_fields = []
-        for i, c in enumerate(self._partition_by):
-            ice_t = by_name[c]["type"]
-            if ice_t not in _ICEBERG_TO_AVRO:
-                raise ValueError(
-                    f"identity partition on type {ice_t!r} not supported"
-                )
+        for i, entry in enumerate(self._partition_by):
+            src, kind, param = _parse_partition_spec(entry)
+            f = by_name.get(src)
+            if f is None:
+                raise ValueError(f"partition columns not in schema: [{src!r}]")
+            src_t = f["type"]
+            if kind == "identity":
+                if src_t not in _ICEBERG_TO_AVRO:
+                    raise ValueError(
+                        f"identity partition on type {src_t!r} not supported"
+                    )
+                name, res_t, tstr = src, src_t, "identity"
+            elif kind == "day":
+                if src_t not in ("date", "timestamp", "timestamptz"):
+                    raise ValueError(f"days() over non-temporal type {src_t!r}")
+                name, res_t, tstr = f"{src}_day", "int", "day"
+            elif kind == "truncate":
+                if src_t not in ("int", "long", "string"):
+                    raise ValueError(f"truncate() over type {src_t!r}")
+                name, res_t, tstr = f"{src}_trunc", src_t, f"truncate[{param}]"
+            else:  # bucket
+                if src_t not in ("int", "long", "string", "date"):
+                    raise ValueError(f"bucket() over type {src_t!r}")
+                name, res_t, tstr = f"{src}_bucket", "int", f"bucket[{param}]"
             self._partition_fields.append(
                 {
-                    "name": c,
-                    "transform": "identity",
-                    "source-id": by_name[c]["id"],
+                    "name": name,
+                    "transform": tstr,
+                    "source-id": f["id"],
                     "field-id": 1000 + i,
-                    "ice_type": ice_t,
+                    "ice_type": res_t,
+                    "source_name": src,
+                    "src_type": src_t,
+                    "kind": kind,
+                    "param": param,
                 }
             )
+
+    def _transform_col(self, pf: dict):
+        """Spark expression computing pf's TRANSFORMED partition value per
+        row — JVM-side for identity/day/truncate; bucket goes through an
+        Arrow-batched pandas UDF of the spec's murmur3 (the same per-row
+        hash stock writer tasks compute JVM-side)."""
+        c = F.col(pf["source_name"])
+        if pf["kind"] == "identity":
+            return c
+        if pf["kind"] == "day":
+            return F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))
+        if pf["kind"] == "truncate":
+            if pf["src_type"] == "string":
+                return F.substring(c, 1, pf["param"])
+            return (c - F.pmod(c, F.lit(pf["param"]))).cast(
+                _ICEBERG_TO_SPARK[pf["src_type"]]
+            )
+        n, src_t = pf["param"], pf["src_type"]
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def _bucket(s):
+            return s.map(lambda v: iceberg_bucket(v, n, src_t))
+
+        return _bucket(c)
 
     @property
     def _spec_json(self) -> str:
@@ -474,8 +631,15 @@ class IcebergTableWriter:
         if self._partition_fields:
             from .parquet_io import distinct_singleton_row
 
-            vals = distinct_singleton_row(df.select(*self._partition_by))
-            pvals = dict(zip(self._partition_by, vals))
+            # single-valuedness is checked on the TRANSFORMED values —
+            # e.g. one days(ts) append may span a whole day of timestamps
+            vals = distinct_singleton_row(
+                df.select(
+                    *[self._transform_col(pf).alias(pf["name"])
+                      for pf in self._partition_fields]
+                )
+            )
+            pvals = {pf["name"]: v for pf, v in zip(self._partition_fields, vals)}
 
         data_path = os.path.join(
             self.data_dir,
@@ -809,19 +973,25 @@ class IcebergTableWriter:
         if self._partition_fields:
             from ..operators.util import bounded_rows
 
+            names = [pf["name"] for pf in self._partition_fields]
             tuples = bounded_rows(
-                current.select(*self._partition_by).distinct(),
+                current.select(
+                    *[self._transform_col(pf).alias(pf["name"])
+                      for pf in self._partition_fields]
+                ).distinct(),
                 self.REWRITE_PARTITION_CEILING,
             )
             groups = sorted(
-                (dict(zip(self._partition_by, tuple(r))) for r in tuples),
+                (dict(zip(names, tuple(r))) for r in tuples),
                 key=lambda d: tuple(str(v) for v in d.values()),
             )
         entries = []
         for i, pvals in enumerate(groups):
             part_df = current
-            for c, v in pvals.items():
-                part_df = part_df.filter(F.col(c) == F.lit(v))
+            for pf in self._partition_fields:
+                part_df = part_df.filter(
+                    self._transform_col(pf) == F.lit(pvals[pf["name"]])
+                )
             data_path = os.path.join(
                 self.data_dir,
                 f"00000-{self._version}-{self._uuid}-0-{i + 1:05d}.parquet",
@@ -1014,7 +1184,10 @@ class IcebergTableWriter:
         self._write_metadata(int(time.time() * 1000))
 
     def _guard_not_partition_source(self, name: str, action: str) -> None:
-        if name in self._partition_by:
+        sources = {
+            pf["source_name"] for pf in self._partition_fields
+        } or {_parse_partition_spec(e)[0] for e in self._partition_by}
+        if name in sources:
             raise ValueError(
                 f"cannot {action} partition source column {name!r} (spec "
                 "fields keep their names; evolve the partition spec first)"
@@ -1440,10 +1613,20 @@ def scan_iceberg_table(
     partition_filter: dict | None = None,
     ref: str | None = None,
     stats_filter: dict | None = None,
+    hidden_filter: dict | None = None,
 ) -> DataFrame:
     """Distributed scan of a real Iceberg table layout: driver-side
     metadata walk picks the file set; executors read them through the
     normal parquet source (pushdown/pruning intact).
+
+    ``hidden_filter`` ({SOURCE column: value}) is HIDDEN PARTITIONING'S
+    read side: the predicate names the source column, and the scan
+    projects it through every matching partition-spec transform
+    (identity/day/truncate/bucket — apply_iceberg_transform) into the
+    equivalent partition_filter, then applies the exact source-column
+    residual to the rows. Users never reference the partition layout —
+    the spec's whole point; at 100 TB a WHERE ts = ... touches only the
+    matching day/bucket files with zero query rewrite.
 
     ``partition_filter`` ({column: value}) prunes data FILES by the typed
     identity-partition values each manifest entry carries (the exact
@@ -1495,6 +1678,31 @@ def scan_iceberg_table(
         (s for s in schemas if s.get("schema-id") == metadata.get("current-schema-id")),
         schemas[-1],
     )
+    hidden_residuals: list[tuple[str, object]] = []
+    if hidden_filter:
+        spec = next(
+            s
+            for s in metadata.get("partition-specs", [])
+            if s.get("spec-id") == metadata.get("default-spec-id", 0)
+        )
+        by_id = {f["id"]: f for f in cur_schema["fields"]}
+        derived: dict = {}
+        for col, v in hidden_filter.items():
+            matches = [
+                fld
+                for fld in spec.get("fields", [])
+                if by_id.get(fld.get("source-id"), {}).get("name") == col
+            ]
+            if not matches:
+                raise ValueError(
+                    f"hidden_filter column {col!r} feeds no partition field"
+                )
+            for fld in matches:
+                derived[fld["name"]] = apply_iceberg_transform(
+                    fld["transform"], v, by_id[fld["source-id"]]["type"]
+                )
+            hidden_residuals.append((col, v))
+        partition_filter = {**(partition_filter or {}), **derived}
     if partition_filter:
         spec = next(
             s
@@ -1566,13 +1774,15 @@ def scan_iceberg_table(
     pynorm = lambda p: re.sub(r"^file:/+", "/", p)  # noqa: E731
 
     def _residual(d: DataFrame) -> DataFrame:
-        """Row-level predicate matching stats_filter — file skipping is a
-        superset guarantee, the residual makes the result exact."""
+        """Row-level predicates matching stats_filter / hidden_filter —
+        file skipping is a superset guarantee, residuals make it exact."""
         for c, (lo, hi) in (stats_filter or {}).items():
             if lo is not None:
                 d = d.filter(F.col(c) >= F.lit(lo))
             if hi is not None:
                 d = d.filter(F.col(c) <= F.lit(hi))
+        for c, v in hidden_residuals:
+            d = d.filter(F.col(c) == F.lit(v))
         return d
 
     def _sig(s: dict) -> list[tuple]:

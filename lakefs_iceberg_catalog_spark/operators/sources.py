@@ -395,6 +395,59 @@ def source_iceberg_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_iceberg_transform_partitioned",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders
+WHERE o_orderdate = (
+  SELECT max(o_orderdate) FROM orders
+  WHERE o_orderdate BETWEEN TIMESTAMP '1995-03-01' AND TIMESTAMP '1995-03-05'
+)
+""",
+)
+def source_iceberg_transform_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HIDDEN PARTITIONING on the real Iceberg layout — the spec's
+    signature feature: the table is partitioned by days(o_orderdate)
+    (TRANSFORMED values in the manifest partition structs, `day`
+    transform in partition-specs), and the query filters on the SOURCE
+    column; the scan projects the predicate through the transform
+    (apply_iceberg_transform) so only the matching day's file opens
+    (input-file count asserted) with the exact row residual applied.
+    The user never names the partition layout.
+
+    Scale: this is how a WHERE ts = ... touches one day of a 100 TB
+    time-partitioned table — transform projection happens in the driver
+    metadata walk; bucket()/truncate() take the same path (spec-vector-
+    tested murmur3 for bucket)."""
+    from ..catalog.iceberg_format import IcebergTableWriter, scan_iceberg_table
+    from .util import bounded_rows
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").between("1995-03-01 00:00:00", "1995-03-05 00:00:00")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    )
+    days = sorted(
+        r[0] for r in bounded_rows(o.select("o_orderdate").distinct(), 10)
+    )
+    assert len(days) >= 2, "fixture window must span multiple days"
+    tmp = tempfile.mkdtemp(prefix="iceberg-hidden-")
+    w = IcebergTableWriter(spark, tmp, partition_by=["days(o_orderdate)"])
+    for day in days:
+        w.append(o.filter(F.col("o_orderdate") == day))
+    pruned = scan_iceberg_table(spark, tmp, hidden_filter={"o_orderdate": days[-1]})
+    assert len(pruned.inputFiles()) == 1  # 1 of len(days) — hidden pruning
+    back = pruned.select(
+        "o_orderkey", "o_custkey", dround("o_totalprice", 2).alias("total")
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_iceberg_files_table",
     oracle="""
 SELECT CAST(0 AS INTEGER) AS content, 'PARQUET' AS file_format,

@@ -14,6 +14,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from lakefs_iceberg_catalog_spark.catalog.avro_io import (
     AvroDecodeError,
@@ -815,3 +816,113 @@ def test_metadata_tables_snapshots_history_manifests_files(spark, ice):
 
     with _pytest.raises(ValueError, match="unknown metadata table"):
         iceberg_metadata_table(spark, d, "partitions")
+
+
+def test_bucket_transform_matches_spec_vectors():
+    """Iceberg spec Appendix B test values: murmur3_x86_32 over the
+    type's hash encoding — int/long 34 → 2017239379, 'iceberg' →
+    1210000089, date 2017-11-16 (17486 days) → -653330422 signed."""
+    import datetime
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        _murmur3_32,
+        iceberg_bucket,
+    )
+
+    def signed(u):
+        return u - (1 << 32) if u >= (1 << 31) else u
+
+    assert signed(_murmur3_32((34).to_bytes(8, "little", signed=True))) == 2017239379
+    assert signed(_murmur3_32(b"iceberg")) == 1210000089
+    assert (
+        signed(_murmur3_32((17486).to_bytes(8, "little", signed=True)))
+        == -653330422
+    )
+    assert iceberg_bucket(34, 16, "int") == iceberg_bucket(34, 16, "long") == 3
+    assert iceberg_bucket("iceberg", 16, "string") == 9
+    assert iceberg_bucket(datetime.date(2017, 11, 16), 16, "date") == (
+        (-653330422 & 0x7FFFFFFF) % 16
+    )
+
+
+def test_hidden_partition_transforms_write_scan_prune(spark, tmp_path):
+    """Hidden partitioning on the real layout: days()/truncate()/bucket()
+    partition specs write TRANSFORMED values into the manifest partition
+    structs (+ manifest-list summaries), and hidden_filter projects a
+    SOURCE-column predicate through the transform — only matching files
+    open, the exact row residual applies, and the user never names the
+    partition layout."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_bucket,
+        read_table_metadata,
+    )
+
+    n = _nation(spark)
+    # truncate(n_nationkey, 10): three width-10 key ranges
+    d = str(tmp_path / "trunc")
+    w = IcebergTableWriter(spark, d, partition_by=["truncate(n_nationkey, 10)"])
+    for lo in (0, 10, 20):
+        w.append(n.filter(f"n_nationkey >= {lo} and n_nationkey < {lo + 10}"))
+    spec = read_table_metadata(d)["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "truncate[10]"
+    assert spec["name"] == "n_nationkey_trunc"
+    h = scan_iceberg_table(spark, d, hidden_filter={"n_nationkey": 13})
+    assert len(h.inputFiles()) == 1
+    assert [r["n_nationkey"] for r in h.collect()] == [13]
+
+    # bucket(n_regionkey, 2): appends grouped by the spec's murmur3 bucket
+    d2 = str(tmp_path / "bk")
+    w2 = IcebergTableWriter(spark, d2, partition_by=["bucket(n_regionkey, 2)"])
+    by_bucket: dict[int, list[int]] = {}
+    for rk in range(5):
+        by_bucket.setdefault(iceberg_bucket(rk, 2, "int"), []).append(rk)
+    for b in sorted(by_bucket):
+        w2.append(n.filter(F.col("n_regionkey").isin(by_bucket[b])))
+    hb = scan_iceberg_table(spark, d2, hidden_filter={"n_regionkey": 2})
+    assert len(hb.inputFiles()) == 1  # one bucket's file of two
+    assert hb.count() == 5 and {r["n_regionkey"] for r in hb.collect()} == {2}
+    # unknown source column refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="feeds no partition field"):
+        scan_iceberg_table(spark, d2, hidden_filter={"n_name": "KENYA"})
+    # schema evolution guard still resolves transform sources
+    with _pytest.raises(ValueError, match="partition source"):
+        w2.rename_column("n_regionkey", "rk")
+
+
+def test_days_transform_rewrite_and_partition_summaries(spark, tmp_path):
+    """days(ts) over a timestamp column: appends single-valued in the
+    TRANSFORMED day (many timestamps, one day each), hidden_filter prunes
+    manifests AND files, and rewrite_data re-enumerates partition tuples
+    through the transform (one compacted file per day)."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        IcebergTableWriter,
+    )
+    from lakefs_iceberg_catalog_spark.tables import table as t
+
+    from .conftest import SF_DIR
+
+    e = t(spark, SF_DIR, "events").select("event_id", "user_id", "ts", "value")
+    days = [
+        r[0]
+        for r in e.select(F.to_date("ts").alias("d")).distinct().orderBy("d").limit(3).collect()
+    ]
+    sub = e.filter(F.to_date("ts").isin(days))
+    d = str(tmp_path / "days")
+    w = IcebergTableWriter(spark, d, partition_by=["days(ts)"])
+    for day in days:
+        w.append(sub.filter(F.to_date("ts") == day))
+    import datetime
+
+    probe = datetime.datetime.combine(days[1], datetime.time())
+    h = scan_iceberg_table(spark, d, hidden_filter={"ts": probe})
+    assert len(h.inputFiles()) == 1  # one day's file of three
+    want = sub.filter(F.to_date("ts") == days[1]).filter(F.col("ts") == probe)
+    assert h.count() == want.count()
+    # compaction re-enumerates partition tuples through the transform
+    w.rewrite_data()
+    full = scan_iceberg_table(spark, d)
+    assert full.count() == sub.count()
+    assert len(full.inputFiles()) == 3  # one compacted file per day
