@@ -472,6 +472,7 @@ class IcebergTableWriter:
         self._partition_by = list(partition_by or [])
         self._partition_fields: list[dict] = []  # resolved on first append
         self._refs: dict[str, dict] = {}  # named tags/branches beside main
+        self._metadata_log: list[dict] = []  # previous metadata files
         self._file_format = file_format
 
     def _resolve_partition_fields(self) -> None:
@@ -919,11 +920,32 @@ class IcebergTableWriter:
 
         # -- table metadata + hint -----------------------------------------
         now_ms = int(time.time() * 1000)
+        # stock Iceberg's snapshot summary: operation plus STRING-valued
+        # commit stats (SnapshotSummary.java convention) — added-* from
+        # the manifests this snapshot added, total-* over live manifests
+        added = [m for m in self._manifests if m["added_snapshot_id"] == snapshot_id]
+        data_m = [m for m in self._manifests if m.get("content", 0) == 0]
+        del_m = [m for m in self._manifests if m.get("content", 0) != 0]
+        summary = {
+            "operation": operation,
+            "added-data-files": str(
+                sum(m["added_files_count"] for m in added if m.get("content", 0) == 0)
+            ),
+            "added-records": str(
+                sum(m["added_rows_count"] for m in added if m.get("content", 0) == 0)
+            ),
+            "added-delete-files": str(
+                sum(m["added_files_count"] for m in added if m.get("content", 0) != 0)
+            ),
+            "total-data-files": str(sum(m["added_files_count"] for m in data_m)),
+            "total-delete-files": str(sum(m["added_files_count"] for m in del_m)),
+            "total-records": str(sum(m["added_rows_count"] for m in data_m)),
+        }
         snap = {
             "snapshot-id": snapshot_id,
             "sequence-number": self._sequence,
             "timestamp-ms": now_ms,
-            "summary": {"operation": operation},
+            "summary": summary,
             "manifest-list": list_path,
             "schema-id": 0,
         }
@@ -1272,10 +1294,16 @@ class IcebergTableWriter:
                 {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
                 for s in self._snapshots
             ],
-            "metadata-log": [],
+            # previous metadata files, oldest first (stock keeps the chain
+            # for time travel over METADATA — TableMetadata.previousFiles)
+            "metadata-log": list(self._metadata_log),
         }
-        with open(os.path.join(self.meta_dir, f"v{self._version}.metadata.json"), "w") as f:
+        path = os.path.join(self.meta_dir, f"v{self._version}.metadata.json")
+        with open(path, "w") as f:
             json.dump(metadata, f)
+        self._metadata_log.append(
+            {"timestamp-ms": now_ms, "metadata-file": path}
+        )
         with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as f:
             f.write(str(self._version))
 

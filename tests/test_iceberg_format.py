@@ -926,3 +926,24 @@ def test_days_transform_rewrite_and_partition_summaries(spark, tmp_path):
     full = scan_iceberg_table(spark, d)
     assert full.count() == sub.count()
     assert len(full.inputFiles()) == 3  # one compacted file per day
+
+
+def test_snapshot_summary_stats_and_metadata_log(spark, ice):
+    """Stock-shaped snapshot summaries (string-valued commit stats per
+    SnapshotSummary convention) and the metadata-log chain of previous
+    metadata files."""
+    d, s1, s2 = ice
+    md = read_table_metadata(d)
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    sm1, sm2 = by_id[s1]["summary"], by_id[s2]["summary"]
+    assert sm1["operation"] == sm2["operation"] == "append"
+    assert sm1["added-data-files"] == sm2["added-data-files"] == "1"
+    assert sm1["added-records"] == "12" and sm2["added-records"] == "13"
+    assert sm1["total-records"] == "12" and sm2["total-records"] == "25"
+    assert sm1["total-data-files"] == "1" and sm2["total-data-files"] == "2"
+    assert sm2["added-delete-files"] == "0" and sm2["total-delete-files"] == "0"
+    # metadata-log: v2's log holds exactly v1, and the file exists
+    log = md["metadata-log"]
+    assert len(log) == 1
+    assert log[0]["metadata-file"].endswith("v1.metadata.json")
+    assert os.path.exists(log[0]["metadata-file"])
