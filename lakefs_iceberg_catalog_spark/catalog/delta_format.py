@@ -78,6 +78,7 @@ class DeltaTableWriter:
         partition_cols: list[str] | None = None,
         data_change: bool = True,
         operation: str | None = None,
+        generated: dict[str, str] | None = None,
     ) -> int:
         """One commit: write each DataFrame as a parquet data file (`add`)
         and/or drop previously added files (`remove`). The first commit
@@ -99,7 +100,34 @@ class DeltaTableWriter:
             if schema_df is None:
                 raise ValueError("first commit must add data (schema source)")
             self._partition_cols = list(partition_cols or [])
+            # GENERATED COLUMNS (protocol "Generated Columns",
+            # delta.generationExpression field metadata): the column's
+            # value is a deterministic SQL expression over other columns —
+            # partitioning by one is Delta's hidden-partitioning analog
+            # (e.g. p_date GENERATED ALWAYS AS (CAST(ts AS DATE))). The
+            # writer computes it for partitionValues; readers derive
+            # partition pruning from source-column predicates by
+            # evaluating the same expression (scan hidden_filter).
+            self._generated = dict(generated or {})
+            if self._generated:
+                if self._column_mapping:
+                    raise NotImplementedError(
+                        "generated columns + column mapping not supported"
+                    )
+                clash = set(self._generated) & set(schema_df.columns)
+                if clash:
+                    raise ValueError(
+                        f"generated columns already in the data: {sorted(clash)}"
+                    )
+                for name, expr in self._generated.items():
+                    schema_df = schema_df.withColumn(name, F.expr(expr))
             schema = json.loads(schema_df.schema.json())
+            if self._generated:
+                for f in schema["fields"]:
+                    if f["name"] in self._generated:
+                        f.setdefault("metadata", {})[
+                            "delta.generationExpression"
+                        ] = self._generated[f["name"]]
             config: dict[str, str] = {}
             proto: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
             if self._column_mapping:
@@ -125,6 +153,9 @@ class DeltaTableWriter:
                     "minReaderVersion": 2,
                     "minWriterVersion": 5,
                 }
+            if self._generated:
+                # protocol: generated columns need writer version >= 4
+                proto["minWriterVersion"] = max(proto["minWriterVersion"], 4)
             self._meta = {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
@@ -138,6 +169,9 @@ class DeltaTableWriter:
         pcols = getattr(self, "_partition_cols", [])
         phys = _physical_renames(self._meta) if self._column_mapping else {}
         for df in add_dfs or []:
+            for name, expr in getattr(self, "_generated", {}).items():
+                if name not in df.columns:  # writer computes generated cols
+                    df = df.withColumn(name, F.expr(expr))
             if phys:  # data files store columns under their PHYSICAL names
                 df = df.select(
                     *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
@@ -859,9 +893,19 @@ def scan_delta_table(
     table_dir: str,
     version: int | None = None,
     partition_filter: dict[str, str | None] | None = None,
+    hidden_filter: dict | None = None,
 ) -> DataFrame:
     """Distributed scan of a Delta layout at head or a pinned version —
     log fold on the driver, parquet reads on the executors.
+
+    ``hidden_filter`` ({source column: value}) is generated-partition
+    pruning (stock Delta's partition-filter propagation for generated
+    columns): each partition column carrying a
+    ``delta.generationExpression`` is derived by EVALUATING that
+    expression over the filter's literals (a one-row local projection —
+    exact for equality predicates since generation expressions are
+    deterministic row-wise), the string-encoded result prunes files from
+    the log, and the exact source-column residual applies to the rows.
 
     Partitioned tables (metaData.partitionColumns non-empty): per the
     protocol, partition columns are NOT in the data files — each add
@@ -886,6 +930,37 @@ def scan_delta_table(
     state = read_delta_log(table_dir, version)
     pcols = state.get("partition_cols") or []
     files = state["files"]
+    hidden_residuals: list[tuple[str, object]] = []
+    if hidden_filter:
+        from ..operators.util import bounded_rows
+
+        gen = {
+            f["name"]: (f.get("metadata") or {})["delta.generationExpression"]
+            for f in json.loads(state["schema_json"])["fields"]
+            if f["name"] in pcols
+            and (f.get("metadata") or {}).get("delta.generationExpression")
+        }
+        if not gen:
+            raise ValueError(
+                "hidden_filter requires generated partition columns"
+            )
+        probe = spark.range(1).select(
+            *[F.lit(v).alias(c) for c, v in hidden_filter.items()]
+        )
+        derived: dict[str, str | None] = {}
+        for pcol, expr in gen.items():
+            try:
+                val = bounded_rows(probe.select(F.expr(expr).alias("v")))[0]["v"]
+            except Exception:  # noqa: BLE001 — expr needs columns not filtered
+                continue
+            derived[pcol] = None if val is None else str(val)
+        if not derived:
+            raise ValueError(
+                f"hidden_filter columns {sorted(hidden_filter)} feed no "
+                "generation expression"
+            )
+        partition_filter = {**(partition_filter or {}), **derived}
+        hidden_residuals = list(hidden_filter.items())
     if partition_filter:
         unknown = set(partition_filter) - set(pcols)
         if unknown:
@@ -967,4 +1042,6 @@ def scan_delta_table(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    for c, v in hidden_residuals:  # exact row residual for hidden_filter
+        out = out.filter(F.col(c) == F.lit(v))
     return out

@@ -568,6 +568,61 @@ def source_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_delta_generated_partition",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders
+WHERE o_orderdate = (
+  SELECT max(o_orderdate) FROM orders
+  WHERE o_orderdate BETWEEN TIMESTAMP '1995-03-01' AND TIMESTAMP '1995-03-05'
+)
+""",
+)
+def source_delta_generated_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED partition columns — Delta's hidden-partitioning analog
+    (protocol 'Generated Columns'): the table partitions on
+    p_date GENERATED ALWAYS AS (CAST(o_orderdate AS DATE)), recorded as
+    ``delta.generationExpression`` field metadata with writer version 4;
+    the writer computes the value for each add's partitionValues, and the
+    scan's hidden_filter derives partition pruning by EVALUATING the same
+    expression over the predicate's literal (exact for equality) — only
+    the matching day's file opens (asserted), with the exact source-column
+    residual. The Delta pair of source_iceberg_transform_partitioned.
+
+    Scale: the log is the partition index; a WHERE ts = ... over a 100 TB
+    generated-date-partitioned table reads one partition's files, the
+    derivation being one local one-row projection at plan time."""
+    from ..catalog.delta_format import DeltaTableWriter, scan_delta_table
+    from .util import bounded_rows
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").between("1995-03-01 00:00:00", "1995-03-05 00:00:00")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    )
+    days = sorted(
+        r[0] for r in bounded_rows(o.select("o_orderdate").distinct(), 10)
+    )
+    assert len(days) >= 2, "fixture window must span multiple days"
+    tmp = tempfile.mkdtemp(prefix="delta-genpart-")
+    w = DeltaTableWriter(spark, tmp)
+    for i, day in enumerate(days):
+        w.commit(
+            add_dfs=[o.filter(F.col("o_orderdate") == day)],
+            partition_cols=["p_date"] if i == 0 else None,
+            generated={"p_date": "CAST(o_orderdate AS DATE)"} if i == 0 else None,
+        )
+    pruned = scan_delta_table(spark, tmp, hidden_filter={"o_orderdate": days[-1]})
+    assert len(pruned.inputFiles()) == 1  # 1 of len(days) — log-level pruning
+    back = pruned.select(
+        "o_orderkey", "o_custkey", dround("o_totalprice", 2).alias("total")
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_iceberg_equality_deletes",
     oracle="""
 WITH base AS (

@@ -102,12 +102,11 @@ _SWEEP_PRIORITY = [
     # (drains r1-stale to 0) ...
     "subquery_correlated", "subquery_in", "subquery_scalar", "udaf_pandas",
     "udf_python", "window_analytic", "window_distribution", "window_rank",
-    # ... slots 33-37 = r2-stale keys (5 of the 17; the rest slip below
-    # as newer never-checked keys claimed their slots;
-    # source_orc_roundtrip yields to the Iceberg streaming source — the
-    # ORC read path stays covered by the windowed source_iceberg_orc) ...
+    # ... slots 33-36 = r2-stale keys (4 of the 17; the rest slip below
+    # as newer never-checked keys claimed their slots; the roundtrip trio
+    # yields to never-checked interop keys — CSV/JSON/ORC read paths stay
+    # covered by the repo's own oracle replay every run) ...
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
-    "source_csv_roundtrip",
     # ... slots 40-45 = the session's six next keys (Iceberg
     # incremental append scan; dynamic-partition-pruning star join;
     # Iceberg compact+expire reclamation; Iceberg schema-evolution
@@ -129,8 +128,12 @@ _SWEEP_PRIORITY = [
     # ... slot 49 = hidden partition transforms (days/bucket/truncate)
     # on the real layout ...
     "source_iceberg_transform_partitioned",
+    # ... slot 49 = Delta generated partition columns (the Delta pair of
+    # the hidden-transform key) ...
+    "source_delta_generated_partition",
     # ---- Past the window: every remaining key ordered by STALENESS ----
-    "source_json_roundtrip", "source_orc_roundtrip", "stream_dedup", "stream_session_window", "stream_sliding_window",
+    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join",
     "stream_tumbling_window", "text_fingerprint", "text_lang_id",
     "text_quality_filter", "text_stats", "text_token_count",

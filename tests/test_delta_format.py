@@ -689,3 +689,69 @@ def test_add_column_partitioned(spark, tmp_path):
         .count()
         == 5
     )
+
+
+def test_generated_partition_columns_write_scan_prune(spark, tmp_path):
+    """Generated partition columns (protocol 'Generated Columns'): the
+    generation expression lives in field metadata, the writer computes
+    partitionValues, writer version is >= 4, and hidden_filter derives
+    log-level pruning by evaluating the expression over the predicate
+    literal with the exact row residual."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+    from lakefs_iceberg_catalog_spark.tables import table as t
+
+    from .conftest import SF_DIR
+
+    e = t(spark, SF_DIR, "events").select("event_id", "user_id", "ts", "value")
+    days = [
+        r[0]
+        for r in e.select(F.to_date("ts").alias("d"))
+        .distinct()
+        .orderBy("d")
+        .limit(3)
+        .collect()
+    ]
+    sub = e.filter(F.to_date("ts").isin(days))
+    d = str(tmp_path / "genpart")
+    w = DeltaTableWriter(spark, d)
+    for i, day in enumerate(days):
+        w.commit(
+            add_dfs=[sub.filter(F.to_date("ts") == day)],
+            partition_cols=["p_date"] if i == 0 else None,
+            generated={"p_date": "CAST(ts AS DATE)"} if i == 0 else None,
+        )
+    state = read_delta_log(d)
+    meta_fields = _json.loads(state["schema_json"])["fields"]
+    gen = [f for f in meta_fields if f["name"] == "p_date"]
+    assert gen and gen[0]["metadata"]["delta.generationExpression"] == (
+        "CAST(ts AS DATE)"
+    )
+    assert state["protocol"]["minWriterVersion"] >= 4
+    # full scan re-injects the generated partition column typed
+    full = scan_delta_table(spark, d)
+    assert full.count() == sub.count()
+    assert dict(full.dtypes)["p_date"] == "date"
+    import datetime
+
+    probe = datetime.datetime.combine(days[1], datetime.time())
+    h = scan_delta_table(spark, d, hidden_filter={"ts": probe})
+    assert len(h.inputFiles()) == 1  # 1 of 3 — pruned from the log
+    assert h.count() == sub.filter(F.col("ts") == probe).count()
+    # a filter that feeds no generation expression refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="feed no generation expression"):
+        scan_delta_table(spark, d, hidden_filter={"value": 1.0})
+    # generated + column mapping is out of scope, loudly
+    with _pytest.raises(NotImplementedError):
+        DeltaTableWriter(spark, str(tmp_path / "gcm"), column_mapping=True).commit(
+            add_dfs=[sub], partition_cols=["p"], generated={"p": "CAST(ts AS DATE)"}
+        )
