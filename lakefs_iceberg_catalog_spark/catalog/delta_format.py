@@ -50,6 +50,39 @@ def _commit_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _LOG_DIR, f"{version:020d}.json")
 
 
+def _file_stats_json(path: str, n_rows: int) -> str:
+    """The add action's ``stats`` string (protocol 'Per-file Statistics'):
+    numRecords plus per-column minValues/maxValues aggregated from the
+    parquet FOOTER — zero extra data IO, the same skipping stats stock
+    Delta writers collect. Temporal values serialize ISO-8601; columns
+    without usable footer stats are simply absent (readers must keep
+    such files)."""
+    import datetime
+
+    from .parquet_io import parquet_column_bounds
+
+    def enc(v):
+        if isinstance(v, datetime.datetime):
+            return v.isoformat()
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            return None
+        return v
+
+    mins: dict = {}
+    maxs: dict = {}
+    for col, (lo, hi) in sorted(parquet_column_bounds(path).items()):
+        lo, hi = enc(lo), enc(hi)
+        if lo is None or hi is None:
+            continue
+        mins[col], maxs[col] = lo, hi
+    stats: dict = {"numRecords": n_rows}
+    if mins:
+        stats["minValues"], stats["maxValues"] = mins, maxs
+    return json.dumps(stats, separators=(",", ":"))
+
+
 class DeltaTableWriter:
     """Minimal writer of a genuine Delta layout (fixture/export use):
     version 0 carries protocol+metaData, each commit appends and/or removes
@@ -196,7 +229,7 @@ class DeltaTableWriter:
                         "size": os.path.getsize(path),
                         "modificationTime": now_ms,
                         "dataChange": data_change,
-                        "stats": json.dumps({"numRecords": n_rows}),
+                        "stats": _file_stats_json(path, n_rows),
                     }
                 }
             )
@@ -894,9 +927,17 @@ def scan_delta_table(
     version: int | None = None,
     partition_filter: dict[str, str | None] | None = None,
     hidden_filter: dict | None = None,
+    stats_filter: dict | None = None,
 ) -> DataFrame:
     """Distributed scan of a Delta layout at head or a pinned version —
     log fold on the driver, parquet reads on the executors.
+
+    ``stats_filter`` ({column: (lo, hi)}, either end None, inclusive) is
+    Delta DATA SKIPPING: files whose add.stats minValues/maxValues prove
+    no overlap with the range are never opened (driver-side, from the log
+    alone); the matching row residual is also applied so results are
+    exact. Files lacking stats for a column are conservatively kept —
+    skipping is always a superset guarantee, same as stock Delta.
 
     ``hidden_filter`` ({source column: value}) is generated-partition
     pruning (stock Delta's partition-filter propagation for generated
@@ -973,6 +1014,49 @@ def scan_delta_table(
                 for c, v in partition_filter.items()
             )
         }
+    if stats_filter:
+        import datetime
+
+        col_types = {
+            f["name"]: f["type"]
+            for f in json.loads(state["schema_json"])["fields"]
+        }
+        unknown = set(stats_filter) - set(col_types)
+        if unknown:
+            raise ValueError(f"stats_filter on unknown columns: {sorted(unknown)}")
+
+        def _typed(v, t):
+            if v is None or not isinstance(t, str):
+                return None
+            if t == "timestamp":
+                return datetime.datetime.fromisoformat(v)
+            if t == "date":
+                return datetime.date.fromisoformat(v)
+            return v
+
+        def _may_overlap(a: dict) -> bool:
+            st = a.get("stats")
+            if not st:
+                return True
+            st = json.loads(st) if isinstance(st, str) else st
+            mins, maxs = st.get("minValues") or {}, st.get("maxValues") or {}
+            for c, (lo, hi) in stats_filter.items():
+                if c not in mins or c not in maxs:
+                    continue  # no stats: must read the file
+                fl = _typed(mins[c], col_types[c])
+                fh = _typed(maxs[c], col_types[c])
+                if fl is None or fh is None:
+                    continue
+                if (hi is not None and fl > hi) or (lo is not None and fh < lo):
+                    return False
+            return True
+
+        files = {rel: a for rel, a in files.items() if _may_overlap(a)}
+        if not files:
+            # every file's range misses the predicate: exact empty result
+            return spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(state["schema_json"]))
+            )
     if not files:
         raise ValueError(
             f"Delta version {state['version']} has no live files"
@@ -981,6 +1065,19 @@ def scan_delta_table(
     dv_adds = {
         rel: a for rel, a in files.items() if a.get("deletionVector") is not None
     }
+
+    def _residual(d: DataFrame) -> DataFrame:
+        """Row-level predicates matching stats_filter / hidden_filter —
+        file skipping is a superset guarantee, residuals make it exact."""
+        for c, (lo, hi) in (stats_filter or {}).items():
+            if lo is not None:
+                d = d.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                d = d.filter(F.col(c) <= F.lit(hi))
+        for c, v in hidden_residuals:
+            d = d.filter(F.col(c) == F.lit(v))
+        return d
+
     renames = _physical_renames(state.get("metadata"))
     if renames and pcols:
         raise NotImplementedError(
@@ -1015,7 +1112,7 @@ def scan_delta_table(
             df = df.select(
                 *[F.col(p).alias(lg) for lg, p in renames.items()]
             )
-        return df
+        return _residual(df)
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     groups: dict[tuple, list[str]] = {}
     for rel, a in files.items():
@@ -1042,6 +1139,4 @@ def scan_delta_table(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    for c, v in hidden_residuals:  # exact row residual for hidden_filter
-        out = out.filter(F.col(c) == F.lit(v))
-    return out
+    return _residual(out)

@@ -568,6 +568,38 @@ def source_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_delta_stats_skipping",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey BETWEEN 7 AND 12
+""",
+)
+def source_delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DATA SKIPPING (protocol 'Per-file Statistics'): every add
+    action carries minValues/maxValues aggregated from the parquet footer
+    (zero extra data IO), and the scan's ``stats_filter`` prunes files
+    whose range provably misses the predicate — from the log alone, before
+    any executor IO — then applies the exact row residual. Five key-ranged
+    commits; a BETWEEN 7 AND 12 scan opens only the two straddling files
+    (asserted). The Delta pair of source_iceberg_stats_pruning.
+
+    Scale: on a sorted/clustered column this is the difference between
+    opening every file of a 100 TB table and opening the boundary files;
+    stats ride the log (and its checkpoints), so skipping costs one fold."""
+    from ..catalog.delta_format import DeltaTableWriter, scan_delta_table
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta-stats-")
+    w = DeltaTableWriter(spark, tmp)
+    for lo in range(0, 25, 5):
+        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 4))])
+    pruned = scan_delta_table(spark, tmp, stats_filter={"n_nationkey": (7, 12)})
+    assert len(pruned.inputFiles()) == 2  # files [5-9] and [10-14] of 5
+    back = pruned.select("n_nationkey", "n_name", "n_regionkey")
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_delta_generated_partition",
     oracle="""
 SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total

@@ -102,11 +102,11 @@ _SWEEP_PRIORITY = [
     # (drains r1-stale to 0) ...
     "subquery_correlated", "subquery_in", "subquery_scalar", "udaf_pandas",
     "udf_python", "window_analytic", "window_distribution", "window_rank",
-    # ... slots 33-36 = r2-stale keys (4 of the 17; the rest slip below
+    # ... slots 33-35 = r2-stale keys (3 of the 17; the rest slip below
     # as newer never-checked keys claimed their slots; the roundtrip trio
-    # yields to never-checked interop keys — CSV/JSON/ORC read paths stay
-    # covered by the repo's own oracle replay every run) ...
-    "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
+    # and sink_partitioned_parquet yield to never-checked interop keys —
+    # those paths stay covered by the repo's own oracle replay every run) ...
+    "dedup_simhash", "join_anti", "set_except",
     # ... slots 40-45 = the session's six next keys (Iceberg
     # incremental append scan; dynamic-partition-pruning star join;
     # Iceberg compact+expire reclamation; Iceberg schema-evolution
@@ -131,8 +131,11 @@ _SWEEP_PRIORITY = [
     # ... slot 49 = Delta generated partition columns (the Delta pair of
     # the hidden-transform key) ...
     "source_delta_generated_partition",
+    # ... slot 49 = Delta data skipping (add.stats minValues/maxValues,
+    # the Delta pair of the manifest-bounds key) ...
+    "source_delta_stats_skipping",
     # ---- Past the window: every remaining key ordered by STALENESS ----
-    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "sink_partitioned_parquet", "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join",
     "stream_tumbling_window", "text_fingerprint", "text_lang_id",

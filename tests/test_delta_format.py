@@ -755,3 +755,51 @@ def test_generated_partition_columns_write_scan_prune(spark, tmp_path):
         DeltaTableWriter(spark, str(tmp_path / "gcm"), column_mapping=True).commit(
             add_dfs=[sub], partition_cols=["p"], generated={"p": "CAST(ts AS DATE)"}
         )
+
+
+def test_stats_skipping_and_checkpoint_carry(spark, tmp_path):
+    """Data skipping: add.stats carries footer minValues/maxValues,
+    stats_filter prunes files from the log with the exact residual, the
+    empty-overlap case returns an exact empty DataFrame with the table
+    schema, and stats survive checkpoint truncation."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        DeltaTableWriter,
+        scan_delta_table,
+    )
+    from lakefs_iceberg_catalog_spark.tables import table as t
+
+    from .conftest import SF_DIR
+
+    n = t(spark, SF_DIR, "nation")
+    d = str(tmp_path / "skip")
+    w = DeltaTableWriter(spark, d)
+    for lo in (0, 10, 20):
+        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    one = scan_delta_table(spark, d, stats_filter={"n_nationkey": (12, 15)})
+    assert len(one.inputFiles()) == 1
+    assert sorted(r["n_nationkey"] for r in one.collect()) == [12, 13, 14, 15]
+    # string stats skip too (lexicographic bounds; names are NATION_<k>)
+    by_name = scan_delta_table(
+        spark, d, stats_filter={"n_name": ("NATION_0", "NATION_19")}
+    )
+    assert 1 <= len(by_name.inputFiles()) <= 3
+    assert all(
+        "NATION_0" <= r["n_name"] <= "NATION_19" for r in by_name.collect()
+    )
+    none_match = scan_delta_table(spark, d, stats_filter={"n_name": ("ZZ", None)})
+    assert none_match.count() == 0 and len(none_match.inputFiles()) == 0
+    empty = scan_delta_table(spark, d, stats_filter={"n_nationkey": (99, None)})
+    assert empty.count() == 0 and set(empty.columns) == set(n.columns)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        scan_delta_table(spark, d, stats_filter={"nope": (1, 2)})
+    # checkpoint: stats ride the checkpoint rows, skipping still works
+    w.checkpoint()
+    for f in list((tmp_path / "skip" / "_delta_log").glob("0*.json")):
+        f.unlink()  # truncate all JSON commits — checkpoint is the base
+    again = scan_delta_table(spark, d, stats_filter={"n_nationkey": (12, 15)})
+    assert len(again.inputFiles()) == 1
+    assert again.count() == 4
