@@ -473,6 +473,7 @@ class IcebergTableWriter:
         self._partition_fields: list[dict] = []  # resolved on first append
         self._refs: dict[str, dict] = {}  # named tags/branches beside main
         self._metadata_log: list[dict] = []  # previous metadata files
+        self._sort_order: list[str] = []  # persisted table sort order
         self._file_format = file_format
 
     def _resolve_partition_fields(self) -> None:
@@ -962,7 +963,22 @@ class IcebergTableWriter:
     # not a bigger driver list.
     REWRITE_PARTITION_CEILING = 10_000
 
-    def rewrite_data(self) -> int:
+    def set_sort_order(self, columns: list[str]) -> None:
+        """Persist a table SORT ORDER (spec `sort-orders` +
+        default-sort-order-id): identity-asc on ``columns``. Metadata-only;
+        it takes effect at the next rewrite_data, whose files then cover
+        narrow value ranges — the layout stats_filter skipping needs."""
+        if self._schema_json is None:
+            raise ValueError("no schema yet: append before setting sort order")
+        names = {f["name"] for f in self._schema_json["fields"]}
+        missing = [c for c in columns if c not in names]
+        if missing:
+            raise ValueError(f"sort columns not in schema: {missing}")
+        self._sort_order = list(columns)
+        self._version += 1
+        self._write_metadata(int(time.time() * 1000))
+
+    def rewrite_data(self, target_files: int | None = None) -> int:
         """COMPACTION (stock Iceberg's rewrite_data_files): materialize the
         current scan — merge-on-read deletes applied — into one data file
         per live partition tuple (one file total when unpartitioned) and
@@ -1007,6 +1023,29 @@ class IcebergTableWriter:
                 (dict(zip(names, tuple(r))) for r in tuples),
                 key=lambda d: tuple(str(v) for v in d.values()),
             )
+        def _entry(data_path: str, n_rows: int, pvals: dict) -> dict:
+            return {
+                "status": STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": CONTENT_DATA,
+                    "file_path": data_path,
+                    "file_format": "PARQUET",
+                    "partition": pvals,
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(data_path),
+                    "equality_ids": None,
+                    **dict(
+                        zip(
+                            ("lower_bounds", "upper_bounds"),
+                            self._file_bounds(data_path, "parquet"),
+                        )
+                    ),
+                },
+            }
+
         entries = []
         for i, pvals in enumerate(groups):
             part_df = current
@@ -1014,34 +1053,57 @@ class IcebergTableWriter:
                 part_df = part_df.filter(
                     self._transform_col(pf) == F.lit(pvals[pf["name"]])
                 )
+            if self._sort_order and (target_files or 1) > 1:
+                # RANGE-CLUSTERED rewrite: the persisted sort order splits
+                # each partition into target_files range files (Spark's
+                # sampled range partitioner), so every file covers a
+                # narrow value interval and the manifest bounds make
+                # stats_filter skip all but the straddling files — the
+                # sort-order + data-skipping composition stock Iceberg's
+                # rewrite (sort strategy) exists for. Executor-side
+                # sort-and-write; no driver materialization.
+                import shutil as _shutil
+                import tempfile as _tempfile
+
+                import pyarrow.parquet as _pq
+
+                stage = _tempfile.mkdtemp(prefix="ice-rewrite-")
+                try:
+                    (
+                        part_df.repartitionByRange(target_files, *self._sort_order)
+                        .sortWithinPartitions(*self._sort_order)
+                        .write.mode("overwrite")
+                        .parquet(stage)
+                    )
+                    parts = sorted(
+                        f for f in os.listdir(stage) if f.endswith(".parquet")
+                    )
+                    for j, part in enumerate(parts):
+                        data_path = os.path.join(
+                            self.data_dir,
+                            f"00000-{self._version}-{self._uuid}-"
+                            f"{i + 1}-{j + 1:05d}.parquet",
+                        )
+                        os.replace(os.path.join(stage, part), data_path)
+                        n_rows = _pq.read_metadata(data_path).num_rows
+                        if n_rows == 0:
+                            os.remove(data_path)  # empty range bucket
+                            continue
+                        entries.append(_entry(data_path, n_rows, pvals))
+                finally:
+                    _shutil.rmtree(stage, ignore_errors=True)
+                continue
             data_path = os.path.join(
                 self.data_dir,
                 f"00000-{self._version}-{self._uuid}-0-{i + 1:05d}.parquet",
             )
+            if self._sort_order:
+                # single-file rewrite still honors the persisted order
+                part_df = part_df.coalesce(1).sortWithinPartitions(
+                    *self._sort_order
+                )
             n_rows = write_single_parquet(part_df, data_path)
-            entries.append(
-                {
-                    "status": STATUS_ADDED,
-                    "snapshot_id": snapshot_id,
-                    "sequence_number": None,
-                    "file_sequence_number": None,
-                    "data_file": {
-                        "content": CONTENT_DATA,
-                        "file_path": data_path,
-                        "file_format": "PARQUET",
-                        "partition": pvals,
-                        "record_count": n_rows,
-                        "file_size_in_bytes": os.path.getsize(data_path),
-                        "equality_ids": None,
-                        **dict(
-                            zip(
-                                ("lower_bounds", "upper_bounds"),
-                                self._file_bounds(data_path, "parquet"),
-                            )
-                        ),
-                    },
-                }
-            )
+            entries.append(_entry(data_path, n_rows, pvals))
         manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
         self._avro.write(
             manifest_path,
@@ -1281,8 +1343,30 @@ class IcebergTableWriter:
                 {"spec-id": 0, "fields": json.loads(self._spec_json)}
             ],
             "last-partition-id": 999 + len(self._partition_fields),
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 1 if self._sort_order else 0,
+            "sort-orders": [{"order-id": 0, "fields": []}]
+            + (
+                [
+                    {
+                        "order-id": 1,
+                        "fields": [
+                            {
+                                "transform": "identity",
+                                "source-id": next(
+                                    f["id"]
+                                    for f in self._schema_json["fields"]
+                                    if f["name"] == c
+                                ),
+                                "direction": "asc",
+                                "null-order": "nulls-first",
+                            }
+                            for c in self._sort_order
+                        ],
+                    }
+                ]
+                if self._sort_order
+                else []
+            ),
             "properties": {},
             "current-snapshot-id": snapshot_id,
             "refs": {

@@ -568,6 +568,43 @@ def source_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maint_iceberg_sort_rewrite",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey BETWEEN 0 AND 5
+""",
+)
+def maint_iceberg_sort_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT-ORDER compaction on the real layout (stock Iceberg's
+    rewrite_data_files sort strategy): three interleaved appends leave
+    every file spanning the whole keyspace (stats skipping provably
+    inert — asserted), then set_sort_order + rewrite_data(target_files=3)
+    produces range-clustered files whose tight manifest bounds let the
+    same stats_filter open strictly fewer files (asserted). The persisted
+    order lands in metadata's sort-orders.
+
+    Scale: clustering is WHY bounds skipping works at 100 TB — the
+    rewrite is one distributed range-partitioned sort-and-write per
+    partition, and every later selective scan pays only boundary files."""
+    from ..catalog.iceberg_format import IcebergTableWriter, scan_iceberg_table
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg-sortrw-")
+    w = IcebergTableWriter(spark, tmp)
+    for m in range(3):
+        w.append(n.filter(F.col("n_nationkey") % 3 == m))
+    pre = scan_iceberg_table(spark, tmp, stats_filter={"n_nationkey": (0, 5)})
+    assert len(pre.inputFiles()) == 3  # interleaved: bounds skip nothing
+    w.set_sort_order(["n_nationkey"])
+    w.rewrite_data(target_files=3)
+    n_files = len(scan_iceberg_table(spark, tmp).inputFiles())
+    post = scan_iceberg_table(spark, tmp, stats_filter={"n_nationkey": (0, 5)})
+    assert len(post.inputFiles()) < n_files  # clustering makes bounds bite
+    back = post.select("n_nationkey", "n_name", "n_regionkey")
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_delta_stats_skipping",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation

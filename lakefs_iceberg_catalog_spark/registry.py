@@ -102,11 +102,10 @@ _SWEEP_PRIORITY = [
     # (drains r1-stale to 0) ...
     "subquery_correlated", "subquery_in", "subquery_scalar", "udaf_pandas",
     "udf_python", "window_analytic", "window_distribution", "window_rank",
-    # ... slots 33-35 = r2-stale keys (3 of the 17; the rest slip below
-    # as newer never-checked keys claimed their slots; the roundtrip trio
-    # and sink_partitioned_parquet yield to never-checked interop keys —
-    # those paths stay covered by the repo's own oracle replay every run) ...
-    "dedup_simhash", "join_anti", "set_except",
+    # ... slots 33-34 = r2-stale keys (2 of the 17; the rest slip below
+    # as newer never-checked keys claimed their slots; the displaced r2
+    # paths stay covered by the repo's own oracle replay every run) ...
+    "dedup_simhash", "join_anti",
     # ... slots 40-45 = the session's six next keys (Iceberg
     # incremental append scan; dynamic-partition-pruning star join;
     # Iceberg compact+expire reclamation; Iceberg schema-evolution
@@ -134,8 +133,11 @@ _SWEEP_PRIORITY = [
     # ... slot 49 = Delta data skipping (add.stats minValues/maxValues,
     # the Delta pair of the manifest-bounds key) ...
     "source_delta_stats_skipping",
+    # ... slot 49 = the sort-order clustered rewrite (stats skipping made
+    # effective by layout) ...
+    "maint_iceberg_sort_rewrite",
     # ---- Past the window: every remaining key ordered by STALENESS ----
-    "sink_partitioned_parquet", "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "set_except", "sink_partitioned_parquet", "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join",
     "stream_tumbling_window", "text_fingerprint", "text_lang_id",

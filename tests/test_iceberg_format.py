@@ -947,3 +947,35 @@ def test_snapshot_summary_stats_and_metadata_log(spark, ice):
     assert len(log) == 1
     assert log[0]["metadata-file"].endswith("v1.metadata.json")
     assert os.path.exists(log[0]["metadata-file"])
+
+
+def test_sorted_clustered_rewrite_enables_stats_skipping(spark, tmp_path):
+    """set_sort_order + rewrite_data(target_files=N): compaction writes N
+    range-clustered files per partition whose tight manifest bounds let
+    stats_filter open only straddling files — the sort-order/data-skipping
+    composition stock Iceberg's sort rewrite strategy exists for. The
+    order persists in metadata (spec sort-orders)."""
+    n = _nation(spark)
+    d = str(tmp_path / "clustered")
+    w = IcebergTableWriter(spark, d)
+    # three interleaved appends: every file spans nearly the full keyspace
+    for m in range(3):
+        w.append(n.filter(f"n_nationkey % 3 = {m}"))
+    pre = scan_iceberg_table(spark, d, stats_filter={"n_nationkey": (0, 5)})
+    assert len(pre.inputFiles()) == 3  # interleaved bounds: nothing skips
+    w.set_sort_order(["n_nationkey"])
+    md = read_table_metadata(d)
+    assert md["default-sort-order-id"] == 1
+    assert md["sort-orders"][1]["fields"][0]["transform"] == "identity"
+    w.rewrite_data(target_files=3)
+    full = scan_iceberg_table(spark, d)
+    assert full.count() == 25
+    n_files = len(full.inputFiles())
+    assert 2 <= n_files <= 3  # range buckets (sampled partitioner)
+    post = scan_iceberg_table(spark, d, stats_filter={"n_nationkey": (0, 5)})
+    assert len(post.inputFiles()) < n_files  # clustering makes bounds bite
+    assert sorted(r["n_nationkey"] for r in post.collect()) == list(range(6))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sort columns not in schema"):
+        w.set_sort_order(["nope"])
