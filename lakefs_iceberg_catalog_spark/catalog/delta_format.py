@@ -413,7 +413,11 @@ class DeltaTableWriter:
         ]
         return self._write_commit(actions)
 
-    def optimize(self) -> int:
+    def optimize(
+        self,
+        zorder_by: list[str] | None = None,
+        target_files: int = 4,
+    ) -> int:
         """OPTIMIZE (bin-packing compaction — the Delta pair of
         iceberg_format's rewrite_data): rewrite the live row set into ONE
         data file per partition tuple and commit the swap with
@@ -426,16 +430,78 @@ class DeltaTableWriter:
         then too). Time travel to pre-OPTIMIZE versions keeps working
         while the tombstoned files exist.
 
+        ``zorder_by`` (OPTIMIZE ... ZORDER BY): quantize each dimension
+        to 8-bit bins over its global min/max, bit-interleave into one
+        Morton key, split into ``target_files`` equal-count key ranges
+        (approxQuantile boundaries, one pass) and sort within each —
+        every file then covers a compact hyper-rectangle so the add.stats
+        min/max stay NARROW ON EVERY zorder column and selective
+        predicates on any dimension skip files via stats_filter (linear
+        clustering only achieves that for its leading column). The same
+        design as the versioned catalog's z-order sink (catalog.py
+        write_df_clustered); the key never reaches the data pages.
+
         Scale: one distributed scan+write sized by live rows; the
         partition-tuple enumeration is a bounded metadata-scale distinct
-        (stock Delta's OPTIMIZE plans per-partition bins the same way)."""
+        (stock Delta's OPTIMIZE plans per-partition bins the same way);
+        the z min/max pre-pass is one parallel aggregate."""
         from ..operators.util import bounded_rows
 
         state = read_delta_log(self.table_dir)
         live = sorted(state["files"])
         current = scan_delta_table(self.spark, self.table_dir)
         pcols = state.get("partition_cols") or []
-        if pcols:
+        if zorder_by:
+            if pcols:
+                raise NotImplementedError("ZORDER over partitioned tables")
+            b = bounded_rows(
+                current.agg(
+                    *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
+                    *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
+                )
+            )[0]
+            nbits = 8
+            bins = []
+            for c in zorder_by:
+                mn = float(b[f"mn_{c}"])
+                span = float(b[f"mx_{c}"]) - mn
+                scaled = (F.col(c).cast("double") - F.lit(mn)) * F.lit(
+                    (2**nbits - 1) / span if span > 0 else 0.0
+                )
+                bins.append(F.floor(scaled).cast("long"))
+            zkey = F.lit(0).cast("long")
+            for bit in range(nbits):
+                for ci, bn in enumerate(bins):
+                    pos = bit * len(bins) + ci
+                    zkey = zkey + F.shiftleft(
+                        F.shiftright(bn, bit).bitwiseAND(F.lit(1)), pos
+                    )
+            zdf = current.withColumn("_zkey", zkey)
+            edges = sorted(
+                set(
+                    zdf.approxQuantile(
+                        "_zkey",
+                        [i / target_files for i in range(1, target_files)],
+                        0.001,
+                    )
+                )
+            )
+            adds = []
+            lo = None
+            for e in edges + [None]:
+                part = zdf
+                if lo is not None:
+                    part = part.filter(F.col("_zkey") > F.lit(lo))
+                if e is not None:
+                    part = part.filter(F.col("_zkey") <= F.lit(e))
+                if bounded_rows(part.limit(1)):  # skip empty key ranges
+                    adds.append(
+                        part.coalesce(1)
+                        .sortWithinPartitions("_zkey")
+                        .drop("_zkey")
+                    )
+                lo = e
+        elif pcols:
             tuples = bounded_rows(
                 current.select(*pcols).distinct(), 10_000
             )

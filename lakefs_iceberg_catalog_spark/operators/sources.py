@@ -568,6 +568,48 @@ def source_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maint_delta_zorder",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders WHERE o_totalprice <= 60000
+""",
+)
+def maint_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY on the real Delta layout: four interleaved
+    commits leave every file spanning the full value space (stats
+    skipping provably inert on both dimensions — asserted), then a
+    Morton-interleave optimize (8-bit bins over global min/max,
+    equal-count key ranges, dataChange=false commit) re-clusters so the
+    SAME stats_filter opens strictly fewer files on EITHER dimension
+    (asserted) — multi-dimensional skipping linear clustering can't give.
+
+    Scale: one distributed scan+write plus a single min/max pre-pass;
+    the Morton key is integer codegen and never reaches the data pages;
+    all skipping afterwards is log-fold metadata work."""
+    from ..catalog.delta_format import DeltaTableWriter, scan_delta_table
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta-zorder-")
+    w = DeltaTableWriter(spark, tmp)
+    for m in range(4):
+        w.commit(add_dfs=[o.filter(F.col("o_orderkey") % 4 == m)])
+    pre = scan_delta_table(spark, tmp, stats_filter={"o_totalprice": (None, 60000.0)})
+    assert len(pre.inputFiles()) == 4  # interleaved: bounds skip nothing
+    w.optimize(zorder_by=["o_custkey", "o_totalprice"], target_files=4)
+    n_files = len(scan_delta_table(spark, tmp).inputFiles())
+    post = scan_delta_table(
+        spark, tmp, stats_filter={"o_totalprice": (None, 60000.0)}
+    )
+    assert len(post.inputFiles()) < n_files  # z-clustering makes bounds bite
+    back = post.select(
+        "o_orderkey", "o_custkey", dround("o_totalprice", 2).alias("total")
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "maint_iceberg_sort_rewrite",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation

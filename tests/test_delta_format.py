@@ -803,3 +803,56 @@ def test_stats_skipping_and_checkpoint_carry(spark, tmp_path):
     again = scan_delta_table(spark, d, stats_filter={"n_nationkey": (12, 15)})
     assert len(again.inputFiles()) == 1
     assert again.count() == 4
+
+
+def test_zorder_optimize_clusters_both_dims(spark, tmp_path):
+    """OPTIMIZE ZORDER: dataChange=false maintenance commit, row set
+    unchanged, stats skipping becomes effective on BOTH z dimensions,
+    and partitioned tables refuse loudly."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+    from lakefs_iceberg_catalog_spark.tables import table as t
+
+    from .conftest import SF_DIR
+
+    o = t(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    d = str(tmp_path / "z")
+    w = DeltaTableWriter(spark, d)
+    for m in range(4):
+        w.commit(add_dfs=[o.filter(F.col("o_orderkey") % 4 == m)])
+    before = scan_delta_table(spark, d)
+    n_before = before.count()
+    v = w.optimize(zorder_by=["o_custkey", "o_totalprice"], target_files=4)
+    after = scan_delta_table(spark, d)
+    assert after.count() == n_before
+    n_files = len(after.inputFiles())
+    for dim, hi in (("o_totalprice", 60000.0), ("o_custkey", 120.0)):
+        pruned = scan_delta_table(spark, d, stats_filter={dim: (None, hi)})
+        assert len(pruned.inputFiles()) < n_files, dim
+        assert pruned.count() == before.filter(F.col(dim) <= hi).count()
+    # the optimize commit is dataChange=false on every action
+    import json as _json
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import _commit_path
+
+    acts = [
+        _json.loads(line)
+        for line in open(_commit_path(d, v)).read().splitlines()
+        if line.strip()
+    ]
+    bodies = [a.get("add") or a.get("remove") for a in acts]
+    assert all(b["dataChange"] is False for b in bodies if b is not None)
+    import pytest as _pytest
+
+    dp = str(tmp_path / "zp")
+    wp = DeltaTableWriter(spark, dp)
+    wp.commit(
+        add_dfs=[o.limit(10).withColumn("p", F.lit("a"))], partition_cols=["p"]
+    )
+    with _pytest.raises(NotImplementedError, match="ZORDER over partitioned"):
+        wp.optimize(zorder_by=["o_custkey"])
