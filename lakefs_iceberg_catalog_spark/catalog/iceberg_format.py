@@ -474,6 +474,9 @@ class IcebergTableWriter:
         self._refs: dict[str, dict] = {}  # named tags/branches beside main
         self._metadata_log: list[dict] = []  # previous metadata files
         self._sort_order: list[str] = []  # persisted table sort order
+        self._spec_id = 0  # current (default) partition spec id
+        self._old_specs: list[dict] = []  # frozen earlier partition specs
+        self._next_partition_field_id = 1000  # spec: globally unique ids
         self._file_format = file_format
 
     def _resolve_partition_fields(self) -> None:
@@ -484,7 +487,7 @@ class IcebergTableWriter:
         the hidden-partitioning spec stock Iceberg writes."""
         by_name = {f["name"]: f for f in self._schema_json["fields"]}
         self._partition_fields = []
-        for i, entry in enumerate(self._partition_by):
+        for entry in self._partition_by:
             src, kind, param = _parse_partition_spec(entry)
             f = by_name.get(src)
             if f is None:
@@ -513,7 +516,7 @@ class IcebergTableWriter:
                     "name": name,
                     "transform": tstr,
                     "source-id": f["id"],
-                    "field-id": 1000 + i,
+                    "field-id": self._next_partition_field_id,
                     "ice_type": res_t,
                     "source_name": src,
                     "src_type": src_t,
@@ -521,6 +524,7 @@ class IcebergTableWriter:
                     "param": param,
                 }
             )
+            self._next_partition_field_id += 1
 
     def _transform_col(self, pf: dict):
         """Spark expression computing pf's TRANSFORMED partition value per
@@ -687,7 +691,7 @@ class IcebergTableWriter:
             meta={
                 "schema": json.dumps(self._schema_json),
                 "partition-spec": self._spec_json,
-                "partition-spec-id": "0",
+                "partition-spec-id": str(self._spec_id),
                 "format-version": "2",
                 "content": "data",
             },
@@ -697,7 +701,7 @@ class IcebergTableWriter:
             {
                 "manifest_path": manifest_path,
                 "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": self._spec_id,
                 "content": 0,
                 "sequence_number": self._sequence,
                 "min_sequence_number": self._sequence,
@@ -777,7 +781,7 @@ class IcebergTableWriter:
             meta={
                 "schema": json.dumps(self._schema_json),
                 "partition-spec": "[]",
-                "partition-spec-id": "0",
+                "partition-spec-id": str(self._spec_id),
                 "format-version": "2",
                 "content": "deletes",
             },
@@ -787,7 +791,7 @@ class IcebergTableWriter:
             {
                 "manifest_path": manifest_path,
                 "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": self._spec_id,
                 "content": 1,
                 "sequence_number": self._sequence,
                 "min_sequence_number": self._sequence,
@@ -880,7 +884,7 @@ class IcebergTableWriter:
             meta={
                 "schema": json.dumps(self._schema_json),
                 "partition-spec": "[]",
-                "partition-spec-id": "0",
+                "partition-spec-id": str(self._spec_id),
                 "format-version": "2",
                 "content": "deletes",
             },
@@ -890,7 +894,7 @@ class IcebergTableWriter:
             {
                 "manifest_path": manifest_path,
                 "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": self._spec_id,
                 "content": 1,
                 "sequence_number": self._sequence,
                 "min_sequence_number": self._sequence,
@@ -962,6 +966,26 @@ class IcebergTableWriter:
     # a table with more live partitions than this needs a scoped rewrite,
     # not a bigger driver list.
     REWRITE_PARTITION_CEILING = 10_000
+
+    def evolve_partition_spec(self, partition_by: list[str]) -> None:
+        """PARTITION SPEC EVOLUTION (stock Iceberg's ALTER TABLE ADD/DROP
+        PARTITION FIELD): freeze the current spec, install a new default
+        spec as a METADATA-ONLY commit — zero data rewritten. Files
+        already written keep their old spec id (manifests record it), new
+        appends use the new layout, and scans prune each file by ITS OWN
+        spec (hidden_filter projects the predicate through every spec's
+        transforms). Partition field ids stay globally unique across
+        specs, per the spec."""
+        if self._schema_json is None:
+            raise ValueError("no schema yet: append before evolving the spec")
+        self._old_specs.append(
+            {"spec-id": self._spec_id, "fields": json.loads(self._spec_json)}
+        )
+        self._spec_id += 1
+        self._partition_by = list(partition_by)
+        self._resolve_partition_fields()
+        self._version += 1
+        self._write_metadata(int(time.time() * 1000))
 
     def set_sort_order(self, columns: list[str]) -> None:
         """Persist a table SORT ORDER (spec `sort-orders` +
@@ -1112,7 +1136,7 @@ class IcebergTableWriter:
             meta={
                 "schema": json.dumps(self._schema_json),
                 "partition-spec": self._spec_json,
-                "partition-spec-id": "0",
+                "partition-spec-id": str(self._spec_id),
                 "format-version": "2",
                 "content": "data",
             },
@@ -1123,7 +1147,7 @@ class IcebergTableWriter:
             {
                 "manifest_path": manifest_path,
                 "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": self._spec_id,
                 "content": 0,
                 "sequence_number": self._sequence,
                 "min_sequence_number": self._sequence,
@@ -1338,11 +1362,10 @@ class IcebergTableWriter:
             or len(self._schema_json["fields"]),
             "current-schema-id": self._schema_json["schema-id"],
             "schemas": self._schemas or [self._schema_json],
-            "default-spec-id": 0,
-            "partition-specs": [
-                {"spec-id": 0, "fields": json.loads(self._spec_json)}
-            ],
-            "last-partition-id": 999 + len(self._partition_fields),
+            "default-spec-id": self._spec_id,
+            "partition-specs": self._old_specs
+            + [{"spec-id": self._spec_id, "fields": json.loads(self._spec_json)}],
+            "last-partition-id": self._next_partition_field_id - 1,
             "default-sort-order-id": 1 if self._sort_order else 0,
             "sort-orders": [{"order-id": 0, "fields": []}]
             + (
@@ -1564,7 +1587,12 @@ def iceberg_snapshot_files(
             if seq is None:
                 # inheritance: ADDED entries take the manifest's number
                 seq = mf["sequence_number"]
-            rec = {**data_file, "sequence_number": seq, "_write_schema": ws_str}
+            rec = {
+                **data_file,
+                "sequence_number": seq,
+                "_write_schema": ws_str,
+                "_spec_id": mf.get("partition_spec_id", 0),
+            }
             if data_file["content"] == CONTENT_DATA:
                 rec["_bounds"] = _decode_bounds(data_file)
                 data.append(rec)
@@ -1791,35 +1819,33 @@ def scan_iceberg_table(
         schemas[-1],
     )
     hidden_residuals: list[tuple[str, object]] = []
+    spec_derived: dict[int, dict] = {}
+    all_specs = metadata.get("partition-specs", [])
+    default_spec_id = metadata.get("default-spec-id", 0)
     if hidden_filter:
-        spec = next(
-            s
-            for s in metadata.get("partition-specs", [])
-            if s.get("spec-id") == metadata.get("default-spec-id", 0)
-        )
+        # project the SOURCE-column predicate through EVERY spec's
+        # transforms: after spec evolution each file prunes by its own
+        # spec; files whose spec has no matching field are read (and the
+        # row residual makes the result exact)
         by_id = {f["id"]: f for f in cur_schema["fields"]}
-        derived: dict = {}
-        for col, v in hidden_filter.items():
-            matches = [
-                fld
-                for fld in spec.get("fields", [])
-                if by_id.get(fld.get("source-id"), {}).get("name") == col
-            ]
-            if not matches:
-                raise ValueError(
-                    f"hidden_filter column {col!r} feeds no partition field"
-                )
-            for fld in matches:
-                derived[fld["name"]] = apply_iceberg_transform(
-                    fld["transform"], v, by_id[fld["source-id"]]["type"]
-                )
-            hidden_residuals.append((col, v))
-        partition_filter = {**(partition_filter or {}), **derived}
+        for sp in all_specs:
+            d: dict = {}
+            for fld in sp.get("fields", []):
+                src = by_id.get(fld.get("source-id"))
+                if src is not None and src["name"] in hidden_filter:
+                    d[fld["name"]] = apply_iceberg_transform(
+                        fld["transform"], hidden_filter[src["name"]], src["type"]
+                    )
+            spec_derived[sp.get("spec-id", 0)] = d
+        if not any(spec_derived.values()):
+            raise ValueError(
+                f"hidden_filter columns {sorted(hidden_filter)} feed no "
+                "partition field"
+            )
+        hidden_residuals = list(hidden_filter.items())
     if partition_filter:
         spec = next(
-            s
-            for s in metadata.get("partition-specs", [])
-            if s.get("spec-id") == metadata.get("default-spec-id", 0)
+            s for s in all_specs if s.get("spec-id") == default_spec_id
         )
         spec_cols = {f["name"] for f in spec.get("fields", [])}
         unknown = set(partition_filter) - spec_cols
@@ -1828,13 +1854,27 @@ def scan_iceberg_table(
                 f"partition_filter on non-partition columns: {sorted(unknown)}"
             )
     # the walker prunes whole MANIFESTS by the manifest list's partition
-    # summaries (advisory); the exact per-file filter below still applies
+    # summaries (advisory, per each manifest's own spec); the exact
+    # per-file filters below still apply
+    walker_filter = dict(partition_filter or {})
+    for d in spec_derived.values():
+        walker_filter.update(d)
     data, deletes = iceberg_snapshot_files(
-        table_dir, snapshot_id, version, partition_filter=partition_filter
+        table_dir, snapshot_id, version, partition_filter=walker_filter or None
     )
-    if not data and not partition_filter:
+    if not data and not walker_filter:
         raise ValueError(f"snapshot has no data files under {table_dir}")
     if partition_filter:
+        # the exact field-name filter is only sound when every file shares
+        # the DEFAULT spec — on a spec-evolved table use hidden_filter,
+        # which prunes each file by its own spec
+        mixed = {f.get("_spec_id", 0) for f in data} - {default_spec_id}
+        if mixed:
+            raise NotImplementedError(
+                f"partition_filter over a spec-evolved table (files under "
+                f"specs {sorted(mixed)} besides the default) — use "
+                "hidden_filter"
+            )
         data = [
             f
             for f in data
@@ -1845,6 +1885,22 @@ def scan_iceberg_table(
         ]
         if not data:
             raise ValueError("no data files match the partition filter")
+    if spec_derived:
+        data = [
+            f
+            for f in data
+            if all(
+                (f.get("partition") or {}).get(k) == v
+                for k, v in spec_derived.get(f.get("_spec_id", 0), {}).items()
+            )
+        ]
+        if not data:
+            # the predicate provably hits no partition: exact empty result
+            ddl = ", ".join(
+                f"`{f['name']}` {_spark_type_of(f['type'])}"
+                for f in cur_schema["fields"]
+            )
+            return spark.createDataFrame([], ddl)
     if stats_filter:
         known = {f["name"] for f in cur_schema["fields"]}
         unknown = set(stats_filter) - known

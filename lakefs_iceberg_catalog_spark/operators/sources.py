@@ -568,6 +568,51 @@ def source_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_iceberg_spec_evolution",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey BETWEEN 10 AND 13
+""",
+)
+def source_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION SPEC EVOLUTION on the real layout (ALTER TABLE ADD/DROP
+    PARTITION FIELD): identity(n_regionkey) files for regions 0-1 are
+    frozen under spec 0, a metadata-only commit installs
+    truncate(n_nationkey, 10) as spec 1, and the remaining rows append
+    under the new layout — zero data rewritten (spec ids per manifest,
+    globally unique partition field ids). hidden_filter then prunes EACH
+    FILE BY ITS OWN SPEC: old-spec files are kept and row-filtered, only
+    the matching new-spec range file opens (input-file count asserted);
+    partition_filter refuses mixed-spec tables loudly.
+
+    Scale: spec evolution is THE mechanism for repartitioning a 100 TB
+    table without rewriting it — per-file spec dispatch costs nothing in
+    the driver walk, and every spec's transforms keep pruning."""
+    from ..catalog.iceberg_format import IcebergTableWriter, scan_iceberg_table
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg-specevo-")
+    w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
+    for rk in (0, 1):
+        w.append(n.filter(F.col("n_regionkey") == rk))
+    w.evolve_partition_spec(["truncate(n_nationkey, 10)"])
+    rest = n.filter(F.col("n_regionkey") >= 2)
+    for lo in (0, 10, 20):
+        w.append(rest.filter(F.col("n_nationkey").between(lo, lo + 9)))
+    assert scan_iceberg_table(spark, tmp).count() == n.count()
+    pruned = scan_iceberg_table(spark, tmp, hidden_filter={"n_nationkey": 10})
+    # 2 kept old-spec files + exactly 1 of 3 new-spec range files
+    assert len(pruned.inputFiles()) == 3
+    back = None
+    for k in (10, 11, 12, 13):
+        part = scan_iceberg_table(
+            spark, tmp, hidden_filter={"n_nationkey": k}
+        ).select("n_nationkey", "n_name", "n_regionkey")
+        back = part if back is None else back.unionByName(part)
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "maint_delta_zorder",
     oracle="""
 SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total

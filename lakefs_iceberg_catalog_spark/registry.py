@@ -102,10 +102,9 @@ _SWEEP_PRIORITY = [
     # (drains r1-stale to 0) ...
     "subquery_correlated", "subquery_in", "subquery_scalar", "udaf_pandas",
     "udf_python", "window_analytic", "window_distribution", "window_rank",
-    # ... slot 33 = the last windowed r2-stale key (the rest slip below
-    # as newer never-checked keys claimed their slots; displaced r2 paths
-    # stay covered by the repo's own oracle replay every run) ...
-    "dedup_simhash",
+    # (all r2-stale keys now slip below — newer never-checked keys claimed
+    # their slots; displaced paths stay covered by the repo's own oracle
+    # replay every run) ...
     # ... slots 40-45 = the session's six next keys (Iceberg
     # incremental append scan; dynamic-partition-pruning star join;
     # Iceberg compact+expire reclamation; Iceberg schema-evolution
@@ -139,8 +138,11 @@ _SWEEP_PRIORITY = [
     # ... slot 49 = OPTIMIZE ZORDER (multi-dimensional skipping on the
     # real Delta layout) ...
     "maint_delta_zorder",
+    # ... slot 49 = real-layout partition spec evolution with per-file
+    # spec dispatch ...
+    "source_iceberg_spec_evolution",
     # ---- Past the window: every remaining key ordered by STALENESS ----
-    "join_anti", "set_except", "sink_partitioned_parquet", "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet", "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join",
     "stream_tumbling_window", "text_fingerprint", "text_lang_id",

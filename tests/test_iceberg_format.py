@@ -885,7 +885,7 @@ def test_hidden_partition_transforms_write_scan_prune(spark, tmp_path):
     # unknown source column refuses loudly
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="feeds no partition field"):
+    with _pytest.raises(ValueError, match="feed no partition field"):
         scan_iceberg_table(spark, d2, hidden_filter={"n_name": "KENYA"})
     # schema evolution guard still resolves transform sources
     with _pytest.raises(ValueError, match="partition source"):
@@ -979,3 +979,55 @@ def test_sorted_clustered_rewrite_enables_stats_skipping(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="sort columns not in schema"):
         w.set_sort_order(["nope"])
+
+
+def test_partition_spec_evolution_per_file_pruning(spark, tmp_path):
+    """ALTER-TABLE-style PARTITION SPEC EVOLUTION: a metadata-only commit
+    installs a new default spec; old files keep their spec id and layout
+    (zero rewrite), new appends use the new one, and hidden_filter prunes
+    EACH FILE BY ITS OWN SPEC — old-spec files lacking the field are kept
+    and row-filtered exactly. partition_filter refuses mixed-spec tables
+    loudly."""
+    n = _nation(spark)
+    d = str(tmp_path / "specevo")
+    # spec 0: identity on n_regionkey — one append for regions 0-1
+    w = IcebergTableWriter(spark, d, partition_by=["n_regionkey"])
+    for rk in (0, 1):
+        w.append(n.filter(f"n_regionkey = {rk}"))
+    w.evolve_partition_spec(["truncate(n_nationkey, 10)"])
+    md = read_table_metadata(d)
+    assert md["default-spec-id"] == 1
+    assert [sp["spec-id"] for sp in md["partition-specs"]] == [0, 1]
+    # field ids stay globally unique across specs
+    ids = [f["field-id"] for sp in md["partition-specs"] for f in sp["fields"]]
+    assert ids == [1000, 1001]
+    # spec 1 appends: the remaining regions, keyed by nationkey ranges
+    rest = n.filter("n_regionkey >= 2")
+    for lo in (0, 10, 20):
+        w.append(rest.filter(f"n_nationkey >= {lo} and n_nationkey < {lo + 10}"))
+    full = scan_iceberg_table(spark, d)
+    assert full.count() == 25
+    # hidden_filter on the NEW spec's source column: new-spec files prune
+    # by range, OLD-spec files are kept (they may hold matching rows) and
+    # the residual keeps the result exact
+    h = scan_iceberg_table(spark, d, hidden_filter={"n_nationkey": 13})
+    got = [r["n_nationkey"] for r in h.collect()]
+    assert got == [13]
+    # 2 old-spec files (kept) + exactly 1 of 3 new-spec files
+    assert len(h.inputFiles()) == 3
+    # hidden_filter on the OLD spec's source column: old files prune,
+    # new-spec files are kept and row-filtered
+    h2 = scan_iceberg_table(spark, d, hidden_filter={"n_regionkey": 1})
+    assert {r["n_regionkey"] for r in h2.collect()} == {1}
+    assert len(h2.inputFiles()) == 4  # 1 of 2 old files + all 3 new files
+    import pytest as _pytest
+
+    # old-spec column: rejected by default-spec validation
+    with _pytest.raises(ValueError, match="non-partition columns"):
+        scan_iceberg_table(spark, d, partition_filter={"n_regionkey": 1})
+    # default-spec field over mixed-spec files: the exact-field filter
+    # cannot be applied to old files — loud refusal, use hidden_filter
+    with _pytest.raises(NotImplementedError, match="spec-evolved"):
+        scan_iceberg_table(
+            spark, d, partition_filter={"n_nationkey_trunc": 10}
+        )
