@@ -112,11 +112,20 @@ class DeltaTableWriter:
         data_change: bool = True,
         operation: str | None = None,
         generated: dict[str, str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """One commit: write each DataFrame as a parquet data file (`add`)
         and/or drop previously added files (`remove`). The first commit
         also stamps protocol + metaData (with ``partition_cols`` as the
         spec's partitionColumns when given).
+
+        ``txn=(appId, version)`` is the protocol's STREAMING IDEMPOTENCE
+        marker: the commit records a `txn` action, and a commit whose
+        (appId, version) is <= the log's latest for that appId is SKIPPED
+        ENTIRELY (returns the current version, writes nothing) — exactly
+        how stock Delta sinks make micro-batch retries exactly-once. The
+        latest versions fold from the log and survive checkpoint
+        truncation (checkpoints carry txn rows).
 
         Partitioned adds follow the Delta protocol: each add action's
         ``partitionValues`` records the string-encoded partition values,
@@ -128,6 +137,21 @@ class DeltaTableWriter:
 
         actions: list[dict] = []
         now_ms = int(time.time() * 1000)
+        if txn is not None and self._version >= 0:
+            app, ver = txn
+            seen = read_delta_log(self.table_dir).get("txns", {}).get(app)
+            if seen is not None and int(ver) <= seen:
+                return self._version  # duplicate epoch delivery: no-op
+        if txn is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn[0],
+                        "version": int(txn[1]),
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
         if self._version < 0:
             schema_df = (add_dfs or [None])[0]
             if schema_df is None:
@@ -574,6 +598,17 @@ class DeltaTableWriter:
         proto_row = state.get(
             "protocol", {"minReaderVersion": 1, "minWriterVersion": 2}
         )
+        txn_t = pa.struct(
+            [
+                ("appId", pa.string()),
+                ("version", pa.int64()),
+                ("lastUpdated", pa.int64()),
+            ]
+        )
+        txns = [
+            {"appId": app, "version": ver, "lastUpdated": None}
+            for app, ver in sorted((state.get("txns") or {}).items())
+        ]
         adds = [
             {
                 "path": a["path"],
@@ -586,12 +621,13 @@ class DeltaTableWriter:
             }
             for a in state["files"].values()
         ]
-        n = 2 + len(adds)
+        n = 2 + len(adds) + len(txns)
         tbl = pa.table(
             {
                 "protocol": pa.array([proto_row] + [None] * (n - 1), protocol_t),
                 "metaData": pa.array([None, meta_row] + [None] * (n - 2), meta_t),
-                "add": pa.array([None, None] + adds, add_t),
+                "add": pa.array([None, None] + adds + [None] * len(txns), add_t),
+                "txn": pa.array([None] * (2 + len(adds)) + txns, txn_t),
             }
         )
         log_dir = os.path.join(self.table_dir, _LOG_DIR)
@@ -749,6 +785,10 @@ def _fold_checkpoint(log_dir: str, lc: dict, state: dict) -> None:
                 # tombstone of an already-removed file (kept for VACUUM):
                 # it is not in the live set; popping is a harmless no-op
                 state["files"].pop(row["remove"]["path"], None)
+            elif row.get("txn") is not None:
+                state.setdefault("txns", {})[row["txn"]["appId"]] = int(
+                    row["txn"]["version"]
+                )
 
 
 def delta_table_changes(
@@ -952,7 +992,7 @@ def read_delta_log(table_dir: str, version: int | None = None) -> dict:
     if stop > head or stop < 0:
         raise ValueError(f"Delta version {stop} does not exist (head is {head})")
 
-    state: dict = {"version": stop, "schema_json": None, "files": {}}
+    state: dict = {"version": stop, "schema_json": None, "files": {}, "txns": {}}
     if lc is not None and stop >= cp_v:
         _fold_checkpoint(log_dir, lc, state)
         need = list(range(cp_v + 1, stop + 1))
@@ -982,6 +1022,12 @@ def read_delta_log(table_dir: str, version: int | None = None) -> dict:
                     state["files"][action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     state["files"].pop(action["remove"]["path"], None)
+                elif "txn" in action:
+                    # streaming-writer idempotence marker (protocol
+                    # `txn`): latest committed version per appId
+                    state["txns"][action["txn"]["appId"]] = int(
+                        action["txn"]["version"]
+                    )
     if state["schema_json"] is None:
         raise ValueError("Delta log has no metaData action")
     return state

@@ -133,6 +133,7 @@ def test_checkpoint_remove_tombstones_tolerated(spark, delta):
             "protocol": pa.array([None], t.column("protocol").type),
             "metaData": pa.array([None], t.column("metaData").type),
             "add": pa.array([None], t.column("add").type),
+            "txn": pa.array([None], t.column("txn").type),
             "remove": pa.array(
                 [{"path": "gone.parquet", "deletionTimestamp": 1, "dataChange": True}],
                 remove_t,
@@ -856,3 +857,38 @@ def test_zorder_optimize_clusters_both_dims(spark, tmp_path):
     )
     with _pytest.raises(NotImplementedError, match="ZORDER over partitioned"):
         wp.optimize(zorder_by=["o_custkey"])
+
+
+def test_txn_idempotence_and_checkpoint_carry(spark, tmp_path):
+    """The protocol txn action: commits gated by the log's latest
+    (appId, version); duplicate deliveries are complete no-ops; txn state
+    folds from JSON commits AND survives checkpoint truncation."""
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+
+    n = _nation(spark)
+    d = str(tmp_path / "txn")
+    w = DeltaTableWriter(spark, d)
+    v0 = w.commit(add_dfs=[n.where("n_nationkey < 12")], txn=("app", 0))
+    v1 = w.commit(add_dfs=[n.where("n_nationkey >= 12")], txn=("app", 1))
+    assert (v0, v1) == (0, 1)
+    assert scan_delta_table(spark, d).count() == 25
+    # duplicate delivery: no new version, no new rows
+    assert w.commit(add_dfs=[n.where("n_nationkey >= 12")], txn=("app", 1)) == 1
+    assert scan_delta_table(spark, d).count() == 25
+    assert read_delta_log(d)["txns"] == {"app": 1}
+    # a different appId is independent
+    v2 = w.commit(add_dfs=[n.where("n_nationkey = 0")], txn=("other", 0))
+    assert v2 == 2 and scan_delta_table(spark, d).count() == 26
+    # checkpoint + truncate: txn state must survive in the checkpoint rows
+    w.checkpoint()
+    for f in (tmp_path / "txn" / "_delta_log").glob("0*.json"):
+        f.unlink()
+    assert read_delta_log(d)["txns"] == {"app": 1, "other": 0}
+    assert (
+        w.commit(add_dfs=[n.where("n_nationkey = 1")], txn=("app", 1)) == 2
+    )  # still gated after truncation
+    assert scan_delta_table(spark, d).count() == 26
