@@ -541,6 +541,40 @@ class DeltaTableWriter:
             add_dfs=adds, remove=live, data_change=False, operation="OPTIMIZE"
         )
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF (stock Delta's RESTORE): one
+        metadata-only commit whose adds/removes flip the live FILE SET back
+        to the target version's — re-adding files that were live then
+        (their original add actions, stats included) and tombstoning files
+        added since. No data is copied or rewritten; history is preserved
+        (the restore is itself a new version, so the 'undo' can be undone).
+
+        Scale: O(changed files) log actions, zero data IO — the reason
+        RESTORE is instant at any table size. Files physically deleted by
+        VACUUM cannot be restored; the fold would surface the missing file
+        at scan time, matching stock behavior."""
+        target = read_delta_log(self.table_dir, version)
+        cur = read_delta_log(self.table_dir)
+        actions: list[dict] = []
+        now_ms = int(time.time() * 1000)
+        for rel, a in sorted(target["files"].items()):
+            if rel not in cur["files"]:
+                actions.append({"add": {**a, "dataChange": True}})
+        for rel in sorted(set(cur["files"]) - set(target["files"])):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.append(
+            {"commitInfo": {"timestamp": now_ms, "operation": "RESTORE"}}
+        )
+        return self._write_commit(actions)
+
     def checkpoint(self) -> int:
         """Write a checkpoint of the CURRENT state: one
         ``<version>.checkpoint.parquet`` holding protocol + metaData + one

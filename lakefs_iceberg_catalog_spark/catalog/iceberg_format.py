@@ -474,6 +474,8 @@ class IcebergTableWriter:
         self._refs: dict[str, dict] = {}  # named tags/branches beside main
         self._metadata_log: list[dict] = []  # previous metadata files
         self._sort_order: list[str] = []  # persisted table sort order
+        self._pending_summary: dict = {}  # extra summary keys, next commit
+        self._current_snapshot_id: int | None = None  # head pointer
         self._spec_id = 0  # current (default) partition spec id
         self._old_specs: list[dict] = []  # frozen earlier partition specs
         self._next_partition_field_id = 1000  # spec: globally unique ids
@@ -608,14 +610,42 @@ class IcebergTableWriter:
             uppers.append({"key": f["id"], "value": ub})
         return (lowers or None), (uppers or None)
 
-    def append(self, df: DataFrame, file_format: str | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        file_format: str | None = None,
+        epoch: tuple[str, int] | None = None,
+    ) -> int:
         """Commit one append snapshot of ``df``; returns the snapshot id.
         On a partitioned table each append must be single-valued in the
         partition columns (one data file = one partition tuple, the shape
         per-partition writer tasks produce); the values land TYPED in the
         manifest entry's partition struct. ``file_format`` overrides the
         table default per append — Iceberg's format is a per-data-file
-        property, so one table may mix parquet and ORC files."""
+        property, so one table may mix parquet and ORC files.
+
+        ``epoch=(appId, id)`` is streaming exactly-once the way Iceberg's
+        own Spark/Flink sinks do it: the epoch id is recorded in the
+        snapshot SUMMARY, and an append whose id is <= the app's latest
+        committed epoch is SKIPPED entirely (returns the current snapshot
+        id) — duplicate micro-batch deliveries become no-ops gated by
+        table metadata, never a data comparison."""
+        if epoch is not None:
+            app, eid = epoch
+            latest = max(
+                (
+                    int(s["summary"]["streaming-epoch"])
+                    for s in self._snapshots
+                    if (s.get("summary") or {}).get("streaming-app-id") == app
+                ),
+                default=None,
+            )
+            if latest is not None and int(eid) <= latest:
+                return self._snapshots[-1]["snapshot-id"]
+            self._pending_summary = {
+                "streaming-app-id": app,
+                "streaming-epoch": str(int(eid)),
+            }
         fmt = file_format or self._file_format
         if fmt not in ("parquet", "orc"):
             raise ValueError(f"unsupported data file format {fmt!r}")
@@ -933,6 +963,7 @@ class IcebergTableWriter:
         del_m = [m for m in self._manifests if m.get("content", 0) != 0]
         summary = {
             "operation": operation,
+            **self._pending_summary,
             "added-data-files": str(
                 sum(m["added_files_count"] for m in added if m.get("content", 0) == 0)
             ),
@@ -946,6 +977,7 @@ class IcebergTableWriter:
             "total-delete-files": str(sum(m["added_files_count"] for m in del_m)),
             "total-records": str(sum(m["added_rows_count"] for m in data_m)),
         }
+        self._pending_summary = {}
         snap = {
             "snapshot-id": snapshot_id,
             "sequence-number": self._sequence,
@@ -954,9 +986,12 @@ class IcebergTableWriter:
             "manifest-list": list_path,
             "schema-id": 0,
         }
-        if self._snapshots:
+        if self._current_snapshot_id is not None:
+            snap["parent-snapshot-id"] = self._current_snapshot_id
+        elif self._snapshots:
             snap["parent-snapshot-id"] = self._snapshots[-1]["snapshot-id"]
         self._snapshots.append(snap)
+        self._current_snapshot_id = snapshot_id
         self._write_metadata(now_ms)
         return snapshot_id
 
@@ -966,6 +1001,27 @@ class IcebergTableWriter:
     # a table with more live partitions than this needs a scoped rewrite,
     # not a bigger driver list.
     REWRITE_PARTITION_CEILING = 10_000
+
+    def rollback_to_snapshot(self, snapshot_id: int) -> None:
+        """ROLLBACK (stock Iceberg's rollback_to_snapshot CALL procedure):
+        point current-snapshot-id (and main) back at an EXISTING snapshot —
+        one metadata.json write, zero data or manifest IO; later snapshots
+        stay in history (expire is what reclaims them). The spec's whole
+        time-travel story: state is a pointer."""
+        keep = next(
+            (s for s in self._snapshots if s["snapshot-id"] == snapshot_id),
+            None,
+        )
+        if keep is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        self._current_snapshot_id = snapshot_id
+        self._manifests = [
+            m
+            for m in self._manifests
+            if m["sequence_number"] <= keep["sequence-number"]
+        ]
+        self._version += 1
+        self._write_metadata(int(time.time() * 1000))
 
     def evolve_partition_spec(self, partition_by: list[str]) -> None:
         """PARTITION SPEC EVOLUTION (stock Iceberg's ALTER TABLE ADD/DROP
@@ -1351,7 +1407,11 @@ class IcebergTableWriter:
         self._evolve_schema([dict(f) for f in fields if f["name"] != name])
 
     def _write_metadata(self, now_ms: int) -> None:
-        snapshot_id = self._snapshots[-1]["snapshot-id"]
+        snapshot_id = (
+            self._current_snapshot_id
+            if self._current_snapshot_id is not None
+            else self._snapshots[-1]["snapshot-id"]
+        )
         metadata = {
             "format-version": 2,
             "table-uuid": self._uuid,

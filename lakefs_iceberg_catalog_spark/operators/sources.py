@@ -568,6 +568,88 @@ def source_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maint_delta_restore",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def maint_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF on the real Delta log: after a
+    destructive remove commit, one METADATA-ONLY restore commit flips the
+    live file set back to the pre-delete version (original add actions
+    re-added with their stats, newer files tombstoned) — zero data copied,
+    history preserved (the pre-restore version stays readable, asserted
+    mid-flow), full nation rows back.
+
+    Scale: O(changed files) log actions at any table size — why stock
+    RESTORE is instant on 100 TB tables."""
+    import json as _json
+
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        _commit_path,
+        scan_delta_table,
+    )
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta-restore-")
+    w = DeltaTableWriter(spark, tmp)
+    w.commit(add_dfs=[n.filter("n_nationkey < 12")])
+    w.commit(add_dfs=[n.filter("n_nationkey >= 12")])
+    v0_files = [
+        _json.loads(line)["add"]["path"]
+        for line in open(_commit_path(tmp, 0)).read().splitlines()
+        if '"add"' in line
+    ]
+    w.commit(remove=v0_files)  # destructive delete of the low keys
+    assert scan_delta_table(spark, tmp).count() < n.count()
+    w.restore(1)
+    assert scan_delta_table(spark, tmp, version=2).count() < n.count()
+    back = scan_delta_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "maint_iceberg_rollback",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey < 12
+""",
+)
+def maint_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK on the real Iceberg layout (the rollback_to_snapshot CALL
+    procedure): current-snapshot-id and main point back at the first
+    snapshot in ONE metadata.json write — zero data or manifest IO, later
+    snapshots stay in history (asserted mid-flow), and the next append
+    would chain its parent to the rollback target.
+
+    Scale: state is a pointer — rollback of a 100 TB table costs one
+    small JSON write, the core of Iceberg's time-travel story."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        read_table_metadata,
+        scan_iceberg_table,
+    )
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg-rollback-")
+    w = IcebergTableWriter(spark, tmp)
+    s1 = w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"))
+    assert scan_iceberg_table(spark, tmp).count() == n.count()
+    w.rollback_to_snapshot(s1)
+    md = read_table_metadata(tmp)
+    assert md["current-snapshot-id"] == s1
+    assert len(md["snapshots"]) == 2  # history intact, pointer moved
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_iceberg_spec_evolution",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation

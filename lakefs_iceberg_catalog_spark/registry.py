@@ -142,10 +142,10 @@ _SWEEP_PRIORITY = [
     # spec dispatch ...
     "source_iceberg_spec_evolution",
     # ---- Past the window: every remaining key ordered by STALENESS ----
-    # (head: the session's last never-checked key — the window is full and
+    # (head: the session's last never-checked keys — the window is full and
     # VERDICT r6 #4's r1-stale drain keeps slots 25-32; first in line for
     # the round-8 window)
-    "stream_sink_delta",
+    "stream_sink_delta", "maint_delta_restore", "maint_iceberg_rollback",
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet", "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join",

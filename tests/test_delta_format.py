@@ -892,3 +892,33 @@ def test_txn_idempotence_and_checkpoint_carry(spark, tmp_path):
         w.commit(add_dfs=[n.where("n_nationkey = 1")], txn=("app", 1)) == 2
     )  # still gated after truncation
     assert scan_delta_table(spark, d).count() == 26
+
+
+def test_restore_to_version(spark, tmp_path):
+    """RESTORE: one metadata-only commit flips the live file set back;
+    history is preserved and the restore itself is undoable."""
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+
+    n = _nation(spark)
+    d = str(tmp_path / "restore")
+    w = DeltaTableWriter(spark, d)
+    w.commit(add_dfs=[n.where("n_nationkey < 12")])       # v0: 12 rows
+    w.commit(add_dfs=[n.where("n_nationkey >= 12")])      # v1: 25 rows
+    v0_files = sorted(read_delta_log(d, 0)["files"])
+    w.commit(remove=v0_files)                             # v2: 13 rows
+    assert scan_delta_table(spark, d).count() == 13
+    v3 = w.restore(1)
+    assert v3 == 3
+    assert scan_delta_table(spark, d).count() == 25
+    # restored adds carry their ORIGINAL stats (skipping still works)
+    pruned = scan_delta_table(spark, d, stats_filter={"n_nationkey": (0, 3)})
+    assert len(pruned.inputFiles()) == 1 and pruned.count() == 4
+    # history preserved: every prior version still readable
+    assert scan_delta_table(spark, d, version=2).count() == 13
+    # the restore is itself undoable
+    w.restore(2)
+    assert scan_delta_table(spark, d).count() == 13

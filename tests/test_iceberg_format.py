@@ -1031,3 +1031,40 @@ def test_partition_spec_evolution_per_file_pruning(spark, tmp_path):
         scan_iceberg_table(
             spark, d, partition_filter={"n_nationkey_trunc": 10}
         )
+
+
+def test_streaming_epoch_gate_and_rollback(spark, ice):
+    """Streaming exactly-once via snapshot-summary epoch ids (the
+    Iceberg-sink commit-dedup mechanism) and metadata-only ROLLBACK."""
+    d, s1, s2 = ice
+    # re-open semantics not modeled: use a fresh table for the epoch gate
+    import os as _os
+
+    w = IcebergTableWriter(spark, _os.path.join(d, "..", "gate"))
+    n = _nation(spark)
+    e0 = w.append(n.filter("n_nationkey < 12"), epoch=("app", 0))
+    e1 = w.append(n.filter("n_nationkey >= 12"), epoch=("app", 1))
+    assert scan_iceberg_table(spark, w.table_dir).count() == 25
+    # duplicate epoch delivery: complete no-op returning the current head
+    assert w.append(n.filter("n_nationkey >= 12"), epoch=("app", 1)) == e1
+    assert scan_iceberg_table(spark, w.table_dir).count() == 25
+    md = read_table_metadata(w.table_dir)
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    assert by_id[e0]["summary"]["streaming-epoch"] == "0"
+    assert by_id[e1]["summary"]["streaming-epoch"] == "1"
+    # rollback: pointer-only, zero data IO, history intact
+    w.rollback_to_snapshot(e0)
+    assert scan_iceberg_table(spark, w.table_dir).count() == 12
+    md = read_table_metadata(w.table_dir)
+    assert md["current-snapshot-id"] == e0
+    assert len(md["snapshots"]) == 2  # later snapshot stays in history
+    # a new append after rollback chains its parent to the rollback target
+    e2 = w.append(n.filter("n_nationkey = 24"))
+    assert scan_iceberg_table(spark, w.table_dir).count() == 13
+    md = read_table_metadata(w.table_dir)
+    new = next(s for s in md["snapshots"] if s["snapshot-id"] == e2)
+    assert new["parent-snapshot-id"] == e0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        w.rollback_to_snapshot(12345)
