@@ -174,6 +174,22 @@ EXTRA = [
     "source_iceberg_schema_evolution",
     "maint_delta_optimize",
     "source_delta_add_column",
+    # round-7 late session: two-level stats pruning, hidden partitioning,
+    # metadata tables, table-as-stream, exactly-once sinks, maintenance
+    "source_iceberg_stats_pruning",
+    "source_iceberg_files_table",
+    "source_iceberg_snapshots_table",
+    "source_iceberg_transform_partitioned",
+    "source_iceberg_spec_evolution",
+    "source_delta_stats_skipping",
+    "source_delta_generated_partition",
+    "maint_iceberg_sort_rewrite",
+    "maint_iceberg_rollback",
+    "maint_delta_zorder",
+    "maint_delta_restore",
+    "stream_source_delta",
+    "stream_source_iceberg",
+    "stream_sink_delta",
 ]
 
 

@@ -541,6 +541,50 @@ class DeltaTableWriter:
             add_dfs=adds, remove=live, data_change=False, operation="OPTIMIZE"
         )
 
+    def commit_with_cdc(
+        self,
+        add_dfs: list[DataFrame] | None = None,
+        remove: list[str] | None = None,
+        cdc_df: DataFrame | None = None,
+        operation: str | None = None,
+    ) -> int:
+        """Commit with an explicit CHANGE DATA FILE (protocol 'Add CDC
+        File'): ``cdc_df`` must carry ``_change_type`` ('insert' |
+        'delete' | 'update_preimage' | 'update_postimage') and is written
+        under ``_change_data/`` with a ``cdc`` action — the exact change
+        rows a CDF reader returns for this commit, independent of the
+        file-set diff (per the protocol, cdc actions PRE-EMPT derivation
+        when present). This is what stock Delta writes when
+        delta.enableChangeDataFeed=true."""
+        from .parquet_io import write_single_parquet
+
+        if cdc_df is None or "_change_type" not in cdc_df.columns:
+            raise ValueError("cdc_df with a _change_type column is required")
+        os.makedirs(os.path.join(self.table_dir, "_change_data"), exist_ok=True)
+        rel = f"_change_data/cdc-{uuid.uuid4()}.snappy.parquet"
+        path = os.path.join(self.table_dir, rel)
+        write_single_parquet(cdc_df, path)
+        now_ms = int(time.time() * 1000)
+        v = self.commit(add_dfs=add_dfs, remove=remove, operation=operation)
+        # append the cdc action to the just-written commit (single-writer
+        # fixture scope; a production writer emits them in one commit)
+        with open(_commit_path(self.table_dir, v), "a") as f:
+            f.write(
+                "\n"
+                + json.dumps(
+                    {
+                        "cdc": {
+                            "path": rel,
+                            "partitionValues": {},
+                            "size": os.path.getsize(path),
+                            "dataChange": False,
+                        }
+                    },
+                    separators=(",", ":"),
+                )
+            )
+        return v
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF (stock Delta's RESTORE): one
         metadata-only commit whose adds/removes flip the live FILE SET back
@@ -823,6 +867,61 @@ def _fold_checkpoint(log_dir: str, lc: dict, state: dict) -> None:
                 state.setdefault("txns", {})[row["txn"]["appId"]] = int(
                     row["txn"]["version"]
                 )
+
+
+def delta_changes_from_cdc(
+    spark: SparkSession, table_dir: str, from_version: int, to_version: int
+) -> DataFrame:
+    """CHANGE DATA FEED read over the protocol's ``cdc`` actions: each
+    version in ``(from, to]`` contributes exactly its change files'
+    rows (already labeled ``_change_type`` by the writer), stamped with
+    ``_commit_version``. Per the protocol, cdc actions PRE-EMPT file-set
+    derivation; versions with NO data change (dataChange=false
+    maintenance commits like OPTIMIZE) contribute nothing — the case the
+    derivation-based ``delta_table_changes`` must refuse; a version that
+    changed data WITHOUT cdc actions refuses loudly here (mixing the two
+    sources would double-count).
+
+    Scale: IO is exactly the change files of the window — the protocol's
+    design: CDF cost tracks change volume, never table size."""
+    if to_version <= from_version:
+        raise ValueError("to_version must be greater than from_version")
+    parts = []
+    for v in range(from_version + 1, to_version + 1):
+        try:
+            with open(_commit_path(table_dir, v)) as f:
+                actions = [
+                    json.loads(line)
+                    for line in f.read().splitlines()
+                    if line.strip()
+                ]
+        except FileNotFoundError:
+            raise ValueError(
+                f"Delta commit {v} missing (truncated?) — cannot read CDF"
+            ) from None
+        cdc_rels = [a["cdc"]["path"] for a in actions if "cdc" in a]
+        changed = any(
+            (a.get("add") or a.get("remove") or {}).get("dataChange")
+            for a in actions
+        )
+        if cdc_rels:
+            df = spark.read.parquet(
+                *[os.path.join(table_dir, rel) for rel in cdc_rels]
+            ).withColumn("_commit_version", F.lit(v).cast("long"))
+            parts.append(df)
+        elif changed:
+            raise ValueError(
+                f"version {v} changed data without cdc actions — this "
+                "reader serves cdc-enabled tables; use delta_table_changes "
+                "for file-set derivation"
+            )
+        # else: dataChange=false maintenance commit — no logical changes
+    if not parts:
+        raise ValueError("no changes in the requested version window")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def delta_table_changes(

@@ -568,6 +568,67 @@ def source_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_delta_cdc_files",
+    oracle="""
+SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+       n_nationkey, n_name
+FROM nation WHERE n_nationkey >= 12
+UNION ALL
+SELECT 'delete', CAST(2 AS BIGINT), n_nationkey, n_name
+FROM nation WHERE n_nationkey < 5
+""",
+)
+def source_delta_cdc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Change Data Files (protocol 'Add CDC File'): DML commits
+    write their exact change rows under _change_data/ with `cdc` actions,
+    and the CDF reader returns those rows directly — pre-empting file-set
+    derivation, so a window CROSSING an OPTIMIZE (dataChange=false, no
+    cdc) reads cleanly where the derivation reader must refuse. Fixture:
+    insert commit (cdc inserts), a partial delete rewriting one file (cdc
+    deletes for exactly the removed rows), then OPTIMIZE; the (0, head]
+    window returns the inserts + deletes only.
+
+    Scale: CDF IO is the window's change files alone — change-volume-
+    proportional at any table size, the protocol's whole point."""
+    import json as _json
+
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        _commit_path,
+        delta_changes_from_cdc,
+        scan_delta_table,
+    )
+
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tmp = tempfile.mkdtemp(prefix="delta-cdc-")
+    w = DeltaTableWriter(spark, tmp)
+    w.commit(add_dfs=[n.filter("n_nationkey < 12")])  # v0: CDF base
+    w.commit_with_cdc(  # v1: insert batch with its cdc rows
+        add_dfs=[n.filter("n_nationkey >= 12")],
+        cdc_df=n.filter("n_nationkey >= 12").withColumn(
+            "_change_type", F.lit("insert")
+        ),
+    )
+    v0_files = [
+        _json.loads(line)["add"]["path"]
+        for line in open(_commit_path(tmp, 0)).read().splitlines()
+        if '"add"' in line
+    ]
+    w.commit_with_cdc(  # v2: delete keys < 5 = rewrite v0's file
+        add_dfs=[n.filter("n_nationkey >= 5 and n_nationkey < 12")],
+        remove=v0_files,
+        cdc_df=n.filter("n_nationkey < 5").withColumn(
+            "_change_type", F.lit("delete")
+        ),
+    )
+    w.optimize()  # v3: dataChange=false — contributes no changes
+    assert scan_delta_table(spark, tmp).count() == n.count() - 5
+    changes = delta_changes_from_cdc(spark, tmp, 0, 3)
+    back = changes.select("_change_type", "_commit_version", "n_nationkey", "n_name")
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "maint_delta_restore",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation

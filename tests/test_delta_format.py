@@ -922,3 +922,36 @@ def test_restore_to_version(spark, tmp_path):
     # the restore is itself undoable
     w.restore(2)
     assert scan_delta_table(spark, d).count() == 13
+
+
+def test_cdc_actions_preempt_derivation(spark, tmp_path):
+    """Protocol cdc actions: the CDF reader returns change-file rows
+    directly, skips dataChange=false commits, and refuses a data-changing
+    commit that lacks cdc actions (no double-count path)."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        DeltaTableWriter,
+        delta_changes_from_cdc,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "cdc")
+    w = DeltaTableWriter(spark, d)
+    w.commit(add_dfs=[n.where("n_nationkey < 12")])  # v0 base, no cdc
+    w.commit_with_cdc(
+        add_dfs=[n.where("n_nationkey >= 12")],
+        cdc_df=n.where("n_nationkey >= 12").withColumn(
+            "_change_type", F.lit("insert")
+        ),
+    )  # v1
+    w.optimize()  # v2: no cdc, dataChange=false — silently skipped
+    changes = delta_changes_from_cdc(spark, d, 0, 2)
+    assert changes.count() == 13
+    assert {r["_change_type"] for r in changes.collect()} == {"insert"}
+    assert {r["_commit_version"] for r in changes.collect()} == {1}
+    # a window covering v0 (data change, no cdc) refuses loudly
+    with pytest.raises(ValueError, match="without cdc actions"):
+        delta_changes_from_cdc(spark, d, -1, 2)
+    with pytest.raises(ValueError, match="cdc_df with a _change_type"):
+        w.commit_with_cdc(add_dfs=[n.limit(1)], cdc_df=n.limit(1))
