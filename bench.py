@@ -190,6 +190,8 @@ EXTRA = [
     "stream_source_delta",
     "stream_source_iceberg",
     "stream_sink_delta",
+    "source_delta_cdc_files",
+    "sink_iceberg_add_files",
 ]
 
 

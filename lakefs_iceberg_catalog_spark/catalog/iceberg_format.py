@@ -1002,6 +1002,97 @@ class IcebergTableWriter:
     # not a bigger driver list.
     REWRITE_PARTITION_CEILING = 10_000
 
+    def add_files(self, paths: list[str]) -> int:
+        """Stock Iceberg's ``add_files`` CALL procedure on the real
+        layout: REGISTER existing parquet files as one append snapshot —
+        metadata cost only (one footer read per file for schema gate,
+        record count, and column bounds; zero data rewritten). The
+        legacy-import path: a 100 TB parquet lake becomes an Iceberg
+        table for the price of its footers. Unpartitioned tables only
+        (partition values cannot be inferred from bare files); schemas
+        must match the table's by name and type."""
+        import pyarrow.parquet as pq
+
+        if self._partition_fields or (
+            self._schema_json is None and self._partition_by
+        ):
+            raise NotImplementedError("add_files on a partitioned table")
+        if self._schema_json is None:
+            raise ValueError("no schema yet: append once before add_files")
+        if not paths:
+            raise ValueError("no files to add")
+        want = {f["name"] for f in self._schema_json["fields"]}
+        self._version += 1
+        self._sequence += 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        entries = []
+        for path in paths:
+            got = set(pq.read_schema(path).names)
+            if got != want:
+                raise ValueError(
+                    f"schema mismatch for {path}: has {sorted(got)}, "
+                    f"table wants {sorted(want)}"
+                )
+            n_rows = pq.read_metadata(path).num_rows
+            entries.append(
+                {
+                    "status": STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": CONTENT_DATA,
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(path),
+                        "equality_ids": None,
+                        **dict(
+                            zip(
+                                ("lower_bounds", "upper_bounds"),
+                                self._file_bounds(path, "parquet"),
+                            )
+                        ),
+                    },
+                }
+            )
+        manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
+        self._avro.write(
+            manifest_path,
+            _manifest_entry_schema(self._partition_fields),
+            entries,
+            meta={
+                "schema": json.dumps(self._schema_json),
+                "partition-spec": self._spec_json,
+                "partition-spec-id": str(self._spec_id),
+                "format-version": "2",
+                "content": "data",
+            },
+            codec="deflate",
+        )
+        self._manifests.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": self._spec_id,
+                "content": 0,
+                "sequence_number": self._sequence,
+                "min_sequence_number": self._sequence,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+        )
+        return self._commit_snapshot(snapshot_id, "append")
+
     def rollback_to_snapshot(self, snapshot_id: int) -> None:
         """ROLLBACK (stock Iceberg's rollback_to_snapshot CALL procedure):
         point current-snapshot-id (and main) back at an EXISTING snapshot —

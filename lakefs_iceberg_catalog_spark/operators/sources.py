@@ -568,6 +568,43 @@ def source_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_iceberg_add_files",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def sink_iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_files on the REAL layout (stock Iceberg's CALL
+    system.add_files): pre-existing parquet registers as one append
+    snapshot at metadata cost — a footer read per file for the schema
+    gate, record count, and manifest column bounds; zero data rewritten
+    (the imported file's path is referenced in place, asserted mid-flow).
+    Legacy-lake import: a parquet directory becomes an Iceberg table for
+    the price of its footers; the imported files immediately join stats
+    skipping and time travel like any written file.
+
+    Scale: O(files) footer reads and one manifest write — table size
+    never enters the cost."""
+    import re as _re
+
+    from ..catalog.iceberg_format import IcebergTableWriter, scan_iceberg_table
+    from ..catalog.parquet_io import write_single_parquet
+
+    n = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg-addfiles-")
+    legacy = f"{tmp}/legacy-low.parquet"
+    write_single_parquet(n.filter("n_nationkey < 12"), legacy)
+    w = IcebergTableWriter(spark, f"{tmp}/table")
+    w.append(n.filter("n_nationkey >= 12"))
+    w.add_files([legacy])
+    full = scan_iceberg_table(spark, f"{tmp}/table")
+    norm = {_re.sub("^file:/+", "/", p) for p in full.inputFiles()}
+    assert legacy in norm  # referenced IN PLACE — no copy, no rewrite
+    back = full.select("n_nationkey", "n_name", "n_regionkey")
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_delta_cdc_files",
     oracle="""
 SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,

@@ -146,7 +146,7 @@ _SWEEP_PRIORITY = [
     # VERDICT r6 #4's r1-stale drain keeps slots 25-32; first in line for
     # the round-8 window)
     "stream_sink_delta", "maint_delta_restore", "maint_iceberg_rollback",
-    "source_delta_cdc_files",
+    "source_delta_cdc_files", "sink_iceberg_add_files",
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet", "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join",

@@ -1068,3 +1068,47 @@ def test_streaming_epoch_gate_and_rollback(spark, ice):
 
     with _pytest.raises(ValueError, match="unknown snapshot"):
         w.rollback_to_snapshot(12345)
+
+
+def test_add_files_registers_without_rewrite(spark, tmp_path, ice):
+    """add_files: existing parquet registered as one append snapshot —
+    metadata cost only, bounds from footers, stats skipping works on the
+    imported files; schema mismatches refuse."""
+    from lakefs_iceberg_catalog_spark.catalog.parquet_io import (
+        write_single_parquet,
+    )
+
+    d, _s1, _s2 = ice
+    n = _nation(spark)
+    legacy = str(tmp_path / "legacy.parquet")
+    write_single_parquet(n.filter("n_nationkey < 7"), legacy)
+    w = IcebergTableWriter(spark, str(tmp_path / "imp"))
+    w.append(n.filter("n_nationkey >= 20"))
+    before = scan_iceberg_table(spark, w.table_dir).count()
+    snap = w.add_files([legacy])
+    full = scan_iceberg_table(spark, w.table_dir)
+    assert full.count() == before + 7
+    # imported file carries bounds: stats skipping opens only it
+    pruned = scan_iceberg_table(
+        spark, w.table_dir, stats_filter={"n_nationkey": (0, 3)}
+    )
+    assert len(pruned.inputFiles()) == 1 and pruned.count() == 4
+    md = read_table_metadata(w.table_dir)
+    assert (
+        next(s for s in md["snapshots"] if s["snapshot-id"] == snap)[
+            "summary"
+        ]["added-data-files"]
+        == "1"
+    )
+    import pytest as _pytest
+
+    bad = str(tmp_path / "bad.parquet")
+    write_single_parquet(n.select("n_nationkey"), bad)
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        w.add_files([bad])
+    wp = IcebergTableWriter(
+        spark, str(tmp_path / "imp2"), partition_by=["n_regionkey"]
+    )
+    wp.append(n.filter("n_regionkey = 0"))
+    with _pytest.raises(NotImplementedError, match="partitioned"):
+        wp.add_files([legacy])
