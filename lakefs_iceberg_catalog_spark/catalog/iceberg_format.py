@@ -641,7 +641,13 @@ class IcebergTableWriter:
                 default=None,
             )
             if latest is not None and int(eid) <= latest:
-                return self._snapshots[-1]["snapshot-id"]
+                # duplicate delivery: no-op, return the CURRENT head (which
+                # may differ from the newest snapshot after a rollback)
+                return (
+                    self._current_snapshot_id
+                    if self._current_snapshot_id is not None
+                    else self._snapshots[-1]["snapshot-id"]
+                )
             self._pending_summary = {
                 "streaming-app-id": app,
                 "streaming-epoch": str(int(eid)),
