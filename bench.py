@@ -192,6 +192,7 @@ EXTRA = [
     "stream_sink_delta",
     "source_delta_cdc_files",
     "sink_iceberg_add_files",
+    "dml_delta_merge_cow",
 ]
 
 

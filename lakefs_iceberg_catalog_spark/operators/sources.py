@@ -605,6 +605,59 @@ def sink_iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_delta_merge_cow",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey IN (3, 13)
+            THEN 'UPDATED_' || CAST(n_nationkey AS VARCHAR)
+            ELSE n_name END AS n_name
+FROM nation
+UNION ALL
+SELECT CAST(25 AS INTEGER), 'NEW_25'
+""",
+)
+def dml_delta_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE on the real Delta log, copy-on-write at TOUCHED-FILE
+    granularity (stock Delta's merge planning): upserting keys {3, 13}
+    and inserting key 25 into a 3-file table rewrites ONLY the two files
+    holding the matched keys (removed-file count asserted; the untouched
+    file keeps serving reads in place) and records cdc change rows
+    (update_postimage + insert) in the same commit so CDF readers see the
+    merge without derivation.
+
+    Scale: cost tracks touched files, never table size — a 10-row upsert
+    into a 100 TB table rewrites the handful of files those keys live in;
+    the touched-file probe is one pushdown semi-join emitting paths."""
+    import json as _json
+
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        _commit_path,
+        scan_delta_table,
+    )
+
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tmp = tempfile.mkdtemp(prefix="delta-merge-")
+    w = DeltaTableWriter(spark, tmp)
+    for lo in (0, 10, 20):
+        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    source = spark.createDataFrame(
+        [(3, "UPDATED_3"), (13, "UPDATED_13"), (25, "NEW_25")],
+        "n_nationkey int, n_name string",
+    )
+    v = w.merge_upsert(source, ["n_nationkey"])
+    acts = [
+        _json.loads(line)
+        for line in open(_commit_path(tmp, v)).read().splitlines()
+        if line.strip()
+    ]
+    removed = [a["remove"]["path"] for a in acts if "remove" in a]
+    assert len(removed) == 2  # only the two touched files rewrote
+    back = scan_delta_table(spark, tmp).select("n_nationkey", "n_name")
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_delta_cdc_files",
     oracle="""
 SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,

@@ -955,3 +955,50 @@ def test_cdc_actions_preempt_derivation(spark, tmp_path):
         delta_changes_from_cdc(spark, d, -1, 2)
     with pytest.raises(ValueError, match="cdc_df with a _change_type"):
         w.commit_with_cdc(add_dfs=[n.limit(1)], cdc_df=n.limit(1))
+
+
+def test_merge_upsert_touched_file_granularity(spark, tmp_path):
+    """MERGE rewrites only files containing matched keys; untouched files
+    stay referenced in place; CDF shows update_postimage/insert; guards
+    refuse partitioned/column-mapped/DV tables."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        DeltaTableWriter,
+        delta_changes_from_cdc,
+        read_delta_log,
+        scan_delta_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "merge")
+    w = DeltaTableWriter(spark, d)
+    for lo in (0, 10, 20):
+        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    pre_files = set(read_delta_log(d)["files"])
+    src = spark.createDataFrame(
+        [(13, "UP_13"), (30, "NEW_30")], "n_nationkey int, n_name string"
+    )
+    v = w.merge_upsert(src, ["n_nationkey"])
+    post = read_delta_log(d)["files"]
+    # exactly one file (the 10-19 range) rewrote; the other two survive
+    assert len(pre_files & set(post)) == 2
+    back = scan_delta_table(spark, d)
+    assert back.count() == 26
+    got = {r["n_nationkey"]: r["n_name"] for r in back.collect()}
+    assert got[13] == "UP_13" and got[30] == "NEW_30" and got[3] == got[3]
+    changes = delta_changes_from_cdc(spark, d, v - 1, v)
+    by_type = {
+        r["_change_type"]: r["n_nationkey"] for r in changes.collect()
+    }
+    assert by_type == {"update_postimage": 13, "insert": 30}
+    # insert-only merge touches nothing
+    v2 = w.merge_upsert(
+        spark.createDataFrame([(31, "NEW_31")], "n_nationkey int, n_name string"),
+        ["n_nationkey"],
+    )
+    acts_removed = [
+        rel for rel in read_delta_log(d, v2 - 1)["files"] if rel not in read_delta_log(d, v2)["files"]
+    ]
+    assert acts_removed == []
+    assert scan_delta_table(spark, d).count() == 27
