@@ -1008,6 +1008,189 @@ class IcebergTableWriter:
     # not a bigger driver list.
     REWRITE_PARTITION_CEILING = 10_000
 
+    def delete_where_cow(self, predicate: str) -> int:
+        """COPY-ON-WRITE DELETE — the spec's delete-by-rewrite (what stock
+        Iceberg plans in copy-on-write mode, vs the position/equality
+        delete files of merge-on-read): files containing matching rows
+        are found by one pushdown semi-probe, each affected MANIFEST is
+        rewritten marking those entries DELETED (untouched entries carry
+        forward as EXISTING with their resolved sequence numbers — the
+        statuses stock readers reconcile), and the touched files'
+        surviving rows land in one new ADDED file under an `overwrite`
+        snapshot. Untouched files and manifests are never read or
+        rewritten.
+
+        Scale: touched-file-proportional — the probe pushes the predicate
+        into the scan, manifest rewrites are metadata-sized, and only
+        surviving rows of touched files are copied."""
+        from ..operators.util import bounded_rows
+        from .parquet_io import write_single_parquet
+
+        if self._schema_json is None:
+            raise ValueError("nothing to delete: table has no snapshots")
+        current = scan_iceberg_table(self.spark, self.table_dir)
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        touched = {
+            r["_f"]
+            for r in bounded_rows(
+                current.filter(predicate)
+                .select(norm(F.col("_metadata.file_path")).alias("_f"))
+                .distinct(),
+                100_000,
+            )
+        }
+        if not touched:
+            raise ValueError("predicate matches no rows — nothing to delete")
+        self._version += 1
+        self._sequence += 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        new_manifests: list[dict] = []
+        for mf in self._manifests:
+            if mf.get("content", 0) != 0:
+                new_manifests.append(mf)
+                continue
+            if mf["partition_spec_id"] != self._spec_id:
+                raise NotImplementedError(
+                    "copy-on-write delete across partition-spec evolution"
+                )
+            mmeta, entries = read_container(mf["manifest_path"])
+            hit = [
+                e
+                for e in entries
+                if re.sub(r"^file:/+", "/", e["data_file"]["file_path"]) in touched
+            ]
+            if not hit:
+                new_manifests.append(mf)
+                continue
+            rewritten = []
+            n_exist = n_del = rows_exist = rows_del = 0
+            for e in entries:
+                seq = e.get("sequence_number")
+                if seq is None:  # inheritance: resolve before carrying over
+                    seq = mf["sequence_number"]
+                is_hit = e in hit
+                rewritten.append(
+                    {
+                        **e,
+                        "status": STATUS_DELETED if is_hit else STATUS_EXISTING,
+                        "sequence_number": seq,
+                        "snapshot_id": snapshot_id
+                        if is_hit
+                        else e.get("snapshot_id"),
+                    }
+                )
+                n = e["data_file"]["record_count"]
+                if is_hit:
+                    n_del, rows_del = n_del + 1, rows_del + n
+                else:
+                    n_exist, rows_exist = n_exist + 1, rows_exist + n
+            path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
+            self._avro.write(
+                path,
+                _manifest_entry_schema(self._partition_fields),
+                rewritten,
+                meta={
+                    k: v.decode() if isinstance(v, (bytes, bytearray)) else v
+                    for k, v in (mmeta.get("meta") or {}).items()
+                    if not k.startswith("avro.")  # container-reserved keys
+                },
+                codec="deflate",
+            )
+            new_manifests.append(
+                {
+                    **mf,
+                    "manifest_path": path,
+                    "manifest_length": os.path.getsize(path),
+                    "added_files_count": 0,
+                    "existing_files_count": n_exist,
+                    "deleted_files_count": n_del,
+                    "added_rows_count": 0,
+                    "existing_rows_count": rows_exist,
+                    "deleted_rows_count": rows_del,
+                }
+            )
+        self._manifests = new_manifests
+        # surviving rows of the touched files, one new ADDED file
+        pvals: dict = {}
+        if self._partition_fields:
+            from .parquet_io import distinct_singleton_row
+
+            vals = distinct_singleton_row(
+                current.filter(
+                    norm(F.col("_metadata.file_path")).isin(list(touched))
+                ).select(
+                    *[self._transform_col(pf).alias(pf["name"])
+                      for pf in self._partition_fields]
+                )
+            )
+            pvals = {pf["name"]: v for pf, v in zip(self._partition_fields, vals)}
+        survivors = current.withColumn(
+            "_f", norm(F.col("_metadata.file_path"))
+        ).filter(F.col("_f").isin(list(touched))).drop("_f").filter(
+            ~F.expr(predicate)
+        )
+        data_path = os.path.join(
+            self.data_dir, f"00000-{self._version}-{self._uuid}-0-00001.parquet"
+        )
+        n_rows = write_single_parquet(survivors, data_path)
+        manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
+        self._avro.write(
+            manifest_path,
+            _manifest_entry_schema(self._partition_fields),
+            [
+                {
+                    "status": STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": CONTENT_DATA,
+                        "file_path": data_path,
+                        "file_format": "PARQUET",
+                        "partition": pvals,
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(data_path),
+                        "equality_ids": None,
+                        **dict(
+                            zip(
+                                ("lower_bounds", "upper_bounds"),
+                                self._file_bounds(data_path, "parquet"),
+                            )
+                        ),
+                    },
+                }
+            ],
+            meta={
+                "schema": json.dumps(self._schema_json),
+                "partition-spec": self._spec_json,
+                "partition-spec-id": str(self._spec_id),
+                "format-version": "2",
+                "content": "data",
+            },
+            codec="deflate",
+        )
+        self._manifests.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": self._spec_id,
+                "content": 0,
+                "sequence_number": self._sequence,
+                "min_sequence_number": self._sequence,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": self._partition_summaries([pvals])
+                if self._partition_fields
+                else None,
+            }
+        )
+        return self._commit_snapshot(snapshot_id, "overwrite")
+
     def add_files(self, paths: list[str]) -> int:
         """Stock Iceberg's ``add_files`` CALL procedure on the real
         layout: REGISTER existing parquet files as one append snapshot —

@@ -605,6 +605,50 @@ def sink_iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_iceberg_delete_cow",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey NOT IN (13, 14)
+""",
+)
+def dml_iceberg_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE DELETE on the real Iceberg layout — the spec's
+    delete-by-rewrite (what stock Iceberg plans in copy-on-write mode,
+    the MoR position/equality delete files' dual): only the file holding
+    the matched keys rewrites; its manifest is rewritten with
+    DELETED/EXISTING statuses and resolved sequence numbers, the two
+    untouched files survive in place (asserted), the surviving rows land
+    in one new ADDED file under an `overwrite` snapshot, and time travel
+    to the pre-delete snapshot still sees every row (asserted).
+
+    Scale: touched-file-proportional — the probe pushes the predicate
+    into the scan; manifest rewrites are metadata-sized."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_data_files,
+        scan_iceberg_table,
+    )
+
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg-cow-")
+    w = IcebergTableWriter(spark, tmp)
+    for lo in (0, 10, 20):
+        w.append(n.filter(F.col("n_nationkey").between(lo, lo + 9)))
+    pre_paths = {f["file_path"] for f in iceberg_data_files(tmp)}
+    pre_snap = w._current_snapshot_id
+    w.delete_where_cow("n_nationkey in (13, 14)")
+    post_paths = {f["file_path"] for f in iceberg_data_files(tmp)}
+    assert len(pre_paths & post_paths) == 2  # untouched files in place
+    assert scan_iceberg_table(spark, tmp, snapshot_id=pre_snap).count() == n.count()
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "dml_delta_merge_cow",
     oracle="""
 SELECT n_nationkey,

@@ -1112,3 +1112,47 @@ def test_add_files_registers_without_rewrite(spark, tmp_path, ice):
     wp.append(n.filter("n_regionkey = 0"))
     with _pytest.raises(NotImplementedError, match="partitioned"):
         wp.add_files([legacy])
+
+
+def test_delete_where_cow_rewrites_touched_manifests(spark, tmp_path):
+    """Copy-on-write DELETE: affected manifests rewrite with
+    EXISTING/DELETED statuses and resolved sequence numbers; untouched
+    files and manifests survive byte-identical; surviving rows of touched
+    files land in one new ADDED file under an `overwrite` snapshot; time
+    travel to the pre-delete snapshot still sees every row."""
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "cow")
+    w = IcebergTableWriter(spark, d)
+    for lo in (0, 10, 20):
+        w.append(n.filter(F.col("n_nationkey").between(lo, lo + 9)))
+    pre_snap = read_table_metadata(d)["current-snapshot-id"]
+    pre_paths = {f["file_path"] for f in iceberg_data_files(d)}
+    w.delete_where_cow("n_nationkey in (13, 14)")
+    full = scan_iceberg_table(spark, d)
+    assert full.count() == 23
+    assert full.filter("n_nationkey in (13, 14)").count() == 0
+    post = iceberg_data_files(d)
+    post_paths = {f["file_path"] for f in post}
+    # two untouched original files survive IN PLACE; one new survivor file
+    assert len(pre_paths & post_paths) == 2 and len(post_paths) == 3
+    md = read_table_metadata(d)
+    assert md["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    # the rewritten manifest carries EXISTING/DELETED counts
+    from lakefs_iceberg_catalog_spark.catalog.avro_io import (
+        read_container as rc,
+    )
+
+    snap = md["snapshots"][-1]
+    _, mfs = rc(snap["manifest-list"])
+    rewritten = [m for m in mfs if m["deleted_files_count"] == 1]
+    assert len(rewritten) == 1
+    assert rewritten[0]["existing_files_count"] == 0  # file was the only one
+    _, entries = rc(rewritten[0]["manifest_path"])
+    assert [e["status"] for e in entries] == [STATUS_DELETED]
+    assert entries[0]["sequence_number"] is not None  # resolved, not null
+    # pre-delete snapshot still complete
+    assert scan_iceberg_table(spark, d, snapshot_id=pre_snap).count() == 25
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="matches no rows"):
+        w.delete_where_cow("n_nationkey = 999")
