@@ -1008,6 +1008,23 @@ class IcebergTableWriter:
     # not a bigger driver list.
     REWRITE_PARTITION_CEILING = 10_000
 
+    def _touched_files(self, current: DataFrame, probe) -> set[str]:
+        """File paths containing rows the COW operation must rewrite —
+        one pushdown semi-probe over `_metadata.file_path`, emitting
+        metadata-sized output (bounded)."""
+        from ..operators.util import bounded_rows
+
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        # _metadata is scan-local: materialize the path column BEFORE the
+        # probe (a join output no longer exposes the pseudo-column)
+        with_f = current.withColumn("_f", norm(F.col("_metadata.file_path")))
+        return {
+            r["_f"]
+            for r in bounded_rows(
+                probe(with_f).select("_f").distinct(), 100_000
+            )
+        }
+
     def delete_where_cow(self, predicate: str) -> int:
         """COPY-ON-WRITE DELETE — the spec's delete-by-rewrite (what stock
         Iceberg plans in copy-on-write mode, vs the position/equality
@@ -1023,24 +1040,59 @@ class IcebergTableWriter:
         Scale: touched-file-proportional — the probe pushes the predicate
         into the scan, manifest rewrites are metadata-sized, and only
         surviving rows of touched files are copied."""
-        from ..operators.util import bounded_rows
-        from .parquet_io import write_single_parquet
-
         if self._schema_json is None:
             raise ValueError("nothing to delete: table has no snapshots")
         current = scan_iceberg_table(self.spark, self.table_dir)
-        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-        touched = {
-            r["_f"]
-            for r in bounded_rows(
-                current.filter(predicate)
-                .select(norm(F.col("_metadata.file_path")).alias("_f"))
-                .distinct(),
-                100_000,
-            )
-        }
+        touched = self._touched_files(current, lambda d: d.filter(predicate))
         if not touched:
             raise ValueError("predicate matches no rows — nothing to delete")
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        survivors = (
+            current.withColumn("_f", norm(F.col("_metadata.file_path")))
+            .filter(F.col("_f").isin(list(touched)))
+            .drop("_f")
+            .filter(~F.expr(predicate))
+        )
+        return self._rewrite_cow(current, touched, survivors)
+
+    def merge_upsert_cow(self, source_df: DataFrame, key_cols: list[str]) -> int:
+        """MERGE (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *)
+        on the real layout, copy-on-write at TOUCHED-FILE granularity —
+        the Iceberg pair of DeltaTableWriter.merge_upsert: one semi-probe
+        finds the files holding matched keys, affected manifests rewrite
+        with DELETED/EXISTING statuses, and those files' surviving rows
+        plus ALL source rows land in one new ADDED file under an
+        `overwrite` snapshot. Untouched files never rewrite.
+
+        Scale: a 10-row upsert into a 100 TB table rewrites only the
+        files those keys live in; everything else is metadata."""
+        if self._schema_json is None:
+            raise ValueError("nothing to merge into: table has no snapshots")
+        current = scan_iceberg_table(self.spark, self.table_dir)
+        keys = source_df.select(*key_cols)
+        touched = self._touched_files(
+            current, lambda d: d.join(F.broadcast(keys), key_cols, "left_semi")
+        )
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        survivors = (
+            current.withColumn("_f", norm(F.col("_metadata.file_path")))
+            .filter(F.col("_f").isin(list(touched)))
+            .drop("_f")
+            .join(F.broadcast(keys), key_cols, "left_anti")
+        )
+        return self._rewrite_cow(
+            current, touched, survivors.unionByName(source_df)
+        )
+
+    def _rewrite_cow(
+        self, current: DataFrame, touched: set[str], new_rows: DataFrame
+    ) -> int:
+        """Shared COW commit: rewrite manifests containing ``touched``
+        files (DELETED/EXISTING statuses, resolved sequence numbers),
+        write ``new_rows`` as one ADDED file, commit an `overwrite`
+        snapshot."""
+        from .parquet_io import write_single_parquet
+
         self._version += 1
         self._sequence += 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
@@ -1110,29 +1162,22 @@ class IcebergTableWriter:
                 }
             )
         self._manifests = new_manifests
-        # surviving rows of the touched files, one new ADDED file
+        # the replacement rows, one new ADDED file
         pvals: dict = {}
         if self._partition_fields:
             from .parquet_io import distinct_singleton_row
 
             vals = distinct_singleton_row(
-                current.filter(
-                    norm(F.col("_metadata.file_path")).isin(list(touched))
-                ).select(
+                new_rows.select(
                     *[self._transform_col(pf).alias(pf["name"])
                       for pf in self._partition_fields]
                 )
             )
             pvals = {pf["name"]: v for pf, v in zip(self._partition_fields, vals)}
-        survivors = current.withColumn(
-            "_f", norm(F.col("_metadata.file_path"))
-        ).filter(F.col("_f").isin(list(touched))).drop("_f").filter(
-            ~F.expr(predicate)
-        )
         data_path = os.path.join(
             self.data_dir, f"00000-{self._version}-{self._uuid}-0-00001.parquet"
         )
-        n_rows = write_single_parquet(survivors, data_path)
+        n_rows = write_single_parquet(new_rows, data_path)
         manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
         self._avro.write(
             manifest_path,

@@ -605,6 +605,52 @@ def sink_iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_iceberg_merge_cow",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey IN (3, 13)
+            THEN 'UPDATED_' || CAST(n_nationkey AS VARCHAR)
+            ELSE n_name END AS n_name
+FROM nation
+UNION ALL
+SELECT CAST(25 AS INTEGER), 'NEW_25'
+""",
+)
+def dml_iceberg_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the real Iceberg layout, copy-on-write at
+    TOUCHED-FILE granularity (the Iceberg pair of dml_delta_merge_cow):
+    upserting keys {3, 13} and inserting 25 into a 3-file table rewrites
+    ONLY the two files holding matched keys — affected manifests carry
+    DELETED/EXISTING statuses, the untouched file survives in place
+    (asserted) — and the surviving + source rows land in one ADDED file
+    under an `overwrite` snapshot.
+
+    Scale: cost tracks touched files; the key probe is one pushdown
+    broadcast semi-join emitting file paths."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_data_files,
+        scan_iceberg_table,
+    )
+
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tmp = tempfile.mkdtemp(prefix="iceberg-mergecow-")
+    w = IcebergTableWriter(spark, tmp)
+    for lo in (0, 10, 20):
+        w.append(n.filter(F.col("n_nationkey").between(lo, lo + 9)))
+    source = spark.createDataFrame(
+        [(3, "UPDATED_3"), (13, "UPDATED_13"), (25, "NEW_25")],
+        "n_nationkey int, n_name string",
+    )
+    pre_paths = {f["file_path"] for f in iceberg_data_files(tmp)}
+    w.merge_upsert_cow(source, ["n_nationkey"])
+    post_paths = {f["file_path"] for f in iceberg_data_files(tmp)}
+    assert len(pre_paths & post_paths) == 1  # only the 20-24 file untouched
+    back = scan_iceberg_table(spark, tmp).select("n_nationkey", "n_name")
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "dml_iceberg_delete_cow",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -148,6 +148,7 @@ _SWEEP_PRIORITY = [
     "stream_sink_delta", "maint_delta_restore", "maint_iceberg_rollback",
     "source_delta_cdc_files", "sink_iceberg_add_files",
     "dml_delta_merge_cow", "dml_iceberg_delete_cow",
+    "dml_iceberg_merge_cow",
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet", "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
     "stream_stream_interval_join",

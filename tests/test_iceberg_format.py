@@ -1156,3 +1156,26 @@ def test_delete_where_cow_rewrites_touched_manifests(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="matches no rows"):
         w.delete_where_cow("n_nationkey = 999")
+
+
+def test_merge_upsert_cow_touched_file_granularity(spark, tmp_path):
+    """Iceberg MERGE copy-on-write: only files holding matched keys
+    rewrite; untouched files survive in place; result = upserted rows."""
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "mergecow")
+    w = IcebergTableWriter(spark, d)
+    for lo in (0, 10, 20):
+        w.append(n.filter(F.col("n_nationkey").between(lo, lo + 9)))
+    pre_paths = {f["file_path"] for f in iceberg_data_files(d)}
+    src = spark.createDataFrame(
+        [(13, "UP_13", 9), (30, "NEW_30", 9)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    w.merge_upsert_cow(src, ["n_nationkey"])
+    post_paths = {f["file_path"] for f in iceberg_data_files(d)}
+    assert len(pre_paths & post_paths) == 2  # only the 10-19 file rewrote
+    back = scan_iceberg_table(spark, d)
+    assert back.count() == 26
+    got = {r["n_nationkey"]: r["n_name"] for r in back.collect()}
+    assert got[13] == "UP_13" and got[30] == "NEW_30"
+    assert back.filter("n_nationkey = 12").count() == 1  # survivor kept
