@@ -593,14 +593,21 @@ class DeltaTableWriter:
         new_rows = (
             survivors.unionByName(source_df) if survivors is not None else source_df
         )
-        matched = (
-            source_df.join(F.broadcast(current.select(*key_cols)), key_cols, "left_semi")
-            .withColumn("_change_type", F.lit("update_postimage"))
+        # classify source rows matched vs inserted WITHOUT broadcasting the
+        # table side: one distributed semi-probe of current against the
+        # broadcast source keys yields the (≤ |source|) existing keys,
+        # which then broadcast back against the source
+        existing_keys = (
+            current.select(*key_cols)
+            .join(F.broadcast(keys), key_cols, "left_semi")
+            .distinct()
         )
-        inserted = (
-            source_df.join(F.broadcast(current.select(*key_cols)), key_cols, "left_anti")
-            .withColumn("_change_type", F.lit("insert"))
-        )
+        matched = source_df.join(
+            F.broadcast(existing_keys), key_cols, "left_semi"
+        ).withColumn("_change_type", F.lit("update_postimage"))
+        inserted = source_df.join(
+            F.broadcast(existing_keys), key_cols, "left_anti"
+        ).withColumn("_change_type", F.lit("insert"))
         return self.commit_with_cdc(
             add_dfs=[new_rows],
             remove=remove,
