@@ -2124,9 +2124,33 @@ def iceberg_metadata_table(
             "partition map<string,string>, record_count long, "
             "file_size_in_bytes long, sequence_number long",
         )
+    if kind == "partitions":
+        data, deletes = iceberg_snapshot_files(table_dir, version=version)
+        agg: dict[tuple, list[int]] = {}
+        for f in data:
+            key = tuple(
+                sorted((str(k), str(v)) for k, v in (f.get("partition") or {}).items())
+            )
+            cell = agg.setdefault(key, [0, 0])
+            cell[0] += int(f["record_count"])
+            cell[1] += 1
+        n_del: dict[tuple, int] = {}
+        for f in deletes:
+            key = tuple(
+                sorted((str(k), str(v)) for k, v in (f.get("partition") or {}).items())
+            )
+            n_del[key] = n_del.get(key, 0) + 1
+        return spark.createDataFrame(
+            [
+                (dict(key), cnt[0], cnt[1], n_del.get(key, 0))
+                for key, cnt in sorted(agg.items())
+            ],
+            "partition map<string,string>, record_count long, "
+            "file_count int, delete_file_count int",
+        )
     raise ValueError(
         f"unknown metadata table {kind!r}; "
-        "supported: snapshots, history, manifests, files"
+        "supported: snapshots, history, manifests, files, partitions"
     )
 
 

@@ -815,7 +815,28 @@ def test_metadata_tables_snapshots_history_manifests_files(spark, ice):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unknown metadata table"):
-        iceberg_metadata_table(spark, d, "partitions")
+        iceberg_metadata_table(spark, d, "nope")
+
+
+def test_metadata_table_partitions(spark, tmp_path):
+    """t.partitions: per-partition record/file/delete-file counts from the
+    manifest walk — zero data IO, like stock Iceberg's PartitionsTable."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        iceberg_metadata_table,
+    )
+
+    n = _nation(spark)
+    d = str(tmp_path / "ptable")
+    w = IcebergTableWriter(spark, d, partition_by=["n_regionkey"])
+    for rk in range(5):
+        w.append(n.filter(f"n_regionkey = {rk}"))
+    w.append(n.filter("n_regionkey = 2").limit(2))  # second file for rk=2
+    rows = {
+        r["partition"]["n_regionkey"]: (r["record_count"], r["file_count"])
+        for r in iceberg_metadata_table(spark, d, "partitions").collect()
+    }
+    assert rows["2"] == (7, 2)  # 5 rows + 2 re-appended, two files
+    assert all(v == (5, 1) for k, v in rows.items() if k != "2")
 
 
 def test_bucket_transform_matches_spec_vectors():
