@@ -487,6 +487,9 @@ class DeltaTableWriter:
             nbits = 8
             bins = []
             for c in zorder_by:
+                if b[f"mn_{c}"] is None:  # all-NULL dimension: inert axis
+                    bins.append(F.lit(0).cast("long"))
+                    continue
                 mn = float(b[f"mn_{c}"])
                 span = float(b[f"mx_{c}"]) - mn
                 scaled = (F.col(c).cast("double") - F.lit(mn)) * F.lit(
@@ -500,7 +503,14 @@ class DeltaTableWriter:
                     zkey = zkey + F.shiftleft(
                         F.shiftright(bn, bit).bitwiseAND(F.lit(1)), pos
                     )
+            # A NULL in ANY zorder column nulls the whole Morton key, and
+            # every (lo, hi] range filter below excludes NULLs — those rows
+            # would silently vanish from a dataChange=false rewrite. Route
+            # them into a dedicated lowest bucket instead (stock Delta
+            # clusters NULLs together the same way).
+            zkey = F.coalesce(zkey, F.lit(-1).cast("long"))
             zdf = current.withColumn("_zkey", zkey)
+            n_before = zdf.count()
             edges = sorted(
                 set(
                     zdf.approxQuantile(
@@ -537,9 +547,26 @@ class DeltaTableWriter:
                 adds.append(part)
         else:
             adds = [current]
-        return self.commit(
+        ver = self.commit(
             add_dfs=adds, remove=live, data_change=False, operation="OPTIMIZE"
         )
+        if zorder_by:
+            # Row-conservation check (metadata-only: the fresh adds carry
+            # no DVs, so their stats.numRecords IS the live row count):
+            # a dataChange=false commit that drops rows is data loss CDF
+            # and streaming readers are required to skip.
+            n_after = 0
+            with open(_commit_path(self.table_dir, ver)) as fh:
+                for line in fh:
+                    act = json.loads(line)
+                    if "add" in act:
+                        n_after += json.loads(act["add"]["stats"])["numRecords"]
+            if n_after != n_before:
+                raise AssertionError(
+                    f"ZORDER rewrite changed the row count: {n_before} -> "
+                    f"{n_after} (NULL-key routing bug?)"
+                )
+        return ver
 
     def merge_upsert(self, source_df: DataFrame, key_cols: list[str]) -> int:
         """MERGE (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *)

@@ -1340,11 +1340,16 @@ class IcebergTableWriter:
         if keep is None:
             raise ValueError(f"unknown snapshot {snapshot_id}")
         self._current_snapshot_id = snapshot_id
-        self._manifests = [
-            m
-            for m in self._manifests
-            if m["sequence_number"] <= keep["sequence-number"]
-        ]
+        # Rebuild the writer's live manifest set from the target snapshot's
+        # OWN manifest list — filtering the in-memory list by sequence
+        # number is only correct for append-only history (rewrite_data
+        # REPLACES the list, and CoW rewrites keep the old sequence number
+        # on EXISTING entries), so a rollback across a replace followed by
+        # any new commit would publish a head missing rows (ADVICE r7 #2).
+        # _commit_snapshot writes the list newest-first; reverse to restore
+        # the in-memory oldest-first order.
+        _, entries = read_container(keep["manifest-list"])
+        self._manifests = [dict(m) for m in reversed(entries)]
         self._version += 1
         self._write_metadata(int(time.time() * 1000))
 
@@ -1560,10 +1565,32 @@ class IcebergTableWriter:
         assert)."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
-        if len(self._snapshots) <= retain_last:
+        # Retention is REACHABILITY from the current head, not list
+        # position: after rollback_to_snapshot the head is an OLDER
+        # snapshot, and keeping the newest N by commit order would delete
+        # the live head's manifests and data while current-snapshot-id
+        # still points at it (ADVICE r7 #3). Walk the head's ancestor
+        # chain (parent-snapshot-id) and retain its newest retain_last
+        # members; everything unreachable — including rolled-away
+        # descendants — expires.
+        by_id = {s["snapshot-id"]: s for s in self._snapshots}
+        head = self._current_snapshot_id
+        if head is None and self._snapshots:
+            head = self._snapshots[-1]["snapshot-id"]
+        chain: list[int] = []
+        cur = head
+        while cur is not None and cur in by_id and len(chain) < retain_last:
+            chain.append(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        retained_ids = set(chain)
+        retained = [
+            s for s in self._snapshots if s["snapshot-id"] in retained_ids
+        ]
+        expired = [
+            s for s in self._snapshots if s["snapshot-id"] not in retained_ids
+        ]
+        if not expired:
             return {"expired": 0, "removed_manifests": 0, "removed_data_files": 0}
-        retained = self._snapshots[-retain_last:]
-        expired = self._snapshots[:-retain_last]
         expired_ids = {s["snapshot-id"] for s in expired}
         pinned = {
             name: ref["snapshot-id"]

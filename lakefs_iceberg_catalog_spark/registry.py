@@ -55,119 +55,41 @@ def register(name: str, oracle: str | None = None):
 
 
 _SWEEP_PRIORITY = [
-    # ---- Round-7 window (slots 0-49; the driver checks the FIRST 50) ----
-    # VERDICT r6 "Next round" #4: slots 0-3 = the 4 keys from the round-6
-    # end-of-round snapshot that have never received a driver row
-    # (agg_count_min_sketch additionally re-keyed to l_returnflag and
-    # rebuilt as a DataFrame-native CMS — VERDICT r6 #1) ...
-    "sink_sharded_manifests", "sink_iceberg_export", "source_delta_log",
-    "agg_count_min_sketch",
-    # ... slots 4-8 = round 7's new keys (position-delete merge-on-read
-    # scan, VERDICT r6 #5; equality-delete merge with sequence scoping;
-    # identity-partitioned Iceberg with manifest pruning; checkpointed-
-    # Delta fold, VERDICT r6 #6; partitioned-Delta read with log-level
-    # pruning) — windowed immediately so they get driver rows THIS round ...
-    "source_iceberg_position_deletes", "source_iceberg_equality_deletes",
-    "source_iceberg_partitioned",
-    "source_delta_checkpoint", "source_delta_partitioned",
-    # ... slots 9-11 = round 7's new pipeline/similarity keys (fractional
-    # epoch weighting; near-dup cluster representative election;
-    # LSH-bucketed corpus kNN graph) ...
-    "pipeline_epoch_resample", "dedup_cluster_representative",
-    "similarity_knn_graph",
-    # ... slots 12-13 = round 7's late additions (Delta deletion-vector
-    # merge-on-read scan with from-scratch Roaring/Z85 codecs; Delta
-    # write-side export completing both-direction interop for the second
-    # open table format) — windowed immediately, displacing the last two
-    # alphabetical r3-stale keys to the head of the post-window list ...
-    "source_delta_deletion_vectors", "sink_delta_export",
-    # ... slots 14-16 = round 7's analytics/pipeline additions (bucketized
-    # interval-overlap self-join; content-keyed train/val/test split;
-    # integer-cent seasonal decomposition) ...
-    "join_interval_overlap", "pipeline_train_val_split",
-    "window_seasonal_decompose",
-    # ... slot 17 = round 7's Bloom semi-join-reduction runtime filter,
-    # slot 18 = Delta column mapping (metadata-only renames) ...
-    "join_bloom_prefilter", "source_delta_column_mapping",
-    # ... slot 19 = Iceberg named refs (tags/branches, metadata-only),
-    # slot 20 = Delta VACUUM (retention-gated physical deletion) ...
-    "source_iceberg_refs", "maint_delta_vacuum",
-    # ... slot 21 = the from-scratch DataFrame-native HyperLogLog,
-    # slot 22 = mixed parquet/ORC Iceberg data files ...
-    "agg_hyperloglog_native", "source_iceberg_orc",
-    # ... slot 23 = temperature-scaled mixture reweighting,
-    # slot 24 = Delta change-data-feed reconstruction ...
-    "pipeline_mixture_temperature", "source_delta_cdf",
-    # ... slots 25-32 = the 8 keys whose newest driver row is still ROUND 1
-    # (drains r1-stale to 0) ...
-    "subquery_correlated", "subquery_in", "subquery_scalar", "udaf_pandas",
-    "udf_python", "window_analytic", "window_distribution", "window_rank",
-    # (all r2-stale keys now slip below — newer never-checked keys claimed
-    # their slots; displaced paths stay covered by the repo's own oracle
-    # replay every run) ...
-    # ... slots 40-45 = the session's six next keys (Iceberg
-    # incremental append scan; dynamic-partition-pruning star join;
-    # Iceberg compact+expire reclamation; Iceberg schema-evolution
-    # field-id projection; Delta OPTIMIZE bin-packing; Delta metadata-only
-    # ADD COLUMNS) — a never-checked key outranks an r2-stale one, so the
-    # last ten r2 keys (stream_dedup, stream_session/sliding_window,
-    # stream_stream_interval_join, stream_tumbling_window,
-    # text_fingerprint, text_lang_id, text_quality_filter, text_stats,
-    # text_token_count) slip to the post-window head for round 8 ...
-    "source_iceberg_incremental", "join_dynamic_partition_pruning",
-    "maint_iceberg_expire_snapshots", "source_iceberg_schema_evolution",
-    "maint_delta_optimize", "source_delta_add_column",
-    # ... slot 46 = manifest-bounds file skipping, slots 47-48 = the
-    # real-layout metadata tables (files / snapshots+history), slot 49 =
-    # the real-Delta-log streaming source ...
-    "source_iceberg_stats_pruning",
-    "source_iceberg_files_table", "source_iceberg_snapshots_table",
-    "stream_source_delta", "stream_source_iceberg",
-    # ... slot 49 = hidden partition transforms (days/bucket/truncate)
-    # on the real layout ...
-    "source_iceberg_transform_partitioned",
-    # ... slot 49 = Delta generated partition columns (the Delta pair of
-    # the hidden-transform key) ...
-    "source_delta_generated_partition",
-    # ... slot 49 = Delta data skipping (add.stats minValues/maxValues,
-    # the Delta pair of the manifest-bounds key) ...
-    "source_delta_stats_skipping",
-    # ... slot 49 = the sort-order clustered rewrite (stats skipping made
-    # effective by layout) ...
-    "maint_iceberg_sort_rewrite",
-    # ... slot 49 = OPTIMIZE ZORDER (multi-dimensional skipping on the
-    # real Delta layout) ...
-    "maint_delta_zorder",
-    # ... slot 49 = real-layout partition spec evolution with per-file
-    # spec dispatch ...
-    "source_iceberg_spec_evolution",
-    # ---- Past the window: every remaining key ordered by STALENESS ----
-    # (head: the session's last never-checked keys — the window is full and
-    # VERDICT r6 #4's r1-stale drain keeps slots 25-32; first in line for
-    # the round-8 window)
+    # ---- Round-8 window (slots 0-49; the driver checks the FIRST 50) ----
+    # VERDICT r7 "Next round" #2: slots 0-7 = the 8 fourth-session r7 keys
+    # that have never received a driver row (they pass the repo's own
+    # oracle replay; a key isn't done until the driver agrees) ...
     "stream_sink_delta", "maint_delta_restore", "maint_iceberg_rollback",
-    "source_delta_cdc_files", "sink_iceberg_add_files",
-    "dml_delta_merge_cow", "dml_iceberg_delete_cow",
-    "dml_iceberg_merge_cow",
-    "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet", "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "source_delta_cdc_files", "sink_iceberg_add_files", "dml_delta_merge_cow",
+    "dml_iceberg_delete_cow", "dml_iceberg_merge_cow",
+    # ... new round-8 keys are inserted HERE as they land (a never-checked
+    # key outranks a stale one; each insertion displaces the last r3-stale
+    # slot below the window) ...
+    # ... next 17 slots = every key whose newest driver row is still
+    # ROUND 2 (drains r2-stale to 0, VERDICT r7 #2) ...
+    "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
+    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
     "stream_dedup", "stream_session_window", "stream_sliding_window",
-    "stream_stream_interval_join",
-    "stream_tumbling_window", "text_fingerprint", "text_lang_id",
-    "text_quality_filter", "text_stats", "text_token_count",
-    # (rounds since its newest driver row: leftover r3 keys first, then
-    # r4, the r5 window, and finally the 50 keys just swept in r6)
+    "stream_stream_interval_join", "stream_tumbling_window",
+    "text_fingerprint", "text_lang_id", "text_quality_filter", "text_stats",
+    "text_token_count",
+    # ... remaining slots = the oldest r3-stale keys (alphabetical head
+    # of the r3 block; the rest stay below, covered by the repo's own
+    # oracle replay every pytest run) ...
     "agg_rollup", "branch_diff_equal", "branch_merge", "branch_wap_publish",
     "ddl_create_table", "ddl_schema_crud", "ddl_schema_evolution",
-    "dedup_cc_canonical",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_near_minhash",
-    "dedup_ngram_jaccard", "dedup_simhash_pairs",
+    "dedup_cc_canonical", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash_pairs",
     "dml_delete_where", "dml_delete_where_mor", "dml_insert_values",
     "dml_merge_upsert", "dml_update_where", "dml_update_where_mor",
-    "join_salted_skew", "multimodal_decode",
-    "multimodal_frame_sample", "multimodal_resize", "pipeline_corpus_mixture",
-    "pipeline_training_corpus", "q10_returned_items", "q14_promo_share",
-    "q18_large_volume", "q5_local_supplier", "q6_forecast_revenue",
-    "sample_stratified_hash", "similarity_ann_ivf", "similarity_ann_lsh",
+    "join_salted_skew", "multimodal_decode", "multimodal_frame_sample",
+    "multimodal_resize", "pipeline_corpus_mixture",
+    "pipeline_training_corpus",
+    # ---- Past the window: every remaining key ordered by STALENESS ----
+    # r3-stale tail (first in line after the round-8 window drains)
+    "q10_returned_items", "q14_promo_share", "q18_large_volume",
+    "q5_local_supplier", "q6_forecast_revenue", "sample_stratified_hash",
+    "similarity_ann_ivf", "similarity_ann_lsh",
     "similarity_ann_lsh_multiprobe", "similarity_pairs_blocked",
     "similarity_topk", "sink_append", "sink_clustered_pruning",
     "sink_create_table_as", "source_rows", "sql_merge_into",
@@ -175,26 +97,26 @@ _SWEEP_PRIORITY = [
     "stream_watermark_late_data", "text_pii_scrub", "time_travel_scan",
     "unpivot_stack", "window_range_frame",
     # r4-stale
-    "agg_funnel_steps",
-    "branch_cherry_pick", "branch_tag_scan", "ddl_add_files",
-    "ddl_partition_evolution", "ddl_rollback_version", "ddl_type_widening",
-    "dedup_containment", "dedup_repeated_spans", "dml_delete_positions",
-    "dml_merge_schema_evolution", "join_fuzzy_levenshtein",
-    "maint_compact_expire_gc", "meta_files", "multimodal_clip_filter",
-    "multimodal_feature_extract", "multimodal_phash_dedup",
-    "pipeline_global_shuffle", "q11_important_stock", "q12_priority_lines",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_parts_supplier_count", "q17_small_quantity", "q19_disjunctive_parts",
-    "q20_potential_promotion", "q21_suppliers_who_kept_waiting",
-    "q22_dormant_customers", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "similarity_ann_pq", "similarity_ann_sq8",
-    "similarity_range_search", "sink_partition_spec",
-    "sink_partition_transforms", "sink_shallow_clone", "sink_zorder_pruning",
-    "sql_call_procedures", "sql_merge_full_sync", "stream_source_versioned",
-    "stream_stream_outer_join", "text_bpe_merge_rounds",
-    "text_repetition_signals", "text_unigram_logprob_score",
-    "time_travel_changes", "window_retention_cohorts",
+    "agg_funnel_steps", "branch_cherry_pick", "branch_tag_scan",
+    "ddl_add_files", "ddl_partition_evolution", "ddl_rollback_version",
+    "ddl_type_widening", "dedup_containment", "dedup_repeated_spans",
+    "dml_delete_positions", "dml_merge_schema_evolution",
+    "join_fuzzy_levenshtein", "maint_compact_expire_gc", "meta_files",
+    "multimodal_clip_filter", "multimodal_feature_extract",
+    "multimodal_phash_dedup", "pipeline_global_shuffle",
+    "q11_important_stock", "q12_priority_lines", "q13_customer_distribution",
+    "q15_top_supplier", "q16_parts_supplier_count", "q17_small_quantity",
+    "q19_disjunctive_parts", "q20_potential_promotion",
+    "q21_suppliers_who_kept_waiting", "q22_dormant_customers",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "similarity_ann_pq", "similarity_ann_sq8", "similarity_range_search",
+    "sink_partition_spec", "sink_partition_transforms", "sink_shallow_clone",
+    "sink_zorder_pruning", "sql_call_procedures", "sql_merge_full_sync",
+    "stream_source_versioned", "stream_stream_outer_join",
+    "text_bpe_merge_rounds", "text_repetition_signals",
+    "text_unigram_logprob_score", "time_travel_changes",
+    "window_retention_cohorts",
     # r5-swept (the round-5 window, verified 50/50 green)
     "agg_entropy", "agg_heavy_hitters", "agg_histogram",
     "agg_mode_deterministic", "branch_diff_rows", "ddl_analyze_stats",
@@ -214,17 +136,16 @@ _SWEEP_PRIORITY = [
     "time_travel_as_of_timestamp", "window_activity_streaks",
     "window_anomaly_zscore", "window_ewma", "window_first_touch_attribution",
     "window_pareto_abc", "window_rolling_corr", "window_sessionize",
-    "window_twap", "window_user_gap_stats",
-    "agg_approx_distinct", "agg_quantile_approx",
-    "flagship_top_unshipped",
-    # r6-swept (freshest — the round-6 window, verified 50/50 green)
+    "window_twap", "window_user_gap_stats", "agg_approx_distinct",
+    "agg_quantile_approx", "flagship_top_unshipped",
+    # r6-swept (the round-6 window, verified 50/50 green)
     "dml_update_struct_member", "dedup_scrub_repeated_chunks",
     "dml_delete_equality", "meta_refs", "text_bigram_logprob_score",
     "window_holt_trend", "window_cusum_drift", "branch_revert",
     "meta_commit_log", "source_binary_files", "agg_gini_concentration",
-    "text_zipf_fit", "source_iceberg_metadata",
-    "agg_cube", "agg_distinct", "agg_grouping_sets", "agg_hash_group",
-    "agg_quantile", "agg_salted_twophase", "agg_stats", "agg_string_collect",
+    "text_zipf_fit", "source_iceberg_metadata", "agg_cube", "agg_distinct",
+    "agg_grouping_sets", "agg_hash_group", "agg_quantile",
+    "agg_salted_twophase", "agg_stats", "agg_string_collect",
     "filter_predicate", "join_asof", "join_cross", "join_full_outer",
     "join_inner_equi", "join_left_outer", "join_right_outer", "join_semi",
     "join_theta_range", "limit_offset", "limit_topk", "pivot_wide",
@@ -233,6 +154,29 @@ _SWEEP_PRIORITY = [
     "scalar_json", "scalar_math", "scalar_null_safe", "scalar_string",
     "scan_table", "set_except_all", "set_intersect", "set_intersect_all",
     "set_union", "sort_order_by",
+    # r7-swept (freshest — the round-7 window, verified 50/50 green)
+    "sink_sharded_manifests", "sink_iceberg_export", "source_delta_log",
+    "agg_count_min_sketch", "source_iceberg_position_deletes",
+    "source_iceberg_equality_deletes", "source_iceberg_partitioned",
+    "source_delta_checkpoint", "source_delta_partitioned",
+    "pipeline_epoch_resample", "dedup_cluster_representative",
+    "similarity_knn_graph", "source_delta_deletion_vectors",
+    "sink_delta_export", "join_interval_overlap", "pipeline_train_val_split",
+    "window_seasonal_decompose", "join_bloom_prefilter",
+    "source_delta_column_mapping", "source_iceberg_refs",
+    "maint_delta_vacuum", "agg_hyperloglog_native", "source_iceberg_orc",
+    "pipeline_mixture_temperature", "source_delta_cdf", "subquery_correlated",
+    "subquery_in", "subquery_scalar", "udaf_pandas", "udf_python",
+    "window_analytic", "window_distribution", "window_rank",
+    "source_iceberg_incremental", "join_dynamic_partition_pruning",
+    "maint_iceberg_expire_snapshots", "source_iceberg_schema_evolution",
+    "maint_delta_optimize", "source_delta_add_column",
+    "source_iceberg_stats_pruning", "source_iceberg_files_table",
+    "source_iceberg_snapshots_table", "stream_source_delta",
+    "stream_source_iceberg", "source_iceberg_transform_partitioned",
+    "source_delta_generated_partition", "source_delta_stats_skipping",
+    "maint_iceberg_sort_rewrite", "maint_delta_zorder",
+    "source_iceberg_spec_evolution",
 ]
 
 

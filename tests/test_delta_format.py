@@ -859,6 +859,56 @@ def test_zorder_optimize_clusters_both_dims(spark, tmp_path):
         wp.optimize(zorder_by=["o_custkey"])
 
 
+def test_zorder_optimize_keeps_null_keyed_rows(spark, tmp_path):
+    """A NULL in any ZORDER BY column nulls the Morton key, and the key-
+    range filters exclude NULLs — those rows must be routed into a
+    dedicated bucket, not silently dropped from a dataChange=false
+    rewrite (ADVICE r7 #1). Also covers an all-NULL dimension."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        DeltaTableWriter,
+        scan_delta_table,
+    )
+    from lakefs_iceberg_catalog_spark.tables import table as t
+
+    from .conftest import SF_DIR
+
+    o = (
+        t(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(
+                F.col("o_custkey")
+            ),
+        )
+    )
+    d = str(tmp_path / "znull")
+    w = DeltaTableWriter(spark, d)
+    for m in range(3):
+        w.commit(add_dfs=[o.filter(F.col("o_orderkey") % 3 == m)])
+    before = scan_delta_table(spark, d)
+    n_before, n_null = before.count(), before.filter(
+        F.col("o_custkey").isNull()
+    ).count()
+    assert n_null > 0  # the fixture genuinely exercises NULL keys
+    w.optimize(zorder_by=["o_custkey", "o_totalprice"], target_files=3)
+    after = scan_delta_table(spark, d)
+    assert after.count() == n_before
+    assert after.filter(F.col("o_custkey").isNull()).count() == n_null
+    # all-NULL dimension: inert axis, rows still conserved
+    d2 = str(tmp_path / "zallnull")
+    w2 = DeltaTableWriter(spark, d2)
+    w2.commit(
+        add_dfs=[
+            o.limit(50).withColumn("dead", F.lit(None).cast("double"))
+        ]
+    )
+    w2.optimize(zorder_by=["dead", "o_totalprice"], target_files=2)
+    assert scan_delta_table(spark, d2).count() == 50
+
+
 def test_txn_idempotence_and_checkpoint_carry(spark, tmp_path):
     """The protocol txn action: commits gated by the log's latest
     (appId, version); duplicate deliveries are complete no-ops; txn state

@@ -1091,6 +1091,55 @@ def test_streaming_epoch_gate_and_rollback(spark, ice):
         w.rollback_to_snapshot(12345)
 
 
+def test_rollback_across_replace_and_expire_reachability(spark, tmp_path):
+    """Two ADVICE r7 defects: (a) rollback must rebuild the writer's
+    manifest set from the target snapshot's OWN manifest list — filtering
+    by sequence number breaks once a rewrite_data REPLACED the list, so a
+    post-rollback commit published a head missing the rolled-back-to
+    rows; (b) expire must retain by REACHABILITY from the current head —
+    after rollback, keeping the newest N by commit order deleted the live
+    head's files."""
+    n = _nation(spark)
+    d = str(tmp_path / "rb")
+    w = IcebergTableWriter(spark, d)
+    s0 = w.append(n.filter("n_nationkey < 10"))
+    w.append(n.filter("n_nationkey >= 10"))
+    # replace: rewrite_data swaps the whole manifest list
+    w.rewrite_data()
+    assert scan_iceberg_table(spark, d).count() == 25
+    # roll back to the first append, then commit something new: the new
+    # head must hold s0's 10 rows + the new row (pre-fix: 1 row only)
+    w.rollback_to_snapshot(s0)
+    assert scan_iceberg_table(spark, d).count() == 10
+    w.append(n.filter("n_nationkey = 10"))
+    live = scan_iceberg_table(spark, d)
+    assert live.count() == 11
+    assert {r["n_nationkey"] for r in live.collect()} == set(range(11))
+    # expire after rollback: the live head (an OLDER snapshot by commit
+    # order) and its ancestors survive; the rolled-away rewrite expires
+    stats = w.expire_snapshots(retain_last=2)
+    assert stats["expired"] >= 1
+    again = scan_iceberg_table(spark, d)
+    assert again.count() == 11  # every data file still readable
+    md = read_table_metadata(d)
+    ids = {s["snapshot-id"] for s in md["snapshots"]}
+    assert md["current-snapshot-id"] in ids
+    # time travel to the retained ancestor still works
+    assert scan_iceberg_table(spark, d, snapshot_id=s0).count() == 10
+    # sharpest expire case: head OLDER than later snapshots, no commit in
+    # between — positional retention would delete the head itself
+    d2 = str(tmp_path / "rb2")
+    w2 = IcebergTableWriter(spark, d2)
+    t0 = w2.append(n.filter("n_nationkey < 5"))
+    w2.append(n.filter("n_nationkey >= 5"))
+    w2.rollback_to_snapshot(t0)
+    stats2 = w2.expire_snapshots(retain_last=1)
+    assert stats2["expired"] == 1  # the rolled-away newer snapshot
+    md2 = read_table_metadata(d2)
+    assert md2["current-snapshot-id"] == t0
+    assert scan_iceberg_table(spark, d2).count() == 5
+
+
 def test_add_files_registers_without_rewrite(spark, tmp_path, ice):
     """add_files: existing parquet registered as one append snapshot —
     metadata cost only, bounds from footers, stats skipping works on the
