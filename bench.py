@@ -193,6 +193,7 @@ EXTRA = [
     "source_delta_cdc_files",
     "sink_iceberg_add_files",
     "dml_delta_merge_cow",
+    "dml_delta_merge_partitioned",
     "dml_iceberg_delete_cow",
     "dml_iceberg_merge_cow",
 ]

@@ -748,6 +748,74 @@ def dml_delta_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_delta_merge_partitioned",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey IN (3, 4)
+            THEN 'UPDATED_' || CAST(n_nationkey AS VARCHAR)
+            ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation
+UNION ALL
+SELECT CAST(25 AS INTEGER), 'NEW_25', CAST(1 AS INTEGER)
+""",
+)
+def dml_delta_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE over a PARTITIONED real Delta table (VERDICT r7 #4 — real
+    tables are partitioned, MERGE is the #1 DML): with the partition
+    column in the merge key, the touched-file probe is PARTITION-PRUNED
+    from the log before any data IO — upserting nations 3 (region 3) and
+    4 (region 4) plus inserting key 25 into region 1 removes ONLY the two
+    matched partitions' files (asserted); regions 0/1/2's original files
+    keep serving reads in place, and the insert lands as a NEW per-tuple
+    file beside region 1's untouched one. CDC preimage + postimage +
+    insert rows ride the same commit, derived from touched files only.
+
+    Scale: probe IO = candidate partitions' files, rewrite IO = touched
+    files — both independent of table size; the log is the partition
+    index (stock Delta's merge planning)."""
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta-mergepart-")
+    w = DeltaTableWriter(spark, tmp)
+    for i, rk in enumerate(range(5)):
+        w.commit(
+            add_dfs=[n.filter(F.col("n_regionkey") == rk)],
+            partition_cols=["n_regionkey"] if i == 0 else None,
+        )
+    pre = read_delta_log(tmp)["files"]
+    source = spark.createDataFrame(
+        [(3, "UPDATED_3", 3), (4, "UPDATED_4", 4), (25, "NEW_25", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    w.merge_upsert(source, ["n_nationkey", "n_regionkey"])
+    post = read_delta_log(tmp)["files"]
+    removed = set(pre) - set(post)
+    assert len(removed) == 2  # only regions 3 and 4's files rewrote
+    assert {pre[r]["partitionValues"]["n_regionkey"] for r in removed} == {
+        "3",
+        "4",
+    }
+    # region 1 keeps its original file AND gains the insert's new file
+    by_region: dict[str, int] = {}
+    for a in post.values():
+        rk = a["partitionValues"]["n_regionkey"]
+        by_region[rk] = by_region.get(rk, 0) + 1
+    assert by_region["1"] == 2 and by_region["0"] == 1
+    back = scan_delta_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_delta_cdc_files",
     oracle="""
 SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,

@@ -1054,6 +1054,45 @@ def test_partition_spec_evolution_per_file_pruning(spark, tmp_path):
         )
 
 
+def test_cow_delete_across_spec_evolution(spark, tmp_path):
+    """A spec-evolved table must take a CoW DELETE (VERDICT r7 #6): the
+    manifest rewrite dispatches per spec id — old-spec manifests rewrite
+    under their OWN partition struct, the replacement rows land as
+    per-tuple files under the CURRENT spec — and time travel to the
+    pre-delete snapshot stays intact."""
+    n = _nation(spark)
+    d = str(tmp_path / "specevocow")
+    w = IcebergTableWriter(spark, d, partition_by=["n_regionkey"])
+    for rk in (0, 1):
+        w.append(n.filter(f"n_regionkey = {rk}"))
+    w.evolve_partition_spec(["truncate(n_nationkey, 10)"])
+    rest = n.filter("n_regionkey >= 2")
+    for lo in (0, 10, 20):
+        w.append(rest.filter(f"n_nationkey >= {lo} and n_nationkey < {lo + 10}"))
+    pre_snap = w._current_snapshot_id
+    n_before = scan_iceberg_table(spark, d).count()
+    # keys 4 and 13 live in different files under DIFFERENT specs
+    victims = {
+        r["n_nationkey"]
+        for r in scan_iceberg_table(spark, d)
+        .filter("n_nationkey in (4, 13)")
+        .collect()
+    }
+    assert victims == {4, 13}
+    w.delete_where_cow("n_nationkey in (4, 13)")
+    live = scan_iceberg_table(spark, d)
+    assert live.count() == n_before - 2
+    assert {r["n_nationkey"] for r in live.collect()} == (
+        set(range(25)) - {4, 13}
+    )
+    # old-spec pruning still works post-rewrite (per-spec partition struct
+    # survived the manifest rewrite)
+    h = scan_iceberg_table(spark, d, hidden_filter={"n_regionkey": 1})
+    assert {r["n_regionkey"] for r in h.collect()} == {1}
+    # time travel to the pre-delete snapshot sees every row
+    assert scan_iceberg_table(spark, d, snapshot_id=pre_snap).count() == n_before
+
+
 def test_streaming_epoch_gate_and_rollback(spark, ice):
     """Streaming exactly-once via snapshot-summary epoch ids (the
     Iceberg-sink commit-dedup mechanism) and metadata-only ROLLBACK."""
