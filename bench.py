@@ -194,6 +194,7 @@ EXTRA = [
     "sink_iceberg_add_files",
     "dml_delta_merge_cow",
     "dml_delta_merge_partitioned",
+    "source_delta_cdf_partitioned",
     "dml_iceberg_delete_cow",
     "dml_iceberg_merge_cow",
 ]

@@ -1222,23 +1222,24 @@ def delta_table_changes(
       (DVs are monotone per file between its add actions — a shrink means
       a restore this reader does not model, and refuses loudly).
 
-    Scope guards (loud): partitioned and column-mapped tables are not
-    supported here — the versioned catalog's own table_changes covers the
-    repo-native path; this is the open-format interop twin.
+    PARTITIONED tables re-inject each changed file's log-only partition
+    values as typed literal columns (same as the scan path); COLUMN-MAPPED
+    tables read the data files under their physical col-uuid names and
+    project back to the `to_version` logical schema — a mid-window rename
+    surfaces every change row under the NEW name, physical names being
+    the stable identity (VERDICT r7 #5; the writer refuses the
+    partitioned+mapped combination upstream).
 
     Scale: the diff is metadata-only (two log folds); data IO touches
     exactly the changed files, and DV-position deletes read one file
     filtered by `_metadata.row_index` — change-proportional, the CDF
     contract."""
+    from pyspark.sql import types as T
+
     if to_version <= from_version:
         raise ValueError("to_version must be greater than from_version")
     a = read_delta_log(table_dir, from_version)
     b = read_delta_log(table_dir, to_version)
-    for st in (a, b):
-        if st.get("partition_cols"):
-            raise NotImplementedError("changes over partitioned tables")
-        if _physical_renames(st.get("metadata")):
-            raise NotImplementedError("changes over column-mapped tables")
     # dataChange=false commits (OPTIMIZE) swap files WITHOUT changing rows;
     # an endpoint file-set diff would misreport every rewritten row as
     # insert+delete, so refuse loudly — stock Delta CDF skips such commits
@@ -1265,31 +1266,58 @@ def delta_table_changes(
         dv = state["files"][rel].get("deletionVector")
         return set(_dv_positions(table_dir, dv)) if dv else set()
 
-    def _rows(rel: str, keep: set[int] | None, drop: set[int]) -> DataFrame:
+    # every change row projects to the to_version logical schema: column
+    # mapping resolves via stable physical names; partition columns are
+    # log-only and re-inject per file below
+    renames = _physical_renames(b.get("metadata"))
+    schema_b = T.StructType.fromJson(json.loads(b["schema_json"]))
+    pcols = b.get("partition_cols") or []
+    ptypes = {f.name: f.dataType for f in schema_b.fields if f.name in pcols}
+    file_fields = [f for f in schema_b.fields if f.name not in pcols]
+    read_schema = T.StructType(
+        [
+            T.StructField(renames.get(f.name, f.name), f.dataType, True)
+            for f in file_fields
+        ]
+    )
+    out_cols = [f.name for f in schema_b.fields]
+
+    def _rows(state: dict, rel: str, keep: set[int] | None, drop: set[int]) -> DataFrame:
         """One file's rows, keeping `keep` ordinals (None = all) minus
         `drop` — ordinal filters ride `_metadata.row_index`."""
-        df = spark.read.parquet(os.path.join(table_dir, rel))
-        cols = df.columns
+        df = spark.read.schema(read_schema).parquet(
+            os.path.join(table_dir, rel)
+        )
         idx = F.col("_metadata.row_index")
         cond = F.lit(True)
         if keep is not None:
             cond = idx.isin([int(i) for i in keep])
         if drop:
             cond = cond & ~idx.isin([int(i) for i in drop])
-        return df.filter(cond).select(*cols)
+        df = df.filter(cond)
+        if renames:
+            df = df.select(
+                *[F.col(p).alias(lg) for lg, p in renames.items()]
+            )
+        pv = state["files"][rel].get("partitionValues") or {}
+        for c in pcols:
+            v = pv.get(c)
+            lit = F.lit(None) if v is None else F.lit(v)
+            df = df.withColumn(c, lit.cast(ptypes[c]))
+        return df.select(*out_cols)
 
     parts: list[DataFrame] = []
     for rel in b["files"]:
         if rel not in a["files"]:
             parts.append(
-                _rows(rel, None, _positions(b, rel)).withColumn(
+                _rows(b, rel, None, _positions(b, rel)).withColumn(
                     "_change_type", F.lit("insert")
                 )
             )
     for rel in a["files"]:
         if rel not in b["files"]:
             parts.append(
-                _rows(rel, None, _positions(a, rel)).withColumn(
+                _rows(a, rel, None, _positions(a, rel)).withColumn(
                     "_change_type", F.lit("delete")
                 )
             )
@@ -1302,7 +1330,7 @@ def delta_table_changes(
             grown = new - old
             if grown:
                 parts.append(
-                    _rows(rel, grown, set()).withColumn(
+                    _rows(a, rel, grown, set()).withColumn(
                         "_change_type", F.lit("delete")
                     )
                 )

@@ -1582,6 +1582,73 @@ def source_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_delta_cdf_partitioned",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type
+FROM nation WHERE n_nationkey >= 20
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'delete' AS _change_type
+FROM nation WHERE n_nationkey % 5 = 4 AND n_nationkey < 20
+""",
+)
+def source_delta_cdf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over a PARTITIONED Delta table (VERDICT r7 #5 —
+    real Delta tables are partitioned; the refusal lifted): the file-set
+    diff re-injects each changed file's LOG-ONLY partition values as
+    typed literal columns, exactly like the scan path — an appended
+    per-region batch surfaces as 'insert' rows WITH their region, and a
+    dropped partition file's rows surface as 'delete' rows with theirs.
+    The fixture also proves the COLUMN-MAPPED path in-flow: a mid-window
+    rename projects every change row to the to-version logical name via
+    the stable physical col-uuid names.
+
+    Scale: two metadata-sized log folds + IO on exactly the changed
+    files — change-proportional at any table size."""
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        delta_table_changes,
+        read_delta_log,
+    )
+
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta-cdfpart-")
+    w = DeltaTableWriter(spark, tmp)
+    low = n.filter("n_nationkey < 20")
+    for i, rk in enumerate(range(5)):  # v0..v4: one file per region
+        w.commit(
+            add_dfs=[low.filter(F.col("n_regionkey") == rk)],
+            partition_cols=["n_regionkey"] if i == 0 else None,
+        )
+    hi = n.filter("n_nationkey >= 20")
+    w.commit(  # v5: one per-region add for each appended key
+        add_dfs=[hi.filter(F.col("n_regionkey") == rk) for rk in range(5)]
+    )
+    files = read_delta_log(tmp, 4)["files"]
+    region4 = [
+        rel
+        for rel, a in files.items()
+        if a["partitionValues"]["n_regionkey"] == "4"
+    ]
+    w.commit(remove=region4)  # v6: drop region 4's original file
+    back = delta_table_changes(spark, tmp, 4, 6).select(
+        "n_nationkey", "n_name", "n_regionkey", "_change_type"
+    )
+    # column-mapped sub-proof: a mid-window rename surfaces change rows
+    # under the NEW logical name (physical col-uuid is the identity)
+    cm = DeltaTableWriter(spark, f"{tmp}/cm", column_mapping=True)
+    cm.commit(add_dfs=[n.filter("n_nationkey < 5").select("n_nationkey", "n_name")])
+    rel0 = next(iter(read_delta_log(f"{tmp}/cm")["files"]))
+    cm.rename_column("n_name", "nation_name")
+    cm.commit(remove=[rel0])
+    ch = delta_table_changes(spark, f"{tmp}/cm", 0, 2)
+    assert set(ch.columns) == {"n_nationkey", "nation_name", "_change_type"}
+    assert ch.count() == 5  # the dropped file's rows, renamed, as deletes
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "maint_iceberg_expire_snapshots",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey <> 7

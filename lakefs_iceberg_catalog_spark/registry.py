@@ -65,7 +65,7 @@ _SWEEP_PRIORITY = [
     # ... new round-8 keys are inserted HERE as they land (a never-checked
     # key outranks a stale one; each insertion displaces the last r3-stale
     # slot below the window) ...
-    "dml_delta_merge_partitioned",
+    "dml_delta_merge_partitioned", "source_delta_cdf_partitioned",
     # ... next 17 slots = every key whose newest driver row is still
     # ROUND 2 (drains r2-stale to 0, VERDICT r7 #2) ...
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
