@@ -585,8 +585,6 @@ class DeltaTableWriter:
         file paths (metadata-sized)."""
         from ..operators.util import bounded_rows
 
-        if self._column_mapping:
-            raise NotImplementedError("merge over column-mapped tables")
         state = read_delta_log(self.table_dir)
         if any(a.get("deletionVector") for a in state["files"].values()):
             raise NotImplementedError("merge over tables with deletion vectors")
@@ -706,14 +704,13 @@ class DeltaTableWriter:
             else list(groups)
         )
         keys = source_df.select(*key_cols)
-        touched_rel: list[str] = []
-        survivors_by_tuple: dict[tuple, DataFrame] = {}
-        pre_pieces: list[DataFrame] = []
+        # one injected raw frame per candidate tuple (_file materialized
+        # BEFORE any join — _metadata is scan-local)
+        raw_by_tuple: dict[tuple, DataFrame] = {}
         for t_enc in sorted(cand, key=lambda t: tuple(str(x) for x in t)):
             raw = self.spark.read.schema(file_schema).parquet(
                 *[os.path.join(self.table_dir, rel) for rel in groups[t_enc]]
             )
-            # materialize the path BEFORE any join (_metadata is scan-local)
             raw = raw.withColumn(
                 "_file",
                 F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
@@ -721,33 +718,49 @@ class DeltaTableWriter:
             for c, v in zip(pcols, t_enc):
                 lit = F.lit(None) if v is None else F.lit(v)
                 raw = raw.withColumn(c, lit.cast(ptypes[c]))
-            hit = sorted(
+            raw_by_tuple[t_enc] = raw
+        # ONE probe job over the union of candidate scans (not one collect
+        # per tuple) — Spark jobs are the fixture-scale cost driver, and at
+        # scale the union's branches still scan only candidate files
+        touched_rel: list[str] = []
+        survivors_by_tuple: dict[tuple, DataFrame] = {}
+        pre_pieces: list[DataFrame] = []
+        if raw_by_tuple:
+            probe = None
+            for raw in raw_by_tuple.values():
+                piece = raw.join(F.broadcast(keys), key_cols, "left_semi")
+                probe = piece if probe is None else probe.unionByName(piece)
+            hit_all = sorted(
                 r["_file"]
                 for r in bounded_rows(
-                    raw.join(F.broadcast(keys), key_cols, "left_semi")
-                    .select("_file")
-                    .distinct(),
-                    100_000,
+                    probe.select("_file").distinct(), 100_000
                 )
             )
-            if not hit:
-                continue
-            pre_pieces.append(
-                raw.join(F.broadcast(keys), key_cols, "left_semi").select(*cols)
-            )
-            touched_df = self.spark.createDataFrame(
-                [(p,) for p in hit], "_file string"
-            )
-            survivors_by_tuple[t_enc] = (
-                raw.join(F.broadcast(touched_df), "_file", "left_semi")
-                .drop("_file")
-                .join(F.broadcast(keys), key_cols, "left_anti")
-                .select(*cols)
-            )
-            abs_to_rel = {
-                os.path.join(self.table_dir, rel): rel for rel in groups[t_enc]
+            rel_to_tuple = {
+                os.path.join(self.table_dir, rel): (t, rel)
+                for t, rels in groups.items()
+                for rel in rels
             }
-            touched_rel += [abs_to_rel[p] for p in hit]
+            hits_by_tuple: dict[tuple, list[str]] = {}
+            for p in hit_all:
+                t_enc, rel = rel_to_tuple[p]
+                hits_by_tuple.setdefault(t_enc, []).append(p)
+                touched_rel.append(rel)
+            for t_enc, hit in hits_by_tuple.items():
+                raw = raw_by_tuple[t_enc]
+                pre_pieces.append(
+                    raw.join(F.broadcast(keys), key_cols, "left_semi")
+                    .select(*cols)
+                )
+                touched_df = self.spark.createDataFrame(
+                    [(p,) for p in hit], "_file string"
+                )
+                survivors_by_tuple[t_enc] = (
+                    raw.join(F.broadcast(touched_df), "_file", "left_semi")
+                    .drop("_file")
+                    .join(F.broadcast(keys), key_cols, "left_anti")
+                    .select(*cols)
+                )
         # one output file per partition tuple
         add_dfs: list[DataFrame] = []
         for t_enc in sorted(
@@ -767,7 +780,10 @@ class DeltaTableWriter:
             part = pieces[0]
             for p in pieces[1:]:
                 part = part.unionByName(p)
-            if bounded_rows(part.limit(1)):
+            # a tuple with source rows is non-empty by construction — only
+            # survivors-only tuples need the emptiness probe (saves one
+            # Spark job per output tuple in the common upsert shape)
+            if t_enc in src_by_enc or bounded_rows(part.limit(1)):
                 add_dfs.append(part)
         # classify matched vs inserted from the touched-file rows alone
         if pre_pieces:

@@ -182,10 +182,17 @@ FROM ranked WHERE rnk <= {_TOP_K}
 """
 
 
-def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_bucketed(
+    spark: SparkSession, sf_dir: str, with_norm: bool = False
+) -> DataFrame:
     """(vec_id, embedding, tbl, bucket) — all hash tables' sign-bit bucket
-    keys in ONE corpus pass (explode of per-table structs)."""
+    keys in ONE corpus pass (explode of per-table structs). With
+    ``with_norm``, a ``nrm`` column is computed ONCE PER CORPUS ROW before
+    the explode (the similarity_topk hoist, BASELINE.md lesson 4) so
+    candidate-pair consumers never recompute norms per pair."""
     e = table(spark, sf_dir, "embeddings")
+    if with_norm:
+        e = e.withColumn("nrm", F.sqrt(_sqnorm(F.col("embedding"))))
     table_structs = F.array(
         *[
             F.struct(
@@ -201,11 +208,9 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             for ti, tbl_planes in enumerate(_planes())
         ]
     )
-    return e.select(
-        "vec_id", "embedding", F.explode(table_structs).alias("tb")
-    ).select(
-        "vec_id",
-        "embedding",
+    keep = ["vec_id", "embedding"] + (["nrm"] if with_norm else [])
+    return e.select(*keep, F.explode(table_structs).alias("tb")).select(
+        *keep,
         F.col("tb.tbl").alias("tbl"),
         F.col("tb.bucket").alias("bucket"),
     )
@@ -1354,35 +1359,40 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes → smaller buckets → fewer candidate pairs per node."""
     from .util import scoped_persist
 
-    b = scoped_persist(_lsh_bucketed(spark, sf_dir))
+    # norms hoisted into the persisted bucketed frame (one sqrt per corpus
+    # row, not two per candidate pair — VERDICT r7 #8)
+    b = scoped_persist(_lsh_bucketed(spark, sf_dir, with_norm=True))
     left = b.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         "tbl",
         "bucket",
     )
     right = b.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
         F.col("tbl").alias("tbl_r"),
         F.col("bucket").alias("bucket_r"),
     )
-    pairs = (
+    # cosine BEFORE the cross-table distinct: the dedup shuffle then
+    # carries (id, id, double) instead of two embedding payloads
+    sims = (
         left.join(
             right,
             (F.col("tbl") == F.col("tbl_r")) & (F.col("bucket") == F.col("bucket_r")),
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cos"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])  # union over tables
-    )
-    sims = pairs.select(
-        "query_id",
-        "neighbor_id",
-        (
-            _dot(F.col("q_emb"), F.col("c_emb"))
-            / (F.sqrt(_sqnorm(F.col("q_emb"))) * F.sqrt(_sqnorm(F.col("c_emb"))))
-        ).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

@@ -29,6 +29,17 @@ from ..tables import table
 from .util import bounded_rows, dround
 
 
+def _nation_local(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """Fixture-SETUP cheapener for the multi-commit DML keys (VERDICT r7
+    #7): nation as a LocalRelation (one bounded collect) so each of the
+    fixture's per-commit single-file writes plans against in-memory rows
+    instead of re-scanning the parquet source per job. The operator under
+    test still runs against the REAL on-disk table the fixture writes —
+    only the setup data source is local."""
+    n = table(spark, sf_dir, "nation").select(*cols)
+    return spark.createDataFrame(bounded_rows(n), n.schema)
+
+
 def _materialize(spark: SparkSession, df: DataFrame, tmp: str) -> DataFrame:
     """Pin a fixture-scale round-trip result past its temp-dir cleanup.
     Guarded by the shared row ceiling (operators/util.py:bounded_rows)."""
@@ -633,7 +644,7 @@ def dml_iceberg_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_iceberg_table,
     )
 
-    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
     tmp = tempfile.mkdtemp(prefix="iceberg-mergecow-")
     w = IcebergTableWriter(spark, tmp)
     for lo in (0, 10, 20):
@@ -675,9 +686,7 @@ def dml_iceberg_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_iceberg_table,
     )
 
-    n = table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-cow-")
     w = IcebergTableWriter(spark, tmp)
     for lo in (0, 10, 20):
@@ -726,7 +735,7 @@ def dml_delta_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_delta_table,
     )
 
-    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
     tmp = tempfile.mkdtemp(prefix="delta-merge-")
     w = DeltaTableWriter(spark, tmp)
     for lo in (0, 10, 20):
@@ -751,25 +760,25 @@ def dml_delta_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dml_delta_merge_partitioned",
     oracle="""
 SELECT n_nationkey,
-       CASE WHEN n_nationkey IN (3, 4)
+       CASE WHEN n_nationkey IN (0, 1)
             THEN 'UPDATED_' || CAST(n_nationkey AS VARCHAR)
             ELSE n_name END AS n_name,
        n_regionkey
-FROM nation
+FROM nation WHERE n_regionkey < 3
 UNION ALL
-SELECT CAST(25 AS INTEGER), 'NEW_25', CAST(1 AS INTEGER)
+SELECT CAST(25 AS INTEGER), 'NEW_25', CAST(2 AS INTEGER)
 """,
 )
 def dml_delta_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE over a PARTITIONED real Delta table (VERDICT r7 #4 — real
     tables are partitioned, MERGE is the #1 DML): with the partition
     column in the merge key, the touched-file probe is PARTITION-PRUNED
-    from the log before any data IO — upserting nations 3 (region 3) and
-    4 (region 4) plus inserting key 25 into region 1 removes ONLY the two
-    matched partitions' files (asserted); regions 0/1/2's original files
-    keep serving reads in place, and the insert lands as a NEW per-tuple
-    file beside region 1's untouched one. CDC preimage + postimage +
-    insert rows ride the same commit, derived from touched files only.
+    from the log before any data IO — upserting nations 0 (region 0) and
+    1 (region 1) plus inserting key 25 into region 2 removes ONLY the two
+    matched partitions' files (asserted); region 2's original file keeps
+    serving reads in place, and the insert lands as a NEW per-tuple file
+    beside it. CDC preimage + postimage + insert rows ride the same
+    commit, derived from touched files only.
 
     Scale: probe IO = candidate partitions' files, rewrite IO = touched
     files — both independent of table size; the log is the partition
@@ -780,38 +789,82 @@ def dml_delta_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_delta_table,
     )
 
-    n = table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    n = n.filter("n_regionkey < 3")
     tmp = tempfile.mkdtemp(prefix="delta-mergepart-")
     w = DeltaTableWriter(spark, tmp)
-    for i, rk in enumerate(range(5)):
+    for i, rk in enumerate(range(3)):
         w.commit(
             add_dfs=[n.filter(F.col("n_regionkey") == rk)],
             partition_cols=["n_regionkey"] if i == 0 else None,
         )
     pre = read_delta_log(tmp)["files"]
     source = spark.createDataFrame(
-        [(3, "UPDATED_3", 3), (4, "UPDATED_4", 4), (25, "NEW_25", 1)],
+        [(0, "UPDATED_0", 0), (1, "UPDATED_1", 1), (25, "NEW_25", 2)],
         "n_nationkey int, n_name string, n_regionkey int",
     )
     w.merge_upsert(source, ["n_nationkey", "n_regionkey"])
     post = read_delta_log(tmp)["files"]
     removed = set(pre) - set(post)
-    assert len(removed) == 2  # only regions 3 and 4's files rewrote
+    assert len(removed) == 2  # only regions 0 and 1's files rewrote
     assert {pre[r]["partitionValues"]["n_regionkey"] for r in removed} == {
-        "3",
-        "4",
+        "0",
+        "1",
     }
-    # region 1 keeps its original file AND gains the insert's new file
+    # region 2 keeps its original file AND gains the insert's new file
     by_region: dict[str, int] = {}
     for a in post.values():
         rk = a["partitionValues"]["n_regionkey"]
         by_region[rk] = by_region.get(rk, 0) + 1
-    assert by_region["1"] == 2 and by_region["0"] == 1
+    assert by_region == {"0": 1, "1": 1, "2": 2}
     back = scan_delta_table(spark, tmp).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "dml_delta_merge_column_mapping",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey = 13 THEN 'UP_13' ELSE n_name END
+         AS nation_name
+FROM nation
+UNION ALL
+SELECT CAST(30 AS INTEGER), 'NEW_30'
+""",
+)
+def dml_delta_merge_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE over a COLUMN-MAPPED Delta table (the second half of
+    VERDICT r7's 'DML over partitioned / column-mapped Delta' gap): the
+    touched-file probe rides the logical-name scan — physical col-uuid
+    names stay in the data files, commit maps the rewritten rows back —
+    and renames COMPOSE with DML: after a metadata-only rename, the merge
+    addresses the NEW logical name. Only the matched key's file rewrites
+    (asserted); paired CDC rows ride the commit.
+
+    Scale: identical to the unmapped merge — touched-file-proportional;
+    the name mapping is a projection in the scan/commit, zero extra IO."""
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
+    tmp = tempfile.mkdtemp(prefix="delta-mergecm-")
+    w = DeltaTableWriter(spark, tmp, column_mapping=True)
+    for lo in (0, 10, 20):
+        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    w.rename_column("n_name", "nation_name")  # metadata-only
+    pre = set(read_delta_log(tmp)["files"])
+    source = spark.createDataFrame(
+        [(13, "UP_13"), (30, "NEW_30")], "n_nationkey int, nation_name string"
+    )
+    w.merge_upsert(source, ["n_nationkey"])
+    post = read_delta_log(tmp)["files"]
+    assert len(pre & set(post)) == 2  # only the 10-19 file rewrote
+    back = scan_delta_table(spark, tmp).select("n_nationkey", "nation_name")
     return _materialize(spark, back, tmp)
 
 
@@ -847,7 +900,7 @@ def source_delta_cdc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_delta_table,
     )
 
-    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
     tmp = tempfile.mkdtemp(prefix="delta-cdc-")
     w = DeltaTableWriter(spark, tmp)
     w.commit(add_dfs=[n.filter("n_nationkey < 12")])  # v0: CDF base
@@ -1585,10 +1638,10 @@ def source_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_delta_cdf_partitioned",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type
-FROM nation WHERE n_nationkey >= 20
+FROM nation WHERE n_nationkey >= 20 AND n_regionkey < 3
 UNION ALL
 SELECT n_nationkey, n_name, n_regionkey, 'delete' AS _change_type
-FROM nation WHERE n_nationkey % 5 = 4 AND n_nationkey < 20
+FROM nation WHERE n_regionkey = 2 AND n_nationkey < 20
 """,
 )
 def source_delta_cdf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1610,35 +1663,36 @@ def source_delta_cdf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_delta_log,
     )
 
-    n = table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
+    nfull = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    n = nfull.filter("n_regionkey < 3")
     tmp = tempfile.mkdtemp(prefix="delta-cdfpart-")
     w = DeltaTableWriter(spark, tmp)
     low = n.filter("n_nationkey < 20")
-    for i, rk in enumerate(range(5)):  # v0..v4: one file per region
+    for i, rk in enumerate(range(3)):  # v0..v2: one file per region
         w.commit(
             add_dfs=[low.filter(F.col("n_regionkey") == rk)],
             partition_cols=["n_regionkey"] if i == 0 else None,
         )
     hi = n.filter("n_nationkey >= 20")
-    w.commit(  # v5: one per-region add for each appended key
-        add_dfs=[hi.filter(F.col("n_regionkey") == rk) for rk in range(5)]
+    w.commit(  # v3: one per-region add for each appended key
+        add_dfs=[hi.filter(F.col("n_regionkey") == rk) for rk in range(3)]
     )
-    files = read_delta_log(tmp, 4)["files"]
-    region4 = [
+    files = read_delta_log(tmp, 2)["files"]
+    region2 = [
         rel
         for rel, a in files.items()
-        if a["partitionValues"]["n_regionkey"] == "4"
+        if a["partitionValues"]["n_regionkey"] == "2"
     ]
-    w.commit(remove=region4)  # v6: drop region 4's original file
-    back = delta_table_changes(spark, tmp, 4, 6).select(
+    w.commit(remove=region2)  # v4: drop region 2's original file
+    back = delta_table_changes(spark, tmp, 2, 4).select(
         "n_nationkey", "n_name", "n_regionkey", "_change_type"
     )
     # column-mapped sub-proof: a mid-window rename surfaces change rows
     # under the NEW logical name (physical col-uuid is the identity)
     cm = DeltaTableWriter(spark, f"{tmp}/cm", column_mapping=True)
-    cm.commit(add_dfs=[n.filter("n_nationkey < 5").select("n_nationkey", "n_name")])
+    cm.commit(
+        add_dfs=[nfull.filter("n_nationkey < 5").select("n_nationkey", "n_name")]
+    )
     rel0 = next(iter(read_delta_log(f"{tmp}/cm")["files"]))
     cm.rename_column("n_name", "nation_name")
     cm.commit(remove=[rel0])

@@ -559,7 +559,8 @@ def test_cdf_guards(spark, tmp_path, delta_dv):
     d, _w, _rel = delta_dv
     with _pytest.raises(ValueError, match="greater than"):
         delta_table_changes(spark, d, 2, 2)
-    # partitioned tables refuse loudly
+    # partitioned tables: the refusal is LIFTED (VERDICT r7 #5) — change
+    # rows re-inject the log-only partition values as typed columns
     dpart = str(tmp_path / "cdfpart")
     wp = DeltaTableWriter(spark, dpart)
     wp.commit(
@@ -567,8 +568,12 @@ def test_cdf_guards(spark, tmp_path, delta_dv):
         partition_cols=["n_regionkey"],
     )
     wp.commit(add_dfs=[_nation(spark).where("n_regionkey = 1")])
-    with _pytest.raises(NotImplementedError, match="partitioned"):
-        delta_table_changes(spark, dpart, 0, 1)
+    ch = delta_table_changes(spark, dpart, 0, 1)
+    rows = ch.collect()
+    assert len(rows) == 5
+    assert all(
+        r["_change_type"] == "insert" and r["n_regionkey"] == 1 for r in rows
+    )
 
 
 # ------------------------------------------------------------- optimize
@@ -944,6 +949,58 @@ def test_zorder_optimize_keeps_null_keyed_rows(spark, tmp_path):
     assert scan_delta_table(spark, d2).count() == 50
 
 
+def test_merge_upsert_column_mapped(spark, tmp_path):
+    """MERGE over a COLUMN-MAPPED table (refusal lifted): the probe rides
+    the logical-name scan (physical col-uuids stay in the data files —
+    commit maps the rewritten rows back), renames compose — a merge after
+    a rename addresses the NEW logical name — and CDF shows the paired
+    change rows."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        DeltaTableWriter,
+        delta_changes_from_cdc,
+        read_delta_log,
+        scan_delta_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "cmmerge")
+    w = DeltaTableWriter(spark, d, column_mapping=True)
+    for lo in (0, 10, 20):
+        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    w.rename_column("n_name", "nation_name")
+    pre_files = set(read_delta_log(d)["files"])
+    src = spark.createDataFrame(
+        [(13, "UP_13"), (30, "NEW_30")], "n_nationkey int, nation_name string"
+    )
+    v = w.merge_upsert(src, ["n_nationkey"])
+    post = read_delta_log(d)["files"]
+    assert len(pre_files & set(post)) == 2  # only the 10-19 file rewrote
+    back = scan_delta_table(spark, d)
+    assert set(back.columns) == {"n_nationkey", "nation_name"}
+    got = {r["n_nationkey"]: r["nation_name"] for r in back.collect()}
+    assert len(got) == 26
+    assert got[13] == "UP_13" and got[30] == "NEW_30"
+    assert got[3] == "NATION_3"  # untouched rows keep serving
+    # physical names in the REWRITTEN data file, logical in the log
+    import pyarrow.parquet as pq
+
+    new_rel = next(rel for rel in post if rel not in pre_files)
+    cols = pq.read_schema(os.path.join(d, new_rel)).names
+    assert all(c.startswith("col-") for c in cols)
+    ch = delta_changes_from_cdc(spark, d, v - 1, v)
+    by_type = {
+        r["_change_type"]: (r["n_nationkey"], r["nation_name"])
+        for r in ch.collect()
+    }
+    assert by_type == {
+        "update_preimage": (13, "NATION_13"),
+        "update_postimage": (13, "UP_13"),
+        "insert": (30, "NEW_30"),
+    }
+
+
 def test_merge_upsert_partitioned_prunes_and_moves(spark, delta_partitioned):
     """MERGE over a partitioned table (VERDICT r7 #4): with the partition
     column in the merge key the probe is partition-pruned (only source
@@ -1118,8 +1175,8 @@ def test_cdc_actions_preempt_derivation(spark, tmp_path):
 
 def test_merge_upsert_touched_file_granularity(spark, tmp_path):
     """MERGE rewrites only files containing matched keys; untouched files
-    stay referenced in place; CDF shows update_postimage/insert; guards
-    refuse partitioned/column-mapped/DV tables."""
+    stay referenced in place; CDF shows paired preimage/postimage plus
+    insert; DV tables refuse."""
     from pyspark.sql import functions as F
 
     from lakefs_iceberg_catalog_spark.catalog.delta_format import (
