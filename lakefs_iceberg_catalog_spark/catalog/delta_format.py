@@ -475,11 +475,15 @@ class DeltaTableWriter:
         live = sorted(state["files"])
         current = scan_delta_table(self.spark, self.table_dir)
         pcols = state.get("partition_cols") or []
-        if zorder_by:
-            if pcols:
-                raise NotImplementedError("ZORDER over partitioned tables")
+
+        def _zorder_adds(df: DataFrame) -> tuple[list[DataFrame], int]:
+            """Morton-cluster one frame into <= target_files range frames;
+            returns (adds, row count). Bins quantize per-FRAME min/max —
+            called once for an unpartitioned table, once per partition
+            tuple for a partitioned one (stock OPTIMIZE ZORDER clusters
+            within each partition)."""
             b = bounded_rows(
-                current.agg(
+                df.agg(
                     *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
                     *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
                 )
@@ -509,8 +513,8 @@ class DeltaTableWriter:
             # them into a dedicated lowest bucket instead (stock Delta
             # clusters NULLs together the same way).
             zkey = F.coalesce(zkey, F.lit(-1).cast("long"))
-            zdf = current.withColumn("_zkey", zkey)
-            n_before = zdf.count()
+            zdf = df.withColumn("_zkey", zkey)
+            n_rows = zdf.count()
             edges = sorted(
                 set(
                     zdf.approxQuantile(
@@ -520,7 +524,7 @@ class DeltaTableWriter:
                     )
                 )
             )
-            adds = []
+            out = []
             lo = None
             for e in edges + [None]:
                 part = zdf
@@ -529,12 +533,41 @@ class DeltaTableWriter:
                 if e is not None:
                     part = part.filter(F.col("_zkey") <= F.lit(e))
                 if bounded_rows(part.limit(1)):  # skip empty key ranges
-                    adds.append(
+                    out.append(
                         part.coalesce(1)
                         .sortWithinPartitions("_zkey")
                         .drop("_zkey")
                     )
                 lo = e
+            return out, n_rows
+
+        if zorder_by:
+            clash = set(zorder_by) & set(pcols)
+            if clash:
+                raise ValueError(
+                    f"cannot ZORDER BY partition columns: {sorted(clash)} "
+                    "(constant within every file already)"
+                )
+            if pcols:
+                # per-partition clustering (stock Delta's OPTIMIZE unit is
+                # the partition): each tuple's rows re-cluster into their
+                # own <= target_files range files — tuples never mix
+                tuples = bounded_rows(
+                    current.select(*pcols).distinct(), 10_000
+                )
+                adds = []
+                n_before = 0
+                for r in sorted(
+                    tuples, key=lambda r: tuple(str(v) for v in r)
+                ):
+                    part = current
+                    for c, v in zip(pcols, r):
+                        part = part.filter(F.col(c).eqNullSafe(F.lit(v)))
+                    part_adds, part_n = _zorder_adds(part)
+                    adds += part_adds
+                    n_before += part_n
+            else:
+                adds, n_before = _zorder_adds(current)
         elif pcols:
             tuples = bounded_rows(
                 current.select(*pcols).distinct(), 10_000

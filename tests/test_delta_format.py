@@ -890,13 +890,35 @@ def test_zorder_optimize_clusters_both_dims(spark, tmp_path):
     assert all(b["dataChange"] is False for b in bodies if b is not None)
     import pytest as _pytest
 
+    # partitioned ZORDER: per-partition clustering (refusal lifted)
     dp = str(tmp_path / "zp")
     wp = DeltaTableWriter(spark, dp)
-    wp.commit(
-        add_dfs=[o.limit(10).withColumn("p", F.lit("a"))], partition_cols=["p"]
+    op = o.withColumn("p", (F.col("o_orderkey") % 2).cast("string"))
+    for i, pv in enumerate(("0", "1")):
+        wp.commit(
+            add_dfs=[op.filter(F.col("p") == pv)],
+            partition_cols=["p"] if i == 0 else None,
+        )
+    n_part = scan_delta_table(spark, dp).count()
+    wp.optimize(zorder_by=["o_custkey", "o_totalprice"], target_files=2)
+    zp = scan_delta_table(spark, dp)
+    assert zp.count() == n_part  # rows conserved per partition
+    state = read_delta_log(dp)
+    # every rewritten file is single-partition; both tuples present
+    pvs = [a["partitionValues"]["p"] for a in state["files"].values()]
+    assert set(pvs) == {"0", "1"}
+    # clustering effective WITHIN a partition: a selective o_totalprice
+    # range + partition filter opens fewer files than the partition holds
+    part0_files = [p for p, v in zip(state["files"], pvs) if v == "0"]
+    pruned_p = scan_delta_table(
+        spark, dp,
+        partition_filter={"p": "0"},
+        stats_filter={"o_totalprice": (None, 60000.0)},
     )
-    with _pytest.raises(NotImplementedError, match="ZORDER over partitioned"):
-        wp.optimize(zorder_by=["o_custkey"])
+    assert len(pruned_p.inputFiles()) < len(part0_files)
+    # zorder by a partition column is meaningless — loud error
+    with _pytest.raises(ValueError, match="partition columns"):
+        wp.optimize(zorder_by=["p"])
 
 
 def test_zorder_optimize_keeps_null_keyed_rows(spark, tmp_path):

@@ -1054,6 +1054,41 @@ def test_partition_spec_evolution_per_file_pruning(spark, tmp_path):
         )
 
 
+def test_add_files_partitioned_derives_tuple_from_footer(spark, tmp_path):
+    """add_files on an IDENTITY-partitioned table: each imported file's
+    partition tuple derives from its footer bounds (min == max proves
+    single-valuedness); the imported file joins partition pruning
+    immediately; straddling files and transform specs refuse."""
+    from lakefs_iceberg_catalog_spark.catalog.parquet_io import (
+        write_single_parquet,
+    )
+
+    n = _nation(spark)
+    d = str(tmp_path / "addpart")
+    w = IcebergTableWriter(spark, d, partition_by=["n_regionkey"])
+    for rk in (0, 1):
+        w.append(n.filter(f"n_regionkey = {rk}"))
+    legacy = str(tmp_path / "legacy-r2.parquet")
+    write_single_parquet(n.filter("n_regionkey = 2"), legacy)
+    w.add_files([legacy])
+    full = scan_iceberg_table(spark, d)
+    assert full.count() == 15
+    pruned = scan_iceberg_table(spark, d, partition_filter={"n_regionkey": 2})
+    assert {r["n_regionkey"] for r in pruned.collect()} == {2}
+    assert len(pruned.inputFiles()) == 1  # the imported file, pruned to
+    # a file spanning two partition values refuses loudly
+    bad = str(tmp_path / "straddle.parquet")
+    write_single_parquet(n.filter("n_regionkey >= 3"), bad)
+    with pytest.raises(ValueError, match="exactly one partition"):
+        w.add_files([bad])
+    # transform-partitioned tables refuse (value unrecoverable from bounds)
+    dt = str(tmp_path / "addtrans")
+    wt = IcebergTableWriter(spark, dt, partition_by=["bucket(n_nationkey, 4)"])
+    wt.append(n.filter("n_nationkey = 0"))
+    with pytest.raises(NotImplementedError, match="transform-partitioned"):
+        wt.add_files([legacy])
+
+
 def test_cow_delete_across_spec_evolution(spark, tmp_path):
     """A spec-evolved table must take a CoW DELETE (VERDICT r7 #6): the
     manifest rewrite dispatches per spec id — old-spec manifests rewrite
@@ -1219,7 +1254,9 @@ def test_add_files_registers_without_rewrite(spark, tmp_path, ice):
         spark, str(tmp_path / "imp2"), partition_by=["n_regionkey"]
     )
     wp.append(n.filter("n_regionkey = 0"))
-    with _pytest.raises(NotImplementedError, match="partitioned"):
+    # partitioned import works for single-partition files now; a file
+    # STRADDLING partition values still refuses (legacy spans regions)
+    with _pytest.raises(ValueError, match="exactly one partition"):
         wp.add_files([legacy])
 
 
