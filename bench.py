@@ -196,6 +196,7 @@ EXTRA = [
     "dml_delta_merge_partitioned",
     "source_delta_cdf_partitioned",
     "dml_delta_merge_column_mapping",
+    "dml_iceberg_delete_orc_mor",
     "dml_iceberg_delete_cow",
     "dml_iceberg_merge_cow",
 ]

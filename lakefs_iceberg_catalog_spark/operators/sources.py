@@ -1569,8 +1569,8 @@ def source_iceberg_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     files by format, read each through its own distributed source, and
     union by name (mixed-format tables are exactly what a long-lived
     table that switched formats mid-life looks like). Merge-on-read
-    deletes over ORC refuse loudly (`_metadata.row_index` is
-    parquet-only; pinned in tests).
+    deletes over ORC apply through the executor-side pyarrow ordinal
+    reader (dml_iceberg_delete_orc_mor; pinned in tests).
 
     Scale: per-format grouped reads keep pushdown/pruning intact in each
     source; the union is plan-level, no shuffle."""
@@ -1588,6 +1588,49 @@ def source_iceberg_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize(
         spark, back.select("n_nationkey", "n_name", "n_regionkey"), tmp
     )
+
+
+@register(
+    "dml_iceberg_delete_orc_mor",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey NOT IN (0, 3)
+""",
+)
+def dml_iceberg_delete_orc_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read POSITION DELETES over ORC data files (VERDICT r7 #9
+    — the last MoR format gap): Spark's `_metadata.row_index` ordinal
+    column is parquet-only, so the scan stamps ORC rows with their
+    (file, ordinal) identity via an executor-side pyarrow reader — one
+    Arrow-batched task per file, sequential read = the spec's
+    position-delete ordinal space — and the usual (file, pos) anti-join
+    applies the deletes. The fixture writes an ORC table in key order,
+    position-deletes ordinals {0, 3} of the low file (= nations 0 and
+    3), and the merged scan returns everything else.
+
+    Scale: per-file tasks parallelize like any scan; pyarrow streams
+    stripes (Arrow batches), the anti-join stays metadata-sized on the
+    delete side — same cost shape as the parquet MoR path."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-orcmor-")
+    w = IcebergTableWriter(spark, tmp, file_format="orc")
+    w.append(n.filter("n_nationkey < 12").orderBy("n_nationkey"))
+    w.append(n.filter("n_nationkey >= 12").orderBy("n_nationkey"))
+    files, _ = iceberg_snapshot_files(tmp)
+    # ORC footers yield no manifest bounds — pick the low file by its
+    # record count (12 low nations vs 13 high)
+    low = next(f for f in files if f["record_count"] == 12)
+    w.delete_positions([(low["file_path"], 0), (low["file_path"], 3)])
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
 
 
 @register(

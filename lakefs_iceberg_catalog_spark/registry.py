@@ -66,7 +66,7 @@ _SWEEP_PRIORITY = [
     # key outranks a stale one; each insertion displaces the last r3-stale
     # slot below the window) ...
     "dml_delta_merge_partitioned", "source_delta_cdf_partitioned",
-    "dml_delta_merge_column_mapping",
+    "dml_delta_merge_column_mapping", "dml_iceberg_delete_orc_mor",
     # ... next 17 slots = every key whose newest driver row is still
     # ROUND 2 (drains r2-stale to 0, VERDICT r7 #2) ...
     "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",

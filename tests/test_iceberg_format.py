@@ -508,10 +508,12 @@ def test_refs_tag_branch_resolution_and_guards(spark, tmp_path):
         scan_iceberg_table(spark, d, ref="v1.0", snapshot_id=s1)
 
 
-def test_orc_data_files_mixed_format_scan_and_delete_refusal(spark, tmp_path):
+def test_orc_data_files_mixed_format_scan_and_mor_deletes(spark, tmp_path):
     """file_format is a per-data-file property: a table may mix ORC and
-    parquet files and the scan dispatches per manifest entry; MoR deletes
-    over ORC refuse loudly (`_metadata.row_index` is parquet-only)."""
+    parquet files and the scan dispatches per manifest entry; MoR
+    position deletes now apply over ORC too — the parquet-only
+    `_metadata.row_index` is replaced by an executor-side pyarrow
+    ordinal reader for ORC groups (VERDICT r7 #9, refusal lifted)."""
     import pytest as _pytest
 
     from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
@@ -525,7 +527,7 @@ def test_orc_data_files_mixed_format_scan_and_delete_refusal(spark, tmp_path):
     n = _t(spark, SF_DIR, "nation")
     d = str(tmp_path / "orc")
     w = IcebergTableWriter(spark, d, file_format="orc")
-    w.append(n.where("n_nationkey < 12"))
+    w.append(n.where("n_nationkey < 12").orderBy("n_nationkey"))
     w.append(n.where("n_nationkey >= 12"), file_format="parquet")
     back = scan_iceberg_table(spark, d)
     assert back.count() == 25
@@ -533,16 +535,35 @@ def test_orc_data_files_mixed_format_scan_and_delete_refusal(spark, tmp_path):
     assert exts == {"orc", "parquet"}
     with _pytest.raises(ValueError, match="unsupported data file format"):
         IcebergTableWriter(spark, str(tmp_path / "bad"), file_format="avro")
-    # MoR over ORC: the delete file lands, the SCAN refuses
+    # MoR position deletes on a MIXED table: ordinals 0 and 3 of the ORC
+    # file (written in key order: nations 0 and 3) plus ordinal 0 of the
+    # parquet file — both formats' ordinal spaces resolve correctly
     from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
         iceberg_snapshot_files,
     )
 
     files, _ = iceberg_snapshot_files(d)
     orc_file = next(f for f in files if f["file_format"] == "ORC")
-    w.delete_positions([(orc_file["file_path"], 0)])
-    with _pytest.raises(NotImplementedError, match="ORC"):
-        scan_iceberg_table(spark, d)
+    w.delete_positions([(orc_file["file_path"], 0), (orc_file["file_path"], 3)])
+    merged = scan_iceberg_table(spark, d)
+    assert merged.count() == 23
+    keys = {r["n_nationkey"] for r in merged.collect()}
+    assert keys == set(range(25)) - {0, 3}
+    # a second delete on the parquet side composes with the ORC one
+    pq_file = next(f for f in files if f["file_format"] == "PARQUET")
+    w.delete_positions([(pq_file["file_path"], 0)])
+    again = scan_iceberg_table(spark, d)
+    assert again.count() == 22
+    # MULTIPLE ORC files in one scan group: pyspark's read.orc takes ONE
+    # path-or-list arg — *-splatting >1 path lands in mergeSchema and
+    # throws (regression: found via the ORC MoR driver run)
+    d2 = str(tmp_path / "orc2")
+    w2 = IcebergTableWriter(spark, d2, file_format="orc")
+    w2.append(n.where("n_nationkey < 12"))
+    w2.append(n.where("n_nationkey >= 12"))
+    assert scan_iceberg_table(spark, d2).count() == 25
+    w2.delete_positions([(iceberg_snapshot_files(d2)[0][0]["file_path"], 1)])
+    assert scan_iceberg_table(spark, d2).count() == 24
 
 
 def test_incremental_append_scan_windows_and_refusals(spark, tmp_path):
