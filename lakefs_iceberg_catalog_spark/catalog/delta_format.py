@@ -190,11 +190,11 @@ class DeltaTableWriter:
             if self._column_mapping:
                 # PROTOCOL.md "Column Mapping", mode=name: every field gets a
                 # stable id + a physical name the DATA FILES use; logical
-                # names live only in the log, so renames never rewrite data
-                if self._partition_cols:
-                    raise NotImplementedError(
-                        "column mapping + partitioned tables not supported"
-                    )
+                # names live only in the log, so renames never rewrite data.
+                # Partitioned + mapped composes: partitionValues keys are
+                # the PHYSICAL names per the protocol ("track partition
+                # values ... with the physical name"); partitionColumns in
+                # metaData stays logical (it names schemaString fields).
                 for i, f in enumerate(schema["fields"]):
                     f.setdefault("metadata", {}).update(
                         {
@@ -229,19 +229,22 @@ class DeltaTableWriter:
             for name, expr in getattr(self, "_generated", {}).items():
                 if name not in df.columns:  # writer computes generated cols
                     df = df.withColumn(name, F.expr(expr))
-            if phys:  # data files store columns under their PHYSICAL names
-                df = df.select(
-                    *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
-                )
             pvals: dict[str, str | None] = {}
             if pcols:
                 from .parquet_io import distinct_singleton_row
 
                 vals = distinct_singleton_row(df.select(*pcols))
+                # protocol: under column mapping, partitionValues keys are
+                # the partition columns' PHYSICAL names
                 pvals = {
-                    c: (None if v is None else str(v)) for c, v in zip(pcols, vals)
+                    phys.get(c, c): (None if v is None else str(v))
+                    for c, v in zip(pcols, vals)
                 }
                 df = df.drop(*pcols)  # spec: partition cols live in the log
+            if phys:  # data files store columns under their PHYSICAL names
+                df = df.select(
+                    *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+                )
             name = f"part-{self._version + 1:05d}-{uuid.uuid4()}.snappy.parquet"
             path = os.path.join(self.table_dir, name)
             n_rows = write_single_parquet(df, path)
@@ -297,6 +300,15 @@ class DeltaTableWriter:
         field["name"] = new
         self._meta = dict(self._meta)
         self._meta["schemaString"] = json.dumps(schema, separators=(",", ":"))
+        # metaData.partitionColumns names schemaString fields (logical) —
+        # renaming a partition column must rename it there too; the add
+        # actions' partitionValues stay keyed by the stable physical name
+        if old in self._meta.get("partitionColumns", []):
+            self._meta["partitionColumns"] = [
+                new if c == old else c
+                for c in self._meta["partitionColumns"]
+            ]
+            self._partition_cols = list(self._meta["partitionColumns"])
         return self._write_commit(
             [
                 {"metaData": self._meta},
@@ -709,6 +721,10 @@ class DeltaTableWriter:
         from ..operators.util import bounded_rows
 
         pcols = state["partition_cols"]
+        if _physical_renames(state.get("metadata")):
+            raise NotImplementedError(
+                "merge over partitioned column-mapped tables"
+            )
         missing = [c for c in pcols if c not in source_df.columns]
         if missing:
             raise ValueError(
@@ -1345,12 +1361,17 @@ def delta_table_changes(
             cond = cond & ~idx.isin([int(i) for i in drop])
         df = df.filter(cond)
         if renames:
+            # project only the FILE fields back to logical — partition
+            # columns are log-only and re-inject below
             df = df.select(
-                *[F.col(p).alias(lg) for lg, p in renames.items()]
+                *[
+                    F.col(renames.get(f.name, f.name)).alias(f.name)
+                    for f in file_fields
+                ]
             )
         pv = state["files"][rel].get("partitionValues") or {}
         for c in pcols:
-            v = pv.get(c)
+            v = pv.get(renames.get(c, c))  # physical keys when mapped
             lit = F.lit(None) if v is None else F.lit(v)
             df = df.withColumn(c, lit.cast(ptypes[c]))
         return df.select(*out_cols)
@@ -1608,11 +1629,13 @@ def scan_delta_table(
         unknown = set(partition_filter) - set(pcols)
         if unknown:
             raise ValueError(f"partition_filter on non-partition columns: {unknown}")
+        # under column mapping, partitionValues keys are PHYSICAL names
+        pf_phys = _physical_renames(state.get("metadata"))
         files = {
             rel: a
             for rel, a in files.items()
             if all(
-                (a.get("partitionValues") or {}).get(c) == v
+                (a.get("partitionValues") or {}).get(pf_phys.get(c, c)) == v
                 for c, v in partition_filter.items()
             )
         }
@@ -1681,10 +1704,6 @@ def scan_delta_table(
         return d
 
     renames = _physical_renames(state.get("metadata"))
-    if renames and pcols:
-        raise NotImplementedError(
-            "column mapping + partitioned tables not supported"
-        )
     schema = T.StructType.fromJson(json.loads(state["schema_json"]))
     if not pcols:
         # scan with the LOG's schema, not whatever one parquet footer has:
@@ -1719,11 +1738,20 @@ def scan_delta_table(
     groups: dict[tuple, list[str]] = {}
     for rel, a in files.items():
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in pcols)
+        # protocol: under column mapping, partitionValues keys are the
+        # partition columns' PHYSICAL names
+        key = tuple(pv.get(renames.get(c, c)) for c in pcols)
         groups.setdefault(key, []).append(os.path.join(table_dir, rel))
     # partition columns live only in the log, so the FILE schema is the
-    # log schema minus them; explicit schema null-fills pre-ADD files
-    file_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
+    # log schema minus them (under its PHYSICAL names when mapped);
+    # explicit schema null-fills pre-ADD files
+    file_fields = [f for f in schema.fields if f.name not in pcols]
+    file_schema = T.StructType(
+        [
+            T.StructField(renames.get(f.name, f.name), f.dataType, True)
+            for f in file_fields
+        ]
+    )
     parts = []
     for key, paths in groups.items():
         df = spark.read.schema(file_schema).parquet(*paths)
@@ -1734,6 +1762,13 @@ def scan_delta_table(
         }
         if group_dvs:
             df = _apply_deletion_vectors(spark, df, table_dir, group_dvs)
+        if renames:  # project physical file names back to logical
+            df = df.select(
+                *[
+                    F.col(renames.get(f.name, f.name)).alias(f.name)
+                    for f in file_fields
+                ]
+            )
         for c, v in zip(pcols, key):
             lit = F.lit(None) if v is None else F.lit(v)
             df = df.withColumn(c, lit.cast(ptypes[c]))

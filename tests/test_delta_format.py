@@ -398,10 +398,55 @@ def test_cm_guards(spark, tmp_path, delta_cm):
     w2.commit(add_dfs=[_nation(spark)])
     with pytest.raises(NotImplementedError, match="column mapping"):
         w2.rename_column("n_name", "x")
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        DeltaTableWriter(
-            spark, str(tmp_path / "cmpart"), column_mapping=True
-        ).commit(add_dfs=[_nation(spark)], partition_cols=["n_regionkey"])
+
+
+def test_cm_partitioned_composes(spark, tmp_path):
+    """Column mapping + partitioning COMPOSE (the protocol supports both
+    at once): add.partitionValues keys are the partition columns'
+    PHYSICAL names, partitionColumns stays logical; scans re-inject and
+    prune; renaming a partition column is metadata-only and updates
+    partitionColumns; CDF change rows carry the renamed injected values."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        delta_table_changes,
+        read_delta_log,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "cmpart")
+    w = DeltaTableWriter(spark, d, column_mapping=True)
+    for i, rk in enumerate(range(3)):
+        w.commit(
+            add_dfs=[n.filter(F.col("n_regionkey") == rk)],
+            partition_cols=["n_regionkey"] if i == 0 else None,
+        )
+    state = read_delta_log(d)
+    assert state["partition_cols"] == ["n_regionkey"]
+    # partitionValues keyed by the PHYSICAL col-uuid, not the logical name
+    some_add = next(iter(state["files"].values()))
+    (pk,) = some_add["partitionValues"].keys()
+    assert pk.startswith("col-")
+    back = scan_delta_table(spark, d)
+    assert back.count() == 15
+    assert {r["n_regionkey"] for r in back.collect()} == {0, 1, 2}
+    pruned = scan_delta_table(spark, d, partition_filter={"n_regionkey": "1"})
+    assert len(pruned.inputFiles()) == 1 and pruned.count() == 5
+    # rename the partition column: metadata-only, pruning keeps working
+    w.rename_column("n_regionkey", "region")
+    back2 = scan_delta_table(spark, d)
+    assert "region" in back2.columns and back2.count() == 15
+    pruned2 = scan_delta_table(spark, d, partition_filter={"region": "2"})
+    assert pruned2.count() == 5
+    # CDF across a partition-file drop injects the renamed values
+    files = read_delta_log(d)["files"]
+    r0 = [rel for rel, a in files.items()
+          if list(a["partitionValues"].values()) == ["0"]]
+    w.commit(remove=r0)
+    ch = delta_table_changes(spark, d, 3, 4)
+    rows = ch.collect()
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    assert all(r["region"] == 0 for r in rows) and len(rows) == 5
 
 
 def test_cm_id_mode_read_refused(spark, delta_cm):
