@@ -721,10 +721,7 @@ class DeltaTableWriter:
         from ..operators.util import bounded_rows
 
         pcols = state["partition_cols"]
-        if _physical_renames(state.get("metadata")):
-            raise NotImplementedError(
-                "merge over partitioned column-mapped tables"
-            )
+        renames = _physical_renames(state.get("metadata"))
         missing = [c for c in pcols if c not in source_df.columns]
         if missing:
             raise ValueError(
@@ -732,15 +729,24 @@ class DeltaTableWriter:
             )
         schema = T.StructType.fromJson(json.loads(state["schema_json"]))
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        file_fields = [f for f in schema.fields if f.name not in pcols]
+        # under column mapping, data files carry PHYSICAL names and
+        # partitionValues are keyed by them; probe/survivor frames project
+        # back to logical right after the path column materializes
         file_schema = T.StructType(
-            [f for f in schema.fields if f.name not in pcols]
+            [
+                T.StructField(renames.get(f.name, f.name), f.dataType, True)
+                for f in file_fields
+            ]
         )
         cols = [f.name for f in schema.fields]
         enc = lambda v: None if v is None else str(v)  # noqa: E731
         groups: dict[tuple, list[str]] = {}
         for rel, a in state["files"].items():
             pv = a.get("partitionValues") or {}
-            groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(rel)
+            groups.setdefault(
+                tuple(pv.get(renames.get(c, c)) for c in pcols), []
+            ).append(rel)
         src_tuples = [
             tuple(r)
             for r in bounded_rows(source_df.select(*pcols).distinct(), 10_000)
@@ -764,6 +770,14 @@ class DeltaTableWriter:
                 "_file",
                 F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
             )
+            if renames:  # physical file names -> logical, keeping _file
+                raw = raw.select(
+                    *[
+                        F.col(renames.get(f.name, f.name)).alias(f.name)
+                        for f in file_fields
+                    ],
+                    "_file",
+                )
             for c, v in zip(pcols, t_enc):
                 lit = F.lit(None) if v is None else F.lit(v)
                 raw = raw.withColumn(c, lit.cast(ptypes[c]))

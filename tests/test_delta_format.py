@@ -447,6 +447,20 @@ def test_cm_partitioned_composes(spark, tmp_path):
     rows = ch.collect()
     assert {r["_change_type"] for r in rows} == {"delete"}
     assert all(r["region"] == 0 for r in rows) and len(rows) == 5
+    # and MERGE composes with BOTH: partition-pruned probe on the mapped
+    # partitioned table, addressed by the renamed logical names
+    src = spark.createDataFrame(
+        [(6, "UP_6", 1), (40, "NEW_40", 2)],
+        "n_nationkey int, n_name string, region int",
+    )
+    pre_files = set(read_delta_log(d)["files"])
+    w.merge_upsert(src, ["n_nationkey", "region"])
+    post = read_delta_log(d)["files"]
+    assert len(pre_files - set(post)) == 1  # only region 1's file rewrote
+    back3 = scan_delta_table(spark, d)
+    assert back3.count() == 11  # 10 survivors (region 0 dropped) + insert
+    got = {r["n_nationkey"]: (r["n_name"], r["region"]) for r in back3.collect()}
+    assert got[6] == ("UP_6", 1) and got[40] == ("NEW_40", 2)
 
 
 def test_cm_id_mode_read_refused(spark, delta_cm):
