@@ -61,6 +61,7 @@ from .manifest import (
     new_manifest,
     struct_mapping_of,
 )
+from ..operators.util import local_df
 
 NS_METADATA = "ns_metadata.json"   # namespace marker (LakeFSCatalog.java:50)
 # Reserved table property holding the declared sort order ({"kind":
@@ -1040,7 +1041,7 @@ class VersionedCatalog:
         work; the common no-evolution case stays a single scan)."""
         schema = T.StructType.fromJson(json.loads(manifest.schema_json))
         if not manifest.files:
-            return self.spark.createDataFrame([], schema)
+            return local_df(self.spark, [], schema)
         cols = manifest.columns or [
             {"id": i, "name": f.name} for i, f in enumerate(schema.fields)
         ]
@@ -1633,7 +1634,7 @@ class VersionedCatalog:
         if base is None:
             raise NoSuchTableError(".".join(levels))
         schema = T.StructType.fromJson(json.loads(base.schema_json))
-        self.append(identifier, self.spark.createDataFrame(rows, schema))
+        self.append(identifier, local_df(self.spark, rows, schema))
 
     def _scope_mor_predicate(
         self, base: TableManifest, predicate: str
@@ -2245,7 +2246,7 @@ class VersionedCatalog:
                 )
             )
             prev = m
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "version int, committed_at double, operation string, n_files int, "
             "added_files int, removed_files int, "
@@ -2275,7 +2276,7 @@ class VersionedCatalog:
                     len(m.delete_preds.get(f, [])),
                 )
             )
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "file string, row_count long, partition string, "
             "column_stats string, n_delete_preds int",
@@ -2299,7 +2300,7 @@ class VersionedCatalog:
             cur[0] += 1
             cur[1] += n
         rows = [(k, v[0], v[1]) for k, v in sorted(agg.items())]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows, "partition string, n_files int, row_count long"
         )
 
@@ -3621,7 +3622,7 @@ class VersionedCatalog:
             rows.append(
                 ("tag", tname, info.get("branch"), len(info.get("tables", {})), None)
             )
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "kind string, name string, target string, n_tables int, n_commits int",
         )
@@ -3815,7 +3816,7 @@ class VersionedCatalog:
             for i, c in enumerate(state.get("commits", []))
             if branch is None or c["branch"] == branch
         ]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows, "seq int, branch string, message string, n_tables int"
         )
 

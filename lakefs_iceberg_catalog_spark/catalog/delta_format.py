@@ -42,6 +42,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..operators.util import local_df
 
 _LOG_DIR = "_delta_log"
 
@@ -659,7 +660,7 @@ class DeltaTableWriter:
         # blowup (one giant Catalyst expression tree). The collected list
         # stays only for the commit's `remove` actions, which genuinely
         # need the paths driver-side.
-        touched_df = self.spark.createDataFrame(
+        touched_df = local_df(self.spark, 
             [(p,) for p in touched] or [("",)], "_file string"
         )
         survivors = (
@@ -815,7 +816,7 @@ class DeltaTableWriter:
                     raw.join(F.broadcast(keys), key_cols, "left_semi")
                     .select(*cols)
                 )
-                touched_df = self.spark.createDataFrame(
+                touched_df = local_df(self.spark, 
                     [(p,) for p in hit], "_file string"
                 )
                 survivors_by_tuple[t_enc] = (
@@ -1155,7 +1156,7 @@ def _apply_deletion_vectors(
         lambda s: s.map(lambda b: roaring.deserialize_bitmap_array(bytes(b))),
         "array<long>",
     )
-    dels = spark.createDataFrame(rows, "_dfile string, _dv binary").select(
+    dels = local_df(spark, rows, "_dfile string, _dv binary").select(
         "_dfile", F.explode(decode("_dv")).alias("_dpos")
     )
     cols = df.columns
@@ -1693,7 +1694,7 @@ def scan_delta_table(
         files = {rel: a for rel, a in files.items() if _may_overlap(a)}
         if not files:
             # every file's range misses the predicate: exact empty result
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [], T.StructType.fromJson(json.loads(state["schema_json"]))
             )
     if not files:

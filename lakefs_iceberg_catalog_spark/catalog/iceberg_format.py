@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .avro_io import JvmAvroWriter, read_container
+from ..operators.util import local_df
 
 _METADATA_RE = re.compile(r"^v(\d+)(?:\.gz)?\.metadata\.json(?:\.gz)?$")
 
@@ -1087,7 +1088,7 @@ class IcebergTableWriter:
         ceiling, and a 100k-element IN is a plan-compilation blowup (one
         giant Catalyst expression tree). The semi-join build side is the
         same metadata-sized path set, hashed instead of inlined."""
-        touched_df = self.spark.createDataFrame(
+        touched_df = local_df(self.spark, 
             [(p,) for p in sorted(touched)] or [("",)], "_f string"
         )
         return (
@@ -2157,7 +2158,7 @@ def iceberg_metadata_table(
     metadata = read_table_metadata(table_dir, version)
     snaps = metadata.get("snapshots", [])
     if kind == "snapshots":
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (
                     int(s["timestamp-ms"]),
@@ -2181,7 +2182,7 @@ def iceberg_metadata_table(
         while cur in by_id:
             ancestors.add(cur)
             cur = by_id[cur].get("parent-snapshot-id")
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (
                     int(e["timestamp-ms"]),
@@ -2204,7 +2205,7 @@ def iceberg_metadata_table(
             if s["snapshot-id"] == metadata.get("current-snapshot-id")
         )
         _, manifest_files = read_container(snap["manifest-list"])
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (
                     int(mf.get("content", 0)),
@@ -2229,7 +2230,7 @@ def iceberg_metadata_table(
         )
     if kind == "files":
         data, deletes = iceberg_snapshot_files(table_dir, version=version)
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (
                     int(f["content"]),
@@ -2262,7 +2263,7 @@ def iceberg_metadata_table(
                 sorted((str(k), str(v)) for k, v in (f.get("partition") or {}).items())
             )
             n_del[key] = n_del.get(key, 0) + 1
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (dict(key), cnt[0], cnt[1], n_del.get(key, 0))
                 for key, cnt in sorted(agg.items())
@@ -2308,7 +2309,7 @@ def _orc_scan_with_ordinals(spark: SparkSession, paths: list[str]) -> DataFrame:
                 x["_pos"] = range(len(x))
                 yield x
 
-    paths_df = spark.createDataFrame(
+    paths_df = local_df(spark, 
         [(p,) for p in sorted(paths)], "path string"
     ).repartition(len(paths), "path")
     return paths_df.mapInPandas(_read, out_schema)
@@ -2469,7 +2470,7 @@ def scan_iceberg_table(
                 f"`{f['name']}` {_spark_type_of(f['type'])}"
                 for f in cur_schema["fields"]
             )
-            return spark.createDataFrame([], ddl)
+            return local_df(spark, [], ddl)
     if stats_filter:
         known = {f["name"] for f in cur_schema["fields"]}
         unknown = set(stats_filter) - known
@@ -2493,7 +2494,7 @@ def scan_iceberg_table(
                 f"`{f['name']}` {_spark_type_of(f['type'])}"
                 for f in cur_schema["fields"]
             )
-            return spark.createDataFrame([], ddl)
+            return local_df(spark, [], ddl)
     fmts = {f["file_format"].upper() for f in data + deletes}
     unsupported = fmts - {"PARQUET", "ORC"}
     if unsupported:
@@ -2604,7 +2605,7 @@ def scan_iceberg_table(
         )
     if eq:
         # attach each row's data-file sequence number: O(files) rows, broadcast
-        seq_map = spark.createDataFrame(
+        seq_map = local_df(spark, 
             [(pynorm(f["file_path"]), int(f["sequence_number"])) for f in data],
             "_sfile string, _dataseq long",
         )

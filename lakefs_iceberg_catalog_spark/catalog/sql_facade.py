@@ -31,6 +31,7 @@ import re
 from pyspark.sql import DataFrame
 
 from .errors import UnsupportedOperationError
+from ..operators.util import local_df
 
 _PART = r"(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_$-]*)"
 _IDENT = rf"\blakefs(?:\.{_PART}){{3,}}"
@@ -131,7 +132,7 @@ class SqlFacade:
     # ----------------------------------------------------------- DDL / DML
 
     def _dispatch_ddl_dml(self, s: str) -> DataFrame:
-        mk = lambda rows, schema: self.spark.createDataFrame(rows, schema)  # noqa: E731
+        mk = lambda rows, schema: local_df(self.spark, rows, schema)  # noqa: E731
 
         m = re.match(rf"(?is)^CREATE\s+(?:SCHEMA|NAMESPACE)\s+({_IDENT})\s*$", s)
         if m:

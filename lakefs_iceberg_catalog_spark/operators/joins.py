@@ -25,6 +25,7 @@ from pyspark.sql.window import Window as W
 from ..registry import register
 from ..tables import table
 from .util import dround
+from .util import local_df
 
 
 @register(
@@ -228,7 +229,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. Never range-join two fact tables directly — bucketize first.
     """
     e = table(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
+    tiers = local_df(spark, 
         [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1000000.0)],
         "tier string, lo double, hi double",
     )
@@ -883,4 +884,4 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     assert "dynamicpruning" in plan, "DPP filter missing from the fact scan"
     rows, schema = bounded_rows(j), j.schema
     _shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import table
 from .util import bounded_rows, dround
+from .util import local_df
 
 
 def _nation_local(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
@@ -37,7 +38,7 @@ def _nation_local(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     test still runs against the REAL on-disk table the fixture writes —
     only the setup data source is local."""
     n = table(spark, sf_dir, "nation").select(*cols)
-    return spark.createDataFrame(bounded_rows(n), n.schema)
+    return local_df(spark, bounded_rows(n), n.schema)
 
 
 def _materialize(spark: SparkSession, df: DataFrame, tmp: str) -> DataFrame:
@@ -45,7 +46,7 @@ def _materialize(spark: SparkSession, df: DataFrame, tmp: str) -> DataFrame:
     Guarded by the shared row ceiling (operators/util.py:bounded_rows)."""
     rows, schema = bounded_rows(df), df.schema
     shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 @register(
@@ -649,7 +650,7 @@ def dml_iceberg_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = IcebergTableWriter(spark, tmp)
     for lo in (0, 10, 20):
         w.append(n.filter(F.col("n_nationkey").between(lo, lo + 9)))
-    source = spark.createDataFrame(
+    source = local_df(spark, 
         [(3, "UPDATED_3"), (13, "UPDATED_13"), (25, "NEW_25")],
         "n_nationkey int, n_name string",
     )
@@ -740,7 +741,7 @@ def dml_delta_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = DeltaTableWriter(spark, tmp)
     for lo in (0, 10, 20):
         w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
-    source = spark.createDataFrame(
+    source = local_df(spark, 
         [(3, "UPDATED_3"), (13, "UPDATED_13"), (25, "NEW_25")],
         "n_nationkey int, n_name string",
     )
@@ -799,7 +800,7 @@ def dml_delta_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             partition_cols=["n_regionkey"] if i == 0 else None,
         )
     pre = read_delta_log(tmp)["files"]
-    source = spark.createDataFrame(
+    source = local_df(spark, 
         [(0, "UPDATED_0", 0), (1, "UPDATED_1", 1), (25, "NEW_25", 2)],
         "n_nationkey int, n_name string, n_regionkey int",
     )
@@ -858,7 +859,7 @@ def dml_delta_merge_column_mapping(spark: SparkSession, sf_dir: str) -> DataFram
         w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
     w.rename_column("n_name", "nation_name")  # metadata-only
     pre = set(read_delta_log(tmp)["files"])
-    source = spark.createDataFrame(
+    source = local_df(spark, 
         [(13, "UP_13"), (30, "NEW_30")], "n_nationkey int, nation_name string"
     )
     w.merge_upsert(source, ["n_nationkey"])

@@ -22,6 +22,7 @@ from pyspark.sql.window import Window as W
 from ..registry import register
 from ..tables import table
 from .util import gated_broadcast, dround
+from .util import local_df
 
 def _words():
     return F.split(F.col("text"), " ")
@@ -647,7 +648,7 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "seq", " " + top["pair"] + " ", " " + fused + " "
             ).alias("seq"),
         )
-    return spark.createDataFrame(out_rows, "round int, pair string, pfreq bigint")
+    return local_df(spark, out_rows, "round int, pair string, pfreq bigint")
 
 
 @register(

@@ -20,6 +20,54 @@ class MaterializeCeilingError(RuntimeError):
     """A driver-side materialization exceeded MATERIALIZE_ROW_CEILING."""
 
 
+def local_df(spark: SparkSession, data, schema) -> DataFrame:
+    """JVM-backed local DataFrame — use instead of bare
+    ``spark.createDataFrame(list_of_rows, schema)``.
+
+    The default list-input path parallelizes PICKLED Python rows into a
+    PythonRDD-backed ``Scan ExistingRDD``: every downstream Spark job
+    then pays a Python-worker round trip (~4 s per job measured at
+    local[32] — the dominant cost of the multi-commit DML fixtures). The
+    pandas+Arrow input path instead lands the data in a true JVM
+    ``LocalTableScan`` (~0.07 s per job, no Python in the plan).
+
+    Rows may be tuples or pyspark Rows; ``schema`` is a DDL string or
+    StructType. Columns are built as object-dtype Series so None never
+    degrades to NaN before Arrow applies the target types. Falls back to
+    the classic path if Arrow conversion refuses (pyspark's own fallback
+    stays enabled too)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    rows = [tuple(r) for r in data]
+    pdf = pd.DataFrame(
+        {
+            f.name: pd.Series([r[i] for r in rows], dtype=object)
+            for i, f in enumerate(schema.fields)
+        },
+        columns=[f.name for f in schema.fields],
+    )
+    if not rows:  # empty frame: pandas needs the columns declared anyway
+        pdf = pd.DataFrame({f.name: pd.Series([], dtype=object) for f in schema.fields})
+    conf_key = "spark.sql.execution.arrow.pyspark.enabled"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, "true")
+    try:
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema=schema)
+    finally:
+        if prev is not None:
+            spark.conf.set(conf_key, prev)
+        else:
+            spark.conf.unset(conf_key)
+
+
 def bounded_rows(df: DataFrame, ceiling: int = MATERIALIZE_ROW_CEILING) -> list:
     """Collect at most ``ceiling`` rows; raise if the result is larger.
     The probe collects ceiling+1 rows (never the full oversized result), so

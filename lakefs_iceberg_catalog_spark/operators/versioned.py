@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from ..catalog import VersionedCatalog
 from ..registry import register
 from ..tables import table
+from .util import local_df
 
 WORKERS_SCHEMA = T.StructType(
     [
@@ -60,7 +61,7 @@ def _seeded(spark: SparkSession):
     cat.create_repository("repo", "main")
     cat.create_namespace("repo.main.company")
     cat.create_table_as(
-        "repo.main.company.workers", spark.createDataFrame(WORKERS_ROWS, WORKERS_SCHEMA)
+        "repo.main.company.workers", local_df(spark, WORKERS_ROWS, WORKERS_SCHEMA)
     )
     cat.commit_branch("repo", "main", "seed")
     return cat, root
@@ -74,7 +75,7 @@ def _materialize(spark: SparkSession, df: DataFrame, root: str) -> DataFrame:
 
     rows, schema = bounded_rows(df), df.schema
     shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 @register(
@@ -89,7 +90,7 @@ def source_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (3, "Robert", "Williams", 41, "M"), (4, "Maria", "Jones", 36, "F"),
         (5, "Jen", "Brown", 44, "F"), (6, "Monika", "Geller", 31, "F"),
     ]
-    return spark.createDataFrame([(str(i), fn, ln, a, g) for i, fn, ln, a, g in raw], WORKERS_SCHEMA)
+    return local_df(spark, [(str(i), fn, ln, a, g) for i, fn, ln, a, g in raw], WORKERS_SCHEMA)
 
 
 @register(
@@ -137,7 +138,7 @@ def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat, root = _seeded(spark)
     cat.append(
         "repo.main.company.workers",
-        spark.createDataFrame([("7", "Jhon", "Smith", 33, "M")], WORKERS_SCHEMA),
+        local_df(spark, [("7", "Jhon", "Smith", 33, "M")], WORKERS_SCHEMA),
     )
     return _materialize(spark, cat.scan("repo.main.company.workers"), root)
 
@@ -245,7 +246,7 @@ def branch_diff_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = cat.scan("repo.main.company.workers")
     b = cat.scan("repo.b1.company.workers")
     eq = cat.diff_equal("repo.main.company.workers", "repo.b1.company.workers")
-    out = spark.createDataFrame(
+    out = local_df(spark, 
         [(a.count(), b.count(), eq)],
         "main_rows long, branch_rows long, in_sync boolean",
     )
@@ -293,7 +294,7 @@ def ddl_schema_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.drop_namespace("repo.main.scratch")
     assert cat.load_namespace_metadata("repo.main.hr")["owner"] == "people-team"
     names = [lv[-1] for lv in cat.list_namespaces("repo.main")]
-    out = spark.createDataFrame([(n,) for n in names], "namespace string")
+    out = local_df(spark, [(n,) for n in names], "namespace string")
     shutil.rmtree(root, ignore_errors=True)
     return out
 
@@ -606,7 +607,7 @@ def ddl_schema_evolution_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.create_table_as(
         t,
-        spark.createDataFrame(
+        local_df(spark, 
             [(1, Row(w=640, h=480)), (2, Row(w=1280, h=720)), (3, None)], schema
         ).coalesce(1),
     )
@@ -635,7 +636,7 @@ def ddl_schema_evolution_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert cat.scan(t).schema == evolved  # the evolution produced this shape
     cat.append(
         t,
-        spark.createDataFrame(
+        local_df(spark, 
             [(4, Row(width=3840, h=5_000_000_000, codec="av1"))], evolved
         ),
     )
@@ -694,7 +695,7 @@ def ddl_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat.create_table_as(
         t,
-        spark.createDataFrame(
+        local_df(spark, 
             [("1", 32, 0.5, Decimal("10.25")), ("2", 35, 1.25, Decimal("20.50"))],
             narrow,
         ),
@@ -1007,7 +1008,7 @@ def branch_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.insert_values("repo.dev.company.workers", [("7", "Jhon", "Smith", 33, "M")])
     cid_a = cat.commit_branch("repo", "dev", "A: add worker 7")
     # commit B: dev creates a brand-new table
-    teams = spark.createDataFrame(
+    teams = local_df(spark, 
         [("t1", "search"), ("t2", "infra")], "team_id string, name string"
     )
     cat.create_table_as("repo.dev.company.teams", teams)
@@ -1116,7 +1117,7 @@ def ddl_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_dir = tempfile.mkdtemp(prefix="legacy-parquet-")
     ext_rows = [(str(i), f"ext{i}", "legacy", 30 + i, "M" if i % 2 == 0 else "F")
                 for i in range(20, 24)]
-    spark.createDataFrame(ext_rows, WORKERS_SCHEMA).repartition(2).write.mode(
+    local_df(spark, ext_rows, WORKERS_SCHEMA).repartition(2).write.mode(
         "overwrite"
     ).parquet(ext_dir)
     ops = cat._ops(t)[0]
@@ -1128,7 +1129,7 @@ def ddl_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     added = sorted(set(m.files) - set(before.files))
     assert len(added) == 2 and all(m.file_stats.get(f) for f in added), added
     assert cat.scan(t, version=before.version).count() == 6  # time travel intact
-    bad = spark.createDataFrame([(1, "x")], "k int, v string")
+    bad = local_df(spark, [(1, "x")], "k int, v string")
     bad_dir = tempfile.mkdtemp(prefix="bad-parquet-")
     bad.write.mode("overwrite").parquet(bad_dir)
     try:
@@ -1400,7 +1401,7 @@ def sink_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.create_repository("repo", "main")
     cat.create_namespace("repo.main.db")
     t = "repo.main.db.people"
-    base = spark.createDataFrame(
+    base = local_df(spark, 
         [
             ("1", "James", 32, "M"), ("2", "Michael", 35, "M"),
             ("3", "Robert", 41, "M"), ("4", "Maria", 36, "F"),
@@ -1409,7 +1410,7 @@ def sink_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id string, firstname string, age int, gender string",
     )
     cat.create_table_as(t, base)
-    cat.append(t, spark.createDataFrame([("7", "Zoe", 28, "F")], base.schema))
+    cat.append(t, local_df(spark, [("7", "Zoe", 28, "F")], base.schema))
 
     # replay the catalog's snapshot history as genuine Iceberg appends,
     # delta-by-manifest: snapshots() (metadata-only, O(versions) rows) says
@@ -1466,7 +1467,7 @@ def sink_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.create_repository("repo", "main")
     cat.create_namespace("repo.main.db")
     t = "repo.main.db.people"
-    base = spark.createDataFrame(
+    base = local_df(spark, 
         [
             ("1", "James", 32, "M"), ("2", "Michael", 35, "M"),
             ("3", "Robert", 41, "M"), ("4", "Maria", 36, "F"),
@@ -1475,7 +1476,7 @@ def sink_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id string, firstname string, age int, gender string",
     )
     cat.create_table_as(t, base)
-    cat.append(t, spark.createDataFrame([("7", "Zoe", 28, "F")], base.schema))
+    cat.append(t, local_df(spark, [("7", "Zoe", 28, "F")], base.schema))
 
     exp_dir = tempfile.mkdtemp(prefix="delta-export-")
     w = DeltaTableWriter(spark, exp_dir)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from .versioned import WORKERS_SCHEMA, _WORKERS_VALUES, _materialize, _seeded
+from .util import local_df
 
 
 @register(
@@ -146,7 +147,7 @@ def dml_update_struct_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.create_table_as(
         t,
-        spark.createDataFrame(
+        local_df(spark, 
             [
                 (1, Row(w=640, h=480)),
                 (2, Row(w=1280, h=720)),
@@ -217,7 +218,7 @@ def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO emulation: source updates worker 2 and inserts worker 9 —
     matched keys replaced, unmatched inserted, one snapshot commit."""
     cat, root = _seeded(spark)
-    src = spark.createDataFrame(
+    src = local_df(spark, 
         [("2", "Mike", "Rose", 36, "M"), ("9", "Noor", "Khan", 29, "F")], WORKERS_SCHEMA
     )
     cat.merge_upsert("repo.main.company.workers", src, ["id"])
@@ -275,7 +276,7 @@ def sql_use_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
     f.sql("USE lakefs.`repo`.`main`.company")
     cur = f.sql("SHOW CURRENT NAMESPACE").collect()[0]
     tbl = f.sql("SHOW TABLES").collect()[0]
-    out = spark.createDataFrame(
+    out = local_df(spark, 
         [(cur.catalog, cur.namespace, tbl.tableName)],
         "catalog string, namespace string, tableName string",
     )
@@ -299,7 +300,7 @@ def time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = cat.scan("repo.main.company.workers", version=2).count()
     cur = cat.scan("repo.main.company.workers").count()
     assert cat.table_history("repo.main.company.workers") == [1, 2]
-    out = spark.createDataFrame(
+    out = local_df(spark, 
         [(v1, v2, cur)], "rows_v1 int, rows_v2 int, rows_current int"
     )
     shutil.rmtree(root, ignore_errors=True)
@@ -329,7 +330,7 @@ def time_travel_as_of_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_before = cat.scan(t, as_of=ts_after_v1).count()
     n_after = cat.scan(t, as_of=_t.time()).count()
     v = cat.version_as_of(t, ts_after_v1)
-    out = spark.createDataFrame(
+    out = local_df(spark, 
         [(n_before, n_after, v)],
         "rows_before_delete int, rows_after_delete int, v_resolved int",
     )
@@ -393,7 +394,7 @@ def meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.create_tag("repo", "v1.0", "main")
     cat.append(
         "repo.main.company.workers",
-        spark.createDataFrame([("7", "Jhon", "Smith", 33, "M")], WORKERS_SCHEMA),
+        local_df(spark, [("7", "Jhon", "Smith", 33, "M")], WORKERS_SCHEMA),
     )
     cat.commit_branch("repo", "main", "second")
     out = cat.refs("repo").orderBy("kind", "name")
@@ -403,7 +404,7 @@ def meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _materialize_meta(spark, df, root):
     rows, schema = df.collect(), df.schema
     shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 @register(
@@ -579,7 +580,7 @@ def meta_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey" in _json.loads(r["column_stats"]) for r in metas
     )  # pruning stats present on every file
     out = (
-        spark.createDataFrame(metas, meta.schema)
+        local_df(spark, metas, meta.schema)
         .select(
             F.get_json_object("partition", "$.n_regionkey").cast("int").alias("n_regionkey"),
             F.col("row_count"),
@@ -613,7 +614,7 @@ def time_travel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = "repo.main.company.workers"
     cat.append(
         t,
-        spark.createDataFrame(
+        local_df(spark, 
             [("7", "Ava", "Stone", 27, "F"), ("8", "Liam", "Reyes", 38, "M")],
             WORKERS_SCHEMA,
         ),
@@ -657,7 +658,7 @@ def dml_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_schema = T.StructType(
         list(WORKERS_SCHEMA.fields) + [T.StructField("dept", T.StringType(), True)]
     )
-    src = spark.createDataFrame(
+    src = local_df(spark, 
         [("2", "Mike", "Rose", 36, "M", "eng"), ("9", "Noor", "Khan", 29, "F", "ops")],
         src_schema,
     )
@@ -743,7 +744,7 @@ def meta_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = parts.collect()
     assert len(rows) == 5 and all(r["n_files"] >= 1 for r in rows)
     out = (
-        spark.createDataFrame(rows, parts.schema)
+        local_df(spark, rows, parts.schema)
         .select(
             F.get_json_object("partition", "$.n_regionkey").cast("int").alias("n_regionkey"),
             "row_count",
@@ -966,7 +967,7 @@ def branch_revert(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.delete_where(t, "age >= 40")
     cleanup_cid = cat.commit_branch("repo", "main", "cleanup")
     cat.append(
-        t, spark.createDataFrame([("7", "Jhon", "Smith", 33, "M")], WORKERS_SCHEMA)
+        t, local_df(spark, [("7", "Jhon", "Smith", 33, "M")], WORKERS_SCHEMA)
     )
     append_cid = cat.commit_branch("repo", "main", "add7")
     try:
@@ -1006,7 +1007,7 @@ def meta_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.create_branch("repo", "dev", "main")
     cat.append(
         "repo.dev.company.workers",
-        spark.createDataFrame([("8", "Marta", "Green", 31, "F")], WORKERS_SCHEMA),
+        local_df(spark, [("8", "Marta", "Green", 31, "F")], WORKERS_SCHEMA),
     )
     cat.commit_branch("repo", "dev", "dev-add")
     only_main = cat.commit_log("repo", branch="main").collect()

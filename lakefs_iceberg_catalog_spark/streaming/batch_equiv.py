@@ -23,6 +23,7 @@ from ..operators.util import dround
 from ..registry import register
 from ..tables import table
 from .core import run_events_stream
+from ..operators.util import local_df
 
 
 @register(
@@ -340,7 +341,7 @@ def stream_sink_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 @register(
@@ -398,7 +399,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = tempfile.mkdtemp(prefix="cdc-epochs-")
     root = tempfile.mkdtemp(prefix="vcat-cdc-")
     try:
-        full = spark.createDataFrame(log, cdc_schema)
+        full = local_df(spark, log, cdc_schema)
         for ep in (0, 1, 2):
             # one file per epoch, written in order so the file stream
             # replays the log deterministically (lexicographic pickup)
@@ -444,7 +445,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 @register(
@@ -640,7 +641,7 @@ def stream_source_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(spool, ignore_errors=True)
         shutil.rmtree(sink_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 @register(
@@ -736,7 +737,7 @@ def stream_source_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(spool, ignore_errors=True)
         shutil.rmtree(sink_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 @register(
@@ -830,7 +831,7 @@ def stream_source_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(spool, ignore_errors=True)
         shutil.rmtree(sink_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 @register(
@@ -899,4 +900,4 @@ def stream_sink_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
