@@ -954,13 +954,19 @@ class DeltaTableWriter:
         )
         return self._write_commit(actions)
 
-    def checkpoint(self) -> int:
+    def checkpoint(self, tombstone_retention_ms: int = 7 * 24 * 3600 * 1000) -> int:
         """Write a checkpoint of the CURRENT state: one
         ``<version>.checkpoint.parquet`` holding protocol + metaData + one
         row per live add action (typed struct columns, the spec's
-        checkpoint schema), plus ``_last_checkpoint``. After this, readers
-        fold from the checkpoint and older JSON commits become
-        truncatable."""
+        checkpoint schema) plus the UNEXPIRED remove tombstones, and
+        ``_last_checkpoint``. After this, readers fold from the checkpoint
+        and older JSON commits become truncatable.
+
+        Tombstones older than ``tombstone_retention_ms`` (stock Delta's
+        7-day ``delta.deletedFileRetentionDuration`` default) are dropped
+        from the checkpoint — the protocol's expiry that keeps checkpoints
+        from growing with all-time churn; like stock Delta, VACUUM must
+        run within the window or the expired files become orphans."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -1044,9 +1050,11 @@ class DeltaTableWriter:
                 ("dataChange", pa.bool_()),
             ]
         )
+        floor_ms = int(time.time() * 1000) - tombstone_retention_ms
         removes = [
             {"path": rel, "deletionTimestamp": ts, "dataChange": False}
             for rel, ts in sorted((state.get("tombstones") or {}).items())
+            if ts >= floor_ms
         ]
         n = 2 + len(adds) + len(txns) + len(removes)
         pre_rm = 2 + len(adds) + len(txns)
