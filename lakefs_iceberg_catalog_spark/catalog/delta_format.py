@@ -593,26 +593,27 @@ class DeltaTableWriter:
                 adds.append(part)
         else:
             adds = [current]
-        ver = self.commit(
-            add_dfs=adds, remove=live, data_change=False, operation="OPTIMIZE"
-        )
         if zorder_by:
-            # Row-conservation check (metadata-only: the fresh adds carry
-            # no DVs, so their stats.numRecords IS the live row count):
-            # a dataChange=false commit that drops rows is data loss CDF
-            # and streaming readers are required to skip.
+            # Row-conservation check BEFORE publishing: a dataChange=false
+            # commit that drops rows is data loss CDF and streaming
+            # readers are required to skip — refusing must happen while
+            # the old head is still the head, not after the corrupted
+            # commit is durable (one count over the rewrite's own row set;
+            # OPTIMIZE reads everything anyway).
             n_after = 0
-            with open(_commit_path(self.table_dir, ver)) as fh:
-                for line in fh:
-                    act = json.loads(line)
-                    if "add" in act:
-                        n_after += json.loads(act["add"]["stats"])["numRecords"]
+            if adds:
+                u = adds[0]
+                for a in adds[1:]:
+                    u = u.unionByName(a)
+                n_after = u.count()
             if n_after != n_before:
                 raise AssertionError(
                     f"ZORDER rewrite changed the row count: {n_before} -> "
-                    f"{n_after} (NULL-key routing bug?)"
+                    f"{n_after} (NULL-key routing bug?) — refusing to commit"
                 )
-        return ver
+        return self.commit(
+            add_dfs=adds, remove=live, data_change=False, operation="OPTIMIZE"
+        )
 
     def merge_upsert(self, source_df: DataFrame, key_cols: list[str]) -> int:
         """MERGE (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *)
@@ -673,24 +674,28 @@ class DeltaTableWriter:
         new_rows = (
             survivors.unionByName(source_df) if survivors is not None else source_df
         )
-        # classify source rows matched vs inserted WITHOUT broadcasting the
-        # table side: one distributed semi-probe of current against the
-        # broadcast source keys yields the (≤ |source|) existing keys,
-        # which then broadcast back against the source
-        existing_keys = (
-            current.select(*key_cols)
+        # CDC classification from the TOUCHED files only — matched rows
+        # can live nowhere else, so the preimage scan (and through it the
+        # existing-key set) reads the touched handful, never the table;
+        # a third full-table pass here would break the touched-files-
+        # proportional cost contract
+        touched_rows = (
+            cur_files.join(F.broadcast(touched_df), "_file", "left_semi")
+            .drop("_file")
             .join(F.broadcast(keys), key_cols, "left_semi")
-            .distinct()
+            if touched
+            else current.limit(0)
         )
-        matched = source_df.join(
-            F.broadcast(existing_keys), key_cols, "left_semi"
-        ).withColumn("_change_type", F.lit("update_postimage"))
         # the CDF protocol pairs every update with its PREIMAGE: the
         # matched rows' pre-merge values (stock Delta MERGE emits both;
         # postimage-only change files are protocol-incomplete)
-        preimage = current.join(
-            F.broadcast(keys), key_cols, "left_semi"
-        ).withColumn("_change_type", F.lit("update_preimage"))
+        preimage = touched_rows.withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        existing_keys = touched_rows.select(*key_cols).distinct()
+        matched = source_df.join(
+            F.broadcast(existing_keys), key_cols, "left_semi"
+        ).withColumn("_change_type", F.lit("update_postimage"))
         inserted = source_df.join(
             F.broadcast(existing_keys), key_cols, "left_anti"
         ).withColumn("_change_type", F.lit("insert"))
@@ -890,34 +895,65 @@ class DeltaTableWriter:
         rows a CDF reader returns for this commit, independent of the
         file-set diff (per the protocol, cdc actions PRE-EMPT derivation
         when present). This is what stock Delta writes when
-        delta.enableChangeDataFeed=true."""
+        delta.enableChangeDataFeed=true.
+
+        Change files are PROTOCOL-SHAPED like the data files: under
+        column mapping their columns use the physical col-uuid names
+        (`_change_type` stays literal — it is protocol-reserved), and on
+        partitioned tables the partition columns ride each cdc action's
+        ``partitionValues`` (one change file per touched partition tuple,
+        values NOT in the file) — so a stock CDF reader resolves them the
+        same way it resolves adds."""
+        from ..operators.util import bounded_rows
         from .parquet_io import write_single_parquet
 
         if cdc_df is None or "_change_type" not in cdc_df.columns:
             raise ValueError("cdc_df with a _change_type column is required")
         os.makedirs(os.path.join(self.table_dir, "_change_data"), exist_ok=True)
-        rel = f"_change_data/cdc-{uuid.uuid4()}.snappy.parquet"
-        path = os.path.join(self.table_dir, rel)
-        write_single_parquet(cdc_df, path)
-        now_ms = int(time.time() * 1000)
+        pcols = getattr(self, "_partition_cols", [])
+        phys = _physical_renames(self._meta) if self._column_mapping else {}
+        cdc_parts: list[tuple[DataFrame, dict]] = []
+        if pcols:
+            tuples = bounded_rows(cdc_df.select(*pcols).distinct(), 10_000)
+            for r in sorted(tuples, key=lambda r: tuple(str(v) for v in r)):
+                part = cdc_df
+                for c, v in zip(pcols, r):
+                    part = part.filter(F.col(c).eqNullSafe(F.lit(v)))
+                pvals = {
+                    phys.get(c, c): (None if v is None else str(v))
+                    for c, v in zip(pcols, r)
+                }
+                cdc_parts.append((part.drop(*pcols), pvals))
+        else:
+            cdc_parts.append((cdc_df, {}))
+        cdc_actions = []
+        for part, pvals in cdc_parts:
+            if phys:
+                part = part.select(
+                    *[
+                        F.col(c).alias(phys.get(c, c))
+                        for c in part.columns
+                    ]
+                )
+            rel = f"_change_data/cdc-{uuid.uuid4()}.snappy.parquet"
+            path = os.path.join(self.table_dir, rel)
+            write_single_parquet(part, path)
+            cdc_actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(path),
+                        "dataChange": False,
+                    }
+                }
+            )
         v = self.commit(add_dfs=add_dfs, remove=remove, operation=operation)
-        # append the cdc action to the just-written commit (single-writer
+        # append the cdc actions to the just-written commit (single-writer
         # fixture scope; a production writer emits them in one commit)
         with open(_commit_path(self.table_dir, v), "a") as f:
-            f.write(
-                "\n"
-                + json.dumps(
-                    {
-                        "cdc": {
-                            "path": rel,
-                            "partitionValues": {},
-                            "size": os.path.getsize(path),
-                            "dataChange": False,
-                        }
-                    },
-                    separators=(",", ":"),
-                )
-            )
+            for act in cdc_actions:
+                f.write("\n" + json.dumps(act, separators=(",", ":")))
         return v
 
     def restore(self, version: int) -> int:
@@ -1253,8 +1289,19 @@ def delta_changes_from_cdc(
 
     Scale: IO is exactly the change files of the window — the protocol's
     design: CDF cost tracks change volume, never table size."""
+    from pyspark.sql import types as T
+
     if to_version <= from_version:
         raise ValueError("to_version must be greater than from_version")
+    # change files are protocol-shaped like data files: physical col-uuid
+    # names under column mapping, partition values on the cdc ACTION (not
+    # in the file) for partitioned tables — resolve both like the scan
+    state = read_delta_log(table_dir, to_version)
+    renames = _physical_renames(state.get("metadata"))
+    schema = T.StructType.fromJson(json.loads(state["schema_json"]))
+    pcols = state.get("partition_cols") or []
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    logical = {p: lg for lg, p in renames.items()}
     parts = []
     for v in range(from_version + 1, to_version + 1):
         try:
@@ -1268,16 +1315,26 @@ def delta_changes_from_cdc(
             raise ValueError(
                 f"Delta commit {v} missing (truncated?) — cannot read CDF"
             ) from None
-        cdc_rels = [a["cdc"]["path"] for a in actions if "cdc" in a]
+        cdc_acts = [a["cdc"] for a in actions if "cdc" in a]
         changed = any(
             (a.get("add") or a.get("remove") or {}).get("dataChange")
             for a in actions
         )
-        if cdc_rels:
-            df = spark.read.parquet(
-                *[os.path.join(table_dir, rel) for rel in cdc_rels]
-            ).withColumn("_commit_version", F.lit(v).cast("long"))
-            parts.append(df)
+        if cdc_acts:
+            for act in cdc_acts:
+                df = spark.read.parquet(os.path.join(table_dir, act["path"]))
+                if renames:
+                    df = df.select(
+                        *[F.col(c).alias(logical.get(c, c)) for c in df.columns]
+                    )
+                pv = act.get("partitionValues") or {}
+                for c in pcols:
+                    val = pv.get(renames.get(c, c))
+                    lit = F.lit(None) if val is None else F.lit(val)
+                    df = df.withColumn(c, lit.cast(ptypes[c]))
+                parts.append(
+                    df.withColumn("_commit_version", F.lit(v).cast("long"))
+                )
         elif changed:
             raise ValueError(
                 f"version {v} changed data without cdc actions — this "
@@ -1315,8 +1372,10 @@ def delta_table_changes(
     tables read the data files under their physical col-uuid names and
     project back to the `to_version` logical schema — a mid-window rename
     surfaces every change row under the NEW name, physical names being
-    the stable identity (VERDICT r7 #5; the writer refuses the
-    partitioned+mapped combination upstream).
+    the stable identity (VERDICT r7 #5). The two COMPOSE: for a
+    partitioned, column-mapped table the per-file partitionValues lookup
+    resolves the logical partition column through its physical key
+    (pinned in test_cm_partitioned_composes).
 
     Scale: the diff is metadata-only (two log folds); data IO touches
     exactly the changed files, and DV-position deletes read one file
@@ -1370,19 +1429,44 @@ def delta_table_changes(
     )
     out_cols = [f.name for f in schema_b.fields]
 
+    # ordinal sets below this stay inline IN-literals (cheapest plan);
+    # above it they become broadcast semi/anti joins — a deletion vector
+    # can legally carry 100k+ positions, and a 100k-element isin is a
+    # Catalyst plan-compilation blowup (same fix as _filter_touched)
+    _ISIN_CEILING = 1_000
+
     def _rows(state: dict, rel: str, keep: set[int] | None, drop: set[int]) -> DataFrame:
         """One file's rows, keeping `keep` ordinals (None = all) minus
         `drop` — ordinal filters ride `_metadata.row_index`."""
+        from ..operators.util import local_df
+
         df = spark.read.schema(read_schema).parquet(
             os.path.join(table_dir, rel)
         )
         idx = F.col("_metadata.row_index")
-        cond = F.lit(True)
-        if keep is not None:
-            cond = idx.isin([int(i) for i in keep])
-        if drop:
-            cond = cond & ~idx.isin([int(i) for i in drop])
-        df = df.filter(cond)
+        big_keep = keep is not None and len(keep) > _ISIN_CEILING
+        big_drop = len(drop) > _ISIN_CEILING
+        if big_keep or big_drop:
+            # _metadata is scan-local: materialize the ordinal BEFORE any join
+            df = df.withColumn("_pos", idx)
+            if keep is not None:
+                kdf = local_df(
+                    spark, [(int(i),) for i in sorted(keep)], "_pos long"
+                )
+                df = df.join(F.broadcast(kdf), "_pos", "left_semi")
+            if drop:
+                ddf = local_df(
+                    spark, [(int(i),) for i in sorted(drop)], "_pos long"
+                )
+                df = df.join(F.broadcast(ddf), "_pos", "left_anti")
+            df = df.drop("_pos")
+        else:
+            cond = F.lit(True)
+            if keep is not None:
+                cond = idx.isin([int(i) for i in keep])
+            if drop:
+                cond = cond & ~idx.isin([int(i) for i in drop])
+            df = df.filter(cond)
         if renames:
             # project only the FILE fields back to logical — partition
             # columns are log-only and re-inject below

@@ -1337,12 +1337,44 @@ class IcebergTableWriter:
                     f"schema mismatch for {path}: has {sorted(got)}, "
                     f"table wants {sorted(want)}"
                 )
-            n_rows = pq.read_metadata(path).num_rows
+            md = pq.read_metadata(path)
+            n_rows = md.num_rows
             pvals: dict = {}
             if self._partition_fields:
                 fb = parquet_column_bounds(path)
+                # footer min/max EXCLUDE nulls, so single-valued bounds
+                # alone cannot prove single-partition membership: also
+                # demand a known null count — 0 (value partition) or
+                # n_rows (the NULL partition); anything else straddles
+                nulls: dict[str, int | None] = {}
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for ci in range(rg.num_columns):
+                        c = rg.column(ci)
+                        st = c.statistics
+                        name = c.path_in_schema
+                        if st is None or st.null_count is None:
+                            nulls[name] = None
+                        elif nulls.get(name, 0) is not None:
+                            nulls[name] = nulls.get(name, 0) + st.null_count
                 for pf in self._partition_fields:
                     src = pf["source_name"]
+                    n_null = nulls.get(src)
+                    if n_null is None:
+                        raise ValueError(
+                            f"{path}: no footer null-count statistic for "
+                            f"partition column {src!r} — cannot prove "
+                            "single-partition membership"
+                        )
+                    if n_null == n_rows:  # the NULL partition
+                        pvals[pf["name"]] = None
+                        continue
+                    if n_null > 0:
+                        raise ValueError(
+                            f"{path}: partition column {src!r} mixes "
+                            f"{n_null} NULLs with values — a data file "
+                            "must belong to exactly one partition"
+                        )
                     if src not in fb:
                         raise ValueError(
                             f"{path}: no footer stats for partition column "

@@ -86,7 +86,7 @@ def materialize_bounded(
     spark: SparkSession, df: DataFrame, ceiling: int = MATERIALIZE_ROW_CEILING
 ) -> DataFrame:
     """Driver-side collect-and-recreate with an explicit row ceiling."""
-    return spark.createDataFrame(bounded_rows(df, ceiling), df.schema)
+    return local_df(spark, bounded_rows(df, ceiling), df.schema)
 
 
 # Query-scoped cache registry: operators with diamond-shaped plans (one

@@ -1102,6 +1102,32 @@ def test_add_files_partitioned_derives_tuple_from_footer(spark, tmp_path):
     write_single_parquet(n.filter("n_regionkey >= 3"), bad)
     with pytest.raises(ValueError, match="exactly one partition"):
         w.add_files([bad])
+    # footer min/max EXCLUDE nulls — a file mixing NULLs with one value
+    # must refuse (bounds alone would claim single-valuedness), while an
+    # all-NULL partition column imports as the NULL partition
+    from pyspark.sql import functions as F
+
+    mixed = str(tmp_path / "mixed-null.parquet")
+    write_single_parquet(
+        n.filter("n_regionkey = 3").withColumn(
+            "n_regionkey",
+            F.when(F.col("n_nationkey") == 3, None).otherwise(
+                F.col("n_regionkey")
+            ),
+        ),
+        mixed,
+    )
+    with pytest.raises(ValueError, match="mixes .* NULLs"):
+        w.add_files([mixed])
+    allnull = str(tmp_path / "all-null.parquet")
+    write_single_parquet(
+        n.filter("n_regionkey = 3").withColumn(
+            "n_regionkey", F.lit(None).cast("int")
+        ),
+        allnull,
+    )
+    w.add_files([allnull])
+    assert scan_iceberg_table(spark, d).count() == 20  # 15 + 5 NULL-region
     # transform-partitioned tables refuse (value unrecoverable from bounds)
     dt = str(tmp_path / "addtrans")
     wt = IcebergTableWriter(spark, dt, partition_by=["bucket(n_nationkey, 4)"])
