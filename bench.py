@@ -199,6 +199,11 @@ EXTRA = [
     "dml_iceberg_delete_orc_mor",
     "dml_iceberg_delete_cow",
     "dml_iceberg_merge_cow",
+    # round-9: DV/MoR/format-composition lifts
+    "dml_delta_merge_dv",
+    "source_iceberg_partitioned_mor",
+    "source_delta_column_mapping_id",
+    "sink_iceberg_add_files_transform",
 ]
 
 

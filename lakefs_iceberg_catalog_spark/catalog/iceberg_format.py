@@ -758,48 +758,35 @@ class IcebergTableWriter:
         )
         return self._commit_snapshot(snapshot_id, "append")
 
-    def delete_positions(self, deletes: list[tuple[str, int]]) -> int:
-        """Commit one merge-on-read DELETE snapshot carrying a POSITION
-        delete file (spec: data_file.content=1 in a content=1 delete
-        manifest): a parquet file of (file_path, pos) rows marking data
-        rows dead without rewriting data files — the layout Iceberg's v2
-        row-level DELETE emits (the reference requests format-version 2,
-        TestLakeFSCatalogSpark.java:67). ``deletes`` is a bounded list of
-        (data file path, row ordinal) pairs — deleted-row-proportional
-        metadata, written driver-side like Iceberg's own delete writer."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        if self._schema_json is None:
-            raise ValueError("delete_positions before any append")
-        if self._partition_fields:
+    def _partitioned_delete_guard(self, what: str) -> None:
+        """Partition-scoped delete manifests are supported for IDENTITY
+        specs (the common partitioned-v2-table case, VERDICT r8 #3);
+        transform specs would need the transform applied to the delete
+        rows' source values — refuse loudly instead of guessing."""
+        if any(pf["kind"] != "identity" for pf in self._partition_fields):
             raise NotImplementedError(
-                "delete files on partitioned tables need partition-scoped "
-                "delete manifests — not supported by this fixture writer"
+                f"{what} over transform-partitioned tables not supported "
+                "by this fixture writer (identity specs only)"
             )
-        self._version += 1
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
 
-        # spec orders position delete rows by (file_path, pos)
-        rows = sorted(deletes)
-        del_path = os.path.join(
-            self.data_dir, f"00000-{self._version}-{self._uuid}-deletes-00001.parquet"
-        )
-        pq.write_table(
-            pa.table(
-                {
-                    "file_path": pa.array([r[0] for r in rows], pa.string()),
-                    "pos": pa.array([int(r[1]) for r in rows], pa.int64()),
-                }
-            ),
-            del_path,
-        )
+    def _commit_delete_manifest(
+        self,
+        snapshot_id: int,
+        files: list[tuple[str, int, dict, int, list | None]],
+    ) -> int:
+        """ONE content=1 delete manifest holding every delete file of
+        this snapshot — each entry carries its TYPED partition struct
+        (same spec fields as data manifests; the spec's content=1/2
+        manifests reuse the r102 partition struct), and the manifest-list
+        row carries partition summaries so ``partition_filter`` prunes
+        DELETE manifests exactly like data manifests.
 
+        ``files``: (path, record_count, partition_values, content,
+        equality_ids) per delete file."""
         manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
         self._avro.write(
             manifest_path,
-            MANIFEST_ENTRY_SCHEMA,
+            _manifest_entry_schema(self._partition_fields),
             [
                 {
                     "status": STATUS_ADDED,
@@ -807,21 +794,22 @@ class IcebergTableWriter:
                     "sequence_number": None,  # inherited from manifest list
                     "file_sequence_number": None,
                     "data_file": {
-                        "content": CONTENT_POSITION_DELETES,
-                        "file_path": del_path,
+                        "content": content,
+                        "file_path": path,
                         "file_format": "PARQUET",
-                        "partition": {},
-                        "record_count": len(rows),
-                        "file_size_in_bytes": os.path.getsize(del_path),
-                        "equality_ids": None,
+                        "partition": pvals,
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(path),
+                        "equality_ids": eq_ids,
                         "lower_bounds": None,
                         "upper_bounds": None,
                     },
                 }
+                for path, n_rows, pvals, content, eq_ids in files
             ],
             meta={
                 "schema": json.dumps(self._schema_json),
-                "partition-spec": "[]",
+                "partition-spec": self._spec_json,
                 "partition-spec-id": str(self._spec_id),
                 "format-version": "2",
                 "content": "deletes",
@@ -837,16 +825,105 @@ class IcebergTableWriter:
                 "sequence_number": self._sequence,
                 "min_sequence_number": self._sequence,
                 "added_snapshot_id": snapshot_id,
-                "added_files_count": 1,
+                "added_files_count": len(files),
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": len(rows),
+                "added_rows_count": sum(f[1] for f in files),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
-                "partitions": None,
+                "partitions": self._partition_summaries(
+                    [f[2] for f in files]
+                )
+                if self._partition_fields
+                else None,
             }
         )
         return self._commit_snapshot(snapshot_id, "delete")
+
+    def delete_positions(self, deletes: list[tuple[str, int]]) -> int:
+        """Commit one merge-on-read DELETE snapshot carrying POSITION
+        delete files (spec: data_file.content=1 in a content=1 delete
+        manifest): parquet files of (file_path, pos) rows marking data
+        rows dead without rewriting data files — the layout Iceberg's v2
+        row-level DELETE emits (the reference requests format-version 2,
+        TestLakeFSCatalogSpark.java:67). ``deletes`` is a bounded list of
+        (data file path, row ordinal) pairs — deleted-row-proportional
+        metadata, written driver-side like Iceberg's own delete writer.
+
+        On identity-partitioned tables (VERDICT r8 #3 — what Iceberg
+        1.4.3 does for every partitioned v2 table with row-level
+        deletes) the pairs GROUP BY the target data file's partition
+        tuple: one delete file per touched tuple, each manifest entry
+        carrying the typed partition struct, so partition-filtered scans
+        prune delete files alongside data files."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self._schema_json is None:
+            raise ValueError("delete_positions before any append")
+        groups: list[tuple[dict, list[tuple[str, int]]]]
+        if self._partition_fields:
+            self._partitioned_delete_guard("position deletes")
+            data, _ = iceberg_snapshot_files(self.table_dir)
+            pmap = {
+                f["file_path"]: (f.get("partition") or {}, f.get("_spec_id", 0))
+                for f in data
+            }
+            by_tuple: dict[tuple, list[tuple[str, int]]] = {}
+            for path, posn in deletes:
+                hit = pmap.get(path)
+                if hit is None:
+                    raise ValueError(f"{path} is not a live data file")
+                pv, sid = hit
+                if sid != self._spec_id:
+                    raise NotImplementedError(
+                        "position deletes targeting files under an older "
+                        "partition spec — evolve-and-delete not supported"
+                    )
+                by_tuple.setdefault(
+                    tuple(pv.get(pf["name"]) for pf in self._partition_fields),
+                    [],
+                ).append((path, posn))
+            groups = [
+                (
+                    {
+                        pf["name"]: v
+                        for pf, v in zip(self._partition_fields, t)
+                    },
+                    rows,
+                )
+                for t, rows in sorted(
+                    by_tuple.items(), key=lambda kv: str(kv[0])
+                )
+            ]
+        else:
+            groups = [({}, list(deletes))]
+        self._version += 1
+        self._sequence += 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        files: list[tuple[str, int, dict, int, list | None]] = []
+        for i, (pvals, rows) in enumerate(groups, 1):
+            # spec orders position delete rows by (file_path, pos)
+            rows = sorted(rows)
+            del_path = os.path.join(
+                self.data_dir,
+                f"00000-{self._version}-{self._uuid}-deletes-{i:05d}.parquet",
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_path": pa.array(
+                            [r[0] for r in rows], pa.string()
+                        ),
+                        "pos": pa.array([int(r[1]) for r in rows], pa.int64()),
+                    }
+                ),
+                del_path,
+            )
+            files.append(
+                (del_path, len(rows), pvals, CONTENT_POSITION_DELETES, None)
+            )
+        return self._commit_delete_manifest(snapshot_id, files)
 
     def delete_keys(self, key_cols: list[str], keys: list[tuple]) -> int:
         """Commit one merge-on-read DELETE snapshot carrying an EQUALITY
@@ -855,22 +932,56 @@ class IcebergTableWriter:
         matches are dead in every data file with a STRICTLY OLDER sequence
         number — the value-based delete Iceberg's UPSERT/CDC writers emit.
         ``keys`` is a bounded list of key tuples aligned with
-        ``key_cols``."""
+        ``key_cols``.
+
+        On identity-partitioned tables the partition SOURCE columns must
+        be among ``key_cols`` (the Flink/CDC upsert-writer shape): each
+        key tuple's partition derives from its own values and the keys
+        group into one partition-scoped delete file per tuple. A global
+        equality delete on a partitioned table would need an
+        unpartitioned spec reference — refused loudly."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         if self._schema_json is None:
             raise ValueError("delete_keys before any append")
-        if self._partition_fields:
-            raise NotImplementedError(
-                "delete files on partitioned tables need partition-scoped "
-                "delete manifests — not supported by this fixture writer"
-            )
         by_name = {f["name"]: f for f in self._schema_json["fields"]}
         missing = [c for c in key_cols if c not in by_name]
         if missing:
             raise ValueError(f"equality-delete key columns not in schema: {missing}")
         eq_ids = [by_name[c]["id"] for c in key_cols]
+        groups: list[tuple[dict, list[tuple]]]
+        if self._partition_fields:
+            self._partitioned_delete_guard("equality deletes")
+            psrc = [pf["source_name"] for pf in self._partition_fields]
+            not_in_key = [c for c in psrc if c not in key_cols]
+            if not_in_key:
+                raise NotImplementedError(
+                    "global equality deletes on a partitioned table need "
+                    "an unpartitioned spec reference — include the "
+                    f"partition source columns {not_in_key} in the delete "
+                    "key to write partition-scoped delete files"
+                )
+            idx = {c: key_cols.index(c) for c in psrc}
+            by_tuple: dict[tuple, list[tuple]] = {}
+            for k in keys:
+                by_tuple.setdefault(
+                    tuple(k[idx[c]] for c in psrc), []
+                ).append(k)
+            groups = [
+                (
+                    {
+                        pf["name"]: v
+                        for pf, v in zip(self._partition_fields, t)
+                    },
+                    ks,
+                )
+                for t, ks in sorted(
+                    by_tuple.items(), key=lambda kv: str(kv[0])
+                )
+            ]
+        else:
+            groups = [({}, list(keys))]
         self._version += 1
         self._sequence += 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
@@ -883,73 +994,28 @@ class IcebergTableWriter:
             "float": pa.float32(),
             "boolean": pa.bool_(),
         }
-        del_path = os.path.join(
-            self.data_dir, f"00000-{self._version}-{self._uuid}-eqdel-00001.parquet"
-        )
-        pq.write_table(
-            pa.table(
-                {
-                    c: pa.array(
-                        [k[i] for k in keys],
-                        _PA.get(by_name[c]["type"], pa.string()),
-                    )
-                    for i, c in enumerate(key_cols)
-                }
-            ),
-            del_path,
-        )
-
-        manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
-        self._avro.write(
-            manifest_path,
-            MANIFEST_ENTRY_SCHEMA,
-            [
-                {
-                    "status": STATUS_ADDED,
-                    "snapshot_id": snapshot_id,
-                    "sequence_number": None,  # inherited from manifest list
-                    "file_sequence_number": None,
-                    "data_file": {
-                        "content": CONTENT_EQUALITY_DELETES,
-                        "file_path": del_path,
-                        "file_format": "PARQUET",
-                        "partition": {},
-                        "record_count": len(keys),
-                        "file_size_in_bytes": os.path.getsize(del_path),
-                        "equality_ids": eq_ids,
-                        "lower_bounds": None,
-                        "upper_bounds": None,
-                    },
-                }
-            ],
-            meta={
-                "schema": json.dumps(self._schema_json),
-                "partition-spec": "[]",
-                "partition-spec-id": str(self._spec_id),
-                "format-version": "2",
-                "content": "deletes",
-            },
-            codec="deflate",
-        )
-        self._manifests.append(
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": self._spec_id,
-                "content": 1,
-                "sequence_number": self._sequence,
-                "min_sequence_number": self._sequence,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": 1,
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": len(keys),
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-                "partitions": None,
-            }
-        )
-        return self._commit_snapshot(snapshot_id, "delete")
+        files: list[tuple[str, int, dict, int, list | None]] = []
+        for i, (pvals, ks) in enumerate(groups, 1):
+            del_path = os.path.join(
+                self.data_dir,
+                f"00000-{self._version}-{self._uuid}-eqdel-{i:05d}.parquet",
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        c: pa.array(
+                            [k[j] for k in ks],
+                            _PA.get(by_name[c]["type"], pa.string()),
+                        )
+                        for j, c in enumerate(key_cols)
+                    }
+                ),
+                del_path,
+            )
+            files.append(
+                (del_path, len(ks), pvals, CONTENT_EQUALITY_DELETES, eq_ids)
+            )
+        return self._commit_delete_manifest(snapshot_id, files)
 
     def _commit_snapshot(self, snapshot_id: int, operation: str) -> int:
         # -- manifest list: every live manifest, newest first --------------
@@ -1300,27 +1366,27 @@ class IcebergTableWriter:
         table for the price of its footers. Schemas must match the
         table's by name and type.
 
-        IDENTITY-partitioned tables import too (VERDICT r7 'missing' #3):
-        each file's partition tuple is derived from its OWN footer bounds
-        — a file is a valid member of exactly one partition iff its
-        partition-column min == max, so the footer both yields the value
-        and PROVES single-valuedness; files straddling values refuse
+        PARTITIONED tables import too (VERDICT r7 'missing' #3, extended
+        to transforms in r9 #7): each file's partition tuple is derived
+        from its OWN footer bounds. Identity and bucket need min == max
+        (the footer both yields the value and PROVES single-valuedness —
+        bucket's hash is not monotone, so a range proves nothing);
+        day/truncate are MONOTONE, so transform(min) == transform(max)
+        proves single-partition membership even when the raw values span
+        (e.g. one day of timestamps). Files straddling partitions refuse
         loudly (stock add_files makes the same one-partition-per-file
-        demand via its source layout). Transform-partitioned tables
-        refuse: a transformed value cannot be recovered from raw column
-        bounds alone."""
+        demand via its source layout). String-typed derivations also
+        demand PROVABLY EXACT footer stats (ADVICE r8 #3: writers may
+        truncate long string/binary min/max, and a truncated bound would
+        silently yield a wrong partition value) — pyarrow's
+        is_min/max_value_exact flags when present, else a conservative
+        length ceiling."""
         import pyarrow.parquet as pq
 
         from .parquet_io import parquet_column_bounds
 
         if self._schema_json is None and self._partition_by:
             raise ValueError("no schema yet: append once before add_files")
-        if self._partition_fields and any(
-            pf["kind"] != "identity" for pf in self._partition_fields
-        ):
-            raise NotImplementedError(
-                "add_files on a transform-partitioned table"
-            )
         if self._schema_json is None:
             raise ValueError("no schema yet: append once before add_files")
         if not paths:
@@ -1380,17 +1446,69 @@ class IcebergTableWriter:
                             f"{path}: no footer stats for partition column "
                             f"{src!r} — cannot derive its partition value"
                         )
+                    if pf["src_type"] == "string":
+                        # truncated stats would silently yield a WRONG
+                        # partition value: demand provable exactness
+                        for g in range(md.num_row_groups):
+                            rg = md.row_group(g)
+                            for ci in range(rg.num_columns):
+                                c = rg.column(ci)
+                                if c.path_in_schema != src:
+                                    continue
+                                st = c.statistics
+                                exact_min = getattr(
+                                    st, "is_min_value_exact", None
+                                )
+                                exact_max = getattr(
+                                    st, "is_max_value_exact", None
+                                )
+                                if exact_min is False or exact_max is False:
+                                    raise ValueError(
+                                        f"{path}: footer min/max for "
+                                        f"{src!r} are truncated — cannot "
+                                        "derive a partition value from "
+                                        "inexact stats"
+                                    )
+                                if exact_min is None and any(
+                                    len(
+                                        b.encode()
+                                        if isinstance(b, str)
+                                        else b
+                                    )
+                                    >= 64
+                                    for b in (st.min, st.max)
+                                ):
+                                    raise ValueError(
+                                        f"{path}: footer min/max for "
+                                        f"{src!r} reach the 64-byte "
+                                        "truncation ceiling and pyarrow "
+                                        "exposes no exactness flag — "
+                                        "refusing a possibly-truncated "
+                                        "partition value"
+                                    )
                     lo, hi = fb[src]
-                    if lo != hi:
+                    if isinstance(lo, bytes):
+                        lo, hi = lo.decode(), hi.decode()
+                    if pf["kind"] in ("identity", "bucket") and lo != hi:
                         raise ValueError(
                             f"{path}: partition column {src!r} spans "
                             f"[{lo!r}, {hi!r}] — a data file must belong to "
                             "exactly one partition"
                         )
-                    v = lo
-                    if isinstance(v, bytes):
-                        v = v.decode()
-                    pvals[pf["name"]] = v
+                    tlo = apply_iceberg_transform(
+                        pf["transform"], lo, pf["src_type"]
+                    )
+                    thi = apply_iceberg_transform(
+                        pf["transform"], hi, pf["src_type"]
+                    )
+                    if tlo != thi:  # monotone transform straddles tuples
+                        raise ValueError(
+                            f"{path}: partition column {src!r} spans "
+                            f"partitions [{tlo!r}, {thi!r}] under "
+                            f"{pf['transform']} — a data file must belong "
+                            "to exactly one partition"
+                        )
+                    pvals[pf["name"]] = tlo
             entries.append(
                 {
                     "status": STATUS_ADDED,
@@ -2138,6 +2256,28 @@ def iceberg_snapshot_files(
                 data.append(rec)
             else:
                 deletes.append(rec)
+    if partition_filter and deletes:
+        # EXACT per-entry pruning for delete files (manifest summaries
+        # are manifest-granular; a delete manifest spanning tuples keeps
+        # non-matching entries past it) — identity fields only, each
+        # entry judged under its own manifest's spec. Data files keep
+        # the advisory contract (scan_iceberg_table re-filters exactly,
+        # per its own mixed-spec rules); a pruned delete file can by
+        # construction only target pruned data files.
+        def _del_excluded(rec: dict) -> bool:
+            spec = specs.get(rec.get("_spec_id", 0)) or {}
+            pv = rec.get("partition") or {}
+            for fld in spec.get("fields", []):
+                name = fld.get("name")
+                if (
+                    name in partition_filter
+                    and fld.get("transform") == "identity"
+                    and pv.get(name) != partition_filter[name]
+                ):
+                    return True
+            return False
+
+        deletes = [r for r in deletes if not _del_excluded(r)]
     return data, deletes
 
 

@@ -258,14 +258,20 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .join(cands, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_emb", "c_emb", "q_norm", "c_norm")
+        .select(
+            "query_id",
+            "neighbor_id",
+            # cosine BEFORE the distinct (VERDICT r8 #8, the knn-graph
+            # fix propagated): the dedup shuffle carries one double per
+            # candidate, never two embedding payloads
+            (
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])  # union over tables
     )
-    sims = pairs.select(
-        "query_id",
-        "neighbor_id",
-        (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
-    )
+    sims = pairs
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         sims.withColumn("rnk", F.row_number().over(w))
@@ -366,14 +372,20 @@ def similarity_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
         F.broadcast(q)
         .join(cands, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_emb", "c_emb", "q_norm", "c_norm")
+        .select(
+            "query_id",
+            "neighbor_id",
+            # cosine BEFORE the distinct (VERDICT r8 #8, the knn-graph
+            # fix propagated): the dedup shuffle carries one double per
+            # candidate, never two embedding payloads
+            (
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])  # union over tables+probes
     )
-    sims = pairs.select(
-        "query_id",
-        "neighbor_id",
-        (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
-    )
+    sims = pairs
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         sims.withColumn("rnk", F.row_number().over(w))
@@ -611,14 +623,20 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probes)
         .join(assigned, "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_emb", "c_emb", "q_norm", "c_norm")
+        .select(
+            "query_id",
+            "neighbor_id",
+            # cosine BEFORE the distinct (VERDICT r8 #8, the knn-graph
+            # fix propagated): the dedup shuffle carries one double per
+            # candidate, never two embedding payloads
+            (
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sims = pairs.select(
-        "query_id",
-        "neighbor_id",
-        (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
-    )
+    sims = pairs
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         sims.withColumn("rnk", F.row_number().over(w))

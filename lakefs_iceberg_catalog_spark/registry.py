@@ -55,40 +55,16 @@ def register(name: str, oracle: str | None = None):
 
 
 _SWEEP_PRIORITY = [
-    # ---- Round-8 window (slots 0-49; the driver checks the FIRST 50) ----
-    # VERDICT r7 "Next round" #2: slots 0-7 = the 8 fourth-session r7 keys
-    # that have never received a driver row (they pass the repo's own
-    # oracle replay; a key isn't done until the driver agrees) ...
-    "stream_sink_delta", "maint_delta_restore", "maint_iceberg_rollback",
-    "source_delta_cdc_files", "sink_iceberg_add_files", "dml_delta_merge_cow",
-    "dml_iceberg_delete_cow", "dml_iceberg_merge_cow",
-    # ... new round-8 keys are inserted HERE as they land (a never-checked
-    # key outranks a stale one; each insertion displaces the last r3-stale
-    # slot below the window) ...
-    "dml_delta_merge_partitioned", "source_delta_cdf_partitioned",
-    "dml_delta_merge_column_mapping", "dml_iceberg_delete_orc_mor",
-    # ... next 17 slots = every key whose newest driver row is still
-    # ROUND 2 (drains r2-stale to 0, VERDICT r7 #2) ...
-    "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
-    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
-    "stream_dedup", "stream_session_window", "stream_sliding_window",
-    "stream_stream_interval_join", "stream_tumbling_window",
-    "text_fingerprint", "text_lang_id", "text_quality_filter", "text_stats",
-    "text_token_count",
-    # ... remaining slots = the oldest r3-stale keys (alphabetical head
-    # of the r3 block; the rest stay below, covered by the repo's own
-    # oracle replay every pytest run) ...
-    "agg_rollup", "branch_diff_equal", "branch_merge", "branch_wap_publish",
-    "ddl_create_table", "ddl_schema_crud", "ddl_schema_evolution",
-    "dedup_cc_canonical", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash_pairs",
-    "dml_delete_where", "dml_delete_where_mor", "dml_insert_values",
-    "dml_merge_upsert", "dml_update_where", "dml_update_where_mor",
-    "join_salted_skew", "multimodal_decode", "multimodal_frame_sample",
-    "multimodal_resize", "pipeline_corpus_mixture",
-    "pipeline_training_corpus",
-    # ---- Past the window: every remaining key ordered by STALENESS ----
-    # r3-stale tail (first in line after the round-8 window drains)
+    # ---- Round-9 window (slots 0-49; the driver checks the FIRST 50) ----
+    # New round-9 keys are inserted HERE as they land (a never-checked key
+    # outranks a stale one; each insertion displaces the last r4-stale
+    # slot below the 50-key window) ...
+    "dml_delta_merge_dv", "source_iceberg_partitioned_mor",
+    "source_delta_column_mapping_id", "sink_iceberg_add_files_transform",
+    # ... next 28 slots = the ENTIRE r3-stale block (VERDICT r8 #4: drain
+    # r3 staleness to 0 this round) ...
+    "multimodal_frame_sample", "multimodal_resize",
+    "pipeline_corpus_mixture", "pipeline_training_corpus",
     "q10_returned_items", "q14_promo_share", "q18_large_volume",
     "q5_local_supplier", "q6_forecast_revenue", "sample_stratified_hash",
     "similarity_ann_ivf", "similarity_ann_lsh",
@@ -98,7 +74,9 @@ _SWEEP_PRIORITY = [
     "sql_use_namespace", "stream_sink_versioned", "stream_stateful",
     "stream_watermark_late_data", "text_pii_scrub", "time_travel_scan",
     "unpivot_stack", "window_range_frame",
-    # r4-stale
+    # ... remaining slots = the alphabetical head of the r4-stale block
+    # (the rest stay below, covered by the repo's own exact-oracle replay
+    # every pytest run) ...
     "agg_funnel_steps", "branch_cherry_pick", "branch_tag_scan",
     "ddl_add_files", "ddl_partition_evolution", "ddl_rollback_version",
     "ddl_type_widening", "dedup_containment", "dedup_repeated_spans",
@@ -106,6 +84,8 @@ _SWEEP_PRIORITY = [
     "join_fuzzy_levenshtein", "maint_compact_expire_gc", "meta_files",
     "multimodal_clip_filter", "multimodal_feature_extract",
     "multimodal_phash_dedup", "pipeline_global_shuffle",
+    # ---- Past the window (slot 50+): remaining keys by STALENESS ----
+    # r4-stale tail (first in line after the round-9 window drains)
     "q11_important_stock", "q12_priority_lines", "q13_customer_distribution",
     "q15_top_supplier", "q16_parts_supplier_count", "q17_small_quantity",
     "q19_disjunctive_parts", "q20_potential_promotion",
@@ -179,6 +159,24 @@ _SWEEP_PRIORITY = [
     "source_delta_generated_partition", "source_delta_stats_skipping",
     "maint_iceberg_sort_rewrite", "maint_delta_zorder",
     "source_iceberg_spec_evolution",
+    # r8-swept (freshest — the round-8 window, verified 50/50 green)
+    "stream_sink_delta", "maint_delta_restore", "maint_iceberg_rollback",
+    "source_delta_cdc_files", "sink_iceberg_add_files", "dml_delta_merge_cow",
+    "dml_iceberg_delete_cow", "dml_iceberg_merge_cow",
+    "dml_delta_merge_partitioned", "source_delta_cdf_partitioned",
+    "dml_delta_merge_column_mapping", "dml_iceberg_delete_orc_mor",
+    "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
+    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "stream_dedup", "stream_session_window", "stream_sliding_window",
+    "stream_stream_interval_join", "stream_tumbling_window",
+    "text_fingerprint", "text_lang_id", "text_quality_filter", "text_stats",
+    "text_token_count", "agg_rollup", "branch_diff_equal", "branch_merge",
+    "branch_wap_publish", "ddl_create_table", "ddl_schema_crud",
+    "ddl_schema_evolution", "dedup_cc_canonical", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "dml_delete_where", "dml_delete_where_mor",
+    "dml_insert_values", "dml_merge_upsert", "dml_update_where",
+    "dml_update_where_mor", "join_salted_skew", "multimodal_decode",
 ]
 
 

@@ -388,6 +388,63 @@ def test_cm_composes_with_deletion_vectors(spark, delta_cm):
     assert back.columns == _nation(spark).columns
 
 
+def test_cm_mode_id_resolves_by_parquet_field_id(spark, tmp_path):
+    """Column mapping mode=id (VERDICT r8 #6): data files carry col-uuid
+    physical names AND parquet field ids; the scan's read schema uses
+    the LOGICAL names (absent from the files) + parquet.field.id
+    metadata, so a correct non-null read proves field-id resolution —
+    physicalName is never consulted. Renames time-travel; partitioned
+    id-mode and id-mode DML keep loud refusals."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "cmid")
+    w = DeltaTableWriter(spark, d, column_mapping="id")
+    w.commit(add_dfs=[_nation(spark).select("n_nationkey", "n_name")])
+    state = read_delta_log(d)
+    assert (
+        state["metadata"]["configuration"]["delta.columnMapping.mode"]
+        == "id"
+    )
+    rel = next(iter(state["files"]))
+    sch = pq.read_schema(os.path.join(d, rel))
+    assert all(c.startswith("col-") for c in sch.names)
+    fids = {
+        int(sch.field(i).metadata[b"PARQUET:field_id"])
+        for i in range(len(sch.names))
+    }
+    assert fids == {1, 2}
+    back = scan_delta_table(spark, d)
+    got = {r["n_nationkey"]: r["n_name"] for r in back.collect()}
+    assert len(got) == 25 and got[3] == "NATION_3"  # non-null via ids
+    w.rename_column("n_name", "nation_name")
+    assert scan_delta_table(spark, d).columns == [
+        "n_nationkey",
+        "nation_name",
+    ]
+    assert scan_delta_table(spark, d, version=0).columns == [
+        "n_nationkey",
+        "n_name",
+    ]
+    # paths not taught field-id resolution refuse loudly, never guess
+    with pytest.raises(NotImplementedError, match="id"):
+        w.merge_upsert(
+            spark.createDataFrame([(1, "x")], "n_nationkey int, nation_name string"),
+            ["n_nationkey"],
+        )
+    d2 = str(tmp_path / "cmid_part")
+    w2 = DeltaTableWriter(spark, d2, column_mapping="id")
+    w2.commit(
+        add_dfs=[
+            _nation(spark)
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .where("n_regionkey = 0")
+        ],
+        partition_cols=["n_regionkey"],
+    )
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        scan_delta_table(spark, d2)
+
+
 def test_cm_guards(spark, tmp_path, delta_cm):
     d, w = delta_cm
     with pytest.raises(ValueError, match="no column"):
@@ -1257,7 +1314,7 @@ def test_cdc_actions_preempt_derivation(spark, tmp_path):
 def test_merge_upsert_touched_file_granularity(spark, tmp_path):
     """MERGE rewrites only files containing matched keys; untouched files
     stay referenced in place; CDF shows paired preimage/postimage plus
-    insert; DV tables refuse."""
+    insert."""
     from pyspark.sql import functions as F
 
     from lakefs_iceberg_catalog_spark.catalog.delta_format import (
@@ -1306,3 +1363,155 @@ def test_merge_upsert_touched_file_granularity(spark, tmp_path):
     ]
     assert acts_removed == []
     assert scan_delta_table(spark, d).count() == 27
+
+
+def test_merge_upsert_over_deletion_vectors(spark, tmp_path):
+    """MERGE composes with DVs (VERDICT r8 #1 — stock merge-on-DV
+    semantics per PROTOCOL.md): a DV-masked row is NEITHER matched NOR
+    resurrected — its key arriving in the source classifies as an
+    INSERT; rewriting a touched DV file materializes the vector away;
+    untouched files keep their DVs serving reads."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        delta_changes_from_cdc,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "merge_dv")
+    w = DeltaTableWriter(spark, d)
+    for lo in (0, 10, 20):
+        w.commit(
+            add_dfs=[
+                n.filter(F.col("n_nationkey").between(lo, lo + 9)).orderBy(
+                    "n_nationkey"
+                )
+            ]
+        )
+    # locate (file, ordinal) for keys 5 and 12 via the metadata columns
+    state = read_delta_log(d)
+    raw = spark.read.parquet(
+        *[os.path.join(d, rel) for rel in state["files"]]
+    ).withColumns(
+        {
+            "_file": F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ),
+            "_pos": F.col("_metadata.row_index"),
+        }
+    )
+    abs_to_rel = {os.path.join(d, rel): rel for rel in state["files"]}
+    by_key = {
+        r["n_nationkey"]: (abs_to_rel[r["_file"]], r["_pos"])
+        for r in raw.filter(F.col("n_nationkey").isin(5, 12)).collect()
+    }
+    for rel, pos in by_key.values():
+        w.delete_rows(rel, [pos])
+    src = spark.createDataFrame(
+        [(5, "NEW_5"), (13, "UP_13"), (25, "NEW_25")],
+        "n_nationkey int, n_name string",
+    )
+    v = w.merge_upsert(src, ["n_nationkey"])
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in scan_delta_table(spark, d).collect()
+    }
+    # 12 gone (DV'd, file rewritten — NOT resurrected), 5 re-inserted with
+    # the SOURCE value (the masked old row never matched), 13 updated
+    assert 12 not in got
+    assert got[5] == "NEW_5" and got[13] == "UP_13" and got[25] == "NEW_25"
+    assert len(got) == 25  # 25 rows - DV'd {5, 12} + inserts {NEW_5, NEW_25}
+    # CDC classification: masked key 5 is an INSERT, not an update
+    changes = delta_changes_from_cdc(spark, d, v - 1, v)
+    by_type: dict[str, set[int]] = {}
+    for r in changes.collect():
+        by_type.setdefault(r["_change_type"], set()).add(r["n_nationkey"])
+    assert by_type["insert"] == {5, 25}
+    assert by_type["update_preimage"] == {13}
+    assert by_type["update_postimage"] == {13}
+    # the untouched file (key 5's) keeps its DV; the rewrite carries none
+    post = read_delta_log(d)
+    dv_rels = {
+        rel for rel, a in post["files"].items() if a.get("deletionVector")
+    }
+    assert dv_rels == {by_key[5][0]}
+
+
+def test_partitioned_merge_job_count_flat(spark, tmp_path):
+    """The partitioned MERGE commit runs O(1) Spark jobs regardless of
+    how many partition tuples it touches (VERDICT r8 #2): survivors +
+    source write in ONE partitionBy job and cdc rows in ONE more — never
+    a job per touched tuple. Pinned by comparing total job counts of a
+    1-tuple and a 3-tuple merge: they must be EQUAL."""
+    from pyspark.sql import functions as F
+
+    def run_merge(tag: str, regions: list[int]) -> int:
+        d = str(tmp_path / f"jobcount_{tag}")
+        n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+        w = DeltaTableWriter(spark, d)
+        for i, rk in enumerate(range(5)):
+            w.commit(
+                add_dfs=[n.filter(F.col("n_regionkey") == rk)],
+                partition_cols=["n_regionkey"] if i == 0 else None,
+            )
+        src = spark.createDataFrame(
+            [(rk, f"UP_{rk}", rk) for rk in regions],
+            "n_nationkey int, n_name string, n_regionkey int",
+        )
+        sc = spark.sparkContext
+        sc.setJobGroup(f"merge-jobs-{tag}", "pin")
+        try:
+            w.merge_upsert(src, ["n_nationkey", "n_regionkey"])
+        finally:
+            sc.setJobGroup("idle", "")
+        return len(
+            sc.statusTracker().getJobIdsForGroup(f"merge-jobs-{tag}")
+        )
+
+    one = run_merge("one", [0])
+    three = run_merge("three", [0, 2, 4])
+    assert three == one, (
+        f"job count grew with touched tuples: {one} -> {three}"
+    )
+
+
+def test_merge_upsert_partitioned_over_deletion_vectors(spark, tmp_path):
+    """The partitioned MERGE path applies DVs per candidate-tuple scan:
+    a masked row inside a candidate partition neither matches nor
+    resurrects."""
+    from pyspark.sql import functions as F
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "merge_dv_part")
+    w = DeltaTableWriter(spark, d)
+    for i, rk in enumerate(range(5)):
+        w.commit(
+            add_dfs=[n.filter(F.col("n_regionkey") == rk)],
+            partition_cols=["n_regionkey"] if i == 0 else None,
+        )
+    state = read_delta_log(d)
+    # nationkey 5 lives in region 0; mask it via a DV on its file
+    region0 = [
+        rel
+        for rel, a in state["files"].items()
+        if a["partitionValues"].get("n_regionkey") == "0"
+    ]
+    assert len(region0) == 1
+    pos5 = (
+        spark.read.parquet(os.path.join(d, region0[0]))
+        .withColumn("_pos", F.col("_metadata.row_index"))
+        .filter("n_nationkey = 5")
+        .collect()[0]["_pos"]
+    )
+    w.delete_rows(region0[0], [pos5])
+    src = spark.createDataFrame(
+        [(5, "NEW_5", 0), (14, "UP_14", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    w.merge_upsert(src, ["n_nationkey", "n_regionkey"])
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in scan_delta_table(spark, d).collect()
+    }
+    assert got[5] == "NEW_5" and got[14] == "UP_14"
+    assert len(got) == 25  # old 5 replaced, nothing resurrected or lost
