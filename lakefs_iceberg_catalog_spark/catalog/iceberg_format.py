@@ -2456,7 +2456,11 @@ def _orc_scan_with_ordinals(spark: SparkSession, paths: list[str]) -> DataFrame:
     file opens it with pyarrow.orc (sequential read = file order) and
     emits the rows plus their running ordinal. Parallelism is per-file
     (a repartitioned path list), the same granularity stock readers use
-    for delete application; batch shape is pyarrow's stripe batching."""
+    for delete application. Each task iterates the file STRIPE BY STRIPE
+    (ADVICE r8 #1): one pandas frame per stripe with a running ordinal
+    offset, so peak task memory is one stripe — typically 64 MB — never
+    the whole data file (a multi-GB ORC file under merge-on-read must
+    not materialize per task)."""
     from pyspark.sql import types as T
 
     base_schema = spark.read.orc(list(paths)).schema  # footer-only
@@ -2475,11 +2479,16 @@ def _orc_scan_with_ordinals(spark: SparkSession, paths: list[str]) -> DataFrame:
 
         for pdf in batches:
             for p in pdf["path"]:
-                x = _po.ORCFile(p).read().to_pandas()
-                x = x[cols] if cols else x
-                x["_file"] = _re.sub(r"^file:/+", "/", p)
-                x["_pos"] = range(len(x))
-                yield x
+                f = _po.ORCFile(p)
+                rel = _re.sub(r"^file:/+", "/", p)
+                offset = 0
+                for i in range(f.nstripes):
+                    x = f.read_stripe(i, columns=cols or None).to_pandas()
+                    x = x[cols] if cols else x
+                    x["_file"] = rel
+                    x["_pos"] = range(offset, offset + len(x))
+                    offset += len(x)
+                    yield x
 
     paths_df = local_df(spark, 
         [(p,) for p in sorted(paths)], "path string"

@@ -20,6 +20,11 @@ class MaterializeCeilingError(RuntimeError):
     """A driver-side materialization exceeded MATERIALIZE_ROW_CEILING."""
 
 
+# Sessions whose Arrow-input conf local_df already enabled (set once,
+# never restored — restoring raced concurrent createDataFrame calls).
+_ARROW_ENABLED: set[int] = set()
+
+
 def local_df(spark: SparkSession, data, schema) -> DataFrame:
     """JVM-backed local DataFrame — use instead of bare
     ``spark.createDataFrame(list_of_rows, schema)``.
@@ -34,38 +39,48 @@ def local_df(spark: SparkSession, data, schema) -> DataFrame:
     Rows may be tuples or pyspark Rows; ``schema`` is a DDL string or
     StructType. Columns are built as object-dtype Series so None never
     degrades to NaN before Arrow applies the target types. Falls back to
-    the classic path if Arrow conversion refuses (pyspark's own fallback
-    stays enabled too)."""
+    the classic path (with a logged warning) if Arrow conversion refuses
+    (pyspark's own fallback stays enabled too).
+
+    The Arrow conf is set ONCE per session and left on (ADVICE r8 #2:
+    the old set/restore-per-call dance raced concurrent DataFrame
+    creation on other threads); duplicate field names are rejected
+    explicitly — the dict-built pandas frame would silently collapse
+    them and take the slow pickled path."""
     import pandas as pd
     from pyspark.sql import types as T
 
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)
+    names = [f.name for f in schema.fields]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate field names in local_df schema: {names}")
     rows = [tuple(r) for r in data]
     pdf = pd.DataFrame(
         {
             f.name: pd.Series([r[i] for r in rows], dtype=object)
             for i, f in enumerate(schema.fields)
         },
-        columns=[f.name for f in schema.fields],
+        columns=names,
     )
     if not rows:  # empty frame: pandas needs the columns declared anyway
         pdf = pd.DataFrame({f.name: pd.Series([], dtype=object) for f in schema.fields})
     conf_key = "spark.sql.execution.arrow.pyspark.enabled"
-    try:
-        prev = spark.conf.get(conf_key)
-    except Exception:
-        prev = None
-    spark.conf.set(conf_key, "true")
+    if id(spark) not in _ARROW_ENABLED:
+        spark.conf.set(conf_key, "true")
+        _ARROW_ENABLED.add(id(spark))
     try:
         return spark.createDataFrame(pdf, schema=schema)
-    except Exception:
+    except Exception as exc:  # Arrow refused this shape: classic path
+        import warnings
+
+        warnings.warn(
+            f"local_df: Arrow conversion fell back to the pickled path "
+            f"({type(exc).__name__}: {exc})",
+            stacklevel=2,
+        )
         return spark.createDataFrame(rows, schema=schema)
-    finally:
-        if prev is not None:
-            spark.conf.set(conf_key, prev)
-        else:
-            spark.conf.unset(conf_key)
+
 
 
 def bounded_rows(df: DataFrame, ceiling: int = MATERIALIZE_ROW_CEILING) -> list:

@@ -848,6 +848,38 @@ def test_add_column_partitioned(spark, tmp_path):
     )
 
 
+def test_generated_columns_compose_with_column_mapping(spark, tmp_path):
+    """Generated columns + column mapping compose (VERDICT r8 #9 — the
+    last Delta composition hole): generation expressions evaluate on
+    LOGICAL names before the physical alias, the generated field gets a
+    mapping id + physical name, partitionValues stay physical-keyed,
+    hidden_filter prunes, and renaming a column a generation expression
+    references is blocked (the expression text would dangle)."""
+    from pyspark.sql import functions as F
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "gencm")
+    w = DeltaTableWriter(spark, d, column_mapping=True)
+    for i, rk in enumerate(range(5)):
+        w.commit(
+            add_dfs=[n.filter(F.col("n_regionkey") == rk)],
+            partition_cols=["r2"] if i == 0 else None,
+            generated={"r2": "n_regionkey * 2"} if i == 0 else None,
+        )
+    st = read_delta_log(d)
+    pv = next(iter(st["files"].values()))["partitionValues"]
+    assert all(k.startswith("col-") for k in pv)  # physical-keyed
+    full = scan_delta_table(spark, d)
+    assert full.columns == ["n_nationkey", "n_name", "n_regionkey", "r2"]
+    assert full.count() == 25
+    pruned = scan_delta_table(spark, d, hidden_filter={"n_regionkey": 2})
+    assert pruned.count() == 5 and len(pruned.inputFiles()) == 1
+    w.rename_column("n_name", "nation_name")  # unreferenced: fine
+    assert "nation_name" in scan_delta_table(spark, d).columns
+    with pytest.raises(ValueError, match="references it"):
+        w.rename_column("n_regionkey", "rk")
+
+
 def test_generated_partition_columns_write_scan_prune(spark, tmp_path):
     """Generated partition columns (protocol 'Generated Columns'): the
     generation expression lives in field metadata, the writer computes
@@ -907,11 +939,8 @@ def test_generated_partition_columns_write_scan_prune(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="feed no generation expression"):
         scan_delta_table(spark, d, hidden_filter={"value": 1.0})
-    # generated + column mapping is out of scope, loudly
-    with _pytest.raises(NotImplementedError):
-        DeltaTableWriter(spark, str(tmp_path / "gcm"), column_mapping=True).commit(
-            add_dfs=[sub], partition_cols=["p"], generated={"p": "CAST(ts AS DATE)"}
-        )
+    # generated + column mapping COMPOSE as of round 9 — covered by
+    # test_generated_columns_compose_with_column_mapping
 
 
 def test_stats_skipping_and_checkpoint_carry(spark, tmp_path):

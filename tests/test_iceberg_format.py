@@ -550,6 +550,31 @@ def test_refs_tag_branch_resolution_and_guards(spark, tmp_path):
         scan_iceberg_table(spark, d, ref="v1.0", snapshot_id=s1)
 
 
+def test_orc_ordinal_reader_iterates_stripes(spark, tmp_path):
+    """The ORC ordinal reader must stream STRIPE-sized frames with a
+    running offset (ADVICE r8 #1 — whole-file materialization risks
+    executor OOM on multi-GB MoR files): over a many-stripe file the
+    stamped _pos is the global file ordinal, continuous across stripe
+    boundaries."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        _orc_scan_with_ordinals,
+    )
+
+    p = str(tmp_path / "stripes.orc")
+    n = 50_000
+    po.write_table(
+        pa.table({"k": list(range(n))}), p, stripe_size=64 * 1024
+    )
+    assert po.ORCFile(p).nstripes > 1  # the premise: many stripes
+    got = _orc_scan_with_ordinals(spark, [p])
+    rows = got.select("k", "_pos").collect()
+    assert len(rows) == n
+    assert all(r["k"] == r["_pos"] for r in rows)  # global, gapless
+
+
 def test_orc_data_files_mixed_format_scan_and_mor_deletes(spark, tmp_path):
     """file_format is a per-data-file property: a table may mix ORC and
     parquet files and the scan dispatches per manifest entry; MoR
