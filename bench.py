@@ -204,6 +204,8 @@ EXTRA = [
     "source_iceberg_partitioned_mor",
     "source_delta_column_mapping_id",
     "sink_iceberg_add_files_transform",
+    "dml_iceberg_merge_mor",
+    "stream_sink_iceberg",
 ]
 
 

@@ -774,6 +774,14 @@ class IcebergTableWriter:
         snapshot_id: int,
         files: list[tuple[str, int, dict, int, list | None]],
     ) -> int:
+        self._append_delete_manifest(snapshot_id, files)
+        return self._commit_snapshot(snapshot_id, "delete")
+
+    def _append_delete_manifest(
+        self,
+        snapshot_id: int,
+        files: list[tuple[str, int, dict, int, list | None]],
+    ) -> None:
         """ONE content=1 delete manifest holding every delete file of
         this snapshot — each entry carries its TYPED partition struct
         (same spec fields as data manifests; the spec's content=1/2
@@ -838,7 +846,6 @@ class IcebergTableWriter:
                 else None,
             }
         )
-        return self._commit_snapshot(snapshot_id, "delete")
 
     def delete_positions(self, deletes: list[tuple[str, int]]) -> int:
         """Commit one merge-on-read DELETE snapshot carrying POSITION
@@ -940,11 +947,23 @@ class IcebergTableWriter:
         group into one partition-scoped delete file per tuple. A global
         equality delete on a partitioned table would need an
         unpartitioned spec reference — refused loudly."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         if self._schema_json is None:
             raise ValueError("delete_keys before any append")
+        self._version += 1
+        self._sequence += 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        files = self._eq_delete_files(key_cols, keys)
+        return self._commit_delete_manifest(snapshot_id, files)
+
+    def _eq_delete_files(
+        self, key_cols: list[str], keys: list[tuple]
+    ) -> list[tuple[str, int, dict, int, list | None]]:
+        """Write this snapshot's equality-delete parquet file(s) — one per
+        partition tuple on identity-partitioned tables — and return their
+        manifest-entry info (path, rows, partition, content, eq ids).
+        Callers bump version/sequence first (file names embed them)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
         by_name = {f["name"]: f for f in self._schema_json["fields"]}
         missing = [c for c in key_cols if c not in by_name]
         if missing:
@@ -982,10 +1001,6 @@ class IcebergTableWriter:
             ]
         else:
             groups = [({}, list(keys))]
-        self._version += 1
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
-
         _PA = {
             "int": pa.int32(),
             "long": pa.int64(),
@@ -1015,7 +1030,109 @@ class IcebergTableWriter:
             files.append(
                 (del_path, len(ks), pvals, CONTENT_EQUALITY_DELETES, eq_ids)
             )
-        return self._commit_delete_manifest(snapshot_id, files)
+        return files
+
+    def merge_upsert_mor(
+        self, source_df: DataFrame, key_cols: list[str]
+    ) -> int:
+        """MERGE as Iceberg's streaming/CDC UPSERT writers (Flink,
+        equality-delete mode) emit it — MERGE-ON-READ in ONE snapshot:
+        an EQUALITY delete file for every source key (killing old
+        versions in data files with strictly older sequence numbers)
+        plus the source rows as a new data file, both manifests under
+        the same ``overwrite`` snapshot. Zero existing data is read or
+        rewritten — the dual of ``merge_upsert_cow``; scans merge the
+        deletes per the spec's sequence-number scoping (the new data
+        file shares the delete's sequence number, so it is untouched by
+        it: ``data_seq < delete_seq`` is strict).
+
+        Scale: commit cost is source-proportional (one delete file + one
+        data file + two manifest writes); the read-side anti-join is
+        deleted-key-proportional and broadcast. Identity-partitioned
+        tables would need per-tuple data files — use merge_upsert_cow
+        there (refused loudly)."""
+        from ..operators.util import bounded_rows
+        from .parquet_io import write_single_parquet
+
+        if self._schema_json is None:
+            raise ValueError("merge_upsert_mor before any append")
+        if self._partition_fields:
+            raise NotImplementedError(
+                "merge_upsert_mor on a partitioned table — per-tuple "
+                "data files not modeled; use merge_upsert_cow"
+            )
+        want = [f["name"] for f in self._schema_json["fields"]]
+        missing = [c for c in want if c not in source_df.columns]
+        if missing:
+            raise ValueError(f"merge source lacks table columns: {missing}")
+        self._version += 1
+        self._sequence += 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        keys = [
+            tuple(r) for r in bounded_rows(source_df.select(*key_cols), 100_000)
+        ]
+        del_files = self._eq_delete_files(key_cols, keys)
+        self._append_delete_manifest(snapshot_id, del_files)
+        data_path = os.path.join(
+            self.data_dir,
+            f"00000-{self._version}-{self._uuid}-0-00001.parquet",
+        )
+        n_rows = write_single_parquet(source_df.select(*want), data_path)
+        manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m1.avro")
+        self._avro.write(
+            manifest_path,
+            _manifest_entry_schema(self._partition_fields),
+            [
+                {
+                    "status": STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": CONTENT_DATA,
+                        "file_path": data_path,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(data_path),
+                        "equality_ids": None,
+                        **dict(
+                            zip(
+                                ("lower_bounds", "upper_bounds"),
+                                self._file_bounds(data_path, "parquet"),
+                            )
+                        ),
+                    },
+                }
+            ],
+            meta={
+                "schema": json.dumps(self._schema_json),
+                "partition-spec": self._spec_json,
+                "partition-spec-id": str(self._spec_id),
+                "format-version": "2",
+                "content": "data",
+            },
+            codec="deflate",
+        )
+        self._manifests.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": self._spec_id,
+                "content": 0,
+                "sequence_number": self._sequence,
+                "min_sequence_number": self._sequence,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+        )
+        return self._commit_snapshot(snapshot_id, "overwrite")
 
     def _commit_snapshot(self, snapshot_id: int, operation: str) -> int:
         # -- manifest list: every live manifest, newest first --------------
@@ -2523,7 +2640,10 @@ def scan_iceberg_table(
     identity-partition values each manifest entry carries (the exact
     metadata Iceberg's own planner prunes by) — zero IO on non-matching
     partitions; this is what the manifest partition struct exists for at
-    100 TB. Filter columns must belong to the table's partition spec.
+    100 TB. Filter columns must be identity fields of SOME spec; on a
+    spec-evolved table each file prunes under its OWN spec, and files
+    written before the field existed are read with the exact row
+    residual applied (transform fields filter via hidden_filter).
 
     ``stats_filter`` ({column: (lo, hi)}, either end None for unbounded,
     both ends inclusive) is Iceberg's min/max FILE SKIPPING: a data file
@@ -2595,14 +2715,18 @@ def scan_iceberg_table(
             )
         hidden_residuals = list(hidden_filter.items())
     if partition_filter:
-        spec = next(
-            s for s in all_specs if s.get("spec-id") == default_spec_id
-        )
-        spec_cols = {f["name"] for f in spec.get("fields", [])}
-        unknown = set(partition_filter) - spec_cols
+        known = {
+            f["name"]
+            for s in all_specs
+            for f in s.get("fields", [])
+            if f.get("transform") == "identity"
+        }
+        unknown = set(partition_filter) - known
         if unknown:
             raise ValueError(
-                f"partition_filter on non-partition columns: {sorted(unknown)}"
+                f"partition_filter on non-partition columns: "
+                f"{sorted(unknown)} (identity fields only — transform "
+                "fields filter by SOURCE column via hidden_filter)"
             )
     # the walker prunes whole MANIFESTS by the manifest list's partition
     # summaries (advisory, per each manifest's own spec); the exact
@@ -2615,25 +2739,37 @@ def scan_iceberg_table(
     )
     if not data and not walker_filter:
         raise ValueError(f"snapshot has no data files under {table_dir}")
+    pf_residuals: list[tuple[str, object]] = []
     if partition_filter:
-        # the exact field-name filter is only sound when every file shares
-        # the DEFAULT spec — on a spec-evolved table use hidden_filter,
-        # which prunes each file by its own spec
-        mixed = {f.get("_spec_id", 0) for f in data} - {default_spec_id}
-        if mixed:
-            raise NotImplementedError(
-                f"partition_filter over a spec-evolved table (files under "
-                f"specs {sorted(mixed)} besides the default) — use "
-                "hidden_filter"
-            )
-        data = [
-            f
-            for f in data
-            if all(
-                (f.get("partition") or {}).get(c) == v
-                for c, v in partition_filter.items()
-            )
-        ]
+        # each file prunes under its OWN spec (round 9: the spec-evolved
+        # refusal lifted): a file whose spec carries the identity field
+        # compares partition values exactly; a file written BEFORE the
+        # field was added must be read — its identity source column still
+        # lives in the data, so the matching row residual keeps the
+        # result exact (the same superset-plus-residual contract as
+        # stats_filter)
+        spec_idents = {
+            s.get("spec-id", 0): {
+                f["name"]
+                for f in s.get("fields", [])
+                if f.get("transform") == "identity"
+            }
+            for s in all_specs
+        }
+        kept = []
+        for f in data:
+            names = spec_idents.get(f.get("_spec_id", 0), set())
+            ok = True
+            for c, v in partition_filter.items():
+                if c in names:
+                    if (f.get("partition") or {}).get(c) != v:
+                        ok = False
+                        break
+                else:
+                    pf_residuals = list(partition_filter.items())
+            if ok:
+                kept.append(f)
+        data = kept
         if not data:
             raise ValueError("no data files match the partition filter")
     if spec_derived:
@@ -2689,14 +2825,17 @@ def scan_iceberg_table(
     pynorm = lambda p: re.sub(r"^file:/+", "/", p)  # noqa: E731
 
     def _residual(d: DataFrame) -> DataFrame:
-        """Row-level predicates matching stats_filter / hidden_filter —
-        file skipping is a superset guarantee, residuals make it exact."""
+        """Row-level predicates matching stats_filter / hidden_filter /
+        partition_filter-over-old-spec-files — file skipping is a
+        superset guarantee, residuals make it exact."""
         for c, (lo, hi) in (stats_filter or {}).items():
             if lo is not None:
                 d = d.filter(F.col(c) >= F.lit(lo))
             if hi is not None:
                 d = d.filter(F.col(c) <= F.lit(hi))
         for c, v in hidden_residuals:
+            d = d.filter(F.col(c) == F.lit(v))
+        for c, v in pf_residuals:
             d = d.filter(F.col(c) == F.lit(v))
         return d
 

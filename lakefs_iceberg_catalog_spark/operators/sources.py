@@ -824,6 +824,62 @@ def dml_iceberg_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_iceberg_merge_mor",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey IN (3, 13)
+            THEN 'UPDATED_' || CAST(n_nationkey AS VARCHAR)
+            ELSE n_name END AS n_name
+FROM nation
+UNION ALL
+SELECT CAST(25 AS INTEGER), 'NEW_25'
+""",
+)
+def dml_iceberg_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ upsert on the real Iceberg layout — the shape
+    Iceberg's streaming/CDC writers (Flink equality-delete mode) emit,
+    and the dual of dml_iceberg_merge_cow: ONE ``overwrite`` snapshot
+    carries an EQUALITY delete file for the source keys plus the source
+    rows as a new data file; ZERO existing files are read or rewritten
+    (asserted: every pre-merge data file is still live). The delete
+    kills old key versions only in STRICTLY older sequence numbers, so
+    the new file's own rows survive — the spec's sequence scoping is
+    what makes the one-snapshot upsert sound.
+
+    Scale: commit cost is source-proportional; a 10-row upsert into a
+    100 TB table writes one tiny delete file + one data file and touches
+    no data — the write-amplification-free path CoW can't offer."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        read_table_metadata,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
+    tmp = tempfile.mkdtemp(prefix="iceberg-mergemor-")
+    w = IcebergTableWriter(spark, tmp)
+    for lo in (0, 10, 20):
+        w.append(n.filter(F.col("n_nationkey").between(lo, lo + 9)))
+    pre_data, pre_del = iceberg_snapshot_files(tmp)
+    assert pre_del == []
+    source = local_df(spark,
+        [(3, "UPDATED_3"), (13, "UPDATED_13"), (25, "NEW_25")],
+        "n_nationkey int, n_name string",
+    )
+    w.merge_upsert_mor(source, ["n_nationkey"])
+    post_data, post_del = iceberg_snapshot_files(tmp)
+    pre_paths = {f["file_path"] for f in pre_data}
+    assert pre_paths <= {f["file_path"] for f in post_data}  # zero rewrites
+    assert len(post_del) == 1 and post_del[0]["content"] == 2
+    assert post_del[0]["equality_ids"] == [1]  # n_nationkey's field id
+    meta = read_table_metadata(tmp)
+    assert len(meta["snapshots"]) == 4  # 3 appends + ONE merge snapshot
+    back = scan_iceberg_table(spark, tmp).select("n_nationkey", "n_name")
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "dml_iceberg_delete_cow",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -1270,7 +1326,9 @@ def source_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     globally unique partition field ids). hidden_filter then prunes EACH
     FILE BY ITS OWN SPEC: old-spec files are kept and row-filtered, only
     the matching new-spec range file opens (input-file count asserted);
-    partition_filter refuses mixed-spec tables loudly.
+    partition_filter prunes per-file under each file's OWN spec too
+    (old-spec identity values compare exactly, field-less files are kept
+    and row-filtered).
 
     Scale: spec evolution is THE mechanism for repartitioning a 100 TB
     table without rewriting it — per-file spec dispatch costs nothing in

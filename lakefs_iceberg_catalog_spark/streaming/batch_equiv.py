@@ -835,6 +835,74 @@ def stream_source_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sink_iceberg",
+    oracle="""
+SELECT user_id, count(*) AS n_clicks, round(sum(value), 2) AS total_value
+FROM events WHERE event_type = 'click'
+GROUP BY user_id
+""",
+)
+def stream_sink_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sink INTO a real Iceberg v2 layout with exactly-once
+    epochs — the symmetric key to stream_sink_delta: readStream over
+    staged epochs (3 real micro-batches) → foreachBatch committing each
+    batch through IcebergTableWriter with ``epoch=(appId, batch_id)``,
+    recorded in the snapshot SUMMARY the way Iceberg's own Spark/Flink
+    sinks gate duplicate deliveries. Inside the sink every epoch is
+    immediately REDELIVERED and must be a no-op (asserted): a
+    double-applied batch would break the hash match against the
+    raw-events oracle.
+
+    Scale: per-epoch cost is one data file + one manifest + one
+    metadata.json; idempotence is a snapshot-summary lookup — metadata,
+    never a data comparison."""
+    import shutil
+    import tempfile
+
+    from ..catalog.iceberg_format import IcebergTableWriter, scan_iceberg_table
+
+    e = table(spark, sf_dir, "events")
+    staged = tempfile.mkdtemp(prefix="iceberg-epochs-")
+    root = tempfile.mkdtemp(prefix="iceberg-streamsink-")
+    try:
+        e.repartition(3).write.mode("overwrite").parquet(staged)
+        w = IcebergTableWriter(spark, root)
+        s = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(staged)
+        )
+        out = s.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value"
+        )
+
+        def sink(batch_df, batch_id):
+            sid = w.append(batch_df, epoch=("clicks-app", batch_id))
+            # crash-replay of the same epoch: must be a no-op
+            if w.append(batch_df, epoch=("clicks-app", batch_id)) != sid:
+                raise RuntimeError(f"epoch {batch_id} replay was re-applied")
+
+        q = out.writeStream.foreachBatch(sink).outputMode("append").start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        res = scan_iceberg_table(spark, root)
+        out_df = res.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        from ..operators.util import bounded_rows
+
+        rows, schema = bounded_rows(out_df), out_df.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
+    return local_df(spark, rows, schema)
+
+
+@register(
     "stream_sink_delta",
     oracle="""
 SELECT user_id, count(*) AS n_clicks, round(sum(value), 2) AS total_value

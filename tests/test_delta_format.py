@@ -520,9 +520,12 @@ def test_cm_partitioned_composes(spark, tmp_path):
     assert got[6] == ("UP_6", 1) and got[40] == ("NEW_40", 2)
 
 
-def test_cm_id_mode_read_refused(spark, delta_cm):
-    """Foreign tables in mode=id (parquet field-id resolution) refuse
-    loudly rather than returning physical names."""
+def test_cm_id_mode_missing_footer_ids_fails_loudly(spark, delta_cm):
+    """mode=id reads resolve STRICTLY by parquet field id (round 9): a
+    table whose log claims mode=id but whose data files carry NO footer
+    field ids must fail loudly at read — never silently fall back to
+    physical-name resolution (Spark's field-id reader errors on missing
+    ids; that loud failure is the contract)."""
     d, _w = delta_cm
     log = os.path.join(d, "_delta_log", f"{0:020d}.json")
     lines = open(log).read().splitlines()
@@ -533,8 +536,8 @@ def test_cm_id_mode_read_refused(spark, delta_cm):
             a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
         out.append(json.dumps(a))
     open(log, "w").write("\n".join(out))
-    with pytest.raises(NotImplementedError, match="'id'"):
-        scan_delta_table(spark, d)
+    with pytest.raises(Exception, match="FAILED_READ_FILE|field"):
+        scan_delta_table(spark, d).collect()
 
 
 # --- vacuum -------------------------------------------------------------------

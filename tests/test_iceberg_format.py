@@ -1131,12 +1131,15 @@ def test_partition_spec_evolution_per_file_pruning(spark, tmp_path):
     assert len(h2.inputFiles()) == 4  # 1 of 2 old files + all 3 new files
     import pytest as _pytest
 
-    # old-spec column: rejected by default-spec validation
-    with _pytest.raises(ValueError, match="non-partition columns"):
-        scan_iceberg_table(spark, d, partition_filter={"n_regionkey": 1})
-    # default-spec field over mixed-spec files: the exact-field filter
-    # cannot be applied to old files — loud refusal, use hidden_filter
-    with _pytest.raises(NotImplementedError, match="spec-evolved"):
+    # partition_filter over the spec-evolved table (round-9 lift): each
+    # file prunes under its OWN spec — old-spec files compare values,
+    # new-spec files lacking the field are kept and row-filtered exactly
+    pf = scan_iceberg_table(spark, d, partition_filter={"n_regionkey": 1})
+    assert {r["n_regionkey"] for r in pf.collect()} == {1}
+    assert len(pf.inputFiles()) == 4  # 1 of 2 old files + all 3 new
+    # transform fields are not identity values: partition_filter rejects
+    # them and points at hidden_filter (the source-column contract)
+    with _pytest.raises(ValueError, match="identity fields only"):
         scan_iceberg_table(
             spark, d, partition_filter={"n_nationkey_trunc": 10}
         )
