@@ -206,6 +206,8 @@ EXTRA = [
     "sink_iceberg_add_files_transform",
     "dml_iceberg_merge_mor",
     "stream_sink_iceberg",
+    "dml_delta_delete_dv",
+    "dml_delta_update_dv",
 ]
 
 

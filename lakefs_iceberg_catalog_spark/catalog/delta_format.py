@@ -46,6 +46,17 @@ from ..operators.util import local_df
 
 _LOG_DIR = "_delta_log"
 
+# protocol upgrade every DV-writing commit carries (PROTOCOL.md
+# "Deletion Vectors": reader 3 / writer 7 + the named table features)
+_DV_PROTOCOL_ACTION = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+}
+
 
 def _commit_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _LOG_DIR, f"{version:020d}.json")
@@ -474,11 +485,33 @@ class DeltaTableWriter:
         Requires minReaderVersion 3 / minWriterVersion 7 +
         deletionVectors in reader/writerFeatures per the protocol; the
         first DV commit upgrades the protocol action accordingly."""
+        state = read_delta_log(self.table_dir)
+        now_ms = int(time.time() * 1000)
+        actions = [_DV_PROTOCOL_ACTION]
+        actions += self._dv_readd_actions(
+            state, rel_path, positions, now_ms, inline=inline
+        )
+        actions.append(
+            {"commitInfo": {"timestamp": now_ms, "operation": "DELETE"}}
+        )
+        return self._write_commit(actions)
+
+    def _dv_readd_actions(
+        self,
+        state: dict,
+        rel_path: str,
+        positions: list[int],
+        now_ms: int,
+        inline: bool = False,
+    ) -> list[dict]:
+        """remove + re-add actions marking ``positions`` of one live data
+        file dead via a (merged) deletion vector — the protocol models a
+        DV update as remove + add of the same path. An existing DV on the
+        file merges: positions union, never resurrect."""
         import uuid as _uuid
 
         from . import roaring
 
-        state = read_delta_log(self.table_dir)
         add = state["files"].get(rel_path)
         if add is None:
             raise ValueError(f"{rel_path} is not a live file at head")
@@ -510,20 +543,11 @@ class DeltaTableWriter:
                 "sizeInBytes": len(payload),
                 "cardinality": len(merged),
             }
-        now_ms = int(time.time() * 1000)
         new_add = dict(add)
         new_add.update(
             {"deletionVector": dv, "dataChange": True, "modificationTime": now_ms}
         )
-        actions = [
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
-                }
-            },
+        return [
             {
                 "remove": {
                     "path": rel_path,
@@ -532,7 +556,187 @@ class DeltaTableWriter:
                 }
             },
             {"add": new_add},
-            {"commitInfo": {"timestamp": now_ms, "operation": "DELETE"}},
+        ]
+
+    def _live_with_lineage(self, state: dict) -> DataFrame:
+        """Live rows (DV-applied) with per-row lineage (``_file``,
+        ``_pos``) — the (file, ordinal) addressing space DV writers mark
+        rows dead in. Lineage materializes BEFORE the DV anti-join (the
+        join breaks ``_metadata`` resolution); under column mapping the
+        physical file columns project back to logical with the lineage
+        kept."""
+        from pyspark.sql import types as T
+
+        renames = _physical_renames(state.get("metadata"))
+        schema = T.StructType.fromJson(json.loads(state["schema_json"]))
+        read_schema = T.StructType(
+            [
+                T.StructField(renames.get(f.name, f.name), f.dataType, True)
+                for f in schema.fields
+            ]
+        )
+        df = self.spark.read.schema(read_schema).parquet(
+            *[os.path.join(self.table_dir, rel) for rel in state["files"]]
+        ).withColumns(
+            {
+                "_file": F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ),
+                "_pos": F.col("_metadata.row_index"),
+            }
+        )
+        dv_adds = {
+            rel: a
+            for rel, a in state["files"].items()
+            if a.get("deletionVector") is not None
+        }
+        if dv_adds:
+            df = _apply_deletion_vectors(self.spark, df, self.table_dir, dv_adds)
+        if renames:
+            df = df.select(
+                *[F.col(p).alias(lg) for lg, p in renames.items()],
+                "_file",
+                "_pos",
+            )
+        return df
+
+    def _dv_mark_matching(
+        self, state: dict, matched: DataFrame, now_ms: int
+    ) -> list[dict]:
+        """remove/re-add actions folding the matched rows' ordinals into
+        their files' deletion vectors — deleted-row-proportional driver
+        metadata, grouped per touched file."""
+        from ..operators.util import bounded_rows
+
+        hits = bounded_rows(matched.select("_file", "_pos"), 100_000)
+        abs_to_rel = {
+            os.path.join(self.table_dir, rel): rel for rel in state["files"]
+        }
+        by_file: dict[str, list[int]] = {}
+        for r in hits:
+            by_file.setdefault(abs_to_rel[r["_file"]], []).append(int(r["_pos"]))
+        actions: list[dict] = []
+        for rel in sorted(by_file):
+            actions += self._dv_readd_actions(state, rel, by_file[rel], now_ms)
+        return actions
+
+    def _cdc_action(self, cdc_df: DataFrame) -> dict:
+        """Write one unpartitioned change-data file and return its
+        protocol ``cdc`` action (physical column names under mapping;
+        ``_change_type`` stays literal — protocol-reserved)."""
+        from .parquet_io import write_single_parquet
+
+        phys = _physical_names_map(self._meta) if self._column_mapping else {}
+        if phys:
+            cdc_df = cdc_df.select(
+                *[F.col(c).alias(phys.get(c, c)) for c in cdc_df.columns]
+            )
+        os.makedirs(os.path.join(self.table_dir, "_change_data"), exist_ok=True)
+        rel = f"_change_data/cdc-{uuid.uuid4()}.snappy.parquet"
+        path = os.path.join(self.table_dir, rel)
+        write_single_parquet(cdc_df, path)
+        return {
+            "cdc": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(path),
+                "dataChange": False,
+            }
+        }
+
+    def delete_where_dv(self, condition: str) -> int:
+        """Merge-on-read DELETE WHERE via DELETION VECTORS — what stock
+        Delta plans for DELETE on DV-enabled tables: the matching LIVE
+        rows' ordinals fold into each touched file's DV (remove + re-add
+        of the same path, zero data rewritten); cdc ``delete`` rows ride
+        the same commit for CDF readers. A no-match delete is a no-op
+        (no commit). Partitioned tables refuse (per-tuple cdc files not
+        modeled on this path).
+
+        Scale: probe is one pushdown scan; DV payloads and cdc rows are
+        deleted-row-proportional — the write-amplification-free DELETE."""
+        state = read_delta_log(self.table_dir)
+        if state.get("partition_cols"):
+            raise NotImplementedError(
+                "delete_where_dv on a partitioned table not supported"
+            )
+        matched = self._live_with_lineage(state).filter(condition)
+        now_ms = int(time.time() * 1000)
+        dv_actions = self._dv_mark_matching(state, matched, now_ms)
+        if not dv_actions:
+            return self._version  # nothing matched: no-op, no commit
+        cdc = matched.drop("_file", "_pos").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        actions = [_DV_PROTOCOL_ACTION, *dv_actions, self._cdc_action(cdc)]
+        actions.append(
+            {"commitInfo": {"timestamp": now_ms, "operation": "DELETE"}}
+        )
+        return self._write_commit(actions)
+
+    def update_where_dv(
+        self, condition: str, assignments: dict[str, str]
+    ) -> int:
+        """Merge-on-read UPDATE WHERE via DELETION VECTORS — stock
+        Delta's UPDATE on DV-enabled tables: the matched rows' old
+        ordinals fold into their files' DVs and the UPDATED row values
+        append as ONE new data file in the same commit (old files'
+        untouched rows are never rewritten). Paired cdc
+        update_preimage/update_postimage rows ride the commit.
+        ``assignments`` maps column -> SQL expression over the logical
+        names. No-match updates are no-ops. Partitioned tables refuse.
+
+        Scale: cost is matched-rows-proportional (DV payloads + one
+        updated-rows file) — the rewrite-free UPDATE shape."""
+        state = read_delta_log(self.table_dir)
+        if state.get("partition_cols"):
+            raise NotImplementedError(
+                "update_where_dv on a partitioned table not supported"
+            )
+        cols = {f["name"] for f in json.loads(state["schema_json"])["fields"]}
+        unknown = [c for c in assignments if c not in cols]
+        if unknown:
+            raise ValueError(f"assignments on unknown columns: {unknown}")
+        matched = self._live_with_lineage(state).filter(condition)
+        now_ms = int(time.time() * 1000)
+        dv_actions = self._dv_mark_matching(state, matched, now_ms)
+        if not dv_actions:
+            return self._version  # nothing matched: no-op, no commit
+        from .parquet_io import write_single_parquet
+
+        pre = matched.drop("_file", "_pos")
+        updated = pre
+        for c, expr in assignments.items():
+            updated = updated.withColumn(c, F.expr(expr))
+        phys = _physical_names_map(self._meta) if self._column_mapping else {}
+        out = updated
+        if phys:
+            out = out.select(
+                *[F.col(c).alias(phys.get(c, c)) for c in out.columns]
+            )
+        name = f"part-{self._version + 1:05d}-{uuid.uuid4()}.snappy.parquet"
+        path = os.path.join(self.table_dir, name)
+        n_rows = write_single_parquet(out, path)
+        cdc = pre.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            updated.withColumn("_change_type", F.lit("update_postimage"))
+        )
+        actions = [
+            _DV_PROTOCOL_ACTION,
+            *dv_actions,
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {},
+                    "size": os.path.getsize(path),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": _file_stats_json(path, n_rows),
+                }
+            },
+            self._cdc_action(cdc),
+            {"commitInfo": {"timestamp": now_ms, "operation": "UPDATE"}},
         ]
         return self._write_commit(actions)
 

@@ -1056,6 +1056,85 @@ def dml_delta_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_delta_delete_dv",
+    oracle="""
+SELECT n_nationkey, n_name FROM nation WHERE n_nationkey NOT IN (5, 12)
+""",
+)
+def dml_delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE via DELETION VECTORS — stock Delta's merge-on-read
+    DELETE plan on DV-enabled tables: the matching rows' ordinals fold
+    into their files' DVs (remove + re-add of the same paths, ZERO data
+    rewritten — every pre-delete data file is still live, asserted) and
+    protocol cdc ``delete`` rows ride the same commit for CDF readers.
+
+    Scale: one pushdown probe scan; DV payload + cdc bytes are
+    deleted-row-proportional — the write-amplification-free DELETE a
+    100 TB table needs."""
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
+    tmp = tempfile.mkdtemp(prefix="delta-deldv-")
+    w = DeltaTableWriter(spark, tmp)
+    for lo in (0, 10, 20):
+        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    pre = set(read_delta_log(tmp)["files"])
+    w.delete_where_dv("n_nationkey in (5, 12)")
+    post = read_delta_log(tmp)["files"]
+    assert set(post) == pre  # zero rewrites: same live paths, now DV'd
+    assert sum(1 for a in post.values() if a.get("deletionVector")) == 2
+    back = scan_delta_table(spark, tmp).select("n_nationkey", "n_name")
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "dml_delta_update_dv",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey IN (7, 13)
+            THEN 'UP_' || CAST(n_nationkey AS VARCHAR)
+            ELSE n_name END AS n_name
+FROM nation
+""",
+)
+def dml_delta_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE WHERE via DELETION VECTORS — stock Delta's merge-on-read
+    UPDATE on DV-enabled tables: matched rows' OLD ordinals fold into
+    their files' DVs and the UPDATED values append as ONE new data file
+    in the same commit; untouched rows are never rewritten (every
+    pre-update file still live, asserted; exactly one new file). Paired
+    cdc update_preimage/update_postimage rows ride the commit.
+
+    Scale: matched-rows-proportional — the rewrite-free UPDATE dual of
+    dml_delta_delete_dv."""
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
+    tmp = tempfile.mkdtemp(prefix="delta-updv-")
+    w = DeltaTableWriter(spark, tmp)
+    for lo in (0, 10, 20):
+        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    pre = set(read_delta_log(tmp)["files"])
+    w.update_where_dv(
+        "n_nationkey in (7, 13)",
+        {"n_name": "concat('UP_', n_nationkey)"},
+    )
+    post = read_delta_log(tmp)["files"]
+    assert pre <= set(post)  # old files all live (DV'd), none rewritten
+    assert len(post) == len(pre) + 1  # plus ONE updated-rows file
+    back = scan_delta_table(spark, tmp).select("n_nationkey", "n_name")
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "dml_delta_merge_partitioned",
     oracle="""
 SELECT n_nationkey,

@@ -1397,6 +1397,62 @@ def test_merge_upsert_touched_file_granularity(spark, tmp_path):
     assert scan_delta_table(spark, d).count() == 27
 
 
+def test_delete_and_update_where_dv(spark, tmp_path):
+    """Predicate-level MoR DELETE/UPDATE via deletion vectors: matched
+    ordinals fold into the touched files' DVs (zero rewrites), UPDATE
+    appends the new values as ONE file, cdc rows are protocol-complete,
+    repeated deletes MERGE into existing DVs, and no-match calls are
+    no-ops that write no commit."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        delta_changes_from_cdc,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "dvdml")
+    w = DeltaTableWriter(spark, d)
+    for lo in (0, 10, 20):
+        w.commit(
+            add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))]
+        )
+    pre = set(read_delta_log(d)["files"])
+    v1 = w.delete_where_dv("n_nationkey in (5, 12)")
+    assert set(read_delta_log(d)["files"]) == pre  # no rewrites
+    ch = delta_changes_from_cdc(spark, d, v1 - 1, v1)
+    assert {
+        (r["_change_type"], r["n_nationkey"]) for r in ch.collect()
+    } == {("delete", 5), ("delete", 12)}
+    # second DV delete on the SAME file must merge, not resurrect 5
+    v2 = w.delete_where_dv("n_nationkey = 6")
+    keys = {r["n_nationkey"] for r in scan_delta_table(spark, d).collect()}
+    assert keys == set(range(25)) - {5, 6, 12}
+    # UPDATE: old ordinals DV'd, new values in exactly one new file
+    v3 = w.update_where_dv(
+        "n_nationkey in (7, 13)", {"n_name": "concat('UP_', n_nationkey)"}
+    )
+    post = read_delta_log(d)["files"]
+    assert pre <= set(post) and len(post) == len(pre) + 1
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in scan_delta_table(spark, d).collect()
+    }
+    assert got[7] == "UP_7" and got[13] == "UP_13" and len(got) == 22
+    ch3 = delta_changes_from_cdc(spark, d, v3 - 1, v3)
+    by_type: dict[str, set[int]] = {}
+    for r in ch3.collect():
+        by_type.setdefault(r["_change_type"], set()).add(r["n_nationkey"])
+    assert by_type == {
+        "update_preimage": {7, 13},
+        "update_postimage": {7, 13},
+    }
+    # no-match calls: no commit written
+    assert w.delete_where_dv("n_nationkey = 999") == v3
+    assert w.update_where_dv("n_nationkey = 999", {"n_name": "'x'"}) == v3
+    with pytest.raises(ValueError, match="unknown columns"):
+        w.update_where_dv("n_nationkey = 1", {"nope": "'x'"})
+
+
 def test_merge_upsert_over_deletion_vectors(spark, tmp_path):
     """MERGE composes with DVs (VERDICT r8 #1 — stock merge-on-DV
     semantics per PROTOCOL.md): a DV-masked row is NEITHER matched NOR
