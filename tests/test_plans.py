@@ -620,6 +620,22 @@ def test_bigram_lm_windows_stay_per_doc(spark):
     assert "CartesianProduct" not in p
 
 
+def test_similarity_dedup_exchange_is_payload_free(spark):
+    """The candidate-union distinct in the LSH/multiprobe/IVF top-k paths
+    must shuffle ONE double per candidate, never the embedding payloads
+    (VERDICT r8 #8 — cosine computes BEFORE dropDuplicates): the dedup
+    aggregate's carried value is first(cos), and no embedding column
+    survives into it."""
+    for key in (
+        "similarity_ann_lsh",
+        "similarity_ann_lsh_multiprobe",
+        "similarity_ann_ivf",
+    ):
+        p = plan(q(spark, key))
+        assert "first(cos" in p, key
+        assert "first(q_emb" not in p and "first(c_emb" not in p, key
+
+
 def test_knn_graph_self_join_is_hash_join(spark):
     """The kNN-graph bucket SELF-join must hash on (tbl, bucket) — the
     alias-only self-join degenerating to a nested loop is the documented
