@@ -1331,7 +1331,15 @@ class DeltaTableWriter:
         actions: list[dict] = []
         now_ms = int(time.time() * 1000)
         for rel, a in sorted(target["files"].items()):
-            if rel not in cur["files"]:
+            cur_a = cur["files"].get(rel)
+            # re-add when the path is gone OR its row-visibility state
+            # changed: a deletion vector grown since the target version
+            # must flip back to the target's (smaller or absent) vector —
+            # diffing by path alone would silently keep rows deleted that
+            # the restored version had live
+            if cur_a is None or cur_a.get("deletionVector") != a.get(
+                "deletionVector"
+            ):
                 actions.append({"add": {**a, "dataChange": True}})
         for rel in sorted(set(cur["files"]) - set(target["files"])):
             actions.append(
@@ -1755,9 +1763,11 @@ def delta_table_changes(
       (net of the `to` DV — rows already dead never surface);
     - a file present at `from` but not `to`: its then-live rows are
       deletes;
-    - a file in both whose DV GREW: exactly the new positions are deletes
-      (DVs are monotone per file between its add actions — a shrink means
-      a restore this reader does not model, and refuses loudly).
+    - a file in both whose DV GREW: exactly the new positions are deletes;
+      a DV that SHRANK (a RESTORE re-added the path with the target
+      version's smaller or absent vector) re-surfaces exactly the
+      resurrected ordinals as inserts — stock CDF's restored-row
+      semantics.
 
     PARTITIONED tables re-inject each changed file's log-only partition
     values as typed literal columns (same as the scan path); COLUMN-MAPPED
@@ -1892,9 +1902,16 @@ def delta_table_changes(
             )
         else:
             old, new = _positions(a, rel), _positions(b, rel)
-            if old - new:
-                raise NotImplementedError(
-                    f"deletion vector shrank for {rel} — restores not modeled"
+            back = old - new
+            if back:
+                # the DV SHRANK: a RESTORE re-added the path with the
+                # target version's (smaller or absent) vector, so exactly
+                # those ordinals RE-APPEAR — stock CDF reports restored
+                # rows as inserts
+                parts.append(
+                    _rows(b, rel, back, set()).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
                 )
             grown = new - old
             if grown:

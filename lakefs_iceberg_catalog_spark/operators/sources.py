@@ -2077,7 +2077,10 @@ def source_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v1), then DV-deletes ordinals {0,1} from the v0 file (v2); changes
     v0→v2 must be exactly the appended rows as 'insert' plus the two
     DV'd rows as 'delete' — nothing else, in particular NOT the v0 rows
-    that never changed. A DV that shrinks (a restore) refuses loudly.
+    that never changed. A DV that SHRINKS (a RESTORE re-added the path
+    with the target's smaller vector) re-surfaces exactly the restored
+    ordinals as 'insert' rows — stock CDF's restored-row semantics
+    (asserted mid-flow across a restore() of the fixture table).
 
     Scale: the version diff is two metadata-sized log folds; data IO
     touches only changed files, and DV deletes read one file filtered by
@@ -2100,7 +2103,24 @@ def source_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = delta_table_changes(spark, tmp, 0, 2).select(
         "n_nationkey", "n_name", "_change_type"
     )
-    return _materialize(spark, back, tmp)
+    rows = bounded_rows(back)
+    # RESTORE to the pre-delete version shrinks rel0's DV back to empty:
+    # CDF across the restore window surfaces exactly the two resurrected
+    # ordinals as inserts (stock restored-row semantics)
+    v3 = w.restore(1)
+    restored = bounded_rows(
+        delta_table_changes(spark, tmp, 2, v3).select(
+            "n_nationkey", "_change_type"
+        )
+    )
+    assert sorted((r["n_nationkey"], r["_change_type"]) for r in restored) == [
+        (0, "insert"),
+        (1, "insert"),
+    ]
+    import shutil as _shutil
+
+    _shutil.rmtree(tmp, ignore_errors=True)
+    return local_df(spark, rows, back.schema)
 
 
 @register(

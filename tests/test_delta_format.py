@@ -1397,6 +1397,36 @@ def test_merge_upsert_touched_file_granularity(spark, tmp_path):
     assert scan_delta_table(spark, d).count() == 27
 
 
+def test_restore_reinstates_target_deletion_vector_state(spark, tmp_path):
+    """RESTORE must flip row VISIBILITY back, not just the path set: a DV
+    grown since the target version re-adds with the target's (absent)
+    vector — diffing by path alone would silently keep restored rows
+    deleted. CDF across the restore reports exactly the resurrected
+    ordinals as inserts (the shrink case, refusal lifted round 9)."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        delta_table_changes,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "restore_dv")
+    w = DeltaTableWriter(spark, d)
+    w.commit(add_dfs=[n.orderBy("n_nationkey")])  # v0, ordinal == key
+    rel = next(iter(read_delta_log(d)["files"]))
+    w.delete_rows(rel, [3, 8])  # v1
+    assert scan_delta_table(spark, d).count() == 23
+    v2 = w.restore(0)
+    assert scan_delta_table(spark, d).count() == 25  # rows are BACK
+    assert (
+        read_delta_log(d)["files"][rel].get("deletionVector") is None
+    )
+    ch = delta_table_changes(spark, d, 1, v2)
+    assert sorted(
+        (r["n_nationkey"], r["_change_type"]) for r in ch.collect()
+    ) == [(3, "insert"), (8, "insert")]
+
+
 def test_delete_and_update_where_dv(spark, tmp_path):
     """Predicate-level MoR DELETE/UPDATE via deletion vectors: matched
     ordinals fold into the touched files' DVs (zero rewrites), UPDATE
