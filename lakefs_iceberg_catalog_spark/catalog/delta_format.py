@@ -564,15 +564,20 @@ class DeltaTableWriter:
         rows dead in. Lineage materializes BEFORE the DV anti-join (the
         join breaks ``_metadata`` resolution); under column mapping the
         physical file columns project back to logical with the lineage
-        kept."""
+        kept. On partitioned tables the log-only partition values
+        re-attach via ONE broadcast (file -> values) join — the same
+        O(1)-plan-nodes shape the partitioned merge uses — so predicates
+        over partition columns work."""
         from pyspark.sql import types as T
 
         renames = _physical_renames(state.get("metadata"))
         schema = T.StructType.fromJson(json.loads(state["schema_json"]))
+        pcols = state.get("partition_cols") or []
+        file_fields = [f for f in schema.fields if f.name not in pcols]
         read_schema = T.StructType(
             [
                 T.StructField(renames.get(f.name, f.name), f.dataType, True)
-                for f in schema.fields
+                for f in file_fields
             ]
         )
         df = self.spark.read.schema(read_schema).parquet(
@@ -594,10 +599,37 @@ class DeltaTableWriter:
             df = _apply_deletion_vectors(self.spark, df, self.table_dir, dv_adds)
         if renames:
             df = df.select(
-                *[F.col(p).alias(lg) for lg, p in renames.items()],
+                *[
+                    F.col(renames.get(f.name, f.name)).alias(f.name)
+                    for f in file_fields
+                ],
                 "_file",
                 "_pos",
             )
+        if pcols:
+            ptypes = {
+                f.name: f.dataType for f in schema.fields if f.name in pcols
+            }
+            pmap = local_df(self.spark,
+                [
+                    (
+                        os.path.join(self.table_dir, rel),
+                        *[
+                            (a.get("partitionValues") or {}).get(
+                                renames.get(c, c)
+                            )
+                            for c in pcols
+                        ],
+                    )
+                    for rel, a in state["files"].items()
+                ],
+                "_file string, "
+                + ", ".join(f"`{c}` string" for c in pcols),
+            ).select(
+                "_file",
+                *[F.col(c).cast(ptypes[c]).alias(c) for c in pcols],
+            )
+            df = df.join(F.broadcast(pmap), "_file")
         return df
 
     def _dv_mark_matching(
@@ -620,46 +652,20 @@ class DeltaTableWriter:
             actions += self._dv_readd_actions(state, rel, by_file[rel], now_ms)
         return actions
 
-    def _cdc_action(self, cdc_df: DataFrame) -> dict:
-        """Write one unpartitioned change-data file and return its
-        protocol ``cdc`` action (physical column names under mapping;
-        ``_change_type`` stays literal — protocol-reserved)."""
-        from .parquet_io import write_single_parquet
-
-        phys = _physical_names_map(self._meta) if self._column_mapping else {}
-        if phys:
-            cdc_df = cdc_df.select(
-                *[F.col(c).alias(phys.get(c, c)) for c in cdc_df.columns]
-            )
-        os.makedirs(os.path.join(self.table_dir, "_change_data"), exist_ok=True)
-        rel = f"_change_data/cdc-{uuid.uuid4()}.snappy.parquet"
-        path = os.path.join(self.table_dir, rel)
-        write_single_parquet(cdc_df, path)
-        return {
-            "cdc": {
-                "path": rel,
-                "partitionValues": {},
-                "size": os.path.getsize(path),
-                "dataChange": False,
-            }
-        }
-
     def delete_where_dv(self, condition: str) -> int:
         """Merge-on-read DELETE WHERE via DELETION VECTORS — what stock
         Delta plans for DELETE on DV-enabled tables: the matching LIVE
         rows' ordinals fold into each touched file's DV (remove + re-add
         of the same path, zero data rewritten); cdc ``delete`` rows ride
         the same commit for CDF readers. A no-match delete is a no-op
-        (no commit). Partitioned tables refuse (per-tuple cdc files not
-        modeled on this path).
+        (no commit). Partitioned tables compose: the probe re-attaches
+        log-only partition values via one broadcast file map, the DV
+        re-adds keep each file's partitionValues, and the cdc rows write
+        per-tuple in one partitionBy job.
 
         Scale: probe is one pushdown scan; DV payloads and cdc rows are
         deleted-row-proportional — the write-amplification-free DELETE."""
         state = read_delta_log(self.table_dir)
-        if state.get("partition_cols"):
-            raise NotImplementedError(
-                "delete_where_dv on a partitioned table not supported"
-            )
         matched = self._live_with_lineage(state).filter(condition)
         now_ms = int(time.time() * 1000)
         dv_actions = self._dv_mark_matching(state, matched, now_ms)
@@ -668,7 +674,7 @@ class DeltaTableWriter:
         cdc = matched.drop("_file", "_pos").withColumn(
             "_change_type", F.lit("delete")
         )
-        actions = [_DV_PROTOCOL_ACTION, *dv_actions, self._cdc_action(cdc)]
+        actions = [_DV_PROTOCOL_ACTION, *dv_actions, *self._cdc_actions(cdc)]
         actions.append(
             {"commitInfo": {"timestamp": now_ms, "operation": "DELETE"}}
         )
@@ -680,19 +686,17 @@ class DeltaTableWriter:
         """Merge-on-read UPDATE WHERE via DELETION VECTORS — stock
         Delta's UPDATE on DV-enabled tables: the matched rows' old
         ordinals fold into their files' DVs and the UPDATED row values
-        append as ONE new data file in the same commit (old files'
-        untouched rows are never rewritten). Paired cdc
-        update_preimage/update_postimage rows ride the commit.
+        append as new data file(s) in the same commit (old files'
+        untouched rows are never rewritten; on partitioned tables one
+        partitionBy job routes the updated rows per tuple — an
+        assignment changing a partition column MOVES the row). Paired
+        cdc update_preimage/update_postimage rows ride the commit.
         ``assignments`` maps column -> SQL expression over the logical
-        names. No-match updates are no-ops. Partitioned tables refuse.
+        names. No-match updates are no-ops.
 
         Scale: cost is matched-rows-proportional (DV payloads + one
-        updated-rows file) — the rewrite-free UPDATE shape."""
+        updated-rows write job) — the rewrite-free UPDATE shape."""
         state = read_delta_log(self.table_dir)
-        if state.get("partition_cols"):
-            raise NotImplementedError(
-                "update_where_dv on a partitioned table not supported"
-            )
         cols = {f["name"] for f in json.loads(state["schema_json"])["fields"]}
         unknown = [c for c in assignments if c not in cols]
         if unknown:
@@ -702,21 +706,67 @@ class DeltaTableWriter:
         dv_actions = self._dv_mark_matching(state, matched, now_ms)
         if not dv_actions:
             return self._version  # nothing matched: no-op, no commit
-        from .parquet_io import write_single_parquet
+        from .parquet_io import write_hive_partitioned, write_single_parquet
 
         pre = matched.drop("_file", "_pos")
         updated = pre
         for c, expr in assignments.items():
             updated = updated.withColumn(c, F.expr(expr))
         phys = _physical_names_map(self._meta) if self._column_mapping else {}
-        out = updated
-        if phys:
-            out = out.select(
-                *[F.col(c).alias(phys.get(c, c)) for c in out.columns]
+        pcols = state.get("partition_cols") or []
+        add_actions: list[dict] = []
+        if pcols:
+            out = updated
+            if phys:  # physical data cols; logical pcols drive the write
+                out = out.select(
+                    *[
+                        F.col(c).alias(phys.get(c, c))
+                        for c in out.columns
+                        if c not in pcols
+                    ],
+                    *pcols,
+                )
+            written = write_hive_partitioned(
+                out, pcols, self.table_dir,
+                prefix=f"part-{self._version + 1:05d}",
             )
-        name = f"part-{self._version + 1:05d}-{uuid.uuid4()}.snappy.parquet"
-        path = os.path.join(self.table_dir, name)
-        n_rows = write_single_parquet(out, path)
+            for name, pvals, n_rows in written:
+                path = os.path.join(self.table_dir, name)
+                add_actions.append(
+                    {
+                        "add": {
+                            "path": name,
+                            "partitionValues": {
+                                phys.get(c, c): v for c, v in pvals.items()
+                            },
+                            "size": os.path.getsize(path),
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                            "stats": _file_stats_json(path, n_rows),
+                        }
+                    }
+                )
+        else:
+            out = updated
+            if phys:
+                out = out.select(
+                    *[F.col(c).alias(phys.get(c, c)) for c in out.columns]
+                )
+            name = f"part-{self._version + 1:05d}-{uuid.uuid4()}.snappy.parquet"
+            path = os.path.join(self.table_dir, name)
+            n_rows = write_single_parquet(out, path)
+            add_actions.append(
+                {
+                    "add": {
+                        "path": name,
+                        "partitionValues": {},
+                        "size": os.path.getsize(path),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                        "stats": _file_stats_json(path, n_rows),
+                    }
+                }
+            )
         cdc = pre.withColumn(
             "_change_type", F.lit("update_preimage")
         ).unionByName(
@@ -725,17 +775,8 @@ class DeltaTableWriter:
         actions = [
             _DV_PROTOCOL_ACTION,
             *dv_actions,
-            {
-                "add": {
-                    "path": name,
-                    "partitionValues": {},
-                    "size": os.path.getsize(path),
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                    "stats": _file_stats_json(path, n_rows),
-                }
-            },
-            self._cdc_action(cdc),
+            *add_actions,
+            *self._cdc_actions(cdc),
             {"commitInfo": {"timestamp": now_ms, "operation": "UPDATE"}},
         ]
         return self._write_commit(actions)
@@ -1244,15 +1285,34 @@ class DeltaTableWriter:
         same way it resolves adds. Partitioned change rows are written in
         ONE ``partitionBy`` job (VERDICT r8 #2 — never one Spark job per
         touched tuple)."""
-        from .parquet_io import write_hive_partitioned, write_single_parquet
-
         if cdc_df is None or "_change_type" not in cdc_df.columns:
             raise ValueError("cdc_df with a _change_type column is required")
+        cdc_actions = self._cdc_actions(cdc_df)
+        v = self.commit(
+            add_dfs=add_dfs,
+            remove=remove,
+            operation=operation,
+            add_partitioned=add_partitioned,
+        )
+        # append the cdc actions to the just-written commit (single-writer
+        # fixture scope; a production writer emits them in one commit)
+        with open(_commit_path(self.table_dir, v), "a") as f:
+            for act in cdc_actions:
+                f.write("\n" + json.dumps(act, separators=(",", ":")))
+        return v
+
+    def _cdc_actions(self, cdc_df: DataFrame) -> list[dict]:
+        """Write this commit's change-data file(s) and return their
+        protocol ``cdc`` actions — partitioned tables write ONE
+        partitionBy job with per-tuple files, unpartitioned one file;
+        physical names under mapping, ``_change_type`` literal."""
+        from .parquet_io import write_hive_partitioned, write_single_parquet
+
         cdc_dir = os.path.join(self.table_dir, "_change_data")
         os.makedirs(cdc_dir, exist_ok=True)
         pcols = getattr(self, "_partition_cols", [])
         phys = _physical_names_map(self._meta) if self._column_mapping else {}
-        cdc_actions = []
+        cdc_actions: list[dict] = []
         if pcols:
             part = cdc_df
             if phys:  # physical names for data cols; pcols stay logical
@@ -1301,18 +1361,7 @@ class DeltaTableWriter:
                     }
                 }
             )
-        v = self.commit(
-            add_dfs=add_dfs,
-            remove=remove,
-            operation=operation,
-            add_partitioned=add_partitioned,
-        )
-        # append the cdc actions to the just-written commit (single-writer
-        # fixture scope; a production writer emits them in one commit)
-        with open(_commit_path(self.table_dir, v), "a") as f:
-            for act in cdc_actions:
-                f.write("\n" + json.dumps(act, separators=(",", ":")))
-        return v
+        return cdc_actions
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF (stock Delta's RESTORE): one

@@ -1481,6 +1481,27 @@ def test_delete_and_update_where_dv(spark, tmp_path):
     assert w.update_where_dv("n_nationkey = 999", {"n_name": "'x'"}) == v3
     with pytest.raises(ValueError, match="unknown columns"):
         w.update_where_dv("n_nationkey = 1", {"nope": "'x'"})
+    # PARTITIONED composition: the probe re-attaches log-only partition
+    # values (predicates over them work), DV re-adds keep their
+    # partitionValues, and an assignment changing the partition column
+    # MOVES the row to its new tuple
+    np = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    dp = str(tmp_path / "dvdml_part")
+    wp = DeltaTableWriter(spark, dp)
+    for i, rk in enumerate(range(5)):
+        wp.commit(
+            add_dfs=[np.filter(F.col("n_regionkey") == rk)],
+            partition_cols=["n_regionkey"] if i == 0 else None,
+        )
+    wp.delete_where_dv("n_nationkey = 5 and n_regionkey = 0")
+    wp.update_where_dv("n_nationkey = 7", {"n_regionkey": "4"})
+    got_p = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in scan_delta_table(spark, dp).collect()
+    }
+    assert 5 not in got_p and got_p[7] == 4 and len(got_p) == 24
+    moved = scan_delta_table(spark, dp, partition_filter={"n_regionkey": "4"})
+    assert 7 in {r["n_nationkey"] for r in moved.collect()}
 
 
 def test_merge_upsert_over_deletion_vectors(spark, tmp_path):
