@@ -208,6 +208,7 @@ EXTRA = [
     "stream_sink_iceberg",
     "dml_delta_delete_dv",
     "dml_delta_update_dv",
+    "dml_iceberg_delete_mor",
 ]
 
 

@@ -1032,6 +1032,61 @@ class IcebergTableWriter:
             )
         return files
 
+    def delete_where_mor(self, condition: str) -> int:
+        """Predicate-level merge-on-read DELETE — what stock Iceberg's
+        DELETE FROM plans in merge-on-read mode: matching rows' (file,
+        ordinal) pairs become POSITION delete files (partition-scoped on
+        identity specs, via delete_positions), zero data rewritten. The
+        probe scans the raw data files with lineage (ORC files through
+        the stripe-streaming ordinal reader); rows already dead under
+        existing deletes may re-mark their ordinal — a no-op union, the
+        final visibility is identical. A no-match delete is a no-op (no
+        snapshot).
+
+        Scale: one pushdown probe scan + deleted-row-proportional delete
+        metadata — the rewrite-free DELETE at 100 TB."""
+        from ..operators.util import bounded_rows
+
+        if self._schema_json is None:
+            raise ValueError("delete_where_mor before any append")
+        data, _ = iceberg_snapshot_files(self.table_dir)
+        pq_paths = [
+            f["file_path"] for f in data if f["file_format"].upper() == "PARQUET"
+        ]
+        orc_paths = [
+            f["file_path"] for f in data if f["file_format"].upper() == "ORC"
+        ]
+        parts = []
+        if pq_paths:
+            parts.append(
+                self.spark.read.parquet(*pq_paths).withColumns(
+                    {
+                        "_file": F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:/+", "/"
+                        ),
+                        "_pos": F.col("_metadata.row_index"),
+                    }
+                )
+            )
+        if orc_paths:
+            parts.append(_orc_scan_with_ordinals(self.spark, orc_paths))
+        probe = parts[0]
+        for p in parts[1:]:
+            probe = probe.unionByName(p)
+        hits = bounded_rows(
+            probe.filter(condition).select("_file", "_pos"), 100_000
+        )
+        if not hits:
+            return (
+                self._current_snapshot_id
+                if self._current_snapshot_id is not None
+                else self._snapshots[-1]["snapshot-id"]
+            )
+        norm = {re.sub(r"^file:/+", "/", p): p for p in pq_paths + orc_paths}
+        return self.delete_positions(
+            [(norm[r["_file"]], int(r["_pos"])) for r in hits]
+        )
+
     def merge_upsert_mor(
         self, source_df: DataFrame, key_cols: list[str]
     ) -> int:

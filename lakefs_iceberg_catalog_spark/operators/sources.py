@@ -880,6 +880,50 @@ def dml_iceberg_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_iceberg_delete_mor",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey NOT IN (5, 11)
+""",
+)
+def dml_iceberg_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-level merge-on-read DELETE on the real Iceberg layout —
+    what stock Iceberg's DELETE FROM plans in merge-on-read mode (the
+    MoR dual of dml_iceberg_delete_cow): the probe finds matching rows'
+    (file, ordinal) pairs and commits POSITION delete files, partition-
+    scoped per the target files' tuples on this identity-partitioned
+    fixture; ZERO data files are read again or rewritten (every
+    pre-delete file still live, asserted), and the delete files carry
+    typed partition structs so partition-filtered scans prune them too.
+
+    Scale: one pushdown probe + deleted-row-proportional delete
+    metadata — the rewrite-free DELETE shape."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-delmor-")
+    w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
+    for rk in range(5):
+        w.append(n.filter(F.col("n_regionkey") == rk))
+    pre, _ = iceberg_snapshot_files(tmp)
+    w.delete_where_mor("n_nationkey in (5, 11)")
+    post, dels = iceberg_snapshot_files(tmp)
+    assert {f["file_path"] for f in pre} <= {f["file_path"] for f in post}
+    # one partition-scoped delete file per touched tuple (5->r0, 11->r1)
+    assert sorted(
+        f["partition"]["n_regionkey"] for f in dels
+    ) == [0, 1]
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "dml_iceberg_delete_cow",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation
