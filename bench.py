@@ -209,6 +209,7 @@ EXTRA = [
     "dml_delta_delete_dv",
     "dml_delta_update_dv",
     "dml_iceberg_delete_mor",
+    "maint_delta_reorg_purge",
 ]
 
 

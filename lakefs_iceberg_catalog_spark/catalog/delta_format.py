@@ -558,7 +558,9 @@ class DeltaTableWriter:
             {"add": new_add},
         ]
 
-    def _live_with_lineage(self, state: dict) -> DataFrame:
+    def _live_with_lineage(
+        self, state: dict, rels: list[str] | None = None
+    ) -> DataFrame:
         """Live rows (DV-applied) with per-row lineage (``_file``,
         ``_pos``) — the (file, ordinal) addressing space DV writers mark
         rows dead in. Lineage materializes BEFORE the DV anti-join (the
@@ -573,6 +575,11 @@ class DeltaTableWriter:
         renames = _physical_renames(state.get("metadata"))
         schema = T.StructType.fromJson(json.loads(state["schema_json"]))
         pcols = state.get("partition_cols") or []
+        files = (
+            {rel: state["files"][rel] for rel in rels}
+            if rels is not None
+            else state["files"]
+        )
         file_fields = [f for f in schema.fields if f.name not in pcols]
         read_schema = T.StructType(
             [
@@ -581,7 +588,7 @@ class DeltaTableWriter:
             ]
         )
         df = self.spark.read.schema(read_schema).parquet(
-            *[os.path.join(self.table_dir, rel) for rel in state["files"]]
+            *[os.path.join(self.table_dir, rel) for rel in files]
         ).withColumns(
             {
                 "_file": F.regexp_replace(
@@ -592,7 +599,7 @@ class DeltaTableWriter:
         )
         dv_adds = {
             rel: a
-            for rel, a in state["files"].items()
+            for rel, a in files.items()
             if a.get("deletionVector") is not None
         }
         if dv_adds:
@@ -621,7 +628,7 @@ class DeltaTableWriter:
                             for c in pcols
                         ],
                     )
-                    for rel, a in state["files"].items()
+                    for rel, a in files.items()
                 ],
                 "_file string, "
                 + ", ".join(f"`{c}` string" for c in pcols),
@@ -651,6 +658,45 @@ class DeltaTableWriter:
         for rel in sorted(by_file):
             actions += self._dv_readd_actions(state, rel, by_file[rel], now_ms)
         return actions
+
+    def reorg_purge(self) -> int:
+        """REORG TABLE ... APPLY (PURGE) — stock Delta's targeted
+        DV-materialization maintenance: rewrite ONLY the files carrying
+        deletion vectors (their live rows land in fresh DV-free files —
+        one per partition tuple via a single partitionBy job, or one
+        file on unpartitioned tables), tombstone the old file+vector
+        pairs, and commit with ``dataChange=false`` (no logical change —
+        CDF windows crossing it refuse, like OPTIMIZE). Untouched files
+        never rewrite; VACUUM later reclaims the tombstones and DV
+        sidecars. A DV-free table is a no-op (no commit).
+
+        Scale: IO is DV-carrying-files-proportional — the targeted dual
+        of full OPTIMIZE, and the protocol's escape hatch for tables
+        that must drop the deletionVectors reader requirement."""
+        state = read_delta_log(self.table_dir)
+        dv_rels = [
+            rel
+            for rel, a in state["files"].items()
+            if a.get("deletionVector") is not None
+        ]
+        if not dv_rels:
+            return self._version  # nothing to purge: no-op
+        survivors = self._live_with_lineage(state, rels=dv_rels).drop(
+            "_file", "_pos"
+        )
+        if state.get("partition_cols"):
+            return self.commit(
+                add_partitioned=survivors,
+                remove=dv_rels,
+                data_change=False,
+                operation="REORG",
+            )
+        return self.commit(
+            add_dfs=[survivors],
+            remove=dv_rels,
+            data_change=False,
+            operation="REORG",
+        )
 
     def delete_where_dv(self, condition: str) -> int:
         """Merge-on-read DELETE WHERE via DELETION VECTORS — what stock

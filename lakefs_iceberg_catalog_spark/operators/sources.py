@@ -1179,6 +1179,70 @@ def dml_delta_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maint_delta_reorg_purge",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey NOT IN (5, 11)
+""",
+)
+def maint_delta_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG TABLE ... APPLY (PURGE) — stock Delta's targeted DV
+    materialization: after MoR deletes leave vectors on two partitions'
+    files, the purge rewrites ONLY those files into DV-free ones (per
+    tuple, one partitionBy job) under a dataChange=false commit;
+    untouched partitions keep their original files in place (asserted),
+    the post state carries no deletionVector anywhere, and the visible
+    rows are provably unchanged.
+
+    Scale: IO tracks the DV-carrying files, never table size — the
+    targeted dual of full OPTIMIZE and the protocol's path to dropping
+    the deletionVectors reader requirement."""
+    import json as _json
+    import os as _os
+
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        _commit_path,
+        read_delta_log,
+        scan_delta_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="delta-reorg-")
+    w = DeltaTableWriter(spark, tmp)
+    for i, rk in enumerate(range(5)):
+        w.commit(
+            add_dfs=[n.filter(F.col("n_regionkey") == rk)],
+            partition_cols=["n_regionkey"] if i == 0 else None,
+        )
+    pre = read_delta_log(tmp)["files"]
+    w.delete_where_dv("n_nationkey in (5, 11)")  # DVs on regions 0 and 1
+    v = w.reorg_purge()
+    post = read_delta_log(tmp)["files"]
+    assert all(a.get("deletionVector") is None for a in post.values())
+    untouched = {
+        rel
+        for rel, a in pre.items()
+        if a["partitionValues"]["n_regionkey"] not in ("0", "1")
+    }
+    assert untouched <= set(post)  # other partitions never rewrote
+    acts = [
+        _json.loads(line)
+        for line in open(_commit_path(tmp, v)).read().splitlines()
+        if line.strip()
+    ]
+    assert all(
+        a["add"]["dataChange"] is False for a in acts if "add" in a
+    ) and all(
+        a["remove"]["dataChange"] is False for a in acts if "remove" in a
+    )
+    back = scan_delta_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "dml_delta_merge_partitioned",
     oracle="""
 SELECT n_nationkey,

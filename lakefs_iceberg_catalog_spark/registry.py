@@ -63,6 +63,7 @@ _SWEEP_PRIORITY = [
     "source_delta_column_mapping_id", "sink_iceberg_add_files_transform",
     "dml_iceberg_merge_mor", "stream_sink_iceberg",
     "dml_delta_delete_dv", "dml_delta_update_dv", "dml_iceberg_delete_mor",
+    "maint_delta_reorg_purge",
     # ... next 28 slots = the ENTIRE r3-stale block (VERDICT r8 #4: drain
     # r3 staleness to 0 this round) ...
     "multimodal_frame_sample", "multimodal_resize",
@@ -83,8 +84,9 @@ _SWEEP_PRIORITY = [
     "ddl_add_files", "ddl_partition_evolution", "ddl_rollback_version",
     "ddl_type_widening", "dedup_containment", "dedup_repeated_spans",
     "dml_delete_positions", "dml_merge_schema_evolution",
-    "join_fuzzy_levenshtein", "maint_compact_expire_gc",
+    "join_fuzzy_levenshtein",
     # ---- Past the window (slot 50+): remaining keys by STALENESS ----
+    "maint_compact_expire_gc",
     "meta_files", "multimodal_clip_filter",
     # r4-stale tail (first in line after the round-9 window drains)
     "multimodal_feature_extract",
