@@ -1631,6 +1631,20 @@ def _physical_renames(meta: dict | None) -> dict[str, str]:
     return _physical_names_map(meta)
 
 
+def _dv_bin_rel(table_dir: str, add: dict | None) -> str | None:
+    """Relative path of an add action's STORED deletion-vector sidecar
+    (storageType 'u'/'p'); None for no DV or inline descriptors."""
+    if not add:
+        return None
+    dv = add.get("deletionVector")
+    if not dv or dv.get("storageType") == "i":
+        return None
+    try:
+        return os.path.relpath(_dv_abs_path(table_dir, dv), table_dir)
+    except Exception:  # malformed descriptor: never block the fold
+        return None
+
+
 def _dv_abs_path(table_dir: str, dv: dict) -> str:
     """Resolve a descriptor to its on-disk DV file per the protocol:
     storageType "p" carries an absolute path; "u" carries
@@ -2050,6 +2064,13 @@ def vacuum_delta_table(
         now_ms = int(time.time() * 1000)
     state = read_delta_log(table_dir)
     live = set(state["files"])
+    # DV sidecars referenced by any LIVE add are never deleted, whatever
+    # a (stale or shared-bin) tombstone says — the same dominance rule as
+    # re-added data paths
+    for a in state["files"].values():
+        b = _dv_bin_rel(table_dir, a)
+        if b:
+            live.add(b)
     # the log fold already resolves tombstones (remove minus later re-add)
     # from the checkpoint base AND the JSON tail — so files tombstoned
     # before a checkpoint-enabled truncation stay reclaimable (ADVICE r7
@@ -2133,17 +2154,38 @@ def read_delta_log(table_dir: str, version: int | None = None) -> dict:
                 elif "protocol" in action:
                     state["protocol"] = action["protocol"]
                 elif "add" in action:
-                    state["files"][action["add"]["path"]] = action["add"]
+                    new_add = action["add"]
+                    prev = state["files"].get(new_add["path"])
+                    # a DV SIDECAR stops being referenced when its file's
+                    # add is superseded by one carrying a different (or
+                    # no) descriptor — tombstone the orphaned bin so
+                    # VACUUM reclaims it (it rides the same tombstone
+                    # map as data files, so checkpoints carry it too)
+                    old_bin = _dv_bin_rel(table_dir, prev)
+                    new_bin = _dv_bin_rel(table_dir, new_add)
+                    if old_bin and old_bin != new_bin:
+                        state["tombstones"][old_bin] = max(
+                            state["tombstones"].get(old_bin, 0),
+                            int(new_add.get("modificationTime") or 0),
+                        )
+                    if new_bin:  # re-referenced (e.g. RESTORE): keep it
+                        state["tombstones"].pop(new_bin, None)
+                    state["files"][new_add["path"]] = new_add
                     # re-added after a remove: the add supersedes the
                     # tombstone regardless of the final live set
-                    state["tombstones"].pop(action["add"]["path"], None)
+                    state["tombstones"].pop(new_add["path"], None)
                 elif "remove" in action:
                     r = action["remove"]
-                    state["files"].pop(r["path"], None)
+                    dropped = state["files"].pop(r["path"], None)
+                    ts = int(r.get("deletionTimestamp") or 0)
                     state["tombstones"][r["path"]] = max(
-                        state["tombstones"].get(r["path"], 0),
-                        int(r.get("deletionTimestamp") or 0),
+                        state["tombstones"].get(r["path"], 0), ts
                     )
+                    gone_bin = _dv_bin_rel(table_dir, dropped)
+                    if gone_bin:
+                        state["tombstones"][gone_bin] = max(
+                            state["tombstones"].get(gone_bin, 0), ts
+                        )
                 elif "txn" in action:
                     # streaming-writer idempotence marker (protocol
                     # `txn`): latest committed version per appId

@@ -740,7 +740,10 @@ def test_optimize_compacts_materializes_dvs_and_guards_cdf(spark, tmp_path):
     assert _keys(spark, d, version=1) == list(range(25))
     # vacuum reclaims the 2 tombstoned data files; current scan unchanged
     gone = vacuum_delta_table(d, retention_ms=0)
-    assert len(gone) == 2
+    # 2 tombstoned data files + the OPTIMIZE'd-away DV sidecar (round 9:
+    # vacuum reclaims orphaned deletion-vector bins too)
+    assert len([p for p in gone if p.endswith(".parquet")]) == 2
+    assert len([p for p in gone if p.endswith(".bin")]) == 1
     assert _keys(spark, d) == [k for k in range(25) if k != 3]
 
 
@@ -1395,6 +1398,48 @@ def test_merge_upsert_touched_file_granularity(spark, tmp_path):
     ]
     assert acts_removed == []
     assert scan_delta_table(spark, d).count() == 27
+
+
+def test_vacuum_reclaims_orphaned_dv_sidecars(spark, tmp_path):
+    """DV sidecar bins join the tombstone lifecycle (round 9): a bin
+    orphaned by a DV merge (remove + re-add with the bigger vector) or a
+    REORG purge is vacuum-reclaimable after retention; a bin referenced
+    by a LIVE add is never deleted whatever a tombstone says; a RESTORE
+    re-referencing an old bin rescues it from its tombstone."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        vacuum_delta_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "dvvac")
+    w = DeltaTableWriter(spark, d)
+    w.commit(add_dfs=[n.orderBy("n_nationkey")])
+    w.delete_where_dv("n_nationkey = 3")  # bin A
+    bin_a = glob.glob(os.path.join(d, "deletion_vector_*.bin"))[0]
+    w.delete_where_dv("n_nationkey = 8")  # merge: bin B, A orphaned
+    tomb = read_delta_log(d)["tombstones"]
+    assert os.path.relpath(bin_a, d) in tomb
+    # young tombstone: retention protects it
+    assert not any(
+        p.endswith(".bin") for p in vacuum_delta_table(d, 10**12)
+    )
+    gone = vacuum_delta_table(d, retention_ms=0)
+    assert [p for p in gone if p.endswith(".bin")] == [
+        os.path.relpath(bin_a, d)
+    ]
+    assert len(glob.glob(os.path.join(d, "deletion_vector_*.bin"))) == 1
+    assert scan_delta_table(spark, d).count() == 23  # live bin untouched
+    # REORG PURGE orphans the remaining live bin; vacuum reclaims it,
+    # zero sidecars remain, visible rows unchanged
+    w.reorg_purge()
+    gone2 = vacuum_delta_table(d, retention_ms=0)
+    assert any(p.endswith(".bin") for p in gone2)
+    assert glob.glob(os.path.join(d, "deletion_vector_*.bin")) == []
+    assert scan_delta_table(spark, d).count() == 23
 
 
 def test_restore_reinstates_target_deletion_vector_state(spark, tmp_path):
