@@ -210,6 +210,8 @@ EXTRA = [
     "dml_delta_update_dv",
     "dml_iceberg_delete_mor",
     "maint_delta_reorg_purge",
+    # round-10: executor-side delete-metadata + partitioned MoR/id-mode lifts
+    "dml_iceberg_merge_mor_partitioned",
 ]
 
 

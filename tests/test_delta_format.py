@@ -1699,3 +1699,33 @@ def test_merge_upsert_partitioned_over_deletion_vectors(spark, tmp_path):
     }
     assert got[5] == "NEW_5" and got[14] == "UP_14"
     assert len(got) == 25  # old 5 replaced, nothing resurrected or lost
+
+
+def test_dv_delete_over_100k_matches_stays_off_driver(spark, tmp_path):
+    """VERDICT r9 #1 gate: a predicate DELETE matching far more rows than
+    the driver materialization ceiling (sf0.1 lineitem, l_quantity <= 25
+    matches ~300k of 600k) must commit via deletion vectors WITHOUT
+    driver-side ordinal collection — the delete metadata builds on the
+    executors (groupBy(_file) + Arrow-batched roaring serialization), the
+    driver sees only per-file descriptors. Before the fix this raised
+    MaterializeCeilingError at bounded_rows(100k)."""
+    import os as _os
+
+    from lakefs_iceberg_catalog_spark.tables import table
+
+    sf01 = "/root/testdata/sf0.1"
+    if not _os.path.isdir(sf01):
+        pytest.skip("sf0.1 testdata not present")
+    li = table(spark, sf01, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    d = str(tmp_path / "bigdv")
+    w = DeltaTableWriter(spark, d)
+    w.commit(add_dfs=[li])
+    pre_files = set(read_delta_log(d)["files"])
+    w.delete_where_dv("l_quantity <= 25")
+    state = read_delta_log(d)
+    assert set(state["files"]) == pre_files  # zero data rewritten
+    dv = next(iter(state["files"].values()))["deletionVector"]
+    assert dv["cardinality"] == 300027
+    assert scan_delta_table(spark, d).count() == 600000 - 300027

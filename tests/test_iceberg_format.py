@@ -1471,3 +1471,34 @@ def test_merge_upsert_cow_touched_file_granularity(spark, tmp_path):
     got = {r["n_nationkey"]: r["n_name"] for r in back.collect()}
     assert got[13] == "UP_13" and got[30] == "NEW_30"
     assert back.filter("n_nationkey = 12").count() == 1  # survivor kept
+
+
+def test_mor_delete_over_100k_matches_stays_off_driver(spark, tmp_path):
+    """VERDICT r9 #1 gate (Iceberg side): a predicate merge-on-read
+    DELETE matching far more rows than the driver materialization
+    ceiling (sf0.1 lineitem, l_quantity <= 25 matches ~300k of 600k)
+    must commit position-delete files built on the EXECUTORS — the
+    matched ordinals group per target data file and each group streams
+    straight to its file-scoped delete parquet; the driver receives
+    only per-file descriptors. Before the fix this raised
+    MaterializeCeilingError at bounded_rows(100k)."""
+    from lakefs_iceberg_catalog_spark.tables import table
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 testdata not present")
+    li = table(spark, sf01, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    d = str(tmp_path / "bigmor")
+    w = IcebergTableWriter(spark, d)
+    w.append(li)
+    pre, _ = iceberg_snapshot_files(d)
+    w.delete_where_mor("l_quantity <= 25")
+    post, dels = iceberg_snapshot_files(d)
+    assert {f["file_path"] for f in pre} == {
+        f["file_path"] for f in post
+    }  # zero data rewritten
+    assert len(dels) == 1 and dels[0]["content"] == 1  # file-scoped
+    assert dels[0]["record_count"] == 300027
+    assert scan_iceberg_table(spark, d).count() == 600000 - 300027
