@@ -323,6 +323,18 @@ class DeltaTableWriter:
                     ],
                     *pcols,
                 )
+                if self._column_mapping == "id":
+                    # id mode: the partitionBy job's footers must carry
+                    # the parquet field ids, same as the add_dfs path
+                    ids = _field_ids_map(self._meta)
+                    for lg, pn in phys.items():
+                        if lg in ids and pn in dfp.columns:
+                            dfp = dfp.withMetadata(
+                                pn, {"parquet.field.id": ids[lg]}
+                            )
+                    self.spark.conf.set(
+                        "spark.sql.parquet.fieldId.write.enabled", "true"
+                    )
             written = write_hive_partitioned(
                 dfp, pcols, self.table_dir,
                 prefix=f"part-{self._version + 1:05d}",
@@ -582,7 +594,6 @@ class DeltaTableWriter:
         over partition columns work."""
         from pyspark.sql import types as T
 
-        renames = _physical_renames(state.get("metadata"))
         schema = T.StructType.fromJson(json.loads(state["schema_json"]))
         pcols = state.get("partition_cols") or []
         files = (
@@ -591,12 +602,10 @@ class DeltaTableWriter:
             else state["files"]
         )
         file_fields = [f for f in schema.fields if f.name not in pcols]
-        read_schema = T.StructType(
-            [
-                T.StructField(renames.get(f.name, f.name), f.dataType, True)
-                for f in file_fields
-            ]
+        read_schema, renames = _file_read_schema(
+            self.spark, state.get("metadata"), file_fields
         )
+        pv_phys = _physical_names_map(state.get("metadata"))
         df = self.spark.read.schema(read_schema).parquet(
             *[os.path.join(self.table_dir, rel) for rel in files]
         ).withColumns(
@@ -633,7 +642,7 @@ class DeltaTableWriter:
                         os.path.join(self.table_dir, rel),
                         *[
                             (a.get("partitionValues") or {}).get(
-                                renames.get(c, c)
+                                pv_phys.get(c, c)
                             )
                             for c in pcols
                         ],
@@ -1104,13 +1113,9 @@ class DeltaTableWriter:
         # scan_delta_table's DV anti-join would strip `_metadata`
         # resolution, so materialize `_file` first — the DV helper keeps
         # every pre-existing column through its anti-join.
-        renames = _physical_renames(state.get("metadata"))
         schema = T.StructType.fromJson(json.loads(state["schema_json"]))
-        read_schema = T.StructType(
-            [
-                T.StructField(renames.get(f.name, f.name), f.dataType, True)
-                for f in schema.fields
-            ]
+        read_schema, renames = _file_read_schema(
+            self.spark, state.get("metadata"), list(schema.fields)
         )
         cur_files = self.spark.read.schema(read_schema).parquet(
             *[os.path.join(self.table_dir, rel) for rel in state["files"]]
@@ -1218,7 +1223,6 @@ class DeltaTableWriter:
         from ..operators.util import bounded_rows
 
         pcols = state["partition_cols"]
-        renames = _physical_renames(state.get("metadata"))
         missing = [c for c in pcols if c not in source_df.columns]
         if missing:
             raise ValueError(
@@ -1227,22 +1231,22 @@ class DeltaTableWriter:
         schema = T.StructType.fromJson(json.loads(state["schema_json"]))
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
         file_fields = [f for f in schema.fields if f.name not in pcols]
-        # under column mapping, data files carry PHYSICAL names and
-        # partitionValues are keyed by them; probe/survivor frames project
-        # back to logical right after the path column materializes
-        file_schema = T.StructType(
-            [
-                T.StructField(renames.get(f.name, f.name), f.dataType, True)
-                for f in file_fields
-            ]
+        # under column mapping, data files resolve per _file_read_schema
+        # (physical names in 'name' mode, parquet field ids in 'id' mode)
+        # and partitionValues are keyed by PHYSICAL names in both modes;
+        # probe/survivor frames project back to logical right after the
+        # path column materializes
+        file_schema, renames = _file_read_schema(
+            self.spark, state.get("metadata"), file_fields
         )
+        pv_phys = _physical_names_map(state.get("metadata"))
         cols = [f.name for f in schema.fields]
         enc = lambda v: None if v is None else str(v)  # noqa: E731
         groups: dict[tuple, list[str]] = {}
         for rel, a in state["files"].items():
             pv = a.get("partitionValues") or {}
             groups.setdefault(
-                tuple(pv.get(renames.get(c, c)) for c in pcols), []
+                tuple(pv.get(pv_phys.get(c, c)) for c in pcols), []
             ).append(rel)
         src_tuples = [
             tuple(r)
@@ -1701,10 +1705,65 @@ def _physical_renames(meta: dict | None) -> dict[str, str]:
         return {}
     if mode == "id":
         raise NotImplementedError(
-            "column mapping mode 'id' (parquet field-id resolution) is "
-            "supported for unpartitioned scans/time travel only"
+            "column mapping mode 'id' (parquet field-id resolution): "
+            "name-resolution is not the protocol's contract for id "
+            "tables — resolve through _file_read_schema instead"
         )
     return _physical_names_map(meta)
+
+
+def _file_read_schema(
+    spark: SparkSession, meta: dict | None, fields: list
+) -> tuple["T.StructType", dict[str, str]]:
+    """How data-file columns resolve under the table's column-mapping
+    mode: the read schema for ``fields`` (the logical StructFields
+    stored IN the files — minus partition columns, which live in the
+    log) plus the logical->physical renames the caller must project
+    back (empty when no projection is needed). Mode 'none': logical
+    names as-is. Mode 'name': PHYSICAL col-uuid names, caller aliases
+    back. Mode 'id' (VERDICT r9 #3): the read schema keeps the LOGICAL
+    names of the version being read and carries each field's
+    delta.columnMapping.id as ``parquet.field.id`` metadata — Spark's
+    field-id resolution matches file columns by footer id regardless of
+    their names (physicalName never consulted), so no projection is
+    needed; the session conf enabling field-id reads is set here,
+    sticky on purpose (it only changes resolution for read schemas that
+    CARRY field-id metadata, which only id-mode reads construct)."""
+    from pyspark.sql import types as T
+
+    mode = _mapping_mode(meta)
+    if mode == "id":
+        ids = _field_ids_map(meta)
+        missing = [f.name for f in fields if f.name not in ids]
+        if missing:
+            raise ValueError(
+                f"id-mode table lacks column-mapping ids for {missing}"
+            )
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        return (
+            T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        True,
+                        {"parquet.field.id": ids[f.name]},
+                    )
+                    for f in fields
+                ]
+            ),
+            {},
+        )
+    renames = {} if mode == "none" else _physical_names_map(meta)
+    return (
+        T.StructType(
+            [
+                T.StructField(renames.get(f.name, f.name), f.dataType, True)
+                for f in fields
+            ]
+        ),
+        renames,
+    )
 
 
 def _dv_bin_rel(table_dir: str, add: dict | None) -> str | None:
@@ -1882,7 +1941,11 @@ def delta_changes_from_cdc(
     # names under column mapping, partition values on the cdc ACTION (not
     # in the file) for partitioned tables — resolve both like the scan
     state = read_delta_log(table_dir, to_version)
-    renames = _physical_renames(state.get("metadata"))
+    # cdc files carry PHYSICAL column names in BOTH mapping modes (the
+    # writer renames but never stamps field ids on change files), so cdc
+    # resolution is by physicalName even on id-mode tables — unlike data
+    # files, which id-mode resolves by parquet field id
+    renames = _physical_names_map(state.get("metadata"))
     schema = T.StructType.fromJson(json.loads(state["schema_json"]))
     pcols = state.get("partition_cols") or []
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
@@ -2001,19 +2064,18 @@ def delta_table_changes(
         return set(_dv_positions(table_dir, dv)) if dv else set()
 
     # every change row projects to the to_version logical schema: column
-    # mapping resolves via stable physical names; partition columns are
-    # log-only and re-inject per file below
-    renames = _physical_renames(b.get("metadata"))
+    # mapping resolves data files per _file_read_schema (physical names
+    # in 'name' mode, parquet field ids in 'id' mode); partition columns
+    # are log-only (physical-keyed partitionValues in both modes) and
+    # re-inject per file below
     schema_b = T.StructType.fromJson(json.loads(b["schema_json"]))
     pcols = b.get("partition_cols") or []
     ptypes = {f.name: f.dataType for f in schema_b.fields if f.name in pcols}
     file_fields = [f for f in schema_b.fields if f.name not in pcols]
-    read_schema = T.StructType(
-        [
-            T.StructField(renames.get(f.name, f.name), f.dataType, True)
-            for f in file_fields
-        ]
+    read_schema, renames = _file_read_schema(
+        spark, b.get("metadata"), file_fields
     )
+    pv_phys = _physical_names_map(b.get("metadata"))
     out_cols = [f.name for f in schema_b.fields]
 
     # ordinal sets below this stay inline IN-literals (cheapest plan);
@@ -2065,7 +2127,7 @@ def delta_table_changes(
             )
         pv = state["files"][rel].get("partitionValues") or {}
         for c in pcols:
-            v = pv.get(renames.get(c, c))  # physical keys when mapped
+            v = pv.get(pv_phys.get(c, c))  # physical keys when mapped
             lit = F.lit(None) if v is None else F.lit(v)
             df = df.withColumn(c, lit.cast(ptypes[c]))
         return df.select(*out_cols)
@@ -2359,7 +2421,8 @@ def scan_delta_table(
         if unknown:
             raise ValueError(f"partition_filter on non-partition columns: {unknown}")
         # under column mapping, partitionValues keys are PHYSICAL names
-        pf_phys = _physical_renames(state.get("metadata"))
+        # (both 'name' and 'id' modes stamp physicalName per the protocol)
+        pf_phys = _physical_names_map(state.get("metadata"))
         files = {
             rel: a
             for rel, a in files.items()
@@ -2432,58 +2495,18 @@ def scan_delta_table(
             d = d.filter(F.col(c) == F.lit(v))
         return d
 
-    mode = _mapping_mode(state.get("metadata"))
-    if mode == "id" and pcols:
-        raise NotImplementedError(
-            "column mapping mode 'id' on partitioned tables not supported"
-        )
-    renames = (
-        {} if mode == "id" else _physical_renames(state.get("metadata"))
-    )
     schema = T.StructType.fromJson(json.loads(state["schema_json"]))
     if not pcols:
         # scan with the LOG's schema, not whatever one parquet footer has:
         # files written before an ADD COLUMNS commit lack the new field and
         # must surface it as NULL (Spark's parquet reader null-fills
         # missing columns when given an explicit schema). Under column
-        # mapping the files carry PHYSICAL names, so the read schema does
-        # too, projected back to logical below — except mode 'id', where
-        # the reader's contract is the PARQUET FIELD ID: the read schema
-        # keeps the LOGICAL names of the version being read and carries
-        # each field's delta.columnMapping.id as parquet.field.id
-        # metadata, and Spark's field-id resolution matches file columns
-        # by id regardless of their names (physicalName never consulted).
-        if mode == "id":
-            ids = _field_ids_map(state.get("metadata"))
-            missing = [f.name for f in schema.fields if f.name not in ids]
-            if missing:
-                raise ValueError(
-                    f"id-mode table lacks column-mapping ids for {missing}"
-                )
-            read_schema = T.StructType(
-                [
-                    T.StructField(
-                        f.name,
-                        f.dataType,
-                        True,
-                        {"parquet.field.id": ids[f.name]},
-                    )
-                    for f in schema.fields
-                ]
-            )
-            # session-sticky on purpose: the flag only changes resolution
-            # for read schemas that CARRY field-id metadata, which only
-            # id-mode reads construct — name-based reads are unaffected
-            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        elif renames:
-            read_schema = T.StructType(
-                [
-                    T.StructField(renames.get(f.name, f.name), f.dataType, True)
-                    for f in schema.fields
-                ]
-            )
-        else:
-            read_schema = schema
+        # mapping the files resolve per _file_read_schema: PHYSICAL names
+        # projected back to logical in 'name' mode, parquet FIELD-ID
+        # resolution under logical names in 'id' mode.
+        read_schema, renames = _file_read_schema(
+            spark, state.get("metadata"), list(schema.fields)
+        )
         df = spark.read.schema(read_schema).parquet(
             *[os.path.join(table_dir, rel) for rel in files]
         )
@@ -2497,22 +2520,20 @@ def scan_delta_table(
             )
         return _residual(df)
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    pv_phys = _physical_names_map(state.get("metadata"))
     groups: dict[tuple, list[str]] = {}
     for rel, a in files.items():
         pv = a.get("partitionValues") or {}
-        # protocol: under column mapping, partitionValues keys are the
-        # partition columns' PHYSICAL names
-        key = tuple(pv.get(renames.get(c, c)) for c in pcols)
+        # protocol: under column mapping (either mode), partitionValues
+        # keys are the partition columns' PHYSICAL names
+        key = tuple(pv.get(pv_phys.get(c, c)) for c in pcols)
         groups.setdefault(key, []).append(os.path.join(table_dir, rel))
     # partition columns live only in the log, so the FILE schema is the
-    # log schema minus them (under its PHYSICAL names when mapped);
-    # explicit schema null-fills pre-ADD files
+    # log schema minus them (physical names / field ids per the mapping
+    # mode); explicit schema null-fills pre-ADD files
     file_fields = [f for f in schema.fields if f.name not in pcols]
-    file_schema = T.StructType(
-        [
-            T.StructField(renames.get(f.name, f.name), f.dataType, True)
-            for f in file_fields
-        ]
+    file_schema, renames = _file_read_schema(
+        spark, state.get("metadata"), file_fields
     )
     parts = []
     for key, paths in groups.items():

@@ -394,7 +394,8 @@ def test_cm_mode_id_resolves_by_parquet_field_id(spark, tmp_path):
     the LOGICAL names (absent from the files) + parquet.field.id
     metadata, so a correct non-null read proves field-id resolution —
     physicalName is never consulted. Renames time-travel; partitioned
-    id-mode and id-mode DML keep loud refusals."""
+    id-mode scans and id-mode DML compose (VERDICT r9 #3 — both former
+    refusals lifted via _file_read_schema)."""
     import pyarrow.parquet as pq
 
     d = str(tmp_path / "cmid")
@@ -425,24 +426,40 @@ def test_cm_mode_id_resolves_by_parquet_field_id(spark, tmp_path):
         "n_nationkey",
         "n_name",
     ]
-    # paths not taught field-id resolution refuse loudly, never guess
-    with pytest.raises(NotImplementedError, match="id"):
-        w.merge_upsert(
-            spark.createDataFrame([(1, "x")], "n_nationkey int, nation_name string"),
-            ["n_nationkey"],
-        )
+    # id-mode DML: merge resolves the probe scan by field id (the new
+    # data file re-stamps ids; the renamed column round-trips)
+    w.merge_upsert(
+        spark.createDataFrame(
+            [(1, "MERGED_1"), (30, "NEW_30")],
+            "n_nationkey int, nation_name string",
+        ),
+        ["n_nationkey"],
+    )
+    got2 = {
+        r["n_nationkey"]: r["nation_name"]
+        for r in scan_delta_table(spark, d).collect()
+    }
+    assert got2[1] == "MERGED_1" and got2[30] == "NEW_30"
+    assert len(got2) == 26 and got2[3] == "NATION_3"
+    # id-mode on a PARTITIONED table: partitionValues stay keyed by the
+    # partition column's PHYSICAL name while file columns resolve by id;
+    # partition_filter prunes from the log, incl. after a rename of the
+    # partition column itself
+    np = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
     d2 = str(tmp_path / "cmid_part")
     w2 = DeltaTableWriter(spark, d2, column_mapping="id")
-    w2.commit(
-        add_dfs=[
-            _nation(spark)
-            .select("n_nationkey", "n_name", "n_regionkey")
-            .where("n_regionkey = 0")
-        ],
-        partition_cols=["n_regionkey"],
-    )
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        scan_delta_table(spark, d2)
+    for i, rk in enumerate(range(5)):
+        w2.commit(
+            add_dfs=[np.where(f"n_regionkey = {rk}")],
+            partition_cols=["n_regionkey"] if i == 0 else None,
+        )
+    back2 = scan_delta_table(spark, d2)
+    assert back2.count() == 25
+    assert {r["n_regionkey"] for r in back2.collect()} == set(range(5))
+    w2.rename_column("n_regionkey", "region_id")
+    pruned = scan_delta_table(spark, d2, partition_filter={"region_id": "2"})
+    rows = pruned.collect()
+    assert len(rows) == 5 and all(r["region_id"] == 2 for r in rows)
 
 
 def test_cm_guards(spark, tmp_path, delta_cm):
