@@ -55,37 +55,14 @@ def register(name: str, oracle: str | None = None):
 
 
 _SWEEP_PRIORITY = [
-    # ---- Round-10 window (slots 0-49; the driver checks the FIRST 50).
-    # New round-10 keys insert HERE as they land (a never-checked key
-    # outranks a stale one; each insertion displaces the last in-window
-    # key below the 'Past the window' marker, keeping slot 50 exact) ...
-    "dml_iceberg_merge_mor_partitioned",
-    # ... then the ENTIRE r4-stale block (VERDICT r9 #6: drain r4
-    # staleness this round; oldest rows first) ...
-    "maint_compact_expire_gc", "meta_files", "multimodal_clip_filter",
-    "multimodal_feature_extract", "multimodal_phash_dedup",
-    "pipeline_global_shuffle", "q11_important_stock", "q12_priority_lines",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_parts_supplier_count", "q17_small_quantity", "q19_disjunctive_parts",
-    "q20_potential_promotion", "q21_suppliers_who_kept_waiting",
-    "q22_dormant_customers", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "similarity_ann_pq", "similarity_ann_sq8",
-    "similarity_range_search", "sink_partition_spec",
-    "sink_partition_transforms", "sink_shallow_clone", "sink_zorder_pruning",
-    "sql_call_procedures", "sql_merge_full_sync", "stream_source_versioned",
-    "stream_stream_outer_join", "text_bpe_merge_rounds",
-    "text_repetition_signals", "text_unigram_logprob_score",
-    "time_travel_changes", "window_retention_cohorts",
-    # ... remaining 11 slots = the alphabetical head of the r5-stale
-    # block (the rest stay below, covered by the repo's own exact-oracle
-    # replay every pytest run)
-    "agg_approx_distinct", "agg_entropy", "agg_heavy_hitters",
-    "agg_histogram", "agg_mode_deterministic", "agg_quantile_approx",
-    "branch_diff_rows", "ddl_analyze_stats", "ddl_schema_evolution_nested",
-    "dedup_cross_source", "dedup_novelty_score",
-    # ---- Past the window (slot 50+): remaining keys by STALENESS ----
-    # r5-swept tail (first in line after the round-10 window drains)
+    # ---- Round-11 window (slots 0-49; the driver checks the FIRST 50).
+    # Never-driver-checked keys outrank everything (VERDICT r10 #1) ...
+    "source_delta_column_mapping_id_partitioned",
+    # ... new round-11 keys insert HERE as they land (each insertion
+    # displaces the last in-window key below the 'Past the window'
+    # marker, keeping slot 50 exact) ...
+    # ... then the ENTIRE r5-stale block (VERDICT r10 #6: rotate the
+    # round-11 sweep to the r5-stale tail; oldest rows first) ...
     "dedup_shared_spans_cross", "dml_insert_overwrite", "dml_purge_history",
     "dml_scd2_intervals", "flagship_top_unshipped", "join_asof_nearest",
     "join_asof_tolerance", "join_range_bucketized",
@@ -102,10 +79,15 @@ _SWEEP_PRIORITY = [
     "window_anomaly_zscore", "window_ewma", "window_first_touch_attribution",
     "window_pareto_abc", "window_rolling_corr", "window_sessionize",
     "window_twap", "window_user_gap_stats",
-    # r6-swept (the round-6 window, verified 50/50 green)
+    # ... remaining 10 slots = the alphabetical head of the r6-stale
+    # block (the rest stay below, covered by the repo's own exact-oracle
+    # replay every pytest run)
     "agg_cube", "agg_distinct", "agg_gini_concentration", "agg_grouping_sets",
     "agg_hash_group", "agg_quantile", "agg_salted_twophase", "agg_stats",
-    "agg_string_collect", "branch_revert", "dedup_scrub_repeated_chunks",
+    "agg_string_collect", "branch_revert",
+    # ---- Past the window (slot 50+): remaining keys by STALENESS ----
+    # r6-swept tail (first in line after the round-11 window drains)
+    "dedup_scrub_repeated_chunks",
     "dml_delete_equality", "dml_update_struct_member", "filter_predicate",
     "join_asof", "join_cross", "join_full_outer", "join_inner_equi",
     "join_left_outer", "join_right_outer", "join_semi", "join_theta_range",
@@ -180,6 +162,27 @@ _SWEEP_PRIORITY = [
     "stream_sink_iceberg", "stream_sink_versioned", "stream_stateful",
     "stream_watermark_late_data", "text_pii_scrub", "time_travel_scan",
     "unpivot_stack", "window_range_frame",
+    # r10-swept (freshest — the round-10 window, verified 50/50 green)
+    "dml_iceberg_merge_mor_partitioned",
+    "maint_compact_expire_gc", "meta_files", "multimodal_clip_filter",
+    "multimodal_feature_extract", "multimodal_phash_dedup",
+    "pipeline_global_shuffle", "q11_important_stock", "q12_priority_lines",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_parts_supplier_count", "q17_small_quantity", "q19_disjunctive_parts",
+    "q20_potential_promotion", "q21_suppliers_who_kept_waiting",
+    "q22_dormant_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "similarity_ann_pq", "similarity_ann_sq8",
+    "similarity_range_search", "sink_partition_spec",
+    "sink_partition_transforms", "sink_shallow_clone", "sink_zorder_pruning",
+    "sql_call_procedures", "sql_merge_full_sync", "stream_source_versioned",
+    "stream_stream_outer_join", "text_bpe_merge_rounds",
+    "text_repetition_signals", "text_unigram_logprob_score",
+    "time_travel_changes", "window_retention_cohorts",
+    "agg_approx_distinct", "agg_entropy", "agg_heavy_hitters",
+    "agg_histogram", "agg_mode_deterministic", "agg_quantile_approx",
+    "branch_diff_rows", "ddl_analyze_stats", "ddl_schema_evolution_nested",
+    "dedup_cross_source", "dedup_novelty_score",
 ]
 
 
