@@ -1926,10 +1926,11 @@ def delta_changes_from_cdc(
     rows (already labeled ``_change_type`` by the writer), stamped with
     ``_commit_version``. Per the protocol, cdc actions PRE-EMPT file-set
     derivation; versions with NO data change (dataChange=false
-    maintenance commits like OPTIMIZE) contribute nothing — the case the
-    derivation-based ``delta_table_changes`` must refuse; a version that
-    changed data WITHOUT cdc actions refuses loudly here (mixing the two
-    sources would double-count).
+    maintenance commits like OPTIMIZE) contribute nothing — the same
+    rule the derivation-based ``delta_table_changes`` applies by
+    segmenting its window; a version that changed data WITHOUT cdc
+    actions refuses loudly here (mixing the two sources would
+    double-count).
 
     Scale: IO is exactly the change files of the window — the protocol's
     design: CDF cost tracks change volume, never table size."""
@@ -2027,7 +2028,18 @@ def delta_table_changes(
     resolves the logical partition column through its physical key
     (pinned in test_cm_partitioned_composes).
 
-    Scale: the diff is metadata-only (two log folds); data IO touches
+    MAINTENANCE commits (OPTIMIZE/REORG/ZORDER: every add/remove carries
+    ``dataChange=false``) swap files WITHOUT changing rows, so a naive
+    endpoint diff spanning one would misreport every rewritten row as
+    insert+delete. Stock Delta CDF derives changes per-commit and skips
+    dataChange=false actions; the endpoint-diff equivalent implemented
+    here SEGMENTS the window at each maintenance commit and diffs each
+    segment independently — the maintenance commit contributes nothing,
+    and each segment sees a consistent physical layout at both ends
+    (VERDICT r10 #2; previously a loud refusal).
+
+    Scale: the diff is metadata-only (one log fold per segment endpoint,
+    segments = maintenance commits in the window + 1); data IO touches
     exactly the changed files, and DV-position deletes read one file
     filtered by `_metadata.row_index` — change-proportional, the CDF
     contract."""
@@ -2035,29 +2047,47 @@ def delta_table_changes(
 
     if to_version <= from_version:
         raise ValueError("to_version must be greater than from_version")
-    a = read_delta_log(table_dir, from_version)
     b = read_delta_log(table_dir, to_version)
-    # dataChange=false commits (OPTIMIZE) swap files WITHOUT changing rows;
-    # an endpoint file-set diff would misreport every rewritten row as
-    # insert+delete, so refuse loudly — stock Delta CDF skips such commits
-    # action-by-action; here the caller splits the window around them
+    maint: list[int] = []
     for v in range(from_version + 1, to_version + 1):
         try:
             with open(_commit_path(table_dir, v)) as f:
                 lines = f.read().splitlines()
         except FileNotFoundError:
             continue  # truncated by a checkpoint; fold above already vetted
+        flags = []
         for line in lines:
             if not line.strip():
                 continue
             act = json.loads(line)
             body = act.get("add") or act.get("remove")
-            if body is not None and body.get("dataChange") is False:
-                raise NotImplementedError(
-                    f"version {v} is a dataChange=false maintenance commit "
-                    "(OPTIMIZE) — the endpoint file-set diff would misreport "
-                    "rewritten rows; split the change window around it"
-                )
+            if body is not None:
+                flags.append(bool(body.get("dataChange")))
+        if flags and not any(flags):
+            maint.append(v)  # pure maintenance commit: no logical change
+        elif flags and not all(flags):
+            raise ValueError(
+                f"version {v} mixes dataChange=true and dataChange=false "
+                "actions — ambiguous under file-set CDF derivation"
+            )
+    # segment endpoints: (from, m1-1], (m1, m2-1], ..., (mk, to] with
+    # empty segments dropped — a window holding ONLY maintenance commits
+    # yields no segments and falls through to the no-changes error below
+    segments: list[tuple[int, int]] = []
+    lo = from_version
+    for m in maint:
+        if m - 1 > lo:
+            segments.append((lo, m - 1))
+        lo = m
+    if to_version > lo:
+        segments.append((lo, to_version))
+
+    states: dict[int, dict] = {to_version: b}
+
+    def _state(v: int) -> dict:
+        if v not in states:
+            states[v] = read_delta_log(table_dir, v)
+        return states[v]
 
     def _positions(state: dict, rel: str) -> set[int]:
         dv = state["files"][rel].get("deletionVector")
@@ -2133,40 +2163,42 @@ def delta_table_changes(
         return df.select(*out_cols)
 
     parts: list[DataFrame] = []
-    for rel in b["files"]:
-        if rel not in a["files"]:
-            parts.append(
-                _rows(b, rel, None, _positions(b, rel)).withColumn(
-                    "_change_type", F.lit("insert")
-                )
-            )
-    for rel in a["files"]:
-        if rel not in b["files"]:
-            parts.append(
-                _rows(a, rel, None, _positions(a, rel)).withColumn(
-                    "_change_type", F.lit("delete")
-                )
-            )
-        else:
-            old, new = _positions(a, rel), _positions(b, rel)
-            back = old - new
-            if back:
-                # the DV SHRANK: a RESTORE re-added the path with the
-                # target version's (smaller or absent) vector, so exactly
-                # those ordinals RE-APPEAR — stock CDF reports restored
-                # rows as inserts
+    for seg_lo, seg_hi in segments:
+        sa, sb = _state(seg_lo), _state(seg_hi)
+        for rel in sb["files"]:
+            if rel not in sa["files"]:
                 parts.append(
-                    _rows(b, rel, back, set()).withColumn(
+                    _rows(sb, rel, None, _positions(sb, rel)).withColumn(
                         "_change_type", F.lit("insert")
                     )
                 )
-            grown = new - old
-            if grown:
+        for rel in sa["files"]:
+            if rel not in sb["files"]:
                 parts.append(
-                    _rows(a, rel, grown, set()).withColumn(
+                    _rows(sa, rel, None, _positions(sa, rel)).withColumn(
                         "_change_type", F.lit("delete")
                     )
                 )
+            else:
+                old, new = _positions(sa, rel), _positions(sb, rel)
+                back = old - new
+                if back:
+                    # the DV SHRANK: a RESTORE re-added the path with the
+                    # target version's (smaller or absent) vector, so
+                    # exactly those ordinals RE-APPEAR — stock CDF reports
+                    # restored rows as inserts
+                    parts.append(
+                        _rows(sb, rel, back, set()).withColumn(
+                            "_change_type", F.lit("insert")
+                        )
+                    )
+                grown = new - old
+                if grown:
+                    parts.append(
+                        _rows(sa, rel, grown, set()).withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                    )
     if not parts:
         raise ValueError(
             f"no changes between versions {from_version} and {to_version}"

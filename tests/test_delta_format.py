@@ -718,9 +718,10 @@ def test_cdf_guards(spark, tmp_path, delta_dv):
 def test_optimize_compacts_materializes_dvs_and_guards_cdf(spark, tmp_path):
     """OPTIMIZE invariants: live files collapse to one, deletion vectors
     materialize away, the row set is provably unchanged, the commit is
-    dataChange=false (CDF windows crossing it refuse loudly; windows
-    before it still work), vacuum then reclaims the tombstoned files, and
-    pre-OPTIMIZE time travel works while they exist."""
+    dataChange=false (CDF windows crossing it return exactly the
+    NON-maintenance changes — stock Delta semantics; VERDICT r10 #2),
+    vacuum then reclaims the tombstoned files, and pre-OPTIMIZE time
+    travel works while they exist."""
     import pytest as _pytest
 
     from lakefs_iceberg_catalog_spark.catalog.delta_format import (
@@ -749,9 +750,24 @@ def test_optimize_compacts_materializes_dvs_and_guards_cdf(spark, tmp_path):
     assert [a["commitInfo"]["operation"] for a in acts if "commitInfo" in a] == [
         "OPTIMIZE"
     ]
-    # CDF: window crossing the OPTIMIZE refuses; window before it works
-    with _pytest.raises(NotImplementedError, match="dataChange=false"):
-        delta_table_changes(spark, d, 0, v_opt)
+    # CDF across the OPTIMIZE: exactly the non-maintenance changes — the
+    # window (0, v_opt] segments at v_opt and reports only the v1 insert
+    # (17 rows, keys 8-24) and the v2 DV delete (key 3); none of the
+    # OPTIMIZE-rewritten rows appear as churn
+    ch = delta_table_changes(spark, d, 0, v_opt).collect()
+    ins = sorted(r["n_nationkey"] for r in ch if r["_change_type"] == "insert")
+    dels = sorted(r["n_nationkey"] for r in ch if r["_change_type"] == "delete")
+    assert ins == list(range(8, 25)) and dels == [3]
+    # a window holding ONLY the maintenance commit has no logical changes
+    with _pytest.raises(ValueError, match="no changes"):
+        delta_table_changes(spark, d, v_opt - 1, v_opt)
+    # a post-OPTIMIZE delete crossing the maintenance commit: the window
+    # (v2, v4] reports exactly that delete, read from the COMPACTED layout
+    v_del = w.delete_where_dv("n_nationkey = 20")
+    ch2 = delta_table_changes(spark, d, v_opt - 1, v_del).collect()
+    assert [(r["_change_type"], r["n_nationkey"]) for r in ch2] == [
+        ("delete", 20)
+    ]
     assert delta_table_changes(spark, d, 0, 1).count() == 17  # pre-window ok
     # pre-OPTIMIZE time travel while tombstones exist
     assert _keys(spark, d, version=1) == list(range(25))
@@ -761,7 +777,7 @@ def test_optimize_compacts_materializes_dvs_and_guards_cdf(spark, tmp_path):
     # vacuum reclaims orphaned deletion-vector bins too)
     assert len([p for p in gone if p.endswith(".parquet")]) == 2
     assert len([p for p in gone if p.endswith(".bin")]) == 1
-    assert _keys(spark, d) == [k for k in range(25) if k != 3]
+    assert _keys(spark, d) == [k for k in range(25) if k not in (3, 20)]
 
 
 def test_optimize_partitioned_one_file_per_partition(spark, tmp_path):
