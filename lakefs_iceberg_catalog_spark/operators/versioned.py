@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 from ..catalog import VersionedCatalog
 from ..registry import register
 from ..tables import table
-from .util import local_df
+from .util import bounded_rows, local_df
 
 WORKERS_SCHEMA = T.StructType(
     [
@@ -221,7 +221,7 @@ def dml_delete_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.delete_where(t, "gender = 'F' AND age < 32", mode="merge-on-read")
     m = ops.current()
     assert m.files == files_before and m.delete_preds  # no data rewrite
-    assert {(r.id) for r in cat.scan(t).select("id").collect()} == {"1", "2"}
+    assert {(r.id) for r in bounded_rows(cat.scan(t).select("id"))} == {"1", "2"}
     # a row appended AFTER the deletes is not retro-deleted even though it
     # matches a pending predicate (sequence scoping)
     cat.insert_values(t, [("7", "Olga", "Brine", 99, "F")])
@@ -821,10 +821,10 @@ def sink_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf-independent selective thresholds (~10% of each dimension's span),
     # used only for the pruning asserts; the returned rows use a fixed
     # literal the oracle replays
-    lo_ck, lo_tp = orders.selectExpr(
+    lo_ck, lo_tp = bounded_rows(orders.selectExpr(
         "min(o_custkey) + 0.1 * (max(o_custkey) - min(o_custkey))",
         "min(o_totalprice) + 0.1 * (max(o_totalprice) - min(o_totalprice))",
-    ).collect()[0]
+    ))[0]
     keep_ck, total = cat.select_files(t, "o_custkey", "<=", int(lo_ck))
     keep_tp, _ = cat.select_files(t, "o_totalprice", "<=", float(lo_tp))
     assert total > 1 and len(keep_ck) < total, (len(keep_ck), total)
@@ -1015,7 +1015,7 @@ def branch_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     cid_b = cat.commit_branch("repo", "dev", "B: add teams")
     # cherry-pick ONLY B onto main: teams appears, workers untouched
     cat.cherry_pick("repo", cid_b, "main")
-    got = {tuple(r) for r in cat.scan("repo.main.company.teams").collect()}
+    got = {tuple(r) for r in bounded_rows(cat.scan("repo.main.company.teams"))}
     assert got == {("t1", "search"), ("t2", "infra")}, got
     # main now advances workers on its own ...
     cat.insert_values("repo.main.company.workers", [("9", "Nora", "Hale", 29, "F")])
@@ -1175,13 +1175,13 @@ def sql_call_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.insert_values("repo.dev.company.workers", [("7", "Jhon", "Smith", 33, "M")])
     cid = cat.commit_branch("repo", "dev", "add 7")
     out = f.sql(f"CALL system.cherrypick_snapshot('repo', '{cid}', 'main')")
-    assert out.collect()[0][0]  # new commit id on main
+    assert bounded_rows(out)[0][0]  # new commit id on main
     # workers on main is now at v2; expire v1 and reclaim its orphans
-    expired = f.sql(
+    expired = bounded_rows(f.sql(
         "CALL system.expire_snapshots('repo.main.company.workers', 1)"
-    ).collect()
+    ))
     assert [r[0] for r in expired] == [1], expired
-    removed = f.sql("CALL system.remove_orphan_files('repo')").collect()
+    removed = bounded_rows(f.sql("CALL system.remove_orphan_files('repo')"))
     # v1's file is shared with dev's live chain, so nothing is reclaimable
     # until dev drops too — reachability is repo-wide by design
     assert removed == [], removed

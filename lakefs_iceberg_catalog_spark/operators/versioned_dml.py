@@ -12,7 +12,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from .versioned import WORKERS_SCHEMA, _WORKERS_VALUES, _materialize, _seeded
-from .util import local_df
+from .util import bounded_rows, local_df, materialize_bounded
+
+
+def _same_rows(a: DataFrame, b: DataFrame) -> bool:
+    """Multiset row equality as ONE executor-side symmetric difference —
+    the invariance assertions ('compact keeps the visible rows') without
+    collecting either side to the driver (VERDICT r10 #8: the bounded
+    isEmpty probe replaces paired full collects)."""
+    return a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty()
 
 
 @register(
@@ -84,11 +92,11 @@ def dml_delete_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.delete_keys(t, keys)
     m = ops.current()
     assert m.files == files_before and m.equality_deletes  # metadata-only
-    before_rows = {tuple(r) for r in cat.scan(t).collect()}
+    before = cat.scan(t)
     cat.compact(t)
     assert not ops.current().equality_deletes  # folded by the rewrite
     after = cat.scan(t)
-    assert {tuple(r) for r in after.collect()} == before_rows
+    assert _same_rows(before, after)  # compaction kept the visible rows
     out = after.select(
         "o_orderkey", "o_custkey", dround("o_totalprice", 2).alias("total")
     )
@@ -193,10 +201,10 @@ def dml_update_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.update_where(t, "gender = 'F'", {"age": "age + 1"}, mode="merge-on-read")
     m = ops.current()
     assert set(before) <= set(m.files) and m.delete_preds  # old files kept
-    rows_mor = {tuple(r) for r in cat.scan(t).collect()}
+    pre_compact = cat.scan(t)
     cat.compact(t)
     assert not ops.current().delete_preds
-    assert {tuple(r) for r in cat.scan(t).collect()} == rows_mor
+    assert _same_rows(pre_compact, cat.scan(t))
     return _materialize(spark, cat.scan(t), root)
 
 
@@ -274,8 +282,8 @@ def sql_use_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat, root = _seeded(spark)
     f = SqlFacade(cat)
     f.sql("USE lakefs.`repo`.`main`.company")
-    cur = f.sql("SHOW CURRENT NAMESPACE").collect()[0]
-    tbl = f.sql("SHOW TABLES").collect()[0]
+    cur = bounded_rows(f.sql("SHOW CURRENT NAMESPACE"))[0]
+    tbl = bounded_rows(f.sql("SHOW TABLES"))[0]
     out = local_df(spark, 
         [(cur.catalog, cur.namespace, tbl.tableName)],
         "catalog string, namespace string, tableName string",
@@ -364,7 +372,7 @@ def meta_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.delete_where(t, "age < 32", mode="merge-on-read")
     cat.add_column(t, "dept", "string")
     snaps = cat.snapshots(t)
-    rows = snaps.orderBy("version").collect()
+    rows = bounded_rows(snaps.orderBy("version"))
     ts = [r["committed_at"] for r in rows]
     assert ts == sorted(ts) and ts[0] > 0  # monotonic wall-clock stamps
     assert all(r["n_files"] >= 1 for r in rows)
@@ -402,9 +410,9 @@ def meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _materialize_meta(spark, df, root):
-    rows, schema = df.collect(), df.schema
+    out = materialize_bounded(spark, df)  # metadata-sized by construction
     shutil.rmtree(root, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return out
 
 
 @register(
@@ -475,9 +483,9 @@ def rollup_hypertable_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     cat.append(raw, batch2)
     # refresh: recompute ONLY days the late batch touched, from FULL raw
     affected = [
-        r["day"] for r in batch2.select(
+        r["day"] for r in bounded_rows(batch2.select(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
-        ).distinct().collect()
+        ).distinct())
     ]
     lo = min(affected)  # ISO strings order chronologically
     recomputed = rollup_of(
@@ -533,10 +541,10 @@ def branch_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.update_where(t, "gender = 'F'", {"age": "age + 100"})
     assert cat.list_tags("repo") == ["release-1.0"]
     tagged = cat.scan_tag("repo", "release-1.0", "company.workers")
-    head_max = cat.scan(t).agg({"age": "max"}).collect()[0][0]
+    head_max = bounded_rows(cat.scan(t).agg({"age": "max"}))[0][0]
     assert head_max >= 131  # branch head moved on ...
-    rows = tagged.collect()
-    assert max(r["age"] for r in rows) == 44  # ... the tag did not
+    tag_max = bounded_rows(tagged.agg({"age": "max"}))[0][0]
+    assert tag_max == 44  # ... the tag did not
     return _materialize(spark, tagged, root)
 
 
@@ -574,7 +582,7 @@ def meta_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["n_regionkey"],
     )
     meta = cat.files("repo.main.db.nation_p")
-    metas = meta.collect()
+    metas = bounded_rows(meta)
     assert len(metas) >= 5  # at least one file per region partition
     assert all(
         "n_nationkey" in _json.loads(r["column_stats"]) for r in metas
@@ -741,7 +749,7 @@ def meta_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["n_regionkey"],
     )
     parts = cat.partitions("repo.main.db.nation_p")
-    rows = parts.collect()
+    rows = bounded_rows(parts)
     assert len(rows) == 5 and all(r["n_files"] >= 1 for r in rows)
     out = (
         local_df(spark, rows, parts.schema)
@@ -875,10 +883,10 @@ def dml_delete_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.delete_where(t, "o_orderstatus = 'P'", mode="position")
     m2 = ops.current()
     assert sorted(m2.files) == files_before  # (c) still no rewrite
-    visible = {tuple(r) for r in cat.scan(t).collect()}
+    visible = cat.scan(t)
     cat.compact(t)
     assert not ops.current().position_deletes  # (d) folded away
-    assert {tuple(r) for r in cat.scan(t).collect()} == visible
+    assert _same_rows(visible, cat.scan(t))
 
     out = cat.scan(t).select(
         "o_orderkey", "o_orderstatus", dround("o_totalprice", 2).alias("total")
@@ -924,7 +932,7 @@ def sql_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHEN NOT MATCHED BY SOURCE THEN DELETE
         """
     )
-    assert {r["id"] for r in cat.scan(t).collect()} == {"1", "4", "9"}
+    assert {r["id"] for r in bounded_rows(cat.scan(t).select("id"))} == {"1", "4", "9"}
     # history survives the sync: the pre-merge snapshot still reads
     assert cat.scan(t, version=1).count() == 6
     # no-insert variant: '9' matches now, '77' has no target key → dropped
@@ -938,7 +946,7 @@ def sql_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHEN NOT MATCHED BY SOURCE THEN DELETE
         """
     )
-    assert {r["id"] for r in cat.scan(t).collect()} == {"9"}
+    assert {r["id"] for r in bounded_rows(cat.scan(t).select("id"))} == {"9"}
     # restore the full-sync state for the returned result
     cat.rollback_to_version(t, 2)
     return _materialize(spark, cat.scan(t), root)
@@ -1010,6 +1018,6 @@ def meta_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         local_df(spark, [("8", "Marta", "Green", 31, "F")], WORKERS_SCHEMA),
     )
     cat.commit_branch("repo", "dev", "dev-add")
-    only_main = cat.commit_log("repo", branch="main").collect()
+    only_main = bounded_rows(cat.commit_log("repo", branch="main"))
     assert [r["message"] for r in only_main] == ["seed", "cleanup"]
     return _materialize_meta(spark, cat.commit_log("repo"), root)
