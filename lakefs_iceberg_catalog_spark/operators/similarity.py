@@ -126,6 +126,20 @@ def _planes() -> list[list[list[float]]]:
     return rng.standard_normal((_N_TABLES, _PLANES_PER_TABLE, 64)).tolist()
 
 
+# kNN graph uses WIDER buckets tables (2^6 = 64 buckets/table vs the query
+# keys' 16): every vector is a query, so candidate cost is Σ(bucket size)²
+# over the WHOLE corpus — at 4 planes the interpreted cosine fold over
+# ~740k sf0.1 candidate pairs dominated the query (~4s of 6.9s, VERDICT
+# r10 #7 profiling); 6 planes cut candidates ~4x with recall still
+# OR-amplified over 3 tables (coverage contract in test_ringc).
+_KNN_PLANES_PER_TABLE = 6
+
+
+def _knn_planes() -> list[list[list[float]]]:
+    rng = np.random.default_rng(_PLANE_SEED)
+    return rng.standard_normal((_N_TABLES, _KNN_PLANES_PER_TABLE, 64)).tolist()
+
+
 def _lsh_bucket_sql(tbl_planes: list[list[float]], emb: str) -> str:
     """Sign-bit bucket key of `emb` against one table's literal planes —
     the same plane·vector fold order as the Spark `_dot` (plane is the
@@ -183,13 +197,18 @@ FROM ranked WHERE rnk <= {_TOP_K}
 
 
 def _lsh_bucketed(
-    spark: SparkSession, sf_dir: str, with_norm: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    with_norm: bool = False,
+    planes: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """(vec_id, embedding, tbl, bucket) — all hash tables' sign-bit bucket
     keys in ONE corpus pass (explode of per-table structs). With
     ``with_norm``, a ``nrm`` column is computed ONCE PER CORPUS ROW before
     the explode (the similarity_topk hoist, BASELINE.md lesson 4) so
-    candidate-pair consumers never recompute norms per pair."""
+    candidate-pair consumers never recompute norms per pair. ``planes``
+    overrides the default query-key tables (knn_graph hashes with more
+    planes per table — narrower buckets for the all-pairs workload)."""
     e = table(spark, sf_dir, "embeddings")
     if with_norm:
         e = e.withColumn("nrm", F.sqrt(_sqnorm(F.col("embedding"))))
@@ -205,7 +224,7 @@ def _lsh_bucketed(
                     ),
                 ).alias("bucket"),
             )
-            for ti, tbl_planes in enumerate(_planes())
+            for ti, tbl_planes in enumerate(planes if planes is not None else _planes())
         ]
     )
     keep = ["vec_id", "embedding"] + (["nrm"] if with_norm else [])
@@ -1323,10 +1342,11 @@ _KNN_K = 3
 
 def _knn_graph_oracle() -> str:
     """DuckDB replay of the LSH-bucketed kNN graph: EVERY vector is a
-    query; candidates are bucket-mates in any of the hash tables."""
+    query; candidates are bucket-mates in any of the hash tables (the
+    knn-specific 6-plane tables — the oracle replays the same literals)."""
     buckets = ",\n       ".join(
         f"{_lsh_bucket_sql(tp, 'embedding')} AS b{ti}"
-        for ti, tp in enumerate(_planes())
+        for ti, tp in enumerate(_knn_planes())
     )
     cand_union = "\n    UNION\n    ".join(
         f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id"
@@ -1374,12 +1394,17 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerates to a nested loop — same trap minhash_pairs documents);
     per-node top-k is a window over candidate groups, not a global sort.
     Bucket width (planes/table) is THE skew lever at deployment: more
-    planes → smaller buckets → fewer candidate pairs per node."""
+    planes → smaller buckets → fewer candidate pairs per node — this key
+    hashes with 6 planes (64 buckets/table) vs the query keys' 4, cutting
+    the candidate cosine cost ~4x (VERDICT r10 #7 profile: the
+    interpreted 64-dim cosine fold over candidates dominated)."""
     from .util import scoped_persist
 
     # norms hoisted into the persisted bucketed frame (one sqrt per corpus
     # row, not two per candidate pair — VERDICT r7 #8)
-    b = scoped_persist(_lsh_bucketed(spark, sf_dir, with_norm=True))
+    b = scoped_persist(
+        _lsh_bucketed(spark, sf_dir, with_norm=True, planes=_knn_planes())
+    )
     left = b.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
