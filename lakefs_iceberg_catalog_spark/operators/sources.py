@@ -606,6 +606,71 @@ def source_iceberg_evolved_spec_mor(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "source_iceberg_changelog",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey,
+       'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_seq
+FROM nation WHERE n_regionkey >= 2
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'delete', CAST(3 AS BIGINT)
+FROM nation WHERE n_nationkey IN (2, 14)
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'delete', CAST(4 AS BIGINT)
+FROM nation WHERE n_nationkey = 5
+UNION ALL
+SELECT n_nationkey, 'UPDATED-5' AS n_name, n_regionkey,
+       'insert', CAST(4 AS BIGINT)
+FROM nation WHERE n_nationkey = 5
+UNION ALL
+SELECT CAST(25 AS INTEGER), 'ATLANTIS', n_regionkey, 'insert',
+       CAST(4 AS BIGINT)
+FROM nation WHERE n_nationkey = 4
+""",
+)
+def source_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGELOG scan over a real Iceberg v2 snapshot window — the
+    Iceberg dual of ``source_delta_cdf`` (stock Iceberg's
+    create_changelog_view): each snapshot in ``(from, to]`` contributes
+    exactly its own row-level changes. The fixture commits an append
+    (seq 2), a merge-on-read position DELETE spanning both earlier files
+    (seq 3), and a MoR merge upsert (equality delete + new data file,
+    seq 4); the changelog reports the appended rows as inserts, the
+    position-delete victims as deletes, and the merge as the old
+    version's delete plus the new rows' inserts — every row stamped with
+    its deterministic ``_commit_seq``.
+
+    Scale: derivation is metadata-driven and change-proportional —
+    appends read only the added files, position deletes only the target
+    files at the deleted ordinals, equality deletes one key-filtered
+    pre-snapshot scan; compaction (`replace`) snapshots contribute
+    nothing, like Delta's dataChange=false."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        scan_iceberg_changelog,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-changelog-")
+    w = IcebergTableWriter(spark, tmp)
+    v1 = w.append(n.filter("n_regionkey < 2"))
+    w.append(n.filter("n_regionkey >= 2"))
+    w.delete_where_mor("n_nationkey in (2, 14)")
+    src = n.filter("n_nationkey = 5").withColumn(
+        "n_name", F.lit("UPDATED-5")
+    ).unionByName(
+        n.filter("n_nationkey = 4").withColumns(
+            {
+                "n_nationkey": F.lit(25).cast("int"),
+                "n_name": F.lit("ATLANTIS"),
+            }
+        )
+    )
+    w.merge_upsert_mor(src, ["n_nationkey"])
+    back = scan_iceberg_changelog(spark, tmp, from_snapshot_id=v1)
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_iceberg_stats_pruning",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -1544,3 +1544,50 @@ def test_mor_delete_over_100k_matches_stays_off_driver(spark, tmp_path):
     assert len(dels) == 1 and dels[0]["content"] == 1  # file-scoped
     assert dels[0]["record_count"] == 300027
     assert scan_iceberg_table(spark, d).count() == 600000 - 300027
+
+
+def test_changelog_scan_replace_skips_and_cow_refuses(spark, tmp_path):
+    """Changelog scan invariants beyond the oracle-checked key: a
+    `replace` (compaction) snapshot inside the window contributes NO
+    change rows (the Iceberg analog of Delta's dataChange=false rule);
+    deletes already dead before the window do not re-surface; a window
+    crossing a copy-on-write rewrite refuses loudly."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        scan_iceberg_changelog,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "changelog")
+    w = IcebergTableWriter(spark, d)
+    v1 = w.append(n.filter("n_nationkey < 10"))
+    w.delete_where_mor("n_nationkey = 3")
+    v2 = w.rewrite_data()  # replace: folds the delete, rewrites files
+    v3 = w.append(n.filter("n_nationkey >= 10"))
+    # window (v2, v3]: only the append's inserts
+    ch = scan_iceberg_changelog(spark, d, from_snapshot_id=v2).collect()
+    assert {r["_change_type"] for r in ch} == {"insert"}
+    assert sorted(r["n_nationkey"] for r in ch) == list(range(10, 25))
+    # window (v1, v3] spans the replace: the delete (seq 2) + the append
+    # (seq 4); the replace itself contributes nothing
+    ch2 = scan_iceberg_changelog(spark, d, from_snapshot_id=v1)
+    by_kind = {}
+    for r in ch2.collect():
+        by_kind.setdefault((r["_change_type"], r["_commit_seq"]), []).append(
+            r["n_nationkey"]
+        )
+    assert by_kind[("delete", 2)] == [3]
+    assert sorted(by_kind[("insert", 4)]) == list(range(10, 25))
+    assert set(by_kind) == {("delete", 2), ("insert", 4)}
+    # a delete already applied BEFORE the window does not re-surface:
+    # window (v2, head] after another MoR delete reports only that one
+    w.delete_where_mor("n_nationkey = 20")
+    ch3 = scan_iceberg_changelog(spark, d, from_snapshot_id=v3).collect()
+    assert [(r["_change_type"], r["n_nationkey"]) for r in ch3] == [
+        ("delete", 20)
+    ]
+    # CoW rewrite in the window: loud refusal (no row lineage)
+    w.delete_where_cow("n_nationkey = 21")
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="copy-on-write"):
+        scan_iceberg_changelog(spark, d, from_snapshot_id=v3)
