@@ -2391,8 +2391,9 @@ def scan_delta_table(
     decoded (file, row ordinal) anti-join (_apply_deletion_vectors);
     COLUMN MAPPING (configuration delta.columnMapping.mode=name) projects
     the data files' physical col-uuid names back to the logical schema of
-    the version being read (mode=id and mapping+partitioned refuse
-    loudly)."""
+    the version being read; mode=id resolves file columns by PARQUET
+    FIELD ID instead (_file_read_schema), and both modes compose with
+    partitioning and the DML paths (DV deletes/updates, merge, CDF)."""
     from pyspark.sql import types as T
 
     state = read_delta_log(table_dir, version)
