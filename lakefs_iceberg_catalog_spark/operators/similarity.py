@@ -790,6 +790,125 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_TAU = _EMB_DEDUP_THETA  # SemDeDup prune threshold
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB replay of the SemDeDup prune: same 6-plane LSH blocks as
+    knn_graph, one-hop greedy keep-lowest-id arbitration, per-source
+    accounting over documents (doc_id aligns with vec_id)."""
+    buckets = ",\n       ".join(
+        f"{_lsh_bucket_sql(tp, 'embedding')} AS b{ti}"
+        for ti, tp in enumerate(_knn_planes())
+    )
+    cand_union = "\n    UNION\n    ".join(
+        f"SELECT q2.vec_id AS v, c2.vec_id AS w"
+        f" FROM buckets q2 JOIN buckets c2 ON q2.b{t} = c2.b{t}"
+        f" WHERE c2.vec_id < q2.vec_id"
+        for t in range(_N_TABLES)
+    )
+    return f"""
+WITH buckets AS (
+SELECT vec_id, embedding,
+       {buckets}
+FROM embeddings
+),
+cand AS (
+    {cand_union}
+),
+dropped AS (
+    SELECT DISTINCT cd.v
+    FROM cand cd
+    JOIN embeddings q ON q.vec_id = cd.v
+    JOIN embeddings c ON c.vec_id = cd.w
+    WHERE {_COSINE_ORACLE_EXPR} >= {_SEMDEDUP_TAU!r}
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       count(dr.v) AS n_dropped,
+       count(*) - count(dr.v) AS n_kept,
+       round((count(*) - count(dr.v)) * 1.0 / count(*), 4) AS pct_kept
+FROM documents d LEFT JOIN dropped dr ON dr.v = d.doc_id
+GROUP BY d.source
+"""
+
+
+@register("dedup_semdedup_prune", oracle=_semdedup_oracle())
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC corpus prune (Abbas et al. 2023, the
+    LLM-curation pass that removes semantically redundant documents
+    before training): embeddings block into the knn-graph's 6-plane LSH
+    buckets, candidate pairs form only within a (table, bucket) block,
+    and a document is PRUNED when a same-block neighbor with a SMALLER
+    id is within cosine >= tau — the paper's keep-one-per-duplicate-set
+    rule made deterministic (greedy keep-lowest-id, one hop). The
+    verdict joins back to `documents` (doc_id aligns with vec_id) for
+    the deliverable: per-source retention accounting — how much of each
+    source survives semantic dedup at tau.
+
+    Differs from dedup_embedding_cosine (pairwise canonical verdicts)
+    by producing the corpus-level PRUNE decision + accounting — what a
+    data-mixture owner actually consumes.
+
+    Scale: candidate cost is sum of squared block sizes (never
+    corpus-squared); the drop verdict is one distinct over the
+    surviving pairs and one broadcast-sized anti-join onto documents;
+    at 100 TB the blocks come from the same LSH pass an ANN index
+    already maintains."""
+    from .util import scoped_persist
+
+    b = scoped_persist(
+        _lsh_bucketed(spark, sf_dir, with_norm=True, planes=_knn_planes())
+    )
+    left = b.select(
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+        "tbl",
+        "bucket",
+    )
+    right = b.select(
+        F.col("vec_id").alias("w"),
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+        F.col("tbl").alias("tbl_r"),
+        F.col("bucket").alias("bucket_r"),
+    )
+    dropped = (
+        left.join(
+            right,
+            (F.col("tbl") == F.col("tbl_r"))
+            & (F.col("bucket") == F.col("bucket_r")),
+        )
+        .filter(F.col("w") < F.col("v"))  # keep-lowest-id arbitration
+        .select(
+            "v",
+            (_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= _SEMDEDUP_TAU)
+        .select("v")
+        .distinct()
+    )
+    d = table(spark, sf_dir, "documents")
+    flagged = d.join(
+        F.broadcast(dropped.withColumnRenamed("v", "doc_id")).withColumn(
+            "_drop", F.lit(1)
+        ),
+        "doc_id",
+        "left",
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("_drop").alias("n_dropped"),
+        (F.count("*") - F.count("_drop")).alias("n_kept"),
+        dround(
+            (F.count("*") - F.count("_drop")) / F.count("*"), 4
+        ).alias("pct_kept"),
+    )
+
+
 _SQ_RERANK = 2 * _TOP_K  # exact-rerank candidate depth
 
 
