@@ -212,6 +212,14 @@ EXTRA = [
     "maint_delta_reorg_purge",
     # round-10: executor-side delete-metadata + partitioned MoR/id-mode lifts
     "dml_iceberg_merge_mor_partitioned",
+    # round-11: partitioned-MoR refusal lifts, CDC completion, SemDeDup
+    "source_delta_column_mapping_id_partitioned",
+    "source_iceberg_transform_mor",
+    "source_iceberg_global_eq_deletes",
+    "source_iceberg_evolved_spec_mor",
+    "source_iceberg_changelog",
+    "dml_delta_merge_column_mapping_id",
+    "dedup_semdedup_prune",
 ]
 
 

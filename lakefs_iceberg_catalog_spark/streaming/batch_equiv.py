@@ -969,3 +969,127 @@ def stream_sink_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
     return local_df(spark, rows, schema)
+
+
+@register(
+    "stream_cdc_iceberg",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey = 5 THEN 'UPDATED-5' ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation WHERE n_nationkey NOT IN (2, 14)
+UNION ALL
+SELECT CAST(25 AS INTEGER), 'ATLANTIS', n_regionkey
+FROM nation WHERE n_nationkey = 4
+""",
+)
+def stream_cdc_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg CHANGELOG consumed as a CDC STREAM — the composition a
+    downstream mirror runs: ``scan_iceberg_changelog`` derives each
+    snapshot's row-level inserts/deletes (append, MoR position delete,
+    MoR merge upsert), each snapshot replays as ONE micro-batch through a
+    real Structured Streaming query (maxFilesPerTrigger=1, epoch count
+    asserted), and the accumulated change rows FOLD onto the stream-start
+    base state — inserts union in, deletes exceptAll out — reproducing
+    the table head exactly (value-checked against the oracle's literal
+    replay). Extends stream_source_iceberg (append-only incremental) to
+    the full CDC shape, the pair of stream_cdc_apply on the Delta/
+    versioned side.
+
+    Scale: per-epoch IO is the snapshot's change-proportional changelog
+    read; the fold is one union + one anti-multiset pass over
+    change-volume rows, never a table rewrite. At deployment the stream
+    checkpoint records the last-consumed snapshot id."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        scan_iceberg_changelog,
+        scan_iceberg_table,
+    )
+    from ..operators.util import bounded_rows
+    from ..tables import table as _t
+
+    n0 = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n = local_df(spark, bounded_rows(n0), n0.schema)
+    root = tempfile.mkdtemp(prefix="iceberg-cdcstream-")
+    spool = tempfile.mkdtemp(prefix="iceberg-cdcspool-")
+    sink_dir = tempfile.mkdtemp(prefix="iceberg-cdcsink-")
+    ddl = (
+        "n_nationkey int, n_name string, n_regionkey int, "
+        "_change_type string, _commit_seq long"
+    )
+    try:
+        w = IcebergTableWriter(spark, root)
+        v1 = w.append(n.filter("n_regionkey < 2"))
+        snaps = [v1]
+        snaps.append(w.append(n.filter("n_regionkey >= 2")))
+        snaps.append(w.delete_where_mor("n_nationkey in (2, 14)"))
+        src = n.filter("n_nationkey = 5").withColumn(
+            "n_name", F.lit("UPDATED-5")
+        ).unionByName(
+            n.filter("n_nationkey = 4").withColumns(
+                {
+                    "n_nationkey": F.lit(25).cast("int"),
+                    "n_name": F.lit("ATLANTIS"),
+                }
+            )
+        )
+        snaps.append(w.merge_upsert_mor(src, ["n_nationkey"]))
+        base = scan_iceberg_table(spark, root, snapshot_id=v1).select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        base_rows = bounded_rows(base)
+        for i in range(1, len(snaps)):
+            delta = scan_iceberg_changelog(
+                spark, root, from_snapshot_id=snaps[i - 1],
+                to_snapshot_id=snaps[i],
+            ).select(
+                "n_nationkey", "n_name", "n_regionkey",
+                "_change_type", "_commit_seq",
+            )
+            stage = os.path.join(spool, f".stage-{i}")
+            delta.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = [f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")]
+            assert len(part) == 1
+            os.replace(
+                os.path.join(stage, part[0]),
+                os.path.join(spool, f"epoch-{i}.parquet"),
+            )
+            shutil.rmtree(stage)
+        s = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool)
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", os.path.join(sink_dir, "data"))
+            .option("checkpointLocation", os.path.join(sink_dir, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_epochs = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        finally:
+            q.stop()
+        assert n_epochs == len(snaps) - 1, (
+            f"expected one micro-batch per snapshot, got {n_epochs}"
+        )
+        changes = spark.read.schema(ddl).parquet(os.path.join(sink_dir, "data"))
+        cols = ["n_nationkey", "n_name", "n_regionkey"]
+        base_df = local_df(spark, base_rows, base.schema)
+        final = (
+            base_df.unionByName(
+                changes.filter("_change_type = 'insert'").select(*cols)
+            ).exceptAll(changes.filter("_change_type = 'delete'").select(*cols))
+        )
+        rows, schema = bounded_rows(final), final.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(spool, ignore_errors=True)
+        shutil.rmtree(sink_dir, ignore_errors=True)
+    return local_df(spark, rows, schema)
