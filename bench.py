@@ -220,6 +220,9 @@ EXTRA = [
     "source_iceberg_changelog",
     "dml_delta_merge_column_mapping_id",
     "dedup_semdedup_prune",
+    "stream_cdc_iceberg",
+    "maint_iceberg_rewrite_deletes",
+    "source_iceberg_delete_files_table",
 ]
 
 

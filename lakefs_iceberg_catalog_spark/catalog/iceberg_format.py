@@ -2239,6 +2239,123 @@ class IcebergTableWriter:
         ]
         return self._commit_snapshot(snapshot_id, "replace")
 
+    def rewrite_position_deletes(self) -> int:
+        """Stock Iceberg's ``rewrite_position_delete_files`` maintenance
+        procedure — the DELETE-SIDE compaction that clears MoR debt
+        without touching data files: every live position-delete row is
+        re-read, rows DANGLING against dead data files (their target was
+        CoW-rewritten or compacted away) are dropped, duplicates from
+        overlapping delete commits collapse, and the survivors rewrite as
+        ONE file-scoped delete file per still-covered target, committed
+        under a `replace` snapshot that drops the old position-delete
+        manifests. Equality-delete manifests are untouched (the stock
+        procedure's scope); the visible row set is provably unchanged.
+
+        Scale: IO is position-delete-row-proportional (never a data
+        scan) — the distributed read of the old delete files shuffles
+        once per target file, each group streaming to its consolidated
+        parquet executor-side; the driver folds descriptors and rewrites
+        O(delete-manifests) metadata. At 100 TB this is the nightly job
+        that keeps per-scan delete-merge cost flat as DML accumulates."""
+        import pandas as pd
+
+        from ..operators.util import bounded_rows
+
+        if self._schema_json is None:
+            raise ValueError("nothing to rewrite: table has no snapshots")
+        data, dels = iceberg_snapshot_files(self.table_dir)
+        pos = [f for f in dels if f["content"] == CONTENT_POSITION_DELETES]
+        if not pos:
+            raise ValueError("no position delete files to rewrite")
+        # classify the existing content=1 manifests: all-position ones are
+        # replaced; any holding equality entries is kept untouched (this
+        # repo's writers never mix contents in one delete manifest)
+        keep: list[dict] = []
+        for mf in self._manifests:
+            if mf.get("content", 0) != 1:
+                keep.append(mf)
+                continue
+            _, entries = read_container(mf["manifest_path"])
+            contents = {e["data_file"]["content"] for e in entries}
+            if contents == {CONTENT_POSITION_DELETES}:
+                continue  # superseded by the consolidated rewrite
+            if CONTENT_POSITION_DELETES in contents:
+                raise NotImplementedError(
+                    "delete manifest mixes position and equality files"
+                )
+            keep.append(mf)
+        live_norm = {
+            re.sub(r"^file:/+", "/", f["file_path"]): f["file_path"]
+            for f in data
+        }
+        pmap = {
+            f["file_path"]: (f.get("partition") or {}, f.get("_spec_id", 0))
+            for f in data
+        }
+        pairs = (
+            self.spark.read.schema("file_path string, pos long")
+            .parquet(*[f["file_path"] for f in pos])
+            .select(
+                F.regexp_replace("file_path", "^file:/+", "/").alias("_file"),
+                F.col("pos").alias("_pos"),
+            )
+            .dropDuplicates()
+        )
+        live_df = local_df(
+            self.spark, [(p,) for p in sorted(live_norm)], "_file string"
+        )
+        # dangling rows (target no longer live) drop here
+        matched = pairs.join(F.broadcast(live_df), "_file", "left_semi")
+        self._version += 1
+        data_dir, version, tuuid = self.data_dir, self._version, self._uuid
+        norm = dict(live_norm)
+
+        def _write_group(key, pdf):
+            import uuid as _uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            orig = norm[key[0]]
+            posn = sorted(int(p) for p in pdf["_pos"])
+            del_path = os.path.join(
+                data_dir,
+                f"00000-{version}-{tuuid}-rewrite-deletes-"
+                f"{_uuid.uuid4().hex[:12]}.parquet",
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_path": pa.array([orig] * len(posn), pa.string()),
+                        "pos": pa.array(posn, pa.int64()),
+                    }
+                ),
+                del_path,
+            )
+            return pd.DataFrame(
+                {"file": [orig], "path": [del_path], "rows": [len(posn)]}
+            )
+
+        descs = bounded_rows(
+            matched.groupBy("_file").applyInPandas(
+                _write_group, "file string, path string, rows long"
+            )
+        )
+        self._manifests = keep
+        self._sequence += 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        by_spec: dict[int, list[tuple[str, int, dict, int, list | None]]] = {}
+        for r in sorted(descs, key=lambda r: r["path"]):
+            pv, sid = pmap[r["file"]]
+            flds = self._fields_for_spec(sid)
+            pvals = {pf["name"]: pv.get(pf["name"]) for pf in flds}
+            by_spec.setdefault(sid, []).append(
+                (r["path"], int(r["rows"]), pvals, CONTENT_POSITION_DELETES, None)
+            )
+        for sid, files in sorted(by_spec.items()):
+            self._append_delete_manifest(snapshot_id, files, spec_id=sid)
+        return self._commit_snapshot(snapshot_id, "replace")
+
     def expire_snapshots(self, retain_last: int = 1) -> dict:
         """EXPIRE all but the newest ``retain_last`` snapshots and reclaim
         every file no retained snapshot reaches — manifest lists,
@@ -2880,6 +2997,32 @@ def iceberg_metadata_table(
             "partition map<string,string>, record_count long, "
             "file_size_in_bytes long, sequence_number long",
         )
+    if kind == "delete_files":
+        # stock Iceberg's `t.delete_files`: content=1/2 entries only,
+        # with equality_ids — the MoR-debt dashboard a maintenance
+        # scheduler watches to decide when rewrite_position_deletes runs
+        _, deletes = iceberg_snapshot_files(table_dir, version=version)
+        return local_df(spark,
+            [
+                (
+                    int(f["content"]),
+                    f["file_path"],
+                    f["file_format"].upper(),
+                    {str(k): str(v) for k, v in (f.get("partition") or {}).items()},
+                    int(f["record_count"]),
+                    int(f["file_size_in_bytes"]),
+                    int(f["sequence_number"]),
+                    [int(i) for i in f["equality_ids"]]
+                    if f.get("equality_ids")
+                    else None,
+                )
+                for f in deletes
+            ],
+            "content int, file_path string, file_format string, "
+            "partition map<string,string>, record_count long, "
+            "file_size_in_bytes long, sequence_number long, "
+            "equality_ids array<int>",
+        )
     if kind == "partitions":
         data, deletes = iceberg_snapshot_files(table_dir, version=version)
         agg: dict[tuple, list[int]] = {}
@@ -2905,8 +3048,8 @@ def iceberg_metadata_table(
             "file_count int, delete_file_count int",
         )
     raise ValueError(
-        f"unknown metadata table {kind!r}; "
-        "supported: snapshots, history, manifests, files, partitions"
+        f"unknown metadata table {kind!r}; supported: snapshots, "
+        "history, manifests, files, delete_files, partitions"
     )
 
 

@@ -671,6 +671,105 @@ def source_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maint_iceberg_rewrite_deletes",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey NOT IN (1, 2, 11, 15)
+""",
+)
+def maint_iceberg_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock Iceberg's ``rewrite_position_delete_files`` — the delete-side
+    compaction: two overlapping MoR DELETEs leave four small position-
+    delete files (one per touched target, key 11 marked twice), then a
+    copy-on-write DELETE rewrites one data file so its delete rows DANGLE
+    against the dead path. The rewrite drops the dangling rows, collapses
+    the duplicate, and consolidates to ONE delete file per still-covered
+    target under a `replace` snapshot (delete-file count and surviving
+    row count asserted mid-flow); the visible rows are provably unchanged
+    and value-checked against the oracle.
+
+    Scale: IO is delete-row-proportional — one distributed read of the
+    old delete files, one shuffle per target file, zero data reads; the
+    nightly job that keeps scan-time delete-merge cost flat as MoR DML
+    accumulates (pairs with rewrite_data + expire_snapshots for the full
+    maintenance story)."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-rewritedel-")
+    w = IcebergTableWriter(spark, tmp)
+    for lo in (0, 10, 20):
+        w.append(
+            n.filter(
+                (F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < lo + 10)
+            ).orderBy("n_nationkey")
+        )
+    w.delete_where_mor("n_nationkey in (1, 11)")
+    w.delete_where_mor("n_nationkey in (2, 11)")  # key 11 marked TWICE
+    _, dels0 = iceberg_snapshot_files(tmp)
+    assert len(dels0) == 4 and sum(f["record_count"] for f in dels0) == 4
+    w.delete_where_cow("n_nationkey = 15")  # kills file B: 11's rows dangle
+    w.rewrite_position_deletes()
+    _, dels1 = iceberg_snapshot_files(tmp)
+    # consolidated: ONE delete file (file A's), duplicate + dangling gone
+    assert len(dels1) == 1 and dels1[0]["record_count"] == 2
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_delete_files_table",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 'PARQUET', CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS INTEGER)),
+  (2, 'PARQUET', CAST(1 AS BIGINT), CAST(3 AS BIGINT), 2)
+) AS t(content, file_format, record_count, sequence_number, first_eq_id)
+""",
+)
+def source_iceberg_delete_files_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stock Iceberg's ``t.delete_files`` METADATA TABLE — the MoR-debt
+    dashboard: one row per live delete file with content (1=position,
+    2=equality), record count, sequence number, and equality_ids. The
+    fixture commits a position delete (2 ordinals) and an equality
+    delete (1 key on n_name, field id 2); the key projects the
+    deterministic columns. Zero data-file IO — rows come from the same
+    manifest walk every scan plans with; a maintenance scheduler reads
+    this table to decide when rewrite_position_deletes runs.
+
+    Scale: O(delete files) metadata rows at any table size."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_metadata_table,
+        iceberg_snapshot_files,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-delfiles-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.orderBy("n_nationkey"))
+    files, _ = iceberg_snapshot_files(tmp)
+    w.delete_positions([(files[0]["file_path"], 3), (files[0]["file_path"], 8)])
+    w.delete_keys(["n_name"], [("NATION_17",)])
+    mt = iceberg_metadata_table(spark, tmp, "delete_files")
+    back = mt.select(
+        "content",
+        "file_format",
+        "record_count",
+        "sequence_number",
+        F.element_at("equality_ids", 1).alias("first_eq_id"),
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_iceberg_stats_pruning",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation
