@@ -223,6 +223,7 @@ EXTRA = [
     "stream_cdc_iceberg",
     "maint_iceberg_rewrite_deletes",
     "source_iceberg_delete_files_table",
+    "source_delta_history",
 ]
 
 

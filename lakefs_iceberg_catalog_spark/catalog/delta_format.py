@@ -1899,6 +1899,54 @@ def _fold_checkpoint(log_dir: str, lc: dict, state: dict) -> None:
                 )
 
 
+def delta_table_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over the real log — stock Delta's table-history
+    listing: one row per available JSON commit with its commitInfo
+    operation and timestamp plus derived add/remove file counts and the
+    dataChange flag (pure-maintenance commits show false). History
+    truncated by a checkpoint disappears, exactly like stock Delta's
+    DESCRIBE HISTORY after log cleanup.
+
+    Scale: O(commits) driver-side JSON reads — the same metadata the log
+    fold already parses; zero data IO."""
+    from ..operators.util import local_df
+
+    log_dir = os.path.join(table_dir, _LOG_DIR)
+    rows = []
+    for name in sorted(os.listdir(log_dir)):
+        stem = name.split(".")[0]
+        if not name.endswith(".json") or not stem.isdigit():
+            continue
+        op = None
+        ts = None
+        n_add = n_remove = 0
+        data_change = False
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "commitInfo" in act:
+                    op = act["commitInfo"].get("operation")
+                    ts = act["commitInfo"].get("timestamp")
+                if "add" in act:
+                    n_add += 1
+                    data_change = data_change or bool(act["add"].get("dataChange"))
+                if "remove" in act:
+                    n_remove += 1
+                    data_change = data_change or bool(
+                        act["remove"].get("dataChange")
+                    )
+        rows.append(
+            (int(stem), ts, op, n_add, n_remove, data_change)
+        )
+    return local_df(spark,
+        rows,
+        "version long, timestamp_ms long, operation string, "
+        "n_added_files int, n_removed_files int, data_change boolean",
+    )
+
+
 def delta_changes_from_cdc(
     spark: SparkSession, table_dir: str, from_version: int, to_version: int
 ) -> DataFrame:

@@ -3689,6 +3689,9 @@ def scan_iceberg_changelog(
                     pairs.select("_dfile").distinct(), 100_000
                 )
             )
+            # no broadcast hint: the pair set is deleted-row-proportional
+            # (unbounded at 100 TB) — AQE picks broadcast when it fits,
+            # same as the scan path's position-delete anti-join
             victims = (
                 spark.read.parquet(*targets)
                 .withColumns(
@@ -3698,7 +3701,7 @@ def scan_iceberg_changelog(
                     }
                 )
                 .join(
-                    F.broadcast(pairs),
+                    pairs,
                     (F.col("_file") == F.col("_dfile"))
                     & (F.col("_pos") == F.col("_dpos")),
                     "left_semi",

@@ -892,8 +892,10 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     d = table(spark, sf_dir, "documents")
+    # no broadcast hint: the dropped set is duplicate-count-proportional
+    # (unbounded at 100 TB) — AQE broadcasts when it fits
     flagged = d.join(
-        F.broadcast(dropped.withColumnRenamed("v", "doc_id")).withColumn(
+        dropped.withColumnRenamed("v", "doc_id").withColumn(
             "_drop", F.lit(1)
         ),
         "doc_id",

@@ -1813,6 +1813,47 @@ def dml_delta_merge_column_mapping_id(
 
 
 @register(
+    "source_delta_history",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'WRITE',    1, 0, true),
+  (CAST(1 AS BIGINT), 'WRITE',    1, 0, true),
+  (CAST(2 AS BIGINT), 'DELETE',   1, 1, true),
+  (CAST(3 AS BIGINT), 'OPTIMIZE', 1, 2, false),
+  (CAST(4 AS BIGINT), 'RESTORE',  2, 1, true)
+) AS t(version, operation, n_added_files, n_removed_files, data_change)
+""",
+)
+def source_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY on the real Delta log — the audit listing every
+    table owner reads first: per-commit operation (commitInfo), derived
+    add/remove file counts, and the dataChange flag distinguishing
+    logical changes from pure maintenance (the OPTIMIZE row shows
+    false — the same signal CDF uses to skip it). The fixture's history
+    is two writes, a deletion-vector DELETE (remove + DV re-add), an
+    OPTIMIZE (2 files collapse to 1, dataChange=false), and a RESTORE
+    (the file-set flip back: 2 re-adds, 1 tombstone).
+
+    Scale: O(commits) driver-side JSON metadata, zero data IO — the
+    listing stock Delta serves from the same log."""
+    from ..catalog.delta_format import DeltaTableWriter, delta_table_history
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
+    tmp = tempfile.mkdtemp(prefix="delta-history-")
+    w = DeltaTableWriter(spark, tmp)
+    w.commit(add_dfs=[n.filter("n_nationkey < 12").orderBy("n_nationkey")])
+    w.commit(add_dfs=[n.filter("n_nationkey >= 12")])
+    w.delete_where_dv("n_nationkey = 3")
+    w.optimize()
+    w.restore(2)
+    back = delta_table_history(spark, tmp).select(
+        "version", "operation", "n_added_files", "n_removed_files",
+        "data_change",
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_delta_cdc_files",
     oracle="""
 SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,

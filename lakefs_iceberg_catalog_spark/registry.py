@@ -65,7 +65,7 @@ _SWEEP_PRIORITY = [
     "source_iceberg_evolved_spec_mor", "source_iceberg_changelog",
     "dml_delta_merge_column_mapping_id", "dedup_semdedup_prune",
     "stream_cdc_iceberg", "maint_iceberg_rewrite_deletes",
-    "source_iceberg_delete_files_table",
+    "source_iceberg_delete_files_table", "source_delta_history",
     # ... then the ENTIRE r5-stale block (VERDICT r10 #6: rotate the
     # round-11 sweep to the r5-stale tail; oldest rows first) ...
     "dedup_shared_spans_cross", "dml_insert_overwrite", "dml_purge_history",
@@ -84,13 +84,9 @@ _SWEEP_PRIORITY = [
     "window_anomaly_zscore", "window_ewma", "window_first_touch_attribution",
     "window_pareto_abc", "window_rolling_corr", "window_sessionize",
     "window_twap", "window_user_gap_stats",
-    # ... remaining slot = the alphabetical head of the r6-stale
-    # block (the rest stay below, covered by the repo's own exact-oracle
-    # replay every pytest run)
-    "agg_cube",
     # ---- Past the window (slot 50+): remaining keys by STALENESS ----
     # r6-swept tail (first in line after the round-11 window drains)
-    "agg_distinct", "agg_gini_concentration",
+    "agg_cube", "agg_distinct", "agg_gini_concentration",
     "agg_grouping_sets", "agg_hash_group", "agg_quantile",
     "agg_salted_twophase", "agg_stats", "agg_string_collect", "branch_revert",
     "dedup_scrub_repeated_chunks",
