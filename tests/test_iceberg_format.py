@@ -1544,6 +1544,25 @@ def test_mor_delete_over_100k_matches_stays_off_driver(spark, tmp_path):
     assert len(dels) == 1 and dels[0]["content"] == 1  # file-scoped
     assert dels[0]["record_count"] == 300027
     assert scan_iceberg_table(spark, d).count() == 600000 - 300027
+    # rewrite_position_delete_files at the same scale: a second
+    # overlapping MoR delete (~120k rows, ~60k already marked), then the
+    # rewrite consolidates BOTH delete files into one — dedup'd row
+    # count proven off-driver (the 420k-pair distributed read would blow
+    # the materialization ceiling if it funneled through the driver)
+    w.delete_where_mor("l_quantity between 20 and 30")
+    _, dels2 = iceberg_snapshot_files(d)
+    assert len(dels2) == 2
+    w.rewrite_position_deletes()
+    _, dels3 = iceberg_snapshot_files(d)
+    assert len(dels3) == 1 and dels3[0]["content"] == 1
+    from lakefs_iceberg_catalog_spark.operators.util import bounded_rows
+
+    expected_dead = 600000 - bounded_rows(
+        li.filter("NOT (l_quantity <= 25 OR l_quantity between 20 and 30)")
+        .groupBy().count()
+    )[0][0]
+    assert dels3[0]["record_count"] == expected_dead  # duplicates collapsed
+    assert scan_iceberg_table(spark, d).count() == 600000 - expected_dead
 
 
 def test_changelog_scan_replace_skips_and_cow_refuses(spark, tmp_path):
