@@ -224,6 +224,7 @@ EXTRA = [
     "maint_iceberg_rewrite_deletes",
     "source_iceberg_delete_files_table",
     "source_delta_history",
+    "source_delta_detail",
 ]
 
 

@@ -1947,6 +1947,39 @@ def delta_table_history(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def delta_table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL over the real log — stock Delta's one-row table
+    summary: format, live file count and total bytes (from the folded
+    add actions' metadata — no data IO), partition columns, and the
+    table configuration keys, all read from the current log state.
+
+    Scale: one metadata-sized log fold; numFiles/sizeInBytes come from
+    the add actions, exactly where stock Delta reads them."""
+    from ..operators.util import local_df
+
+    state = read_delta_log(table_dir)
+    files = state["files"]
+    meta = state.get("metadata") or {}
+    config = meta.get("configuration") or {}
+    rows = [
+        (
+            "parquet",
+            (meta.get("id") or ""),
+            len(files),
+            int(sum(int(a.get("size") or 0) for a in files.values())),
+            list(state.get("partition_cols") or []),
+            sorted(config),
+            int(state["version"]),
+        )
+    ]
+    return local_df(spark,
+        rows,
+        "format string, id string, num_files long, size_in_bytes long, "
+        "partition_columns array<string>, configuration_keys array<string>, "
+        "version long",
+    )
+
+
 def delta_changes_from_cdc(
     spark: SparkSession, table_dir: str, from_version: int, to_version: int
 ) -> DataFrame:

@@ -1854,6 +1854,51 @@ def source_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_delta_detail",
+    oracle="""
+SELECT 'parquet' AS format, CAST(3 AS BIGINT) AS num_files,
+       'n_regionkey' AS partition_columns,
+       'delta.columnMapping.maxColumnId,delta.columnMapping.mode'
+         AS configuration_keys,
+       CAST(2 AS BIGINT) AS version
+""",
+)
+def source_delta_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL on the real Delta log — stock Delta's one-row
+    table summary, completing the utility-command triad next to
+    DESCRIBE HISTORY and RESTORE: live file count, total bytes,
+    partition columns, and configuration keys, all from one metadata
+    fold (zero data IO). The fixture is a COLUMN-MAPPED, PARTITIONED
+    table (three per-region commits), so the summary surfaces both the
+    logical partition column and the protocol's columnMapping
+    configuration; the key projects the deterministic columns and
+    asserts non-zero bytes mid-flow.
+
+    Scale: the same log fold every scan plans with — O(commits +
+    files) metadata at any table size."""
+    from ..catalog.delta_format import DeltaTableWriter, delta_table_detail
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="delta-detail-")
+    w = DeltaTableWriter(spark, tmp, column_mapping=True)
+    for rk in range(3):
+        w.commit(
+            add_dfs=[n.filter(F.col("n_regionkey") == rk)],
+            partition_cols=["n_regionkey"] if rk == 0 else None,
+        )
+    det = delta_table_detail(spark, tmp)
+    assert bounded_rows(det)[0]["size_in_bytes"] > 0
+    back = det.select(
+        "format",
+        "num_files",
+        F.concat_ws(",", "partition_columns").alias("partition_columns"),
+        F.concat_ws(",", "configuration_keys").alias("configuration_keys"),
+        "version",
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_delta_cdc_files",
     oracle="""
 SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,

@@ -66,6 +66,7 @@ _SWEEP_PRIORITY = [
     "dml_delta_merge_column_mapping_id", "dedup_semdedup_prune",
     "stream_cdc_iceberg", "maint_iceberg_rewrite_deletes",
     "source_iceberg_delete_files_table", "source_delta_history",
+    "source_delta_detail",
     # ... then the ENTIRE r5-stale block (VERDICT r10 #6: rotate the
     # round-11 sweep to the r5-stale tail; oldest rows first) ...
     "dedup_shared_spans_cross", "dml_insert_overwrite", "dml_purge_history",
@@ -83,9 +84,11 @@ _SWEEP_PRIORITY = [
     "time_travel_as_of_timestamp", "window_activity_streaks",
     "window_anomaly_zscore", "window_ewma", "window_first_touch_attribution",
     "window_pareto_abc", "window_rolling_corr", "window_sessionize",
-    "window_twap", "window_user_gap_stats",
+    "window_twap",
     # ---- Past the window (slot 50+): remaining keys by STALENESS ----
-    # r6-swept tail (first in line after the round-11 window drains)
+    # r5-swept remainder, then the r6 tail (first in line after the
+    # round-11 window drains)
+    "window_user_gap_stats",
     "agg_cube", "agg_distinct", "agg_gini_concentration",
     "agg_grouping_sets", "agg_hash_group", "agg_quantile",
     "agg_salted_twophase", "agg_stats", "agg_string_collect", "branch_revert",
