@@ -54,7 +54,17 @@ def register(name: str, oracle: str | None = None):
 
 
 
-_SWEEP_PRIORITY = [
+# Manual override hook ONLY (normally empty): keys listed here pin to the
+# front of the sweep window ahead of the computed staleness order below.
+_SWEEP_OVERRIDE: list[str] = []
+
+# Historical hand-rotated order, kept as the FALLBACK when no
+# CORRECTNESS_r*.json artifacts are visible (e.g. the package imported
+# outside the build tree). Inside the repo the order is COMPUTED from the
+# artifacts by _staleness_order() — the hand-edited list shipped round 10's
+# one red gate by missing a rotation (VERDICT r11 #8), so it no longer
+# drives the sweep when artifacts exist.
+_SWEEP_FALLBACK = [
     # ---- Round-11 window (slots 0-49; the driver checks the FIRST 50).
     # Never-driver-checked keys outrank everything (VERDICT r10 #1) ...
     "source_delta_column_mapping_id_partitioned",
@@ -87,7 +97,9 @@ _SWEEP_PRIORITY = [
     "window_twap",
     # ---- Past the window (slot 50+): remaining keys by STALENESS ----
     # r5-swept remainder, then the r6 tail (first in line after the
-    # round-11 window drains)
+    # round-11 window drains; VERDICT r11 #5 pins this key at the head
+    # of the round-12 window — the computed staleness order does that
+    # automatically, it is the lone r5-stale key)
     "window_user_gap_stats",
     "agg_cube", "agg_distinct", "agg_gini_concentration",
     "agg_grouping_sets", "agg_hash_group", "agg_quantile",
@@ -191,11 +203,57 @@ _SWEEP_PRIORITY = [
 ]
 
 
+def correctness_ages(repo_root: str | None = None) -> dict[str, int]:
+    """``key -> newest round whose CORRECTNESS_r*.json holds a row for it``
+    — the driver writes one artifact per round covering the FIRST 50
+    registry keys, so a key's newest artifact round IS its staleness.
+    Keys absent from every artifact (brand-new operators) are omitted."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    root = repo_root or _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ages: dict[str, int] = {}
+    for path in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue  # unreadable artifact: ignore, never crash the registry
+        if not isinstance(rows, dict):
+            continue
+        for key in rows:
+            ages[key] = max(ages.get(key, 0), rnd)
+    return ages
+
+
+def _staleness_order(keys: list[str], ages: dict[str, int]) -> list[str]:
+    """Sweep order: manual overrides first, then never-driver-checked keys
+    (new operators need their first driver row before anything else —
+    VERDICT r10 #1), then oldest-artifact-round first; alphabetical
+    tie-break keeps the order deterministic across processes."""
+    pinned = [k for k in _SWEEP_OVERRIDE if k in keys]
+    rest = [k for k in keys if k not in set(pinned)]
+    return pinned + sorted(rest, key=lambda k: (ages.get(k, -1), k))
+
+
 def _apply_sweep_priority() -> None:
     """Rebuild QUERIES/ORACLES in sweep-priority order (dicts keep insertion
-    order, and ``__spark_entry__.queries()`` returns QUERIES as-is)."""
-    ordered = [k for k in _SWEEP_PRIORITY if k in QUERIES]
-    ordered += [k for k in QUERIES if k not in set(ordered)]
+    order, and ``__spark_entry__.queries()`` returns QUERIES as-is): the
+    driver checks the FIRST 50 keys each round, so ordering by artifact
+    staleness makes the rotation self-serving — no hand-edited list to
+    forget (the round-10 red gate's root cause, VERDICT r11 #8)."""
+    ages = correctness_ages()
+    if ages:
+        ordered = _staleness_order(list(QUERIES), ages)
+    else:
+        ordered = [k for k in _SWEEP_FALLBACK if k in QUERIES]
+        ordered += [k for k in QUERIES if k not in set(ordered)]
     for d in (QUERIES, ORACLES):
         snapshot = {k: d[k] for k in ordered if k in d}
         d.clear()

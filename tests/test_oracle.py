@@ -167,14 +167,31 @@ def test_collect_sites_are_ratcheted():
     )
 
 
-def test_every_key_explicitly_sweep_prioritized():
-    """Every registered key must appear in _SWEEP_PRIORITY: a key left to
-    implicit registration order could silently displace the driver's
-    50-slot sweep window when module import order shifts."""
-    from lakefs_iceberg_catalog_spark.registry import _SWEEP_PRIORITY
+def test_sweep_order_computed_from_correctness_artifacts():
+    """The driver checks the FIRST 50 registry keys each round, and the
+    rotation used to be a hand-edited list — which shipped round 10's one
+    red gate when a rotation was forgotten (VERDICT r11 #8). The order is
+    now COMPUTED from CORRECTNESS_r*.json age at registry-load time; this
+    pins that the loaded registry order equals the artifact-derived
+    staleness order: overrides (none in-tree), then never-driver-checked
+    keys, then oldest-artifact-round first, alphabetical tie-break."""
+    from lakefs_iceberg_catalog_spark.registry import (
+        _SWEEP_OVERRIDE,
+        correctness_ages,
+    )
 
-    listed = set(_SWEEP_PRIORITY)
-    missing = [k for k in registry.QUERIES if k not in listed]
-    assert not missing, f"keys not in _SWEEP_PRIORITY: {missing}"
-    stale = [k for k in listed if k not in registry.QUERIES]
-    assert not stale, f"_SWEEP_PRIORITY names unknown keys: {stale}"
+    assert not _SWEEP_OVERRIDE, "the manual override hook must stay empty"
+    ages = correctness_ages()
+    assert ages, "CORRECTNESS_r*.json artifacts must be visible in-repo"
+    keys = list(registry.QUERIES)
+    expected = sorted(keys, key=lambda k: (ages.get(k, -1), k))
+    assert keys == expected, "registry order diverges from artifact staleness"
+    # the 50-slot window is exactly the oldest-50: every key OUTSIDE the
+    # window is at least as fresh as every key inside it
+    window, rest = keys[:50], keys[50:]
+    if rest:
+        assert max(ages.get(k, -1) for k in window) <= min(
+            ages.get(k, -1) for k in rest
+        )
+    # and no registered key can be missing from the computed order
+    assert set(keys) == set(registry.QUERIES)
