@@ -671,6 +671,147 @@ def source_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_iceberg_changelog_cow",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey,
+       'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_seq
+FROM nation WHERE n_regionkey >= 2
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'delete', CAST(3 AS BIGINT)
+FROM nation WHERE n_nationkey IN (6, 7)
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'delete', CAST(4 AS BIGINT)
+FROM nation WHERE n_nationkey = 9
+""",
+)
+def source_iceberg_changelog_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog across a COPY-ON-WRITE rewrite (VERDICT r11 #1;
+    previously a loud refusal): a CoW DELETE removes data files and
+    re-adds survivors, so the changelog derives the snapshot's NET row
+    changes by diffing the pre-snapshot visible rows of the removed
+    files against the post-snapshot rows of the added files (exceptAll
+    both ways — carried-over rows cancel), matching stock
+    ``create_changelog_view``'s overwrite semantics. The fixture spans
+    the deleted keys across BOTH files (multi-file rewrite), then a MoR
+    position delete lands on a REWRITTEN file to prove the mixed history
+    keeps composing.
+
+    Scale: the diff reads only the rewritten files — change-bounded,
+    never a table scan; mixing CoW and MoR DML is the steady state of a
+    real table, which is why the refusal had to go."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        scan_iceberg_changelog,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-changelog-cow-")
+    w = IcebergTableWriter(spark, tmp)
+    v1 = w.append(n.filter("n_regionkey < 2"))
+    w.append(n.filter("n_regionkey >= 2"))
+    # keys 6 (region 1) and 7 (region 2) live in DIFFERENT files
+    w.delete_where_cow("n_nationkey in (6, 7)")
+    w.delete_where_mor("n_nationkey = 9")  # targets a rewritten file
+    back = scan_iceberg_changelog(spark, tmp, from_snapshot_id=v1)
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_changelog_evolved",
+    oracle="""
+SELECT n_nationkey, n_name AS nation_name, n_regionkey, 'new' AS note,
+       'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_seq
+FROM nation WHERE n_nationkey >= 12
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS VARCHAR),
+       'delete', CAST(3 AS BIGINT)
+FROM nation WHERE n_nationkey = 2
+""",
+)
+def source_iceberg_changelog_evolved(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Changelog ACROSS SCHEMA EVOLUTION (VERDICT r11 #2; previously a
+    refusal): a rename + add-column lands inside the window, then an
+    append under the new schema and a MoR position delete whose victim
+    row lives in an OLD-schema file. Every change row projects to the
+    CURRENT schema by FIELD ID — the same manifest-embedded write-schema
+    projection the snapshot scan uses — so the old file's renamed column
+    re-aliases and its missing `note` reads as a typed NULL.
+
+    Scale: evolution commits are metadata-only at any table size; the
+    changelog's per-file projection is a select, no shuffle — an
+    incremental consumer survives the rename without re-bootstrapping."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        scan_iceberg_changelog,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-changelog-evo-")
+    w = IcebergTableWriter(spark, tmp)
+    v1 = w.append(n.filter("n_nationkey < 12"))
+    w.rename_column("n_name", "nation_name")  # metadata-only
+    w.add_column("note", "string")
+    w.append(
+        n.filter("n_nationkey >= 12")
+        .withColumnRenamed("n_name", "nation_name")
+        .withColumn("note", F.lit("new"))
+    )
+    w.delete_where_mor("n_nationkey = 2")  # victim in the OLD-schema file
+    back = scan_iceberg_changelog(spark, tmp, from_snapshot_id=v1)
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_changelog_orc",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey,
+       'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_seq
+FROM nation WHERE n_nationkey BETWEEN 10 AND 17
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'insert', CAST(3 AS BIGINT)
+FROM nation WHERE n_nationkey >= 18
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'delete', CAST(4 AS BIGINT)
+FROM nation WHERE n_nationkey IN (0, 3)
+""",
+)
+def source_iceberg_changelog_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog over a MIXED parquet+ORC table (VERDICT r11 #3;
+    previously a refusal): an ORC append contributes inserts through the
+    per-format dispatch, and a position delete whose TARGET is an ORC
+    file derives its victims through the executor-side pyarrow ordinal
+    reader (`_metadata.row_index` is parquet-only) — the same machinery
+    the MoR scan path uses (dml_iceberg_delete_orc_mor).
+
+    Scale: per-format grouped reads keep pushdown intact in each source;
+    ordinal stamping is one sequential streamed task per ORC file, and
+    only the files the window touches are read."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        scan_iceberg_changelog,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-changelog-orc-")
+    w = IcebergTableWriter(spark, tmp, file_format="orc")
+    v1 = w.append(n.filter("n_nationkey < 10").orderBy("n_nationkey"))
+    w.append(
+        n.filter("n_nationkey between 10 and 17").orderBy("n_nationkey")
+    )
+    w.append(n.filter("n_nationkey >= 18"), file_format="parquet")
+    files, _ = iceberg_snapshot_files(tmp)
+    low = next(f for f in files if f["record_count"] == 10)
+    assert low["file_format"].upper() == "ORC"
+    # ordinals {0, 3} of the key-ordered low ORC file == keys 0 and 3
+    w.delete_positions([(low["file_path"], 0), (low["file_path"], 3)])
+    back = scan_iceberg_changelog(spark, tmp, from_snapshot_id=v1)
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "maint_iceberg_rewrite_deletes",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -1565,12 +1565,14 @@ def test_mor_delete_over_100k_matches_stays_off_driver(spark, tmp_path):
     assert scan_iceberg_table(spark, d).count() == 600000 - expected_dead
 
 
-def test_changelog_scan_replace_skips_and_cow_refuses(spark, tmp_path):
+def test_changelog_scan_replace_skips_and_cow_diffs(spark, tmp_path):
     """Changelog scan invariants beyond the oracle-checked key: a
     `replace` (compaction) snapshot inside the window contributes NO
     change rows (the Iceberg analog of Delta's dataChange=false rule);
     deletes already dead before the window do not re-surface; a window
-    crossing a copy-on-write rewrite refuses loudly."""
+    crossing a copy-on-write rewrite reports exactly the NET row changes
+    (round 12 — previously a loud refusal), and a valid window whose
+    snapshots all contribute nothing returns an EMPTY typed frame."""
     from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
         scan_iceberg_changelog,
     )
@@ -1599,14 +1601,53 @@ def test_changelog_scan_replace_skips_and_cow_refuses(spark, tmp_path):
     assert set(by_kind) == {("delete", 2), ("insert", 4)}
     # a delete already applied BEFORE the window does not re-surface:
     # window (v2, head] after another MoR delete reports only that one
-    w.delete_where_mor("n_nationkey = 20")
+    v4 = w.delete_where_mor("n_nationkey = 20")
     ch3 = scan_iceberg_changelog(spark, d, from_snapshot_id=v3).collect()
     assert [(r["_change_type"], r["n_nationkey"]) for r in ch3] == [
         ("delete", 20)
     ]
-    # CoW rewrite in the window: loud refusal (no row lineage)
-    w.delete_where_cow("n_nationkey = 21")
-    import pytest as _pytest
+    # CoW rewrite in the window (round 12; was a refusal): the rewrite
+    # removes the touched file and re-adds survivors — the diff reports
+    # exactly the one deleted row; carried-over rows cancel, and the row
+    # MoR-deleted before the rewrite (20) does not re-surface
+    v5 = w.delete_where_cow("n_nationkey = 21")
+    ch4 = scan_iceberg_changelog(spark, d, from_snapshot_id=v4).collect()
+    assert [(r["_change_type"], r["n_nationkey"]) for r in ch4] == [
+        ("delete", 21)
+    ]
+    # the MoR delete + CoW delete window reports both, each under its seq
+    ch5 = scan_iceberg_changelog(spark, d, from_snapshot_id=v3).collect()
+    assert sorted(
+        (r["_change_type"], r["n_nationkey"]) for r in ch5
+    ) == [("delete", 20), ("delete", 21)]
+    assert len({r["_commit_seq"] for r in ch5}) == 2
+    # valid window with ONLY maintenance commits: empty typed frame
+    w.rewrite_data()
+    empty = scan_iceberg_changelog(spark, d, from_snapshot_id=v5)
+    assert empty.count() == 0
+    assert empty.columns[-2:] == ["_change_type", "_commit_seq"]
 
-    with _pytest.raises(NotImplementedError, match="copy-on-write"):
-        scan_iceberg_changelog(spark, d, from_snapshot_id=v3)
+
+def test_changelog_eq_dead_rows_do_not_resurface(spark, tmp_path):
+    """ADVICE r11 #1 regression: a row killed by an EQUALITY delete, then
+    re-marked by a later position delete (delete_where_mor's probe scans
+    raw files and re-marks eq-dead ordinals by design), must surface in
+    the changelog exactly ONCE — the second snapshot's victims are drawn
+    from the pre-snapshot VISIBLE rows, where the row is already gone."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        scan_iceberg_changelog,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "eqdead")
+    w = IcebergTableWriter(spark, d)
+    v1 = w.append(n.filter("n_nationkey < 10"))
+    w.delete_keys(["n_nationkey"], [(4,)])  # equality delete kills key 4
+    # position-delete probe matches the raw-file row for key 4 again,
+    # plus a genuinely live key
+    w.delete_where_mor("n_nationkey in (4, 6)")
+    ch = scan_iceberg_changelog(spark, d, from_snapshot_id=v1).collect()
+    got = sorted((r["_change_type"], r["n_nationkey"]) for r in ch)
+    # ONE delete for key 4 (the equality snapshot's), one for key 6
+    assert got == [("delete", 4), ("delete", 6)], got
+    assert len({r["_commit_seq"] for r in ch}) == 2
