@@ -2268,21 +2268,66 @@ class IcebergTableWriter:
         if not pos:
             raise ValueError("no position delete files to rewrite")
         # classify the existing content=1 manifests: all-position ones are
-        # replaced; any holding equality entries is kept untouched (this
-        # repo's writers never mix contents in one delete manifest)
+        # replaced; all-equality ones are kept untouched; a MIXED manifest
+        # (legal per spec — external writers may commit both flavors of one
+        # MERGE in one manifest; round 12, was a refusal) splits: its
+        # position entries are superseded by the consolidated rewrite and
+        # its equality entries survive in a rewritten manifest with
+        # inherited sequence numbers resolved explicitly (an EXISTING entry
+        # must carry its own number once it leaves the adding manifest).
         keep: list[dict] = []
         for mf in self._manifests:
             if mf.get("content", 0) != 1:
                 keep.append(mf)
                 continue
-            _, entries = read_container(mf["manifest_path"])
+            mmeta, entries = read_container(mf["manifest_path"])
             contents = {e["data_file"]["content"] for e in entries}
             if contents == {CONTENT_POSITION_DELETES}:
                 continue  # superseded by the consolidated rewrite
             if CONTENT_POSITION_DELETES in contents:
-                raise NotImplementedError(
-                    "delete manifest mixes position and equality files"
+                eq_entries, eq_rows = [], 0
+                for e in entries:
+                    if e["data_file"]["content"] != CONTENT_EQUALITY_DELETES:
+                        continue
+                    seq = e.get("sequence_number")
+                    if seq is None:  # inheritance: resolve before carrying
+                        seq = mf["sequence_number"]
+                    eq_entries.append(
+                        {
+                            **e,
+                            "status": STATUS_EXISTING,
+                            "sequence_number": seq,
+                        }
+                    )
+                    eq_rows += e["data_file"]["record_count"]
+                path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
+                self._avro.write(
+                    path,
+                    _manifest_entry_schema(
+                        self._fields_for_spec(mf.get("partition_spec_id", 0))
+                    ),
+                    eq_entries,
+                    meta={
+                        k: v.decode() if isinstance(v, (bytes, bytearray)) else v
+                        for k, v in (mmeta.get("meta") or {}).items()
+                        if not k.startswith("avro.")  # container-reserved
+                    },
+                    codec="deflate",
                 )
+                keep.append(
+                    {
+                        **mf,
+                        "manifest_path": path,
+                        "manifest_length": os.path.getsize(path),
+                        "added_files_count": 0,
+                        "existing_files_count": len(eq_entries),
+                        "deleted_files_count": 0,
+                        "added_rows_count": 0,
+                        "existing_rows_count": eq_rows,
+                        "deleted_rows_count": 0,
+                    }
+                )
+                continue
             keep.append(mf)
         live_norm = {
             re.sub(r"^file:/+", "/", f["file_path"]): f["file_path"]

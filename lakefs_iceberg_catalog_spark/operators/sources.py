@@ -18,6 +18,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -858,6 +859,102 @@ def maint_iceberg_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
     _, dels1 = iceberg_snapshot_files(tmp)
     # consolidated: ONE delete file (file A's), duplicate + dangling gone
     assert len(dels1) == 1 and dels1[0]["record_count"] == 2
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "maint_iceberg_rewrite_deletes_mixed",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey NOT IN (1, 2, 11, 15)
+""",
+)
+def maint_iceberg_rewrite_deletes_mixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``rewrite_position_delete_files`` over a delete manifest MIXING
+    position and equality files (VERDICT r11 #4; previously a refusal):
+    the spec allows one MERGE commit to land both flavors in one
+    content=1 manifest — external writers do — so the fixture commits
+    exactly that shape (position ordinals {1,2} of the low file + an
+    equality delete on key 15 in ONE manifest), overlaps it with a
+    second plain MoR delete (key 2 marked twice, plus key 11), then
+    compacts. The mixed manifest SPLITS: its position entries are
+    superseded by the consolidated rewrite, its equality entry survives
+    in a rewritten manifest with its inherited sequence number resolved
+    explicitly — post-compaction the table carries one consolidated
+    position-delete file per still-covered target plus the intact
+    equality delete, and the visible rows are provably unchanged.
+
+    Scale: same delete-row-proportional cost as the plain rewrite — one
+    distributed read of the old position files, zero data reads; the
+    split adds one metadata-sized manifest rewrite."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..catalog.iceberg_format import (
+        CONTENT_EQUALITY_DELETES,
+        CONTENT_POSITION_DELETES,
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-rewritedel-mixed-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 10").orderBy("n_nationkey"))
+    w.append(n.filter("n_nationkey >= 10").orderBy("n_nationkey"))
+    files, _ = iceberg_snapshot_files(tmp)
+    low = next(f for f in files if f["record_count"] == 10)
+    # ONE snapshot, ONE manifest, BOTH delete flavors — the external-
+    # writer shape the compactor must split (internal seams used to craft
+    # the layout; the operator under test is the public rewrite)
+    import uuid as _uuid
+
+    w._version += 1
+    w._sequence += 1
+    sid = int(_uuid.uuid4().int % (1 << 62))
+    pos_path = os.path.join(
+        w.data_dir, f"00000-{w._version}-{w._uuid}-deletes-00001.parquet"
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([low["file_path"]] * 2, pa.string()),
+                "pos": pa.array([1, 2], pa.int64()),
+            }
+        ),
+        pos_path,
+    )
+    _, eq_files = w._eq_delete_files(["n_nationkey"], [(15,)])
+    w._append_delete_manifest(
+        sid, [(pos_path, 2, {}, CONTENT_POSITION_DELETES, None)] + eq_files
+    )
+    w._commit_snapshot(sid, "delete")
+    w.delete_where_mor("n_nationkey in (2, 11)")  # key 2 marked TWICE
+    _, dels0 = iceberg_snapshot_files(tmp)
+    assert {f["content"] for f in dels0} == {
+        CONTENT_POSITION_DELETES,
+        CONTENT_EQUALITY_DELETES,
+    }
+    w.rewrite_position_deletes()
+    _, dels1 = iceberg_snapshot_files(tmp)
+    by_content = {}
+    for f in dels1:
+        by_content.setdefault(f["content"], []).append(f)
+    # consolidated: ONE position file per covered target (low + high),
+    # duplicate collapsed; the equality delete survives the split with
+    # its original sequence number
+    pos1 = by_content[CONTENT_POSITION_DELETES]
+    assert len(pos1) == 2 and sum(f["record_count"] for f in pos1) == 3
+    eq1 = by_content[CONTENT_EQUALITY_DELETES]
+    # the split preserves the eq entry's ORIGINAL sequence number (the
+    # mixed snapshot's, seq 3 — after the two appends), not the replace's
+    assert len(eq1) == 1 and int(eq1[0]["sequence_number"]) == 3
     back = scan_iceberg_table(spark, tmp).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
