@@ -2116,7 +2116,19 @@ def delta_table_changes(
             with open(_commit_path(table_dir, v)) as f:
                 lines = f.read().splitlines()
         except FileNotFoundError:
-            continue  # truncated by a checkpoint; fold above already vetted
+            # a commit JSON inside the window was log-cleaned: the
+            # maintenance-commit segmenter can no longer see whether it
+            # carried dataChange=false actions, and silently diffing
+            # across the gap would misreport every file an unseen
+            # OPTIMIZE rewrote as insert+delete churn (ADVICE r11 #3) —
+            # refuse loudly; the checkpoint holds only flattened state,
+            # not the per-commit dataChange flags a proof would need
+            raise ValueError(
+                f"Delta commit {v} missing (log-cleaned inside the CDF "
+                "window) — cannot prove the gap holds no dataChange="
+                "false maintenance commit; widen from_version past the "
+                "checkpoint or re-bootstrap the consumer"
+            ) from None
         flags = []
         for line in lines:
             if not line.strip():

@@ -777,7 +777,46 @@ def test_optimize_compacts_materializes_dvs_and_guards_cdf(spark, tmp_path):
     # vacuum reclaims orphaned deletion-vector bins too)
     assert len([p for p in gone if p.endswith(".parquet")]) == 2
     assert len([p for p in gone if p.endswith(".bin")]) == 1
-    assert _keys(spark, d) == [k for k in range(25) if k not in (3, 20)]
+
+
+def test_cdf_refuses_log_cleaned_gap(spark, tmp_path):
+    """ADVICE r11 #3 regression: a commit JSON missing INSIDE the CDF
+    window (log-cleaned past a checkpoint) must refuse loudly — the
+    maintenance-commit segmenter cannot see whether the cleaned commit
+    carried dataChange=false actions, and silently diffing across it
+    would misreport an unseen OPTIMIZE's rewrites as insert+delete
+    churn. Windows fully inside the surviving log keep working."""
+    import pytest as _pytest
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        delta_table_changes,
+    )
+
+    d = str(tmp_path / "cleaned")
+    w = DeltaTableWriter(spark, d)
+    n = _nation(spark)
+    w.commit(add_dfs=[n.where("n_nationkey < 8").orderBy("n_nationkey")])  # v0
+    w.commit(add_dfs=[n.where("n_nationkey >= 8")])  # v1
+    v_opt = w.optimize()  # v2: dataChange=false maintenance
+    v3 = w.delete_where_dv("n_nationkey = 20")  # v3
+    cp = w.checkpoint()
+    assert cp == v3
+    # log-clean every pre-checkpoint commit JSON (stock retention does
+    # this); the checkpoint is now the only base
+    for v in range(cp):
+        os.unlink(os.path.join(d, "_delta_log", f"{v:020d}.json"))
+    # the maintenance commit v2 is invisible inside (0, v3]: refuse
+    with _pytest.raises(ValueError, match="log-cleaned"):
+        delta_table_changes(spark, d, 0, v3)
+    with _pytest.raises(ValueError, match="log-cleaned"):
+        delta_table_changes(spark, d, v_opt - 1, v3)
+    # a later window whose interior commits all survive still works
+    v4 = w.delete_where_dv("n_nationkey = 21")
+    ch = delta_table_changes(spark, d, v3, v4).collect()
+    assert [(r["_change_type"], r["n_nationkey"]) for r in ch] == [
+        ("delete", 21)
+    ]
+    assert _keys(spark, d) == [k for k in range(25) if k not in (20, 21)]
 
 
 def test_optimize_partitioned_one_file_per_partition(spark, tmp_path):
