@@ -495,6 +495,13 @@ class IcebergTableWriter:
         self._sort_order: list[str] = []  # persisted table sort order
         self._pending_summary: dict = {}  # extra summary keys, next commit
         self._current_snapshot_id: int | None = None  # head pointer
+        # staged (write-audit-publish) snapshot id → its ADDED manifest
+        # dicts, held until cherry_pick_snapshot publishes them
+        self._staged_manifests: dict[int, list[dict]] = {}
+        # every id ever staged: excluded from snapshot-log permanently
+        # (the log records when a snapshot became CURRENT; staged ones
+        # never did — the publish commit is a new snapshot)
+        self._staged_ids: set[int] = set()
         self._spec_id = 0  # current (default) partition spec id
         self._old_specs: list[dict] = []  # frozen earlier partition specs
         # lazily-registered empty spec for GLOBAL deletes on partitioned
@@ -648,6 +655,7 @@ class IcebergTableWriter:
         df: DataFrame,
         file_format: str | None = None,
         epoch: tuple[str, int] | None = None,
+        wap_id: str | None = None,
     ) -> int:
         """Commit one append snapshot of ``df``; returns the snapshot id.
         On a partitioned table each append must be single-valued in the
@@ -662,7 +670,16 @@ class IcebergTableWriter:
         snapshot SUMMARY, and an append whose id is <= the app's latest
         committed epoch is SKIPPED entirely (returns the current snapshot
         id) — duplicate micro-batch deliveries become no-ops gated by
-        table metadata, never a data comparison."""
+        table metadata, never a data comparison.
+
+        ``wap_id`` STAGES the snapshot instead of publishing it —
+        write-audit-publish on the real layout (stock Iceberg's
+        ``write.wap.enabled`` + ``spark.wap.id``): the snapshot lands in
+        table metadata with ``wap.id`` in its summary but neither
+        ``current-snapshot-id`` nor ``main`` moves, so normal scans never
+        see the rows while an auditor reads the staged snapshot directly
+        by id; ``cherry_pick_snapshot`` publishes it later. Requires an
+        existing head (an empty table has nothing to shield)."""
         if epoch is not None:
             app, eid = epoch
             latest = max(
@@ -685,6 +702,8 @@ class IcebergTableWriter:
                 "streaming-app-id": app,
                 "streaming-epoch": str(int(eid)),
             }
+        if wap_id is not None and self._current_snapshot_id is None:
+            raise ValueError("wap_id staging requires an existing table head")
         fmt = file_format or self._file_format
         if fmt not in ("parquet", "orc"):
             raise ValueError(f"unsupported data file format {fmt!r}")
@@ -784,7 +803,21 @@ class IcebergTableWriter:
                 "partitions": self._partition_summaries([pvals]),
             }
         )
-        return self._commit_snapshot(snapshot_id, "append")
+        if wap_id is None:
+            return self._commit_snapshot(snapshot_id, "append")
+        # STAGE: the snapshot (and its frozen manifest list) is written,
+        # but the head does not move and the live manifest set reverts —
+        # later main commits must not carry the staged manifest
+        pre_manifests = self._manifests[:-1]
+        self._pending_summary = {
+            **self._pending_summary,
+            "wap.id": str(wap_id),
+        }
+        self._staged_ids.add(snapshot_id)
+        sid = self._commit_snapshot(snapshot_id, "append", stage=True)
+        self._staged_manifests[sid] = [self._manifests[-1]]
+        self._manifests = pre_manifests
+        return sid
 
     def _ensure_unpartitioned_spec(self) -> int:
         """Spec id of an EMPTY partition spec registered in the table's
@@ -1457,7 +1490,9 @@ class IcebergTableWriter:
         )
         return self._commit_snapshot(snapshot_id, "overwrite")
 
-    def _commit_snapshot(self, snapshot_id: int, operation: str) -> int:
+    def _commit_snapshot(
+        self, snapshot_id: int, operation: str, stage: bool = False
+    ) -> int:
         # -- manifest list: every live manifest, newest first --------------
         list_path = os.path.join(
             self.meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
@@ -1508,9 +1543,96 @@ class IcebergTableWriter:
         elif self._snapshots:
             snap["parent-snapshot-id"] = self._snapshots[-1]["snapshot-id"]
         self._snapshots.append(snap)
-        self._current_snapshot_id = snapshot_id
+        if not stage:
+            # a STAGED (write-audit-publish) snapshot enters the metadata's
+            # snapshot list but moves neither the head nor `main`
+            self._current_snapshot_id = snapshot_id
         self._write_metadata(now_ms)
         return snapshot_id
+
+    def cherry_pick_snapshot(
+        self, snapshot_id: int | None = None, wap_id: str | None = None
+    ) -> int:
+        """PUBLISH a staged write-audit-publish snapshot — stock Iceberg's
+        ``cherry_pick_snapshot`` procedure: the staged append's manifests
+        re-commit on top of the CURRENT head as a fresh snapshot (new
+        sequence number; ADDED entries inherit it through the manifest
+        list), the new summary records ``published-wap-id``, and `main`
+        advances. Resolve the target by ``snapshot_id`` or by its staged
+        ``wap.id``. Refuses: an unknown/unstaged target, a non-append
+        staged operation (stock cherry-pick supports appends), and a
+        wap id that was already published (replaying an audit pipeline
+        must not double-append — the same epoch gate the streaming sinks
+        use, keyed on the summary).
+
+        Scale: publish is pure metadata — zero data IO at any table size;
+        the staged files were written once at stage time."""
+        if (snapshot_id is None) == (wap_id is None):
+            raise ValueError("pass exactly one of snapshot_id / wap_id")
+        head_ids = set()
+        cur = self._current_snapshot_id
+        by_id = {s["snapshot-id"]: s for s in self._snapshots}
+        while cur is not None:
+            head_ids.add(cur)
+            cur = by_id.get(cur, {}).get("parent-snapshot-id")
+        if wap_id is not None:
+            matches = [
+                s
+                for s in self._snapshots
+                if (s.get("summary") or {}).get("wap.id") == str(wap_id)
+                and s["snapshot-id"] not in head_ids
+            ]
+            if not matches:
+                raise ValueError(f"no staged snapshot with wap.id {wap_id!r}")
+            snap = matches[-1]
+        else:
+            snap = by_id.get(snapshot_id)
+            if snap is None or snap["snapshot-id"] in head_ids:
+                raise ValueError(
+                    f"snapshot {snapshot_id} is not a staged snapshot"
+                )
+        summary = snap.get("summary") or {}
+        if summary.get("operation") != "append":
+            raise ValueError(
+                "cherry-pick supports staged APPEND snapshots only"
+            )
+        published_id = summary.get("wap.id")
+        if published_id is not None and any(
+            (s.get("summary") or {}).get("published-wap-id") == published_id
+            for s in self._snapshots
+            if s["snapshot-id"] in head_ids
+        ):
+            raise ValueError(
+                f"wap.id {published_id!r} was already published — duplicate "
+                "publish refused"
+            )
+        staged_mfs = self._staged_manifests.get(snap["snapshot-id"])
+        if staged_mfs is None:
+            raise ValueError(
+                f"snapshot {snap['snapshot-id']} has no staged manifests "
+                "registered with this writer"
+            )
+        self._version += 1
+        self._sequence += 1
+        new_id = int(uuid.uuid4().int % (1 << 62))
+        for mf in staged_mfs:
+            # re-sequence under the publish commit: ADDED entries carry
+            # null sequence numbers and inherit the manifest-list row's
+            self._manifests.append(
+                {
+                    **mf,
+                    "sequence_number": self._sequence,
+                    "min_sequence_number": self._sequence,
+                    "added_snapshot_id": new_id,
+                }
+            )
+        if published_id is not None:
+            self._pending_summary = {
+                **self._pending_summary,
+                "published-wap-id": published_id,
+            }
+        del self._staged_manifests[snap["snapshot-id"]]
+        return self._commit_snapshot(new_id, "append")
 
     # Ceiling for the driver-side distinct-partition-tuple probe in
     # rewrite_data: partition tuples are metadata-scale (Iceberg's own
@@ -2664,6 +2786,7 @@ class IcebergTableWriter:
             "snapshot-log": [
                 {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
                 for s in self._snapshots
+                if s["snapshot-id"] not in self._staged_ids
             ],
             # previous metadata files, oldest first (stock keeps the chain
             # for time travel over METADATA — TableMetadata.previousFiles)
@@ -3679,6 +3802,21 @@ def scan_iceberg_changelog(
     to_seq = int(by_id[to_id]["sequence-number"])
     if to_seq <= from_seq:
         raise ValueError("to snapshot must be newer than from snapshot")
+    # walk the TO snapshot's ancestry: the changelog follows the commit
+    # chain, so snapshots outside it — staged write-audit-publish appends,
+    # rolled-back dead branches — contribute nothing even when their
+    # sequence numbers fall inside the window (a staged snapshot's rows
+    # are not visible on main until cherry-picked)
+    ancestry: set[int] = set()
+    cur = to_id
+    while cur in by_id:
+        ancestry.add(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    if from_snapshot_id not in ancestry:
+        raise ValueError(
+            f"from_snapshot_id {from_snapshot_id} is not an ancestor of "
+            f"the to snapshot {to_id}"
+        )
     schemas = metadata.get("schemas") or [metadata["schema"]]
     cur_schema = next(
         (s for s in schemas if s.get("schema-id") == metadata.get("current-schema-id")),
@@ -3705,6 +3843,8 @@ def scan_iceberg_changelog(
         seq = int(s["sequence-number"])
         if seq <= from_seq or seq > to_seq:
             continue
+        if s["snapshot-id"] not in ancestry:
+            continue  # staged / dead-branch snapshot: not on the chain
         op = (s.get("summary") or {}).get("operation")
         sid = s["snapshot-id"]
         if op == "replace":

@@ -866,6 +866,63 @@ def maint_iceberg_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "sink_iceberg_wap_publish",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def sink_iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on the real Iceberg v2 layout (VERDICT r11 #9
+    stretch — completes the refs story next to tags/branches): an append
+    staged with a ``wap.id`` lands in table metadata WITHOUT moving
+    ``current-snapshot-id``/``main`` (asserted mid-flow: the head scan
+    stays at the pre-stage rows while the auditor reads the staged
+    snapshot directly by id), then ``cherry_pick_snapshot`` publishes it
+    as a fresh snapshot whose summary records ``published-wap-id`` —
+    stock Iceberg's ``write.wap.enabled`` + cherry-pick procedure. A
+    duplicate publish of the same wap id refuses (the audit pipeline's
+    replay gate), as does cherry-picking an unknown id.
+
+    Scale: staging writes the data once; audit and publish are pure
+    metadata at any table size — the pattern that lets a 100 TB ingest
+    run quality checks BEFORE its rows become visible."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        read_table_metadata,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-wap-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12"))
+    staged = w.append(n.filter("n_nationkey >= 12"), wap_id="audit-1")
+    # staged rows invisible to main; auditable by snapshot id
+    assert scan_iceberg_table(spark, tmp).count() == 12
+    assert (
+        scan_iceberg_table(spark, tmp, snapshot_id=staged).count() == 25
+    )
+    meta = read_table_metadata(tmp)
+    assert meta["refs"]["main"]["snapshot-id"] != staged
+    sn = next(s for s in meta["snapshots"] if s["snapshot-id"] == staged)
+    assert sn["summary"]["wap.id"] == "audit-1"
+    pub = w.cherry_pick_snapshot(wap_id="audit-1")
+    meta2 = read_table_metadata(tmp)
+    assert meta2["refs"]["main"]["snapshot-id"] == pub
+    sn2 = next(s for s in meta2["snapshots"] if s["snapshot-id"] == pub)
+    assert sn2["summary"]["published-wap-id"] == "audit-1"
+    try:
+        w.cherry_pick_snapshot(wap_id="audit-1")
+        raise AssertionError("duplicate publish must refuse")
+    except ValueError:
+        pass
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "maint_iceberg_rewrite_deletes_mixed",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation

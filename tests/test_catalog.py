@@ -1149,9 +1149,11 @@ def test_two_level_partition_spec(cat, spark):
 
 def test_cdc_apply_merge_on_read(cat, spark):
     """Merge-on-read CDC apply: an epoch writes only the upsert rows and
-    stamps an IN-list delete predicate for the touched keys — no
-    pre-existing file rewritten — with epoch replay refused and compact()
-    folding the predicates away."""
+    stamps ONE equality-delete file of the touched key tuples onto the
+    pre-existing files — no rewrite, no driver-side key collection, no
+    per-epoch cap (round 12; was a 10k-key IN-literal) — with epoch
+    replay refused, multi-column keys supported, and compact() folding
+    the entries away."""
     t = "repo.main.company.workers"
     ops = cat._ops(t)[0]
     files_before = set(ops.current().files)
@@ -1171,22 +1173,50 @@ def test_cdc_apply_merge_on_read(cat, spark):
     assert not cat.apply_cdc_batch(t, epoch0, ["id"], 0, mode="merge-on-read")
     m = ops.current()
     assert files_before <= set(m.files)  # old files kept (MoR)
-    assert m.delete_preds
+    # the touched keys ride an equality-delete file, not a predicate
+    assert not m.delete_preds
+    assert any(m.equality_deletes.get(f) for f in files_before)
+    assert all(not m.equality_deletes.get(f) for f in set(m.files) - files_before)
     got = {r["id"]: r["age"] for r in cat.scan(t).collect()}
     assert got == {"1": 32, "2": 99, "3": 41, "4": 36, "6": 31, "7": 33}
-    # quote-bearing string keys can't break the predicate
+    # quote-bearing string keys are plain values in the key file
     epoch1 = spark.createDataFrame(
         [("I", "o'brien", "O", "Brien", 20, "M")], ch_schema
     )
     assert cat.apply_cdc_batch(t, epoch1, ["id"], 1, mode="merge-on-read")
     assert cat.scan(t).filter("id = \"o'brien\"").count() == 1
     assert cat.scan(t).count() == 7
+    # MULTI-COLUMN key epochs stamp one file carrying the whole tuple
+    epoch2 = spark.createDataFrame(
+        [("U", "2", "Michael", "Rose", 100, "M")], ch_schema
+    )
+    assert cat.apply_cdc_batch(
+        t, epoch2, ["id", "gender"], 2, mode="merge-on-read"
+    )
+    assert {
+        r["age"] for r in cat.scan(t).filter("id = '2'").collect()
+    } == {100}
     cat.compact(t)
     assert not ops.current().delete_preds
+    assert not ops.current().equality_deletes
     assert cat.scan(t).count() == 7
+    # a BULK epoch far beyond the old 10k cap applies green: the key set
+    # never touches the driver (VERDICT r11 #7's done-bar)
+    bulk = spark.range(0, 12_000).selectExpr(
+        "'I' AS op",
+        "concat('bulk-', id) AS id",
+        "'B' AS firstname",
+        "'Ulk' AS lastname",
+        "CAST(id % 80 AS INT) AS age",
+        "CASE WHEN id % 2 = 0 THEN 'M' ELSE 'F' END AS gender",
+    )
+    assert cat.apply_cdc_batch(t, bulk, ["id"], 3, mode="merge-on-read")
+    assert cat.scan(t).count() == 7 + 12_000
     # unsupported shapes are refused up front
     with pytest.raises(UnsupportedOperationError):
-        cat.apply_cdc_batch(t, epoch1, ["id", "gender"], 9, mode="merge-on-read")
+        cat.apply_cdc_batch(t, epoch1, ["missing_col"], 9, mode="merge-on-read")
+    with pytest.raises(UnsupportedOperationError):
+        cat.apply_cdc_batch(t, epoch1, [], 9, mode="merge-on-read")
     with pytest.raises(UnsupportedOperationError):
         cat.apply_cdc_batch(t, epoch1, ["id"], 9, mode="nope")
 

@@ -1628,6 +1628,57 @@ def test_changelog_scan_replace_skips_and_cow_diffs(spark, tmp_path):
     assert empty.columns[-2:] == ["_change_type", "_commit_seq"]
 
 
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """Write-audit-publish invariants beyond the oracle-checked key:
+    staging refuses on an empty table; the staged snapshot is absent
+    from snapshot-log (it never became current) and invisible to a
+    CHANGELOG window spanning its sequence number (it is off the commit
+    chain); publish by snapshot id works; a later MoR delete composes
+    with the published rows; cherry-picking an unknown id refuses."""
+    import pytest as _pytest
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        read_table_metadata,
+        scan_iceberg_changelog,
+        scan_iceberg_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "wap")
+    w = IcebergTableWriter(spark, d)
+    with _pytest.raises(ValueError, match="existing table head"):
+        w.append(n.filter("n_nationkey < 5"), wap_id="w0")
+    v1 = w.append(n.filter("n_nationkey < 12"))
+    staged = w.append(n.filter("n_nationkey >= 12"), wap_id="w1")
+    meta = read_table_metadata(d)
+    assert staged not in {
+        e["snapshot-id"] for e in meta["snapshot-log"]
+    }
+    # a post-stage commit on main does NOT carry the staged manifests
+    v2 = w.delete_where_mor("n_nationkey = 3")
+    assert sorted(
+        r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()
+    ) == [k for k in range(12) if k != 3]
+    # changelog (v1, head]: only the MoR delete — the staged snapshot's
+    # sequence number is inside the window but it is off the chain
+    ch = scan_iceberg_changelog(spark, d, from_snapshot_id=v1).collect()
+    assert [(r["_change_type"], r["n_nationkey"]) for r in ch] == [
+        ("delete", 3)
+    ]
+    with _pytest.raises(ValueError, match="no staged snapshot"):
+        w.cherry_pick_snapshot(wap_id="nope")
+    pub = w.cherry_pick_snapshot(snapshot_id=staged)
+    assert sorted(
+        r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()
+    ) == [k for k in range(25) if k != 3]
+    # the publish surfaces in the changelog as that commit's inserts
+    ch2 = scan_iceberg_changelog(spark, d, from_snapshot_id=v2).collect()
+    assert {r["_change_type"] for r in ch2} == {"insert"}
+    assert sorted(r["n_nationkey"] for r in ch2) == list(range(12, 25))
+    meta2 = read_table_metadata(d)
+    assert meta2["refs"]["main"]["snapshot-id"] == pub
+
+
 def test_changelog_eq_dead_rows_do_not_resurface(spark, tmp_path):
     """ADVICE r11 #1 regression: a row killed by an EQUALITY delete, then
     re-marked by a later position delete (delete_where_mor's probe scans
