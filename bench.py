@@ -225,6 +225,12 @@ EXTRA = [
     "source_iceberg_delete_files_table",
     "source_delta_history",
     "source_delta_detail",
+    # round-12 additions
+    "source_iceberg_changelog_cow",
+    "source_iceberg_changelog_evolved",
+    "source_iceberg_changelog_orc",
+    "maint_iceberg_rewrite_deletes_mixed",
+    "sink_iceberg_wap_publish",
 ]
 
 

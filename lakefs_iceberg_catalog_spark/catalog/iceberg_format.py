@@ -3683,10 +3683,20 @@ def iceberg_incremental_append_files(
         raise ValueError(
             f"to snapshot (seq {to_seq}) is older than from snapshot (seq {from_seq})"
         )
+    # judge the range over the TO snapshot's ANCESTRY only: a staged
+    # write-audit-publish snapshot or a rolled-back dead branch may hold
+    # an in-range sequence number, but its files are not in the `to`
+    # walk and its operation must not trip the purity guard
+    ancestry: set[int] = set()
+    cur = to_id
+    while cur in by_id:
+        ancestry.add(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
     non_append = [
         s["snapshot-id"]
         for s in snaps
-        if from_seq < int(s["sequence-number"]) <= to_seq
+        if s["snapshot-id"] in ancestry
+        and from_seq < int(s["sequence-number"]) <= to_seq
         and (s.get("summary") or {}).get("operation") != "append"
     ]
     if non_append:

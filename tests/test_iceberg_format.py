@@ -1679,6 +1679,27 @@ def test_wap_stage_audit_publish(spark, tmp_path):
     assert meta2["refs"]["main"]["snapshot-id"] == pub
 
 
+def test_incremental_scan_ignores_staged_snapshots(spark, tmp_path):
+    """IncrementalAppendScan purity is judged over the TO snapshot's
+    ancestry: a staged WAP snapshot (or dead branch) with an in-range
+    sequence number neither contributes files nor trips the
+    non-append guard."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        scan_iceberg_incremental,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "incwap")
+    w = IcebergTableWriter(spark, d)
+    v1 = w.append(n.filter("n_nationkey < 10"))
+    w.append(n.filter("n_nationkey >= 20"), wap_id="held")  # staged
+    w.append(n.filter("n_nationkey between 10 and 14"))
+    got = scan_iceberg_incremental(spark, d, from_snapshot_id=v1)
+    assert sorted(r["n_nationkey"] for r in got.collect()) == list(
+        range(10, 15)
+    )
+
+
 def test_changelog_eq_dead_rows_do_not_resurface(spark, tmp_path):
     """ADVICE r11 #1 regression: a row killed by an EQUALITY delete, then
     re-marked by a later position delete (delete_where_mor's probe scans
