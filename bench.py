@@ -231,6 +231,7 @@ EXTRA = [
     "source_iceberg_changelog_orc",
     "maint_iceberg_rewrite_deletes_mixed",
     "sink_iceberg_wap_publish",
+    "source_iceberg_avro",
 ]
 
 

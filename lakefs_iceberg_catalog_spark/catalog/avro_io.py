@@ -154,10 +154,9 @@ def _register_name(schema: dict, names: dict) -> None:
         names.setdefault(f"{ns}.{name}", schema)
 
 
-def read_container(path: str) -> tuple[dict, list[dict]]:
-    """Parse an Avro Object Container File: returns (file metadata with the
-    parsed writer ``schema``, list of decoded records). Codecs: null,
-    deflate (raw zlib, the two every Iceberg writer emits by default)."""
+def _open_container(path: str) -> tuple[dict, "_Reader", bytes]:
+    """Parse the container header; returns (meta dict incl. parsed
+    ``schema``, positioned reader, sync marker)."""
     with open(path, "rb") as f:
         data = f.read()
     r = _Reader(data)
@@ -171,21 +170,59 @@ def read_container(path: str) -> tuple[dict, list[dict]]:
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
         raise AvroDecodeError(f"unsupported Avro codec: {codec}")
-    records: list[dict] = []
-    names: dict = {}
+    return {"schema": schema, "codec": codec, "meta": meta}, r, sync
+
+
+def iter_container(path: str):
+    """Stream an Avro Object Container File BLOCK BY BLOCK: returns
+    ``(meta, blocks)`` where ``blocks`` yields one list of decoded records
+    per container block — peak memory is one block, never the file (the
+    property the executor-side data-file scan needs; mirrors the ORC
+    stripe streaming)."""
+    meta, r, sync = _open_container(path)
+    schema, codec = meta["schema"], meta["codec"]
+
+    def blocks():
+        names: dict = {}
+        while not r.at_end():
+            count = r.read_long()
+            block = r.read_bytes()
+            if r._take(16) != sync:
+                raise AvroDecodeError("sync marker mismatch (corrupt block)")
+            if codec == "deflate":
+                block = zlib.decompress(block, -15)
+            br = _Reader(block)
+            out = [br.read_value(schema, names) for _ in range(count)]
+            if not br.at_end():
+                raise AvroDecodeError("trailing bytes in Avro block")
+            yield out
+
+    return meta, blocks()
+
+
+def count_container_rows(path: str) -> int:
+    """Total record count from the BLOCK HEADERS only (each block leads
+    with its count and byte length; the data is skipped, not decoded) —
+    the footer-style metadata pass the single-file writer uses."""
+    _, r, sync = _open_container(path)
+    total = 0
     while not r.at_end():
-        count = r.read_long()
-        block = r.read_bytes()
+        total += r.read_long()
+        r._take(r.read_long())  # skip the (possibly compressed) block
         if r._take(16) != sync:
             raise AvroDecodeError("sync marker mismatch (corrupt block)")
-        if codec == "deflate":
-            block = zlib.decompress(block, -15)
-        br = _Reader(block)
-        for _ in range(count):
-            records.append(br.read_value(schema, names))
-        if not br.at_end():
-            raise AvroDecodeError("trailing bytes in Avro block")
-    return {"schema": schema, "codec": codec, "meta": meta}, records
+    return total
+
+
+def read_container(path: str) -> tuple[dict, list[dict]]:
+    """Parse an Avro Object Container File: returns (file metadata with the
+    parsed writer ``schema``, list of decoded records). Codecs: null,
+    deflate (raw zlib, the two every Iceberg writer emits by default)."""
+    meta, blocks = iter_container(path)
+    records: list[dict] = []
+    for block in blocks:
+        records.extend(block)
+    return meta, records
 
 
 def _avro_json(schema, value, names):
@@ -254,6 +291,149 @@ def _branch_tag(branch, names) -> str:
         ns = branch.get("namespace")
         return f"{ns}.{branch['name']}" if ns else branch["name"]
     return t
+
+
+class _Writer:
+    """Binary ENCODER twin of ``_Reader`` (Avro 1.12 spec, 'Binary
+    encoding') for the subset Iceberg DATA files need: primitives,
+    ``["null", T]`` unions, flat records. Pure Python and pickle-free,
+    so executor tasks can stream rows straight to an Avro data file
+    without py4j (the JVM writer is driver-only)."""
+
+    def __init__(self):
+        self._buf = io.BytesIO()
+
+    def getvalue(self) -> bytes:
+        return self._buf.getvalue()
+
+    def write_long(self, v: int) -> None:
+        v = (v << 1) ^ (v >> 63) if v >= 0 else ((-v - 1) << 1) | 1  # zig-zag
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                self._buf.write(bytes([b | 0x80]))
+            else:
+                self._buf.write(bytes([b]))
+                return
+
+    def write_bytes(self, v: bytes) -> None:
+        self.write_long(len(v))
+        self._buf.write(v)
+
+    def write_value(self, schema, value) -> None:
+        if isinstance(schema, list):  # union: branch index then value
+            if value is None:
+                if "null" not in schema:
+                    raise ValueError("None for a union without null")
+                self.write_long(schema.index("null"))
+                return
+            branches = [(i, s) for i, s in enumerate(schema) if s != "null"]
+            if len(branches) != 1:
+                raise ValueError(
+                    "only [null, T] unions are supported by this encoder"
+                )
+            idx, branch = branches[0]
+            self.write_long(idx)
+            self.write_value(branch, value)
+            return
+        t = schema if isinstance(schema, str) else schema["type"]
+        if t == "null":
+            return
+        if t == "boolean":
+            self._buf.write(b"\x01" if value else b"\x00")
+        elif t in ("int", "long"):
+            self.write_long(int(value))
+        elif t == "float":
+            self._buf.write(struct.pack("<f", float(value)))
+        elif t == "double":
+            self._buf.write(struct.pack("<d", float(value)))
+        elif t == "bytes":
+            self.write_bytes(bytes(value))
+        elif t == "string":
+            self.write_bytes(str(value).encode("utf-8"))
+        elif t == "record":
+            for f in schema["fields"]:
+                self.write_value(f["type"], value[f["name"]])
+        elif t == "array":
+            value = list(value)
+            if value:
+                self.write_long(len(value))
+                for v in value:
+                    self.write_value(schema["items"], v)
+            self.write_long(0)
+        elif t == "map":
+            if value:
+                self.write_long(len(value))
+                for k, v in value.items():
+                    self.write_bytes(str(k).encode("utf-8"))
+                    self.write_value(schema["values"], v)
+            self.write_long(0)
+        elif isinstance(t, (dict, list)):
+            self.write_value(t, value)
+        else:
+            raise ValueError(f"unsupported Avro type for encoding: {t!r}")
+
+
+def write_container(
+    path: str,
+    schema: dict,
+    records,
+    codec: str = "deflate",
+    block_records: int = 1000,
+) -> int:
+    """Write an Avro Object Container File with the from-scratch encoder:
+    spec framing (magic, metadata map, sync-marked blocks), streaming
+    ``records`` (any iterable of dicts) in ``block_records``-sized blocks
+    so peak memory is one block. Returns the record count. Deflate is raw
+    zlib, the codec stock Iceberg writers default to. Interop-pinned both
+    ways in tests: files written here are read back by the REAL Apache
+    Avro Java library AND by this module's independent reader."""
+    import os as _os
+
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec: {codec}")
+    sync = _os.urandom(16)
+    total = 0
+    with open(path, "wb") as f:
+        head = _Writer()
+        head._buf.write(MAGIC)
+        head.write_value(
+            {"type": "map", "values": "bytes"},
+            {
+                "avro.schema": json.dumps(schema).encode("utf-8"),
+                "avro.codec": codec.encode("utf-8"),
+            },
+        )
+        head._buf.write(sync)
+        f.write(head.getvalue())
+        block: list = []
+
+        def flush():
+            nonlocal block
+            if not block:
+                return
+            enc = _Writer()
+            for rec in block:
+                enc.write_value(schema, rec)
+            payload = enc.getvalue()
+            if codec == "deflate":
+                co = zlib.compressobj(9, zlib.DEFLATED, -15)
+                payload = co.compress(payload) + co.flush()
+            frame = _Writer()
+            frame.write_long(len(block))
+            frame.write_bytes(payload)
+            f.write(frame.getvalue())
+            f.write(sync)
+            block = []
+
+        for rec in records:
+            block.append(rec)
+            total += 1
+            if len(block) >= block_records:
+                flush()
+        flush()
+    return total
 
 
 class JvmAvroWriter:

@@ -471,7 +471,7 @@ class IcebergTableWriter:
         partition_by: list[str] | None = None,
         file_format: str = "parquet",
     ):
-        if file_format not in ("parquet", "orc"):
+        if file_format not in ("parquet", "orc", "avro"):
             raise ValueError(f"unsupported data file format {file_format!r}")
         self.spark = spark
         self.table_dir = table_dir
@@ -705,7 +705,7 @@ class IcebergTableWriter:
         if wap_id is not None and self._current_snapshot_id is None:
             raise ValueError("wap_id staging requires an existing table head")
         fmt = file_format or self._file_format
-        if fmt not in ("parquet", "orc"):
+        if fmt not in ("parquet", "orc", "avro"):
             raise ValueError(f"unsupported data file format {fmt!r}")
         if self._schema_json is None:
             self._schema_json = _iceberg_schema(df)
@@ -743,6 +743,10 @@ class IcebergTableWriter:
             from .parquet_io import write_single_orc
 
             n_rows = write_single_orc(df, data_path)
+        elif fmt == "avro":
+            from .parquet_io import write_single_avro
+
+            n_rows = write_single_avro(df, data_path)
         else:
             n_rows = write_single_parquet(df, data_path)
 
@@ -1149,6 +1153,7 @@ class IcebergTableWriter:
         orc_paths = [
             f["file_path"] for f in data if f["file_format"].upper() == "ORC"
         ]
+        avro_files = [f for f in data if f["file_format"].upper() == "AVRO"]
         parts = []
         if pq_paths:
             parts.append(
@@ -1163,10 +1168,32 @@ class IcebergTableWriter:
             )
         if orc_paths:
             parts.append(_orc_scan_with_ordinals(self.spark, orc_paths))
+        if avro_files:
+            # avro files group by their manifest write schema (the reader
+            # types rows from it); the probe predicate sees current names
+            # after the union, matching the parquet/ORC branches
+            by_ws: dict[str, list[str]] = {}
+            for f in avro_files:
+                by_ws.setdefault(f.get("_write_schema") or "", []).append(
+                    f["file_path"]
+                )
+            for ws_str, paths in sorted(by_ws.items()):
+                if not ws_str:
+                    raise NotImplementedError(
+                        "AVRO data file without a manifest write schema"
+                    )
+                parts.append(
+                    _avro_scan_with_ordinals(
+                        self.spark, paths, json.loads(ws_str)["fields"]
+                    )
+                )
         probe = parts[0]
         for p in parts[1:]:
             probe = probe.unionByName(p)
-        norm = {re.sub(r"^file:/+", "/", p): p for p in pq_paths + orc_paths}
+        norm = {
+            re.sub(r"^file:/+", "/", p): p
+            for p in pq_paths + orc_paths + [f["file_path"] for f in avro_files]
+        }
         return self._delete_positions_from_df(
             probe.filter(condition).select("_file", "_pos"), norm, data
         )
@@ -3268,6 +3295,83 @@ def _orc_scan_with_ordinals(spark: SparkSession, paths: list[str]) -> DataFrame:
     return paths_df.mapInPandas(_read, out_schema)
 
 
+def _avro_scan_with_ordinals(
+    spark: SparkSession, paths: list[str], ws_fields: list[dict]
+) -> DataFrame:
+    """Distributed AVRO data-file scan (the spec's third format; Spark
+    ships no avro DataSource in this deployment) that stamps each row
+    with its (_file, _pos) identity: one task per file streams the
+    container BLOCK BY BLOCK through the from-scratch reader
+    (avro_io.iter_container) — peak task memory is one block, mirroring
+    the ORC stripe streaming — and emits pandas frames typed to the
+    manifest's write schema (``ws_fields``: Iceberg field dicts).
+    Date/timestamp logical values decode from their int/long encodings."""
+    import pandas as pd  # noqa: F401  (executor fn builds frames)
+    from pyspark.sql import types as T
+
+    names = [f["name"] for f in ws_fields]
+    ice_types = [f["type"] for f in ws_fields]
+    ddl = ", ".join(
+        f"`{f['name']}` {_spark_type_of(f['type'])}" for f in ws_fields
+    )
+    out_schema = T.StructType.fromDDL(ddl).add("_file", "string").add(
+        "_pos", "long"
+    )
+
+    def _read(batches):
+        import datetime as _dt
+        import re as _re
+
+        import pandas as _pd
+
+        from .avro_io import iter_container
+
+        def col(vals, ice_t):
+            if ice_t == "date":
+                return _pd.Series(
+                    [
+                        None if v is None else _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+                        for v in vals
+                    ],
+                    dtype="object",
+                )
+            if ice_t.startswith("timestamp"):
+                return _pd.to_datetime(
+                    _pd.Series(vals, dtype="Int64"), unit="us"
+                )
+            if ice_t == "int":
+                return _pd.Series(vals, dtype="Int32")
+            if ice_t == "long":
+                return _pd.Series(vals, dtype="Int64")
+            if ice_t == "float":
+                return _pd.Series(vals, dtype="float32")
+            if ice_t == "double":
+                return _pd.Series(vals, dtype="float64")
+            return _pd.Series(vals, dtype="object")
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                rel = _re.sub(r"^file:/+", "/", p)
+                _, blocks = iter_container(p)
+                offset = 0
+                for recs in blocks:
+                    x = _pd.DataFrame(
+                        {
+                            n: col([r.get(n) for r in recs], t)
+                            for n, t in zip(names, ice_types)
+                        }
+                    )
+                    x["_file"] = rel
+                    x["_pos"] = range(offset, offset + len(recs))
+                    offset += len(recs)
+                    yield x
+
+    paths_df = local_df(
+        spark, [(p,) for p in sorted(paths)], "path string"
+    ).repartition(len(paths), "path")
+    return paths_df.mapInPandas(_read, out_schema)
+
+
 def _assemble_visible_scan(
     spark: SparkSession,
     data: list[dict],
@@ -3301,7 +3405,7 @@ def _assemble_visible_scan(
             ddl += ", `_file` string, `_pos` long"
         return local_df(spark, [], ddl)
     fmts = {f["file_format"].upper() for f in data + deletes}
-    unsupported = fmts - {"PARQUET", "ORC"}
+    unsupported = fmts - {"PARQUET", "ORC", "AVRO"}
     if unsupported:
         raise NotImplementedError(f"unsupported data file formats: {unsupported}")
     pos = [f for f in deletes if f["content"] == CONTENT_POSITION_DELETES]
@@ -3323,7 +3427,20 @@ def _assemble_visible_scan(
     parts = []
     projected = False
     for (fmt, ws_str), paths in sorted(groups.items()):
-        if fmt == "ORC" and need_meta:
+        if fmt == "AVRO":
+            # no avro DataSource in this deployment: always the
+            # block-streaming from-scratch reader, typed by the
+            # manifest's write schema (which every manifest embeds)
+            if not ws_str:
+                raise NotImplementedError(
+                    "AVRO data file without a manifest write schema"
+                )
+            part = _avro_scan_with_ordinals(
+                spark, paths, json.loads(ws_str)["fields"]
+            )
+            if not need_meta:
+                part = part.drop("_file", "_pos")
+        elif fmt == "ORC" and need_meta:
             # Spark's `_metadata.row_index` is parquet-only, so ORC files
             # under merge-on-read get their ordinals from an executor-side
             # pyarrow reader: one task per file opens it sequentially and
@@ -3732,7 +3849,7 @@ def scan_iceberg_incremental(
     by_fmt: dict[str, list[str]] = {}
     for f in files:
         by_fmt.setdefault(f["file_format"].upper(), []).append(f["file_path"])
-    unsupported = set(by_fmt) - {"PARQUET", "ORC"}
+    unsupported = set(by_fmt) - {"PARQUET", "ORC", "AVRO"}
     if unsupported:
         raise NotImplementedError(f"unsupported data file formats: {unsupported}")
     parts = []
@@ -3740,6 +3857,23 @@ def scan_iceberg_incremental(
         parts.append(spark.read.parquet(*by_fmt["PARQUET"]))
     if by_fmt.get("ORC"):
         parts.append(spark.read.orc(list(by_fmt["ORC"])))
+    if by_fmt.get("AVRO"):
+        avro_ws: dict[str, list[str]] = {}
+        for f in files:
+            if f["file_format"].upper() == "AVRO":
+                avro_ws.setdefault(f.get("_write_schema") or "", []).append(
+                    f["file_path"]
+                )
+        for ws_str, ps in sorted(avro_ws.items()):
+            if not ws_str:
+                raise NotImplementedError(
+                    "AVRO data file without a manifest write schema"
+                )
+            parts.append(
+                _avro_scan_with_ordinals(
+                    spark, ps, json.loads(ws_str)["fields"]
+                ).drop("_file", "_pos")
+            )
     df = parts[0]
     for extra_part in parts[1:]:
         df = df.unionByName(extra_part)

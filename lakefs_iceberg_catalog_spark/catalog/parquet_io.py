@@ -74,6 +74,93 @@ def write_single_orc(df: DataFrame, dest_path: str) -> int:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def avro_schema_of(schema) -> dict:
+    """Map a flat Spark schema to the Avro record schema an Iceberg AVRO
+    data file carries (spec primitives + date/timestamp logical types;
+    nullable columns become ``["null", T]`` unions). Nested types raise —
+    the fixture writers are flat, like the reference's tables."""
+    from pyspark.sql import types as T
+
+    def prim(dt):
+        if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            return "int"
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        raise ValueError(f"unsupported Spark type for Avro data file: {dt}")
+
+    return {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {
+                "name": f.name,
+                "type": ["null", prim(f.dataType)] if f.nullable else prim(f.dataType),
+            }
+            for f in schema.fields
+        ],
+    }
+
+
+def write_single_avro(df: DataFrame, dest_path: str) -> int:
+    """Avro twin of write_single_parquet (the spec's THIRD data format):
+    one executor-side task streams rows through the from-scratch Avro
+    container encoder (catalog/avro_io.write_container — block-buffered,
+    deflate) straight to ``dest_path``; the row count comes from the
+    container's block headers, a metadata-only pass. Single-JVM layout
+    note: the task writes to the shared local filesystem, the same
+    contract the parquet/ORC twins rely on; a cluster deployment points
+    dest at shared storage."""
+    import datetime as _dt
+
+    schema = df.schema
+    avro_schema = avro_schema_of(schema)
+    cols = schema.fieldNames()
+    epoch_day = _dt.date(1970, 1, 1)
+    epoch_ts = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    kinds = [type(f.dataType).__name__ for f in schema.fields]
+
+    def conv(kind, v):
+        if v is None:
+            return None
+        if kind == "DateType":
+            return (v - epoch_day).days
+        if kind == "TimestampType":
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return int((v - epoch_ts).total_seconds() * 1_000_000)
+        return v
+
+    def _write(rows):
+        from .avro_io import write_container
+
+        write_container(
+            dest_path,
+            avro_schema,
+            (
+                {c: conv(k, r[c]) for c, k in zip(cols, kinds)}
+                for r in rows
+            ),
+            codec="deflate",
+        )
+
+    df.coalesce(1).foreachPartition(_write)
+    from .avro_io import count_container_rows
+
+    return count_container_rows(dest_path)
+
+
 def write_hive_partitioned(
     df: DataFrame,
     pcols: list[str],
