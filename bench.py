@@ -232,6 +232,10 @@ EXTRA = [
     "maint_iceberg_rewrite_deletes_mixed",
     "sink_iceberg_wap_publish",
     "source_iceberg_avro",
+    "source_iceberg_partitions_table",
+    "source_delta_constraints",
+    "stream_cdc_delta",
+    "sink_iceberg_branch_write",
 ]
 
 

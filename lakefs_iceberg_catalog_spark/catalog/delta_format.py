@@ -253,10 +253,31 @@ class DeltaTableWriter:
             actions.append({"metaData": self._meta})
         pcols = getattr(self, "_partition_cols", [])
         phys = _physical_names_map(self._meta) if self._column_mapping else {}
+        constraints = {
+            k[len("delta.constraints."):]: v
+            for k, v in ((self._meta or {}).get("configuration") or {}).items()
+            if k.startswith("delta.constraints.")
+        }
+
+        def _enforce(d: DataFrame) -> None:
+            # protocol "CHECK Constraints": writers MUST validate every
+            # incoming row (expression not true — including null — is a
+            # violation) and refuse the whole commit otherwise; one
+            # pushdown probe per constraint, bounded by limit(1)
+            for cname, cexpr in sorted(constraints.items()):
+                bad = d.filter(~F.coalesce(F.expr(cexpr), F.lit(False)))
+                if bad.limit(1).count() > 0:
+                    raise ValueError(
+                        f"rows violate CHECK constraint {cname!r} "
+                        f"({cexpr}) — commit refused"
+                    )
+
         for df in add_dfs or []:
             for name, expr in getattr(self, "_generated", {}).items():
                 if name not in df.columns:  # writer computes generated cols
                     df = df.withColumn(name, F.expr(expr))
+            if constraints:
+                _enforce(df)
             pvals: dict[str, str | None] = {}
             if pcols:
                 from .parquet_io import distinct_singleton_row
@@ -313,6 +334,8 @@ class DeltaTableWriter:
             for name, expr in getattr(self, "_generated", {}).items():
                 if name not in dfp.columns:
                     dfp = dfp.withColumn(name, F.expr(expr))
+            if constraints:
+                _enforce(dfp)
             if phys:  # data columns under PHYSICAL names; pcols drive
                 # the partitionBy and never enter the files
                 dfp = dfp.select(
@@ -379,6 +402,78 @@ class DeltaTableWriter:
             }
         )
         return self._write_commit(actions)
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ... ADD CONSTRAINT ... CHECK (protocol "CHECK
+        Constraints": ``delta.constraints.<name>`` in the metaData
+        configuration; writer version >= 3): one full scan validates the
+        CURRENT rows first (stock semantics — a constraint that existing
+        data violates must not land), then a metadata-only commit records
+        it. Every later add-path commit re-validates its incoming rows
+        and refuses the WHOLE commit on a violation — a row where the
+        expression is not true (null included) never enters the table,
+        the guarantee engines that trust the constraint rely on.
+
+        Scale: the one-time validation scan pushes the predicate down;
+        per-commit enforcement costs one probe over the NEW rows only."""
+        if self._meta is None:
+            raise ValueError("add_check_constraint before any commit")
+        key = f"delta.constraints.{name}"
+        config = dict(self._meta.get("configuration") or {})
+        if key in config:
+            raise ValueError(f"CHECK constraint {name!r} already exists")
+        cur = scan_delta_table(self.spark, self.table_dir)
+        bad = cur.filter(~F.coalesce(F.expr(expr), F.lit(False)))
+        if bad.limit(1).count() > 0:
+            raise ValueError(
+                f"existing rows violate CHECK constraint {name!r} ({expr})"
+            )
+        config[key] = expr
+        self._meta = {**self._meta, "configuration": config}
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = []
+        # constraints need minWriterVersion >= 3; emit a protocol action
+        # only when that RAISES the table's stamped requirement (column
+        # mapping already stamped 5, generated columns 4 — never downgrade)
+        base = 5 if self._column_mapping else (
+            4 if getattr(self, "_generated", None) else 2
+        )
+        if base < 3:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}}
+            )
+        actions.append({"metaData": self._meta})
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "ADD CONSTRAINT",
+                }
+            }
+        )
+        return self._write_commit(actions)
+
+    def drop_check_constraint(self, name: str) -> int:
+        """ALTER TABLE ... DROP CONSTRAINT: metadata-only removal."""
+        if self._meta is None:
+            raise ValueError("drop_check_constraint before any commit")
+        key = f"delta.constraints.{name}"
+        config = dict(self._meta.get("configuration") or {})
+        if key not in config:
+            raise ValueError(f"no CHECK constraint {name!r}")
+        del config[key]
+        self._meta = {**self._meta, "configuration": config}
+        return self._write_commit(
+            [
+                {"metaData": self._meta},
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": "DROP CONSTRAINT",
+                    }
+                },
+            ]
+        )
 
     def rename_column(self, old: str, new: str) -> int:
         """Logical column RENAME — the operation column mapping exists for:

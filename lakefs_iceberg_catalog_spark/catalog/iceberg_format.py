@@ -502,6 +502,13 @@ class IcebergTableWriter:
         # (the log records when a snapshot became CURRENT; staged ones
         # never did — the publish commit is a new snapshot)
         self._staged_ids: set[int] = set()
+        # branch name → that branch's live manifest set (branch commits
+        # build on it; `main`'s lives in self._manifests)
+        self._branch_manifests: dict[str, list[dict]] = {}
+        # snapshot-log entries added by fast_forward (the moment a branch
+        # head became CURRENT on main — stock logs ref changes, not the
+        # branch commits themselves)
+        self._log_extra: list[dict] = []
         self._spec_id = 0  # current (default) partition spec id
         self._old_specs: list[dict] = []  # frozen earlier partition specs
         # lazily-registered empty spec for GLOBAL deletes on partitioned
@@ -656,6 +663,7 @@ class IcebergTableWriter:
         file_format: str | None = None,
         epoch: tuple[str, int] | None = None,
         wap_id: str | None = None,
+        branch: str | None = None,
     ) -> int:
         """Commit one append snapshot of ``df``; returns the snapshot id.
         On a partitioned table each append must be single-valued in the
@@ -679,7 +687,15 @@ class IcebergTableWriter:
         ``current-snapshot-id`` nor ``main`` moves, so normal scans never
         see the rows while an auditor reads the staged snapshot directly
         by id; ``cherry_pick_snapshot`` publishes it later. Requires an
-        existing head (an empty table has nothing to shield)."""
+        existing head (an empty table has nothing to shield).
+
+        ``branch`` commits onto a NAMED BRANCH ref instead of main
+        (stock's ``df.writeTo(t).toBranch("audit").append()``): the
+        first branch append forks from the main head, later ones extend
+        the branch; only ``refs[branch]`` moves, main scans are
+        untouched, and ``scan_iceberg_table(ref=branch)`` reads the
+        branch head. ``fast_forward`` later advances main to the branch.
+        Mutually exclusive with ``wap_id``; requires an existing head."""
         if epoch is not None:
             app, eid = epoch
             latest = max(
@@ -702,8 +718,24 @@ class IcebergTableWriter:
                 "streaming-app-id": app,
                 "streaming-epoch": str(int(eid)),
             }
-        if wap_id is not None and self._current_snapshot_id is None:
-            raise ValueError("wap_id staging requires an existing table head")
+        if branch in ("main", ""):
+            branch = None
+        if wap_id is not None and branch is not None:
+            raise ValueError("pass either wap_id or branch, not both")
+        if (wap_id is not None or branch is not None) and (
+            self._current_snapshot_id is None
+        ):
+            raise ValueError(
+                "wap_id/branch commits require an existing table head"
+            )
+        main_manifests = None
+        if branch is not None:
+            # build on the BRANCH's manifest set (forking from main on
+            # the first branch commit); main's set is restored after
+            main_manifests = self._manifests
+            self._manifests = self._branch_manifests.get(
+                branch, [dict(m) for m in main_manifests]
+            )
         fmt = file_format or self._file_format
         if fmt not in ("parquet", "orc", "avro"):
             raise ValueError(f"unsupported data file format {fmt!r}")
@@ -807,8 +839,22 @@ class IcebergTableWriter:
                 "partitions": self._partition_summaries([pvals]),
             }
         )
-        if wap_id is None:
+        if wap_id is None and branch is None:
             return self._commit_snapshot(snapshot_id, "append")
+        if branch is not None:
+            # BRANCH commit: parent is the branch head (main head on the
+            # fork commit); only refs[branch] moves — set BEFORE the
+            # metadata write so the new chain carries it
+            prev_ref = self._refs.get(branch)
+            parent = prev_ref["snapshot-id"] if prev_ref else None
+            self._refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+            self._staged_ids.add(snapshot_id)  # never became current
+            sid = self._commit_snapshot(
+                snapshot_id, "append", stage=True, parent=parent
+            )
+            self._branch_manifests[branch] = self._manifests
+            self._manifests = main_manifests
+            return sid
         # STAGE: the snapshot (and its frozen manifest list) is written,
         # but the head does not move and the live manifest set reverts —
         # later main commits must not carry the staged manifest
@@ -1518,7 +1564,11 @@ class IcebergTableWriter:
         return self._commit_snapshot(snapshot_id, "overwrite")
 
     def _commit_snapshot(
-        self, snapshot_id: int, operation: str, stage: bool = False
+        self,
+        snapshot_id: int,
+        operation: str,
+        stage: bool = False,
+        parent: int | None = None,
     ) -> int:
         # -- manifest list: every live manifest, newest first --------------
         list_path = os.path.join(
@@ -1565,7 +1615,9 @@ class IcebergTableWriter:
             "manifest-list": list_path,
             "schema-id": 0,
         }
-        if self._current_snapshot_id is not None:
+        if parent is not None:
+            snap["parent-snapshot-id"] = parent  # branch head override
+        elif self._current_snapshot_id is not None:
             snap["parent-snapshot-id"] = self._current_snapshot_id
         elif self._snapshots:
             snap["parent-snapshot-id"] = self._snapshots[-1]["snapshot-id"]
@@ -1660,6 +1712,51 @@ class IcebergTableWriter:
             }
         del self._staged_manifests[snap["snapshot-id"]]
         return self._commit_snapshot(new_id, "append")
+
+    def fast_forward(self, branch: str) -> int:
+        """Stock Iceberg's ``fast_forward`` procedure: advance ``main``
+        (and the head) to ``branch``'s snapshot, REQUIRING main's current
+        head to be an ancestor of it — a diverged main refuses (merge it
+        some other way; a fast-forward must never drop commits). Pure
+        metadata: no new snapshot, one metadata.json write; the branch's
+        manifest set becomes main's live set.
+
+        Scale: O(ancestry length) driver-side walk + one metadata write —
+        zero data IO at any table size, the point of branch-then-publish
+        ingestion."""
+        ref = self._refs.get(branch)
+        if ref is None:
+            raise ValueError(f"no branch ref {branch!r}")
+        target = int(ref["snapshot-id"])
+        by_id = {s["snapshot-id"]: s for s in self._snapshots}
+        anc: set[int] = set()
+        cur: int | None = target
+        while cur in by_id:
+            anc.add(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        head = self._current_snapshot_id
+        if head is not None and head not in anc:
+            raise ValueError(
+                f"main (snapshot {head}) is not an ancestor of branch "
+                f"{branch!r} head {target} — cannot fast-forward a "
+                "diverged main"
+            )
+        branch_mfs = self._branch_manifests.get(branch)
+        if branch_mfs is None:
+            raise ValueError(
+                f"branch {branch!r} has no manifests registered with this "
+                "writer"
+            )
+        now_ms = int(time.time() * 1000)
+        self._manifests = [dict(m) for m in branch_mfs]
+        self._current_snapshot_id = target
+        # stock logs the REF CHANGE: the branch head became current NOW
+        self._log_extra.append(
+            {"snapshot-id": target, "timestamp-ms": now_ms}
+        )
+        self._version += 1
+        self._write_metadata(now_ms)
+        return target
 
     # Ceiling for the driver-side distinct-partition-tuple probe in
     # rewrite_data: partition tuples are metadata-scale (Iceberg's own
@@ -2810,11 +2907,18 @@ class IcebergTableWriter:
                 "main": {"snapshot-id": snapshot_id, "type": "branch"},
             },
             "snapshots": self._snapshots,
-            "snapshot-log": [
-                {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
-                for s in self._snapshots
-                if s["snapshot-id"] not in self._staged_ids
-            ],
+            "snapshot-log": sorted(
+                [
+                    {
+                        "snapshot-id": s["snapshot-id"],
+                        "timestamp-ms": s["timestamp-ms"],
+                    }
+                    for s in self._snapshots
+                    if s["snapshot-id"] not in self._staged_ids
+                ]
+                + list(self._log_extra),
+                key=lambda e: e["timestamp-ms"],
+            ),
             # previous metadata files, oldest first (stock keeps the chain
             # for time travel over METADATA — TableMetadata.previousFiles)
             "metadata-log": list(self._metadata_log),

@@ -866,6 +866,61 @@ def maint_iceberg_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "sink_iceberg_branch_write",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def sink_iceberg_branch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRANCH WRITES + FAST-FORWARD on the real Iceberg layout (stock's
+    ``writeTo(t).toBranch("audit").append()`` + the ``fast_forward``
+    procedure — the branch lifecycle that completes the refs story next
+    to tags and write-audit-publish): two appends land on an ``audit``
+    branch ref forked from main (asserted mid-flow: main scans stay at
+    the fork point while ``ref="audit"`` reads the branch head, and the
+    branch chain carries proper parent links), then main FAST-FORWARDS
+    to the branch — pure metadata, refusing if main had diverged. After
+    the fast-forward a changelog window from the old main head reports
+    the branch commits as ordinary inserts (they joined the ancestry).
+
+    Scale: branch writes cost what any append costs; audit reads are
+    normal distributed scans of the branch head; fast-forward is one
+    metadata.json write — the isolation pattern that lets a 100 TB
+    nightly ingest be inspected before it becomes `main`."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        read_table_metadata,
+        scan_iceberg_changelog,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-branch-")
+    w = IcebergTableWriter(spark, tmp)
+    v1 = w.append(n.filter("n_nationkey < 10"))
+    b1 = w.append(n.filter("n_nationkey between 10 and 17"), branch="audit")
+    b2 = w.append(n.filter("n_nationkey >= 18"), branch="audit")
+    meta = read_table_metadata(tmp)
+    assert meta["refs"]["audit"]["snapshot-id"] == b2
+    assert meta["refs"]["main"]["snapshot-id"] == v1
+    sn2 = next(s for s in meta["snapshots"] if s["snapshot-id"] == b2)
+    assert sn2["parent-snapshot-id"] == b1  # branch chain, not main
+    assert scan_iceberg_table(spark, tmp).count() == 10  # main untouched
+    assert scan_iceberg_table(spark, tmp, ref="audit").count() == 25
+    w.fast_forward("audit")
+    meta2 = read_table_metadata(tmp)
+    assert meta2["refs"]["main"]["snapshot-id"] == b2
+    # the branch commits joined main's ancestry: the changelog window
+    # from the old head reports them as plain inserts
+    ch = scan_iceberg_changelog(spark, tmp, from_snapshot_id=v1)
+    assert ch.filter("_change_type = 'insert'").count() == 15
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "sink_iceberg_wap_publish",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -3024,6 +3079,54 @@ def source_iceberg_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_iceberg_partitions_table",
+    oracle="""
+SELECT CAST(n_regionkey AS VARCHAR) AS region,
+       COUNT(*) AS record_count,
+       CAST(1 AS INTEGER) AS file_count,
+       CAST(CASE WHEN n_regionkey = 1 THEN 1 ELSE 0 END AS INTEGER)
+         AS delete_file_count
+FROM nation GROUP BY n_regionkey
+""",
+)
+def source_iceberg_partitions_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stock Iceberg's ``t.partitions`` METADATA TABLE on the real
+    layout — the partition-health dashboard: one row per live partition
+    tuple with record count, data-file count, and delete-file count,
+    derived from the same manifest walk every scan plans with (zero
+    data IO). The fixture partitions nation by region, appends one file
+    per region, lands a MoR position delete in region 1 only, and
+    projects the typed partition value out of the partition map.
+
+    Scale: O(manifest entries) driver-side metadata — the table a
+    compaction scheduler reads to pick skewed or delete-heavy
+    partitions, never touching data."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_metadata_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-partitions-")
+    w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
+    for rk in range(5):
+        w.append(n.filter(F.col("n_regionkey") == rk))
+    w.delete_where_mor("n_nationkey = 1")  # region 1 only
+    back = iceberg_metadata_table(spark, tmp, "partitions").select(
+        F.col("partition")["n_regionkey"].alias("region"),
+        "record_count",
+        "file_count",
+        "delete_file_count",
+    )
+    # record_count reflects the manifest counts (deletes are MoR debt,
+    # not subtracted — stock semantics); the fixture's counts match the
+    # raw per-region row counts
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_iceberg_avro",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -3122,6 +3225,72 @@ def dml_iceberg_delete_orc_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = next(f for f in files if f["record_count"] == 12)
     w.delete_positions([(low["file_path"], 0), (low["file_path"], 3)])
     back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_delta_constraints",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def source_delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHECK CONSTRAINTS (protocol "CHECK Constraints":
+    ``delta.constraints.<name>`` in metaData configuration, writer
+    version >= 3): ADD CONSTRAINT validates the existing rows first and
+    lands as a metadata-only commit; every later add-path commit
+    re-validates its incoming rows and REFUSES the whole commit when any
+    row fails the expression (null counts as a violation — the
+    row-never-enters guarantee engines that trust the constraint rely
+    on). The fixture adds a constraint, appends conforming rows, proves
+    a violating append and a constraint the current data violates both
+    refuse without moving the version, drops the constraint, and reads
+    the table back.
+
+    Scale: validation is one pushdown probe over the NEW rows per
+    commit — table size never enters; the constraint itself is a config
+    string in the log."""
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="delta-constraints-")
+    w = DeltaTableWriter(spark, tmp)
+    w.commit(add_dfs=[n.filter("n_nationkey < 12")])
+    v_add = w.add_check_constraint(
+        "valid_key", "n_nationkey >= 0 AND n_name IS NOT NULL"
+    )
+    st = read_delta_log(tmp)
+    assert (
+        st["metadata"]["configuration"]["delta.constraints.valid_key"]
+        == "n_nationkey >= 0 AND n_name IS NOT NULL"
+    )
+    w.commit(add_dfs=[n.filter("n_nationkey >= 12")])  # conforming
+    # violating append refuses without advancing the version
+    bad = n.withColumn("n_nationkey", F.lit(-1) - F.col("n_nationkey"))
+    try:
+        w.commit(add_dfs=[bad])
+        raise AssertionError("violating commit must refuse")
+    except ValueError:
+        pass
+    # a constraint the CURRENT data violates refuses at ADD time
+    try:
+        w.add_check_constraint("too_strict", "n_nationkey >= 5")
+        raise AssertionError("constraint over violating data must refuse")
+    except ValueError:
+        pass
+    assert w._version == v_add + 1  # only the conforming append landed
+    w.drop_check_constraint("valid_key")
+    assert not any(
+        k.startswith("delta.constraints.")
+        for k in read_delta_log(tmp)["metadata"]["configuration"]
+    )
+    back = scan_delta_table(spark, tmp).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
     return _materialize(spark, back, tmp)

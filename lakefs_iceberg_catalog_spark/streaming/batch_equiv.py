@@ -1093,3 +1093,120 @@ def stream_cdc_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(spool, ignore_errors=True)
         shutil.rmtree(sink_dir, ignore_errors=True)
     return local_df(spark, rows, schema)
+
+
+@register(
+    "stream_cdc_delta",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey = 5 THEN 'UPDATED-5' ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation WHERE n_nationkey NOT IN (2, 14)
+UNION ALL
+SELECT CAST(25 AS INTEGER), 'ATLANTIS', n_regionkey
+FROM nation WHERE n_nationkey = 4
+""",
+)
+def stream_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta CHANGE DATA FEED consumed as a CDC STREAM — the Delta
+    pair of ``stream_cdc_iceberg``: ``delta_table_changes`` derives each
+    version's row-level changes (append, deletion-vector DELETE, CoW
+    MERGE upsert), each version replays as ONE micro-batch through a
+    real Structured Streaming query (epoch count asserted), and the
+    change rows FOLD onto the stream-start base — inserts union in,
+    deletes exceptAll out. The CoW merge's rewritten file surfaces as
+    full churn in the raw file-set diff (delete of the pre-image +
+    insert of the post-image); the MULTISET fold nets carried-over rows
+    out exactly, which is why the endpoint state still reproduces the
+    table head — value-checked against the oracle's literal replay.
+
+    Scale: per-epoch IO is the version's change-proportional CDF read
+    (touched files + DV ordinals only); the fold is one union + one
+    anti-multiset pass over change-volume rows. A deployment checkpoint
+    records the last-consumed version."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        delta_table_changes,
+        scan_delta_table,
+    )
+    from ..operators.util import bounded_rows
+    from ..tables import table as _t
+
+    n0 = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n = local_df(spark, bounded_rows(n0), n0.schema)
+    root = tempfile.mkdtemp(prefix="delta-cdcstream-")
+    spool = tempfile.mkdtemp(prefix="delta-cdcspool-")
+    sink_dir = tempfile.mkdtemp(prefix="delta-cdcsink-")
+    try:
+        w = DeltaTableWriter(spark, root)
+        versions = [w.commit(add_dfs=[n.filter("n_regionkey < 2")])]
+        versions.append(w.commit(add_dfs=[n.filter("n_regionkey >= 2")]))
+        versions.append(w.delete_where_dv("n_nationkey in (2, 14)"))
+        src = n.filter("n_nationkey = 5").withColumn(
+            "n_name", F.lit("UPDATED-5")
+        ).unionByName(
+            n.filter("n_nationkey = 4").withColumns(
+                {
+                    "n_nationkey": F.lit(25).cast("int"),
+                    "n_name": F.lit("ATLANTIS"),
+                }
+            )
+        )
+        versions.append(w.merge_upsert(src, ["n_nationkey"]))
+        base = scan_delta_table(spark, root, version=versions[0])
+        base_rows = bounded_rows(base)
+        ch_schema = None
+        for i in range(1, len(versions)):
+            delta = delta_table_changes(
+                spark, root, versions[i - 1], versions[i]
+            ).select("n_nationkey", "n_name", "n_regionkey", "_change_type")
+            ch_schema = delta.schema
+            stage = os.path.join(spool, f".stage-{i}")
+            delta.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = [
+                f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+            ]
+            assert len(part) == 1
+            os.replace(
+                os.path.join(stage, part[0]),
+                os.path.join(spool, f"epoch-{i}.parquet"),
+            )
+            shutil.rmtree(stage)
+        s = (
+            spark.readStream.schema(ch_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool)
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", os.path.join(sink_dir, "data"))
+            .option("checkpointLocation", os.path.join(sink_dir, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_epochs = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        finally:
+            q.stop()
+        assert n_epochs == len(versions) - 1, (
+            f"expected one micro-batch per version, got {n_epochs}"
+        )
+        changes = spark.read.schema(ch_schema).parquet(
+            os.path.join(sink_dir, "data")
+        )
+        cols = ["n_nationkey", "n_name", "n_regionkey"]
+        base_df = local_df(spark, base_rows, base.schema)
+        final = base_df.unionByName(
+            changes.filter("_change_type = 'insert'").select(*cols)
+        ).exceptAll(changes.filter("_change_type = 'delete'").select(*cols))
+        rows, schema = bounded_rows(final), final.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(spool, ignore_errors=True)
+        shutil.rmtree(sink_dir, ignore_errors=True)
+    return local_df(spark, rows, schema)

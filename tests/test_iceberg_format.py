@@ -627,8 +627,9 @@ def test_orc_data_files_mixed_format_scan_and_mor_deletes(spark, tmp_path):
     assert back.count() == 25
     exts = {p.rsplit(".", 1)[-1] for p in back.inputFiles()}
     assert exts == {"orc", "parquet"}
+    # avro became a SUPPORTED third format in round 12; csv never will be
     with _pytest.raises(ValueError, match="unsupported data file format"):
-        IcebergTableWriter(spark, str(tmp_path / "bad"), file_format="avro")
+        IcebergTableWriter(spark, str(tmp_path / "bad"), file_format="csv")
     # MoR position deletes on a MIXED table: ordinals 0 and 3 of the ORC
     # file (written in key order: nations 0 and 3) plus ordinal 0 of the
     # parquet file — both formats' ordinal spaces resolve correctly
@@ -1677,6 +1678,40 @@ def test_wap_stage_audit_publish(spark, tmp_path):
     assert sorted(r["n_nationkey"] for r in ch2) == list(range(12, 25))
     meta2 = read_table_metadata(d)
     assert meta2["refs"]["main"]["snapshot-id"] == pub
+
+
+def test_branch_write_divergence_and_guards(spark, tmp_path):
+    """Branch-write invariants beyond the oracle-checked key: a main
+    commit AFTER the fork diverges the histories and fast_forward
+    refuses; wap_id+branch is rejected; an unknown branch refuses; and
+    main commits never carry branch manifests."""
+    import pytest as _pytest
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        scan_iceberg_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "branchdiv")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 10"))
+    with _pytest.raises(ValueError, match="not both"):
+        w.append(n.filter("n_nationkey >= 20"), branch="b", wap_id="x")
+    w.append(n.filter("n_nationkey between 10 and 14"), branch="b")
+    # diverge main, then fast-forward must refuse
+    w.append(n.filter("n_nationkey >= 20"))
+    assert sorted(
+        r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()
+    ) == list(range(10)) + list(range(20, 25))  # no branch rows on main
+    with _pytest.raises(ValueError, match="diverged"):
+        w.fast_forward("b")
+    with _pytest.raises(ValueError, match="no branch ref"):
+        w.fast_forward("nope")
+    # the branch still reads consistently at its own head
+    assert sorted(
+        r["n_nationkey"]
+        for r in scan_iceberg_table(spark, d, ref="b").collect()
+    ) == list(range(15))
 
 
 def test_avro_container_writer_interop(spark, tmp_path):
