@@ -236,6 +236,8 @@ EXTRA = [
     "source_delta_constraints",
     "stream_cdc_delta",
     "sink_iceberg_branch_write",
+    "pipeline_quality_tiered_sample",
+    "window_anomaly_mad",
 ]
 
 

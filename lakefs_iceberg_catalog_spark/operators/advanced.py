@@ -483,6 +483,85 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT user_id,
+         round(quantile_cont(value, 0.5), 6) AS med,
+         CAST(count(*) AS BIGINT)            AS n_obs
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+mad AS (
+  SELECT e.user_id,
+         round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+  FROM events e JOIN med m ON e.user_id = m.user_id
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT e.user_id, e.event_id, round(e.value, 2) AS v, m.med, d.mad, m.n_obs,
+       round(CASE WHEN m.n_obs >= 5 AND d.mad > 0
+                  THEN (e.value - m.med) / (1.4826 * d.mad) END, 6)
+         AS robust_z,
+       (m.n_obs >= 5 AND d.mad > 0
+        AND abs((e.value - m.med) / (1.4826 * d.mad)) > 3) AS is_anomaly
+FROM events e
+JOIN med m ON e.user_id = m.user_id
+JOIN mad d ON e.user_id = d.user_id
+WHERE e.event_type = 'purchase'
+""",
+)
+def window_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN/MAD robust outlier scoring — the heavy-tail-safe twin of
+    window_anomaly_zscore: each user's purchases score against the
+    user's MEDIAN and Median-Absolute-Deviation (consistency constant
+    1.4826 makes the robust z comparable to a σ z-score on normal
+    data); mean/σ themselves get dragged by the very outliers being
+    hunted, which is why monitoring pipelines prefer MAD. Users with
+    under 5 observations or zero MAD abstain.
+
+    Determinism: the median and MAD round to 6 places before the score
+    on both engines (Spark `percentile` ≡ DuckDB quantile_cont,
+    interpolated). Scale: two grouped exact percentiles (per-group
+    sort; swap to percentile_approx's mergeable sketch at 100 TB — same
+    call shape) + one broadcastable per-user stats join; events shuffle
+    once on user_id."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    med = e.groupBy("user_id").agg(
+        dround(F.percentile("value", F.lit(0.5)), 6).alias("med"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+    from .util import gated_broadcast
+
+    mad = (
+        e.join(gated_broadcast(med), "user_id")
+        .groupBy("user_id")
+        .agg(
+            dround(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)),
+                6,
+            ).alias("mad")
+        )
+    )
+    ok = (F.col("n_obs") >= 5) & (F.col("mad") > 0)
+    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        e.join(gated_broadcast(med), "user_id")
+        .join(gated_broadcast(mad), "user_id")
+        .select(
+            "user_id",
+            "event_id",
+            dround("value", 2).alias("v"),
+            "med",
+            "mad",
+            "n_obs",
+            dround(F.when(ok, rz), 6).alias("robust_z"),
+            (ok & (F.abs(rz) > 3)).alias("is_anomaly"),
+        )
+    )
+
+
+@register(
     "window_first_touch_attribution",
     oracle="""
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -831,6 +831,119 @@ def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_quality_tiered_sample",
+    oracle="""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (
+    SELECT w,
+           CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM words) AS p
+    FROM words GROUP BY w
+),
+score AS (
+    SELECT doc_id, round(avg(-ln(f.p)), 6) AS s
+    FROM words x JOIN freq f ON x.w = f.w GROUP BY doc_id
+),
+tiered AS (
+    SELECT d.lang, d.text,
+           CAST(ntile(4) OVER (
+               PARTITION BY d.lang ORDER BY s.s, d.doc_id
+           ) AS INTEGER) AS tier
+    FROM documents d JOIN score s ON d.doc_id = s.doc_id
+),
+gated AS (
+    SELECT lang, tier,
+           len(string_split(text, ' ')) AS n_words,
+           (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+             AS bucket,
+           CASE tier WHEN 1 THEN 256 WHEN 2 THEN 128
+                     WHEN 3 THEN 64 ELSE 26 END AS cap
+    FROM tiered
+)
+SELECT lang, tier,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN bucket < cap THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN bucket < cap THEN n_words ELSE 0 END) AS BIGINT)
+         AS n_tokens_kept
+FROM gated GROUP BY lang, tier
+""",
+)
+def pipeline_quality_tiered_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-TIERED corpus curation — the DCLM/CCNet recipe: score every
+    document with the corpus-internal unigram LM proxy
+    (text_unigram_logprob_score), NTILE it into per-language quality
+    quartiles (ties broken by doc_id so the tiering is deterministic
+    across engines and partitionings), then keep a DECREASING fraction
+    per tier (100/50/25/~10%) through the content-keyed md5 bucket gate —
+    zero RNG state, the same reproducible-sampling arithmetic the
+    train/val split and stratified sampler use. Returns per-(lang, tier)
+    doc/kept/token accounting — the curation report a data team reads
+    before committing the mixture.
+
+    Scale (100 TB): the score is the unigram diamond (vocabulary-sized
+    broadcast, one doc_id rollup); the ntile is one window per language
+    partition over doc-count rows (scores, not text, flow through it);
+    the gate is a scan-stage expression. No shuffle carries document
+    text except the final bounded accounting."""
+    from pyspark.sql import Window
+
+    from .text import _words
+    from .util import gated_broadcast
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_words()).alias("w"))
+    total = words.count()
+    freq = words.groupBy("w").agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(total)).alias("p")
+    )
+    score = (
+        words.join(gated_broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(dround(F.avg(-F.log("p")), 6).alias("s"))
+    )
+    # the ntile window sees SLIM (doc_id, lang, s) rows only — document
+    # text joins back AFTER the tier is assigned, so no text bytes flow
+    # through the per-language window shuffle
+    tiers = d.select("doc_id", "lang").join(score, "doc_id").select(
+        "doc_id",
+        F.ntile(4)
+        .over(Window.partitionBy("lang").orderBy("s", "doc_id"))
+        .alias("tier"),
+    )
+    h = F.md5(F.encode("text", "UTF-8"))
+    bucket = F.expr(
+        "(instr('0123456789abcdef', substring(_h, 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(_h, 2, 1)) - 1)"
+    )
+    cap = (
+        F.when(F.col("tier") == 1, 256)
+        .when(F.col("tier") == 2, 128)
+        .when(F.col("tier") == 3, 64)
+        .otherwise(26)
+    )
+    kept = (F.col("_bucket") < F.col("_cap")).cast("int")
+    return (
+        d.join(tiers, "doc_id")
+        .withColumn("_h", h)
+        .withColumn("_bucket", bucket)
+        .withColumn("_cap", cap)
+        .withColumn("_kept", kept)
+        .groupBy("lang", "tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_kept").cast("bigint").alias("n_kept"),
+            F.sum(
+                F.col("_kept") * F.size(F.split("text", " ", -1))
+            ).cast("bigint").alias("n_tokens_kept"),
+        )
+    )
+
+
+@register(
     "pipeline_mixture_temperature",
     oracle="""
 WITH counts AS (
