@@ -238,6 +238,7 @@ EXTRA = [
     "sink_iceberg_branch_write",
     "pipeline_quality_tiered_sample",
     "window_anomaly_mad",
+    "maint_iceberg_rewrite_manifests",
 ]
 
 

@@ -1074,6 +1074,83 @@ def maint_iceberg_rewrite_deletes_mixed(
 
 
 @register(
+    "maint_iceberg_rewrite_manifests",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey <> 7
+""",
+)
+def maint_iceberg_rewrite_manifests(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stock Iceberg's ``rewrite_manifests`` — the METADATA compaction
+    that keeps planning fast as commits pile up: five per-region appends
+    leave five data manifests, a MoR DELETE adds a content=1 manifest,
+    then the rewrite consolidates the data manifests into ONE (entries
+    carried as EXISTING with resolved sequence numbers, partition
+    summaries rebuilt so manifest-level pruning keeps working — asserted
+    mid-flow), the delete manifest untouched, under a `replace`
+    snapshot. The visible rows are provably unchanged and a changelog
+    window across the rewrite contributes nothing.
+
+    Scale: zero data IO — O(manifest entries) driver-side metadata,
+    exactly where stock plans it; the nightly pair of rewrite_data for
+    tables taking thousands of small commits."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        read_table_metadata,
+        scan_iceberg_changelog,
+        scan_iceberg_table,
+    )
+    from ..catalog.avro_io import read_container
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-rewritemf-")
+    w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
+    for rk in range(5):
+        w.append(n.filter(F.col("n_regionkey") == rk))
+    v_del = w.delete_where_mor("n_nationkey = 7")
+    meta = read_table_metadata(tmp)
+    head = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, mfs0 = read_container(head["manifest-list"])
+    assert sum(1 for m in mfs0 if m.get("content", 0) == 0) == 5
+    w.rewrite_manifests()
+    meta1 = read_table_metadata(tmp)
+    head1 = next(
+        s for s in meta1["snapshots"]
+        if s["snapshot-id"] == meta1["current-snapshot-id"]
+    )
+    _, mfs1 = read_container(head1["manifest-list"])
+    data_mfs = [m for m in mfs1 if m.get("content", 0) == 0]
+    assert len(data_mfs) == 1  # consolidated
+    assert sum(1 for m in mfs1 if m.get("content", 0) == 1) == 1  # kept
+    # manifest-level partition pruning still works off the rebuilt
+    # summaries + per-entry tuples
+    pruned = scan_iceberg_table(spark, tmp, partition_filter={"n_regionkey": 2})
+    assert pruned.count() == 4  # region 2 holds keys 2,7,12,17,22 minus 7
+    # per-entry tuples survived the consolidation: the scan's exact
+    # per-file pruning (and the walker's exact delete-entry pruning)
+    # still resolve each entry's own partition value
+    files2, dels2 = iceberg_snapshot_files(
+        tmp, partition_filter={"n_regionkey": 2}
+    )
+    assert {f["partition"]["n_regionkey"] for f in files2} == {0, 1, 2, 3, 4}
+    assert {f["partition"]["n_regionkey"] for f in dels2} == {2}
+    # replace snapshot: a changelog window across it is empty
+    assert (
+        scan_iceberg_changelog(spark, tmp, from_snapshot_id=v_del).count() == 0
+    )
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_iceberg_delete_files_table",
     oracle="""
 SELECT * FROM (VALUES

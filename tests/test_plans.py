@@ -747,3 +747,57 @@ def test_cow_touched_refilter_is_semi_join_not_in_literal(spark, tmp_path):
     # no 500-element IN-literal anywhere in the compiled plan
     assert "/nonexistent/f499.parquet, " not in p
     assert filtered.count() == 25
+
+
+def test_quality_tier_window_carries_no_text(spark):
+    """The per-language ntile window must see SLIM (doc_id, lang, score)
+    rows — document text joining back only AFTER the tier is assigned.
+    Text bytes crossing the window shuffle would make the tiering
+    exchange corpus-sized instead of doc-count-sized at 100 TB."""
+    p = plan(q(spark, "pipeline_quality_tiered_sample"))
+    lines = p.splitlines()
+    inputs = [
+        lines[i + 1]
+        for i, ln in enumerate(lines)
+        if ln.strip().endswith("Window") and i + 1 < len(lines)
+    ]
+    assert inputs, p
+    assert all(
+        ln.startswith("Input") and "text" not in ln for ln in inputs
+    ), inputs
+
+
+def test_anomaly_mad_stats_joins_broadcast(spark):
+    """The per-user median/MAD stats frames are user-count-sized — both
+    joins back onto events must broadcast at test scale (gated: over the
+    limit AQE decides), and the exact percentile keeps its partial
+    (map-side) phase absent by design — percentile is a full-sort
+    aggregate, so instead pin that events scan count stays bounded."""
+    p = plan(q(spark, "window_anomaly_mad"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_avro_scan_is_per_file_tasks(spark):
+    """The AVRO data-file scan is one mapInPandas stage over a
+    repartitioned path list — per-file parallelism like the ORC ordinal
+    reader; no driver-side collect of data rows anywhere in the plan."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        IcebergTableWriter,
+        scan_iceberg_table,
+    )
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR as _sf
+    from lakefs_iceberg_catalog_spark.tables import table as _t
+
+    n = _t(spark, _sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="plan-avro-")
+    w = IcebergTableWriter(spark, tmp, file_format="avro")
+    w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"))
+    p = plan(scan_iceberg_table(spark, tmp))
+    assert "InPandas" in p  # the executor-side block-streaming reader
+    assert p.count("Scan ExistingRDD") <= 1  # only the tiny path list
