@@ -239,6 +239,7 @@ EXTRA = [
     "pipeline_quality_tiered_sample",
     "window_anomaly_mad",
     "maint_iceberg_rewrite_manifests",
+    "source_iceberg_entries_table",
 ]
 
 

@@ -3415,6 +3415,42 @@ def iceberg_metadata_table(
             "file_size_in_bytes long, sequence_number long, "
             "equality_ids array<int>",
         )
+    if kind == "entries":
+        # stock `t.entries`: one row per CURRENT-snapshot manifest entry,
+        # statuses included (EXISTING=0/ADDED=1/DELETED=2) with resolved
+        # sequence numbers — the raw planning view files/delete_files
+        # aggregate over; zero data IO
+        snap = next(
+            s
+            for s in snaps
+            if s["snapshot-id"] == metadata.get("current-snapshot-id")
+        )
+        _, manifest_files = read_container(snap["manifest-list"])
+        rows = []
+        for mf in manifest_files:
+            _, entries = read_container(mf["manifest_path"])
+            for e in entries:
+                seq = e.get("sequence_number")
+                if seq is None and e["status"] == STATUS_ADDED:
+                    seq = mf["sequence_number"]
+                d = e["data_file"]
+                rows.append(
+                    (
+                        int(e["status"]),
+                        int(e.get("snapshot_id") or mf["added_snapshot_id"]),
+                        None if seq is None else int(seq),
+                        int(d["content"]),
+                        d["file_format"].upper(),
+                        int(d["record_count"]),
+                        int(d["file_size_in_bytes"]),
+                    )
+                )
+        return local_df(spark,
+            sorted(rows),
+            "status int, snapshot_id long, sequence_number long, "
+            "content int, file_format string, record_count long, "
+            "file_size_in_bytes long",
+        )
     if kind == "partitions":
         data, deletes = iceberg_snapshot_files(table_dir, version=version)
         agg: dict[tuple, list[int]] = {}
@@ -3441,7 +3477,7 @@ def iceberg_metadata_table(
         )
     raise ValueError(
         f"unknown metadata table {kind!r}; supported: snapshots, "
-        "history, manifests, files, delete_files, partitions"
+        "history, manifests, entries, files, delete_files, partitions"
     )
 
 

@@ -1074,6 +1074,48 @@ def maint_iceberg_rewrite_deletes_mixed(
 
 
 @register(
+    "source_iceberg_entries_table",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 0, 'PARQUET', CAST(11 AS BIGINT)),
+  (1, 0, 'PARQUET', CAST(13 AS BIGINT)),
+  (1, 1, 'PARQUET', CAST(1 AS BIGINT)),
+  (2, 0, 'PARQUET', CAST(12 AS BIGINT))
+) AS t(status, content, file_format, record_count)
+""",
+)
+def source_iceberg_entries_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock Iceberg's ``t.entries`` METADATA TABLE — the raw manifest-
+    entry view the files/delete_files tables aggregate over: one row per
+    current-snapshot entry with its STATUS (EXISTING=0/ADDED=1/
+    DELETED=2), resolved sequence number, content, and file metrics.
+    The fixture's history makes the statuses non-trivial: a CoW DELETE
+    rewrites one manifest (its victim carried as DELETED, the survivor
+    file ADDED in a fresh manifest) while the untouched append and a
+    MoR position-delete entry stay ADDED — exactly the reconciliation
+    view an engine debugging a scan plan reads.
+
+    Scale: zero data IO — O(manifest entries) driver-side metadata, the
+    same walk every scan plans with."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_metadata_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-entries-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12").orderBy("n_nationkey"))
+    w.append(n.filter("n_nationkey >= 12"))
+    w.delete_where_cow("n_nationkey = 3")  # rewrites manifest 1
+    w.delete_where_mor("n_nationkey = 20")  # content=1 ADDED entry
+    back = iceberg_metadata_table(spark, tmp, "entries").select(
+        "status", "content", "file_format", "record_count"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "maint_iceberg_rewrite_manifests",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation
