@@ -1765,6 +1765,25 @@ class IcebergTableWriter:
     # not a bigger driver list.
     REWRITE_PARTITION_CEILING = 10_000
 
+    def _require_parquet_for_cow(self, op: str) -> None:
+        """Copy-on-write probes ride `_metadata.file_path`, a pseudo-
+        column only FILE-SOURCE scans expose: the probe works on
+        parquet, and on ORC while the scan needs no row ordinals — but
+        an AVRO table (always the executor-side block reader) or an ORC
+        table under merge-on-read deletes (the pyarrow ordinal reader)
+        would surface an unresolved-column AnalysisException mid-plan.
+        Refuse LOUDLY up front; merge-on-read is the supported row-level
+        path there."""
+        data, dels = iceberg_snapshot_files(self.table_dir)
+        fmts = {f["file_format"].upper() for f in data}
+        if "AVRO" in fmts or ("ORC" in fmts and dels):
+            raise NotImplementedError(
+                f"{op}'s copy-on-write probe needs file-source lineage — "
+                f"unavailable for formats {sorted(fmts - {'PARQUET'})} "
+                "here; use the merge-on-read path (delete_where_mor / "
+                "merge_upsert_mor) instead"
+            )
+
     def _touched_files(self, current: DataFrame, probe) -> set[str]:
         """File paths containing rows the COW operation must rewrite —
         one pushdown semi-probe over `_metadata.file_path`, emitting
@@ -1799,6 +1818,7 @@ class IcebergTableWriter:
         surviving rows of touched files are copied."""
         if self._schema_json is None:
             raise ValueError("nothing to delete: table has no snapshots")
+        self._require_parquet_for_cow("delete_where_cow")
         current = scan_iceberg_table(self.spark, self.table_dir)
         touched = self._touched_files(current, lambda d: d.filter(predicate))
         if not touched:
@@ -1821,6 +1841,7 @@ class IcebergTableWriter:
         files those keys live in; everything else is metadata."""
         if self._schema_json is None:
             raise ValueError("nothing to merge into: table has no snapshots")
+        self._require_parquet_for_cow("merge_upsert_cow")
         current = scan_iceberg_table(self.spark, self.table_dir)
         keys = source_df.select(*key_cols)
         touched = self._touched_files(
@@ -2518,7 +2539,14 @@ class IcebergTableWriter:
                 if seq is None:  # inheritance: resolve before carrying
                     seq = mf["sequence_number"]
                 by_spec.setdefault(sid, []).append(
-                    {**e, "status": STATUS_EXISTING, "sequence_number": seq}
+                    {
+                        **e,
+                        "status": STATUS_EXISTING,
+                        "sequence_number": seq,
+                        "file_sequence_number": e.get("file_sequence_number")
+                        if e.get("file_sequence_number") is not None
+                        else seq,
+                    }
                 )
                 cell = stats.setdefault(sid, [0, 1 << 62])
                 cell[0] += e["data_file"]["record_count"]
@@ -2636,6 +2664,14 @@ class IcebergTableWriter:
                             **e,
                             "status": STATUS_EXISTING,
                             "sequence_number": seq,
+                            # file seq inherits identically for entries
+                            # ADDED in their original manifest — resolve
+                            # it too; EXISTING entries must carry both
+                            "file_sequence_number": e.get(
+                                "file_sequence_number"
+                            )
+                            if e.get("file_sequence_number") is not None
+                            else seq,
                         }
                     )
                     eq_rows += e["data_file"]["record_count"]
