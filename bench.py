@@ -240,6 +240,7 @@ EXTRA = [
     "window_anomaly_mad",
     "maint_iceberg_rewrite_manifests",
     "source_iceberg_entries_table",
+    "multimodal_scene_detect",
 ]
 
 

@@ -531,3 +531,112 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("hamming", ham.cast("int")).filter(
         F.col("hamming") <= _PHASH_HAM_T
     ).select("doc_a", "doc_b", "hamming")
+
+
+_SCENE_CUT_T = 12  # |frame signature delta| above this starts a new scene
+
+
+def _scene_batches(batches):
+    """Decode pass + per-frame SIGNATURE: the byte value at each sampled
+    frame's offset (a real implementation hashes the decoded frame's
+    pixels; the Spark-side shape — one signature per frame riding the
+    decode batch — is identical). Arrow-batched, never materializes a
+    partition."""
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "sig": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, _, _, offsets = _fake_decode(payload)
+            for i, off in enumerate(offsets):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(i)
+                rows["sig"].append(int(payload[off]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "sig": pd.Series(rows["sig"], dtype="int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_scene_detect",
+    oracle="""
+WITH m AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(n_bytes % 10 + 1 AS INT) AS n_frames
+    FROM documents WHERE doc_id < 200
+),
+f AS (
+    SELECT doc_id, text,
+           CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx,
+           unnest(list_transform(range(0, n_frames),
+                  i -> i * (n_bytes // n_frames))) AS off
+    FROM m
+),
+s AS (
+    SELECT doc_id, frame_idx,
+           ord(substr(text, CAST(off AS INT) + 1, 1)) AS sig
+    FROM f
+),
+c AS (
+    SELECT doc_id, frame_idx,
+           CASE WHEN frame_idx = 0 THEN 0
+                WHEN abs(sig - lag(sig) OVER w) > 12 THEN 1
+                ELSE 0 END AS cut
+    FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+),
+sc AS (
+    SELECT doc_id, frame_idx,
+           sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+             AS scene_idx
+    FROM c
+)
+SELECT doc_id, CAST(scene_idx AS INT) AS scene_idx,
+       CAST(min(frame_idx) AS INT) AS start_frame,
+       CAST(count(*) AS BIGINT) AS n_frames
+FROM sc GROUP BY doc_id, scene_idx
+""",
+)
+def multimodal_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCENE-CUT DETECTION over sampled video frames — the shot-boundary
+    pass a video curation pipeline runs before captioning/dedup: the
+    Arrow-batched decode pass emits one deterministic SIGNATURE per
+    sampled frame (byte at the frame offset — a real decoder hashes the
+    frame's pixels; the corpus is ASCII so the oracle replays the byte
+    as a code point), a per-video lag window marks a CUT wherever the
+    signature jumps more than the threshold, a running sum turns cuts
+    into scene ids, and scenes aggregate to (start_frame, n_frames)
+    spans.
+
+    Scale: the decode pass streams Arrow batches (payload bytes never
+    shuffle — only doc-id/frame/signature rows leave it); the cut/scene
+    windows partition per video, and the final rollup is one partial-agg
+    groupBy — per-video parallelism end to end, same envelope as the
+    other multimodal stages."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.lit("fake/txt").alias("media_format"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    sigs = d.mapInPandas(
+        _scene_batches, "doc_id long, frame_idx int, sig int"
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    cut = F.when(F.col("frame_idx") == 0, 0).otherwise(
+        (
+            F.abs(F.col("sig") - F.lag("sig").over(w)) > _SCENE_CUT_T
+        ).cast("int")
+    )
+    return (
+        sigs.withColumn("cut", cut)
+        .withColumn("scene_idx", F.sum("cut").over(w).cast("int"))
+        .groupBy("doc_id", "scene_idx")
+        .agg(
+            F.min("frame_idx").cast("int").alias("start_frame"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        )
+    )

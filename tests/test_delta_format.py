@@ -1801,3 +1801,36 @@ def test_dv_delete_over_100k_matches_stays_off_driver(spark, tmp_path):
     dv = next(iter(state["files"].values()))["deletionVector"]
     assert dv["cardinality"] == 300027
     assert scan_delta_table(spark, d).count() == 600000 - 300027
+
+
+def test_check_constraint_enforced_on_merge(spark, tmp_path):
+    """CHECK constraints guard every add path that lands rows — MERGE
+    included (it commits through the same enforcement): a violating
+    source row refuses the whole merge, the table stays at its prior
+    version, and a conforming merge then applies."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        scan_delta_table,
+    )
+
+    d = str(tmp_path / "cmerge")
+    w = DeltaTableWriter(spark, d)
+    n = _nation(spark)
+    w.commit(add_dfs=[n.where("n_nationkey < 12")])
+    w.add_check_constraint("nonneg", "n_nationkey >= 0")
+    v_before = w._version
+    bad = n.where("n_nationkey = 3").withColumn(
+        "n_nationkey", F.lit(-7).cast(n.schema["n_nationkey"].dataType)
+    )
+    with _pytest.raises(ValueError, match="CHECK constraint"):
+        w.merge_upsert(bad, ["n_nationkey"])
+    assert w._version == v_before
+    ok = n.where("n_nationkey = 3").withColumn("n_name", F.lit("PATCHED"))
+    w.merge_upsert(ok, ["n_nationkey"])
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in scan_delta_table(spark, d).collect()
+    }
+    assert got[3] == "PATCHED" and len(got) == 12
