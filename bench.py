@@ -241,6 +241,8 @@ EXTRA = [
     "maint_iceberg_rewrite_manifests",
     "source_iceberg_entries_table",
     "multimodal_scene_detect",
+    "source_delta_append_only",
+    "ddl_iceberg_properties",
 ]
 
 

@@ -403,6 +403,39 @@ class DeltaTableWriter:
         )
         return self._write_commit(actions)
 
+    def set_table_property(self, key: str, value: str) -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES: one metadata-only commit
+        updating the metaData configuration. ``delta.appendOnly=true``
+        turns on the protocol's append-only enforcement — every later
+        row-mutating operation (DELETE/UPDATE/MERGE, DV or CoW) refuses,
+        while appends and dataChange=false maintenance keep working."""
+        if self._meta is None:
+            raise ValueError("set_table_property before any commit")
+        config = dict(self._meta.get("configuration") or {})
+        config[key] = value
+        self._meta = {**self._meta, "configuration": config}
+        return self._write_commit(
+            [
+                {"metaData": self._meta},
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": "SET TBLPROPERTIES",
+                    }
+                },
+            ]
+        )
+
+    def _require_mutable(self, op: str) -> None:
+        """Protocol ``delta.appendOnly``: a table marked append-only
+        refuses every operation that deletes or changes existing rows —
+        the immutability contract audit/event-log tables rely on."""
+        cfg = (self._meta or {}).get("configuration") or {}
+        if cfg.get("delta.appendOnly", "").lower() == "true":
+            raise ValueError(
+                f"{op} refused: table is append-only (delta.appendOnly=true)"
+            )
+
     def add_check_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ... ADD CONSTRAINT ... CHECK (protocol "CHECK
         Constraints": ``delta.constraints.<name>`` in the metaData
@@ -592,6 +625,7 @@ class DeltaTableWriter:
         Requires minReaderVersion 3 / minWriterVersion 7 +
         deletionVectors in reader/writerFeatures per the protocol; the
         first DV commit upgrades the protocol action accordingly."""
+        self._require_mutable("delete_rows")
         state = read_delta_log(self.table_dir)
         now_ms = int(time.time() * 1000)
         actions = [_DV_PROTOCOL_ACTION]
@@ -891,6 +925,7 @@ class DeltaTableWriter:
 
         Scale: probe is one pushdown scan; DV payloads and cdc rows are
         deleted-row-proportional — the write-amplification-free DELETE."""
+        self._require_mutable("delete_where_dv")
         state = read_delta_log(self.table_dir)
         matched = self._live_with_lineage(state).filter(condition)
         now_ms = int(time.time() * 1000)
@@ -922,6 +957,7 @@ class DeltaTableWriter:
 
         Scale: cost is matched-rows-proportional (DV payloads + one
         updated-rows write job) — the rewrite-free UPDATE shape."""
+        self._require_mutable("update_where_dv")
         state = read_delta_log(self.table_dir)
         cols = {f["name"] for f in json.loads(state["schema_json"])["fields"]}
         unknown = [c for c in assignments if c not in cols]
@@ -1197,6 +1233,7 @@ class DeltaTableWriter:
         a 100 TB table rewrites only the files those 10 keys live in; the
         touched-file probe is a semi-join planned with pushdown, emitting
         file paths (metadata-sized)."""
+        self._require_mutable("merge_upsert")
         from pyspark.sql import types as T
 
         from ..operators.util import bounded_rows

@@ -521,6 +521,7 @@ class IcebergTableWriter:
         self._spec_fields_by_id: dict[int, list[dict]] = {}
         self._next_partition_field_id = 1000  # spec: globally unique ids
         self._file_format = file_format
+        self._properties: dict[str, str] = {}  # table properties
 
     def _resolve_partition_fields(self) -> None:
         """Resolve ``partition_by`` entries — 'col' (identity),
@@ -1712,6 +1713,31 @@ class IcebergTableWriter:
             }
         del self._staged_manifests[snap["snapshot-id"]]
         return self._commit_snapshot(new_id, "append")
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE ... SET TBLPROPERTIES on the real layout: table
+        properties live in metadata.json's ``properties`` map, and a
+        properties change is a new metadata version WITHOUT a snapshot
+        (stock TableMetadata.buildReplacement semantics — the data is
+        untouched, time travel over snapshots is unaffected)."""
+        if self._schema_json is None:
+            raise ValueError("set_properties before any append")
+        self._properties.update({str(k): str(v) for k, v in props.items()})
+        self._version += 1
+        self._write_metadata(int(time.time() * 1000))
+
+    def remove_properties(self, keys: list[str]) -> None:
+        """ALTER TABLE ... UNSET TBLPROPERTIES: metadata-only removal;
+        unknown keys refuse (a typo'd unset must not silently no-op)."""
+        if self._schema_json is None:
+            raise ValueError("remove_properties before any append")
+        missing = [k for k in keys if k not in self._properties]
+        if missing:
+            raise ValueError(f"unknown table properties: {missing}")
+        for k in keys:
+            del self._properties[k]
+        self._version += 1
+        self._write_metadata(int(time.time() * 1000))
 
     def fast_forward(self, branch: str) -> int:
         """Stock Iceberg's ``fast_forward`` procedure: advance ``main``
@@ -3029,7 +3055,7 @@ class IcebergTableWriter:
                 if self._sort_order
                 else []
             ),
-            "properties": {},
+            "properties": dict(self._properties),
             "current-snapshot-id": snapshot_id,
             "refs": {
                 **self._refs,

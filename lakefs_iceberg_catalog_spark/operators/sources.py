@@ -1074,6 +1074,61 @@ def maint_iceberg_rewrite_deletes_mixed(
 
 
 @register(
+    "ddl_iceberg_properties",
+    oracle="""
+SELECT * FROM (VALUES
+  ('commit.retry.num-retries', '4'),
+  ('write.metadata.compression-codec', 'none')
+) AS t(key, value)
+""",
+)
+def ddl_iceberg_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE PROPERTIES on the real Iceberg layout (ALTER TABLE SET /
+    UNSET TBLPROPERTIES): properties live in metadata.json's
+    ``properties`` map and a change is a NEW METADATA VERSION WITHOUT a
+    snapshot — the fixture asserts the snapshot list is untouched by two
+    property commits, that an unset of an unknown key refuses, and reads
+    the surviving properties back through the normal metadata chain.
+
+    Scale: pure metadata at any table size — the knob surface
+    (commit retries, compression codecs, wap.enabled) every deployment
+    tunes without touching data."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        read_table_metadata,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-props-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n)
+    n_snaps = len(read_table_metadata(tmp)["snapshots"])
+    w.set_properties(
+        {
+            "commit.retry.num-retries": "4",
+            "write.metadata.compression-codec": "none",
+            "history.expire.max-snapshot-age-ms": "3600000",
+        }
+    )
+    w.remove_properties(["history.expire.max-snapshot-age-ms"])
+    try:
+        w.remove_properties(["no.such.key"])
+        raise AssertionError("unknown-key unset must refuse")
+    except ValueError:
+        pass
+    meta = read_table_metadata(tmp)
+    assert len(meta["snapshots"]) == n_snaps  # no snapshot from properties
+    props = meta["properties"]
+    back = local_df(
+        spark,
+        sorted(props.items()),
+        "key string, value string",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return back
+
+
+@register(
     "source_iceberg_entries_table",
     oracle="""
 SELECT * FROM (VALUES
@@ -3409,6 +3464,61 @@ def source_delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.startswith("delta.constraints.")
         for k in read_delta_log(tmp)["metadata"]["configuration"]
     )
+    back = scan_delta_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_delta_append_only",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def source_delta_append_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's ``delta.appendOnly`` table property — the immutability
+    contract audit/event-log tables rely on: after one SET TBLPROPERTIES
+    commit, appends keep working while every row-mutating operation
+    (DV DELETE, DV UPDATE, CoW MERGE) refuses loudly without moving the
+    version. Flipping the property back re-enables them. The fixture
+    proves all three refusals mid-flow and reads the table back.
+
+    Scale: enforcement is a metadata lookup — zero cost on the write
+    path; the property rides the same metaData configuration map as
+    constraints and column mapping."""
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="delta-appendonly-")
+    w = DeltaTableWriter(spark, tmp)
+    w.commit(add_dfs=[n.filter("n_nationkey < 12")])
+    w.set_table_property("delta.appendOnly", "true")
+    assert (
+        read_delta_log(tmp)["metadata"]["configuration"]["delta.appendOnly"]
+        == "true"
+    )
+    w.commit(add_dfs=[n.filter("n_nationkey >= 12")])  # appends still fine
+    v = w._version
+    for attempt in (
+        lambda: w.delete_where_dv("n_nationkey = 3"),
+        lambda: w.update_where_dv("n_nationkey = 3", {"n_name": "'X'"}),
+        lambda: w.merge_upsert(
+            n.filter("n_nationkey = 3"), ["n_nationkey"]
+        ),
+    ):
+        try:
+            attempt()
+            raise AssertionError("append-only violation must refuse")
+        except ValueError as e:
+            assert "append-only" in str(e)
+    assert w._version == v  # nothing moved
+    w.set_table_property("delta.appendOnly", "false")  # re-enable
+    w.delete_where_dv("n_nationkey = 99")  # no-op match, but permitted
     back = scan_delta_table(spark, tmp).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
