@@ -110,6 +110,30 @@ class DeltaTableWriter:
         self._column_mapping = column_mapping
         self._meta: dict | None = None  # current metaData action (for renames)
 
+    def _check_constraints(self) -> dict[str, str]:
+        """CHECK constraints currently on the table (protocol "CHECK
+        Constraints": ``delta.constraints.<name>`` configuration keys)."""
+        return {
+            k[len("delta.constraints."):]: v
+            for k, v in ((self._meta or {}).get("configuration") or {}).items()
+            if k.startswith("delta.constraints.")
+        }
+
+    def _enforce_constraints(self, d: DataFrame) -> None:
+        """protocol "CHECK Constraints": writers MUST validate every
+        incoming row (expression not true — including null — is a
+        violation) and refuse the whole commit otherwise; one pushdown
+        probe per constraint, bounded by limit(1). Shared by commit()
+        AND the DV write paths (update_where_dv / merge) so a violating
+        row never enters the table on ANY write shape (ADVICE r12)."""
+        for cname, cexpr in sorted(self._check_constraints().items()):
+            bad = d.filter(~F.coalesce(F.expr(cexpr), F.lit(False)))
+            if bad.limit(1).count() > 0:
+                raise ValueError(
+                    f"rows violate CHECK constraint {cname!r} "
+                    f"({cexpr}) — commit refused"
+                )
+
     def _write_commit(self, actions: list[dict]) -> int:
         self._version += 1
         with open(_commit_path(self.table_dir, self._version), "w") as f:
@@ -253,24 +277,8 @@ class DeltaTableWriter:
             actions.append({"metaData": self._meta})
         pcols = getattr(self, "_partition_cols", [])
         phys = _physical_names_map(self._meta) if self._column_mapping else {}
-        constraints = {
-            k[len("delta.constraints."):]: v
-            for k, v in ((self._meta or {}).get("configuration") or {}).items()
-            if k.startswith("delta.constraints.")
-        }
-
-        def _enforce(d: DataFrame) -> None:
-            # protocol "CHECK Constraints": writers MUST validate every
-            # incoming row (expression not true — including null — is a
-            # violation) and refuse the whole commit otherwise; one
-            # pushdown probe per constraint, bounded by limit(1)
-            for cname, cexpr in sorted(constraints.items()):
-                bad = d.filter(~F.coalesce(F.expr(cexpr), F.lit(False)))
-                if bad.limit(1).count() > 0:
-                    raise ValueError(
-                        f"rows violate CHECK constraint {cname!r} "
-                        f"({cexpr}) — commit refused"
-                    )
+        constraints = self._check_constraints()
+        _enforce = self._enforce_constraints
 
         for df in add_dfs or []:
             for name, expr in getattr(self, "_generated", {}).items():
@@ -974,6 +982,10 @@ class DeltaTableWriter:
         updated = pre
         for c, expr in assignments.items():
             updated = updated.withColumn(c, F.expr(expr))
+        # UPDATE writes rows straight via _write_commit (not commit()),
+        # so run the same CHECK-constraint gate here — stock Delta
+        # validates UPDATE assignments too (ADVICE r12)
+        self._enforce_constraints(updated)
         phys = _physical_names_map(self._meta) if self._column_mapping else {}
         pcols = state.get("partition_cols") or []
         add_actions: list[dict] = []
@@ -1633,6 +1645,9 @@ class DeltaTableWriter:
         RESTORE is instant at any table size. Files physically deleted by
         VACUUM cannot be restored; the fold would surface the missing file
         at scan time, matching stock behavior."""
+        # RESTORE removes files (and can delete/resurrect rows) — the
+        # delta.appendOnly gate applies to it like any row-removing op
+        self._require_mutable("restore")
         target = read_delta_log(self.table_dir, version)
         cur = read_delta_log(self.table_dir)
         actions: list[dict] = []

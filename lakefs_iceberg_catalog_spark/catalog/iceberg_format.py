@@ -729,14 +729,12 @@ class IcebergTableWriter:
             raise ValueError(
                 "wap_id/branch commits require an existing table head"
             )
-        main_manifests = None
-        if branch is not None:
-            # build on the BRANCH's manifest set (forking from main on
-            # the first branch commit); main's set is restored after
-            main_manifests = self._manifests
-            self._manifests = self._branch_manifests.get(
-                branch, [dict(m) for m in main_manifests]
-            )
+        # NOTE: the branch-manifest swap is deferred until AFTER format
+        # validation, the single-valued-partition check and the data +
+        # manifest writes (ADVICE r12): a failure in any of those used to
+        # strand self._manifests on the branch's set, silently leaking
+        # branch rows into every later main commit. The swap now lives in
+        # the branch arm below, with restore-on-failure around the commit.
         fmt = file_format or self._file_format
         if fmt not in ("parquet", "orc", "avro"):
             raise ValueError(f"unsupported data file format {fmt!r}")
@@ -822,40 +820,56 @@ class IcebergTableWriter:
             },
             codec="deflate",
         )
-        self._manifests.append(
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": self._spec_id,
-                "content": 0,
-                "sequence_number": self._sequence,
-                "min_sequence_number": self._sequence,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": 1,
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": n_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-                "partitions": self._partition_summaries([pvals]),
-            }
-        )
+        new_manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": self._spec_id,
+            "content": 0,
+            "sequence_number": self._sequence,
+            "min_sequence_number": self._sequence,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": self._partition_summaries([pvals]),
+        }
         if wap_id is None and branch is None:
+            self._manifests.append(new_manifest)
             return self._commit_snapshot(snapshot_id, "append")
         if branch is not None:
-            # BRANCH commit: parent is the branch head (main head on the
-            # fork commit); only refs[branch] moves — set BEFORE the
-            # metadata write so the new chain carries it
+            # BRANCH commit: build on the BRANCH's manifest set (forking
+            # from main on the first branch commit); parent is the branch
+            # head (main head on the fork commit); only refs[branch]
+            # moves. The swap is undone on ANY failure so a raising
+            # commit can never leak branch manifests into main.
             prev_ref = self._refs.get(branch)
             parent = prev_ref["snapshot-id"] if prev_ref else None
+            main_manifests = self._manifests
+            self._manifests = self._branch_manifests.get(
+                branch, [dict(m) for m in main_manifests]
+            )
+            self._manifests.append(new_manifest)
             self._refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
             self._staged_ids.add(snapshot_id)  # never became current
-            sid = self._commit_snapshot(
-                snapshot_id, "append", stage=True, parent=parent
-            )
+            try:
+                sid = self._commit_snapshot(
+                    snapshot_id, "append", stage=True, parent=parent
+                )
+            except BaseException:
+                self._manifests = main_manifests
+                if prev_ref is None:
+                    self._refs.pop(branch, None)
+                else:
+                    self._refs[branch] = prev_ref
+                self._staged_ids.discard(snapshot_id)
+                raise
             self._branch_manifests[branch] = self._manifests
             self._manifests = main_manifests
             return sid
+        self._manifests.append(new_manifest)
         # STAGE: the snapshot (and its frozen manifest list) is written,
         # but the head does not move and the live manifest set reverts —
         # later main commits must not carry the staged manifest
@@ -4104,6 +4118,15 @@ def iceberg_incremental_append_files(
     while cur in by_id:
         ancestry.add(cur)
         cur = by_id[cur].get("parent-snapshot-id")
+    if from_snapshot_id not in ancestry:
+        # mirror scan_iceberg_changelog's guard (ADVICE r12): a `from`
+        # pointing at a staged WAP or dead-branch snapshot is not an
+        # ancestor of `to`, so its sequence number bounds a meaningless
+        # window that can skip or double-count appends
+        raise ValueError(
+            f"from_snapshot_id {from_snapshot_id} is not an ancestor of "
+            f"to snapshot {to_id} — incremental append range undefined"
+        )
     non_append = [
         s["snapshot-id"]
         for s in snaps

@@ -139,7 +139,10 @@ def write_single_avro(df: DataFrame, dest_path: str) -> int:
         if kind == "TimestampType":
             if v.tzinfo is None:
                 v = v.replace(tzinfo=_dt.timezone.utc)
-            return int((v - epoch_ts).total_seconds() * 1_000_000)
+            # exact integer micros: total_seconds() goes through a float
+            # whose rounding + int() truncation corrupts ~1% of values
+            # by -1µs; timedelta floor-division is exact (ADVICE r12)
+            return (v - epoch_ts) // _dt.timedelta(microseconds=1)
         return v
 
     def _write(rows):

@@ -1834,3 +1834,46 @@ def test_check_constraint_enforced_on_merge(spark, tmp_path):
         for r in scan_delta_table(spark, d).collect()
     }
     assert got[3] == "PATCHED" and len(got) == 12
+
+
+def test_check_constraint_enforced_on_update_dv(spark, tmp_path):
+    """ADVICE r12: update_where_dv lands its updated rows via
+    _write_commit, not commit() — the CHECK gate must still run there,
+    or an UPDATE assignment violating delta.constraints.* would put
+    violating rows in the table (stock Delta validates UPDATE too).
+    A violating update refuses with no new version; a conforming one
+    then applies."""
+    d = str(tmp_path / "cupd")
+    w = DeltaTableWriter(spark, d)
+    n = _nation(spark).select("n_nationkey", "n_name")
+    w.commit(add_dfs=[n.where("n_nationkey < 12")])
+    w.add_check_constraint("nonneg", "n_nationkey >= 0")
+    v_before = w._version
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        w.update_where_dv("n_nationkey = 3", {"n_nationkey": "-1"})
+    assert w._version == v_before
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in scan_delta_table(spark, d).collect()
+    }
+    assert 3 in got and len(got) == 12  # row 3 untouched, nothing lost
+    w.update_where_dv("n_nationkey = 3", {"n_name": "'OK'"})
+    got2 = {
+        r["n_nationkey"]: r["n_name"]
+        for r in scan_delta_table(spark, d).collect()
+    }
+    assert got2[3] == "OK" and len(got2) == 12
+
+
+def test_append_only_gates_restore(spark, tmp_path):
+    """ADVICE r12: RESTORE removes files (and can delete/resurrect
+    rows), so delta.appendOnly must gate it like DELETE/UPDATE/MERGE."""
+    d = str(tmp_path / "aorestore")
+    w = DeltaTableWriter(spark, d)
+    n = _nation(spark)
+    w.commit(add_dfs=[n.where("n_nationkey < 12")])
+    w.commit(add_dfs=[n.where("n_nationkey >= 12")])
+    w.set_table_property("delta.appendOnly", "true")
+    with pytest.raises(ValueError, match="append-only"):
+        w.restore(0)
+    assert scan_delta_table(spark, d).count() == 25  # nothing rolled back

@@ -1848,3 +1848,101 @@ def test_changelog_eq_dead_rows_do_not_resurface(spark, tmp_path):
     # ONE delete for key 4 (the equality snapshot's), one for key 6
     assert got == [("delete", 4), ("delete", 6)], got
     assert len({r["_commit_seq"] for r in ch}) == 2
+
+
+def test_avro_timestamp_micros_exact(spark, tmp_path):
+    """ADVICE r12: write_single_avro used total_seconds()*1e6 — float
+    rounding + int() truncation corrupted ~1% of timestamps by -1µs.
+    The writer must use exact integer arithmetic: round-trip timestamps
+    empirically known to trip the float path and compare exact micros."""
+    import datetime as dt
+
+    from lakefs_iceberg_catalog_spark.catalog.parquet_io import (
+        write_single_avro,
+    )
+
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    trips = [  # (days, seconds, micros) where int(total_seconds()*1e6) is -1µs off
+        (12471, 51750, 339563),
+        (12659, 14408, 462030),
+        (24907, 68649, 146074),
+        (12713, 43154, 976848),
+    ]
+    rows = [
+        (i, epoch + dt.timedelta(days=d, seconds=s, microseconds=us))
+        for i, (d, s, us) in enumerate(trips)
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp")
+    p = str(tmp_path / "exact_ts.avro")
+    assert write_single_avro(df, p) == len(rows)
+    _, back = read_container(p)
+    got = {r["id"]: r["ts"] for r in back}
+    for i, (d, s, us) in enumerate(trips):
+        want = (
+            dt.timedelta(days=d, seconds=s, microseconds=us)
+            // dt.timedelta(microseconds=1)
+        )
+        assert got[i] == want, (i, got[i] - want)
+
+
+def test_branch_append_failure_restores_main_state(spark, tmp_path):
+    """ADVICE r12: a branch append that fails mid-commit used to strand
+    self._manifests on the branch's set, leaking branch rows into every
+    later main commit. Failures BEFORE the swap (validation, data write)
+    and DURING the commit (forced via monkeypatched _commit_snapshot)
+    must both leave main's manifests, the branch ref, and subsequent
+    main appends untouched."""
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "branchfail")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 5"))
+    w.append(n.filter("n_nationkey between 5 and 9"), branch="b")
+    # 1. pre-swap validation failure: bad file format
+    with pytest.raises(ValueError, match="unsupported data file format"):
+        w.append(n.filter("n_nationkey between 10 and 14"), branch="b",
+                 file_format="csv")
+    # 2. commit-time failure: _commit_snapshot raises after the swap
+    real = w._commit_snapshot
+    pre_refs = dict(w._refs)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected commit failure")
+
+    w._commit_snapshot = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            w.append(n.filter("n_nationkey between 10 and 14"), branch="b")
+    finally:
+        w._commit_snapshot = real
+    assert w._refs == pre_refs  # branch ref restored to its prior head
+    # main appends stay pure: no branch rows leak
+    w.append(n.filter("n_nationkey >= 20"))
+    assert sorted(
+        r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()
+    ) == list(range(5)) + list(range(20, 25))
+    # the branch still reads its own (pre-failure) head
+    assert sorted(
+        r["n_nationkey"]
+        for r in scan_iceberg_table(spark, d, ref="b").collect()
+    ) == list(range(10))
+
+
+def test_incremental_append_refuses_non_ancestor_from(spark, tmp_path):
+    """ADVICE r12: a `from` snapshot that is NOT an ancestor of `to`
+    (staged WAP, dead branch) bounds a meaningless sequence window that
+    can skip or double-count appends — refuse, mirroring the changelog
+    guard."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        iceberg_incremental_append_files,
+    )
+
+    n = _nation(spark)
+    d = str(tmp_path / "incr_anc")
+    w = IcebergTableWriter(spark, d)
+    s1 = w.append(n.where("n_nationkey < 8"))
+    sb = w.append(n.where("n_nationkey between 8 and 12"), branch="side")
+    s2 = w.append(n.where("n_nationkey >= 20"))
+    # sane window still works with the branch snapshot in the metadata
+    assert len(iceberg_incremental_append_files(d, s1, s2)) == 1
+    with pytest.raises(ValueError, match="not an ancestor"):
+        iceberg_incremental_append_files(d, sb, s2)
