@@ -3551,9 +3551,169 @@ def iceberg_metadata_table(
             "partition map<string,string>, record_count long, "
             "file_count int, delete_file_count int",
         )
+    if kind == "all_manifests":
+        # stock Iceberg's ``t.all_manifests`` (the reference inherits it
+        # via its iceberg-spark-runtime dep, pom.xml:83-88): the
+        # manifests table across EVERY snapshot in the metadata, one row
+        # per (snapshot, manifest) with reference_snapshot_id — the ops
+        # view orphan-file audits start from. Zero data IO: rows come
+        # from the O(snapshots) manifest lists only.
+        rows = []
+        for s in snaps:
+            _, manifest_files = read_container(s["manifest-list"])
+            for mf in manifest_files:
+                rows.append(
+                    (
+                        int(mf.get("content", 0)),
+                        mf["manifest_path"],
+                        int(mf["manifest_length"]),
+                        int(mf.get("partition_spec_id", 0)),
+                        int(mf["added_snapshot_id"]),
+                        int(mf["added_files_count"]),
+                        int(mf["existing_files_count"]),
+                        int(mf["deleted_files_count"]),
+                        int(s["snapshot-id"]),
+                    )
+                )
+        return local_df(spark,
+            sorted(rows),
+            "content int, path string, length long, partition_spec_id int, "
+            "added_snapshot_id long, added_data_files_count int, "
+            "existing_data_files_count int, deleted_data_files_count int, "
+            "reference_snapshot_id long",
+        )
+    if kind in ("all_data_files", "all_entries"):
+        # stock's ``t.all_data_files`` / ``t.all_entries``: files/entries
+        # across ALL snapshots, not just the current one. Manifests shared
+        # by many snapshots are read ONCE (dedup by path — stock's
+        # AllDataFilesTable plans the same manifest dedup); a file can
+        # still appear under several manifests (carried EXISTING by a
+        # rewrite), matching stock's documented "may produce duplicate
+        # rows". Zero data-file IO: metadata walk only, O(unique
+        # manifests) reads at any table size.
+        seen_mf: set[str] = set()
+        uniq: list[dict] = []
+        for s in snaps:
+            _, manifest_files = read_container(s["manifest-list"])
+            for mf in manifest_files:
+                if mf["manifest_path"] not in seen_mf:
+                    seen_mf.add(mf["manifest_path"])
+                    uniq.append(mf)
+        rows = []
+        for mf in uniq:
+            _, entries = read_container(mf["manifest_path"])
+            for e in entries:
+                d = e["data_file"]
+                seq = e.get("sequence_number")
+                if seq is None and e["status"] == STATUS_ADDED:
+                    seq = mf["sequence_number"]
+                if kind == "all_data_files":
+                    if (
+                        e["status"] == STATUS_DELETED
+                        or int(d["content"]) != CONTENT_DATA
+                    ):
+                        continue
+                    rows.append(
+                        (
+                            int(d["content"]),
+                            d["file_path"],
+                            d["file_format"].upper(),
+                            {
+                                str(k): str(v)
+                                for k, v in (d.get("partition") or {}).items()
+                            },
+                            int(d["record_count"]),
+                            int(d["file_size_in_bytes"]),
+                            None if seq is None else int(seq),
+                            int(mf.get("partition_spec_id", 0)),
+                        )
+                    )
+                else:
+                    rows.append(
+                        (
+                            int(e["status"]),
+                            int(e.get("snapshot_id") or mf["added_snapshot_id"]),
+                            None if seq is None else int(seq),
+                            int(d["content"]),
+                            d["file_format"].upper(),
+                            int(d["record_count"]),
+                            int(d["file_size_in_bytes"]),
+                        )
+                    )
+        if kind == "all_data_files":
+            return local_df(spark,
+                sorted(rows, key=lambda r: (r[1], r[6] or 0)),
+                "content int, file_path string, file_format string, "
+                "partition map<string,string>, record_count long, "
+                "file_size_in_bytes long, sequence_number long, "
+                "spec_id int",
+            )
+        return local_df(spark,
+            sorted(rows),
+            "status int, snapshot_id long, sequence_number long, "
+            "content int, file_format string, record_count long, "
+            "file_size_in_bytes long",
+        )
+    if kind == "position_deletes":
+        # stock's row-level ``t.position_deletes`` table: the CONTENT of
+        # every live content=1 delete file at the current snapshot — one
+        # row per (data file path, ordinal) plus the delete file it came
+        # from, its partition tuple and spec id. Unlike the other
+        # metadata tables this one READS delete-file data (that is its
+        # purpose: row-level MoR-debt audit); IO is delete-file-
+        # proportional and runs as ONE distributed Spark scan over all
+        # delete files — rows never touch the driver.
+        _, deletes = iceberg_snapshot_files(table_dir, version=version)
+        pos_files = [
+            f for f in deletes
+            if int(f["content"]) == CONTENT_POSITION_DELETES
+        ]
+        non_parquet = [
+            f["file_path"] for f in pos_files
+            if f["file_format"].lower() != "parquet"
+        ]
+        if non_parquet:
+            raise NotImplementedError(
+                "position_deletes over non-parquet delete files is not "
+                f"supported: {non_parquet}"
+            )
+        schema = (
+            "file_path string, pos long, delete_file_path string, "
+            "partition map<string,string>, spec_id int"
+        )
+        if not pos_files:
+            return local_df(spark, [], schema)
+        meta_df = local_df(spark,
+            [
+                (
+                    f["file_path"],
+                    {
+                        str(k): str(v)
+                        for k, v in (f.get("partition") or {}).items()
+                    },
+                    int(f.get("_spec_id", 0)),
+                )
+                for f in pos_files
+            ],
+            "delete_file_path string, partition map<string,string>, "
+            "spec_id int",
+        )
+        body = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(*[f["file_path"] for f in pos_files])
+            .withColumn(
+                "delete_file_path",
+                F.regexp_replace(F.input_file_name(), "^file:/*", "/"),
+            )
+        )
+        # metadata-sized dimension: O(delete files) rows, forced broadcast
+        return body.join(F.broadcast(meta_df), "delete_file_path").select(
+            "file_path", "pos", "delete_file_path", "partition", "spec_id"
+        )
     raise ValueError(
         f"unknown metadata table {kind!r}; supported: snapshots, "
-        "history, manifests, entries, files, delete_files, partitions"
+        "history, manifests, entries, files, delete_files, partitions, "
+        "all_manifests, all_data_files, all_entries, position_deletes"
     )
 
 

@@ -3861,3 +3861,190 @@ def source_delta_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey", "note"
     )
     return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_all_data_files",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, 'PARQUET', CAST(12 AS BIGINT), CAST(1 AS BIGINT), 0),
+  (0, 'PARQUET', CAST(13 AS BIGINT), CAST(2 AS BIGINT), 0),
+  (0, 'PARQUET', CAST(11 AS BIGINT), CAST(3 AS BIGINT), 0)
+) AS t(content, file_format, record_count, sequence_number, spec_id)
+""",
+)
+def source_iceberg_all_data_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock Iceberg's ``t.all_data_files`` METADATA TABLE (the reference
+    inherits it via its iceberg-spark-runtime dependency, pom.xml:83-88):
+    data files across ALL snapshots, not just the current one — the
+    orphan-audit view. The fixture's CoW DELETE makes the difference
+    visible: the rewritten victim (12 rows, seq 1) is gone from ``files``
+    but still listed here because older snapshots' manifests reference
+    it, alongside the untouched append (13 rows) and the rewrite
+    survivor (11 rows).
+
+    Scale: zero data-file IO — O(unique manifests) metadata reads
+    (manifests shared across snapshots are read once)."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_metadata_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-alldf-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12").orderBy("n_nationkey"))
+    w.append(n.filter("n_nationkey >= 12").orderBy("n_nationkey"))
+    w.delete_where_cow("n_nationkey = 3")
+    # current files ≠ all files: the CoW victim only shows in all_*
+    cur = iceberg_metadata_table(spark, tmp, "files")
+    assert cur.filter("content = 0").count() == 2
+    back = iceberg_metadata_table(spark, tmp, "all_data_files").select(
+        "content", "file_format", "record_count", "sequence_number", "spec_id"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_all_manifests",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, 1, 0, 0, CAST(1 AS BIGINT)),
+  (0, 1, 0, 0, CAST(2 AS BIGINT)),
+  (0, 1, 0, 0, CAST(2 AS BIGINT)),
+  (0, 0, 0, 1, CAST(3 AS BIGINT)),
+  (0, 1, 0, 0, CAST(3 AS BIGINT)),
+  (0, 1, 0, 0, CAST(3 AS BIGINT)),
+  (1, 1, 0, 0, CAST(4 AS BIGINT)),
+  (0, 0, 0, 1, CAST(4 AS BIGINT)),
+  (0, 1, 0, 0, CAST(4 AS BIGINT)),
+  (0, 1, 0, 0, CAST(4 AS BIGINT))
+) AS t(content, added_files, existing_files, deleted_files, ref_seq)
+""",
+)
+def source_iceberg_all_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock Iceberg's ``t.all_manifests`` METADATA TABLE: one row per
+    (snapshot, manifest) across EVERY snapshot with the referencing
+    snapshot attached — the planning-debt dashboard (how many manifests
+    each historical snapshot's scan opens). The fixture (2 appends → CoW
+    delete → MoR delete) yields 1+2+3+4 rows; reference_snapshot_id is
+    random per run, so the key projects the referencing snapshot's
+    SEQUENCE NUMBER via a metadata-sized broadcast join with the
+    snapshots table.
+
+    Scale: zero data IO — O(snapshots × manifests) metadata rows."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_metadata_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-allmf-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12").orderBy("n_nationkey"))
+    w.append(n.filter("n_nationkey >= 12").orderBy("n_nationkey"))
+    w.delete_where_cow("n_nationkey = 3")
+    w.delete_where_mor("n_nationkey = 20")
+    mt = iceberg_metadata_table(spark, tmp, "all_manifests")
+    snap_seq = iceberg_metadata_table(spark, tmp, "snapshots").select(
+        F.col("snapshot_id").alias("reference_snapshot_id"),
+        F.col("sequence_number").alias("ref_seq"),
+    )
+    back = mt.join(F.broadcast(snap_seq), "reference_snapshot_id").select(
+        "content",
+        F.col("added_data_files_count").alias("added_files"),
+        F.col("existing_data_files_count").alias("existing_files"),
+        F.col("deleted_data_files_count").alias("deleted_files"),
+        "ref_seq",
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_all_entries",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 0, 'PARQUET', CAST(12 AS BIGINT), CAST(1 AS BIGINT)),
+  (2, 0, 'PARQUET', CAST(12 AS BIGINT), CAST(1 AS BIGINT)),
+  (1, 0, 'PARQUET', CAST(13 AS BIGINT), CAST(2 AS BIGINT)),
+  (1, 0, 'PARQUET', CAST(11 AS BIGINT), CAST(3 AS BIGINT)),
+  (1, 1, 'PARQUET', CAST(1 AS BIGINT), CAST(4 AS BIGINT))
+) AS t(status, content, file_format, record_count, sequence_number)
+""",
+)
+def source_iceberg_all_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock Iceberg's ``t.all_entries`` METADATA TABLE: manifest entries
+    across ALL snapshots' manifests (deduplicated by manifest path), all
+    statuses included — the raw reconciliation view behind
+    all_data_files. The fixture's CoW DELETE shows the same data file
+    twice: ADDED (seq 1, by the first append's manifest) and DELETED
+    (seq 1 resolved explicitly, by the rewrite's manifest); the MoR
+    delete contributes the content=1 ADDED entry.
+
+    Scale: zero data IO — O(unique manifests) metadata reads."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_metadata_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-allent-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12").orderBy("n_nationkey"))
+    w.append(n.filter("n_nationkey >= 12").orderBy("n_nationkey"))
+    w.delete_where_cow("n_nationkey = 3")
+    w.delete_where_mor("n_nationkey = 20")
+    back = iceberg_metadata_table(spark, tmp, "all_entries").select(
+        "status", "content", "file_format", "record_count", "sequence_number"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_position_deletes_table",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(3 AS BIGINT), CAST(12 AS BIGINT), 0),
+  (CAST(8 AS BIGINT), CAST(12 AS BIGINT), 0),
+  (CAST(5 AS BIGINT), CAST(13 AS BIGINT), 0)
+) AS t(pos, target_rows, spec_id)
+""",
+)
+def source_iceberg_position_deletes_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stock Iceberg's row-level ``t.position_deletes`` METADATA TABLE:
+    the CONTENT of every live position-delete file — one row per
+    (data file, ordinal) with the delete file, partition and spec id
+    attached. The one metadata table that reads data (that is its
+    purpose: row-level MoR-debt audit); the read is ONE distributed scan
+    over the delete files, joined to a broadcast O(delete files) sidecar
+    for partition/spec — rows never touch the driver. File paths are
+    tmp-dir-random, so the key projects each ordinal against its target
+    data file's record_count (12/13 disambiguate the two appends) via
+    the files table."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_metadata_table,
+        iceberg_snapshot_files,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-posdel-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12").orderBy("n_nationkey"))
+    w.append(n.filter("n_nationkey >= 12").orderBy("n_nationkey"))
+    files, _ = iceberg_snapshot_files(tmp)
+    # pick targets by row count, not list position (manifest order is
+    # not append order): 12-row file gets ordinals {3, 8}, 13-row gets {5}
+    f12 = next(f for f in files if f["record_count"] == 12)["file_path"]
+    f13 = next(f for f in files if f["record_count"] == 13)["file_path"]
+    w.delete_positions([(f12, 3), (f12, 8), (f13, 5)])
+    mt = iceberg_metadata_table(spark, tmp, "position_deletes")
+    targets = iceberg_metadata_table(spark, tmp, "files").filter(
+        "content = 0"
+    ).select("file_path", F.col("record_count").alias("target_rows"))
+    back = mt.join(F.broadcast(targets), "file_path").select(
+        "pos", "target_rows", "spec_id"
+    )
+    return _materialize(spark, back, tmp)

@@ -1946,3 +1946,62 @@ def test_incremental_append_refuses_non_ancestor_from(spark, tmp_path):
     assert len(iceberg_incremental_append_files(d, s1, s2)) == 1
     with pytest.raises(ValueError, match="not an ancestor"):
         iceberg_incremental_append_files(d, sb, s2)
+
+
+def test_all_metadata_tables_and_position_deletes(spark, tmp_path):
+    """The all_* metadata tables serve rows from the metadata chain ONLY
+    — proven by corrupting every data file before the read (any data IO
+    would throw). position_deletes, by contrast, is the one metadata
+    table that READS delete-file content: its rows are the (file, pos)
+    pairs, joined to partition/spec metadata, and it must refuse
+    non-parquet delete files loudly."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        iceberg_metadata_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "allmeta")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 12").orderBy("n_nationkey"))
+    w.append(n.filter("n_nationkey >= 12").orderBy("n_nationkey"))
+    w.delete_where_cow("n_nationkey = 3")
+    files, _ = iceberg_snapshot_files(d)
+    f13 = next(f for f in files if f["record_count"] == 13)["file_path"]
+    w.delete_positions([(f13, 2), (f13, 6)])
+
+    # position_deletes BEFORE corruption: reads the delete file's rows
+    pd = iceberg_metadata_table(spark, d, "position_deletes")
+    got = [(r["file_path"], r["pos"]) for r in pd.collect()]
+    assert sorted(got) == [(f13, 2), (f13, 6)]
+    assert pd.columns == [
+        "file_path", "pos", "delete_file_path", "partition", "spec_id",
+    ]
+
+    # corrupt every DATA file: all_* must still answer (zero data IO);
+    # delete files stay intact (position_deletes needs them, data files
+    # it must never open)
+    import glob as _glob
+
+    for p in _glob.glob(os.path.join(d, "data", "*.parquet")):
+        if "-deletes-" not in p:
+            with open(p, "wb") as fh:
+                fh.write(b"corrupted, not parquet")
+    adf = iceberg_metadata_table(spark, d, "all_data_files")
+    # CoW victim (12 rows, seq 1) still listed: older snapshots hold it
+    assert sorted(
+        (r["record_count"], r["sequence_number"]) for r in adf.collect()
+    ) == [(11, 3), (12, 1), (13, 2)]
+    amf = iceberg_metadata_table(spark, d, "all_manifests")
+    assert amf.count() == 1 + 2 + 3 + 4  # manifests per snapshot
+    aen = iceberg_metadata_table(spark, d, "all_entries")
+    assert sorted(
+        (r["status"], r["content"], r["record_count"]) for r in aen.collect()
+    ) == [(1, 0, 11), (1, 0, 12), (1, 0, 13), (1, 1, 2), (2, 0, 12)]
+    # position_deletes still fine too — it opens DELETE files only
+    assert iceberg_metadata_table(spark, d, "position_deletes").count() == 2
+
+    # empty case: a table with no delete files yields an empty frame
+    d2 = str(tmp_path / "allmeta2")
+    w2 = IcebergTableWriter(spark, d2)
+    w2.append(n.filter("n_nationkey < 5"))
+    assert iceberg_metadata_table(spark, d2, "position_deletes").count() == 0
