@@ -42,7 +42,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from ..operators.util import local_df
+from ..operators.util import gated_broadcast, local_df
 
 _LOG_DIR = "_delta_log"
 
@@ -562,6 +562,71 @@ class DeltaTableWriter:
                     "commitInfo": {
                         "timestamp": int(time.time() * 1000),
                         "operation": "RENAME COLUMN",
+                    }
+                },
+            ]
+        )
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN (stock Delta's ALTER TABLE ... DROP COLUMN; the
+        Iceberg twin is iceberg_format.py drop_column): a metadata-ONLY
+        commit removing the field from schemaString — data files keep
+        the physical column bytes and readers simply stop projecting
+        them. Like RENAME, the protocol gates DROP behind column
+        mapping: without stable physical names, re-adding a same-named
+        column later would resurrect the old bytes (with mapping, the
+        re-added column gets a FRESH id + physical name, so old files
+        surface it as NULL). Time travel to pre-drop versions still
+        shows the column through the old metaData. Refuses to drop a
+        partition column, a column referenced by a generation
+        expression or CHECK constraint, or the last column — stock's
+        guards.
+
+        Scale: zero data IO at any table size."""
+        import re as _re
+
+        if not self._column_mapping:
+            raise NotImplementedError(
+                "DROP COLUMN requires column mapping (physical names in "
+                "data files) — stock Delta enforces the same gate"
+            )
+        assert self._meta is not None
+        schema = json.loads(self._meta["schemaString"])
+        if not any(f["name"] == name for f in schema["fields"]):
+            raise ValueError(f"no column {name!r} to drop")
+        if len(schema["fields"]) == 1:
+            raise ValueError("cannot drop the last column")
+        if name in self._meta.get("partitionColumns", []):
+            raise ValueError(f"cannot drop partition column {name!r}")
+        for f in schema["fields"]:
+            if f["name"] == name:
+                continue
+            expr = (f.get("metadata") or {}).get("delta.generationExpression")
+            if expr and _re.search(rf"\b{_re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"cannot drop {name!r}: generated column {f['name']!r} "
+                    f"references it ({expr!r})"
+                )
+        for cname, cexpr in sorted(self._check_constraints().items()):
+            if _re.search(rf"\b{_re.escape(name)}\b", cexpr):
+                raise ValueError(
+                    f"cannot drop {name!r}: CHECK constraint {cname!r} "
+                    f"references it ({cexpr!r})"
+                )
+        schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
+        self._meta = {
+            **self._meta,
+            "schemaString": json.dumps(schema, separators=(",", ":")),
+        }
+        # a dropped generated column must not be recomputed on later adds
+        getattr(self, "_generated", {}).pop(name, None)
+        return self._write_commit(
+            [
+                {"metaData": self._meta},
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": "DROP COLUMNS",
                     }
                 },
             ]
@@ -1283,7 +1348,7 @@ class DeltaTableWriter:
         touched = sorted(
             r["_file"]
             for r in bounded_rows(
-                cur_files.join(F.broadcast(keys), key_cols, "left_semi")
+                cur_files.join(gated_broadcast(keys), key_cols, "left_semi")
                 .select("_file")
                 .distinct(),
                 100_000,
@@ -1305,7 +1370,7 @@ class DeltaTableWriter:
         survivors = (
             cur_files.join(F.broadcast(touched_df), "_file", "left_semi")
             .drop("_file")
-            .join(F.broadcast(keys), key_cols, "left_anti")
+            .join(gated_broadcast(keys), key_cols, "left_anti")
             if touched
             else None
         )
@@ -1320,7 +1385,7 @@ class DeltaTableWriter:
         touched_rows = (
             cur_files.join(F.broadcast(touched_df), "_file", "left_semi")
             .drop("_file")
-            .join(F.broadcast(keys), key_cols, "left_semi")
+            .join(gated_broadcast(keys), key_cols, "left_semi")
             if touched
             else cur_files.drop("_file").limit(0)
         )
@@ -1469,7 +1534,7 @@ class DeltaTableWriter:
         if cand_files:
             # ONE probe job over the single candidate scan
             probe = scan_with_pvals(cand_files).join(
-                F.broadcast(keys), key_cols, "left_semi"
+                gated_broadcast(keys), key_cols, "left_semi"
             )
             hit_all = sorted(
                 r["_file"]
@@ -1489,11 +1554,11 @@ class DeltaTableWriter:
                     [(p, path_to[p][1]) for p in hit_all]
                 )
                 preimage_rows = touched_raw.join(
-                    F.broadcast(keys), key_cols, "left_semi"
+                    gated_broadcast(keys), key_cols, "left_semi"
                 ).select(*cols)
                 survivors = (
                     touched_raw.drop("_file")
-                    .join(F.broadcast(keys), key_cols, "left_anti")
+                    .join(gated_broadcast(keys), key_cols, "left_anti")
                     .select(*cols)
                 )
         # ONE partitionBy write job for every output tuple (VERDICT r8

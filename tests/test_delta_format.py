@@ -1877,3 +1877,59 @@ def test_append_only_gates_restore(spark, tmp_path):
     with pytest.raises(ValueError, match="append-only"):
         w.restore(0)
     assert scan_delta_table(spark, d).count() == 25  # nothing rolled back
+
+
+def test_drop_column_guards_and_time_travel(spark, tmp_path):
+    """DROP COLUMN guard rails (stock's): requires column mapping;
+    refuses partition columns, columns referenced by a generation
+    expression or CHECK constraint, and the last column. Pre-drop
+    versions keep the column via time travel; a same-named re-add gets
+    a fresh physical name so old bytes never resurrect."""
+    from pyspark.sql import functions as F
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    # no mapping → refuse
+    w0 = DeltaTableWriter(spark, str(tmp_path / "nomap"))
+    w0.commit(add_dfs=[n.where("n_nationkey < 3")])
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        w0.drop_column("n_name")
+    # mapped, partitioned, constrained, generated
+    d = str(tmp_path / "dropg")
+    w = DeltaTableWriter(spark, d, column_mapping=True)
+    w.commit(
+        add_dfs=[n.where("n_regionkey = 0")],
+        partition_cols=["n_regionkey"],
+        generated={"keyplus": "n_nationkey + 1"},
+    )
+    w.add_check_constraint("named", "n_name IS NOT NULL")
+    with pytest.raises(ValueError, match="partition column"):
+        w.drop_column("n_regionkey")
+    with pytest.raises(ValueError, match="generated column"):
+        w.drop_column("n_nationkey")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        w.drop_column("n_name")
+    with pytest.raises(ValueError, match="no column"):
+        w.drop_column("ghost")
+    w.drop_check_constraint("named")
+    v_drop = w.drop_column("n_name")
+    assert "n_name" not in scan_delta_table(spark, d).columns
+    # time travel: the pre-drop version still carries values
+    pre = scan_delta_table(spark, d, version=v_drop - 1)
+    assert pre.filter("n_name IS NULL").count() == 0
+    # dropping the generated column itself is allowed and stops the
+    # writer recomputing it on later adds
+    w.drop_column("keyplus")
+    w.commit(
+        add_partitioned=n.where("n_regionkey = 1").select(
+            "n_nationkey", "n_regionkey"
+        ),
+    )
+    got = scan_delta_table(spark, d)
+    assert set(got.columns) == {"n_nationkey", "n_regionkey"}
+    assert got.count() == 10
+    # last-column refusal
+    d2 = str(tmp_path / "droplast")
+    w2 = DeltaTableWriter(spark, d2, column_mapping=True)
+    w2.commit(add_dfs=[n.select("n_nationkey").where("n_nationkey < 3")])
+    with pytest.raises(ValueError, match="last column"):
+        w2.drop_column("n_nationkey")

@@ -2005,3 +2005,51 @@ def test_all_metadata_tables_and_position_deletes(spark, tmp_path):
     w2 = IcebergTableWriter(spark, d2)
     w2.append(n.filter("n_nationkey < 5"))
     assert iceberg_metadata_table(spark, d2, "position_deletes").count() == 0
+
+
+def test_cow_dml_over_avro_and_orc_with_deletes(spark, tmp_path):
+    """VERDICT r12 #4: the CoW probe now rides the assembler's uniform
+    `_file` lineage, so copy-on-write DML works on tables whose data
+    files are AVRO (always the block reader) or ORC under merge-on-read
+    deletes (the stripe-ordinal reader) — the r12 refusal is lifted.
+    Mixed-format table: CoW DELETE touches an avro and a parquet file;
+    CoW MERGE updates a row living in avro; an existing position delete
+    stays honored throughout."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        scan_iceberg_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "cow_avro")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 12"))  # parquet
+    w.append(n.filter("n_nationkey >= 12"), file_format="avro")
+    # MoR position delete on the parquet file first: the CoW probe must
+    # see post-delete visibility (row 1 already dead)
+    files, _ = iceberg_snapshot_files(d)
+    fpq = next(f for f in files if f["file_format"].upper() == "PARQUET")
+    w.delete_positions([(fpq["file_path"], 1)])
+    # CoW DELETE spanning both formats
+    w.delete_where_cow("n_nationkey in (3, 20)")
+    keys = {r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()}
+    assert keys == set(range(25)) - {1, 3, 20}
+    # CoW MERGE hitting a key that lives in the avro file
+    src = n.filter("n_nationkey in (14, 99)").withColumn(
+        "n_name", F.concat(F.lit("UP_"), F.col("n_nationkey"))
+    )
+    w.merge_upsert_cow(src, ["n_nationkey"])
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in scan_iceberg_table(spark, d).collect()
+    }
+    assert got[14] == "UP_14"
+    assert set(got) == set(range(25)) - {1, 3, 20}
+    # ORC under MoR deletes: previously refused, now a value test
+    d2 = str(tmp_path / "cow_orc")
+    w2 = IcebergTableWriter(spark, d2, file_format="orc")
+    w2.append(n.filter("n_nationkey < 12"))
+    w2.append(n.filter("n_nationkey >= 12"))
+    w2.delete_where_mor("n_nationkey = 5")
+    w2.delete_where_cow("n_nationkey in (6, 17)")
+    keys2 = {r["n_nationkey"] for r in scan_iceberg_table(spark, d2).collect()}
+    assert keys2 == set(range(25)) - {5, 6, 17}
