@@ -4343,6 +4343,55 @@ def scan_iceberg_incremental(
     return df
 
 
+def _position_delete_victims(
+    spark: SparkSession,
+    pos_files: list[dict],
+    candidate_files: list[dict],
+    dels_pre: list[dict],
+    cur_schema: dict,
+) -> DataFrame:
+    """Changelog helper: the rows a set of NEW position-delete files kill
+    — the new (file, pos) ordinals among the pre-snapshot VISIBLE rows of
+    their target files. Prior position AND equality deletes both apply
+    through the shared assembler, so a row already dead via an earlier
+    delete never re-surfaces as a second 'delete' (ADVICE r11 #1).
+    ``candidate_files`` is the pre-snapshot data file list the targets
+    are resolved from (the remove+add-delete CoW arm passes it with the
+    removed files excluded). No broadcast hint on the pair set: it is
+    deleted-row-proportional (unbounded at 100 TB) — AQE picks broadcast
+    when it fits."""
+    from ..operators.util import bounded_rows
+
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    pynorm = lambda p: re.sub(r"^file:/+", "/", p)  # noqa: E731
+    pairs = (
+        spark.read.schema("file_path string, pos long")
+        .parquet(*[f["file_path"] for f in pos_files])
+        .select(
+            norm(F.col("file_path")).alias("_dfile"),
+            F.col("pos").alias("_dpos"),
+        )
+    )
+    # distinct TARGET file paths: metadata-sized (bounded by the live
+    # file count)
+    targets = {
+        r["_dfile"]
+        for r in bounded_rows(pairs.select("_dfile").distinct(), 100_000)
+    }
+    target_files = [
+        f for f in candidate_files if pynorm(f["file_path"]) in targets
+    ]
+    visible = _assemble_visible_scan(
+        spark, target_files, dels_pre, cur_schema, keep_meta=True
+    )
+    return visible.join(
+        pairs,
+        (F.col("_file") == F.col("_dfile"))
+        & (F.col("_pos") == F.col("_dpos")),
+        "left_semi",
+    )
+
+
 def scan_iceberg_changelog(
     spark: SparkSession,
     table_dir: str,
@@ -4375,7 +4424,11 @@ def scan_iceberg_changelog(
       files — ``exceptAll`` both ways, the same net-changes semantics
       stock ``create_changelog_view`` computes for overwrite snapshots
       (VERDICT r11 #1; previously a refusal). Change-bounded: IO touches
-      only the rewritten files, never the table.
+      only the rewritten files, never the table. A commit that ALSO adds
+      position-delete files (VERDICT r12 #7) contributes, on top of the
+      diff, the new ordinals' victims on its untouched target files;
+      only the remove+add-EQUALITY-delete flavor still refuses (victim
+      set not file-boundable — and no supported writer emits it).
     - ``replace`` snapshots (compaction/sort rewrites): row set provably
       unchanged — contribute nothing, like Delta's dataChange=false.
       A valid window whose snapshots all contribute nothing returns an
@@ -4479,19 +4532,53 @@ def scan_iceberg_changelog(
             # rows carried over by the rewrite cancel in the exceptAll,
             # exactly stock create_changelog_view's overwrite semantics.
             # Change-bounded: reads only the rewritten files.
-            if new_dels:
-                # the diff is scoped to removed∪added files; a new delete
-                # file could target an UNTOUCHED file and its victims
-                # would be missed — no supported writer emits this shape
+            if new_eq:
+                # the file-scoped diff cannot bound an EQUALITY delete's
+                # victim set (it hits any strictly-older file), and the
+                # whole-table eq arm would double-count removed-file rows
+                # already in the diff. No supported writer emits this
+                # shape: Spark CoW commits carry no delete files, and the
+                # eq-delete emitters (Flink/upsert writers) never remove
+                # data files in the same commit — refuse loudly.
                 raise NotImplementedError(
                     f"snapshot {sid} ({op}) removes data files AND adds "
-                    "delete files — unsupported commit shape"
+                    "equality-delete files — unsupported commit shape"
                 )
             pre = _assemble_visible_scan(spark, removed, dels_p, cur_schema)
             post = _assemble_visible_scan(spark, added, dels_s, cur_schema)
             parts.append(_stamped(pre.exceptAll(post), "delete", seq))
             if added:
                 parts.append(_stamped(post.exceptAll(pre), "insert", seq))
+            new_pos_cow = [
+                f for f in new_dels
+                if f["content"] == CONTENT_POSITION_DELETES
+            ]
+            if new_pos_cow:
+                # remove+add-POSITION-delete shape (VERDICT r12 #7,
+                # previously a refusal): the new ordinals' victims on
+                # files the rewrite did NOT touch are additional deletes
+                # — the removed files' losses are already in the diff
+                # above, and a position delete cannot target a removed
+                # path (the file was live when the delete was written,
+                # and this commit retires it). Same derivation as the
+                # pure-MoR arm, scoped to non-removed target files.
+                removed_paths = {pynorm(f["file_path"]) for f in removed}
+                parts.append(
+                    _stamped(
+                        _position_delete_victims(
+                            spark,
+                            new_pos_cow,
+                            [
+                                f for f in data_p
+                                if pynorm(f["file_path"]) not in removed_paths
+                            ],
+                            dels_p,
+                            cur_schema,
+                        ),
+                        "delete",
+                        seq,
+                    )
+                )
             prev_id, prev_files = sid, (data_s, dels_s)
             continue
         if added:
@@ -4499,45 +4586,15 @@ def scan_iceberg_changelog(
             parts.append(_stamped(ins, "insert", seq))
         new_pos = [f for f in new_dels if f["content"] == CONTENT_POSITION_DELETES]
         if new_pos:
-            pairs = (
-                spark.read.schema("file_path string, pos long")
-                .parquet(*[f["file_path"] for f in new_pos])
-                .select(
-                    norm(F.col("file_path")).alias("_dfile"),
-                    F.col("pos").alias("_dpos"),
+            parts.append(
+                _stamped(
+                    _position_delete_victims(
+                        spark, new_pos, data_p, dels_p, cur_schema
+                    ),
+                    "delete",
+                    seq,
                 )
             )
-            from ..operators.util import bounded_rows
-
-            # distinct TARGET file paths: metadata-sized (bounded by the
-            # live file count, same order as data_p already held here)
-            targets = {
-                r["_dfile"]
-                for r in bounded_rows(
-                    pairs.select("_dfile").distinct(), 100_000
-                )
-            }
-            target_files = [
-                f for f in data_p if pynorm(f["file_path"]) in targets
-            ]
-            # victims = the new ordinals among the pre-snapshot VISIBLE
-            # rows of the target files: prior position AND equality
-            # deletes both apply, so a row already dead via an earlier
-            # equality delete never re-surfaces as a second 'delete'
-            # (ADVICE r11 #1 — the old exceptAll-prior-positions only
-            # handled the position flavor). No broadcast hint: the pair
-            # set is deleted-row-proportional (unbounded at 100 TB) —
-            # AQE picks broadcast when it fits.
-            visible = _assemble_visible_scan(
-                spark, target_files, dels_p, cur_schema, keep_meta=True
-            )
-            victims = visible.join(
-                pairs,
-                (F.col("_file") == F.col("_dfile"))
-                & (F.col("_pos") == F.col("_dpos")),
-                "left_semi",
-            )
-            parts.append(_stamped(victims, "delete", seq))
         for d in new_eq:
             ids = d.get("equality_ids") or []
             key_cols = [id2name[i] for i in ids]

@@ -2053,3 +2053,68 @@ def test_cow_dml_over_avro_and_orc_with_deletes(spark, tmp_path):
     w2.delete_where_cow("n_nationkey in (6, 17)")
     keys2 = {r["n_nationkey"] for r in scan_iceberg_table(spark, d2).collect()}
     assert keys2 == set(range(25)) - {5, 6, 17}
+
+
+def test_changelog_remove_plus_position_delete_commit(spark, tmp_path):
+    """VERDICT r12 #7 (stretch): a snapshot that REMOVES data files AND
+    ADDS position-delete files — no stock writer emits it, so the
+    fixture splices a CoW delete and a MoR delete into ONE metadata
+    snapshot (drop the intermediate snapshot, reparent) — now yields
+    the combined changelog: the rewrite's net losses from the file
+    diff, plus the new ordinals' victims on the UNTOUCHED target file.
+    The equality flavor keeps its loud refusal (victim set not
+    file-boundable)."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        read_table_metadata,
+        scan_iceberg_changelog,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "cowposdel")
+    w = IcebergTableWriter(spark, d)
+    s1 = w.append(n.filter("n_nationkey < 12"))
+    s2 = w.append(n.filter("n_nationkey >= 12"))
+    s3 = w.delete_where_cow("n_nationkey = 3")  # removes+re-adds file A
+    s4 = w.delete_where_mor("n_nationkey = 20")  # pos delete on file B
+    # splice s3+s4 into one commit: drop s3 from the snapshot list and
+    # reparent s4 onto s2 — s4's manifest list already reflects both
+    # changes, so the (s2 -> s4] diff IS the remove+add-delete shape
+    meta = read_table_metadata(d)
+    ver = max(
+        int(p.split("v")[1].split(".")[0])
+        for p in os.listdir(os.path.join(d, "metadata"))
+        if p.startswith("v") and ".metadata.json" in p
+    )
+    meta["snapshots"] = [
+        {**s, "parent-snapshot-id": s2}
+        if s["snapshot-id"] == s4
+        else s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] != s3
+    ]
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", []) if e["snapshot-id"] != s3
+    ]
+    nxt = os.path.join(d, "metadata", f"v{ver + 1}.metadata.json")
+    with open(nxt, "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(d, "metadata", "version-hint.text"), "w") as fh:
+        fh.write(str(ver + 1))
+
+    ch = scan_iceberg_changelog(spark, d, from_snapshot_id=s1)
+    got = sorted(
+        (r["_change_type"], r["n_nationkey"], r["_commit_seq"])
+        for r in ch.collect()
+    )
+    want = sorted(
+        [("insert", k, 2) for k in range(12, 25)]
+        + [("delete", 3, 4), ("delete", 20, 4)]
+    )
+    assert got == want, got
+    # the head scan agrees with folding the changelog onto (s1]'s rows
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        scan_iceberg_table,
+    )
+
+    keys = {r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()}
+    assert keys == set(range(25)) - {3, 20}
