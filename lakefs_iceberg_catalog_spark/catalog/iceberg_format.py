@@ -1854,8 +1854,11 @@ class IcebergTableWriter:
         touched = self._touched_files(current, lambda d: d.filter(predicate))
         if not touched:
             raise ValueError("predicate matches no rows — nothing to delete")
-        survivors = (
-            self._filter_touched(current, touched).filter(~F.expr(predicate))
+        # survivors = rows where the predicate is NOT TRUE — a predicate
+        # evaluating NULL must keep its row (SQL DELETE removes only
+        # TRUE matches; a bare ~predicate would silently drop NULLs)
+        survivors = self._filter_touched(current, touched).filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
         )
         return self._rewrite_cow(current, touched, survivors)
 
@@ -1882,6 +1885,52 @@ class IcebergTableWriter:
         )
         return self._rewrite_cow(
             current, touched, survivors.unionByName(source_df)
+        )
+
+    def update_where_cow(
+        self, condition: str, assignments: dict[str, str]
+    ) -> int:
+        """UPDATE ... WHERE via COPY-ON-WRITE on the real layout — what
+        stock Spark-Iceberg plans for UPDATE in copy-on-write mode
+        (write.update.mode=copy-on-write), completing the CoW DML trio
+        beside delete_where_cow / merge_upsert_cow (Delta's MoR pair is
+        update_where_dv): one semi-probe finds the files holding matched
+        rows, affected manifests rewrite with DELETED/EXISTING statuses,
+        and the touched files' survivors plus the UPDATED matched rows
+        land as new ADDED file(s) under an `overwrite` snapshot.
+        ``assignments`` maps column -> SQL expression over the current
+        names. A no-match update is a no-op (no snapshot), matching the
+        Delta twin. Runs on all three data-file formats through the
+        lineage scan.
+
+        Scale: touched-file-proportional — untouched files and manifests
+        are never read or rewritten."""
+        if self._schema_json is None:
+            raise ValueError("nothing to update: table has no snapshots")
+        unknown = [
+            c for c in assignments
+            if c not in {f["name"] for f in self._schema_json["fields"]}
+        ]
+        if unknown:
+            raise ValueError(f"assignments on unknown columns: {unknown}")
+        current = self._current_with_lineage()
+        touched = self._touched_files(current, lambda d: d.filter(condition))
+        if not touched:
+            return (
+                self._current_snapshot_id
+                if self._current_snapshot_id is not None
+                else self._snapshots[-1]["snapshot-id"]
+            )
+        in_touched = self._filter_touched(current, touched)
+        # NULL-evaluating conditions keep their rows unmodified (SQL
+        # UPDATE touches only TRUE matches)
+        matched = F.coalesce(F.expr(condition), F.lit(False))
+        survivors = in_touched.filter(~matched)
+        updated = in_touched.filter(matched)
+        for c, expr in assignments.items():
+            updated = updated.withColumn(c, F.expr(expr))
+        return self._rewrite_cow(
+            current, touched, survivors.unionByName(updated)
         )
 
     def _filter_touched(self, current: DataFrame, touched: set[str]) -> DataFrame:
@@ -2897,6 +2946,74 @@ class IcebergTableWriter:
             "removed_data_files": removed_data,
         }
 
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> dict:
+        """Stock Iceberg's ``remove_orphan_files`` procedure: delete
+        files under the table's data/ and metadata/ directories that NO
+        snapshot references — the leftovers of failed or aborted writes
+        (files that WERE committed and later aged out are
+        expire_snapshots' job; this sweep targets never-committed ones).
+        The referenced set is every snapshot's manifest list, every
+        manifest those lists name, every data/delete file those
+        manifests name, plus the metadata.json chain, version hint, and
+        statistics files. ``older_than_ms`` (epoch millis) mirrors
+        stock's ``older_than`` guard — default now − 3 days: a file
+        younger than the cutoff is never deleted, protecting writers
+        mid-commit whose files are not yet referenced.
+
+        Scale: O(all snapshots' manifests) metadata reads for the
+        referenced set and one listing+unlink pass over the table
+        prefix — zero data reads. Stock runs the listing and the
+        set-difference as a distributed anti-join over object-store
+        listings; this single-JVM layout walks the local directory (the
+        same contract as the single-file writers), and a cluster
+        deployment would swap in a parallel lister per prefix."""
+        now_ms = int(time.time() * 1000)
+        cutoff = (
+            older_than_ms
+            if older_than_ms is not None
+            else now_ms - 3 * 24 * 3600 * 1000
+        )
+        referenced: set[str] = set()
+        for s in self._snapshots:
+            referenced.add(s["manifest-list"])
+            _, manifest_files = read_container(s["manifest-list"])
+            for mf in manifest_files:
+                referenced.add(mf["manifest_path"])
+                _, entries = read_container(mf["manifest_path"])
+                for entry in entries:
+                    referenced.add(entry["data_file"]["file_path"])
+        # staged WAP snapshots keep their frozen manifests reachable via
+        # _staged_manifests even before publish
+        for mfs in getattr(self, "_staged_manifests", {}).values():
+            for mf in mfs:
+                referenced.add(mf["manifest_path"])
+                _, entries = read_container(mf["manifest_path"])
+                for entry in entries:
+                    referenced.add(entry["data_file"]["file_path"])
+        removed: list[str] = []
+        kept_young = 0
+        for root in (self.data_dir, self.meta_dir):
+            for dirpath, _dirs, names in os.walk(root):
+                for name in names:
+                    p = os.path.join(dirpath, name)
+                    if p in referenced:
+                        continue
+                    if root == self.meta_dir and (
+                        ".metadata.json" in name
+                        or name == "version-hint.text"
+                    ):
+                        continue  # the metadata chain itself
+                    if int(os.path.getmtime(p) * 1000) >= cutoff:
+                        kept_young += 1  # stock's older_than guard
+                        continue
+                    os.unlink(p)
+                    removed.append(p)
+        return {
+            "removed": len(removed),
+            "removed_paths": sorted(removed),
+            "kept_young": kept_young,
+        }
+
     def set_ref(
         self, name: str, snapshot_id: int | None = None, ref_type: str = "tag"
     ) -> int:
@@ -3567,8 +3684,9 @@ def iceberg_metadata_table(
             "existing_data_files_count int, deleted_data_files_count int, "
             "reference_snapshot_id long",
         )
-    if kind in ("all_data_files", "all_entries"):
-        # stock's ``t.all_data_files`` / ``t.all_entries``: files/entries
+    if kind in ("all_data_files", "all_delete_files", "all_entries"):
+        # stock's ``t.all_data_files`` / ``t.all_delete_files`` /
+        # ``t.all_entries``: files/entries
         # across ALL snapshots, not just the current one. Manifests shared
         # by many snapshots are read ONCE (dedup by path — stock's
         # AllDataFilesTable plans the same manifest dedup); a file can
@@ -3592,10 +3710,10 @@ def iceberg_metadata_table(
                 seq = e.get("sequence_number")
                 if seq is None and e["status"] == STATUS_ADDED:
                     seq = mf["sequence_number"]
-                if kind == "all_data_files":
-                    if (
-                        e["status"] == STATUS_DELETED
-                        or int(d["content"]) != CONTENT_DATA
+                if kind in ("all_data_files", "all_delete_files"):
+                    want_data = kind == "all_data_files"
+                    if e["status"] == STATUS_DELETED or (
+                        (int(d["content"]) == CONTENT_DATA) != want_data
                     ):
                         continue
                     rows.append(
@@ -3625,7 +3743,7 @@ def iceberg_metadata_table(
                             int(d["file_size_in_bytes"]),
                         )
                     )
-        if kind == "all_data_files":
+        if kind in ("all_data_files", "all_delete_files"):
             return local_df(spark,
                 sorted(rows, key=lambda r: (r[1], r[6] or 0)),
                 "content int, file_path string, file_format string, "
@@ -3698,7 +3816,8 @@ def iceberg_metadata_table(
     raise ValueError(
         f"unknown metadata table {kind!r}; supported: snapshots, "
         "history, manifests, entries, files, delete_files, partitions, "
-        "all_manifests, all_data_files, all_entries, position_deletes"
+        "all_manifests, all_data_files, all_delete_files, all_entries, "
+        "position_deletes"
     )
 
 

@@ -4124,3 +4124,136 @@ def dml_iceberg_delete_cow_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     return _materialize(spark, back, tmp)
+
+
+@register(
+    "dml_iceberg_update_cow",
+    oracle="""
+SELECT
+  n_nationkey,
+  CASE WHEN n_nationkey IN (3, 20)
+       THEN 'UPDATED_' || CAST(n_nationkey AS VARCHAR)
+       ELSE n_name END AS n_name,
+  n_regionkey
+FROM nation
+""",
+)
+def dml_iceberg_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... WHERE via COPY-ON-WRITE on the real Iceberg layout —
+    stock's write.update.mode=copy-on-write plan, completing the CoW DML
+    trio beside delete/merge (iceberg_format.py update_where_cow): the
+    matched rows live in two different files (keys 3 and 20 straddle the
+    two appends), both rewrite at touched-file granularity under one
+    `overwrite` snapshot, survivors carried, no-match calls are no-ops
+    (asserted mid-flow: no new snapshot).
+
+    Scale: touched-file-proportional, like the delete/merge twins."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        read_table_metadata,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-updcow-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"))
+    w.update_where_cow(
+        "n_nationkey in (3, 20)",
+        {"n_name": "concat('UPDATED_', n_nationkey)"},
+    )
+    n_snaps = len(read_table_metadata(tmp)["snapshots"])
+    w.update_where_cow("n_nationkey = 999", {"n_name": "'NOPE'"})
+    assert len(read_table_metadata(tmp)["snapshots"]) == n_snaps  # no-op
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_all_delete_files",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 'PARQUET', CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+  (1, 'PARQUET', CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
+  (1, 'PARQUET', CAST(2 AS BIGINT), CAST(5 AS BIGINT))
+) AS t(content, file_format, record_count, sequence_number)
+""",
+)
+def source_iceberg_all_delete_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stock Iceberg's ``t.all_delete_files`` METADATA TABLE: delete
+    files across ALL snapshots — the MoR-debt history view. The fixture
+    makes it differ from ``delete_files``: two 1-row position deletes,
+    then rewrite_position_deletes consolidates them into one 2-row file
+    — the CURRENT table shows only the consolidated file, while all_*
+    still lists both originals (referenced by pre-compaction
+    snapshots).
+
+    Scale: zero data IO — O(unique manifests) metadata reads."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_metadata_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-alldel-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12").orderBy("n_nationkey"))
+    w.append(n.filter("n_nationkey >= 12").orderBy("n_nationkey"))
+    w.delete_where_mor("n_nationkey = 3")
+    w.delete_where_mor("n_nationkey = 7")
+    w.rewrite_position_deletes()
+    cur = iceberg_metadata_table(spark, tmp, "delete_files")
+    assert cur.count() == 1  # consolidated file only
+    back = iceberg_metadata_table(spark, tmp, "all_delete_files").select(
+        "content", "file_format", "record_count", "sequence_number"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "maint_iceberg_remove_orphans",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def maint_iceberg_remove_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock Iceberg's ``remove_orphan_files`` procedure
+    (iceberg_format.py remove_orphan_files): files under the table
+    prefix that NO snapshot references — aborted-write leftovers — are
+    deleted; referenced files, the metadata chain, and files younger
+    than the ``older_than`` cutoff survive. The fixture plants two fake
+    orphans (one aged past the cutoff, one fresh) plus the real table;
+    the sweep removes exactly the aged orphan (asserted mid-flow) and
+    the table reads back unchanged.
+
+    Scale: O(all manifests) metadata reads + one listing pass; stock
+    distributes the listing anti-join — semantics identical."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-orphans-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"))
+    old_orphan = os.path.join(tmp, "data", "orphan-aborted-write.parquet")
+    fresh_orphan = os.path.join(tmp, "data", "orphan-inflight.parquet")
+    for p in (old_orphan, fresh_orphan):
+        with open(p, "wb") as fh:
+            fh.write(b"PAR1 aborted")
+    week_ago = (int(__import__("time").time()) - 7 * 24 * 3600)
+    os.utime(old_orphan, (week_ago, week_ago))
+    res = w.remove_orphan_files()  # default cutoff: now - 3 days
+    assert res["removed_paths"] == [old_orphan], res
+    assert res["kept_young"] >= 1 and os.path.exists(fresh_orphan)
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)

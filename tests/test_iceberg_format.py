@@ -2118,3 +2118,87 @@ def test_changelog_remove_plus_position_delete_commit(spark, tmp_path):
 
     keys = {r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()}
     assert keys == set(range(25)) - {3, 20}
+
+
+def test_cow_dml_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL row-level DML touches only rows where the predicate is TRUE:
+    a predicate evaluating NULL (e.g. comparing a NULL column) must
+    leave its row in place — the survivor filter uses NOT-TRUE
+    semantics, not a bare negation that would silently drop NULLs."""
+    from pyspark.sql import Row
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        scan_iceberg_table,
+    )
+
+    rows = [Row(k=1, v=10), Row(k=2, v=None), Row(k=3, v=30)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    d = str(tmp_path / "nullpred")
+    w = IcebergTableWriter(spark, d)
+    w.append(df)
+    # v > 15 is NULL for k=2: only k=3 deletes, k=2 SURVIVES
+    w.delete_where_cow("v > 15")
+    got = {(r["k"], r["v"]) for r in scan_iceberg_table(spark, d).collect()}
+    assert got == {(1, 10), (2, None)}
+    # UPDATE with a NULL-evaluating condition: k=2 unmodified, k=1 updated
+    w.update_where_cow("v < 15", {"v": "v + 100"})
+    got2 = {(r["k"], r["v"]) for r in scan_iceberg_table(spark, d).collect()}
+    assert got2 == {(1, 110), (2, None)}
+
+
+def test_update_where_cow_guards_and_formats(spark, tmp_path):
+    """update_where_cow: unknown-column refusal, no-op on no match (no
+    snapshot), and it runs over AVRO data files via the lineage scan."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        read_table_metadata,
+        scan_iceberg_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "updcow")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"), file_format="avro")
+    with pytest.raises(ValueError, match="unknown columns"):
+        w.update_where_cow("n_nationkey = 1", {"ghost": "'x'"})
+    n_snaps = len(read_table_metadata(d)["snapshots"])
+    w.update_where_cow("n_nationkey = 999", {"n_name": "'NOPE'"})
+    assert len(read_table_metadata(d)["snapshots"]) == n_snaps
+    w.update_where_cow("n_nationkey in (2, 14)", {"n_name": "'X'"})
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in scan_iceberg_table(spark, d).collect()
+    }
+    assert got[2] == "X" and got[14] == "X" and len(got) == 25
+
+
+def test_remove_orphan_files_guards(spark, tmp_path):
+    """remove_orphan_files never touches referenced files (even aged
+    ones), the metadata chain, or staged WAP snapshot files; orphaned
+    manifests in metadata/ are reclaimed once aged."""
+    import time as _time
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        scan_iceberg_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "orphguard")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"))
+    staged = w.append(n.limit(0), wap_id="audit-1")  # staged WAP snapshot
+    week_ago = int(_time.time()) - 7 * 24 * 3600
+    # age EVERYTHING: referenced files must still survive
+    for root, _dirs, names in __import__("os").walk(d):
+        for name in names:
+            p = os.path.join(root, name)
+            os.utime(p, (week_ago, week_ago))
+    orphan_meta = os.path.join(d, "metadata", "zzz-orphan-manifest.avro")
+    with open(orphan_meta, "wb") as fh:
+        fh.write(b"Obj\x01 not really avro")
+    os.utime(orphan_meta, (week_ago, week_ago))
+    res = w.remove_orphan_files()
+    assert res["removed_paths"] == [orphan_meta]
+    # table intact, WAP snapshot still auditable
+    assert scan_iceberg_table(spark, d).count() == 25
+    assert scan_iceberg_table(spark, d, snapshot_id=staged).count() == 25
