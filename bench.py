@@ -243,6 +243,17 @@ EXTRA = [
     "multimodal_scene_detect",
     "source_delta_append_only",
     "ddl_iceberg_properties",
+    # round-13 additions
+    "source_iceberg_all_data_files",
+    "source_iceberg_all_manifests",
+    "source_iceberg_all_entries",
+    "source_iceberg_all_delete_files",
+    "source_iceberg_position_deletes_table",
+    "ddl_delta_drop_column",
+    "dml_iceberg_delete_cow_avro",
+    "dml_iceberg_update_cow",
+    "maint_iceberg_remove_orphans",
+    "source_iceberg_metadata_log",
 ]
 
 

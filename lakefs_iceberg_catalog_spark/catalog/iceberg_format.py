@@ -3757,6 +3757,50 @@ def iceberg_metadata_table(
             "content int, file_format string, record_count long, "
             "file_size_in_bytes long",
         )
+    if kind == "metadata_log_entries":
+        # stock's ``t.metadata_log_entries``: one row per PREVIOUS
+        # metadata file (TableMetadata.previousFiles — the spec's
+        # metadata-log) plus the current file, each with the latest
+        # snapshot/schema/sequence at that point — the metadata
+        # time-travel index ops tooling walks. O(versions) metadata
+        # reads, zero data IO.
+        def _latest(m: dict | None, path: str, ts: int | None):
+            if m is None:
+                return (ts, path, None, None, None)
+            cur_id = m.get("current-snapshot-id")
+            return (
+                ts if ts is not None else int(m.get("last-updated-ms", 0)),
+                path,
+                None if cur_id is None else int(cur_id),
+                int(m["current-schema-id"])
+                if m.get("current-schema-id") is not None
+                else None,
+                int(m.get("last-sequence-number", 0)),
+            )
+
+        rows = []
+        for e in metadata.get("metadata-log") or []:
+            p = e["metadata-file"]
+            rows.append(
+                _latest(_read_metadata_file(p), p, int(e["timestamp-ms"]))
+            )
+        # the current metadata file is the last row (stock includes it);
+        # resolve its path through the same hint the reader follows
+        meta_dir = os.path.join(table_dir, "metadata")
+        cur_path = None
+        try:
+            with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+                cur_path = os.path.join(
+                    meta_dir, f"v{int(fh.read().strip())}.metadata.json"
+                )
+        except (FileNotFoundError, ValueError):
+            pass
+        rows.append(_latest(metadata, cur_path, None))
+        return local_df(spark,
+            rows,
+            "timestamp_ms long, file string, latest_snapshot_id long, "
+            "latest_schema_id int, latest_sequence_number long",
+        )
     if kind == "position_deletes":
         # stock's row-level ``t.position_deletes`` table: the CONTENT of
         # every live content=1 delete file at the current snapshot — one
@@ -3817,7 +3861,7 @@ def iceberg_metadata_table(
         f"unknown metadata table {kind!r}; supported: snapshots, "
         "history, manifests, entries, files, delete_files, partitions, "
         "all_manifests, all_data_files, all_delete_files, all_entries, "
-        "position_deletes"
+        "metadata_log_entries, position_deletes"
     )
 
 

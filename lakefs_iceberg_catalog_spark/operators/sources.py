@@ -4257,3 +4257,41 @@ def maint_iceberg_remove_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_metadata_log",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 0),
+  (CAST(2 AS BIGINT), 0),
+  (CAST(2 AS BIGINT), 1)
+) AS t(latest_sequence_number, latest_schema_id)
+""",
+)
+def source_iceberg_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock Iceberg's ``t.metadata_log_entries`` METADATA TABLE: one row
+    per previous metadata file plus the current one, each carrying the
+    latest snapshot/schema/sequence at that point — the metadata
+    time-travel index (completes the stock metadata-table family). The
+    fixture's two appends then a column RENAME make the trail
+    non-trivial: sequence advances on the appends (1, 2) and holds on
+    the metadata-only evolution while the schema id steps to 1.
+
+    Scale: O(metadata versions) driver-side metadata reads, zero data
+    IO — the same chain the catalog's version recovery already walks."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_metadata_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-metalog-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"))
+    w.rename_column("n_name", "nation_name")
+    mt = iceberg_metadata_table(spark, tmp, "metadata_log_entries")
+    assert mt.filter("file IS NULL OR timestamp_ms IS NULL").count() == 0
+    back = mt.select("latest_sequence_number", "latest_schema_id")
+    return _materialize(spark, back, tmp)

@@ -726,7 +726,6 @@ def test_cow_touched_refilter_is_semi_join_not_in_literal(spark, tmp_path):
 
     from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
         IcebergTableWriter,
-        scan_iceberg_table,
     )
     from lakefs_iceberg_catalog_spark.tables import table as t
 
@@ -734,7 +733,8 @@ def test_cow_touched_refilter_is_semi_join_not_in_literal(spark, tmp_path):
     d = str(tmp_path / "cowplan")
     w = IcebergTableWriter(spark, d)
     w.append(n)
-    current = scan_iceberg_table(spark, d)
+    # the probe surface CoW DML actually uses (carries the _f lineage)
+    current = w._current_with_lineage()
     import re as _re
 
     real = {f for f in current.inputFiles()}
