@@ -2486,8 +2486,19 @@ def delta_table_changes(
                         )
                     )
     if not parts:
-        raise ValueError(
-            f"no changes between versions {from_version} and {to_version}"
+        # a valid window whose commits all carried dataChange=false
+        # (OPTIMIZE/REORG/ZORDER) or re-added identical state: an EMPTY
+        # typed change feed, not an error — stock table_changes returns
+        # zero rows across maintenance commits, and the Iceberg twin
+        # (scan_iceberg_changelog) adopted the same contract in r12
+        # (ADVICE r11 #2); a per-epoch CDC poller must cross them
+        from ..operators.util import local_df
+
+        schema = T.StructType.fromJson(json.loads(b["schema_json"]))
+        return local_df(
+            spark, [], T.StructType(list(schema.fields)).add(
+                "_change_type", "string"
+            )
         )
     out = parts[0]
     for p in parts[1:]:

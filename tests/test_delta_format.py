@@ -758,9 +758,11 @@ def test_optimize_compacts_materializes_dvs_and_guards_cdf(spark, tmp_path):
     ins = sorted(r["n_nationkey"] for r in ch if r["_change_type"] == "insert")
     dels = sorted(r["n_nationkey"] for r in ch if r["_change_type"] == "delete")
     assert ins == list(range(8, 25)) and dels == [3]
-    # a window holding ONLY the maintenance commit has no logical changes
-    with _pytest.raises(ValueError, match="no changes"):
-        delta_table_changes(spark, d, v_opt - 1, v_opt)
+    # a window holding ONLY the maintenance commit has no logical changes:
+    # an EMPTY typed feed, not an error (matches stock table_changes and
+    # the Iceberg changelog's r12 contract — CDC pollers cross it)
+    empty = delta_table_changes(spark, d, v_opt - 1, v_opt)
+    assert empty.count() == 0 and "_change_type" in empty.columns
     # a post-OPTIMIZE delete crossing the maintenance commit: the window
     # (v2, v4] reports exactly that delete, read from the COMPACTED layout
     v_del = w.delete_where_dv("n_nationkey = 20")
@@ -1933,3 +1935,63 @@ def test_drop_column_guards_and_time_travel(spark, tmp_path):
     w2.commit(add_dfs=[n.select("n_nationkey").where("n_nationkey < 3")])
     with pytest.raises(ValueError, match="last column"):
         w2.drop_column("n_nationkey")
+
+
+def test_cdf_fold_reconstructs_every_version(spark, tmp_path):
+    """Delta twin of the Iceberg changelog fold property: over a mixed
+    history (appends, DV DELETE/UPDATE, MERGE, an OPTIMIZE that must
+    contribute nothing), folding the log-derived change feed
+    (delta_table_changes — net changes, so the fold is order-free) for
+    every adjacent version pair AND the full window onto the older
+    version's scan reproduces the newer version's scan exactly, as
+    multisets."""
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        delta_table_changes,
+        read_delta_log,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "cdffold")
+    w = DeltaTableWriter(spark, d)
+    w.commit(add_dfs=[n.filter("n_nationkey < 10")])
+    w.commit(add_dfs=[n.filter("n_nationkey between 10 and 19")])
+    w.delete_where_dv("n_nationkey in (3, 13)")
+    w.update_where_dv("n_nationkey in (5, 15)",
+                      {"n_name": "concat('U', n_nationkey)"})
+    w.commit(add_dfs=[n.filter("n_nationkey >= 20")])
+    w.merge_upsert(
+        n.filter("n_nationkey = 8").withColumn("n_name", F.lit("MRG")),
+        ["n_nationkey"],
+    )
+    w.optimize()  # dataChange=false: zero CDF rows across this version
+    head = read_delta_log(d)["version"] if "version" in read_delta_log(d) else w._version
+
+    def rows_at(v):
+        return sorted(
+            tuple(r)
+            for r in scan_delta_table(spark, d, version=v)
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .collect()
+        )
+
+    def fold(a, b):
+        # delta_table_changes derives NET changes from the log diff, so
+        # the fold is order-free: deletes are a sub-multiset of the base
+        state = list(rows_at(a))
+        ch = delta_table_changes(spark, d, a, b).collect()
+        for r in ch:
+            row = (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+            if r["_change_type"] in ("delete", "update_preimage"):
+                state.remove(row)
+        for r in ch:
+            if r["_change_type"] in ("insert", "update_postimage"):
+                state.append(
+                    (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+                )
+        return sorted(state)
+
+    for a in range(0, head):
+        assert fold(a, a + 1) == rows_at(a + 1), (a, a + 1)
+    assert fold(0, head) == rows_at(head)

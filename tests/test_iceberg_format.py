@@ -2202,3 +2202,70 @@ def test_remove_orphan_files_guards(spark, tmp_path):
     # table intact, WAP snapshot still auditable
     assert scan_iceberg_table(spark, d).count() == 25
     assert scan_iceberg_table(spark, d, snapshot_id=staged).count() == 25
+
+
+def test_changelog_fold_reconstructs_every_snapshot(spark, tmp_path):
+    """End-to-end changelog soundness over a mixed DML history (appends,
+    MoR position + equality deletes, CoW update/delete/merge, a replace
+    compaction): for EVERY adjacent snapshot pair — and the full window
+    — folding the changelog rows onto the older snapshot's scan
+    reproduces the newer snapshot's scan exactly, as multisets. This is
+    the invariant a CDC consumer relies on: base ⊕ changes ≡ head."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        read_table_metadata,
+        scan_iceberg_changelog,
+        scan_iceberg_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "foldprop")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 10"))
+    w.append(n.filter("n_nationkey between 10 and 19"))
+    w.delete_where_mor("n_nationkey in (3, 13)")       # position deletes
+    w.delete_keys(["n_name"], [("NATION_6",)])         # equality delete
+    w.update_where_cow("n_nationkey in (5, 15)",
+                       {"n_name": "concat('U', n_nationkey)"})
+    w.append(n.filter("n_nationkey >= 20"))
+    w.rewrite_data()                                   # replace: no changes
+    w.delete_where_cow("n_nationkey = 7")
+    src = n.filter("n_nationkey = 8").withColumn("n_name", F.lit("MRG"))
+    w.merge_upsert_cow(src, ["n_nationkey"])
+
+    meta = read_table_metadata(d)
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    chain = []
+    cur = meta["current-snapshot-id"]
+    while cur in by_id:
+        chain.append(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    chain.reverse()  # oldest -> head, main ancestry only
+
+    def rows_at(sid):
+        return sorted(
+            tuple(r) for r in scan_iceberg_table(spark, d, snapshot_id=sid)
+            .select("n_nationkey", "n_name", "n_regionkey").collect()
+        )
+
+    def fold(base_sid, to_sid):
+        base = rows_at(base_sid)
+        ch = scan_iceberg_changelog(spark, d, base_sid, to_sid).collect()
+        by_seq: dict[int, dict[str, list[tuple]]] = {}
+        for r in ch:
+            row = (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+            by_seq.setdefault(r["_commit_seq"], {}).setdefault(
+                r["_change_type"], []
+            ).append(row)
+        state = list(base)
+        for seq in sorted(by_seq):
+            for victim in by_seq[seq].get("delete", []):
+                state.remove(victim)  # multiset subtract; raises if absent
+            state.extend(by_seq[seq].get("insert", []))
+        return sorted(state)
+
+    # every adjacent pair on the ancestry chain (replace windows are
+    # empty-changelog no-ops and must still fold to identity)
+    for a, b in zip(chain, chain[1:]):
+        assert fold(a, b) == rows_at(b), (a, b)
+    # and the full window in one shot
+    assert fold(chain[0], chain[-1]) == rows_at(chain[-1])
