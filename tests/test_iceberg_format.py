@@ -2269,3 +2269,29 @@ def test_changelog_fold_reconstructs_every_snapshot(spark, tmp_path):
         assert fold(a, b) == rows_at(b), (a, b)
     # and the full window in one shot
     assert fold(chain[0], chain[-1]) == rows_at(chain[-1])
+
+
+def test_update_where_cow_partitioned_moves_rows(spark, tmp_path):
+    """Partitioned UPDATE CoW: an assignment changing the partition
+    column MOVES the row to its new tuple (the rewrite fans out one
+    ADDED file per output tuple via the shared _rewrite_cow path), and
+    partition pruning still answers correctly afterwards."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        scan_iceberg_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "updcowpart")
+    w = IcebergTableWriter(spark, d, partition_by=["n_regionkey"])
+    for rk in range(5):
+        w.append(n.filter(F.col("n_regionkey") == rk))
+    w.update_where_cow("n_nationkey = 7", {"n_regionkey": "4"})
+    got = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in scan_iceberg_table(spark, d).collect()
+    }
+    assert got[7] == 4 and len(got) == 25
+    moved = scan_iceberg_table(spark, d, partition_filter={"n_regionkey": 4})
+    assert 7 in {r["n_nationkey"] for r in moved.collect()}
+    stayed = scan_iceberg_table(spark, d, partition_filter={"n_regionkey": 2})
+    assert 7 not in {r["n_nationkey"] for r in stayed.collect()}
