@@ -2295,3 +2295,52 @@ def test_update_where_cow_partitioned_moves_rows(spark, tmp_path):
     assert 7 in {r["n_nationkey"] for r in moved.collect()}
     stayed = scan_iceberg_table(spark, d, partition_filter={"n_regionkey": 2})
     assert 7 not in {r["n_nationkey"] for r in stayed.collect()}
+
+
+def test_metadata_tables_cross_consistency(spark, tmp_path):
+    """The metadata tables must agree with each other — the invariants
+    an ops dashboard implicitly relies on: current files ⊆
+    all_data_files (by path); partitions aggregates exactly the files
+    rows; every snapshot appears in all_manifests; delete_files ⊆
+    all_delete_files; entries' live rows count the files rows."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        iceberg_metadata_table,
+        read_table_metadata,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "metaxcheck")
+    w = IcebergTableWriter(spark, d, partition_by=["n_regionkey"])
+    for rk in range(5):
+        w.append(n.filter(F.col("n_regionkey") == rk))
+    w.delete_where_cow("n_nationkey = 3")
+    w.delete_where_mor("n_nationkey = 20")
+
+    mt = lambda k: iceberg_metadata_table(spark, d, k)  # noqa: E731
+    files = mt("files").filter("content = 0").collect()
+    all_df = mt("all_data_files").collect()
+    assert {r["file_path"] for r in files} <= {r["file_path"] for r in all_df}
+    # partitions table aggregates the files rows exactly
+    parts = mt("partitions").collect()
+    assert sum(r["record_count"] for r in parts) == sum(
+        r["record_count"] for r in files
+    )
+    assert sum(r["file_count"] for r in parts) == len(files)
+    assert sum(r["delete_file_count"] for r in parts) == 1
+    # every snapshot is represented in all_manifests
+    meta = read_table_metadata(d)
+    ref_ids = {r["reference_snapshot_id"] for r in mt("all_manifests").collect()}
+    assert ref_ids == {s["snapshot-id"] for s in meta["snapshots"]}
+    # delete files: current ⊆ all
+    dels = mt("delete_files").collect()
+    all_dels = mt("all_delete_files").collect()
+    assert {r["file_path"] for r in dels} <= {
+        r["file_path"] for r in all_dels
+    }
+    # entries (current snapshot): live rows == files+delete_files rows
+    live_entries = mt("entries").filter("status <> 2").count()
+    assert live_entries == len(files) + len(dels)
+    # position_deletes row count == delete_files record_count sum
+    assert mt("position_deletes").count() == sum(
+        r["record_count"] for r in dels if r["content"] == 1
+    )
