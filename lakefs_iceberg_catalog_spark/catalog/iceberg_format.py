@@ -2850,14 +2850,22 @@ class IcebergTableWriter:
             self._append_delete_manifest(snapshot_id, files, spec_id=sid)
         return self._commit_snapshot(snapshot_id, "replace")
 
-    def expire_snapshots(self, retain_last: int = 1) -> dict:
+    def expire_snapshots(
+        self, retain_last: int = 1, retain_ref_history: bool = False
+    ) -> dict:
         """EXPIRE all but the newest ``retain_last`` snapshots and reclaim
         every file no retained snapshot reaches — manifest lists,
         manifests, and data/delete files (stock Iceberg's
-        expire_snapshots + the orphan sweep it implies). Refuses if a
-        named ref still pins a to-be-expired snapshot (stock Iceberg
-        protects ref'd snapshots; dropping data a tag points at silently
-        would corrupt the named-commit workflow — drop the ref first).
+        expire_snapshots + the orphan sweep it implies). By default,
+        refuses if a named ref still pins a to-be-expired snapshot
+        (dropping data a tag points at silently would corrupt the
+        named-commit workflow — drop the ref first).
+        ``retain_ref_history=True`` switches to stock expireSnapshots'
+        actual behavior instead: snapshots reachable from ANY named
+        ref's head (tag heads; branch heads plus their ancestor chains)
+        are RETAINED rather than refused — the expire proceeds, keeping
+        main's newest ``retain_last`` plus every ref-reachable
+        snapshot, and reclaims only what nothing reaches.
 
         Scale: cost is O(retained manifests) metadata reads + one unlink
         per reclaimed file — zero data reads; reclamation tracks churn
@@ -2884,6 +2892,20 @@ class IcebergTableWriter:
             chain.append(cur)
             cur = by_id[cur].get("parent-snapshot-id")
         retained_ids = set(chain)
+        if retain_ref_history:
+            # stock semantics: every ref-reachable snapshot survives —
+            # tag heads pin one snapshot, branch heads pin their whole
+            # ancestor chain (a branch must stay scannable AND
+            # fast-forwardable after the expire)
+            for name, ref in self._refs.items():
+                cur = ref["snapshot-id"]
+                if ref.get("type") == "tag":
+                    if cur in by_id:
+                        retained_ids.add(cur)
+                    continue
+                while cur is not None and cur in by_id:
+                    retained_ids.add(cur)
+                    cur = by_id[cur].get("parent-snapshot-id")
         retained = [
             s for s in self._snapshots if s["snapshot-id"] in retained_ids
         ]
@@ -2901,7 +2923,8 @@ class IcebergTableWriter:
         if pinned:
             raise ValueError(
                 f"refs still pin snapshots being expired: {pinned} — drop the "
-                "refs first (stock Iceberg protects ref'd snapshots)"
+                "refs first, or pass retain_ref_history=True (stock "
+                "expireSnapshots' retain-reachable behavior)"
             )
         # reachable set: every manifest (and its files) any retained
         # snapshot's manifest list references

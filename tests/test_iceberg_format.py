@@ -2344,3 +2344,36 @@ def test_metadata_tables_cross_consistency(spark, tmp_path):
     assert mt("position_deletes").count() == sum(
         r["record_count"] for r in dels if r["content"] == 1
     )
+
+
+def test_expire_snapshots_retain_ref_history(spark, tmp_path):
+    """retain_ref_history=True is stock expireSnapshots' behavior: the
+    expire proceeds and snapshots reachable from named refs survive
+    (tag heads; branch heads plus ancestors) instead of refusing —
+    unreachable ones still expire, and the retained refs stay fully
+    scannable afterwards."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        read_table_metadata,
+        scan_iceberg_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "expref")
+    w = IcebergTableWriter(spark, d)
+    s1 = w.append(n.filter("n_nationkey < 8"))
+    w.set_ref("v1", snapshot_id=s1, ref_type="tag")
+    s2 = w.append(n.filter("n_nationkey between 8 and 15"))
+    s3 = w.append(n.filter("n_nationkey > 15"))
+    # default path still refuses while the tag pins s1
+    with pytest.raises(ValueError, match="refs still pin"):
+        w.expire_snapshots(retain_last=1)
+    res = w.expire_snapshots(retain_last=1, retain_ref_history=True)
+    # s2 is reachable from neither the head window nor any ref → expired
+    assert res["expired"] == 1
+    kept = {s["snapshot-id"] for s in read_table_metadata(d)["snapshots"]}
+    assert kept == {s1, s3}
+    # the tag still scans; head unchanged; expired time travel refuses
+    assert scan_iceberg_table(spark, d, ref="v1").count() == 8
+    assert scan_iceberg_table(spark, d).count() == 25
+    with pytest.raises(ValueError, match="not found"):
+        scan_iceberg_table(spark, d, snapshot_id=s2)
