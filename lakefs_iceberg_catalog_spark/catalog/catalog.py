@@ -2270,6 +2270,31 @@ class VersionedCatalog:
             "n_pending_deletes int, n_fields int",
         )
 
+    def history(self, identifier: str | list[str]) -> DataFrame:
+        """History metadata table (Iceberg's ``<table>.history``): one row
+        per metadata version with its commit instant, parent version, and
+        ``is_current_ancestor`` — on this catalog's LINEAR history every
+        live version is an ancestor of the head (a rollback commits a NEW
+        version rather than moving the pointer back, so the chain never
+        forks). Zero data IO: rows come from the manifest chain only."""
+        ops, levels = self._ops(identifier)
+        cur = ops.current()
+        if cur is None:
+            raise NoSuchTableError(".".join(levels))
+        rows = []
+        prev_v: int | None = None
+        for v in range(1, cur.version + 1):
+            m = ops.load_version(v)
+            if m is None:
+                continue
+            rows.append((float(m.committed_at), v, prev_v, True))
+            prev_v = v
+        return local_df(self.spark,
+            rows,
+            "made_current_at double, version int, parent_version int, "
+            "is_current_ancestor boolean",
+        )
+
     def files(self, identifier: str | list[str]) -> DataFrame:
         """Files metadata table (Iceberg's ``<table>.files``): one row per
         live data file with its row count, partition tuple, and per-column

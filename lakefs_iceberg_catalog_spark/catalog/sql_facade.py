@@ -79,7 +79,7 @@ class SqlFacade:
         def repl(m: re.Match) -> str:
             levels = _clean(m.group(1))
             if (
-                levels[-1] in ("snapshots", "files", "partitions")
+                levels[-1] in ("snapshots", "files", "partitions", "history")
                 and len(levels) >= 5
                 and not self.catalog.table_exists(levels)
             ):

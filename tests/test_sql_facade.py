@@ -567,3 +567,23 @@ def test_call_revert_procedure(facade, spark):
     out = f.sql(f"CALL system.revert('repo', '{cid}')").collect()
     assert len(out) == 1 and out[0].commit_id
     assert cat.scan("repo.main.company.workers").filter("id = '7'").count() == 0
+
+
+def test_history_metadata_table_sql(facade):
+    """`<table>.history` metadata suffix (stock Iceberg's history table):
+    one row per version, parent links, every row a current ancestor on
+    this catalog's linear history — and it stays consistent with
+    `.snapshots` after DML."""
+    facade.sql("DELETE FROM lakefs.repo.main.company.workers WHERE age >= 35")
+    h = facade.sql(
+        "SELECT version, parent_version, is_current_ancestor "
+        "FROM lakefs.repo.main.company.workers.history"
+    ).orderBy("version").collect()
+    assert [(r["version"], r["parent_version"]) for r in h] == [
+        (1, None), (2, 1),
+    ]
+    assert all(r["is_current_ancestor"] for r in h)
+    snaps = facade.sql(
+        "SELECT version FROM lakefs.repo.main.company.workers.snapshots"
+    ).collect()
+    assert {r["version"] for r in snaps} == {r["version"] for r in h}
