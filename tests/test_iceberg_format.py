@@ -2377,3 +2377,44 @@ def test_expire_snapshots_retain_ref_history(spark, tmp_path):
     assert scan_iceberg_table(spark, d).count() == 25
     with pytest.raises(ValueError, match="not found"):
         scan_iceberg_table(spark, d, snapshot_id=s2)
+
+
+def test_changelog_remove_plus_equality_delete_refuses(spark, tmp_path):
+    """The EQUALITY flavor of the remove+add-delete commit shape keeps
+    its loud refusal (victim set not file-boundable; no supported
+    writer emits it) — pinned via the same metadata splice as the
+    position-flavor value test."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        read_table_metadata,
+        scan_iceberg_changelog,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "coweqdel")
+    w = IcebergTableWriter(spark, d)
+    s1 = w.append(n.filter("n_nationkey < 12"))
+    s2 = w.append(n.filter("n_nationkey >= 12"))
+    s3 = w.delete_where_cow("n_nationkey = 3")
+    s4 = w.delete_keys(["n_name"], [("NATION_20",)])
+    meta = read_table_metadata(d)
+    ver = max(
+        int(p.split("v")[1].split(".")[0])
+        for p in os.listdir(os.path.join(d, "metadata"))
+        if p.startswith("v") and ".metadata.json" in p
+    )
+    meta["snapshots"] = [
+        {**s, "parent-snapshot-id": s2} if s["snapshot-id"] == s4 else s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] != s3
+    ]
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", []) if e["snapshot-id"] != s3
+    ]
+    with open(
+        os.path.join(d, "metadata", f"v{ver + 1}.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(d, "metadata", "version-hint.text"), "w") as fh:
+        fh.write(str(ver + 1))
+    with pytest.raises(NotImplementedError, match="equality-delete"):
+        scan_iceberg_changelog(spark, d, from_snapshot_id=s1).collect()
