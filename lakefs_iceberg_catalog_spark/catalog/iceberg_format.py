@@ -953,7 +953,12 @@ class IcebergTableWriter:
                     "data_file": {
                         "content": content,
                         "file_path": path,
-                        "file_format": "PARQUET",
+                        # spec write.delete.format: delete files may be
+                        # any supported format — derive from the name
+                        "file_format": (
+                            os.path.splitext(path)[1].lstrip(".").upper()
+                            or "PARQUET"
+                        ),
                         "partition": pvals,
                         "record_count": n_rows,
                         "file_size_in_bytes": os.path.getsize(path),
@@ -2787,8 +2792,7 @@ class IcebergTableWriter:
             for f in data
         }
         pairs = (
-            self.spark.read.schema("file_path string, pos long")
-            .parquet(*[f["file_path"] for f in pos])
+            _read_position_delete_pairs(self.spark, pos)
             .select(
                 F.regexp_replace("file_path", "^file:/+", "/").alias("_file"),
                 F.col("pos").alias("_pos"),
@@ -3838,15 +3842,6 @@ def iceberg_metadata_table(
             f for f in deletes
             if int(f["content"]) == CONTENT_POSITION_DELETES
         ]
-        non_parquet = [
-            f["file_path"] for f in pos_files
-            if f["file_format"].lower() != "parquet"
-        ]
-        if non_parquet:
-            raise NotImplementedError(
-                "position_deletes over non-parquet delete files is not "
-                f"supported: {non_parquet}"
-            )
         schema = (
             "file_path string, pos long, delete_file_path string, "
             "partition map<string,string>, spec_id int"
@@ -3868,14 +3863,7 @@ def iceberg_metadata_table(
             "delete_file_path string, partition map<string,string>, "
             "spec_id int",
         )
-        body = (
-            spark.read.schema("file_path string, pos long")
-            .parquet(*[f["file_path"] for f in pos_files])
-            .withColumn(
-                "delete_file_path",
-                F.regexp_replace(F.input_file_name(), "^file:/*", "/"),
-            )
-        )
+        body = _read_position_delete_pairs(spark, pos_files, with_source=True)
         # metadata-sized dimension: O(delete files) rows, forced broadcast
         return body.join(F.broadcast(meta_df), "delete_file_path").select(
             "file_path", "pos", "delete_file_path", "partition", "spec_id"
@@ -4012,6 +4000,86 @@ def _avro_scan_with_ordinals(
     return paths_df.mapInPandas(_read, out_schema)
 
 
+def _read_position_delete_pairs(
+    spark: SparkSession, pos_files: list[dict], with_source: bool = False
+) -> DataFrame:
+    """(file_path, pos) content of position-delete FILES in ANY supported
+    data-file format — per the spec's ``write.delete.format``, delete
+    files may be parquet, ORC, or Avro independently of the data files
+    (non-parquet delete files were a refusal before round 13).
+    parquet/ORC stream through the native file sources; AVRO through the
+    executor-side block-streaming reader. ``with_source`` adds the
+    normalized ``delete_file_path`` provenance column (the
+    position_deletes metadata table's source attribution).
+
+    Scale: one distributed scan sized by the delete files — the
+    deleted-row-proportional contract unchanged."""
+    pos_fields = [
+        {"name": "file_path", "type": "string"},
+        {"name": "pos", "type": "long"},
+    ]
+    by_fmt: dict[str, list[str]] = {}
+    for f in pos_files:
+        by_fmt.setdefault(f["file_format"].upper(), []).append(f["file_path"])
+    unsupported = set(by_fmt) - {"PARQUET", "ORC", "AVRO"}
+    if unsupported:
+        raise NotImplementedError(
+            f"position delete files in {sorted(unsupported)}"
+        )
+    parts = []
+    for fmt, paths in sorted(by_fmt.items()):
+        if fmt == "AVRO":
+            part = _avro_scan_with_ordinals(spark, paths, pos_fields).select(
+                "file_path", "pos", F.col("_file").alias("delete_file_path")
+            )
+        else:
+            rdr = spark.read.schema("file_path string, pos long")
+            part = rdr.parquet(*paths) if fmt == "PARQUET" else rdr.orc(*paths)
+            part = part.select(
+                "file_path",
+                "pos",
+                F.regexp_replace(F.input_file_name(), "^file:/*", "/").alias(
+                    "delete_file_path"
+                ),
+            )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out if with_source else out.select("file_path", "pos")
+
+
+def _read_equality_delete_keys(
+    spark: SparkSession, d: dict, src_cols: list[str], out_cols: list[str]
+) -> DataFrame:
+    """DISTINCT key tuples of ONE equality-delete file in any supported
+    format, write-time column names aliased to ``out_cols`` — the
+    format-dispatch twin of _read_position_delete_pairs for content=2
+    files. AVRO types come from the delete manifest's write schema."""
+    fmt = d["file_format"].upper()
+    if fmt == "PARQUET":
+        base = spark.read.parquet(d["file_path"])
+    elif fmt == "ORC":
+        base = spark.read.orc(d["file_path"])
+    elif fmt == "AVRO":
+        dws = json.loads(d["_write_schema"]) if d.get("_write_schema") else None
+        if dws is None:
+            raise NotImplementedError(
+                "AVRO equality-delete file without a manifest write schema"
+            )
+        want = set(src_cols)
+        base = _avro_scan_with_ordinals(
+            spark,
+            [d["file_path"]],
+            [f for f in dws["fields"] if f["name"] in want],
+        )
+    else:
+        raise NotImplementedError(f"equality delete files in {fmt}")
+    return base.select(
+        *[F.col(s).alias(o) for s, o in zip(src_cols, out_cols)]
+    ).dropDuplicates()
+
+
 def _assemble_visible_scan(
     spark: SparkSession,
     data: list[dict],
@@ -4136,13 +4204,9 @@ def _assemble_visible_scan(
     if not need_meta:
         return df.select(*cols)
     if pos:
-        dels = (
-            spark.read.schema("file_path string, pos long")
-            .parquet(*[f["file_path"] for f in pos])
-            .select(
-                norm(F.col("file_path")).alias("_dfile"),
-                F.col("pos").alias("_dpos"),
-            )
+        dels = _read_position_delete_pairs(spark, pos).select(
+            norm(F.col("file_path")).alias("_dfile"),
+            F.col("pos").alias("_dpos"),
         )
         df = df.join(
             dels,
@@ -4171,15 +4235,8 @@ def _assemble_visible_scan(
             dws = json.loads(d["_write_schema"]) if d.get("_write_schema") else None
             dname = {f["id"]: f["name"] for f in dws["fields"]} if dws else {}
             src_cols = [dname.get(i, id2name[i]) for i in ids]
-            keys = (
-                spark.read.parquet(d["file_path"])
-                .select(
-                    *[
-                        F.col(s).alias(f"_ek_{k}")
-                        for s, k in zip(src_cols, key_cols)
-                    ]
-                )
-                .dropDuplicates()
+            keys = _read_equality_delete_keys(
+                spark, d, src_cols, [f"_ek_{k}" for k in key_cols]
             )
             cond = F.col("_dataseq") < F.lit(int(d["sequence_number"]))
             for k in key_cols:
@@ -4550,13 +4607,9 @@ def _position_delete_victims(
 
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     pynorm = lambda p: re.sub(r"^file:/+", "/", p)  # noqa: E731
-    pairs = (
-        spark.read.schema("file_path string, pos long")
-        .parquet(*[f["file_path"] for f in pos_files])
-        .select(
-            norm(F.col("file_path")).alias("_dfile"),
-            F.col("pos").alias("_dpos"),
-        )
+    pairs = _read_position_delete_pairs(spark, pos_files).select(
+        norm(F.col("file_path")).alias("_dfile"),
+        F.col("pos").alias("_dpos"),
     )
     # distinct TARGET file paths: metadata-sized (bounded by the live
     # file count)
@@ -4705,11 +4758,6 @@ def scan_iceberg_changelog(
         dp_paths = {f["file_path"] for f in dels_p}
         new_dels = [f for f in dels_s if f["file_path"] not in dp_paths]
         new_eq = [f for f in new_dels if f["content"] == CONTENT_EQUALITY_DELETES]
-        del_fmt = {f["file_format"].upper() for f in new_dels} - {"PARQUET"}
-        if del_fmt:
-            raise NotImplementedError(
-                f"changelog over {sorted(del_fmt)} delete files"
-            )
         if removed:
             # COPY-ON-WRITE rewrite (CoW DELETE/MERGE/overwrite): no row
             # lineage, so derive the snapshot's NET row-level changes by
@@ -4790,15 +4838,8 @@ def scan_iceberg_changelog(
             dws = json.loads(d["_write_schema"]) if d.get("_write_schema") else None
             dname = {f["id"]: f["name"] for f in dws["fields"]} if dws else {}
             src_cols = [dname.get(i, id2name[i]) for i in ids]
-            keys = (
-                spark.read.parquet(d["file_path"])
-                .select(
-                    *[
-                        F.col(sc).alias(f"_ek_{k}")
-                        for sc, k in zip(src_cols, key_cols)
-                    ]
-                )
-                .dropDuplicates()
+            keys = _read_equality_delete_keys(
+                spark, d, src_cols, [f"_ek_{k}" for k in key_cols]
             )
             pre = scan_iceberg_table(spark, table_dir, snapshot_id=prev_id)
             cond = F.lit(True)

@@ -2418,3 +2418,95 @@ def test_changelog_remove_plus_equality_delete_refuses(spark, tmp_path):
         fh.write(str(ver + 1))
     with pytest.raises(NotImplementedError, match="equality-delete"):
         scan_iceberg_changelog(spark, d, from_snapshot_id=s1).collect()
+
+
+def test_non_parquet_delete_files_scan_changelog_and_table(spark, tmp_path):
+    """Per the spec's write.delete.format, delete files may be ORC or
+    Avro regardless of the data files' format — previously refused
+    outside parquet. Hand-crafted ORC + Avro POSITION delete files and
+    an Avro EQUALITY delete file on a parquet table must merge in the
+    scan, drive the changelog, and surface in position_deletes; CoW
+    after them still works through the lineage scan."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from lakefs_iceberg_catalog_spark.catalog.avro_io import write_container
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        iceberg_metadata_table,
+        scan_iceberg_changelog,
+        scan_iceberg_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "npdel")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 12").orderBy("n_nationkey"))
+    s2 = w.append(n.filter("n_nationkey >= 12").orderBy("n_nationkey"))
+    files, _ = iceberg_snapshot_files(d)
+    f12 = next(f for f in files if f["record_count"] == 12)["file_path"]
+    f13 = next(f for f in files if f["record_count"] == 13)["file_path"]
+
+    # ORC position delete: kill ordinal 3 of the 12-row file (key 3)
+    orc_del = os.path.join(d, "data", "posdel-orc.orc")
+    po.write_table(
+        pa.table(
+            {"file_path": pa.array([f12], pa.string()),
+             "pos": pa.array([3], pa.int64())}
+        ),
+        orc_del,
+    )
+    # AVRO position delete: kill ordinals 1 and 5 of the 13-row file
+    # (keys 13 and 17; spec orders rows by (file_path, pos))
+    avro_del = os.path.join(d, "data", "posdel-avro.avro")
+    write_container(
+        avro_del,
+        {"type": "record", "name": "pd", "fields": [
+            {"name": "file_path", "type": "string"},
+            {"name": "pos", "type": "long"}]},
+        [{"file_path": f13, "pos": 1}, {"file_path": f13, "pos": 5}],
+        codec="deflate",
+    )
+    w._version += 1
+    w._sequence += 1
+    s3 = int(_uuid.uuid4().int % (1 << 62))
+    w._commit_delete_manifest(
+        s3, [(orc_del, 1, {}, 1, None), (avro_del, 2, {}, 1, None)]
+    )
+    got = {r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()}
+    assert got == set(range(25)) - {3, 13, 17}
+
+    # AVRO equality delete on n_name (field id 2): kill key 20
+    avro_eq = os.path.join(d, "data", "eqdel-avro.avro")
+    write_container(
+        avro_eq,
+        {"type": "record", "name": "eq", "fields": [
+            {"name": "n_name", "type": "string"}]},
+        [{"n_name": "NATION_20"}],
+        codec="deflate",
+    )
+    w._version += 1
+    w._sequence += 1
+    s4 = int(_uuid.uuid4().int % (1 << 62))
+    w._commit_delete_manifest(s4, [(avro_eq, 1, {}, 2, [2])])
+    got = {r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()}
+    assert got == set(range(25)) - {3, 13, 17, 20}
+
+    # changelog across both delete commits derives the right victims
+    ch = scan_iceberg_changelog(spark, d, from_snapshot_id=s2)
+    assert sorted(
+        (r["_change_type"], r["n_nationkey"]) for r in ch.collect()
+    ) == [("delete", k) for k in (3, 13, 17, 20)]
+    # position_deletes metadata table reads both non-parquet files
+    pd_rows = iceberg_metadata_table(spark, d, "position_deletes").collect()
+    assert sorted((r["file_path"], r["pos"]) for r in pd_rows) == [
+        (f12, 3), (f13, 1), (f13, 5),
+    ]
+    assert {os.path.basename(r["delete_file_path"]) for r in pd_rows} == {
+        "posdel-orc.orc", "posdel-avro.avro",
+    }
+    # CoW DML over the non-parquet delete debt still works
+    w.delete_where_cow("n_nationkey = 9")
+    got = {r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()}
+    assert got == set(range(25)) - {3, 9, 13, 17, 20}
