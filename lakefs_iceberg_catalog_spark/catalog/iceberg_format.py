@@ -1969,8 +1969,22 @@ class IcebergTableWriter:
         """Shared COW commit: rewrite manifests containing ``touched``
         files (DELETED/EXISTING statuses, resolved sequence numbers),
         write ``new_rows`` as one ADDED file, commit an `overwrite`
-        snapshot."""
-        from .parquet_io import write_single_parquet
+        snapshot. Replacement files are written in the TABLE'S default
+        write format (stock honors write.format.default on row-level
+        rewrites) — a CoW delete on an ORC/AVRO table stays ORC/AVRO
+        instead of silently drifting the layout to parquet."""
+        from .parquet_io import (
+            write_single_avro,
+            write_single_orc,
+            write_single_parquet,
+        )
+
+        fmt = self._file_format
+        writer = {
+            "parquet": write_single_parquet,
+            "orc": write_single_orc,
+            "avro": write_single_avro,
+        }[fmt]
 
         self._version += 1
         self._sequence += 1
@@ -2078,9 +2092,9 @@ class IcebergTableWriter:
         for i, (part, pvals) in enumerate(parts):
             data_path = os.path.join(
                 self.data_dir,
-                f"00000-{self._version}-{self._uuid}-0-{i + 1:05d}.parquet",
+                f"00000-{self._version}-{self._uuid}-0-{i + 1:05d}.{fmt}",
             )
-            n_rows = write_single_parquet(part, data_path)
+            n_rows = writer(part, data_path)
             total_rows += n_rows
             added_entries.append(
                 {
@@ -2091,7 +2105,7 @@ class IcebergTableWriter:
                     "data_file": {
                         "content": CONTENT_DATA,
                         "file_path": data_path,
-                        "file_format": "PARQUET",
+                        "file_format": fmt.upper(),
                         "partition": pvals,
                         "record_count": n_rows,
                         "file_size_in_bytes": os.path.getsize(data_path),
@@ -2099,7 +2113,7 @@ class IcebergTableWriter:
                         **dict(
                             zip(
                                 ("lower_bounds", "upper_bounds"),
-                                self._file_bounds(data_path, "parquet"),
+                                self._file_bounds(data_path, fmt),
                             )
                         ),
                     },

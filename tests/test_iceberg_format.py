@@ -2510,3 +2510,30 @@ def test_non_parquet_delete_files_scan_changelog_and_table(spark, tmp_path):
     w.delete_where_cow("n_nationkey = 9")
     got = {r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()}
     assert got == set(range(25)) - {3, 9, 13, 17, 20}
+
+
+def test_cow_rewrite_honors_table_write_format(spark, tmp_path):
+    """Stock honors write.format.default on row-level rewrites: a CoW
+    DELETE/UPDATE on an ORC (or AVRO) table writes its replacement
+    files in the table's format instead of drifting the layout to
+    parquet; stats bounds still land in the manifest entries."""
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    for fmt in ("orc", "avro"):
+        d = str(tmp_path / f"cowfmt_{fmt}")
+        w = IcebergTableWriter(spark, d, file_format=fmt)
+        w.append(n.filter("n_nationkey < 12").orderBy("n_nationkey"))
+        w.append(n.filter("n_nationkey >= 12").orderBy("n_nationkey"))
+        w.delete_where_cow("n_nationkey = 3")
+        w.update_where_cow("n_nationkey = 14", {"n_name": "'X'"})
+        files, _ = iceberg_snapshot_files(d)
+        assert {f["file_format"] for f in files} == {fmt.upper()}, fmt
+        assert all(f["file_path"].endswith(f".{fmt}") for f in files)
+        from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+            scan_iceberg_table,
+        )
+
+        got = {
+            r["n_nationkey"]: r["n_name"]
+            for r in scan_iceberg_table(spark, d).collect()
+        }
+        assert got[14] == "X" and set(got) == set(range(25)) - {3}, fmt
