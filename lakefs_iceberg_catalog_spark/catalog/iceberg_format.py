@@ -2483,6 +2483,18 @@ class IcebergTableWriter:
                 (dict(zip(names, tuple(r))) for r in tuples),
                 key=lambda d: tuple(str(v) for v in d.values()),
             )
+        # compaction outputs honor the TABLE'S write format, like the
+        # CoW rewrites (stock rewrite_data_files writes
+        # write.format.default)
+        fmt = self._file_format
+        from .parquet_io import write_single_avro, write_single_orc
+
+        writer = {
+            "parquet": write_single_parquet,
+            "orc": write_single_orc,
+            "avro": write_single_avro,
+        }[fmt]
+
         def _entry(data_path: str, n_rows: int, pvals: dict) -> dict:
             return {
                 "status": STATUS_ADDED,
@@ -2492,7 +2504,7 @@ class IcebergTableWriter:
                 "data_file": {
                     "content": CONTENT_DATA,
                     "file_path": data_path,
-                    "file_format": "PARQUET",
+                    "file_format": fmt.upper(),
                     "partition": pvals,
                     "record_count": n_rows,
                     "file_size_in_bytes": os.path.getsize(data_path),
@@ -2500,7 +2512,7 @@ class IcebergTableWriter:
                     **dict(
                         zip(
                             ("lower_bounds", "upper_bounds"),
-                            self._file_bounds(data_path, "parquet"),
+                            self._file_bounds(data_path, fmt),
                         )
                     ),
                 },
@@ -2542,27 +2554,36 @@ class IcebergTableWriter:
                         data_path = os.path.join(
                             self.data_dir,
                             f"00000-{self._version}-{self._uuid}-"
-                            f"{i + 1}-{j + 1:05d}.parquet",
+                            f"{i + 1}-{j + 1:05d}.{fmt}",
                         )
-                        os.replace(os.path.join(stage, part), data_path)
-                        n_rows = _pq.read_metadata(data_path).num_rows
-                        if n_rows == 0:
-                            os.remove(data_path)  # empty range bucket
-                            continue
+                        staged = os.path.join(stage, part)
+                        if _pq.read_metadata(staged).num_rows == 0:
+                            continue  # empty range bucket
+                        if fmt == "parquet":
+                            os.replace(staged, data_path)
+                            n_rows = _pq.read_metadata(data_path).num_rows
+                        else:
+                            # transcode the staged range file into the
+                            # table's format (single-file task each; a
+                            # one-task read of one file preserves the
+                            # within-range sort order)
+                            n_rows = writer(
+                                self.spark.read.parquet(staged), data_path
+                            )
                         entries.append(_entry(data_path, n_rows, pvals))
                 finally:
                     _shutil.rmtree(stage, ignore_errors=True)
                 continue
             data_path = os.path.join(
                 self.data_dir,
-                f"00000-{self._version}-{self._uuid}-0-{i + 1:05d}.parquet",
+                f"00000-{self._version}-{self._uuid}-0-{i + 1:05d}.{fmt}",
             )
             if self._sort_order:
                 # single-file rewrite still honors the persisted order
                 part_df = part_df.coalesce(1).sortWithinPartitions(
                     *self._sort_order
                 )
-            n_rows = write_single_parquet(part_df, data_path)
+            n_rows = writer(part_df, data_path)
             entries.append(_entry(data_path, n_rows, pvals))
         manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
         self._avro.write(

@@ -2537,3 +2537,27 @@ def test_cow_rewrite_honors_table_write_format(spark, tmp_path):
             for r in scan_iceberg_table(spark, d).collect()
         }
         assert got[14] == "X" and set(got) == set(range(25)) - {3}, fmt
+
+
+def test_rewrite_data_honors_table_write_format(spark, tmp_path):
+    """rewrite_data (compaction) outputs in the table's write format too
+    — small ORC and AVRO appends compact into one file of the SAME
+    format, rows unchanged, and old files expire normally."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        scan_iceberg_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    for fmt in ("orc", "avro"):
+        d = str(tmp_path / f"rwfmt_{fmt}")
+        w = IcebergTableWriter(spark, d, file_format=fmt)
+        for lo in (0, 10, 20):
+            w.append(
+                n.filter(F.col("n_nationkey").between(lo, lo + 9))
+                .orderBy("n_nationkey")
+            )
+        w.rewrite_data()
+        files, _ = iceberg_snapshot_files(d)
+        assert len(files) == 1 and files[0]["file_format"] == fmt.upper()
+        assert files[0]["file_path"].endswith(f".{fmt}")
+        assert scan_iceberg_table(spark, d).count() == 25
