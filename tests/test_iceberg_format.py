@@ -2561,3 +2561,47 @@ def test_rewrite_data_honors_table_write_format(spark, tmp_path):
         assert len(files) == 1 and files[0]["file_format"] == fmt.upper()
         assert files[0]["file_path"].endswith(f".{fmt}")
         assert scan_iceberg_table(spark, d).count() == 25
+
+
+def test_full_space_reclamation_composition(spark, tmp_path):
+    """The complete reclamation story on one table: churn (appends, CoW
+    delete, compaction) → expire_snapshots → remove_orphan_files. After
+    the sweep, the data directory holds EXACTLY the live files and the
+    metadata directory only the chain + live manifests/list — nothing a
+    reader needs is gone (scan identical), nothing unreferenced
+    remains (aged planted orphan included)."""
+    import glob as _glob
+    import time as _time
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        scan_iceberg_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "reclaim")
+    w = IcebergTableWriter(spark, d)
+    for lo in (0, 10, 20):
+        w.append(n.filter(F.col("n_nationkey").between(lo, lo + 9)))
+    w.delete_where_cow("n_nationkey = 5")
+    w.rewrite_data()
+    want = sorted(
+        r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()
+    )
+    orphan = os.path.join(d, "data", "aborted.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1 junk")
+    week_ago = int(_time.time()) - 7 * 24 * 3600
+    os.utime(orphan, (week_ago, week_ago))
+    w.expire_snapshots(retain_last=1)
+    res = w.remove_orphan_files(older_than_ms=int(_time.time() * 1000) + 1)
+    # the planted orphan went; expire already reclaimed the rest
+    assert orphan in res["removed_paths"] and not os.path.exists(orphan)
+    # data dir == exactly the live file set
+    files, dels = iceberg_snapshot_files(d)
+    live = {f["file_path"] for f in files} | {f["file_path"] for f in dels}
+    on_disk = set(_glob.glob(os.path.join(d, "data", "*")))
+    assert on_disk == live
+    # scan identical to pre-reclamation
+    assert sorted(
+        r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()
+    ) == want
