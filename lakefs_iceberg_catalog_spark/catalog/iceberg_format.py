@@ -854,6 +854,14 @@ class IcebergTableWriter:
             self._manifests.append(new_manifest)
             self._refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
             self._staged_ids.add(snapshot_id)  # never became current
+            # _commit_snapshot mutates MORE than the swap above: it appends
+            # to _snapshots before _write_metadata can fail — snapshot the
+            # lot so a raising commit leaves NO phantom staged snapshot
+            # behind (ADVICE r13 #2). _version/_sequence restore to their
+            # PRE-APPEND values (this append bumped each exactly once, and
+            # the failed commit never wrote v{_version}.metadata.json).
+            pre_snap_len = len(self._snapshots)
+            pre_head = self._current_snapshot_id
             try:
                 sid = self._commit_snapshot(
                     snapshot_id, "append", stage=True, parent=parent
@@ -865,6 +873,10 @@ class IcebergTableWriter:
                 else:
                     self._refs[branch] = prev_ref
                 self._staged_ids.discard(snapshot_id)
+                del self._snapshots[pre_snap_len:]
+                self._version -= 1
+                self._sequence -= 1
+                self._current_snapshot_id = pre_head
                 raise
             self._branch_manifests[branch] = self._manifests
             self._manifests = main_manifests
@@ -3036,22 +3048,69 @@ class IcebergTableWriter:
             else now_ms - 3 * 24 * 3600 * 1000
         )
         referenced: set[str] = set()
-        for s in self._snapshots:
-            referenced.add(s["manifest-list"])
-            _, manifest_files = read_container(s["manifest-list"])
+        seen_manifests: set[str] = set()
+
+        def _ref_manifest(manifest_path: str) -> None:
+            referenced.add(manifest_path)
+            if manifest_path in seen_manifests:
+                return
+            seen_manifests.add(manifest_path)
+            if not os.path.exists(manifest_path):
+                return  # named by an OLD metadata version, already expired
+            _, entries = read_container(manifest_path)
+            for entry in entries:
+                referenced.add(entry["data_file"]["file_path"])
+
+        def _ref_manifest_list(list_path: str) -> None:
+            if list_path in referenced:
+                return
+            referenced.add(list_path)
+            if not os.path.exists(list_path):
+                return
+            _, manifest_files = read_container(list_path)
             for mf in manifest_files:
-                referenced.add(mf["manifest_path"])
-                _, entries = read_container(mf["manifest_path"])
-                for entry in entries:
-                    referenced.add(entry["data_file"]["file_path"])
+                _ref_manifest(mf["manifest_path"])
+
+        # The referenced set is derived from the ON-DISK metadata chain —
+        # EVERY v*.metadata.json's snapshot list, like stock's procedure
+        # reads it from catalog metadata — never from this writer's
+        # in-memory state alone: a writer freshly constructed over an
+        # existing table has empty _snapshots, and sweeping against that
+        # would silently unlink every committed file (ADVICE r13, medium).
+        disk_versions = sorted(
+            {
+                int(m.group(1))
+                for name in os.listdir(self.meta_dir)
+                if (m := _METADATA_RE.match(name))
+            }
+        )
+        for v in disk_versions:
+            meta = _read_metadata_file(
+                os.path.join(self.meta_dir, f"v{v}.metadata.json")
+            )
+            if meta is None:
+                continue
+            for s in meta.get("snapshots", []):
+                _ref_manifest_list(s["manifest-list"])
+            for st in meta.get("statistics") or []:
+                if st.get("statistics-path"):
+                    referenced.add(st["statistics-path"])
+        if not disk_versions and not self._snapshots:
+            raise RuntimeError(
+                "remove_orphan_files refused: no v*.metadata.json under "
+                f"{self.meta_dir} and this writer holds no snapshots — "
+                "the referenced set would be empty and the sweep would "
+                "unlink every file under the table prefix"
+            )
+        # belt over the disk walk: this writer's own live state (covers a
+        # snapshot committed but whose metadata write is mid-flight)
+        for s in self._snapshots:
+            _ref_manifest_list(s["manifest-list"])
         # staged WAP snapshots keep their frozen manifests reachable via
         # _staged_manifests even before publish
         for mfs in getattr(self, "_staged_manifests", {}).values():
             for mf in mfs:
-                referenced.add(mf["manifest_path"])
-                _, entries = read_container(mf["manifest_path"])
-                for entry in entries:
-                    referenced.add(entry["data_file"]["file_path"])
+                _ref_manifest(mf["manifest_path"])
         removed: list[str] = []
         kept_young = 0
         for root in (self.data_dir, self.meta_dir):
@@ -3686,7 +3745,10 @@ def iceberg_metadata_table(
                     )
                 )
         return local_df(spark,
-            sorted(rows),
+            # explicit key: sequence_number is None for EXISTING/DELETED
+            # entries that omit it (spec-legal in foreign manifests) and a
+            # plain tuple sort raises TypeError on a None/int tie
+            sorted(rows, key=lambda r: (r[0], r[1], r[2] or 0)),
             "status int, snapshot_id long, sequence_number long, "
             "content int, file_format string, record_count long, "
             "file_size_in_bytes long",
@@ -3814,7 +3876,9 @@ def iceberg_metadata_table(
                 "spec_id int",
             )
         return local_df(spark,
-            sorted(rows),
+            # same explicit key as `entries` above (ADVICE r13 #3): None
+            # sequence numbers tie-breaking against ints must not raise
+            sorted(rows, key=lambda r: (r[0], r[1], r[2] or 0)),
             "status int, snapshot_id long, sequence_number long, "
             "content int, file_format string, record_count long, "
             "file_size_in_bytes long",
@@ -3852,9 +3916,17 @@ def iceberg_metadata_table(
         cur_path = None
         try:
             with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-                cur_path = os.path.join(
-                    meta_dir, f"v{int(fh.read().strip())}.metadata.json"
-                )
+                v = int(fh.read().strip())
+            # probe the three on-disk spellings _read_metadata_file accepts
+            # (plain / .json.gz / .gz.metadata.json) so the `file` column
+            # names a path that EXISTS on a gzip-compressed chain
+            # (ADVICE r13 #4); fall back to the plain spelling if none do
+            base = os.path.join(meta_dir, f"v{v}.metadata.json")
+            cur_path = base
+            for cand in (base, base + ".gz", base[: -len(".metadata.json")] + ".gz.metadata.json"):
+                if os.path.exists(cand):
+                    cur_path = cand
+                    break
         except (FileNotFoundError, ValueError):
             pass
         rows.append(_latest(metadata, cur_path, None))

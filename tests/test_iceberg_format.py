@@ -2605,3 +2605,150 @@ def test_full_space_reclamation_composition(spark, tmp_path):
     assert sorted(
         r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()
     ) == want
+
+
+def test_remove_orphans_fresh_writer_derives_referenced_set_from_disk(
+    spark, tmp_path
+):
+    """A writer NEWLY constructed over an existing table has empty
+    in-memory state; remove_orphan_files must still derive the referenced
+    set from the on-disk metadata chain and keep every committed file
+    (ADVICE r13 medium: the old in-memory-only derivation would unlink
+    the whole table and report success)."""
+    import time as _time
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "orphfresh")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"))
+    w.delete_where_mor("n_nationkey = 3")  # delete files must survive too
+
+    week_ago = int(_time.time()) - 7 * 24 * 3600
+    for root, _dirs, names in os.walk(d):
+        for name in names:
+            p = os.path.join(root, name)
+            os.utime(p, (week_ago, week_ago))
+    orphan = os.path.join(d, "data", "aborted-write.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1 junk")
+    os.utime(orphan, (week_ago, week_ago))
+
+    fresh = IcebergTableWriter(spark, d)  # knows NOTHING in memory
+    assert fresh._snapshots == []
+    res = fresh.remove_orphan_files()
+    assert res["removed_paths"] == [orphan]
+    got = sorted(
+        r["n_nationkey"] for r in scan_iceberg_table(spark, d).collect()
+    )
+    assert got == [k for k in range(25) if k != 3]
+
+
+def test_remove_orphans_refuses_empty_referenced_set(spark, tmp_path):
+    """No on-disk metadata AND no in-memory snapshots → the sweep would
+    treat every file as orphan; it must refuse instead of 'succeeding'."""
+    d = str(tmp_path / "orphempty")
+    w = IcebergTableWriter(spark, d)  # dirs created, nothing committed
+    with pytest.raises(RuntimeError, match="refused"):
+        w.remove_orphan_files()
+
+
+def test_branch_commit_failure_leaves_no_phantom_snapshot(spark, tmp_path):
+    """If the metadata write fails mid-branch-commit, the rollback must
+    also undo _commit_snapshot's _snapshots append (ADVICE r13 #2) — a
+    phantom staged snapshot would otherwise ride along in every later
+    metadata file with no ref pointing at it."""
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "branchroll")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 10"))
+    pre_snaps = len(w._snapshots)
+    pre_version, pre_sequence = w._version, w._sequence
+
+    real = w._write_metadata
+
+    def boom(now_ms):
+        raise OSError("simulated metadata write failure")
+
+    w._write_metadata = boom
+    with pytest.raises(OSError, match="simulated"):
+        w.append(n.filter("n_nationkey >= 10"), branch="audit")
+    w._write_metadata = real
+
+    assert len(w._snapshots) == pre_snaps
+    assert (w._version, w._sequence) == (pre_version, pre_sequence)
+    # the table keeps working and the failed commit never surfaces
+    w.append(n.filter("n_nationkey >= 10"))
+    meta = read_table_metadata(d)
+    assert len(meta["snapshots"]) == 2
+    assert "audit" not in meta.get("refs", {})
+    assert scan_iceberg_table(spark, d).count() == 25
+
+
+def test_entries_tables_tolerate_none_sequence_numbers(
+    spark, tmp_path, monkeypatch
+):
+    """entries/all_entries sort rows explicitly: EXISTING/DELETED entries
+    in externally written manifests may omit sequence_number (spec-legal),
+    and a plain tuple sort raises TypeError on a None/int tie
+    (ADVICE r13 #3)."""
+    from lakefs_iceberg_catalog_spark.catalog import iceberg_format as IF
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "noneseq")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 5"))
+    w.append(n.filter("n_nationkey >= 5"))
+
+    real = IF.read_container
+    state = {"i": 0}
+
+    def doctored(path):
+        meta, recs = real(path)
+        for r in recs:
+            if isinstance(r, dict) and "data_file" in r and "status" in r:
+                # foreign-manifest shape: two EXISTING entries tying on
+                # (status, snapshot_id), one with None seq, one with int
+                r["status"] = 0
+                r["snapshot_id"] = 1
+                r["sequence_number"] = None if state["i"] % 2 == 0 else 7
+                state["i"] += 1
+        return meta, recs
+
+    monkeypatch.setattr(IF, "read_container", doctored)
+    for kind in ("entries", "all_entries"):
+        rows = IF.iceberg_metadata_table(spark, d, kind).collect()
+        assert len(rows) == 2
+        assert {r["sequence_number"] for r in rows} == {None, 7}
+
+
+def test_metadata_log_entries_current_file_exists_on_gzip_chain(
+    spark, tmp_path
+):
+    """On a gzip-compressed metadata chain the current row's `file` must
+    name the path that exists on disk (ADVICE r13 #4)."""
+    import gzip as _gzip
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        iceberg_metadata_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "gzchain")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 10"))
+    w.append(n.filter("n_nationkey >= 10"))
+    # gzip-compress the CURRENT metadata file the way the catalog codec
+    # spells it (vN.metadata.json.gz) and drop the plain spelling
+    meta_dir = os.path.join(d, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    plain = os.path.join(meta_dir, f"v{v}.metadata.json")
+    with open(plain, "rb") as src, _gzip.open(plain + ".gz", "wb") as dst:
+        dst.write(src.read())
+    os.unlink(plain)
+
+    rows = iceberg_metadata_table(spark, d, "metadata_log_entries").collect()
+    cur = rows[-1]
+    assert cur["file"] == plain + ".gz"
+    assert os.path.exists(cur["file"])
