@@ -1395,12 +1395,19 @@ class DeltaTableWriter:
         preimage = touched_rows.withColumn(
             "_change_type", F.lit("update_preimage")
         )
-        existing_keys = touched_rows.select(*key_cols).distinct()
+        # GATED, not forced (VERDICT r13 #2): matched keys scale with the
+        # source in the bulk-CDC shape — the same multi-GB forced-broadcast
+        # risk the source-key joins above were gated for. Under the gate's
+        # estimate limit the hint applies (the headline 10-row upsert);
+        # over it the planner/AQE picks the strategy from runtime sizes.
+        existing_keys = gated_broadcast(
+            touched_rows.select(*key_cols).distinct()
+        )
         matched = source_df.join(
-            F.broadcast(existing_keys), key_cols, "left_semi"
+            existing_keys, key_cols, "left_semi"
         ).withColumn("_change_type", F.lit("update_postimage"))
         inserted = source_df.join(
-            F.broadcast(existing_keys), key_cols, "left_anti"
+            existing_keys, key_cols, "left_anti"
         ).withColumn("_change_type", F.lit("insert"))
         return self.commit_with_cdc(
             add_dfs=[new_rows],
@@ -1571,16 +1578,19 @@ class DeltaTableWriter:
         if survivors is not None:
             new_rows = new_rows.unionByName(survivors)
         # classify matched vs inserted from the touched-file rows alone
-        existing_keys = (
+        # gated like the flat-MERGE path: matched keys are source-
+        # proportional in the bulk-CDC shape, so the broadcast hint only
+        # applies under the gate's size estimate (VERDICT r13 #2)
+        existing_keys = gated_broadcast(
             preimage_rows.select(*key_cols).distinct()
             if preimage_rows is not None
             else keys.limit(0)
         )
         matched = source_df.join(
-            F.broadcast(existing_keys), key_cols, "left_semi"
+            existing_keys, key_cols, "left_semi"
         ).withColumn("_change_type", F.lit("update_postimage"))
         inserted = source_df.join(
-            F.broadcast(existing_keys), key_cols, "left_anti"
+            existing_keys, key_cols, "left_anti"
         ).withColumn("_change_type", F.lit("insert"))
         cdc = matched.unionByName(inserted)
         if preimage_rows is not None:
