@@ -1294,17 +1294,35 @@ class IcebergTableWriter:
         unreferenced deletes-*.parquet in the data dir, reclaimed by
         remove_orphan_files (same contract as stock Iceberg's
         uncommitted-file orphans)."""
+        descs = self._stage_position_delete_files(matched, norm)
+        if not descs:
+            return (
+                self._current_snapshot_id
+                if self._current_snapshot_id is not None
+                else self._snapshots[-1]["snapshot-id"]
+            )
+        self._version += 1
+        self._sequence += 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        self._append_position_delete_manifests(descs, data, snapshot_id)
+        return self._commit_snapshot(snapshot_id, "delete")
+
+    def _stage_position_delete_files(
+        self, matched: DataFrame, norm: dict[str, str]
+    ) -> list:
+        """Write the FILE-SCOPED position-delete parquets for a frame of
+        matched (``_file`` normalized, ``_pos``) rows, executor-side: one
+        shuffle groups ordinals per target data file, each group streams
+        its sorted delete parquet. Returns the bounded per-file
+        descriptor rows (file, path, rows) — pure file IO, no version
+        bump and no manifest, so callers can no-op on an empty match or
+        compose the descriptors into a larger commit (MoR UPDATE)."""
         import pandas as pd
 
         from ..operators.util import bounded_rows
 
-        pmap = {
-            f["file_path"]: (f.get("partition") or {}, f.get("_spec_id", 0))
-            for f in data
-        }
-        # version bump deferred to the non-empty check below (a no-match
-        # DELETE is a no-op and must not advance the version counter);
-        # file names embed the prospective version
+        # file names embed the PROSPECTIVE version (the caller bumps it
+        # only once the match proves non-empty)
         data_dir, version, tuuid = self.data_dir, self._version + 1, self._uuid
 
         def _write_group(key, pdf):
@@ -1335,18 +1353,23 @@ class IcebergTableWriter:
                 {"file": [orig], "path": [del_path], "rows": [len(pos)]}
             )
 
-        descs = bounded_rows(
+        return bounded_rows(
             matched.groupBy("_file").applyInPandas(
                 _write_group, "file string, path string, rows long"
             )
         )
-        if not descs:
-            return (
-                self._current_snapshot_id
-                if self._current_snapshot_id is not None
-                else self._snapshots[-1]["snapshot-id"]
-            )
-        self._version += 1
+
+    def _append_position_delete_manifests(
+        self, descs: list, data: list[dict], snapshot_id: int
+    ) -> None:
+        """Fold staged position-delete descriptors into partition-scoped
+        content=1 manifests — one manifest PER SPEC (a manifest has
+        exactly one spec), each entry under its target file's OWN spec
+        on spec-evolved tables."""
+        pmap = {
+            f["file_path"]: (f.get("partition") or {}, f.get("_spec_id", 0))
+            for f in data
+        }
         by_spec: dict[int, list[tuple[str, int, dict, int, list | None]]] = {}
         for r in sorted(descs, key=lambda r: r["path"]):
             pv, sid = pmap[r["file"]]
@@ -1355,12 +1378,8 @@ class IcebergTableWriter:
             by_spec.setdefault(sid, []).append(
                 (r["path"], int(r["rows"]), pvals, CONTENT_POSITION_DELETES, None)
             )
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        # one content=1 manifest PER SPEC (a manifest has exactly one spec)
         for sid, files in sorted(by_spec.items()):
             self._append_delete_manifest(snapshot_id, files, spec_id=sid)
-        return self._commit_snapshot(snapshot_id, "delete")
 
     def merge_upsert_mor(
         self, source_df: DataFrame, key_cols: list[str]
@@ -2073,9 +2092,30 @@ class IcebergTableWriter:
                 }
             )
         self._manifests = new_manifests
-        # the replacement rows under the CURRENT spec — one ADDED file per
-        # partition tuple (survivors of a multi-partition rewrite span
-        # tuples; a real partitioned writer's output is per-tuple files)
+        self._append_added_data_manifest(new_rows, snapshot_id)
+        return self._commit_snapshot(snapshot_id, "overwrite")
+
+    def _append_added_data_manifest(
+        self, new_rows: DataFrame, snapshot_id: int
+    ) -> None:
+        """Write ``new_rows`` as ADDED data file(s) in the TABLE'S write
+        format under the CURRENT spec — one file per partition tuple (a
+        real partitioned writer's output is per-tuple files) — and append
+        the content=0 manifest. Shared by the CoW rewrite commit and the
+        MoR UPDATE commit; the caller owns version/sequence bumps and the
+        snapshot commit."""
+        from .parquet_io import (
+            write_single_avro,
+            write_single_orc,
+            write_single_parquet,
+        )
+
+        fmt = self._file_format
+        writer = {
+            "parquet": write_single_parquet,
+            "orc": write_single_orc,
+            "avro": write_single_avro,
+        }[fmt]
         parts: list[tuple[DataFrame, dict]] = []
         if self._partition_fields:
             from ..operators.util import bounded_rows
@@ -2167,6 +2207,68 @@ class IcebergTableWriter:
                 else None,
             }
         )
+
+    def update_where_mor(
+        self, condition: str, assignments: dict[str, str]
+    ) -> int:
+        """UPDATE ... WHERE via MERGE-ON-READ on the real layout — what
+        stock Spark-Iceberg plans for UPDATE in merge-on-read mode
+        (write.update.mode=merge-on-read, inherited by the reference via
+        its stock-Iceberg runtime, pom.xml:83-88): matched VISIBLE rows'
+        (file, ordinal) pairs become file-scoped POSITION delete files
+        (delete_where_mor's fold) AND the updated row images append as
+        new data file(s) in the table's write format — both manifests
+        under ONE `overwrite` snapshot, the MoR dual of update_where_cow.
+        Untouched data files are never removed or rewritten; the matched
+        rows of touched files are not rewritten either — their old images
+        just go invisible under the position deletes. Probes the visible
+        scan (not raw files): rows already dead under existing deletes
+        can never resurrect as updated copies. A no-match update is a
+        no-op (no snapshot). Works over parquet/ORC/AVRO data files via
+        the lineage scan's per-format ordinal readers.
+
+        Scale: one pushdown probe + matched-row-proportional writes, all
+        executor-side — delete parquets group per target file in one
+        shuffle, updated images group per partition tuple; the driver
+        sees only per-file descriptors. Same task-retry orphan contract
+        as delete_where_mor."""
+        if self._schema_json is None:
+            raise ValueError("nothing to update: table has no snapshots")
+        unknown = [
+            c for c in assignments
+            if c not in {f["name"] for f in self._schema_json["fields"]}
+        ]
+        if unknown:
+            raise ValueError(f"assignments on unknown columns: {unknown}")
+        data, deletes = iceberg_snapshot_files(self.table_dir)
+        visible = _assemble_visible_scan(
+            self.spark, data, deletes, self._schema_json, keep_meta=True
+        )
+        # NULL-evaluating conditions keep their rows (SQL UPDATE touches
+        # only TRUE matches)
+        matched = visible.filter(F.coalesce(F.expr(condition), F.lit(False)))
+        norm = {
+            re.sub(r"^file:/+", "/", f["file_path"]): f["file_path"]
+            for f in data
+        }
+        descs = self._stage_position_delete_files(
+            matched.select("_file", "_pos"), norm
+        )
+        if not descs:
+            return (
+                self._current_snapshot_id
+                if self._current_snapshot_id is not None
+                else self._snapshots[-1]["snapshot-id"]
+            )
+        self._version += 1
+        self._sequence += 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        self._append_position_delete_manifests(descs, data, snapshot_id)
+        want = [f["name"] for f in self._schema_json["fields"]]
+        updated = matched
+        for c, expr in assignments.items():
+            updated = updated.withColumn(c, F.expr(expr))
+        self._append_added_data_manifest(updated.select(*want), snapshot_id)
         return self._commit_snapshot(snapshot_id, "overwrite")
 
     def add_files(self, paths: list[str]) -> int:

@@ -4173,6 +4173,66 @@ def dml_iceberg_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_iceberg_update_mor",
+    oracle="""
+SELECT
+  n_nationkey,
+  CASE WHEN n_nationkey IN (3, 14, 20)
+       THEN 'UPDATED_' || CAST(n_nationkey AS VARCHAR)
+       ELSE n_name END AS n_name,
+  n_regionkey
+FROM nation
+""",
+)
+def dml_iceberg_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... WHERE via MERGE-ON-READ on the real Iceberg layout —
+    stock's write.update.mode=merge-on-read plan (VERDICT r13 #3), the
+    MoR dual of dml_iceberg_update_cow: matched rows' (file, ordinal)
+    pairs become file-scoped POSITION delete files and the updated row
+    images append as a new data file, both under ONE `overwrite`
+    snapshot (iceberg_format.py update_where_mor). ZERO-REWRITE is
+    asserted in-flow: every pre-existing data file survives the commit
+    untouched (the old images just go invisible under the deletes), and
+    exactly one data file is added. The fixture spans all three data
+    formats — parquet, ORC and AVRO appends — exercising the lineage
+    scan's per-format ordinal readers; a no-match call is a no-op
+    (no snapshot, asserted).
+
+    Scale: one pushdown probe + matched-row-proportional delete/data
+    writes, all executor-side; untouched files are never rewritten."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        read_table_metadata,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-updmor-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 10"))  # parquet
+    w.append(n.filter("n_nationkey between 10 and 17"), file_format="orc")
+    w.append(n.filter("n_nationkey > 17"), file_format="avro")
+    pre_files = {f["file_path"] for f in iceberg_snapshot_files(tmp)[0]}
+    w.update_where_mor(
+        "n_nationkey in (3, 14, 20)",
+        {"n_name": "concat('UPDATED_', n_nationkey)"},
+    )
+    post_data, post_deletes = iceberg_snapshot_files(tmp)
+    post_files = {f["file_path"] for f in post_data}
+    assert pre_files <= post_files  # zero-rewrite: nothing removed
+    assert len(post_files - pre_files) == 1  # the updated images
+    assert len(post_deletes) == 3  # one file-scoped delete per hit file
+    n_snaps = len(read_table_metadata(tmp)["snapshots"])
+    w.update_where_mor("n_nationkey = 999", {"n_name": "'NOPE'"})
+    assert len(read_table_metadata(tmp)["snapshots"]) == n_snaps  # no-op
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_iceberg_all_delete_files",
     oracle="""
 SELECT * FROM (VALUES

@@ -2752,3 +2752,73 @@ def test_metadata_log_entries_current_file_exists_on_gzip_chain(
     cur = rows[-1]
     assert cur["file"] == plain + ".gz"
     assert os.path.exists(cur["file"])
+
+
+def test_update_where_mor_basic_and_noop(spark, tmp_path):
+    """MoR UPDATE (stock write.update.mode=merge-on-read): position
+    deletes + updated images in ONE overwrite snapshot; pre-existing
+    data files never removed or rewritten; no-match is a no-op."""
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "umor")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"))
+    pre_files, _ = iceberg_snapshot_files(d)
+    pre = {(f["file_path"], os.path.getmtime(f["file_path"])) for f in pre_files}
+    n_snaps = len(read_table_metadata(d)["snapshots"])
+
+    w.update_where_mor(
+        "n_nationkey in (2, 14)", {"n_name": "concat('U', n_nationkey)"}
+    )
+    meta = read_table_metadata(d)
+    assert len(meta["snapshots"]) == n_snaps + 1  # ONE commit for both halves
+    assert meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    post_files, post_dels = iceberg_snapshot_files(d)
+    post = {
+        (f["file_path"], os.path.getmtime(f["file_path"])) for f in post_files
+    }
+    assert pre <= post  # zero-rewrite: same files, same mtimes
+    assert len(post) - len(pre) == 1
+    assert len(post_dels) == 2 and all(f["content"] == 1 for f in post_dels)
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in scan_iceberg_table(spark, d).collect()
+    }
+    assert got[2] == "U2" and got[14] == "U14" and len(got) == 25
+
+    # guards: unknown assignment column; no-match no-op
+    with pytest.raises(ValueError, match="unknown columns"):
+        w.update_where_mor("n_nationkey = 1", {"ghost": "'x'"})
+    n_snaps = len(read_table_metadata(d)["snapshots"])
+    w.update_where_mor("n_nationkey = 999", {"n_name": "'NOPE'"})
+    assert len(read_table_metadata(d)["snapshots"]) == n_snaps
+
+
+def test_update_where_mor_partitioned_and_no_resurrect(spark, tmp_path):
+    """Over an identity-partitioned table the updated images land as
+    per-tuple files with typed partition values and the delete files
+    carry their target files' partition scope; rows already dead under
+    existing deletes must NOT resurrect as updated copies (the probe is
+    the VISIBLE scan, not raw files)."""
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "umorpart")
+    w = IcebergTableWriter(spark, d, partition_by=["n_regionkey"])
+    for rk in range(5):
+        w.append(n.filter(F.col("n_regionkey") == rk))
+    # kill nation 2 first (MoR delete), then update a predicate that
+    # WOULD match it — the dead row must stay dead
+    w.delete_where_mor("n_nationkey = 2")
+    w.update_where_mor(
+        "n_nationkey in (2, 9, 14)", {"n_name": "concat('U', n_nationkey)"}
+    )
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in scan_iceberg_table(spark, d).collect()
+    }
+    assert 2 not in got  # no resurrection
+    assert got[9] == "U9" and got[14] == "U14" and len(got) == 24
+    # updated images landed under their own partition tuples: prune to
+    # one region and find the updated row there
+    data, dels = iceberg_snapshot_files(d, partition_filter={"n_regionkey": 4})
+    assert all(f["partition"]["n_regionkey"] == 4 for f in data)
+    assert any(f["partition"].get("n_regionkey") == 4 for f in dels)
