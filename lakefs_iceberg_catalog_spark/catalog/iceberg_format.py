@@ -394,6 +394,21 @@ def apply_iceberg_transform(
         if isinstance(value, datetime.datetime):
             value = value.date()
         return (value - datetime.date(1970, 1, 1)).days
+    if transform == "year":
+        # spec Appendix: years from 1970 (2017-11-16 → 47)
+        return value.year - 1970
+    if transform == "month":
+        # months from 1970-01 (2017-11-16 → 574)
+        return (value.year - 1970) * 12 + (value.month - 1)
+    if transform == "hour":
+        # hours from 1970-01-01T00:00 (2017-11-16T22:31:08 → 419821);
+        # timestamps only per the spec — naive values are UTC wall-clock
+        if not isinstance(value, datetime.datetime):
+            raise ValueError("hour transform applies to timestamps only")
+        base = value if value.tzinfo is None else value.replace(tzinfo=None)
+        return int(
+            (base - datetime.datetime(1970, 1, 1)).total_seconds() // 3600
+        )
     m = re.match(r"^truncate\[(\d+)\]$", transform)
     if m:
         w = int(m.group(1))
@@ -409,14 +424,18 @@ def apply_iceberg_transform(
 _PARTITION_SPEC_RE = re.compile(
     r"^(?:(?P<id>\w+)"
     r"|days?\((?P<day>\w+)\)"
+    r"|years?\((?P<yr>\w+)\)"
+    r"|months?\((?P<mo>\w+)\)"
+    r"|hours?\((?P<hr>\w+)\)"
     r"|truncate\((?P<tr>\w+)\s*,\s*(?P<w>\d+)\)"
     r"|bucket\((?P<bk>\w+)\s*,\s*(?P<n>\d+)\))$"
 )
 
 
 def _parse_partition_spec(entry: str) -> tuple[str, str, int | None]:
-    """'col' | 'days(col)' | 'truncate(col, W)' | 'bucket(col, N)' →
-    (source column, transform kind, parameter)."""
+    """'col' | 'years(col)' | 'months(col)' | 'days(col)' | 'hours(col)'
+    | 'truncate(col, W)' | 'bucket(col, N)' → (source column, transform
+    kind, parameter); singular spellings accepted like stock's SQL."""
     m = _PARTITION_SPEC_RE.match(entry.strip())
     if not m:
         raise ValueError(f"unparseable partition spec entry {entry!r}")
@@ -424,6 +443,12 @@ def _parse_partition_spec(entry: str) -> tuple[str, str, int | None]:
         return m.group("id"), "identity", None
     if m.group("day"):
         return m.group("day"), "day", None
+    if m.group("yr"):
+        return m.group("yr"), "year", None
+    if m.group("mo"):
+        return m.group("mo"), "month", None
+    if m.group("hr"):
+        return m.group("hr"), "hour", None
     if m.group("tr"):
         return m.group("tr"), "truncate", int(m.group("w"))
     return m.group("bk"), "bucket", int(m.group("n"))
@@ -547,6 +572,17 @@ class IcebergTableWriter:
                 if src_t not in ("date", "timestamp", "timestamptz"):
                     raise ValueError(f"days() over non-temporal type {src_t!r}")
                 name, res_t, tstr = f"{src}_day", "int", "day"
+            elif kind in ("year", "month"):
+                if src_t not in ("date", "timestamp", "timestamptz"):
+                    raise ValueError(
+                        f"{kind}s() over non-temporal type {src_t!r}"
+                    )
+                name, res_t, tstr = f"{src}_{kind}", "int", kind
+            elif kind == "hour":
+                # spec: hour applies to timestamps only (a date has no hour)
+                if src_t not in ("timestamp", "timestamptz"):
+                    raise ValueError(f"hours() over non-timestamp type {src_t!r}")
+                name, res_t, tstr = f"{src}_hour", "int", "hour"
             elif kind == "truncate":
                 if src_t not in ("int", "long", "string"):
                     raise ValueError(f"truncate() over type {src_t!r}")
@@ -580,6 +616,16 @@ class IcebergTableWriter:
             return c
         if pf["kind"] == "day":
             return F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))
+        if pf["kind"] == "year":
+            return (F.year(c) - F.lit(1970)).cast("int")
+        if pf["kind"] == "month":
+            return (
+                (F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)
+            ).cast("int")
+        if pf["kind"] == "hour":
+            # epoch-hour floor; timestamp→double is epoch seconds (UTC),
+            # so this matches apply_iceberg_transform exactly
+            return F.floor(c.cast("double") / F.lit(3600.0)).cast("int")
         if pf["kind"] == "truncate":
             if pf["src_type"] == "string":
                 return F.substring(c, 1, pf["param"])
@@ -3524,10 +3570,12 @@ def iceberg_snapshot_files(
     def _result_type(transform: str | None, src_t: str | None) -> str | None:
         """The partition field's RESULT type — what its summary bounds
         and partition-struct values are encoded as: identity/truncate
-        keep the source type, day/bucket yield int."""
+        keep the source type, year/month/day/hour/bucket yield int."""
         if transform == "identity" or (transform or "").startswith("truncate["):
             return src_t
-        if transform == "day" or (transform or "").startswith("bucket["):
+        if transform in ("year", "month", "day", "hour") or (
+            transform or ""
+        ).startswith("bucket["):
             return "int"
         return None
 

@@ -1383,6 +1383,69 @@ def source_iceberg_transform_partitioned(
 
 
 @register(
+    "source_iceberg_month_partitioned",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders WHERE o_orderdate = TIMESTAMP '1995-03-05'
+""",
+)
+def source_iceberg_month_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MONTHLY hidden partitioning — the single most common event-table
+    layout after daily (VERDICT r13 #4): the table is partitioned by
+    months(o_orderdate), manifest partition structs carry the spec's
+    epoch-month encoding ((year−1970)·12 + month−1; 1995-03 → 302,
+    asserted), and a query filtering on the SOURCE column opens only the
+    matching month's file (input-file count asserted, 1 of 4) with the
+    exact row residual applied. years()/hours() take the same dispatch
+    (spec-vector unit tests pin all three encodings incl. pre-1970
+    floors).
+
+    Scale: a WHERE ts = ... on a 100 TB month-partitioned table touches
+    one month's files via the driver metadata walk — identical cost
+    shape to the days() twin above."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        read_table_metadata,
+        scan_iceberg_table,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").between(
+                "1995-01-01 00:00:00", "1995-04-30 23:59:59"
+            )
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg-monthly-")
+    w = IcebergTableWriter(spark, tmp, partition_by=["months(o_orderdate)"])
+    for m in (1, 2, 3, 4):  # one append per month, a real writer's tuples
+        w.append(o.filter(F.month("o_orderdate") == m))
+    spec = read_table_metadata(tmp)["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "month" and spec["name"] == "o_orderdate_month"
+    months = sorted(
+        f["partition"]["o_orderdate_month"]
+        for f in iceberg_snapshot_files(tmp)[0]
+    )
+    assert months == [300, 301, 302, 303]  # (1995−1970)·12 + (m−1)
+    import datetime
+
+    pruned = scan_iceberg_table(
+        spark, tmp,
+        hidden_filter={"o_orderdate": datetime.datetime(1995, 3, 5)},
+    )
+    assert len(pruned.inputFiles()) == 1  # March only — month pruning
+    back = pruned.select(
+        "o_orderkey", "o_custkey", dround("o_totalprice", 2).alias("total")
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_iceberg_files_table",
     oracle="""
 SELECT CAST(0 AS INTEGER) AS content, 'PARQUET' AS file_format,

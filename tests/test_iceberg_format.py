@@ -2822,3 +2822,98 @@ def test_update_where_mor_partitioned_and_no_resurrect(spark, tmp_path):
     data, dels = iceberg_snapshot_files(d, partition_filter={"n_regionkey": 4})
     assert all(f["partition"]["n_regionkey"] == 4 for f in data)
     assert any(f["partition"].get("n_regionkey") == 4 for f in dels)
+
+
+def test_temporal_transform_spec_vectors(spark):
+    """The Iceberg spec's own example encodings (spec 'Partition
+    Transforms' table, 2017-11-16T22:31:08): year→47, month→574,
+    day→17486, hour→419686 — plus the pre-1970 floor behavior, and
+    JVM-side _transform_col parity with the Python projection."""
+    import datetime
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        apply_iceberg_transform,
+    )
+
+    ts = datetime.datetime(2017, 11, 16, 22, 31, 8)
+    assert apply_iceberg_transform("year", ts, "timestamp") == 47
+    assert apply_iceberg_transform("month", ts, "timestamp") == 574
+    assert apply_iceberg_transform("day", ts, "timestamp") == 17486
+    assert apply_iceberg_transform("hour", ts, "timestamp") == 419686
+    d = datetime.date(2017, 11, 16)
+    assert apply_iceberg_transform("year", d, "date") == 47
+    assert apply_iceberg_transform("month", d, "date") == 574
+    # pre-1970 values floor (spec: transforms are floor-based)
+    pre = datetime.datetime(1969, 12, 31, 23, 0, 0)
+    assert apply_iceberg_transform("year", pre, "timestamp") == -1
+    assert apply_iceberg_transform("month", pre, "timestamp") == -1
+    assert apply_iceberg_transform("hour", pre, "timestamp") == -1
+    with pytest.raises(ValueError, match="timestamps only"):
+        apply_iceberg_transform("hour", d, "date")
+
+    # JVM expression parity: the writer's per-row transform column must
+    # agree with the Python projection on every vector
+    w = IcebergTableWriter.__new__(IcebergTableWriter)
+    rows = [(ts,), (pre,), (datetime.datetime(1970, 1, 1),)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    for kind in ("year", "month", "hour"):
+        pf = {"kind": kind, "source_name": "ts", "src_type": "timestamp"}
+        got = [
+            r[0]
+            for r in df.select(
+                IcebergTableWriter._transform_col(w, pf)
+            ).collect()
+        ]
+        want = [
+            apply_iceberg_transform(kind, v[0], "timestamp") for v in rows
+        ]
+        assert got == want, (kind, got, want)
+
+
+def test_year_hour_partitioned_write_and_hidden_pruning(spark, tmp_path):
+    """years()/hours() hidden partitioning end-to-end on the real layout:
+    transform recorded in partition-specs, encoded tuples in the manifest
+    structs, hidden_filter on the SOURCE column opens only the matching
+    file."""
+    import datetime
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        iceberg_snapshot_files,
+    )
+
+    rows = [
+        (1, datetime.datetime(2017, 11, 16, 22, 31, 8)),
+        (2, datetime.datetime(2017, 11, 16, 22, 45, 0)),
+        (3, datetime.datetime(2018, 2, 1, 4, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp")
+
+    d = str(tmp_path / "hourly")
+    w = IcebergTableWriter(spark, d, partition_by=["hours(ts)"])
+    w.append(df.filter("id < 3"))   # both in hour 419686
+    w.append(df.filter("id = 3"))
+    meta = read_table_metadata(d)
+    spec = meta["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "hour" and spec["name"] == "ts_hour"
+    data, _ = iceberg_snapshot_files(d)
+    assert sorted(f["partition"]["ts_hour"] for f in data) == [419686, 421516]
+    pruned = scan_iceberg_table(
+        spark, d, hidden_filter={"ts": datetime.datetime(2017, 11, 16, 22, 31, 8)}
+    )
+    assert len(pruned.inputFiles()) == 1
+    assert [r["id"] for r in pruned.collect()] == [1]
+
+    d2 = str(tmp_path / "yearly")
+    w2 = IcebergTableWriter(spark, d2, partition_by=["years(ts)"])
+    w2.append(df.filter("id < 3"))
+    w2.append(df.filter("id = 3"))
+    data2, _ = iceberg_snapshot_files(d2)
+    assert sorted(f["partition"]["ts_year"] for f in data2) == [47, 48]
+    pruned2 = scan_iceberg_table(
+        spark, d2, hidden_filter={"ts": datetime.datetime(2018, 2, 1, 4, 0, 0)}
+    )
+    assert len(pruned2.inputFiles()) == 1
+    assert [r["id"] for r in pruned2.collect()] == [3]
+    # a multi-year append must refuse (a data file belongs to ONE tuple)
+    with pytest.raises(ValueError):
+        w2.append(df)
