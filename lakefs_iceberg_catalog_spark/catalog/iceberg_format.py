@@ -4923,8 +4923,11 @@ def scan_iceberg_changelog(
       only the rewritten files, never the table. A commit that ALSO adds
       position-delete files (VERDICT r12 #7) contributes, on top of the
       diff, the new ordinals' victims on its untouched target files;
-      only the remove+add-EQUALITY-delete flavor still refuses (victim
-      set not file-boundable — and no supported writer emits it).
+      the EQUALITY flavor (VERDICT r13 #5, the last refusal) likewise
+      contributes the keys' victims on the SURVIVING files only — the
+      diff already covers the removed files, and the added files carry
+      the commit's own sequence number so the strictly-older rule
+      excludes them.
     - ``replace`` snapshots (compaction/sort rewrites): row set provably
       unchanged — contribute nothing, like Delta's dataChange=false.
       A valid window whose snapshots all contribute nothing returns an
@@ -4992,6 +4995,24 @@ def scan_iceberg_changelog(
             }
         )
 
+    def _eq_victims(d: dict, pre: DataFrame) -> DataFrame:
+        """Rows of ``pre`` matching equality-delete file ``d``'s keys —
+        the delete FILE's columns carry write-time names, so each
+        equality id resolves through the delete manifest's schema (a
+        rename between the delete commit and now must still match)."""
+        ids = d.get("equality_ids") or []
+        key_cols = [id2name[i] for i in ids]
+        dws = json.loads(d["_write_schema"]) if d.get("_write_schema") else None
+        dname = {f["id"]: f["name"] for f in dws["fields"]} if dws else {}
+        src_cols = [dname.get(i, id2name[i]) for i in ids]
+        keys = _read_equality_delete_keys(
+            spark, d, src_cols, [f"_ek_{k}" for k in key_cols]
+        )
+        cond = F.lit(True)
+        for k in key_cols:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"_ek_{k}"))
+        return pre.join(gated_broadcast(keys), cond, "left_semi")
+
     parts: list[DataFrame] = []
     prev_id = from_snapshot_id
     prev_files: tuple[list[dict], list[dict]] | None = None
@@ -5023,23 +5044,35 @@ def scan_iceberg_changelog(
             # rows carried over by the rewrite cancel in the exceptAll,
             # exactly stock create_changelog_view's overwrite semantics.
             # Change-bounded: reads only the rewritten files.
-            if new_eq:
-                # the file-scoped diff cannot bound an EQUALITY delete's
-                # victim set (it hits any strictly-older file), and the
-                # whole-table eq arm would double-count removed-file rows
-                # already in the diff. No supported writer emits this
-                # shape: Spark CoW commits carry no delete files, and the
-                # eq-delete emitters (Flink/upsert writers) never remove
-                # data files in the same commit — refuse loudly.
-                raise NotImplementedError(
-                    f"snapshot {sid} ({op}) removes data files AND adds "
-                    "equality-delete files — unsupported commit shape"
-                )
             pre = _assemble_visible_scan(spark, removed, dels_p, cur_schema)
             post = _assemble_visible_scan(spark, added, dels_s, cur_schema)
             parts.append(_stamped(pre.exceptAll(post), "delete", seq))
             if added:
                 parts.append(_stamped(post.exceptAll(pre), "insert", seq))
+            removed_paths_eq = {pynorm(f["file_path"]) for f in removed}
+            if new_eq:
+                # remove+add-EQUALITY-delete shape (VERDICT r13 #5, the
+                # last changelog refusal, now derived): the rewrite diff
+                # above already covers the removed files' losses, so the
+                # equality keys contribute their victims on the files the
+                # rewrite did NOT touch — pre-snapshot VISIBLE rows of
+                # surviving files, semi-joined on the keys. Scoping to
+                # surviving files prevents the double-count that made the
+                # whole-table eq arm wrong here; the ADDED files carry
+                # the commit's own sequence number, so the spec's
+                # strictly-older rule keeps them out of the victim set by
+                # construction (same reason the post diff above is safe).
+                surviving = [
+                    f for f in data_p
+                    if pynorm(f["file_path"]) not in removed_paths_eq
+                ]
+                pre_surv = _assemble_visible_scan(
+                    spark, surviving, dels_p, cur_schema
+                )
+                for d in new_eq:
+                    parts.append(
+                        _stamped(_eq_victims(d, pre_surv), "delete", seq)
+                    )
             new_pos_cow = [
                 f for f in new_dels
                 if f["content"] == CONTENT_POSITION_DELETES
@@ -5053,7 +5086,6 @@ def scan_iceberg_changelog(
                 # path (the file was live when the delete was written,
                 # and this commit retires it). Same derivation as the
                 # pure-MoR arm, scoped to non-removed target files.
-                removed_paths = {pynorm(f["file_path"]) for f in removed}
                 parts.append(
                     _stamped(
                         _position_delete_victims(
@@ -5061,7 +5093,8 @@ def scan_iceberg_changelog(
                             new_pos_cow,
                             [
                                 f for f in data_p
-                                if pynorm(f["file_path"]) not in removed_paths
+                                if pynorm(f["file_path"])
+                                not in removed_paths_eq
                             ],
                             dels_p,
                             cur_schema,
@@ -5087,24 +5120,8 @@ def scan_iceberg_changelog(
                 )
             )
         for d in new_eq:
-            ids = d.get("equality_ids") or []
-            key_cols = [id2name[i] for i in ids]
-            # the delete FILE's columns carry write-time names — resolve
-            # each equality id through the delete manifest's schema (a
-            # rename between the delete commit and now must still match)
-            dws = json.loads(d["_write_schema"]) if d.get("_write_schema") else None
-            dname = {f["id"]: f["name"] for f in dws["fields"]} if dws else {}
-            src_cols = [dname.get(i, id2name[i]) for i in ids]
-            keys = _read_equality_delete_keys(
-                spark, d, src_cols, [f"_ek_{k}" for k in key_cols]
-            )
             pre = scan_iceberg_table(spark, table_dir, snapshot_id=prev_id)
-            cond = F.lit(True)
-            for k in key_cols:
-                cond = cond & F.col(k).eqNullSafe(F.col(f"_ek_{k}"))
-            parts.append(
-                _stamped(pre.join(gated_broadcast(keys), cond, "left_semi"), "delete", seq)
-            )
+            parts.append(_stamped(_eq_victims(d, pre), "delete", seq))
         prev_id, prev_files = sid, (data_s, dels_s)
     if not parts:
         # valid window, nothing contributed (e.g. only replace/maintenance
