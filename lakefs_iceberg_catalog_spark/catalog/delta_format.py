@@ -434,6 +434,79 @@ class DeltaTableWriter:
             ]
         )
 
+    def shallow_clone(
+        self, source_dir: str, source_version: int | None = None
+    ) -> int:
+        """SHALLOW CLONE on the real log — stock Delta's CREATE TABLE ...
+        SHALLOW CLONE (VERDICT r13 #7): ONE metadata commit on the NEW
+        table whose add actions reference the SOURCE's live data files by
+        ABSOLUTE path (the protocol's add.path is 'a relative path ...
+        or an absolute path', and absolute references are exactly how
+        stock implements zero-copy clones). No data bytes move; the
+        clone gets a fresh table id (spec: a clone is a new table) and
+        diverges independently — its own DML writes its own files. The
+        source's schema, partitioning, configuration (column mapping,
+        constraints, generated columns) and per-file stats carry over,
+        so data skipping works on the clone immediately; stored
+        deletion-vector descriptors translate to absolute
+        storageType='p' references the DV reader already resolves.
+        VACUUM on the clone can never delete source files — tombstoned
+        paths outside the clone's root are skipped (vacuum_delta_table's
+        root guard), stock's documented clone↔VACUUM contract.
+
+        Scale: O(live source files) metadata rows in one commit, zero
+        data IO — cloning a 100 TB table costs one log write. The
+        versioned catalog's precedent is catalog.py clone_table."""
+        if self._version >= 0:
+            raise ValueError("shallow_clone must be the clone's first commit")
+        src_abs = os.path.abspath(source_dir)
+        if src_abs == os.path.abspath(self.table_dir):
+            raise ValueError("cannot clone a table onto itself")
+        src = read_delta_log(source_dir, source_version)
+        now_ms = int(time.time() * 1000)
+        src_meta = src["metadata"]
+        self._meta = {
+            **src_meta,
+            "id": str(uuid.uuid4()),
+            "createdTime": now_ms,
+        }
+        self._partition_cols = list(src_meta.get("partitionColumns") or [])
+        mode = (src_meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        )
+        self._column_mapping = "id" if mode == "id" else bool(mode == "name")
+        schema = json.loads(src_meta["schemaString"])
+        self._generated = {
+            f["name"]: f["metadata"]["delta.generationExpression"]
+            for f in schema["fields"]
+            if (f.get("metadata") or {}).get("delta.generationExpression")
+        }
+        actions: list[dict] = [
+            {
+                "protocol": src.get("protocol")
+                or {"minReaderVersion": 1, "minWriterVersion": 2}
+            },
+            {"metaData": self._meta},
+        ]
+        for rel in sorted(src["files"]):
+            a = dict(src["files"][rel])
+            # join resolves an already-absolute rel to itself, so cloning
+            # a clone keeps pointing at the ORIGINAL files (like stock)
+            a["path"] = os.path.join(src_abs, rel)
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                a["deletionVector"] = {
+                    **dv,
+                    "storageType": "p",
+                    "pathOrInlineDv": _dv_abs_path(src_abs, dv),
+                }
+            a["dataChange"] = True  # every row is new to THIS table
+            actions.append({"add": a})
+        actions.append(
+            {"commitInfo": {"timestamp": now_ms, "operation": "CLONE"}}
+        )
+        return self._write_commit(actions)
+
     def _require_mutable(self, op: str) -> None:
         """Protocol ``delta.appendOnly``: a table marked append-only
         refuses every operation that deletes or changes existing rows —
@@ -2554,12 +2627,18 @@ def vacuum_delta_table(
     # #5: folding only surviving JSON commits leaked them permanently)
     tombstones: dict[str, int] = dict(state.get("tombstones") or {})
     deleted = []
+    root = os.path.abspath(table_dir)
     for rel, ts in sorted(tombstones.items()):
         if rel in live:
             continue  # live set dominates — never delete a referenced file
         if now_ms - ts < retention_ms:
             continue  # within the retention window: time travel keeps it
         path = os.path.join(table_dir, rel)
+        if not os.path.abspath(path).startswith(root + os.sep):
+            # absolute path OUTSIDE the table root — a shallow clone's
+            # reference into its source table: VACUUM only ever deletes
+            # files under its own root (stock's clone contract)
+            continue
         try:
             os.remove(path)
             deleted.append(rel)

@@ -1995,3 +1995,64 @@ def test_cdf_fold_reconstructs_every_version(spark, tmp_path):
     for a in range(0, head):
         assert fold(a, a + 1) == rows_at(a + 1), (a, a + 1)
     assert fold(0, head) == rows_at(head)
+
+
+def test_shallow_clone_details(spark, tmp_path):
+    """Shallow-clone edges beyond the registry key: a clone of a
+    COLUMN-MAPPED + partitioned source keeps working (mapping mode and
+    physical names carry over); cloning a CLONE still points at the
+    ORIGINAL files (absolute paths pass through os.path.join); the clone
+    commit must be the new table's FIRST commit; self-clone refuses."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+    from lakefs_iceberg_catalog_spark.tables import table
+
+    from .conftest import SF_DIR
+
+    n = table(spark, SF_DIR, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    src = str(tmp_path / "src")
+    ws = DeltaTableWriter(spark, src, column_mapping=True)
+    for i, rk in enumerate(range(5)):
+        ws.commit(
+            add_dfs=[n.filter(F.col("n_regionkey") == rk)],
+            partition_cols=["n_regionkey"] if i == 0 else None,
+        )
+
+    c1 = str(tmp_path / "c1")
+    w1 = DeltaTableWriter(spark, c1)
+    w1.shallow_clone(src)
+    got = sorted(r["n_nationkey"] for r in scan_delta_table(spark, c1).collect())
+    assert got == list(range(25))
+    st = read_delta_log(c1)
+    assert (st["metadata"]["configuration"] or {}).get(
+        "delta.columnMapping.mode"
+    ) == "name"
+    assert st["metadata"]["id"] != read_delta_log(src)["metadata"]["id"]
+    # partition pruning via the clone's own log metadata
+    pruned = scan_delta_table(spark, c1, partition_filter={"n_regionkey": "2"})
+    assert pruned.count() == n.filter("n_regionkey = 2").count()
+
+    # clone-of-clone: every add still points INTO the original source dir
+    c2 = str(tmp_path / "c2")
+    w2 = DeltaTableWriter(spark, c2)
+    w2.shallow_clone(c1)
+    src_abs = os.path.abspath(src)
+    for rel in read_delta_log(c2)["files"]:
+        assert os.path.abspath(rel).startswith(src_abs + os.sep), rel
+    assert scan_delta_table(spark, c2).count() == 25
+
+    # guards
+    with pytest.raises(ValueError, match="first commit"):
+        w1.shallow_clone(src)
+    w3 = DeltaTableWriter(spark, str(tmp_path / "self"))
+    with pytest.raises(ValueError, match="onto itself"):
+        w3.shallow_clone(str(tmp_path / "self"))
