@@ -2317,6 +2317,55 @@ class IcebergTableWriter:
         self._append_added_data_manifest(updated.select(*want), snapshot_id)
         return self._commit_snapshot(snapshot_id, "overwrite")
 
+    def merge_upsert_mor_positions(
+        self, source_df: DataFrame, key_cols: list[str]
+    ) -> int:
+        """MERGE (WHEN MATCHED UPDATE SET * / NOT MATCHED INSERT *) the
+        way STOCK SPARK plans it in merge-on-read mode
+        (write.merge.mode=merge-on-read): matched target rows' (file,
+        ordinal) pairs become POSITION delete files and ALL source rows
+        append as new data file(s) — one `overwrite` snapshot, zero
+        existing data rewritten. This is the position-delete dual of
+        ``merge_upsert_mor`` (the Flink/CDC EQUALITY-delete shape): both
+        are spec-legal MoR merges, but Spark's own writer emits this
+        one. The probe is the VISIBLE scan, so rows dead under prior
+        deletes are neither matched nor double-deleted; an all-insert
+        merge (no matches) degenerates to a plain append in the same
+        snapshot shape.
+
+        Scale: one pushdown semi-probe + matched-row-proportional delete
+        writes + source-proportional data writes, all executor-side;
+        untouched files never read twice, never rewritten."""
+        if self._schema_json is None:
+            raise ValueError("nothing to merge into: table has no snapshots")
+        want = [f["name"] for f in self._schema_json["fields"]]
+        missing = [c for c in want if c not in source_df.columns]
+        if missing:
+            raise ValueError(f"merge source lacks table columns: {missing}")
+        bad = [c for c in key_cols if c not in want]
+        if bad:
+            raise ValueError(f"merge key columns not in schema: {bad}")
+        data, deletes = iceberg_snapshot_files(self.table_dir)
+        visible = _assemble_visible_scan(
+            self.spark, data, deletes, self._schema_json, keep_meta=True
+        )
+        keys = source_df.select(*key_cols)
+        matched = visible.join(gated_broadcast(keys), key_cols, "left_semi")
+        norm = {
+            re.sub(r"^file:/+", "/", f["file_path"]): f["file_path"]
+            for f in data
+        }
+        descs = self._stage_position_delete_files(
+            matched.select("_file", "_pos"), norm
+        )
+        self._version += 1
+        self._sequence += 1
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        if descs:
+            self._append_position_delete_manifests(descs, data, snapshot_id)
+        self._append_added_data_manifest(source_df.select(*want), snapshot_id)
+        return self._commit_snapshot(snapshot_id, "overwrite")
+
     def add_files(self, paths: list[str]) -> int:
         """Stock Iceberg's ``add_files`` CALL procedure on the real
         layout: REGISTER existing parquet files as one append snapshot —
@@ -3958,9 +4007,9 @@ def iceberg_metadata_table(
             "existing_data_files_count int, deleted_data_files_count int, "
             "reference_snapshot_id long",
         )
-    if kind in ("all_data_files", "all_delete_files", "all_entries"):
+    if kind in ("all_data_files", "all_delete_files", "all_files", "all_entries"):
         # stock's ``t.all_data_files`` / ``t.all_delete_files`` /
-        # ``t.all_entries``: files/entries
+        # ``t.all_files`` (the union view) / ``t.all_entries``: files/entries
         # across ALL snapshots, not just the current one. Manifests shared
         # by many snapshots are read ONCE (dedup by path — stock's
         # AllDataFilesTable plans the same manifest dedup); a file can
@@ -3984,10 +4033,11 @@ def iceberg_metadata_table(
                 seq = e.get("sequence_number")
                 if seq is None and e["status"] == STATUS_ADDED:
                     seq = mf["sequence_number"]
-                if kind in ("all_data_files", "all_delete_files"):
-                    want_data = kind == "all_data_files"
+                if kind in ("all_data_files", "all_delete_files", "all_files"):
                     if e["status"] == STATUS_DELETED or (
-                        (int(d["content"]) == CONTENT_DATA) != want_data
+                        kind != "all_files"
+                        and (int(d["content"]) == CONTENT_DATA)
+                        != (kind == "all_data_files")
                     ):
                         continue
                     rows.append(
@@ -4017,9 +4067,9 @@ def iceberg_metadata_table(
                             int(d["file_size_in_bytes"]),
                         )
                     )
-        if kind in ("all_data_files", "all_delete_files"):
+        if kind in ("all_data_files", "all_delete_files", "all_files"):
             return local_df(spark,
-                sorted(rows, key=lambda r: (r[1], r[6] or 0)),
+                sorted(rows, key=lambda r: (r[0], r[1], r[6] or 0)),
                 "content int, file_path string, file_format string, "
                 "partition map<string,string>, record_count long, "
                 "file_size_in_bytes long, sequence_number long, "
@@ -4128,7 +4178,8 @@ def iceberg_metadata_table(
     raise ValueError(
         f"unknown metadata table {kind!r}; supported: snapshots, "
         "history, manifests, entries, files, delete_files, partitions, "
-        "all_manifests, all_data_files, all_delete_files, all_entries, "
+        "all_manifests, all_data_files, all_delete_files, all_files, "
+        "all_entries, "
         "metadata_log_entries, position_deletes"
     )
 

@@ -4479,3 +4479,100 @@ def sink_delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     return _materialize(spark, back, dst)
+
+
+@register(
+    "dml_iceberg_merge_mor_positions",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey IN (3, 14)
+            THEN 'UPSERT_' || CAST(n_nationkey AS VARCHAR)
+            ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation
+UNION ALL
+SELECT CAST(25 AS INTEGER), 'UPSERT_25', CAST(2 AS INTEGER)
+""",
+)
+def dml_iceberg_merge_mor_positions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE the way STOCK SPARK plans it in merge-on-read mode
+    (write.merge.mode=merge-on-read): matched target rows become
+    file-scoped POSITION delete files and ALL source rows append as new
+    data — one overwrite snapshot, zero rewrites
+    (iceberg_format.py merge_upsert_mor_positions). This is the
+    position-delete dual of dml_iceberg_merge_mor (the Flink/CDC
+    EQUALITY flavor): both are spec-legal, but Spark's own MoR MERGE
+    emits this one, so a stock-written table history replays exactly.
+    Zero-rewrite asserted in-flow: every pre-existing data file survives
+    untouched; the matched keys straddle a parquet and an ORC file
+    (lineage-scan ordinal readers), and exactly 2 file-scoped delete
+    files + 1 new data file appear.
+
+    Scale: one pushdown semi-probe + matched-proportional delete writes
+    + source-proportional data writes, all executor-side."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-mergemorpos-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12"))  # parquet
+    w.append(n.filter("n_nationkey >= 12"), file_format="orc")
+    pre_files = {f["file_path"] for f in iceberg_snapshot_files(tmp)[0]}
+    src = local_df(spark,
+        [(3, "UPSERT_3", 3), (14, "UPSERT_14", 4), (25, "UPSERT_25", 2)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    w.merge_upsert_mor_positions(src, ["n_nationkey"])
+    post_data, post_dels = iceberg_snapshot_files(tmp)
+    post_files = {f["file_path"] for f in post_data}
+    assert pre_files <= post_files  # zero-rewrite
+    assert len(post_files - pre_files) == 1  # the source rows
+    assert len(post_dels) == 2 and all(f["content"] == 1 for f in post_dels)
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_all_files",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, 'PARQUET', CAST(12 AS BIGINT), CAST(1 AS BIGINT)),
+  (0, 'PARQUET', CAST(13 AS BIGINT), CAST(2 AS BIGINT)),
+  (1, 'PARQUET', CAST(1 AS BIGINT), CAST(3 AS BIGINT))
+) AS t(content, file_format, record_count, sequence_number)
+""",
+)
+def source_iceberg_all_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock Iceberg's ``t.all_files`` METADATA TABLE — the union view of
+    all_data_files and all_delete_files: every data AND delete file
+    referenced by ANY snapshot, completing the stock all_* family. The
+    fixture's two appends plus a MoR position delete give it both
+    contents: two data files (content=0, seq 1 and 2) and the delete
+    file (content=1, seq 3) in one listing.
+
+    Scale: zero data IO — O(unique manifests) metadata reads (manifests
+    shared across snapshots are read once, like stock's plan)."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_metadata_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-allfiles-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"))
+    w.delete_where_mor("n_nationkey = 3")
+    mt = iceberg_metadata_table(spark, tmp, "all_files")
+    back = mt.select(
+        "content", "file_format", "record_count", "sequence_number"
+    )
+    return _materialize(spark, back, tmp)

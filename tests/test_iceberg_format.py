@@ -2934,3 +2934,80 @@ def test_year_hour_partitioned_write_and_hidden_pruning(spark, tmp_path):
     # a multi-year append must refuse (a data file belongs to ONE tuple)
     with pytest.raises(ValueError):
         w2.append(df)
+
+
+def test_merge_mor_positions_edges(spark, tmp_path):
+    """Stock-Spark-flavor MoR MERGE edges: an all-insert merge (no
+    matches) writes no delete files; rows dead under prior deletes are
+    not matched (no double-delete rows); ONE snapshot carries both
+    manifest kinds; source column/key validation refuses loudly."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        iceberg_metadata_table,
+    )
+    from lakefs_iceberg_catalog_spark.operators.util import local_df
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "mergemorpos")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 12"))
+    n_snaps = len(read_table_metadata(d)["snapshots"])
+
+    # all-insert: no position deletes, still one overwrite snapshot
+    ins = local_df(spark, [(30, "NEW", 0)],
+                   "n_nationkey int, n_name string, n_regionkey int")
+    w.merge_upsert_mor_positions(ins, ["n_nationkey"])
+    meta = read_table_metadata(d)
+    assert len(meta["snapshots"]) == n_snaps + 1
+    _, dels = iceberg_snapshot_files(d)
+    assert dels == []
+
+    # kill key 5 via MoR delete, then merge on (5, 7): only 7 matches —
+    # 5 is dead and must come back purely as the source INSERT row
+    w.delete_where_mor("n_nationkey = 5")
+    src = local_df(spark, [(5, "BACK", 0), (7, "UPD", 3)],
+                   "n_nationkey int, n_name string, n_regionkey int")
+    w.merge_upsert_mor_positions(src, ["n_nationkey"])
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in scan_iceberg_table(spark, d).collect()
+    }
+    assert got[5] == "BACK" and got[7] == "UPD" and got[30] == "NEW"
+    assert len(got) == 13  # 12 original + inserted 30; 5 replaced in place
+    total_del_rows = sum(
+        r["record_count"]
+        for r in iceberg_metadata_table(spark, d, "delete_files").collect()
+    )
+    assert total_del_rows == 2  # one for key 5's delete, one for key 7
+
+    with pytest.raises(ValueError, match="lacks table columns"):
+        w.merge_upsert_mor_positions(
+            local_df(spark, [(1,)], "n_nationkey int"), ["n_nationkey"]
+        )
+    with pytest.raises(ValueError, match="key columns"):
+        w.merge_upsert_mor_positions(src, ["ghost"])
+
+
+def test_all_files_metadata_table_unions_both_contents(spark, tmp_path):
+    """t.all_files = all_data_files ∪ all_delete_files, row-for-row (the
+    stock union view), including files only historical snapshots
+    reference."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        iceberg_metadata_table,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "allfiles")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"))
+    w.delete_where_mor("n_nationkey in (3, 14)")
+    w.rewrite_position_deletes()  # historical delete files join all_*
+
+    def rows(kind):
+        return sorted(
+            tuple(r) for r in iceberg_metadata_table(spark, d, kind).collect()
+        )
+
+    union = sorted(rows("all_data_files") + rows("all_delete_files"))
+    assert rows("all_files") == union
+    assert {r[0] for r in rows("all_files")} == {0, 1}  # both contents
