@@ -2647,6 +2647,51 @@ def vacuum_delta_table(
     return deleted
 
 
+def delta_version_at_timestamp(table_dir: str, ts_ms: int) -> int:
+    """Stock Delta's ``TIMESTAMP AS OF`` resolution (DeltaHistoryManager):
+    the newest commit whose timestamp <= the asked time. Commit
+    timestamps come from each commit's commitInfo, falling back to the
+    log file's modification time exactly like stock when commitInfo is
+    absent. Raises when the time predates the earliest reachable commit;
+    commits truncated by a checkpoint cannot be timestamp-resolved (the
+    same trade stock documents for its history manager). O(commits)
+    driver-side metadata reads, no data IO."""
+    log_dir = os.path.join(table_dir, _LOG_DIR)
+    versions = sorted(
+        int(n.split(".")[0])
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and n.split(".")[0].isdigit()
+    )
+    if not versions:
+        raise FileNotFoundError(f"no Delta commits under {log_dir}")
+    best: int | None = None
+    oldest_ts: int | None = None
+    for v in versions:
+        p = _commit_path(table_dir, v)
+        ts = None
+        with open(p) as f:
+            for line in f.read().splitlines():
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                ci = a.get("commitInfo")
+                if ci and ci.get("timestamp") is not None:
+                    ts = int(ci["timestamp"])
+                    break
+        if ts is None:
+            ts = int(os.path.getmtime(p) * 1000)
+        if oldest_ts is None:
+            oldest_ts = ts
+        if ts <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no Delta commit at or before timestamp {ts_ms} "
+            f"(earliest commit: {oldest_ts})"
+        )
+    return best
+
+
 def read_delta_log(table_dir: str, version: int | None = None) -> dict:
     """Fold the commit log: returns {version, schema_json, files, metadata,
     protocol} where files is the live relative-path → add-action map at
@@ -2760,9 +2805,14 @@ def scan_delta_table(
     partition_filter: dict[str, str | None] | None = None,
     hidden_filter: dict | None = None,
     stats_filter: dict | None = None,
+    as_of_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Distributed scan of a Delta layout at head or a pinned version —
     log fold on the driver, parquet reads on the executors.
+
+    ``as_of_timestamp_ms`` is stock's ``TIMESTAMP AS OF``: the scan pins
+    the newest commit at or before that wall-clock time
+    (delta_version_at_timestamp) — mutually exclusive with ``version``.
 
     ``stats_filter`` ({column: (lo, hi)}, either end None, inclusive) is
     Delta DATA SKIPPING: files whose add.stats minValues/maxValues prove
@@ -2801,6 +2851,12 @@ def scan_delta_table(
     partitioning and the DML paths (DV deletes/updates, merge, CDF)."""
     from pyspark.sql import types as T
 
+    if as_of_timestamp_ms is not None:
+        if version is not None:
+            raise ValueError(
+                "pass either as_of_timestamp_ms or version, not both"
+            )
+        version = delta_version_at_timestamp(table_dir, as_of_timestamp_ms)
     state = read_delta_log(table_dir, version)
     pcols = state.get("partition_cols") or []
     files = state["files"]

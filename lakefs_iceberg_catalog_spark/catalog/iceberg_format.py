@@ -2605,7 +2605,16 @@ class IcebergTableWriter:
         _, entries = read_container(keep["manifest-list"])
         self._manifests = [dict(m) for m in reversed(entries)]
         self._version += 1
-        self._write_metadata(int(time.time() * 1000))
+        now_ms = int(time.time() * 1000)
+        # stock appends a snapshot-log entry on rollback (the log records
+        # every time CURRENT changes — SetSnapshotOperation), which is
+        # what keeps TIMESTAMP AS OF history-faithful: queries at times
+        # after the rollback resolve to the rolled-back head, while older
+        # times still see what was current then
+        self._log_extra.append(
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        )
+        self._write_metadata(now_ms)
 
     def evolve_partition_spec(self, partition_by: list[str]) -> None:
         """PARTITION SPEC EVOLUTION (stock Iceberg's ALTER TABLE ADD/DROP
@@ -3777,6 +3786,30 @@ def resolve_ref(table_dir: str, ref: str, version: int | None = None) -> int:
     return int(refs[ref]["snapshot-id"])
 
 
+def resolve_snapshot_at_timestamp(table_dir: str, ts_ms: int) -> int:
+    """Stock Iceberg's ``FOR SYSTEM_TIME AS OF`` / ``TIMESTAMP AS OF``
+    resolution (SnapshotUtil.snapshotIdAsOfTime): the snapshot that was
+    CURRENT at ``ts_ms`` — the newest snapshot-log entry whose
+    timestamp-ms <= the asked time. The snapshot log records when each
+    snapshot became current (staged WAP snapshots never appear), so this
+    is history-faithful across rollbacks. Raises like stock when the
+    time predates the table. O(metadata) — one chain read, no data IO."""
+    metadata = read_table_metadata(table_dir)
+    log = sorted(
+        metadata.get("snapshot-log") or [], key=lambda e: e["timestamp-ms"]
+    )
+    best: int | None = None
+    for e in log:
+        if int(e["timestamp-ms"]) <= ts_ms:
+            best = int(e["snapshot-id"])
+    if best is None:
+        raise ValueError(
+            f"no snapshot is older than timestamp {ts_ms} (oldest log "
+            f"entry: {log[0]['timestamp-ms'] if log else 'none'})"
+        )
+    return best
+
+
 def iceberg_metadata_table(
     spark: SparkSession,
     table_dir: str,
@@ -4562,10 +4595,17 @@ def scan_iceberg_table(
     ref: str | None = None,
     stats_filter: dict | None = None,
     hidden_filter: dict | None = None,
+    as_of_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Distributed scan of a real Iceberg table layout: driver-side
     metadata walk picks the file set; executors read them through the
     normal parquet source (pushdown/pruning intact).
+
+    ``as_of_timestamp_ms`` is stock's ``TIMESTAMP AS OF`` / ``FOR
+    SYSTEM_TIME AS OF``: the scan pins the snapshot that was CURRENT at
+    that wall-clock time via the snapshot log
+    (resolve_snapshot_at_timestamp) — mutually exclusive with
+    snapshot_id/ref.
 
     ``hidden_filter`` ({SOURCE column: value}) is HIDDEN PARTITIONING'S
     read side: the predicate names the source column, and the scan
@@ -4619,6 +4659,14 @@ def scan_iceberg_table(
     — the same null-safe anti-join the versioned catalog runs for its own
     equality-delete MoR scans (catalog.py _read_files). Delete key sets
     are deleted-key-proportional and broadcast."""
+    if as_of_timestamp_ms is not None:
+        if snapshot_id is not None or ref is not None:
+            raise ValueError(
+                "pass only one of as_of_timestamp_ms, snapshot_id, ref"
+            )
+        snapshot_id = resolve_snapshot_at_timestamp(
+            table_dir, as_of_timestamp_ms
+        )
     if ref is not None:
         if snapshot_id is not None:
             raise ValueError("pass either ref or snapshot_id, not both")

@@ -4576,3 +4576,105 @@ def source_iceberg_all_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content", "file_format", "record_count", "sequence_number"
     )
     return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_iceberg_as_of_timestamp",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 12
+""",
+)
+def source_iceberg_as_of_timestamp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stock Iceberg's ``TIMESTAMP AS OF`` / ``FOR SYSTEM_TIME AS OF`` on
+    the real layout: the scan pins the snapshot that was CURRENT at a
+    wall-clock time via the snapshot log (the log records when each
+    snapshot became current, so the resolution is history-faithful
+    across rollbacks and never sees staged WAP snapshots). Querying at
+    a time between the two appends returns the first append's rows; at
+    head time it returns everything; before the table, it raises
+    (asserted in-flow).
+
+    Scale: resolution is one metadata-chain read — zero data IO before
+    the pinned snapshot's normal pruned scan."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        read_table_metadata,
+        scan_iceberg_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-asof-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"))
+    log = read_table_metadata(tmp)["snapshot-log"]
+    ts1, ts2 = int(log[0]["timestamp-ms"]), int(log[1]["timestamp-ms"])
+    assert ts2 > ts1, "fixture commits landed in the same millisecond"
+    assert scan_iceberg_table(
+        spark, tmp, as_of_timestamp_ms=ts2
+    ).count() == 25  # at head time: everything
+    try:
+        scan_iceberg_table(spark, tmp, as_of_timestamp_ms=ts1 - 1)
+        raise AssertionError("pre-table timestamp must raise")
+    except ValueError:
+        pass
+    back = scan_iceberg_table(
+        spark, tmp, as_of_timestamp_ms=ts2 - 1
+    ).select("n_nationkey", "n_name", "n_regionkey")
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "source_delta_as_of_timestamp",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 12
+""",
+)
+def source_delta_as_of_timestamp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stock Delta's ``TIMESTAMP AS OF`` on the real log: the scan pins
+    the newest commit at or before a wall-clock time, timestamps taken
+    from each commit's commitInfo (falling back to file mtime like
+    stock's history manager). Between the two appends the first
+    commit's rows come back; before the table, it raises (asserted).
+
+    Scale: O(commits) driver-side metadata reads for the resolution,
+    then the pinned version's normal log-pruned scan."""
+    import time as _time
+
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        delta_version_at_timestamp,
+        scan_delta_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="delta-asof-")
+    w = DeltaTableWriter(spark, tmp)
+    w.commit(add_dfs=[n.filter("n_nationkey < 12")])
+    w.commit(add_dfs=[n.filter("n_nationkey >= 12")])
+    import json as _json
+
+    def _ci_ts(v):
+        with open(os.path.join(tmp, "_delta_log", f"{v:020d}.json")) as fh:
+            for line in fh.read().splitlines():
+                a = _json.loads(line)
+                if "commitInfo" in a:
+                    return int(a["commitInfo"]["timestamp"])
+        raise AssertionError("fixture commit lacks commitInfo")
+
+    ts0, ts1 = _ci_ts(0), _ci_ts(1)
+    assert ts1 > ts0, "fixture commits landed in the same millisecond"
+    assert delta_version_at_timestamp(tmp, int(_time.time() * 1000)) == 1
+    try:
+        delta_version_at_timestamp(tmp, ts0 - 1)
+        raise AssertionError("pre-table timestamp must raise")
+    except ValueError:
+        pass
+    back = scan_delta_table(spark, tmp, as_of_timestamp_ms=ts1 - 1).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)

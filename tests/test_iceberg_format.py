@@ -3011,3 +3011,36 @@ def test_all_files_metadata_table_unions_both_contents(spark, tmp_path):
     union = sorted(rows("all_data_files") + rows("all_delete_files"))
     assert rows("all_files") == union
     assert {r[0] for r in rows("all_files")} == {0, 1}  # both contents
+
+
+def test_timestamp_as_of_is_history_faithful_across_rollback(spark, tmp_path):
+    """resolve_snapshot_at_timestamp follows the SNAPSHOT LOG (when each
+    snapshot became current), so a rollback makes the target snapshot
+    current AGAIN at a new time while queries at old times still see
+    what was current then — stock SnapshotUtil.snapshotIdAsOfTime
+    semantics."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        resolve_snapshot_at_timestamp,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "asofroll")
+    w = IcebergTableWriter(spark, d)
+    s1 = w.append(n.filter("n_nationkey < 12"))
+    s2 = w.append(n.filter("n_nationkey >= 12"))
+    w.rollback_to_snapshot(s1)
+    log = read_table_metadata(d)["snapshot-log"]
+    # the log now has three entries: s1 current, s2 current, s1 again
+    assert [e["snapshot-id"] for e in log] == [s1, s2, s1]
+    t1, t2, t3 = (int(e["timestamp-ms"]) for e in log)
+    assert resolve_snapshot_at_timestamp(d, t1) == s1
+    if t2 > t1:
+        assert resolve_snapshot_at_timestamp(d, t2 - 1) == s1
+    assert resolve_snapshot_at_timestamp(d, t2) == s2
+    assert resolve_snapshot_at_timestamp(d, max(t3, t2 + 1)) == s1
+    rows = scan_iceberg_table(
+        spark, d, as_of_timestamp_ms=max(t3, t2 + 1)
+    ).count()
+    assert rows == 12  # rolled-back head
+    with pytest.raises(ValueError, match="one of"):
+        scan_iceberg_table(spark, d, as_of_timestamp_ms=t2, snapshot_id=s1)
