@@ -2666,11 +2666,15 @@ def delta_version_at_timestamp(table_dir: str, ts_ms: int) -> int:
         raise FileNotFoundError(f"no Delta commits under {log_dir}")
     best: int | None = None
     oldest_ts: int | None = None
+    prev_ts: int | None = None
     for v in versions:
         p = _commit_path(table_dir, v)
         ts = None
+        # stream the commit file: commitInfo is one line of a commit that
+        # can hold O(live files) add lines (a shallow clone) — never
+        # materialize the whole file for the one line
         with open(p) as f:
-            for line in f.read().splitlines():
+            for line in f:
                 if not line.strip():
                     continue
                 a = json.loads(line)
@@ -2680,6 +2684,12 @@ def delta_version_at_timestamp(table_dir: str, ts_ms: int) -> int:
                     break
         if ts is None:
             ts = int(os.path.getmtime(p) * 1000)
+        # stock DeltaHistoryManager's monotonicity adjustment: a commit
+        # stamped at-or-before its predecessor (clock step) reads as
+        # predecessor+1ms, so version order and time order never disagree
+        if prev_ts is not None and ts <= prev_ts:
+            ts = prev_ts + 1
+        prev_ts = ts
         if oldest_ts is None:
             oldest_ts = ts
         if ts <= ts_ms:

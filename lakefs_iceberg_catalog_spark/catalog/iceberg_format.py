@@ -390,6 +390,17 @@ def apply_iceberg_transform(
         return None
     if transform == "identity":
         return value
+    # temporal transforms are defined over the UTC instant: a tz-AWARE
+    # datetime converts to UTC first (the Spark write side computes from
+    # epoch seconds / a UTC-pinned session, so a local-wall-clock read
+    # here would prune the WRONG partition near offset boundaries); a
+    # naive value is UTC wall-clock by the engine's convention
+    if (
+        transform in ("year", "month", "day", "hour")
+        and isinstance(value, datetime.datetime)
+        and value.tzinfo is not None
+    ):
+        value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     if transform == "day":
         if isinstance(value, datetime.datetime):
             value = value.date()
@@ -401,13 +412,12 @@ def apply_iceberg_transform(
         # months from 1970-01 (2017-11-16 → 574)
         return (value.year - 1970) * 12 + (value.month - 1)
     if transform == "hour":
-        # hours from 1970-01-01T00:00 (2017-11-16T22:31:08 → 419821);
-        # timestamps only per the spec — naive values are UTC wall-clock
+        # hours from 1970-01-01T00:00 (2017-11-16T22:31:08 → 419686);
+        # timestamps only per the spec
         if not isinstance(value, datetime.datetime):
             raise ValueError("hour transform applies to timestamps only")
-        base = value if value.tzinfo is None else value.replace(tzinfo=None)
         return int(
-            (base - datetime.datetime(1970, 1, 1)).total_seconds() // 3600
+            (value - datetime.datetime(1970, 1, 1)).total_seconds() // 3600
         )
     m = re.match(r"^truncate\[(\d+)\]$", transform)
     if m:
@@ -452,6 +462,16 @@ def _parse_partition_spec(entry: str) -> tuple[str, str, int | None]:
     if m.group("tr"):
         return m.group("tr"), "truncate", int(m.group("w"))
     return m.group("bk"), "bucket", int(m.group("n"))
+
+
+def _norm_path_map(data: list[dict]) -> dict[str, str]:
+    """normalized (file:/-stripped) path -> original manifest path, for a
+    snapshot's data-file dicts — the join key between scan lineage
+    columns and manifest entries."""
+    return {
+        re.sub(r"^file:/+", "/", f["file_path"]): f["file_path"]
+        for f in data
+    }
 
 
 def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
@@ -908,6 +928,7 @@ class IcebergTableWriter:
             # the failed commit never wrote v{_version}.metadata.json).
             pre_snap_len = len(self._snapshots)
             pre_head = self._current_snapshot_id
+            pre_pending = dict(self._pending_summary)
             try:
                 sid = self._commit_snapshot(
                     snapshot_id, "append", stage=True, parent=parent
@@ -923,6 +944,11 @@ class IcebergTableWriter:
                 self._version -= 1
                 self._sequence -= 1
                 self._current_snapshot_id = pre_head
+                # _commit_snapshot clears _pending_summary (streaming
+                # epoch markers etc.) before _write_metadata can fail;
+                # losing it on rollback would silently break the
+                # exactly-once gate on the retry
+                self._pending_summary = pre_pending
                 raise
             self._branch_manifests[branch] = self._manifests
             self._manifests = main_manifests
@@ -941,6 +967,15 @@ class IcebergTableWriter:
         self._staged_manifests[sid] = [self._manifests[-1]]
         self._manifests = pre_manifests
         return sid
+
+    def _head_snapshot_id(self) -> int:
+        """The current head snapshot id — what a no-op DML returns (no new
+        snapshot is committed for a no-match DELETE/UPDATE)."""
+        return (
+            self._current_snapshot_id
+            if self._current_snapshot_id is not None
+            else self._snapshots[-1]["snapshot-id"]
+        )
 
     def _ensure_unpartitioned_spec(self) -> int:
         """Spec id of an EMPTY partition spec registered in the table's
@@ -1314,10 +1349,10 @@ class IcebergTableWriter:
         probe = parts[0]
         for p in parts[1:]:
             probe = probe.unionByName(p)
-        norm = {
-            re.sub(r"^file:/+", "/", p): p
-            for p in pq_paths + orc_paths + [f["file_path"] for f in avro_files]
-        }
+        norm = _norm_path_map(
+            [{"file_path": p} for p in pq_paths + orc_paths]
+            + avro_files
+        )
         return self._delete_positions_from_df(
             probe.filter(condition).select("_file", "_pos"), norm, data
         )
@@ -1342,11 +1377,7 @@ class IcebergTableWriter:
         uncommitted-file orphans)."""
         descs = self._stage_position_delete_files(matched, norm)
         if not descs:
-            return (
-                self._current_snapshot_id
-                if self._current_snapshot_id is not None
-                else self._snapshots[-1]["snapshot-id"]
-            )
+            return self._head_snapshot_id()
         self._version += 1
         self._sequence += 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
@@ -1998,19 +2029,19 @@ class IcebergTableWriter:
         current = self._current_with_lineage()
         touched = self._touched_files(current, lambda d: d.filter(condition))
         if not touched:
-            return (
-                self._current_snapshot_id
-                if self._current_snapshot_id is not None
-                else self._snapshots[-1]["snapshot-id"]
-            )
+            return self._head_snapshot_id()
         in_touched = self._filter_touched(current, touched)
         # NULL-evaluating conditions keep their rows unmodified (SQL
         # UPDATE touches only TRUE matches)
         matched = F.coalesce(F.expr(condition), F.lit(False))
         survivors = in_touched.filter(~matched)
-        updated = in_touched.filter(matched)
-        for c, expr in assignments.items():
-            updated = updated.withColumn(c, F.expr(expr))
+        # ONE projection for all assignments: SQL UPDATE evaluates every
+        # RHS against the OLD row, so {'a': 'b', 'b': 'a'} swaps — a
+        # sequential withColumn chain would feed updated values into
+        # later assignments
+        updated = in_touched.filter(matched).withColumns(
+            {c: F.expr(e) for c, e in assignments.items()}
+        )
         return self._rewrite_cow(
             current, touched, survivors.unionByName(updated)
         )
@@ -2293,27 +2324,22 @@ class IcebergTableWriter:
         # NULL-evaluating conditions keep their rows (SQL UPDATE touches
         # only TRUE matches)
         matched = visible.filter(F.coalesce(F.expr(condition), F.lit(False)))
-        norm = {
-            re.sub(r"^file:/+", "/", f["file_path"]): f["file_path"]
-            for f in data
-        }
+        norm = _norm_path_map(data)
         descs = self._stage_position_delete_files(
             matched.select("_file", "_pos"), norm
         )
         if not descs:
-            return (
-                self._current_snapshot_id
-                if self._current_snapshot_id is not None
-                else self._snapshots[-1]["snapshot-id"]
-            )
+            return self._head_snapshot_id()
         self._version += 1
         self._sequence += 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
         self._append_position_delete_manifests(descs, data, snapshot_id)
         want = [f["name"] for f in self._schema_json["fields"]]
-        updated = matched
-        for c, expr in assignments.items():
-            updated = updated.withColumn(c, F.expr(expr))
+        # ONE projection: every RHS sees the OLD row (SQL UPDATE
+        # semantics — {'a': 'b', 'b': 'a'} swaps)
+        updated = matched.withColumns(
+            {c: F.expr(e) for c, e in assignments.items()}
+        )
         self._append_added_data_manifest(updated.select(*want), snapshot_id)
         return self._commit_snapshot(snapshot_id, "overwrite")
 
@@ -2345,16 +2371,18 @@ class IcebergTableWriter:
         bad = [c for c in key_cols if c not in want]
         if bad:
             raise ValueError(f"merge key columns not in schema: {bad}")
+        if not source_df.take(1):
+            # empty MERGE source is a no-op (no snapshot) — a periodic
+            # CDC job's empty batches must not pollute the history with
+            # zero-row files; bounded single-row probe
+            return self._head_snapshot_id()
         data, deletes = iceberg_snapshot_files(self.table_dir)
         visible = _assemble_visible_scan(
             self.spark, data, deletes, self._schema_json, keep_meta=True
         )
         keys = source_df.select(*key_cols)
         matched = visible.join(gated_broadcast(keys), key_cols, "left_semi")
-        norm = {
-            re.sub(r"^file:/+", "/", f["file_path"]): f["file_path"]
-            for f in data
-        }
+        norm = _norm_path_map(data)
         descs = self._stage_position_delete_files(
             matched.select("_file", "_pos"), norm
         )
@@ -3254,28 +3282,47 @@ class IcebergTableWriter:
             else now_ms - 3 * 24 * 3600 * 1000
         )
         referenced: set[str] = set()
-        seen_manifests: set[str] = set()
+        read_manifests: set[str] = set()
 
-        def _ref_manifest(manifest_path: str) -> None:
+        def _ref_manifest(manifest_path: str, required: bool) -> None:
             referenced.add(manifest_path)
-            if manifest_path in seen_manifests:
+            if manifest_path in read_manifests:
                 return
-            seen_manifests.add(manifest_path)
             if not os.path.exists(manifest_path):
-                return  # named by an OLD metadata version, already expired
+                if required:
+                    # the CURRENT chain (or this writer's live state) names
+                    # a manifest that is gone: the referenced set would be
+                    # incomplete and the sweep could unlink LIVE data —
+                    # abort the destructive pass (missing-file tolerance is
+                    # only for manifests that OLD metadata versions name
+                    # and expire_snapshots already reclaimed)
+                    raise FileNotFoundError(
+                        f"remove_orphan_files aborted: live manifest "
+                        f"{manifest_path} is missing"
+                    )
+                return
+            read_manifests.add(manifest_path)
             _, entries = read_container(manifest_path)
             for entry in entries:
                 referenced.add(entry["data_file"]["file_path"])
 
-        def _ref_manifest_list(list_path: str) -> None:
-            if list_path in referenced:
-                return
+        read_lists: set[str] = set()
+
+        def _ref_manifest_list(list_path: str, required: bool) -> None:
             referenced.add(list_path)
+            if list_path in read_lists:
+                return  # shared across metadata versions: read ONCE
             if not os.path.exists(list_path):
+                if required:
+                    raise FileNotFoundError(
+                        f"remove_orphan_files aborted: live manifest list "
+                        f"{list_path} is missing"
+                    )
                 return
+            read_lists.add(list_path)
             _, manifest_files = read_container(list_path)
             for mf in manifest_files:
-                _ref_manifest(mf["manifest_path"])
+                _ref_manifest(mf["manifest_path"], required)
 
         # The referenced set is derived from the ON-DISK metadata chain —
         # EVERY v*.metadata.json's snapshot list, like stock's procedure
@@ -3290,14 +3337,19 @@ class IcebergTableWriter:
                 if (m := _METADATA_RE.match(name))
             }
         )
-        for v in disk_versions:
+        # newest version FIRST with required=True: its chain must be fully
+        # present (a gap means the referenced set would be incomplete and
+        # the sweep unsafe); older versions walk tolerant afterwards —
+        # their expired manifests are legitimately gone
+        for v in reversed(disk_versions):
             meta = _read_metadata_file(
                 os.path.join(self.meta_dir, f"v{v}.metadata.json")
             )
             if meta is None:
                 continue
+            required = v == disk_versions[-1]
             for s in meta.get("snapshots", []):
-                _ref_manifest_list(s["manifest-list"])
+                _ref_manifest_list(s["manifest-list"], required)
             for st in meta.get("statistics") or []:
                 if st.get("statistics-path"):
                     referenced.add(st["statistics-path"])
@@ -3311,12 +3363,12 @@ class IcebergTableWriter:
         # belt over the disk walk: this writer's own live state (covers a
         # snapshot committed but whose metadata write is mid-flight)
         for s in self._snapshots:
-            _ref_manifest_list(s["manifest-list"])
+            _ref_manifest_list(s["manifest-list"], True)
         # staged WAP snapshots keep their frozen manifests reachable via
         # _staged_manifests even before publish
         for mfs in getattr(self, "_staged_manifests", {}).values():
             for mf in mfs:
-                _ref_manifest(mf["manifest_path"])
+                _ref_manifest(mf["manifest_path"], True)
         removed: list[str] = []
         kept_young = 0
         for root in (self.data_dir, self.meta_dir):

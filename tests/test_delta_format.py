@@ -2056,3 +2056,49 @@ def test_shallow_clone_details(spark, tmp_path):
     w3 = DeltaTableWriter(spark, str(tmp_path / "self"))
     with pytest.raises(ValueError, match="onto itself"):
         w3.shallow_clone(str(tmp_path / "self"))
+
+
+def test_version_at_timestamp_monotonicity_adjustment(spark, tmp_path):
+    """Stock DeltaHistoryManager adjusts non-monotonic commit timestamps
+    (clock steps) to predecessor+1ms so version order and time order
+    never disagree — a query between the true times of a backwards pair
+    must resolve to the EARLIER version, and times before the first
+    commit raise."""
+    import json as _json
+    import os
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        DeltaTableWriter,
+        delta_version_at_timestamp,
+    )
+    from lakefs_iceberg_catalog_spark.tables import table
+
+    from .conftest import SF_DIR
+
+    n = table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    d = str(tmp_path / "monots")
+    w = DeltaTableWriter(spark, d)
+    w.commit(add_dfs=[n.filter("n_nationkey < 12")])
+    w.commit(add_dfs=[n.filter("n_nationkey >= 12")])
+
+    # doctor the commits: v0 at ts=100000, v1 at ts=50000 (clock step)
+    def _set_ts(v, ts):
+        p = os.path.join(d, "_delta_log", f"{v:020d}.json")
+        lines = []
+        with open(p) as fh:
+            for line in fh.read().splitlines():
+                a = _json.loads(line)
+                if "commitInfo" in a:
+                    a["commitInfo"]["timestamp"] = ts
+                lines.append(_json.dumps(a, separators=(",", ":")))
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines))
+
+    _set_ts(0, 100_000)
+    _set_ts(1, 50_000)
+    # v1's effective timestamp becomes 100001: between the raw stamps
+    # resolution pins v0, not the later-versioned v1
+    assert delta_version_at_timestamp(d, 100_000) == 0
+    assert delta_version_at_timestamp(d, 100_001) == 1
+    with pytest.raises(ValueError, match="at or before"):
+        delta_version_at_timestamp(d, 99_999)

@@ -3044,3 +3044,69 @@ def test_timestamp_as_of_is_history_faithful_across_rollback(spark, tmp_path):
     assert rows == 12  # rolled-back head
     with pytest.raises(ValueError, match="one of"):
         scan_iceberg_table(spark, d, as_of_timestamp_ms=t2, snapshot_id=s1)
+
+
+def test_round14_review_fixes(spark, tmp_path):
+    """Pins for the round-14 self-review findings: (1) tz-aware values
+    project through temporal transforms via their UTC instant, matching
+    the epoch-based write side; (2) UPDATE assignments all evaluate
+    against the OLD row (a={'a':'b','b':'a'} swaps) on both CoW and MoR
+    paths; (3) an empty MERGE source is a no-op; (4) remove_orphan_files
+    ABORTS when the current chain names a missing manifest instead of
+    sweeping with an incomplete referenced set."""
+    import datetime
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        apply_iceberg_transform,
+        iceberg_snapshot_files,
+    )
+    from lakefs_iceberg_catalog_spark.operators.util import local_df
+
+    # (1) tz-aware → UTC instant (UTC+5 wall clock 02:00 = 21:00 prev day)
+    aware = datetime.datetime(
+        1995, 3, 5, 2, 0,
+        tzinfo=datetime.timezone(datetime.timedelta(hours=5)),
+    )
+    utc = datetime.datetime(1995, 3, 4, 21, 0)
+    for t in ("year", "month", "day", "hour"):
+        assert apply_iceberg_transform(t, aware, "timestamptz") == \
+            apply_iceberg_transform(t, utc, "timestamp"), t
+
+    # (2) swap semantics, both UPDATE paths
+    rows = local_df(spark, [(1, 10, 20)], "k int, a int, b int")
+    for mode in ("cow", "mor"):
+        d = str(tmp_path / f"swap_{mode}")
+        w = IcebergTableWriter(spark, d)
+        w.append(rows)
+        fn = w.update_where_cow if mode == "cow" else w.update_where_mor
+        fn("k = 1", {"a": "b", "b": "a"})
+        got = scan_iceberg_table(spark, d).collect()[0]
+        assert (got["a"], got["b"]) == (20, 10), mode
+
+    # (3) empty MERGE source: no snapshot
+    d = str(tmp_path / "emptymerge")
+    w = IcebergTableWriter(spark, d)
+    w.append(rows)
+    n_snaps = len(read_table_metadata(d)["snapshots"])
+    w.merge_upsert_mor_positions(rows.limit(0), ["k"])
+    assert len(read_table_metadata(d)["snapshots"]) == n_snaps
+
+    # (4) missing live manifest aborts the sweep, nothing deleted
+    import time as _time
+
+    d = str(tmp_path / "orphabort")
+    w = IcebergTableWriter(spark, d)
+    w.append(rows)
+    data, _ = iceberg_snapshot_files(d)
+    mf_path = next(
+        os.path.join(d, "metadata", n)
+        for n in os.listdir(os.path.join(d, "metadata"))
+        if n.endswith(".avro") and not n.startswith("snap-")
+    )
+    os.rename(mf_path, mf_path + ".hidden")
+    week_ago = int(_time.time()) - 7 * 24 * 3600
+    os.utime(data[0]["file_path"], (week_ago, week_ago))
+    with pytest.raises(FileNotFoundError, match="aborted"):
+        w.remove_orphan_files()
+    assert os.path.exists(data[0]["file_path"])  # nothing swept
+    os.rename(mf_path + ".hidden", mf_path)
