@@ -3110,3 +3110,42 @@ def test_round14_review_fixes(spark, tmp_path):
         w.remove_orphan_files()
     assert os.path.exists(data[0]["file_path"])  # nothing swept
     os.rename(mf_path + ".hidden", mf_path)
+
+
+def test_temporal_transform_jvm_python_parity_wide_domain(spark):
+    """JVM write-side expressions (_transform_col) and the Python
+    read-side projection (apply_iceberg_transform) must agree on every
+    temporal transform across a wide datetime domain — 1905..2129,
+    second granularity, pre-1970 included — in ONE Spark job. Divergence
+    here is silent wrong pruning (files skipped that hold matching
+    rows), so the parity is the invariant, not any single encoding."""
+    import datetime
+    import random
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        apply_iceberg_transform,
+    )
+
+    rng = random.Random(14)
+    base = datetime.datetime(1970, 1, 1)
+    rows = [
+        (
+            i,
+            base
+            + datetime.timedelta(
+                seconds=rng.randint(-2_050_000_000, 5_000_000_000)
+            ),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "i int, ts timestamp")
+    w = IcebergTableWriter.__new__(IcebergTableWriter)
+    sel = [F.col("i")]
+    for kind in ("year", "month", "day", "hour"):
+        pf = {"kind": kind, "source_name": "ts", "src_type": "timestamp"}
+        sel.append(IcebergTableWriter._transform_col(w, pf).alias(kind))
+    got = {r["i"]: r for r in df.select(*sel).collect()}
+    for i, ts in rows:
+        for kind in ("year", "month", "day", "hour"):
+            want = apply_iceberg_transform(kind, ts, "timestamp")
+            assert got[i][kind] == want, (kind, ts, got[i][kind], want)
