@@ -1781,6 +1781,13 @@ class DeltaTableWriter:
             )
         return cdc_actions
 
+    def restore_to_timestamp(self, ts_ms: int) -> int:
+        """Stock Delta's ``RESTORE TABLE ... TO TIMESTAMP AS OF``: resolve
+        the newest commit at or before ``ts_ms`` (delta_version_at_
+        timestamp — commitInfo stamps, monotonicity-adjusted) and restore
+        to it; same metadata-only file-set flip as the version form."""
+        return self.restore(delta_version_at_timestamp(self.table_dir, ts_ms))
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF (stock Delta's RESTORE): one
         metadata-only commit whose adds/removes flip the live FILE SET back

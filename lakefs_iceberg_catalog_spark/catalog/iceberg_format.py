@@ -2609,6 +2609,16 @@ class IcebergTableWriter:
         )
         return self._commit_snapshot(snapshot_id, "append")
 
+    def rollback_to_timestamp(self, ts_ms: int) -> int:
+        """Stock Iceberg's ``rollback_to_timestamp`` CALL procedure:
+        rollback to the snapshot that was CURRENT at ``ts_ms`` (resolved
+        through the snapshot log like TIMESTAMP AS OF, so it is
+        history-faithful across earlier rollbacks). One metadata write;
+        returns the snapshot id rolled back to."""
+        sid = resolve_snapshot_at_timestamp(self.table_dir, ts_ms)
+        self.rollback_to_snapshot(sid)
+        return sid
+
     def rollback_to_snapshot(self, snapshot_id: int) -> None:
         """ROLLBACK (stock Iceberg's rollback_to_snapshot CALL procedure):
         point current-snapshot-id (and main) back at an EXISTING snapshot —

@@ -2102,3 +2102,43 @@ def test_version_at_timestamp_monotonicity_adjustment(spark, tmp_path):
     assert delta_version_at_timestamp(d, 100_001) == 1
     with pytest.raises(ValueError, match="at or before"):
         delta_version_at_timestamp(d, 99_999)
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    """RESTORE TO TIMESTAMP AS OF: resolve the commit current at the
+    asked time and flip the file set back to it; pre-table times raise
+    without committing."""
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+    from lakefs_iceberg_catalog_spark.tables import table
+
+    from .conftest import SF_DIR
+
+    import json as _json
+    import os
+
+    n = table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    d = str(tmp_path / "restts")
+    w = DeltaTableWriter(spark, d)
+    w.commit(add_dfs=[n.filter("n_nationkey < 12")])
+    w.commit(add_dfs=[n.filter("n_nationkey >= 12")])
+
+    def _ci_ts(v):
+        with open(os.path.join(d, "_delta_log", f"{v:020d}.json")) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "commitInfo" in a:
+                    return int(a["commitInfo"]["timestamp"])
+
+    t0, t1 = _ci_ts(0), _ci_ts(1)
+    assert t1 > t0
+    v = w.restore_to_timestamp(t1 - 1)  # the state current between commits
+    assert v == 2  # the restore is itself a new commit
+    assert scan_delta_table(spark, d).count() == 12
+    n_versions = read_delta_log(d)["version"]
+    with pytest.raises(ValueError, match="at or before"):
+        w.restore_to_timestamp(t0 - 1)
+    assert read_delta_log(d)["version"] == n_versions  # nothing committed

@@ -3149,3 +3149,27 @@ def test_temporal_transform_jvm_python_parity_wide_domain(spark):
         for kind in ("year", "month", "day", "hour"):
             want = apply_iceberg_transform(kind, ts, "timestamp")
             assert got[i][kind] == want, (kind, ts, got[i][kind], want)
+
+
+def test_rollback_to_timestamp(spark, tmp_path):
+    """CALL rollback_to_timestamp: resolve via the snapshot log, roll
+    back in one metadata write; a pre-table time raises and rolls back
+    nothing."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        resolve_snapshot_at_timestamp,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "rollts")
+    w = IcebergTableWriter(spark, d)
+    s1 = w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"))
+    log = read_table_metadata(d)["snapshot-log"]
+    t1, t2 = int(log[0]["timestamp-ms"]), int(log[1]["timestamp-ms"])
+    assert t2 > t1
+    sid = w.rollback_to_timestamp(t2 - 1)
+    assert sid == s1
+    assert scan_iceberg_table(spark, d).count() == 12
+    with pytest.raises(ValueError, match="older than"):
+        w.rollback_to_timestamp(t1 - 1)
+    assert resolve_snapshot_at_timestamp(d, t2 - 1) == s1
