@@ -776,11 +776,7 @@ class IcebergTableWriter:
             if latest is not None and int(eid) <= latest:
                 # duplicate delivery: no-op, return the CURRENT head (which
                 # may differ from the newest snapshot after a rollback)
-                return (
-                    self._current_snapshot_id
-                    if self._current_snapshot_id is not None
-                    else self._snapshots[-1]["snapshot-id"]
-                )
+                return self._head_snapshot_id()
             self._pending_summary = {
                 "streaming-app-id": app,
                 "streaming-epoch": str(int(eid)),
@@ -958,12 +954,28 @@ class IcebergTableWriter:
         # but the head does not move and the live manifest set reverts —
         # later main commits must not carry the staged manifest
         pre_manifests = self._manifests[:-1]
+        pre_pending_wap = dict(self._pending_summary)
+        pre_snap_len_wap = len(self._snapshots)
         self._pending_summary = {
             **self._pending_summary,
             "wap.id": str(wap_id),
         }
         self._staged_ids.add(snapshot_id)
-        sid = self._commit_snapshot(snapshot_id, "append", stage=True)
+        # same rollback discipline as the branch arm: a failing commit
+        # must not leak the staged manifest into main's live set or leave
+        # a phantom staged snapshot behind — the un-audited rows would
+        # publish on the NEXT plain append, the isolation violation WAP
+        # exists to prevent
+        try:
+            sid = self._commit_snapshot(snapshot_id, "append", stage=True)
+        except BaseException:
+            self._manifests = pre_manifests
+            self._staged_ids.discard(snapshot_id)
+            del self._snapshots[pre_snap_len_wap:]
+            self._version -= 1
+            self._sequence -= 1
+            self._pending_summary = pre_pending_wap
+            raise
         self._staged_manifests[sid] = [self._manifests[-1]]
         self._manifests = pre_manifests
         return sid
@@ -2079,21 +2091,9 @@ class IcebergTableWriter:
         write ``new_rows`` as one ADDED file, commit an `overwrite`
         snapshot. Replacement files are written in the TABLE'S default
         write format (stock honors write.format.default on row-level
-        rewrites) — a CoW delete on an ORC/AVRO table stays ORC/AVRO
-        instead of silently drifting the layout to parquet."""
-        from .parquet_io import (
-            write_single_avro,
-            write_single_orc,
-            write_single_parquet,
-        )
-
-        fmt = self._file_format
-        writer = {
-            "parquet": write_single_parquet,
-            "orc": write_single_orc,
-            "avro": write_single_avro,
-        }[fmt]
-
+        rewrites, via _append_added_data_manifest) — a CoW delete on an
+        ORC/AVRO table stays ORC/AVRO instead of silently drifting the
+        layout to parquet."""
         self._version += 1
         self._sequence += 1
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
@@ -2322,26 +2322,55 @@ class IcebergTableWriter:
             self.spark, data, deletes, self._schema_json, keep_meta=True
         )
         # NULL-evaluating conditions keep their rows (SQL UPDATE touches
-        # only TRUE matches)
-        matched = visible.filter(F.coalesce(F.expr(condition), F.lit(False)))
-        norm = _norm_path_map(data)
-        descs = self._stage_position_delete_files(
-            matched.select("_file", "_pos"), norm
-        )
-        if not descs:
-            return self._head_snapshot_id()
-        self._version += 1
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        self._append_position_delete_manifests(descs, data, snapshot_id)
-        want = [f["name"] for f in self._schema_json["fields"]]
-        # ONE projection: every RHS sees the OLD row (SQL UPDATE
-        # semantics — {'a': 'b', 'b': 'a'} swaps)
-        updated = matched.withColumns(
-            {c: F.expr(e) for c, e in assignments.items()}
-        )
-        self._append_added_data_manifest(updated.select(*want), snapshot_id)
-        return self._commit_snapshot(snapshot_id, "overwrite")
+        # only TRUE matches); persisted: the matched frame drives the
+        # delete-file write AND the updated-image write — without the
+        # cache each pass re-runs the full visible-scan probe
+        matched = visible.filter(
+            F.coalesce(F.expr(condition), F.lit(False))
+        ).persist()
+        try:
+            want = [f["name"] for f in self._schema_json["fields"]]
+            # resolve every assignment RHS BEFORE any writer state
+            # mutates (analysis is eager): an invalid expression must
+            # fail the UPDATE cleanly — staged delete manifests left in
+            # self._manifests would ride the NEXT commit and silently
+            # hide the matched rows with no updated images written.
+            # ONE projection: every RHS sees the OLD row (SQL UPDATE
+            # semantics — {'a': 'b', 'b': 'a'} swaps).
+            updated = matched.withColumns(
+                {c: F.expr(e) for c, e in assignments.items()}
+            ).select(*want)
+            descs = self._stage_position_delete_files(
+                matched.select("_file", "_pos"), _norm_path_map(data)
+            )
+            if not descs:
+                return self._head_snapshot_id()
+            pre_m_len = len(self._manifests)
+            pre_snap_len = len(self._snapshots)
+            pre_head = self._current_snapshot_id
+            pre_pending = dict(self._pending_summary)
+            self._version += 1
+            self._sequence += 1
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
+            try:
+                self._append_position_delete_manifests(
+                    descs, data, snapshot_id
+                )
+                self._append_added_data_manifest(updated, snapshot_id)
+                return self._commit_snapshot(snapshot_id, "overwrite")
+            except BaseException:
+                # a failed data write or metadata commit must not leave
+                # half a snapshot in writer state (same discipline as the
+                # branch/WAP append arms)
+                del self._manifests[pre_m_len:]
+                del self._snapshots[pre_snap_len:]
+                self._version -= 1
+                self._sequence -= 1
+                self._current_snapshot_id = pre_head
+                self._pending_summary = pre_pending
+                raise
+        finally:
+            matched.unpersist()
 
     def merge_upsert_mor_positions(
         self, source_df: DataFrame, key_cols: list[str]
@@ -2380,19 +2409,42 @@ class IcebergTableWriter:
         visible = _assemble_visible_scan(
             self.spark, data, deletes, self._schema_json, keep_meta=True
         )
-        keys = source_df.select(*key_cols)
-        matched = visible.join(gated_broadcast(keys), key_cols, "left_semi")
-        norm = _norm_path_map(data)
-        descs = self._stage_position_delete_files(
-            matched.select("_file", "_pos"), norm
-        )
-        self._version += 1
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        if descs:
-            self._append_position_delete_manifests(descs, data, snapshot_id)
-        self._append_added_data_manifest(source_df.select(*want), snapshot_id)
-        return self._commit_snapshot(snapshot_id, "overwrite")
+        # persisted: the source drives the key semi-probe AND the data
+        # write (and the partition-tuple probe on partitioned tables) —
+        # stock MERGE materializes its source for the same reason
+        src = source_df.select(*want).persist()
+        try:
+            keys = src.select(*key_cols)
+            matched = visible.join(
+                gated_broadcast(keys), key_cols, "left_semi"
+            )
+            descs = self._stage_position_delete_files(
+                matched.select("_file", "_pos"), _norm_path_map(data)
+            )
+            pre_m_len = len(self._manifests)
+            pre_snap_len = len(self._snapshots)
+            pre_head = self._current_snapshot_id
+            pre_pending = dict(self._pending_summary)
+            self._version += 1
+            self._sequence += 1
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
+            try:
+                if descs:
+                    self._append_position_delete_manifests(
+                        descs, data, snapshot_id
+                    )
+                self._append_added_data_manifest(src, snapshot_id)
+                return self._commit_snapshot(snapshot_id, "overwrite")
+            except BaseException:
+                del self._manifests[pre_m_len:]
+                del self._snapshots[pre_snap_len:]
+                self._version -= 1
+                self._sequence -= 1
+                self._current_snapshot_id = pre_head
+                self._pending_summary = pre_pending
+                raise
+        finally:
+            src.unpersist()
 
     def add_files(self, paths: list[str]) -> int:
         """Stock Iceberg's ``add_files`` CALL procedure on the real
@@ -3256,6 +3308,15 @@ class IcebergTableWriter:
             if s["manifest-list"] not in keep_manifest_lists:
                 os.unlink(s["manifest-list"])
         self._snapshots = retained
+        # prune snapshot-log extras (rollback/fast_forward entries) whose
+        # snapshot just expired: _write_metadata derives the log from
+        # _snapshots ∪ _log_extra, and a log row naming a snapshot absent
+        # from the snapshots list is invalid metadata — and would let
+        # resolve_snapshot_at_timestamp pin an expired snapshot
+        retained_ids = {s["snapshot-id"] for s in retained}
+        self._log_extra = [
+            e for e in self._log_extra if e["snapshot-id"] in retained_ids
+        ]
         self._version += 1
         self._write_metadata(int(time.time() * 1000))
         return {
@@ -4722,9 +4783,10 @@ def scan_iceberg_table(
     equality-delete MoR scans (catalog.py _read_files). Delete key sets
     are deleted-key-proportional and broadcast."""
     if as_of_timestamp_ms is not None:
-        if snapshot_id is not None or ref is not None:
+        if snapshot_id is not None or ref is not None or version is not None:
             raise ValueError(
-                "pass only one of as_of_timestamp_ms, snapshot_id, ref"
+                "pass only one of as_of_timestamp_ms, snapshot_id, ref, "
+                "version"
             )
         snapshot_id = resolve_snapshot_at_timestamp(
             table_dir, as_of_timestamp_ms

@@ -3173,3 +3173,59 @@ def test_rollback_to_timestamp(spark, tmp_path):
     with pytest.raises(ValueError, match="older than"):
         w.rollback_to_timestamp(t1 - 1)
     assert resolve_snapshot_at_timestamp(d, t2 - 1) == s1
+
+
+def test_round14_review_fixes_second_pass(spark, tmp_path):
+    """Second-pass review pins: (1) a failed WAP staged commit leaks
+    nothing into main; (2) an UPDATE with an invalid assignment RHS
+    fails CLEANLY — no staged delete manifests ride the next commit;
+    (3) expire_snapshots prunes rollback snapshot-log extras whose
+    snapshot expired; (4) version+timestamp scans refuse."""
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "wabort")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 10"))
+
+    # (1) WAP staged commit failure: full rollback, later append is clean
+    real = w._write_metadata
+
+    def boom(now_ms):
+        raise OSError("simulated metadata write failure")
+
+    pre_m = list(w._manifests)
+    pre_v, pre_q = w._version, w._sequence
+    w._write_metadata = boom
+    with pytest.raises(OSError, match="simulated"):
+        w.append(n.filter("n_nationkey >= 10"), wap_id="audit-x")
+    w._write_metadata = real
+    assert w._manifests == pre_m
+    assert (w._version, w._sequence) == (pre_v, pre_q)
+    w.append(n.filter("n_nationkey >= 10"))
+    assert scan_iceberg_table(spark, d).count() == 25  # no leaked rows
+
+    # (2) invalid assignment RHS: clean failure, no phantom delete debt
+    pre_m_len = len(w._manifests)
+    pre_v = w._version
+    with pytest.raises(Exception, match="(?i)unresolved|cannot|not_a_fn"):
+        w.update_where_mor("n_nationkey = 1", {"n_name": "not_a_fn(99)"})
+    assert len(w._manifests) == pre_m_len and w._version == pre_v
+    assert scan_iceberg_table(spark, d).count() == 25  # nothing hidden
+
+    # (3) expire prunes _log_extra of expired snapshots
+    d2 = str(tmp_path / "logextra")
+    w2 = IcebergTableWriter(spark, d2)
+    s1 = w2.append(n.filter("n_nationkey < 10"))
+    s2 = w2.append(n.filter("n_nationkey >= 10"))
+    w2.rollback_to_snapshot(s1)
+    s3 = w2.append(n.filter("n_nationkey >= 10"))
+    w2.rollback_to_snapshot(s2)  # extra log entry for s2
+    w2.rollback_to_snapshot(s3)
+    w2.expire_snapshots(retain_last=2)  # s1, s2 expire
+    meta = read_table_metadata(d2)
+    snap_ids = {s["snapshot-id"] for s in meta["snapshots"]}
+    log_ids = {e["snapshot-id"] for e in meta["snapshot-log"]}
+    assert log_ids <= snap_ids  # no log row names an expired snapshot
+
+    # (4) version + timestamp refusal
+    with pytest.raises(ValueError, match="only one of"):
+        scan_iceberg_table(spark, d2, version=1, as_of_timestamp_ms=1)
