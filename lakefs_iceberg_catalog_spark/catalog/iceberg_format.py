@@ -26,6 +26,7 @@ extra — it picks a different manifest-list root before the same scan.
 
 from __future__ import annotations
 
+import contextlib
 import gzip
 import json
 import os
@@ -763,222 +764,229 @@ class IcebergTableWriter:
         untouched, and ``scan_iceberg_table(ref=branch)`` reads the
         branch head. ``fast_forward`` later advances main to the branch.
         Mutually exclusive with ``wap_id``; requires an existing head."""
-        if epoch is not None:
-            app, eid = epoch
-            latest = max(
-                (
-                    int(s["summary"]["streaming-epoch"])
-                    for s in self._snapshots
-                    if (s.get("summary") or {}).get("streaming-app-id") == app
-                ),
-                default=None,
-            )
-            if latest is not None and int(eid) <= latest:
-                # duplicate delivery: no-op, return the CURRENT head (which
-                # may differ from the newest snapshot after a rollback)
-                return self._head_snapshot_id()
-            self._pending_summary = {
-                "streaming-app-id": app,
-                "streaming-epoch": str(int(eid)),
-            }
-        if branch in ("main", ""):
-            branch = None
-        if wap_id is not None and branch is not None:
-            raise ValueError("pass either wap_id or branch, not both")
-        if (wap_id is not None or branch is not None) and (
-            self._current_snapshot_id is None
-        ):
-            raise ValueError(
-                "wap_id/branch commits require an existing table head"
-            )
-        # NOTE: the branch-manifest swap is deferred until AFTER format
-        # validation, the single-valued-partition check and the data +
-        # manifest writes (ADVICE r12): a failure in any of those used to
-        # strand self._manifests on the branch's set, silently leaking
-        # branch rows into every later main commit. The swap now lives in
-        # the branch arm below, with restore-on-failure around the commit.
-        fmt = file_format or self._file_format
-        if fmt not in ("parquet", "orc", "avro"):
-            raise ValueError(f"unsupported data file format {fmt!r}")
-        if self._schema_json is None:
-            self._schema_json = _iceberg_schema(df)
-            self._schemas = [self._schema_json]
-            self._last_column_id = len(self._schema_json["fields"])
-            self._resolve_partition_fields()
-        self._version += 1
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
-
-        # -- data file (single parquet per append keeps the fixture
-        #    deterministic; a real writer fans out per task). Written
-        #    executor-side via coalesce(1) — no driver materialization ----
-        from .parquet_io import write_single_parquet
-
-        pvals: dict = {}
-        if self._partition_fields:
-            from .parquet_io import distinct_singleton_row
-
-            # single-valuedness is checked on the TRANSFORMED values —
-            # e.g. one days(ts) append may span a whole day of timestamps
-            vals = distinct_singleton_row(
-                df.select(
-                    *[self._transform_col(pf).alias(pf["name"])
-                      for pf in self._partition_fields]
+        # one guard around the WHOLE body: any failure — validation,
+        # data write, manifest write, or the metadata commit itself —
+        # restores every writer field to its pre-append state (incl.
+        # the epoch pending-summary markers, which previously leaked
+        # into the next unrelated commit and corrupted the
+        # exactly-once gate)
+        with self._commit_guard():
+            if epoch is not None:
+                app, eid = epoch
+                latest = max(
+                    (
+                        int(s["summary"]["streaming-epoch"])
+                        for s in self._snapshots
+                        if (s.get("summary") or {}).get("streaming-app-id") == app
+                    ),
+                    default=None,
                 )
-            )
-            pvals = {pf["name"]: v for pf, v in zip(self._partition_fields, vals)}
-
-        data_path = os.path.join(
-            self.data_dir,
-            f"00000-{self._version}-{self._uuid}-0-00001.{fmt}",
-        )
-        if fmt == "orc":
-            from .parquet_io import write_single_orc
-
-            n_rows = write_single_orc(df, data_path)
-        elif fmt == "avro":
-            from .parquet_io import write_single_avro
-
-            n_rows = write_single_avro(df, data_path)
-        else:
-            n_rows = write_single_parquet(df, data_path)
-
-        # -- manifest: the new file as ADDED; sequence numbers are LEFT
-        #    NULL to exercise the spec's inheritance rule (readers take the
-        #    manifest-list sequence number for ADDED entries) --------------
-        manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
-        self._avro.write(
-            manifest_path,
-            _manifest_entry_schema(self._partition_fields),
-            [
-                {
-                    "status": STATUS_ADDED,
-                    "snapshot_id": snapshot_id,
-                    "sequence_number": None,
-                    "file_sequence_number": None,
-                    "data_file": {
-                        "content": CONTENT_DATA,
-                        "file_path": data_path,
-                        "file_format": fmt.upper(),
-                        "partition": pvals,
-                        "record_count": n_rows,
-                        "file_size_in_bytes": os.path.getsize(data_path),
-                        "equality_ids": None,
-                        **dict(
-                            zip(
-                                ("lower_bounds", "upper_bounds"),
-                                self._file_bounds(data_path, fmt),
-                            )
-                        ),
-                    },
+                if latest is not None and int(eid) <= latest:
+                    # duplicate delivery: no-op, return the CURRENT head (which
+                    # may differ from the newest snapshot after a rollback)
+                    return self._head_snapshot_id()
+                self._pending_summary = {
+                    "streaming-app-id": app,
+                    "streaming-epoch": str(int(eid)),
                 }
-            ],
-            meta={
-                "schema": json.dumps(self._schema_json),
-                "partition-spec": self._spec_json,
-                "partition-spec-id": str(self._spec_id),
-                "format-version": "2",
-                "content": "data",
-            },
-            codec="deflate",
-        )
-        new_manifest = {
-            "manifest_path": manifest_path,
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": self._spec_id,
-            "content": 0,
-            "sequence_number": self._sequence,
-            "min_sequence_number": self._sequence,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": 1,
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": n_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-            "partitions": self._partition_summaries([pvals]),
-        }
-        if wap_id is None and branch is None:
-            self._manifests.append(new_manifest)
-            return self._commit_snapshot(snapshot_id, "append")
-        if branch is not None:
-            # BRANCH commit: build on the BRANCH's manifest set (forking
-            # from main on the first branch commit); parent is the branch
-            # head (main head on the fork commit); only refs[branch]
-            # moves. The swap is undone on ANY failure so a raising
-            # commit can never leak branch manifests into main.
-            prev_ref = self._refs.get(branch)
-            parent = prev_ref["snapshot-id"] if prev_ref else None
-            main_manifests = self._manifests
-            self._manifests = self._branch_manifests.get(
-                branch, [dict(m) for m in main_manifests]
-            )
-            self._manifests.append(new_manifest)
-            self._refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
-            self._staged_ids.add(snapshot_id)  # never became current
-            # _commit_snapshot mutates MORE than the swap above: it appends
-            # to _snapshots before _write_metadata can fail — snapshot the
-            # lot so a raising commit leaves NO phantom staged snapshot
-            # behind (ADVICE r13 #2). _version/_sequence restore to their
-            # PRE-APPEND values (this append bumped each exactly once, and
-            # the failed commit never wrote v{_version}.metadata.json).
-            pre_snap_len = len(self._snapshots)
-            pre_head = self._current_snapshot_id
-            pre_pending = dict(self._pending_summary)
-            try:
-                sid = self._commit_snapshot(
-                    snapshot_id, "append", stage=True, parent=parent
+            if branch in ("main", ""):
+                branch = None
+            if wap_id is not None and branch is not None:
+                raise ValueError("pass either wap_id or branch, not both")
+            if (wap_id is not None or branch is not None) and (
+                self._current_snapshot_id is None
+            ):
+                raise ValueError(
+                    "wap_id/branch commits require an existing table head"
                 )
-            except BaseException:
+            # NOTE: the branch-manifest swap is deferred until AFTER format
+            # validation, the single-valued-partition check and the data +
+            # manifest writes (ADVICE r12): a failure in any of those used to
+            # strand self._manifests on the branch's set, silently leaking
+            # branch rows into every later main commit. The swap now lives in
+            # the branch arm below, with restore-on-failure around the commit.
+            fmt = file_format or self._file_format
+            if fmt not in ("parquet", "orc", "avro"):
+                raise ValueError(f"unsupported data file format {fmt!r}")
+            if self._schema_json is None:
+                self._schema_json = _iceberg_schema(df)
+                self._schemas = [self._schema_json]
+                self._last_column_id = len(self._schema_json["fields"])
+                self._resolve_partition_fields()
+            self._version += 1
+            self._sequence += 1
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
+
+            # -- data file (single parquet per append keeps the fixture
+            #    deterministic; a real writer fans out per task). Written
+            #    executor-side via coalesce(1) — no driver materialization ----
+            from .parquet_io import write_single_parquet
+
+            pvals: dict = {}
+            if self._partition_fields:
+                from .parquet_io import distinct_singleton_row
+
+                # single-valuedness is checked on the TRANSFORMED values —
+                # e.g. one days(ts) append may span a whole day of timestamps
+                vals = distinct_singleton_row(
+                    df.select(
+                        *[self._transform_col(pf).alias(pf["name"])
+                          for pf in self._partition_fields]
+                    )
+                )
+                pvals = {pf["name"]: v for pf, v in zip(self._partition_fields, vals)}
+
+            data_path = os.path.join(
+                self.data_dir,
+                f"00000-{self._version}-{self._uuid}-0-00001.{fmt}",
+            )
+            if fmt == "orc":
+                from .parquet_io import write_single_orc
+
+                n_rows = write_single_orc(df, data_path)
+            elif fmt == "avro":
+                from .parquet_io import write_single_avro
+
+                n_rows = write_single_avro(df, data_path)
+            else:
+                n_rows = write_single_parquet(df, data_path)
+
+            # -- manifest: the new file as ADDED; sequence numbers are LEFT
+            #    NULL to exercise the spec's inheritance rule (readers take the
+            #    manifest-list sequence number for ADDED entries) --------------
+            manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
+            self._avro.write(
+                manifest_path,
+                _manifest_entry_schema(self._partition_fields),
+                [
+                    {
+                        "status": STATUS_ADDED,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": CONTENT_DATA,
+                            "file_path": data_path,
+                            "file_format": fmt.upper(),
+                            "partition": pvals,
+                            "record_count": n_rows,
+                            "file_size_in_bytes": os.path.getsize(data_path),
+                            "equality_ids": None,
+                            **dict(
+                                zip(
+                                    ("lower_bounds", "upper_bounds"),
+                                    self._file_bounds(data_path, fmt),
+                                )
+                            ),
+                        },
+                    }
+                ],
+                meta={
+                    "schema": json.dumps(self._schema_json),
+                    "partition-spec": self._spec_json,
+                    "partition-spec-id": str(self._spec_id),
+                    "format-version": "2",
+                    "content": "data",
+                },
+                codec="deflate",
+            )
+            new_manifest = {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": self._spec_id,
+                "content": 0,
+                "sequence_number": self._sequence,
+                "min_sequence_number": self._sequence,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": self._partition_summaries([pvals]),
+            }
+            if wap_id is None and branch is None:
+                self._manifests.append(new_manifest)
+                return self._commit_snapshot(snapshot_id, "append")
+            if branch is not None:
+                # BRANCH commit: build on the BRANCH's manifest set (forking
+                # from main on the first branch commit); parent is the branch
+                # head (main head on the fork commit); only refs[branch]
+                # moves. The swap is undone on ANY failure so a raising
+                # commit can never leak branch manifests into main.
+                prev_ref = self._refs.get(branch)
+                parent = prev_ref["snapshot-id"] if prev_ref else None
+                main_manifests = self._manifests
+                self._manifests = self._branch_manifests.get(
+                    branch, [dict(m) for m in main_manifests]
+                )
+                self._manifests.append(new_manifest)
+                self._refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+                self._staged_ids.add(snapshot_id)  # never became current
+                # _commit_snapshot mutates MORE than the swap above: it appends
+                # to _snapshots before _write_metadata can fail — snapshot the
+                # lot so a raising commit leaves NO phantom staged snapshot
+                # behind (ADVICE r13 #2). _version/_sequence restore to their
+                # PRE-APPEND values (this append bumped each exactly once, and
+                # the failed commit never wrote v{_version}.metadata.json).
+                pre_snap_len = len(self._snapshots)
+                pre_head = self._current_snapshot_id
+                pre_pending = dict(self._pending_summary)
+                try:
+                    sid = self._commit_snapshot(
+                        snapshot_id, "append", stage=True, parent=parent
+                    )
+                except BaseException:
+                    self._manifests = main_manifests
+                    if prev_ref is None:
+                        self._refs.pop(branch, None)
+                    else:
+                        self._refs[branch] = prev_ref
+                    self._staged_ids.discard(snapshot_id)
+                    del self._snapshots[pre_snap_len:]
+                    self._version -= 1
+                    self._sequence -= 1
+                    self._current_snapshot_id = pre_head
+                    # _commit_snapshot clears _pending_summary (streaming
+                    # epoch markers etc.) before _write_metadata can fail;
+                    # losing it on rollback would silently break the
+                    # exactly-once gate on the retry
+                    self._pending_summary = pre_pending
+                    raise
+                self._branch_manifests[branch] = self._manifests
                 self._manifests = main_manifests
-                if prev_ref is None:
-                    self._refs.pop(branch, None)
-                else:
-                    self._refs[branch] = prev_ref
+                return sid
+            self._manifests.append(new_manifest)
+            # STAGE: the snapshot (and its frozen manifest list) is written,
+            # but the head does not move and the live manifest set reverts —
+            # later main commits must not carry the staged manifest
+            pre_manifests = self._manifests[:-1]
+            pre_pending_wap = dict(self._pending_summary)
+            pre_snap_len_wap = len(self._snapshots)
+            self._pending_summary = {
+                **self._pending_summary,
+                "wap.id": str(wap_id),
+            }
+            self._staged_ids.add(snapshot_id)
+            # same rollback discipline as the branch arm: a failing commit
+            # must not leak the staged manifest into main's live set or leave
+            # a phantom staged snapshot behind — the un-audited rows would
+            # publish on the NEXT plain append, the isolation violation WAP
+            # exists to prevent
+            try:
+                sid = self._commit_snapshot(snapshot_id, "append", stage=True)
+            except BaseException:
+                self._manifests = pre_manifests
                 self._staged_ids.discard(snapshot_id)
-                del self._snapshots[pre_snap_len:]
+                del self._snapshots[pre_snap_len_wap:]
                 self._version -= 1
                 self._sequence -= 1
-                self._current_snapshot_id = pre_head
-                # _commit_snapshot clears _pending_summary (streaming
-                # epoch markers etc.) before _write_metadata can fail;
-                # losing it on rollback would silently break the
-                # exactly-once gate on the retry
-                self._pending_summary = pre_pending
+                self._pending_summary = pre_pending_wap
                 raise
-            self._branch_manifests[branch] = self._manifests
-            self._manifests = main_manifests
-            return sid
-        self._manifests.append(new_manifest)
-        # STAGE: the snapshot (and its frozen manifest list) is written,
-        # but the head does not move and the live manifest set reverts —
-        # later main commits must not carry the staged manifest
-        pre_manifests = self._manifests[:-1]
-        pre_pending_wap = dict(self._pending_summary)
-        pre_snap_len_wap = len(self._snapshots)
-        self._pending_summary = {
-            **self._pending_summary,
-            "wap.id": str(wap_id),
-        }
-        self._staged_ids.add(snapshot_id)
-        # same rollback discipline as the branch arm: a failing commit
-        # must not leak the staged manifest into main's live set or leave
-        # a phantom staged snapshot behind — the un-audited rows would
-        # publish on the NEXT plain append, the isolation violation WAP
-        # exists to prevent
-        try:
-            sid = self._commit_snapshot(snapshot_id, "append", stage=True)
-        except BaseException:
+            self._staged_manifests[sid] = [self._manifests[-1]]
             self._manifests = pre_manifests
-            self._staged_ids.discard(snapshot_id)
-            del self._snapshots[pre_snap_len_wap:]
-            self._version -= 1
-            self._sequence -= 1
-            self._pending_summary = pre_pending_wap
-            raise
-        self._staged_manifests[sid] = [self._manifests[-1]]
-        self._manifests = pre_manifests
-        return sid
+            return sid
 
     def _head_snapshot_id(self) -> int:
         """The current head snapshot id — what a no-op DML returns (no new
@@ -988,6 +996,46 @@ class IcebergTableWriter:
             if self._current_snapshot_id is not None
             else self._snapshots[-1]["snapshot-id"]
         )
+
+    @contextlib.contextmanager
+    def _commit_guard(self):
+        """Restore-on-failure for every writer field mutated on the way
+        to a ``_commit_snapshot``: manifests (in place, so aliased branch
+        manifest lists heal too), the snapshots list, version/sequence
+        counters, the head pointer, the pending snapshot summary
+        (streaming epoch markers — losing them breaks the exactly-once
+        gate on retry), the metadata log, and the staged-id set. Without
+        it a failed metadata write leaves half a snapshot in writer state
+        and the NEXT commit publishes it — the defect class the branch/
+        WAP append arms were hardened against one arm at a time; this is
+        the shared discipline for every other commit path."""
+        m_ref, m_copy = self._manifests, [dict(m) for m in self._manifests]
+        n_snap = len(self._snapshots)
+        ver, seq = self._version, self._sequence
+        head = self._current_snapshot_id
+        pending = dict(self._pending_summary)
+        n_log = len(self._metadata_log)
+        staged = set(self._staged_ids)
+        refs = {k: dict(v) for k, v in self._refs.items()}
+        branch_m = {k: list(v) for k, v in self._branch_manifests.items()}
+        staged_m = {k: list(v) for k, v in self._staged_manifests.items()}
+        n_extra = len(self._log_extra)
+        try:
+            yield
+        except BaseException:
+            m_ref[:] = m_copy
+            self._manifests = m_ref
+            del self._snapshots[n_snap:]
+            self._version, self._sequence = ver, seq
+            self._current_snapshot_id = head
+            self._pending_summary = pending
+            del self._metadata_log[n_log:]
+            self._staged_ids = staged
+            self._refs = refs
+            self._branch_manifests = branch_m
+            self._staged_manifests = staged_m
+            del self._log_extra[n_extra:]
+            raise
 
     def _ensure_unpartitioned_spec(self) -> int:
         """Spec id of an EMPTY partition spec registered in the table's
@@ -1151,39 +1199,42 @@ class IcebergTableWriter:
                 ).append((path, posn))
         else:
             by_group[(self._spec_id, ())] = list(deletes)
-        self._version += 1
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        by_spec: dict[int, list[tuple[str, int, dict, int, list | None]]] = {}
-        for i, ((sid, t), rows) in enumerate(
-            sorted(by_group.items(), key=lambda kv: str(kv[0])), 1
-        ):
-            flds = self._fields_for_spec(sid)
-            pvals = {pf["name"]: v for pf, v in zip(flds, t)}
-            # spec orders position delete rows by (file_path, pos)
-            rows = sorted(rows)
-            del_path = os.path.join(
-                self.data_dir,
-                f"00000-{self._version}-{self._uuid}-deletes-{i:05d}.parquet",
-            )
-            pq.write_table(
-                pa.table(
-                    {
-                        "file_path": pa.array(
-                            [r[0] for r in rows], pa.string()
-                        ),
-                        "pos": pa.array([int(r[1]) for r in rows], pa.int64()),
-                    }
-                ),
-                del_path,
-            )
-            by_spec.setdefault(sid, []).append(
-                (del_path, len(rows), pvals, CONTENT_POSITION_DELETES, None)
-            )
-        # one content=1 manifest PER SPEC (a manifest has exactly one spec)
-        for sid, files in sorted(by_spec.items()):
-            self._append_delete_manifest(snapshot_id, files, spec_id=sid)
-        return self._commit_snapshot(snapshot_id, "delete")
+        # restore-on-failure for everything mutated on the way to
+        # the commit (shared _commit_guard discipline)
+        with self._commit_guard():
+            self._version += 1
+            self._sequence += 1
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
+            by_spec: dict[int, list[tuple[str, int, dict, int, list | None]]] = {}
+            for i, ((sid, t), rows) in enumerate(
+                sorted(by_group.items(), key=lambda kv: str(kv[0])), 1
+            ):
+                flds = self._fields_for_spec(sid)
+                pvals = {pf["name"]: v for pf, v in zip(flds, t)}
+                # spec orders position delete rows by (file_path, pos)
+                rows = sorted(rows)
+                del_path = os.path.join(
+                    self.data_dir,
+                    f"00000-{self._version}-{self._uuid}-deletes-{i:05d}.parquet",
+                )
+                pq.write_table(
+                    pa.table(
+                        {
+                            "file_path": pa.array(
+                                [r[0] for r in rows], pa.string()
+                            ),
+                            "pos": pa.array([int(r[1]) for r in rows], pa.int64()),
+                        }
+                    ),
+                    del_path,
+                )
+                by_spec.setdefault(sid, []).append(
+                    (del_path, len(rows), pvals, CONTENT_POSITION_DELETES, None)
+                )
+            # one content=1 manifest PER SPEC (a manifest has exactly one spec)
+            for sid, files in sorted(by_spec.items()):
+                self._append_delete_manifest(snapshot_id, files, spec_id=sid)
+            return self._commit_snapshot(snapshot_id, "delete")
 
     def delete_keys(self, key_cols: list[str], keys: list[tuple]) -> int:
         """Commit one merge-on-read DELETE snapshot carrying an EQUALITY
@@ -1206,11 +1257,14 @@ class IcebergTableWriter:
         (VERDICT r10 #4 — previously a loud refusal)."""
         if self._schema_json is None:
             raise ValueError("delete_keys before any append")
-        self._version += 1
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        spec_id, files = self._eq_delete_files(key_cols, keys)
-        return self._commit_delete_manifest(snapshot_id, files, spec_id=spec_id)
+        # restore-on-failure for everything mutated on the way to
+        # the commit (shared _commit_guard discipline)
+        with self._commit_guard():
+            self._version += 1
+            self._sequence += 1
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
+            spec_id, files = self._eq_delete_files(key_cols, keys)
+            return self._commit_delete_manifest(snapshot_id, files, spec_id=spec_id)
 
     def _eq_delete_files(
         self, key_cols: list[str], keys: list[tuple]
@@ -1390,11 +1444,14 @@ class IcebergTableWriter:
         descs = self._stage_position_delete_files(matched, norm)
         if not descs:
             return self._head_snapshot_id()
-        self._version += 1
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        self._append_position_delete_manifests(descs, data, snapshot_id)
-        return self._commit_snapshot(snapshot_id, "delete")
+        # restore-on-failure for everything mutated on the way to
+        # the commit (shared _commit_guard discipline)
+        with self._commit_guard():
+            self._version += 1
+            self._sequence += 1
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
+            self._append_position_delete_manifests(descs, data, snapshot_id)
+            return self._commit_snapshot(snapshot_id, "delete")
 
     def _stage_position_delete_files(
         self, matched: DataFrame, norm: dict[str, str]
@@ -1517,191 +1574,194 @@ class IcebergTableWriter:
         if bad:
             raise ValueError(f"equality-delete key columns not in schema: {bad}")
         eq_ids = [by_name[c]["id"] for c in key_cols]
-        self._version += 1
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        del_files: list[tuple[str, int, dict, int, list | None]] = []
-        data_entries: list[tuple[str, int, dict]] = []  # (path, rows, pvals)
-        del_spec_id = self._spec_id
-        if self._partition_fields:
-            psrc = [pf["source_name"] for pf in self._partition_fields]
-            key_covers = all(c in key_cols for c in psrc)
-            data_dir, version, tuuid = self.data_dir, self._version, self._uuid
-            pt_cols = [f"__pt_{pf['name']}" for pf in self._partition_fields]
-            pt_desc = ", ".join(
-                f"`{c}` {_ICEBERG_TO_SPARK[pf['ice_type']]}"
-                for c, pf in zip(pt_cols, self._partition_fields)
-            )
-            pa_fields = [
-                (f["name"], f["type"]) for f in self._schema_json["fields"]
-            ]
-            key_fields = [(c, by_name[c]["type"]) for c in key_cols]
-
-            def _arrow_table(pdf, fields):
-                """pandas → arrow under the TABLE schema's types: a NULL
-                in an int/long group arrives float64 in pandas and would
-                silently write DOUBLE without the explicit type (ADVICE
-                r10); pa.array(from_pandas=True) turns NaN back to null
-                and casts the integral floats back."""
-                import pyarrow as pa
-
-                return pa.table(
-                    {
-                        n: pa.array(pdf[n], type=_pa_fix_type(t), from_pandas=True)
-                        for n, t in fields
-                    }
+        # restore-on-failure for everything mutated on the way to
+        # the commit (shared _commit_guard discipline)
+        with self._commit_guard():
+            self._version += 1
+            self._sequence += 1
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
+            del_files: list[tuple[str, int, dict, int, list | None]] = []
+            data_entries: list[tuple[str, int, dict]] = []  # (path, rows, pvals)
+            del_spec_id = self._spec_id
+            if self._partition_fields:
+                psrc = [pf["source_name"] for pf in self._partition_fields]
+                key_covers = all(c in key_cols for c in psrc)
+                data_dir, version, tuuid = self.data_dir, self._version, self._uuid
+                pt_cols = [f"__pt_{pf['name']}" for pf in self._partition_fields]
+                pt_desc = ", ".join(
+                    f"`{c}` {_ICEBERG_TO_SPARK[pf['ice_type']]}"
+                    for c, pf in zip(pt_cols, self._partition_fields)
                 )
+                pa_fields = [
+                    (f["name"], f["type"]) for f in self._schema_json["fields"]
+                ]
+                key_fields = [(c, by_name[c]["type"]) for c in key_cols]
 
-            def _write_tuple(key, pdf):
-                import uuid as _uuid
+                def _arrow_table(pdf, fields):
+                    """pandas → arrow under the TABLE schema's types: a NULL
+                    in an int/long group arrives float64 in pandas and would
+                    silently write DOUBLE without the explicit type (ADVICE
+                    r10); pa.array(from_pandas=True) turns NaN back to null
+                    and casts the integral floats back."""
+                    import pyarrow as pa
 
-                import pyarrow.parquet as pq
-
-                tag = _uuid.uuid4().hex[:12]
-                dp = os.path.join(
-                    data_dir, f"00000-{version}-{tuuid}-0-{tag}.parquet"
-                )
-                pq.write_table(_arrow_table(pdf, pa_fields), dp)
-                ep = ""
-                if key_covers:
-                    ep = os.path.join(
-                        data_dir, f"00000-{version}-{tuuid}-eqdel-{tag}.parquet"
-                    )
-                    pq.write_table(_arrow_table(pdf, key_fields), ep)
-                return pd.DataFrame(
-                    [
+                    return pa.table(
                         {
-                            "data_path": dp,
-                            "del_path": ep,
-                            "rows": len(pdf),
-                            **dict(zip(pt_cols, key)),
+                            n: pa.array(pdf[n], type=_pa_fix_type(t), from_pandas=True)
+                            for n, t in fields
                         }
-                    ]
-                )
+                    )
 
-            descs = bounded_rows(
-                source_df.select(*want)
-                .withColumns(
-                    {
-                        c: self._transform_col(pf)
+                def _write_tuple(key, pdf):
+                    import uuid as _uuid
+
+                    import pyarrow.parquet as pq
+
+                    tag = _uuid.uuid4().hex[:12]
+                    dp = os.path.join(
+                        data_dir, f"00000-{version}-{tuuid}-0-{tag}.parquet"
+                    )
+                    pq.write_table(_arrow_table(pdf, pa_fields), dp)
+                    ep = ""
+                    if key_covers:
+                        ep = os.path.join(
+                            data_dir, f"00000-{version}-{tuuid}-eqdel-{tag}.parquet"
+                        )
+                        pq.write_table(_arrow_table(pdf, key_fields), ep)
+                    return pd.DataFrame(
+                        [
+                            {
+                                "data_path": dp,
+                                "del_path": ep,
+                                "rows": len(pdf),
+                                **dict(zip(pt_cols, key)),
+                            }
+                        ]
+                    )
+
+                descs = bounded_rows(
+                    source_df.select(*want)
+                    .withColumns(
+                        {
+                            c: self._transform_col(pf)
+                            for c, pf in zip(pt_cols, self._partition_fields)
+                        }
+                    )
+                    .groupBy(*pt_cols)
+                    .applyInPandas(
+                        _write_tuple,
+                        f"data_path string, del_path string, rows long, {pt_desc}",
+                    )
+                )
+                for r in sorted(descs, key=lambda r: r["data_path"]):
+                    pvals = {
+                        pf["name"]: r[c]
                         for c, pf in zip(pt_cols, self._partition_fields)
                     }
-                )
-                .groupBy(*pt_cols)
-                .applyInPandas(
-                    _write_tuple,
-                    f"data_path string, del_path string, rows long, {pt_desc}",
-                )
-            )
-            for r in sorted(descs, key=lambda r: r["data_path"]):
-                pvals = {
-                    pf["name"]: r[c]
-                    for c, pf in zip(pt_cols, self._partition_fields)
-                }
-                data_entries.append((r["data_path"], int(r["rows"]), pvals))
-                if key_covers:
-                    del_files.append(
-                        (
-                            r["del_path"],
-                            int(r["rows"]),
-                            pvals,
-                            CONTENT_EQUALITY_DELETES,
-                            eq_ids,
+                    data_entries.append((r["data_path"], int(r["rows"]), pvals))
+                    if key_covers:
+                        del_files.append(
+                            (
+                                r["del_path"],
+                                int(r["rows"]),
+                                pvals,
+                                CONTENT_EQUALITY_DELETES,
+                                eq_ids,
+                            )
                         )
+                if not key_covers:
+                    # the key does not pin the partition: old versions of a
+                    # source key may live in ANY partition, so the delete is
+                    # GLOBAL — one file under the unpartitioned spec reference
+                    del_spec_id = self._ensure_unpartitioned_spec()
+                    del_path = os.path.join(
+                        self.data_dir,
+                        f"00000-{self._version}-{self._uuid}-eqdel-00001.parquet",
                     )
-            if not key_covers:
-                # the key does not pin the partition: old versions of a
-                # source key may live in ANY partition, so the delete is
-                # GLOBAL — one file under the unpartitioned spec reference
-                del_spec_id = self._ensure_unpartitioned_spec()
+                    n_keys = write_single_parquet(
+                        source_df.select(*key_cols), del_path
+                    )
+                    del_files.append(
+                        (del_path, n_keys, {}, CONTENT_EQUALITY_DELETES, eq_ids)
+                    )
+            else:
                 del_path = os.path.join(
                     self.data_dir,
                     f"00000-{self._version}-{self._uuid}-eqdel-00001.parquet",
                 )
-                n_keys = write_single_parquet(
-                    source_df.select(*key_cols), del_path
-                )
+                n_keys = write_single_parquet(source_df.select(*key_cols), del_path)
                 del_files.append(
                     (del_path, n_keys, {}, CONTENT_EQUALITY_DELETES, eq_ids)
                 )
-        else:
-            del_path = os.path.join(
-                self.data_dir,
-                f"00000-{self._version}-{self._uuid}-eqdel-00001.parquet",
+                data_path = os.path.join(
+                    self.data_dir,
+                    f"00000-{self._version}-{self._uuid}-0-00001.parquet",
+                )
+                n_rows = write_single_parquet(source_df.select(*want), data_path)
+                data_entries.append((data_path, n_rows, {}))
+            self._append_delete_manifest(snapshot_id, del_files, spec_id=del_spec_id)
+            manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m1.avro")
+            self._avro.write(
+                manifest_path,
+                _manifest_entry_schema(self._partition_fields),
+                [
+                    {
+                        "status": STATUS_ADDED,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": CONTENT_DATA,
+                            "file_path": dp,
+                            "file_format": "PARQUET",
+                            "partition": pvals,
+                            "record_count": n,
+                            "file_size_in_bytes": os.path.getsize(dp),
+                            "equality_ids": None,
+                            **dict(
+                                zip(
+                                    ("lower_bounds", "upper_bounds"),
+                                    self._file_bounds(dp, "parquet"),
+                                )
+                            ),
+                        },
+                    }
+                    for dp, n, pvals in data_entries
+                ],
+                meta={
+                    "schema": json.dumps(self._schema_json),
+                    "partition-spec": self._spec_json,
+                    "partition-spec-id": str(self._spec_id),
+                    "format-version": "2",
+                    "content": "data",
+                },
+                codec="deflate",
             )
-            n_keys = write_single_parquet(source_df.select(*key_cols), del_path)
-            del_files.append(
-                (del_path, n_keys, {}, CONTENT_EQUALITY_DELETES, eq_ids)
-            )
-            data_path = os.path.join(
-                self.data_dir,
-                f"00000-{self._version}-{self._uuid}-0-00001.parquet",
-            )
-            n_rows = write_single_parquet(source_df.select(*want), data_path)
-            data_entries.append((data_path, n_rows, {}))
-        self._append_delete_manifest(snapshot_id, del_files, spec_id=del_spec_id)
-        manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m1.avro")
-        self._avro.write(
-            manifest_path,
-            _manifest_entry_schema(self._partition_fields),
-            [
+            self._manifests.append(
                 {
-                    "status": STATUS_ADDED,
-                    "snapshot_id": snapshot_id,
-                    "sequence_number": None,
-                    "file_sequence_number": None,
-                    "data_file": {
-                        "content": CONTENT_DATA,
-                        "file_path": dp,
-                        "file_format": "PARQUET",
-                        "partition": pvals,
-                        "record_count": n,
-                        "file_size_in_bytes": os.path.getsize(dp),
-                        "equality_ids": None,
-                        **dict(
-                            zip(
-                                ("lower_bounds", "upper_bounds"),
-                                self._file_bounds(dp, "parquet"),
-                            )
-                        ),
-                    },
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": self._spec_id,
+                    "content": 0,
+                    "sequence_number": self._sequence,
+                    "min_sequence_number": self._sequence,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(data_entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(n for _, n, _ in data_entries),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "partitions": (
+                        self._partition_summaries(
+                            [pv for _, _, pv in data_entries]
+                        )
+                        if self._partition_fields
+                        else None
+                    ),
                 }
-                for dp, n, pvals in data_entries
-            ],
-            meta={
-                "schema": json.dumps(self._schema_json),
-                "partition-spec": self._spec_json,
-                "partition-spec-id": str(self._spec_id),
-                "format-version": "2",
-                "content": "data",
-            },
-            codec="deflate",
-        )
-        self._manifests.append(
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": self._spec_id,
-                "content": 0,
-                "sequence_number": self._sequence,
-                "min_sequence_number": self._sequence,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(data_entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": sum(n for _, n, _ in data_entries),
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-                "partitions": (
-                    self._partition_summaries(
-                        [pv for _, _, pv in data_entries]
-                    )
-                    if self._partition_fields
-                    else None
-                ),
-            }
-        )
-        return self._commit_snapshot(snapshot_id, "overwrite")
+            )
+            return self._commit_snapshot(snapshot_id, "overwrite")
 
     def _commit_snapshot(
         self,
@@ -1831,27 +1891,30 @@ class IcebergTableWriter:
                 f"snapshot {snap['snapshot-id']} has no staged manifests "
                 "registered with this writer"
             )
-        self._version += 1
-        self._sequence += 1
-        new_id = int(uuid.uuid4().int % (1 << 62))
-        for mf in staged_mfs:
-            # re-sequence under the publish commit: ADDED entries carry
-            # null sequence numbers and inherit the manifest-list row's
-            self._manifests.append(
-                {
-                    **mf,
-                    "sequence_number": self._sequence,
-                    "min_sequence_number": self._sequence,
-                    "added_snapshot_id": new_id,
+        # restore-on-failure for everything mutated on the way to
+        # the commit (shared _commit_guard discipline)
+        with self._commit_guard():
+            self._version += 1
+            self._sequence += 1
+            new_id = int(uuid.uuid4().int % (1 << 62))
+            for mf in staged_mfs:
+                # re-sequence under the publish commit: ADDED entries carry
+                # null sequence numbers and inherit the manifest-list row's
+                self._manifests.append(
+                    {
+                        **mf,
+                        "sequence_number": self._sequence,
+                        "min_sequence_number": self._sequence,
+                        "added_snapshot_id": new_id,
+                    }
+                )
+            if published_id is not None:
+                self._pending_summary = {
+                    **self._pending_summary,
+                    "published-wap-id": published_id,
                 }
-            )
-        if published_id is not None:
-            self._pending_summary = {
-                **self._pending_summary,
-                "published-wap-id": published_id,
-            }
-        del self._staged_manifests[snap["snapshot-id"]]
-        return self._commit_snapshot(new_id, "append")
+            del self._staged_manifests[snap["snapshot-id"]]
+            return self._commit_snapshot(new_id, "append")
 
     def set_properties(self, props: dict[str, str]) -> None:
         """ALTER TABLE ... SET TBLPROPERTIES on the real layout: table
@@ -1913,15 +1976,19 @@ class IcebergTableWriter:
                 "writer"
             )
         now_ms = int(time.time() * 1000)
-        self._manifests = [dict(m) for m in branch_mfs]
-        self._current_snapshot_id = target
-        # stock logs the REF CHANGE: the branch head became current NOW
-        self._log_extra.append(
-            {"snapshot-id": target, "timestamp-ms": now_ms}
-        )
-        self._version += 1
-        self._write_metadata(now_ms)
-        return target
+        # restore-on-failure for everything mutated on the way to the
+        # commit (shared _commit_guard discipline) — the manifest-set
+        # swap, head move, and ref-change log entry are mutations too
+        with self._commit_guard():
+            self._manifests = [dict(m) for m in branch_mfs]
+            self._current_snapshot_id = target
+            # stock logs the REF CHANGE: the branch head became current NOW
+            self._log_extra.append(
+                {"snapshot-id": target, "timestamp-ms": now_ms}
+            )
+            self._version += 1
+            self._write_metadata(now_ms)
+            return target
 
     # Ceiling for the driver-side distinct-partition-tuple probe in
     # rewrite_data: partition tuples are metadata-scale (Iceberg's own
@@ -2094,83 +2161,86 @@ class IcebergTableWriter:
         rewrites, via _append_added_data_manifest) — a CoW delete on an
         ORC/AVRO table stays ORC/AVRO instead of silently drifting the
         layout to parquet."""
-        self._version += 1
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        new_manifests: list[dict] = []
-        # membership by NORMALIZED PATH SET — testing `e in hit` against a
-        # list of entry dicts deep-compares dicts: O(entries × hits × entry
-        # size) per manifest, ~10⁷ comparisons at a realistic 10k-entry
-        # manifest with 1k touched files (VERDICT r7 "what's wrong" #2)
-        hit_paths = touched  # already normalized by _touched_files
-        for mf in self._manifests:
-            if mf.get("content", 0) != 0:
-                new_manifests.append(mf)
-                continue
-            mmeta, entries = read_container(mf["manifest_path"])
-            entry_norm = [
-                re.sub(r"^file:/+", "/", e["data_file"]["file_path"])
-                for e in entries
-            ]
-            if not any(p in hit_paths for p in entry_norm):
-                new_manifests.append(mf)
-                continue
-            rewritten = []
-            n_exist = n_del = rows_exist = rows_del = 0
-            for e, p in zip(entries, entry_norm):
-                seq = e.get("sequence_number")
-                if seq is None:  # inheritance: resolve before carrying over
-                    seq = mf["sequence_number"]
-                is_hit = p in hit_paths
-                rewritten.append(
+        # restore-on-failure for everything mutated on the way to
+        # the commit (shared _commit_guard discipline)
+        with self._commit_guard():
+            self._version += 1
+            self._sequence += 1
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
+            new_manifests: list[dict] = []
+            # membership by NORMALIZED PATH SET — testing `e in hit` against a
+            # list of entry dicts deep-compares dicts: O(entries × hits × entry
+            # size) per manifest, ~10⁷ comparisons at a realistic 10k-entry
+            # manifest with 1k touched files (VERDICT r7 "what's wrong" #2)
+            hit_paths = touched  # already normalized by _touched_files
+            for mf in self._manifests:
+                if mf.get("content", 0) != 0:
+                    new_manifests.append(mf)
+                    continue
+                mmeta, entries = read_container(mf["manifest_path"])
+                entry_norm = [
+                    re.sub(r"^file:/+", "/", e["data_file"]["file_path"])
+                    for e in entries
+                ]
+                if not any(p in hit_paths for p in entry_norm):
+                    new_manifests.append(mf)
+                    continue
+                rewritten = []
+                n_exist = n_del = rows_exist = rows_del = 0
+                for e, p in zip(entries, entry_norm):
+                    seq = e.get("sequence_number")
+                    if seq is None:  # inheritance: resolve before carrying over
+                        seq = mf["sequence_number"]
+                    is_hit = p in hit_paths
+                    rewritten.append(
+                        {
+                            **e,
+                            "status": STATUS_DELETED if is_hit else STATUS_EXISTING,
+                            "sequence_number": seq,
+                            "snapshot_id": snapshot_id
+                            if is_hit
+                            else e.get("snapshot_id"),
+                        }
+                    )
+                    n = e["data_file"]["record_count"]
+                    if is_hit:
+                        n_del, rows_del = n_del + 1, rows_del + n
+                    else:
+                        n_exist, rows_exist = n_exist + 1, rows_exist + n
+                path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
+                # rewrite each manifest under ITS OWN spec's partition struct —
+                # spec evolution leaves old-spec manifests in the table, and a
+                # CoW rewrite must not re-type their partition tuples
+                # (VERDICT r7 #6: the scan walker already dispatches per spec)
+                self._avro.write(
+                    path,
+                    _manifest_entry_schema(
+                        self._fields_for_spec(mf.get("partition_spec_id", 0))
+                    ),
+                    rewritten,
+                    meta={
+                        k: v.decode() if isinstance(v, (bytes, bytearray)) else v
+                        for k, v in (mmeta.get("meta") or {}).items()
+                        if not k.startswith("avro.")  # container-reserved keys
+                    },
+                    codec="deflate",
+                )
+                new_manifests.append(
                     {
-                        **e,
-                        "status": STATUS_DELETED if is_hit else STATUS_EXISTING,
-                        "sequence_number": seq,
-                        "snapshot_id": snapshot_id
-                        if is_hit
-                        else e.get("snapshot_id"),
+                        **mf,
+                        "manifest_path": path,
+                        "manifest_length": os.path.getsize(path),
+                        "added_files_count": 0,
+                        "existing_files_count": n_exist,
+                        "deleted_files_count": n_del,
+                        "added_rows_count": 0,
+                        "existing_rows_count": rows_exist,
+                        "deleted_rows_count": rows_del,
                     }
                 )
-                n = e["data_file"]["record_count"]
-                if is_hit:
-                    n_del, rows_del = n_del + 1, rows_del + n
-                else:
-                    n_exist, rows_exist = n_exist + 1, rows_exist + n
-            path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
-            # rewrite each manifest under ITS OWN spec's partition struct —
-            # spec evolution leaves old-spec manifests in the table, and a
-            # CoW rewrite must not re-type their partition tuples
-            # (VERDICT r7 #6: the scan walker already dispatches per spec)
-            self._avro.write(
-                path,
-                _manifest_entry_schema(
-                    self._fields_for_spec(mf.get("partition_spec_id", 0))
-                ),
-                rewritten,
-                meta={
-                    k: v.decode() if isinstance(v, (bytes, bytearray)) else v
-                    for k, v in (mmeta.get("meta") or {}).items()
-                    if not k.startswith("avro.")  # container-reserved keys
-                },
-                codec="deflate",
-            )
-            new_manifests.append(
-                {
-                    **mf,
-                    "manifest_path": path,
-                    "manifest_length": os.path.getsize(path),
-                    "added_files_count": 0,
-                    "existing_files_count": n_exist,
-                    "deleted_files_count": n_del,
-                    "added_rows_count": 0,
-                    "existing_rows_count": rows_exist,
-                    "deleted_rows_count": rows_del,
-                }
-            )
-        self._manifests = new_manifests
-        self._append_added_data_manifest(new_rows, snapshot_id)
-        return self._commit_snapshot(snapshot_id, "overwrite")
+            self._manifests = new_manifests
+            self._append_added_data_manifest(new_rows, snapshot_id)
+            return self._commit_snapshot(snapshot_id, "overwrite")
 
     def _append_added_data_manifest(
         self, new_rows: DataFrame, snapshot_id: int
@@ -2345,30 +2415,17 @@ class IcebergTableWriter:
             )
             if not descs:
                 return self._head_snapshot_id()
-            pre_m_len = len(self._manifests)
-            pre_snap_len = len(self._snapshots)
-            pre_head = self._current_snapshot_id
-            pre_pending = dict(self._pending_summary)
-            self._version += 1
-            self._sequence += 1
-            snapshot_id = int(uuid.uuid4().int % (1 << 62))
-            try:
+            # a failed data write or metadata commit must not leave half
+            # a snapshot in writer state (shared _commit_guard discipline)
+            with self._commit_guard():
+                self._version += 1
+                self._sequence += 1
+                snapshot_id = int(uuid.uuid4().int % (1 << 62))
                 self._append_position_delete_manifests(
                     descs, data, snapshot_id
                 )
                 self._append_added_data_manifest(updated, snapshot_id)
                 return self._commit_snapshot(snapshot_id, "overwrite")
-            except BaseException:
-                # a failed data write or metadata commit must not leave
-                # half a snapshot in writer state (same discipline as the
-                # branch/WAP append arms)
-                del self._manifests[pre_m_len:]
-                del self._snapshots[pre_snap_len:]
-                self._version -= 1
-                self._sequence -= 1
-                self._current_snapshot_id = pre_head
-                self._pending_summary = pre_pending
-                raise
         finally:
             matched.unpersist()
 
@@ -2421,28 +2478,17 @@ class IcebergTableWriter:
             descs = self._stage_position_delete_files(
                 matched.select("_file", "_pos"), _norm_path_map(data)
             )
-            pre_m_len = len(self._manifests)
-            pre_snap_len = len(self._snapshots)
-            pre_head = self._current_snapshot_id
-            pre_pending = dict(self._pending_summary)
-            self._version += 1
-            self._sequence += 1
-            snapshot_id = int(uuid.uuid4().int % (1 << 62))
-            try:
+            # shared _commit_guard discipline (see update_where_mor)
+            with self._commit_guard():
+                self._version += 1
+                self._sequence += 1
+                snapshot_id = int(uuid.uuid4().int % (1 << 62))
                 if descs:
                     self._append_position_delete_manifests(
                         descs, data, snapshot_id
                     )
                 self._append_added_data_manifest(src, snapshot_id)
                 return self._commit_snapshot(snapshot_id, "overwrite")
-            except BaseException:
-                del self._manifests[pre_m_len:]
-                del self._snapshots[pre_snap_len:]
-                self._version -= 1
-                self._sequence -= 1
-                self._current_snapshot_id = pre_head
-                self._pending_summary = pre_pending
-                raise
         finally:
             src.unpersist()
 
@@ -2481,185 +2527,188 @@ class IcebergTableWriter:
         if not paths:
             raise ValueError("no files to add")
         want = {f["name"] for f in self._schema_json["fields"]}
-        self._version += 1
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        entries = []
-        for path in paths:
-            got = set(pq.read_schema(path).names)
-            if got != want:
-                raise ValueError(
-                    f"schema mismatch for {path}: has {sorted(got)}, "
-                    f"table wants {sorted(want)}"
-                )
-            md = pq.read_metadata(path)
-            n_rows = md.num_rows
-            pvals: dict = {}
-            if self._partition_fields:
-                fb = parquet_column_bounds(path)
-                # footer min/max EXCLUDE nulls, so single-valued bounds
-                # alone cannot prove single-partition membership: also
-                # demand a known null count — 0 (value partition) or
-                # n_rows (the NULL partition); anything else straddles
-                nulls: dict[str, int | None] = {}
-                for g in range(md.num_row_groups):
-                    rg = md.row_group(g)
-                    for ci in range(rg.num_columns):
-                        c = rg.column(ci)
-                        st = c.statistics
-                        name = c.path_in_schema
-                        if st is None or st.null_count is None:
-                            nulls[name] = None
-                        elif nulls.get(name, 0) is not None:
-                            nulls[name] = nulls.get(name, 0) + st.null_count
-                for pf in self._partition_fields:
-                    src = pf["source_name"]
-                    n_null = nulls.get(src)
-                    if n_null is None:
-                        raise ValueError(
-                            f"{path}: no footer null-count statistic for "
-                            f"partition column {src!r} — cannot prove "
-                            "single-partition membership"
-                        )
-                    if n_null == n_rows:  # the NULL partition
-                        pvals[pf["name"]] = None
-                        continue
-                    if n_null > 0:
-                        raise ValueError(
-                            f"{path}: partition column {src!r} mixes "
-                            f"{n_null} NULLs with values — a data file "
-                            "must belong to exactly one partition"
-                        )
-                    if src not in fb:
-                        raise ValueError(
-                            f"{path}: no footer stats for partition column "
-                            f"{src!r} — cannot derive its partition value"
-                        )
-                    if pf["src_type"] == "string":
-                        # truncated stats would silently yield a WRONG
-                        # partition value: demand provable exactness
-                        for g in range(md.num_row_groups):
-                            rg = md.row_group(g)
-                            for ci in range(rg.num_columns):
-                                c = rg.column(ci)
-                                if c.path_in_schema != src:
-                                    continue
-                                st = c.statistics
-                                exact_min = getattr(
-                                    st, "is_min_value_exact", None
-                                )
-                                exact_max = getattr(
-                                    st, "is_max_value_exact", None
-                                )
-                                if exact_min is False or exact_max is False:
-                                    raise ValueError(
-                                        f"{path}: footer min/max for "
-                                        f"{src!r} are truncated — cannot "
-                                        "derive a partition value from "
-                                        "inexact stats"
-                                    )
-                                if exact_min is None and any(
-                                    len(
-                                        b.encode()
-                                        if isinstance(b, str)
-                                        else b
-                                    )
-                                    >= 64
-                                    for b in (st.min, st.max)
-                                ):
-                                    raise ValueError(
-                                        f"{path}: footer min/max for "
-                                        f"{src!r} reach the 64-byte "
-                                        "truncation ceiling and pyarrow "
-                                        "exposes no exactness flag — "
-                                        "refusing a possibly-truncated "
-                                        "partition value"
-                                    )
-                    lo, hi = fb[src]
-                    if isinstance(lo, bytes):
-                        lo, hi = lo.decode(), hi.decode()
-                    if pf["kind"] in ("identity", "bucket") and lo != hi:
-                        raise ValueError(
-                            f"{path}: partition column {src!r} spans "
-                            f"[{lo!r}, {hi!r}] — a data file must belong to "
-                            "exactly one partition"
-                        )
-                    tlo = apply_iceberg_transform(
-                        pf["transform"], lo, pf["src_type"]
+        # restore-on-failure for everything mutated on the way to
+        # the commit (shared _commit_guard discipline)
+        with self._commit_guard():
+            self._version += 1
+            self._sequence += 1
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
+            entries = []
+            for path in paths:
+                got = set(pq.read_schema(path).names)
+                if got != want:
+                    raise ValueError(
+                        f"schema mismatch for {path}: has {sorted(got)}, "
+                        f"table wants {sorted(want)}"
                     )
-                    thi = apply_iceberg_transform(
-                        pf["transform"], hi, pf["src_type"]
-                    )
-                    if tlo != thi:  # monotone transform straddles tuples
-                        raise ValueError(
-                            f"{path}: partition column {src!r} spans "
-                            f"partitions [{tlo!r}, {thi!r}] under "
-                            f"{pf['transform']} — a data file must belong "
-                            "to exactly one partition"
-                        )
-                    pvals[pf["name"]] = tlo
-            entries.append(
-                {
-                    "status": STATUS_ADDED,
-                    "snapshot_id": snapshot_id,
-                    "sequence_number": None,
-                    "file_sequence_number": None,
-                    "data_file": {
-                        "content": CONTENT_DATA,
-                        "file_path": path,
-                        "file_format": "PARQUET",
-                        "partition": pvals,
-                        "record_count": n_rows,
-                        "file_size_in_bytes": os.path.getsize(path),
-                        "equality_ids": None,
-                        **dict(
-                            zip(
-                                ("lower_bounds", "upper_bounds"),
-                                self._file_bounds(path, "parquet"),
+                md = pq.read_metadata(path)
+                n_rows = md.num_rows
+                pvals: dict = {}
+                if self._partition_fields:
+                    fb = parquet_column_bounds(path)
+                    # footer min/max EXCLUDE nulls, so single-valued bounds
+                    # alone cannot prove single-partition membership: also
+                    # demand a known null count — 0 (value partition) or
+                    # n_rows (the NULL partition); anything else straddles
+                    nulls: dict[str, int | None] = {}
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        for ci in range(rg.num_columns):
+                            c = rg.column(ci)
+                            st = c.statistics
+                            name = c.path_in_schema
+                            if st is None or st.null_count is None:
+                                nulls[name] = None
+                            elif nulls.get(name, 0) is not None:
+                                nulls[name] = nulls.get(name, 0) + st.null_count
+                    for pf in self._partition_fields:
+                        src = pf["source_name"]
+                        n_null = nulls.get(src)
+                        if n_null is None:
+                            raise ValueError(
+                                f"{path}: no footer null-count statistic for "
+                                f"partition column {src!r} — cannot prove "
+                                "single-partition membership"
                             )
-                        ),
-                    },
+                        if n_null == n_rows:  # the NULL partition
+                            pvals[pf["name"]] = None
+                            continue
+                        if n_null > 0:
+                            raise ValueError(
+                                f"{path}: partition column {src!r} mixes "
+                                f"{n_null} NULLs with values — a data file "
+                                "must belong to exactly one partition"
+                            )
+                        if src not in fb:
+                            raise ValueError(
+                                f"{path}: no footer stats for partition column "
+                                f"{src!r} — cannot derive its partition value"
+                            )
+                        if pf["src_type"] == "string":
+                            # truncated stats would silently yield a WRONG
+                            # partition value: demand provable exactness
+                            for g in range(md.num_row_groups):
+                                rg = md.row_group(g)
+                                for ci in range(rg.num_columns):
+                                    c = rg.column(ci)
+                                    if c.path_in_schema != src:
+                                        continue
+                                    st = c.statistics
+                                    exact_min = getattr(
+                                        st, "is_min_value_exact", None
+                                    )
+                                    exact_max = getattr(
+                                        st, "is_max_value_exact", None
+                                    )
+                                    if exact_min is False or exact_max is False:
+                                        raise ValueError(
+                                            f"{path}: footer min/max for "
+                                            f"{src!r} are truncated — cannot "
+                                            "derive a partition value from "
+                                            "inexact stats"
+                                        )
+                                    if exact_min is None and any(
+                                        len(
+                                            b.encode()
+                                            if isinstance(b, str)
+                                            else b
+                                        )
+                                        >= 64
+                                        for b in (st.min, st.max)
+                                    ):
+                                        raise ValueError(
+                                            f"{path}: footer min/max for "
+                                            f"{src!r} reach the 64-byte "
+                                            "truncation ceiling and pyarrow "
+                                            "exposes no exactness flag — "
+                                            "refusing a possibly-truncated "
+                                            "partition value"
+                                        )
+                        lo, hi = fb[src]
+                        if isinstance(lo, bytes):
+                            lo, hi = lo.decode(), hi.decode()
+                        if pf["kind"] in ("identity", "bucket") and lo != hi:
+                            raise ValueError(
+                                f"{path}: partition column {src!r} spans "
+                                f"[{lo!r}, {hi!r}] — a data file must belong to "
+                                "exactly one partition"
+                            )
+                        tlo = apply_iceberg_transform(
+                            pf["transform"], lo, pf["src_type"]
+                        )
+                        thi = apply_iceberg_transform(
+                            pf["transform"], hi, pf["src_type"]
+                        )
+                        if tlo != thi:  # monotone transform straddles tuples
+                            raise ValueError(
+                                f"{path}: partition column {src!r} spans "
+                                f"partitions [{tlo!r}, {thi!r}] under "
+                                f"{pf['transform']} — a data file must belong "
+                                "to exactly one partition"
+                            )
+                        pvals[pf["name"]] = tlo
+                entries.append(
+                    {
+                        "status": STATUS_ADDED,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": CONTENT_DATA,
+                            "file_path": path,
+                            "file_format": "PARQUET",
+                            "partition": pvals,
+                            "record_count": n_rows,
+                            "file_size_in_bytes": os.path.getsize(path),
+                            "equality_ids": None,
+                            **dict(
+                                zip(
+                                    ("lower_bounds", "upper_bounds"),
+                                    self._file_bounds(path, "parquet"),
+                                )
+                            ),
+                        },
+                    }
+                )
+            manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
+            self._avro.write(
+                manifest_path,
+                _manifest_entry_schema(self._partition_fields),
+                entries,
+                meta={
+                    "schema": json.dumps(self._schema_json),
+                    "partition-spec": self._spec_json,
+                    "partition-spec-id": str(self._spec_id),
+                    "format-version": "2",
+                    "content": "data",
+                },
+                codec="deflate",
+            )
+            self._manifests.append(
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": self._spec_id,
+                    "content": 0,
+                    "sequence_number": self._sequence,
+                    "min_sequence_number": self._sequence,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(
+                        e["data_file"]["record_count"] for e in entries
+                    ),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "partitions": self._partition_summaries(
+                        [e["data_file"]["partition"] for e in entries]
+                    )
+                    if self._partition_fields
+                    else None,
                 }
             )
-        manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
-        self._avro.write(
-            manifest_path,
-            _manifest_entry_schema(self._partition_fields),
-            entries,
-            meta={
-                "schema": json.dumps(self._schema_json),
-                "partition-spec": self._spec_json,
-                "partition-spec-id": str(self._spec_id),
-                "format-version": "2",
-                "content": "data",
-            },
-            codec="deflate",
-        )
-        self._manifests.append(
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": self._spec_id,
-                "content": 0,
-                "sequence_number": self._sequence,
-                "min_sequence_number": self._sequence,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": sum(
-                    e["data_file"]["record_count"] for e in entries
-                ),
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-                "partitions": self._partition_summaries(
-                    [e["data_file"]["partition"] for e in entries]
-                )
-                if self._partition_fields
-                else None,
-            }
-        )
-        return self._commit_snapshot(snapshot_id, "append")
+            return self._commit_snapshot(snapshot_id, "append")
 
     def rollback_to_timestamp(self, ts_ms: int) -> int:
         """Stock Iceberg's ``rollback_to_timestamp`` CALL procedure:
@@ -2683,28 +2732,33 @@ class IcebergTableWriter:
         )
         if keep is None:
             raise ValueError(f"unknown snapshot {snapshot_id}")
-        self._current_snapshot_id = snapshot_id
-        # Rebuild the writer's live manifest set from the target snapshot's
-        # OWN manifest list — filtering the in-memory list by sequence
-        # number is only correct for append-only history (rewrite_data
-        # REPLACES the list, and CoW rewrites keep the old sequence number
-        # on EXISTING entries), so a rollback across a replace followed by
-        # any new commit would publish a head missing rows (ADVICE r7 #2).
-        # _commit_snapshot writes the list newest-first; reverse to restore
-        # the in-memory oldest-first order.
-        _, entries = read_container(keep["manifest-list"])
-        self._manifests = [dict(m) for m in reversed(entries)]
-        self._version += 1
-        now_ms = int(time.time() * 1000)
-        # stock appends a snapshot-log entry on rollback (the log records
-        # every time CURRENT changes — SetSnapshotOperation), which is
-        # what keeps TIMESTAMP AS OF history-faithful: queries at times
-        # after the rollback resolve to the rolled-back head, while older
-        # times still see what was current then
-        self._log_extra.append(
-            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
-        )
-        self._write_metadata(now_ms)
+        # restore-on-failure for everything mutated on the way to
+        # the commit (shared _commit_guard discipline) — the head move
+        # and manifest-set rebuild below are mutations too
+        with self._commit_guard():
+            self._current_snapshot_id = snapshot_id
+            # Rebuild the writer's live manifest set from the target
+            # snapshot's OWN manifest list — filtering the in-memory list
+            # by sequence number is only correct for append-only history
+            # (rewrite_data REPLACES the list, and CoW rewrites keep the
+            # old sequence number on EXISTING entries), so a rollback
+            # across a replace followed by any new commit would publish a
+            # head missing rows (ADVICE r7 #2). _commit_snapshot writes
+            # the list newest-first; reverse to restore the in-memory
+            # oldest-first order.
+            _, entries = read_container(keep["manifest-list"])
+            self._manifests = [dict(m) for m in reversed(entries)]
+            self._version += 1
+            now_ms = int(time.time() * 1000)
+            # stock appends a snapshot-log entry on rollback (the log records
+            # every time CURRENT changes — SetSnapshotOperation), which is
+            # what keeps TIMESTAMP AS OF history-faithful: queries at times
+            # after the rollback resolve to the rolled-back head, while older
+            # times still see what was current then
+            self._log_extra.append(
+                {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+            )
+            self._write_metadata(now_ms)
 
     def evolve_partition_spec(self, partition_by: list[str]) -> None:
         """PARTITION SPEC EVOLUTION (stock Iceberg's ALTER TABLE ADD/DROP
@@ -2771,162 +2825,165 @@ class IcebergTableWriter:
         from .parquet_io import write_single_parquet
 
         current = scan_iceberg_table(self.spark, self.table_dir)
-        self._version += 1
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        # restore-on-failure for everything mutated on the way to
+        # the commit (shared _commit_guard discipline)
+        with self._commit_guard():
+            self._version += 1
+            self._sequence += 1
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
 
-        groups: list[dict] = [{}]
-        if self._partition_fields:
-            from ..operators.util import bounded_rows
+            groups: list[dict] = [{}]
+            if self._partition_fields:
+                from ..operators.util import bounded_rows
 
-            names = [pf["name"] for pf in self._partition_fields]
-            tuples = bounded_rows(
-                current.select(
-                    *[self._transform_col(pf).alias(pf["name"])
-                      for pf in self._partition_fields]
-                ).distinct(),
-                self.REWRITE_PARTITION_CEILING,
-            )
-            groups = sorted(
-                (dict(zip(names, tuple(r))) for r in tuples),
-                key=lambda d: tuple(str(v) for v in d.values()),
-            )
-        # compaction outputs honor the TABLE'S write format, like the
-        # CoW rewrites (stock rewrite_data_files writes
-        # write.format.default)
-        fmt = self._file_format
-        from .parquet_io import write_single_avro, write_single_orc
-
-        writer = {
-            "parquet": write_single_parquet,
-            "orc": write_single_orc,
-            "avro": write_single_avro,
-        }[fmt]
-
-        def _entry(data_path: str, n_rows: int, pvals: dict) -> dict:
-            return {
-                "status": STATUS_ADDED,
-                "snapshot_id": snapshot_id,
-                "sequence_number": None,
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": CONTENT_DATA,
-                    "file_path": data_path,
-                    "file_format": fmt.upper(),
-                    "partition": pvals,
-                    "record_count": n_rows,
-                    "file_size_in_bytes": os.path.getsize(data_path),
-                    "equality_ids": None,
-                    **dict(
-                        zip(
-                            ("lower_bounds", "upper_bounds"),
-                            self._file_bounds(data_path, fmt),
-                        )
-                    ),
-                },
-            }
-
-        entries = []
-        for i, pvals in enumerate(groups):
-            part_df = current
-            for pf in self._partition_fields:
-                part_df = part_df.filter(
-                    self._transform_col(pf) == F.lit(pvals[pf["name"]])
+                names = [pf["name"] for pf in self._partition_fields]
+                tuples = bounded_rows(
+                    current.select(
+                        *[self._transform_col(pf).alias(pf["name"])
+                          for pf in self._partition_fields]
+                    ).distinct(),
+                    self.REWRITE_PARTITION_CEILING,
                 )
-            if self._sort_order and (target_files or 1) > 1:
-                # RANGE-CLUSTERED rewrite: the persisted sort order splits
-                # each partition into target_files range files (Spark's
-                # sampled range partitioner), so every file covers a
-                # narrow value interval and the manifest bounds make
-                # stats_filter skip all but the straddling files — the
-                # sort-order + data-skipping composition stock Iceberg's
-                # rewrite (sort strategy) exists for. Executor-side
-                # sort-and-write; no driver materialization.
-                import shutil as _shutil
-                import tempfile as _tempfile
+                groups = sorted(
+                    (dict(zip(names, tuple(r))) for r in tuples),
+                    key=lambda d: tuple(str(v) for v in d.values()),
+                )
+            # compaction outputs honor the TABLE'S write format, like the
+            # CoW rewrites (stock rewrite_data_files writes
+            # write.format.default)
+            fmt = self._file_format
+            from .parquet_io import write_single_avro, write_single_orc
 
-                import pyarrow.parquet as _pq
+            writer = {
+                "parquet": write_single_parquet,
+                "orc": write_single_orc,
+                "avro": write_single_avro,
+            }[fmt]
 
-                stage = _tempfile.mkdtemp(prefix="ice-rewrite-")
-                try:
-                    (
-                        part_df.repartitionByRange(target_files, *self._sort_order)
-                        .sortWithinPartitions(*self._sort_order)
-                        .write.mode("overwrite")
-                        .parquet(stage)
-                    )
-                    parts = sorted(
-                        f for f in os.listdir(stage) if f.endswith(".parquet")
-                    )
-                    for j, part in enumerate(parts):
-                        data_path = os.path.join(
-                            self.data_dir,
-                            f"00000-{self._version}-{self._uuid}-"
-                            f"{i + 1}-{j + 1:05d}.{fmt}",
-                        )
-                        staged = os.path.join(stage, part)
-                        if _pq.read_metadata(staged).num_rows == 0:
-                            continue  # empty range bucket
-                        if fmt == "parquet":
-                            os.replace(staged, data_path)
-                            n_rows = _pq.read_metadata(data_path).num_rows
-                        else:
-                            # transcode the staged range file into the
-                            # table's format (single-file task each; a
-                            # one-task read of one file preserves the
-                            # within-range sort order)
-                            n_rows = writer(
-                                self.spark.read.parquet(staged), data_path
+            def _entry(data_path: str, n_rows: int, pvals: dict) -> dict:
+                return {
+                    "status": STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": CONTENT_DATA,
+                        "file_path": data_path,
+                        "file_format": fmt.upper(),
+                        "partition": pvals,
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(data_path),
+                        "equality_ids": None,
+                        **dict(
+                            zip(
+                                ("lower_bounds", "upper_bounds"),
+                                self._file_bounds(data_path, fmt),
                             )
-                        entries.append(_entry(data_path, n_rows, pvals))
-                finally:
-                    _shutil.rmtree(stage, ignore_errors=True)
-                continue
-            data_path = os.path.join(
-                self.data_dir,
-                f"00000-{self._version}-{self._uuid}-0-{i + 1:05d}.{fmt}",
-            )
-            if self._sort_order:
-                # single-file rewrite still honors the persisted order
-                part_df = part_df.coalesce(1).sortWithinPartitions(
-                    *self._sort_order
+                        ),
+                    },
+                }
+
+            entries = []
+            for i, pvals in enumerate(groups):
+                part_df = current
+                for pf in self._partition_fields:
+                    part_df = part_df.filter(
+                        self._transform_col(pf) == F.lit(pvals[pf["name"]])
+                    )
+                if self._sort_order and (target_files or 1) > 1:
+                    # RANGE-CLUSTERED rewrite: the persisted sort order splits
+                    # each partition into target_files range files (Spark's
+                    # sampled range partitioner), so every file covers a
+                    # narrow value interval and the manifest bounds make
+                    # stats_filter skip all but the straddling files — the
+                    # sort-order + data-skipping composition stock Iceberg's
+                    # rewrite (sort strategy) exists for. Executor-side
+                    # sort-and-write; no driver materialization.
+                    import shutil as _shutil
+                    import tempfile as _tempfile
+
+                    import pyarrow.parquet as _pq
+
+                    stage = _tempfile.mkdtemp(prefix="ice-rewrite-")
+                    try:
+                        (
+                            part_df.repartitionByRange(target_files, *self._sort_order)
+                            .sortWithinPartitions(*self._sort_order)
+                            .write.mode("overwrite")
+                            .parquet(stage)
+                        )
+                        parts = sorted(
+                            f for f in os.listdir(stage) if f.endswith(".parquet")
+                        )
+                        for j, part in enumerate(parts):
+                            data_path = os.path.join(
+                                self.data_dir,
+                                f"00000-{self._version}-{self._uuid}-"
+                                f"{i + 1}-{j + 1:05d}.{fmt}",
+                            )
+                            staged = os.path.join(stage, part)
+                            if _pq.read_metadata(staged).num_rows == 0:
+                                continue  # empty range bucket
+                            if fmt == "parquet":
+                                os.replace(staged, data_path)
+                                n_rows = _pq.read_metadata(data_path).num_rows
+                            else:
+                                # transcode the staged range file into the
+                                # table's format (single-file task each; a
+                                # one-task read of one file preserves the
+                                # within-range sort order)
+                                n_rows = writer(
+                                    self.spark.read.parquet(staged), data_path
+                                )
+                            entries.append(_entry(data_path, n_rows, pvals))
+                    finally:
+                        _shutil.rmtree(stage, ignore_errors=True)
+                    continue
+                data_path = os.path.join(
+                    self.data_dir,
+                    f"00000-{self._version}-{self._uuid}-0-{i + 1:05d}.{fmt}",
                 )
-            n_rows = writer(part_df, data_path)
-            entries.append(_entry(data_path, n_rows, pvals))
-        manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
-        self._avro.write(
-            manifest_path,
-            _manifest_entry_schema(self._partition_fields),
-            entries,
-            meta={
-                "schema": json.dumps(self._schema_json),
-                "partition-spec": self._spec_json,
-                "partition-spec-id": str(self._spec_id),
-                "format-version": "2",
-                "content": "data",
-            },
-            codec="deflate",
-        )
-        total_rows = sum(e["data_file"]["record_count"] for e in entries)
-        self._manifests = [
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": self._spec_id,
-                "content": 0,
-                "sequence_number": self._sequence,
-                "min_sequence_number": self._sequence,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": total_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-                "partitions": self._partition_summaries(groups),
-            }
-        ]
-        return self._commit_snapshot(snapshot_id, "replace")
+                if self._sort_order:
+                    # single-file rewrite still honors the persisted order
+                    part_df = part_df.coalesce(1).sortWithinPartitions(
+                        *self._sort_order
+                    )
+                n_rows = writer(part_df, data_path)
+                entries.append(_entry(data_path, n_rows, pvals))
+            manifest_path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
+            self._avro.write(
+                manifest_path,
+                _manifest_entry_schema(self._partition_fields),
+                entries,
+                meta={
+                    "schema": json.dumps(self._schema_json),
+                    "partition-spec": self._spec_json,
+                    "partition-spec-id": str(self._spec_id),
+                    "format-version": "2",
+                    "content": "data",
+                },
+                codec="deflate",
+            )
+            total_rows = sum(e["data_file"]["record_count"] for e in entries)
+            self._manifests = [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": self._spec_id,
+                    "content": 0,
+                    "sequence_number": self._sequence,
+                    "min_sequence_number": self._sequence,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": total_rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "partitions": self._partition_summaries(groups),
+                }
+            ]
+            return self._commit_snapshot(snapshot_id, "replace")
 
     def rewrite_manifests(self) -> int:
         """Stock Iceberg's ``rewrite_manifests`` maintenance procedure —
@@ -2946,87 +3003,90 @@ class IcebergTableWriter:
         data_mfs = [mf for mf in self._manifests if mf.get("content", 0) == 0]
         if len(data_mfs) <= 1:
             raise ValueError("nothing to consolidate: <= 1 data manifest")
-        self._version += 1
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        by_spec: dict[int, list[dict]] = {}
-        stats: dict[int, list[int]] = {}
-        for mf in data_mfs:
-            sid = mf.get("partition_spec_id", 0)
-            _, entries = read_container(mf["manifest_path"])
-            for e in entries:
-                if e["status"] == STATUS_DELETED:
-                    continue  # dropped entries do not carry forward
-                seq = e.get("sequence_number")
-                if seq is None:  # inheritance: resolve before carrying
-                    seq = mf["sequence_number"]
-                by_spec.setdefault(sid, []).append(
+        # restore-on-failure for everything mutated on the way to
+        # the commit (shared _commit_guard discipline)
+        with self._commit_guard():
+            self._version += 1
+            self._sequence += 1
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
+            by_spec: dict[int, list[dict]] = {}
+            stats: dict[int, list[int]] = {}
+            for mf in data_mfs:
+                sid = mf.get("partition_spec_id", 0)
+                _, entries = read_container(mf["manifest_path"])
+                for e in entries:
+                    if e["status"] == STATUS_DELETED:
+                        continue  # dropped entries do not carry forward
+                    seq = e.get("sequence_number")
+                    if seq is None:  # inheritance: resolve before carrying
+                        seq = mf["sequence_number"]
+                    by_spec.setdefault(sid, []).append(
+                        {
+                            **e,
+                            "status": STATUS_EXISTING,
+                            "sequence_number": seq,
+                            "file_sequence_number": e.get("file_sequence_number")
+                            if e.get("file_sequence_number") is not None
+                            else seq,
+                        }
+                    )
+                    cell = stats.setdefault(sid, [0, 1 << 62])
+                    cell[0] += e["data_file"]["record_count"]
+                    cell[1] = min(cell[1], int(seq))
+            new_mfs: list[dict] = []
+            for sid, entries in sorted(by_spec.items()):
+                spec_fields = self._fields_for_spec(sid)
+                path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
+                self._avro.write(
+                    path,
+                    _manifest_entry_schema(spec_fields),
+                    entries,
+                    meta={
+                        "schema": json.dumps(self._schema_json),
+                        "partition-spec": json.dumps(
+                            [
+                                {
+                                    k: pf[k]
+                                    for k in (
+                                        "name", "transform", "source-id", "field-id"
+                                    )
+                                }
+                                for pf in spec_fields
+                            ]
+                        ),
+                        "partition-spec-id": str(sid),
+                        "format-version": "2",
+                        "content": "data",
+                    },
+                    codec="deflate",
+                )
+                new_mfs.append(
                     {
-                        **e,
-                        "status": STATUS_EXISTING,
-                        "sequence_number": seq,
-                        "file_sequence_number": e.get("file_sequence_number")
-                        if e.get("file_sequence_number") is not None
-                        else seq,
+                        "manifest_path": path,
+                        "manifest_length": os.path.getsize(path),
+                        "partition_spec_id": sid,
+                        "content": 0,
+                        "sequence_number": self._sequence,
+                        "min_sequence_number": stats[sid][1],
+                        "added_snapshot_id": snapshot_id,
+                        "added_files_count": 0,
+                        "existing_files_count": len(entries),
+                        "deleted_files_count": 0,
+                        "added_rows_count": 0,
+                        "existing_rows_count": stats[sid][0],
+                        "deleted_rows_count": 0,
+                        "partitions": self._partition_summaries(
+                            [e["data_file"].get("partition") or {} for e in entries],
+                            fields=spec_fields,
+                        )
+                        if spec_fields
+                        else None,
                     }
                 )
-                cell = stats.setdefault(sid, [0, 1 << 62])
-                cell[0] += e["data_file"]["record_count"]
-                cell[1] = min(cell[1], int(seq))
-        new_mfs: list[dict] = []
-        for sid, entries in sorted(by_spec.items()):
-            spec_fields = self._fields_for_spec(sid)
-            path = os.path.join(self.meta_dir, f"{uuid.uuid4()}-m0.avro")
-            self._avro.write(
-                path,
-                _manifest_entry_schema(spec_fields),
-                entries,
-                meta={
-                    "schema": json.dumps(self._schema_json),
-                    "partition-spec": json.dumps(
-                        [
-                            {
-                                k: pf[k]
-                                for k in (
-                                    "name", "transform", "source-id", "field-id"
-                                )
-                            }
-                            for pf in spec_fields
-                        ]
-                    ),
-                    "partition-spec-id": str(sid),
-                    "format-version": "2",
-                    "content": "data",
-                },
-                codec="deflate",
-            )
-            new_mfs.append(
-                {
-                    "manifest_path": path,
-                    "manifest_length": os.path.getsize(path),
-                    "partition_spec_id": sid,
-                    "content": 0,
-                    "sequence_number": self._sequence,
-                    "min_sequence_number": stats[sid][1],
-                    "added_snapshot_id": snapshot_id,
-                    "added_files_count": 0,
-                    "existing_files_count": len(entries),
-                    "deleted_files_count": 0,
-                    "added_rows_count": 0,
-                    "existing_rows_count": stats[sid][0],
-                    "deleted_rows_count": 0,
-                    "partitions": self._partition_summaries(
-                        [e["data_file"].get("partition") or {} for e in entries],
-                        fields=spec_fields,
-                    )
-                    if spec_fields
-                    else None,
-                }
-            )
-        self._manifests = [
-            mf for mf in self._manifests if mf.get("content", 0) != 0
-        ] + new_mfs
-        return self._commit_snapshot(snapshot_id, "replace")
+            self._manifests = [
+                mf for mf in self._manifests if mf.get("content", 0) != 0
+            ] + new_mfs
+            return self._commit_snapshot(snapshot_id, "replace")
 
     def rewrite_position_deletes(self) -> int:
         """Stock Iceberg's ``rewrite_position_delete_files`` maintenance
@@ -3147,55 +3207,58 @@ class IcebergTableWriter:
         )
         # dangling rows (target no longer live) drop here
         matched = pairs.join(F.broadcast(live_df), "_file", "left_semi")
-        self._version += 1
-        data_dir, version, tuuid = self.data_dir, self._version, self._uuid
-        norm = dict(live_norm)
+        # restore-on-failure for everything mutated on the way to
+        # the commit (shared _commit_guard discipline)
+        with self._commit_guard():
+            self._version += 1
+            data_dir, version, tuuid = self.data_dir, self._version, self._uuid
+            norm = dict(live_norm)
 
-        def _write_group(key, pdf):
-            import uuid as _uuid
+            def _write_group(key, pdf):
+                import uuid as _uuid
 
-            import pyarrow as pa
-            import pyarrow.parquet as pq
+                import pyarrow as pa
+                import pyarrow.parquet as pq
 
-            orig = norm[key[0]]
-            posn = sorted(int(p) for p in pdf["_pos"])
-            del_path = os.path.join(
-                data_dir,
-                f"00000-{version}-{tuuid}-rewrite-deletes-"
-                f"{_uuid.uuid4().hex[:12]}.parquet",
-            )
-            pq.write_table(
-                pa.table(
-                    {
-                        "file_path": pa.array([orig] * len(posn), pa.string()),
-                        "pos": pa.array(posn, pa.int64()),
-                    }
-                ),
-                del_path,
-            )
-            return pd.DataFrame(
-                {"file": [orig], "path": [del_path], "rows": [len(posn)]}
-            )
+                orig = norm[key[0]]
+                posn = sorted(int(p) for p in pdf["_pos"])
+                del_path = os.path.join(
+                    data_dir,
+                    f"00000-{version}-{tuuid}-rewrite-deletes-"
+                    f"{_uuid.uuid4().hex[:12]}.parquet",
+                )
+                pq.write_table(
+                    pa.table(
+                        {
+                            "file_path": pa.array([orig] * len(posn), pa.string()),
+                            "pos": pa.array(posn, pa.int64()),
+                        }
+                    ),
+                    del_path,
+                )
+                return pd.DataFrame(
+                    {"file": [orig], "path": [del_path], "rows": [len(posn)]}
+                )
 
-        descs = bounded_rows(
-            matched.groupBy("_file").applyInPandas(
-                _write_group, "file string, path string, rows long"
+            descs = bounded_rows(
+                matched.groupBy("_file").applyInPandas(
+                    _write_group, "file string, path string, rows long"
+                )
             )
-        )
-        self._manifests = keep
-        self._sequence += 1
-        snapshot_id = int(uuid.uuid4().int % (1 << 62))
-        by_spec: dict[int, list[tuple[str, int, dict, int, list | None]]] = {}
-        for r in sorted(descs, key=lambda r: r["path"]):
-            pv, sid = pmap[r["file"]]
-            flds = self._fields_for_spec(sid)
-            pvals = {pf["name"]: pv.get(pf["name"]) for pf in flds}
-            by_spec.setdefault(sid, []).append(
-                (r["path"], int(r["rows"]), pvals, CONTENT_POSITION_DELETES, None)
-            )
-        for sid, files in sorted(by_spec.items()):
-            self._append_delete_manifest(snapshot_id, files, spec_id=sid)
-        return self._commit_snapshot(snapshot_id, "replace")
+            self._manifests = keep
+            self._sequence += 1
+            snapshot_id = int(uuid.uuid4().int % (1 << 62))
+            by_spec: dict[int, list[tuple[str, int, dict, int, list | None]]] = {}
+            for r in sorted(descs, key=lambda r: r["path"]):
+                pv, sid = pmap[r["file"]]
+                flds = self._fields_for_spec(sid)
+                pvals = {pf["name"]: pv.get(pf["name"]) for pf in flds}
+                by_spec.setdefault(sid, []).append(
+                    (r["path"], int(r["rows"]), pvals, CONTENT_POSITION_DELETES, None)
+                )
+            for sid, files in sorted(by_spec.items()):
+                self._append_delete_manifest(snapshot_id, files, spec_id=sid)
+            return self._commit_snapshot(snapshot_id, "replace")
 
     def expire_snapshots(
         self, retain_last: int = 1, retain_ref_history: bool = False
@@ -3918,17 +3981,27 @@ def resolve_snapshot_at_timestamp(table_dir: str, ts_ms: int) -> int:
     is history-faithful across rollbacks. Raises like stock when the
     time predates the table. O(metadata) — one chain read, no data IO."""
     metadata = read_table_metadata(table_dir)
-    log = sorted(
-        metadata.get("snapshot-log") or [], key=lambda e: e["timestamp-ms"]
-    )
+    log = metadata.get("snapshot-log") or []
     best: int | None = None
+    prev_ts: int | None = None
+    oldest: int | None = None
+    # log order (the order entries became current) is authoritative; a
+    # same-or-backwards timestamp (coarse clock, clock step) adjusts to
+    # predecessor+1ms — the same monotonicity rule the Delta resolver
+    # applies, so order-of-commits and order-of-times never disagree
     for e in log:
-        if int(e["timestamp-ms"]) <= ts_ms:
+        ts = int(e["timestamp-ms"])
+        if prev_ts is not None and ts <= prev_ts:
+            ts = prev_ts + 1
+        prev_ts = ts
+        if oldest is None:
+            oldest = ts
+        if ts <= ts_ms:
             best = int(e["snapshot-id"])
     if best is None:
         raise ValueError(
             f"no snapshot is older than timestamp {ts_ms} (oldest log "
-            f"entry: {log[0]['timestamp-ms'] if log else 'none'})"
+            f"entry: {oldest if oldest is not None else 'none'})"
         )
     return best
 

@@ -4604,24 +4604,36 @@ def source_iceberg_as_of_timestamp(
         scan_iceberg_table,
     )
 
+    import json as _json
+
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-asof-")
     w = IcebergTableWriter(spark, tmp)
     w.append(n.filter("n_nationkey < 12"))
     w.append(n.filter("n_nationkey >= 12"))
-    log = read_table_metadata(tmp)["snapshot-log"]
-    ts1, ts2 = int(log[0]["timestamp-ms"]), int(log[1]["timestamp-ms"])
-    assert ts2 > ts1, "fixture commits landed in the same millisecond"
+    # pin the log timestamps to fixed values (a foreign-written chain's
+    # stamps are arbitrary anyway): deterministic at any commit speed —
+    # two same-millisecond commits would otherwise make ts2-1 ambiguous
+    meta_dir = os.path.join(tmp, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    mp = os.path.join(meta_dir, f"v{v}.metadata.json")
+    with open(mp) as fh:
+        meta = _json.load(fh)
+    for i, e in enumerate(meta["snapshot-log"]):
+        e["timestamp-ms"] = 100_000 * (i + 1)
+    with open(mp, "w") as fh:
+        _json.dump(meta, fh)
     assert scan_iceberg_table(
-        spark, tmp, as_of_timestamp_ms=ts2
+        spark, tmp, as_of_timestamp_ms=200_000
     ).count() == 25  # at head time: everything
     try:
-        scan_iceberg_table(spark, tmp, as_of_timestamp_ms=ts1 - 1)
+        scan_iceberg_table(spark, tmp, as_of_timestamp_ms=99_999)
         raise AssertionError("pre-table timestamp must raise")
     except ValueError:
         pass
     back = scan_iceberg_table(
-        spark, tmp, as_of_timestamp_ms=ts2 - 1
+        spark, tmp, as_of_timestamp_ms=199_999
     ).select("n_nationkey", "n_name", "n_regionkey")
     return _materialize(spark, back, tmp)
 
@@ -4658,23 +4670,28 @@ def source_delta_as_of_timestamp(
     w.commit(add_dfs=[n.filter("n_nationkey >= 12")])
     import json as _json
 
-    def _ci_ts(v):
-        with open(os.path.join(tmp, "_delta_log", f"{v:020d}.json")) as fh:
+    # pin commitInfo timestamps to fixed values: deterministic at any
+    # commit speed (the resolver's monotonicity rule handles real-world
+    # stamps; the fixture pins exact ones)
+    for v, ts in ((0, 100_000), (1, 200_000)):
+        p = os.path.join(tmp, "_delta_log", f"{v:020d}.json")
+        out = []
+        with open(p) as fh:
             for line in fh.read().splitlines():
                 a = _json.loads(line)
                 if "commitInfo" in a:
-                    return int(a["commitInfo"]["timestamp"])
-        raise AssertionError("fixture commit lacks commitInfo")
+                    a["commitInfo"]["timestamp"] = ts
+                out.append(_json.dumps(a, separators=(",", ":")))
+        with open(p, "w") as fh:
+            fh.write("\n".join(out))
 
-    ts0, ts1 = _ci_ts(0), _ci_ts(1)
-    assert ts1 > ts0, "fixture commits landed in the same millisecond"
     assert delta_version_at_timestamp(tmp, int(_time.time() * 1000)) == 1
     try:
-        delta_version_at_timestamp(tmp, ts0 - 1)
+        delta_version_at_timestamp(tmp, 99_999)
         raise AssertionError("pre-table timestamp must raise")
     except ValueError:
         pass
-    back = scan_delta_table(spark, tmp, as_of_timestamp_ms=ts1 - 1).select(
+    back = scan_delta_table(spark, tmp, as_of_timestamp_ms=199_999).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
     return _materialize(spark, back, tmp)

@@ -2126,19 +2126,23 @@ def test_restore_to_timestamp(spark, tmp_path):
     w.commit(add_dfs=[n.filter("n_nationkey < 12")])
     w.commit(add_dfs=[n.filter("n_nationkey >= 12")])
 
-    def _ci_ts(v):
-        with open(os.path.join(d, "_delta_log", f"{v:020d}.json")) as fh:
-            for line in fh:
+    # pin commitInfo stamps for determinism at any commit speed
+    for ver, ts in ((0, 100_000), (1, 200_000)):
+        p = os.path.join(d, "_delta_log", f"{ver:020d}.json")
+        out = []
+        with open(p) as fh:
+            for line in fh.read().splitlines():
                 a = _json.loads(line)
                 if "commitInfo" in a:
-                    return int(a["commitInfo"]["timestamp"])
+                    a["commitInfo"]["timestamp"] = ts
+                out.append(_json.dumps(a, separators=(",", ":")))
+        with open(p, "w") as fh:
+            fh.write("\n".join(out))
 
-    t0, t1 = _ci_ts(0), _ci_ts(1)
-    assert t1 > t0
-    v = w.restore_to_timestamp(t1 - 1)  # the state current between commits
+    v = w.restore_to_timestamp(199_999)  # the state current between commits
     assert v == 2  # the restore is itself a new commit
     assert scan_delta_table(spark, d).count() == 12
     n_versions = read_delta_log(d)["version"]
     with pytest.raises(ValueError, match="at or before"):
-        w.restore_to_timestamp(t0 - 1)
+        w.restore_to_timestamp(99_999)
     assert read_delta_log(d)["version"] == n_versions  # nothing committed

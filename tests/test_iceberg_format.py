@@ -3013,6 +3013,23 @@ def test_all_files_metadata_table_unions_both_contents(spark, tmp_path):
     assert {r[0] for r in rows("all_files")} == {0, 1}  # both contents
 
 
+def _pin_snapshot_log_timestamps(table_dir, stamps):
+    """Rewrite the CURRENT metadata's snapshot-log timestamps to fixed
+    values — deterministic timestamp-resolution tests at any commit
+    speed (two real commits can land in the same millisecond)."""
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    p = os.path.join(meta_dir, f"v{v}.metadata.json")
+    with open(p) as fh:
+        meta = json.load(fh)
+    assert len(meta["snapshot-log"]) == len(stamps)
+    for e, ts in zip(meta["snapshot-log"], stamps):
+        e["timestamp-ms"] = ts
+    with open(p, "w") as fh:
+        json.dump(meta, fh)
+
+
 def test_timestamp_as_of_is_history_faithful_across_rollback(spark, tmp_path):
     """resolve_snapshot_at_timestamp follows the SNAPSHOT LOG (when each
     snapshot became current), so a rollback makes the target snapshot
@@ -3032,18 +3049,24 @@ def test_timestamp_as_of_is_history_faithful_across_rollback(spark, tmp_path):
     log = read_table_metadata(d)["snapshot-log"]
     # the log now has three entries: s1 current, s2 current, s1 again
     assert [e["snapshot-id"] for e in log] == [s1, s2, s1]
-    t1, t2, t3 = (int(e["timestamp-ms"]) for e in log)
-    assert resolve_snapshot_at_timestamp(d, t1) == s1
-    if t2 > t1:
-        assert resolve_snapshot_at_timestamp(d, t2 - 1) == s1
-    assert resolve_snapshot_at_timestamp(d, t2) == s2
-    assert resolve_snapshot_at_timestamp(d, max(t3, t2 + 1)) == s1
-    rows = scan_iceberg_table(
-        spark, d, as_of_timestamp_ms=max(t3, t2 + 1)
-    ).count()
+    _pin_snapshot_log_timestamps(d, [100_000, 200_000, 300_000])
+    assert resolve_snapshot_at_timestamp(d, 100_000) == s1
+    assert resolve_snapshot_at_timestamp(d, 199_999) == s1
+    assert resolve_snapshot_at_timestamp(d, 200_000) == s2
+    assert resolve_snapshot_at_timestamp(d, 300_000) == s1
+    rows = scan_iceberg_table(spark, d, as_of_timestamp_ms=300_000).count()
     assert rows == 12  # rolled-back head
     with pytest.raises(ValueError, match="one of"):
-        scan_iceberg_table(spark, d, as_of_timestamp_ms=t2, snapshot_id=s1)
+        scan_iceberg_table(
+            spark, d, as_of_timestamp_ms=200_000, snapshot_id=s1
+        )
+    # monotonicity: a backwards/equal stamp adjusts to predecessor+1ms
+    _pin_snapshot_log_timestamps(d, [100_000, 100_000, 50_000])
+    assert resolve_snapshot_at_timestamp(d, 100_000) == s1
+    assert resolve_snapshot_at_timestamp(d, 100_001) == s2
+    assert resolve_snapshot_at_timestamp(d, 100_002) == s1
+    with pytest.raises(ValueError, match="older than"):
+        resolve_snapshot_at_timestamp(d, 99_999)
 
 
 def test_round14_review_fixes(spark, tmp_path):
@@ -3164,15 +3187,16 @@ def test_rollback_to_timestamp(spark, tmp_path):
     w = IcebergTableWriter(spark, d)
     s1 = w.append(n.filter("n_nationkey < 12"))
     w.append(n.filter("n_nationkey >= 12"))
-    log = read_table_metadata(d)["snapshot-log"]
-    t1, t2 = int(log[0]["timestamp-ms"]), int(log[1]["timestamp-ms"])
-    assert t2 > t1
-    sid = w.rollback_to_timestamp(t2 - 1)
+    _pin_snapshot_log_timestamps(d, [100_000, 200_000])
+    sid = w.rollback_to_timestamp(199_999)
     assert sid == s1
     assert scan_iceberg_table(spark, d).count() == 12
+    # the rollback re-wrote metadata (fresh real stamps + the rollback's
+    # own log entry): re-pin and check resolution over the new shape
+    _pin_snapshot_log_timestamps(d, [100_000, 200_000, 300_000])
     with pytest.raises(ValueError, match="older than"):
-        w.rollback_to_timestamp(t1 - 1)
-    assert resolve_snapshot_at_timestamp(d, t2 - 1) == s1
+        w.rollback_to_timestamp(99_999)
+    assert resolve_snapshot_at_timestamp(d, 199_999) == s1
 
 
 def test_round14_review_fixes_second_pass(spark, tmp_path):
@@ -3220,7 +3244,9 @@ def test_round14_review_fixes_second_pass(spark, tmp_path):
     s3 = w2.append(n.filter("n_nationkey >= 10"))
     w2.rollback_to_snapshot(s2)  # extra log entry for s2
     w2.rollback_to_snapshot(s3)
-    w2.expire_snapshots(retain_last=2)  # s1, s2 expire
+    # retention walks the head's ancestor chain (s3 → s1), so exactly s2
+    # expires — the rollback _log_extra entry naming it must be pruned
+    w2.expire_snapshots(retain_last=2)
     meta = read_table_metadata(d2)
     snap_ids = {s["snapshot-id"] for s in meta["snapshots"]}
     log_ids = {e["snapshot-id"] for e in meta["snapshot-log"]}
