@@ -1008,8 +1008,17 @@ class IcebergTableWriter:
         it a failed metadata write leaves half a snapshot in writer state
         and the NEXT commit publishes it — the defect class the branch/
         WAP append arms were hardened against one arm at a time; this is
-        the shared discipline for every other commit path."""
-        m_ref, m_copy = self._manifests, [dict(m) for m in self._manifests]
+        the shared discipline for every other commit path.
+
+        The manifest snapshot is a SHALLOW list copy: manifest-entry
+        dicts are write-once in this writer — every state change is
+        list-level (append / rebind / filter into a new list; no code
+        path assigns into an existing entry dict, pinned by
+        test_commit_guard_shallow_manifest_snapshot) — so restoring the
+        pointer list restores the state. Per-dict deep copies here were
+        O(manifests × dict size) on EVERY commit including plain appends
+        (ADVICE r14 #4); the shallow copy is O(manifests) pointers."""
+        m_ref, m_copy = self._manifests, list(self._manifests)
         n_snap = len(self._snapshots)
         ver, seq = self._version, self._sequence
         head = self._current_snapshot_id
@@ -2472,6 +2481,28 @@ class IcebergTableWriter:
         src = source_df.select(*want).persist()
         try:
             keys = src.select(*key_cols)
+            # stock MERGE's cardinality check (ADVICE r14 #2): a TARGET
+            # row matched by MORE THAN ONE source row raises (Spark's
+            # MERGE_CARDINALITY_VIOLATION) — silently accepting it would
+            # position-delete the target once and append BOTH source
+            # rows, diverging from a stock-written history. Duplicate
+            # source keys that match NO target row stay legal (each
+            # inserts, exactly stock's behavior). Bounded: dup keys are
+            # an aggregate, the probe is limit(1).
+            dup_keys = (
+                src.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .select(*key_cols)
+            )
+            if visible.join(
+                gated_broadcast(dup_keys), key_cols, "left_semi"
+            ).take(1):
+                raise ValueError(
+                    "MERGE cardinality violation: a target row matches "
+                    "more than one source row (stock Spark raises "
+                    "MERGE_CARDINALITY_VIOLATION here)"
+                )
             matched = visible.join(
                 gated_broadcast(keys), key_cols, "left_semi"
             )
@@ -3479,9 +3510,21 @@ class IcebergTableWriter:
             meta = _read_metadata_file(
                 os.path.join(self.meta_dir, f"v{v}.metadata.json")
             )
-            if meta is None:
-                continue
             required = v == disk_versions[-1]
+            if meta is None:
+                if required:
+                    # The NEWEST listed version could not be READ (listdir
+                    # saw it but open failed — e.g. a concurrent cleanup
+                    # race). Falling through to older tolerant chains would
+                    # sweep against an incomplete referenced set; with a
+                    # fresh writer (empty _snapshots belt) that can unlink
+                    # live data. Abort the destructive pass (ADVICE r14 #3).
+                    raise FileNotFoundError(
+                        "remove_orphan_files aborted: newest metadata "
+                        f"version v{v} listed but unreadable — referenced "
+                        "set would be incomplete"
+                    )
+                continue
             for s in meta.get("snapshots", []):
                 _ref_manifest_list(s["manifest-list"], required)
             for st in meta.get("statistics") or []:
@@ -5309,6 +5352,30 @@ def scan_iceberg_changelog(
             cond = cond & F.col(k).eqNullSafe(F.col(f"_ek_{k}"))
         return pre.join(gated_broadcast(keys), cond, "left_semi")
 
+    def _eq_victims_excluding_pos(
+        d: dict, files_pre: list[dict], dels_pre: list[dict],
+        pos_new: list[dict],
+    ) -> DataFrame:
+        """Equality victims of ``d`` EXCLUDING rows this same commit's
+        NEW position deletes already kill: without the exclusion a
+        surviving-file row hit by BOTH flavors in one commit is emitted
+        as two 'delete' changelog rows (ADVICE r14 #1). The pre-scan
+        keeps ``_file``/``_pos`` so the anti-join excludes by exact
+        ordinal; ``_stamped`` drops the meta columns afterwards."""
+        pre_meta = _assemble_visible_scan(
+            spark, files_pre, dels_pre, cur_schema, keep_meta=True
+        )
+        pairs = _read_position_delete_pairs(spark, pos_new).select(
+            norm(F.col("file_path")).alias("_dfile"),
+            F.col("pos").alias("_dpos"),
+        )
+        return _eq_victims(d, pre_meta).join(
+            pairs,
+            (F.col("_file") == F.col("_dfile"))
+            & (F.col("_pos") == F.col("_dpos")),
+            "left_anti",
+        )
+
     parts: list[DataFrame] = []
     prev_id = from_snapshot_id
     prev_files: tuple[list[dict], list[dict]] | None = None
@@ -5346,6 +5413,10 @@ def scan_iceberg_changelog(
             if added:
                 parts.append(_stamped(post.exceptAll(pre), "insert", seq))
             removed_paths_eq = {pynorm(f["file_path"]) for f in removed}
+            new_pos_cow = [
+                f for f in new_dels
+                if f["content"] == CONTENT_POSITION_DELETES
+            ]
             if new_eq:
                 # remove+add-EQUALITY-delete shape (VERDICT r13 #5, the
                 # last changelog refusal, now derived): the rewrite diff
@@ -5362,17 +5433,28 @@ def scan_iceberg_changelog(
                     f for f in data_p
                     if pynorm(f["file_path"]) not in removed_paths_eq
                 ]
-                pre_surv = _assemble_visible_scan(
-                    spark, surviving, dels_p, cur_schema
-                )
-                for d in new_eq:
-                    parts.append(
-                        _stamped(_eq_victims(d, pre_surv), "delete", seq)
+                if new_pos_cow:
+                    # both flavors in one commit: anti-join the eq
+                    # victims against the new pos ordinals so a doubly-
+                    # hit surviving row emits ONE delete (ADVICE r14 #1)
+                    for d in new_eq:
+                        parts.append(
+                            _stamped(
+                                _eq_victims_excluding_pos(
+                                    d, surviving, dels_p, new_pos_cow
+                                ),
+                                "delete",
+                                seq,
+                            )
+                        )
+                else:
+                    pre_surv = _assemble_visible_scan(
+                        spark, surviving, dels_p, cur_schema
                     )
-            new_pos_cow = [
-                f for f in new_dels
-                if f["content"] == CONTENT_POSITION_DELETES
-            ]
+                    for d in new_eq:
+                        parts.append(
+                            _stamped(_eq_victims(d, pre_surv), "delete", seq)
+                        )
             if new_pos_cow:
                 # remove+add-POSITION-delete shape (VERDICT r12 #7,
                 # previously a refusal): the new ordinals' victims on
@@ -5415,9 +5497,21 @@ def scan_iceberg_changelog(
                     seq,
                 )
             )
-        for d in new_eq:
-            pre = scan_iceberg_table(spark, table_dir, snapshot_id=prev_id)
-            parts.append(_stamped(_eq_victims(d, pre), "delete", seq))
+        if new_eq and new_pos:
+            # both flavors in one MoR commit: exclude this commit's new
+            # position-delete ordinals from the eq victims (ADVICE r14 #1)
+            for d in new_eq:
+                parts.append(
+                    _stamped(
+                        _eq_victims_excluding_pos(d, data_p, dels_p, new_pos),
+                        "delete",
+                        seq,
+                    )
+                )
+        else:
+            for d in new_eq:
+                pre = scan_iceberg_table(spark, table_dir, snapshot_id=prev_id)
+                parts.append(_stamped(_eq_victims(d, pre), "delete", seq))
         prev_id, prev_files = sid, (data_s, dels_s)
     if not parts:
         # valid window, nothing contributed (e.g. only replace/maintenance

@@ -3255,3 +3255,151 @@ def test_round14_review_fixes_second_pass(spark, tmp_path):
     # (4) version + timestamp refusal
     with pytest.raises(ValueError, match="only one of"):
         scan_iceberg_table(spark, d2, version=1, as_of_timestamp_ms=1)
+
+
+def test_changelog_pos_plus_eq_same_commit_single_emit(spark, tmp_path):
+    """ADVICE r15 (r14 #1): ONE commit adding BOTH a position delete and
+    an equality delete hitting the SAME surviving row must emit that row
+    as exactly ONE changelog 'delete' — the eq-victim frame is anti-
+    joined against the commit's own new position ordinals."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        CONTENT_POSITION_DELETES,
+        scan_iceberg_changelog,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "poseq")
+    w = IcebergTableWriter(spark, d)
+    v1 = w.append(n.filter("n_nationkey < 10").orderBy("n_nationkey"))
+    files, _ = iceberg_snapshot_files(d)
+    assert len(files) == 1
+    # one commit, both flavors: pos ordinal 4 (= key 4, sorted append)
+    # AND an equality delete on keys {4, 6} — key 4 is doubly hit
+    w._version += 1
+    w._sequence += 1
+    sid = int(_uuid.uuid4().int % (1 << 62))
+    pos_path = os.path.join(
+        w.data_dir, f"00000-{w._version}-{w._uuid}-deletes-00001.parquet"
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([files[0]["file_path"]], pa.string()),
+                "pos": pa.array([4], pa.int64()),
+            }
+        ),
+        pos_path,
+    )
+    _, eq_files = w._eq_delete_files(["n_nationkey"], [(4,), (6,)])
+    w._append_delete_manifest(
+        sid, [(pos_path, 1, {}, CONTENT_POSITION_DELETES, None)] + eq_files
+    )
+    w._commit_snapshot(sid, "delete")
+    assert scan_iceberg_table(spark, d).count() == 8
+    ch = scan_iceberg_changelog(spark, d, from_snapshot_id=v1).collect()
+    got = sorted((r["_change_type"], r["n_nationkey"]) for r in ch)
+    assert got == [("delete", 4), ("delete", 6)], got
+
+
+def test_merge_mor_positions_cardinality_check(spark, tmp_path):
+    """ADVICE r15 (r14 #2): stock MERGE raises when a TARGET row matches
+    more than one source row; duplicate source keys that match NOTHING
+    stay legal (each inserts)."""
+    from lakefs_iceberg_catalog_spark.operators.util import local_df
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "mergecard")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 10"))
+    dup_hit = local_df(
+        spark,
+        [(4, "A", 0), (4, "B", 0), (30, "NEW", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        w.merge_upsert_mor_positions(dup_hit, ["n_nationkey"])
+    assert scan_iceberg_table(spark, d).count() == 10  # nothing committed
+    # duplicate keys matching NO target row: both insert, no raise
+    dup_miss = local_df(
+        spark,
+        [(40, "X", 0), (40, "Y", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    w.merge_upsert_mor_positions(dup_miss, ["n_nationkey"])
+    assert scan_iceberg_table(spark, d).count() == 12
+
+
+def test_remove_orphans_aborts_on_unreadable_newest_metadata(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r15 (r14 #3): when the NEWEST listed v*.metadata.json
+    cannot be read (listdir saw it, open lost a race), the destructive
+    sweep must ABORT — not fall through to older tolerant chains with a
+    possibly-incomplete referenced set."""
+    import lakefs_iceberg_catalog_spark.catalog.iceberg_format as icef
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    d = str(tmp_path / "orphrace")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 10"))
+    w.append(n.filter("n_nationkey >= 10"))
+    newest = max(
+        int(m.group(1))
+        for name in os.listdir(w.meta_dir)
+        if (m := icef._METADATA_RE.match(name))
+    )
+    real = icef._read_metadata_file
+
+    def racy(path):
+        if path.endswith(f"v{newest}.metadata.json"):
+            return None  # simulate FileNotFoundError-at-open race
+        return real(path)
+
+    monkeypatch.setattr(icef, "_read_metadata_file", racy)
+    with pytest.raises(FileNotFoundError, match="newest metadata"):
+        w.remove_orphan_files()
+
+
+def test_commit_guard_shallow_manifest_snapshot(spark, tmp_path):
+    """ADVICE r15 (r14 #4): the guard snapshots manifests with a SHALLOW
+    list copy — sound because manifest-entry dicts are write-once (every
+    state change is list-level). Pins (a) restore-on-failure still heals
+    the list exactly, preserving entry-dict identity, and (b) the
+    write-once discipline across a mixed DML history: entry dicts
+    surviving a commit are the SAME objects, unmutated."""
+    import copy as _copy
+
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "shallowguard")
+    w = IcebergTableWriter(spark, d)
+    w.append(n.filter("n_nationkey < 10"))
+
+    # (a) forced commit failure: list healed, same dict objects back
+    pre_ids = [id(m) for m in w._manifests]
+    pre_deep = _copy.deepcopy(w._manifests)
+    real = w._write_metadata
+
+    def boom(now_ms):
+        raise OSError("simulated metadata write failure")
+
+    w._write_metadata = boom
+    with pytest.raises(OSError, match="simulated"):
+        w.append(n.filter("n_nationkey >= 10"))
+    w._write_metadata = real
+    assert [id(m) for m in w._manifests] == pre_ids
+    assert w._manifests == pre_deep
+
+    # (b) write-once across DML that rewrites the manifest SET: the
+    # carried-over entries keep identity and content
+    before = {id(m): _copy.deepcopy(m) for m in w._manifests}
+    w.delete_where_mor("n_nationkey = 3")
+    w.update_where_mor("n_nationkey = 5", {"n_name": "'X'"})
+    for m in w._manifests:
+        if id(m) in before:
+            assert m == before[id(m)]  # never mutated in place
+    assert scan_iceberg_table(spark, d).count() == 9  # key 3 deleted
