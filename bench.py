@@ -48,213 +48,18 @@ HEADLINE = [
     "pipeline_training_corpus",
 ]
 
-# Round-2+ additions, timed but kept OUT of the baseline-comparable total.
-EXTRA = [
-    "q5_local_supplier",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q18_large_volume",
-    "join_salted_skew",
-    "dedup_embedding_cosine",
-    "similarity_ann_ivf",
-    "text_pii_scrub",
-    "sample_stratified_hash",
-    "similarity_ann_lsh_multiprobe",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q19_disjunctive_parts",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_count",
-    "q20_potential_promotion",
-    "q21_suppliers_who_kept_waiting",
-    "pipeline_pack_sequences",
-    "multimodal_audio_resample",
-    "sink_bucketed_pruning",
-    "rollup_hypertable_incremental",
-    "pipeline_contamination_check",
-    "window_sessionize",
-    "sink_zorder_pruning",
-    "text_repetition_signals",
-    "text_unigram_logprob_score",
-    "similarity_ann_sq8",
-    "join_range_bucketized",
-    "join_fuzzy_levenshtein",
-    "agg_funnel_steps",
-    "window_retention_cohorts",
-    "rollup_gapfill_locf",
-    "dedup_repeated_spans",
-    "window_anomaly_zscore",
-    "similarity_maxsim_late_interaction",
-    "dml_scd2_intervals",
-    "pipeline_batch_padding",
-    "pipeline_global_shuffle",
-    "sink_partition_transforms",
-    "dml_delete_positions",
-    "similarity_ann_pq",
-    "stream_source_versioned",
-    "sql_merge_full_sync",
-    "ddl_partition_evolution",
-    "sample_tokens_systematic",
-    "text_bpe_merge_rounds",
-    "multimodal_clip_filter",
-    "dedup_shared_spans_cross",
-    "window_activity_streaks",
-    "rollup_ohlc_bars",
-    "window_twap",
-    "branch_cherry_pick",
-    "dedup_containment",
-    "similarity_range_search",
-    "maint_compact_expire_gc",
-    "window_ewma",
-    "ddl_add_files",
-    "sql_call_procedures",
-    "window_rolling_corr",
-    "multimodal_phash_dedup",
-    "agg_histogram",
-    "dedup_novelty_score",
-    "join_asof_nearest",
-    "agg_entropy",
-    "ddl_analyze_stats",
-    "branch_diff_rows",
-    "window_pareto_abc",
-    "scalar_try_safe",
-    "ddl_schema_evolution_nested",
-    "maint_sort_order_compact",
-    "dml_update_struct_member",
-    "dedup_scrub_repeated_chunks",
-    "dml_delete_equality",
-    "meta_refs",
-    "text_bigram_logprob_score",
-    "window_holt_trend",
-    "window_cusum_drift",
-    "branch_revert",
-    "meta_commit_log",
-    "source_binary_files",
-    "agg_gini_concentration",
-    "text_zipf_fit",
-    "source_iceberg_metadata",
-    "sink_sharded_manifests",
-    "sink_iceberg_export",
-    "source_delta_log",
-    "agg_count_min_sketch",
-    "source_iceberg_position_deletes",
-    "source_iceberg_equality_deletes",
-    "source_iceberg_partitioned",
-    "source_delta_checkpoint",
-    "source_delta_partitioned",
-    "pipeline_epoch_resample",
-    "dedup_cluster_representative",
-    "similarity_knn_graph",
-    "source_delta_deletion_vectors",
-    "sink_delta_export",
-    "join_interval_overlap",
-    "pipeline_train_val_split",
-    "window_seasonal_decompose",
-    "join_bloom_prefilter",
-    "source_delta_column_mapping",
-    "source_iceberg_refs",
-    "maint_delta_vacuum",
-    "agg_hyperloglog_native",
-    "source_iceberg_orc",
-    "pipeline_mixture_temperature",
-    "source_delta_cdf",
-    "source_iceberg_incremental",
-    "join_dynamic_partition_pruning",
-    "maint_iceberg_expire_snapshots",
-    "source_iceberg_schema_evolution",
-    "maint_delta_optimize",
-    "source_delta_add_column",
-    # round-7 late session: two-level stats pruning, hidden partitioning,
-    # metadata tables, table-as-stream, exactly-once sinks, maintenance
-    "source_iceberg_stats_pruning",
-    "source_iceberg_files_table",
-    "source_iceberg_snapshots_table",
-    "source_iceberg_transform_partitioned",
-    "source_iceberg_spec_evolution",
-    "source_delta_stats_skipping",
-    "source_delta_generated_partition",
-    "maint_iceberg_sort_rewrite",
-    "maint_iceberg_rollback",
-    "maint_delta_zorder",
-    "maint_delta_restore",
-    "stream_source_delta",
-    "stream_source_iceberg",
-    "stream_sink_delta",
-    "source_delta_cdc_files",
-    "sink_iceberg_add_files",
-    "dml_delta_merge_cow",
-    "dml_delta_merge_partitioned",
-    "source_delta_cdf_partitioned",
-    "dml_delta_merge_column_mapping",
-    "dml_iceberg_delete_orc_mor",
-    "dml_iceberg_delete_cow",
-    "dml_iceberg_merge_cow",
-    # round-9: DV/MoR/format-composition lifts
-    "dml_delta_merge_dv",
-    "source_iceberg_partitioned_mor",
-    "source_delta_column_mapping_id",
-    "sink_iceberg_add_files_transform",
-    "dml_iceberg_merge_mor",
-    "stream_sink_iceberg",
-    "dml_delta_delete_dv",
-    "dml_delta_update_dv",
-    "dml_iceberg_delete_mor",
-    "maint_delta_reorg_purge",
-    # round-10: executor-side delete-metadata + partitioned MoR/id-mode lifts
-    "dml_iceberg_merge_mor_partitioned",
-    # round-11: partitioned-MoR refusal lifts, CDC completion, SemDeDup
-    "source_delta_column_mapping_id_partitioned",
-    "source_iceberg_transform_mor",
-    "source_iceberg_global_eq_deletes",
-    "source_iceberg_evolved_spec_mor",
-    "source_iceberg_changelog",
-    "dml_delta_merge_column_mapping_id",
-    "dedup_semdedup_prune",
-    "stream_cdc_iceberg",
-    "maint_iceberg_rewrite_deletes",
-    "source_iceberg_delete_files_table",
-    "source_delta_history",
-    "source_delta_detail",
-    # round-12 additions
-    "source_iceberg_changelog_cow",
-    "source_iceberg_changelog_evolved",
-    "source_iceberg_changelog_orc",
-    "maint_iceberg_rewrite_deletes_mixed",
-    "sink_iceberg_wap_publish",
-    "source_iceberg_avro",
-    "source_iceberg_partitions_table",
-    "source_delta_constraints",
-    "stream_cdc_delta",
-    "sink_iceberg_branch_write",
-    "pipeline_quality_tiered_sample",
-    "window_anomaly_mad",
-    "maint_iceberg_rewrite_manifests",
-    "source_iceberg_entries_table",
-    "multimodal_scene_detect",
-    "source_delta_append_only",
-    "ddl_iceberg_properties",
-    # round-13 additions
-    "source_iceberg_all_data_files",
-    "source_iceberg_all_manifests",
-    "source_iceberg_all_entries",
-    "source_iceberg_all_delete_files",
-    "source_iceberg_position_deletes_table",
-    "ddl_delta_drop_column",
-    "dml_iceberg_delete_cow_avro",
-    "dml_iceberg_update_cow",
-    "maint_iceberg_remove_orphans",
-    "source_iceberg_metadata_log",
-]
+# Every registered key OUTSIDE the frozen headline set, timed but kept
+# OUT of the baseline-comparable total. COMPUTED from the registry, not
+# hand-maintained: the literal list this replaces silently skipped 118 of
+# 335 registry keys — including every round-14 key — so a perf regression
+# in an unbenched key was invisible (VERDICT r14 "what's wrong" #1, the
+# same hand-rotation rot class that shipped round 10's red gate before
+# the sweep order was made self-computing). Registry order is the
+# sweep-priority order (staleness-first), deterministic per round;
+# ``registry.load_all()`` must have run.
+def extra_names() -> list[str]:
+    head = set(HEADLINE)
+    return [k for k in registry.QUERIES if k not in head]
 
 
 def _load1() -> float | None:
@@ -354,8 +159,12 @@ def main() -> None:
     errors: dict[str, str] = {}
     timings = _time_queries(spark, HEADLINE, sf_dir, loads, reps, errors)
     total = round(sum(timings.values()), 4)
-    extra = _time_queries(spark, EXTRA, sf_dir, loads, reps, errors)
+    extras = extra_names()
+    extra = _time_queries(spark, extras, sf_dir, loads, reps, errors)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # no-silent-caps audit: every registry key is either timed or named
+    # (a key can only be skipped by raising, which also lands in errors)
+    skipped = [k for k in extras if k not in extra]
     full_payload = {
         "metric": "headline_query_wall_total",
         "value": total,
@@ -363,6 +172,9 @@ def main() -> None:
         "queries": timings,
         "extra_queries": extra,
         "extra_total": round(sum(extra.values()), 4),
+        "extra_count": len(extra),
+        "registry_count": len(registry.QUERIES),
+        "extra_skipped": skipped,
         "sf": sf_val,
         "load1": _load1(),
         "load1_per_query": loads,
@@ -391,6 +203,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_total": round(sum(extra.values()), 4),
+                "extra_count": len(extra),
+                "extra_skipped": skipped,
                 "sf": sf_val,
                 "load1": _load1(),
                 "errors": errors,
