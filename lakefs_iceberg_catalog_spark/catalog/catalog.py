@@ -29,6 +29,7 @@ a distributed job. Nothing ever funnels row data through the driver.
 from __future__ import annotations
 
 import datetime as _dt
+import functools
 import json
 import os
 import re
@@ -61,7 +62,7 @@ from .manifest import (
     new_manifest,
     struct_mapping_of,
 )
-from ..operators.util import local_df
+from ..operators.util import gated_broadcast, local_df
 
 NS_METADATA = "ns_metadata.json"   # namespace marker (LakeFSCatalog.java:50)
 # Reserved table property holding the declared sort order ({"kind":
@@ -2182,6 +2183,143 @@ class VersionedCatalog:
         ops.commit(
             base,
             base.next(files, file_stats=stats, delete_preds={}, file_partitions=fparts),
+        )
+
+    def merge_clauses(
+        self,
+        identifier: str | list[str],
+        source: DataFrame,
+        key_cols: list[str],
+        clauses: list,
+    ) -> None:
+        """General-clause MERGE (the full grammar the reference inherits
+        through the pinned Iceberg SQL extensions — see
+        merge_clauses.py): conditional ``WHEN MATCHED [AND cond] THEN
+        DELETE`` / column-level ``UPDATE SET c = expr``, multiple MATCHED
+        clauses first-match-wins, conditional NOT-MATCHED inserts, and
+        BY SOURCE update/delete. Conditions and assignments are SQL over
+        the aliases ``t`` (target) and ``s`` (source); the source may
+        carry EXTRA columns (CDC op flags) — they feed conditions but
+        never land in the table. The whole-row upsert shape dispatches to
+        the specialized ``merge_upsert`` fast path.
+
+        Scale: resolution is the shared three-join decomposition (inner
+        on the key for MATCHED, two antis; the target-only anti is built
+        only when a BY SOURCE clause exists), committed as one
+        copy-on-write snapshot through the same distributed write path as
+        merge_upsert — no driver-side row handling."""
+        from . import merge_clauses as mc
+
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        names = schema.fieldNames()
+        mc.validate_clauses(clauses, names)
+        if mc.whole_row_shape(clauses):
+            return self.merge_upsert(identifier, source, key_cols)
+        bad_keys = [
+            k
+            for k in key_cols
+            if k not in names or k not in source.columns
+        ]
+        if not key_cols or bad_keys:
+            raise SchemaMismatchError(
+                f"MERGE key columns {bad_keys or key_cols} missing from "
+                "the target schema and/or the source"
+            )
+        whole_row = [c for c in clauses if c.assignments is None and c.action != "delete"]
+        if whole_row:
+            missing = [n for n in names if n not in source.columns]
+            if missing:
+                raise SchemaMismatchError(
+                    f"whole-row SET */INSERT * needs every target column "
+                    f"in the source; missing: {missing}"
+                )
+        fields = [
+            (f.name, f.dataType.simpleString()) for f in schema.fields
+        ]
+        target = self._read_files(levels[0], base)
+        has_matched = any(c.when == "matched" for c in clauses)
+        has_by_source = any(
+            c.when == "not_matched_by_source" for c in clauses
+        )
+        if has_matched:
+            # stock's MERGE_CARDINALITY_VIOLATION: bounded probe — dup
+            # keys are an aggregate, the check is take(1)
+            dup = (
+                source.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .select(*key_cols)
+            )
+            if target.join(
+                gated_broadcast(dup), key_cols, "left_semi"
+            ).take(1):
+                raise ValueError(
+                    "MERGE cardinality violation: a target row matches "
+                    "more than one source row"
+                )
+        t, s = target.alias("t"), source.alias("s")
+        matched = t.join(s, mc.key_equal(key_cols), "inner").withColumn(
+            "__action", mc.action_column(clauses, "matched")
+        )
+        parts = [
+            matched.filter(F.col("__action") == "carry").select(
+                *mc.select_as("t", fields)
+            ),
+        ]
+        if any(c.when == "matched" and c.action == "update" for c in clauses):
+            parts.append(
+                mc.projected_images(matched, clauses, fields, "update", "matched")
+            )
+        skeys = source.select(*key_cols).distinct()
+        t_only = target.join(
+            gated_broadcast(skeys), key_cols, "left_anti"
+        ).alias("t")
+        if has_by_source:
+            t_only = t_only.withColumn(
+                "__action", mc.action_column(clauses, "not_matched_by_source")
+            )
+            parts.append(
+                t_only.filter(F.col("__action") == "carry").select(
+                    *mc.select_as("t", fields)
+                )
+            )
+            if any(
+                c.when == "not_matched_by_source" and c.action == "update"
+                for c in clauses
+            ):
+                parts.append(
+                    mc.projected_images(
+                        t_only, clauses, fields, "update",
+                        "not_matched_by_source",
+                    )
+                )
+        else:
+            parts.append(t_only.select(*mc.select_as("t", fields)))
+        if any(c.when == "not_matched" for c in clauses):
+            s_only = (
+                source.join(target.select(*key_cols), key_cols, "left_anti")
+                .alias("s")
+                .withColumn(
+                    "__action", mc.action_column(clauses, "not_matched")
+                )
+            )
+            parts.append(
+                mc.projected_images(s_only, clauses, fields, "insert", "not_matched")
+            )
+        result = functools.reduce(lambda a, b: a.unionByName(b), parts)
+        files, stats, fparts = self._write_data(
+            levels,
+            result,
+            partition_by=base.partition_spec or None,
+            bucket_spec=base.bucket_spec or None,
+        )
+        ops.commit(
+            base,
+            base.next(files, file_stats=stats, file_partitions=fparts),
         )
 
     def table_history(self, identifier: str | list[str]) -> list[int]:

@@ -1391,32 +1391,10 @@ class DeltaTableWriter:
         state = read_delta_log(self.table_dir)
         if state.get("partition_cols"):
             return self._merge_upsert_partitioned(source_df, key_cols, state)
-        # Build the live-row scan with per-file lineage (`_file`) intact:
-        # scan_delta_table's DV anti-join would strip `_metadata`
-        # resolution, so materialize `_file` first — the DV helper keeps
-        # every pre-existing column through its anti-join.
+        # Live-row scan with per-file lineage (`_file`) intact — shared
+        # with merge_clauses via _flat_live_scan.
         schema = T.StructType.fromJson(json.loads(state["schema_json"]))
-        read_schema, renames = _file_read_schema(
-            self.spark, state.get("metadata"), list(schema.fields)
-        )
-        cur_files = self.spark.read.schema(read_schema).parquet(
-            *[os.path.join(self.table_dir, rel) for rel in state["files"]]
-        ).withColumn(
-            "_file", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-        )
-        dv_adds = {
-            rel: a
-            for rel, a in state["files"].items()
-            if a.get("deletionVector") is not None
-        }
-        if dv_adds:
-            cur_files = _apply_deletion_vectors(
-                self.spark, cur_files, self.table_dir, dv_adds
-            )
-        if renames:  # physical file names -> logical, keeping _file
-            cur_files = cur_files.select(
-                *[F.col(p).alias(lg) for lg, p in renames.items()], "_file"
-            )
+        cur_files = self._flat_live_scan(state, schema)
         keys = source_df.select(*key_cols)
         touched = sorted(
             r["_file"]
@@ -1488,6 +1466,244 @@ class DeltaTableWriter:
             cdc_df=preimage.unionByName(matched).unionByName(inserted),
             operation="MERGE",
         )
+
+    def _flat_live_scan(self, state: dict, schema) -> DataFrame:
+        """Live-row scan of an UNPARTITIONED table with per-file lineage
+        (``_file``) intact: ``_metadata.file_path`` materializes BEFORE
+        the deletion-vector anti-join (which would strip ``_metadata``
+        resolution), DVs mask dead rows, and column-mapping physical
+        names project back to logical keeping ``_file`` — the scan both
+        MERGE flavors probe and rewrite from."""
+        read_schema, renames = _file_read_schema(
+            self.spark, state.get("metadata"), list(schema.fields)
+        )
+        cur_files = self.spark.read.schema(read_schema).parquet(
+            *[os.path.join(self.table_dir, rel) for rel in state["files"]]
+        ).withColumn(
+            "_file", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        )
+        dv_adds = {
+            rel: a
+            for rel, a in state["files"].items()
+            if a.get("deletionVector") is not None
+        }
+        if dv_adds:
+            cur_files = _apply_deletion_vectors(
+                self.spark, cur_files, self.table_dir, dv_adds
+            )
+        if renames:  # physical file names -> logical, keeping _file
+            cur_files = cur_files.select(
+                *[F.col(p).alias(lg) for lg, p in renames.items()], "_file"
+            )
+        return cur_files
+
+    def merge_clauses(
+        self, source_df: DataFrame, key_cols: list[str], clauses: list
+    ) -> int:
+        """General-clause MERGE as stock Delta plans it (round 15;
+        shared clause engine in merge_clauses.py): conditional ``WHEN
+        MATCHED [AND cond] THEN DELETE``, column-level ``UPDATE SET c =
+        expr``, multiple MATCHED clauses first-match-wins, conditional
+        NOT-MATCHED inserts, and BY SOURCE update/delete — COPY-ON-WRITE
+        at TOUCHED-FILE granularity: only files holding a VICTIM row (a
+        matched or by-source row some update/delete clause fires for)
+        are rewritten; their carried rows plus all update images and
+        inserts land as the new add, touched files tombstone, untouched
+        files are never read twice. CDC rows ride the commit exactly as
+        stock CDF emits them for MERGE: update_preimage +
+        update_postimage pairs, delete rows, insert rows. The whole-row
+        upsert shape delegates to the merge_upsert fast path. The source
+        may carry extra columns (CDC op flags) — they steer clauses and
+        never land. A merge that fires no clause commits nothing.
+
+        Partitioned tables take the whole-row shapes through the
+        specialized partitioned merge; general clauses on a partitioned
+        layout refuse loudly (documented seam — the clause resolution is
+        layout-independent, the partition-routed rewrite is not wired).
+
+        Scale: victim-file-proportional — the MATCHED probe is one
+        key-partitioned inner join with pushdown; the survivor rescan
+        touches only victim files; the BY SOURCE family adds the one
+        full-target anti-join it inherently requires (stock's plan
+        does the same); broadcasts stay size-gated."""
+        self._require_mutable("merge_clauses")
+        from pyspark.sql import types as T
+
+        from ..operators.util import bounded_rows, local_df
+        from . import merge_clauses as mc
+
+        state = read_delta_log(self.table_dir)
+        schema = T.StructType.fromJson(json.loads(state["schema_json"]))
+        names = schema.fieldNames()
+        mc.validate_clauses(clauses, names)
+        if mc.whole_row_shape(clauses):
+            return self.merge_upsert(source_df, key_cols)
+        if state.get("partition_cols"):
+            raise ValueError(
+                "general MERGE clauses on a PARTITIONED Delta table are "
+                "not wired — whole-row shapes route through the "
+                "partitioned merge"
+            )
+        bad = [
+            c for c in key_cols
+            if c not in names or c not in source_df.columns
+        ]
+        if not key_cols or bad:
+            raise ValueError(f"merge key columns missing: {bad or key_cols}")
+        whole_row = [
+            c for c in clauses
+            if c.assignments is None and c.action != "delete"
+        ]
+        if whole_row:
+            missing = [n for n in names if n not in source_df.columns]
+            if missing:
+                raise ValueError(
+                    "whole-row SET */INSERT * needs every table column "
+                    f"in the source; missing: {missing}"
+                )
+        fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        cur_files = self._flat_live_scan(state, schema)
+        has_matched = any(c.when == "matched" for c in clauses)
+        has_by_source = any(
+            c.when == "not_matched_by_source" for c in clauses
+        )
+        hit = F.col("__action").startswith("update") | F.col(
+            "__action"
+        ).startswith("delete")
+        src = source_df.persist()
+        try:
+            if has_matched:
+                # stock's MERGE_CARDINALITY_VIOLATION (bounded probe)
+                dup = (
+                    src.groupBy(*key_cols)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .select(*key_cols)
+                )
+                if cur_files.join(
+                    gated_broadcast(dup), key_cols, "left_semi"
+                ).take(1):
+                    raise ValueError(
+                        "MERGE cardinality violation: a target row "
+                        "matches more than one source row"
+                    )
+            # ---- victim-file probe (per family, unioned, ONE collect) --
+            probes: list[DataFrame] = []
+            if has_matched:
+                matched_j = cur_files.alias("t").join(
+                    src.alias("s"), mc.key_equal(key_cols), "inner"
+                ).withColumn("__action", mc.action_column(clauses, "matched"))
+                probes.append(
+                    matched_j.filter(hit).select(
+                        F.col("t.`_file`").alias("_file")
+                    )
+                )
+            if has_by_source:
+                t_only = (
+                    cur_files.join(
+                        gated_broadcast(src.select(*key_cols).distinct()),
+                        key_cols,
+                        "left_anti",
+                    )
+                    .alias("t")
+                    .withColumn(
+                        "__action",
+                        mc.action_column(clauses, "not_matched_by_source"),
+                    )
+                )
+                probes.append(
+                    t_only.filter(hit).select(
+                        F.col("t.`_file`").alias("_file")
+                    )
+                )
+            touched: list[str] = []
+            if probes:
+                import functools as _ft
+
+                probe = _ft.reduce(lambda a, b: a.unionByName(b), probes)
+                touched = sorted(
+                    r["_file"]
+                    for r in bounded_rows(probe.distinct(), 100_000)
+                )
+            abs_to_rel = {
+                os.path.join(self.table_dir, rel): rel
+                for rel in state["files"]
+            }
+            remove = [abs_to_rel[p] for p in touched]
+            # ---- resolve the touched files ONCE: survivors + images +
+            #      CDC pre/post/delete rows all come from this rescan ----
+            empty = (
+                cur_files.drop("_file").limit(0)
+            )
+            survivors = pre = deleted = images = empty
+            if touched:
+                touched_df = local_df(self.spark,
+                    [(p,) for p in touched], "_file string"
+                )
+                in_touched = cur_files.join(
+                    F.broadcast(touched_df), "_file", "left_semi"
+                )
+                s_marked = src.withColumn("__s_present", F.lit(True)).alias("s")
+                lt = in_touched.alias("t").join(
+                    s_marked, mc.key_equal(key_cols), "left"
+                ).withColumn(
+                    "__action",
+                    F.when(
+                        F.col("__s_present").isNotNull(),
+                        mc.action_column(clauses, "matched"),
+                    ).otherwise(
+                        mc.action_column(clauses, "not_matched_by_source")
+                    ),
+                )
+                tcols = [F.col(f"t.`{n}`").alias(n) for n in names]
+                survivors = lt.filter(F.col("__action") == "carry").select(*tcols)
+                pre = lt.filter(
+                    F.col("__action").startswith("update")
+                ).select(*tcols)
+                deleted = lt.filter(
+                    F.col("__action").startswith("delete")
+                ).select(*tcols)
+                if any(c.action == "update" for c in clauses):
+                    # family=None: the combined frame carries BOTH
+                    # families' labels and every t/s reference resolves
+                    images = mc.projected_images(lt, clauses, fields, "update")
+            ins = empty
+            if any(c.when == "not_matched" for c in clauses):
+                s_only = (
+                    src.join(
+                        cur_files.select(*key_cols), key_cols, "left_anti"
+                    )
+                    .alias("s")
+                    .withColumn(
+                        "__action", mc.action_column(clauses, "not_matched")
+                    )
+                )
+                ins = mc.projected_images(
+                    s_only, clauses, fields, "insert", "not_matched"
+                )
+            if not touched and not ins.take(1):
+                return self._version  # no clause fired: no-op, no commit
+            new_rows = survivors.unionByName(images).unionByName(ins)
+            cdc = (
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    images.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+                .unionByName(
+                    deleted.withColumn("_change_type", F.lit("delete"))
+                )
+                .unionByName(ins.withColumn("_change_type", F.lit("insert")))
+            )
+            return self.commit_with_cdc(
+                add_dfs=[new_rows],
+                remove=remove,
+                cdc_df=cdc,
+                operation="MERGE",
+            )
+        finally:
+            src.unpersist()
 
     def _merge_upsert_partitioned(
         self, source_df: DataFrame, key_cols: list[str], state: dict

@@ -2523,6 +2523,174 @@ class IcebergTableWriter:
         finally:
             src.unpersist()
 
+    def merge_clauses_mor(
+        self, source_df: DataFrame, key_cols: list[str], clauses: list
+    ) -> int:
+        """General-clause MERGE in merge-on-read mode (round 15 — the
+        grammar the reference inherits through the pinned Iceberg SQL
+        extensions; shared clause engine in merge_clauses.py): matched
+        target rows hit by an UPDATE or DELETE clause — plus BY SOURCE
+        victims — become POSITION deletes on their (file, ordinal)
+        pairs; update images and conditional inserts append as new data
+        file(s); ONE `overwrite` snapshot, zero existing data rewritten.
+        The whole-row upsert shape delegates to the specialized
+        merge_upsert_mor_positions fast path. The source may carry extra
+        columns (CDC op flags): they steer clause conditions and never
+        land in the table. A merge that fires no clause commits nothing
+        (no empty snapshot).
+
+        Scale: the same probe/append shape as the whole-row flavor —
+        one key-partitioned inner join for the MATCHED family,
+        victim-proportional delete writes, write-proportional data
+        appends; the BY SOURCE family adds the one full-target anti-join
+        that family inherently requires (exactly stock's plan)."""
+        from . import merge_clauses as mc
+
+        if self._schema_json is None:
+            raise ValueError("nothing to merge into: table has no snapshots")
+        names = [f["name"] for f in self._schema_json["fields"]]
+        mc.validate_clauses(clauses, names)
+        if mc.whole_row_shape(clauses):
+            return self.merge_upsert_mor_positions(source_df, key_cols)
+        bad = [
+            c for c in key_cols
+            if c not in names or c not in source_df.columns
+        ]
+        if not key_cols or bad:
+            raise ValueError(f"merge key columns missing: {bad or key_cols}")
+        whole_row = [
+            c for c in clauses
+            if c.assignments is None and c.action != "delete"
+        ]
+        if whole_row:
+            missing = [n for n in names if n not in source_df.columns]
+            if missing:
+                raise ValueError(
+                    "whole-row SET */INSERT * needs every table column "
+                    f"in the source; missing: {missing}"
+                )
+        has_by_source = any(
+            c.when == "not_matched_by_source" for c in clauses
+        )
+        if not source_df.take(1) and not has_by_source:
+            # empty CDC batch: no-op unless BY SOURCE clauses make the
+            # whole target the candidate set; bounded single-row probe
+            return self._head_snapshot_id()
+        fields = [
+            (f["name"], _spark_type_of(f["type"]))
+            for f in self._schema_json["fields"]
+        ]
+        data, deletes = iceberg_snapshot_files(self.table_dir)
+        visible = _assemble_visible_scan(
+            self.spark, data, deletes, self._schema_json, keep_meta=True
+        )
+        src = source_df.persist()
+        hit = F.col("__action").startswith("update") | F.col(
+            "__action"
+        ).startswith("delete")
+        meta = lambda fr: fr.filter(hit).select(  # noqa: E731
+            F.col("t.`_file`").alias("_file"), F.col("t.`_pos`").alias("_pos")
+        )
+        try:
+            if any(c.when == "matched" for c in clauses):
+                # stock's MERGE_CARDINALITY_VIOLATION (bounded probe)
+                dup = (
+                    src.groupBy(*key_cols)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .select(*key_cols)
+                )
+                if visible.join(
+                    gated_broadcast(dup), key_cols, "left_semi"
+                ).take(1):
+                    raise ValueError(
+                        "MERGE cardinality violation: a target row "
+                        "matches more than one source row"
+                    )
+            t, s = visible.alias("t"), src.alias("s")
+            matched = t.join(s, mc.key_equal(key_cols), "inner").withColumn(
+                "__action", mc.action_column(clauses, "matched")
+            )
+            victims = meta(matched)
+            writes: list[DataFrame] = []
+            if any(
+                c.when == "matched" and c.action == "update" for c in clauses
+            ):
+                writes.append(
+                    mc.projected_images(matched, clauses, fields, "update", "matched")
+                )
+            if has_by_source:
+                t_only = (
+                    visible.join(
+                        gated_broadcast(src.select(*key_cols).distinct()),
+                        key_cols,
+                        "left_anti",
+                    )
+                    .alias("t")
+                    .withColumn(
+                        "__action",
+                        mc.action_column(clauses, "not_matched_by_source"),
+                    )
+                )
+                victims = victims.unionByName(meta(t_only))
+                if any(
+                    c.when == "not_matched_by_source" and c.action == "update"
+                    for c in clauses
+                ):
+                    writes.append(
+                        mc.projected_images(
+                            t_only, clauses, fields, "update",
+                            "not_matched_by_source",
+                        )
+                    )
+            if any(c.when == "not_matched" for c in clauses):
+                s_only = (
+                    src.join(
+                        visible.select(*key_cols), key_cols, "left_anti"
+                    )
+                    .alias("s")
+                    .withColumn(
+                        "__action", mc.action_column(clauses, "not_matched")
+                    )
+                )
+                writes.append(
+                    mc.projected_images(
+                        s_only, clauses, fields, "insert", "not_matched"
+                    )
+                )
+            descs = self._stage_position_delete_files(
+                victims, _norm_path_map(data)
+            )
+            new_rows = None
+            if writes:
+                import functools as _ft
+
+                new_rows = _ft.reduce(
+                    lambda a, b: a.unionByName(b), writes
+                ).persist()
+            try:
+                has_new = new_rows is not None and bool(new_rows.take(1))
+                if not descs and not has_new:
+                    return self._head_snapshot_id()  # no clause fired
+                with self._commit_guard():
+                    self._version += 1
+                    self._sequence += 1
+                    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+                    if descs:
+                        self._append_position_delete_manifests(
+                            descs, data, snapshot_id
+                        )
+                    if has_new:
+                        self._append_added_data_manifest(
+                            new_rows, snapshot_id
+                        )
+                    return self._commit_snapshot(snapshot_id, "overwrite")
+            finally:
+                if new_rows is not None:
+                    new_rows.unpersist()
+        finally:
+            src.unpersist()
+
     def add_files(self, paths: list[str]) -> int:
         """Stock Iceberg's ``add_files`` CALL procedure on the real
         layout: REGISTER existing parquet files as one append snapshot —

@@ -567,36 +567,22 @@ class SqlFacade:
         raise UnsupportedOperationError(f"unsupported statement: {s[:80]!r}")
 
     def _merge_into(self, target, t_alias, using, on, when, mk) -> DataFrame:
-        """MERGE INTO <target> USING <source> ON <equi-keys> WHEN MATCHED
-        THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the whole-row
-        upsert form the reference's pinned Iceberg SQL extensions expose;
-        dispatched onto catalog.merge_upsert (target-anti-join ∪ source in
-        one copy-on-write commit). Sources: a lakefs table identifier or a
-        parenthesized subquery with an alias (+ optional column list).
-        Clause variants beyond SET * / INSERT * are refused explicitly."""
-        # Three accepted clause shapes (whole-row forms, Iceberg/Delta SQL):
-        #   MATCHED UPDATE SET * + NOT MATCHED INSERT *              → upsert
-        #   ... + NOT MATCHED BY SOURCE DELETE                       → full sync
-        #   MATCHED UPDATE SET * + NOT MATCHED BY SOURCE DELETE      → sync, no insert
-        w = when.strip()
-        upsert = re.match(
-            r"(?is)^MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*"
-            r"(\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE)?$",
-            w,
-        )
-        sync_no_insert = re.match(
-            r"(?is)^MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-            r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE$",
-            w,
-        )
-        if not (upsert or sync_no_insert):
-            raise UnsupportedOperationError(
-                "MERGE supports: WHEN MATCHED THEN UPDATE SET * "
-                "[WHEN NOT MATCHED THEN INSERT *] "
-                "[WHEN NOT MATCHED BY SOURCE THEN DELETE]"
-            )
-        by_source_delete = bool(sync_no_insert or (upsert and upsert.group(1)))
+        """MERGE INTO <target> USING <source> ON <equi-keys> WHEN ... —
+        the FULL clause grammar the reference's pinned Iceberg SQL
+        extensions expose (conftest.py:67, pom.xml:77-82): conditional
+        ``WHEN MATCHED [AND cond] THEN DELETE``, column-level ``UPDATE
+        SET c = expr``, multiple MATCHED clauses (first-match-wins),
+        conditional NOT-MATCHED inserts (``INSERT * `` or ``INSERT
+        (cols) VALUES (exprs)``), and ``WHEN NOT MATCHED BY SOURCE``
+        update/delete. The three unconditional whole-row shapes keep
+        their specialized fast paths (merge_upsert / merge_sync); every
+        other clause list dispatches to catalog.merge_clauses — the
+        shared clause engine (merge_clauses.py). Sources: a lakefs table
+        identifier or a parenthesized subquery with an alias (+ optional
+        column list). Clause conditions/assignments may qualify columns
+        with the statement's aliases (rewritten to the engine's t/s);
+        CASE expressions inside MERGE clauses are not supported by this
+        parser (the Python API takes them)."""
         using = using.strip()
         sm = re.match(rf"(?is)^({_IDENT})(?:\s+(?:AS\s+)?(\w+))?$", using)
         if sm:
@@ -627,14 +613,124 @@ class SqlFacade:
                     f"MERGE ON must compare the same column on both sides: {conj!r}"
                 )
             key_cols.append(cols.pop())
-        if by_source_delete:
-            self.catalog.merge_sync(
-                _clean(target), source, key_cols,
-                insert_unmatched=bool(upsert),
-            )
+        clauses = self._parse_merge_clauses(when, t_alias, s_alias)
+        shapes = [(c.when, c.action) for c in clauses]
+        uncond_whole = all(
+            c.condition is None and c.assignments is None for c in clauses
+        )
+        tgt = _clean(target)
+        if uncond_whole and shapes == [
+            ("matched", "update"), ("not_matched", "insert"),
+        ]:
+            self.catalog.merge_upsert(tgt, source, key_cols)
+        elif uncond_whole and shapes == [
+            ("matched", "update"), ("not_matched", "insert"),
+            ("not_matched_by_source", "delete"),
+        ]:
+            self.catalog.merge_sync(tgt, source, key_cols, insert_unmatched=True)
+        elif uncond_whole and shapes == [
+            ("matched", "update"), ("not_matched_by_source", "delete"),
+        ]:
+            self.catalog.merge_sync(tgt, source, key_cols, insert_unmatched=False)
         else:
-            self.catalog.merge_upsert(_clean(target), source, key_cols)
+            self.catalog.merge_clauses(tgt, source, key_cols, clauses)
         return mk([], "result string")
+
+    @staticmethod
+    def _split_top_commas(s: str) -> list[str]:
+        """Split on commas OUTSIDE parentheses (assignment lists and
+        VALUES tuples hold function calls with their own commas)."""
+        parts, depth, cur = [], 0, []
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        return [p.strip() for p in parts]
+
+    def _parse_merge_clauses(self, when: str, t_alias, s_alias) -> list:
+        """WHEN-clause list -> MergeClause list. ``when`` is the
+        statement text AFTER the first top-level WHEN. Alias qualifiers
+        are rewritten to the clause engine's fixed ``t``/``s``."""
+        from .merge_clauses import MergeClause
+
+        def norm(expr: str | None) -> str | None:
+            if expr is None:
+                return None
+            e = expr
+            if t_alias and t_alias != "t":
+                e = re.sub(rf"\b{re.escape(t_alias)}\s*\.", "t.", e)
+            if s_alias and s_alias != "s":
+                e = re.sub(rf"\b{re.escape(s_alias)}\s*\.", "s.", e)
+            return e.strip()
+
+        clauses = []
+        for part in re.split(r"(?is)\s+WHEN\s+", when.strip()):
+            m = re.match(
+                r"(?is)^(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
+                r"(?:\s+AND\s+(.*?))?\s+THEN\s+(.+)$",
+                part.strip(),
+            )
+            if not m:
+                raise UnsupportedOperationError(
+                    f"unsupported MERGE clause: WHEN {part[:60]!r}"
+                )
+            fam = re.sub(r"\s+", "_", m.group(1).lower())
+            cond, act = norm(m.group(2)), m.group(3).strip()
+            if re.match(r"(?is)^DELETE$", act):
+                clauses.append(MergeClause(fam, "delete", condition=cond))
+                continue
+            um = re.match(r"(?is)^UPDATE\s+SET\s+(.+)$", act)
+            if um:
+                body = um.group(1).strip()
+                assigns = None
+                if body != "*":
+                    assigns = {}
+                    for item in self._split_top_commas(body):
+                        am = re.match(
+                            rf"(?s)^({_PART}(?:\.{_PART})?)\s*=\s*(.+)$",
+                            item,
+                        )
+                        if not am:
+                            raise UnsupportedOperationError(
+                                f"unsupported SET item: {item[:60]!r}"
+                            )
+                        col = [p.strip("`") for p in re.findall(_PART, am.group(1))][-1]
+                        assigns[col] = norm(am.group(2))
+                clauses.append(
+                    MergeClause(fam, "update", condition=cond, assignments=assigns)
+                )
+                continue
+            if re.match(r"(?is)^INSERT\s+\*$", act):
+                clauses.append(MergeClause(fam, "insert", condition=cond))
+                continue
+            im = re.match(
+                r"(?is)^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)$", act
+            )
+            if im:
+                cols = [c.strip().strip("`") for c in im.group(1).split(",")]
+                vals = self._split_top_commas(im.group(2))
+                if len(cols) != len(vals):
+                    raise UnsupportedOperationError(
+                        "INSERT column list and VALUES arity differ"
+                    )
+                clauses.append(
+                    MergeClause(
+                        fam, "insert", condition=cond,
+                        assignments={c: norm(v) for c, v in zip(cols, vals)},
+                    )
+                )
+                continue
+            raise UnsupportedOperationError(
+                f"unsupported MERGE action: {act[:60]!r}"
+            )
+        return clauses
 
     @staticmethod
     def _partition_kwargs(clause: str | None) -> dict:

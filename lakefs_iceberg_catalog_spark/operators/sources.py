@@ -2013,6 +2013,84 @@ def dml_delta_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_delta_merge_conditional",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey = 3 THEN 'UPD_3' ELSE n_name END AS n_name
+FROM nation
+WHERE n_nationkey <> 13
+UNION ALL
+SELECT CAST(25 AS INTEGER), 'NEW_25'
+""",
+)
+def dml_delta_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-clause MERGE on the real Delta log (round 15 —
+    DeltaTableWriter.merge_clauses over the shared clause engine): the
+    CDC-consumer shape ``WHEN MATCHED AND s.op = 'D' THEN DELETE / WHEN
+    MATCHED THEN UPDATE SET n_name = s.n_name / WHEN NOT MATCHED AND
+    s.op <> 'D' THEN INSERT (...)`` — copy-on-write at touched-file
+    granularity: only the two files holding victim keys {3, 13} rewrite
+    (removed-file count asserted), the third file is never read twice.
+    The commit's CDC change file carries stock's exact MERGE rows —
+    asserted PAIRED: one update_preimage + one update_postimage (key 3),
+    one delete (key 13), one insert (key 25); the not-matched 'D' row
+    (key 26) appears nowhere.
+
+    Scale: victim-file-proportional, same cost shape as
+    dml_delta_merge_cow; the conditional resolution adds no extra scan
+    — victims, survivors, images, and CDC rows all derive from ONE
+    rescan of the touched files."""
+    import json as _json
+
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        _commit_path,
+        scan_delta_table,
+    )
+    from ..catalog.merge_clauses import MergeClause
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
+    tmp = tempfile.mkdtemp(prefix="delta-mergecond-")
+    w = DeltaTableWriter(spark, tmp)
+    for lo in (0, 10, 20):
+        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    source = local_df(spark,
+        [(3, "UPD_3", "U"), (13, "GONE", "D"),
+         (25, "NEW_25", "U"), (26, "SKIP", "D")],
+        "n_nationkey int, n_name string, op string",
+    )
+    v = w.merge_clauses(source, ["n_nationkey"], [
+        MergeClause("matched", "delete", condition="s.op = 'D'"),
+        MergeClause("matched", "update", assignments={"n_name": "s.n_name"}),
+        MergeClause("not_matched", "insert", condition="s.op <> 'D'",
+                    assignments={"n_nationkey": "s.n_nationkey",
+                                 "n_name": "s.n_name"}),
+    ])
+    acts = [
+        _json.loads(line)
+        for line in open(_commit_path(tmp, v)).read().splitlines()
+        if line.strip()
+    ]
+    removed = [a["remove"]["path"] for a in acts if "remove" in a]
+    assert len(removed) == 2  # only the two victim files rewrote
+    cdc_rels = [a["cdc"]["path"] for a in acts if "cdc" in a]
+    assert cdc_rels
+    changes = spark.read.parquet(
+        *[os.path.join(tmp, rel) for rel in cdc_rels]
+    )
+    by_type = {
+        r["_change_type"]: r["count"]
+        for r in bounded_rows(changes.groupBy("_change_type").count())
+    }
+    assert by_type == {
+        "update_preimage": 1, "update_postimage": 1,
+        "delete": 1, "insert": 1,
+    }, by_type
+    back = scan_delta_table(spark, tmp).select("n_nationkey", "n_name")
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "dml_delta_merge_dv",
     oracle="""
 SELECT n_nationkey,
@@ -4534,6 +4612,73 @@ def dml_iceberg_merge_mor_positions(
     assert pre_files <= post_files  # zero-rewrite
     assert len(post_files - pre_files) == 1  # the source rows
     assert len(post_dels) == 2 and all(f["content"] == 1 for f in post_dels)
+    back = scan_iceberg_table(spark, tmp).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "dml_iceberg_merge_conditional",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey = 3 THEN 'UPD_3' ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation
+WHERE n_nationkey <> 7
+UNION ALL
+SELECT CAST(25 AS INTEGER), 'NEW_25', CAST(2 AS INTEGER)
+""",
+)
+def dml_iceberg_merge_conditional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """General-clause MERGE on the real Iceberg layout in merge-on-read
+    mode (round 15 — IcebergTableWriter.merge_clauses_mor over the
+    shared clause engine): the CDC-consumer shape ``WHEN MATCHED AND
+    s.op = 'D' THEN DELETE / WHEN MATCHED THEN UPDATE SET n_name = ... /
+    WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (...)``. The op flag is
+    an EXTRA source column that steers clauses and never lands; the
+    column-level UPDATE keeps n_regionkey from the target. Zero-rewrite
+    asserted in-flow: every pre-existing data file survives, victims
+    (the matched delete AND the updated row's pre-image) land as
+    position-delete rows, update images + the conditional insert land
+    as one new data file.
+
+    Scale: one key-partitioned inner probe for the MATCHED family +
+    victim-proportional delete writes + write-proportional appends —
+    the same cost shape as the whole-row MoR MERGE."""
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        scan_iceberg_table,
+    )
+    from ..catalog.merge_clauses import MergeClause
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="iceberg-mergecond-")
+    w = IcebergTableWriter(spark, tmp)
+    w.append(n.filter("n_nationkey < 12"))
+    w.append(n.filter("n_nationkey >= 12"))
+    pre_files = {f["file_path"] for f in iceberg_snapshot_files(tmp)[0]}
+    src = local_df(spark,
+        [(3, "UPD_3", 9, "U"), (7, "GONE", 9, "D"),
+         (25, "NEW_25", 2, "U"), (26, "SKIP", 9, "D")],
+        "n_nationkey int, n_name string, n_regionkey int, op string",
+    )
+    w.merge_clauses_mor(src, ["n_nationkey"], [
+        MergeClause("matched", "delete", condition="s.op = 'D'"),
+        MergeClause("matched", "update", assignments={"n_name": "s.n_name"}),
+        MergeClause("not_matched", "insert", condition="s.op <> 'D'",
+                    assignments={"n_nationkey": "s.n_nationkey",
+                                 "n_name": "s.n_name",
+                                 "n_regionkey": "s.n_regionkey"}),
+    ])
+    post_data, post_dels = iceberg_snapshot_files(tmp)
+    post_files = {f["file_path"] for f in post_data}
+    assert pre_files <= post_files  # zero-rewrite
+    assert len(post_files - pre_files) == 1  # update image + insert
+    assert sum(f["record_count"] for f in post_dels) == 2  # keys 3 and 7
     back = scan_iceberg_table(spark, tmp).select(
         "n_nationkey", "n_name", "n_regionkey"
     )

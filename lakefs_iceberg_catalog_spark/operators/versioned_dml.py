@@ -268,6 +268,93 @@ def sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_merge_conditional_delete",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1', 'James',   'Smith',    32, 'M'),
+  ('2', 'Mike',    'Rose',     36, 'M'),
+  ('3', 'Robert',  'Williams', 41, 'M'),
+  ('4', 'Maria',   'Jones',    36, 'F'),
+  ('6', 'Monika',  'Geller',   31, 'F'),
+  ('9', 'Noor',    'Khan',     29, 'F')
+) AS t(id, firstname, lastname, age, gender)
+""",
+)
+def dml_merge_conditional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-consumer MERGE shape (round 15 — the most-hit clause-
+    grammar gap per VERDICT r14): ``WHEN MATCHED AND s.op = 'D' THEN
+    DELETE / WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED AND
+    s.op <> 'D' THEN INSERT *``, driven through the SQL facade onto the
+    shared clause engine (merge_clauses.py). The source carries the op
+    flag as an EXTRA column — it steers clauses but never lands in the
+    table; a not-matched 'D' row (id 7) is skipped by the conditional
+    insert, exactly stock's first-match-wins resolution. Grammar per the
+    reference's pinned Iceberg SQL extensions (conftest.py:67)."""
+    from ..catalog.sql_facade import SqlFacade
+
+    cat, root = _seeded(spark)
+    SqlFacade(cat).sql(
+        """
+        MERGE INTO lakefs.repo.main.company.workers AS t
+        USING (SELECT * FROM (VALUES
+                 ('2', 'Mike',  'Rose',  36, 'M', 'U'),
+                 ('5', 'Jen',   'Brown', 44, 'F', 'D'),
+                 ('9', 'Noor',  'Khan',  29, 'F', 'U'),
+                 ('7', 'Ghost', 'Row',   50, 'M', 'D')))
+              AS s(id, firstname, lastname, age, gender, op)
+        ON t.id = s.id
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
+        """
+    )
+    return _materialize(spark, cat.scan("repo.main.company.workers"), root)
+
+
+@register(
+    "dml_merge_multi_clause",
+    oracle="""
+SELECT * FROM (VALUES
+  ('1', 'James!',  'Smith',  32, 'M'),
+  ('2', 'Michael', 'ROSE',   40, 'M'),
+  ('4', 'Maria',   'Jones',  35, 'F'),
+  ('6', 'Monika!', 'Geller', 31, 'F'),
+  ('9', 'Noor',    'Khan',   29, 'F')
+) AS t(id, firstname, lastname, age, gender)
+""",
+)
+def dml_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every remaining clause form in ONE statement (round 15): two
+    MATCHED clauses with first-match-wins (a conditional column-level
+    UPDATE, then the unconditional fallback), a CONDITIONAL not-matched
+    insert, and BY SOURCE delete + update — through the versioned
+    catalog's clause engine (catalog.merge_clauses / merge_clauses.py).
+    Assignments mix t and s references (``upper(t.lastname)``,
+    ``s.age``); unassigned columns keep target values. One copy-on-write
+    commit (version asserted)."""
+    from ..catalog.merge_clauses import MergeClause
+
+    cat, root = _seeded(spark)
+    t = "repo.main.company.workers"
+    src = local_df(spark, 
+        [("2", "Mike", "Rose", 40, "M"),
+         ("4", "Maria", "Jones", 36, "F"),
+         ("9", "Noor", "Khan", 29, "F")], WORKERS_SCHEMA
+    )
+    cat.merge_clauses(t, src, ["id"], [
+        MergeClause("matched", "update", condition="s.age > t.age",
+                    assignments={"age": "s.age", "lastname": "upper(t.lastname)"}),
+        MergeClause("matched", "update", assignments={"age": "t.age - 1"}),
+        MergeClause("not_matched", "insert", condition="s.age < 30"),
+        MergeClause("not_matched_by_source", "delete", condition="t.age > 40"),
+        MergeClause("not_matched_by_source", "update",
+                    assignments={"firstname": "concat(t.firstname, '!')"}),
+    ])
+    assert cat.table_history(t) == [1, 2]  # ONE merge commit
+    return _materialize(spark, cat.scan(t), root)
+
+
+@register(
     "sql_use_namespace",
     oracle="""
 SELECT 'lakefs' AS catalog, 'repo.main.company' AS namespace, 'workers' AS "tableName"

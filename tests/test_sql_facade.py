@@ -140,10 +140,21 @@ def test_merge_into_table_source_and_refusals(facade):
         for r in facade.sql("SELECT id, age FROM lakefs.repo.main.company.workers").collect()
     }
     assert ("1", 99) in got and len(got) == 6
+    # column-level SET is now part of the grammar (round 15) — it applies
+    # instead of refusing; only genuinely out-of-grammar actions refuse
+    facade.sql(
+        "MERGE INTO lakefs.repo.main.company.workers t USING lakefs.repo.b2.company.workers s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET age = 1"
+    )
+    aged = {
+        (r.id, r.age)
+        for r in facade.sql("SELECT id, age FROM lakefs.repo.main.company.workers").collect()
+    }
+    assert aged == {(i, 1) for i, _ in aged} and len(aged) == 6
     with pytest.raises(UnsupportedOperationError):
         facade.sql(
             "MERGE INTO lakefs.repo.main.company.workers t USING lakefs.repo.b2.company.workers s "
-            "ON t.id = s.id WHEN MATCHED THEN UPDATE SET age = 1 WHEN NOT MATCHED THEN INSERT *"
+            "ON t.id = s.id WHEN MATCHED THEN FROBNICATE"
         )
     with pytest.raises(UnsupportedOperationError):
         facade.sql(
