@@ -110,6 +110,116 @@ class DeltaTableWriter:
         self._column_mapping = column_mapping
         self._meta: dict | None = None  # current metaData action (for renames)
 
+    def _identity_specs(self) -> dict[str, dict]:
+        return getattr(self, "_identity", {}) or {}
+
+    def _identity_hwm(self, col: str) -> int | None:
+        """The column's persisted high-water mark, from the CURRENT
+        metaData schema metadata (protocol
+        ``delta.identity.highWaterMark``); None before first allocation."""
+        schema = json.loads(self._meta["schemaString"])
+        for f in schema["fields"]:
+            if f["name"] == col:
+                v = (f.get("metadata") or {}).get(
+                    "delta.identity.highWaterMark"
+                )
+                return None if v is None else int(v)
+        return None
+
+    def _set_identity_hwm(self, col: str, value: int) -> None:
+        schema = json.loads(self._meta["schemaString"])
+        for f in schema["fields"]:
+            if f["name"] == col:
+                f.setdefault("metadata", {})[
+                    "delta.identity.highWaterMark"
+                ] = int(value)
+        self._meta = {
+            **self._meta,
+            "schemaString": json.dumps(schema, separators=(",", ":")),
+        }
+
+    def _apply_identity(
+        self, df: DataFrame, cleanup: list[DataFrame]
+    ) -> DataFrame:
+        """Assign identity values to one add frame (protocol "Identity
+        Columns"): a frame WITHOUT the column gets writer-allocated
+        values — monotonic from the persisted high-water mark, never
+        reused — allocated DISTRIBUTED via per-partition offsets
+        (O(partitions) driver rows + one partition-local row_number; no
+        global sort, no single-partition window). A frame WITH the
+        column is an explicit insert: refused for GENERATED ALWAYS
+        columns (allowExplicitInsert=false); otherwise accepted, and the
+        high-water mark advances past the explicit extreme in the step's
+        direction so later allocations never collide. The frame is
+        persisted across the count and write jobs so both see ONE
+        partitioning (a recompute between jobs could repartition and
+        double-assign)."""
+        from pyspark.sql.window import Window as W
+
+        for c, sp in self._identity_specs().items():
+            hwm = self._identity_hwm(c)
+            base = hwm if hwm is not None else sp["start"] - sp["step"]
+            if c in df.columns:
+                if not sp["allow"]:
+                    raise ValueError(
+                        f"identity column {c!r} is GENERATED ALWAYS "
+                        "(allowExplicitInsert=false): explicit values "
+                        "refused"
+                    )
+                from ..operators.util import bounded_rows
+
+                agg = F.max(F.col(c)) if sp["step"] > 0 else F.min(F.col(c))
+                mx = bounded_rows(df.agg(agg.alias("mx")))[0]["mx"]
+                if mx is not None:
+                    new_h = (
+                        max(base, int(mx))
+                        if sp["step"] > 0
+                        else min(base, int(mx))
+                    )
+                    self._set_identity_hwm(c, new_h)
+                continue
+            keyed = (
+                df.withColumn("_mid", F.monotonically_increasing_id())
+                .withColumn("_pid", F.spark_partition_id())
+                .persist()
+            )
+            cleanup.append(keyed)
+            counts = {
+                r["_pid"]: r["n"]
+                for r in keyed.groupBy("_pid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()  # O(partitions) rows, bounded by parallelism
+            }
+            total = sum(counts.values())
+            if total == 0:
+                df = keyed.drop("_mid", "_pid").withColumn(
+                    c, F.lit(None).cast("long")
+                )
+                continue
+            offsets, acc = {}, 0
+            for pid in sorted(counts):
+                offsets[pid] = acc
+                acc += counts[pid]
+            off_expr = F.element_at(
+                F.create_map(
+                    *[
+                        F.lit(x)
+                        for pid in sorted(offsets)
+                        for x in (pid, offsets[pid])
+                    ]
+                ),
+                F.col("_pid"),
+            )
+            local = F.row_number().over(W.partitionBy("_pid").orderBy("_mid"))
+            df = keyed.withColumn(
+                c,
+                (
+                    F.lit(base) + F.lit(sp["step"]) * (off_expr + local)
+                ).cast("long"),
+            ).drop("_mid", "_pid")
+            self._set_identity_hwm(c, base + sp["step"] * total)
+        return df
+
     def _check_constraints(self) -> dict[str, str]:
         """CHECK constraints currently on the table (protocol "CHECK
         Constraints": ``delta.constraints.<name>`` configuration keys)."""
@@ -150,6 +260,7 @@ class DeltaTableWriter:
         generated: dict[str, str] | None = None,
         txn: tuple[str, int] | None = None,
         add_partitioned: DataFrame | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> int:
         """One commit: write each DataFrame as a parquet data file (`add`)
         and/or drop previously added files (`remove`). The first commit
@@ -224,7 +335,51 @@ class DeltaTableWriter:
                     )
                 for name, expr in self._generated.items():
                     schema_df = schema_df.withColumn(name, F.expr(expr))
+            # IDENTITY COLUMNS (protocol "Identity Columns",
+            # delta.identity.* field metadata; round 15): the writer
+            # allocates monotonically increasing values from a per-column
+            # high-water mark persisted IN the schema metadata, updated
+            # via a fresh metaData action on every allocating commit.
+            # allowExplicitInsert=False is GENERATED ALWAYS (explicit
+            # values refuse); True is BY DEFAULT (explicit values accept
+            # and advance the high-water mark so allocations never
+            # collide with them).
+            self._identity = {
+                c: {
+                    "start": int(sp.get("start", 1)),
+                    "step": int(sp.get("step", 1)),
+                    "allow": bool(sp.get("allowExplicitInsert", False)),
+                }
+                for c, sp in (identity or {}).items()
+            }
+            for c, sp in self._identity.items():
+                if sp["step"] == 0:
+                    raise ValueError("identity step must be non-zero")
+                if c in self._generated:
+                    raise ValueError(
+                        f"column {c!r} cannot be both generated and identity"
+                    )
+                if c not in schema_df.columns:
+                    # schema placeholder only; values assign per-add below
+                    schema_df = schema_df.withColumn(
+                        c, F.lit(None).cast("long")
+                    )
             schema = json.loads(schema_df.schema.json())
+            for f in schema["fields"]:
+                if f["name"] in self._identity:
+                    if f["type"] != "long":
+                        raise ValueError(
+                            f"identity column {f['name']!r} must be BIGINT "
+                            f"(got {f['type']})"
+                        )
+                    sp = self._identity[f["name"]]
+                    f.setdefault("metadata", {}).update(
+                        {
+                            "delta.identity.start": sp["start"],
+                            "delta.identity.step": sp["step"],
+                            "delta.identity.allowExplicitInsert": sp["allow"],
+                        }
+                    )
             if self._generated:
                 for f in schema["fields"]:
                     if f["name"] in self._generated:
@@ -265,6 +420,9 @@ class DeltaTableWriter:
             if self._generated:
                 # protocol: generated columns need writer version >= 4
                 proto["minWriterVersion"] = max(proto["minWriterVersion"], 4)
+            if self._identity:
+                # protocol: identity columns need writer version >= 6
+                proto["minWriterVersion"] = max(proto["minWriterVersion"], 6)
             self._meta = {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
@@ -279,8 +437,12 @@ class DeltaTableWriter:
         phys = _physical_names_map(self._meta) if self._column_mapping else {}
         constraints = self._check_constraints()
         _enforce = self._enforce_constraints
+        pre_schema_string = (self._meta or {}).get("schemaString")
+        id_cleanup: list[DataFrame] = []
 
         for df in add_dfs or []:
+            if self._identity_specs():
+                df = self._apply_identity(df, id_cleanup)
             for name, expr in getattr(self, "_generated", {}).items():
                 if name not in df.columns:  # writer computes generated cols
                     df = df.withColumn(name, F.expr(expr))
@@ -339,6 +501,8 @@ class DeltaTableWriter:
                     "add_partitioned requires a partitioned table"
                 )
             dfp = add_partitioned
+            if self._identity_specs():
+                dfp = self._apply_identity(dfp, id_cleanup)
             for name, expr in getattr(self, "_generated", {}).items():
                 if name not in dfp.columns:
                     dfp = dfp.withColumn(name, F.expr(expr))
@@ -396,6 +560,20 @@ class DeltaTableWriter:
                     }
                 }
             )
+        for fr in id_cleanup:
+            fr.unpersist()
+        if self._identity_specs() and (
+            (self._meta or {}).get("schemaString") != pre_schema_string
+        ):
+            # the advanced high-water mark must ride THIS commit (stock
+            # emits a metaData update per allocating commit): refresh the
+            # first-commit metaData action in place, or append one
+            for a in actions:
+                if "metaData" in a:
+                    a["metaData"] = self._meta
+                    break
+            else:
+                actions.append({"metaData": self._meta})
         actions.append(
             {
                 "commitInfo": {
@@ -1233,69 +1411,15 @@ class DeltaTableWriter:
         pcols = state.get("partition_cols") or []
 
         def _zorder_adds(df: DataFrame) -> tuple[list[DataFrame], int]:
-            """Morton-cluster one frame into <= target_files range frames;
-            returns (adds, row count). Bins quantize per-FRAME min/max —
-            called once for an unpartitioned table, once per partition
-            tuple for a partitioned one (stock OPTIMIZE ZORDER clusters
-            within each partition)."""
-            b = bounded_rows(
-                df.agg(
-                    *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
-                    *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
-                )
-            )[0]
-            nbits = 8
-            bins = []
-            for c in zorder_by:
-                if b[f"mn_{c}"] is None:  # all-NULL dimension: inert axis
-                    bins.append(F.lit(0).cast("long"))
-                    continue
-                mn = float(b[f"mn_{c}"])
-                span = float(b[f"mx_{c}"]) - mn
-                scaled = (F.col(c).cast("double") - F.lit(mn)) * F.lit(
-                    (2**nbits - 1) / span if span > 0 else 0.0
-                )
-                bins.append(F.floor(scaled).cast("long"))
-            zkey = F.lit(0).cast("long")
-            for bit in range(nbits):
-                for ci, bn in enumerate(bins):
-                    pos = bit * len(bins) + ci
-                    zkey = zkey + F.shiftleft(
-                        F.shiftright(bn, bit).bitwiseAND(F.lit(1)), pos
-                    )
-            # A NULL in ANY zorder column nulls the whole Morton key, and
-            # every (lo, hi] range filter below excludes NULLs — those rows
-            # would silently vanish from a dataChange=false rewrite. Route
-            # them into a dedicated lowest bucket instead (stock Delta
-            # clusters NULLs together the same way).
-            zkey = F.coalesce(zkey, F.lit(-1).cast("long"))
-            zdf = df.withColumn("_zkey", zkey)
-            n_rows = zdf.count()
-            edges = sorted(
-                set(
-                    zdf.approxQuantile(
-                        "_zkey",
-                        [i / target_files for i in range(1, target_files)],
-                        0.001,
-                    )
-                )
-            )
-            out = []
-            lo = None
-            for e in edges + [None]:
-                part = zdf
-                if lo is not None:
-                    part = part.filter(F.col("_zkey") > F.lit(lo))
-                if e is not None:
-                    part = part.filter(F.col("_zkey") <= F.lit(e))
-                if bounded_rows(part.limit(1)):  # skip empty key ranges
-                    out.append(
-                        part.coalesce(1)
-                        .sortWithinPartitions("_zkey")
-                        .drop("_zkey")
-                    )
-                lo = e
-            return out, n_rows
+            """Morton-cluster one frame into <= target_files range frames
+            via the SHARED z-order engine (zorder.py — one implementation
+            for Delta OPTIMIZE ZORDER and Iceberg rewrite_data zorder);
+            returns (adds, row count). Called once for an unpartitioned
+            table, once per partition tuple for a partitioned one (stock
+            OPTIMIZE ZORDER clusters within each partition)."""
+            from .zorder import morton_cluster_frames
+
+            return morton_cluster_frames(df, zorder_by, target_files)
 
         if zorder_by:
             clash = set(zorder_by) & set(pcols)

@@ -2909,6 +2909,54 @@ class IcebergTableWriter:
             )
             return self._commit_snapshot(snapshot_id, "append")
 
+    def snapshot_source_parquet(self, source_dir: str) -> int:
+        """Stock Iceberg's ``CALL system.snapshot`` (round 15 — the
+        legacy-lake front door over add_files): register an EXISTING
+        plain-parquet table's files IN PLACE as this fresh Iceberg
+        table's first snapshot. Schema derives from the files
+        themselves; cost is one footer read per file (schema gate,
+        record count, column bounds — so stats skipping works on the
+        snapshot immediately); the source files are never copied,
+        moved, or rewritten, and every LATER write (appends, MoR
+        deletes, compaction output) lands under THIS table's own data/
+        directory — the source stays byte-identical however the
+        snapshot evolves. ``migrate_parquet_to_iceberg`` is the
+        identity-swap sibling (metadata created beside the source files
+        so the same path IS the Iceberg table)."""
+        if self._snapshots or self._schema_json is not None:
+            raise ValueError(
+                "snapshot requires a fresh table (no schema, no snapshots)"
+            )
+        if self._partition_by:
+            raise ValueError(
+                "snapshot registers unpartitioned sources; for "
+                "partitioned imports create the spec'd table and use "
+                "add_files (per-file partition derivation)"
+            )
+        paths = sorted(
+            os.path.join(source_dir, name)
+            for name in os.listdir(source_dir)
+            if name.endswith(".parquet") and not name.startswith(("_", "."))
+        )
+        if not paths:
+            raise ValueError(f"no parquet files under {source_dir}")
+        df = self.spark.read.parquet(*paths)
+        self._schema_json = _iceberg_schema(df)
+        self._schemas = [self._schema_json]
+        self._last_column_id = len(self._schema_json["fields"])
+        self._resolve_partition_fields()
+        try:
+            return self.add_files(paths)
+        except BaseException:
+            # add_files guards its own commit state; the schema fields
+            # set above are OURS to restore (a half-initialized fresh
+            # writer must stay fresh)
+            self._schema_json = None
+            self._schemas = []
+            self._last_column_id = 0
+            self._partition_fields = []
+            raise
+
     def rollback_to_timestamp(self, ts_ms: int) -> int:
         """Stock Iceberg's ``rollback_to_timestamp`` CALL procedure:
         rollback to the snapshot that was CURRENT at ``ts_ms`` (resolved
@@ -2999,7 +3047,11 @@ class IcebergTableWriter:
         self._version += 1
         self._write_metadata(int(time.time() * 1000))
 
-    def rewrite_data(self, target_files: int | None = None) -> int:
+    def rewrite_data(
+        self,
+        target_files: int | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """COMPACTION (stock Iceberg's rewrite_data_files): materialize the
         current scan — merge-on-read deletes applied — into one data file
         per live partition tuple (one file total when unpartitioned) and
@@ -3018,9 +3070,31 @@ class IcebergTableWriter:
         partition-pruned distributed scan+write, so total data cost is one
         pass over live rows regardless of partition count. A production
         writer runs the per-partition writes as parallel tasks of one job;
-        the per-file manifest metadata committed here is identical."""
+        the per-file manifest metadata committed here is identical.
+
+        ``zorder_by`` (round 15 — stock's ``rewrite_data_files(strategy
+        => 'sort', sort_order => zorder(...))``, the Iceberg dual of
+        Delta's OPTIMIZE ZORDER): each partition's rows Morton-cluster
+        into <= target_files key ranges through the SHARED z-order
+        engine (zorder.py), so manifest min/max stay narrow on EVERY
+        z dimension and stats_filter skips files on any of them —
+        multi-dimensional skipping linear sort orders can't give."""
         if self._schema_json is None:
             raise ValueError("nothing to rewrite: table has no snapshots")
+        if zorder_by:
+            names = {f["name"] for f in self._schema_json["fields"]}
+            unknown = [c for c in zorder_by if c not in names]
+            if unknown:
+                raise ValueError(f"zorder on unknown columns: {unknown}")
+            clash = set(zorder_by) & {
+                pf["source_name"] for pf in self._partition_fields
+                if pf.get("kind") == "identity"
+            }
+            if clash:
+                raise ValueError(
+                    f"cannot zorder partition columns: {sorted(clash)} "
+                    "(constant within every file already)"
+                )
         from .parquet_io import write_single_parquet
 
         current = scan_iceberg_table(self.spark, self.table_dir)
@@ -3089,6 +3163,24 @@ class IcebergTableWriter:
                     part_df = part_df.filter(
                         self._transform_col(pf) == F.lit(pvals[pf["name"]])
                     )
+                if zorder_by:
+                    # Morton-clustered rewrite (shared engine — see
+                    # docstring): each range frame is one clustered
+                    # single-task write; empty key ranges write nothing
+                    from .zorder import morton_cluster_frames
+
+                    frames, _n = morton_cluster_frames(
+                        part_df, zorder_by, target_files or 1
+                    )
+                    for j, fr in enumerate(frames):
+                        data_path = os.path.join(
+                            self.data_dir,
+                            f"00000-{self._version}-{self._uuid}-"
+                            f"z{i + 1}-{j + 1:05d}.{fmt}",
+                        )
+                        n_rows = writer(fr, data_path)
+                        entries.append(_entry(data_path, n_rows, pvals))
+                    continue
                 if self._sort_order and (target_files or 1) > 1:
                     # RANGE-CLUSTERED rewrite: the persisted sort order splits
                     # each partition into target_files range files (Spark's
@@ -4991,6 +5083,25 @@ def _assemble_visible_scan(
                 cond = cond & F.col(k).eqNullSafe(F.col(f"_ek_{k}"))
             df = df.join(gated_broadcast(keys), cond, "left_anti")
     return df.select(*cols)
+
+
+def migrate_parquet_to_iceberg(
+    spark: SparkSession, table_dir: str
+) -> IcebergTableWriter:
+    """Stock Iceberg's ``CALL system.migrate`` (round 15): IN-PLACE
+    conversion — the directory that WAS a plain parquet table becomes an
+    Iceberg table at the same path (the identity swap): a metadata/
+    chain appears beside the original files, which are registered as-is
+    via the snapshot machinery (footer-cost only, zero bytes moved).
+    After migration the path serves Iceberg scans with time travel,
+    stats skipping, and MoR DML; later writes land under its data/
+    subdirectory, leaving the original files untouched until a
+    compaction retires them. The non-destructive sibling is
+    ``IcebergTableWriter.snapshot_source_parquet`` (new table elsewhere,
+    source dir never even gains metadata)."""
+    w = IcebergTableWriter(spark, table_dir)
+    w.snapshot_source_parquet(table_dir)
+    return w
 
 
 def scan_iceberg_table(

@@ -1,0 +1,88 @@
+"""Morton (z-order) clustering, shared by Delta OPTIMIZE ZORDER BY and
+Iceberg rewrite_data(zorder_by=...) — one implementation so the two
+layouts' multi-dimensional clustering semantics cannot drift.
+
+The clustering quantizes each dimension into 8-bit bins over the frame's
+global min/max, interleaves the bits into a Morton key (pure integer
+codegen — the key never reaches the data pages), and splits the frame
+into <= target_files equal-count key ranges via approxQuantile edges.
+Rows where ANY dimension is NULL route into a dedicated lowest bucket
+(stock Delta clusters NULLs together the same way): a NULL dimension
+nulls the whole Morton key and the (lo, hi] range filters would silently
+drop those rows from a row-preserving rewrite.
+
+Scale: one min/max pre-pass + one quantile pass + one clustered
+write per call; callers invoke it once per partition tuple (stock's
+OPTIMIZE unit is the partition), so total data cost stays one pass over
+live rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["morton_cluster_frames"]
+
+
+def morton_cluster_frames(
+    df: DataFrame, zorder_by: list[str], target_files: int
+) -> tuple[list[DataFrame], int]:
+    """Morton-cluster one frame into <= ``target_files`` range frames
+    (each already coalesced to one task and sorted by the key, ready for
+    a single-file write); returns ``(frames, row count)``. Bins quantize
+    per-FRAME min/max — call once for an unpartitioned table, once per
+    partition tuple for a partitioned one."""
+    from ..operators.util import bounded_rows
+
+    b = bounded_rows(
+        df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
+            *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
+        )
+    )[0]
+    nbits = 8
+    bins = []
+    for c in zorder_by:
+        if b[f"mn_{c}"] is None:  # all-NULL dimension: inert axis
+            bins.append(F.lit(0).cast("long"))
+            continue
+        mn = float(b[f"mn_{c}"])
+        span = float(b[f"mx_{c}"]) - mn
+        scaled = (F.col(c).cast("double") - F.lit(mn)) * F.lit(
+            (2**nbits - 1) / span if span > 0 else 0.0
+        )
+        bins.append(F.floor(scaled).cast("long"))
+    zkey = F.lit(0).cast("long")
+    for bit in range(nbits):
+        for ci, bn in enumerate(bins):
+            pos = bit * len(bins) + ci
+            zkey = zkey + F.shiftleft(
+                F.shiftright(bn, bit).bitwiseAND(F.lit(1)), pos
+            )
+    zkey = F.coalesce(zkey, F.lit(-1).cast("long"))
+    zdf = df.withColumn("_zkey", zkey)
+    n_rows = zdf.count()
+    edges = sorted(
+        set(
+            zdf.approxQuantile(
+                "_zkey",
+                [i / target_files for i in range(1, target_files)],
+                0.001,
+            )
+        )
+    )
+    out = []
+    lo = None
+    for e in edges + [None]:
+        part = zdf
+        if lo is not None:
+            part = part.filter(F.col("_zkey") > F.lit(lo))
+        if e is not None:
+            part = part.filter(F.col("_zkey") <= F.lit(e))
+        if bounded_rows(part.limit(1)):  # skip empty key ranges
+            out.append(
+                part.coalesce(1).sortWithinPartitions("_zkey").drop("_zkey")
+            )
+        lo = e
+    return out, n_rows

@@ -2833,6 +2833,130 @@ def maint_iceberg_sort_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maint_iceberg_zorder",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders WHERE o_totalprice <= 60000
+""",
+)
+def maint_iceberg_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER rewrite on the real Iceberg layout (round 15 — stock's
+    ``rewrite_data_files(strategy => 'sort', sort_order => zorder(
+    c1, c2))``, the Iceberg dual of maint_delta_zorder and the last
+    clustering flavor after maint_iceberg_sort_rewrite's linear range
+    sort): four interleaved appends leave every file spanning the full
+    value space on BOTH probe dimensions (stats skipping provably inert
+    — asserted on each), then ``rewrite_data(zorder_by=[o_custkey,
+    o_totalprice])`` Morton-clusters through the SHARED z-order engine
+    (zorder.py) under a replace snapshot, after which the SAME
+    stats_filter opens strictly fewer files on EITHER dimension
+    (asserted on each) and the visible rows are unchanged — the
+    standard answer to two-column probe workloads.
+
+    Scale: one min/max pre-pass + one quantile pass + one clustered
+    distributed write; the Morton key is integer codegen and never
+    reaches the data pages; all skipping afterwards is manifest-bounds
+    metadata work."""
+    from ..catalog.iceberg_format import IcebergTableWriter, scan_iceberg_table
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg-zorder-")
+    w = IcebergTableWriter(spark, tmp)
+    for m in range(4):
+        w.append(o.filter(F.col("o_orderkey") % 4 == m))
+    for dim, hi in (("o_totalprice", 60000.0), ("o_custkey", 150.0)):
+        pre = scan_iceberg_table(spark, tmp, stats_filter={dim: (None, hi)})
+        assert len(pre.inputFiles()) == 4  # interleaved: bounds skip nothing
+    w.rewrite_data(target_files=4, zorder_by=["o_custkey", "o_totalprice"])
+    n_files = len(scan_iceberg_table(spark, tmp).inputFiles())
+    for dim, hi in (("o_totalprice", 60000.0), ("o_custkey", 150.0)):
+        post = scan_iceberg_table(spark, tmp, stats_filter={dim: (None, hi)})
+        assert len(post.inputFiles()) < n_files  # z-clustering bites BOTH dims
+    back = scan_iceberg_table(
+        spark, tmp, stats_filter={"o_totalprice": (None, 60000.0)}
+    ).select("o_orderkey", "o_custkey", dround("o_totalprice", 2).alias("total"))
+    return _materialize(spark, back, tmp)
+
+
+@register(
+    "sink_delta_identity_columns",
+    oracle="""
+SELECT n_nationkey, CAST(10 + 2 * n_nationkey AS BIGINT) AS row_id
+FROM nation WHERE n_nationkey < 10
+UNION ALL
+SELECT n_nationkey, CAST(30 + 2 * (n_nationkey - 10) AS BIGINT)
+FROM nation WHERE n_nationkey BETWEEN 10 AND 14
+UNION ALL SELECT CAST(98 AS INTEGER), CAST(100 AS BIGINT)
+UNION ALL
+SELECT n_nationkey, CAST(102 + 2 * (n_nationkey - 15) AS BIGINT)
+FROM nation WHERE n_nationkey BETWEEN 15 AND 19
+""",
+)
+def sink_delta_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta IDENTITY COLUMNS (round 15 — protocol ``delta.identity.*``
+    field metadata, writer version >= 6 asserted): ``row_id BIGINT
+    GENERATED BY DEFAULT AS IDENTITY (START WITH 10 INCREMENT BY 2)``.
+    Three writer-allocating appends and one EXPLICIT insert interleave;
+    allocation is monotonic from the high-water mark PERSISTED in the
+    log's schema metadata (re-stamped by a fresh metaData action on
+    every allocating commit — asserted to read back 110), the explicit
+    value (100) advances the mark so the next allocation starts past it,
+    and all ids are asserted collision-free. Allocation itself is
+    distributed: per-partition offsets (O(partitions) driver rows) + a
+    partition-local row_number — no global sort, no single-partition
+    window; the fixture pins determinism by pre-sorting each add into
+    one partition.
+
+    Scale: the high-water-mark protocol is WHY sequential appends never
+    collide at any parallelism — each commit reserves
+    [hwm + step, hwm + step * n] in metadata before the next reads it."""
+    import json as _json
+
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+
+    n = _nation_local(spark, sf_dir, "n_nationkey")
+    tmp = tempfile.mkdtemp(prefix="delta-identity-")
+    w = DeltaTableWriter(spark, tmp)
+
+    def one_part(df):
+        return df.repartition(1).sortWithinPartitions("n_nationkey")
+
+    w.commit(
+        add_dfs=[one_part(n.filter("n_nationkey < 10"))],
+        identity={"row_id": {"start": 10, "step": 2,
+                             "allowExplicitInsert": True}},
+    )
+    w.commit(add_dfs=[one_part(n.filter("n_nationkey between 10 and 14"))])
+    w.commit(add_dfs=[local_df(spark, [(98, 100)],
+                               "n_nationkey int, row_id long")])
+    w.commit(add_dfs=[one_part(n.filter("n_nationkey between 15 and 19"))])
+    v0 = [
+        _json.loads(line)
+        for line in open(
+            os.path.join(tmp, "_delta_log", "00000000000000000000.json")
+        ).read().splitlines()
+        if line.strip()
+    ]
+    proto = next(a["protocol"] for a in v0 if "protocol" in a)
+    assert proto["minWriterVersion"] >= 6  # identity writer feature gate
+    schema = _json.loads(read_delta_log(tmp)["schema_json"])
+    idmeta = next(
+        f["metadata"] for f in schema["fields"] if f["name"] == "row_id"
+    )
+    assert idmeta["delta.identity.highWaterMark"] == 110  # persisted mark
+    back = scan_delta_table(spark, tmp).select("n_nationkey", "row_id")
+    n_rows = back.count()
+    assert back.select("row_id").distinct().count() == n_rows  # no collisions
+    return _materialize(spark, back, tmp)
+
+
+@register(
     "source_delta_stats_skipping",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -4616,6 +4740,97 @@ def dml_iceberg_merge_mor_positions(
         "n_nationkey", "n_name", "n_regionkey"
     )
     return _materialize(spark, back, tmp)
+
+
+@register(
+    "maint_iceberg_snapshot_migrate",
+    oracle="""
+SELECT 'snap' AS src, n_nationkey, n_name FROM nation WHERE n_nationkey <> 3
+UNION ALL SELECT 'snap', CAST(25 AS INTEGER), 'NEW_25'
+UNION ALL SELECT 'migrated', n_nationkey, n_name FROM nation
+""",
+)
+def maint_iceberg_snapshot_migrate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stock Iceberg's ``CALL system.snapshot`` + ``system.migrate``
+    (round 15 — the legacy-lake conversion front door, built over
+    add_files): ``snapshot`` registers a plain-parquet table's files in
+    place as a NEW Iceberg table elsewhere — asserted footer-cost-only
+    (source byte-identical after snapshot AND after DML on the
+    snapshot: MoR delete + append both land in the new table's own
+    tree); stats skipping works on the snapshot IMMEDIATELY (file-prune
+    asserted via input-file count — add_files wrote the footer bounds
+    into the manifest). ``migrate`` is the identity swap: the SOURCE
+    directory itself becomes an Iceberg table (metadata/ beside the
+    original files, zero bytes moved), time travel live from v1.
+
+    Scale: both are METADATA procedures — one footer read per file, no
+    data IO; a 100 TB parquet lake converts for the price of its
+    footers."""
+    import hashlib as _hl
+
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        iceberg_snapshot_files,
+        migrate_parquet_to_iceberg,
+        scan_iceberg_table,
+    )
+    from ..catalog.parquet_io import write_single_parquet
+
+    n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
+
+    def _digest(d):
+        out = {}
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if os.path.isfile(p):
+                out[name] = _hl.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    legacy = tempfile.mkdtemp(prefix="legacy-parquet-")
+    write_single_parquet(
+        n.filter("n_nationkey < 12").orderBy("n_nationkey"),
+        os.path.join(legacy, "part-0.parquet"),
+    )
+    write_single_parquet(
+        n.filter("n_nationkey >= 12").orderBy("n_nationkey"),
+        os.path.join(legacy, "part-1.parquet"),
+    )
+    before = _digest(legacy)
+
+    # ---- snapshot: new table elsewhere, source provably untouched ----
+    snap_dir = tempfile.mkdtemp(prefix="iceberg-snapshot-")
+    w = IcebergTableWriter(spark, snap_dir)
+    w.snapshot_source_parquet(legacy)
+    # stats skipping live immediately: the low file holds keys 0-11
+    pruned = scan_iceberg_table(spark, snap_dir, stats_filter={"n_nationkey": (20, 24)})
+    assert len(pruned.inputFiles()) == 1
+    # DML on the snapshot: MoR delete + append — source must not change
+    w.delete_where_mor("n_nationkey = 3")
+    w.append(local_df(spark, [(25, "NEW_25")], "n_nationkey int, n_name string"))
+    assert _digest(legacy) == before  # byte-identical source
+    data_files, _ = iceberg_snapshot_files(snap_dir)
+    new_files = [f for f in data_files if not f["file_path"].startswith(legacy)]
+    assert len(new_files) == 1 and new_files[0]["file_path"].startswith(snap_dir)
+    snap = scan_iceberg_table(spark, snap_dir).select("n_nationkey", "n_name")
+
+    # ---- migrate: the legacy dir ITSELF becomes the Iceberg table ----
+    legacy2 = tempfile.mkdtemp(prefix="legacy-parquet2-")
+    write_single_parquet(n.orderBy("n_nationkey"), os.path.join(legacy2, "part-0.parquet"))
+    migrate_parquet_to_iceberg(spark, legacy2)
+    assert os.path.isdir(os.path.join(legacy2, "metadata"))  # identity swap
+    mig = scan_iceberg_table(spark, legacy2).select("n_nationkey", "n_name")
+
+    out = (
+        snap.withColumn("src", F.lit("snap"))
+        .unionByName(mig.withColumn("src", F.lit("migrated")))
+        .select("src", "n_nationkey", "n_name")
+    )
+    out = _materialize(spark, out, snap_dir)
+    shutil.rmtree(legacy, ignore_errors=True)
+    shutil.rmtree(legacy2, ignore_errors=True)
+    return out
 
 
 @register(

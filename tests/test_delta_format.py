@@ -2146,3 +2146,61 @@ def test_restore_to_timestamp(spark, tmp_path):
     with pytest.raises(ValueError, match="at or before"):
         w.restore_to_timestamp(99_999)
     assert read_delta_log(d)["version"] == n_versions  # nothing committed
+
+
+def test_identity_columns_edges(spark, tmp_path):
+    """Round 15 identity-column edges: GENERATED ALWAYS (allowExplicitInsert
+    =false) refuses explicit values; a negative step allocates downward and
+    explicit values advance the mark in the step's direction; an empty add
+    allocates nothing; replayed sequential appends never collide."""
+    import json as _json
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+    from lakefs_iceberg_catalog_spark.operators.util import local_df
+
+    ddl = "k int"
+    # GENERATED ALWAYS: explicit insert refused, nothing committed
+    d1 = str(tmp_path / "always")
+    w = DeltaTableWriter(spark, d1)
+    w.commit(add_dfs=[local_df(spark, [(1,), (2,)], ddl)],
+             identity={"rid": {"start": 1, "step": 1}})
+    v = w._version
+    with pytest.raises(ValueError, match="ALWAYS"):
+        w.commit(add_dfs=[local_df(spark, [(3, 99)], "k int, rid long")])
+    assert w._version == v
+    w.commit(add_dfs=[local_df(spark, [], ddl)])  # empty add: no allocation
+    w.commit(add_dfs=[local_df(spark, [(3,)], ddl)])
+    got = {r["k"]: r["rid"] for r in scan_delta_table(spark, d1).collect()}
+    assert sorted(got.values()) == [1, 2, 3]  # contiguous despite empty add
+
+    # negative step: downward allocation, explicit value pushes the mark DOWN
+    d2 = str(tmp_path / "downward")
+    w2 = DeltaTableWriter(spark, d2)
+    w2.commit(add_dfs=[local_df(spark, [(1,), (2,)], ddl)],
+              identity={"rid": {"start": -1, "step": -2,
+                                "allowExplicitInsert": True}})
+    w2.commit(add_dfs=[local_df(spark, [(3, -50)], "k int, rid long")])
+    w2.commit(add_dfs=[local_df(spark, [(4,)], ddl)])
+    rows = scan_delta_table(spark, d2).collect()
+    rids = {r["k"]: r["rid"] for r in rows}
+    assert sorted(rids.values(), reverse=True) == [-1, -3, -50, -52]
+    schema = _json.loads(read_delta_log(d2)["schema_json"])
+    meta = next(f["metadata"] for f in schema["fields"] if f["name"] == "rid")
+    assert meta["delta.identity.highWaterMark"] == -52
+    assert len(set(rids.values())) == len(rids)  # no collisions
+
+    # declaration guards
+    with pytest.raises(ValueError, match="non-zero"):
+        DeltaTableWriter(spark, str(tmp_path / "z")).commit(
+            add_dfs=[local_df(spark, [(1,)], ddl)],
+            identity={"rid": {"step": 0}},
+        )
+    with pytest.raises(ValueError, match="BIGINT"):
+        DeltaTableWriter(spark, str(tmp_path / "ty")).commit(
+            add_dfs=[local_df(spark, [(1, 2)], "k int, rid int")],
+            identity={"rid": {}},
+        )

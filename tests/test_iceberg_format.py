@@ -3403,3 +3403,71 @@ def test_commit_guard_shallow_manifest_snapshot(spark, tmp_path):
         if id(m) in before:
             assert m == before[id(m)]  # never mutated in place
     assert scan_iceberg_table(spark, d).count() == 9  # key 3 deleted
+
+
+def test_snapshot_migrate_guards_and_failure_restore(spark, tmp_path):
+    """Round 15 snapshot/migrate edges: snapshot refuses on a non-fresh
+    table and on an empty source dir; a failing add_files leaves the fresh
+    writer FULLY fresh (schema restored), so a retry works; migrate's
+    table serves time travel from v1."""
+    from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+        migrate_parquet_to_iceberg,
+    )
+    from lakefs_iceberg_catalog_spark.catalog.parquet_io import (
+        write_single_parquet,
+    )
+
+    n = _nation(spark).select("n_nationkey", "n_name")
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    write_single_parquet(n, str(legacy / "part-0.parquet"))
+
+    d = str(tmp_path / "snap")
+    w = IcebergTableWriter(spark, d)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no parquet files"):
+        w.snapshot_source_parquet(str(empty))
+    # forced add_files failure: schema must restore to fresh
+    real = w.add_files
+
+    def boom(paths):
+        raise OSError("simulated failure")
+
+    w.add_files = boom
+    with pytest.raises(OSError, match="simulated"):
+        w.snapshot_source_parquet(str(legacy))
+    assert w._schema_json is None and w._schemas == []
+    w.add_files = real
+    w.snapshot_source_parquet(str(legacy))  # retry works
+    assert scan_iceberg_table(spark, d).count() == 25
+    with pytest.raises(ValueError, match="fresh"):
+        w.snapshot_source_parquet(str(legacy))
+
+    mig_dir = tmp_path / "mig"
+    mig_dir.mkdir()
+    write_single_parquet(n.filter("n_nationkey < 10"), str(mig_dir / "p.parquet"))
+    mw = migrate_parquet_to_iceberg(spark, str(mig_dir))
+    mw.append(n.filter("n_nationkey >= 10"))
+    assert scan_iceberg_table(spark, str(mig_dir)).count() == 25
+    assert scan_iceberg_table(spark, str(mig_dir), version=1).count() == 10
+
+
+def test_rewrite_data_zorder_guards(spark, tmp_path):
+    """zorder_by validation: unknown columns and identity partition
+    columns refuse; rows are preserved across the clustered rewrite."""
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    d = str(tmp_path / "zg")
+    w = IcebergTableWriter(spark, d, partition_by=["n_regionkey"])
+    for rk in range(5):
+        w.append(n.filter(f"n_regionkey = {rk}"))
+    with pytest.raises(ValueError, match="unknown columns"):
+        w.rewrite_data(zorder_by=["ghost"])
+    with pytest.raises(ValueError, match="partition columns"):
+        w.rewrite_data(zorder_by=["n_regionkey", "n_nationkey"])
+    before = sorted(
+        map(tuple, scan_iceberg_table(spark, d).collect())
+    )
+    w.rewrite_data(target_files=2, zorder_by=["n_nationkey"])
+    after = sorted(map(tuple, scan_iceberg_table(spark, d).collect()))
+    assert before == after  # row-preserving, per-partition clustering
