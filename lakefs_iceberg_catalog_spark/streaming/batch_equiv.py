@@ -1210,3 +1210,159 @@ def stream_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(spool, ignore_errors=True)
         shutil.rmtree(sink_dir, ignore_errors=True)
     return local_df(spark, rows, schema)
+
+
+@register(
+    "stream_source_rate_limit",
+    oracle="""
+WITH clicks AS (
+  SELECT * FROM events WHERE event_type = 'click'
+)
+SELECT 'iceberg' AS fmt, CAST(count(*) AS BIGINT) AS n_rows,
+       3 AS n_batches, TRUE AS terminated
+FROM clicks
+UNION ALL
+SELECT 'delta', CAST(count(*) AS BIGINT), 2, TRUE FROM clicks
+""",
+)
+def stream_source_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING RATE LIMITS over a commit BACKLOG on both real formats
+    (round 15, VERDICT r14 stretch #7 — ``maxFilesPerTrigger`` +
+    ``Trigger.AvailableNow``): a stream starting against a table with
+    many historical commits must drain them in BOUNDED micro-batches —
+    several commits per batch under the rate limit — and then STOP,
+    instead of one batch per commit (stream_source_iceberg/delta's
+    shape) or one unbounded catch-up batch. The Iceberg backlog is 6
+    snapshots consumed at maxFilesPerTrigger=2 → exactly 3 batches; the
+    Delta backlog is 6 commits at maxFilesPerTrigger=3 → exactly 2
+    batches; both queries terminate on their own (AvailableNow) —
+    asserted — and the accumulated rows equal the table scan exactly
+    (exactly-once across the batched catch-up).
+
+    Scale: per-batch IO is rate-limit-bounded regardless of backlog
+    depth — the 100 TB cold-start story: a new consumer against a year
+    of history reads at a controlled batch size with checkpointed
+    progress, never one giant batch."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog.delta_format import (
+        DeltaTableWriter,
+        delta_table_changes,
+        scan_delta_table,
+    )
+    from ..catalog.iceberg_format import (
+        IcebergTableWriter,
+        scan_iceberg_incremental,
+        scan_iceberg_table,
+    )
+    from ..operators.util import bounded_rows
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).select("event_id", "user_id", "ts", "value")
+    ddl = "event_id bigint, user_id bigint, ts timestamp, value double"
+    tmp_roots: list[str] = []
+
+    def spool_epochs(deltas, spool):
+        for i, delta in enumerate(deltas):
+            stage = os.path.join(spool, f".stage-{i}")
+            delta.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = [
+                f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+            ]
+            assert len(part) == 1
+            os.replace(
+                os.path.join(stage, part[0]),
+                os.path.join(spool, f"epoch-{i}.parquet"),
+            )
+            shutil.rmtree(stage)
+
+    def drain(spool, files_per_trigger, sink_dir):
+        """AvailableNow catch-up under the rate limit; returns
+        (accumulated_df, n_batches, terminated)."""
+        s = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(spool)
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", os.path.join(sink_dir, "data"))
+            .option("checkpointLocation", os.path.join(sink_dir, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            terminated = q.awaitTermination(120)
+            n_batches = len(
+                [p for p in q.recentProgress if p["numInputRows"] > 0]
+            )
+        finally:
+            q.stop()
+        acc = spark.read.schema(ddl).parquet(os.path.join(sink_dir, "data"))
+        return acc, n_batches, terminated
+
+    try:
+        # ---- Iceberg: 6-snapshot backlog, 2 commits per batch ----
+        iroot = tempfile.mkdtemp(prefix="ice-ratelimit-")
+        ispool = tempfile.mkdtemp(prefix="ice-rl-spool-")
+        isink = tempfile.mkdtemp(prefix="ice-rl-sink-")
+        tmp_roots += [iroot, ispool, isink]
+        w = IcebergTableWriter(spark, iroot)
+        snaps = [
+            w.append(e.filter(F.col("event_id") % 6 == i)) for i in range(6)
+        ]
+        ideltas = [scan_iceberg_table(spark, iroot, snapshot_id=snaps[0])] + [
+            scan_iceberg_incremental(spark, iroot, snaps[i - 1], snaps[i])
+            for i in range(1, 6)
+        ]
+        spool_epochs(ideltas, ispool)
+        iacc, in_batches, iterm = drain(ispool, 2, isink)
+        assert in_batches == 3, f"6 commits / 2 per trigger != {in_batches}"
+        # exactly-once across the batched catch-up: accumulated == table
+        assert (
+            iacc.exceptAll(scan_iceberg_table(spark, iroot))
+            .unionAll(scan_iceberg_table(spark, iroot).exceptAll(iacc))
+            .limit(1)
+            .count()
+            == 0
+        )
+
+        # ---- Delta: 6-commit backlog, 3 commits per batch ----
+        droot = tempfile.mkdtemp(prefix="delta-ratelimit-")
+        dspool = tempfile.mkdtemp(prefix="delta-rl-spool-")
+        dsink = tempfile.mkdtemp(prefix="delta-rl-sink-")
+        tmp_roots += [droot, dspool, dsink]
+        dw = DeltaTableWriter(spark, droot)
+        for i in range(6):
+            dw.commit(add_dfs=[e.filter(F.col("event_id") % 6 == i)])
+        ddeltas = [scan_delta_table(spark, droot, version=0)] + [
+            delta_table_changes(spark, droot, v - 1, v).drop("_change_type")
+            for v in range(1, 6)
+        ]
+        spool_epochs(ddeltas, dspool)
+        dacc, dn_batches, dterm = drain(dspool, 3, dsink)
+        assert dn_batches == 2, f"6 commits / 3 per trigger != {dn_batches}"
+        assert (
+            dacc.exceptAll(scan_delta_table(spark, droot))
+            .unionAll(scan_delta_table(spark, droot).exceptAll(dacc))
+            .limit(1)
+            .count()
+            == 0
+        )
+
+        out = local_df(spark,
+            [
+                ("iceberg", iacc.count(), 3, bool(iterm)),
+                ("delta", dacc.count(), 2, bool(dterm)),
+            ],
+            "fmt string, n_rows bigint, n_batches int, terminated boolean",
+        )
+        rows, schema = bounded_rows(out), out.schema
+    finally:
+        for r in tmp_roots:
+            shutil.rmtree(r, ignore_errors=True)
+    return local_df(spark, rows, schema)
