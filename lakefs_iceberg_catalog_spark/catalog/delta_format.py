@@ -1640,10 +1640,12 @@ class DeltaTableWriter:
         may carry extra columns (CDC op flags) — they steer clauses and
         never land. A merge that fires no clause commits nothing.
 
-        Partitioned tables take the whole-row shapes through the
-        specialized partitioned merge; general clauses on a partitioned
-        layout refuse loudly (documented seam — the clause resolution is
-        layout-independent, the partition-routed rewrite is not wired).
+        Partitioned tables route through _merge_clauses_partitioned:
+        the same clause resolution over the partition-value-reattaching
+        scan, with the MATCHED probe partition-pruned when the partition
+        columns are part of the merge key and the rewrite as ONE
+        partitionBy job (an UPDATE assigning a partition column legally
+        moves the row across partitions).
 
         Scale: victim-file-proportional — the MATCHED probe is one
         key-partitioned inner join with pushdown; the survivor rescan
@@ -1662,12 +1664,6 @@ class DeltaTableWriter:
         mc.validate_clauses(clauses, names)
         if mc.whole_row_shape(clauses):
             return self.merge_upsert(source_df, key_cols)
-        if state.get("partition_cols"):
-            raise ValueError(
-                "general MERGE clauses on a PARTITIONED Delta table are "
-                "not wired — whole-row shapes route through the "
-                "partitioned merge"
-            )
         bad = [
             c for c in key_cols
             if c not in names or c not in source_df.columns
@@ -1686,6 +1682,10 @@ class DeltaTableWriter:
                     f"in the source; missing: {missing}"
                 )
         fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        if state.get("partition_cols"):
+            return self._merge_clauses_partitioned(
+                source_df, key_cols, clauses, state, fields
+            )
         cur_files = self._flat_live_scan(state, schema)
         has_matched = any(c.when == "matched" for c in clauses)
         has_by_source = any(
@@ -1829,6 +1829,298 @@ class DeltaTableWriter:
         finally:
             src.unpersist()
 
+    def _partitioned_scan_ctx(self, state: dict) -> dict:
+        """Precomputed pieces every partition-value-reattaching scan
+        needs (shared by the partitioned MERGE flavors): logical schema,
+        partition types, the physical read schema under column mapping,
+        and the partition-tuple -> relative-file-paths grouping from the
+        log fold."""
+        from pyspark.sql import types as T
+
+        pcols = state["partition_cols"]
+        schema = T.StructType.fromJson(json.loads(state["schema_json"]))
+        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        file_fields = [f for f in schema.fields if f.name not in pcols]
+        # under column mapping, data files resolve per _file_read_schema
+        # (physical names in 'name' mode, parquet field ids in 'id' mode)
+        # and partitionValues are keyed by PHYSICAL names in both modes;
+        # probe/survivor frames project back to logical right after the
+        # path column materializes
+        file_schema, renames = _file_read_schema(
+            self.spark, state.get("metadata"), file_fields
+        )
+        pv_phys = _physical_names_map(state.get("metadata"))
+        groups: dict[tuple, list[str]] = {}
+        for rel, a in state["files"].items():
+            pv = a.get("partitionValues") or {}
+            groups.setdefault(
+                tuple(pv.get(pv_phys.get(c, c)) for c in pcols), []
+            ).append(rel)
+        return {
+            "state": state,
+            "pcols": pcols,
+            "schema": schema,
+            "ptypes": ptypes,
+            "file_fields": file_fields,
+            "file_schema": file_schema,
+            "renames": renames,
+            "groups": groups,
+            "cols": [f.name for f in schema.fields],
+        }
+
+    def _scan_with_pvals(
+        self, ctx: dict, file_tuples: list[tuple[str, tuple]]
+    ) -> DataFrame:
+        """ONE scan relation over files spanning many partition tuples:
+        the tuple values re-attach via a broadcast (file -> values)
+        equi-join on the materialized `_file` column instead of one plan
+        branch per tuple — O(1) plan nodes, O(1) broadcast-exchange
+        jobs, and one FileSourceScan however many tuples are candidates
+        (a 10k-tuple union would be a plan-compilation blowup, the
+        branch analog of the IN-literal trap). Deletion vectors apply
+        before the join (while `_metadata` still resolves), so every
+        consumer sees LIVE rows only. The broadcast map is O(candidate
+        files) rows of path+values — the same metadata the log fold
+        already holds driver-side."""
+        state, pcols = ctx["state"], ctx["pcols"]
+        paths = [p for p, _t in file_tuples]
+        raw = self.spark.read.schema(ctx["file_schema"]).parquet(*paths)
+        raw = raw.withColumn(
+            "_file",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        )
+        rels = {os.path.relpath(p, self.table_dir) for p, _t in file_tuples}
+        dvs = {
+            rel: a
+            for rel, a in state["files"].items()
+            if rel in rels and a.get("deletionVector") is not None
+        }
+        if dvs:
+            raw = _apply_deletion_vectors(self.spark, raw, self.table_dir, dvs)
+        if ctx["renames"]:  # physical file names -> logical, keeping _file
+            raw = raw.select(
+                *[
+                    F.col(ctx["renames"].get(f.name, f.name)).alias(f.name)
+                    for f in ctx["file_fields"]
+                ],
+                "_file",
+            )
+        pmap = local_df(self.spark,
+            [(p, *t) for p, t in file_tuples],
+            "_file string, " + ", ".join(f"`{c}` string" for c in pcols),
+        ).select(
+            "_file",
+            *[F.col(c).cast(ctx["ptypes"][c]).alias(c) for c in pcols],
+        )
+        return raw.join(F.broadcast(pmap), "_file")
+
+    def _merge_clauses_partitioned(
+        self,
+        source_df: DataFrame,
+        key_cols: list[str],
+        clauses: list,
+        state: dict,
+        fields: list[tuple[str, str]],
+    ) -> int:
+        """General-clause MERGE over a PARTITIONED table (round 15 —
+        lifting the flat-only seam): the same clause resolution as the
+        flat path, over the partition-value-reattaching scan. The
+        MATCHED-family probe is PARTITION-PRUNED when the partition
+        columns are part of the merge key (matched rows can live nowhere
+        else, so the prune is sound even beside a BY SOURCE clause —
+        which probes every partition itself, as the family inherently
+        must). Victims' files tombstone and their carried rows plus
+        all update images and inserts write in ONE partitionBy job — an
+        UPDATE assigning a partition column legally moves its row across
+        partitions, an INSERT without the partition columns lands them
+        NULL. CDC rows ride the commit partition-shaped (one change file
+        per touched tuple, like every other partitioned commit)."""
+        from ..operators.util import bounded_rows
+        from . import merge_clauses as mc
+
+        ctx = self._partitioned_scan_ctx(state)
+        pcols, groups = ctx["pcols"], ctx["groups"]
+        cols = ctx["cols"]
+        has_matched = any(c.when == "matched" for c in clauses)
+        has_by_source = any(
+            c.when == "not_matched_by_source" for c in clauses
+        )
+        has_insert = any(c.when == "not_matched" for c in clauses)
+        hit = F.col("__action").startswith("update") | F.col(
+            "__action"
+        ).startswith("delete")
+        path_to = {
+            os.path.join(self.table_dir, rel): (rel, t)
+            for t, rels_ in groups.items()
+            for rel in rels_
+        }
+        all_files = sorted(
+            ((p, rt[1]) for p, rt in path_to.items()),
+            key=lambda x: x[0],
+        )
+        enc = lambda v: None if v is None else str(v)  # noqa: E731
+        prune_exact = set(pcols) <= set(key_cols)
+        if prune_exact:
+            src_tuples = [
+                tuple(enc(v) for v in t)
+                for t in (
+                    tuple(r)
+                    for r in bounded_rows(
+                        source_df.select(*pcols).distinct(), 10_000
+                    )
+                )
+            ]
+            cand_files = [
+                (p, t) for p, t in all_files
+                if t in set(src_tuples) & set(groups)
+            ]
+        else:
+            cand_files = all_files
+        src = source_df.persist()
+        ddl = ", ".join(f"`{n}` {t}" for n, t in fields)
+        empty = local_df(self.spark, [], ddl)
+        try:
+            all_scan = None  # built lazily: BY SOURCE / insert anti-joins
+
+            def full_scan() -> DataFrame:
+                nonlocal all_scan
+                if all_scan is None:
+                    all_scan = (
+                        self._scan_with_pvals(ctx, all_files)
+                        if all_files
+                        else empty.withColumn("_file", F.lit(""))
+                    )
+                return all_scan
+
+            cand_scan = (
+                self._scan_with_pvals(ctx, cand_files)
+                if cand_files
+                else empty.withColumn("_file", F.lit(""))
+            )
+            if has_matched:
+                # stock's MERGE_CARDINALITY_VIOLATION (bounded probe;
+                # matched rows can only live in the candidate files)
+                dup = (
+                    src.groupBy(*key_cols)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .select(*key_cols)
+                )
+                if cand_scan.join(
+                    gated_broadcast(dup), key_cols, "left_semi"
+                ).take(1):
+                    raise ValueError(
+                        "MERGE cardinality violation: a target row "
+                        "matches more than one source row"
+                    )
+            probes: list[DataFrame] = []
+            if has_matched and cand_files:
+                matched_j = cand_scan.alias("t").join(
+                    src.alias("s"), mc.key_equal(key_cols), "inner"
+                ).withColumn("__action", mc.action_column(clauses, "matched"))
+                probes.append(
+                    matched_j.filter(hit).select(
+                        F.col("t.`_file`").alias("_file")
+                    )
+                )
+            if has_by_source and all_files:
+                t_only = (
+                    full_scan()
+                    .join(
+                        gated_broadcast(src.select(*key_cols).distinct()),
+                        key_cols,
+                        "left_anti",
+                    )
+                    .alias("t")
+                    .withColumn(
+                        "__action",
+                        mc.action_column(clauses, "not_matched_by_source"),
+                    )
+                )
+                probes.append(
+                    t_only.filter(hit).select(
+                        F.col("t.`_file`").alias("_file")
+                    )
+                )
+            touched: list[str] = []
+            if probes:
+                import functools as _ft
+
+                probe = _ft.reduce(lambda a, b: a.unionByName(b), probes)
+                touched = sorted(
+                    r["_file"]
+                    for r in bounded_rows(probe.distinct(), 100_000)
+                )
+            touched_rel = [path_to[p][0] for p in touched]
+            survivors = pre = deleted = images = empty
+            if touched:
+                lt = self._scan_with_pvals(
+                    ctx, [(p, path_to[p][1]) for p in touched]
+                )
+                s_marked = src.withColumn(
+                    "__s_present", F.lit(True)
+                ).alias("s")
+                lt = lt.alias("t").join(
+                    s_marked, mc.key_equal(key_cols), "left"
+                ).withColumn(
+                    "__action",
+                    F.when(
+                        F.col("__s_present").isNotNull(),
+                        mc.action_column(clauses, "matched"),
+                    ).otherwise(
+                        mc.action_column(clauses, "not_matched_by_source")
+                    ),
+                )
+                tcols = [F.col(f"t.`{n}`").alias(n) for n in cols]
+                survivors = lt.filter(
+                    F.col("__action") == "carry"
+                ).select(*tcols)
+                pre = lt.filter(
+                    F.col("__action").startswith("update")
+                ).select(*tcols)
+                deleted = lt.filter(
+                    F.col("__action").startswith("delete")
+                ).select(*tcols)
+                if any(c.action == "update" for c in clauses):
+                    images = mc.projected_images(lt, clauses, fields, "update")
+            ins = empty
+            if has_insert:
+                s_only = (
+                    src.join(
+                        full_scan().select(*key_cols), key_cols, "left_anti"
+                    )
+                    .alias("s")
+                    .withColumn(
+                        "__action", mc.action_column(clauses, "not_matched")
+                    )
+                )
+                ins = mc.projected_images(
+                    s_only, clauses, fields, "insert", "not_matched"
+                )
+            if not touched and (not has_insert or not ins.take(1)):
+                return self._version  # no clause fired: no-op, no commit
+            new_rows = survivors.unionByName(images).unionByName(ins)
+            cdc = (
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    images.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+                .unionByName(
+                    deleted.withColumn("_change_type", F.lit("delete"))
+                )
+                .unionByName(ins.withColumn("_change_type", F.lit("insert")))
+            )
+            return self.commit_with_cdc(
+                add_partitioned=new_rows,
+                remove=touched_rel,
+                cdc_df=cdc,
+                operation="MERGE",
+            )
+        finally:
+            src.unpersist()
+
     def _merge_upsert_partitioned(
         self, source_df: DataFrame, key_cols: list[str], state: dict
     ) -> int:
@@ -1847,8 +2139,6 @@ class DeltaTableWriter:
         preimage/postimage/insert rows ride the same commit in their own
         single partitionBy job, derived from the TOUCHED files only —
         never a full-table scan."""
-        from pyspark.sql import types as T
-
         from ..operators.util import bounded_rows
 
         pcols = state["partition_cols"]
@@ -1857,26 +2147,9 @@ class DeltaTableWriter:
             raise ValueError(
                 f"merge source must carry the partition columns: {missing}"
             )
-        schema = T.StructType.fromJson(json.loads(state["schema_json"]))
-        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-        file_fields = [f for f in schema.fields if f.name not in pcols]
-        # under column mapping, data files resolve per _file_read_schema
-        # (physical names in 'name' mode, parquet field ids in 'id' mode)
-        # and partitionValues are keyed by PHYSICAL names in both modes;
-        # probe/survivor frames project back to logical right after the
-        # path column materializes
-        file_schema, renames = _file_read_schema(
-            self.spark, state.get("metadata"), file_fields
-        )
-        pv_phys = _physical_names_map(state.get("metadata"))
-        cols = [f.name for f in schema.fields]
+        ctx = self._partitioned_scan_ctx(state)
+        groups, cols = ctx["groups"], ctx["cols"]
         enc = lambda v: None if v is None else str(v)  # noqa: E731
-        groups: dict[tuple, list[str]] = {}
-        for rel, a in state["files"].items():
-            pv = a.get("partitionValues") or {}
-            groups.setdefault(
-                tuple(pv.get(pv_phys.get(c, c)) for c in pcols), []
-            ).append(rel)
         src_tuples = [
             tuple(r)
             for r in bounded_rows(source_df.select(*pcols).distinct(), 10_000)
@@ -1889,59 +2162,7 @@ class DeltaTableWriter:
             else list(groups)
         )
         keys = source_df.select(*key_cols)
-
-        def scan_with_pvals(
-            file_tuples: list[tuple[str, tuple]]
-        ) -> DataFrame:
-            """ONE scan relation over files spanning many partition
-            tuples: the tuple values re-attach via a broadcast
-            (file -> values) equi-join on the materialized `_file`
-            column instead of one plan branch per tuple — O(1) plan
-            nodes, O(1) broadcast-exchange jobs, and one FileSourceScan
-            however many tuples are candidates (a 10k-tuple union would
-            be a plan-compilation blowup, the branch analog of the
-            IN-literal trap). Deletion vectors apply before the join
-            (while `_metadata` still resolves), so every consumer sees
-            LIVE rows only. The broadcast map is O(candidate files)
-            rows of path+values — the same metadata the log fold
-            already holds driver-side."""
-            paths = [p for p, _t in file_tuples]
-            raw = self.spark.read.schema(file_schema).parquet(*paths)
-            raw = raw.withColumn(
-                "_file",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ),
-            )
-            rels = {
-                os.path.relpath(p, self.table_dir) for p, _t in file_tuples
-            }
-            dvs = {
-                rel: a
-                for rel, a in state["files"].items()
-                if rel in rels and a.get("deletionVector") is not None
-            }
-            if dvs:
-                raw = _apply_deletion_vectors(
-                    self.spark, raw, self.table_dir, dvs
-                )
-            if renames:  # physical file names -> logical, keeping _file
-                raw = raw.select(
-                    *[
-                        F.col(renames.get(f.name, f.name)).alias(f.name)
-                        for f in file_fields
-                    ],
-                    "_file",
-                )
-            pmap = local_df(self.spark,
-                [(p, *t) for p, t in file_tuples],
-                "_file string, "
-                + ", ".join(f"`{c}` string" for c in pcols),
-            ).select(
-                "_file",
-                *[F.col(c).cast(ptypes[c]).alias(c) for c in pcols],
-            )
-            return raw.join(F.broadcast(pmap), "_file")
+        scan_with_pvals = lambda fts: self._scan_with_pvals(ctx, fts)  # noqa: E731
 
         cand_files = [
             (os.path.join(self.table_dir, rel), t)

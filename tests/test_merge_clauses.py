@@ -243,9 +243,17 @@ class TestIcebergMor:
 
 
 class TestDelta:
-    def test_partitioned_general_clauses_refuse(self, spark, tmp_path):
+    def test_partitioned_general_clauses(self, spark, tmp_path):
+        """Round-15 second pass: general clauses over a PARTITIONED Delta
+        table (the refusal lifted) — conditional delete, column-level
+        update that MOVES a row across partitions, conditional insert,
+        untouched partitions' files never tombstone."""
+        import json as _json
+
         from lakefs_iceberg_catalog_spark.catalog.delta_format import (
             DeltaTableWriter,
+            _commit_path,
+            scan_delta_table,
         )
         from lakefs_iceberg_catalog_spark.operators.util import local_df
         from lakefs_iceberg_catalog_spark.tables import table
@@ -255,16 +263,49 @@ class TestDelta:
         )
         d = str(tmp_path / "dparts")
         w = DeltaTableWriter(spark, d)
-        w.commit(
-            add_dfs=[n.filter("n_regionkey = 0")],
-            partition_cols=["n_regionkey"],
+        for rk in range(5):
+            w.commit(
+                add_dfs=[n.filter(f"n_regionkey = {rk}")],
+                partition_cols=["n_regionkey"] if rk == 0 else None,
+            )
+        src = local_df(spark,
+            [(3, "UPD_3", 9, "U"), (5, "GONE", 9, "D"), (30, "NEW_30", 2, "I")],
+            "n_nationkey int, n_name string, n_regionkey int, op string",
         )
-        src = local_df(spark, [(3, "X", 0)],
-                       "n_nationkey int, n_name string, n_regionkey int")
-        with pytest.raises(ValueError, match="PARTITIONED"):
-            w.merge_clauses(src, ["n_nationkey"], [
-                MergeClause("matched", "delete", condition="s.n_name = 'X'"),
-            ])
+        v = w.merge_clauses(src, ["n_nationkey"], [
+            MergeClause("matched", "delete", condition="s.op = 'D'"),
+            # column-level update REASSIGNING the partition column: the
+            # row moves partitions in the partitionBy rewrite
+            MergeClause("matched", "update",
+                        assignments={"n_name": "s.n_name",
+                                     "n_regionkey": "s.n_regionkey"}),
+            MergeClause("not_matched", "insert", condition="s.op = 'I'",
+                        assignments={"n_nationkey": "s.n_nationkey",
+                                     "n_name": "s.n_name",
+                                     "n_regionkey": "s.n_regionkey"}),
+        ])
+        got = {
+            r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+            for r in scan_delta_table(spark, d).collect()
+        }
+        assert 5 not in got and got[3] == ("UPD_3", 9)  # moved to region 9
+        assert got[30] == ("NEW_30", 2) and len(got) == 25
+        acts = [
+            _json.loads(line)
+            for line in open(_commit_path(d, v)).read().splitlines()
+            if line.strip()
+        ]
+        removed = [a["remove"]["path"] for a in acts if "remove" in a]
+        # keys 3 (region 1) and 5 (region 0): exactly their two partition
+        # files tombstone; the other three partitions stay untouched
+        assert len(removed) == 2
+        by_type = {}
+        cdc_rels = [a["cdc"]["path"] for a in acts if "cdc" in a]
+        changes = spark.read.parquet(*[f"{d}/{rel}" for rel in cdc_rels])
+        for r in changes.groupBy("_change_type").count().collect():
+            by_type[r["_change_type"]] = r["count"]
+        assert by_type == {"update_preimage": 1, "update_postimage": 1,
+                           "delete": 1, "insert": 1}, by_type
 
     def test_no_clause_fires_no_commit_and_by_source(self, spark, tmp_path):
         from lakefs_iceberg_catalog_spark.catalog.delta_format import (
