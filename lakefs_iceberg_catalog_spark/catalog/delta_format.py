@@ -184,11 +184,13 @@ class DeltaTableWriter:
                 .persist()
             )
             cleanup.append(keyed)
+            from ..operators.util import bounded_rows as _bounded_rows
+
             counts = {
                 r["_pid"]: r["n"]
-                for r in keyed.groupBy("_pid")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()  # O(partitions) rows, bounded by parallelism
+                for r in _bounded_rows(  # O(partitions) rows, ceiling-checked
+                    keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
+                )
             }
             total = sum(counts.values())
             if total == 0:
