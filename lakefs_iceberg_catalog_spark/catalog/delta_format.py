@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -263,6 +264,7 @@ class DeltaTableWriter:
         txn: tuple[str, int] | None = None,
         add_partitioned: DataFrame | None = None,
         identity: dict[str, dict] | None = None,
+        _staged_adds: list[tuple[str, int, dict]] | None = None,
     ) -> int:
         """One commit: write each DataFrame as a parquet data file (`add`)
         and/or drop previously added files (`remove`). The first commit
@@ -495,6 +497,26 @@ class DeltaTableWriter:
                     }
                 }
             )
+        for src_path, n_rows, pvals in _staged_adds or []:
+            # commit_many staged this add's file in its ONE distributed
+            # write job; adopt it (same-content move) — no per-add Spark
+            # job. Only reachable through commit_many's guarded fast path
+            # (no identity/generated/constraints/column mapping).
+            name = f"part-{self._version + 1:05d}-{uuid.uuid4()}.snappy.parquet"
+            path = os.path.join(self.table_dir, name)
+            shutil.move(src_path, path)
+            actions.append(
+                {
+                    "add": {
+                        "path": name,
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(path),
+                        "modificationTime": now_ms,
+                        "dataChange": data_change,
+                        "stats": _file_stats_json(path, n_rows),
+                    }
+                }
+            )
         if add_partitioned is not None:
             from .parquet_io import write_hive_partitioned
 
@@ -583,13 +605,132 @@ class DeltaTableWriter:
                     "operation": operation
                     or (
                         "WRITE"
-                        if add_dfs or add_partitioned is not None
+                        if add_dfs or _staged_adds or add_partitioned is not None
                         else "DELETE"
                     ),
                 }
             }
         )
         return self._write_commit(actions)
+
+    def commit_many(
+        self, adds_per_version: list[DataFrame], operation: str | None = None
+    ) -> list[int]:
+        """N consecutive single-add commits whose data files are staged by
+        ONE distributed write job, then registered version by version —
+        identical log state to N ``commit(add_dfs=[df])`` calls at 1 Spark
+        job (+1 for the first commit's schema path on a fresh table)
+        instead of N.
+
+        Same staging trick as IcebergTableWriter.append_many: each slice
+        coalesces to one partition, the union carries a slice index, and
+        ``partitionBy`` on the index (plus the table's partition columns,
+        whose log-encoded values are then read off the directory names)
+        makes each task write exactly its slice's file. The fast path is
+        GUARDED: identity/generated columns, CHECK constraints, column
+        mapping, and non-int partition columns all fall back to the
+        per-version ``commit`` path with identical semantics (those
+        features need the per-add driver passes)."""
+        pcols = list(getattr(self, "_partition_cols", []) or [])
+        if self._version >= 0:
+            state = read_delta_log(self.table_dir)
+            pcols = list(state.get("partition_cols") or [])
+        simple = (
+            len(adds_per_version) >= 2
+            and not self._column_mapping
+            and not self._identity_specs()
+            and not getattr(self, "_generated", {})
+            and not (self._meta and self._check_constraints())
+        )
+        if simple and pcols and self._version >= 0:
+            schema = json.loads(state["schema_json"])
+            types = {f["name"]: f["type"] for f in schema["fields"]}
+            simple = all(types.get(c) in ("integer", "long") for c in pcols)
+        elif simple and pcols:
+            # fresh table: partition column types unknown until commit 0
+            # runs; int-only check happens against the first frame
+            t0 = dict(adds_per_version[0].dtypes)
+            simple = all(t0.get(c) in ("int", "bigint") for c in pcols)
+        if not simple:
+            return [
+                self.commit(add_dfs=[d], operation=operation)
+                for d in adds_per_version
+            ]
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from .parquet_io import write_single_parquet  # noqa: F401 (fallback)
+
+        start = 0
+        versions: list[int] = []
+        if self._version < 0:
+            # first commit carries protocol+metaData and derives the
+            # schema — run it through the full path
+            versions.append(
+                self.commit(
+                    add_dfs=[adds_per_version[0]],
+                    partition_cols=pcols or None,
+                    operation=operation,
+                )
+            )
+            start = 1
+        stage = tempfile.mkdtemp(prefix="commit-many-")
+        try:
+            u = None
+            for i, d in enumerate(adds_per_version[start:]):
+                s = d.coalesce(1).withColumn("_slice", F.lit(i))
+                u = s if u is None else u.unionByName(s)
+            u.write.partitionBy("_slice", *pcols).mode("overwrite").parquet(
+                stage
+            )
+            staged: list[tuple[str, int, dict]] = []
+            for i, d in enumerate(adds_per_version[start:]):
+                sdir = os.path.join(stage, f"_slice={i}")
+                pvals: dict[str, str | None] = {}
+                ok = os.path.isdir(sdir)
+                if ok:
+                    cur = sdir
+                    for c in pcols:
+                        subs = [
+                            e for e in sorted(os.listdir(cur))
+                            if e.startswith(f"{c}=")
+                        ]
+                        if len(subs) != 1:  # multi-valued slice
+                            ok = False
+                            break
+                        val = subs[0].split("=", 1)[1]
+                        pvals[c] = (
+                            None
+                            if val == "__HIVE_DEFAULT_PARTITION__"
+                            else val
+                        )
+                        cur = os.path.join(cur, subs[0])
+                    if ok:
+                        parts = [
+                            f for f in sorted(os.listdir(cur))
+                            if f.endswith(".parquet")
+                        ]
+                        ok = len(parts) == 1
+                if not ok:
+                    staged.append(None)  # empty or multi-valued: plain path
+                    continue
+                path = os.path.join(cur, parts[0])
+                staged.append(
+                    (path, int(pq.read_metadata(path).num_rows), pvals)
+                )
+            for d, st in zip(adds_per_version[start:], staged):
+                if st is None:
+                    versions.append(
+                        self.commit(add_dfs=[d], operation=operation)
+                    )
+                else:
+                    versions.append(
+                        self.commit(_staged_adds=[st], operation=operation)
+                    )
+            return versions
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
 
     def set_table_property(self, key: str, value: str) -> int:
         """ALTER TABLE ... SET TBLPROPERTIES: one metadata-only commit
@@ -1411,6 +1552,11 @@ class DeltaTableWriter:
         live = sorted(state["files"])
         current = scan_delta_table(self.spark, self.table_dir)
         pcols = state.get("partition_cols") or []
+        # persisted cluster inputs (zorder.py), released after the commit
+        # is durable — the engine's stats/quantile/occupancy passes, the
+        # row-conservation count, and the commit's range-file writes all
+        # read one cached copy instead of re-scanning the table per job
+        zcleanup: list[DataFrame] = []
 
         def _zorder_adds(df: DataFrame) -> tuple[list[DataFrame], int]:
             """Morton-cluster one frame into <= target_files range frames
@@ -1421,7 +1567,9 @@ class DeltaTableWriter:
             OPTIMIZE ZORDER clusters within each partition)."""
             from .zorder import morton_cluster_frames
 
-            return morton_cluster_frames(df, zorder_by, target_files)
+            return morton_cluster_frames(
+                df, zorder_by, target_files, cleanup=zcleanup
+            )
 
         if zorder_by:
             clash = set(zorder_by) & set(pcols)
@@ -1462,27 +1610,31 @@ class DeltaTableWriter:
                 adds.append(part)
         else:
             adds = [current]
-        if zorder_by:
-            # Row-conservation check BEFORE publishing: a dataChange=false
-            # commit that drops rows is data loss CDF and streaming
-            # readers are required to skip — refusing must happen while
-            # the old head is still the head, not after the corrupted
-            # commit is durable (one count over the rewrite's own row set;
-            # OPTIMIZE reads everything anyway).
-            n_after = 0
-            if adds:
-                u = adds[0]
-                for a in adds[1:]:
-                    u = u.unionByName(a)
-                n_after = u.count()
-            if n_after != n_before:
-                raise AssertionError(
-                    f"ZORDER rewrite changed the row count: {n_before} -> "
-                    f"{n_after} (NULL-key routing bug?) — refusing to commit"
-                )
-        return self.commit(
-            add_dfs=adds, remove=live, data_change=False, operation="OPTIMIZE"
-        )
+        try:
+            if zorder_by:
+                # Row-conservation check BEFORE publishing: a dataChange=false
+                # commit that drops rows is data loss CDF and streaming
+                # readers are required to skip — refusing must happen while
+                # the old head is still the head, not after the corrupted
+                # commit is durable (one count over the rewrite's own row set;
+                # OPTIMIZE reads everything anyway).
+                n_after = 0
+                if adds:
+                    u = adds[0]
+                    for a in adds[1:]:
+                        u = u.unionByName(a)
+                    n_after = u.count()
+                if n_after != n_before:
+                    raise AssertionError(
+                        f"ZORDER rewrite changed the row count: {n_before} -> "
+                        f"{n_after} (NULL-key routing bug?) — refusing to commit"
+                    )
+            return self.commit(
+                add_dfs=adds, remove=live, data_change=False, operation="OPTIMIZE"
+            )
+        finally:
+            for h in zcleanup:
+                h.unpersist()
 
     def merge_upsert(self, source_df: DataFrame, key_cols: list[str]) -> int:
         """MERGE (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *)

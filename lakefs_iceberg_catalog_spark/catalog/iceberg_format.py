@@ -31,6 +31,7 @@ import gzip
 import json
 import os
 import re
+import shutil
 import time
 import uuid
 
@@ -732,6 +733,7 @@ class IcebergTableWriter:
         epoch: tuple[str, int] | None = None,
         wap_id: str | None = None,
         branch: str | None = None,
+        _staged: tuple[str, int, dict] | None = None,
     ) -> int:
         """Commit one append snapshot of ``df``; returns the snapshot id.
         On a partitioned table each append must be single-valued in the
@@ -823,7 +825,7 @@ class IcebergTableWriter:
             from .parquet_io import write_single_parquet
 
             pvals: dict = {}
-            if self._partition_fields:
+            if self._partition_fields and _staged is None:
                 from .parquet_io import distinct_singleton_row
 
                 # single-valuedness is checked on the TRANSFORMED values —
@@ -840,7 +842,13 @@ class IcebergTableWriter:
                 self.data_dir,
                 f"00000-{self._version}-{self._uuid}-0-00001.{fmt}",
             )
-            if fmt == "orc":
+            if _staged is not None:
+                # append_many staged this slice's file in its ONE
+                # distributed write job; adopt it (same-content move) with
+                # the pre-derived partition values — no per-slice Spark job
+                staged_path, n_rows, pvals = _staged
+                shutil.move(staged_path, data_path)
+            elif fmt == "orc":
                 from .parquet_io import write_single_orc
 
                 n_rows = write_single_orc(df, data_path)
@@ -987,6 +995,103 @@ class IcebergTableWriter:
             self._staged_manifests[sid] = [self._manifests[-1]]
             self._manifests = pre_manifests
             return sid
+
+    def append_many(
+        self, dfs: list[DataFrame], file_format: str | None = None
+    ) -> list[int]:
+        """N consecutive append snapshots whose data files are staged by
+        ONE distributed write job, then committed in order as N
+        metadata-only appends — byte-equivalent table state to N
+        ``append`` calls (same per-snapshot data files, manifests and
+        metadata versions), at 1 Spark job instead of N.
+
+        How the one job yields one file per slice: each slice is
+        coalesced to a single partition and the slices are unioned with a
+        slice-index column, so the union has exactly one partition per
+        slice; ``partitionBy`` on the index then makes each task write
+        exactly its slice's file (tasks run in PARALLEL — N sequential
+        single-task writes leave the cluster idle N-1/N of the time).
+        Partition single-valuedness is checked from each staged file's
+        FOOTER (min == max, no nulls — zero data IO); transforms other
+        than identity over int/long/string, non-parquet formats, and
+        empty slices fall back to the per-slice ``append`` path with
+        identical semantics."""
+        fmt = file_format or self._file_format
+        if self._schema_json is None and dfs:
+            # resolve schema + partition fields BEFORE deciding on the
+            # footer-pvals fast path (append does the same init later and
+            # skips it when already set)
+            self._schema_json = _iceberg_schema(dfs[0])
+            self._schemas = [self._schema_json]
+            self._last_column_id = len(self._schema_json["fields"])
+            self._resolve_partition_fields()
+        # footer stats are exact for int/long; string stats may be
+        # truncated by the writer, so string partitions take the plain path
+        use_footer_pvals = all(
+            pf["kind"] == "identity" and pf["src_type"] in ("int", "long")
+            for pf in self._partition_fields
+        )
+        if fmt != "parquet" or len(dfs) < 2 or not use_footer_pvals:
+            return [self.append(d, file_format=file_format) for d in dfs]
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from .parquet_io import parquet_column_bounds
+
+        # staged OUTSIDE the table dir so directory-walking readers
+        # (orphan sweep, all_files) never see in-flight slice files
+        stage = tempfile.mkdtemp(prefix="append-many-")
+        try:
+            u = None
+            for i, d in enumerate(dfs):
+                s = d.coalesce(1).withColumn("_slice", F.lit(i))
+                u = s if u is None else u.unionByName(s)
+            u.write.partitionBy("_slice").mode("overwrite").parquet(stage)
+            snaps: list[int] = []
+            for i, d in enumerate(dfs):
+                sdir = os.path.join(stage, f"_slice={i}")
+                parts = (
+                    [f for f in sorted(os.listdir(sdir)) if f.endswith(".parquet")]
+                    if os.path.isdir(sdir)
+                    else []
+                )
+                if len(parts) != 1:  # empty slice wrote no file: plain path
+                    snaps.append(self.append(d, file_format=file_format))
+                    continue
+                path = os.path.join(sdir, parts[0])
+                md = pq.read_metadata(path)
+                n_rows = int(md.num_rows)
+                pvals: dict | None = {}
+                if self._partition_fields:
+                    bounds = parquet_column_bounds(path)
+                    nulls = {}
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        for ci in range(rg.num_columns):
+                            c = rg.column(ci)
+                            st = c.statistics
+                            nulls[c.path_in_schema] = nulls.get(
+                                c.path_in_schema, 0
+                            ) + (st.null_count if st is not None and st.has_null_count else 0)
+                    for pf in self._partition_fields:
+                        src = pf["source_name"]
+                        n_null = nulls.get(src, 0)
+                        if n_null == n_rows:
+                            pvals[pf["name"]] = None
+                            continue
+                        b = bounds.get(src)
+                        if b is None or b[0] != b[1] or n_null > 0:
+                            pvals = None  # not provably single-valued
+                            break
+                        pvals[pf["name"]] = b[0]
+                if pvals is None:
+                    snaps.append(self.append(d, file_format=file_format))
+                    continue
+                snaps.append(self.append(d, _staged=(path, n_rows, pvals)))
+            return snaps
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
 
     def _head_snapshot_id(self) -> int:
         """The current head snapshot id — what a no-op DML returns (no new
@@ -3166,20 +3271,30 @@ class IcebergTableWriter:
                 if zorder_by:
                     # Morton-clustered rewrite (shared engine — see
                     # docstring): each range frame is one clustered
-                    # single-task write; empty key ranges write nothing
+                    # single-task write; empty key ranges write nothing.
+                    # The partition frame is persisted (cleanup list) so
+                    # the engine's stats/quantile/occupancy passes and
+                    # the range-file writes read one cached copy, and
+                    # released as soon as this tuple's files are written.
                     from .zorder import morton_cluster_frames
 
-                    frames, _n = morton_cluster_frames(
-                        part_df, zorder_by, target_files or 1
-                    )
-                    for j, fr in enumerate(frames):
-                        data_path = os.path.join(
-                            self.data_dir,
-                            f"00000-{self._version}-{self._uuid}-"
-                            f"z{i + 1}-{j + 1:05d}.{fmt}",
+                    zcleanup: list = []
+                    try:
+                        frames, _n = morton_cluster_frames(
+                            part_df, zorder_by, target_files or 1,
+                            cleanup=zcleanup,
                         )
-                        n_rows = writer(fr, data_path)
-                        entries.append(_entry(data_path, n_rows, pvals))
+                        for j, fr in enumerate(frames):
+                            data_path = os.path.join(
+                                self.data_dir,
+                                f"00000-{self._version}-{self._uuid}-"
+                                f"z{i + 1}-{j + 1:05d}.{fmt}",
+                            )
+                            n_rows = writer(fr, data_path)
+                            entries.append(_entry(data_path, n_rows, pvals))
+                    finally:
+                        for h in zcleanup:
+                            h.unpersist()
                     continue
                 if self._sort_order and (target_files or 1) > 1:
                     # RANGE-CLUSTERED rewrite: the persisted sort order splits

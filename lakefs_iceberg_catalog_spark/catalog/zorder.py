@@ -11,8 +11,14 @@ Rows where ANY dimension is NULL route into a dedicated lowest bucket
 nulls the whole Morton key and the (lo, hi] range filters would silently
 drop those rows from a row-preserving rewrite.
 
-Scale: one min/max pre-pass + one quantile pass + one clustered
-write per call; callers invoke it once per partition tuple (stock's
+Scale: one combined min/max/count pre-pass + one quantile pass + one
+bucket-occupancy pass + one clustered write per call — the occupancy
+pass replaced per-range limit(1) probe JOBS (target_files of them, each
+re-running the input scan) with a single partial-aggregating groupBy.
+Callers pass ``cleanup`` so the input is persisted across those passes
+and the range writes (every consumer then reads the hot cache instead
+of re-scanning the table per job) and unpersist once the rewrite
+commit is durable. Callers invoke it once per partition tuple (stock's
 OPTIMIZE unit is the partition), so total data cost stays one pass over
 live rows.
 """
@@ -26,29 +32,46 @@ __all__ = ["morton_cluster_frames"]
 
 
 def morton_cluster_frames(
-    df: DataFrame, zorder_by: list[str], target_files: int
+    df: DataFrame,
+    zorder_by: list[str],
+    target_files: int,
+    cleanup: list[DataFrame] | None = None,
 ) -> tuple[list[DataFrame], int]:
     """Morton-cluster one frame into <= ``target_files`` range frames
     (each already coalesced to one task and sorted by the key, ready for
     a single-file write); returns ``(frames, row count)``. Bins quantize
     per-FRAME min/max — call once for an unpartitioned table, once per
-    partition tuple for a partitioned one."""
+    partition tuple for a partitioned one.
+
+    When ``cleanup`` is passed, ``df`` is persisted for the lifetime of
+    the returned frames (the engine's own stats/quantile/occupancy
+    passes and the caller's range writes all read the one cached copy)
+    and the handle is appended to ``cleanup`` — the caller unpersists
+    after its rewrite commit. Without it every consumer job recomputes
+    ``df`` from its lineage."""
     from ..operators.util import bounded_rows
 
-    b = bounded_rows(
+    if cleanup is not None:
+        df = df.persist()
+        cleanup.append(df)
+    stats = bounded_rows(
         df.agg(
             *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
             *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
+            F.count(F.lit(1)).alias("_cnt"),
         )
     )[0]
+    n_rows = int(stats["_cnt"])
+    if n_rows == 0:
+        return [], 0
     nbits = 8
     bins = []
     for c in zorder_by:
-        if b[f"mn_{c}"] is None:  # all-NULL dimension: inert axis
+        if stats[f"mn_{c}"] is None:  # all-NULL dimension: inert axis
             bins.append(F.lit(0).cast("long"))
             continue
-        mn = float(b[f"mn_{c}"])
-        span = float(b[f"mx_{c}"]) - mn
+        mn = float(stats[f"mn_{c}"])
+        span = float(stats[f"mx_{c}"]) - mn
         scaled = (F.col(c).cast("double") - F.lit(mn)) * F.lit(
             (2**nbits - 1) / span if span > 0 else 0.0
         )
@@ -62,7 +85,6 @@ def morton_cluster_frames(
             )
     zkey = F.coalesce(zkey, F.lit(-1).cast("long"))
     zdf = df.withColumn("_zkey", zkey)
-    n_rows = zdf.count()
     edges = sorted(
         set(
             zdf.approxQuantile(
@@ -72,15 +94,28 @@ def morton_cluster_frames(
             )
         )
     )
+    # ONE occupancy pass decides which key ranges are non-empty (the old
+    # shape probed each range with its own limit(1) job): a row's range
+    # index is the number of edges strictly below its key.
+    b_idx = F.lit(0)
+    for e in edges:
+        b_idx = b_idx + (F.col("_zkey") > F.lit(e)).cast("int")
+    occupied = {
+        int(r["b"])
+        for r in bounded_rows(
+            zdf.select(b_idx.alias("b")).groupBy("b").agg(F.count(F.lit(1))),
+            10_000,
+        )
+    }
     out = []
     lo = None
-    for e in edges + [None]:
+    for i, e in enumerate(edges + [None]):
         part = zdf
         if lo is not None:
             part = part.filter(F.col("_zkey") > F.lit(lo))
         if e is not None:
             part = part.filter(F.col("_zkey") <= F.lit(e))
-        if bounded_rows(part.limit(1)):  # skip empty key ranges
+        if i in occupied:
             out.append(
                 part.coalesce(1).sortWithinPartitions("_zkey").drop("_zkey")
             )

@@ -362,8 +362,7 @@ def source_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     tmp = tempfile.mkdtemp(prefix="iceberg-part-")
     w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
-    for rk in range(5):
-        w.append(n.filter(F.col("n_regionkey") == rk))
+    w.append_many([n.filter(F.col("n_regionkey") == rk) for rk in range(5)])
     assert scan_iceberg_table(spark, tmp).count() == n.count()
     pruned = scan_iceberg_table(spark, tmp, partition_filter={"n_regionkey": 2})
     assert len(pruned.inputFiles()) == 1  # 1 of 5 files — metadata pruning
@@ -402,8 +401,9 @@ def source_iceberg_partitioned_mor(spark: SparkSession, sf_dir: str) -> DataFram
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-partmor-")
     w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
-    for rk in range(5):
-        w.append(n.filter(F.col("n_regionkey") == rk).orderBy("n_nationkey"))
+    w.append_many(
+        [n.filter(F.col("n_regionkey") == rk).orderBy("n_nationkey") for rk in range(5)]
+    )
     data, _ = iceberg_snapshot_files(tmp)
     region0 = [
         f
@@ -535,8 +535,7 @@ def source_iceberg_global_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFr
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-globeq-")
     w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
-    for rk in range(5):
-        w.append(n.filter(F.col("n_regionkey") == rk))
+    w.append_many([n.filter(F.col("n_regionkey") == rk) for rk in range(5)])
     # the key excludes the partition source column → GLOBAL delete
     w.delete_keys(["n_nationkey"], [(4,), (11,), (23,)])
     m = read_table_metadata(tmp)
@@ -585,8 +584,7 @@ def source_iceberg_evolved_spec_mor(spark: SparkSession, sf_dir: str) -> DataFra
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-evodel-")
     w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
-    for rk in (0, 1):
-        w.append(n.filter(F.col("n_regionkey") == rk))
+    w.append_many([n.filter(F.col("n_regionkey") == rk) for rk in (0, 1)])
     w.evolve_partition_spec(["truncate(n_nationkey, 10)"])
     rest = n.filter("n_regionkey >= 2")
     for lo in (0, 10, 20):
@@ -1205,8 +1203,7 @@ def maint_iceberg_rewrite_manifests(
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-rewritemf-")
     w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
-    for rk in range(5):
-        w.append(n.filter(F.col("n_regionkey") == rk))
+    w.append_many([n.filter(F.col("n_regionkey") == rk) for rk in range(5)])
     v_del = w.delete_where_mor("n_nationkey = 7")
     meta = read_table_metadata(tmp)
     head = next(
@@ -1321,8 +1318,9 @@ def source_iceberg_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     tmp = tempfile.mkdtemp(prefix="iceberg-stats-")
     w = IcebergTableWriter(spark, tmp)
-    for lo in range(0, 25, 5):
-        w.append(n.filter(F.col("n_nationkey").between(lo, lo + 4)))
+    w.append_many(
+        [n.filter(F.col("n_nationkey").between(lo, lo + 4)) for lo in range(0, 25, 5)]
+    )
     pruned = scan_iceberg_table(spark, tmp, stats_filter={"n_nationkey": (7, 12)})
     assert len(pruned.inputFiles()) == 2  # files [5-9] and [10-14] of 5
     back = pruned.select("n_nationkey", "n_name", "n_regionkey")
@@ -1470,8 +1468,7 @@ def source_iceberg_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     tmp = tempfile.mkdtemp(prefix="iceberg-files-")
     w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
-    for rk in range(5):
-        w.append(n.filter(F.col("n_regionkey") == rk))
+    w.append_many([n.filter(F.col("n_regionkey") == rk) for rk in range(5)])
     mt = iceberg_metadata_table(spark, tmp, "files")
     back = mt.select(
         "content",
@@ -1841,8 +1838,7 @@ def dml_iceberg_merge_mor_partitioned(
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-mergemor-part-")
     w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
-    for rk in range(5):
-        w.append(n.filter(F.col("n_regionkey") == rk))
+    w.append_many([n.filter(F.col("n_regionkey") == rk) for rk in range(5)])
     pre_data, pre_del = iceberg_snapshot_files(tmp)
     assert pre_del == []
     source = n.filter(F.col("n_nationkey").isin(3, 13)).withColumn(
@@ -1901,8 +1897,7 @@ def dml_iceberg_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-delmor-")
     w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
-    for rk in range(5):
-        w.append(n.filter(F.col("n_regionkey") == rk))
+    w.append_many([n.filter(F.col("n_regionkey") == rk) for rk in range(5)])
     pre, _ = iceberg_snapshot_files(tmp)
     w.delete_where_mor("n_nationkey in (5, 11)")
     post, dels = iceberg_snapshot_files(tmp)
@@ -2734,8 +2729,7 @@ def source_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     n = table(spark, sf_dir, "nation")
     tmp = tempfile.mkdtemp(prefix="iceberg-specevo-")
     w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
-    for rk in (0, 1):
-        w.append(n.filter(F.col("n_regionkey") == rk))
+    w.append_many([n.filter(F.col("n_regionkey") == rk) for rk in (0, 1)])
     w.evolve_partition_spec(["truncate(n_nationkey, 10)"])
     rest = n.filter(F.col("n_regionkey") >= 2)
     for lo in (0, 10, 20):
@@ -2779,8 +2773,7 @@ def maint_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="delta-zorder-")
     w = DeltaTableWriter(spark, tmp)
-    for m in range(4):
-        w.commit(add_dfs=[o.filter(F.col("o_orderkey") % 4 == m)])
+    w.commit_many([o.filter(F.col("o_orderkey") % 4 == m) for m in range(4)])
     pre = scan_delta_table(spark, tmp, stats_filter={"o_totalprice": (None, 60000.0)})
     assert len(pre.inputFiles()) == 4  # interleaved: bounds skip nothing
     w.optimize(zorder_by=["o_custkey", "o_totalprice"], target_files=4)
@@ -2819,8 +2812,7 @@ def maint_iceberg_sort_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     tmp = tempfile.mkdtemp(prefix="iceberg-sortrw-")
     w = IcebergTableWriter(spark, tmp)
-    for m in range(3):
-        w.append(n.filter(F.col("n_nationkey") % 3 == m))
+    w.append_many([n.filter(F.col("n_nationkey") % 3 == m) for m in range(3)])
     pre = scan_iceberg_table(spark, tmp, stats_filter={"n_nationkey": (0, 5)})
     assert len(pre.inputFiles()) == 3  # interleaved: bounds skip nothing
     w.set_sort_order(["n_nationkey"])
@@ -2864,8 +2856,7 @@ def maint_iceberg_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="iceberg-zorder-")
     w = IcebergTableWriter(spark, tmp)
-    for m in range(4):
-        w.append(o.filter(F.col("o_orderkey") % 4 == m))
+    w.append_many([o.filter(F.col("o_orderkey") % 4 == m) for m in range(4)])
     for dim, hi in (("o_totalprice", 60000.0), ("o_custkey", 150.0)):
         pre = scan_iceberg_table(spark, tmp, stats_filter={dim: (None, hi)})
         assert len(pre.inputFiles()) == 4  # interleaved: bounds skip nothing
@@ -3550,8 +3541,7 @@ def source_iceberg_partitions_table(
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-partitions-")
     w = IcebergTableWriter(spark, tmp, partition_by=["n_regionkey"])
-    for rk in range(5):
-        w.append(n.filter(F.col("n_regionkey") == rk))
+    w.append_many([n.filter(F.col("n_regionkey") == rk) for rk in range(5)])
     w.delete_where_mor("n_nationkey = 1")  # region 1 only
     back = iceberg_metadata_table(spark, tmp, "partitions").select(
         F.col("partition")["n_regionkey"].alias("region"),

@@ -683,8 +683,8 @@ def stream_source_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_dir = tempfile.mkdtemp(prefix="delta-sink-")
     try:
         w = DeltaTableWriter(spark, root)
-        for i in range(3):  # three append commits: versions 0, 1, 2
-            w.commit(add_dfs=[e.filter(F.col("event_id") % 3 == i)])
+        # three append commits (versions 0, 1, 2) staged in one job
+        w.commit_many([e.filter(F.col("event_id") % 3 == i) for i in range(3)])
         for v in range(3):
             if v == 0:
                 delta = scan_delta_table(spark, root, version=0)
@@ -783,7 +783,9 @@ def stream_source_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_dir = tempfile.mkdtemp(prefix="iceberg-sink-")
     try:
         w = IcebergTableWriter(spark, root)
-        snaps = [w.append(e.filter(F.col("event_id") % 3 == i)) for i in range(3)]
+        snaps = w.append_many(
+            [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+        )
         for i, snap in enumerate(snaps):
             if i == 0:
                 delta = scan_iceberg_table(spark, root, snapshot_id=snap)
@@ -1312,9 +1314,9 @@ def stream_source_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         isink = tempfile.mkdtemp(prefix="ice-rl-sink-")
         tmp_roots += [iroot, ispool, isink]
         w = IcebergTableWriter(spark, iroot)
-        snaps = [
-            w.append(e.filter(F.col("event_id") % 6 == i)) for i in range(6)
-        ]
+        snaps = w.append_many(
+            [e.filter(F.col("event_id") % 6 == i) for i in range(6)]
+        )
         ideltas = [scan_iceberg_table(spark, iroot, snapshot_id=snaps[0])] + [
             scan_iceberg_incremental(spark, iroot, snaps[i - 1], snaps[i])
             for i in range(1, 6)
@@ -1337,8 +1339,7 @@ def stream_source_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsink = tempfile.mkdtemp(prefix="delta-rl-sink-")
         tmp_roots += [droot, dspool, dsink]
         dw = DeltaTableWriter(spark, droot)
-        for i in range(6):
-            dw.commit(add_dfs=[e.filter(F.col("event_id") % 6 == i)])
+        dw.commit_many([e.filter(F.col("event_id") % 6 == i) for i in range(6)])
         ddeltas = [scan_delta_table(spark, droot, version=0)] + [
             delta_table_changes(spark, droot, v - 1, v).drop("_change_type")
             for v in range(1, 6)

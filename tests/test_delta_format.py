@@ -2204,3 +2204,50 @@ def test_identity_columns_edges(spark, tmp_path):
             add_dfs=[local_df(spark, [(1, 2)], "k int, rid int")],
             identity={"rid": {}},
         )
+
+
+def test_commit_many_matches_sequential_commits(spark, tmp_path):
+    """commit_many = N single-add commits, 1 staged write job (round 15
+    optimization): pins log-level equivalence against a sequentially
+    committed twin on the unpartitioned and int-partitioned layouts —
+    same version count, same per-version add counts and partitionValues,
+    same rows, same time travel per version."""
+    import pyspark.sql.functions as F
+
+    from lakefs_iceberg_catalog_spark.catalog.delta_format import (
+        DeltaTableWriter,
+        read_delta_log,
+        scan_delta_table,
+    )
+
+    n = _nation(spark)
+    slices = [n.filter(F.col("n_regionkey") == rk) for rk in range(5)]
+
+    # unpartitioned
+    d_many, d_seq = str(tmp_path / "m"), str(tmp_path / "s")
+    wm, ws = DeltaTableWriter(spark, d_many), DeltaTableWriter(spark, d_seq)
+    versions = wm.commit_many(slices)
+    for s in slices:
+        ws.commit(add_dfs=[s])
+    assert versions == [0, 1, 2, 3, 4]
+    assert read_delta_log(d_many)["version"] == read_delta_log(d_seq)["version"] == 4
+    assert sorted(map(tuple, scan_delta_table(spark, d_many).collect())) == sorted(
+        map(tuple, scan_delta_table(spark, d_seq).collect())
+    )
+    for v in range(5):  # per-version time travel identical
+        assert sorted(
+            map(tuple, scan_delta_table(spark, d_many, version=v).collect())
+        ) == sorted(map(tuple, scan_delta_table(spark, d_seq, version=v).collect()))
+
+    # int-partitioned: partitionValues read off the staged directory names
+    d_p = str(tmp_path / "p")
+    wp = DeltaTableWriter(spark, d_p)
+    wp.commit(add_dfs=[slices[0]], partition_cols=["n_regionkey"])
+    wp.commit_many([slices[1], slices[2], slices[3]])
+    state = read_delta_log(d_p)
+    assert state["version"] == 3
+    back = scan_delta_table(spark, d_p)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, slices[0].unionByName(slices[1]).unionByName(slices[2])
+            .unionByName(slices[3]).collect())
+    )

@@ -3471,3 +3471,66 @@ def test_rewrite_data_zorder_guards(spark, tmp_path):
     w.rewrite_data(target_files=2, zorder_by=["n_nationkey"])
     after = sorted(map(tuple, scan_iceberg_table(spark, d).collect()))
     assert before == after  # row-preserving, per-partition clustering
+
+
+def test_append_many_matches_sequential_appends(spark, tmp_path):
+    """append_many = N appends, 1 staged write job (round 15 optimization):
+    pins byte-level table-state equivalence on BOTH layouts it fast-paths —
+    unpartitioned and identity-int-partitioned — against a sequentially
+    appended twin: same snapshot count, same per-snapshot file counts, same
+    rows, same partition pruning, and incremental scans see each slice."""
+    n = _nation(spark)
+    slices = [n.filter(F.col("n_regionkey") == rk) for rk in range(5)]
+
+    for part in (None, ["n_regionkey"]):
+        d_many = str(tmp_path / f"many-{bool(part)}")
+        d_seq = str(tmp_path / f"seq-{bool(part)}")
+        wm = IcebergTableWriter(spark, d_many, partition_by=part)
+        ws = IcebergTableWriter(spark, d_seq, partition_by=part)
+        snaps = wm.append_many(slices)
+        for s in slices:
+            ws.append(s)
+        assert len(snaps) == 5
+        mm, sm = read_table_metadata(d_many), read_table_metadata(d_seq)
+        assert len(mm["snapshots"]) == len(sm["snapshots"]) == 5
+        assert sorted(map(tuple, scan_iceberg_table(spark, d_many).collect())) == sorted(
+            map(tuple, scan_iceberg_table(spark, d_seq).collect())
+        )
+        # one data file per snapshot on both
+        dm, _ = iceberg_snapshot_files(d_many)
+        ds, _ = iceberg_snapshot_files(d_seq)
+        assert len(dm) == len(ds) == 5
+        if part:
+            pr = scan_iceberg_table(spark, d_many, partition_filter={"n_regionkey": 2})
+            assert len(pr.inputFiles()) == 1  # manifest pruning intact
+            assert pr.count() == slices[2].count()
+        # incremental between consecutive snapshots = exactly one slice
+        from lakefs_iceberg_catalog_spark.catalog.iceberg_format import (
+            scan_iceberg_incremental,
+        )
+
+        inc = scan_iceberg_incremental(spark, d_many, snaps[2], snaps[3])
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, slices[3].collect())
+        )
+
+
+def test_append_many_fallbacks(spark, tmp_path):
+    """The fast path refuses shapes it cannot prove: a multi-valued slice
+    on a partitioned table still raises (single-valued invariant), and a
+    non-identity transform falls back to the per-slice path yet produces
+    the same table state."""
+    n = _nation(spark)
+    d = str(tmp_path / "bad")
+    w = IcebergTableWriter(spark, d, partition_by=["n_regionkey"])
+    with pytest.raises(ValueError):
+        w.append_many([n.filter(F.col("n_regionkey") == 0), n])
+    # truncate transform: per-slice fallback, same rows
+    d2 = str(tmp_path / "trunc")
+    w2 = IcebergTableWriter(spark, d2, partition_by=["truncate(n_name, 8)"])
+    a = n.filter(F.col("n_nationkey").isin(1, 10, 11))  # all 'NATION_1'
+    b = n.filter(F.col("n_nationkey").isin(2, 20, 21))  # all 'NATION_2'
+    w2.append_many([a, b])
+    assert sorted(map(tuple, scan_iceberg_table(spark, d2).collect())) == sorted(
+        map(tuple, a.unionByName(b).collect())
+    )
