@@ -587,12 +587,14 @@ def source_iceberg_evolved_spec_mor(spark: SparkSession, sf_dir: str) -> DataFra
     w.append_many([n.filter(F.col("n_regionkey") == rk) for rk in (0, 1)])
     w.evolve_partition_spec(["truncate(n_nationkey, 10)"])
     rest = n.filter("n_regionkey >= 2")
-    for lo in (0, 10, 20):
-        w.append(
+    w.append_many(
+        [
             rest.filter(
                 (F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < lo + 10)
             )
-        )
+            for lo in (0, 10, 20)
+        ]
+    )
     # key 0 lives in an old-spec file (region 0), key 13 in a new-spec one
     w.delete_where_mor("n_nationkey = 0 or n_nationkey = 13")
     _, dels = iceberg_snapshot_files(tmp)
@@ -842,12 +844,14 @@ def maint_iceberg_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-rewritedel-")
     w = IcebergTableWriter(spark, tmp)
-    for lo in (0, 10, 20):
-        w.append(
+    w.append_many(
+        [
             n.filter(
                 (F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < lo + 10)
             ).orderBy("n_nationkey")
-        )
+            for lo in (0, 10, 20)
+        ]
+    )
     w.delete_where_mor("n_nationkey in (1, 11)")
     w.delete_where_mor("n_nationkey in (2, 11)")  # key 11 marked TWICE
     _, dels0 = iceberg_snapshot_files(tmp)
@@ -1728,8 +1732,9 @@ def dml_iceberg_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
     tmp = tempfile.mkdtemp(prefix="iceberg-mergecow-")
     w = IcebergTableWriter(spark, tmp)
-    for lo in (0, 10, 20):
-        w.append(n.filter(F.col("n_nationkey").between(lo, lo + 9)))
+    w.append_many(
+        [n.filter(F.col("n_nationkey").between(lo, lo + 9)) for lo in (0, 10, 20)]
+    )
     source = local_df(spark, 
         [(3, "UPDATED_3"), (13, "UPDATED_13"), (25, "NEW_25")],
         "n_nationkey int, n_name string",
@@ -1778,8 +1783,9 @@ def dml_iceberg_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
     tmp = tempfile.mkdtemp(prefix="iceberg-mergemor-")
     w = IcebergTableWriter(spark, tmp)
-    for lo in (0, 10, 20):
-        w.append(n.filter(F.col("n_nationkey").between(lo, lo + 9)))
+    w.append_many(
+        [n.filter(F.col("n_nationkey").between(lo, lo + 9)) for lo in (0, 10, 20)]
+    )
     pre_data, pre_del = iceberg_snapshot_files(tmp)
     assert pre_del == []
     source = local_df(spark,
@@ -1940,8 +1946,9 @@ def dml_iceberg_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-cow-")
     w = IcebergTableWriter(spark, tmp)
-    for lo in (0, 10, 20):
-        w.append(n.filter(F.col("n_nationkey").between(lo, lo + 9)))
+    w.append_many(
+        [n.filter(F.col("n_nationkey").between(lo, lo + 9)) for lo in (0, 10, 20)]
+    )
     pre_paths = {f["file_path"] for f in iceberg_data_files(tmp)}
     pre_snap = w._current_snapshot_id
     w.delete_where_cow("n_nationkey in (13, 14)")
@@ -1989,8 +1996,9 @@ def dml_delta_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
     tmp = tempfile.mkdtemp(prefix="delta-merge-")
     w = DeltaTableWriter(spark, tmp)
-    for lo in (0, 10, 20):
-        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    w.commit_many(
+        [n.filter(F.col("n_nationkey").between(lo, lo + 9)) for lo in (0, 10, 20)]
+    )
     source = local_df(spark, 
         [(3, "UPDATED_3"), (13, "UPDATED_13"), (25, "NEW_25")],
         "n_nationkey int, n_name string",
@@ -2047,8 +2055,9 @@ def dml_delta_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
     tmp = tempfile.mkdtemp(prefix="delta-mergecond-")
     w = DeltaTableWriter(spark, tmp)
-    for lo in (0, 10, 20):
-        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    w.commit_many(
+        [n.filter(F.col("n_nationkey").between(lo, lo + 9)) for lo in (0, 10, 20)]
+    )
     source = local_df(spark,
         [(3, "UPD_3", "U"), (13, "GONE", "D"),
          (25, "NEW_25", "U"), (26, "SKIP", "D")],
@@ -2123,8 +2132,9 @@ def dml_delta_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
     tmp = tempfile.mkdtemp(prefix="delta-merge-dv-")
     w = DeltaTableWriter(spark, tmp)
-    for lo in (0, 10, 20):
-        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    w.commit_many(
+        [n.filter(F.col("n_nationkey").between(lo, lo + 9)) for lo in (0, 10, 20)]
+    )
     # locate (file, ordinal) for keys 5 and 12 in ONE metadata-column scan
     state = read_delta_log(tmp)
     raw = spark.read.parquet(
@@ -2191,8 +2201,9 @@ def dml_delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
     tmp = tempfile.mkdtemp(prefix="delta-deldv-")
     w = DeltaTableWriter(spark, tmp)
-    for lo in (0, 10, 20):
-        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    w.commit_many(
+        [n.filter(F.col("n_nationkey").between(lo, lo + 9)) for lo in (0, 10, 20)]
+    )
     pre = set(read_delta_log(tmp)["files"])
     w.delete_where_dv("n_nationkey in (5, 12)")
     post = read_delta_log(tmp)["files"]
@@ -2231,8 +2242,9 @@ def dml_delta_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
     tmp = tempfile.mkdtemp(prefix="delta-updv-")
     w = DeltaTableWriter(spark, tmp)
-    for lo in (0, 10, 20):
-        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    w.commit_many(
+        [n.filter(F.col("n_nationkey").between(lo, lo + 9)) for lo in (0, 10, 20)]
+    )
     pre = set(read_delta_log(tmp)["files"])
     w.update_where_dv(
         "n_nationkey in (7, 13)",
@@ -2407,8 +2419,9 @@ def dml_delta_merge_column_mapping(spark: SparkSession, sf_dir: str) -> DataFram
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
     tmp = tempfile.mkdtemp(prefix="delta-mergecm-")
     w = DeltaTableWriter(spark, tmp, column_mapping=True)
-    for lo in (0, 10, 20):
-        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    w.commit_many(
+        [n.filter(F.col("n_nationkey").between(lo, lo + 9)) for lo in (0, 10, 20)]
+    )
     w.rename_column("n_name", "nation_name")  # metadata-only
     pre = set(read_delta_log(tmp)["files"])
     source = local_df(spark, 
@@ -2457,8 +2470,9 @@ def dml_delta_merge_column_mapping_id(
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
     tmp = tempfile.mkdtemp(prefix="delta-mergecmid-")
     w = DeltaTableWriter(spark, tmp, column_mapping="id")
-    for lo in (0, 10, 20):
-        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 9))])
+    w.commit_many(
+        [n.filter(F.col("n_nationkey").between(lo, lo + 9)) for lo in (0, 10, 20)]
+    )
     w.delete_where_dv("n_nationkey in (4, 7)")  # MoR: DVs on the 0-9 file
     w.rename_column("n_name", "nation_name")  # metadata-only
     pre = set(read_delta_log(tmp)["files"])
@@ -2732,8 +2746,9 @@ def source_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     w.append_many([n.filter(F.col("n_regionkey") == rk) for rk in (0, 1)])
     w.evolve_partition_spec(["truncate(n_nationkey, 10)"])
     rest = n.filter(F.col("n_regionkey") >= 2)
-    for lo in (0, 10, 20):
-        w.append(rest.filter(F.col("n_nationkey").between(lo, lo + 9)))
+    w.append_many(
+        [rest.filter(F.col("n_nationkey").between(lo, lo + 9)) for lo in (0, 10, 20)]
+    )
     assert scan_iceberg_table(spark, tmp).count() == n.count()
     pruned = scan_iceberg_table(spark, tmp, hidden_filter={"n_nationkey": 10})
     # 2 kept old-spec files + exactly 1 of 3 new-spec range files
@@ -2971,8 +2986,9 @@ def source_delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     tmp = tempfile.mkdtemp(prefix="delta-stats-")
     w = DeltaTableWriter(spark, tmp)
-    for lo in range(0, 25, 5):
-        w.commit(add_dfs=[n.filter(F.col("n_nationkey").between(lo, lo + 4))])
+    w.commit_many(
+        [n.filter(F.col("n_nationkey").between(lo, lo + 4)) for lo in range(0, 25, 5)]
+    )
     pruned = scan_delta_table(spark, tmp, stats_filter={"n_nationkey": (7, 12)})
     assert len(pruned.inputFiles()) == 2  # files [5-9] and [10-14] of 5
     back = pruned.select("n_nationkey", "n_name", "n_regionkey")

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..operators.util import dround
 from ..registry import register
 from ..tables import table
-from .core import run_events_stream
+from .core import run_events_stream, spool_frames
 from ..operators.util import local_df
 
 
@@ -597,16 +597,12 @@ def stream_source_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3):  # three append snapshots: v2, v3, v4
             cat.append(t, e.filter(F.col("event_id") % 3 == i))
         # replay each snapshot's delta, in commit order, as ONE spool file
-        for v in range(2, 5):
-            delta = cat.table_changes(t, v - 1, v)
-            stage = os.path.join(spool, f".stage-{v}")
-            delta.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = [f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")]
-            assert len(part) == 1
-            os.replace(
-                os.path.join(stage, part[0]), os.path.join(spool, f"epoch-{v}.parquet")
-            )
-            shutil.rmtree(stage)
+        # per epoch (all staged by a single job — core.spool_frames)
+        spool_frames(
+            [cat.table_changes(t, v - 1, v) for v in range(2, 5)],
+            spool,
+            [f"epoch-{v}.parquet" for v in range(2, 5)],
+        )
         s = (
             spark.readStream.schema(
                 "event_id bigint, user_id bigint, ts timestamp, value double"
@@ -685,6 +681,7 @@ def stream_source_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = DeltaTableWriter(spark, root)
         # three append commits (versions 0, 1, 2) staged in one job
         w.commit_many([e.filter(F.col("event_id") % 3 == i) for i in range(3)])
+        deltas = []
         for v in range(3):
             if v == 0:
                 delta = scan_delta_table(spark, root, version=0)
@@ -695,14 +692,8 @@ def stream_source_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     == 0
                 ), "append-only history must replay as pure inserts"
                 delta = changes.drop("_change_type")
-            stage = os.path.join(spool, f".stage-{v}")
-            delta.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = [f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")]
-            assert len(part) == 1
-            os.replace(
-                os.path.join(stage, part[0]), os.path.join(spool, f"epoch-{v}.parquet")
-            )
-            shutil.rmtree(stage)
+            deltas.append(delta)
+        spool_frames(deltas, spool, [f"epoch-{v}.parquet" for v in range(3)])
         s = (
             spark.readStream.schema(
                 "event_id bigint, user_id bigint, ts timestamp, value double"
@@ -786,19 +777,16 @@ def stream_source_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         snaps = w.append_many(
             [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
         )
-        for i, snap in enumerate(snaps):
-            if i == 0:
-                delta = scan_iceberg_table(spark, root, snapshot_id=snap)
-            else:
-                delta = scan_iceberg_incremental(spark, root, snaps[i - 1], snap)
-            stage = os.path.join(spool, f".stage-{i}")
-            delta.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = [f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")]
-            assert len(part) == 1
-            os.replace(
-                os.path.join(stage, part[0]), os.path.join(spool, f"epoch-{i}.parquet")
-            )
-            shutil.rmtree(stage)
+        spool_frames(
+            [
+                scan_iceberg_table(spark, root, snapshot_id=snap)
+                if i == 0
+                else scan_iceberg_incremental(spark, root, snaps[i - 1], snap)
+                for i, snap in enumerate(snaps)
+            ],
+            spool,
+            [f"epoch-{i}.parquet" for i in range(len(snaps))],
+        )
         s = (
             spark.readStream.schema(
                 "event_id bigint, user_id bigint, ts timestamp, value double"
@@ -1044,23 +1032,20 @@ def stream_cdc_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey", "n_name", "n_regionkey"
         )
         base_rows = bounded_rows(base)
-        for i in range(1, len(snaps)):
-            delta = scan_iceberg_changelog(
-                spark, root, from_snapshot_id=snaps[i - 1],
-                to_snapshot_id=snaps[i],
-            ).select(
-                "n_nationkey", "n_name", "n_regionkey",
-                "_change_type", "_commit_seq",
-            )
-            stage = os.path.join(spool, f".stage-{i}")
-            delta.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = [f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")]
-            assert len(part) == 1
-            os.replace(
-                os.path.join(stage, part[0]),
-                os.path.join(spool, f"epoch-{i}.parquet"),
-            )
-            shutil.rmtree(stage)
+        spool_frames(
+            [
+                scan_iceberg_changelog(
+                    spark, root, from_snapshot_id=snaps[i - 1],
+                    to_snapshot_id=snaps[i],
+                ).select(
+                    "n_nationkey", "n_name", "n_regionkey",
+                    "_change_type", "_commit_seq",
+                )
+                for i in range(1, len(snaps))
+            ],
+            spool,
+            [f"epoch-{i}.parquet" for i in range(1, len(snaps))],
+        )
         s = (
             spark.readStream.schema(ddl)
             .option("maxFilesPerTrigger", 1)
@@ -1161,23 +1146,17 @@ def stream_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         versions.append(w.merge_upsert(src, ["n_nationkey"]))
         base = scan_delta_table(spark, root, version=versions[0])
         base_rows = bounded_rows(base)
-        ch_schema = None
-        for i in range(1, len(versions)):
-            delta = delta_table_changes(
+        ch_frames = [
+            delta_table_changes(
                 spark, root, versions[i - 1], versions[i]
             ).select("n_nationkey", "n_name", "n_regionkey", "_change_type")
-            ch_schema = delta.schema
-            stage = os.path.join(spool, f".stage-{i}")
-            delta.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = [
-                f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
-            ]
-            assert len(part) == 1
-            os.replace(
-                os.path.join(stage, part[0]),
-                os.path.join(spool, f"epoch-{i}.parquet"),
-            )
-            shutil.rmtree(stage)
+            for i in range(1, len(versions))
+        ]
+        ch_schema = ch_frames[-1].schema
+        spool_frames(
+            ch_frames, spool,
+            [f"epoch-{i}.parquet" for i in range(1, len(versions))],
+        )
         s = (
             spark.readStream.schema(ch_schema)
             .option("maxFilesPerTrigger", 1)
@@ -1268,18 +1247,10 @@ def stream_source_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp_roots: list[str] = []
 
     def spool_epochs(deltas, spool):
-        for i, delta in enumerate(deltas):
-            stage = os.path.join(spool, f".stage-{i}")
-            delta.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = [
-                f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
-            ]
-            assert len(part) == 1
-            os.replace(
-                os.path.join(stage, part[0]),
-                os.path.join(spool, f"epoch-{i}.parquet"),
-            )
-            shutil.rmtree(stage)
+        spool_frames(
+            deltas, spool,
+            [f"epoch-{i}.parquet" for i in range(len(deltas))],
+        )
 
     def drain(spool, files_per_trigger, sink_dir):
         """AvailableNow catch-up under the rate limit; returns

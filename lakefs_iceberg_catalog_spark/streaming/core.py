@@ -90,3 +90,47 @@ def run_events_stream(
         return run_to_memory(spark, transform(s), mode)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+
+
+def spool_frames(frames: list[DataFrame], spool: str, names: list[str]) -> None:
+    """Write each frame as exactly one parquet file ``spool/<name>`` with
+    ONE distributed staging job for all of them (the epoch-replay fixtures
+    previously paid one coalesce(1) write JOB per epoch): slices coalesce
+    to one partition each, union with a slice index, ``partitionBy`` on
+    the index → each task writes its slice's single file, in parallel.
+
+    File mtimes are then stamped STRICTLY INCREASING in list order —
+    the file stream source orders same-batch files by modification time,
+    and the one-job staging would otherwise leave all epochs with the
+    same timestamp (epoch order must never depend on a tie-break).
+    An empty frame (partitionBy writes no file for it) falls back to a
+    single-file write so the spool always carries every epoch."""
+    import os
+    import tempfile
+    import time as _time
+
+    from ..catalog.parquet_io import write_single_parquet
+
+    stage = tempfile.mkdtemp(prefix="spool-stage-")
+    try:
+        u = None
+        for i, d in enumerate(frames):
+            s = d.coalesce(1).withColumn("_slice", F.lit(i))
+            u = s if u is None else u.unionByName(s)
+        u.write.partitionBy("_slice").mode("overwrite").parquet(stage)
+        base = _time.time()
+        for i, name in enumerate(names):
+            sdir = os.path.join(stage, f"_slice={i}")
+            parts = (
+                [f for f in sorted(os.listdir(sdir)) if f.endswith(".parquet")]
+                if os.path.isdir(sdir)
+                else []
+            )
+            dest = os.path.join(spool, name)
+            if len(parts) == 1:
+                os.replace(os.path.join(sdir, parts[0]), dest)
+            else:  # empty epoch
+                write_single_parquet(frames[i], dest)
+            os.utime(dest, (base + i, base + i))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
