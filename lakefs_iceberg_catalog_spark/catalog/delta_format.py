@@ -1558,6 +1558,19 @@ class DeltaTableWriter:
         # read one cached copy instead of re-scanning the table per job
         zcleanup: list[DataFrame] = []
 
+        # staged fast path: every range file of a cluster call comes from
+        # ONE shuffle+write job (zorder.morton_cluster_files) and joins
+        # the commit as a pre-written add — eligible unless a feature
+        # needs commit()'s per-add driver passes (physical-name renames,
+        # identity hwm bookkeeping, constraint re-checks)
+        staged_ok = (
+            not self._column_mapping
+            and not self._identity_specs()
+            and not (self._meta and self._check_constraints())
+        )
+        zstage = None
+        staged_adds: list[tuple[str, int, dict]] = []
+
         def _zorder_adds(df: DataFrame) -> tuple[list[DataFrame], int]:
             """Morton-cluster one frame into <= target_files range frames
             via the SHARED z-order engine (zorder.py — one implementation
@@ -1571,6 +1584,25 @@ class DeltaTableWriter:
                 df, zorder_by, target_files, cleanup=zcleanup
             )
 
+        def _zorder_staged(df: DataFrame, pvals: dict) -> int:
+            """One-job clustered write for one frame; appends the staged
+            (path, rows, partitionValues) adds and returns the row count.
+            The partition columns are dropped BEFORE the write (the
+            protocol keeps them in the log, not the data file)."""
+            import pyarrow.parquet as pq
+
+            from .zorder import morton_cluster_files
+
+            paths, n = morton_cluster_files(
+                df.drop(*pcols) if pcols else df,
+                zorder_by, target_files, zstage, cleanup=zcleanup,
+            )
+            for p in paths:
+                staged_adds.append(
+                    (p, int(pq.read_metadata(p).num_rows), dict(pvals))
+                )
+            return n
+
         if zorder_by:
             clash = set(zorder_by) & set(pcols)
             if clash:
@@ -1578,6 +1610,12 @@ class DeltaTableWriter:
                     f"cannot ZORDER BY partition columns: {sorted(clash)} "
                     "(constant within every file already)"
                 )
+            if staged_ok:
+                import tempfile
+
+                zstage = tempfile.mkdtemp(prefix="delta-zorder-")
+            adds = []
+            n_before = 0
             if pcols:
                 # per-partition clustering (stock Delta's OPTIMIZE unit is
                 # the partition): each tuple's rows re-cluster into their
@@ -1585,17 +1623,24 @@ class DeltaTableWriter:
                 tuples = bounded_rows(
                     current.select(*pcols).distinct(), 10_000
                 )
-                adds = []
-                n_before = 0
                 for r in sorted(
                     tuples, key=lambda r: tuple(str(v) for v in r)
                 ):
                     part = current
                     for c, v in zip(pcols, r):
                         part = part.filter(F.col(c).eqNullSafe(F.lit(v)))
-                    part_adds, part_n = _zorder_adds(part)
-                    adds += part_adds
-                    n_before += part_n
+                    if staged_ok:
+                        pvals = {
+                            c: (None if v is None else str(v))
+                            for c, v in zip(pcols, r)
+                        }
+                        n_before += _zorder_staged(part, pvals)
+                    else:
+                        part_adds, part_n = _zorder_adds(part)
+                        adds += part_adds
+                        n_before += part_n
+            elif staged_ok:
+                n_before = _zorder_staged(current, {})
             else:
                 adds, n_before = _zorder_adds(current)
         elif pcols:
@@ -1616,25 +1661,35 @@ class DeltaTableWriter:
                 # commit that drops rows is data loss CDF and streaming
                 # readers are required to skip — refusing must happen while
                 # the old head is still the head, not after the corrupted
-                # commit is durable (one count over the rewrite's own row set;
-                # OPTIMIZE reads everything anyway).
-                n_after = 0
-                if adds:
-                    u = adds[0]
-                    for a in adds[1:]:
-                        u = u.unionByName(a)
-                    n_after = u.count()
+                # commit is durable. Staged adds check against the parquet
+                # FOOTER row counts (what will actually publish); the
+                # frame path counts the rewrite's own row set.
+                if staged_adds:
+                    n_after = sum(n for _, n, _ in staged_adds)
+                else:
+                    n_after = 0
+                    if adds:
+                        u = adds[0]
+                        for a in adds[1:]:
+                            u = u.unionByName(a)
+                        n_after = u.count()
                 if n_after != n_before:
                     raise AssertionError(
                         f"ZORDER rewrite changed the row count: {n_before} -> "
                         f"{n_after} (NULL-key routing bug?) — refusing to commit"
                     )
             return self.commit(
-                add_dfs=adds, remove=live, data_change=False, operation="OPTIMIZE"
+                add_dfs=adds or None,
+                _staged_adds=staged_adds or None,
+                remove=live,
+                data_change=False,
+                operation="OPTIMIZE",
             )
         finally:
             for h in zcleanup:
                 h.unpersist()
+            if zstage is not None:
+                shutil.rmtree(zstage, ignore_errors=True)
 
     def merge_upsert(self, source_df: DataFrame, key_cols: list[str]) -> int:
         """MERGE (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *)

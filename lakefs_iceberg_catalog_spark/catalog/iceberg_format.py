@@ -3270,28 +3270,57 @@ class IcebergTableWriter:
                     )
                 if zorder_by:
                     # Morton-clustered rewrite (shared engine — see
-                    # docstring): each range frame is one clustered
-                    # single-task write; empty key ranges write nothing.
-                    # The partition frame is persisted (cleanup list) so
-                    # the engine's stats/quantile/occupancy passes and
-                    # the range-file writes read one cached copy, and
-                    # released as soon as this tuple's files are written.
-                    from .zorder import morton_cluster_frames
-
+                    # docstring): on parquet tables ALL range files come
+                    # from ONE clustered shuffle+write job
+                    # (morton_cluster_files); ORC/AVRO tables take the
+                    # per-range-frame path. The partition frame is
+                    # persisted (cleanup list) across the engine's passes
+                    # and released once this tuple's files are written.
                     zcleanup: list = []
                     try:
-                        frames, _n = morton_cluster_frames(
-                            part_df, zorder_by, target_files or 1,
-                            cleanup=zcleanup,
-                        )
-                        for j, fr in enumerate(frames):
-                            data_path = os.path.join(
-                                self.data_dir,
-                                f"00000-{self._version}-{self._uuid}-"
-                                f"z{i + 1}-{j + 1:05d}.{fmt}",
+                        if fmt == "parquet":
+                            import tempfile as _tempfile
+
+                            import pyarrow.parquet as _pq
+
+                            from .zorder import morton_cluster_files
+
+                            zstage = _tempfile.mkdtemp(prefix="ice-zorder-")
+                            try:
+                                paths, _n = morton_cluster_files(
+                                    part_df, zorder_by, target_files or 1,
+                                    zstage, cleanup=zcleanup,
+                                )
+                                for j, sp in enumerate(paths):
+                                    data_path = os.path.join(
+                                        self.data_dir,
+                                        f"00000-{self._version}-{self._uuid}-"
+                                        f"z{i + 1}-{j + 1:05d}.{fmt}",
+                                    )
+                                    n_rows = int(
+                                        _pq.read_metadata(sp).num_rows
+                                    )
+                                    shutil.move(sp, data_path)
+                                    entries.append(
+                                        _entry(data_path, n_rows, pvals)
+                                    )
+                            finally:
+                                shutil.rmtree(zstage, ignore_errors=True)
+                        else:
+                            from .zorder import morton_cluster_frames
+
+                            frames, _n = morton_cluster_frames(
+                                part_df, zorder_by, target_files or 1,
+                                cleanup=zcleanup,
                             )
-                            n_rows = writer(fr, data_path)
-                            entries.append(_entry(data_path, n_rows, pvals))
+                            for j, fr in enumerate(frames):
+                                data_path = os.path.join(
+                                    self.data_dir,
+                                    f"00000-{self._version}-{self._uuid}-"
+                                    f"z{i + 1}-{j + 1:05d}.{fmt}",
+                                )
+                                n_rows = writer(fr, data_path)
+                                entries.append(_entry(data_path, n_rows, pvals))
                     finally:
                         for h in zcleanup:
                             h.unpersist()

@@ -28,7 +28,115 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morton_cluster_frames"]
+__all__ = ["morton_cluster_frames", "morton_cluster_files"]
+
+
+def morton_cluster_files(
+    df: DataFrame,
+    zorder_by: list[str],
+    target_files: int,
+    stage_dir: str,
+    cleanup: list[DataFrame] | None = None,
+) -> tuple[list[str], int]:
+    """ONE-JOB Morton-clustered write: same binning/edges as
+    ``morton_cluster_frames``, but instead of returning per-range frames
+    for the caller to write one job each, every row gets its range index
+    and the whole frame is written in a single shuffle+write job —
+    ``repartition(n, _bucket)`` co-locates each range in one task,
+    ``sortWithinPartitions(_bucket, _zkey)`` orders it, and
+    ``partitionBy(_bucket)`` splits the task's output into exactly one
+    sorted parquet file per non-empty range (the same staging trick as
+    the range-sort rewrite and append_many). Returns (paths in range
+    order, total row count); per-file row counts come from the parquet
+    footers. Jobs: stats+count, quantile, one clustered write — versus
+    2 + 2·target_files for the per-frame path (measured 2.4 s of range
+    writes on a 150k-row rewrite collapsing to ~0.4 s).
+
+    Parquet-only by construction (the staging write is parquet); callers
+    with ORC/AVRO table formats use ``morton_cluster_frames``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..operators.util import bounded_rows
+
+    if cleanup is not None:
+        df = df.persist()
+        cleanup.append(df)
+    stats = bounded_rows(
+        df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
+            *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+    )[0]
+    n_rows = int(stats["_cnt"])
+    if n_rows == 0:
+        return [], 0
+    zdf = df.withColumn("_zkey", _zkey_expr(stats, zorder_by))
+    edges = sorted(
+        set(
+            zdf.approxQuantile(
+                "_zkey",
+                [i / target_files for i in range(1, target_files)],
+                0.001,
+            )
+        )
+    )
+    b_idx = F.lit(0)
+    for e in edges:
+        b_idx = b_idx + (F.col("_zkey") > F.lit(e)).cast("int")
+    import tempfile
+
+    # unique per call: per-partition-tuple callers reuse one stage_dir,
+    # and an overwrite into a shared subdir would delete the PREVIOUS
+    # tuple's staged files before they are adopted
+    out_dir = tempfile.mkdtemp(prefix="zorder-clustered-", dir=stage_dir)
+    (
+        zdf.withColumn("_bucket", b_idx)
+        .repartition(len(edges) + 1, F.col("_bucket"))
+        .sortWithinPartitions("_bucket", "_zkey")
+        .drop("_zkey")
+        .write.partitionBy("_bucket")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    paths: list[str] = []
+    for b in range(len(edges) + 1):
+        bdir = os.path.join(out_dir, f"_bucket={b}")
+        if not os.path.isdir(bdir):
+            continue  # empty key range writes nothing
+        parts = [f for f in sorted(os.listdir(bdir)) if f.endswith(".parquet")]
+        assert len(parts) == 1, f"range {b} produced {len(parts)} files"
+        paths.append(os.path.join(bdir, parts[0]))
+    assert sum(int(pq.read_metadata(p).num_rows) for p in paths) == n_rows
+    return paths, n_rows
+
+
+def _zkey_expr(stats, zorder_by: list[str]):
+    """The Morton key column expression for one frame's min/max stats —
+    shared by the per-frame and one-job writers so the two layouts'
+    clustering semantics cannot drift."""
+    nbits = 8
+    bins = []
+    for c in zorder_by:
+        if stats[f"mn_{c}"] is None:  # all-NULL dimension: inert axis
+            bins.append(F.lit(0).cast("long"))
+            continue
+        mn = float(stats[f"mn_{c}"])
+        span = float(stats[f"mx_{c}"]) - mn
+        scaled = (F.col(c).cast("double") - F.lit(mn)) * F.lit(
+            (2**nbits - 1) / span if span > 0 else 0.0
+        )
+        bins.append(F.floor(scaled).cast("long"))
+    zkey = F.lit(0).cast("long")
+    for bit in range(nbits):
+        for ci, bn in enumerate(bins):
+            pos = bit * len(bins) + ci
+            zkey = zkey + F.shiftleft(
+                F.shiftright(bn, bit).bitwiseAND(F.lit(1)), pos
+            )
+    return F.coalesce(zkey, F.lit(-1).cast("long"))
 
 
 def morton_cluster_frames(
@@ -64,27 +172,7 @@ def morton_cluster_frames(
     n_rows = int(stats["_cnt"])
     if n_rows == 0:
         return [], 0
-    nbits = 8
-    bins = []
-    for c in zorder_by:
-        if stats[f"mn_{c}"] is None:  # all-NULL dimension: inert axis
-            bins.append(F.lit(0).cast("long"))
-            continue
-        mn = float(stats[f"mn_{c}"])
-        span = float(stats[f"mx_{c}"]) - mn
-        scaled = (F.col(c).cast("double") - F.lit(mn)) * F.lit(
-            (2**nbits - 1) / span if span > 0 else 0.0
-        )
-        bins.append(F.floor(scaled).cast("long"))
-    zkey = F.lit(0).cast("long")
-    for bit in range(nbits):
-        for ci, bn in enumerate(bins):
-            pos = bit * len(bins) + ci
-            zkey = zkey + F.shiftleft(
-                F.shiftright(bn, bit).bitwiseAND(F.lit(1)), pos
-            )
-    zkey = F.coalesce(zkey, F.lit(-1).cast("long"))
-    zdf = df.withColumn("_zkey", zkey)
+    zdf = df.withColumn("_zkey", _zkey_expr(stats, zorder_by))
     edges = sorted(
         set(
             zdf.approxQuantile(
