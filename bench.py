@@ -145,6 +145,22 @@ def _time_queries(
 
 
 def main() -> None:
+    # Optional flags (the driver's bare `python bench.py` is unchanged —
+    # same keys, same methodology, same one-line JSON):
+    #   --keys a,b,c   bench only the named registry keys (targeted re-runs)
+    #   --sweeps N     run the whole timing pass N times and report per-key
+    #                  MINIMA — the host intermittently throttles sustained
+    #                  load, so a single sweep's tail can record a 3-10x
+    #                  outlier on an unchanged key (VERDICT r15 #2); minima
+    #                  across sweeps are the auditable number. Per-sweep
+    #                  timings land in the full payload under "sweeps".
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keys", default=None)
+    ap.add_argument("--sweeps", type=int, default=1)
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     registry.load_all()
@@ -154,13 +170,47 @@ def main() -> None:
     # Warmup: spin the JVM/codegen paths once on a trivial action.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    headline = HEADLINE
+    extras = extra_names()
+    if args.keys:
+        wanted = {k.strip() for k in args.keys.split(",") if k.strip()}
+        headline = [k for k in HEADLINE if k in wanted]
+        extras = [k for k in extras if k in wanted]
+
     loads: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    timings = _time_queries(spark, HEADLINE, sf_dir, loads, reps, errors)
+    sweeps: list[dict] = []
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    for s in range(max(1, args.sweeps)):
+        s_loads: dict[str, float] = {}
+        s_reps: dict[str, list[float]] = {}
+        s_errors: dict[str, str] = {}
+        s_head = _time_queries(spark, headline, sf_dir, s_loads, s_reps, s_errors)
+        s_extra = _time_queries(spark, extras, sf_dir, s_loads, s_reps, s_errors)
+        sweeps.append(
+            {
+                "queries": s_head,
+                "extra_queries": s_extra,
+                "load1_per_query": s_loads,
+                "reps_per_query": s_reps,
+                "errors": s_errors,
+            }
+        )
+        # per-key minima across sweeps; last sweep's loads/reps kept as the
+        # representative trace, errors kept only for keys that never timed
+        for k, v in s_head.items():
+            timings[k] = min(timings.get(k, v), v)
+        for k, v in s_extra.items():
+            extra[k] = min(extra.get(k, v), v)
+        loads, reps = s_loads, s_reps
+        for k, v in s_errors.items():
+            errors.setdefault(k, v)
+    errors = {
+        k: v for k, v in errors.items() if k not in timings and k not in extra
+    }
     total = round(sum(timings.values()), 4)
-    extras = extra_names()
-    extra = _time_queries(spark, extras, sf_dir, loads, reps, errors)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # no-silent-caps audit: every registry key is either timed or named
     # (a key can only be skipped by raising, which also lands in errors)
@@ -181,6 +231,13 @@ def main() -> None:
         "reps_per_query": reps,
         "errors": errors,
     }
+    if args.sweeps > 1:
+        full_payload["n_sweeps"] = args.sweeps
+        full_payload["sweeps"] = sweeps
+    if args.keys:
+        full_payload["keys_filter"] = sorted(
+            set(headline) | set(extras)
+        )
     print(json.dumps(full_payload))
     # The 115-query payload (with per-rep traces and per-query load1 — the
     # audit trail for telling a regression from a busy-host artifact) also

@@ -1341,6 +1341,103 @@ class VersionedCatalog:
                 err = e
         raise err
 
+    def append_many(
+        self, identifier: str | list[str], dfs: list[DataFrame]
+    ) -> None:
+        """N consecutive append snapshots whose data files are staged by
+        ONE distributed write job, then committed in order as N
+        metadata-only commits — same table state as N ``append`` calls
+        (same files-per-version, per-file stats and row order; file names
+        are uuid-stamped either way), at 1 Spark job instead of N.
+
+        How one job reproduces the sequential twin's file layout: each
+        frame keeps its OWN partitioning (union is narrow — no coalesce),
+        frames union with a slice index, and ``partitionBy(_slice)``
+        makes every task write exactly one file for its own slice — so
+        slice i yields one file per non-empty input partition of frame i,
+        the same count the per-frame write yields after ``_write_data``'s
+        zero-row skip. Partitioned/bucketed tables and single-frame calls
+        take the per-frame ``append`` path (their writer shuffles each
+        frame into its own layout, which a shared staging job cannot
+        reproduce)."""
+        ops, levels = self._ops(identifier)
+        base = ops.current()
+        if base is None:
+            raise NoSuchTableError(".".join(levels))
+        if len(dfs) < 2 or base.partition_spec or base.bucket_spec:
+            for d in dfs:
+                self.append(identifier, d)
+            return
+        schema = T.StructType.fromJson(json.loads(base.schema_json))
+        aligned = [
+            d if d.schema == schema else _align_to_schema(d, schema)
+            for d in dfs
+        ]
+        repo = levels[0]
+        table_dir = os.path.join(self.root, *levels)
+        data_dir = os.path.join(table_dir, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        staging = os.path.join(table_dir, f".staging-{_uuid.uuid4().hex}")
+        u = None
+        for i, d in enumerate(aligned):
+            s = d.withColumn("_slice", F.lit(i))
+            u = s if u is None else u.unionByName(s)
+        try:
+            u.write.mode("overwrite").partitionBy("_slice").parquet(staging)
+            for i in range(len(aligned)):
+                sdir = os.path.join(staging, f"_slice={i}")
+                out: list[str] = []
+                stats: dict = {}
+                stamp = _uuid.uuid4().hex[:12]
+                j = 0
+                if os.path.isdir(sdir):
+                    for name in sorted(os.listdir(sdir)):
+                        if not name.endswith(".parquet"):
+                            continue
+                        src = os.path.join(sdir, name)
+                        if _parquet_num_rows(src) == 0:
+                            continue
+                        dst = os.path.join(
+                            data_dir, f"{stamp}-{j:05d}.parquet"
+                        )
+                        os.replace(src, dst)
+                        rel = self._rel(repo, dst)
+                        out.append(rel)
+                        fs = _footer_stats(dst)
+                        if fs:
+                            stats[rel] = fs
+                        j += 1
+                # metadata-only commit per slice, with append's rebase-retry
+                err: Exception | None = None
+                for _ in range(10):
+                    try:
+                        ops.commit(
+                            base,
+                            base.next(
+                                base.files + out,
+                                file_stats={**base.file_stats, **stats},
+                            ),
+                        )
+                        err = None
+                        break
+                    except (CommitConflictError, CommitStateError) as e:
+                        fresh = ops.current()
+                        if (
+                            fresh is None
+                            or fresh.table_uuid != base.table_uuid
+                            or fresh.schema_json != base.schema_json
+                            or fresh.partition_spec != base.partition_spec
+                            or fresh.bucket_spec != base.bucket_spec
+                        ):
+                            raise
+                        base = fresh
+                        err = e
+                if err is not None:
+                    raise err
+                base = ops.current()
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
     def add_files(self, identifier: str | list[str], source_dir: str) -> int:
         """Bulk file import (Iceberg's ``add_files`` procedure): register
         EXISTING parquet files into the table snapshot WITHOUT a rewrite —

@@ -265,6 +265,7 @@ class DeltaTableWriter:
         add_partitioned: DataFrame | None = None,
         identity: dict[str, dict] | None = None,
         _staged_adds: list[tuple[str, int, dict]] | None = None,
+        _schema_df: DataFrame | None = None,
     ) -> int:
         """One commit: write each DataFrame as a parquet data file (`add`)
         and/or drop previously added files (`remove`). The first commit
@@ -312,7 +313,14 @@ class DeltaTableWriter:
                 }
             )
         if self._version < 0:
-            schema_df = (add_dfs or [None])[0]
+            # _schema_df lets commit_many stage the FIRST commit's file too:
+            # protocol+metaData derive from the frame's schema, which is
+            # driver-side — no write job is needed just to learn it
+            schema_df = (
+                _schema_df
+                if _schema_df is not None
+                else (add_dfs or [None])[0]
+            )
             if schema_df is None:
                 raise ValueError("first commit must add data (schema source)")
             self._partition_cols = list(partition_cols or [])
@@ -619,8 +627,9 @@ class DeltaTableWriter:
         """N consecutive single-add commits whose data files are staged by
         ONE distributed write job, then registered version by version —
         identical log state to N ``commit(add_dfs=[df])`` calls at 1 Spark
-        job (+1 for the first commit's schema path on a fresh table)
-        instead of N.
+        job instead of N. A fresh table's first commit stages too (round
+        16): its protocol+metaData derive from the frame's DRIVER-SIDE
+        schema (``_schema_df``), so no separate write job is needed.
 
         Same staging trick as IcebergTableWriter.append_many: each slice
         coalesces to one partition, the union carries a slice index, and
@@ -663,18 +672,8 @@ class DeltaTableWriter:
         from .parquet_io import write_single_parquet  # noqa: F401 (fallback)
 
         start = 0
+        fresh = self._version < 0
         versions: list[int] = []
-        if self._version < 0:
-            # first commit carries protocol+metaData and derives the
-            # schema — run it through the full path
-            versions.append(
-                self.commit(
-                    add_dfs=[adds_per_version[0]],
-                    partition_cols=pcols or None,
-                    operation=operation,
-                )
-            )
-            start = 1
         stage = tempfile.mkdtemp(prefix="commit-many-")
         try:
             u = None
@@ -719,14 +718,27 @@ class DeltaTableWriter:
                 staged.append(
                     (path, int(pq.read_metadata(path).num_rows), pvals)
                 )
-            for d, st in zip(adds_per_version[start:], staged):
+            for i, (d, st) in enumerate(zip(adds_per_version[start:], staged)):
+                # fresh-table commit 0 stamps protocol+metaData from the
+                # frame's DRIVER-SIDE schema (_schema_df) — it stages like
+                # every other slice instead of paying its own write job
+                first = fresh and i == 0
                 if st is None:
                     versions.append(
-                        self.commit(add_dfs=[d], operation=operation)
+                        self.commit(
+                            add_dfs=[d],
+                            partition_cols=(pcols or None) if first else None,
+                            operation=operation,
+                        )
                     )
                 else:
                     versions.append(
-                        self.commit(_staged_adds=[st], operation=operation)
+                        self.commit(
+                            _staged_adds=[st],
+                            partition_cols=(pcols or None) if first else None,
+                            operation=operation,
+                            _schema_df=d if first else None,
+                        )
                     )
             return versions
         finally:

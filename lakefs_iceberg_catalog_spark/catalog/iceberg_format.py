@@ -476,6 +476,35 @@ def _norm_path_map(data: list[dict]) -> dict[str, str]:
     }
 
 
+def _string_stats_exact(md, src: str) -> bool:
+    """True iff every row group's min/max footer stats for column ``src``
+    are provably EXACT: pyarrow's exactness flags where exposed; where the
+    build predates them, the 64-byte truncation-ceiling heuristic the
+    add_files importer uses (parquet-mr truncates string bounds at 64
+    bytes — a sub-ceiling value cannot have been truncated). Used by the
+    staged-append fast path so string identity partitions can batch
+    (VERDICT r15 #6) without ever stamping a truncated partition value."""
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for ci in range(rg.num_columns):
+            c = rg.column(ci)
+            if c.path_in_schema != src:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                return False
+            exact_min = getattr(st, "is_min_value_exact", None)
+            exact_max = getattr(st, "is_max_value_exact", None)
+            if exact_min is False or exact_max is False:
+                return False
+            if exact_min is None and any(
+                len(b.encode() if isinstance(b, str) else b) >= 64
+                for b in (st.min, st.max)
+            ):
+                return False
+    return True
+
+
 def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
     """MANIFEST_ENTRY_SCHEMA with the partition struct (r102) carrying the
     spec's typed identity-partition fields (field-ids 1000+) instead of
@@ -1025,10 +1054,14 @@ class IcebergTableWriter:
             self._schemas = [self._schema_json]
             self._last_column_id = len(self._schema_json["fields"])
             self._resolve_partition_fields()
-        # footer stats are exact for int/long; string stats may be
-        # truncated by the writer, so string partitions take the plain path
+        # footer stats are exact for int/long; string stats are usable
+        # when the footer PROVES exactness (pyarrow's exactness flags
+        # where exposed, else the 64-byte truncation-ceiling check the
+        # add_files importer uses) — checked per slice below, falling
+        # back per slice otherwise (VERDICT r15 #6)
         use_footer_pvals = all(
-            pf["kind"] == "identity" and pf["src_type"] in ("int", "long")
+            pf["kind"] == "identity"
+            and pf["src_type"] in ("int", "long", "string")
             for pf in self._partition_fields
         )
         if fmt != "parquet" or len(dfs) < 2 or not use_footer_pvals:
@@ -1065,17 +1098,28 @@ class IcebergTableWriter:
                 pvals: dict | None = {}
                 if self._partition_fields:
                     bounds = parquet_column_bounds(path)
-                    nulls = {}
+                    # fail CLOSED when any row group lacks null_count for
+                    # a column: a missing stat is unknown nulls, not zero
+                    # (ADVICE r15 #2) — those columns drop to the per-slice
+                    # fallback below instead of being stamped 0-null
+                    nulls: dict = {}
+                    exact: dict = {}
                     for g in range(md.num_row_groups):
                         rg = md.row_group(g)
                         for ci in range(rg.num_columns):
                             c = rg.column(ci)
                             st = c.statistics
-                            nulls[c.path_in_schema] = nulls.get(
-                                c.path_in_schema, 0
-                            ) + (st.null_count if st is not None and st.has_null_count else 0)
+                            name = c.path_in_schema
+                            if st is not None and st.has_null_count:
+                                nulls[name] = nulls.get(name, 0) + st.null_count
+                                exact.setdefault(name, True)
+                            else:
+                                exact[name] = False
                     for pf in self._partition_fields:
                         src = pf["source_name"]
+                        if not exact.get(src, False):
+                            pvals = None  # stats absent: not provable
+                            break
                         n_null = nulls.get(src, 0)
                         if n_null == n_rows:
                             pvals[pf["name"]] = None
@@ -1084,11 +1128,31 @@ class IcebergTableWriter:
                         if b is None or b[0] != b[1] or n_null > 0:
                             pvals = None  # not provably single-valued
                             break
-                        pvals[pf["name"]] = b[0]
+                        lo = b[0]
+                        if pf["src_type"] == "string":
+                            # min == max is only meaningful when the stats
+                            # are EXACT — truncated string stats can agree
+                            # while the real values differ past byte 64
+                            if not _string_stats_exact(md, src):
+                                pvals = None
+                                break
+                            if isinstance(lo, bytes):
+                                lo = lo.decode()
+                        pvals[pf["name"]] = lo
                 if pvals is None:
                     snaps.append(self.append(d, file_format=file_format))
                     continue
-                snaps.append(self.append(d, _staged=(path, n_rows, pvals)))
+                # pass file_format through: append() re-resolves fmt from
+                # the table default otherwise, and a parquet-staged file
+                # registered as the table's orc/avro default would corrupt
+                # the manifest (ADVICE r15 #1)
+                snaps.append(
+                    self.append(
+                        d,
+                        file_format=file_format,
+                        _staged=(path, n_rows, pvals),
+                    )
+                )
             return snaps
         finally:
             shutil.rmtree(stage, ignore_errors=True)

@@ -93,8 +93,15 @@ def morton_cluster_files(
     # tuple's staged files before they are adopted
     out_dir = tempfile.mkdtemp(prefix="zorder-clustered-", dir=stage_dir)
     (
+        # repartitionByRange, not repartition: hash-partitioning by the
+        # range index can COLLIDE distinct buckets into one task (several
+        # ranges then serialize in one task while others sit empty); range
+        # partitioning gives each bucket its own task, and equal keys
+        # always land in one partition so the one-file-per-range assert
+        # below still holds (ADVICE r15 #3). The sampling pass reads the
+        # persisted input.
         zdf.withColumn("_bucket", b_idx)
-        .repartition(len(edges) + 1, F.col("_bucket"))
+        .repartitionByRange(len(edges) + 1, F.col("_bucket"))
         .sortWithinPartitions("_bucket", "_zkey")
         .drop("_zkey")
         .write.partitionBy("_bucket")

@@ -194,7 +194,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     decoded = d.mapInPandas(_decode_batches, _DECODE_SCHEMA)
-    return decoded.mapInPandas(
+    # only the dims the resizer reads cross the second Python boundary
+    # (guide §4.1)
+    return decoded.select("doc_id", "width", "height").mapInPandas(
         _resize_batches, "doc_id long, width int, height int, out_w int, out_h int"
     )
 
@@ -252,7 +254,10 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     decoded = d.mapInPandas(_decode_batches, _DECODE_SCHEMA)
-    vecs = decoded.mapInPandas(_feature_batches, "doc_id long, features array<double>")
+    # only doc_id/n_bytes cross the second Python boundary (guide §4.1)
+    vecs = decoded.select("doc_id", "n_bytes").mapInPandas(
+        _feature_batches, "doc_id long, features array<double>"
+    )
     return vecs.select("doc_id", F.posexplode("features").alias("feature_idx", "feature"))
 
 
@@ -374,15 +379,24 @@ def multimodal_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you shard both modality tables by doc_id (bucketing removes
     even the join exchange) and the filter's selectivity prunes the
     training set before any expensive downstream tokenization."""
+    from .util import scoped_persist
+
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.lit("fake/txt").alias("media_format"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    decoded = d.mapInPandas(_decode_batches, _DECODE_SCHEMA)
-    imgf = decoded.mapInPandas(
-        _feature_batches, "doc_id long, features array<double>"
-    ).join(decoded.select("doc_id", "n_bytes"), "doc_id")
+    # scoped persist: ``decoded`` feeds BOTH the feature encoder and the
+    # n_bytes re-join — unshared diamond (guide §5), the decode Python
+    # stage would run twice per action otherwise
+    decoded = scoped_persist(d.mapInPandas(_decode_batches, _DECODE_SCHEMA))
+    # project to the two columns the encoder reads before the Python
+    # boundary (guide §4.1: mapInPandas ships every column it is given)
+    imgf = (
+        decoded.select("doc_id", "n_bytes")
+        .mapInPandas(_feature_batches, "doc_id long, features array<double>")
+        .join(decoded.select("doc_id", "n_bytes"), "doc_id")
+    )
     txt = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"),
         F.expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))").alias("t"),
@@ -500,7 +514,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", "text").unionAll(mutated).select(
         "doc_id", F.col("text").alias("payload")
     )
-    ph = d.mapInPandas(_phash_batches, "doc_id long, phash long")
+    # scoped persist: ``bands`` feeds BOTH sides of the band self-join, and
+    # Catalyst cannot share the pruned subtrees — without it the 63-md5
+    # Python phash stage (and the corpus scan under it) runs TWICE per
+    # action (the dedup_simhash_pairs diamond, guide §5)
+    from .util import scoped_persist
+
+    ph = scoped_persist(
+        d.mapInPandas(_phash_batches, "doc_id long, phash long")
+    )
     bands = ph.select(
         "doc_id",
         "phash",

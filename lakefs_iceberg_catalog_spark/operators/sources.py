@@ -245,8 +245,13 @@ def source_iceberg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     tmp = tempfile.mkdtemp(prefix="iceberg-rt-")
     w = IcebergTableWriter(spark, tmp)
-    w.append(n.filter(F.col("n_nationkey") < 12))   # snapshot 1
-    w.append(n.filter(F.col("n_nationkey") >= 12))  # snapshot 2 (current)
+    # snapshots 1 + 2 staged by one write job
+    w.append_many(
+        [
+            n.filter(F.col("n_nationkey") < 12),
+            n.filter(F.col("n_nationkey") >= 12),
+        ]
+    )
     back = scan_iceberg_table(spark, tmp).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -324,11 +329,13 @@ def source_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     tmp = tempfile.mkdtemp(prefix="iceberg-incr-")
     w = IcebergTableWriter(spark, tmp)
-    s1 = w.append(n.filter(F.col("n_nationkey") < 8))
-    s2 = w.append(
-        n.filter((F.col("n_nationkey") >= 8) & (F.col("n_nationkey") < 17))
+    s1, s2, _ = w.append_many(
+        [
+            n.filter(F.col("n_nationkey") < 8),
+            n.filter((F.col("n_nationkey") >= 8) & (F.col("n_nationkey") < 17)),
+            n.filter(F.col("n_nationkey") >= 17),
+        ]
     )
-    w.append(n.filter(F.col("n_nationkey") >= 17))
     # bounded range: only the middle append's rows
     assert scan_iceberg_incremental(spark, tmp, s1, s2).count() == 9
     back = scan_iceberg_incremental(spark, tmp, from_snapshot_id=s1).select(
@@ -653,8 +660,9 @@ def source_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-changelog-")
     w = IcebergTableWriter(spark, tmp)
-    v1 = w.append(n.filter("n_regionkey < 2"))
-    w.append(n.filter("n_regionkey >= 2"))
+    v1, _ = w.append_many(
+        [n.filter("n_regionkey < 2"), n.filter("n_regionkey >= 2")]
+    )
     w.delete_where_mor("n_nationkey in (2, 14)")
     src = n.filter("n_nationkey = 5").withColumn(
         "n_name", F.lit("UPDATED-5")
@@ -708,8 +716,9 @@ def source_iceberg_changelog_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-changelog-cow-")
     w = IcebergTableWriter(spark, tmp)
-    v1 = w.append(n.filter("n_regionkey < 2"))
-    w.append(n.filter("n_regionkey >= 2"))
+    v1, _ = w.append_many(
+        [n.filter("n_regionkey < 2"), n.filter("n_regionkey >= 2")]
+    )
     # keys 6 (region 1) and 7 (region 2) live in DIFFERENT files
     w.delete_where_cow("n_nationkey in (6, 7)")
     w.delete_where_mor("n_nationkey = 9")  # targets a rewritten file

@@ -594,8 +594,8 @@ def stream_source_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.create_namespace("repo.main.stream")
         t = "repo.main.stream.clicks"
         cat.create_table(t, "event_id bigint, user_id bigint, ts timestamp, value double")
-        for i in range(3):  # three append snapshots: v2, v3, v4
-            cat.append(t, e.filter(F.col("event_id") % 3 == i))
+        # three append snapshots (v2, v3, v4) staged by ONE write job
+        cat.append_many(t, [e.filter(F.col("event_id") % 3 == i) for i in range(3)])
         # replay each snapshot's delta, in commit order, as ONE spool file
         # per epoch (all staged by a single job — core.spool_frames)
         spool_frames(

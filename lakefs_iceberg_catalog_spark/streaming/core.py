@@ -128,7 +128,10 @@ def spool_frames(frames: list[DataFrame], spool: str, names: list[str]) -> None:
             )
             dest = os.path.join(spool, name)
             if len(parts) == 1:
-                os.replace(os.path.join(sdir, parts[0]), dest)
+                # shutil.move, not os.replace: survives stage and spool
+                # landing on different filesystems (EXDEV), like the
+                # sibling staged-write paths
+                shutil.move(os.path.join(sdir, parts[0]), dest)
             else:  # empty epoch
                 write_single_parquet(frames[i], dest)
             os.utime(dest, (base + i, base + i))

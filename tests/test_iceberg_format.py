@@ -3534,3 +3534,79 @@ def test_append_many_fallbacks(spark, tmp_path):
     assert sorted(map(tuple, scan_iceberg_table(spark, d2).collect())) == sorted(
         map(tuple, a.unionByName(b).collect())
     )
+
+
+def test_append_many_explicit_parquet_on_orc_default_table(spark, tmp_path):
+    """append_many(dfs, file_format='parquet') on a table whose DEFAULT
+    format is orc must register the staged parquet files AS parquet
+    (ADVICE r15 #1: the staged commit used to drop the file_format
+    argument, re-resolving to the table default — parquet bytes under an
+    .orc manifest entry, an unreadable table)."""
+    n = _nation(spark)
+    d = str(tmp_path / "orcdefault")
+    w = IcebergTableWriter(spark, d, file_format="orc")
+    snaps = w.append_many(
+        [
+            n.filter(F.col("n_regionkey") < 2),
+            n.filter(F.col("n_regionkey") >= 2),
+        ],
+        file_format="parquet",
+    )
+    assert len(snaps) == 2
+    files, _ = iceberg_snapshot_files(d)
+    assert files and all(f["file_format"] == "PARQUET" for f in files)
+    back = scan_iceberg_table(spark, d)
+    assert back.count() == n.count()
+    assert all(p.endswith(".parquet") for p in back.inputFiles())
+
+
+def test_append_many_string_identity_partitions_fast_path(spark, tmp_path, monkeypatch):
+    """String identity partitions batch through the staged fast path when
+    the footer PROVES the stats exact (VERDICT r15 #6) — previously they
+    always fell back to one probe+write job per slice. Equivalence is
+    pinned against a sequentially appended twin; the spy asserts the
+    staged path was actually taken (every commit adopted a staged file)."""
+    n = _nation(spark).withColumn(
+        "region_name", F.concat(F.lit("R"), F.col("n_regionkey"))
+    )
+    slices = [n.filter(F.col("n_regionkey") == rk) for rk in range(5)]
+
+    staged_flags: list[bool] = []
+    orig = IcebergTableWriter.append
+
+    def spy(self, df, file_format=None, **kw):
+        staged_flags.append(kw.get("_staged") is not None)
+        return orig(self, df, file_format=file_format, **kw)
+
+    monkeypatch.setattr(IcebergTableWriter, "append", spy)
+    d_many = str(tmp_path / "smany")
+    wm = IcebergTableWriter(spark, d_many, partition_by=["region_name"])
+    snaps = wm.append_many(slices)
+    assert len(snaps) == 5
+    assert staged_flags and all(staged_flags), staged_flags
+    monkeypatch.setattr(IcebergTableWriter, "append", orig)
+
+    d_seq = str(tmp_path / "sseq")
+    ws = IcebergTableWriter(spark, d_seq, partition_by=["region_name"])
+    for s in slices:
+        ws.append(s)
+    assert sorted(map(tuple, scan_iceberg_table(spark, d_many).collect())) == sorted(
+        map(tuple, scan_iceberg_table(spark, d_seq).collect())
+    )
+    # manifest partition values identical to the sequential twin's
+    fm, _ = iceberg_snapshot_files(d_many)
+    fs, _ = iceberg_snapshot_files(d_seq)
+    assert sorted(
+        (f["partition"] or {}).get("region_name") for f in fm
+    ) == sorted((f["partition"] or {}).get("region_name") for f in fs)
+    # partition pruning intact on the staged layout
+    pr = scan_iceberg_table(spark, d_many, partition_filter={"region_name": "R2"})
+    assert pr.count() == slices[2].count()
+    assert len(pr.inputFiles()) == 1
+    # a multi-valued string slice still RAISES via the per-slice fallback
+    import pytest as _pytest
+
+    d_bad = str(tmp_path / "sbad")
+    wb = IcebergTableWriter(spark, d_bad, partition_by=["region_name"])
+    with _pytest.raises(ValueError):
+        wb.append_many([slices[0], n])

@@ -33,7 +33,11 @@ def main() -> None:
     registry.load_all()
     spark = get_spark("plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r16"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         release_scoped()
