@@ -678,7 +678,11 @@ class DeltaTableWriter:
         try:
             u = None
             for i, d in enumerate(adds_per_version[start:]):
-                s = d.coalesce(1).withColumn("_slice", F.lit(i))
+                # coalesce only multi-partition slices — an all-coalesced
+                # union collapses to ONE task (see append_many); raw
+                # 1-partition slices keep their own parallel task
+                s = d if d.rdd.getNumPartitions() == 1 else d.coalesce(1)
+                s = s.withColumn("_slice", F.lit(i))
                 u = s if u is None else u.unionByName(s)
             u.write.partitionBy("_slice", *pcols).mode("overwrite").parquet(
                 stage

@@ -199,9 +199,17 @@ def write_hive_partitioned(
     tmp = tempfile.mkdtemp(prefix="hive-pq-", dir=dest_dir or None)
     out_dir = os.path.join(tmp, "out")
     try:
-        df.repartition(*pcols).write.partitionBy(*pcols).mode(
-            "overwrite"
-        ).parquet(out_dir)
+        # explicit task count: an implicit one lets AQE coalesce the small
+        # shuffle to ONE task and serialize every tuple's parquet encode
+        # behind it; defaultParallelism scales with the cluster, and the
+        # file set is unchanged (one file per tuple either way — each
+        # tuple still hashes to exactly one task)
+        from pyspark.sql import functions as F
+
+        n_tasks = df.sparkSession.sparkContext.defaultParallelism
+        df.repartition(n_tasks, *[F.col(c) for c in pcols]).write.partitionBy(
+            *pcols
+        ).mode("overwrite").parquet(out_dir)
         out: list[tuple[str, dict[str, str | None], int]] = []
         for part in sorted(
             glob.glob(

@@ -115,7 +115,11 @@ def spool_frames(frames: list[DataFrame], spool: str, names: list[str]) -> None:
     try:
         u = None
         for i, d in enumerate(frames):
-            s = d.coalesce(1).withColumn("_slice", F.lit(i))
+            # coalesce only multi-partition frames — an all-coalesced union
+            # collapses to ONE task (see append_many); raw 1-partition
+            # frames keep their own parallel task
+            s = d if d.rdd.getNumPartitions() == 1 else d.coalesce(1)
+            s = s.withColumn("_slice", F.lit(i))
             u = s if u is None else u.unionByName(s)
         u.write.partitionBy("_slice").mode("overwrite").parquet(stage)
         base = _time.time()
