@@ -4208,9 +4208,25 @@ class VersionedCatalog:
 
     def diff_equal(self, id_a: str | list[str], id_b: str | list[str]) -> bool:
         """Branch diff oracle: schema equality + order-insensitive row-set
-        equality via two-sided exceptAll (the reference's own oracle is
-        set(collect()) equality — test_iceberg.py:17-18)."""
+        equality via a tagged bag aggregate (the reference's own oracle is
+        set(collect()) equality — test_iceberg.py:17-18). ONE action — a
+        group's +1/−1 tag sum is 0 iff both sides carry it with the same
+        multiplicity, exactly the two-sided exceptAll emptiness it
+        replaces, at one exchange instead of two anti-join actions
+        (§1.2/§2.4)."""
         a, b = self.scan(id_a), self.scan(id_b)
         if [f.simpleString() for f in a.schema.fields] != [f.simpleString() for f in b.schema.fields]:
             return False
-        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+        cols = a.columns
+        s = "_s"
+        while s in cols:
+            s += "_"
+        tagged = a.withColumn(s, F.lit(1)).unionByName(
+            b.select(*cols).withColumn(s, F.lit(-1))
+        )
+        return (
+            tagged.groupBy(*cols)
+            .agg(F.sum(s).alias(s))
+            .filter(F.col(s) != 0)
+            .isEmpty()
+        )

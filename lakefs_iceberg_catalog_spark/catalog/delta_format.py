@@ -59,6 +59,13 @@ _DV_PROTOCOL_ACTION = {
 }
 
 
+# Marker row the MERGE cardinality check injects into the victim-file
+# probe union: "\x00" cannot start a real file path AND sorts before every
+# absolute path, so the check costs zero extra Spark actions and surfaces
+# as the sorted probe result's first element.
+_CARDINALITY_MARK = "\x00merge-cardinality-violation"
+
+
 def _commit_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _LOG_DIR, f"{version:020d}.json")
 
@@ -448,7 +455,6 @@ class DeltaTableWriter:
         pcols = getattr(self, "_partition_cols", [])
         phys = _physical_names_map(self._meta) if self._column_mapping else {}
         constraints = self._check_constraints()
-        _enforce = self._enforce_constraints
         pre_schema_string = (self._meta or {}).get("schemaString")
         id_cleanup: list[DataFrame] = []
 
@@ -458,19 +464,38 @@ class DeltaTableWriter:
             for name, expr in getattr(self, "_generated", {}).items():
                 if name not in df.columns:  # writer computes generated cols
                     df = df.withColumn(name, F.expr(expr))
-            if constraints:
-                _enforce(df)
+            # CHECK-constraint violations and the partitioned-write
+            # single-valuedness probe ride the data-file WRITE job as
+            # observed metrics instead of paying one Spark action each
+            # (§1.2 — per-action planning + AQE stage jobs dominate
+            # small-commit cost; the checked semantics are unchanged:
+            # same errors, same precedence, and a failing add's file is
+            # removed before raising so no orphan enters the table dir)
+            obs = None
+            c_items = sorted(constraints.items())
+            if c_items or pcols:
+                from pyspark.sql import Observation
+
+                metrics = []
+                for i, (_, cexpr) in enumerate(c_items):
+                    metrics.append(
+                        F.sum(
+                            F.when(
+                                ~F.coalesce(F.expr(cexpr), F.lit(False)), 1
+                            ).otherwise(0)
+                        ).alias(f"viol_{i}")
+                    )
+                metrics.append(F.count(F.lit(1)).alias("n"))
+                for i, c in enumerate(pcols):
+                    metrics += [
+                        F.min(F.col(c)).alias(f"mn_{i}"),
+                        F.max(F.col(c)).alias(f"mx_{i}"),
+                        F.count(F.col(c)).alias(f"ct_{i}"),
+                    ]
+                obs = Observation()
+                df = df.observe(obs, *metrics)
             pvals: dict[str, str | None] = {}
             if pcols:
-                from .parquet_io import distinct_singleton_row
-
-                vals = distinct_singleton_row(df.select(*pcols))
-                # protocol: under column mapping, partitionValues keys are
-                # the partition columns' PHYSICAL names
-                pvals = {
-                    phys.get(c, c): (None if v is None else str(v))
-                    for c, v in zip(pcols, vals)
-                }
                 df = df.drop(*pcols)  # spec: partition cols live in the log
             if phys:  # data files store columns under their PHYSICAL names
                 df = df.select(
@@ -493,6 +518,28 @@ class DeltaTableWriter:
             name = f"part-{self._version + 1:05d}-{uuid.uuid4()}.snappy.parquet"
             path = os.path.join(self.table_dir, name)
             n_rows = write_single_parquet(df, path)
+            if obs is not None:
+                m = obs.get
+                try:
+                    for i, (cname, cexpr) in enumerate(c_items):
+                        if m[f"viol_{i}"]:
+                            raise ValueError(
+                                f"rows violate CHECK constraint {cname!r} "
+                                f"({cexpr}) — commit refused"
+                            )
+                    if pcols:
+                        from .parquet_io import singleton_from_metrics
+
+                        vals = singleton_from_metrics(m, len(pcols))
+                        # protocol: under column mapping, partitionValues
+                        # keys are the partition columns' PHYSICAL names
+                        pvals = {
+                            phys.get(c, c): (None if v is None else str(v))
+                            for c, v in zip(pcols, vals)
+                        }
+                except ValueError:
+                    os.remove(path)
+                    raise
             actions.append(
                 {
                     "add": {
@@ -538,8 +585,26 @@ class DeltaTableWriter:
             for name, expr in getattr(self, "_generated", {}).items():
                 if name not in dfp.columns:
                     dfp = dfp.withColumn(name, F.expr(expr))
-            if constraints:
-                _enforce(dfp)
+            # constraint violations ride the partitionBy write job as
+            # observed metrics (same fold as the add_dfs loop above);
+            # on violation every written file is removed before raising
+            obs_p = None
+            cp_items = sorted(constraints.items())
+            if cp_items:
+                from pyspark.sql import Observation
+
+                obs_p = Observation()
+                dfp = dfp.observe(
+                    obs_p,
+                    *[
+                        F.sum(
+                            F.when(
+                                ~F.coalesce(F.expr(cexpr), F.lit(False)), 1
+                            ).otherwise(0)
+                        ).alias(f"viol_{i}")
+                        for i, (_, cexpr) in enumerate(cp_items)
+                    ],
+                )
             if phys:  # data columns under PHYSICAL names; pcols drive
                 # the partitionBy and never enter the files
                 dfp = dfp.select(
@@ -566,6 +631,16 @@ class DeltaTableWriter:
                 dfp, pcols, self.table_dir,
                 prefix=f"part-{self._version + 1:05d}",
             )
+            if obs_p is not None:
+                m = obs_p.get
+                for i, (cname, cexpr) in enumerate(cp_items):
+                    if m[f"viol_{i}"]:
+                        for name, _pv, _n in written:
+                            os.remove(os.path.join(self.table_dir, name))
+                        raise ValueError(
+                            f"rows violate CHECK constraint {cname!r} "
+                            f"({cexpr}) — commit refused"
+                        )
             for name, pvals, n_rows in written:
                 path = os.path.join(self.table_dir, name)
                 actions.append(
@@ -1921,24 +1996,27 @@ class DeltaTableWriter:
         ).startswith("delete")
         src = source_df.persist()
         try:
+            # ---- victim-file probe (per family, unioned, ONE collect) --
+            # stock's MERGE_CARDINALITY_VIOLATION check rides the SAME
+            # collect as a marker row (a path-impossible "_file" value)
+            # instead of paying its own take(1): under AQE every probe
+            # action costs several stage-materialization jobs, so folding
+            # the two probes halves the merge's probe job count (§1.2)
+            probes: list[DataFrame] = []
             if has_matched:
-                # stock's MERGE_CARDINALITY_VIOLATION (bounded probe)
                 dup = (
                     src.groupBy(*key_cols)
                     .count()
                     .filter(F.col("count") > 1)
                     .select(*key_cols)
                 )
-                if cur_files.join(
-                    gated_broadcast(dup), key_cols, "left_semi"
-                ).take(1):
-                    raise ValueError(
-                        "MERGE cardinality violation: a target row "
-                        "matches more than one source row"
-                    )
-            # ---- victim-file probe (per family, unioned, ONE collect) --
-            probes: list[DataFrame] = []
-            if has_matched:
+                # no limit(1): the probe union's distinct() collapses the
+                # marker rows, and a GlobalLimit would add an exchange
+                # stage of its own (measured +1 job under AQE)
+                probes.append(
+                    cur_files.join(gated_broadcast(dup), key_cols, "left_semi")
+                    .select(F.lit(_CARDINALITY_MARK).alias("_file"))
+                )
                 matched_j = cur_files.alias("t").join(
                     src.alias("s"), mc.key_equal(key_cols), "inner"
                 ).withColumn("__action", mc.action_column(clauses, "matched"))
@@ -1972,8 +2050,13 @@ class DeltaTableWriter:
                 probe = _ft.reduce(lambda a, b: a.unionByName(b), probes)
                 touched = sorted(
                     r["_file"]
-                    for r in bounded_rows(probe.distinct(), 100_000)
+                    for r in bounded_rows(probe.distinct(), 100_001)
                 )
+                if touched and touched[0] == _CARDINALITY_MARK:
+                    raise ValueError(
+                        "MERGE cardinality violation: a target row "
+                        "matches more than one source row"
+                    )
             abs_to_rel = {
                 os.path.join(self.table_dir, rel): rel
                 for rel in state["files"]
@@ -2222,23 +2305,24 @@ class DeltaTableWriter:
                 if cand_files
                 else empty.withColumn("_file", F.lit(""))
             )
+            probes: list[DataFrame] = []
             if has_matched:
                 # stock's MERGE_CARDINALITY_VIOLATION (bounded probe;
-                # matched rows can only live in the candidate files)
+                # matched rows can only live in the candidate files) —
+                # rides the victim-file collect as a marker row instead
+                # of its own take(1) action, same fold as the flat path
                 dup = (
                     src.groupBy(*key_cols)
                     .count()
                     .filter(F.col("count") > 1)
                     .select(*key_cols)
                 )
-                if cand_scan.join(
-                    gated_broadcast(dup), key_cols, "left_semi"
-                ).take(1):
-                    raise ValueError(
-                        "MERGE cardinality violation: a target row "
-                        "matches more than one source row"
-                    )
-            probes: list[DataFrame] = []
+                # no limit(1): the union's distinct() collapses the
+                # marker rows (a GlobalLimit adds its own exchange stage)
+                probes.append(
+                    cand_scan.join(gated_broadcast(dup), key_cols, "left_semi")
+                    .select(F.lit(_CARDINALITY_MARK).alias("_file"))
+                )
             if has_matched and cand_files:
                 matched_j = cand_scan.alias("t").join(
                     src.alias("s"), mc.key_equal(key_cols), "inner"
@@ -2274,8 +2358,13 @@ class DeltaTableWriter:
                 probe = _ft.reduce(lambda a, b: a.unionByName(b), probes)
                 touched = sorted(
                     r["_file"]
-                    for r in bounded_rows(probe.distinct(), 100_000)
+                    for r in bounded_rows(probe.distinct(), 100_001)
                 )
+                if touched and touched[0] == _CARDINALITY_MARK:
+                    raise ValueError(
+                        "MERGE cardinality violation: a target row "
+                        "matches more than one source row"
+                    )
             touched_rel = [path_to[p][0] for p in touched]
             survivors = pre = deleted = images = empty
             if touched:

@@ -854,18 +854,31 @@ class IcebergTableWriter:
             from .parquet_io import write_single_parquet
 
             pvals: dict = {}
+            part_obs = None
             if self._partition_fields and _staged is None:
-                from .parquet_io import distinct_singleton_row
-
                 # single-valuedness is checked on the TRANSFORMED values —
                 # e.g. one days(ts) append may span a whole day of timestamps
-                vals = distinct_singleton_row(
-                    df.select(
-                        *[self._transform_col(pf).alias(pf["name"])
-                          for pf in self._partition_fields]
-                    )
-                )
-                pvals = {pf["name"]: v for pf, v in zip(self._partition_fields, vals)}
+                texprs = [
+                    self._transform_col(pf).alias(pf["name"])
+                    for pf in self._partition_fields
+                ]
+                if fmt in ("parquet", "orc"):
+                    # the probe rides the data-file WRITE job as observed
+                    # metrics (§1.2 — one Spark action instead of two);
+                    # the avro writer runs through foreachPartition (no
+                    # SQL execution, metrics would never fire), so it
+                    # keeps the explicit bounded probe
+                    from .parquet_io import singleton_observation
+
+                    df, part_obs = singleton_observation(df, texprs)
+                else:
+                    from .parquet_io import distinct_singleton_row
+
+                    vals = distinct_singleton_row(df.select(*texprs))
+                    pvals = {
+                        pf["name"]: v
+                        for pf, v in zip(self._partition_fields, vals)
+                    }
 
             data_path = os.path.join(
                 self.data_dir,
@@ -887,6 +900,23 @@ class IcebergTableWriter:
                 n_rows = write_single_avro(df, data_path)
             else:
                 n_rows = write_single_parquet(df, data_path)
+            if part_obs is not None:
+                from .parquet_io import singleton_from_metrics
+
+                try:
+                    vals = singleton_from_metrics(
+                        part_obs.get, len(self._partition_fields)
+                    )
+                except ValueError:
+                    # same pre-write-probe contract: a multi-valued or
+                    # empty append leaves no data file behind (the commit
+                    # guard restores the writer state)
+                    os.remove(data_path)
+                    raise
+                pvals = {
+                    pf["name"]: v
+                    for pf, v in zip(self._partition_fields, vals)
+                }
 
             # -- manifest: the new file as ADDED; sequence numbers are LEFT
             #    NULL to exercise the spec's inheritance rule (readers take the
@@ -1627,7 +1657,7 @@ class IcebergTableWriter:
         unreferenced deletes-*.parquet in the data dir, reclaimed by
         remove_orphan_files (same contract as stock Iceberg's
         uncommitted-file orphans)."""
-        descs = self._stage_position_delete_files(matched, norm)
+        descs, _ = self._stage_position_delete_files(matched, norm)
         if not descs:
             return self._head_snapshot_id()
         # restore-on-failure for everything mutated on the way to
@@ -1640,15 +1670,30 @@ class IcebergTableWriter:
             return self._commit_snapshot(snapshot_id, "delete")
 
     def _stage_position_delete_files(
-        self, matched: DataFrame, norm: dict[str, str]
-    ) -> list:
+        self,
+        matched: DataFrame,
+        norm: dict[str, str],
+        cardinality_probe: DataFrame | None = None,
+        flag_probes: dict[str, DataFrame] | None = None,
+    ) -> tuple[list, set]:
         """Write the FILE-SCOPED position-delete parquets for a frame of
         matched (``_file`` normalized, ``_pos``) rows, executor-side: one
         shuffle groups ordinals per target data file, each group streams
-        its sorted delete parquet. Returns the bounded per-file
-        descriptor rows (file, path, rows) — pure file IO, no version
+        its sorted delete parquet. Returns ``(descs, flags)``: the bounded
+        per-file descriptor rows (file, path, rows) plus the names of
+        every non-empty ``flag_probes`` frame — pure file IO, no version
         bump and no manifest, so callers can no-op on an empty match or
-        compose the descriptors into a larger commit (MoR UPDATE)."""
+        compose the descriptors into a larger commit (MoR UPDATE).
+
+        ``cardinality_probe`` / ``flag_probes`` fold the MERGE paths'
+        existence probes (stock's cardinality violation, the
+        did-any-clause-write check) into THIS collect as limit(1) marker
+        branches ("\\x00"-prefixed names no real file can collide with)
+        instead of one take(1) action each (§1.2 — under AQE every probe
+        action costs several stage-materialization jobs). A non-empty
+        cardinality probe removes the just-staged delete files (the
+        pre-probe contract: a violating merge leaves nothing behind) and
+        raises."""
         import pandas as pd
 
         from ..operators.util import bounded_rows
@@ -1685,11 +1730,47 @@ class IcebergTableWriter:
                 {"file": [orig], "path": [del_path], "rows": [len(pos)]}
             )
 
-        return bounded_rows(
-            matched.groupBy("_file").applyInPandas(
-                _write_group, "file string, path string, rows long"
-            )
+        staged = matched.groupBy("_file").applyInPandas(
+            _write_group, "file string, path string, rows long"
         )
+        branches = [staged]
+
+        def _marker(frame: DataFrame, name: str) -> DataFrame:
+            return frame.limit(1).select(
+                F.lit(name).alias("file"),
+                F.lit("").alias("path"),
+                F.lit(0).cast("long").alias("rows"),
+            )
+
+        if cardinality_probe is not None:
+            branches.append(_marker(cardinality_probe, "\x00cardinality"))
+        for nm, fr in sorted((flag_probes or {}).items()):
+            branches.append(_marker(fr, f"\x00flag:{nm}"))
+        if len(branches) > 1:
+            import functools as _ft
+
+            rows = bounded_rows(
+                _ft.reduce(lambda a, b: a.unionByName(b), branches)
+            )
+        else:
+            rows = bounded_rows(staged)
+        descs = [r for r in rows if not r["file"].startswith("\x00")]
+        flags = {
+            r["file"][len("\x00flag:"):]
+            for r in rows
+            if r["file"].startswith("\x00flag:")
+        }
+        if any(r["file"] == "\x00cardinality" for r in rows):
+            for r in descs:  # violating merge leaves no staged files
+                try:
+                    os.remove(r["path"])
+                except OSError:
+                    pass
+            raise ValueError(
+                "MERGE cardinality violation: a target row matches "
+                "more than one source row"
+            )
+        return descs, flags
 
     def _append_position_delete_manifests(
         self, descs: list, data: list[dict], snapshot_id: int
@@ -2596,7 +2677,7 @@ class IcebergTableWriter:
             updated = matched.withColumns(
                 {c: F.expr(e) for c, e in assignments.items()}
             ).select(*want)
-            descs = self._stage_position_delete_files(
+            descs, _ = self._stage_position_delete_files(
                 matched.select("_file", "_pos"), _norm_path_map(data)
             )
             if not descs:
@@ -2664,27 +2745,24 @@ class IcebergTableWriter:
             # position-delete the target once and append BOTH source
             # rows, diverging from a stock-written history. Duplicate
             # source keys that match NO target row stay legal (each
-            # inserts, exactly stock's behavior). Bounded: dup keys are
-            # an aggregate, the probe is limit(1).
+            # inserts, exactly stock's behavior). Bounded — and folded
+            # into the delete-staging collect as a limit(1) marker branch
+            # instead of its own take(1) action (§1.2).
             dup_keys = (
                 src.groupBy(*key_cols)
                 .count()
                 .filter(F.col("count") > 1)
                 .select(*key_cols)
             )
-            if visible.join(
-                gated_broadcast(dup_keys), key_cols, "left_semi"
-            ).take(1):
-                raise ValueError(
-                    "MERGE cardinality violation: a target row matches "
-                    "more than one source row (stock Spark raises "
-                    "MERGE_CARDINALITY_VIOLATION here)"
-                )
             matched = visible.join(
                 gated_broadcast(keys), key_cols, "left_semi"
             )
-            descs = self._stage_position_delete_files(
-                matched.select("_file", "_pos"), _norm_path_map(data)
+            descs, _ = self._stage_position_delete_files(
+                matched.select("_file", "_pos"),
+                _norm_path_map(data),
+                cardinality_probe=visible.join(
+                    gated_broadcast(dup_keys), key_cols, "left_semi"
+                ),
             )
             # shared _commit_guard discipline (see update_where_mor)
             with self._commit_guard():
@@ -2769,21 +2847,20 @@ class IcebergTableWriter:
             F.col("t.`_file`").alias("_file"), F.col("t.`_pos`").alias("_pos")
         )
         try:
+            card_probe = None
             if any(c.when == "matched" for c in clauses):
-                # stock's MERGE_CARDINALITY_VIOLATION (bounded probe)
+                # stock's MERGE_CARDINALITY_VIOLATION — rides the
+                # delete-staging collect as a marker branch instead of
+                # paying its own take(1) action (§1.2)
                 dup = (
                     src.groupBy(*key_cols)
                     .count()
                     .filter(F.col("count") > 1)
                     .select(*key_cols)
                 )
-                if visible.join(
+                card_probe = visible.join(
                     gated_broadcast(dup), key_cols, "left_semi"
-                ).take(1):
-                    raise ValueError(
-                        "MERGE cardinality violation: a target row "
-                        "matches more than one source row"
-                    )
+                )
             t, s = visible.alias("t"), src.alias("s")
             matched = t.join(s, mc.key_equal(key_cols), "inner").withColumn(
                 "__action", mc.action_column(clauses, "matched")
@@ -2835,9 +2912,6 @@ class IcebergTableWriter:
                         s_only, clauses, fields, "insert", "not_matched"
                     )
                 )
-            descs = self._stage_position_delete_files(
-                victims, _norm_path_map(data)
-            )
             new_rows = None
             if writes:
                 import functools as _ft
@@ -2846,7 +2920,20 @@ class IcebergTableWriter:
                     lambda a, b: a.unionByName(b), writes
                 ).persist()
             try:
-                has_new = new_rows is not None and bool(new_rows.take(1))
+                # ONE collect stages the position deletes AND answers
+                # both existence probes (cardinality, did-any-clause-
+                # write) via marker branches — was three actions (§1.2)
+                descs, flags = self._stage_position_delete_files(
+                    victims,
+                    _norm_path_map(data),
+                    cardinality_probe=card_probe,
+                    flag_probes=(
+                        {"has_new": new_rows}
+                        if new_rows is not None
+                        else None
+                    ),
+                )
+                has_new = "has_new" in flags
                 if not descs and not has_new:
                     return self._head_snapshot_id()  # no clause fired
                 with self._commit_guard():

@@ -35,6 +35,53 @@ def distinct_singleton_row(df: DataFrame) -> tuple:
     return tuple(rows[0])
 
 
+def singleton_observation(df: DataFrame, exprs: list):
+    """Attach an Observation computing the single-distinct-row check of
+    ``distinct_singleton_row`` as metrics that ride the NEXT action on
+    ``df`` (the data-file write) instead of paying their own Spark job:
+    per partition expression, min/max/non-null-count — a column is
+    single-valued iff it is all-null or all-one-non-null-value, and a row
+    of single-valued columns is the single distinct row. Returns
+    ``(df_with_observe, observation)``; decode with
+    ``singleton_from_metrics`` after the action ran."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    metrics = [F.count(F.lit(1)).alias("n")]
+    for i, e in enumerate(exprs):
+        metrics += [
+            F.min(e).alias(f"mn_{i}"),
+            F.max(e).alias(f"mx_{i}"),
+            F.count(e).alias(f"ct_{i}"),
+        ]
+    return df.observe(obs, *metrics), obs
+
+
+def singleton_from_metrics(m: dict, n_cols: int) -> tuple:
+    """Decode ``singleton_observation`` metrics into the single distinct
+    partition-value row, raising exactly like ``distinct_singleton_row``
+    when the frame was empty or multi-valued."""
+    n = m["n"]
+    if n == 0:
+        raise ValueError(
+            "expected exactly one distinct partition-value row, got none"
+        )
+    vals = []
+    for i in range(n_cols):
+        ct, mn, mx = m[f"ct_{i}"], m[f"mn_{i}"], m[f"mx_{i}"]
+        if ct == 0:
+            vals.append(None)  # all-null column: the one distinct value
+        elif ct == n and mn == mx:
+            vals.append(mn)
+        else:  # mixed nulls/values or min!=max: several distinct rows
+            raise ValueError(
+                "expected exactly one distinct partition-value row, "
+                "got several"
+            )
+    return tuple(vals)
+
+
 def write_single_parquet(df: DataFrame, dest_path: str) -> int:
     """Write ``df`` as exactly one parquet file at ``dest_path``; returns
     the row count (read from the footer, no data pass)."""

@@ -1029,8 +1029,12 @@ def maint_iceberg_rewrite_deletes_mixed(
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-rewritedel-mixed-")
     w = IcebergTableWriter(spark, tmp)
-    w.append(n.filter("n_nationkey < 10").orderBy("n_nationkey"))
-    w.append(n.filter("n_nationkey >= 10").orderBy("n_nationkey"))
+    w.append_many(  # both appends staged in ONE write job
+        [
+            n.filter("n_nationkey < 10").orderBy("n_nationkey"),
+            n.filter("n_nationkey >= 10").orderBy("n_nationkey"),
+        ]
+    )
     files, _ = iceberg_snapshot_files(tmp)
     low = next(f for f in files if f["record_count"] == 10)
     # ONE snapshot, ONE manifest, BOTH delete flavors — the external-
@@ -1171,8 +1175,12 @@ def source_iceberg_entries_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     tmp = tempfile.mkdtemp(prefix="iceberg-entries-")
     w = IcebergTableWriter(spark, tmp)
-    w.append(n.filter("n_nationkey < 12").orderBy("n_nationkey"))
-    w.append(n.filter("n_nationkey >= 12"))
+    w.append_many(  # both appends staged in ONE write job
+        [
+            n.filter("n_nationkey < 12").orderBy("n_nationkey"),
+            n.filter("n_nationkey >= 12"),
+        ]
+    )
     w.delete_where_cow("n_nationkey = 3")  # rewrites manifest 1
     w.delete_where_mor("n_nationkey = 20")  # content=1 ADDED entry
     back = iceberg_metadata_table(spark, tmp, "entries").select(
@@ -1519,8 +1527,8 @@ def source_iceberg_snapshots_table(spark: SparkSession, sf_dir: str) -> DataFram
     n = table(spark, sf_dir, "nation")
     tmp = tempfile.mkdtemp(prefix="iceberg-snaps-")
     w = IcebergTableWriter(spark, tmp)
-    w.append(n.filter("n_nationkey < 12"))
-    w.append(n.filter("n_nationkey >= 12"))
+    # both appends staged in ONE write job
+    w.append_many([n.filter("n_nationkey < 12"), n.filter("n_nationkey >= 12")])
     w.rewrite_data()
     from .util import bounded_rows
 
@@ -2524,8 +2532,10 @@ def source_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name")
     tmp = tempfile.mkdtemp(prefix="delta-history-")
     w = DeltaTableWriter(spark, tmp)
-    w.commit(add_dfs=[n.filter("n_nationkey < 12").orderBy("n_nationkey")])
-    w.commit(add_dfs=[n.filter("n_nationkey >= 12")])
+    w.commit_many(  # both commits staged in ONE write job
+        [n.filter("n_nationkey < 12").orderBy("n_nationkey"),
+         n.filter("n_nationkey >= 12")]
+    )
     w.delete_where_dv("n_nationkey = 3")
     w.optimize()
     w.restore(2)
@@ -2669,8 +2679,8 @@ def maint_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     tmp = tempfile.mkdtemp(prefix="delta-restore-")
     w = DeltaTableWriter(spark, tmp)
-    w.commit(add_dfs=[n.filter("n_nationkey < 12")])
-    w.commit(add_dfs=[n.filter("n_nationkey >= 12")])
+    # both commits staged in ONE write job
+    w.commit_many([n.filter("n_nationkey < 12"), n.filter("n_nationkey >= 12")])
     v0_files = [
         _json.loads(line)["add"]["path"]
         for line in open(_commit_path(tmp, 0)).read().splitlines()
@@ -2711,8 +2721,10 @@ def maint_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     tmp = tempfile.mkdtemp(prefix="iceberg-rollback-")
     w = IcebergTableWriter(spark, tmp)
-    s1 = w.append(n.filter("n_nationkey < 12"))
-    w.append(n.filter("n_nationkey >= 12"))
+    # both appends staged in ONE write job
+    s1 = w.append_many(
+        [n.filter("n_nationkey < 12"), n.filter("n_nationkey >= 12")]
+    )[0]
     assert scan_iceberg_table(spark, tmp).count() == n.count()
     w.rollback_to_snapshot(s1)
     md = read_table_metadata(tmp)

@@ -682,18 +682,36 @@ def stream_source_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # three append commits (versions 0, 1, 2) staged in one job
         w.commit_many([e.filter(F.col("event_id") % 3 == i) for i in range(3)])
         deltas = []
+        # the pure-inserts invariant rides the ONE spool write job as
+        # observed metrics instead of paying a count action per version
+        # (§1.2); the checked semantics are identical — same assert,
+        # evaluated once the spool job (which scans every change row)
+        # has run
+        from pyspark.sql import Observation
+
+        insert_checks: list[Observation] = []
         for v in range(3):
             if v == 0:
                 delta = scan_delta_table(spark, root, version=0)
             else:
                 changes = delta_table_changes(spark, root, v - 1, v)
-                assert (
-                    changes.filter(F.col("_change_type") != "insert").limit(1).count()
-                    == 0
-                ), "append-only history must replay as pure inserts"
+                o = Observation()
+                changes = changes.observe(
+                    o,
+                    F.sum(
+                        F.when(
+                            F.col("_change_type") != "insert", 1
+                        ).otherwise(0)
+                    ).alias("non_insert"),
+                )
+                insert_checks.append(o)
                 delta = changes.drop("_change_type")
             deltas.append(delta)
         spool_frames(deltas, spool, [f"epoch-{v}.parquet" for v in range(3)])
+        for o in insert_checks:
+            assert not (
+                o.get["non_insert"] or 0
+            ), "append-only history must replay as pure inserts"
         s = (
             spark.readStream.schema(
                 "event_id bigint, user_id bigint, ts timestamp, value double"
@@ -1013,9 +1031,11 @@ def stream_cdc_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         w = IcebergTableWriter(spark, root)
-        v1 = w.append(n.filter("n_regionkey < 2"))
-        snaps = [v1]
-        snaps.append(w.append(n.filter("n_regionkey >= 2")))
+        # both append snapshots staged in ONE write job (append_many)
+        snaps = w.append_many(
+            [n.filter("n_regionkey < 2"), n.filter("n_regionkey >= 2")]
+        )
+        v1 = snaps[0]
         snaps.append(w.delete_where_mor("n_nationkey in (2, 14)"))
         src = n.filter("n_nationkey = 5").withColumn(
             "n_name", F.lit("UPDATED-5")
@@ -1130,8 +1150,10 @@ def stream_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_dir = tempfile.mkdtemp(prefix="delta-cdcsink-")
     try:
         w = DeltaTableWriter(spark, root)
-        versions = [w.commit(add_dfs=[n.filter("n_regionkey < 2")])]
-        versions.append(w.commit(add_dfs=[n.filter("n_regionkey >= 2")]))
+        # both append versions staged in ONE write job (commit_many)
+        versions = w.commit_many(
+            [n.filter("n_regionkey < 2"), n.filter("n_regionkey >= 2")]
+        )
         versions.append(w.delete_where_dv("n_nationkey in (2, 14)"))
         src = n.filter("n_nationkey = 5").withColumn(
             "n_name", F.lit("UPDATED-5")
@@ -1292,17 +1314,42 @@ def stream_source_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             scan_iceberg_incremental(spark, iroot, snaps[i - 1], snaps[i])
             for i in range(1, 6)
         ]
+        def bag_stats(acc, tbl) -> tuple[int, int]:
+            """ONE aggregate action returning (acc row count, bag-mismatch
+            group count): the exactly-once probe (accumulated ≡ table as a
+            BAG) and the output's row count share a single two-level
+            aggregate instead of an exceptAll-both-ways probe action plus
+            a count action (§1.2). Bag semantics match the exceptAll pair:
+            a row group's +1/−1 tag sum is 0 iff both sides carry it with
+            the same multiplicity (NULLs/NaNs group as set ops treat
+            them)."""
+            cols = acc.columns
+            tagged = acc.withColumn("_s", F.lit(1)).unionByName(
+                tbl.select(*cols).withColumn("_s", F.lit(-1))
+            )
+            g = tagged.groupBy(*cols).agg(
+                F.sum("_s").alias("_d"),
+                F.sum(
+                    F.when(F.col("_s") == 1, 1).otherwise(0)
+                ).alias("_n1"),
+            )
+            r = bounded_rows(
+                g.select(
+                    F.coalesce(F.sum("_n1"), F.lit(0)).alias("n_acc"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("_d") != 0, 1).otherwise(0)),
+                        F.lit(0),
+                    ).alias("bad"),
+                )
+            )[0]
+            return int(r["n_acc"]), int(r["bad"])
+
         spool_epochs(ideltas, ispool)
         iacc, in_batches, iterm = drain(ispool, 2, isink)
         assert in_batches == 3, f"6 commits / 2 per trigger != {in_batches}"
         # exactly-once across the batched catch-up: accumulated == table
-        assert (
-            iacc.exceptAll(scan_iceberg_table(spark, iroot))
-            .unionAll(scan_iceberg_table(spark, iroot).exceptAll(iacc))
-            .limit(1)
-            .count()
-            == 0
-        )
+        in_rows, ibad = bag_stats(iacc, scan_iceberg_table(spark, iroot))
+        assert ibad == 0
 
         # ---- Delta: 6-commit backlog, 3 commits per batch ----
         droot = tempfile.mkdtemp(prefix="delta-ratelimit-")
@@ -1318,18 +1365,13 @@ def stream_source_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spool_epochs(ddeltas, dspool)
         dacc, dn_batches, dterm = drain(dspool, 3, dsink)
         assert dn_batches == 2, f"6 commits / 3 per trigger != {dn_batches}"
-        assert (
-            dacc.exceptAll(scan_delta_table(spark, droot))
-            .unionAll(scan_delta_table(spark, droot).exceptAll(dacc))
-            .limit(1)
-            .count()
-            == 0
-        )
+        dn_rows, dbad = bag_stats(dacc, scan_delta_table(spark, droot))
+        assert dbad == 0
 
         out = local_df(spark,
             [
-                ("iceberg", iacc.count(), 3, bool(iterm)),
-                ("delta", dacc.count(), 2, bool(dterm)),
+                ("iceberg", in_rows, 3, bool(iterm)),
+                ("delta", dn_rows, 2, bool(dterm)),
             ],
             "fmt string, n_rows bigint, n_batches int, terminated boolean",
         )

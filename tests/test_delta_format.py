@@ -2255,3 +2255,68 @@ def test_commit_many_matches_sequential_commits(spark, tmp_path):
         map(tuple, slices[0].unionByName(slices[1]).unionByName(slices[2])
             .unionByName(slices[3]).collect())
     )
+
+
+def test_write_riding_probes_match_pre_write_semantics(spark, tmp_path):
+    """Round 16: the CHECK-constraint and partitioned single-valuedness
+    probes ride the data-file write job as observed metrics instead of
+    paying their own Spark actions. The checked semantics must be
+    unchanged: same errors, and a refused add leaves NO orphan part file
+    in the table dir."""
+    from pyspark.sql import functions as F
+
+    n = _nation(spark)
+
+    # (a) mixed-partition add refused ("several"), no orphan file
+    d1 = str(tmp_path / "mixed")
+    w1 = DeltaTableWriter(spark, d1)
+    with pytest.raises(ValueError, match="got several"):
+        w1.commit(add_dfs=[n], partition_cols=["n_regionkey"])
+    assert not [p for p in os.listdir(d1) if p.endswith(".parquet")]
+
+    # (b) mixed NULL/value partition column is also "several" (the old
+    # limit(2)-distinct probe caught this; min==max alone would not)
+    d2 = str(tmp_path / "nullmix")
+    w2 = DeltaTableWriter(spark, d2)
+    mixed = n.withColumn(
+        "n_regionkey",
+        F.when(F.col("n_nationkey") < 5, F.col("n_regionkey")).cast("int"),
+    ).where("n_nationkey < 10")
+    with pytest.raises(ValueError, match="got several"):
+        w2.commit(add_dfs=[mixed], partition_cols=["n_regionkey"])
+
+    # (c) all-NULL partition value commits with a NULL partitionValues
+    # entry and scans back with the NULL re-injected
+    d3 = str(tmp_path / "allnull")
+    w3 = DeltaTableWriter(spark, d3)
+    allnull = n.where("n_nationkey < 3").withColumn(
+        "n_regionkey", F.lit(None).cast("int")
+    )
+    w3.commit(add_dfs=[allnull], partition_cols=["n_regionkey"])
+    state = read_delta_log(d3)
+    (add,) = state["files"].values()
+    assert add["partitionValues"] == {"n_regionkey": None}
+    back = scan_delta_table(spark, d3)
+    assert back.count() == 3
+    assert back.where("n_regionkey IS NULL").count() == 3
+
+    # (d) empty partitioned add refused ("none"), no orphan file
+    d4 = str(tmp_path / "empty")
+    w4 = DeltaTableWriter(spark, d4)
+    with pytest.raises(ValueError, match="got none"):
+        w4.commit(add_dfs=[n.where("1=0")], partition_cols=["n_regionkey"])
+    assert not [p for p in os.listdir(d4) if p.endswith(".parquet")]
+
+    # (e) constraint violation refused on a later commit, file removed
+    d5 = str(tmp_path / "constraint")
+    w5 = DeltaTableWriter(spark, d5)
+    w5.commit(add_dfs=[n.where("n_nationkey < 5")])
+    w5.add_check_constraint("lowkeys", "n_nationkey < 10")
+    files_before = sorted(
+        p for p in os.listdir(d5) if p.endswith(".parquet")
+    )
+    with pytest.raises(ValueError, match="CHECK constraint 'lowkeys'"):
+        w5.commit(add_dfs=[n.where("n_nationkey >= 10")])
+    assert files_before == sorted(
+        p for p in os.listdir(d5) if p.endswith(".parquet")
+    )
