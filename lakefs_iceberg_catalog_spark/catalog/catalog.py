@@ -1837,7 +1837,15 @@ class VersionedCatalog:
             ddir = os.path.join(table_dir, "data", "deletes")
             os.makedirs(ddir, exist_ok=True)
             staging = os.path.join(table_dir, f".staging-del-{_uuid.uuid4().hex}")
-            matches.write.mode("overwrite").parquet(staging)
+            # covered data files ride the delete-file WRITE job as an
+            # observed collect_set — O(files) values, no re-read action
+            # over the just-written staging dir (§1.2)
+            from pyspark.sql import Observation
+
+            cov_obs = Observation()
+            matches.observe(
+                cov_obs, F.collect_set("file_path").alias("covered")
+            ).write.mode("overwrite").parquet(staging)
             stamp = _uuid.uuid4().hex[:12]
             new_rel, i = [], 0
             for dirpath, _, filenames in sorted(os.walk(staging)):
@@ -1854,15 +1862,7 @@ class VersionedCatalog:
             shutil.rmtree(staging)
             if not new_rel:
                 return  # predicate matched nothing — no commit needed
-            abs_new = [os.path.join(self._repo_dir(levels[0]), r) for r in new_rel]
-            # covered data files: O(files) driver-side metadata, not O(rows)
-            covered = [
-                r["file_path"]
-                for r in self.spark.read.parquet(*abs_new)
-                .select("file_path")
-                .distinct()
-                .collect()
-            ]
+            covered = sorted(cov_obs.get["covered"])
             for _ in range(10):
                 pos_map = {f: list(v) for f, v in base.position_deletes.items()}
                 stale = [f for f in covered if f not in base.files]

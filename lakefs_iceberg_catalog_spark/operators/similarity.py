@@ -42,6 +42,28 @@ def _dot(a, b):
     )
 
 
+def _ranked_unique(sims):
+    """Candidate-pair dedup + per-query rank in ONE shuffle (§2.4): under
+    the rank window's ordering (cos DESC, neighbor_id) duplicate pairs —
+    the same (query, neighbor) surfacing from several LSH tables or
+    probes, with bit-identical cosine — sort ADJACENT, so a lag() check
+    inside the SAME window partitioning replaces the dropDuplicates hash
+    aggregate and its separate exchange. The second window reuses the
+    first's partitioning and sort (no exchange, no re-sort); ``rnk``
+    comes out exactly as dropDuplicates → row_number did."""
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn(
+            "_dup", F.col("neighbor_id") == F.lag("neighbor_id").over(w)
+        )
+        .filter(~F.coalesce(F.col("_dup"), F.lit(False)))
+        .drop("_dup")
+        .withColumn("rnk", F.row_number().over(w))
+    )
+
+
 def _sqnorm(a):
     return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
 
@@ -288,12 +310,11 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])  # union over tables
     )
-    sims = pairs
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    # union over tables/probes deduped INSIDE the rank window — one
+    # shuffle where dropDuplicates + row_number paid two (_ranked_unique)
     return (
-        sims.withColumn("rnk", F.row_number().over(w))
+        _ranked_unique(pairs)
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "rnk", dround("cos", 6).alias("cosine"))
     )
@@ -402,12 +423,11 @@ def similarity_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])  # union over tables+probes
     )
-    sims = pairs
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    # union over tables/probes deduped INSIDE the rank window — one
+    # shuffle where dropDuplicates + row_number paid two (_ranked_unique)
     return (
-        sims.withColumn("rnk", F.row_number().over(w))
+        _ranked_unique(pairs)
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "rnk", dround("cos", 6).alias("cosine"))
     )
@@ -653,12 +673,11 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sims = pairs
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    # union over tables/probes deduped INSIDE the rank window — one
+    # shuffle where dropDuplicates + row_number paid two (_ranked_unique)
     return (
-        sims.withColumn("rnk", F.row_number().over(w))
+        _ranked_unique(pairs)
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "rnk", dround("cos", 6).alias("cosine"))
     )
@@ -1556,11 +1575,10 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("q_nrm") * F.col("c_nrm"))
             ).alias("cos"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])  # union over tables
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    # union over tables deduped INSIDE the rank window (_ranked_unique)
     return (
-        sims.withColumn("rnk", F.row_number().over(w))
+        _ranked_unique(sims)
         .filter(F.col("rnk") <= _KNN_K)
         .select("query_id", "neighbor_id", "rnk", dround("cos", 6).alias("cosine"))
     )

@@ -486,8 +486,9 @@ def source_iceberg_transform_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(days) >= 2, "fixture window must span multiple days"
     tmp = tempfile.mkdtemp(prefix="iceberg-hiddenmor-")
     w = IcebergTableWriter(spark, tmp, partition_by=["days(o_orderdate)"])
-    for day in days:
-        w.append(o.filter(F.col("o_orderdate") == day))
+    # one staged write job for all per-day appends (footer-derived
+    # day-transform tuples — append_many round 16)
+    w.append_many([o.filter(F.col("o_orderdate") == day) for day in days])
     # cross-day MoR delete: cheap orders die in every touched partition
     w.delete_where_mor("o_totalprice < 100000")
     data, dels = iceberg_snapshot_files(tmp)
@@ -1391,8 +1392,9 @@ def source_iceberg_transform_partitioned(
     assert len(days) >= 2, "fixture window must span multiple days"
     tmp = tempfile.mkdtemp(prefix="iceberg-hidden-")
     w = IcebergTableWriter(spark, tmp, partition_by=["days(o_orderdate)"])
-    for day in days:
-        w.append(o.filter(F.col("o_orderdate") == day))
+    # one staged write job for all per-day appends (footer-derived
+    # day-transform tuples — append_many round 16)
+    w.append_many([o.filter(F.col("o_orderdate") == day) for day in days])
     pruned = scan_iceberg_table(spark, tmp, hidden_filter={"o_orderdate": days[-1]})
     assert len(pruned.inputFiles()) == 1  # 1 of len(days) — hidden pruning
     back = pruned.select(
@@ -1442,8 +1444,9 @@ def source_iceberg_month_partitioned(
     )
     tmp = tempfile.mkdtemp(prefix="iceberg-monthly-")
     w = IcebergTableWriter(spark, tmp, partition_by=["months(o_orderdate)"])
-    for m in (1, 2, 3, 4):  # one append per month, a real writer's tuples
-        w.append(o.filter(F.month("o_orderdate") == m))
+    # one append per month, a real writer's tuples — all four staged in
+    # ONE write job (footer-derived month-transform tuples, round 16)
+    w.append_many([o.filter(F.month("o_orderdate") == m) for m in (1, 2, 3, 4)])
     spec = read_table_metadata(tmp)["partition-specs"][0]["fields"][0]
     assert spec["transform"] == "month" and spec["name"] == "o_orderdate_month"
     months = sorted(

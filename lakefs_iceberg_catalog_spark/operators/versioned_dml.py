@@ -16,11 +16,28 @@ from .util import bounded_rows, local_df, materialize_bounded
 
 
 def _same_rows(a: DataFrame, b: DataFrame) -> bool:
-    """Multiset row equality as ONE executor-side symmetric difference —
+    """Multiset row equality as ONE executor-side tagged bag aggregate —
     the invariance assertions ('compact keeps the visible rows') without
-    collecting either side to the driver (VERDICT r10 #8: the bounded
-    isEmpty probe replaces paired full collects)."""
-    return a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty()
+    collecting either side to the driver (VERDICT r10 #8). A row group's
+    +1/−1 tag sum is 0 iff both sides carry it with the same
+    multiplicity — the same verdict as the previous two-sided exceptAll
+    at ONE hash exchange instead of two anti-join passes per side
+    (§1.2/§2.4; NULLs/NaNs group exactly as the set ops treat them)."""
+    from pyspark.sql import functions as F
+
+    cols = a.columns
+    s = "_s"
+    while s in cols:
+        s += "_"
+    tagged = a.withColumn(s, F.lit(1)).unionByName(
+        b.select(*cols).withColumn(s, F.lit(-1))
+    )
+    return (
+        tagged.groupBy(*cols)
+        .agg(F.sum(s).alias(s))
+        .filter(F.col(s) != 0)
+        .isEmpty()
+    )
 
 
 @register(

@@ -3610,3 +3610,67 @@ def test_append_many_string_identity_partitions_fast_path(spark, tmp_path, monke
     wb = IcebergTableWriter(spark, d_bad, partition_by=["region_name"])
     with _pytest.raises(ValueError):
         wb.append_many([slices[0], n])
+
+
+def test_append_many_temporal_transform_fast_path(spark, tmp_path, monkeypatch):
+    """Round 16: day/month/year transforms over DATE columns batch through
+    the staged fast path — the transform is monotone, so exact footer
+    min/max endpoints agreeing AFTER the transform proves the slice
+    single-tupled even when the raw dates differ (a whole month per
+    slice). Twin-pinned against sequential appends; the spy asserts the
+    staged path was taken; a cross-month slice still raises via the
+    per-slice fallback probe."""
+    from lakefs_iceberg_catalog_spark.tables import table as _tbl
+
+    from .conftest import SF_DIR
+
+    o = (
+        _tbl(spark, SF_DIR, "orders")
+        .filter("o_orderdate between '1995-01-01' and '1995-04-30'")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    slices = [o.filter(F.month("o_orderdate") == m) for m in (1, 2, 3, 4)]
+
+    staged_flags: list[bool] = []
+    orig = IcebergTableWriter.append
+
+    def spy(self, df, file_format=None, **kw):
+        staged_flags.append(kw.get("_staged") is not None)
+        return orig(self, df, file_format=file_format, **kw)
+
+    monkeypatch.setattr(IcebergTableWriter, "append", spy)
+    d_many = str(tmp_path / "tmany")
+    wm = IcebergTableWriter(spark, d_many, partition_by=["months(o_orderdate)"])
+    snaps = wm.append_many(slices)
+    assert len(snaps) == 4
+    assert staged_flags and all(staged_flags), staged_flags
+    monkeypatch.setattr(IcebergTableWriter, "append", orig)
+
+    d_seq = str(tmp_path / "tseq")
+    ws = IcebergTableWriter(spark, d_seq, partition_by=["months(o_orderdate)"])
+    for s in slices:
+        ws.append(s)
+    fm, _ = iceberg_snapshot_files(d_many)
+    fs, _ = iceberg_snapshot_files(d_seq)
+    # transformed manifest tuples identical to the sequential twin's
+    assert sorted(
+        (f["partition"] or {}).get("o_orderdate_month") for f in fm
+    ) == sorted((f["partition"] or {}).get("o_orderdate_month") for f in fs)
+    assert sorted(map(tuple, scan_iceberg_table(spark, d_many).collect())) == sorted(
+        map(tuple, scan_iceberg_table(spark, d_seq).collect())
+    )
+    # hidden partition pruning intact on the staged layout
+    import datetime as _dt
+
+    pruned = scan_iceberg_table(
+        spark, d_many,
+        hidden_filter={"o_orderdate": _dt.datetime(1995, 3, 15)},
+    )
+    assert len(pruned.inputFiles()) == 1
+    # a cross-month slice is NOT single-tupled: per-slice fallback raises
+    import pytest as _pytest
+
+    d_bad = str(tmp_path / "tbad")
+    wb = IcebergTableWriter(spark, d_bad, partition_by=["months(o_orderdate)"])
+    with _pytest.raises(ValueError, match="one distinct partition-value"):
+        wb.append_many([slices[0], o])
