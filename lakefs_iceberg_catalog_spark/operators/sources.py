@@ -3140,8 +3140,10 @@ def source_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     tmp = tempfile.mkdtemp(prefix="delta-rt-")
     w = DeltaTableWriter(spark, tmp)
-    w.commit(add_dfs=[n.filter(F.col("n_nationkey") < 12)])
-    w.commit(add_dfs=[n.filter(F.col("n_nationkey") >= 12)])
+    # both commits staged in ONE write job
+    w.commit_many(
+        [n.filter(F.col("n_nationkey") < 12), n.filter(F.col("n_nationkey") >= 12)]
+    )
     # files added at version 0 (the low nations) get removed at version 2
     import json as _json
     import os as _os
@@ -3187,7 +3189,11 @@ def source_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     tmp = tempfile.mkdtemp(prefix="delta-cp-")
     w = DeltaTableWriter(spark, tmp)
-    w.commit(add_dfs=[n.filter(F.col("n_nationkey") < 12)])
+    # both add commits staged in ONE write job; v0's add paths read from
+    # the already-written v0 log afterwards (same bytes either order)
+    w.commit_many(
+        [n.filter(F.col("n_nationkey") < 12), n.filter(F.col("n_nationkey") >= 12)]
+    )
     import json as _json
 
     with open(_os.path.join(tmp, "_delta_log", f"{0:020d}.json")) as f:
@@ -3196,7 +3202,6 @@ def source_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             for line in f.read().splitlines()
             if '"add"' in line
         ]
-    w.commit(add_dfs=[n.filter(F.col("n_nationkey") >= 12)])
     w.commit(remove=v0_adds)
     cp_v = w.checkpoint()
     assert cp_v == 2
@@ -3484,7 +3489,11 @@ def maint_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     tmp = tempfile.mkdtemp(prefix="delta-vac-")
     w = DeltaTableWriter(spark, tmp)
-    w.commit(add_dfs=[n.filter(F.col("n_nationkey") < 12)])
+    # both add commits staged in ONE write job; v0's add paths read from
+    # the already-written v0 log afterwards (same bytes either order)
+    w.commit_many(
+        [n.filter(F.col("n_nationkey") < 12), n.filter(F.col("n_nationkey") >= 12)]
+    )
     import json as _json
 
     with open(_os.path.join(tmp, "_delta_log", f"{0:020d}.json")) as f:
@@ -3493,7 +3502,6 @@ def maint_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             for line in f.read().splitlines()
             if '"add"' in line
         )
-    w.commit(add_dfs=[n.filter(F.col("n_nationkey") >= 12)])
     w.commit(remove=v0_adds)
     from .util import bounded_rows
 
@@ -4687,8 +4695,8 @@ def sink_delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nation_local(spark, sf_dir, "n_nationkey", "n_name", "n_regionkey")
     src = tempfile.mkdtemp(prefix="delta-clone-src-")
     ws = DeltaTableWriter(spark, src)
-    ws.commit(add_dfs=[n.filter("n_nationkey < 12")])
-    ws.commit(add_dfs=[n.filter("n_nationkey >= 12")])
+    # both source commits staged in ONE write job
+    ws.commit_many([n.filter("n_nationkey < 12"), n.filter("n_nationkey >= 12")])
 
     dst = tempfile.mkdtemp(prefix="delta-clone-dst-")
     wc = DeltaTableWriter(spark, dst)
