@@ -621,19 +621,35 @@ def test_bigram_lm_windows_stay_per_doc(spark):
 
 
 def test_similarity_dedup_exchange_is_payload_free(spark):
-    """The candidate-union distinct in the LSH/multiprobe/IVF top-k paths
-    must shuffle ONE double per candidate, never the embedding payloads
-    (VERDICT r8 #8 — cosine computes BEFORE dropDuplicates): the dedup
-    aggregate's carried value is first(cos), and no embedding column
-    survives into it."""
+    """The candidate dedup in the LSH/multiprobe/IVF top-k paths must
+    shuffle ONE double per candidate, never the embedding payloads
+    (VERDICT r8 #8 — cosine computes BEFORE the candidate exchange).
+    Round 16: the dropDuplicates aggregate is gone — dedup rides the
+    rank window as a lag(neighbor_id) check on the SAME (query_id)
+    exchange — so the pinned shape is now: exactly one hash exchange on
+    query_id whose input is (ids, cos) with no embedding column, plus
+    the lag-based duplicate filter."""
+    import re
+
     for key in (
         "similarity_ann_lsh",
         "similarity_ann_lsh_multiprobe",
         "similarity_ann_ivf",
     ):
         p = plan(q(spark, key))
-        assert "first(cos" in p, key
-        assert "first(q_emb" not in p and "first(c_emb" not in p, key
+        assert "lag(neighbor_id" in p, key
+        # the candidate exchange(s): hashpartitioning on query_id, and the
+        # shuffled row is (query_id, neighbor_id, cos) — payload-free
+        blocks = re.findall(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p
+        )
+        assert blocks, key
+        for cols in blocks:
+            assert "emb" not in cols, (key, cols)
+            assert "cos" in cols, (key, cols)
+        # no second exchange sneaks back between dedup and rank: one
+        # (non-broadcast) Exchange total
+        assert len(blocks) == 1, (key, blocks)
 
 
 def test_knn_graph_self_join_is_hash_join(spark):
